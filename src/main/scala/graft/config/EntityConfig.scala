@@ -1,0 +1,142 @@
+package graft.config
+
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Per-entity pipeline configuration — the 6-field schema of the reference's
+  * `dp_config_template.json` (reference `README.md:94-101`, read at
+  * `02_silver_processing.py:82-98` and `01_bronze_ingestion.py:130`).
+  *
+  * Scale note (100 TB): config is tiny driver-side metadata; it never touches
+  * executors except for the initial text read.
+  */
+final case class EntityConfig(
+    /** Source file format for this entity's raw folder (parquet/json/csv/avro)
+      * — reference `01_bronze_ingestion.py:130`. */
+    rawFileFormat: String = "parquet",
+    /** Physical-layout clustering columns (the liquid-clustering analog) —
+      * reference `02_silver_processing.py:82,148`. */
+    clusteringCols: Seq[String] = Nil,
+    /** Data-skipping stats columns; carried as table metadata (parquet row
+      * groups always have min/max) — reference `02_silver_processing.py:85-92`. */
+    skippingIndexes: Seq[String] = Nil,
+    /** Primary key for silver dedup; reference default `["id"]` —
+      * `02_silver_processing.py:98`. */
+    uniquePrimaryKey: Seq[String] = Seq("id"),
+    /** Reserved in the reference (`README.md:100`); we implement it as
+      * old->new pairs for capability completion. Accepts either a JSON object
+      * or a list of "old:new" strings. */
+    renamedColumns: Map[String, String] = Map.empty,
+    /** Data-quality expectations name -> SQL predicate; a row is KEPT iff ALL
+      * predicates are true (real SDP expect_all_or_drop semantics, SURVEY §2
+      * P7) — reference `02_silver_processing.py:94-95,139-141`. */
+    expectAllOrDrop: Map[String, String] = Map.empty
+)
+
+/** Pipeline-wide parameters — the reference reads these from `spark.conf`
+  * (set by the pipeline YAML, `resources/sdp_pipeline.pipeline.yml:22-29`;
+  * read at `01_bronze_ingestion.py:85-99`, `02_silver_processing.py:34-54`).
+  */
+final case class PipelineParams(
+    sourceLocation: String,
+    catalogName: String = "dev",
+    bronzeDb: String = "bronze",
+    silverDb: String = "silver",
+    externalLocation: String = "",
+    deletedFileRetention: String = "interval 14 days",
+    softDeletes: String = "N",
+    /** Injectable clock for `_ingested_at` determinism (SURVEY §7.4.3).
+      * None = wall clock (reference behavior, `01_bronze_ingestion.py:170`). */
+    fixedIngestedAt: Option[java.sql.Timestamp] = None
+) {
+  def softDeletesEnabled: Boolean = softDeletes.toUpperCase == "Y"
+  private def collapse(db: String): String =
+    if (catalogName.nonEmpty) s"${catalogName}_$db" else db
+  /** OSS Spark default catalog is 2-level; collapse catalog.schema →
+    * "{catalog}_{schema}" (SURVEY §7.4.2). */
+  def bronzeSchema: String = collapse(bronzeDb)
+  def silverSchema: String = collapse(silverDb)
+  def activeSchema: String = collapse(s"${silverDb}_active")
+  def bronzeFqn(entity: String): String = s"$bronzeSchema.bronze_$entity"
+  def silverFqn(entity: String): String = s"$silverSchema.silver_$entity"
+  def activeViewFqn(entity: String): String = s"$activeSchema.silver_$entity"
+}
+
+object PipelineParams {
+  /** Mirror of the reference's conf-reading preamble (rstrip("/") included —
+    * `00_config_loader.py:25-31`). */
+  def fromConf(spark: SparkSession): PipelineParams = {
+    def get(k: String, d: String) = spark.conf.get(k, d)
+    PipelineParams(
+      sourceLocation = get("source_location", "").stripSuffix("/"),
+      catalogName = get("catalog_name", "dev"),
+      bronzeDb = get("bronze_db", "bronze"),
+      silverDb = get("silver_db", "silver"),
+      externalLocation = get("external_location", "").stripSuffix("/"),
+      deletedFileRetention =
+        get("deleted_file_retention_duration", "interval 14 days"),
+      softDeletes = get("soft_deletes", "N")
+    )
+  }
+}
+
+/** Loads `dp_config_template.json` exactly the way the reference does:
+  * read the file as text lines THROUGH Spark (so any Hadoop-compatible FS
+  * works — S3/HDFS/local), collect to the driver, join, parse
+  * (reference `00_config_loader.py:36-40`).
+  */
+object ConfigLoader {
+  def load(spark: SparkSession, sourceLocation: String)
+      : Map[String, EntityConfig] =
+    parse(readText(spark, s"${sourceLocation.stripSuffix("/")}/dp_config_template.json"))
+
+  def readText(spark: SparkSession, path: String): String =
+    spark.read.text(path).collect().map(_.getString(0)).mkString
+
+  private def strSeq(v: JValue): Seq[String] = v match {
+    case JArray(xs) => xs.collect { case JString(s) => s }
+    case _          => Nil
+  }
+
+  private def strMap(v: JValue): Map[String, String] = v match {
+    case JObject(fields) =>
+      fields.collect { case JField(k, JString(s)) => k -> s }.toMap
+    // tolerate the reference's list form for renamed_columns ("old:new")
+    case JArray(xs) =>
+      xs.collect { case JString(s) if s.contains(":") =>
+        val Array(o, n) = s.split(":", 2); o -> n
+      }.toMap
+    case _ => Map.empty
+  }
+
+  def parse(jsonText: String): Map[String, EntityConfig] =
+    JsonMethods.parse(jsonText) match {
+      case JObject(entities) =>
+        entities.map { case JField(name, cfg) =>
+          val f = cfg match {
+            case JObject(fs) => fs.toMap
+            case _           => Map.empty[String, JValue]
+          }
+          def s(k: String, d: String) = f.get(k) match {
+            case Some(JString(v)) => v
+            case _                => d
+          }
+          name -> EntityConfig(
+            rawFileFormat = s("raw_file_format", "parquet"),
+            clusteringCols = f.get("clustering_cols").map(strSeq).getOrElse(Nil),
+            skippingIndexes =
+              f.get("skipping_indexes").map(strSeq).getOrElse(Nil),
+            uniquePrimaryKey = f.get("unique_primary_key").map(strSeq)
+              .filter(_.nonEmpty).getOrElse(Seq("id")),
+            renamedColumns =
+              f.get("renamed_columns").map(strMap).getOrElse(Map.empty),
+            expectAllOrDrop =
+              f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty)
+          )
+        }.toMap
+      case _ =>
+        throw new IllegalArgumentException(
+          "dp_config_template.json must be a JSON object keyed by entity name")
+    }
+}

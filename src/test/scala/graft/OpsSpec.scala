@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{ConfigLoader, EntityConfig}
+import graft.ops._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("P1 upcast: int and short become long, others untouched") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1, 2.toShort, 3L, "x", 1.5))),
+      StructType(Seq(
+        StructField("i", IntegerType), StructField("s", ShortType),
+        StructField("l", LongType), StructField("str", StringType),
+        StructField("d", DoubleType))))
+    val up = Upcast(df)
+    assert(up.schema("i").dataType == LongType)
+    assert(up.schema("s").dataType == LongType)
+    assert(up.schema("l").dataType == LongType)
+    assert(up.schema("str").dataType == StringType)
+    assert(up.schema("d").dataType == DoubleType)
+    val row = up.collect()(0)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+  }
+
+  test("P1 upcast preserves extreme int values") {
+    val df = Seq(Int.MaxValue, Int.MinValue, 0).toDF("i")
+    assert(Upcast(df).as[Long].collect().toSet ==
+      Set(Int.MaxValue.toLong, Int.MinValue.toLong, 0L))
+  }
+
+  test("W1 dedup: latest _ingested_at wins, deterministic tie-break") {
+    val df = Seq(
+      (1L, "old", "2024-01-01 00:00:00", "a.parquet"),
+      (1L, "new", "2024-01-02 00:00:00", "b.parquet"),
+      (2L, "tie1", "2024-01-01 00:00:00", "a.parquet"),
+      (2L, "tie2", "2024-01-01 00:00:00", "b.parquet")
+    ).toDF("id", "v", "ts", "_source_file")
+      .withColumn("_ingested_at", $"ts".cast("timestamp"))
+    val out = Dedup.latestByIngestion(df, Seq("id"))
+      .select($"id", $"v").as[(Long, String)].collect().toMap
+    assert(out(1L) == "new")
+    assert(out(2L) == "tie2") // desc on _source_file: b.parquet wins
+  }
+
+  test("W1 dedup idempotence + PK uniqueness") {
+    val df = Seq((1L, "a", "2024-01-02 00:00:00"),
+      (1L, "b", "2024-01-01 00:00:00"),
+      (3L, "c", "2024-01-01 00:00:00"))
+      .toDF("id", "v", "ts")
+      .withColumn("_ingested_at", $"ts".cast("timestamp"))
+    val once = Dedup.latestByIngestion(df, Seq("id"))
+    val twice = Dedup.latestByIngestion(once, Seq("id"))
+    assert(once.count() == 2 && twice.count() == 2)
+    assert(once.groupBy("id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("P5 soft-delete filter drops 'D' AND null op (3-valued logic)") {
+    val df = Seq(("1", "I"), ("2", "D"), ("3", "U"), ("4", null))
+      .toDF("id", "op")
+    assert(SoftDeleteFilter(df).select("id").as[String].collect().toSet ==
+      Set("1", "3"))
+  }
+
+  test("P5 guard: frame without op column passes through unchanged") {
+    val df = Seq(("1", "x")).toDF("id", "v")
+    assert(SoftDeleteFilter(df).count() == 1)
+  }
+
+  test("P7 expectations: drop-if-ANY-violated; NULL counts as violation") {
+    val df = Seq(
+      (1L, Some(5.0), "ok"),     // passes both
+      (2L, Some(-1.0), "ok"),    // fails qty_pos
+      (3L, None, "ok"),          // null qty -> violation
+      (4L, Some(5.0), null)      // null name -> violation
+    ).toDF("id", "qty", "name")
+    val out = Expectations(df, Map(
+      "qty_pos" -> "qty > 0",
+      "name_nonnull" -> "name IS NOT NULL"))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("P7 empty expectations = no-op") {
+    val df = Seq((1, "a")).toDF("id", "v")
+    assert(Expectations(df, Map.empty).count() == 1)
+  }
+
+  test("P8 rename maps old -> new") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val out = Rename(df, Map("a" -> "id", "b" -> "val"))
+    assert(out.columns.toSeq == Seq("id", "val"))
+  }
+
+  test("ClusterLayout range-partitions + sorts; no-op on missing cols") {
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "v")
+    val laid = ClusterLayout(df, Seq("k"))
+    assert(laid.count() == 3)
+    assert(ClusterLayout(df, Seq("nope")).columns.toSeq == df.columns.toSeq)
+  }
+
+  test("config parser: full 6-field entity + defaults") {
+    val json = """{
+      "app_downloads": {
+        "raw_file_format": "parquet",
+        "clustering_cols": ["id", "op"],
+        "skipping_indexes": ["id", "op", "business_id"],
+        "unique_primary_key": ["id"],
+        "renamed_columns": [],
+        "expect_all_or_drop": {
+          "has_timestamp": "created_at IS NOT NULL",
+          "has_id": "id IS NOT NULL"
+        }
+      },
+      "minimal": {}
+    }"""
+    val cfg = ConfigLoader.parse(json)
+    assert(cfg("app_downloads") == EntityConfig(
+      rawFileFormat = "parquet",
+      clusteringCols = Seq("id", "op"),
+      skippingIndexes = Seq("id", "op", "business_id"),
+      uniquePrimaryKey = Seq("id"),
+      renamedColumns = Map.empty,
+      expectAllOrDrop = Map(
+        "has_timestamp" -> "created_at IS NOT NULL",
+        "has_id" -> "id IS NOT NULL")))
+    // reference defaults: format parquet, pk ["id"] (02_silver_processing.py:98)
+    assert(cfg("minimal") == EntityConfig())
+  }
+
+  test("config parser: renamed_columns accepts object and list forms") {
+    assert(ConfigLoader.parse(
+      """{"e": {"renamed_columns": {"old": "new"}}}""")("e")
+      .renamedColumns == Map("old" -> "new"))
+    assert(ConfigLoader.parse(
+      """{"e": {"renamed_columns": ["a:b", "c:d"]}}""")("e")
+      .renamedColumns == Map("a" -> "b", "c" -> "d"))
+  }
+}
