@@ -1,0 +1,274 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.config.{ConfigLoader, EntityConfig, PipelineParams}
+import graft.ops._
+
+/** The medallion pipeline engine — our idiomatic-Scala reimplementation of
+  * the reference's SDP-based flow (SURVEY §3): per entity, a checkpointed
+  * *streaming* bronze table incrementally ingesting raw files, a
+  * *materialized* (full-recompute) silver table deduplicated on the
+  * configured PK, and — when soft deletes are enabled — an `_active` schema
+  * of plain SQL views filtering `op != 'D'`.
+  *
+  * Execution order mirrors SDP's resolved dataflow graph (the only edges are
+  * silver→bronze by FQN — reference `02_silver_processing.py:101,117`):
+  * all bronze flows, then all silver flows, then views. Bronze flows are
+  * independent of each other, as are silver flows, so each phase could run
+  * its entities concurrently on a real cluster; we run them sequentially
+  * (local mode shares one scheduler, and correctness is order-independent
+  * within a phase).
+  *
+  * Scale posture (100 TB): bronze is a narrow streaming append — file
+  * listing on the driver, decode/project on executors, NO shuffle. Silver
+  * has exactly one shuffle (hash partition by PK for the dedup window, which
+  * Spark 4 rewrites to a WindowGroupLimit so the exchange carries ≤1 row
+  * per map-partition per key) plus an optional range exchange for the
+  * cluster layout. Views are catalog-only.
+  *
+  * Storage note: all tables are created with an explicit LOCATION (under
+  * [[PipelineRunner.storageRoot]] unless the config's external_location
+  * overrides it — reference `01_bronze_ingestion.py:140-145`). Pinning the
+  * path makes schema evolution a metadata-only re-registration and is the
+  * OSS stand-in for SDP's managed-table lifecycle.
+  */
+final class PipelineRunner(
+    spark: SparkSession,
+    params: PipelineParams,
+    /** Root for table data + stream checkpoints when no external location
+      * is configured. */
+    storageRoot: String) {
+
+  import PipelineRunner._
+
+  private def log(msg: String): Unit =
+    Console.err.println(s"[pipeline] $msg")
+
+  // ---- locations ----------------------------------------------------------
+
+  private def bronzePath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/bronze/$entity"
+    else s"$storageRoot/bronze/$entity"
+
+  private def silverPath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/silver/$entity"
+    else s"$storageRoot/silver/$entity"
+
+  private def checkpointPath(entity: String): String =
+    s"$storageRoot/_checkpoints/bronze_$entity"
+
+  /** Table properties carried from the reference (Delta-specific knobs
+    * recorded as metadata on OSS parquet — SURVEY §4.1/§7.4.1). */
+  private def refTableProps(cfg: EntityConfig): Map[String, String] = {
+    val base = Map(
+      "delta.autoOptimize.optimizeWrite" -> "true",
+      "delta.autoOptimize.autoCompact" -> "true",
+      "delta.deletedFileRetentionDuration" -> params.deletedFileRetention)
+    if (cfg.skippingIndexes.nonEmpty)
+      base + ("delta.dataSkippingStatsColumns" ->
+        cfg.skippingIndexes.mkString(","))
+    else base
+  }
+
+  // ---- phase 0: schemas ---------------------------------------------------
+
+  def ensureSchemas(softDeletes: Boolean): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.bronzeSchema}`")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.silverSchema}`")
+    if (softDeletes)
+      // reference 03_active_views.py:52-54
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.activeSchema}`")
+  }
+
+  // ---- phase 1: bronze (streaming, incremental) ---------------------------
+
+  /** Infer the source schema from the files currently present (the OSS
+    * analog of Auto Loader's `cloudFiles.inferColumnTypes` —
+    * reference `01_bronze_ingestion.py:159`). One batch metadata pass; for
+    * csv/json this samples the files. */
+  def inferSourceSchema(format: String, path: String): StructType = {
+    val reader = format match {
+      case "csv"  => spark.read.option("header", "true")
+        .option("inferSchema", "true")
+      case "json" => spark.read
+      case _      => spark.read
+    }
+    reader.format(format).load(path).schema
+  }
+
+  /** One triggered (Trigger.AvailableNow) incremental ingest for an entity —
+    * the reference's bronze streaming table (`01_bronze_ingestion.py:123-180`)
+    * with the pipeline's `continuous: false` trigger semantics
+    * (`resources/sdp_pipeline.pipeline.yml:32`). Restart resumes from the
+    * checkpoint's file offset log (T1). */
+  def runBronze(entity: String, cfg: EntityConfig,
+      fullRefresh: Boolean = false): Unit = {
+    val fqn = params.bronzeFqn(entity)
+    val srcPath = s"${params.sourceLocation}/$entity/"
+    val tablePath = bronzePath(entity)
+    val cp = checkpointPath(entity)
+
+    if (fullRefresh) {
+      // full_refresh: delete checkpoint + truncate (README.md:216-218)
+      log(s"full refresh: dropping $fqn, checkpoint $cp")
+      spark.sql(s"DROP TABLE IF EXISTS $fqn")
+      deleteRecursively(spark, cp)
+      deleteRecursively(spark, tablePath)
+    }
+
+    // S6: infer; P1: upcast applies to the SCHEMA too, so the pinned
+    // streaming schema and the table schema agree on bigint.
+    val inferred = inferSourceSchema(cfg.rawFileFormat, srcPath)
+    val target = upcastSchema(inferred)
+
+    // S7 schema evolution (addNewColumns): widen the existing table by the
+    // newly appeared columns — metadata-only because the location is pinned.
+    val existing = tableSchema(spark, fqn)
+    val merged = existing match {
+      case Some(old) =>
+        val newCols = target.fields.filterNot(f =>
+          old.fieldNames.map(_.toLowerCase).contains(f.name.toLowerCase))
+        if (newCols.nonEmpty) {
+          log(s"schema evolution on $fqn: adding ${newCols.map(_.name).mkString(", ")}")
+          val colsDdl = StructType(newCols).toDDL
+          spark.sql(s"ALTER TABLE $fqn ADD COLUMNS ($colsDdl)")
+        }
+        tableSchema(spark, fqn).get
+      case None => StructType(target.fields ++ auditFields)
+    }
+
+    val reader = spark.readStream.format(cfg.rawFileFormat)
+      .schema(StructType(target.fields)) // pinned source schema (pre-audit)
+    val withOpts = cfg.rawFileFormat match {
+      case "csv" => reader.option("header", "true")
+      case _     => reader
+    }
+    val raw = withOpts.load(srcPath)
+
+    val projected = Audit(Upcast(raw), params.fixedIngestedAt)
+    // align to the table schema: evolution keeps old columns that current
+    // files may lack (null-filled), and fixes column order
+    val aligned = merged.fields.map { f =>
+      if (projected.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
+        col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val out = projected.select(aligned.toIndexedSeq: _*)
+
+    val q = out.writeStream
+      .format("parquet")
+      .option("checkpointLocation", cp)
+      .option("path", tablePath)
+      .trigger(Trigger.AvailableNow())
+      .toTable(fqn)
+    q.awaitTermination()
+
+    setTableProps(spark, fqn, refTableProps(cfg) +
+      ("comment" -> s"Bronze raw ingestion for $entity from $srcPath"))
+  }
+
+  // ---- phase 2: silver (batch, full recompute) ----------------------------
+
+  /** The silver materialized table (reference `02_silver_processing.py:
+    * 115-150`): batch read of bronze → PK dedup (latest `_ingested_at`
+    * wins) → optional CDC-delete filter → expectations gate → rename →
+    * cluster layout → overwrite. */
+  def buildSilverFrame(entity: String, cfg: EntityConfig): DataFrame = {
+    val bronze = spark.read.table(params.bronzeFqn(entity))
+    val deduped = Dedup.latestByIngestion(bronze, cfg.uniquePrimaryKey)
+    val afterCdc =
+      if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
+    val gated = Expectations(afterCdc, cfg.expectAllOrDrop,
+      observeName = Some(s"expectations_$entity"))
+    Rename(gated, cfg.renamedColumns)
+  }
+
+  def runSilver(entity: String, cfg: EntityConfig): Unit = {
+    val fqn = params.silverFqn(entity)
+    val frame = buildSilverFrame(entity, cfg)
+    val laid = ClusterLayout(frame, cfg.clusteringCols)
+    spark.sql(s"DROP TABLE IF EXISTS $fqn") // overwrite = full recompute
+    laid.write.mode("overwrite")
+      .option("path", silverPath(entity))
+      .saveAsTable(fqn)
+    setTableProps(spark, fqn, refTableProps(cfg) +
+      ("comment" -> s"Silver deduplicated table for $entity") +
+      ("clustering_cols" -> cfg.clusteringCols.mkString(",")))
+  }
+
+  // ---- phase 3: active views (catalog-only) -------------------------------
+
+  /** Reference `03_active_views.py:57-64`. Guard (SURVEY §7.4.4): the view
+    * filters `op != 'D'` only when the silver table has an `op` column. */
+  def createActiveView(entity: String): Unit = {
+    val silverFqn = params.silverFqn(entity)
+    val viewFqn = params.activeViewFqn(entity)
+    val hasOp = spark.table(silverFqn).columns.contains("op")
+    val where = if (hasOp) " WHERE op != 'D'" else ""
+    if (!hasOp) log(s"$silverFqn has no 'op' column; active view is SELECT *")
+    spark.sql(s"CREATE OR REPLACE VIEW $viewFqn AS SELECT * FROM $silverFqn$where")
+  }
+
+  // ---- whole pipeline ------------------------------------------------------
+
+  /** One triggered pipeline run over every entity in the config —
+    * entry point A (SURVEY §3.1). */
+  def run(entities: Map[String, EntityConfig],
+      fullRefresh: Boolean = false): Unit = {
+    ensureSchemas(params.softDeletesEnabled)
+    entities.foreach { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
+    entities.foreach { case (e, cfg) => runSilver(e, cfg) }
+    if (params.softDeletesEnabled)
+      entities.keys.foreach(createActiveView)
+  }
+}
+
+object PipelineRunner {
+
+  /** Bootstrap exactly like the reference's conf-driven entry
+    * (`00_config_loader.py`): params from spark.conf, config JSON from the
+    * source location. */
+  def fromConf(spark: SparkSession, storageRoot: String): (PipelineRunner, Map[String, EntityConfig]) = {
+    val params = PipelineParams.fromConf(spark)
+    val entities = ConfigLoader.load(spark, params.sourceLocation)
+    (new PipelineRunner(spark, params, storageRoot), entities)
+  }
+
+  import org.apache.spark.sql.types._
+
+  /** Schema-level twin of ops.Upcast (P1). */
+  def upcastSchema(s: StructType): StructType = StructType(s.fields.map {
+    case f if f.dataType == IntegerType || f.dataType == ShortType =>
+      f.copy(dataType = LongType)
+    case f => f
+  })
+
+  val auditFields: Array[StructField] = Array(
+    StructField(Audit.IngestedAt, TimestampType),
+    StructField(Audit.SourceFile, StringType),
+    StructField(Audit.FileModTime, TimestampType))
+
+  def tableSchema(spark: SparkSession, fqn: String): Option[StructType] =
+    if (spark.catalog.tableExists(fqn)) Some(spark.table(fqn).schema)
+    else None
+
+  def setTableProps(spark: SparkSession, fqn: String,
+      props: Map[String, String]): Unit = {
+    val kv = props.map { case (k, v) =>
+      s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+    }.mkString(", ")
+    spark.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES ($kv)")
+  }
+
+  def deleteRecursively(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

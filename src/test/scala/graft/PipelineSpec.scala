@@ -1,0 +1,215 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{ConfigLoader, PipelineParams}
+import graft.pipeline.PipelineRunner
+
+/** End-to-end pipeline tests over engine-generated fixtures (FIXTURES.md §B):
+  * a temp source tree with dp_config_template.json + one folder per entity,
+  * driven twice to prove incremental ingestion, dedup, expectations, CDC
+  * deletes, soft-delete views, and schema evolution.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val configJson = """{
+    "app_downloads": {
+      "raw_file_format": "parquet",
+      "clustering_cols": ["id"],
+      "skipping_indexes": ["id", "op"],
+      "unique_primary_key": ["id"],
+      "renamed_columns": [],
+      "expect_all_or_drop": {
+        "has_id": "id IS NOT NULL",
+        "has_created": "created_at IS NOT NULL"
+      }
+    },
+    "locations": {
+      "raw_file_format": "json",
+      "clustering_cols": [],
+      "skipping_indexes": [],
+      "unique_primary_key": ["loc_id"],
+      "renamed_columns": [],
+      "expect_all_or_drop": {}
+    }
+  }"""
+
+  /** batch 1: id 1..4 (id=2 twice w/ distinct versions), one D-row (id=4),
+    * one null created_at (id=3, dropped by expectations). int32 `downloads`
+    * exercises P1. */
+  private def writeBatch1(src: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("downloads", IntegerType),
+      StructField("created_at", StringType), StructField("op", StringType),
+      StructField("v", StringType)))
+    val rows = Seq(
+      Row(1L, 10, "2024-01-01", "I", "one"),
+      Row(2L, 20, "2024-01-01", "I", "two-old"),
+      Row(2L, 21, "2024-01-02", "U", "two-new"),
+      Row(3L, 30, null, "I", "three-bad"),
+      Row(4L, 40, "2024-01-01", "D", "four-deleted"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$src/app_downloads")
+    Seq("""{"loc_id": 1, "city": "berlin"}""",
+      """{"loc_id": 2, "city": "lima"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+  }
+
+  private def writeConfig(src: String): Unit =
+    Files.writeString(Path.of(src, "dp_config_template.json"), configJson)
+
+  private def mkRunner(src: String, store: String, clock: String,
+      softDeletes: String = "N", catalog: String = "t1")
+      : (PipelineRunner, PipelineParams) = {
+    val params = PipelineParams(
+      sourceLocation = src, catalogName = catalog,
+      softDeletes = softDeletes,
+      fixedIngestedAt = Some(Timestamp.valueOf(clock)))
+    (new PipelineRunner(spark, params, store), params)
+  }
+
+  test("e2e: bronze ingests, silver dedups + drops D + enforces expectations") {
+    val src = tmpDir("graft-src"); val store = tmpDir("graft-store")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+    assert(entities.keySet == Set("app_downloads", "locations"))
+
+    val (runner, params) = mkRunner(src, store, "2024-02-01 00:00:00")
+    runner.run(entities)
+
+    val bronze = spark.table(params.bronzeFqn("app_downloads"))
+    assert(bronze.count() == 5) // bronze is raw append: all rows
+    assert(bronze.schema("downloads").dataType == LongType) // P1 in bronze
+    assert(bronze.columns.contains("_ingested_at") &&
+      bronze.columns.contains("_source_file") &&
+      bronze.columns.contains("_file_modification_time")) // P2
+    assert(bronze.select("_source_file").as[String].collect()
+      .forall(_.contains("app_downloads")))
+
+    val silver = spark.table(params.silverFqn("app_downloads"))
+    val byId = silver.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // id=2: both versions share the injected clock -> deterministic
+    // tie-break picks one; either way exactly one survivor per PK
+    assert(silver.groupBy("id").count().filter($"count" > 1).count() == 0)
+    assert(byId.contains(1L) && byId.contains(2L))
+    assert(!byId.contains(3L)) // expectation violation (null created_at)
+    assert(!byId.contains(4L)) // op='D' dropped when soft_deletes=N
+
+    // entity without op column passes the P5 guard untouched
+    val locations = spark.table(params.silverFqn("locations"))
+    assert(locations.count() == 2)
+  }
+
+  test("T1 incremental: second run ingests only new files, dedup keeps latest") {
+    val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t2")
+    r1.run(entities)
+
+    // batch 2: a NEW file updating id=1 and resurrecting id=4
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("downloads", IntegerType),
+      StructField("created_at", StringType), StructField("op", StringType),
+      StructField("v", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, 11, "2024-03-01", "U", "one-v2"),
+      Row(4L, 44, "2024-03-01", "U", "four-return")), 1), schema)
+      .write.mode("append").parquet(s"$src/app_downloads")
+
+    val (r2, _) = mkRunner(src, store, "2024-03-05 00:00:00", catalog = "t2")
+    r2.run(entities)
+
+    val bronze = spark.table(params.bronzeFqn("app_downloads"))
+    assert(bronze.count() == 7) // 5 + 2, batch-1 files NOT reprocessed
+    // rows from run 2 carry run 2's injected clock only
+    val clocks = bronze.select("_ingested_at").distinct().as[Timestamp]
+      .collect().map(_.toString).sorted
+    assert(clocks.toSeq == Seq("2024-02-01 00:00:00.0", "2024-03-05 00:00:00.0"))
+
+    val silver = spark.table(params.silverFqn("app_downloads"))
+    val v = silver.select("id", "v").as[(Long, String)].collect().toMap
+    assert(v(1L) == "one-v2") // latest _ingested_at wins
+    assert(v(4L) == "four-return") // D superseded by later U
+  }
+
+  test("S7 schema evolution: new column widens bronze + silver, old rows null") {
+    val src = tmpDir("graft-src3"); val store = tmpDir("graft-store3")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"receipts": {"raw_file_format": "json",
+        |  "unique_primary_key": ["rid"]}}""".stripMargin)
+    Seq("""{"rid": 1, "amount": 5.0}""", """{"rid": 2, "amount": 7.5}""")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(s"$src/receipts")
+    val entities = ConfigLoader.load(spark, src)
+
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t3")
+    r1.run(entities)
+    assert(!spark.table(params.bronzeFqn("receipts"))
+      .columns.contains("currency"))
+
+    // file 2 introduces `currency`
+    Seq("""{"rid": 3, "amount": 9.0, "currency": "EUR"}""")
+      .toDF("value").coalesce(1).write.mode("append").text(s"$src/receipts")
+    val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00", catalog = "t3")
+    r2.run(entities)
+
+    val bronze = spark.table(params.bronzeFqn("receipts"))
+    assert(bronze.columns.contains("currency"))
+    val rows = bronze.select("rid", "currency").as[(Long, Option[String])]
+      .collect().toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty) // old rows null-filled
+    assert(rows(3L).contains("EUR"))
+    assert(spark.table(params.silverFqn("receipts"))
+      .columns.contains("currency"))
+  }
+
+  test("soft deletes Y: silver keeps D rows, _active view filters them") {
+    val src = tmpDir("graft-src4"); val store = tmpDir("graft-store4")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+      .filter(_._1 == "app_downloads")
+
+    val (runner, params) =
+      mkRunner(src, store, "2024-02-01 00:00:00", softDeletes = "Y", catalog = "t4")
+    runner.run(entities)
+
+    val silver = spark.table(params.silverFqn("app_downloads"))
+    assert(silver.filter($"op" === "D").count() == 1) // id=4 retained
+
+    val active = spark.table(params.activeViewFqn("app_downloads"))
+    assert(active.filter($"op" === "D").count() == 0)
+    assert(active.count() == silver.count() - 1)
+  }
+
+  test("full refresh truncates and reingests") {
+    val src = tmpDir("graft-src5"); val store = tmpDir("graft-store5")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"locations": {"raw_file_format": "json",
+        |  "unique_primary_key": ["loc_id"]}}""".stripMargin)
+    Seq("""{"loc_id": 1, "city": "berlin"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+    val entities = ConfigLoader.load(spark, src)
+
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t5")
+    r1.run(entities)
+    val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00", catalog = "t5")
+    r2.run(entities, fullRefresh = true)
+
+    val bronze = spark.table(params.bronzeFqn("locations"))
+    assert(bronze.count() == 1) // reingested once, not duplicated
+    val clock = bronze.select("_ingested_at").as[Timestamp].head.toString
+    assert(clock == "2024-03-01 00:00:00.0") // data is from run 2
+  }
+}
