@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+import graft.dedup.DedupOps
+import graft.similarity.SimilarityOps
+import graft.text.TextOps
+
+/** LLM-training-data queries (north-star [EXT] surface): text analysis,
+  * dedup family, embedding similarity — over `documents.parquet` /
+  * `embeddings.parquet`. Hash-based operators (MinHash, SimHash, LSH)
+  * have no DuckDB oracle (engine-specific hash seeds) and are covered by
+  * ScalaTest against exact ground truth instead; everything else has a
+  * bit-exact oracle.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** DuckDB-equivalent normalization (mirrors TextOps.normalize). */
+  private val duckNorm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- F6 [EXT]: per-document text statistics + quality score
+    "q_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(txt).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(txt).cast("long").as("n_bpe_tokens"),
+        round(TextOps.punctRatio(txt), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(txt), 6).as("stopword_ratio"),
+        round(TextOps.meanWordLen(txt), 6).as("mean_word_len"),
+        round(TextOps.qualityScore(txt), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: language-ID heuristic (marker-stopword argmax)
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.languageId(col("text")).as("guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- A5 [EXT]: exact dedup on md5(normalized text), min doc_id wins
+    "q_exact_dedup" -> ((s, dir) => {
+      DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: n-gram Jaccard near-dup pairs (exact inverted-index join)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      DedupOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- U2 [EXT]: MinHash+LSH near-dup (no oracle: Spark-seeded xxhash64;
+    //    recall vs exact Jaccard asserted in LlmOpsSpec)
+    "q_minhash_neardup" -> ((s, dir) => {
+      DedupOps.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- [EXT]: SimHash near-dup with Manku-style chunk blocking (no oracle)
+    "q_simhash_neardup" -> ((s, dir) => {
+      DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- F9/U1 [EXT]: brute-force cosine top-k (probes broadcast, corpus
+    //    streamed once, WindowGroupLimit keeps the exchange at k rows/probe)
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: embedding-cosine near-dup pairs (exact all-pairs form)
+    "q_embed_neardup" -> ((s, dir) => {
+      SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- [EXT]: LSH-bucketed ANN top-k, the scale path (no oracle; recall
+    //    vs bruteForceTopK asserted in LlmOpsSpec)
+    "q_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+        planes = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    })
+  )
+
+  private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private val duckToksLower = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+  private val stopList = TextOps.EnglishStopwords
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      s"""SELECT doc_id, n_tokens, n_bpe_tokens,
+         |  round(punct_chars / n_chars_d, 6) AS punct_ratio,
+         |  round(sw_hits / n_toks_d, 6) AS stopword_ratio,
+         |  round(tok_chars / n_toks_d, 6) AS mean_word_len,
+         |  round(
+         |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN punct_chars / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN tok_chars / n_toks_d >= 2.0 AND tok_chars / n_toks_d <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+         |    6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    len($duckToks) AS n_tokens,
+         |    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+         |    length(text)::DOUBLE AS n_chars_d,
+         |    len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |    len($duckToks)::DOUBLE AS n_toks_d,
+         |    list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = TextOps.LangMarkers.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      }
+      val scores = markers.map { case (lang, arr) =>
+        s"len(list_intersect(toks, $arr)) AS s_$lang"
+      }.mkString(",\n    ")
+      val best = markers.map { case (lang, _) => s"s_$lang" }
+        .mkString("greatest(", ", ", ")")
+      val cases = markers.map { case (lang, _) =>
+        s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
+      }.mkString("\n    ")
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    $cases
+         |    ELSE 'und' END AS guess
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM (SELECT doc_id, lang, list_distinct($duckToksLower) AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_exact_dedup" ->
+      s"""SELECT doc_id, fp FROM (
+         |  SELECT doc_id, md5($duckNorm) AS fp,
+         |    row_number() OVER (PARTITION BY md5($duckNorm)
+         |      ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3
+         |      THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |        FROM documents)),
+         |inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
+         |  count(*)::DOUBLE
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE AS jaccard
+         |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*)::DOUBLE
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |sc AS (SELECT probe_id, vec_id,
+        |    list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM e CROSS JOIN p WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
+        |SELECT probe_id, rank, vec_id, round(c, 6) AS cos
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

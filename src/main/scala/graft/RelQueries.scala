@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Tables
+import graft.ops.AsOfJoin
+
+/** Remaining relational [EXT] operators (SURVEY §2.3/2.6/2.7): global
+  * sort+limit, set operations, banded range join, as-of join, approx
+  * distinct. */
+object RelQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- [EXT] §2.6: global sort + limit (TakeOrderedAndProject — top-k on
+    //    each partition then k-merge on the driver, never a full sort)
+    "q_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // -- [EXT] §2.7: EXCEPT (distinct) — buyers with open orders minus
+    //    buyers with finished orders
+    "q_set_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    }),
+
+    // -- [EXT] §2.7: INTERSECT (distinct)
+    "q_set_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    }),
+
+    // -- J5 [EXT]: range join with an equi-key anchor — pairs of events of
+    //    the same user within a 60 s band. The user_id equi-component keeps
+    //    it a hash/sort-merge join (the band is a residual filter); a pure
+    //    theta join would degenerate to a nested-loop cross product. At
+    //    scale with NO equi key, bucketize time (join on bucket ± 1) to
+    //    recover an equi join.
+    "q_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val a = e.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts_us").as("t_a"))
+      val b = e.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts_us").as("t_b"))
+      a.join(b, a("user_id") === b("user_id") && col("id_a") < col("id_b") &&
+          abs(col("t_a") - col("t_b")) <= 60000000L)
+        .groupBy(a("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    }),
+
+    // -- J6 [EXT]: as-of join — latest order per user at or before each
+    //    event time (union + ordered window; see ops.AsOfJoin scale notes)
+    "q_asof_join" -> ((s, dir) => {
+      val left = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val right = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+          // cast reads the same wall-clock instant DuckDB's epoch_us sees
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+          col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin(left, right, key = "user_id",
+        leftTime = "ts_us", rightTime = "o_us",
+        payload = Seq("o_orderkey", "o_totalprice"),
+        rightOrderCol = "o_orderkey")
+        .orderBy(col("event_id"))
+    }),
+
+    // -- A3 [EXT]: HyperLogLog approx distinct (no oracle: approx result;
+    //    exactness bound asserted in spec)
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, event_id AS id_a, epoch_us(ts) AS t_a FROM events) a
+        |JOIN (SELECT user_id, event_id AS id_b, epoch_us(ts) AS t_b FROM events) b
+        |  ON a.user_id = b.user_id AND a.id_a < b.id_b
+        | AND abs(a.t_a - b.t_b) <= 60000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS is_left, event_id,
+        |    NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, epoch_us(o_orderdate), 0, NULL, o_orderkey,
+        |    o_totalprice
+        |  FROM orders),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN is_left = 0 THEN o_orderkey END IGNORE NULLS)
+        |      OVER win AS asof_o_orderkey,
+        |    last_value(CASE WHEN is_left = 0 THEN o_totalprice END IGNORE NULLS)
+        |      OVER win AS asof_o_totalprice
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY t ASC, is_left ASC, o_orderkey ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t AS ts_us, asof_o_orderkey,
+        |  asof_o_totalprice
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
+  )
+}

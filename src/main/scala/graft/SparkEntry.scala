@@ -40,8 +40,12 @@ object SparkEntry {
   private def dsum(e: Column, scale: Int = 2): Column =
     sum(e.cast(s"decimal(18,$scale)")).cast("double")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 (core map merged
+    * with the [EXT] LLM and relational surfaces). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ LlmQueries.queries ++ RelQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- P1 [REF]: int/short -> bigint upcast (00_config_loader.py:46-55)
     "p1_upcast" -> ((s, dir) => {
@@ -232,7 +236,10 @@ object SparkEntry {
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ LlmQueries.oracleSql ++ RelQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
 
     "p1_upcast" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,

@@ -1,0 +1,184 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.text.TextOps
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (fingerprint groupBy), n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (100 TB corpora):
+  *  - exact dedup = ONE shuffle on a 128-bit fingerprint; the window
+  *    rank-1 filter is rewritten by Spark to WindowGroupLimit, so each map
+  *    partition forwards at most one row per fingerprint (partial-agg
+  *    shape, skew-proof).
+  *  - all-pairs Jaccard is quadratic and is NEVER run on the full corpus;
+  *    the scalable path is [[minhashLsh]]: candidate generation via LSH
+  *    band buckets (equi-join, linear in data + candidate count), exact
+  *    re-verification only on candidates. Hot buckets (a shingle shared by
+  *    every doc) are the skew risk — [[jaccardPairs]] caps per-shingle
+  *    fan-out with a frequency filter, the standard positional-filtering
+  *    trick from prefix-filter joins.
+  *  - signatures are fixed-width arrays computed by higher-order
+  *    expressions (no UDF), so signature generation is a narrow,
+  *    codegen-friendly projection.
+  */
+object DedupOps {
+
+  /** Word n-gram shingles of the normalized text (distinct set). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(TextOps.normalize(text), " ")
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " "))))
+  }
+
+  /** A5: exact dedup — keep, per fingerprint, the row with the smallest
+    * `idCol`. One hash-shuffle on the fingerprint; WindowGroupLimit keeps
+    * the exchange thin. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextOps.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
+    df.withColumn("_fp_rn", row_number().over(w))
+      .filter(col("_fp_rn") === 1)
+      .drop("_fp_rn")
+  }
+
+  /** All-pairs n-gram Jaccard similarity ≥ threshold, via the inverted-
+    * index self-join: explode shingles, equi-join on shingle, count
+    * common shingles per pair, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `maxShingleFreq` drops shingles occurring in more than that many
+    * docs before the join — stop-shingle removal, the prefix-filtering
+    * idea that bounds the quadratic blowup of hot shingles. Documents
+    * sharing ONLY dropped shingles can no longer pair up, which is the
+    * deliberate approximation every scalable similarity join makes;
+    * pass Int.MaxValue for exact semantics (and in the DuckDB oracle).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.2,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val inv0 = sh.select(col("id"), col("n_sh"),
+      explode(col("sh")).as("shingle"))
+    val inv =
+      if (maxShingleFreq == Int.MaxValue) inv0
+      else {
+        val hot = inv0.groupBy("shingle").count()
+          .filter(col("count") > maxShingleFreq).select("shingle")
+        inv0.join(hot, Seq("shingle"), "left_anti")
+      }
+    val a = inv.select(col("id").as("id_a"), col("n_sh").as("n_a"),
+      col("shingle"))
+    val b = inv.select(col("id").as("id_b"), col("n_sh").as("n_b"),
+      col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash signature: k permutation-min hashes over the shingle set,
+    * permutation i realized as `xxhash64(i, shingle)`. Fixed-width
+    * ArrayType(Long) column, pure expressions. */
+  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(1), lit(k)),
+      i => array_min(transform(sh, s => xxhash64(i, s))))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact-Jaccard
+    * re-verification: signature → `bands` buckets of `rowsPerBand` hashes
+    * → explode (id, bandIdx, bandHash) → self-join on the bucket →
+    * distinct candidate pairs → exact Jaccard on just those pairs.
+    *
+    * Probability a pair with true Jaccard s becomes a candidate:
+    * 1 − (1 − s^r)^b — the standard S-curve; defaults (b=8, r=4) put the
+    * knee near s ≈ 0.6. At scale only the candidate set (≈ linear for a
+    * sane threshold) ever materializes, never the n² pair space.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = df.select(col(idCol).as("id"), col(textCol).as("_text"),
+      minhashSignature(col(textCol), n, k).as("sig"))
+    val banded = withSig.select(col("id"), col("_text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "band_hash")))
+    val l = banded.select(col("id").as("id_a"), col("_text").as("text_a"),
+      col("band"), col("band_hash"))
+    val r = banded.select(col("id").as("id_b"), col("_text").as("text_b"),
+      col("band"), col("band_hash"))
+    val cand = l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "text_a", "id_b", "text_b").distinct()
+    val shA = shingles(col("text_a"), n)
+    val shB = shingles(col("text_b"), n)
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(shA, shB)).cast("double") /
+          size(array_union(shA, shB)).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over word unigrams: per bit b, sum +1/−1 by bit b of
+    * each token's xxhash64; bit b of the result = sign of the sum.
+    * Near-dups = Hamming distance ≤ d on the signature ([[hammingDist]]).
+    * Pure expressions (64 × |tokens| adds inside codegen). */
+  def simhash(text: Column): Column = {
+    val toks = split(TextOps.normalize(text), " ")
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(hashes, lit(0L),
+          (s, h) => s + when(call_function("shiftright", h, b)
+            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        acc.bitwiseOR(when(bitSum > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L)))
+      })
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hammingDist(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. Quadratic
+    * form for verification; the scale path blocks on signature bytes
+    * (Manku et al., WWW'07: split 64 bits into maxDist+1 chunks — any
+    * pair within distance d agrees exactly on ≥1 chunk) — same
+    * explode-join shape as [[minhashLsh]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocked = withSig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("sig"), c * width)
+          .bitwiseAND((1L << width) - 1L))).as(Seq("chunk", "chunk_val")))
+    val l = blocked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk"), col("chunk_val"))
+    val r = blocked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk"), col("chunk_val"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sig_a"), col("sig_b")).as("dist")).distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (J6): for each left row, attach the latest right row whose
+  * time is ≤ the left row's time, per key — the point-in-time lookup
+  * (fact event → dimension version current at event time).
+  *
+  * Implemented with the union + ordered-window shape rather than a
+  * join-then-top-1: tag both sides, union them, and carry the most recent
+  * right payload forward with `last(..., ignoreNulls)` over
+  * (partition by key, order by time, rows unbounded preceding..current).
+  *
+  * Scale (100 TB): exactly ONE shuffle (hash on the key) + a per-key sort,
+  * and the intermediate size is |left| + |right| — never the |left|×|right
+  * versions per key| blow-up of the join formulation. Skewed keys cost one
+  * sorted partition (spillable); no salting needed because the window
+  * carries O(payload) state, not O(rows).
+  *
+  * Determinism: total order inside a key is (time asc, right-before-left,
+  * right order column asc), so a right row that ties a left row's
+  * timestamp IS visible to it (≤ semantics), and ties among right rows
+  * resolve to the greatest `rightOrderCol`.
+  */
+object AsOfJoin {
+  def apply(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[String], rightOrderCol: String): DataFrame = {
+    val isLeft = "_is_left"
+    val t = "_asof_t"
+    val leftCols = left.columns
+    val l = payload.foldLeft(
+      left.withColumn(t, col(leftTime)).withColumn(isLeft, lit(1))) {
+      (df, p) => df.withColumn(p, lit(null))
+    }
+    val r0 = right.withColumn(t, col(rightTime)).withColumn(isLeft, lit(0))
+    val r = leftCols.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }
+    val unioned = l.select((leftCols ++ payload ++ Seq(t, isLeft))
+      .map(col).toIndexedSeq: _*)
+      .unionByName(r.select((leftCols ++ payload ++ Seq(t, isLeft))
+        .map(col).toIndexedSeq: _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(t).asc, col(isLeft).asc, col(rightOrderCol).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(s"asof_$p",
+        last(when(col(isLeft) === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col(isLeft) === 1)
+      .select((leftCols ++ payload.map(p => s"asof_$p")).map(col).toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension; no reference implementation — anchored to
+  * `/root/testdata/<sf>/documents.parquet`).
+  *
+  * Every operator is a pure `Column => Column` built ONLY from Spark
+  * built-ins and higher-order functions — zero UDFs, so the whole text
+  * pipeline stays inside whole-stage codegen and scales linearly with
+  * input bytes: narrow projections, no shuffle, no driver round-trips.
+  * At 100 TB that means the text pass is bounded by parquet scan + CPU,
+  * and column pruning keeps the scan to the `text` column alone.
+  */
+object TextOps {
+
+  /** Canonical text form shared by dedup + fingerprinting: lowercase,
+    * punctuation stripped, whitespace collapsed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Whitespace tokens of the raw (un-normalized) text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: word chunks + standalone punctuation, the
+    * standard pre-tokenizer regex family. Counts matches of
+    * `[A-Za-z0-9]+|[^A-Za-z0-9\s]` — a deterministic stand-in for a real
+    * BPE vocab (which would need model files not present here). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(text).cast("double")
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "be", "are", "or")
+
+  /** Fraction of tokens that are (English) stopwords — a classic quality
+    * signal: natural prose has ~0.3-0.5, keyword spam ~0. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords)
+      : Column = {
+    val sw = array(stopwords.map(lit): _*)
+    val toks = tokens(lower(text))
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Mean token length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Composite quality score in [0,1] — the C4/Gopher-style heuristic
+    * family (length band, stopword presence, punctuation sanity, word-length
+    * sanity) collapsed to one comparable number. Deterministic double
+    * arithmetic, same expression shape as the oracle SQL. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text) >= 50 && length(text) <= 10000, 1.0)
+      .otherwise(0.0)
+    val swOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val wordOk = when(meanWordLen(text) >= 2.0 && meanWordLen(text) <= 12.0,
+      1.0).otherwise(0.0)
+    (lenOk * 0.3) + (swOk * 0.3) + (punctOk * 0.2) + (wordOk * 0.2)
+  }
+
+  /** Marker stopwords per language for the n-gram-free language-ID
+    * heuristic. Ordered map ⇒ deterministic argmax tie-break (first wins). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  /** Language-ID: distinct-marker-hit count per language, argmax with
+    * deterministic order (score desc, then declaration order). Returns
+    * "und" (undetermined) when no marker hits at all. */
+  def languageId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = LangMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      (lang, size(array_intersect(toks, m)))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
+      when(score === best && score > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Document fingerprint: md5 of the normalized text — the exact-dedup
+    * key. md5 is bit-identical across engines (unlike xxhash64 whose seed
+    * is engine-specific), so this IS oracle-verifiable. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Winnowing-style rolling fingerprint (Schleimer et al., SIGMOD'03):
+    * hash every k-gram of the normalized text, then keep the minimum hash
+    * in each sliding window of w consecutive k-gram hashes. Output: the
+    * distinct selected hashes, sorted — a compact, position-robust
+    * signature for near-dup detection at document granularity.
+    * Pure higher-order expressions; xxhash64 is Spark-only ⇒ unit-tested
+    * rather than DuckDB-matched. */
+  def winnowFingerprint(text: Column, k: Int = 5, w: Int = 4): Column = {
+    val norm = normalize(text)
+    val n = length(norm)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(substring(norm, i, lit(k))))
+    val windows = transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w))))
+    array_sort(array_distinct(windows))
+  }
+}
