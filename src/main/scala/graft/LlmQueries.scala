@@ -98,7 +98,7 @@ object LlmQueries {
     "q_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-        planes = 4)
+        planes = 4, tables = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     })

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.HashExpressions
 import graft.text.TextOps
 
 /** Deduplication operators for LLM training-data pipelines: exact
@@ -27,14 +28,13 @@ import graft.text.TextOps
   */
 object DedupOps {
 
-  /** Word n-gram shingles of the normalized text (distinct set). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(TextOps.normalize(text), " ")
-    array_distinct(
-      when(size(toks) < n, array(array_join(toks, " ")))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " "))))
-  }
+  /** Word n-gram shingles of the normalized text (distinct set,
+    * space-joined strings). Codegen'd
+    * ([[graft.functions.HashExpressions.WordNGrams]]); output is
+    * bit-identical to the `array_distinct(transform(...array_join(slice)))`
+    * formulation mirrored by the DuckDB oracle. */
+  def shingles(text: Column, n: Int = 3): Column =
+    HashExpressions.wordNGrams(split(TextOps.normalize(text), " "), n)
 
   /** A5: exact dedup — keep, per fingerprint, the row with the smallest
     * `idCol`. One hash-shuffle on the fingerprint; WindowGroupLimit keeps
@@ -88,14 +88,18 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
   }
 
-  /** MinHash signature: k permutation-min hashes over the shingle set,
-    * permutation i realized as `xxhash64(i, shingle)`. Fixed-width
-    * ArrayType(Long) column, pure expressions. */
-  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(1), lit(k)),
-      i => array_min(transform(sh, s => xxhash64(i, s))))
-  }
+  /** Sorted distinct hashed word-n-gram set of the normalized text — the
+    * set representation the minhash/verification kernels consume. Fully
+    * codegen'd ([[graft.functions.HashExpressions.NGramHashes]]); the
+    * string-shingle + interpreted-lambda formulation cost ~2.6 ms/doc and
+    * was re-evaluated per reference by collapsed projections. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    HashExpressions.ngramHashes(split(TextOps.normalize(text), " "), n)
+
+  /** MinHash signature: k permutation-min hashes over the hashed shingle
+    * set, all codegen'd ([[graft.functions.HashExpressions.MinHashSig]]). */
+  def minhashSignature(text: Column, n: Int = 3, k: Int = 32): Column =
+    HashExpressions.minhashSig(shingleHashes(text, n), k)
 
   /** MinHash+LSH near-dup candidate pairs with exact-Jaccard
     * re-verification: signature → `bands` buckets of `rowsPerBand` hashes
@@ -111,25 +115,28 @@ object DedupOps {
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    val withSig = df.select(col(idCol).as("id"), col(textCol).as("_text"),
-      minhashSignature(col(textCol), n, k).as("sig"))
-    val banded = withSig.select(col("id"), col("_text"),
+    // hashed shingle set computed ONCE per doc; signature derives from it.
+    // Banding carries only (id, band, band_hash) — no text through the
+    // shuffle; candidates join back to the shingle sets by id.
+    val sh = df.select(col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("sh"))
+    val banded = sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        b => xxhash64(slice(
+          HashExpressions.minhashSig(col("sh"), k),
+          b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "band_hash")))
-    val l = banded.select(col("id").as("id_a"), col("_text").as("text_a"),
-      col("band"), col("band_hash"))
-    val r = banded.select(col("id").as("id_b"), col("_text").as("text_b"),
-      col("band"), col("band_hash"))
-    val cand = l.join(r, Seq("band", "band_hash"))
+    val candIds = banded.select(col("id").as("id_a"), col("band"),
+      col("band_hash"))
+      .join(banded.select(col("id").as("id_b"), col("band"),
+        col("band_hash")), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "text_a", "id_b", "text_b").distinct()
-    val shA = shingles(col("text_a"), n)
-    val shB = shingles(col("text_b"), n)
-    cand
+      .select("id_a", "id_b").distinct()
+    candIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(shA, shB)).cast("double") /
-          size(array_union(shA, shB)).cast("double"))
+        HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -138,20 +145,9 @@ object DedupOps {
     * each token's xxhash64; bit b of the result = sign of the sum.
     * Near-dups = Hamming distance ≤ d on the signature ([[hammingDist]]).
     * Pure expressions (64 × |tokens| adds inside codegen). */
-  def simhash(text: Column): Column = {
-    val toks = split(TextOps.normalize(text), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        val bitSum = aggregate(hashes, lit(0L),
-          (s, h) => s + when(call_function("shiftright", h, b)
-            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        acc.bitwiseOR(when(bitSum > 0, call_function("shiftleft", lit(1L), b))
-          .otherwise(lit(0L)))
-      })
-  }
+  def simhash(text: Column): Column =
+    HashExpressions.simhash64(
+      transform(split(TextOps.normalize(text), " "), t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column =

@@ -1,0 +1,236 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Codegen'd vector math over `array<float>` embedding columns.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`) are evaluated
+  * INTERPRETED — one lambda closure invocation plus boxing per element —
+  * which makes an all-pairs cosine over millions of pairs CPU-bound on
+  * overhead, not arithmetic. These expressions generate a tight primitive
+  * loop inside whole-stage codegen (the same preference order as the rest
+  * of the engine: built-in > codegen'd Expression > UDF).
+  *
+  * Numerics: accumulation is double, sequential in index order — the SAME
+  * order the higher-order formulation used, so results stay bit-identical
+  * to the DuckDB oracle.
+  *
+  * Scale: per-row cost is exactly 1 fused multiply-add per element; at
+  * 100 TB the similarity pass is memory-bandwidth-bound, which is the
+  * physical optimum for this operator.
+  */
+object VectorExpressions {
+
+  /** ⟨a, b⟩ in double precision. Null if either side is null; mismatched
+    * lengths raise (a data bug should fail loudly, not silently skew). */
+  case class FloatDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<float>), got $other")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      require(y.numElements() == n,
+        s"float_dot: length mismatch $n vs ${y.numElements()}")
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |final int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "float_dot: length mismatch " + $n + " vs " + $b.numElements());
+           |}
+           |double ${ev.value}Acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}Acc +=
+           |    ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |}
+           |${ev.value} = ${ev.value}Acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): FloatDot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** ‖a‖₂ in double precision. */
+  case class FloatNorm(child: Expression)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got $other")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_norm"
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        val v = x.getFloat(i).toDouble
+        acc += v * v
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val v = ctx.freshName("v")
+        s"""
+           |final int $n = $a.numElements();
+           |double ${ev.value}Acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final double $v = (double) $a.getFloat($i);
+           |  ${ev.value}Acc += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt(${ev.value}Acc);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : FloatNorm = copy(child = newChild)
+  }
+
+  /** Sign-random-projection LSH buckets for `tables` independent hash
+    * tables of `planes` hyperplanes each, in ONE pass over the vector.
+    * Hyperplane (t·planes+p) component i is ±1 by a splitmix64-derived
+    * bit — data-independent and reproducible with no model artifact.
+    * Output: array<long>[tables], element t = table t's bucket id
+    * (planes sign bits). */
+  case class LshBuckets(child: Expression, planes: Int, tables: Int)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got $other")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsh_buckets"
+
+    private lazy val planeSeeds: Array[Long] = {
+      def splitmix64(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      Array.tabulate(tables * planes)(g => splitmix64(g.toLong))
+    }
+
+    /** ±1 sign for (global plane g, dim i): finalizer over seed+i·φ. */
+    @inline private def sign(seed: Long, i: Int): Double = {
+      var v = seed + i.toLong * 0x9E3779B97F4A7C15L
+      v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+      v = v ^ (v >>> 27)
+      if ((v & 1L) == 1L) 1.0 else -1.0
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val seed = planeSeeds(t * planes + p)
+          var proj = 0.0
+          var i = 0
+          while (i < n) {
+            proj += x.getFloat(i).toDouble * sign(seed, i)
+            i += 1
+          }
+          if (proj > 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedsRef = ctx.addReferenceObj("lshSeeds", planeSeeds, "long[]")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val p = ctx.freshName("p")
+        val t = ctx.freshName("t"); val n = ctx.freshName("n")
+        val v = ctx.freshName("v"); val proj = ctx.freshName("proj")
+        val seed = ctx.freshName("seed"); val bucket = ctx.freshName("bucket")
+        val out = ctx.freshName("out")
+        s"""
+           |final int $n = $a.numElements();
+           |final long[] $out = new long[$tables];
+           |for (int $t = 0; $t < $tables; $t++) {
+           |  long $bucket = 0L;
+           |  for (int $p = 0; $p < $planes; $p++) {
+           |    final long $seed = $seedsRef[$t * $planes + $p];
+           |    double $proj = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      long $v = $seed + ((long) $i) * 0x9E3779B97F4A7C15L;
+           |      $v = ($v ^ ($v >>> 30)) * 0xBF58476D1CE4E5B9L;
+           |      $v = $v ^ ($v >>> 27);
+           |      $proj += ((double) $a.getFloat($i))
+           |        * ((($v & 1L) == 1L) ? 1.0 : -1.0);
+           |    }
+           |    if ($proj > 0) $bucket |= (1L << $p);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions
+           |  .UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : LshBuckets = copy(child = newChild)
+  }
+
+  def floatDot(a: Column, b: Column): Column =
+    column(FloatDot(expression(a), expression(b)))
+
+  def floatNorm(a: Column): Column = column(FloatNorm(expression(a)))
+
+  def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
+    column(LshBuckets(expression(vec), planes, tables))
+}

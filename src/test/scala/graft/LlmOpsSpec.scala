@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DedupOps
+import graft.ops.AsOfJoin
+import graft.similarity.SimilarityOps
+import graft.text.TextOps
+
+/** Specs for the [EXT] LLM-data operators that have no DuckDB oracle
+  * (hash-seeded MinHash/SimHash/LSH) plus edge cases of the text ops and
+  * the as-of join. Ground truth is computed exactly (brute force) on
+  * synthetic or sf0.001 data.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- text ops -------------------------------------------------------------
+
+  test("normalize: lowercases, strips punctuation, collapses whitespace") {
+    val out = Seq("  Hello,   WORLD!! it's 42 ").toDF("text")
+      .select(TextOps.normalize($"text")).as[String].head()
+    assert(out == "hello world it s 42")
+  }
+
+  test("fingerprint: equal after formatting noise, different for real edits") {
+    val df = Seq(
+      (1L, "The quick brown fox."),
+      (2L, "the QUICK  brown fox!!"), // same normalized form
+      (3L, "the slow brown fox.")
+    ).toDF("id", "text").select($"id", TextOps.fingerprint($"text").as("fp"))
+    val fps = df.as[(Long, String)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("languageId: marker argmax with deterministic tie-break and und") {
+    val df = Seq(
+      ("the cat is of the house and it", "en"),
+      ("der hund ist nicht das problem und", "de"),
+      ("el perro es que un gato y la", "es"),
+      ("qqq zzz xxx", "und")
+    ).toDF("text", "expected")
+      .withColumn("guess", TextOps.languageId($"text"))
+    assert(df.filter($"guess" =!= $"expected").count() == 0)
+  }
+
+  test("qualityScore: clean prose beats keyword spam") {
+    val scores = Seq(
+      ("good", "This is a clean sentence with the usual structure of prose and it has enough length to pass."),
+      ("spam", "buy gold buy gold buy gold $$$$ !!!! #### @@@@ %%%% ^^^^ &&&& **** (((( ))))")
+    ).toDF("kind", "text")
+      .select($"kind", TextOps.qualityScore($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores("good") > scores("spam"))
+  }
+
+  test("winnowFingerprint: invariant to case/punct noise, shared grams overlap") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The QUICK brown fox jumps over the lazy dog!!"),
+      (3L, "completely different words entirely unrelated content here")
+    ).toDF("id", "text")
+      .select($"id", TextOps.winnowFingerprint($"text").as("fp"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(2L)) // identical normalized text => identical print
+    assert(fps(1L).intersect(fps(3L)).size < fps(1L).size / 2)
+  }
+
+  // ---- dedup family ---------------------------------------------------------
+
+  private lazy val docs001 =
+    analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("exactDedup: idempotent and keeps min id per duplicate group") {
+    val df = Seq(
+      (5L, "Alpha beta gamma."), (2L, "alpha BETA gamma"), // same normalized
+      (9L, "something else")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(df, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 9L))
+    val again = DedupOps.exactDedup(out, "text", "doc_id")
+    assert(again.count() == out.count()) // idempotence
+  }
+
+  test("minhashLsh recall: finds every exact-Jaccard pair >= 0.5 on testdata") {
+    val exact = DedupOps.jaccardPairs(docs001, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = DedupOps.minhashLsh(docs001, "doc_id", "text",
+      n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact,
+      s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+  }
+
+  test("jaccardPairs maxShingleFreq: hot-shingle cap keeps high-sim pairs") {
+    val exact = DedupOps.jaccardPairs(docs001, "doc_id", "text",
+      n = 3, threshold = 0.8).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    // near-dup shingles repeat only within a pair, so a freq cap well above
+    // 2 must not lose any >=0.8 pair
+    val capped = DedupOps.jaccardPairs(docs001, "doc_id", "text",
+      n = 3, threshold = 0.8, maxShingleFreq = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == exact)
+  }
+
+  test("simhash: hamming(near-dup) < hamming(unrelated)") {
+    val sigs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely unrelated text about spark catalyst optimizer rules")
+    ).toDF("id", "text")
+      .select($"id", DedupOps.simhash($"text").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("simhashPairs blocking finds all pairs a full quadratic scan finds") {
+    val full = docs001.select($"doc_id".as("id_a"),
+      DedupOps.simhash($"text").as("sig_a"))
+      .crossJoin(docs001.select($"doc_id".as("id_b"),
+        DedupOps.simhash($"text").as("sig_b")))
+      .filter($"id_a" < $"id_b")
+      .withColumn("dist", DedupOps.hammingDist($"sig_a", $"sig_b"))
+      .filter($"dist" <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val blocked = DedupOps.simhashPairs(docs001, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == full) // Manku chunk blocking is exact for d<=3
+  }
+
+  // ---- similarity -----------------------------------------------------------
+
+  private lazy val emb001 =
+    analytics.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("cosine: unit self-similarity and symmetry") {
+    val df = emb001.limit(3).select($"vec_id", $"embedding")
+    val selfCos = df.select(
+      SimilarityOps.cosine($"embedding", $"embedding").as("c"))
+      .as[Double].collect()
+    assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("lshTopK recall@3 vs brute force with 16 hash tables") {
+    val probes = emb001.filter($"vec_id" < 20)
+    val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = SimilarityOps.lshTopK(emb001, probes, 3, planes = 4, tables = 16)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall > 0.6, s"recall@3 = $recall")
+  }
+
+  test("cosineNearDupPairs: lsh variant is a subset of exact at same threshold") {
+    val exact = SimilarityOps.cosineNearDupPairs(emb001, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = SimilarityOps.cosineNearDupPairs(emb001, 0.3, exact = false,
+      planes = 4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  // ---- as-of join -----------------------------------------------------------
+
+  test("AsOfJoin: latest right <= left time per key, ties resolved to max order col") {
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 55L), (3L, 100L, 300L), (4L, 200L, 50L)
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      (100L, 10L, 7L, "at10"),   // ties left eid=1 exactly -> visible (<=)
+      (100L, 10L, 9L, "at10b"),  // same time, higher rid wins the tie
+      (100L, 50L, 11L, "at50"),
+      (300L, 5L, 13L, "other-key")
+    ).toDF("k", "rt", "rid", "tag")
+    val out = AsOfJoin(left, right, key = "k", leftTime = "t",
+      rightTime = "rt", payload = Seq("rid", "tag"), rightOrderCol = "rid")
+      .select($"eid", $"asof_rid", $"asof_tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(9L), Some("at10b")))) // tie at t=10: sees both, max rid
+    assert(out(2L) == ((Some(11L), Some("at50"))))
+    assert(out(3L) == ((Some(11L), Some("at50"))))
+    assert(out(4L) == ((None, None))) // key 200 has no right rows
+  }
+}

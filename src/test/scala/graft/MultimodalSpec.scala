@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{Decoded, MediaMeta, MediaRow}
+
+/** Multimodal plumbing tests: binaryFile ingest, schema, batched decode,
+  * frame sampling, resize math, feature extraction. The codec is the
+  * documented deterministic stub; everything around it is real. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mediaDir(): String = {
+    val dir = Files.createTempDirectory("graft-media")
+    Seq("a.img" -> 200, "b.img" -> 1000, "c.vid" -> 5000).foreach {
+      case (name, n) =>
+        val bytes = Array.tabulate[Byte](n)(i => ((i * 31 + name.length) % 127).toByte)
+        Files.write(dir.resolve(name), bytes)
+    }
+    dir.toString
+  }
+
+  test("binaryFile ingest: schema, glob filter, stable ids, pruned scan") {
+    val dir = mediaDir()
+    val imgs = Multimodal.readMedia(spark, dir, glob = "*.img")
+    assert(imgs.count() == 2)
+    assert(imgs.schema("bytes").dataType.typeName == "binary")
+    assert(imgs.schema("meta").dataType.typeName == "struct")
+    // metadata-only query does not need the content column (column pruning)
+    val plan = imgs.select("media_id", "length").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("bytes") || !plan.toLowerCase.contains("content"))
+    // ids deterministic across reads
+    val ids1 = imgs.select("media_id").as[Long].collect().sorted.toSeq
+    val ids2 = Multimodal.readMedia(spark, dir, glob = "*.img")
+      .select("media_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  private def asMediaRows(dir: String, glob: String) = {
+    Multimodal.readMedia(spark, dir, glob)
+      .as[MediaRow]
+  }
+
+  test("decodeImages: deterministic in bytes, correct shape, batched") {
+    val dir = mediaDir()
+    val rows = Multimodal.balanceBySize(
+      Multimodal.readMedia(spark, dir, "*.img"), parts = 2).as[MediaRow]
+    val out1 = Multimodal.decodeImages(rows, batchSize = 1, w = 8, h = 8, c = 3)
+      .collect().map(d => d.media_id -> d.pixels.toSeq).toMap
+    val out2 = Multimodal.decodeImages(rows, batchSize = 32, w = 8, h = 8, c = 3)
+      .collect().map(d => d.media_id -> d.pixels.toSeq).toMap
+    assert(out1 == out2) // batch size never changes results
+    assert(out1.values.forall(_.length == 8 * 8 * 3))
+    assert(out1.values.forall(p => p.forall(v => v >= 0f && v <= 1f)))
+  }
+
+  test("sampleVideoFrames: one row per frame, offsets at everyMs cadence") {
+    val dir = mediaDir()
+    val vids = asMediaRows(dir, "*.vid")
+    val frames = Multimodal.sampleVideoFrames(vids, everyMs = 10000L)
+      .collect()
+    // durationMs = length*10 = 50000 -> 5 frames at 0,10000,...,40000
+    assert(frames.length == 5)
+    assert(frames.map(_._2).sorted.toSeq == Seq(0L, 10000L, 20000L, 30000L, 40000L))
+    assert(frames.map(_._3.toSeq).distinct.length == 5) // frames differ
+  }
+
+  test("resize: 2x average pooling halves dims and preserves mean") {
+    val px = Array.tabulate[Float](8 * 8 * 1)(i => i.toFloat)
+    val ds = Seq(Decoded(1L, 8, 8, 1, px)).toDS()
+    val out = Multimodal.resize(ds, 2).collect().head
+    assert(out.width == 4 && out.height == 4)
+    assert(out.pixels.length == 16)
+    // average pooling preserves the global mean exactly for full coverage
+    assert(math.abs(out.pixels.sum / 16 - px.sum / 64) < 1e-4)
+    // top-left block mean of [0,1,8,9] = 4.5
+    assert(out.pixels(0) == 4.5f)
+  }
+
+  test("extractFeatures: mean+max per channel, usable by SimilarityOps") {
+    val px = Array[Float](0.1f, 0.9f, 0.3f, 0.7f) // 2 px, 2 ch
+    val ds = Seq(Decoded(7L, 2, 1, 2, px)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().head
+    assert(f.embedding.length == 4)
+    assert(math.abs(f.embedding(0) - 0.2f) < 1e-6) // mean ch0
+    assert(math.abs(f.embedding(1) - 0.8f) < 1e-6) // mean ch1
+    assert(f.embedding(2) == 0.3f && f.embedding(3) == 0.9f) // max per ch
+
+    // end-to-end: features from media flow into cosine similarity
+    val dir = mediaDir()
+    val feats = Multimodal.extractFeatures(
+      Multimodal.decodeImages(asMediaRows(dir, "*.img")))
+      .toDF("vec_id", "embedding")
+    val sims = graft.similarity.SimilarityOps
+      .cosineNearDupPairs(feats, threshold = -1.0)
+    assert(sims.count() == 1) // 2 images -> 1 pair, cosine defined
+  }
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.DedupOps
+import graft.ops._
+import graft.text.TextOps
+
+/** Property-based invariants (SURVEY §5.2.3). Small generated frames, few
+  * Spark jobs per property (minSuccessful kept low — each case is a
+  * distributed job, not a pure function call). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic scalacheck sampling: `cases` draws from fixed seeds
+    * (no scalatest-scalacheck bridge in the offline cache). */
+  private def forAllSampled[T](g: Gen[T], cases: Int = 5)(body: T => Unit): Unit =
+    (1 to cases).foreach { i =>
+      g.pureApply(Gen.Parameters.default, Seed(42L + i)) match {
+        case t => body(t)
+      }
+    }
+
+  test("P1 upcast preserves every Int/Short value exactly") {
+    forAllSampled(Gen.listOfN(20, Gen.chooseNum(Int.MinValue, Int.MaxValue))) { xs: List[Int] =>
+        {
+          val out = Upcast(xs.toDF("i")).as[Long].collect().sorted
+          assert(out.toSeq == xs.map(_.toLong).sorted)
+        }
+    }
+  }
+
+  test("W1 dedup: idempotent, PK-unique, survivor is a member of its group") {
+    val rowGen = for {
+      id <- Gen.chooseNum(0L, 5L) // few keys => guaranteed collisions
+      ts <- Gen.chooseNum(0L, 3L)
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (id, ts, v)
+    forAllSampled(Gen.listOfN(25, rowGen)) { rows: List[(Long, Long, String)] =>
+      {
+        val df = rows.toDF("id", "ts", "v")
+          .withColumn("_ingested_at", timestamp_seconds($"ts"))
+          .withColumn("_source_file", $"v")
+        val once = Dedup.latestByIngestion(df, Seq("id"))
+        assert(once.groupBy("id").count().filter($"count" > 1).count() == 0)
+        assert(once.count() == rows.map(_._1).distinct.size)
+        val twice = Dedup.latestByIngestion(once, Seq("id"))
+        assert(twice.exceptAll(once).count() == 0)
+        // survivor has the max ts of its group
+        val maxTs = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        once.select($"id", $"ts").as[(Long, Long)].collect().foreach {
+          case (id, ts) => assert(ts == maxTs(id))
+        }
+      }
+    }
+  }
+
+  test("P7 expectations ≡ SQL WHERE conjunction") {
+    val rowGen = for {
+      a <- Gen.option(Gen.chooseNum(-5L, 5L))
+      b <- Gen.option(Gen.chooseNum(-5L, 5L))
+    } yield (a, b)
+    forAllSampled(Gen.listOfN(30, rowGen)) { rows: List[(Option[Long], Option[Long])] =>
+        {
+          val df = rows.toDF("a", "b")
+          val gated = Expectations(df,
+            Map("a_pos" -> "a > 0", "b_small" -> "b < 3"))
+          df.createOrReplaceTempView("prop_t")
+          val sql = spark.sql(
+            "SELECT * FROM prop_t WHERE (a > 0) AND (b < 3)")
+          assert(gated.exceptAll(sql).count() == 0)
+          assert(sql.exceptAll(gated).count() == 0)
+        }
+    }
+  }
+
+  test("exact dedup: fingerprint-equal inputs collapse, others survive") {
+    val textGen = Gen.oneOf(
+      "alpha beta gamma", "ALPHA beta GAMMA!!", " alpha   beta gamma ",
+      "delta epsilon", "zeta eta theta")
+    forAllSampled(Gen.listOfN(15, textGen)) { texts: List[String] =>
+      {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val out = DedupOps.exactDedup(df, "text", "doc_id")
+        val expected = df
+          .select(TextOps.fingerprint($"text")).distinct().count()
+        assert(out.count() == expected)
+        // idempotent
+        assert(DedupOps.exactDedup(out, "text", "doc_id").count() ==
+          out.count())
+      }
+    }
+  }
+
+  test("jaccardPairs: J(x,x)=1 for duplicated docs, threshold monotone") {
+    forAllSampled(Gen.listOfN(5, Gen.choose(10, 30))) { lens: List[Int] =>
+      {
+        // build docs where doc i and doc i+100 are identical
+        val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+        val docs = lens.zipWithIndex.flatMap { case (n, i) =>
+          val text = (0 until n)
+            .map(j => vocab((i * 7 + j * 3) % vocab.size)).mkString(" ")
+          Seq((i.toLong, text), (i + 100L, text))
+        }
+        val pairs = DedupOps.jaccardPairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", n = 2, threshold = 0.999)
+          .select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect()
+        // every planted twin pair found with jaccard exactly 1.0
+        lens.indices.foreach { i =>
+          assert(pairs.exists(p => p._1 == i && p._2 == i + 100 && p._3 == 1.0))
+        }
+      }
+    }
+  }
+}

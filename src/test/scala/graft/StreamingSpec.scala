@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** T3–T6 streaming semantics with MemoryStream + manual event-time clocks:
+  * tumbling/sliding/session windows, watermark late-data drop, streaming
+  * dedup with bounded state. Append-mode results are collected from a
+  * memory sink after each processAllAvailable micro-batch. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private var sinkId = 0
+  private def nextSink(): String = { sinkId += 1; s"stream_sink_$sinkId" }
+
+  test("T3 tumbling window counts match the batch equivalent") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2024-01-01 00:00:10"), "a", 1.0),
+      (ts("2024-01-01 00:05:10"), "a", 2.0),
+      (ts("2024-01-01 00:05:20"), "b", 3.0),
+      (ts("2024-01-01 00:14:59"), "a", 4.0))
+    val batch = StreamOps.tumblingAgg(rows.toDF("ts", "k", "v"),
+      "ts", "10 minutes", Seq("k"),
+      Seq(count(lit(1)).as("n"), sum($"v").as("sv")))
+      .orderBy("win_start", "k")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSeq
+
+    val mem = MemoryStream[(Timestamp, String, Double)](spark)
+    val sink = nextSink()
+    val q = StreamOps.tumblingAgg(
+      StreamOps.withLateDrop(mem.toDF.toDF("ts", "k", "v"), "ts", "1 minute"),
+      "ts", "10 minutes", Seq("k"),
+      Seq(count(lit(1)).as("n"), sum($"v").as("sv")))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData(rows.map(r => (r._1, r._2, r._3)): _*)
+    q.processAllAvailable()
+    // close every window: an event far past the watermark horizon
+    mem.addData((ts("2024-01-01 03:00:00"), "z", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sink).orderBy("win_start", "k")
+      .as[(Timestamp, Timestamp, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+    assert(batch.map(_._3).toSet == Set("a", "b"))
+  }
+
+  test("T4 watermark: late event beyond horizon is dropped from the stream") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.tumblingAgg(
+      StreamOps.withLateDrop(mem.toDF.toDF("ts", "k"), "ts", "5 minutes"),
+      "ts", "10 minutes", Seq("k"), Seq(count(lit(1)).as("n")))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 00:01:00"), "a"))
+    q.processAllAvailable()
+    // advance event-time watermark far ahead, emitting window [00:00,00:10)
+    mem.addData((ts("2024-01-01 01:00:00"), "a"))
+    q.processAllAvailable()
+    // now a LATE row for the already-closed 00:00 window: must be ignored
+    mem.addData((ts("2024-01-01 00:02:00"), "a"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 02:00:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(sink)
+      .as[(Timestamp, Timestamp, String, Long)].collect()
+    val firstWin = rows.filter(_._1 == ts("2024-01-01 00:00:00"))
+    assert(firstWin.length == 1)
+    assert(firstWin.head._4 == 1L) // late duplicate did NOT bump the count
+  }
+
+  test("T5 session windows: gap split per key, streaming matches batch") {
+    import spark.implicits._
+    val rows = Seq(
+      (ts("2024-01-01 00:00:00"), "u1"),
+      (ts("2024-01-01 00:10:00"), "u1"), // gap 10m < 30m: same session
+      (ts("2024-01-01 01:00:00"), "u1"), // gap 50m: new session
+      (ts("2024-01-01 00:00:00"), "u2"))
+    val batch = StreamOps.sessionAgg(rows.toDF("ts", "k"),
+      "ts", "30 minutes", Seq("k"), Seq(count(lit(1)).as("n")))
+      .orderBy("k", "sess_start")
+      .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+    assert(batch.count(_._3 == "u1") == 2) // two sessions for u1
+    assert(batch.filter(_._3 == "u1").map(_._4).sorted.toSeq == Seq(1L, 2L))
+    // session end = last event + gap
+    assert(batch.head._2.getTime - batch.head._1.getTime >= 30 * 60 * 1000)
+
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.sessionAgg(
+      StreamOps.withLateDrop(mem.toDF.toDF("ts", "k"), "ts", "1 minute"),
+      "ts", "30 minutes", Seq("k"), Seq(count(lit(1)).as("n")))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 12:00:00"), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sink).filter($"k" =!= "zz")
+      .orderBy("k", "sess_start")
+      .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("T6 streaming dedup within watermark drops duplicate keys") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, Long, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.streamingDedup(mem.toDF.toDF("ts", "id", "v"),
+      Seq("id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L, "first"),
+      (ts("2024-01-01 00:00:30"), 1L, "dup-same-batch"),
+      (ts("2024-01-01 00:01:00"), 2L, "other"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 00:02:00"), 1L, "dup-next-batch"))
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.table(sink).as[(Timestamp, Long, String)]
+      .collect().map(_._3).toSet
+    assert(vals == Set("first", "other"))
+  }
+}
