@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{HashExpressions, VectorExpressions}
+
+/** The custom codegen'd expressions must produce IDENTICAL results from
+  * their interpreted (`nullSafeEval`) and generated (`doGenCode`) paths —
+  * Spark silently falls back to interpretation when a codegen stage fails
+  * to compile, so a divergence would be an invisible correctness bug.
+  * Each test evaluates the interpreted path directly and compares against
+  * a DataFrame run (codegen path). */
+class KernelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def floatArr(xs: Seq[Float]): ArrayData =
+    new GenericArrayData(xs.toArray)
+  private def longArr(xs: Seq[Long]): ArrayData =
+    new GenericArrayData(xs.toArray)
+
+  test("FloatDot/FloatNorm: interpreted == codegen == reference math") {
+    val a = Seq(1.5f, -2.0f, 3.25f)
+    val b = Seq(0.5f, 4.0f, -1.0f)
+    val expectDot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val interp = VectorExpressions.FloatDot(
+      Literal(floatArr(a), ArrayType(FloatType)),
+      Literal(floatArr(b), ArrayType(FloatType))).eval(InternalRow.empty)
+    assert(interp == expectDot)
+    val viaDf = Seq((a, b)).toDF("a", "b")
+      .select(VectorExpressions.floatDot($"a", $"b")).as[Double].head()
+    assert(viaDf == expectDot)
+    val normInterp = VectorExpressions.FloatNorm(
+      Literal(floatArr(a), ArrayType(FloatType))).eval(InternalRow.empty)
+    val normDf = Seq(Tuple1(a)).toDF("a")
+      .select(VectorExpressions.floatNorm($"a")).as[Double].head()
+    assert(normInterp == normDf)
+    assert(normDf == math.sqrt(a.map(x => x.toDouble * x.toDouble).sum))
+  }
+
+  test("FloatDot: null propagates, length mismatch raises") {
+    val out = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+      .select(VectorExpressions.floatDot($"a", $"b")).collect()
+    assert(out.head.isNullAt(0))
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+        .select(VectorExpressions.floatDot($"a", $"b")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("SimHash64 / MinHashSig: interpreted == codegen") {
+    val hs = Seq(0x1234L, -99L, 0x7fffffffL, 42L, 0L)
+    val simInterp = HashExpressions.SimHash64(
+      Literal(longArr(hs), ArrayType(LongType))).eval(InternalRow.empty)
+    val simDf = Seq(Tuple1(hs)).toDF("h")
+      .select(HashExpressions.simhash64($"h")).as[Long].head()
+    assert(simInterp == simDf)
+
+    val mhInterp = HashExpressions.MinHashSig(
+      Literal(longArr(hs), ArrayType(LongType)), 16)
+      .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
+    val mhDf = Seq(Tuple1(hs)).toDF("h")
+      .select(HashExpressions.minhashSig($"h", 16)).as[Seq[Long]].head()
+    assert(mhInterp == mhDf)
+    assert(mhDf.length == 16)
+    // min-stability: adding an element can only decrease each signature slot
+    val mh2 = Seq(Tuple1(hs :+ 777L)).toDF("h")
+      .select(HashExpressions.minhashSig($"h", 16)).as[Seq[Long]].head()
+    assert(mh2.zip(mhDf).forall { case (x, y) => x <= y })
+  }
+
+  test("NGramHashes: sorted distinct, order-sensitive, short-input collapse") {
+    def strArr(xs: Seq[String]): ArrayData =
+      new GenericArrayData(xs.map(UTF8String.fromString).toArray)
+    def run(toks: Seq[String], n: Int): Seq[Long] =
+      HashExpressions.NGramHashes(
+        Literal(strArr(toks), ArrayType(StringType)), n)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
+    val g = run(Seq("a", "b", "c", "d"), 2)
+    assert(g == g.sorted && g.distinct == g)
+    assert(g.length == 3) // ab, bc, cd
+    assert(run(Seq("a", "b", "c", "d"), 2) == g) // deterministic
+    assert(run(Seq("b", "a", "c", "d"), 2) != g) // order matters
+    assert(run(Seq("a"), 3).length == 1) // short input -> whole-text gram
+    // codegen path agrees
+    val viaDf = Seq(Tuple1(Seq("a", "b", "c", "d"))).toDF("t")
+      .select(HashExpressions.ngramHashes($"t", 2)).as[Seq[Long]].head()
+    assert(viaDf == g)
+  }
+
+  test("JaccardSorted: merge-walk equals set arithmetic") {
+    val a = Seq(1L, 3L, 5L, 9L)
+    val b = Seq(3L, 4L, 5L, 10L, 12L)
+    val expect = 2.0 / 7.0 // |{3,5}| / |{1,3,4,5,9,10,12}|
+    val interp = HashExpressions.JaccardSorted(
+      Literal(longArr(a), ArrayType(LongType)),
+      Literal(longArr(b), ArrayType(LongType))).eval(InternalRow.empty)
+    assert(interp == expect)
+    val viaDf = Seq((a, b)).toDF("a", "b")
+      .select(HashExpressions.jaccardSorted($"a", $"b")).as[Double].head()
+    assert(viaDf == expect)
+    // both empty = defined as 1.0
+    assert(HashExpressions.JaccardSorted(
+      Literal(longArr(Nil), ArrayType(LongType)),
+      Literal(longArr(Nil), ArrayType(LongType)))
+      .eval(InternalRow.empty) == 1.0)
+  }
+
+  test("WordNGrams: identical to the HOF formulation it replaced") {
+    val toksCol = split(lit("w1 w2 w3 w4 w5"), " ")
+    val hof = array_distinct(
+      when(size(toksCol) < 3, array(array_join(toksCol, " ")))
+        .otherwise(transform(sequence(lit(1), size(toksCol) - 2),
+          i => array_join(slice(toksCol, i, lit(3)), " "))))
+    val out = spark.range(1)
+      .select(HashExpressions.wordNGrams(toksCol, 3).as("k"), hof.as("h"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(out._1 == out._2)
+    assert(out._1 == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
+  }
+
+  test("LshBuckets: deterministic, table-independent, bounded bucket ids") {
+    val v = Seq.tabulate(64)(i => (math.sin(i) * 10).toFloat)
+    val b1 = Seq(Tuple1(v)).toDF("v")
+      .select(VectorExpressions.lshBuckets($"v", 4, 8)).as[Seq[Long]].head()
+    val b2 = Seq(Tuple1(v)).toDF("v")
+      .select(VectorExpressions.lshBuckets($"v", 4, 8)).as[Seq[Long]].head()
+    assert(b1 == b2 && b1.length == 8)
+    assert(b1.forall(b => b >= 0 && b < 16)) // 4 planes -> 16 buckets
+    // interpreted path agrees
+    val interp = VectorExpressions.LshBuckets(
+      Literal(floatArr(v), ArrayType(FloatType)), 4, 8)
+      .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(interp == b1)
+  }
+}

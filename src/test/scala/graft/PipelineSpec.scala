@@ -193,6 +193,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(active.count() == silver.count() - 1)
   }
 
+  test("S11 external location: tables land under {external}/bronze|silver/{entity}") {
+    val src = tmpDir("graft-src6"); val store = tmpDir("graft-store6")
+    val external = tmpDir("graft-ext")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"locations": {"raw_file_format": "json",
+        |  "unique_primary_key": ["loc_id"]}}""".stripMargin)
+    Seq("""{"loc_id": 1, "city": "berlin"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+    val entities = ConfigLoader.load(spark, src)
+    val params = PipelineParams(
+      sourceLocation = src, catalogName = "t6",
+      externalLocation = external,
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+    new pipeline.PipelineRunner(spark, params, store).run(entities)
+    assert(Files.list(Path.of(external, "bronze", "locations"))
+      .anyMatch(p => p.toString.endsWith(".parquet")))
+    assert(Files.list(Path.of(external, "silver", "locations"))
+      .anyMatch(p => p.toString.endsWith(".parquet")))
+    assert(spark.table(params.silverFqn("locations")).count() == 1)
+  }
+
   test("full refresh truncates and reingests") {
     val src = tmpDir("graft-src5"); val store = tmpDir("graft-store5")
     Files.writeString(Path.of(src, "dp_config_template.json"),

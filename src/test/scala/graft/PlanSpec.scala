@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: each headline query must keep the
+  * plan shape that makes it scale — pushdown reaching the parquet scan,
+  * pruned read schemas, broadcasts on dim joins, WindowGroupLimit on
+  * rank-filters, TakeOrderedAndProject on sort+limit. A silent plan
+  * regression (e.g. a filter that stops pushing) costs orders of
+  * magnitude at 100 TB while every correctness test stays green —
+  * that's why these are asserted, not just eyeballed. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter pushes to the scan; schema pruned to 6 cols") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val read = p.split("ReadSchema: ")(1)
+    assert(!read.contains("l_orderkey") && !read.contains("l_comment"))
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"))
+  }
+
+  test("q3_join_star: dims broadcast, no shuffle join on small sides") {
+    val p = plan("q3_join_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("w1_dedup_latest + q_topk_per_group: rank filter becomes WindowGroupLimit") {
+    assert(plan("w1_dedup_latest").contains("WindowGroupLimit"))
+    assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
+  }
+
+  test("q_sort_limit: global sort+limit is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_anti: orderdate predicate pushed into the orders scan") {
+    val p = plan("q_join_anti")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"))
+  }
+
+  test("q_minhash_neardup: banding joins hash-based, no nested loop") {
+    val p = plan("q_minhash_neardup")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
+  test("q_range_join: user_id equi-anchor keeps it a hash/merge join") {
+    val p = plan("q_range_join")
+    assert(p.contains("Join") &&
+      (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
+    // the silver frame (read -> window -> filters) must shuffle ONCE (on
+    // the PK window); extra exchanges mean a plan regression
+    import spark.implicits._
+    val df = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "v", "_ingested_at")
+    val deduped = graft.ops.Dedup.latestByIngestion(df, Seq("id"))
+    val p = deduped.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
+  }
+}
