@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
@@ -86,6 +87,45 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- W2 [EXT]: ranking family. rank/dense_rank rank over a TIED key
+    //    (values deterministic even though intra-tie row order is not);
+    //    ntile gets a unique order so bucket assignment is deterministic.
+    "q_rank_family" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long"))
+      val wTies = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("bal_bucket").desc)
+      val wUnique = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      c.select(col("c_mktsegment"), col("c_custkey"), col("bal_bucket"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        ntile(4).over(wUnique).as("quartile"))
+        .filter(col("rnk") <= 20)
+        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    }),
+
+    // -- F7 [EXT]: date_trunc month rollup over order timestamps
+    "q_date_trunc" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("month"))
+    }),
+
+    // -- [EXT] §2.7: UNION (distinct)
+    "q_union" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .union(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .distinct()
+        .orderBy(col("custkey"))
+    }),
+
     // -- A3 [EXT]: HyperLogLog approx distinct (no oracle: approx result;
     //    exactness bound asserted in spec)
     "q_approx_distinct" -> ((s, dir) => {
@@ -112,6 +152,33 @@ object RelQueries {
     "q_set_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
         |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_rank_family" ->
+      """SELECT c_mktsegment, c_custkey, bal_bucket, rnk, drnk, quartile
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |    RANK() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS rnk,
+        |    DENSE_RANK() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS drnk,
+        |    NTILE(4) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |  FROM customer)
+        |WHERE rnk <= 20
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
+    "q_date_trunc" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    "q_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |UNION
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
 
