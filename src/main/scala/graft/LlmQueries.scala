@@ -101,6 +101,16 @@ object LlmQueries {
         planes = 4, tables = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: IVF ANN top-k, the partition-pruning scale path (no
+    //    oracle; recall vs bruteForceTopK asserted in LlmOpsSpec)
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
+        nlist = 16, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
     })
   )
 

