@@ -62,4 +62,75 @@ object StreamOps {
       delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** A completed user session emitted by [[sessionizeWithState]]. */
+  case class Session(key: String, startUs: Long, endUs: Long, nEvents: Long)
+
+  /** Internal per-key accumulator for [[sessionizeWithState]] (public:
+    * the state encoder's generated code constructs it reflectively). */
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** T5 via CUSTOM state — `flatMapGroupsWithState` sessionization, the
+    * escape hatch when built-in `session_window` can't express the
+    * semantics (e.g. emitting only on session close, carrying arbitrary
+    * per-session accumulators). Input: (key, eventTimeUs) pairs with a
+    * watermark already set on `tsCol`; output: one [[Session]] row per
+    * CLOSED session (closed = event-time timeout `gapUs` after the last
+    * event, tracked by GroupState event-time timers).
+    *
+    * Scale: state is O(1) per active key (three longs), evicted on
+    * timeout; shuffle = one hash exchange on the key, exactly like any
+    * streaming agg. Hot keys hold one state object, not their events.
+    */
+  def sessionizeWithState(df: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long, lateness: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[Session] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def us(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    // watermark applied AFTER the projection so the watermarked column is
+    // exactly the one flowing into the stateful operator (the checker
+    // requires it in scope at [flatMap]GroupsWithState)
+    df.select(col(keyCol).cast("string").as("k"),
+      col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", lateness)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, events, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(key, s.startUs, s.lastUs + gapUs, s.nEvents))
+          } else {
+            val ts = events.map(e => us(e._2)).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, t),
+                    s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(key, s.startUs, s.lastUs + gapUs, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the session when the event-time watermark passes
+              // last + gap
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

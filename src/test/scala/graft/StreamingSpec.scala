@@ -114,6 +114,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("T5-custom flatMapGroupsWithState sessionization emits closed sessions") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val sink = nextSink()
+    val src = mem.toDF.toDF("ts", "k")
+    val q = StreamOps.sessionizeWithState(src, "k", "ts", gapUs = 30L * 60 * 1000000)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "u1"),
+      (ts("2024-01-01 00:10:00"), "u1"), // same session (gap 10m < 30m)
+      (ts("2024-01-01 00:00:00"), "u2"))
+    q.processAllAvailable()
+    // new burst for u1 far later: closes session 1 inline; watermark
+    // advance also times out u2's session
+    mem.addData((ts("2024-01-01 02:00:00"), "u1"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 06:00:00"), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(sink)
+      .as[StreamOps.Session].collect().map(s => (s.key, s.startUs, s.endUs, s.nEvents))
+    def us(t: String) = ts(t).getTime * 1000
+    assert(rows.contains(("u1", us("2024-01-01 00:00:00"),
+      us("2024-01-01 00:40:00"), 2L))) // 00:10 last + 30m gap
+    assert(rows.contains(("u2", us("2024-01-01 00:00:00"),
+      us("2024-01-01 00:30:00"), 1L))) // closed by event-time timeout
+    // u1's second session closes via the zz watermark advance
+    assert(rows.contains(("u1", us("2024-01-01 02:00:00"),
+      us("2024-01-01 02:30:00"), 1L)))
+  }
+
   test("T6 streaming dedup within watermark drops duplicate keys") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
