@@ -115,6 +115,33 @@ object RelQueries {
         .orderBy(col("month"))
     }),
 
+    // -- A4 [EXT]: cube grouping sets (rollup's sibling; q_rollup covers
+    //    the hierarchy case)
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // -- J2 [EXT]: full outer join — per-custkey order/event presence
+    "q_join_full" -> ((s, dir) => {
+      val o = t(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val e = events(s, dir).groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("n_events"))
+      o.join(e, Seq("k"), "full")
+        .select(col("k"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("k"))
+    }),
+
     // -- [EXT] §2.7: UNION (distinct)
     "q_union" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -181,6 +208,24 @@ object RelQueries {
         |UNION
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(o.k, e.k) AS k,
+        |  COALESCE(o.n_orders, 0) AS n_orders,
+        |  COALESCE(e.n_events, 0) AS n_events
+        |FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN
+        |  (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1) e
+        |  ON o.k = e.k
+        |ORDER BY k""".stripMargin,
 
     "q_range_join" ->
       """SELECT a.user_id, count(*) AS n_pairs

@@ -115,23 +115,41 @@ object SoftDeleteFilter {
   * codegen'd (predicates are Catalyst expressions from `expr`).
   */
 object Expectations {
+  private def predicates(expectations: Map[String, String]) =
+    expectations.toSeq.sortBy(_._1).map { case (n, sql) => n -> expr(sql) }
+
+  private def metricsFor(preds: Seq[(String, Column)]): Seq[Column] =
+    preds.map { case (n, p) =>
+      sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L))
+        .as(s"violations_$n")
+    }
+
   def apply(df: DataFrame, expectations: Map[String, String],
       observeName: Option[String] = None): DataFrame = {
     if (expectations.isEmpty) return df
-    val preds = expectations.toSeq.sortBy(_._1).map { case (n, sql) =>
-      n -> expr(sql)
-    }
+    val preds = predicates(expectations)
     val observed = observeName match {
       case Some(name) =>
-        val metrics = preds.map { case (n, p) =>
-          sum(when(!coalesce(p, lit(false)), 1L).otherwise(0L))
-            .as(s"violations_$n")
-        }
+        val metrics = metricsFor(preds)
         df.observe(name, metrics.head, metrics.tail: _*)
       case None => df
     }
     // keep iff every predicate is TRUE (null => drop)
     observed.filter(preds.map(_._2).reduce(_ && _))
+  }
+
+  /** Batch variant binding violation counts to an
+    * [[org.apache.spark.sql.Observation]] — after any action on the
+    * result, `obs.get("violations_<name>")` yields the per-expectation
+    * dropped-row counts with ZERO extra passes over the data (the SDP
+    * expectation-metrics analog). */
+  def observed(df: DataFrame, expectations: Map[String, String],
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    if (expectations.isEmpty) return df
+    val preds = predicates(expectations)
+    val metrics = metricsFor(preds)
+    df.observe(obs, metrics.head, metrics.tail: _*)
+      .filter(preds.map(_._2).reduce(_ && _))
   }
 }
 

@@ -103,6 +103,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("P7 expectation metrics: Observation reports per-rule violation counts") {
+    val df = Seq(
+      (1L, Some(5.0), "ok"), (2L, Some(-1.0), "ok"),
+      (3L, None, "ok"), (4L, Some(5.0), null)).toDF("id", "qty", "name")
+    val obs = org.apache.spark.sql.Observation("exp_metrics")
+    val out = Expectations.observed(df, Map(
+      "qty_pos" -> "qty > 0",
+      "name_nonnull" -> "name IS NOT NULL"), obs)
+    assert(out.count() == 1) // action materializes the metrics
+    assert(obs.get("violations_qty_pos") == 2L)   // id=2 (neg), id=3 (null)
+    assert(obs.get("violations_name_nonnull") == 1L) // id=4
+  }
+
   test("P7 empty expectations = no-op") {
     val df = Seq((1, "a")).toDF("id", "v")
     assert(Expectations(df, Map.empty).count() == 1)
