@@ -127,6 +127,27 @@ class KernelSpec extends AnyFunSuite {
     assert(out._1 == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
   }
 
+  test("GraftExtensions: kernels callable from SQL text") {
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+        |               array(cast(1.0 as float), cast(0.0 as float))) AS c,
+        |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  graft_simhash(array(5L)) AS sh,
+        |  size(graft_word_ngrams(array('a','b','c'), 2)) AS ng
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getLong(2) == 5L)
+    assert(r.getInt(3) == 2)
+    // arity misuse raises a clear error
+    val ex = intercept[Exception](
+      spark.sql("SELECT graft_float_dot(array(cast(1.0 as float)))").collect())
+    assert(ex.getMessage.contains("expects 2 arguments") ||
+      ex.getMessage.contains("graft_float_dot"))
+  }
+
   test("LshBuckets: deterministic, table-independent, bounded bucket ids") {
     val v = Seq.tabulate(64)(i => (math.sin(i) * 10).toFloat)
     val b1 = Seq(Tuple1(v)).toDF("v")

@@ -179,6 +179,30 @@ class LlmOpsSpec extends AnyFunSuite {
 
   // ---- as-of join -----------------------------------------------------------
 
+  test("AsOfJoin == join+window reference formulation on testdata") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val ev = analytics.Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .select($"event_id", $"user_id", $"ts_us")
+    val ord = analytics.Tables(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_custkey".as("user_id"),
+        unix_micros($"o_orderdate".cast("timestamp")).as("o_us"),
+        $"o_orderkey")
+    val fast = graft.ops.AsOfJoin(ev, ord, "user_id", "ts_us", "o_us",
+      Seq("o_orderkey"), "o_orderkey")
+      .select($"event_id", $"asof_o_orderkey")
+    // reference: join all orders <= ts, keep top-1 by (o_us, o_orderkey)
+    val w = W.partitionBy($"event_id")
+      .orderBy($"o_us".desc, $"o_orderkey".desc)
+    val slow = ev.join(ord, Seq("user_id"), "left")
+      .filter($"o_us".isNull || $"o_us" <= $"ts_us")
+      .withColumn("_r", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"_r" === 1)
+      .select($"event_id", $"o_orderkey".as("asof_o_orderkey"))
+    assert(fast.exceptAll(slow).count() == 0)
+    assert(slow.exceptAll(fast).count() == 0)
+  }
+
   test("AsOfJoin: latest right <= left time per key, ties resolved to max order col") {
     val left = Seq(
       (1L, 100L, 10L), (2L, 100L, 55L), (3L, 100L, 300L), (4L, 200L, 50L)
