@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hot-key salting for skewed aggregations — the manual fallback when
+  * AQE's skew-join split doesn't apply (aggregations, and joins whose
+  * skewed side feeds a window).
+  *
+  * Two-phase aggregate: keys are spread over `factor` salted sub-keys,
+  * partially aggregated per (key, salt), then finally aggregated per key.
+  * The second shuffle moves only `factor` rows per key, so a key holding
+  * 30% of a 100 TB table costs one executor 1/factor of that instead of
+  * all of it. This is exactly the partial/final split
+  * `HashAggregateExec` already does for algebraic aggregates — salting is
+  * only needed when the partial step can't combine (e.g. `collect_list`,
+  * exact distinct counts per key, or a skewed window partition).
+  *
+  * The salt is `pmod(hash(salt-source), factor)` — deterministic given a
+  * salt-source column (e.g. a unique id), so re-runs produce identical
+  * partial splits.
+  */
+object Salt {
+
+  /** Add a `_salt` column in [0, factor). */
+  def withSalt(df: DataFrame, saltSource: Column, factor: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltSource), lit(factor)))
+
+  /** Skew-safe exact distinct count per key: distinct within (key, salt)
+    * partitions first, then merge — each shuffle partition sees at most
+    * ~1/factor of a hot key's rows. */
+  def distinctCountPerKey(df: DataFrame, key: String, valueCol: String,
+      factor: Int = 16): DataFrame =
+    withSalt(df, col(valueCol), factor)
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_set(col(valueCol)).as("_vals"))
+      .groupBy(col(key))
+      .agg(size(array_distinct(flatten(collect_list(col("_vals")))))
+        .cast("long").as("n_distinct"))
+
+  /** Skew-safe collect_list-equivalent count: two-phase sum. For algebraic
+    * aggregates (sum/count/min/max) Spark's own partial aggregation makes
+    * this unnecessary; provided for symmetry and as the documented
+    * pattern. */
+  def countPerKey(df: DataFrame, key: String, factor: Int = 16): DataFrame =
+    withSalt(df, monotonically_increasing_id(), factor)
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).as("n"))
+}

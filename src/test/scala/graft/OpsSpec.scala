@@ -134,6 +134,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ClusterLayout(df, Seq("nope")).columns.toSeq == df.columns.toSeq)
   }
 
+  test("Salt: skew-safe aggregates equal their unsalted counterparts") {
+    // skewed: key 'hot' holds 90% of rows with repeating values
+    val rows = (1 to 900).map(i => ("hot", s"v${i % 37}")) ++
+      (1 to 100).map(i => (s"k${i % 7}", s"v$i"))
+    val df = rows.toDF("k", "v")
+    val salted = graft.ops.Salt.distinctCountPerKey(df, "k", "v", factor = 8)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val plain = df.groupBy("k").agg(countDistinct($"v").as("n_distinct"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(salted == plain)
+    val saltedCounts = graft.ops.Salt.countPerKey(df, "k", factor = 8)
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val plainCounts = df.groupBy("k").count()
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    assert(saltedCounts == plainCounts)
+  }
+
   test("config parser: full 6-field entity + defaults") {
     val json = """{
       "app_downloads": {
