@@ -26,17 +26,33 @@ object LlmQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // -- F6 [EXT]: per-document text statistics + quality score
+    // -- F6 [EXT]: per-document text statistics + quality score. Raw
+    //    ratios land in an inner projection and quality derives from the
+    //    COLUMNS: CollapseProject keeps non-cheap expressions referenced
+    //    more than once in their own project, so each interpreted
+    //    higher-order ratio evaluates exactly once per row.
     "q_text_stats" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(
         col("doc_id"),
         TextOps.tokenCount(txt).cast("long").as("n_tokens"),
         TextOps.bpeTokenCount(txt).cast("long").as("n_bpe_tokens"),
-        round(TextOps.punctRatio(txt), 6).as("punct_ratio"),
-        round(TextOps.stopwordRatio(txt), 6).as("stopword_ratio"),
-        round(TextOps.meanWordLen(txt), 6).as("mean_word_len"),
-        round(TextOps.qualityScore(txt), 6).as("quality"))
+        length(txt).as("n_chars_raw"),
+        TextOps.punctRatio(txt).as("punct_raw"),
+        TextOps.stopwordRatio(txt).as("sw_raw"),
+        TextOps.meanWordLen(txt).as("mwl_raw"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+          round(col("punct_raw"), 6).as("punct_ratio"),
+          round(col("sw_raw"), 6).as("stopword_ratio"),
+          round(col("mwl_raw"), 6).as("mean_word_len"),
+          round(
+            when(col("n_chars_raw") >= 50 && col("n_chars_raw") <= 10000, 1.0)
+              .otherwise(0.0) * 0.3
+            + when(col("sw_raw") >= 0.05, 1.0).otherwise(0.0) * 0.3
+            + when(col("punct_raw") <= 0.2, 1.0).otherwise(0.0) * 0.2
+            + when(col("mwl_raw") >= 2.0 && col("mwl_raw") <= 12.0, 1.0)
+              .otherwise(0.0) * 0.2, 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
 

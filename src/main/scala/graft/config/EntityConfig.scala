@@ -48,7 +48,13 @@ final case class PipelineParams(
     softDeletes: String = "N",
     /** Injectable clock for `_ingested_at` determinism (SURVEY §7.4.3).
       * None = wall clock (reference behavior, `01_bronze_ingestion.py:170`). */
-    fixedIngestedAt: Option[java.sql.Timestamp] = None
+    fixedIngestedAt: Option[java.sql.Timestamp] = None,
+    /** Per-micro-batch file cap for bronze ingestion (Auto Loader's
+      * `cloudFiles.maxFilesPerTrigger` analog) — bounds memory/commit size
+      * when a backlog of millions of files lands at once. None = all
+      * available files in one batch (Trigger.AvailableNow still splits by
+      * source defaults). */
+    maxFilesPerTrigger: Option[Int] = None
 ) {
   def softDeletesEnabled: Boolean = softDeletes.toUpperCase == "Y"
   private def collapse(db: String): String =
@@ -76,7 +82,9 @@ object PipelineParams {
       externalLocation = get("external_location", "").stripSuffix("/"),
       deletedFileRetention =
         get("deleted_file_retention_duration", "interval 14 days"),
-      softDeletes = get("soft_deletes", "N")
+      softDeletes = get("soft_deletes", "N"),
+      maxFilesPerTrigger =
+        get("max_files_per_trigger", "").toIntOption.filter(_ > 0)
     )
   }
 }

@@ -143,8 +143,10 @@ final class PipelineRunner(
       case None => StructType(target.fields ++ auditFields)
     }
 
-    val reader = spark.readStream.format(cfg.rawFileFormat)
+    val reader0 = spark.readStream.format(cfg.rawFileFormat)
       .schema(StructType(target.fields)) // pinned source schema (pre-audit)
+    val reader = params.maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
     val withOpts = cfg.rawFileFormat match {
       case "csv" => reader.option("header", "true")
       case _     => reader
