@@ -119,6 +119,31 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // -- [EXT]: PII scrub — emails/URLs/IPs redacted with typed
+    //    placeholders (synthetic PII appended per doc so the redaction is
+    //    actually exercised; testdata text itself is PII-free)
+    "q_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"), lit(" contact a"),
+        col("doc_id").cast("string"),
+        lit("@ex.com via http://x.io/a?b=1 from 10.0.0.1"))
+      t(s, dir, "documents")
+        .withColumn("aug", aug)
+        .withColumn("pii", TextOps.piiCounts(col("aug")))
+        .select(col("doc_id"),
+          md5(TextOps.redactPii(col("aug"))).as("redacted_md5"),
+          col("pii.urls").as("n_urls"), col("pii.emails").as("n_emails"),
+          col("pii.ips").as("n_ips"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: Gopher-style repetition score (duplicate trigram fraction)
+    "q_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextOps.repetitionScore(col("text"), 3), 6).as("rep_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: IVF ANN top-k, the partition-pruning scale path (no
     //    oracle; recall vs bruteForceTopK asserted in LlmOpsSpec)
     "q_ivf_topk" -> ((s, dir) => {
@@ -208,6 +233,35 @@ object LlmQueries {
          |HAVING count(*)::DOUBLE
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_pii_scrub" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'))
+         |    AS redacted_md5,
+         |  len(regexp_extract_all(aug, 'https?://[^\\s]+')) AS n_urls,
+         |  len(regexp_extract_all(regexp_replace(aug, 'https?://[^\\s]+', ' ', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(aug,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ips
+         |FROM (SELECT doc_id,
+         |  text || ' contact a' || CAST(doc_id AS VARCHAR)
+         |       || '@ex.com via http://x.io/a?b=1 from 10.0.0.1' AS aug
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""SELECT doc_id,
+         |  round(1.0 - len(list_distinct(
+         |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |        ELSE list_transform(range(1, len(toks) - 1),
+         |          i -> array_to_string(toks[i:i+2], ' ')) END))::DOUBLE
+         |    / greatest(len(toks) - 2, 1)::DOUBLE, 6) AS rep_score
+         |FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

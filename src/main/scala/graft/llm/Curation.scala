@@ -1,0 +1,79 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DedupOps
+import graft.text.TextOps
+
+/** End-to-end training-corpus curation: the composed pipeline a user of
+  * this library runs over a raw document table —
+  *
+  *   quality gate → language filter → PII scrub → repetition filter →
+  *   exact dedup → MinHash-LSH near-dup removal
+  *
+  * Each stage is one of the library's operators; this object only wires
+  * them and reports per-stage row counts. Everything stays declarative:
+  * the whole pipeline is ONE DataFrame plan (narrow projections/filters +
+  * the two dedup shuffles), so Catalyst pipelines the gates into the scan
+  * and the 100 TB cost is: 1 scan + 1 fingerprint shuffle + the LSH
+  * banding joins.
+  */
+object Curation {
+
+  case class Config(
+      minQuality: Double = 0.5,
+      keepLangs: Seq[String] = Nil, // empty = keep all
+      maxRepetition: Double = 0.5,
+      nearDupJaccard: Double = 0.8,
+      minhashBands: Int = 16,
+      minhashRows: Int = 4)
+
+  case class Report(input: Long, afterQuality: Long, afterLang: Long,
+      afterRepetition: Long, afterExactDedup: Long, afterNearDup: Long)
+
+  /** Returns (curated frame, report). The curated frame carries the
+    * original columns plus `text` redacted and `quality` attached.
+    * Near-dup removal keeps the lower doc id of each detected pair
+    * (transitively: any doc matched to a smaller-id doc is dropped). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None,
+      cfg: Config = Config()): (DataFrame, Report) = {
+
+    def count(df: DataFrame): Long = df.count()
+
+    val input = count(docs)
+
+    val gated = docs
+      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality)
+    val afterQuality = count(gated)
+
+    val langed = (langCol, cfg.keepLangs) match {
+      case (Some(lc), keep) if keep.nonEmpty =>
+        gated.filter(col(lc).isin(keep: _*))
+      case _ => gated
+    }
+    val afterLang = count(langed)
+
+    val scrubbed = langed
+      .withColumn(textCol, TextOps.redactPii(col(textCol)))
+      .filter(TextOps.repetitionScore(col(textCol)) <= cfg.maxRepetition)
+    val afterRepetition = count(scrubbed)
+
+    val exact = DedupOps.exactDedup(scrubbed, textCol, idCol)
+    val afterExactDedup = count(exact)
+
+    // near-dup pairs -> drop the HIGHER id of each pair (left_anti join on
+    // the pair table's id_b column; one extra equi-join, no n² anywhere)
+    val pairs = DedupOps.minhashLsh(exact, idCol, textCol,
+      bands = cfg.minhashBands, rowsPerBand = cfg.minhashRows,
+      threshold = cfg.nearDupJaccard)
+    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val curated = exact.join(losers, Seq(idCol), "left_anti")
+    val afterNearDup = count(curated)
+
+    (curated, Report(input, afterQuality, afterLang, afterRepetition,
+      afterExactDedup, afterNearDup))
+  }
+}

@@ -104,6 +104,41 @@ object TextOps {
     * is engine-specific), so this IS oracle-verifiable. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** RE2-safe PII patterns (no lookarounds ⇒ identical semantics in Java
+    * regex and DuckDB's RE2) — the pre-training scrub pass. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  val IpPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails, URLs, and IPv4 literals with typed placeholders.
+    * Order matters: URLs first (they can contain @ and dots), then
+    * emails, then bare IPs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      IpPattern, "<IP>")
+
+  /** Count of PII hits by kind (for filtering thresholds/reporting). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(UrlPattern)).cast("long").as("urls"),
+    regexp_count(regexp_replace(text, UrlPattern, " "), lit(EmailPattern))
+      .cast("long").as("emails"),
+    regexp_count(text, lit(IpPattern)).cast("long").as("ips"))
+
+  /** Repetition score in [0,1): fraction of word n-grams that are
+    * duplicates of an earlier one (Gopher-style repetition filter;
+    * templated/spammy text scores high, natural prose near 0).
+    * 1 − |distinct n-grams| / (|tokens| − n + 1). */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val toks = split(normalize(text), " ")
+    val total = greatest(size(toks) - (n - 1), lit(1))
+    lit(1.0) -
+      size(graft.functions.HashExpressions.ngramHashes(toks, n))
+        .cast("double") / total.cast("double")
+  }
+
   /** Winnowing-style rolling fingerprint (Schleimer et al., SIGMOD'03):
     * hash every k-gram of the normalized text, then keep the minimum hash
     * in each sliding window of w consecutive k-gram hashes. Output: the
