@@ -220,14 +220,33 @@ final class PipelineRunner(
   // ---- whole pipeline ------------------------------------------------------
 
   /** One triggered pipeline run over every entity in the config —
-    * entry point A (SURVEY §3.1). */
+    * entry point A (SURVEY §3.1).
+    *
+    * `concurrency` > 1 runs the entities of each phase in parallel (the
+    * flows are independent — SDP executes the resolved graph's parallel
+    * flows concurrently too). Spark's scheduler is thread-safe; each flow
+    * is just concurrent job submission on the shared session. Phases stay
+    * ordered: all bronze, then all silver, then views. */
   def run(entities: Map[String, EntityConfig],
-      fullRefresh: Boolean = false): Unit = {
+      fullRefresh: Boolean = false, concurrency: Int = 1): Unit = {
     ensureSchemas(params.softDeletesEnabled)
-    entities.foreach { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
-    entities.foreach { case (e, cfg) => runSilver(e, cfg) }
+    def each(f: ((String, EntityConfig)) => Unit): Unit =
+      if (concurrency <= 1) entities.toSeq.sortBy(_._1).foreach(f)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+        try {
+          val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          val fs = entities.toSeq.sortBy(_._1)
+            .map(e => Future(f(e))(ec))
+          fs.foreach(Await.result(_, Duration.Inf))
+        } finally pool.shutdown()
+      }
+    each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
+    each { case (e, cfg) => runSilver(e, cfg) }
     if (params.softDeletesEnabled)
-      entities.keys.foreach(createActiveView)
+      entities.keys.toSeq.sorted.foreach(createActiveView)
   }
 }
 

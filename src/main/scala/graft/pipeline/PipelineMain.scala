@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point A (SURVEY §3.1) — the analog of the reference's
+  * triggered pipeline run: parameters come from `spark.conf`
+  * (`--conf spark.source_location=...`, exactly like the pipeline YAML's
+  * `configuration:` map — reference `resources/sdp_pipeline.pipeline.yml:
+  * 22-29`), the entity config from
+  * `{source_location}/dp_config_template.json`.
+  *
+  * {{{
+  * spark-submit --class graft.pipeline.PipelineMain \
+  *   --conf spark.source_location=/data/raw \
+  *   --conf spark.catalog_name=prod --conf spark.soft_deletes=Y \
+  *   graft.jar /warehouse/graft [--full-refresh]
+  * }}}
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: PipelineMain <storageRoot> [--full-refresh]")
+    val storageRoot = args(0)
+    val fullRefresh = args.contains("--full-refresh")
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone",
+        sys.env.getOrElse("GRAFT_TZ", "UTC"))
+      .getOrCreate()
+    // the reference reads params via spark.conf.get("source_location") etc.
+    // (00_config_loader.py:25-31); Spark requires the `spark.` prefix on
+    // --conf, so accept both spellings
+    Seq("source_location", "catalog_name", "bronze_db", "silver_db",
+      "external_location", "deleted_file_retention_duration", "soft_deletes",
+      "max_files_per_trigger").foreach { k =>
+      spark.conf.getOption(s"spark.$k")
+        .foreach(v => spark.conf.set(k, v))
+    }
+    val (runner, entities) = PipelineRunner.fromConf(spark, storageRoot)
+    runner.run(entities, fullRefresh)
+    spark.stop()
+  }
+}

@@ -42,6 +42,11 @@ class PipelineSpec extends AnyFunSuite {
       "unique_primary_key": ["loc_id"],
       "renamed_columns": [],
       "expect_all_or_drop": {}
+    },
+    "rates": {
+      "raw_file_format": "csv",
+      "unique_primary_key": ["code"],
+      "renamed_columns": ["code:currency_code"]
     }
   }"""
 
@@ -64,6 +69,8 @@ class PipelineSpec extends AnyFunSuite {
     Seq("""{"loc_id": 1, "city": "berlin"}""",
       """{"loc_id": 2, "city": "lima"}""").toDF("value")
       .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+    Seq("code,rate", "EUR,1.08", "GBP,1.27").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/rates")
   }
 
   private def writeConfig(src: String): Unit =
@@ -83,10 +90,10 @@ class PipelineSpec extends AnyFunSuite {
     val src = tmpDir("graft-src"); val store = tmpDir("graft-store")
     writeConfig(src); writeBatch1(src)
     val entities = ConfigLoader.load(spark, src)
-    assert(entities.keySet == Set("app_downloads", "locations"))
+    assert(entities.keySet == Set("app_downloads", "locations", "rates"))
 
     val (runner, params) = mkRunner(src, store, "2024-02-01 00:00:00")
-    runner.run(entities)
+    runner.run(entities, concurrency = 2) // phases parallel across entities
 
     val bronze = spark.table(params.bronzeFqn("app_downloads"))
     assert(bronze.count() == 5) // bronze is raw append: all rows
@@ -109,6 +116,12 @@ class PipelineSpec extends AnyFunSuite {
     // entity without op column passes the P5 guard untouched
     val locations = spark.table(params.silverFqn("locations"))
     assert(locations.count() == 2)
+
+    // S4 csv entity: header + inferSchema, P8 rename applied in silver
+    val rates = spark.table(params.silverFqn("rates"))
+    assert(rates.count() == 2)
+    assert(rates.columns.contains("currency_code"))
+    assert(rates.schema("rate").dataType.typeName == "double")
   }
 
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
