@@ -144,6 +144,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: the composed corpus-curation pipeline (no oracle —
+    //    MinHash stage is hash-seeded; stage semantics asserted in
+    //    CurationSpec). One lazy plan: gates fuse into the scan.
+    "q_curation" -> ((s, dir) => {
+      graft.llm.Curation.curateFrame(
+        t(s, dir, "documents"), "doc_id", "text", langCol = Some("lang"))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: IVF ANN top-k, the partition-pruning scale path (no
     //    oracle; recall vs bruteForceTopK asserted in LlmOpsSpec)
     "q_ivf_topk" -> ((s, dir) => {

@@ -393,6 +393,68 @@ object HashExpressions {
         : WordNGrams = copy(child = newChild)
   }
 
+  /** Count of array elements contained in a compile-time string set —
+    * replaces interpreted `size(filter(toks, t -> array_contains(set, t)))`
+    * (O(|toks|·|set|) boxed string compares) with one hashed lookup per
+    * token inside codegen. */
+  case class InSetCount(child: Expression, set: Seq[String])
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got $other")
+      }
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "in_set_count"
+
+    private lazy val lookup: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      set.foreach(w =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }
+
+    override def nullSafeEval(a: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val m = xs.numElements()
+      var c = 0
+      var i = 0
+      while (i < m) {
+        if (!xs.isNullAt(i) && lookup.contains(xs.getUTF8String(i))) c += 1
+        i += 1
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setRef = ctx.addReferenceObj("inSet", lookup,
+        "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val m = ctx.freshName("m")
+        val c = ctx.freshName("c")
+        s"""
+           |final int $m = $a.numElements();
+           |int $c = 0;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) {
+           |    $c++;
+           |  }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : InSetCount = copy(child = newChild)
+  }
+
+  def inSetCount(tokens: Column, set: Seq[String]): Column =
+    column(InSetCount(expression(tokens), set))
+
   def wordNGrams(tokens: Column, n: Int): Column =
     column(WordNGrams(expression(tokens), n))
 

@@ -32,38 +32,32 @@ object Curation {
   case class Report(input: Long, afterQuality: Long, afterLang: Long,
       afterRepetition: Long, afterExactDedup: Long, afterNearDup: Long)
 
-  /** Returns (curated frame, report). The curated frame carries the
-    * original columns plus `text` redacted and `quality` attached.
-    * Near-dup removal keeps the lower doc id of each detected pair
-    * (transitively: any doc matched to a smaller-id doc is dropped). */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
+  /** The curated frame as ONE lazy plan (no counting actions) — original
+    * columns plus `text` redacted and `quality` attached. Near-dup
+    * removal keeps the lower doc id of each detected pair (transitively:
+    * any doc matched to a smaller-id doc is dropped). */
+  def curateFrame(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
-      cfg: Config = Config()): (DataFrame, Report) = {
+      cfg: Config = Config()): DataFrame =
+    stages(docs, idCol, textCol, langCol, cfg).last._2
 
-    def count(df: DataFrame): Long = df.count()
-
-    val input = count(docs)
-
+  /** Named intermediate frames, in order (for [[curate]]'s report and for
+    * debugging a stage in isolation). */
+  def stages(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String], cfg: Config)
+      : Seq[(String, DataFrame)] = {
     val gated = docs
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
-    val afterQuality = count(gated)
-
     val langed = (langCol, cfg.keepLangs) match {
       case (Some(lc), keep) if keep.nonEmpty =>
         gated.filter(col(lc).isin(keep: _*))
       case _ => gated
     }
-    val afterLang = count(langed)
-
     val scrubbed = langed
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
       .filter(TextOps.repetitionScore(col(textCol)) <= cfg.maxRepetition)
-    val afterRepetition = count(scrubbed)
-
     val exact = DedupOps.exactDedup(scrubbed, textCol, idCol)
-    val afterExactDedup = count(exact)
-
     // near-dup pairs -> drop the HIGHER id of each pair (left_anti join on
     // the pair table's id_b column; one extra equi-join, no n² anywhere)
     val pairs = DedupOps.minhashLsh(exact, idCol, textCol,
@@ -71,9 +65,18 @@ object Curation {
       threshold = cfg.nearDupJaccard)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
     val curated = exact.join(losers, Seq(idCol), "left_anti")
-    val afterNearDup = count(curated)
+    Seq("quality" -> gated, "lang" -> langed, "repetition" -> scrubbed,
+      "exactDedup" -> exact, "nearDup" -> curated)
+  }
 
-    (curated, Report(input, afterQuality, afterLang, afterRepetition,
-      afterExactDedup, afterNearDup))
+  /** [[curateFrame]] plus a per-stage row-count report (one action per
+    * stage — use curateFrame alone when the report isn't needed). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None,
+      cfg: Config = Config()): (DataFrame, Report) = {
+    val st = stages(docs, idCol, textCol, langCol, cfg).toMap
+    val curated = st("nearDup")
+    (curated, Report(docs.count(), st("quality").count(), st("lang").count(),
+      st("repetition").count(), st("exactDedup").count(), curated.count()))
   }
 }

@@ -45,13 +45,16 @@ object TextOps {
     "for", "on", "with", "as", "at", "by", "this", "be", "are", "or")
 
   /** Fraction of tokens that are (English) stopwords — a classic quality
-    * signal: natural prose has ~0.3-0.5, keyword spam ~0. */
+    * signal: natural prose has ~0.3-0.5, keyword spam ~0. Set membership
+    * is the codegen'd
+    * [[graft.functions.HashExpressions.InSetCount]] (one hashed lookup
+    * per token; the interpreted filter+array_contains form was the
+    * hottest line of the text-stats bench). */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords)
       : Column = {
-    val sw = array(stopwords.map(lit): _*)
     val toks = tokens(lower(text))
-    size(filter(toks, t => array_contains(sw, t))).cast("double") /
-      size(toks).cast("double")
+    graft.functions.HashExpressions.inSetCount(toks, stopwords)
+      .cast("double") / size(toks).cast("double")
   }
 
   /** Mean token length in characters. */
@@ -90,8 +93,8 @@ object TextOps {
   def languageId(text: Column): Column = {
     val toks = array_distinct(tokens(lower(text)))
     val scored = LangMarkers.map { case (lang, markers) =>
-      val m = array(markers.map(lit): _*)
-      (lang, size(array_intersect(toks, m)))
+      // distinct toks × distinct markers ⇒ membership count ≡ intersect size
+      (lang, graft.functions.HashExpressions.inSetCount(toks, markers))
     }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
     scored.foldRight(lit("und"): Column) { case ((lang, score), els) =>
