@@ -63,6 +63,23 @@ object StreamOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: left events matched to right events of
+    * the same key within `[‑lowerMs, +upperMs]` of event time. BOTH sides
+    * need watermarks (state eviction) and the time-bound condition (state
+    * scope) — without either, join state grows forever. State per key is
+    * bounded by (watermark + interval width) × arrival rate.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lowerMs: Long, upperMs: Long,
+      delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerMs MILLISECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS"))
+  }
+
   /** A completed user session emitted by [[sessionizeWithState]]. */
   case class Session(key: String, startUs: Long, endUs: Long, nEvents: Long)
 

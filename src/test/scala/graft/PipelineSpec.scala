@@ -227,6 +227,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(params.silverFqn("locations")).count() == 1)
   }
 
+  test("compaction: many small files -> few, data identical, ingest resumes") {
+    val src = tmpDir("graft-src7"); val store = tmpDir("graft-store7")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"ticks": {"raw_file_format": "json",
+        |  "unique_primary_key": ["tid"]}}""".stripMargin)
+    // 6 separate source files -> 6+ bronze files across two runs
+    (1 to 6).foreach { i =>
+      Seq(s"""{"tid": $i, "v": "x$i"}""").toDF("value")
+        .coalesce(1).write.mode("append").text(s"$src/ticks")
+    }
+    val entities = ConfigLoader.load(spark, src)
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t7")
+    r1.run(entities)
+    val tablePath = s"$store/bronze/ticks"
+    val before = spark.table(params.bronzeFqn("ticks")).collect().toSet
+
+    val (nBefore, nAfter) = pipeline.Compaction
+      .compactPath(spark, tablePath, targetFileBytes = 1024L * 1024 * 1024)
+    assert(nBefore > 1 && nAfter == 1)
+    assert(spark.read.parquet(tablePath).collect().toSet == before)
+
+    // ingestion resumes from the checkpoint after compaction
+    Seq("""{"tid": 7, "v": "x7"}""").toDF("value")
+      .coalesce(1).write.mode("append").text(s"$src/ticks")
+    val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00", catalog = "t7")
+    r2.run(entities)
+    assert(spark.table(params.bronzeFqn("ticks")).count() == 7)
+  }
+
   test("full refresh truncates and reingests") {
     val src = tmpDir("graft-src5"); val store = tmpDir("graft-store5")
     Files.writeString(Path.of(src, "dp_config_template.json"),

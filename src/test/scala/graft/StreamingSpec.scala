@@ -146,6 +146,38 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 02:30:00"), 1L)))
   }
 
+  test("stream-stream interval join matches batch interval join") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, String, String)](spark)
+    val buys = MemoryStream[(Timestamp, String, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.intervalJoin(
+      clicks.toDF.toDF("cts", "k", "click_id"),
+      buys.toDF.toDF("bts", "k", "buy_id"),
+      key = "k", leftTs = "cts", rightTs = "bts",
+      lowerMs = 0, upperMs = 10 * 60 * 1000, delay = "1 minute")
+      .select("click_id", "buy_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    clicks.addData(
+      (ts("2024-01-01 00:00:00"), "u1", "c1"),
+      (ts("2024-01-01 00:20:00"), "u1", "c2"),
+      (ts("2024-01-01 00:00:00"), "u2", "c3"))
+    buys.addData(
+      (ts("2024-01-01 00:05:00"), "u1", "b1"), // joins c1 (within 10m after)
+      (ts("2024-01-01 00:25:00"), "u1", "b2"), // joins c2
+      (ts("2024-01-01 00:30:00"), "u2", "b3")) // 30m after c3: no match
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 05:00:00"), "zz", "cx"))
+    buys.addData((ts("2024-01-01 05:00:00"), "zz", "bx"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).as[(String, String)].collect().toSet
+    assert(got.intersect(Set(("c1", "b1"), ("c2", "b2"))) ==
+      Set(("c1", "b1"), ("c2", "b2")))
+    assert(!got.exists(_._1 == "c3"))
+  }
+
   test("T6 streaming dedup within watermark drops duplicate keys") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
