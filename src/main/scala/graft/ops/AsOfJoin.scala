@@ -28,6 +28,10 @@ object AsOfJoin {
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       payload: Seq[String], rightOrderCol: String): DataFrame = {
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"as-of payload columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — alias the right side first")
     val isLeft = "_is_left"
     val t = "_asof_t"
     val leftCols = left.columns

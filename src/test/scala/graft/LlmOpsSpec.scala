@@ -203,6 +203,15 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(slow.exceptAll(fast).count() == 0)
   }
 
+  test("AsOfJoin: payload/left column collision is rejected, not silently nulled") {
+    val l = Seq((1L, 10L, "x")).toDF("eid", "t", "v")
+    val r = Seq((1L, 5L, "y")).toDF("k", "rt", "v")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, "eid", "t", "rt", payload = Seq("v"), rightOrderCol = "v")
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   test("AsOfJoin: latest right <= left time per key, ties resolved to max order col") {
     val left = Seq(
       (1L, 100L, 10L), (2L, 100L, 55L), (3L, 100L, 300L), (4L, 200L, 50L)
