@@ -78,8 +78,12 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // -- U2 [EXT]: MinHash+LSH near-dup (no oracle: Spark-seeded xxhash64;
-    //    recall vs exact Jaccard asserted in LlmOpsSpec)
+    // -- U2 [EXT]: MinHash+LSH near-dup. ORACLE-CHECKED against the exact
+    //    string-trigram Jaccard pair set: with b=16/r=4 the S-curve puts
+    //    candidate probability at ~1.0 for j>=0.5 (verified exhaustively
+    //    in LlmOpsSpec), and the verification stage's hashed-shingle
+    //    Jaccard equals the string-shingle value (same set cardinalities),
+    //    so the LSH output IS the exact answer on this corpus.
     "q_minhash_neardup" -> ((s, dir) => {
       DedupOps.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -272,6 +276,25 @@ object LlmQueries {
          |FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_neardup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3
+         |      THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |        FROM documents)),
+         |inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*)::DOUBLE
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE AS jaccard
+         |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |GROUP BY a.doc_id, b.doc_id
+         |HAVING count(*)::DOUBLE
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

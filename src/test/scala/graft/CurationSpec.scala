@@ -51,4 +51,13 @@ class CurationSpec extends AnyFunSuite {
       .as[Long].head()
     assert(pii == 0L)
   }
+
+  test("curate is idempotent: a second pass drops nothing") {
+    val docs = analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "lang")
+    val once = Curation.curateFrame(docs, "doc_id", "text")
+    val twice = Curation.curateFrame(
+      once.drop("quality"), "doc_id", "text")
+    assert(twice.count() == once.count())
+  }
 }
