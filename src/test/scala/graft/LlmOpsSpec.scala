@@ -157,6 +157,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall > 0.6, s"recall@3 = $recall")
   }
 
+  test("TopKAggregator: identical results to the window-based bruteForceTopK") {
+    val probes = emb001.filter($"vec_id" < 10)
+    val window = SimilarityOps.bruteForceTopK(emb001, probes, 3)
+      .select("probe_id", "rank", "vec_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val agg = similarity.TopKAggregator
+      .bruteForceTopKAgg(emb001, probes, 3)
+      .select("probe_id", "rank", "vec_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(agg == window)
+  }
+
   test("ivfTopK recall@3 vs brute force with nprobe=4/nlist=16") {
     val probes = emb001.filter($"vec_id" < 20)
     val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
