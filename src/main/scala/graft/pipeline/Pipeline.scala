@@ -191,14 +191,51 @@ final class PipelineRunner(
     Rename(gated, cfg.renamedColumns)
   }
 
+  /** Full-recompute silver publish, made ATOMIC for readers: each run
+    * writes to a fresh versioned directory (`.../{entity}/v{N}`), then
+    * either repoints the existing table with `ALTER TABLE SET LOCATION`
+    * (a single catalog-metadata operation — readers see the old complete
+    * version until the switch, the new complete version after) or creates
+    * the table on first run. Old version dirs are removed AFTER the
+    * switch, so a reader that resolved the previous location mid-query
+    * still finds its files. This replaces the naive DROP + rewrite, whose
+    * window leaves the table missing — the parquet-catalog stand-in for a
+    * table format's atomic commit. */
   def runSilver(entity: String, cfg: EntityConfig): Unit = {
     val fqn = params.silverFqn(entity)
     val frame = buildSilverFrame(entity, cfg)
     val laid = ClusterLayout(frame, cfg.clusteringCols)
-    spark.sql(s"DROP TABLE IF EXISTS $fqn") // overwrite = full recompute
-    laid.write.mode("overwrite")
-      .option("path", silverPath(entity))
-      .saveAsTable(fqn)
+
+    val base = new org.apache.hadoop.fs.Path(silverPath(entity))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldVersions =
+      if (fs.exists(base))
+        fs.listStatus(base).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("v")).toSeq
+      else Seq.empty
+    val nextV = oldVersions.map(_.getName.stripPrefix("v"))
+      .flatMap(_.toLongOption).maxOption.getOrElse(0L) + 1
+    val target = new org.apache.hadoop.fs.Path(base, s"v$nextV")
+
+    laid.write.mode("overwrite").parquet(target.toString)
+    if (spark.catalog.tableExists(fqn)) {
+      // S7: widen the catalog schema by any evolved columns BEFORE the
+      // location switch (additive-only, mirroring bronze evolution)
+      val existingCols = spark.table(fqn).schema.fieldNames
+        .map(_.toLowerCase).toSet
+      val newFields = laid.schema.fields
+        .filterNot(f => existingCols.contains(f.name.toLowerCase))
+      if (newFields.nonEmpty)
+        spark.sql(s"ALTER TABLE $fqn ADD COLUMNS " +
+          s"(${StructType(newFields).toDDL})")
+      spark.sql(s"ALTER TABLE $fqn SET LOCATION '${target.toString}'")
+      spark.catalog.refreshTable(fqn)
+    } else {
+      val schemaDdl = spark.read.parquet(target.toString).schema.toDDL
+      spark.sql(s"CREATE TABLE $fqn ($schemaDdl) USING parquet " +
+        s"LOCATION '${target.toString}'")
+    }
+    oldVersions.foreach(fs.delete(_, true))
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Silver deduplicated table for $entity") +
       ("clustering_cols" -> cfg.clusteringCols.mkString(",")))

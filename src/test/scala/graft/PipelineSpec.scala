@@ -222,9 +222,32 @@ class PipelineSpec extends AnyFunSuite {
     new pipeline.PipelineRunner(spark, params, store).run(entities)
     assert(Files.list(Path.of(external, "bronze", "locations"))
       .anyMatch(p => p.toString.endsWith(".parquet")))
-    assert(Files.list(Path.of(external, "silver", "locations"))
+    // silver publishes atomically into versioned subdirs: {path}/v{N}
+    assert(Files.walk(Path.of(external, "silver", "locations"))
       .anyMatch(p => p.toString.endsWith(".parquet")))
     assert(spark.table(params.silverFqn("locations")).count() == 1)
+  }
+
+  test("atomic silver publish: version dir rotates, table repointed, old dir removed") {
+    val src = tmpDir("graft-src8"); val store = tmpDir("graft-store8")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"locations": {"raw_file_format": "json",
+        |  "unique_primary_key": ["loc_id"]}}""".stripMargin)
+    Seq("""{"loc_id": 1, "city": "berlin"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+    val entities = ConfigLoader.load(spark, src)
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t8")
+    r1.run(entities)
+    val silverDir = Path.of(store, "silver", "locations")
+    assert(Files.exists(silverDir.resolve("v1")))
+
+    Seq("""{"loc_id": 2, "city": "lima"}""").toDF("value")
+      .coalesce(1).write.mode("append").text(s"$src/locations")
+    val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00", catalog = "t8")
+    r2.run(entities)
+    assert(Files.exists(silverDir.resolve("v2")))
+    assert(!Files.exists(silverDir.resolve("v1"))) // old version cleaned
+    assert(spark.table(params.silverFqn("locations")).count() == 2)
   }
 
   test("compaction: many small files -> few, data identical, ingest resumes") {
