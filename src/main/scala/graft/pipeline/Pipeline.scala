@@ -235,7 +235,16 @@ final class PipelineRunner(
       spark.sql(s"CREATE TABLE $fqn ($schemaDdl) USING parquet " +
         s"LOCATION '${target.toString}'")
     }
-    oldVersions.foreach(fs.delete(_, true))
+    // retention (the deletedFileRetentionDuration analog, reference
+    // `02_silver_processing.py:49,89` / `README.md:160-169`): superseded
+    // version dirs within the window survive for in-flight readers and
+    // time-travel-ish debugging; older ones are vacuumed here
+    val horizonMs = System.currentTimeMillis() -
+      PipelineRunner.parseRetentionMs(params.deletedFileRetention)
+    oldVersions.foreach { p =>
+      if (fs.getFileStatus(p).getModificationTime < horizonMs)
+        fs.delete(p, true)
+    }
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Silver deduplicated table for $entity") +
       ("clustering_cols" -> cfg.clusteringCols.mkString(",")))
@@ -322,6 +331,24 @@ object PipelineRunner {
       s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
     }.mkString(", ")
     spark.sql(s"ALTER TABLE $fqn SET TBLPROPERTIES ($kv)")
+  }
+
+  /** Parse the reference's CalendarInterval-style retention strings
+    * (`"interval 14 days"` — `config/databricks.yml:19-21`) to millis.
+    * Unrecognized strings mean "retain nothing extra" (0 ms), matching
+    * the pre-retention behavior. */
+  def parseRetentionMs(s: String): Long = {
+    val m = "(?i)interval\\s+(\\d+)\\s+(day|hour|minute|second)s?".r
+      .findFirstMatchIn(s.trim)
+    m.map { g =>
+      val n = g.group(1).toLong
+      g.group(2).toLowerCase match {
+        case "day"    => n * 24L * 3600 * 1000
+        case "hour"   => n * 3600L * 1000
+        case "minute" => n * 60L * 1000
+        case "second" => n * 1000L
+      }
+    }.getOrElse(0L)
   }
 
   def deleteRecursively(spark: SparkSession, path: String): Unit = {

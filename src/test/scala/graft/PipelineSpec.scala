@@ -246,8 +246,19 @@ class PipelineSpec extends AnyFunSuite {
     val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00", catalog = "t8")
     r2.run(entities)
     assert(Files.exists(silverDir.resolve("v2")))
-    assert(!Files.exists(silverDir.resolve("v1"))) // old version cleaned
+    // default retention "interval 14 days": superseded v1 RETAINED for
+    // in-flight readers
+    assert(Files.exists(silverDir.resolve("v1")))
     assert(spark.table(params.silverFqn("locations")).count() == 2)
+
+    // zero retention: superseded versions vacuumed at the next publish
+    val p3 = PipelineParams(sourceLocation = src, catalogName = "t8",
+      deletedFileRetention = "interval 0 seconds",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-04-01 00:00:00")))
+    new PipelineRunner(spark, p3, store).run(entities)
+    assert(Files.exists(silverDir.resolve("v3")))
+    assert(!Files.exists(silverDir.resolve("v1")))
+    assert(!Files.exists(silverDir.resolve("v2")))
   }
 
   test("compaction: many small files -> few, data identical, ingest resumes") {

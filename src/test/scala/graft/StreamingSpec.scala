@@ -178,6 +178,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == "c3"))
   }
 
+  test("file-stream over real events testdata: streamed tumbling agg == batch") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Path => JPath}
+    // events.ts is parquet TIMESTAMP(NANOS) -> bigint epoch-ns under
+    // nanosAsLong; the event-time column for watermark/window is derived
+    val srcDir = JFiles.createTempDirectory("graft-evstream")
+    JFiles.copy(JPath.of("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val batchDf = analytics.Tables(spark, "/root/testdata/sf0.001", "events")
+    val schema = batchDf.schema
+    def withEventTime(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+    val expected = StreamOps.tumblingAgg(withEventTime(batchDf),
+      "ets", "6 hours", Seq("event_type"), Seq(count(lit(1)).as("n")))
+      .orderBy("win_start", "event_type")
+      .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+    assert(expected.nonEmpty)
+
+    val stream = spark.readStream.schema(schema)
+      .parquet(srcDir.toString)
+    val sink = nextSink()
+    val q = StreamOps.tumblingAgg(
+      StreamOps.withLateDrop(withEventTime(stream), "ets", "1 minute"),
+      "ets", "6 hours", Seq("event_type"), Seq(count(lit(1)).as("n")))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sink).orderBy("win_start", "event_type")
+      .as[(Timestamp, Timestamp, String, Long)].collect().toSeq
+    assert(streamed == expected)
+  }
+
   test("T6 streaming dedup within watermark drops duplicate keys") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
