@@ -180,6 +180,16 @@ class OpsSpec extends AnyFunSuite {
     assert(cfg("minimal") == EntityConfig())
   }
 
+  test("config parser: malformed input fails loudly") {
+    intercept[Exception](ConfigLoader.parse("not json at all"))
+    intercept[IllegalArgumentException](ConfigLoader.parse("[1, 2, 3]"))
+    // entity with wrong-typed fields degrades to defaults, not a crash
+    val cfg = ConfigLoader.parse(
+      """{"e": {"raw_file_format": 42, "unique_primary_key": "id"}}""")
+    assert(cfg("e").rawFileFormat == "parquet")
+    assert(cfg("e").uniquePrimaryKey == Seq("id"))
+  }
+
   test("config parser: renamed_columns accepts object and list forms") {
     assert(ConfigLoader.parse(
       """{"e": {"renamed_columns": {"old": "new"}}}""")("e")
