@@ -127,6 +127,29 @@ class KernelSpec extends AnyFunSuite {
     assert(out._1 == Seq("w1 w2 w3", "w2 w3 w4", "w3 w4 w5"))
   }
 
+  test("all kernels propagate null inputs as null results") {
+    import org.apache.spark.sql.Row
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fa",
+        ArrayType(FloatType), nullable = true),
+      org.apache.spark.sql.types.StructField("la",
+        ArrayType(LongType), nullable = true),
+      org.apache.spark.sql.types.StructField("sa",
+        ArrayType(StringType), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(null, null, null)), schema)
+    val out = df.select(
+      VectorExpressions.floatNorm($"fa"),
+      VectorExpressions.lshBuckets($"fa", 4, 2),
+      HashExpressions.simhash64($"la"),
+      HashExpressions.minhashSig($"la", 4),
+      HashExpressions.jaccardSorted($"la", $"la"),
+      HashExpressions.ngramHashes($"sa", 2),
+      HashExpressions.wordNGrams($"sa", 2),
+      HashExpressions.inSetCount($"sa", Seq("x"))).collect().head
+    (0 until out.length).foreach(i => assert(out.isNullAt(i), s"col $i"))
+  }
+
   test("GraftExtensions: kernels callable from SQL text") {
     graft.functions.GraftExtensions.register(spark)
     val r = spark.sql(
