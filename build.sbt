@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the one JSON line Bench/Verify print; sbt's default
+// LoggedOutput prefixes forked stdout with "[info] ", which breaks that
+// parse. Emit the forked process's stdout verbatim instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

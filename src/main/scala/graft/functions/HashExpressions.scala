@@ -362,8 +362,13 @@ object HashExpressions {
       nullSafeCodeGen(ctx, ev, a => {
         val i = ctx.freshName("i"); val m = ctx.freshName("m")
         val w = ctx.freshName("w"); val cnt = ctx.freshName("cnt")
+        val j = ctx.freshName("j")
         val toks = ctx.freshName("toks"); val seen = ctx.freshName("seen")
         val parts = ctx.freshName("parts"); val sep = ctx.freshName("sep")
+        // NOTE no java.util.Arrays.copyOfRange here: its T[] overload is a
+        // generic method, and Janino erases generic returns to Object[],
+        // which fails to compile against UTF8String[] (silent interpreted
+        // fallback at runtime). Slice with an explicit loop instead.
         s"""
            |final int $m = $a.numElements();
            |final org.apache.spark.unsafe.types.UTF8String[] $toks =
@@ -378,9 +383,12 @@ object HashExpressions {
            |final java.util.LinkedHashSet<org.apache.spark.unsafe.types.UTF8String>
            |  $seen = new java.util.LinkedHashSet<
            |    org.apache.spark.unsafe.types.UTF8String>();
+           |final org.apache.spark.unsafe.types.UTF8String[] $parts =
+           |  new org.apache.spark.unsafe.types.UTF8String[$w];
            |for (int $i = 0; $i < $cnt; $i++) {
-           |  final org.apache.spark.unsafe.types.UTF8String[] $parts =
-           |    java.util.Arrays.copyOfRange($toks, $i, $i + $w);
+           |  for (int $j = 0; $j < $w; $j++) {
+           |    $parts[$j] = $toks[$i + $j];
+           |  }
            |  $seen.add(org.apache.spark.unsafe.types.UTF8String
            |    .concatWs($sep, $parts));
            |}

@@ -71,7 +71,15 @@ object Compaction {
         val out = fs.create(p, true)
         try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
       }
-      (0L until n).foreach(i => write(new Path(stagingMeta, i.toString), "v1\n"))
+      // CompactibleFileStreamLog derives file names arithmetically: every
+      // batch id with (id+1) % compactInterval == 0 MUST be "<id>.compact"
+      // (readers/resume start from the latest such boundary). An empty
+      // "v1\n" compact is valid because all live entries are in batch n.
+      (0L until n).foreach { i =>
+        val fname =
+          if ((i + 1) % compactInterval == 0) s"$i.compact" else i.toString
+        write(new Path(stagingMeta, fname), "v1\n")
+      }
       val entries = fs.listStatus(staging)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map { f =>
