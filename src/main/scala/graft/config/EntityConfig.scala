@@ -64,9 +64,20 @@ final case class PipelineParams(
   def bronzeSchema: String = collapse(bronzeDb)
   def silverSchema: String = collapse(silverDb)
   def activeSchema: String = collapse(s"${silverDb}_active")
-  def bronzeFqn(entity: String): String = s"$bronzeSchema.bronze_$entity"
-  def silverFqn(entity: String): String = s"$silverSchema.silver_$entity"
-  def activeViewFqn(entity: String): String = s"$activeSchema.silver_$entity"
+  /** Backtick-quote one identifier part, mirroring the reference's
+    * `cat`.`db`.`table` quoting (`03_active_views.py:58-59`) — entity or
+    * schema names with hyphens/spaces would otherwise break every generated
+    * DDL statement and open an injection surface for config-supplied names.
+    * Spark parses quoted parts identically in spark.sql DDL, spark.table,
+    * catalog calls, and writeStream.toTable, so quoting at the source covers
+    * all of them. */
+  private def bq(part: String): String = "`" + part.replace("`", "``") + "`"
+  def bronzeFqn(entity: String): String =
+    s"${bq(bronzeSchema)}.${bq(s"bronze_$entity")}"
+  def silverFqn(entity: String): String =
+    s"${bq(silverSchema)}.${bq(s"silver_$entity")}"
+  def activeViewFqn(entity: String): String =
+    s"${bq(activeSchema)}.${bq(s"silver_$entity")}"
 }
 
 object PipelineParams {

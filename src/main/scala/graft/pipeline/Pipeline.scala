@@ -238,11 +238,22 @@ final class PipelineRunner(
     // retention (the deletedFileRetentionDuration analog, reference
     // `02_silver_processing.py:49,89` / `README.md:160-169`): superseded
     // version dirs within the window survive for in-flight readers and
-    // time-travel-ish debugging; older ones are vacuumed here
-    val horizonMs = System.currentTimeMillis() -
+    // time-travel-ish debugging; older ones are vacuumed here. The window
+    // is measured from when a version was SUPERSEDED (Delta's
+    // deletedFileRetentionDuration semantics), not from when it was
+    // written — a long-lived live version must still get the full grace
+    // period after the switch. The supersede instant is recorded in an
+    // underscore-prefixed marker file (ignored by parquet readers) the
+    // first time a version is seen as non-live.
+    val nowMs = System.currentTimeMillis()
+    oldVersions.foreach { p =>
+      if (PipelineRunner.readSupersededAt(fs, p).isEmpty)
+        PipelineRunner.markSupersededAt(fs, p, nowMs)
+    }
+    val horizonMs = nowMs -
       PipelineRunner.parseRetentionMs(params.deletedFileRetention)
     oldVersions.foreach { p =>
-      if (fs.getFileStatus(p).getModificationTime < horizonMs)
+      if (PipelineRunner.readSupersededAt(fs, p).exists(_ <= horizonMs))
         fs.delete(p, true)
     }
     setTableProps(spark, fqn, refTableProps(cfg) +
@@ -335,20 +346,55 @@ object PipelineRunner {
 
   /** Parse the reference's CalendarInterval-style retention strings
     * (`"interval 14 days"` — `config/databricks.yml:19-21`) to millis.
-    * Unrecognized strings mean "retain nothing extra" (0 ms), matching
-    * the pre-retention behavior. */
+    * Accepts the leading `interval` keyword optionally (both `"14 days"`
+    * and `"interval 14 days"` are valid CalendarInterval spellings) and
+    * the second/minute/hour/day/week/month units (week = 7 days; month
+    * approximated as 30 days — retention is a grace window, not calendar
+    * arithmetic). An unparseable string THROWS instead of silently
+    * becoming 0 ms — 0 means "vacuum superseded versions immediately",
+    * the most destructive possible reading of a typo. */
   def parseRetentionMs(s: String): Long = {
-    val m = "(?i)interval\\s+(\\d+)\\s+(day|hour|minute|second)s?".r
+    val m = "(?i)^(?:interval\\s+)?(\\d+)\\s+(day|hour|minute|second|week|month)s?$".r
       .findFirstMatchIn(s.trim)
     m.map { g =>
       val n = g.group(1).toLong
       g.group(2).toLowerCase match {
+        case "month"  => n * 30L * 24 * 3600 * 1000
+        case "week"   => n * 7L * 24 * 3600 * 1000
         case "day"    => n * 24L * 3600 * 1000
         case "hour"   => n * 3600L * 1000
         case "minute" => n * 60L * 1000
         case "second" => n * 1000L
       }
-    }.getOrElse(0L)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"unparseable deleted_file_retention_duration: '$s' " +
+        "(expected e.g. 'interval 14 days')"))
+  }
+
+  /** Supersede-instant marker for versioned silver dirs (underscore prefix
+    * keeps parquet readers from treating it as data). */
+  private val SupersededMarker = "_superseded_at"
+
+  def markSupersededAt(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: org.apache.hadoop.fs.Path, ms: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(versionDir, SupersededMarker), true)
+    try out.write(ms.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def readSupersededAt(fs: org.apache.hadoop.fs.FileSystem,
+      versionDir: org.apache.hadoop.fs.Path): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(versionDir, SupersededMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        new String(bytes, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+      } finally in.close()
+    }
   }
 
   def deleteRecursively(spark: SparkSession, path: String): Unit = {

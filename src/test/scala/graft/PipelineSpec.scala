@@ -290,6 +290,120 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(params.bronzeFqn("ticks")).count() == 7)
   }
 
+  test("compaction: sink with >= compactInterval batches stays readable and resumes") {
+    val src = tmpDir("graft-src9"); val store = tmpDir("graft-store9")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"ticks": {"raw_file_format": "json",
+        |  "unique_primary_key": ["tid"]}}""".stripMargin)
+    (1 to 12).foreach { i =>
+      Seq(s"""{"tid": $i, "v": "x$i"}""").toDF("value")
+        .coalesce(1).write.mode("append").text(s"$src/ticks")
+    }
+    val entities = ConfigLoader.load(spark, src)
+    // maxFilesPerTrigger=1 -> 12 committed sink batches in one triggered
+    // run, crossing the default compact interval (10): the synthesized
+    // log MUST name batch 9 "9.compact" or every subsequent read throws
+    val params = PipelineParams(sourceLocation = src, catalogName = "t9",
+      maxFilesPerTrigger = Some(1),
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+    new PipelineRunner(spark, params, store).run(entities)
+    val tablePath = s"$store/bronze/ticks"
+
+    val (nBefore, nAfter) = pipeline.Compaction
+      .compactPath(spark, tablePath, targetFileBytes = 1024L * 1024 * 1024)
+    assert(nBefore > 1 && nAfter == 1)
+    assert(spark.read.parquet(tablePath).count() == 12)
+
+    Seq("""{"tid": 13, "v": "x13"}""").toDF("value")
+      .coalesce(1).write.mode("append").text(s"$src/ticks")
+    new PipelineRunner(spark, params.copy(
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-03-01 00:00:00"))), store)
+      .run(entities)
+    assert(spark.table(params.bronzeFqn("ticks")).count() == 13)
+  }
+
+  test("vacuum measures retention from supersede time, not version age") {
+    val src = tmpDir("graft-src10"); val store = tmpDir("graft-store10")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"locations": {"raw_file_format": "json",
+        |  "unique_primary_key": ["loc_id"]}}""".stripMargin)
+    Seq("""{"loc_id": 1, "city": "berlin"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+    val entities = ConfigLoader.load(spark, src)
+    val (r1, _) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t10")
+    r1.run(entities)
+    val silverDir = Path.of(store, "silver", "locations")
+    // v1 has been the LIVE location for "2 days" (backdated mtime): long
+    // past a 1-day retention window measured from creation
+    Files.setLastModifiedTime(silverDir.resolve("v1"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 24 * 3600 * 1000))
+
+    Seq("""{"loc_id": 2, "city": "lima"}""").toDF("value")
+      .coalesce(1).write.mode("append").text(s"$src/locations")
+    val p2 = PipelineParams(sourceLocation = src, catalogName = "t10",
+      deletedFileRetention = "interval 1 day",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-03-01 00:00:00")))
+    new PipelineRunner(spark, p2, store).run(entities)
+    // superseded JUST NOW -> the full window still applies; an mtime-based
+    // vacuum would have deleted it here, breaking in-flight readers
+    assert(Files.exists(silverDir.resolve("v1")))
+    assert(Files.exists(silverDir.resolve("v1").resolve("_superseded_at")))
+
+    // zero retention at the next publish removes all superseded versions
+    Seq("""{"loc_id": 3, "city": "pune"}""").toDF("value")
+      .coalesce(1).write.mode("append").text(s"$src/locations")
+    new PipelineRunner(spark, p2.copy(
+      deletedFileRetention = "interval 0 seconds",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-04-01 00:00:00"))),
+      store).run(entities)
+    assert(!Files.exists(silverDir.resolve("v1")))
+    assert(!Files.exists(silverDir.resolve("v2")))
+    assert(Files.exists(silverDir.resolve("v3")))
+  }
+
+  test("parseRetentionMs: all units, optional keyword, unparseable throws") {
+    import PipelineRunner.parseRetentionMs
+    assert(parseRetentionMs("interval 14 days") == 14L * 24 * 3600 * 1000)
+    assert(parseRetentionMs("14 days") == 14L * 24 * 3600 * 1000)
+    assert(parseRetentionMs("2 weeks") == 14L * 24 * 3600 * 1000)
+    assert(parseRetentionMs("interval 1 month") == 30L * 24 * 3600 * 1000)
+    assert(parseRetentionMs("interval 1 hour") == 3600L * 1000)
+    assert(parseRetentionMs("90 seconds") == 90L * 1000)
+    intercept[IllegalArgumentException](parseRetentionMs("soon"))
+    intercept[IllegalArgumentException](parseRetentionMs(""))
+    intercept[IllegalArgumentException](parseRetentionMs("14 fortnights"))
+  }
+
+  test("config-supplied names are quoted: injection becomes a clean error") {
+    // Every FQN part is backtick-quoted (reference 03_active_views.py:58-59),
+    // so a hostile entity name is ONE identifier, never spliced SQL.
+    val params = PipelineParams(sourceLocation = "/x", catalogName = "c")
+    assert(params.bronzeFqn("web-logs") == "`c_bronze`.`bronze_web-logs`")
+    assert(params.silverFqn("a`; DROP TABLE t; --")
+      == "`c_silver`.`silver_a``; DROP TABLE t; --`")
+
+    // e2e: the injection attempt reaches the catalog as a single (invalid)
+    // name and fails with a validation error; the sentinel table survives.
+    // (OSS SessionCatalog only admits [A-Za-z0-9_] names — stricter than
+    // the reference's Unity Catalog, which allows quoted hyphens.)
+    spark.sql("CREATE DATABASE IF NOT EXISTS inj_t")
+    spark.sql("CREATE TABLE IF NOT EXISTS inj_t.keep (x INT) USING parquet")
+    val src = tmpDir("graft-src11"); val store = tmpDir("graft-store11")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"e`; DROP TABLE inj_t.keep; --":
+        |  {"raw_file_format": "json", "unique_primary_key": ["rid"]}}"""
+        .stripMargin)
+    Files.createDirectories(Path.of(src, "e`; DROP TABLE inj_t.keep; --"))
+    Seq("""{"rid": 1}""").toDF("value").coalesce(1)
+      .write.mode("overwrite").text(s"$src/e`; DROP TABLE inj_t.keep; --")
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, _) =
+      mkRunner(src, store, "2024-02-01 00:00:00", catalog = "t11")
+    intercept[Exception](runner.run(entities))
+    assert(spark.catalog.tableExists("inj_t.keep"))
+  }
+
   test("full refresh truncates and reingests") {
     val src = tmpDir("graft-src5"); val store = tmpDir("graft-store5")
     Files.writeString(Path.of(src, "dp_config_template.json"),
