@@ -36,6 +36,24 @@ object DedupOps {
   def shingles(text: Column, n: Int = 3): Column =
     HashExpressions.wordNGrams(split(TextOps.normalize(text), " "), n)
 
+  /** Materialize a derived frame ONCE per query (lazy localCheckpoint).
+    *
+    * Why: the shingle/signature frames below feed self-joins, so the same
+    * regex-normalize + shingle pipeline appears under BOTH join branches;
+    * worse, `InferFiltersFromGenerate` wraps each explode in
+    * `size(e) > 0 AND isnotnull(e)` and predicate pushdown re-substitutes
+    * the full expression into that filter — 3 evaluations per row per
+    * branch of the most expensive projection in the query. Cutting the
+    * lineage materializes the projection exactly once; every branch reads
+    * the stored blocks. Unlike `persist()`, the blocks are owned by the
+    * RDD (freed by the ContextCleaner when the plan is GC'd), not parked
+    * forever in the session's CacheManager — safe inside a library
+    * operator. At cluster scale this is the "write the working set to
+    * executor storage before a multi-way self-join" pattern; the cost is
+    * losing lineage-based recompute of lost blocks (rerun the job). */
+  private def materialized(df: DataFrame): DataFrame =
+    df.localCheckpoint(false)
+
   /** A5: exact dedup — keep, per fingerprint, the row with the smallest
     * `idCol`. One hash-shuffle on the fingerprint; WindowGroupLimit keeps
     * the exchange thin. */
@@ -61,8 +79,8 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2,
       maxShingleFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+    val sh = materialized(df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh")))
       .withColumn("n_sh", size(col("sh")))
     val inv0 = sh.select(col("id"), col("n_sh"),
       explode(col("sh")).as("shingle"))
@@ -118,12 +136,17 @@ object DedupOps {
     // hashed shingle set computed ONCE per doc; signature derives from it.
     // Banding carries only (id, band, band_hash) — no text through the
     // shuffle; candidates join back to the shingle sets by id.
-    val sh = df.select(col(idCol).as("id"),
+    // signature computed INSIDE the materialized projection: referenced
+    // from the banding lambda it would otherwise be inlined by
+    // CollapseProject and re-evaluated once per band (16x the k-hash
+    // sweep over the shingle set)
+    val sh = materialized(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("sh"))
+      .select(col("id"), col("sh"),
+        HashExpressions.minhashSig(col("sh"), k).as("sig")))
     val banded = sh.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(
-          HashExpressions.minhashSig(col("sh"), k),
+        b => xxhash64(slice(col("sig"),
           b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band", "band_hash")))
     val candIds = banded.select(col("id").as("id_a"), col("band"),
@@ -162,7 +185,8 @@ object DedupOps {
       maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = materialized(
+      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
     val blocked = withSig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * width)

@@ -57,7 +57,13 @@ object Curation {
     val scrubbed = langed
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
       .filter(TextOps.repetitionScore(col(textCol)) <= cfg.maxRepetition)
+    // Materialize the exact-dedup result once: it feeds BOTH the LSH
+    // pair-generation branch and the final left_anti join, and everything
+    // above it (quality + PII-scrub regexes + the fingerprint window) is
+    // the most expensive narrow pipeline in the query. Same rationale as
+    // DedupOps.materialized — blocks are RDD-owned, freed on GC.
     val exact = DedupOps.exactDedup(scrubbed, textCol, idCol)
+      .localCheckpoint(false)
     // near-dup pairs -> drop the HIGHER id of each pair (left_anti join on
     // the pair table's id_b column; one extra equi-join, no n² anywhere)
     val pairs = DedupOps.minhashLsh(exact, idCol, textCol,
