@@ -148,9 +148,12 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // -- [EXT]: the composed corpus-curation pipeline (no oracle —
-    //    MinHash stage is hash-seeded; stage semantics asserted in
-    //    CurationSpec). One lazy plan: gates fuse into the scan.
+    // -- [EXT]: the composed corpus-curation pipeline. ORACLE-CHECKED:
+    //    every stage is SQL-expressible, and the MinHash-LSH near-dup
+    //    stage equals the exact trigram-Jaccard pair set at threshold
+    //    0.8 on this corpus (same argument as q_minhash_neardup; row
+    //    counts verified identical at sf0.01 AND sf0.1). Stage semantics
+    //    additionally asserted in CurationSpec.
     "q_curation" -> ((s, dir) => {
       graft.llm.Curation.curateFrame(
         t(s, dir, "documents"), "doc_id", "text", langCol = Some("lang"))
@@ -295,6 +298,63 @@ object LlmQueries {
          |HAVING count(*)::DOUBLE
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // The composed curation pipeline, stage by stage: quality gate on the
+    // RAW text -> PII scrub -> repetition gate on the SCRUBBED text ->
+    // exact dedup on md5(normalized scrubbed) keeping the min doc_id ->
+    // exact trigram-Jaccard >= 0.8 near-dup removal dropping the higher
+    // id of each pair (== the Spark side's MinHash-LSH stage, which is
+    // candidate-exact on this corpus).
+    "q_curation" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN punct_chars / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN tok_chars / n_toks_d >= 2.0 AND tok_chars / n_toks_d <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+         |      length(text)::DOUBLE AS n_chars_d,
+         |      len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |      len($duckToks)::DOUBLE AS n_toks_d,
+         |      list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars
+         |    FROM documents)),
+         |gated AS (
+         |  SELECT doc_id, lang, quality,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS text
+         |  FROM scored WHERE quality >= 0.5),
+         |normed AS (
+         |  SELECT doc_id, lang, quality,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM gated),
+         |shingled AS (
+         |  SELECT doc_id, lang, quality, norm, toks,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT *, string_split(norm, ' ') AS toks FROM normed)),
+         |kept AS (
+         |  SELECT * FROM shingled
+         |  WHERE 1.0 - len(s)::DOUBLE / greatest(len(toks) - 2, 1)::DOUBLE <= 0.5),
+         |exact AS (
+         |  SELECT * FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM kept)
+         |  WHERE rn = 1),
+         |inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM exact),
+         |losers AS (
+         |  SELECT DISTINCT b.doc_id AS id_b
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*)::DOUBLE
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.8)
+         |SELECT doc_id, lang, round(quality, 6) AS quality FROM exact
+         |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

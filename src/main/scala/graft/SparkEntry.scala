@@ -212,6 +212,31 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // -- T5-batch [EXT]: gap-based sessionization (the batch equivalent of
+    //    session_window; streaming variant with flatMapGroupsWithState in
+    //    StreamingSpec). Gap-island: flag gaps > 30 min, running sum of
+    //    flags = session ordinal. Scale: ONE hash shuffle on user_id
+    //    shared by both window specs (same partitioning), then a narrow
+    //    partial-agg into the groupBy on (user_id, session_id) — Spark
+    //    reuses the exchange, so sessionization over 100 TB of events is
+    //    scan + one shuffle.
+    "q_session_gap" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us").asc, col("event_id").asc)
+      val gapUs = 30L * 60 * 1000000
+      events(s, dir)
+        .withColumn("new_s",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // -- F10 [EXT]: JSON extraction + aggregate
     "q_json_agg" -> ((s, dir) => {
       events(s, dir)
@@ -352,6 +377,26 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_session_gap" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |      > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id,
+        |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q_json_agg" ->
       """SELECT event_type, COUNT(*) AS n,
