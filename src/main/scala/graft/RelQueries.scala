@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,49 @@ object RelQueries {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // -- A [EXT]: EXACT grouped percentiles (Spark `percentile`, the
+    //    sort-based exact form — approx_percentile is the sketch analog).
+    //    Both engines define the continuous quantile as linear
+    //    interpolation at rank p*(n-1); round(6) absorbs last-ulp
+    //    interpolation-order differences.
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("round(percentile(l_quantity, 0.5), 6)").as("med_qty"),
+          expr("round(percentile(l_quantity, 0.9), 6)").as("p90_qty"),
+          expr("round(percentile(l_extendedprice, 0.25), 6)").as("p25_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- A [EXT]: statistical aggregates (stddev, correlation) computed
+    //    from EXACT decimal power sums, then finished in double with the
+    //    identical expression on both engines — the builtin stddev/corr
+    //    are merge-order-dependent in floating point and cannot
+    //    hash-match across engines; power sums shuffle the same one
+    //    row per group and are deterministic at any parallelism.
+    "q_stats_agg" -> ((s, dir) => {
+      def d(c: Column): Column = c.cast("decimal(38,6)")
+      val g = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(d(col("l_quantity"))).cast("double").as("sx"),
+        sum(d(col("l_quantity") * col("l_quantity"))).cast("double").as("sxx"),
+        sum(d(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(d(col("l_extendedprice") * col("l_extendedprice")))
+          .cast("double").as("syy"),
+        sum(d(col("l_quantity") * col("l_extendedprice")))
+          .cast("double").as("sxy"))
+      g.select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)), 6).as("std_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+            * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -169,6 +212,31 @@ object RelQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_stats_agg" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*)::DOUBLE AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(38,6)))::DOUBLE AS sx,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))::DOUBLE AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(38,6)))::DOUBLE AS sy,
+        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))::DOUBLE AS syy,
+        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))::DOUBLE AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n::BIGINT AS n_rows,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+        |  round((n * sxy - sx * sy)
+        |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |    AS corr_qty_price
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_set_except" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'

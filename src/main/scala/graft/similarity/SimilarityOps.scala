@@ -94,19 +94,32 @@ object SimilarityOps {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 4,
       tables: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = lshAssignMulti(corpus, planes, tables, idCol, vecCol)
-    val p = lshAssignMulti(probes, planes, tables, idCol, vecCol)
-      .withColumnsRenamed(Map("vec_id" -> "probe_id", "vec" -> "probe_vec"))
-    val cand = c.join(p, Seq("tbl", "bucket"))
+    // Bucket join + candidate dedup carry ONLY ids: with L tables a
+    // colliding pair appears up to L times, and shipping the vectors
+    // through that join (then distinct-ing on array columns) multiplies
+    // shuffle bytes by L x vector-width. Ids dedup first (two longs per
+    // row), then the vectors join back exactly once per side.
+    val cB = corpus.select(col(idCol).as("vec_id"),
+      posexplode(VectorExpressions.lshBuckets(col(vecCol), planes, tables))
+        .as(Seq("tbl", "bucket")))
+    val pB = probes.select(col(idCol).as("probe_id"),
+      posexplode(VectorExpressions.lshBuckets(col(vecCol), planes, tables))
+        .as(Seq("tbl", "bucket")))
+    val candIds = cB.join(pB, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("probe_vec"), col("vec_id"), col("vec"))
-      .distinct()
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val cVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
+    val pVec = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cand
+    candIds
+      .join(cVec, Seq("vec_id"))
+      .join(broadcast(pVec), Seq("probe_id")) // probe set is small by contract
       .withColumn("cos",
         dot(col("probe_vec"), col("vec")) /
-          (norm(col("probe_vec")) * norm(col("vec"))))
+          (col("probe_norm") * col("vec_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
