@@ -171,6 +171,29 @@ class KernelSpec extends AnyFunSuite {
       ex.getMessage.contains("graft_float_dot"))
   }
 
+  test("every declared query compiles under forced codegen (no fallback)") {
+    // Regression guard for silently-degrading doGenCode output: Spark
+    // swallows Janino compile errors and falls back to the interpreted
+    // path (e.g. a generic-method call like Arrays.copyOfRange whose
+    // erased Object[] return doesn't assign to UTF8String[]), so parity
+    // tests keep passing while the hot path quietly loses codegen. A
+    // separate session (shared SparkContext, own SQLConf) forces
+    // CODEGEN_ONLY with fallback disabled; any uncompilable kernel
+    // fails this test with its query name.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val sfDir = "/root/testdata/sf0.001"
+    val kernelQueries = Seq("q_ngram_jaccard", "q_minhash_neardup",
+      "q_simhash_neardup", "q_text_stats", "q_lang_id", "q_repetition",
+      "q_cosine_topk", "q_lsh_topk", "q_exact_dedup", "q_curation")
+    kernelQueries.foreach { name =>
+      withClue(s"query $name under CODEGEN_ONLY: ") {
+        assert(graft.SparkEntry.queries(name)(s2, sfDir).count() >= 0)
+      }
+    }
+  }
+
   test("LshBuckets: deterministic, table-independent, bounded bucket ids") {
     val v = Seq.tabulate(64)(i => (math.sin(i) * 10).toFloat)
     val b1 = Seq(Tuple1(v)).toDF("v")
