@@ -161,18 +161,28 @@ object Rename {
 }
 
 /** Liquid-clustering analog (reference `02_silver_processing.py:148`):
-  * before writing, range-partition + sort within partitions on the
-  * clustering columns so parquet row-group min/max stats are tight and
-  * Spark's parquet filter pushdown can skip row groups — the OSS stand-in
-  * for Delta liquid clustering + dataSkippingStatsColumns (SURVEY §4.1).
+  * before writing, lay data out so parquet row-group min/max stats are
+  * tight and Spark's parquet filter pushdown can skip row groups — the
+  * OSS stand-in for Delta liquid clustering + dataSkippingStatsColumns
+  * (SURVEY §4.1).
   *
-  * Scale: one range exchange (samples keys to build balanced ranges —
-  * skew-tolerant); the sort is per-partition, spillable.
+  * One clustering column (or any non-orderable type in the list) →
+  * lexicographic range partition + sort. Two or more orderable columns →
+  * [[ZOrder]] interleaved layout, which is what multi-column liquid
+  * clustering actually promises: skipping power on EVERY clustering
+  * column, not just the first (lexicographic stats are tight for the
+  * leading column only).
+  *
+  * Scale: either path is exactly one range exchange (sampled, balanced,
+  * skew-tolerant) + a spillable per-partition sort.
   */
 object ClusterLayout {
   def apply(df: DataFrame, clusteringCols: Seq[String]): DataFrame = {
     val cols = clusteringCols.filter(df.columns.contains)
+    val types = cols.map(c => df.schema(c).dataType)
     if (cols.isEmpty) df
+    else if (cols.size >= 2 && types.forall(ZOrder.zorderable))
+      ZOrder.layout(df, cols)
     else df.repartitionByRange(cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
   }
