@@ -65,25 +65,38 @@ object DedupOps {
       .drop("_fp_rn")
   }
 
-  /** All-pairs n-gram Jaccard similarity ≥ threshold, via the inverted-
-    * index self-join: explode shingles, equi-join on shingle, count
-    * common shingles per pair, |A∪B| = |A|+|B|−|A∩B|.
+  /** All-pairs n-gram Jaccard similarity ≥ threshold — PPJoin-style
+    * prefix-filtered inverted-index join (Chaudhuri et al. ICDE'06 /
+    * Xiao et al. WWW'08), LOSSLESS for the given threshold:
     *
-    * `maxShingleFreq` drops shingles occurring in more than that many
-    * docs before the join — stop-shingle removal, the prefix-filtering
-    * idea that bounds the quadratic blowup of hot shingles. Documents
-    * sharing ONLY dropped shingles can no longer pair up, which is the
-    * deliberate approximation every scalable similarity join makes;
-    * pass Int.MaxValue for exact semantics (and in the DuckDB oracle).
+    *  1. per doc, the sorted distinct hashed shingle set `sh` (string
+    *     shingles and their hashes have identical set cardinalities —
+    *     the same collision-freeness every hash-based stage here relies
+    *     on, validated against the string-shingle DuckDB oracle);
+    *  2. index only each doc's PREFIX — its first
+    *     |sh| − ⌈t·|sh|⌉ + 1 hashes under the global (ascending-hash)
+    *     order. Two sets with Jaccard ≥ t MUST collide inside their
+    *     prefixes, so candidate generation is exact while the inverted
+    *     index (and the quadratic bucket blowup) shrinks by ~t;
+    *  3. verify candidates with one codegen'd merge walk
+    *     (IntersectCountSorted) over the full sets — no re-grouping of
+    *     exploded rows, n_common computed directly.
+    *
+    * Scale: the exploded prefix index is the only wide structure; hot
+    * shingles still cap via `maxShingleFreq` (stop-shingle removal — a
+    * deliberate approximation, pass Int.MaxValue for exact semantics).
+    * The verification join ships each shingle set once per side.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2,
       maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     val sh = materialized(df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh")))
+      shingleHashes(col(textCol), n).as("sh")))
       .withColumn("n_sh", size(col("sh")))
-    val inv0 = sh.select(col("id"), col("n_sh"),
-      explode(col("sh")).as("shingle"))
+    val prefixLen = (size(col("sh"))
+      - ceil(lit(threshold) * size(col("sh"))).cast("int") + 1)
+    val inv0 = sh.select(col("id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
     val inv =
       if (maxShingleFreq == Int.MaxValue) inv0
       else {
@@ -91,14 +104,18 @@ object DedupOps {
           .filter(col("count") > maxShingleFreq).select("shingle")
         inv0.join(hot, Seq("shingle"), "left_anti")
       }
-    val a = inv.select(col("id").as("id_a"), col("n_sh").as("n_a"),
-      col("shingle"))
-    val b = inv.select(col("id").as("id_b"), col("n_sh").as("n_b"),
-      col("shingle"))
-    a.join(b, Seq("shingle"))
+    val candIds = inv.select(col("id").as("id_a"), col("shingle"))
+      .join(inv.select(col("id").as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        HashExpressions.intersectCountSorted(col("sh_a"), col("sh_b"))
+          .cast("long"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

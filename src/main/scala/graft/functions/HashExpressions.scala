@@ -317,6 +317,62 @@ object HashExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Intersection size of two SORTED distinct long arrays — the same
+    * merge walk as [[JaccardSorted]] but returning the raw count, for
+    * queries that must emit |A∩B| itself (e.g. the n-gram similarity
+    * join's n_common column). */
+  case class IntersectCountSorted(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), got $other")
+      }
+    override def dataType: DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def prettyName: String = "intersect_count_sorted"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        val inter = ctx.freshName("inter")
+        s"""
+           |final int $nx = $a.numElements();
+           |final int $ny = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $nx && $j < $ny) {
+           |  final long $xv = $a.getLong($i);
+           |  final long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $inter++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $inter;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): IntersectCountSorted =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Distinct word n-grams of a token array as space-joined strings —
     * bit-identical output to
     * `array_distinct(transform(seq, i -> array_join(slice(toks,i,n),' ')))`
@@ -476,4 +532,7 @@ object HashExpressions {
 
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSorted(expression(a), expression(b)))
+
+  def intersectCountSorted(a: Column, b: Column): Column =
+    column(IntersectCountSorted(expression(a), expression(b)))
 }
