@@ -66,7 +66,9 @@ object GraftExtensions {
     arity("graft_word_ngrams", 2,
       a => HashExpressions.WordNGrams(a(0), intLit(a(1), "n"))),
     arity("graft_jaccard_sorted", 2,
-      a => HashExpressions.JaccardSorted(a(0), a(1))))
+      a => HashExpressions.JaccardSorted(a(0), a(1))),
+    arity("graft_intersect_count_sorted", 2,
+      a => HashExpressions.IntersectCountSorted(a(0), a(1))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

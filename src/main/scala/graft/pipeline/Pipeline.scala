@@ -93,6 +93,10 @@ final class PipelineRunner(
     * reference `01_bronze_ingestion.py:159`). One batch metadata pass; for
     * csv/json this samples the files. */
   def inferSourceSchema(format: String, path: String): StructType = {
+    if (format == "avro")
+      // no spark-avro DataSource in this environment: header-read via
+      // avro core (S5 — graft.sources.AvroSource)
+      return graft.sources.AvroSource.inferSchema(spark, path)
     val reader = format match {
       case "csv"  => spark.read.option("header", "true")
         .option("inferSchema", "true")
@@ -143,15 +147,25 @@ final class PipelineRunner(
       case None => StructType(target.fields ++ auditFields)
     }
 
-    val reader0 = spark.readStream.format(cfg.rawFileFormat)
-      .schema(StructType(target.fields)) // pinned source schema (pre-audit)
-    val reader = params.maxFilesPerTrigger
-      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
-    val withOpts = cfg.rawFileFormat match {
-      case "csv" => reader.option("header", "true")
-      case _     => reader
-    }
-    val raw = withOpts.load(srcPath)
+    val raw =
+      if (cfg.rawFileFormat == "avro")
+        // binaryFile stream + executor-side decode (same checkpoint/
+        // trigger semantics as the native file formats — S2/S5/T1).
+        // Decode against the PRE-upcast schema: avro ints arrive as ints
+        // and the shared Upcast projection widens them like every format.
+        graft.sources.AvroSource.readStream(spark, srcPath,
+          StructType(inferred.fields), params.maxFilesPerTrigger)
+      else {
+        val reader0 = spark.readStream.format(cfg.rawFileFormat)
+          .schema(StructType(target.fields)) // pinned source schema (pre-audit)
+        val reader = params.maxFilesPerTrigger
+          .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+        val withOpts = cfg.rawFileFormat match {
+          case "csv" => reader.option("header", "true")
+          case _     => reader
+        }
+        withOpts.load(srcPath)
+      }
 
     val projected = Audit(Upcast(raw), params.fixedIngestedAt)
     // align to the table schema: evolution keeps old columns that current

@@ -1,0 +1,98 @@
+package graft
+
+import java.io.File
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.ConfigLoader
+import graft.sources.AvroSource
+
+/** S5: avro ingestion end-to-end without a spark-avro DataSource —
+  * container files written by avro core, decoded by AvroSource, driven
+  * through the full bronze→silver pipeline incl. incremental second run.
+  */
+class AvroSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val avroSchema: Schema = SchemaBuilder.record("reading").fields()
+    .requiredLong("rid")
+    .requiredInt("temp")
+    .optionalString("site")
+    .endRecord()
+
+  private def writeAvro(dir: String, name: String,
+      rows: Seq[(Long, Int, String)]): Unit = {
+    Files.createDirectories(Path.of(dir))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, new File(dir, name))
+    try rows.foreach { case (rid, temp, site) =>
+      val r = new GenericData.Record(avroSchema)
+      r.put("rid", rid); r.put("temp", temp); r.put("site", site)
+      w.append(r)
+    } finally w.close()
+  }
+
+  test("schema inference maps avro types; int stays int pre-upcast") {
+    val dir = Files.createTempDirectory("graft-avro-inf").toString
+    writeAvro(dir, "a.avro", Seq((1L, 20, "x")))
+    val st = AvroSource.inferSchema(spark, dir)
+    assert(st.fieldNames.toSeq == Seq("rid", "temp", "site"))
+    assert(st("rid").dataType.typeName == "long")
+    assert(st("temp").dataType.typeName == "integer")
+    assert(st("site").dataType.typeName == "string")
+  }
+
+  test("batch read decodes records and carries _metadata") {
+    val dir = Files.createTempDirectory("graft-avro-batch").toString
+    writeAvro(dir, "a.avro", Seq((1L, 20, "x"), (2L, 21, null)))
+    val df = AvroSource.read(spark, dir)
+    val rows = df.orderBy("rid").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getInt(1) == 20)
+    assert(rows(1).isNullAt(2)) // optional string null round-trips
+    val meta = rows(0).getStruct(rows(0).fieldIndex("_metadata"))
+    assert(meta.getString(0).endsWith("a.avro"))
+    assert(meta.getTimestamp(1) != null)
+  }
+
+  test("avro entity runs the full pipeline incl. incremental second run") {
+    val src = Files.createTempDirectory("graft-avro-src").toString
+    val store = Files.createTempDirectory("graft-avro-store").toString
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"readings": {"raw_file_format": "avro",
+        |  "unique_primary_key": ["rid"]}}""".stripMargin)
+    writeAvro(s"$src/readings", "b1.avro",
+      Seq((1L, 20, "berlin"), (2L, 25, "lima")))
+    val entities = ConfigLoader.load(spark, src)
+    val params = config.PipelineParams(sourceLocation = src,
+      catalogName = "tavro",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+    new pipeline.PipelineRunner(spark, params, store).run(entities)
+
+    val bronze = spark.table(params.bronzeFqn("readings"))
+    assert(bronze.count() == 2)
+    // P1 upcast applied to the avro int
+    assert(bronze.schema("temp").dataType.typeName == "long")
+    // audit columns populated from the fabricated _metadata
+    val src0 = bronze.select("_source_file").collect().head.getString(0)
+    assert(src0.endsWith("b1.avro"))
+
+    // incremental: second file, rid=2 updated; checkpoint skips b1
+    writeAvro(s"$src/readings", "b2.avro", Seq((2L, 30, "lima2")))
+    new pipeline.PipelineRunner(spark, params.copy(
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-03-01 00:00:00"))),
+      store).run(entities)
+    assert(spark.table(params.bronzeFqn("readings")).count() == 3)
+    val silver = spark.table(params.silverFqn("readings"))
+    assert(silver.count() == 2) // deduped on rid, latest wins
+    val r2 = silver.filter("rid = 2").collect().head
+    assert(r2.getAs[Long]("temp") == 30L)
+    assert(r2.getAs[String]("site") == "lima2")
+  }
+}

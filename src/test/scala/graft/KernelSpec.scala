@@ -144,6 +144,7 @@ class KernelSpec extends AnyFunSuite {
       HashExpressions.simhash64($"la"),
       HashExpressions.minhashSig($"la", 4),
       HashExpressions.jaccardSorted($"la", $"la"),
+      HashExpressions.intersectCountSorted($"la", $"la"),
       HashExpressions.ngramHashes($"sa", 2),
       HashExpressions.wordNGrams($"sa", 2),
       HashExpressions.inSetCount($"sa", Seq("x"))).collect().head
@@ -157,13 +158,15 @@ class KernelSpec extends AnyFunSuite {
         |  graft_cosine(array(cast(1.0 as float), cast(0.0 as float)),
         |               array(cast(1.0 as float), cast(0.0 as float))) AS c,
         |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  graft_intersect_count_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
         |  graft_simhash(array(5L)) AS sh,
         |  size(graft_word_ngrams(array('a','b','c'), 2)) AS ng
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 0.5)
-    assert(r.getLong(2) == 5L)
-    assert(r.getInt(3) == 2)
+    assert(r.getInt(2) == 2)
+    assert(r.getLong(3) == 5L)
+    assert(r.getInt(4) == 2)
     // arity misuse raises a clear error
     val ex = intercept[Exception](
       spark.sql("SELECT graft_float_dot(array(cast(1.0 as float)))").collect())
