@@ -161,6 +161,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: deterministic hash-based train/eval split — the stable-
+    //    split primitive of a training-data pipeline: assignment depends
+    //    only on the document id (md5, engine-portable), so re-runs,
+    //    backfills, and different engines agree; no RNG state, no
+    //    sampling seed to version. Scale: a narrow projection.
+    "q_stable_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int"))
+        .select(col("doc_id"),
+          when(col("h") % 100 < 90, "train").otherwise("eval").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: IVF ANN top-k, the partition-pruning scale path (no
     //    oracle; recall vs bruteForceTopK asserted in LlmOpsSpec)
     "q_ivf_topk" -> ((s, dir) => {
@@ -355,6 +370,12 @@ object LlmQueries {
          |SELECT doc_id, lang, round(quality, 6) AS quality FROM exact
          |WHERE doc_id NOT IN (SELECT id_b FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_stable_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 100 < 90
+        |    THEN 'train' ELSE 'eval' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

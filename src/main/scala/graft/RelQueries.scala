@@ -163,6 +163,19 @@ object RelQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- A [EXT]: pivot (conditional aggregation to columns). Explicit
+    //    value list = no extra distinct-values job and a deterministic
+    //    column order; absent combos coalesce to 0 like the FILTER'd
+    //    counts in the oracle.
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = events(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", types).count()
+      types.foldLeft(p)((d, t) =>
+        d.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t))
+        .orderBy(col("user_id"))
+    }),
+
     // -- A [EXT]: EXACT grouped percentiles (Spark `percentile`, the
     //    sort-based exact form — approx_percentile is the sketch analog).
     //    Both engines define the continuous quantile as linear
@@ -212,6 +225,15 @@ object RelQueries {
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
