@@ -161,6 +161,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: context-window chunking — split each document into
+    //    overlapping 32-token windows with stride 24 (the pretraining
+    //    packing primitive), exploded to one row per chunk.
+    "q_chunk" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunkTokens(col("text"), 32, 24))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .withColumn("n_chunk_tokens",
+          size(split(col("chunk_text"), "\\s+")).cast("long"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // -- [EXT]: deterministic hash-based train/eval split — the stable-
     //    split primitive of a training-data pipeline: assignment depends
     //    only on the document id (md5, engine-portable), so re-runs,
@@ -370,6 +383,24 @@ object LlmQueries {
          |SELECT doc_id, lang, round(quality, 6) AS quality FROM exact
          |WHERE doc_id NOT IN (SELECT id_b FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |chunked AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0,
+        |        1 + greatest(0, CAST(ceil((len(t) - 32)::DOUBLE / 24) AS INT))),
+        |      i -> struct_pack(idx := i,
+        |        chunk := array_to_string(t[i*24+1 : i*24+32], ' '))) AS cs
+        |  FROM toks)
+        |SELECT doc_id, CAST(u.idx AS INTEGER) AS chunk_idx,
+        |  u.chunk AS chunk_text,
+        |  CAST(len(regexp_split_to_array(u.chunk, '\s+')) AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM (SELECT doc_id, unnest(cs) AS u FROM chunked)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_stable_split" ->
       """SELECT doc_id,

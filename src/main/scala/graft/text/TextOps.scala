@@ -142,6 +142,24 @@ object TextOps {
         .cast("double") / total.cast("double")
   }
 
+  /** Split a document into overlapping token windows — the context-window
+    * chunking primitive of a pretraining pipeline (chunk `size` tokens,
+    * advance by `stride`; stride < size gives overlap). Chunk i covers
+    * tokens [i·stride, i·stride + size); the count is
+    * 1 + max(0, ⌈(n − size) / stride⌉), so every token lands in at least
+    * one chunk and a short document yields exactly one. Pure higher-order
+    * expressions: a narrow projection that scales with input bytes.
+    * Downstream `posexplode` turns it into (doc, chunk_idx, chunk) rows.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val toks = tokens(text)
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((size(toks) - chunkSize).cast("double") / stride).cast("int"))
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))
+  }
+
   /** Winnowing-style rolling fingerprint (Schleimer et al., SIGMOD'03):
     * hash every k-gram of the normalized text, then keep the minimum hash
     * in each sliding window of w consecutive k-gram hashes. Output: the

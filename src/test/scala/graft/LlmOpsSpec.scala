@@ -74,6 +74,24 @@ class LlmOpsSpec extends AnyFunSuite {
   private lazy val docs001 =
     analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
 
+  test("chunkTokens: coverage, overlap, short-doc and boundary cases") {
+    def chunks(text: String, size: Int, stride: Int): Seq[String] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(TextOps.chunkTokens(col("t"), size, stride))
+        .as[Seq[String]].head()
+    // short doc -> exactly one chunk, the whole text
+    assert(chunks("a b c", 32, 24) == Seq("a b c"))
+    // exact boundary: n == size -> one chunk
+    assert(chunks((1 to 4).map("w" + _).mkString(" "), 4, 3)
+      == Seq("w1 w2 w3 w4"))
+    // overlap: stride 2, size 3 over 5 tokens -> [1..3], [3..5]
+    assert(chunks("t1 t2 t3 t4 t5", 3, 2) == Seq("t1 t2 t3", "t3 t4 t5"))
+    // every token appears in at least one chunk
+    val toks = (1 to 100).map("x" + _)
+    val all = chunks(toks.mkString(" "), 32, 24).flatMap(_.split(" ")).toSet
+    assert(toks.toSet.subsetOf(all))
+  }
+
   test("exactDedup: idempotent and keeps min id per duplicate group") {
     val df = Seq(
       (5L, "Alpha beta gamma."), (2L, "alpha BETA gamma"), // same normalized
