@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *  - byte-size-aware repartitioning before decode so a few giant videos
   *    don't serialize one executor (skew control for media blobs).
   *
-  * The DECODE ITSELF IS A STUB: the image/audio codec libraries are not in
-  * this container, so [[StubCodec]] produces deterministic fake
-  * pixels/frames derived from the bytes — same shape, same cost model,
-  * swap-in point marked. Everything around it is tested for real.
+  * IMAGE decode is REAL: `javax.imageio` ships with the JDK, so PNG/JPEG
+  * bytes decode to actual RGB pixels ([[ImageIoCodec]]), headless-safe.
+  * AUDIO/VIDEO codecs (ffmpeg-class) are not in this container, so frame
+  * sampling falls back to [[StubCodec]] — deterministic fake frames with
+  * the same shape and cost model, swap-in point marked. Bytes ImageIO
+  * cannot parse also fall back to the stub, so mixed/corrupt inputs
+  * degrade instead of failing the job (a curation pipeline drops or
+  * quarantines them downstream).
   */
 object Multimodal {
 
@@ -40,10 +44,42 @@ object Multimodal {
 
   case class Features(media_id: Long, embedding: Array[Float])
 
+  /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP). Returns
+    * None for bytes no installed reader understands — callers fall back
+    * to [[StubCodec]]. Channels fixed at RGB (alpha dropped): training
+    * pipelines want a uniform tensor shape. */
+  object ImageIoCodec {
+    def decodeImage(bytes: Array[Byte]): Option[Decoded] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      img.map { bi =>
+        val (w, h) = (bi.getWidth, bi.getHeight)
+        val out = new Array[Float](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            val base = (y * w + x) * 3
+            out(base) = ((rgb >> 16) & 0xff) / 255.0f
+            out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
+            out(base + 2) = (rgb & 0xff) / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(0L, w, h, 3, out)
+      }
+    }
+  }
+
   /** ======= STUB BOUNDARY =======
-    * Deterministic fake codec standing in for (e.g.) javax.imageio / ffmpeg
-    * bindings, which are not installed in this environment. Replace the
-    * bodies with real decode calls; signatures and batch shape stay. */
+    * Deterministic fake codec standing in for ffmpeg-class audio/video
+    * bindings, which are not installed in this environment (and the
+    * fallback for bytes ImageIO cannot parse). Replace the bodies with
+    * real decode calls; signatures and batch shape stay. */
   object StubCodec {
     /** "Decode" bytes to a w×h×c float image: pixel (i) is a hash of
       * (bytes digest, i) — deterministic in the input bytes. */
@@ -97,18 +133,23 @@ object Multimodal {
   def balanceBySize(df: DataFrame, parts: Int): DataFrame =
     df.repartition(parts, col("media_id"))
 
-  /** Decode images in batches of `batchSize` per partition. The iterator
-    * is consumed lazily (grouped), so memory is one batch of decoded
-    * frames, not the whole partition. */
+  /** Decode images in batches of `batchSize` per partition: REAL ImageIO
+    * decode (PNG/JPEG/GIF/BMP → RGB floats at the image's true
+    * dimensions); undecodable bytes fall back to a deterministic stub
+    * frame of `w`×`h`×`c`. The iterator is consumed lazily (grouped), so
+    * memory is one batch of decoded frames, not the whole partition. */
   def decodeImages(media: Dataset[MediaRow], batchSize: Int = 32,
       w: Int = 8, h: Int = 8, c: Int = 3): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // a real codec would init once here, decode the whole batch
+        // codec init would amortize here; ImageIO needs none
         batch.iterator.map { m =>
-          Decoded(m.media_id, w, h, c, StubCodec.decodeImage(m.bytes, w, h, c))
+          ImageIoCodec.decodeImage(m.bytes)
+            .map(_.copy(media_id = m.media_id))
+            .getOrElse(Decoded(m.media_id, w, h, c,
+              StubCodec.decodeImage(m.bytes, w, h, c)))
         }
       }
     }

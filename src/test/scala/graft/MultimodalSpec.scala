@@ -60,6 +60,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out1.values.forall(p => p.forall(v => v >= 0f && v <= 1f)))
   }
 
+  test("real PNG decode: true dimensions, exact pixel values, resize flows") {
+    // write an actual 4x2 PNG with known colors via the JDK
+    val dir = Files.createTempDirectory("graft-png")
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach { x =>
+      (0 until 2).foreach { y =>
+        img.setRGB(x, y, (x * 60 << 16) | (y * 100 << 8) | 200)
+      }
+    }
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("real.png").toFile)
+    val rows = asMediaRows(dir.toString, "*.png")
+    val d = Multimodal.decodeImages(rows).collect().head
+    // real decode: the IMAGE's dimensions, not the stub fallback's 8x8
+    assert(d.width == 4 && d.height == 2 && d.channels == 3)
+    assert(d.pixels.length == 4 * 2 * 3)
+    // pixel (0,0): r=0, g=0, b=200/255
+    assert(d.pixels(0) == 0f && d.pixels(1) == 0f)
+    assert(math.abs(d.pixels(2) - 200 / 255.0f) < 1e-6)
+    // pixel (3,1): r=180/255, g=100/255
+    val base = (1 * 4 + 3) * 3
+    assert(math.abs(d.pixels(base) - 180 / 255.0f) < 1e-6)
+    assert(math.abs(d.pixels(base + 1) - 100 / 255.0f) < 1e-6)
+    // real decoded frame flows through the (real) resize math
+    val r = Multimodal.resize(
+      Seq(d).toDS(), 2).collect().head
+    assert(r.width == 2 && r.height == 1)
+
+    // non-image bytes in the same batch fall back to the stub, job survives
+    Files.write(dir.resolve("junk.png"), Array.tabulate[Byte](64)(_.toByte))
+    val mixed = Multimodal.decodeImages(asMediaRows(dir.toString, "*.png"))
+      .collect()
+    assert(mixed.length == 2)
+    assert(mixed.exists(_.width == 4) && mixed.exists(_.width == 8))
+  }
+
   test("sampleVideoFrames: one row per frame, offsets at everyMs cadence") {
     val dir = mediaDir()
     val vids = asMediaRows(dir, "*.vid")
