@@ -58,6 +58,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_session_gap: one data shuffle feeds both windows AND the aggregate") {
+    // lag-window, running-sum window, and groupBy(user_id, session_id)
+    // must all ride the single hashpartitioning(user_id) exchange — the
+    // aggregate's required clustering is satisfied by the superset-free
+    // user_id partitioning, so sessionization at scale = scan + ONE
+    // shuffle (+ the output sort)
+    val p = plan("q_session_gap")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("jaccard/lsh top-k: candidate joins stay hash-based after rewrites") {
+    Seq("q_ngram_jaccard", "q_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$q plan degenerated:\n$p")
+    }
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
