@@ -79,26 +79,42 @@ object AvroSource {
     }
   }
 
-  /** Infer the data schema (without `_metadata`) from the first .avro file
-    * under `dir` — one driver-side header read, the batch analog of
-    * `cloudFiles.inferColumnTypes` (S6). */
-  def inferSchema(spark: SparkSession, dir: String): StructType = {
+  /** Infer the data schema (without `_metadata`) from the .avro container
+    * headers under `dir` — driver-side header reads only (a header is a
+    * few KB regardless of file size), the batch analog of
+    * `cloudFiles.inferColumnTypes` (S6). Schemas MERGE across files
+    * (union of fields by name, first type wins) so columns added by
+    * newer files surface for the S7 evolution path; reading every
+    * header is capped at the `maxHeaderReads` newest files by
+    * modification time — at real scale new columns arrive in new files,
+    * which are exactly the ones the cap keeps. */
+  def inferSchema(spark: SparkSession, dir: String,
+      maxHeaderReads: Int = 32): StructType = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val file = fs.listStatus(p).filter(_.isFile)
-      .map(_.getPath).sortBy(_.getName)
-      .find(_.getName.endsWith(".avro"))
-      .getOrElse(throw new IllegalArgumentException(s"no .avro files in $dir"))
-    val in = fs.open(file)
-    try {
-      val stream = new DataFileStream(in,
-        new GenericDatumReader[GenericRecord]())
-      try toCatalyst(stream.getSchema) match {
-        case Some(st: StructType) => st
-        case other => throw new IllegalArgumentException(
-          s"avro root schema must be a record, got $other")
-      } finally stream.close()
-    } finally in.close()
+    val files = fs.listStatus(p).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".avro"))
+      .sortBy(-_.getModificationTime)
+      .take(maxHeaderReads).map(_.getPath)
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no .avro files in $dir")
+    val schemas = files.toSeq.map { file =>
+      val in = fs.open(file)
+      try {
+        val stream = new DataFileStream(in,
+          new GenericDatumReader[GenericRecord]())
+        try toCatalyst(stream.getSchema) match {
+          case Some(st: StructType) => st
+          case other => throw new IllegalArgumentException(
+            s"avro root schema of $file must be a record, got $other")
+        } finally stream.close()
+      } finally in.close()
+    }
+    schemas.reduce { (a, b) =>
+      val have = a.fieldNames.map(_.toLowerCase).toSet
+      StructType(a.fields ++
+        b.fields.filterNot(f => have.contains(f.name.toLowerCase)))
+    }
   }
 
   // ---- decode --------------------------------------------------------------

@@ -61,6 +61,46 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(meta.getTimestamp(1) != null)
   }
 
+  test("S7 evolution: a new column in a newer avro file widens the table") {
+    val src = Files.createTempDirectory("graft-avro-evo").toString
+    val store = Files.createTempDirectory("graft-avro-evo-store").toString
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"readings": {"raw_file_format": "avro",
+        |  "unique_primary_key": ["rid"]}}""".stripMargin)
+    writeAvro(s"$src/readings", "b1.avro", Seq((1L, 20, "berlin")))
+    val entities = ConfigLoader.load(spark, src)
+    val params = config.PipelineParams(sourceLocation = src,
+      catalogName = "tavroevo",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+    new pipeline.PipelineRunner(spark, params, store).run(entities)
+    assert(!spark.table(params.bronzeFqn("readings"))
+      .columns.contains("grade"))
+
+    // second run: a NEWER file carries an extra column
+    val evolved = SchemaBuilder.record("reading").fields()
+      .requiredLong("rid").requiredInt("temp").optionalString("site")
+      .optionalString("grade")
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](evolved))
+    w.create(evolved, new File(s"$src/readings", "b2.avro"))
+    try {
+      val r = new GenericData.Record(evolved)
+      r.put("rid", 2L); r.put("temp", 31); r.put("site", "pune")
+      r.put("grade", "A")
+      w.append(r)
+    } finally w.close()
+    new pipeline.PipelineRunner(spark, params.copy(
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-03-01 00:00:00"))),
+      store).run(entities)
+
+    val bronze = spark.table(params.bronzeFqn("readings"))
+    assert(bronze.columns.contains("grade"))
+    assert(bronze.filter("rid = 1").select("grade").collect().head.isNullAt(0))
+    assert(bronze.filter("rid = 2").select("grade")
+      .collect().head.getString(0) == "A")
+  }
+
   test("avro entity runs the full pipeline incl. incremental second run") {
     val src = Files.createTempDirectory("graft-avro-src").toString
     val store = Files.createTempDirectory("graft-avro-store").toString
