@@ -176,6 +176,23 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- A [EXT]: unpivot/melt — wide metrics to (metric, value) rows,
+    //    the inverse of q_pivot (Dataset.unpivot, Spark 3.4+). Values
+    //    pre-cast to one type (unpivot requires it); decimal-exact sums.
+    "q_unpivot" -> ((s, dir) => {
+      def dsum(c: Column): Column =
+        sum(c.cast("decimal(18,2)")).cast("double")
+      val agged = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+      agged.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // -- A [EXT]: EXACT grouped percentiles (Spark `percentile`, the
     //    sort-based exact form — approx_percentile is the sketch analog).
     //    Both engines define the continuous quantile as linear
@@ -234,6 +251,21 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'signup') AS n_signup,
         |  count(*) FILTER (event_type = 'error') AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH g AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    COUNT(*)::DOUBLE AS n_items
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM g
+        |  UNION ALL
+        |  SELECT l_returnflag, 'n_items', n_items FROM g)
+        |ORDER BY l_returnflag, metric""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
