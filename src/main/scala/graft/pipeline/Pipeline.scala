@@ -205,6 +205,34 @@ final class PipelineRunner(
     Rename(gated, cfg.renamedColumns)
   }
 
+  /** runSilver's frame with expectation metrics bound to `obs`.
+    *
+    * ORDER MATTERS for the metrics: `repartitionByRange` (the cluster
+    * layout) executes its child TWICE — a sampling pass for the range
+    * boundaries, then the real shuffle — so a CollectMetrics node below
+    * it double-counts. The expectations gate (+ observe) therefore sits
+    * ABOVE the layout exchange, where it executes exactly once; filter
+    * pushdown cannot move it below because Catalyst never pushes
+    * predicates through CollectMetrics (it would change the metrics).
+    * The layout thus samples boundaries over pre-gate rows — harmless
+    * (dropped rows only nudge the sampled ranges). Output rows are
+    * identical to [[buildSilverFrame]]'s. */
+  private def silverFrameWithMetrics(entity: String, cfg: EntityConfig,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val bronze = spark.read.table(params.bronzeFqn(entity))
+    val deduped = Dedup.latestByIngestion(bronze, cfg.uniquePrimaryKey)
+    val afterCdc =
+      if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
+    val laid = ClusterLayout(afterCdc, cfg.clusteringCols)
+    val gated = obs match {
+      case Some(o) if cfg.expectAllOrDrop.nonEmpty =>
+        Expectations.observed(laid, cfg.expectAllOrDrop, o)
+      case _ => Expectations(laid, cfg.expectAllOrDrop,
+        observeName = Some(s"expectations_$entity"))
+    }
+    Rename(gated, cfg.renamedColumns)
+  }
+
   /** Full-recompute silver publish, made ATOMIC for readers: each run
     * writes to a fresh versioned directory (`.../{entity}/v{N}`), then
     * either repoints the existing table with `ALTER TABLE SET LOCATION`
@@ -217,8 +245,12 @@ final class PipelineRunner(
     * table format's atomic commit. */
   def runSilver(entity: String, cfg: EntityConfig): Unit = {
     val fqn = params.silverFqn(entity)
-    val frame = buildSilverFrame(entity, cfg)
-    val laid = ClusterLayout(frame, cfg.clusteringCols)
+    // expectation metrics ride the write action via df.observe — zero
+    // extra passes (the SDP expectation-event-log analog); persisted as
+    // table properties below so they are queryable after the run
+    val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+      new org.apache.spark.sql.Observation(s"expectations_$entity"))
+    val laid = silverFrameWithMetrics(entity, cfg, obs)
 
     val base = new org.apache.hadoop.fs.Path(silverPath(entity))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -270,9 +302,17 @@ final class PipelineRunner(
       if (PipelineRunner.readSupersededAt(fs, p).exists(_ <= horizonMs))
         fs.delete(p, true)
     }
+    val expectationMetrics: Map[String, String] = obs match {
+      case Some(o) =>
+        val m = o.get.map { case (k, v) => s"expectations.$k" -> v.toString }
+        m.foreach { case (k, v) => log(s"$fqn $k = $v") }
+        m.toMap
+      case None => Map.empty
+    }
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Silver deduplicated table for $entity") +
-      ("clustering_cols" -> cfg.clusteringCols.mkString(",")))
+      ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+      expectationMetrics)
   }
 
   // ---- phase 3: active views (catalog-only) -------------------------------

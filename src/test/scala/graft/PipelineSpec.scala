@@ -261,6 +261,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(silverDir.resolve("v2")))
   }
 
+  test("expectation violation counts are persisted as table properties") {
+    val src = tmpDir("graft-src12"); val store = tmpDir("graft-store12")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "t12")
+    runner.run(entities)
+    // batch1: id=3 has null created_at -> exactly 1 has_created violation
+    val props = spark.sql(
+      s"SHOW TBLPROPERTIES ${params.silverFqn("app_downloads")}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("expectations.violations_has_created") == "1")
+    assert(props("expectations.violations_has_id") == "0")
+  }
+
   test("compaction: many small files -> few, data identical, ingest resumes") {
     val src = tmpDir("graft-src7"); val store = tmpDir("graft-store7")
     Files.writeString(Path.of(src, "dp_config_template.json"),
