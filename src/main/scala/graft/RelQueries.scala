@@ -176,6 +176,20 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- A [EXT]: grouped array aggregation (collect_list/array_agg).
+    //    Sorted before joining so the result is order-independent (a
+    //    grouped collect has no deterministic order under parallelism);
+    //    string-joined so the oracle compare stays scalar.
+    "q_array_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          concat_ws("|", sort_array(collect_set(col("event_type"))))
+            .as("types"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+
     // -- A [EXT]: unpivot/melt — wide metrics to (metric, value) rows,
     //    the inverse of q_pivot (Dataset.unpivot, Spark 3.4+). Values
     //    pre-cast to one type (unpivot requires it); decimal-exact sums.
@@ -250,6 +264,13 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
         |  count(*) FILTER (event_type = 'signup') AS n_signup,
         |  count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list_distinct(list(event_type))), '|')
+        |    AS types,
+        |  COUNT(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_unpivot" ->
