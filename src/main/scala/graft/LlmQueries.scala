@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
@@ -172,6 +173,27 @@ object LlmQueries {
         .withColumn("n_chunk_tokens",
           size(split(col("chunk_text"), "\\s+")).cast("long"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // -- [EXT]: cross-document sequence packing — the concat-and-chunk
+    //    pretraining recipe: documents concatenate in a stable order and
+    //    split into fixed token windows; each doc's window id and offset
+    //    derive from the running token count of its predecessors.
+    //    Partitioned by shard (lang here) so packing parallelizes — a
+    //    global unpartitioned order would serialize on one task at scale.
+    "q_pack" -> ((s, dir) => {
+      val ctx = 2048
+      val byShard = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("cum_prev",
+          coalesce(sum(col("n_tokens")).over(byShard), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          (col("cum_prev") / ctx).cast("long").as("window_id"),
+          (col("cum_prev") % ctx).as("offset_in_window"))
+        .orderBy(col("doc_id"))
     }),
 
     // -- [EXT]: deterministic hash-based train/eval split — the stable-
@@ -401,6 +423,24 @@ object LlmQueries {
         |    AS n_chunk_tokens
         |FROM (SELECT doc_id, unnest(cs) AS u FROM chunked)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum_prev
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens,
+        |  cum_prev // 2048 AS window_id,
+        |  cum_prev % 2048 AS offset_in_window
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_stable_split" ->
       """SELECT doc_id,
