@@ -153,6 +153,9 @@ object TextOps {
     */
   def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) would skip the tokens " +
+        "between windows, breaking the every-token-covered contract")
     val toks = tokens(text)
     val nChunks = lit(1) + greatest(lit(0),
       ceil((size(toks) - chunkSize).cast("double") / stride).cast("int"))

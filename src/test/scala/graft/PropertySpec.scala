@@ -118,4 +118,38 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("chunkTokens: covers every token; stride==size reconstructs exactly") {
+    forAllSampled(for {
+      n <- Gen.choose(1, 120)
+      size <- Gen.choose(1, 40)
+      stride <- Gen.choose(1, size) // stride > size rejected by require
+    } yield (n, size, stride)) { case (n, size, stride) =>
+      val toks = (1 to n).map("t" + _)
+      val chunks = Seq(Tuple1(toks.mkString(" "))).toDF("t")
+        .select(TextOps.chunkTokens(col("t"), size, stride))
+        .as[Seq[String]].head()
+      // coverage: every token appears in at least one chunk
+      assert(toks.toSet.subsetOf(chunks.flatMap(_.split(" ")).toSet),
+        s"n=$n size=$size stride=$stride")
+      // no chunk exceeds the window
+      assert(chunks.forall(_.split(" ").length <= size))
+      // non-overlapping chunks concatenate back to the document
+      if (stride == size)
+        assert(chunks.flatMap(_.split(" ")) == toks)
+    }
+  }
+
+  test("ZOrder.layout: pure reshuffle — multiset of rows preserved") {
+    forAllSampled(Gen.choose(100, 2000)) { n: Int =>
+      val df = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(97)).as("x"),
+        pmod(xxhash64(col("id") + 13), lit(89)).as("y"))
+      val z = ZOrder.layout(df, Seq("x", "y"), bits = 4)
+      assert(z.count() == n)
+      assert(z.select(sum(col("x")), sum(col("y"))).head ==
+        df.select(sum(col("x")), sum(col("y"))).head)
+      assert(z.columns.toSeq == df.columns.toSeq)
+    }
+  }
 }
