@@ -37,7 +37,12 @@ object PipelineMain {
         .foreach(v => spark.conf.set(k, v))
     }
     val (runner, entities) = PipelineRunner.fromConf(spark, storageRoot)
-    runner.run(entities, fullRefresh)
+    // per-phase entity concurrency (flows within a phase are independent,
+    // like SDP's parallel resolved flows); default sequential
+    val concurrency = spark.conf.getOption("spark.pipeline_concurrency")
+      .orElse(spark.conf.getOption("pipeline_concurrency"))
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+    runner.run(entities, fullRefresh, concurrency)
     spark.stop()
   }
 }
