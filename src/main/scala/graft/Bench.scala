@@ -16,9 +16,19 @@ object Bench {
     // steady state (the first query otherwise absorbs the whole text/vector
     // kernel warmup).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // warm against the smallest sibling scale factor when present, else
+    // the bench dir itself (never silently skip — an unwarmed first
+    // query would re-absorb all the JIT cost into its measurement)
+    val warmDir = {
+      val sibling = new java.io.File(
+        new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup failed on $warmDir: $e")
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

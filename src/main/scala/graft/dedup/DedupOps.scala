@@ -85,7 +85,13 @@ object DedupOps {
     * Scale: the exploded prefix index is the only wide structure; hot
     * shingles still cap via `maxShingleFreq` (stop-shingle removal — a
     * deliberate approximation, pass Int.MaxValue for exact semantics).
-    * The verification join ships each shingle set once per side.
+    * NOTE since the prefix rewrite the cap counts a shingle's PREFIX
+    * frequency, not full document frequency — that is the quantity that
+    * actually drives the join fan-out (only prefix entries join), so the
+    * bound is tighter where it matters; callers tuning the knob against
+    * full document frequency should expect slightly more permissive
+    * filtering. The verification join ships each shingle set once per
+    * side.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2,

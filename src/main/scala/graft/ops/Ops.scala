@@ -177,12 +177,18 @@ object Rename {
   * skew-tolerant) + a spillable per-partition sort.
   */
 object ClusterLayout {
-  def apply(df: DataFrame, clusteringCols: Seq[String]): DataFrame = {
+  /** `boundsFrom`: optional cheap source for the z-order quantile sketch
+    * (see [[ZOrder.layout]]) — e.g. the bronze scan when `df` is the
+    * expensive silver pipeline. */
+  def apply(df: DataFrame, clusteringCols: Seq[String],
+      boundsFrom: Option[DataFrame] = None): DataFrame = {
     val cols = clusteringCols.filter(df.columns.contains)
     val types = cols.map(c => df.schema(c).dataType)
     if (cols.isEmpty) df
     else if (cols.size >= 2 && types.forall(ZOrder.zorderable))
-      ZOrder.layout(df, cols)
+      ZOrder.layout(df, cols,
+        boundsFrom = boundsFrom.filter(b =>
+          cols.forall(b.columns.contains)))
     else df.repartitionByRange(cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
   }

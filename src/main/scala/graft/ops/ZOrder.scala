@@ -37,6 +37,16 @@ object ZOrder {
     case _ => false
   }
 
+  /** Rank-space projection of a zorderable column to double. A direct
+    * cast works for numerics and TIMESTAMP, but DATE→DOUBLE and
+    * TIMESTAMP_NTZ→DOUBLE are illegal under Spark 4's default ANSI mode —
+    * go through days-since-epoch / a TIMESTAMP cast instead. */
+  private def toRankSpace(c: Column, dt: DataType): Column = dt match {
+    case DateType => unix_date(c).cast("double")
+    case TimestampNTZType => c.cast(TimestampType).cast("double")
+    case _ => c.cast("double")
+  }
+
   /** The interleaved z-value column for `bucketCols` (each already an
     * int in [0, 2^bits)). Bit b of bucket i lands at position
     * b * ncols + i, so columns alternate significance. */
@@ -58,30 +68,50 @@ object ZOrder {
     * plenty for file-level skipping at any table size — skipping
     * granularity is files, not rows, and even a 100 TB table has far
     * fewer than 64^2 files per clustering pair.
-    */
+    *
+    * `boundsFrom`: frame the quantile boundaries are sketched from —
+    * defaults to `df`, but when `df` sits atop an expensive pipeline
+    * (e.g. the silver dedup window), pass a CHEAP equivalent source
+    * (the bronze scan): the sketch is an eager extra action, and layout
+    * boundaries only need the approximate value distribution, which the
+    * pre-dedup data approximates fine. The passed frame just needs the
+    * clustering columns. */
   def layout(df: DataFrame, cols: Seq[String], bits: Int = 6,
       relativeError: Double = 0.01,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      boundsFrom: Option[DataFrame] = None): DataFrame = {
     require(cols.nonEmpty, "ZOrder.layout needs at least one column")
     val nBuckets = 1 << bits
-    val tmp = cols.indices.map(i => s"_zq$i")
+    // temp names must not collide with user columns (withColumn would
+    // silently REPLACE a same-named column and drop() would delete it)
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+    val tmp = cols.indices.map(i => fresh(s"_zq$i"))
+    val zvalName = fresh("_zval")
+    def ranked(src: DataFrame): DataFrame = src.select(
+      cols.zip(tmp).map { case (c, t) =>
+        toRankSpace(col(c), src.schema(c).dataType).as(t)
+      }.toIndexedSeq: _*)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    // one driver-side sketch pass (column-pruned scan of boundsFrom)
+    val bounds = ranked(boundsFrom.getOrElse(df))
+      .stat.approxQuantile(tmp.toArray, probs, relativeError)
     val withTmp = df.select(
       df.columns.map(col).toIndexedSeq ++
-        cols.zip(tmp).map { case (c, t) => col(c).cast("double").as(t) }: _*)
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // one driver-side sketch pass over all clustering columns together
-    val bounds = withTmp.stat.approxQuantile(tmp.toArray, probs, relativeError)
+        cols.zip(tmp).map { case (c, t) =>
+          toRankSpace(col(c), df.schema(c).dataType).as(t)
+        }: _*)
     val bucketCols = tmp.zip(bounds.toSeq).map { case (t, bs) =>
       val bArr = array(bs.distinct.map(lit(_)).toIndexedSeq: _*)
       aggregate(bArr, lit(0),
         (acc, b) => acc + when(col(t) >= b, 1).otherwise(0))
     }
-    val zd = withTmp.withColumn("_zval", interleave(bucketCols, bits))
+    val zd = withTmp.withColumn(zvalName, interleave(bucketCols, bits))
     // numPartitions ~ target file count (the optimize-write analog);
     // default = spark.sql.shuffle.partitions
-    numPartitions.fold(zd.repartitionByRange(col("_zval")))(
-        n => zd.repartitionByRange(n, col("_zval")))
-      .sortWithinPartitions(col("_zval"))
-      .drop(tmp :+ "_zval": _*)
+    numPartitions.fold(zd.repartitionByRange(col(zvalName)))(
+        n => zd.repartitionByRange(n, col(zvalName)))
+      .sortWithinPartitions(col(zvalName))
+      .drop(tmp :+ zvalName: _*)
   }
 }

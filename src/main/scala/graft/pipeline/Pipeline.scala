@@ -195,17 +195,10 @@ final class PipelineRunner(
     * 115-150`): batch read of bronze → PK dedup (latest `_ingested_at`
     * wins) → optional CDC-delete filter → expectations gate → rename →
     * cluster layout → overwrite. */
-  def buildSilverFrame(entity: String, cfg: EntityConfig): DataFrame = {
-    val bronze = spark.read.table(params.bronzeFqn(entity))
-    val deduped = Dedup.latestByIngestion(bronze, cfg.uniquePrimaryKey)
-    val afterCdc =
-      if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
-    val gated = Expectations(afterCdc, cfg.expectAllOrDrop,
-      observeName = Some(s"expectations_$entity"))
-    Rename(gated, cfg.renamedColumns)
-  }
-
-  /** runSilver's frame with expectation metrics bound to `obs`.
+  /** The silver frame: dedup → CDC filter → cluster layout →
+    * expectations gate (+ metrics) → rename. When `obs` is given,
+    * expectation violation counts bind to it (read after the write
+    * action).
     *
     * ORDER MATTERS for the metrics: `repartitionByRange` (the cluster
     * layout) executes its child TWICE — a sampling pass for the range
@@ -215,15 +208,23 @@ final class PipelineRunner(
     * pushdown cannot move it below because Catalyst never pushes
     * predicates through CollectMetrics (it would change the metrics).
     * The layout thus samples boundaries over pre-gate rows — harmless
-    * (dropped rows only nudge the sampled ranges). Output rows are
-    * identical to [[buildSilverFrame]]'s. */
-  private def silverFrameWithMetrics(entity: String, cfg: EntityConfig,
-      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    * (dropped rows only nudge the sampled ranges).
+    *
+    * The layout runs on the PRE-rename frame (so expectations keep the
+    * reference's pre-rename column vocabulary above it); clustering
+    * columns configured under their post-rename silver names are
+    * translated back. The bronze scan serves as the z-order quantile
+    * sketch source so the sketch never re-executes the dedup window. */
+  def buildSilverFrame(entity: String, cfg: EntityConfig,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val bronze = spark.read.table(params.bronzeFqn(entity))
     val deduped = Dedup.latestByIngestion(bronze, cfg.uniquePrimaryKey)
     val afterCdc =
       if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
-    val laid = ClusterLayout(afterCdc, cfg.clusteringCols)
+    val newToOld = cfg.renamedColumns.map(_.swap)
+    val clusterCols = cfg.clusteringCols.map(c => newToOld.getOrElse(c, c))
+    val laid = ClusterLayout(afterCdc, clusterCols,
+      boundsFrom = Some(bronze))
     val gated = obs match {
       case Some(o) if cfg.expectAllOrDrop.nonEmpty =>
         Expectations.observed(laid, cfg.expectAllOrDrop, o)
@@ -250,7 +251,7 @@ final class PipelineRunner(
     // table properties below so they are queryable after the run
     val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
       new org.apache.spark.sql.Observation(s"expectations_$entity"))
-    val laid = silverFrameWithMetrics(entity, cfg, obs)
+    val laid = buildSilverFrame(entity, cfg, obs)
 
     val base = new org.apache.hadoop.fs.Path(silverPath(entity))
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -441,13 +442,15 @@ object PipelineRunner {
     val p = new org.apache.hadoop.fs.Path(versionDir, SupersededMarker)
     if (!fs.exists(p)) None
     else {
+      // readFully, not read(): a single read() may legally return fewer
+      // bytes, and a truncated epoch string would parse to a tiny
+      // timestamp that vacuums the version immediately
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
       val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        new String(bytes, 0, math.max(n, 0),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-      } finally in.close()
+      try in.readFully(0, bytes) finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toLongOption
     }
   }
 

@@ -126,8 +126,8 @@ object AvroSource {
       val arr = new Array[Byte](x.remaining()); x.duplicate().get(arr); arr
     case (x: org.apache.avro.generic.GenericFixed, BinaryType) => x.bytes()
     case (x: java.lang.Long, TimestampType) =>
-      // timestamp-micros is avro's common default; millis files would need
-      // the logical type threaded through — micros assumed, documented
+      // unit resolved per-field by recordToRow (micros here = the value
+      // was already normalized to micros before reaching convert)
       java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(x * 1000L))
     case (x: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong))
@@ -142,10 +142,36 @@ object AvroSource {
     case (x, _) => x // primitives already aligned (int/long/float/double/bool)
   }
 
+  /** Effective avro schema of a field, unions unwrapped to the non-null
+    * branch (for logical-type inspection). */
+  private def fieldSchema(r: GenericRecord, name: String): Option[AvroSchema] =
+    Option(r.getSchema.getField(name)).map { f =>
+      val s = f.schema()
+      if (s.getType == AvroSchema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL)
+          .getOrElse(s)
+      else s
+    }
+
   private def recordToRow(r: GenericRecord, target: StructType): Row =
     Row.fromSeq(target.fields.toSeq.map { f =>
       if (r.getSchema.getField(f.name) == null) null
-      else convert(r.get(f.name), f.dataType)
+      else {
+        val v = r.get(f.name)
+        // timestamp unit comes from the FIELD's logical type — millis
+        // and micros are both common; normalize to micros before the
+        // shared conversion (a raw long with no logical type would not
+        // have inferred TimestampType in the first place)
+        val normalized = (v, f.dataType) match {
+          case (x: java.lang.Long, TimestampType)
+              if fieldSchema(r, f.name).exists(s =>
+                Option(s.getLogicalType)
+                  .exists(_.getName == "timestamp-millis")) =>
+            java.lang.Long.valueOf(x * 1000L)
+          case _ => v
+        }
+        convert(normalized, f.dataType)
+      }
     })
 
   /** Decode a `binaryFile` frame (path, modificationTime, length, content)

@@ -26,7 +26,7 @@ object CodegenProbe {
         val root = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
           .toSeq.last
         println(s"FAIL $name: ${root.getClass.getSimpleName}: " +
-          root.getMessage.take(300))
+          String.valueOf(root.getMessage).take(300))
       }
     }
     spark.stop()

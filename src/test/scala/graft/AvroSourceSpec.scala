@@ -61,6 +61,34 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(meta.getTimestamp(1) != null)
   }
 
+  test("timestamp-millis and timestamp-micros logical types decode correctly") {
+    val dir = Files.createTempDirectory("graft-avro-ts").toString
+    val ms = org.apache.avro.LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val us = org.apache.avro.LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val sch = Schema.createRecord("ts_rec", null, "g", false,
+      java.util.List.of(
+        new Schema.Field("rid", Schema.create(Schema.Type.LONG), null, null),
+        new Schema.Field("t_ms", ms, null, null),
+        new Schema.Field("t_us", us, null, null)))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new File(dir, "ts.avro"))
+    try {
+      val r = new GenericData.Record(sch)
+      val epochMs = 1704067200000L // 2024-01-01T00:00:00Z
+      r.put("rid", 1L); r.put("t_ms", epochMs); r.put("t_us", epochMs * 1000)
+      w.append(r)
+    } finally w.close()
+    val row = AvroSource.read(spark, dir).collect().head
+    val expect = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    assert(row.getAs[java.sql.Timestamp]("t_ms") == expect,
+      s"millis decoded as ${row.getAs[java.sql.Timestamp]("t_ms")}")
+    assert(row.getAs[java.sql.Timestamp]("t_us") == expect)
+  }
+
   test("S7 evolution: a new column in a newer avro file widens the table") {
     val src = Files.createTempDirectory("graft-avro-evo").toString
     val store = Files.createTempDirectory("graft-avro-evo-store").toString

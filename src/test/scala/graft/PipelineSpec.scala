@@ -261,6 +261,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!Files.exists(silverDir.resolve("v2")))
   }
 
+  test("clustering col configured under its post-rename name still lays out") {
+    val src = tmpDir("graft-src13"); val store = tmpDir("graft-store13")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"rates": {"raw_file_format": "csv",
+        |  "unique_primary_key": ["code"],
+        |  "renamed_columns": ["code:currency_code"],
+        |  "clustering_cols": ["currency_code"]}}""".stripMargin)
+    Seq("code,rate", "EUR,1.08", "GBP,1.27").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/rates")
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "t13")
+    runner.run(entities)
+    // layout runs pre-rename: "currency_code" must translate back to
+    // "code" instead of silently filtering out (no layout at all)
+    val frame = runner.buildSilverFrame("rates", entities("rates"))
+    val logical = frame.queryExecution.logical.toString
+    assert(logical.contains("RepartitionByExpression"),
+      s"clustering dropped from plan:\n$logical")
+    assert(spark.table(params.silverFqn("rates"))
+      .columns.contains("currency_code"))
+  }
+
   test("expectation violation counts are persisted as table properties") {
     val src = tmpDir("graft-src12"); val store = tmpDir("graft-store12")
     writeConfig(src); writeBatch1(src)

@@ -59,6 +59,29 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order x-band should skip at least half of $total, got $zTouchX")
   }
 
+  test("z-order handles date and timestamp_ntz clustering columns (ANSI casts)") {
+    val df = spark.range(200).select(
+      expr("date_add(date '2024-01-01', cast(id % 90 as int))").as("d"),
+      expr("cast(timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id) as timestamp_ntz)").as("tntz"),
+      (col("id") % 7).as("k"))
+    // DATE->DOUBLE and TIMESTAMP_NTZ->DOUBLE casts are illegal under ANSI;
+    // the rank-space projection must route around them
+    val z = ZOrder.layout(df, Seq("d", "tntz", "k"))
+    assert(z.count() == 200)
+    assert(z.columns.toSeq == Seq("d", "tntz", "k"))
+  }
+
+  test("temp z columns never clobber same-named user columns") {
+    val df = spark.range(50).select(
+      col("id").as("x"), (col("id") * 3).as("y"),
+      (col("id") + 1000).as("_zval"), (col("id") + 2000).as("_zq0"))
+    val z = ZOrder.layout(df, Seq("x", "y"))
+    assert(z.columns.toSet == Set("x", "y", "_zval", "_zq0"))
+    // the user's _zval column survives untouched
+    assert(z.select(sum(col("_zval"))).head.getLong(0)
+      == df.select(sum(col("_zval"))).head.getLong(0))
+  }
+
   test("ClusterLayout dispatches: multi-col numeric -> z-order, strings -> lexicographic") {
     val df = Seq((1L, 2L, "a"), (3L, 4L, "b")).toDF("x", "y", "s")
     // multi-col numeric: z-value path (plan contains the interleave calc;
