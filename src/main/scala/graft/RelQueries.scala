@@ -176,6 +176,27 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- F7 [EXT]: date-spine densification — a generated calendar
+    //    (`sequence` over the observed min/max) left-joined to the daily
+    //    aggregate so gap days appear as explicit zeros; the standard
+    //    time-series densification every warehouse needs. The spine is
+    //    tiny (one row per day) and broadcastable at any fact scale.
+    "q_date_spine" -> ((s, dir) => {
+      val o = t(s, dir, "orders").withColumn("d", to_date(col("o_orderdate")))
+      val agg = o.groupBy(col("d")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      val bounds = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(agg, Seq("d"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy(col("day"))
+    }),
+
     // -- A [EXT]: grouped array aggregation (collect_list/array_agg).
     //    Sorted before joining so the result is order-independent (a
     //    grouped collect has no deterministic order under parallelism);
@@ -265,6 +286,24 @@ object RelQueries {
         |  count(*) FILTER (event_type = 'signup') AS n_signup,
         |  count(*) FILTER (event_type = 'error') AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_date_spine" ->
+      """WITH b AS (
+        |  SELECT min(o_orderdate::DATE) lo, max(o_orderdate::DATE) hi
+        |  FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT lo FROM b),
+        |    (SELECT hi FROM b), INTERVAL 1 DAY))::DATE AS d),
+        |agg AS (
+        |  SELECT o_orderdate::DATE AS d, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(spine.d, '%Y-%m-%d') AS day,
+        |  COALESCE(agg.n_orders, 0) AS n_orders,
+        |  COALESCE(agg.revenue, 0.0) AS revenue
+        |FROM spine LEFT JOIN agg ON spine.d = agg.d
+        |ORDER BY day""".stripMargin,
 
     "q_array_agg" ->
       """SELECT user_id,
