@@ -186,9 +186,13 @@ object ClusterLayout {
     val types = cols.map(c => df.schema(c).dataType)
     if (cols.isEmpty) df
     else if (cols.size >= 2 && types.forall(ZOrder.zorderable))
+      // bounds source must carry the SAME types — a differently-typed
+      // column would sketch boundaries in a different rank space (or
+      // crash the ANSI cast) and silently wreck the layout
       ZOrder.layout(df, cols,
         boundsFrom = boundsFrom.filter(b =>
-          cols.forall(b.columns.contains)))
+          cols.forall(c => b.columns.contains(c) &&
+            b.schema(c).dataType == df.schema(c).dataType)))
     else df.repartitionByRange(cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
   }

@@ -444,13 +444,18 @@ object PipelineRunner {
     else {
       // readFully, not read(): a single read() may legally return fewer
       // bytes, and a truncated epoch string would parse to a tiny
-      // timestamp that vacuums the version immediately
-      val len = fs.getFileStatus(p).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = fs.open(p)
-      try in.readFully(0, bytes) finally in.close()
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toLongOption
+      // timestamp that vacuums the version immediately. A valid marker
+      // is <= 20 bytes; anything larger is corrupt -> unparseable (None)
+      // rather than an unbounded driver-heap read
+      val len = fs.getFileStatus(p).getLen
+      if (len > 64) None
+      else {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .trim.toLongOption
+      }
     }
   }
 

@@ -38,10 +38,15 @@ object PipelineMain {
     }
     val (runner, entities) = PipelineRunner.fromConf(spark, storageRoot)
     // per-phase entity concurrency (flows within a phase are independent,
-    // like SDP's parallel resolved flows); default sequential
+    // like SDP's parallel resolved flows); default sequential. Unparseable
+    // or non-positive values FAIL like the other conf parsers — silently
+    // running sequential would mask a typo'd parallelism setting
     val concurrency = spark.conf.getOption("spark.pipeline_concurrency")
       .orElse(spark.conf.getOption("pipeline_concurrency"))
-      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+      .map(v => v.toIntOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"pipeline_concurrency must be a positive int, got '$v'")))
+      .getOrElse(1)
     runner.run(entities, fullRefresh, concurrency)
     spark.stop()
   }

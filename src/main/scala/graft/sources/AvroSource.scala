@@ -119,60 +119,69 @@ object AvroSource {
 
   // ---- decode --------------------------------------------------------------
 
-  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
-    case (null, _) => null
-    case (x, StringType) => x.toString
-    case (x: java.nio.ByteBuffer, BinaryType) =>
-      val arr = new Array[Byte](x.remaining()); x.duplicate().get(arr); arr
-    case (x: org.apache.avro.generic.GenericFixed, BinaryType) => x.bytes()
-    case (x: java.lang.Long, TimestampType) =>
-      // unit resolved per-field by recordToRow (micros here = the value
-      // was already normalized to micros before reaching convert)
-      java.sql.Timestamp.from(java.time.Instant.EPOCH.plusNanos(x * 1000L))
-    case (x: java.lang.Integer, DateType) =>
-      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong))
-    case (x: java.lang.Integer, LongType) => x.toLong
-    case (x: java.lang.Float, DoubleType) => x.toDouble
-    case (x: GenericRecord, st: StructType) => recordToRow(x, st)
-    case (x: java.util.Collection[_], ArrayType(et, _)) =>
-      x.asScala.map(convert(_, et)).toSeq
-    case (x: java.util.Map[_, _], MapType(_, vt, _)) =>
-      x.asScala.map { case (k, value) => k.toString -> convert(value, vt) }
-        .toMap
-    case (x, _) => x // primitives already aligned (int/long/float/double/bool)
-  }
+  /** Union-unwrapped avro schema (the non-null branch) — logical types
+    * hang off the concrete branch, not the union wrapper. */
+  private def effective(s: AvroSchema): AvroSchema =
+    if (s.getType == AvroSchema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL).getOrElse(s)
+    else s
 
-  /** Effective avro schema of a field, unions unwrapped to the non-null
-    * branch (for logical-type inspection). */
-  private def fieldSchema(r: GenericRecord, name: String): Option[AvroSchema] =
-    Option(r.getSchema.getField(name)).map { f =>
-      val s = f.schema()
-      if (s.getType == AvroSchema.Type.UNION)
-        s.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL)
-          .getOrElse(s)
-      else s
+  /** Avro timestamp long → epoch micros, by the schema's logical type
+    * (millis, micros, and avro 1.12's nanos — the latter truncates to
+    * micros, matching the inferred TimestampType's precision). */
+  private def tsToMicros(av: Option[AvroSchema], x: Long): Long =
+    av.flatMap(s => Option(s.getLogicalType).map(_.getName)) match {
+      case Some("timestamp-millis") => x * 1000L
+      case Some("timestamp-nanos")  => x / 1000L
+      case _                        => x // timestamp-micros
+    }
+
+  /** Convert one avro value to the Catalyst `dt`, with `av` the value's
+    * effective avro schema (threaded through collections/records so
+    * timestamp units resolve at ANY nesting depth). */
+  private def convert(v: Any, dt: DataType, av: Option[AvroSchema]): Any =
+    (v, dt) match {
+      case (null, _) => null
+      case (x, StringType) => x.toString
+      case (x: java.nio.ByteBuffer, BinaryType) =>
+        val arr = new Array[Byte](x.remaining()); x.duplicate().get(arr); arr
+      case (x: org.apache.avro.generic.GenericFixed, BinaryType) => x.bytes()
+      case (x: java.lang.Long, TimestampType) =>
+        java.sql.Timestamp.from(java.time.Instant.EPOCH
+          .plusNanos(tsToMicros(av, x) * 1000L))
+      case (x: java.lang.Integer, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong))
+      case (x: java.lang.Integer, LongType) => x.toLong
+      case (x: java.lang.Float, DoubleType) => x.toDouble
+      case (x: GenericRecord, st: StructType) => recordToRow(x, st)
+      case (x: java.util.Collection[_], ArrayType(et, _)) =>
+        val es = av.map(s => effective(s.getElementType))
+        x.asScala.map(convert(_, et, es)).toSeq
+      case (x: java.util.Map[_, _], MapType(_, vt, _)) =>
+        val vs = av.map(s => effective(s.getValueType))
+        x.asScala.map { case (k, value) =>
+          k.toString -> convert(value, vt, vs)
+        }.toMap
+      case (x, _) => x // primitives already aligned
     }
 
   private def recordToRow(r: GenericRecord, target: StructType): Row =
     Row.fromSeq(target.fields.toSeq.map { f =>
-      if (r.getSchema.getField(f.name) == null) null
-      else {
-        val v = r.get(f.name)
-        // timestamp unit comes from the FIELD's logical type — millis
-        // and micros are both common; normalize to micros before the
-        // shared conversion (a raw long with no logical type would not
-        // have inferred TimestampType in the first place)
-        val normalized = (v, f.dataType) match {
-          case (x: java.lang.Long, TimestampType)
-              if fieldSchema(r, f.name).exists(s =>
-                Option(s.getLogicalType)
-                  .exists(_.getName == "timestamp-millis")) =>
-            java.lang.Long.valueOf(x * 1000L)
-          case _ => v
-        }
-        convert(normalized, f.dataType)
+      Option(r.getSchema.getField(f.name)) match {
+        case None => null
+        case Some(fld) =>
+          convert(r.get(f.name), f.dataType, Some(effective(fld.schema())))
       }
     })
+
+  /** Per-file decode plan: (name, catalyst type, effective avro schema)
+    * resolved ONCE against the file's writer schema instead of per row. */
+  private def fieldPlan(writer: AvroSchema, target: StructType)
+      : Array[(String, DataType, Option[AvroSchema])] =
+    target.fields.map { f =>
+      (f.name, f.dataType,
+        Option(writer.getField(f.name)).map(fl => effective(fl.schema())))
+    }
 
   /** Decode a `binaryFile` frame (path, modificationTime, length, content)
     * into `target` data columns + the `_metadata` struct. */
@@ -189,12 +198,21 @@ object AvroSource {
           val stream = new DataFileStream(new ByteArrayInputStream(bytes),
             new GenericDatumReader[GenericRecord]())
           val meta = Row(path, mod)
+          // field plan resolved once per FILE (writer schema is constant
+          // within a container) — no per-row schema walks.
           // DataFileStream over in-memory bytes: fully consumed here, so
           // closing eagerly after materializing the file's rows is safe
           // and keeps the iterator contract simple
-          try stream.iterator().asScala.map(rec =>
-            Row.fromSeq(recordToRow(rec, targetB).toSeq :+ meta)).toVector
-          finally stream.close()
+          try {
+            val plan = fieldPlan(stream.getSchema, targetB)
+            stream.iterator().asScala.map { rec =>
+              val vals = plan.map {
+                case (_, _, None) => null
+                case (name, dt, avs) => convert(rec.get(name), dt, avs)
+              }
+              Row.fromSeq(vals.toSeq :+ meta)
+            }.toVector
+          } finally stream.close()
         }
       }(Encoders.row(out))
   }
