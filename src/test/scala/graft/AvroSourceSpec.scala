@@ -89,6 +89,31 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(row.getAs[java.sql.Timestamp]("t_us") == expect)
   }
 
+  test("timestamp-millis inside an array decodes correctly (nested units)") {
+    val dir = Files.createTempDirectory("graft-avro-nested").toString
+    val ms = org.apache.avro.LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val sch = Schema.createRecord("n_rec", null, "g", false,
+      java.util.List.of(
+        new Schema.Field("rid", Schema.create(Schema.Type.LONG), null, null),
+        new Schema.Field("times", Schema.createArray(ms), null, null)))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new File(dir, "n.avro"))
+    try {
+      val r = new GenericData.Record(sch)
+      r.put("rid", 1L)
+      r.put("times", java.util.List.of(
+        java.lang.Long.valueOf(1704067200000L))) // 2024-01-01T00:00:00Z ms
+      w.append(r)
+    } finally w.close()
+    val row = AvroSource.read(spark, dir).collect().head
+    val ts = row.getAs[Seq[java.sql.Timestamp]]("times").head
+    assert(ts == java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")),
+      s"nested millis decoded as $ts")
+  }
+
   test("S7 evolution: a new column in a newer avro file widens the table") {
     val src = Files.createTempDirectory("graft-avro-evo").toString
     val store = Files.createTempDirectory("graft-avro-evo-store").toString
