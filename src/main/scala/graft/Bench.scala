@@ -4,10 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: pay JVM/JIT/codegen/session init once, outside the timings —
@@ -18,15 +18,23 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // warm against the smallest sibling scale factor when present, else
     // the bench dir itself (never silently skip — an unwarmed first
-    // query would re-absorb all the JIT cost into its measurement)
-    val warmDir = {
-      val sibling = new java.io.File(
-        new java.io.File(sfDir).getParentFile, "sf0.001")
-      if (sibling.isDirectory) sibling.getPath else sfDir
-    }
+    // query would re-absorb all the JIT cost into its measurement).
+    // Full-scale fallback warmup roughly doubles bench wall-clock and
+    // pre-populates the page cache from the measured dataset, so log it
+    // LOUDLY and bound each query's warmup with limit(1) partial
+    // evaluation (enough to compile + JIT the generated code paths).
+    val sibling = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
+    val (warmDir, fullScaleWarm) =
+      if (sibling.isDirectory) (sibling.getPath, false) else (sfDir, true)
+    if (fullScaleWarm)
+      System.err.println(s"[bench] WARNING: no sf0.001 sibling; warming " +
+        s"against the measured dataset $sfDir with limit(1) per query")
     SparkEntry.queries.values.foreach { fn =>
-      try fn(spark, warmDir).count()
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, warmDir)
+        if (fullScaleWarm) df.limit(1).count() else df.count()
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] warmup failed on $warmDir: $e")
       }
     }

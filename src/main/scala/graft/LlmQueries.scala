@@ -107,7 +107,12 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // -- [EXT]: embedding-cosine near-dup pairs (exact all-pairs form)
+    // -- [EXT]: embedding-cosine near-dup pairs — EXACT via the
+    //    block-partitioned all-pairs equi-join (no CartesianProduct; the
+    //    n²/2 compares spread over B²/2 balanced tasks with O(n·B) shuffle;
+    //    PlanSpec-asserted). Equality with the naive cross-join asserted
+    //    in LlmOpsSpec; the pruning path for cos ≳ 0.9 corpora is
+    //    SimilarityOps.cosineNearDupPairsLsh (recall-spec'd).
     "q_embed_neardup" -> ((s, dir) => {
       SimilarityOps.cosineNearDupPairs(t(s, dir, "embeddings"), 0.4)
         .withColumn("cos", round(col("cos"), 6))
@@ -176,21 +181,44 @@ object LlmQueries {
     }),
 
     // -- [EXT]: cross-document sequence packing — the concat-and-chunk
-    //    pretraining recipe: documents concatenate in a stable order and
-    //    split into fixed token windows; each doc's window id and offset
-    //    derive from the running token count of its predecessors.
-    //    Partitioned by shard (lang here) so packing parallelizes — a
-    //    global unpartitioned order would serialize on one task at scale.
+    //    pretraining recipe: documents concatenate in ONE deterministic
+    //    global order (shard asc, doc_id asc) and split into fixed token
+    //    windows; each doc's window id and offset derive from the exact
+    //    running token count of its predecessors in that order.
+    //
+    //    Two-pass shard-offset scheme so packing parallelizes at corpus
+    //    scale: (1) running sum WITHIN each of 32 hash(doc_id) shards —
+    //    high-cardinality key, so no task ever sees more than ~1/32 of
+    //    the corpus (a lang-keyed window would serialize per language);
+    //    (2) the 32 per-shard token totals turn into exclusive-prefix
+    //    offsets (a window over 32 AGGREGATE rows, constant size at any
+    //    corpus scale) and broadcast-join back. Offsets are exact token
+    //    counts, so windows spanning shard boundaries pack seamlessly.
+    //    The shard hash is the same engine-portable md5 prefix as
+    //    q_stable_split, so the DuckDB oracle reproduces it bit-exactly.
     "q_pack" -> ((s, dir) => {
       val ctx = 2048
-      val byShard = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t(s, dir, "documents")
+      val nShards = 32
+      val docs = t(s, dir, "documents")
         .withColumn("n_tokens",
           size(split(trim(col("text")), "\\s+")).cast("long"))
-        .withColumn("cum_prev",
-          coalesce(sum(col("n_tokens")).over(byShard), lit(0L)))
-        .select(col("doc_id"), col("lang"), col("n_tokens"),
+        .withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("int") % nShards))
+      val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = docs.withColumn("cum_local",
+        coalesce(sum(col("n_tokens")).over(byShard), lit(0L)))
+      val shardOrder = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).as("shard_total"))
+        .withColumn("shard_off",
+          coalesce(sum(col("shard_total")).over(shardOrder), lit(0L)))
+        .select(col("shard"), col("shard_off"))
+      local.join(broadcast(offsets), Seq("shard"))
+        .withColumn("cum_prev", col("shard_off") + col("cum_local"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard"),
           (col("cum_prev") / ctx).cast("long").as("window_id"),
           (col("cum_prev") % ctx).as("offset_in_window"))
         .orderBy(col("doc_id"))
@@ -428,19 +456,28 @@ object LlmQueries {
       """WITH t AS (
         |  SELECT doc_id, lang,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens
+        |      AS n_tokens,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER % 32)
+        |      AS shard
         |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, lang, n_tokens,
-        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |loc AS (
+        |  SELECT doc_id, lang, n_tokens, shard,
+        |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard
         |      ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
-        |      0) AS cum_prev
-        |  FROM t)
-        |SELECT doc_id, lang, n_tokens,
-        |  cum_prev // 2048 AS window_id,
-        |  cum_prev % 2048 AS offset_in_window
-        |FROM c ORDER BY doc_id""".stripMargin,
+        |      0) AS cum_local
+        |  FROM t),
+        |tot AS (SELECT shard, SUM(n_tokens) AS shard_total FROM t GROUP BY shard),
+        |off AS (
+        |  SELECT shard,
+        |    COALESCE(CAST(SUM(shard_total) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS shard_off
+        |  FROM tot)
+        |SELECT doc_id, lang, n_tokens, shard,
+        |  (shard_off + cum_local) // 2048 AS window_id,
+        |  (shard_off + cum_local) % 2048 AS offset_in_window
+        |FROM loc JOIN off USING (shard) ORDER BY doc_id""".stripMargin,
 
     "q_stable_split" ->
       """SELECT doc_id,

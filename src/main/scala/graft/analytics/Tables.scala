@@ -11,10 +11,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * precision, no truncation, and integer arithmetic (`ts DIV 1000` → µs)
   * keeps it deterministic against the DuckDB oracle (DuckDB truncates the
   * same column to µs on read).
+  *
+  * The flag is session-level and must be set ONCE at session build (see
+  * [[GraftSession.configure]], applied by Verify/Bench/test sessions) —
+  * a reader helper mutating session conf per table read would be a global
+  * side effect in the hot path.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
+}
+
+/** Session-build knobs every graft entry point applies uniformly. */
+object GraftSession {
+  /** Confs graft readers rely on; call on the builder before getOrCreate. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
 }

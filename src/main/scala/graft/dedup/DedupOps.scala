@@ -210,18 +210,27 @@ object DedupOps {
     val width = 64 / chunks
     val withSig = materialized(
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
-    val blocked = withSig.select(col("id"), col("sig"),
+    // blocking join + candidate dedup carry ONLY ids (minhashLsh
+    // discipline): a pair colliding on several chunks would otherwise
+    // ship its two 64-bit sigs once per collision through the distinct's
+    // exchange; ids dedup first, sigs join back exactly once per side
+    val blocked = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * width)
           .bitwiseAND((1L << width) - 1L))).as(Seq("chunk", "chunk_val")))
-    val l = blocked.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("chunk"), col("chunk_val"))
-    val r = blocked.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("chunk"), col("chunk_val"))
-    l.join(r, Seq("chunk", "chunk_val"))
+    val candIds = blocked.select(col("id").as("id_a"), col("chunk"),
+      col("chunk_val"))
+      .join(blocked.select(col("id").as("id_b"), col("chunk"),
+        col("chunk_val")), Seq("chunk", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candIds
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingDist(col("sig_a"), col("sig_b")).as("dist")).distinct()
+        hammingDist(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
 }

@@ -22,10 +22,10 @@ object PipelineMain {
       "usage: PipelineMain <storageRoot> [--full-refresh]")
     val storageRoot = args(0)
     val fullRefresh = args.contains("--full-refresh")
-    val spark = SparkSession.builder()
+    val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
       .appName("graft-pipeline")
       .config("spark.sql.session.timeZone",
-        sys.env.getOrElse("GRAFT_TZ", "UTC"))
+        sys.env.getOrElse("GRAFT_TZ", "UTC")))
       .getOrCreate()
     // the reference reads params via spark.conf.get("source_location") etc.
     // (00_config_loader.py:25-31); Spark requires the `spark.` prefix on

@@ -175,31 +175,96 @@ object SimilarityOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold). The exact
-    * form is the symmetric self cross-join; the scale path reuses
-    * [[lshAssign]] so only same-bucket pairs are scored (near-dups agree
-    * on sign buckets with high probability at cos ≳ 0.9). */
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), EXACT, as a
+    * block-partitioned all-pairs join (the distributed-matrix-product
+    * blocking of DIMSUM / MLlib `columnSimilarities`, kept exact).
+    *
+    * Why not LSH here: at a moderate threshold on dense near-orthogonal
+    * embeddings the per-bit sign-LSH collision contrast is tiny (cos 0.4 →
+    * p = 0.63 per bit vs 0.5 for random pairs), so NO (planes, tables)
+    * choice is simultaneously near-lossless and sub-quadratic — the exact
+    * pair set is intrinsically Ω(n²) compares. The scalable form therefore
+    * distributes the compare evenly instead of pruning it:
+    *
+    *  - ids hash into `blocks` balanced blocks; side A replicates each row
+    *    to block-pairs (bi, bi..B-1), side B to (0..bj, bj) — every
+    *    unordered block pair (i ≤ j) meets in exactly one equi-join key;
+    *  - shuffle is O(n·B/2) rows per side (NOT n²) over B(B+1)/2 evenly
+    *    sized composite keys, so the n²/2 dot products spread across the
+    *    cluster with no CartesianProduct and no single giant task;
+    *  - pairs inside one block dedup via id order; cross-block pairs occur
+    *    exactly once and are id-normalized with least/greatest.
+    *
+    * Pick `blocks` ≈ √(2 × target parallelism): tasks-per-stage grows as
+    * B²/2 while replication grows only as B/2. For true near-dup
+    * thresholds (cos ≳ 0.9) prefer [[cosineNearDupPairsLsh]], which prunes
+    * the pair space instead of spreading it. */
   def cosineNearDupPairs(df: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      exact: Boolean = true, planes: Int = 8): DataFrame = {
-    val base =
-      if (exact) {
-        val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-          norm(col(vecCol)).as("norm_a"))
-        val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-          norm(col(vecCol)).as("norm_b"))
-        a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      } else {
-        val assigned = lshAssign(df, planes, idCol, vecCol)
-          .withColumn("nrm", norm(col("vec")))
-        val a = assigned.withColumnsRenamed(
-          Map("vec_id" -> "id_a", "vec" -> "vec_a", "nrm" -> "norm_a"))
-        val b = assigned.withColumnsRenamed(
-          Map("vec_id" -> "id_b", "vec" -> "vec_b", "nrm" -> "norm_b"))
-        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      }
-    base.withColumn("cos",
-      dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      blocks: Int = 16): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        norm(col(vecCol)).as("norm_a"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        norm(col(vecCol)).as("norm_b"),
+        pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    a.join(b, Seq("bi", "bj"))
+      // same-block pairs appear in both orders → keep one; cross-block
+      // pairs appear exactly once (possibly id-reversed) → keep all
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      // dot/norm-product are index-ordered + commutative per element, so
+      // cos is bit-identical whichever side a vector landed on
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+  }
+
+  /** Approximate near-dup pairs via multi-table sign-LSH bucketing — the
+    * PRUNING path for high thresholds (cos ≳ 0.9), where bucket collision
+    * probability for true pairs is high and for random pairs low. Each
+    * candidate is re-scored exactly, so output ⊆ the exact pair set
+    * (precision 1; recall = 1 − (1 − p₁^planes)^tables per pair).
+    * Candidate generation carries ids only ([[lshTopK]] discipline). */
+  def cosineNearDupPairsLsh(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      planes: Int = 8, tables: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"),
+      posexplode(VectorExpressions.lshBuckets(col(vecCol), planes, tables))
+        .as(Seq("tbl", "bucket")))
+    val candIds = bucketed.select(col("id").as("id_a"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("nrm"))
+    candIds
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("nrm").as("norm_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("nrm").as("norm_b")), Seq("id_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Naive all-pairs cross-join form — TEST GROUND TRUTH ONLY (O(n²)
+    * unpartitioned; specs assert [[cosineNearDupPairs]] equals this and
+    * [[cosineNearDupPairsLsh]] is a subset). Never declare at scale. */
+  private[graft] def cosineNearDupPairsNaive(df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -11,7 +11,7 @@ object Explain {
     val names = args.filterNot(_.startsWith("--")).filterNot(_.startsWith("/"))
     val sfDir = args.find(_.startsWith("/")).getOrElse("/root/testdata/sf0.1")
     val time = args.contains("--time")
-    val spark = SparkSession.builder()
+    val spark = graft.analytics.GraftSession.configure(SparkSession.builder())
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")

@@ -10,7 +10,7 @@ object ExplainAudit {
   def main(args: Array[String]): Unit = {
     val sfDir =
       if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.analytics.GraftSession.configure(SparkSession.builder()).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -9,7 +9,7 @@ import graft.dedup.DedupOps
 /** Scratch profiler for the string-shingle jaccard join (not API). */
 object ProfileJaccard {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.analytics.GraftSession.configure(SparkSession.builder()).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -9,7 +9,7 @@ import graft.text.TextOps
 /** Scratch profiler for text-stat components (not API). */
 object ProfileText {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = graft.analytics.GraftSession.configure(SparkSession.builder()).master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -199,12 +199,47 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ann.forall { case (p, v) => p != v })
   }
 
-  test("cosineNearDupPairs: lsh variant is a subset of exact at same threshold") {
-    val exact = SimilarityOps.cosineNearDupPairs(emb001, 0.3)
+  test("cosineNearDupPairs: block-partitioned form EQUALS the naive " +
+      "cross-join ground truth (pairs and cos values)") {
+    val naive = SimilarityOps.cosineNearDupPairsNaive(emb001, 0.3)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val blocked = SimilarityOps.cosineNearDupPairs(emb001, 0.3, blocks = 7)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(blocked == naive, s"blocked ${blocked.size} vs naive ${naive.size}")
+    // degenerate block counts still cover every pair exactly once
+    val one = SimilarityOps.cosineNearDupPairs(emb001, 0.3, blocks = 1)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(one == naive)
+  }
+
+  test("cosineNearDupPairsLsh: subset of exact; high recall at high cos " +
+      "on planted near-dups") {
+    val lsh = SimilarityOps.cosineNearDupPairsLsh(emb001, 0.3,
+      planes = 4, tables = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = SimilarityOps.cosineNearDupPairs(emb001, 0.3, exact = false,
-      planes = 4).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = SimilarityOps.cosineNearDupPairsNaive(emb001, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
+    // planted near-dups: base vectors + tiny perturbations → cos ≈ 0.99,
+    // the regime cosineNearDupPairsLsh is FOR (per-pair recall
+    // 1-(1-p^planes)^tables ≈ 1 at cos 0.99, tiny for random pairs)
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val planted = spark.createDataFrame(
+      (base ++ dups).map { case (i, v) => (i, v) })
+      .toDF("vec_id", "embedding")
+    val truth = SimilarityOps.cosineNearDupPairsNaive(planted, 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = SimilarityOps.cosineNearDupPairsLsh(planted, 0.95,
+      planes = 8, tables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.95, s"recall = $recall over ${truth.size} planted pairs")
   }
 
   // ---- as-of join -----------------------------------------------------------

@@ -77,6 +77,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_neardup: block-partitioned all-pairs is an equi-join — " +
+      "no CartesianProduct, no nested loop") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"q_embed_neardup plan degenerated:\n$p")
+    // at sf0.001 the exploded side is small enough to broadcast; any
+    // hash-keyed equi-join shape on (bi, bj) is the scale-correct plan
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the block-pair key:\n$p")
+  }
+
+  test("q_pack: the data-sized window is shard-partitioned; only the " +
+      "32-row aggregate rides a single partition") {
+    val p = plan("q_pack")
+    // the running-sum window over documents must be keyed by shard …
+    assert(p.contains("Window") &&
+      "windowspecdefinition\\(shard".r.findFirstIn(p).isDefined,
+      s"expected shard-partitioned window:\n$p")
+    // … and the per-shard offsets (constant 32 rows) come back via a
+    // broadcast, never a re-shuffle of the data
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast offsets:\n$p")
+    // the only SinglePartition exchange feeds the aggregate-row window,
+    // which must sit ABOVE a HashAggregate (i.e. it sees 32 rows, not data)
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single <= 1, s"expected at most one single-partition exchange:\n$p")
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
