@@ -133,11 +133,35 @@ final class PipelineRunner(
 
     // S7 schema evolution (addNewColumns): widen the existing table by the
     // newly appeared columns — metadata-only because the location is pinned.
+    // A column present in BOTH whose inferred type CHANGED across file
+    // batches either up-casts the incoming data to the table's type
+    // (numeric widening, via Spark's own Cast.canUpCast contract — the
+    // cast lands in the aligned projection below) or fails LOUDLY with a
+    // named error instead of a confusing mid-stream encoder/parquet
+    // failure; the remedy (full refresh) is in the message.
     val existing = tableSchema(spark, fqn)
     val merged = existing match {
       case Some(old) =>
+        val oldByName = old.fields.map(f => f.name.toLowerCase -> f).toMap
+        val conflicts = target.fields.flatMap { f =>
+          oldByName.get(f.name.toLowerCase).collect {
+            case o if o.dataType != f.dataType &&
+                !org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(f.dataType, o.dataType) =>
+              (f.name, f.dataType, o.dataType)
+          }
+        }
+        if (conflicts.nonEmpty)
+          throw new SchemaConflictException(entity, fqn, conflicts.toSeq)
+        target.fields.foreach { f =>
+          oldByName.get(f.name.toLowerCase).foreach { o =>
+            if (o.dataType != f.dataType)
+              log(s"schema evolution on $fqn: up-casting incoming " +
+                s"${f.name} ${f.dataType.simpleString} -> ${o.dataType.simpleString}")
+          }
+        }
         val newCols = target.fields.filterNot(f =>
-          old.fieldNames.map(_.toLowerCase).contains(f.name.toLowerCase))
+          oldByName.contains(f.name.toLowerCase))
         if (newCols.nonEmpty) {
           log(s"schema evolution on $fqn: adding ${newCols.map(_.name).mkString(", ")}")
           val colsDdl = StructType(newCols).toDDL
@@ -169,11 +193,18 @@ final class PipelineRunner(
 
     val projected = Audit(Upcast(raw), params.fixedIngestedAt)
     // align to the table schema: evolution keeps old columns that current
-    // files may lack (null-filled), and fixes column order
+    // files may lack (null-filled), fixes column order, and up-casts any
+    // type-evolved incoming column to the table's type (validated safe by
+    // the canUpCast gate above)
+    val projTypes = projected.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
     val aligned = merged.fields.map { f =>
-      if (projected.columns.map(_.toLowerCase).contains(f.name.toLowerCase))
-        col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      projTypes.get(f.name.toLowerCase) match {
+        case Some(dt) if dt != f.dataType =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(_) => col(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     val out = projected.select(aligned.toIndexedSeq: _*)
 
@@ -338,9 +369,23 @@ final class PipelineRunner(
     * flows are independent — SDP executes the resolved graph's parallel
     * flows concurrently too). Spark's scheduler is thread-safe; each flow
     * is just concurrent job submission on the shared session. Phases stay
-    * ordered: all bronze, then all silver, then views. */
+    * ordered: all bronze, then all silver, then views.
+    *
+    * The whole run holds a heartbeat run-lock scoped to the checkpoint
+    * root — the analog of the reference job's `max_concurrent_runs: 1`
+    * (`resources/sdp_job.job.yml:23`), which exists precisely so two
+    * concurrent runs can't corrupt a streaming checkpoint or race the
+    * silver `SET LOCATION` swap. A second concurrent run FAILS FAST with
+    * [[ConcurrentRunException]]; a lock whose owner crashed (heartbeat
+    * gone stale) is broken and re-acquired. */
   def run(entities: Map[String, EntityConfig],
-      fullRefresh: Boolean = false, concurrency: Int = 1): Unit = {
+      fullRefresh: Boolean = false, concurrency: Int = 1): Unit =
+    RunLock.withLock(spark, s"$storageRoot/_checkpoints") {
+      runLocked(entities, fullRefresh, concurrency)
+    }
+
+  private def runLocked(entities: Map[String, EntityConfig],
+      fullRefresh: Boolean, concurrency: Int): Unit = {
     ensureSchemas(params.softDeletesEnabled)
     def each(f: ((String, EntityConfig)) => Unit): Unit =
       if (concurrency <= 1) entities.toSeq.sortBy(_._1).foreach(f)
@@ -359,6 +404,108 @@ final class PipelineRunner(
     each { case (e, cfg) => runSilver(e, cfg) }
     if (params.softDeletesEnabled)
       entities.keys.toSeq.sorted.foreach(createActiveView)
+  }
+}
+
+/** A bronze column's inferred type changed incompatibly across file
+  * batches (S7 covers ADDED columns; a CHANGED type that cannot up-cast
+  * needs an explicit decision). Named error instead of a confusing
+  * mid-stream failure. */
+final class SchemaConflictException(entity: String, fqn: String,
+    conflicts: Seq[(String, org.apache.spark.sql.types.DataType,
+      org.apache.spark.sql.types.DataType)])
+  extends RuntimeException(
+    s"schema conflict on $fqn (entity $entity): " +
+      conflicts.map { case (n, inc, old) =>
+        s"column '$n' inferred ${inc.simpleString} from current files but " +
+          s"table has ${old.simpleString}"
+      }.mkString("; ") +
+      " — incoming type cannot up-cast; fix the source files or run a " +
+      "full refresh (--full-refresh) to re-infer")
+
+/** A pipeline run is already in progress for this checkpoint root
+  * (`max_concurrent_runs: 1`). */
+final class ConcurrentRunException(lockPath: String, heldSinceMs: Long)
+  extends RuntimeException(
+    s"another pipeline run holds $lockPath (heartbeat " +
+      s"${System.currentTimeMillis() - heldSinceMs} ms ago); " +
+      "max_concurrent_runs=1 — wait for it or remove the lock if orphaned")
+
+/** Checkpoint-root-scoped run lock with heartbeat + stale-break.
+  *
+  * Acquisition is an atomic `create(overwrite=false)` of a lock file —
+  * fail-fast when it already exists with a FRESH heartbeat. The holder
+  * refreshes the heartbeat (rewrites the lock's timestamp) every
+  * [[heartbeatMs]]; a crashed holder stops beating, so a lock older than
+  * [[staleAfterMs]] is broken and re-acquired atomically (delete +
+  * create-exclusive — if a rival breaks it first, the create fails and
+  * we fail fast like any concurrent run). Works on any Hadoop FileSystem
+  * (no local-FS FileLock dependency). */
+object RunLock {
+  private val LockName = "_pipeline_run_lock"
+  val heartbeatMs: Long = 2000L
+  val staleAfterMs: Long = 30000L
+
+  private def writeLock(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(s"${System.currentTimeMillis()}\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readBeatMs(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    try {
+      val len = fs.getFileStatus(p).getLen
+      if (len > 64) None
+      else {
+        val bytes = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, bytes) finally in.close()
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .trim.toLongOption
+      }
+    } catch { case _: java.io.IOException => None }
+
+  def withLock[T](spark: SparkSession, checkpointRoot: String)(body: => T): T = {
+    val root = new org.apache.hadoop.fs.Path(checkpointRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    val lock = new org.apache.hadoop.fs.Path(root, LockName)
+
+    def acquire(retryOnStale: Boolean): Unit =
+      try writeLock(fs, lock, overwrite = false)
+      catch {
+        case _: java.io.IOException =>
+          val beat = readBeatMs(fs, lock)
+          val fresh = beat.exists(System.currentTimeMillis() - _ < staleAfterMs)
+          if (fresh || !retryOnStale)
+            throw new ConcurrentRunException(lock.toString,
+              beat.getOrElse(System.currentTimeMillis()))
+          // stale (holder crashed / unreadable): break once, re-race
+          Console.err.println(s"[pipeline] breaking stale run lock $lock " +
+            s"(last heartbeat ${beat.fold("unreadable")(b =>
+              s"${System.currentTimeMillis() - b} ms ago")})")
+          fs.delete(lock, false)
+          acquire(retryOnStale = false)
+      }
+
+    acquire(retryOnStale = true)
+    val beater = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(heartbeatMs)
+        writeLock(fs, lock, overwrite = true)
+      } catch { case _: InterruptedException => () }
+    }, "graft-run-lock-heartbeat")
+    beater.setDaemon(true)
+    beater.start()
+    try body
+    finally {
+      beater.interrupt()
+      beater.join(heartbeatMs * 2)
+      fs.delete(lock, false)
+    }
   }
 }
 

@@ -35,8 +35,10 @@ import org.apache.spark.sql.types._
   * nullable T; record → struct; array → array; map → map<string, V>;
   * logical timestamp-millis/micros → timestamp; date → date. Decoding is
   * by FIELD NAME against the pinned target schema — a file lacking a
-  * target field yields null (same evolution posture as the json/csv
-  * paths, S7).
+  * target field yields null, and a field whose writer type cannot convert
+  * to the target type (e.g. written as string in an older file, inferred
+  * long from the newest) ALSO yields null (same evolution posture as the
+  * json/csv paths, S7 — never a raw object that fails the Row encoder).
   */
 object AvroSource {
 
@@ -147,8 +149,11 @@ object AvroSource {
         val arr = new Array[Byte](x.remaining()); x.duplicate().get(arr); arr
       case (x: org.apache.avro.generic.GenericFixed, BinaryType) => x.bytes()
       case (x: java.lang.Long, TimestampType) =>
-        java.sql.Timestamp.from(java.time.Instant.EPOCH
-          .plusNanos(tsToMicros(av, x) * 1000L))
+        // ofEpochSecond, NOT EPOCH.plusNanos(µs*1000): the nanos
+        // multiplication overflows Long beyond ~year 2262 / before ~1677
+        val us = tsToMicros(av, x)
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
       case (x: java.lang.Integer, DateType) =>
         java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.toLong))
       case (x: java.lang.Integer, LongType) => x.toLong
@@ -162,7 +167,22 @@ object AvroSource {
         x.asScala.map { case (k, value) =>
           k.toString -> convert(value, vt, vs)
         }.toMap
-      case (x, _) => x // primitives already aligned
+      // identity-compatible primitives pass through EXPLICITLY; anything
+      // else is a writer-vs-target type conflict (e.g. a field inferred
+      // long from the newest file but written as string in an older one)
+      // and yields null — the same evolution posture as the json/csv
+      // paths, instead of handing the Row encoder a raw avro object that
+      // throws ClassCastException mid-stream
+      case (x: java.lang.Boolean, BooleanType) => x
+      case (x: java.lang.Integer, IntegerType) => x
+      case (x: java.lang.Long, LongType) => x
+      case (x: java.lang.Float, FloatType) => x
+      case (x: java.lang.Double, DoubleType) => x
+      case (x: Array[Byte], BinaryType) => x
+      case (x: java.lang.Integer, DoubleType) => x.toDouble
+      case (x: java.lang.Integer, FloatType) => x.toFloat
+      case (x: java.lang.Long, DoubleType) => x.toDouble
+      case _ => null // unconvertible writer value for the target type
     }
 
   private def recordToRow(r: GenericRecord, target: StructType): Row =

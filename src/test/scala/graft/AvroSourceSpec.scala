@@ -114,6 +114,73 @@ class AvroSourceSpec extends AnyFunSuite {
       s"nested millis decoded as $ts")
   }
 
+  test("timestamps beyond the Instant.plusNanos range (year 2262+) decode " +
+      "without Long overflow") {
+    val dir = Files.createTempDirectory("graft-avro-farts").toString
+    val us = org.apache.avro.LogicalTypes.timestampMicros()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val sch = Schema.createRecord("far_rec", null, "g", false,
+      java.util.List.of(
+        new Schema.Field("rid", Schema.create(Schema.Type.LONG), null, null),
+        new Schema.Field("t", us, null, null)))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new File(dir, "far.avro"))
+    try {
+      val r = new GenericData.Record(sch)
+      // 9999-12-31T23:59:59Z — ×1000 to nanos overflows a Long
+      r.put("rid", 1L)
+      r.put("t", java.time.Instant.parse("9999-12-31T23:59:59Z")
+        .getEpochSecond * 1000000L)
+      w.append(r)
+      val r2 = new GenericData.Record(sch)
+      r2.put("rid", 2L) // pre-1677 side of the old overflow window
+      r2.put("t", java.time.Instant.parse("1500-01-01T00:00:00Z")
+        .getEpochSecond * 1000000L)
+      w.append(r2)
+    } finally w.close()
+    val rows = AvroSource.read(spark, dir).orderBy("rid").collect()
+    assert(rows(0).getAs[java.sql.Timestamp]("t") == java.sql.Timestamp
+      .from(java.time.Instant.parse("9999-12-31T23:59:59Z")),
+      s"far-future decoded as ${rows(0).getAs[java.sql.Timestamp]("t")}")
+    assert(rows(1).getAs[java.sql.Timestamp]("t") == java.sql.Timestamp
+      .from(java.time.Instant.parse("1500-01-01T00:00:00Z")))
+  }
+
+  test("writer-vs-target type conflict decodes to null, not a " +
+      "ClassCastException mid-stream") {
+    val dir = Files.createTempDirectory("graft-avro-conflict").toString
+    // older file: temp written as STRING
+    val oldSch = SchemaBuilder.record("reading").fields()
+      .requiredLong("rid")
+      .requiredString("temp")
+      .optionalString("site")
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](oldSch))
+    w.create(oldSch, new File(Files.createDirectories(Path.of(dir)).toString,
+      "old.avro"))
+    try {
+      val r = new GenericData.Record(oldSch)
+      r.put("rid", 1L); r.put("temp", "twenty"); r.put("site", "x")
+      w.append(r)
+    } finally w.close()
+    // target pins temp as int (what the newest files say)
+    writeAvro(dir, "new.avro", Seq((2L, 21, "y")))
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("temp",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("site",
+        org.apache.spark.sql.types.StringType)))
+    val rows = AvroSource.read(spark, dir, Some(target))
+      .orderBy("rid").collect()
+    assert(rows(0).isNullAt(1), "string-written temp must null out")
+    assert(rows(0).getString(2) == "x") // compatible columns survive
+    assert(rows(1).getInt(1) == 21)
+  }
+
   test("S7 evolution: a new column in a newer avro file widens the table") {
     val src = Files.createTempDirectory("graft-avro-evo").toString
     val store = Files.createTempDirectory("graft-avro-evo-store").toString

@@ -461,4 +461,81 @@ class PipelineSpec extends AnyFunSuite {
     val clock = bronze.select("_ingested_at").as[Timestamp].head.toString
     assert(clock == "2024-03-01 00:00:00.0") // data is from run 2
   }
+
+  test("run lock: concurrent run fails fast, lock released, stale lock broken") {
+    import graft.pipeline.{ConcurrentRunException, RunLock}
+    val store = tmpDir("graft-lock")
+    val root = s"$store/_checkpoints"
+
+    // held lock -> second acquisition fails fast
+    RunLock.withLock(spark, root) {
+      intercept[ConcurrentRunException] {
+        RunLock.withLock(spark, root)(fail("must not enter"))
+      }
+    }
+    // released on completion -> re-acquirable
+    RunLock.withLock(spark, root)(())
+
+    // released even when the body throws
+    intercept[RuntimeException] {
+      RunLock.withLock(spark, root)(throw new RuntimeException("boom"))
+    }
+    RunLock.withLock(spark, root)(())
+
+    // stale lock (holder crashed: heartbeat far in the past) is broken
+    val lockFile = Path.of(root, "_pipeline_run_lock")
+    Files.writeString(lockFile,
+      (System.currentTimeMillis() - RunLock.staleAfterMs - 1000) + "\n")
+    RunLock.withLock(spark, root)(assert(!"never".isEmpty))
+    assert(!Files.exists(lockFile))
+
+    // and PipelineRunner.run itself honors the lock (max_concurrent_runs=1)
+    val src = tmpDir("graft-lock-src")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"locations": {"raw_file_format": "json",
+        |  "unique_primary_key": ["loc_id"]}}""".stripMargin)
+    Seq("""{"loc_id": 1, "city": "berlin"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/locations")
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, _) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "tl")
+    RunLock.withLock(spark, root) {
+      intercept[ConcurrentRunException](runner.run(entities))
+    }
+  }
+
+  test("S7 type conflict: changed column type fails with a named error; " +
+      "up-castable change widens the incoming data") {
+    import graft.pipeline.SchemaConflictException
+    val src = tmpDir("graft-evo-src"); val store = tmpDir("graft-evo-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"evo": {"raw_file_format": "json", "unique_primary_key": ["k"]}}""")
+
+    // batch 1: a is long, b is double -> bronze has bigint a, double b
+    Seq("""{"k": 1, "a": 1, "b": 1.5}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/evo")
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "tevo")
+    runner.run(entities)
+    val fqn = params.bronzeFqn("evo")
+    assert(spark.table(fqn).schema("a").dataType == LongType)
+    assert(spark.table(fqn).schema("b").dataType == DoubleType)
+
+    // batch 2 REPLACES the files: b now infers long -> up-casts into the
+    // double column (Cast.canUpCast) instead of failing
+    Seq("""{"k": 2, "a": 2, "b": 2}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/evo")
+    runner.runBronze("evo", entities("evo"))
+    val b2 = spark.table(fqn).filter($"k" === 2)
+      .select("b").as[Double].collect()
+    assert(b2.sameElements(Array(2.0)))
+
+    // batch 3: a becomes a string -> NAMED error, not a stream failure
+    Seq("""{"k": 3, "a": "not-a-number", "b": 3.0}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$src/evo")
+    val e = intercept[SchemaConflictException](
+      runner.runBronze("evo", entities("evo")))
+    assert(e.getMessage.contains("'a'") &&
+      e.getMessage.contains("full refresh"))
+  }
 }
