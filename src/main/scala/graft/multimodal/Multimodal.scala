@@ -42,6 +42,12 @@ object Multimodal {
   case class Decoded(media_id: Long, width: Int, height: Int, channels: Int,
       pixels: Array[Float])
 
+  /** Decoded audio: interleaved samples normalized to [-1, 1] (16-bit
+    * PCM k → k/32768f, exact in float, so the integer sample is
+    * recoverable bit-exactly via round(s·32768)). */
+  case class DecodedAudio(media_id: Long, sample_rate: Int, channels: Int,
+      n_frames: Long, samples: Array[Float])
+
   case class Features(media_id: Long, embedding: Array[Float])
 
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP). Returns
@@ -75,12 +81,63 @@ object Multimodal {
     }
   }
 
+  /** Real WAV/AIFF decode via the JDK's javax.sound.sampled — zero extra
+    * dependencies. Any input the installed providers understand converts
+    * to 16-bit signed little-endian PCM, then normalizes to floats.
+    * Returns None for bytes no provider parses (callers fall back to
+    * [[StubCodec]], same posture as image decode). */
+  object WavCodec {
+    def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            fmt.getChannels * 2, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = pcm.read(buf)
+          while (n > 0) { bos.write(buf, 0, n); n = pcm.read(buf) }
+          val raw = bos.toByteArray
+          val samples = new Array[Float](raw.length / 2)
+          var i = 0
+          while (i < samples.length) {
+            val lo = raw(2 * i) & 0xff
+            val hi = raw(2 * i + 1).toInt
+            samples(i) = ((hi << 8) | lo).toShort / 32768f
+            i += 1
+          }
+          Some(DecodedAudio(0L, fmt.getSampleRate.toInt, fmt.getChannels,
+            samples.length / fmt.getChannels, samples))
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
   /** ======= STUB BOUNDARY =======
-    * Deterministic fake codec standing in for ffmpeg-class audio/video
+    * Deterministic fake codec standing in for ffmpeg-class VIDEO
     * bindings, which are not installed in this environment (and the
-    * fallback for bytes ImageIO cannot parse). Replace the bodies with
-    * real decode calls; signatures and batch shape stay. */
+    * fallback for bytes ImageIO / javax.sound cannot parse). Replace the
+    * bodies with real decode calls; signatures and batch shape stay. */
   object StubCodec {
+    /** "Decode" undecodable audio bytes: 160 deterministic fake frames at
+      * 8 kHz mono, hashed from the input (mirrors [[decodeImage]]). */
+    def decodeAudio(bytes: Array[Byte]): DecodedAudio = {
+      val seed = java.util.Arrays.hashCode(bytes).toLong
+      val out = new Array[Float](160)
+      var i = 0
+      while (i < out.length) {
+        val x = seed * 6364136223846793005L + i * 1442695040888963407L
+        out(i) = (((x >>> 40) & 0xffff).toInt - 32768) / 32768f
+        i += 1
+      }
+      DecodedAudio(0L, 8000, 1, out.length.toLong, out)
+    }
+
     /** "Decode" bytes to a w×h×c float image: pixel (i) is a hash of
       * (bytes digest, i) — deterministic in the input bytes. */
     def decodeImage(bytes: Array[Byte], w: Int, h: Int, c: Int): Array[Float] = {
@@ -153,6 +210,57 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decode audio in batches per partition: REAL javax.sound WAV/AIFF
+    * decode to normalized 16-bit PCM; unparseable bytes fall back to a
+    * deterministic stub clip. Same lazy batched-iterator contract as
+    * [[decodeImages]]. */
+  def decodeAudio(media: Dataset[MediaRow], batchSize: Int = 32)
+      : Dataset[DecodedAudio] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          WavCodec.decodeAudio(m.bytes)
+            .map(_.copy(media_id = m.media_id))
+            .getOrElse(StubCodec.decodeAudio(m.bytes)
+              .copy(media_id = m.media_id))
+        }
+      }
+    }
+  }
+
+  /** Order-sensitive checksum of decoded pixels: Σ (i+1)·v_i mod p over
+    * the row-major 8-bit channel values (recovered exactly from the
+    * normalized floats — k/255f is exact in float for k ≤ 255). Matches
+    * the fixture manifests written by tools.MakeMediaFixtures. */
+  def pixelChecksum(pixels: Array[Float]): Long = {
+    val p = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < pixels.length) {
+      val v = Math.round(pixels(i) * 255f).toLong
+      acc = (acc + (i + 1) * v) % p
+      i += 1
+    }
+    acc
+  }
+
+  /** Order-sensitive checksum of decoded audio: Σ (i+1)·(s_i+32768) mod p
+    * over the interleaved 16-bit samples (recovered exactly from the
+    * normalized floats). */
+  def sampleChecksum(samples: Array[Float]): Long = {
+    val p = 1000000007L
+    var acc = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = Math.round(samples(i) * 32768f).toLong + 32768L
+      acc = (acc + (i + 1) * v) % p
+      i += 1
+    }
+    acc
   }
 
   /** Frame-sample videos: one output row per sampled frame (flatMap —
