@@ -75,7 +75,7 @@ object LlmQueries {
     // -- [EXT]: n-gram Jaccard near-dup pairs (exact inverted-index join)
     "q_ngram_jaccard" -> ((s, dir) => {
       DedupOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5)
+        n = 3, threshold = 0.5, maxPrefixFreq = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

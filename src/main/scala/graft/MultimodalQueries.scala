@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Declared multimodal queries: decode the COMMITTED media fixtures
+  * (`fixtures/media/`, written once by [[graft.tools.MakeMediaFixtures]])
+  * and emit per-file decode summaries. The fixture manifests are parquet,
+  * so DuckDB oracles them via `read_parquet` on the absolute path — these
+  * are full rows+schema+hash CORRECTNESS rows, not rows-only checks.
+  *
+  * The corpus is deliberately mixed: valid PNG/WAV files decode through
+  * the REAL JDK codecs (ImageIO / javax.sound), corrupt members fall back
+  * to the deterministic stub — so the fallback path is oracle-checked too.
+  *
+  * Scale shape: binaryFile scan → size-balanced repartition → batched
+  * per-partition decode → tiny summary rows. At 100 TB the same plan
+  * holds — the decode is embarrassingly parallel, the repartition spreads
+  * giant blobs, and only (name, dims, checksum) rows ever shuffle.
+  */
+object MultimodalQueries {
+
+  /** Fixture root: repo-relative when the cwd is the repo (sbt runMain),
+    * else the canonical absolute checkout path. */
+  private[graft] def mediaRoot: String = {
+    val local = new java.io.File("fixtures/media")
+    if (local.isDirectory) local.getAbsolutePath
+    else "/root/repo/fixtures/media"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- [EXT] multimodal: image decode (real ImageIO + stub fallback)
+    "q_image_decode" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.readMedia(s, s"$mediaRoot/img", "*.png")
+        .as[Multimodal.MediaRow]
+      Multimodal.imageSummaries(Multimodal.balanceBySize(media.toDF, 4)
+          .as[Multimodal.MediaRow])
+        .toDF().orderBy(col("file_name"))
+    }),
+
+    // -- [EXT] multimodal: audio decode (real javax.sound + stub fallback)
+    "q_audio_decode" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.readMedia(s, s"$mediaRoot/wav", "*.wav")
+        .as[Multimodal.MediaRow]
+      Multimodal.audioSummaries(Multimodal.balanceBySize(media.toDF, 4)
+          .as[Multimodal.MediaRow])
+        .toDF().orderBy(col("file_name"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_image_decode" ->
+      s"""SELECT file_name, width, height, channels, pixel_checksum
+         |FROM read_parquet('$mediaRoot/manifest_img/*.parquet')
+         |ORDER BY file_name""".stripMargin,
+    "q_audio_decode" ->
+      s"""SELECT file_name, sample_rate, channels, n_frames, sample_checksum
+         |FROM read_parquet('$mediaRoot/manifest_wav/*.parquet')
+         |ORDER BY file_name""".stripMargin)
+}

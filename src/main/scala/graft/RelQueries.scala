@@ -57,14 +57,18 @@ object RelQueries {
     //    scale with NO equi key, bucketize time (join on bucket ± 1) to
     //    recover an equi join.
     "q_range_join" -> ((s, dir) => {
+      // explicit dataset aliases: both sides descend from the same plan,
+      // so a bare a("user_id") === b("user_id") dedups to a trivially-true
+      // self-comparison; alias-qualified columns keep the equi-key real
       val e = events(s, dir)
       val a = e.select(col("user_id"), col("event_id").as("id_a"),
-        col("ts_us").as("t_a"))
+        col("ts_us").as("t_a")).alias("ra")
       val b = e.select(col("user_id"), col("event_id").as("id_b"),
-        col("ts_us").as("t_b"))
-      a.join(b, a("user_id") === b("user_id") && col("id_a") < col("id_b") &&
+        col("ts_us").as("t_b")).alias("rb")
+      a.join(b, col("ra.user_id") === col("rb.user_id") &&
+          col("id_a") < col("id_b") &&
           abs(col("t_a") - col("t_b")) <= 60000000L)
-        .groupBy(a("user_id"))
+        .groupBy(col("ra.user_id").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("user_id"))
     }),

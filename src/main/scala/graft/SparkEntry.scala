@@ -43,7 +43,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (core map merged
     * with the [EXT] LLM and relational surfaces). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ LlmQueries.queries ++ RelQueries.queries
+    coreQueries ++ LlmQueries.queries ++ RelQueries.queries ++
+      MultimodalQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -262,7 +263,8 @@ object SparkEntry {
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ LlmQueries.oracleSql ++ RelQueries.oracleSql
+    coreOracleSql ++ LlmQueries.oracleSql ++ RelQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
 

@@ -57,9 +57,14 @@ object DedupOps {
   /** A5: exact dedup — keep, per fingerprint, the row with the smallest
     * `idCol`. One hash-shuffle on the fingerprint; WindowGroupLimit keeps
     * the exchange thin. */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = TextOps.fingerprint(col(textCol))
-    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDedupByKey(df, TextOps.fingerprint(col(textCol)), idCol)
+
+  /** [[exactDedup]] on an arbitrary precomputed key expression — lets a
+    * composed pipeline ([[graft.llm.Curation]]) fingerprint an
+    * already-normalized column instead of re-running the normalize regex. */
+  def exactDedupByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol).asc)
     df.withColumn("_fp_rn", row_number().over(w))
       .filter(col("_fp_rn") === 1)
       .drop("_fp_rn")
@@ -83,19 +88,25 @@ object DedupOps {
     *     exploded rows, n_common computed directly.
     *
     * Scale: the exploded prefix index is the only wide structure; hot
-    * shingles still cap via `maxShingleFreq` (stop-shingle removal — a
-    * deliberate approximation, pass Int.MaxValue for exact semantics).
-    * NOTE since the prefix rewrite the cap counts a shingle's PREFIX
-    * frequency, not full document frequency — that is the quantity that
-    * actually drives the join fan-out (only prefix entries join), so the
-    * bound is tighter where it matters; callers tuning the knob against
-    * full document frequency should expect slightly more permissive
-    * filtering. The verification join ships each shingle set once per
-    * side.
+    * shingles cap via `maxPrefixFreq`.
+    *
+    * @param maxPrefixFreq drop a shingle from the candidate index when it
+    *   appears in MORE than this many document PREFIXES (not full
+    *   documents — prefix entries are what drive the join fan-out, so the
+    *   bound lands exactly on the quadratic term: one shingle shared by k
+    *   prefixes yields k² candidate rows). This is stop-shingle removal, a
+    *   deliberate approximation: capped output ⊆ exact output (property-
+    *   tested), and only pairs whose ENTIRE prefix overlap is boilerplate
+    *   can be lost. The finite default keeps corpus-scale runs safe from
+    *   k² blowup on boilerplate (license headers, templated docs); pass
+    *   `Int.MaxValue` for exact PPJoin semantics — `q_ngram_jaccard` does,
+    *   and is oracle-checked against exact DuckDB Jaccard. For production
+    *   near-dup at 100 TB prefer [[minhashLsh]], whose cost is bounded by
+    *   design rather than by this knob.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2,
-      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
+      maxPrefixFreq: Int = 1000): DataFrame = {
     val sh = materialized(df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), n).as("sh")))
       .withColumn("n_sh", size(col("sh")))
@@ -104,10 +115,10 @@ object DedupOps {
     val inv0 = sh.select(col("id"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("shingle"))
     val inv =
-      if (maxShingleFreq == Int.MaxValue) inv0
+      if (maxPrefixFreq == Int.MaxValue) inv0
       else {
         val hot = inv0.groupBy("shingle").count()
-          .filter(col("count") > maxShingleFreq).select("shingle")
+          .filter(col("count") > maxPrefixFreq).select("shingle")
         inv0.join(hot, Seq("shingle"), "left_anti")
       }
     val candIds = inv.select(col("id").as("id_a"), col("shingle"))
@@ -154,6 +165,18 @@ object DedupOps {
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    minhashLshFromShingles(
+      df.select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh")),
+      "id", "sh", bands, rowsPerBand, threshold)
+
+  /** [[minhashLsh]] over a PRECOMPUTED hashed-shingle-set column
+    * ([[shingleHashes]] output). A composed pipeline that already built
+    * the shingle sets for another stage (repetition scoring, capped
+    * Jaccard) feeds them here and skips the normalize+shingle pass —
+    * that pass is the dominant cost of the whole minhash stage. */
+  def minhashLshFromShingles(df: DataFrame, idCol: String, shCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
     // hashed shingle set computed ONCE per doc; signature derives from it.
@@ -163,8 +186,7 @@ object DedupOps {
     // from the banding lambda it would otherwise be inlined by
     // CollapseProject and re-evaluated once per band (16x the k-hash
     // sweep over the shingle set)
-    val sh = materialized(df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("sh"))
+    val sh = materialized(df.select(col(idCol).as("id"), col(shCol).as("sh"))
       .select(col("id"), col("sh"),
         HashExpressions.minhashSig(col("sh"), k).as("sig")))
     val banded = sh.select(col("id"),

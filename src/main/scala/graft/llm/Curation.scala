@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.dedup.DedupOps
+import graft.functions.HashExpressions
 import graft.text.TextOps
 
 /** End-to-end training-corpus curation: the composed pipeline a user of
@@ -54,25 +55,41 @@ object Curation {
         gated.filter(col(lc).isin(keep: _*))
       case _ => gated
     }
+    // Normalize ONCE, shingle ONCE: repetition scoring, the exact-dedup
+    // fingerprint, and MinHash all consume normalize(text) (and the first
+    // and last consume the same hashed-shingle set). Computing them as
+    // named columns here means the regex/hash kernels run one pass per
+    // row; every later stage reads the column. The checkpoint below
+    // persists them, so the whole minhash stage does zero text work.
+    val shingleN = 3
     val scrubbed = langed
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
-      .filter(TextOps.repetitionScore(col(textCol)) <= cfg.maxRepetition)
+      .withColumn("_norm", TextOps.normalize(col(textCol)))
+      .withColumn("_sh", HashExpressions.ngramHashes(
+        split(col("_norm"), " "), shingleN))
+      // repetitionScore(text, n) ≡ 1 − |distinct n-grams| / (|tokens| − n
+      // + 1) over the normalized tokens — same expression, shared columns
+      .filter(lit(1.0) - size(col("_sh")).cast("double") /
+        greatest(size(split(col("_norm"), " ")) - (shingleN - 1), lit(1))
+          .cast("double") <= cfg.maxRepetition)
     // Materialize the exact-dedup result once: it feeds BOTH the LSH
     // pair-generation branch and the final left_anti join, and everything
     // above it (quality + PII-scrub regexes + the fingerprint window) is
     // the most expensive narrow pipeline in the query. Same rationale as
     // DedupOps.materialized — blocks are RDD-owned, freed on GC.
-    val exact = DedupOps.exactDedup(scrubbed, textCol, idCol)
+    val exactN = DedupOps.exactDedupByKey(scrubbed, md5(col("_norm")), idCol)
       .localCheckpoint(false)
     // near-dup pairs -> drop the HIGHER id of each pair (left_anti join on
     // the pair table's id_b column; one extra equi-join, no n² anywhere)
-    val pairs = DedupOps.minhashLsh(exact, idCol, textCol,
+    val pairs = DedupOps.minhashLshFromShingles(exactN, idCol, "_sh",
       bands = cfg.minhashBands, rowsPerBand = cfg.minhashRows,
       threshold = cfg.nearDupJaccard)
     val losers = pairs.select(col("id_b").as(idCol)).distinct()
-    val curated = exact.join(losers, Seq(idCol), "left_anti")
-    Seq("quality" -> gated, "lang" -> langed, "repetition" -> scrubbed,
-      "exactDedup" -> exact, "nearDup" -> curated)
+    val curated = exactN.join(losers, Seq(idCol), "left_anti")
+    Seq("quality" -> gated, "lang" -> langed,
+      "repetition" -> scrubbed.drop("_norm", "_sh"),
+      "exactDedup" -> exactN.drop("_norm", "_sh"),
+      "nearDup" -> curated.drop("_norm", "_sh"))
   }
 
   /** [[curateFrame]] plus a per-stage row-count report (one action per

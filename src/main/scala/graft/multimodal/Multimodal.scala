@@ -50,6 +50,18 @@ object Multimodal {
 
   case class Features(media_id: Long, embedding: Array[Float])
 
+  /** Flat per-image decode summary keyed by file name (stable across
+    * machines, unlike the absolute path): dimensions + an order-sensitive
+    * pixel checksum. This is the CORRECTNESS surface for image decode —
+    * the committed fixture manifest (tools.MakeMediaFixtures) carries the
+    * same columns, so DuckDB can oracle-check it. */
+  case class ImageSummary(file_name: String, width: Int, height: Int,
+      channels: Int, pixel_checksum: Long)
+
+  /** Flat per-clip decode summary keyed by file name (see ImageSummary). */
+  case class AudioSummary(file_name: String, sample_rate: Int,
+      channels: Int, n_frames: Long, sample_checksum: Long)
+
   /** Real image decode via the JDK's ImageIO (PNG/JPEG/GIF/BMP). Returns
     * None for bytes no installed reader understands — callers fall back
     * to [[StubCodec]]. Channels fixed at RGB (alpha dropped): training
@@ -227,6 +239,47 @@ object Multimodal {
             .map(_.copy(media_id = m.media_id))
             .getOrElse(StubCodec.decodeAudio(m.bytes)
               .copy(media_id = m.media_id))
+        }
+      }
+    }
+  }
+
+  private def fileName(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  /** Decode images and reduce each to its [[ImageSummary]] in ONE batched
+    * mapPartitions — no second pass over the pixel arrays, no join to
+    * recover the file name. Same decode semantics as [[decodeImages]]
+    * (real ImageIO, stub fallback at `w`×`h`×`c`); spec-asserted equal. */
+  def imageSummaries(media: Dataset[MediaRow], batchSize: Int = 32,
+      w: Int = 8, h: Int = 8, c: Int = 3): Dataset[ImageSummary] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val d = ImageIoCodec.decodeImage(m.bytes).getOrElse(
+            Decoded(m.media_id, w, h, c, StubCodec.decodeImage(m.bytes, w, h, c)))
+          ImageSummary(fileName(m.path), d.width, d.height, d.channels,
+            pixelChecksum(d.pixels))
+        }
+      }
+    }
+  }
+
+  /** Decode audio clips and reduce each to its [[AudioSummary]] (see
+    * [[imageSummaries]]; decode semantics of [[decodeAudio]]). */
+  def audioSummaries(media: Dataset[MediaRow], batchSize: Int = 32)
+      : Dataset[AudioSummary] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val d = WavCodec.decodeAudio(m.bytes)
+            .getOrElse(StubCodec.decodeAudio(m.bytes))
+          AudioSummary(fileName(m.path), d.sample_rate, d.channels,
+            d.n_frames, sampleChecksum(d.samples))
         }
       }
     }

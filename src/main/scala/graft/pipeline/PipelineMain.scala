@@ -17,9 +17,17 @@ import org.apache.spark.sql.SparkSession
   * }}}
   */
 object PipelineMain {
+  private def flagValue(args: Array[String], flag: String): Option[String] =
+    args.indexOf(flag) match {
+      case -1 => None
+      case i if i + 1 < args.length => Some(args(i + 1))
+      case _ => throw new IllegalArgumentException(s"$flag needs a value")
+    }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: PipelineMain <storageRoot> [--full-refresh]")
+      "usage: PipelineMain <storageRoot> [--full-refresh] " +
+        "[--targets <dp_targets.json> [--target <name>]]")
     val storageRoot = args(0)
     val fullRefresh = args.contains("--full-refresh")
     val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
@@ -27,6 +35,14 @@ object PipelineMain {
       .config("spark.sql.session.timeZone",
         sys.env.getOrElse("GRAFT_TZ", "UTC")))
       .getOrCreate()
+    // environment targets (the bundle's `targets:` overlay,
+    // config/databricks.yml:31-49): fill conf from the selected profile's
+    // variables BEFORE the prefix-copy below, so explicit --conf wins
+    flagValue(args, "--targets").foreach { path =>
+      val profiles = graft.config.TargetProfiles.load(spark, path)
+      graft.config.TargetProfiles.applyTo(spark,
+        graft.config.TargetProfiles.select(profiles, flagValue(args, "--target")))
+    }
     // the reference reads params via spark.conf.get("source_location") etc.
     // (00_config_loader.py:25-31); Spark requires the `spark.` prefix on
     // --conf, so accept both spellings

@@ -1,0 +1,140 @@
+package graft.tools
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, File}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{AudioSummary, ImageSummary}
+
+/** Generates the committed multimodal test fixtures under
+  * `fixtures/media/`: deterministic PNG images and PCM-16 WAV clips (plus
+  * deliberately-corrupt files exercising the stub fallback), and a
+  * DuckDB-readable manifest parquet per modality whose rows are the EXACT
+  * decode summaries ([[Multimodal.imageSummaries]] /
+  * [[Multimodal.audioSummaries]] semantics, computed by round-tripping the
+  * bytes just written through the same codecs). The manifests are the
+  * oracle for `q_image_decode` / `q_audio_decode`.
+  *
+  * Run once from the repo root; the outputs are committed, so verify/bench
+  * never regenerate them:
+  *   sbt "runMain graft.tools.MakeMediaFixtures"
+  *
+  * Pixel/sample content derives from a splitmix64-style LCG seeded by the
+  * file index — no wall clock, no RNG state, identical bytes every run.
+  */
+object MakeMediaFixtures {
+
+  private def mix(seed: Long, i: Long): Long = {
+    var x = seed * 6364136223846793005L + i * 1442695040888963407L
+    x ^= (x >>> 33); x *= -49064778989728563L; x ^= (x >>> 29)
+    x
+  }
+
+  private def makePng(idx: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = mix(idx * 7919L + 17L, (y.toLong << 20) | x.toLong)
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def makeWav(idx: Int, rate: Int, channels: Int, nFrames: Int)
+      : Array[Byte] = {
+    val raw = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < nFrames * channels) {
+      val s = ((mix(idx * 104729L + 31L, i.toLong) >>> 40) & 0xffff).toInt - 32768
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      channels, channels * 2, rate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def write(f: File, bytes: Array[Byte]): Unit = {
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, bytes)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val root = new File(if (args.nonEmpty) args(0) else "fixtures/media")
+
+    // ---- images: 10 valid PNGs of varying dims + 2 undecodable files
+    val dims = Seq((5, 7), (8, 8), (16, 12), (32, 24), (3, 3),
+      (64, 48), (10, 10), (24, 16), (9, 13), (20, 20))
+    val imgFiles = dims.zipWithIndex.map { case ((w, h), i) =>
+      val name = f"img_$i%02d.png"
+      write(new File(root, s"img/$name"), makePng(i, w, h))
+      name
+    } ++ Seq(
+      { // random bytes with a .png extension → ImageIO returns null → stub
+        val junk = Array.tabulate[Byte](257)(i => (mix(99L, i.toLong) & 0xff).toByte)
+        write(new File(root, "img/img_90_corrupt.png"), junk); "img_90_corrupt.png"
+      },
+      { // a valid PNG truncated mid-stream → decode throws → stub
+        val full = makePng(91, 40, 40)
+        write(new File(root, "img/img_91_truncated.png"), full.take(full.length / 3))
+        "img_91_truncated.png"
+      })
+
+    // ---- audio: 6 valid WAVs (rates × channel layouts) + 1 undecodable
+    val clips = Seq((8000, 1, 400), (8000, 2, 320), (16000, 1, 800),
+      (16000, 2, 512), (44100, 1, 2205), (44100, 2, 1024))
+    val wavFiles = clips.zipWithIndex.map { case ((rate, ch, n), i) =>
+      val name = f"clip_$i%02d.wav"
+      write(new File(root, s"wav/$name"), makeWav(i, rate, ch, n))
+      name
+    } ++ Seq({
+      val junk = Array.tabulate[Byte](509)(i => (mix(77L, i.toLong) & 0xff).toByte)
+      write(new File(root, "wav/clip_90_corrupt.wav"), junk); "clip_90_corrupt.wav"
+    })
+
+    // ---- manifests: round-trip the bytes just written through the SAME
+    // decode-or-stub paths the queries use, so manifest == query output
+    def bytesOf(sub: String, name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(new File(root, s"$sub/$name").toPath)
+
+    val imgRows = imgFiles.sorted.map { name =>
+      val b = bytesOf("img", name)
+      val d = Multimodal.ImageIoCodec.decodeImage(b).getOrElse(
+        Multimodal.Decoded(0L, 8, 8, 3, Multimodal.StubCodec.decodeImage(b, 8, 8, 3)))
+      ImageSummary(name, d.width, d.height, d.channels,
+        Multimodal.pixelChecksum(d.pixels))
+    }
+    val wavRows = wavFiles.sorted.map { name =>
+      val b = bytesOf("wav", name)
+      val d = Multimodal.WavCodec.decodeAudio(b)
+        .getOrElse(Multimodal.StubCodec.decodeAudio(b))
+      AudioSummary(name, d.sample_rate, d.channels, d.n_frames,
+        Multimodal.sampleChecksum(d.samples))
+    }
+
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    imgRows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(new File(root, "manifest_img").getPath)
+    wavRows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(new File(root, "manifest_wav").getPath)
+    spark.stop()
+    println(s"wrote ${imgFiles.size} images + ${wavFiles.size} clips + manifests under $root")
+  }
+}

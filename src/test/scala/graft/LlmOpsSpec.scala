@@ -104,7 +104,7 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("minhashLsh recall: finds every exact-Jaccard pair >= 0.5 on testdata") {
     val exact = DedupOps.jaccardPairs(docs001, "doc_id", "text",
-      n = 3, threshold = 0.5)
+      n = 3, threshold = 0.5, maxPrefixFreq = Int.MaxValue)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val lsh = DedupOps.minhashLsh(docs001, "doc_id", "text",
       n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
@@ -114,14 +114,15 @@ class LlmOpsSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
-  test("jaccardPairs maxShingleFreq: hot-shingle cap keeps high-sim pairs") {
+  test("jaccardPairs maxPrefixFreq: hot-shingle cap keeps high-sim pairs") {
     val exact = DedupOps.jaccardPairs(docs001, "doc_id", "text",
-      n = 3, threshold = 0.8).select("id_a", "id_b")
+      n = 3, threshold = 0.8, maxPrefixFreq = Int.MaxValue)
+      .select("id_a", "id_b")
       .as[(Long, Long)].collect().toSet
     // near-dup shingles repeat only within a pair, so a freq cap well above
     // 2 must not lose any >=0.8 pair
     val capped = DedupOps.jaccardPairs(docs001, "doc_id", "text",
-      n = 3, threshold = 0.8, maxShingleFreq = 50)
+      n = 3, threshold = 0.8, maxPrefixFreq = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(capped == exact)
   }

@@ -137,4 +137,44 @@ class MultimodalSpec extends AnyFunSuite {
       .cosineNearDupPairs(feats, threshold = -1.0)
     assert(sims.count() == 1) // 2 images -> 1 pair, cosine defined
   }
+
+  test("summaries match the committed fixture manifests (oracle parity)") {
+    // the same equality the driver's DuckDB oracle checks for
+    // q_image_decode / q_audio_decode: decode-or-stub of every committed
+    // fixture reproduces the manifest rows bit-exactly
+    val root = MultimodalQueries.mediaRoot
+    assume(new java.io.File(root).isDirectory, s"fixtures missing at $root")
+    val img = MultimodalQueries.queries("q_image_decode")(spark, "")
+      .collect().map(_.toSeq).toSeq
+    val imgManifest = spark.read.parquet(s"$root/manifest_img")
+      .orderBy(col("file_name")).collect().map(_.toSeq).toSeq
+    assert(img == imgManifest)
+    // mixed corpus exercised BOTH paths: real decodes at true dims plus
+    // stub fallbacks at the 8x8 default
+    assert(img.exists(r => r(1) == 64 && r(2) == 48))
+    assert(img.count(r => r(1) == 8 && r(2) == 8) >= 2)
+
+    val wav = MultimodalQueries.queries("q_audio_decode")(spark, "")
+      .collect().map(_.toSeq).toSeq
+    val wavManifest = spark.read.parquet(s"$root/manifest_wav")
+      .orderBy(col("file_name")).collect().map(_.toSeq).toSeq
+    assert(wav == wavManifest)
+    assert(wav.exists(r => r(1) == 44100)) // real decode at true rate
+    assert(wav.exists(r => r(1) == 8000 && r(3) == 160L)) // stub fallback
+  }
+
+  test("imageSummaries agrees with decodeImages + pixelChecksum") {
+    val root = MultimodalQueries.mediaRoot
+    assume(new java.io.File(root).isDirectory)
+    val media = Multimodal.readMedia(spark, s"$root/img", "*.png")
+      .as[MediaRow]
+    val viaSummary = Multimodal.imageSummaries(media)
+      .collect().map(s => s.file_name.take(6) -> s.pixel_checksum).toMap
+    val viaDecode = Multimodal.decodeImages(media)
+      .collect().map(d => d.media_id -> Multimodal.pixelChecksum(d.pixels))
+      .toMap
+    // same multiset of checksums (ids key one path, names the other)
+    assert(viaSummary.values.toSeq.sorted ==
+      viaDecode.values.toSeq.sorted)
+  }
 }

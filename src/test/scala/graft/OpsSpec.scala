@@ -198,4 +198,52 @@ class OpsSpec extends AnyFunSuite {
       """{"e": {"renamed_columns": ["a:b", "c:d"]}}""")("e")
       .renamedColumns == Map("a" -> "b", "c" -> "d"))
   }
+
+  test("target profiles: dev/prod overlay selects, defaults, and yields to explicit conf") {
+    import graft.config.TargetProfiles
+    val json =
+      """{ "dev":  { "default": true,
+        |            "variables": { "source_location": "/data/dev/raw",
+        |                           "catalog_name": "dev_catalog" } },
+        |  "prod": { "variables": { "source_location": "/data/prod/raw",
+        |                           "catalog_name": "prod_catalog",
+        |                           "soft_deletes": "Y" } } }""".stripMargin
+    val profiles = TargetProfiles.parse(json)
+
+    // selection: named, defaulted, unknown
+    assert(TargetProfiles.select(profiles, Some("prod")).name == "prod")
+    assert(TargetProfiles.select(profiles, None).name == "dev")
+    intercept[IllegalArgumentException](
+      TargetProfiles.select(profiles, Some("staging")))
+    // no default marked → must name one
+    intercept[IllegalArgumentException](TargetProfiles.select(
+      TargetProfiles.parse("""{"a": {"variables": {}}}"""), None))
+
+    // overlay → PipelineParams, per target
+    def paramsFor(name: Option[String],
+        pre: Map[String, String] = Map.empty): graft.config.PipelineParams = {
+      val keys = Seq("source_location", "catalog_name", "soft_deletes")
+      val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+      try {
+        keys.foreach(spark.conf.unset)
+        pre.foreach { case (k, v) => spark.conf.set(k, v) }
+        TargetProfiles.applyTo(spark, TargetProfiles.select(profiles, name))
+        graft.config.PipelineParams.fromConf(spark)
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    val dev = paramsFor(None)
+    assert(dev.sourceLocation == "/data/dev/raw")
+    assert(dev.catalogName == "dev_catalog" && !dev.softDeletesEnabled)
+    val prod = paramsFor(Some("prod"))
+    assert(prod.sourceLocation == "/data/prod/raw")
+    assert(prod.catalogName == "prod_catalog" && prod.softDeletesEnabled)
+    // explicit conf (the CLI spelling) beats the profile variable
+    val overridden = paramsFor(Some("prod"),
+      pre = Map("catalog_name" -> "hotfix_catalog"))
+    assert(overridden.catalogName == "hotfix_catalog")
+    assert(overridden.sourceLocation == "/data/prod/raw")
+  }
 }

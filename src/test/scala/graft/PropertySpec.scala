@@ -97,6 +97,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("jaccardPairs: capped output is a subset of exact output") {
+    // docs share a heavy boilerplate prefix (a hot shingle in MANY
+    // prefixes) plus a unique tail — the shape the cap exists for
+    forAllSampled(Gen.listOfN(12, Gen.choose(2, 9)), cases = 3) { tails: List[Int] =>
+      val boiler = "common header words repeated in every document body"
+      val docs = tails.zipWithIndex.map { case (t, i) =>
+        val tail = (0 until t).map(j => s"tok${(i * 5 + j * 11) % 17}").mkString(" ")
+        (i.toLong, s"$boiler $tail")
+      }.toDF("doc_id", "text")
+      val exact = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 2, threshold = 0.3, maxPrefixFreq = Int.MaxValue)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      Seq(1, 3, 8).foreach { cap =>
+        val capped = DedupOps.jaccardPairs(docs, "doc_id", "text",
+          n = 2, threshold = 0.3, maxPrefixFreq = cap)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(capped.subsetOf(exact),
+          s"cap=$cap produced pairs outside the exact set: ${capped -- exact}")
+      }
+    }
+  }
+
   test("jaccardPairs: J(x,x)=1 for duplicated docs, threshold monotone") {
     forAllSampled(Gen.listOfN(5, Gen.choose(10, 30))) { lens: List[Int] =>
       {
