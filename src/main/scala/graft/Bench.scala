@@ -4,6 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated query-name filter for local iteration
+    // (SPARK_GRAFT_ONLY=q_curation,q_pack); unset = the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,7 +38,7 @@ object Bench {
     if (fullScaleWarm)
       System.err.println(s"[bench] WARNING: no sf0.001 sibling; warming " +
         s"against the measured dataset $sfDir with limit(1) per query")
-    SparkEntry.queries.values.foreach { fn =>
+    selected.values.foreach { fn =>
       try {
         val df = fn(spark, warmDir)
         if (fullScaleWarm) df.limit(1).count() else df.count()
@@ -38,7 +46,7 @@ object Bench {
         System.err.println(s"[bench] warmup failed on $warmDir: $e")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

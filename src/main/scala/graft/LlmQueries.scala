@@ -154,6 +154,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: winnowing document fingerprint (Schleimer et al.
+    //    SIGMOD'03): char-5-gram hashes, min per 4-gram sliding window,
+    //    one row per distinct selected gram. Row-based linear form (see
+    //    TextOps.winnowFingerprints scale notes). The md5-hash variant is
+    //    ENGINE-PORTABLE (hex strings order the same everywhere), so this
+    //    is a full DuckDB oracle row; the library default stays xxhash64.
+    "q_winnow_fp" -> ((s, dir) => {
+      TextOps.winnowFingerprints(t(s, dir, "documents"),
+          "doc_id", "text", k = 5, w = 4, hash = md5)
+        .orderBy(col("doc_id"), col("fp"))
+    }),
+
     // -- [EXT]: the composed corpus-curation pipeline. ORACLE-CHECKED:
     //    every stage is SQL-expressible, and the MinHash-LSH near-dup
     //    stage equals the exact trigram-Jaccard pair set at threshold
@@ -357,6 +369,24 @@ object LlmQueries {
          |FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // winnowing: grams[i] = md5 of the 5-char window at 1-based offset i
+    // of the normalized text; fingerprint = sorted distinct mins of each
+    // 4-gram window. DuckDB list slices are 1-based inclusive, matching
+    // Spark's slice(arr, start, length) one-for-one.
+    "q_winnow_fp" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |g AS (SELECT doc_id,
+         |        list_transform(range(1, greatest(length(norm) - 4, 1) + 1),
+         |          i -> md5(substring(norm, i::INT, 5))) AS grams
+         |      FROM n),
+         |w AS (SELECT doc_id,
+         |        list_sort(list_distinct(list_transform(
+         |          range(0, greatest(len(grams) - 4, 0) + 1),
+         |          i -> list_min(grams[(i+1)::INT:(i+4)::INT])))) AS fps
+         |      FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM w
+         |ORDER BY doc_id, fp""".stripMargin,
 
     "q_minhash_neardup" ->
       s"""WITH sh AS (

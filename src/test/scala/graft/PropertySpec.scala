@@ -97,6 +97,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints (row form) equals winnowFingerprint (array form)") {
+    // texts spanning the edge cases: empty, shorter than one gram,
+    // shorter than one window, and normal prose with repeats
+    val texts = Seq("", "ab", "hello", "hello world hello world",
+      "The quick brown fox; jumps over THE lazy dog!",
+      "aaaaaaaaaaaaaaaaaaaaaa")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val rowForm = TextOps.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val arrayForm = docs.select(col("doc_id"),
+      explode(TextOps.winnowFingerprint(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toSet
+    assert(rowForm == arrayForm)
+  }
+
   test("jaccardPairs: capped output is a subset of exact output") {
     // docs share a heavy boilerplate prefix (a hot shingle in MANY
     // prefixes) plus a unique tail — the shape the cap exists for
