@@ -166,6 +166,26 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("fp"))
     }),
 
+    // -- [EXT]: benchmark-contamination detection — containment of probe
+    //    (doc_id < 100, standing in for an eval benchmark) shingle sets in
+    //    every corpus doc; probes broadcast, corpus streams one pass
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.containmentPairs(docs, docs.filter(col("doc_id") < 100),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- [EXT]: deterministic stratified subsampling — keep ~30% of each
+    //    language, membership a pure function of doc_id (data-mixing step)
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratified(t(s, dir, "documents"),
+          "lang", "doc_id", 0.3)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: the composed corpus-curation pipeline. ORACLE-CHECKED:
     //    every stage is SQL-expressible, and the MinHash-LSH near-dup
     //    stage equals the exact trigram-Jaccard pair set at threshold
@@ -340,6 +360,32 @@ object LlmQueries {
          |HAVING count(*)::DOUBLE
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3
+         |      THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |        FROM documents)),
+         |b AS (SELECT doc_id, s, len(s) AS n_b FROM sh WHERE doc_id < 100)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  len(list_intersect(a.s, b.s))::BIGINT AS n_common,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE / b.n_b::DOUBLE, 6)
+         |    AS containment
+         |FROM sh a JOIN b ON a.doc_id <> b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / b.n_b::DOUBLE >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS pr
+        |  FROM documents)
+        |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""SELECT doc_id,

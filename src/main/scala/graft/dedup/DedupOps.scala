@@ -209,6 +209,40 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Benchmark-contamination detection: containment of each PROBE
+    * document's shingle set in each corpus document —
+    * |sh(doc) ∩ sh(probe)| / |sh(probe)| — the decontamination primitive
+    * of a training-data pipeline (drop or flag training docs that contain
+    * an eval benchmark's text).
+    *
+    * Scale shape: benchmark suites are small (10⁴–10⁶ short probes), so
+    * the probe shingle sets BROADCAST and the corpus streams through one
+    * narrow pass — no shuffle of corpus bytes at all. The per-pair check
+    * is the codegen'd sorted-merge intersect. For probe sets too big to
+    * broadcast, fall back to the [[jaccardPairs]]-style inverted index on
+    * the probe side only.
+    *
+    * Containment (not Jaccard) is deliberate: a 100-token benchmark
+    * question buried in a 10k-token document has tiny Jaccard but
+    * containment ≈ 1 — exactly the case decontamination must catch. */
+  def containmentPairs(docs: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val d = docs.select(col(idCol).as("id_a"),
+      shingleHashes(col(textCol), n).as("sh_a"))
+    val p = probes.select(col(idCol).as("id_b"),
+      shingleHashes(col(textCol), n).as("sh_b"))
+      .withColumn("n_b", size(col("sh_b")))
+    d.join(broadcast(p), col("id_a") =!= col("id_b"))
+      .withColumn("n_common",
+        HashExpressions.intersectCountSorted(col("sh_a"), col("sh_b"))
+          .cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
+  }
+
   /** 64-bit SimHash over word unigrams: per bit b, sum +1/−1 by bit b of
     * each token's xxhash64; bit b of the result = sign of the sum.
     * Near-dups = Hamming distance ≤ d on the signature ([[hammingDist]]).

@@ -52,6 +52,15 @@ object PipelineMain {
       spark.conf.getOption(s"spark.$k")
         .foreach(v => spark.conf.set(k, v))
     }
+    // scheduled-trigger analog of the reference job's daily Quartz cron
+    // (resources/sdp_job.job.yml:17-19): production scheduling belongs to
+    // the orchestrator (cron/Airflow/etc. re-invoking this main — runs are
+    // checkpoint-idempotent and lock-protected), but --repeat-every gives
+    // a self-contained interval loop for environments without one
+    val repeatEvery = flagValue(args, "--repeat-every").map { v =>
+      v.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"--repeat-every takes a positive interval in seconds, got '$v'"))
+    }
     val (runner, entities) = PipelineRunner.fromConf(spark, storageRoot)
     // per-phase entity concurrency (flows within a phase are independent,
     // like SDP's parallel resolved flows); default sequential. Unparseable
@@ -64,6 +73,14 @@ object PipelineMain {
           s"pipeline_concurrency must be a positive int, got '$v'")))
       .getOrElse(1)
     runner.run(entities, fullRefresh, concurrency)
+    // interval loop: full refresh applies to the FIRST run only (the
+    // reference's full-refresh is likewise a one-shot job parameter)
+    repeatEvery.foreach { secs =>
+      while (true) {
+        Thread.sleep(secs * 1000L)
+        runner.run(entities, fullRefresh = false, concurrency)
+      }
+    }
     spark.stop()
   }
 }

@@ -114,6 +114,45 @@ class LlmOpsSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("containmentPairs: catches a probe buried in a larger doc that Jaccard misses") {
+    val probe = "the quick brown fox jumps over the lazy dog again and again"
+    val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler $probe $filler"), // probe fully contained, Jaccard tiny
+      (2L, "completely unrelated text about something else entirely here"),
+      (10L, probe)).toDF("doc_id", "text")
+    val probes = docs.filter($"doc_id" === 10L)
+    val hits = DedupOps.containmentPairs(docs, probes, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 10L))) // doc 1 contaminated, doc 2 clean, no self-pair
+    // the same pair is INVISIBLE to symmetric Jaccard at any usable threshold
+    val jac = DedupOps.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxPrefixFreq = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 10L)))
+  }
+
+  test("stratified sample: deterministic, ~fraction per stratum, 1-row strata kept") {
+    val df = (1 to 100).map(i => (i.toLong, if (i <= 80) "en" else "fr"))
+      .toDF("doc_id", "lang")
+      .union(Seq((999L, "zz")).toDF("doc_id", "lang")) // 1-row stratum
+    val s1 = graft.ops.Sampling.stratified(df, "lang", "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = graft.ops.Sampling.stratified(df, "lang", "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2) // pure function of the keys
+    val byLang = graft.ops.Sampling.stratified(df, "lang", "doc_id", 0.3)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // percent_rank <= f keeps floor(f*(n-1))+1 rows: 24/80 en, 6/20 fr
+    assert(byLang("en") == 24 && byLang("fr") == 6)
+    assert(byLang("zz") == 1) // never empties a stratum
+    // monotone in fraction
+    val bigger = graft.ops.Sampling.stratified(df, "lang", "doc_id", 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.toSet.subsetOf(bigger))
+  }
+
   test("jaccardPairs maxPrefixFreq: hot-shingle cap keeps high-sim pairs") {
     val exact = DedupOps.jaccardPairs(docs001, "doc_id", "text",
       n = 3, threshold = 0.8, maxPrefixFreq = Int.MaxValue)

@@ -105,6 +105,26 @@ class PlanSpec extends AnyFunSuite {
     assert(single <= 1, s"expected at most one single-partition exchange:\n$p")
   }
 
+  test("q_winnow_fp: one sliding-window pass, no second WindowExec for the gram count") {
+    val p = plan("q_winnow_fp")
+    // the per-doc gram count must ride the projection (known pre-explode),
+    // not a second count() window — that would double the sort passes
+    assert(p.split("Window ").length - 1 == 1,
+      s"expected exactly one WindowExec:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("q_image_decode: metadata-only media queries prune the binaryFile content column") {
+    // the declared query needs the bytes; a metadata projection must NOT
+    // read them — binaryFile supports content pruning and a 100 TB media
+    // crawl depends on it
+    val meta = graft.multimodal.Multimodal
+      .readMedia(spark, s"${MultimodalQueries.mediaRoot}/img", "*.png")
+      .select("path", "length")
+    val read = meta.queryExecution.executedPlan.toString.split("ReadSchema: ")(1)
+    assert(!read.contains("content"), s"content not pruned:\n$read")
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
