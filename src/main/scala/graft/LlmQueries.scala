@@ -379,13 +379,26 @@ object LlmQueries {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / b.n_b::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // mirrors Sampling.stratified's two-pass construction exactly:
+    // shard by md5 hex chars 9-10, rank within (lang, shard), prefix-sum
+    // shard counts in shard order, keep global rank <= floor(f*(n-1))+1
     "q_stratified_sample" ->
-      """SELECT doc_id, lang FROM (
-        |  SELECT doc_id, lang,
-        |    percent_rank() OVER (PARTITION BY lang
-        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS pr
-        |  FROM documents)
-        |WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin,
+      """WITH r AS (
+        |  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h,
+        |         substring(md5(doc_id::VARCHAR), 9, 2) AS shard
+        |  FROM documents),
+        |rn AS (SELECT doc_id, lang, shard, row_number() OVER (
+        |         PARTITION BY lang, shard ORDER BY h, doc_id) AS rn
+        |       FROM r),
+        |c AS (SELECT lang, shard, count(*) AS c FROM r GROUP BY 1, 2),
+        |o AS (SELECT lang, shard,
+        |        coalesce(sum(c) OVER (PARTITION BY lang ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |        sum(c) OVER (PARTITION BY lang) AS n
+        |      FROM c)
+        |SELECT doc_id, lang FROM rn JOIN o USING (lang, shard)
+        |WHERE rn + off <= floor(0.3 * (n - 1)) + 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""SELECT doc_id,

@@ -125,6 +125,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("content"), s"content not pruned:\n$read")
   }
 
+  test("q_stratified_sample: the data-sized rank window is sharded, not per-stratum") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val q = SparkEntry.queries("q_stratified_sample")(spark, dir)
+    val rankWindows = q.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if w.windowExpressions.exists(_.toString.contains("row_number")) => w
+    }
+    assert(rankWindows.nonEmpty)
+    // partition spec must be (stratum, shard) — a stratum-only window
+    // serializes each language onto one task at corpus scale
+    rankWindows.foreach(w => assert(w.partitionSpec.size == 2,
+      s"rank window must shard beyond the stratum: ${w.partitionSpec}"))
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
