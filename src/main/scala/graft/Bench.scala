@@ -47,6 +47,11 @@ object Bench {
       }
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // collect the previous query's garbage OUTSIDE the next timing —
+      // without this, an allocation-heavy query (1.5M md5 strings in
+      // q_winnow_fp) taxes whichever query runs next with its GC pause
+      // (measured: 3x on the query that followed it alphabetically)
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

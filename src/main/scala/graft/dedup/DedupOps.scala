@@ -243,6 +243,43 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
 
+  /** [[containmentPairs]] for probe sets too large to broadcast — the
+    * PPJoin prefix trick adapted to CONTAINMENT: if |A∩B| ≥ t·|B| then A
+    * must hit one of B's first ⌊(1−t)·|B|⌋+1 shingles under the global
+    * ascending-hash order (missing all of them leaves fewer than t·|B|
+    * matchable), so only probe PREFIXES are indexed and candidate
+    * generation is an equi-join on the shingle — shuffle is
+    * O(corpus postings hitting the index), never |docs|×|probes|.
+    * Candidates re-verify with the exact merge-walk, so the output equals
+    * [[containmentPairs]] exactly (spec-asserted). */
+  def containmentPairsIndexed(docs: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val d = materialized(docs.select(col(idCol).as("id_a"),
+      shingleHashes(col(textCol), n).as("sh_a")))
+    val p = materialized(probes.select(col(idCol).as("id_b"),
+      shingleHashes(col(textCol), n).as("sh_b")))
+      .withColumn("n_b", size(col("sh_b")))
+    val prefixLen = (size(col("sh_b"))
+      - ceil(lit(threshold) * size(col("sh_b"))).cast("int") + 1)
+    val probeIdx = p.select(col("id_b"),
+      explode(slice(col("sh_b"), lit(1), prefixLen)).as("shingle"))
+    val docPost = d.select(col("id_a"), explode(col("sh_a")).as("shingle"))
+    val candIds = docPost.join(probeIdx, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candIds
+      .join(d, Seq("id_a"))
+      .join(p.select(col("id_b"), col("sh_b"), col("n_b")), Seq("id_b"))
+      .withColumn("n_common",
+        HashExpressions.intersectCountSorted(col("sh_a"), col("sh_b"))
+          .cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
+  }
+
   /** 64-bit SimHash over word unigrams: per bit b, sum +1/−1 by bit b of
     * each token's xxhash64; bit b of the result = sign of the sum.
     * Near-dups = Hamming distance ≤ d on the signature ([[hammingDist]]).

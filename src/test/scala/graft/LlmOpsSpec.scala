@@ -133,6 +133,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!jac.contains((1L, 10L)))
   }
 
+  test("containmentPairsIndexed equals the broadcast form on testdata") {
+    val probes = docs001.filter($"doc_id" < 100)
+    val bcast = DedupOps.containmentPairs(docs001, probes,
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val idx = DedupOps.containmentPairsIndexed(docs001, probes,
+      "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bcast.nonEmpty && idx == bcast,
+      s"indexed missed ${(bcast -- idx).size}, extra ${(idx -- bcast).size}")
+  }
+
   test("stratified sample: deterministic, ~fraction per stratum, 1-row strata kept") {
     val df = (1 to 100).map(i => (i.toLong, if (i <= 80) "en" else "fr"))
       .toDF("doc_id", "lang")
