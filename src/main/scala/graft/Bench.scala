@@ -47,14 +47,18 @@ object Bench {
       }
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // collect the previous query's garbage OUTSIDE the next timing —
-      // without this, an allocation-heavy query (1.5M md5 strings in
-      // q_winnow_fp) taxes whichever query runs next with its GC pause
-      // (measured: 3x on the query that followed it alphabetically)
-      System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // min of two measured runs: single-shot timings on a shared box
+      // swing ±30% run-to-run (scheduler/page-cache/GC noise); the min is
+      // the standard steady-state estimator. GC between timings keeps an
+      // allocation-heavy query (1.5M md5 strings in q_winnow_fp) from
+      // taxing the next measurement with its garbage (measured: 3x).
+      val times = (1 to 2).map { _ =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -61,6 +61,24 @@ object ProfileWinnow {
         .select(col("doc_id"), col("_i"), kr(col("_norm")).as("_g"))
         .agg(count(col("_g"))).collect()(0).getLong(0)
     }
+    time("+ karp-rabin, foldable positions") {
+      // gram string cut once with a NON-foldable pos, then chars read at
+      // LITERAL positions (codegen fast path) — vs kr() above which
+      // indexes norm with computed positions per char
+      def kr2(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val M = 2147483647L
+        (1 to 5).foldLeft(lit(0L)) { (h, j) =>
+          (h * 131L + ascii(substring(g, j, 1))) % M
+        }
+      }
+      docs.select(col("doc_id"), TextOps.normalize(col("text")).as("_norm"))
+        .select(col("doc_id"), col("_norm"), posexplode(sequence(lit(1),
+          greatest(length(col("_norm")) - 4, lit(1)))).as(Seq("_j", "_i")))
+        .select(col("doc_id"), col("_i"),
+          substring(col("_norm"), col("_i"), lit(5)).as("_gs"))
+        .select(col("doc_id"), col("_i"), kr2(col("_gs")).as("_g"))
+        .agg(count(col("_g"))).collect()(0).getLong(0)
+    }
     time("full md5 winnow (no sort)") {
       TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4, md5).count()
     }
