@@ -139,6 +139,20 @@ class PlanSpec extends AnyFunSuite {
       s"rank window must shard beyond the stratum: ${w.partitionSpec}"))
   }
 
+  test("broadcast-cross queries: every nested loop is broadcast-bounded, never Cartesian") {
+    // contamination / brute-force top-k / IVF assignment intentionally
+    // cross a streamed corpus with a BROADCAST small side (probes,
+    // centroids): per-row fan-out is bounded by the broadcast size, so
+    // the scan stays linear in the corpus — the scale dimension. What
+    // must never appear is the unbounded data-x-data form.
+    Seq("q_contamination", "q_cosine_topk", "q_ivf_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went Cartesian:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || !p.contains("NestedLoop"),
+        s"$q has a non-broadcast nested loop:\n$p")
+    }
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
