@@ -5,9 +5,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated query-name filter for local iteration
-    // (SPARK_GRAFT_ONLY=q_curation,q_pack); unset = the full suite
+    // (SPARK_GRAFT_ONLY=q_curation,q_pack); unset = the full suite.
+    // Unknown names fail loud — a typo silently benching nothing would
+    // read as a pass
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected = only match {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
@@ -52,13 +59,17 @@ object Bench {
       // the standard steady-state estimator. GC between timings keeps an
       // allocation-heavy query (1.5M md5 strings in q_winnow_fp) from
       // taxing the next measurement with its garbage (measured: 3x).
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); false }
+        // a failed run's fast-fail elapsed must NOT compete in the min —
+        // only successful runs carry a timing
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -396,9 +396,10 @@ object LlmQueries {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
         |        sum(c) OVER (PARTITION BY lang) AS n
         |      FROM c)
-        |SELECT doc_id, lang FROM rn JOIN o USING (lang, shard)
-        |WHERE rn + off <= floor(0.3 * (n - 1)) + 1
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT rn.doc_id, rn.lang FROM rn JOIN o
+        |  ON rn.lang IS NOT DISTINCT FROM o.lang AND rn.shard = o.shard
+        |WHERE rn.rn + o.off <= floor(0.3 * (n - 1)) + 1
+        |ORDER BY rn.doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""SELECT doc_id,

@@ -22,13 +22,15 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
-  /** Fixture root: repo-relative when the cwd is the repo (sbt runMain),
-    * else the canonical absolute checkout path. */
-  private[graft] def mediaRoot: String = {
-    val local = new java.io.File("fixtures/media")
-    if (local.isDirectory) local.getAbsolutePath
-    else "/root/repo/fixtures/media"
-  }
+  /** Fixture root: `GRAFT_MEDIA_DIR` when set (for checkouts elsewhere /
+    * other cwds), else repo-relative when the cwd is the repo (sbt
+    * runMain), else this environment's canonical checkout path. */
+  private[graft] def mediaRoot: String =
+    sys.env.get("GRAFT_MEDIA_DIR").getOrElse {
+      val local = new java.io.File("fixtures/media")
+      if (local.isDirectory) local.getAbsolutePath
+      else "/root/repo/fixtures/media"
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

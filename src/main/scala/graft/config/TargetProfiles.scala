@@ -46,7 +46,19 @@ object TargetProfiles {
           val default = fields.get("default").contains(JBool(true))
           val vars = fields.get("variables") match {
             case Some(JObject(vs)) =>
-              vs.collect { case JField(k, JString(v)) => k -> v }.toMap
+              // scalar values stringify (YAML-ish configs write bare
+              // booleans/ints); nested values fail LOUD — silently
+              // dropping a variable is the silently-wrong-environment
+              // bug this module exists to prevent
+              vs.map {
+                case JField(k, JString(v)) => k -> v
+                case JField(k, JBool(v)) => k -> v.toString
+                case JField(k, JInt(v)) => k -> v.toString
+                case JField(k, JLong(v)) => k -> v.toString
+                case JField(k, JDouble(v)) => k -> v.toString
+                case JField(k, v) => throw new IllegalArgumentException(
+                  s"target '$name'.variables.$k must be a scalar, got $v")
+              }.toMap
             case None => Map.empty[String, String]
             case _ => throw new IllegalArgumentException(
               s"target '$name'.variables must be a string-valued object")

@@ -228,6 +228,8 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
     val d = docs.select(col(idCol).as("id_a"),
       shingleHashes(col(textCol), n).as("sh_a"))
     val p = probes.select(col(idCol).as("id_b"),
@@ -255,6 +257,11 @@ object DedupOps {
   def containmentPairsIndexed(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    // at threshold 0 every disjoint pair trivially qualifies but shares
+    // no shingle to collide on — the prefix-filter equality with
+    // containmentPairs holds only on (0,1], so enforce it
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0,1], got $threshold")
     val d = materialized(docs.select(col(idCol).as("id_a"),
       shingleHashes(col(textCol), n).as("sh_a")))
     val p = materialized(probes.select(col(idCol).as("id_b"),

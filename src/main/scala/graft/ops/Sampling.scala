@@ -57,9 +57,16 @@ object Sampling {
       .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
       .withColumn("_n", sum(col("_c")).over(wTot))
       .select(col(strataCol), col("_shard"), col("_off"), col("_n"))
-    ranked.join(broadcast(offsets), Seq(strataCol, "_shard"))
+    // null-SAFE equality on the stratum: windows and groupBy treat NULL
+    // as a normal group, but a null-unsafe join key would silently drop
+    // the whole NULL stratum — violating the every-stratum contract
+    val o = offsets
+      .withColumnRenamed(strataCol, "_o_strata")
+      .withColumnRenamed("_shard", "_o_shard")
+    ranked.join(broadcast(o),
+        col(strataCol) <=> col("_o_strata") && col("_shard") === col("_o_shard"))
       .filter(col("_rn") + col("_off") <=
         floor(lit(fraction) * (col("_n") - 1)) + 1)
-      .drop("_h", "_shard", "_rn", "_off", "_n")
+      .drop("_h", "_shard", "_rn", "_off", "_n", "_o_strata", "_o_shard")
   }
 }

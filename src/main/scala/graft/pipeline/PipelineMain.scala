@@ -20,14 +20,20 @@ object PipelineMain {
   private def flagValue(args: Array[String], flag: String): Option[String] =
     args.indexOf(flag) match {
       case -1 => None
-      case i if i + 1 < args.length => Some(args(i + 1))
+      case i if i + 1 < args.length && !args(i + 1).startsWith("--") =>
+        Some(args(i + 1))
       case _ => throw new IllegalArgumentException(s"$flag needs a value")
     }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: PipelineMain <storageRoot> [--full-refresh] " +
-        "[--targets <dp_targets.json> [--target <name>]]")
+        "[--targets <dp_targets.json> [--target <name>]] " +
+        "[--repeat-every <seconds>]")
+    // --target without --targets would silently run against defaults —
+    // the one config mistake that must fail loud
+    require(!(args.contains("--target") && !args.contains("--targets")),
+      "--target requires --targets <dp_targets.json>")
     val storageRoot = args(0)
     val fullRefresh = args.contains("--full-refresh")
     val spark = graft.analytics.GraftSession.configure(SparkSession.builder()

@@ -35,7 +35,7 @@ object ProfileJaccard {
       .agg(count(lit(1)).as("n_common"))
     println(s"[profile] groups: ${time("groupBy")(g.count())}")
     println(s"[profile] full: ${time("full jaccardPairs")(
-      DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())}")
+      DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5, Int.MaxValue).count())}")
     spark.stop()
   }
 }

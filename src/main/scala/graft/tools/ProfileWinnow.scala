@@ -25,7 +25,6 @@ object ProfileWinnow {
       println(f"[winnow] $label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
     }
 
-    val norm = normalize _
     time("norm+explode positions only") {
       docs.select(col("doc_id"), TextOps.normalize(col("text")).as("_norm"))
         .select(col("doc_id"), posexplode(sequence(lit(1),
@@ -91,6 +90,4 @@ object ProfileWinnow {
     }
     spark.stop()
   }
-
-  private def normalize(c: org.apache.spark.sql.Column) = TextOps.normalize(c)
 }

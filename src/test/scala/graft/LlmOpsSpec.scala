@@ -163,6 +163,13 @@ class LlmOpsSpec extends AnyFunSuite {
     val bigger = graft.ops.Sampling.stratified(df, "lang", "doc_id", 0.6)
       .select("doc_id").as[Long].collect().toSet
     assert(s1.toSet.subsetOf(bigger))
+    // a NULL stratum is a stratum: the null-safe offsets join must keep
+    // its quota instead of silently dropping every row
+    val withNull = df.union(Seq((500L, null.asInstanceOf[String]),
+      (501L, null.asInstanceOf[String])).toDF("doc_id", "lang"))
+    val nullKept = graft.ops.Sampling.stratified(withNull, "lang", "doc_id", 0.3)
+      .filter($"lang".isNull).count()
+    assert(nullKept == 1) // floor(0.3*(2-1))+1 = 1
   }
 
   test("jaccardPairs maxPrefixFreq: hot-shingle cap keeps high-sim pairs") {

@@ -210,6 +210,14 @@ class OpsSpec extends AnyFunSuite {
         |                           "soft_deletes": "Y" } } }""".stripMargin
     val profiles = TargetProfiles.parse(json)
 
+    // scalar variable values stringify; nested values fail loud
+    val scalars = TargetProfiles.parse(
+      """{"t": {"variables": {"soft_deletes": true, "max_files_per_trigger": 100}}}""")
+    assert(scalars("t").variables ==
+      Map("soft_deletes" -> "true", "max_files_per_trigger" -> "100"))
+    intercept[IllegalArgumentException](TargetProfiles.parse(
+      """{"t": {"variables": {"nested": {"a": 1}}}}"""))
+
     // selection: named, defaulted, unknown
     assert(TargetProfiles.select(profiles, Some("prod")).name == "prod")
     assert(TargetProfiles.select(profiles, None).name == "dev")
