@@ -52,6 +52,28 @@ object MultimodalQueries {
       Multimodal.audioSummaries(Multimodal.balanceBySize(media.toDF, 4)
           .as[Multimodal.MediaRow])
         .toDF().orderBy(col("file_name"))
+    }),
+
+    // -- [EXT] multimodal: video frame sampling. The CODEC is the
+    //    documented deterministic stub (no ffmpeg-class libs in this
+    //    environment — Multimodal.StubCodec); the Spark plumbing is the
+    //    real contract: binaryFile scan → size-balanced repartition →
+    //    batched per-partition flatMap (one row per sampled frame) →
+    //    per-frame checksum. Deterministic rows-only check (no oracle —
+    //    the stub is engine-specific, same category as the hash-seeded
+    //    ANN queries).
+    "q_frame_sample" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.readMedia(s, s"$mediaRoot/wav", "*.wav",
+          kind = "video")
+        .as[Multimodal.MediaRow]
+      Multimodal.sampleVideoFrames(
+          Multimodal.balanceBySize(media.toDF, 4).as[Multimodal.MediaRow],
+          everyMs = 20000L)
+        .map { case (id, ms, px) =>
+          (id, ms, px.length, Multimodal.pixelChecksum(px)) }
+        .toDF("media_id", "frame_ms", "n_values", "frame_checksum")
+        .orderBy(col("media_id"), col("frame_ms"))
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -163,6 +163,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.exists(r => r(1) == 8000 && r(3) == 160L)) // stub fallback
   }
 
+  test("q_frame_sample: deterministic frames, multi-frame clips present") {
+    val root = MultimodalQueries.mediaRoot
+    assume(new java.io.File(root).isDirectory)
+    val run1 = MultimodalQueries.queries("q_frame_sample")(spark, "")
+      .collect().map(_.toSeq).toSeq
+    val run2 = MultimodalQueries.queries("q_frame_sample")(spark, "")
+      .collect().map(_.toSeq).toSeq
+    assert(run1.nonEmpty && run1 == run2) // pure function of the bytes
+    // the longer clips yield >1 frame at the 20s cadence, so the
+    // per-media flatMap fan-out is actually exercised
+    val perMedia = run1.groupBy(_.head).values.map(_.size)
+    assert(perMedia.exists(_ > 1) && perMedia.exists(_ == 1))
+  }
+
   test("imageSummaries agrees with decodeImages + pixelChecksum") {
     val root = MultimodalQueries.mediaRoot
     assume(new java.io.File(root).isDirectory)
