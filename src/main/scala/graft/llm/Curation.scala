@@ -47,9 +47,26 @@ object Curation {
   def stages(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String], cfg: Config)
       : Seq[(String, DataFrame)] = {
-    val gated = docs
-      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+    // quality components as NAMED COLUMNS, not one inline qualityScore
+    // expression: the composite references meanWordLen twice and the
+    // pushed-down filter re-substitutes the whole thing, so the inline
+    // form pays ~4 interpreted HOF passes per row; as multi-referenced
+    // non-cheap aliases the ratios survive CollapseProject and evaluate
+    // once, with the composite reduced to arithmetic over attributes
+    val txt = col(textCol)
+    val scored = docs
+      .withColumn("_punct", TextOps.punctRatio(txt))
+      .withColumn("_sw", TextOps.stopwordRatio(txt))
+      .withColumn("_mwl", TextOps.meanWordLen(txt))
+    val gated = scored
+      .withColumn("quality",
+        when(length(txt) >= 50 && length(txt) <= 10000, 1.0).otherwise(0.0) * 0.3
+          + when(col("_sw") >= 0.05, 1.0).otherwise(0.0) * 0.3
+          + when(col("_punct") <= 0.2, 1.0).otherwise(0.0) * 0.2
+          + when(col("_mwl") >= 2.0 && col("_mwl") <= 12.0, 1.0)
+            .otherwise(0.0) * 0.2)
       .filter(col("quality") >= cfg.minQuality)
+      .drop("_punct", "_sw", "_mwl")
     val langed = (langCol, cfg.keepLangs) match {
       case (Some(lc), keep) if keep.nonEmpty =>
         gated.filter(col(lc).isin(keep: _*))
