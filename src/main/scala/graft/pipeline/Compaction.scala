@@ -73,12 +73,18 @@ object Compaction {
       }
       // CompactibleFileStreamLog derives file names arithmetically: every
       // batch id with (id+1) % compactInterval == 0 MUST be "<id>.compact"
-      // (readers/resume start from the latest such boundary). An empty
+      // (readers/resume start from the LATEST such boundary). An empty
       // "v1\n" compact is valid because all live entries are in batch n.
-      (0L until n).foreach { i =>
-        val fname =
-          if ((i + 1) % compactInterval == 0) s"$i.compact" else i.toString
-        write(new Path(stagingMeta, fname), "v1\n")
+      // Only the latest boundary and the deltas after it are ever read,
+      // so synthesize exactly those — writing every historical batch file
+      // is O(total batches) driver-side file creations (minutes at years
+      // of frequent triggers) for files no reader opens.
+      val boundary = ((n + 1) / compactInterval) * compactInterval - 1
+      if (boundary >= 0 && boundary < n)
+        write(new Path(stagingMeta, s"$boundary.compact"), "v1\n")
+      val firstDelta = if (boundary >= 0) boundary + 1 else 0L
+      (firstDelta until n).foreach { i =>
+        write(new Path(stagingMeta, i.toString), "v1\n")
       }
       val entries = fs.listStatus(staging)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -93,9 +99,22 @@ object Compaction {
       write(new Path(stagingMeta, name), "v1\n" + entries.mkString("\n"))
     }
 
-    // two-rename swap; pause writers around this call
-    fs.rename(path, retired)
-    fs.rename(staging, path)
+    // two-rename swap; pause writers around this call. Hadoop rename
+    // reports most failures by returning FALSE, not throwing — an
+    // unchecked first rename would leave the live table in place and the
+    // second rename would nest staging INSIDE it (dst-exists-as-dir
+    // semantics); an unchecked second would lose the table path entirely.
+    if (!fs.rename(path, retired))
+      throw new IllegalStateException(
+        s"compaction aborted: could not retire $path (rename returned false); " +
+          "table untouched, staging left at " + staging)
+    if (!fs.rename(staging, path)) {
+      val rolledBack = fs.rename(retired, path)
+      throw new IllegalStateException(
+        s"compaction failed: could not move $staging into place" +
+          (if (rolledBack) s"; original table RESTORED at $path"
+           else s"; MANUAL RECOVERY NEEDED: original at $retired"))
+    }
     fs.delete(retired, true)
 
     val after = fs.listStatus(path)

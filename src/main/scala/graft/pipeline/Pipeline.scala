@@ -101,9 +101,30 @@ final class PipelineRunner(
       case "csv"  => spark.read.option("header", "true")
         .option("inferSchema", "true")
       case "json" => spark.read
-      case _      => spark.read
+      case _      => spark.read.option("mergeSchema", "true")
     }
-    reader.format(format).load(path).schema
+    // S6 bounded inference: infer from the N NEWEST files, not the whole
+    // raw history — a full csv/json inference scan makes every triggered
+    // run O(total history) instead of O(new files). Newest-first catches
+    // added columns (S7); a column only in older files stays via the
+    // table-schema merge in runBronze. Empty list → let load(path) raise
+    // the format's own unable-to-infer error (handled by the caller's
+    // table-schema fallback).
+    val newest = newestDataFiles(path, 32)
+    if (newest.isEmpty) reader.format(format).load(path).schema
+    else reader.format(format).load(newest: _*).schema
+  }
+
+  /** The `n` newest non-hidden files under `path` by modification time. */
+  private def newestDataFiles(path: String, n: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(-_.getModificationTime)
+      .take(n).map(_.getPath.toString)
   }
 
   /** One triggered (Trigger.AvailableNow) incremental ingest for an entity —
@@ -127,8 +148,23 @@ final class PipelineRunner(
     }
 
     // S6: infer; P1: upcast applies to the SCHEMA too, so the pinned
-    // streaming schema and the table schema agree on bigint.
-    val inferred = inferSourceSchema(cfg.rawFileFormat, srcPath)
+    // streaming schema and the table schema agree on bigint. When the raw
+    // files are gone (a retention job cleaned already-ingested sources)
+    // inference has nothing to read — fall back to the existing table's
+    // schema instead of failing a run that has nothing new to ingest.
+    val inferred =
+      try inferSourceSchema(cfg.rawFileFormat, srcPath)
+      catch {
+        case e: Exception =>
+          tableSchema(spark, fqn) match {
+            case Some(old) =>
+              log(s"$entity: source inference failed (${e.getMessage}); " +
+                "using the existing table schema")
+              val auditNames = auditFields.map(_.name).toSet
+              StructType(old.fields.filterNot(f => auditNames(f.name)))
+            case None => throw e
+          }
+      }
     val target = upcastSchema(inferred)
 
     // S7 schema evolution (addNewColumns): widen the existing table by the
@@ -198,11 +234,14 @@ final class PipelineRunner(
     // the canUpCast gate above)
     val projTypes = projected.schema.fields
       .map(f => f.name.toLowerCase -> f.dataType).toMap
+    // backtick-quote names: a bare col("user.id") parses as struct-field
+    // access, breaking any source column with a dot in its name
+    def bqCol(name: String) = col("`" + name.replace("`", "``") + "`")
     val aligned = merged.fields.map { f =>
       projTypes.get(f.name.toLowerCase) match {
         case Some(dt) if dt != f.dataType =>
-          col(f.name).cast(f.dataType).as(f.name)
-        case Some(_) => col(f.name)
+          bqCol(f.name).cast(f.dataType).as(f.name)
+        case Some(_) => bqCol(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }
@@ -398,7 +437,18 @@ final class PipelineRunner(
           val fs = entities.toSeq.sortBy(_._1)
             .map(e => Future(f(e))(ec))
           fs.foreach(Await.result(_, Duration.Inf))
-        } finally pool.shutdown()
+        } finally {
+          // a failed flow must NOT let the run lock release while sibling
+          // flows still stream into their checkpoints (a successor run
+          // would write the same checkpoints concurrently — the exact
+          // corruption max_concurrent_runs=1 prevents): cancel queued
+          // work, interrupt in-flight flows, and WAIT for the pool to
+          // drain before the lock's finally can run. If a flow ignores
+          // interruption the lock stays held — that is the safe outcome.
+          pool.shutdownNow()
+          pool.awaitTermination(Long.MaxValue,
+            java.util.concurrent.TimeUnit.NANOSECONDS)
+        }
       }
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
     each { case (e, cfg) => runSilver(e, cfg) }
@@ -446,25 +496,33 @@ object RunLock {
   val heartbeatMs: Long = 2000L
   val staleAfterMs: Long = 30000L
 
+  /** Lock file carries "beatMs ownerToken": the token fences a holder
+    * that was paused past staleAfterMs (GC / VM suspend) and woke up
+    * after a rival broke its lock — without it, the zombie's heartbeat
+    * would steal the lock back mid-run and its release would delete the
+    * rival's LIVE lock, letting a third run in. */
   private def writeLock(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, overwrite: Boolean): Unit = {
+      p: org.apache.hadoop.fs.Path, token: String,
+      overwrite: Boolean): Unit = {
     val out = fs.create(p, overwrite)
-    try out.write(s"${System.currentTimeMillis()}\n".getBytes(
+    try out.write(s"${System.currentTimeMillis()} $token\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def readBeatMs(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[Long] =
+  private def readLock(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(Long, String)] =
     try {
       val len = fs.getFileStatus(p).getLen
-      if (len > 64) None
+      if (len > 128) None
       else {
         val bytes = new Array[Byte](len.toInt)
         val in = fs.open(p)
         try in.readFully(0, bytes) finally in.close()
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .trim.toLongOption
+        val parts = new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8).trim.split("\\s+", 2)
+        parts.headOption.flatMap(_.toLongOption)
+          .map(beat => (beat, if (parts.length > 1) parts(1) else ""))
       }
     } catch { case _: java.io.IOException => None }
 
@@ -473,12 +531,13 @@ object RunLock {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(root)
     val lock = new org.apache.hadoop.fs.Path(root, LockName)
+    val token = java.util.UUID.randomUUID().toString
 
     def acquire(retryOnStale: Boolean): Unit =
-      try writeLock(fs, lock, overwrite = false)
+      try writeLock(fs, lock, token, overwrite = false)
       catch {
         case _: java.io.IOException =>
-          val beat = readBeatMs(fs, lock)
+          val beat = readLock(fs, lock).map(_._1)
           val fresh = beat.exists(System.currentTimeMillis() - _ < staleAfterMs)
           if (fresh || !retryOnStale)
             throw new ConcurrentRunException(lock.toString,
@@ -491,20 +550,30 @@ object RunLock {
           acquire(retryOnStale = false)
       }
 
+    def stillMine: Boolean = readLock(fs, lock).exists(_._2 == token)
+
     acquire(retryOnStale = true)
+    @volatile var stopped = false
     val beater = new Thread(() => {
-      try while (!Thread.interrupted()) {
+      try while (!Thread.interrupted() && !stopped) {
         Thread.sleep(heartbeatMs)
-        writeLock(fs, lock, overwrite = true)
+        // re-check ownership before every beat: if a rival broke this
+        // lock while we were paused, beating would steal it back while
+        // both runs are live — stop beating instead (fail on release)
+        if (!stopped && stillMine)
+          writeLock(fs, lock, token, overwrite = true)
       } catch { case _: InterruptedException => () }
     }, "graft-run-lock-heartbeat")
     beater.setDaemon(true)
     beater.start()
     try body
     finally {
+      stopped = true // visible to the beater even if join times out below
       beater.interrupt()
       beater.join(heartbeatMs * 2)
-      fs.delete(lock, false)
+      // delete only OUR lock — a rival that legitimately broke a stale
+      // lock owns the file now and must keep it
+      if (stillMine) fs.delete(lock, false)
     }
   }
 }

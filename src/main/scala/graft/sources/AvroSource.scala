@@ -94,12 +94,20 @@ object AvroSource {
       maxHeaderReads: Int = 32): StructType = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(_.isFile)
+    val all = fs.listStatus(p).filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".avro"))
-      .sortBy(-_.getModificationTime)
+    val files = all.sortBy(-_.getModificationTime)
       .take(maxHeaderReads).map(_.getPath)
     if (files.isEmpty)
       throw new IllegalArgumentException(s"no .avro files in $dir")
+    if (all.length > maxHeaderReads)
+      // the cap is visible, not silent: a column carried ONLY by files
+      // outside the newest-N within one big backlog would be missing from
+      // this inference pass (its values null until a newer file re-adds
+      // it via S7) — at steady state new columns arrive in new files, but
+      // the operator deserves the breadcrumb on backfills
+      Console.err.println(s"[avro] schema inference sampling newest " +
+        s"$maxHeaderReads of ${all.length} files in $dir")
     val schemas = files.toSeq.map { file =>
       val in = fs.open(file)
       try {
@@ -144,7 +152,17 @@ object AvroSource {
   private def convert(v: Any, dt: DataType, av: Option[AvroSchema]): Any =
     (v, dt) match {
       case (null, _) => null
-      case (x, StringType) => x.toString
+      // string target: only values with a MEANINGFUL string form convert
+      // (avro strings/enums, scalars). Bytes/records/collections under a
+      // string-inferred target would stringify as JVM debug text
+      // ("java.nio.HeapByteBuffer[pos=0 ...]") — silent corruption; they
+      // fall through to the unconvertible-⇒-null default instead.
+      case (x: org.apache.avro.util.Utf8, StringType) => x.toString
+      case (x: java.lang.CharSequence, StringType) => x.toString
+      case (x: org.apache.avro.generic.GenericEnumSymbol[_], StringType) =>
+        x.toString
+      case (x: java.lang.Number, StringType) => x.toString
+      case (x: java.lang.Boolean, StringType) => x.toString
       case (x: java.nio.ByteBuffer, BinaryType) =>
         val arr = new Array[Byte](x.remaining()); x.duplicate().get(arr); arr
       case (x: org.apache.avro.generic.GenericFixed, BinaryType) => x.bytes()

@@ -181,6 +181,40 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(rows(1).getInt(1) == 21)
   }
 
+  test("bytes written under a string-inferred target null out, scalars stringify") {
+    val dir = Files.createTempDirectory("graft-avro-str").toString
+    // older file: site written as BYTES, temp as LONG; newest pins both
+    // differently (site string, temp int is incompatible → separate case)
+    val oldSch = SchemaBuilder.record("reading").fields()
+      .requiredLong("rid")
+      .requiredLong("temp")
+      .name("site").`type`().bytesType().noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](oldSch))
+    w.create(oldSch, new File(Files.createDirectories(Path.of(dir)).toString,
+      "old.avro"))
+    try {
+      val r = new GenericData.Record(oldSch)
+      r.put("rid", 1L); r.put("temp", 7L)
+      r.put("site", java.nio.ByteBuffer.wrap(Array[Byte](1, 2, 3)))
+      w.append(r)
+    } finally w.close()
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("temp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("site",
+        org.apache.spark.sql.types.StringType)))
+    val row = AvroSource.read(spark, dir, Some(target)).collect()(0)
+    // a long under a string target has a meaningful string form
+    assert(row.getString(1) == "7")
+    // bytes under a string target must NOT become JVM debug text
+    assert(row.isNullAt(2),
+      s"bytes-under-string must null out, got '${row.get(2)}'")
+  }
+
   test("S7 evolution: a new column in a newer avro file widens the table") {
     val src = Files.createTempDirectory("graft-avro-evo").toString
     val store = Files.createTempDirectory("graft-avro-evo-store").toString

@@ -503,6 +503,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("run lock fencing: a holder whose lock was broken must not delete the rival's") {
+    import graft.pipeline.RunLock
+    val store = tmpDir("graft-fence")
+    val root = s"$store/_checkpoints"
+    val lockFile = Path.of(root, "_pipeline_run_lock")
+    val rival = System.currentTimeMillis() + " rival-token\n"
+    RunLock.withLock(spark, root) {
+      // simulate: we were paused past staleAfterMs, a rival broke our
+      // stale lock and now holds a FRESH one with its own token
+      Files.writeString(lockFile, rival)
+    }
+    // our release must leave the rival's live lock in place
+    assert(Files.exists(lockFile))
+    assert(Files.readString(lockFile) == rival)
+  }
+
+  test("bronze run survives raw files being retired after ingestion") {
+    val src = tmpDir("graft-ret-src"); val store = tmpDir("graft-ret-store")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "tret")
+    runner.run(entities)
+    val before = spark.table(params.bronzeFqn("app_downloads")).count()
+
+    // a raw-retention job deletes the already-checkpointed source files;
+    // the next run must fall back to the table schema, not die inferring
+    import scala.jdk.CollectionConverters._
+    Files.list(Path.of(src, "app_downloads")).iterator().asScala.toSeq
+      .foreach(f => Files.delete(f))
+    runner.run(entities)
+    assert(spark.table(params.bronzeFqn("app_downloads")).count() == before)
+  }
+
   test("S7 type conflict: changed column type fails with a named error; " +
       "up-castable change widens the incoming data") {
     import graft.pipeline.SchemaConflictException
