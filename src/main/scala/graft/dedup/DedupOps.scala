@@ -64,10 +64,12 @@ object DedupOps {
     * composed pipeline ([[graft.llm.Curation]]) fingerprint an
     * already-normalized column instead of re-running the normalize regex. */
   def exactDedupByKey(df: DataFrame, key: Column, idCol: String): DataFrame = {
+    val rn = Iterator.iterate("_fp_rn")(_ + "_")
+      .dropWhile(df.columns.contains).next()
     val w = Window.partitionBy(key).orderBy(col(idCol).asc)
-    df.withColumn("_fp_rn", row_number().over(w))
-      .filter(col("_fp_rn") === 1)
-      .drop("_fp_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** All-pairs n-gram Jaccard similarity ≥ threshold — PPJoin-style
@@ -306,8 +308,14 @@ object DedupOps {
     * explode-join shape as [[minhashLsh]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 31,
+      s"maxDist must be in [0, 31], got $maxDist")
     val chunks = maxDist + 1
     val width = 64 / chunks
+    // maxDist=0 ⇒ one 64-bit chunk; (1L << 64) wraps to 1 (Java shifts
+    // are mod 64), which would mask every chunk_val to 0 and collapse the
+    // blocking join into the full n² cross product
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val withSig = materialized(
       df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
     // blocking join + candidate dedup carry ONLY ids (minhashLsh
@@ -317,7 +325,7 @@ object DedupOps {
     val blocked = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         c => call_function("shiftright", col("sig"), c * width)
-          .bitwiseAND((1L << width) - 1L))).as(Seq("chunk", "chunk_val")))
+          .bitwiseAND(mask))).as(Seq("chunk", "chunk_val")))
     val candIds = blocked.select(col("id").as("id_a"), col("chunk"),
       col("chunk_val"))
       .join(blocked.select(col("id").as("id_b"), col("chunk"),

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
 object VectorExpressions {
 
   /** ⟨a, b⟩ in double precision. Null if either side is null; mismatched
-    * lengths raise (a data bug should fail loudly, not silently skew). */
+    * lengths and NULL ELEMENTS raise (a data bug should fail loudly, not
+    * silently skew — getFloat on a null slot would silently read 0.0). */
   case class FloatDot(left: Expression, right: Expression)
       extends BinaryExpression {
 
@@ -52,6 +53,9 @@ object VectorExpressions {
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"float_dot: null element at index $i")
         acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -70,6 +74,10 @@ object VectorExpressions {
            |}
            |double ${ev.value}Acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "float_dot: null element at index " + $i);
+           |  }
            |  ${ev.value}Acc +=
            |    ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
            |}
@@ -101,6 +109,9 @@ object VectorExpressions {
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        if (x.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"float_norm: null element at index $i")
         val v = x.getFloat(i).toDouble
         acc += v * v
         i += 1
@@ -117,6 +128,10 @@ object VectorExpressions {
            |final int $n = $a.numElements();
            |double ${ev.value}Acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) {
+           |    throw new IllegalArgumentException(
+           |      "float_norm: null element at index " + $i);
+           |  }
            |  final double $v = (double) $a.getFloat($i);
            |  ${ev.value}Acc += $v * $v;
            |}

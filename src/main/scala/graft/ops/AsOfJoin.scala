@@ -32,8 +32,14 @@ object AsOfJoin {
     require(collisions.isEmpty,
       s"as-of payload columns collide with left columns: " +
         s"${collisions.mkString(", ")} — alias the right side first")
-    val isLeft = "_is_left"
-    val t = "_asof_t"
+    // temp names must not collide with user columns (the ZOrder.fresh
+    // discipline) — a user's own _is_left would be silently destroyed
+    val taken = left.columns.toSet ++ right.columns.toSet ++ payload
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val isLeft = fresh("_is_left")
+    val t = fresh("_asof_t")
+    val ps = fresh("_asof_payload")
     val leftCols = left.columns
     val l = payload.foldLeft(
       left.withColumn(t, col(leftTime)).withColumn(isLeft, lit(1))) {
@@ -50,11 +56,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(t).asc, col(isLeft).asc, col(rightOrderCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(s"asof_$p",
-        last(when(col(isLeft) === 0, col(p)), ignoreNulls = true).over(w))
-    }
+    // carry the payload as ONE struct per right row, not per-column
+    // last(ignoreNulls): independent per-column carries would resurrect a
+    // stale non-null value where the current right version has a NULL
+    // field — stitching together a row that never existed. The struct is
+    // null exactly for left rows, so last(ignoreNulls) lands on the
+    // latest right ROW atomically and intra-row NULLs survive.
+    val carried = unioned.withColumn(ps,
+      last(when(col(isLeft) === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col(isLeft) === 1)
-      .select((leftCols ++ payload.map(p => s"asof_$p")).map(col).toIndexedSeq: _*)
+      .select((leftCols.map(col) ++
+        payload.map(p => col(s"$ps.$p").as(s"asof_$p"))).toIndexedSeq: _*)
   }
 }

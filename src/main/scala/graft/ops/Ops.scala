@@ -81,10 +81,14 @@ object Audit {
 object Dedup {
   def apply(df: DataFrame, pkCols: Seq[String],
       orderCols: Seq[Column]): DataFrame = {
+    // collision-free rank name (the ZOrder.fresh discipline): a user
+    // column already named _row_num must survive the round trip
+    val rn = Iterator.iterate("_row_num")(_ + "_")
+      .dropWhile(df.columns.contains).next()
     val w = Window.partitionBy(pkCols.map(col): _*).orderBy(orderCols: _*)
-    df.withColumn("_row_num", row_number().over(w))
-      .filter(col("_row_num") === 1)
-      .drop("_row_num")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 
   /** Reference form: latest `_ingested_at` wins; tie-break by source file

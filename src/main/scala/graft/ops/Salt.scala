@@ -35,8 +35,11 @@ object Salt {
       .groupBy(col(key), col("_salt"))
       .agg(collect_set(col(valueCol)).as("_vals"))
       .groupBy(col(key))
-      .agg(size(array_distinct(flatten(collect_list(col("_vals")))))
-        .cast("long").as("n_distinct"))
+      // salt = hash(value) % factor ⇒ per-salt value sets are DISJOINT,
+      // so the distinct count is the SUM of per-salt set sizes. Flattening
+      // the sets back into one row would re-concentrate the hot key the
+      // salting exists to spread (1B distinct values -> one task's array).
+      .agg(sum(size(col("_vals"))).cast("long").as("n_distinct"))
 
   /** Skew-safe collect_list-equivalent count: two-phase sum. For algebraic
     * aggregates (sum/count/min/max) Spark's own partial aggregation makes

@@ -52,6 +52,12 @@ object ZOrder {
     * b * ncols + i, so columns alternate significance. */
   private def interleave(bucketCols: Seq[Column], bits: Int): Column = {
     val n = bucketCols.size
+    // bit b of column i lands at position b*n+i; Java shifts wrap mod 64,
+    // so exceeding the non-sign bits would silently alias high bucket
+    // bits onto low positions and corrupt the ordering — fail loud
+    require(bits * n <= 63,
+      s"z-order interleave needs bits*cols <= 63, got $bits*$n — " +
+        "lower `bits` or cluster on fewer columns")
     val pieces = for {
       b <- 0 until bits
       (bc, i) <- bucketCols.zipWithIndex

@@ -140,36 +140,41 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    // norms hoisted into the side projections (the bruteForceTopK
+    // discipline): an inline norm() would re-evaluate per (row × centroid)
+    // pair in assignment and per candidate in scoring — >nlist redundant
+    // full-vector passes per corpus row
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
     // deterministic centroid pick: first nlist ids (TakeOrderedAndProject,
     // no global shuffle). Ids carry no structure in embedding space, so
     // this is as good as uniform sampling here; production IVF would
     // k-means-refine the same table.
     val cents = c.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"))
-    def assign(df: DataFrame, idC: String, vecC: String, top: Int,
-        outPrefix: String): DataFrame = {
+      .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"),
+        col("vec_norm").as("cent_norm"))
+    def assign(df: DataFrame, idC: String, vecC: String, normC: String,
+        top: Int): DataFrame = {
       val w = Window.partitionBy(col(idC))
         .orderBy(col("_sim").desc, col("cent_id").asc)
       df.crossJoin(broadcast(cents))
         .withColumn("_sim",
-          dot(col(vecC), col("cent_vec")) /
-            (norm(col(vecC)) * norm(col("cent_vec"))))
+          dot(col(vecC), col("cent_vec")) / (col(normC) * col("cent_norm")))
         .withColumn("_crn", row_number().over(w))
         .filter(col("_crn") <= top)
-        .select(col(idC), col(vecC), col("cent_id").as(s"${outPrefix}cell"))
+        .select(col(idC), col(vecC), col(normC), col("cent_id").as("cell"))
     }
-    val cAssigned = assign(c, "vec_id", "vec", 1, "")
+    val cAssigned = assign(c, "vec_id", "vec", "vec_norm", 1)
     val p = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).as("probe_vec"))
-    val pAssigned = assign(p, "probe_id", "probe_vec", nprobe, "")
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+    val pAssigned = assign(p, "probe_id", "probe_vec", "probe_norm", nprobe)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cAssigned.join(pAssigned, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         dot(col("probe_vec"), col("vec")) /
-          (norm(col("probe_vec")) * norm(col("vec"))))
+          (col("probe_norm") * col("vec_norm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
 class TopKAggregator(k: Int)(implicit bufEnc: Encoder[Seq[(Long, Double)]])
     extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
 
-  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
-    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+  /** Strict weak ordering even for NaN scores (a zero-norm vector makes
+    * cos = 0/0): java.lang.Double.compare ranks NaN greatest — the same
+    * total order Spark's sort uses — whereas primitive > / == are both
+    * false for NaN, which breaks sortWith's contract (TimSort can throw
+    * "Comparison method violates its general contract") and diverges
+    * from the window form this class promises to match bit-for-bit. */
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._2, b._2)
+    c > 0 || (c == 0 && a._1 < b._1)
+  }
 
   override def zero: Seq[(Long, Double)] = Nil
 

@@ -130,9 +130,18 @@ object StreamOps {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastUs <= gapUs =>
-                  cur = Some(SessionState(s.startUs, math.max(s.lastUs, t),
-                    s.nEvents + 1))
+                // within [start−gap, last+gap]: merge, extending EITHER
+                // end — a late cross-batch event may precede the session
+                // start, and keeping the old start would report a session
+                // that begins after events it contains
+                case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
+                  cur = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.nEvents + 1))
+                // more than a gap BEFORE the open session: a straggler
+                // from an earlier, already-gap-separated session — emit
+                // it as its own closed session (its close time passed)
+                case Some(s) if t < s.startUs - gapUs =>
+                  closed += Session(key, t, t + gapUs, 1)
                 case Some(s) =>
                   closed += Session(key, s.startUs, s.lastUs + gapUs, s.nEvents)
                   cur = Some(SessionState(t, t, 1))

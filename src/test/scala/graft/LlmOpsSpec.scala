@@ -197,6 +197,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("simhashPairs maxDist=0: exact-signature pairs, no 64-bit mask wrap") {
+    // (1L << 64) wraps to 1 in Java — with the old mask every chunk_val
+    // was 0 and ALL docs collided; now only equal signatures pair
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "совершенно другое unrelated text here")).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text", maxDist = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("TopKAggregator survives NaN scores (NaN embedding) like the window form") {
+    // a NaN element poisons dot and norm to NaN, so cos = NaN/NaN = NaN
+    // (a zero-norm vector would instead raise ANSI DIVIDE_BY_ZERO)
+    val base = emb001.filter($"vec_id" < 30).select($"vec_id", $"embedding")
+    val dim = base.select($"embedding").head().getSeq[Float](0).length
+    val corpus = base.union(Seq((999L,
+      Array.fill(dim)(Float.NaN))).toDF("vec_id", "embedding"))
+    val probes = corpus.filter($"vec_id" < 3)
+    // primitive >/== are both false for NaN, which used to break
+    // sortWith's contract; Double.compare ranks NaN greatest like Spark
+    val agg = similarity.TopKAggregator.bruteForceTopKAgg(corpus, probes, 3)
+      .select("probe_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val window = SimilarityOps.bruteForceTopK(corpus, probes, 3)
+      .select("probe_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(agg == window) // NaN rows rank first in BOTH forms
+  }
+
   test("simhashPairs blocking finds all pairs a full quadratic scan finds") {
     val full = docs001.select($"doc_id".as("id_a"),
       DedupOps.simhash($"text").as("sig_a"))
@@ -325,6 +354,32 @@ class LlmOpsSpec extends AnyFunSuite {
       .select($"event_id", $"o_orderkey".as("asof_o_orderkey"))
     assert(fast.exceptAll(slow).count() == 0)
     assert(slow.exceptAll(fast).count() == 0)
+  }
+
+  test("AsOfJoin: a NULL field in the current right version is NOT backfilled " +
+      "from an older version (atomic row carry)") {
+    val left = Seq((1L, 7L, 30L)).toDF("eid", "k", "t")
+    val right = Seq(
+      (7L, 10L, Some(5.0), Some("a")),
+      (7L, 20L, None: Option[Double], Some("b"))
+    ).toDF("k", "rt", "price", "tag")
+    val out = AsOfJoin(left, right, "k", "t", "rt",
+      payload = Seq("price", "tag"), rightOrderCol = "tag").collect()(0)
+    // the as-of version at t=30 is (rt=20, price=NULL, tag=b): per-column
+    // last(ignoreNulls) used to resurrect price=5.0 from rt=10, stitching
+    // a (5.0, "b") row that never existed
+    assert(out.isNullAt(out.fieldIndex("asof_price")))
+    assert(out.getString(out.fieldIndex("asof_tag")) == "b")
+  }
+
+  test("Dedup/exactDedup: user columns named _row_num/_fp_rn survive") {
+    val df = Seq((1L, "a", 99), (1L, "b", 98)).toDF("id", "text", "_row_num")
+    val kept = graft.ops.Dedup(df, Seq("id"), Seq($"text".asc)).collect()(0)
+    assert(kept.getInt(kept.fieldIndex("_row_num")) == 99) // not destroyed
+    val df2 = Seq((1L, "same text", 7), (2L, "same text", 8))
+      .toDF("doc_id", "text", "_fp_rn")
+    val d = DedupOps.exactDedup(df2, "text", "doc_id").collect()(0)
+    assert(d.getInt(d.fieldIndex("_fp_rn")) == 7)
   }
 
   test("AsOfJoin: payload/left column collision is rejected, not silently nulled") {

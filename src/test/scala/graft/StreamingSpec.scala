@@ -146,6 +146,32 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 02:30:00"), 1L)))
   }
 
+  test("sessionization: a late cross-batch event extends the session START backward") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.sessionizeWithState(mem.toDF.toDF("ts", "k"),
+        "k", "ts", gapUs = 30L * 60 * 1000000, lateness = "2 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 01:00:00"), "u1"))
+    q.processAllAvailable()
+    // late event 20m BEFORE the open session's start (within gap and
+    // within the 2h lateness): must merge and move the start back, not
+    // report a session that begins after an event it contains
+    mem.addData((ts("2024-01-01 00:40:00"), "u1"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 08:00:00"), "zz")) // watermark close
+    q.processAllAvailable()
+    q.stop()
+    def us(t: String) = ts(t).getTime * 1000
+    val rows = spark.table(sink).as[StreamOps.Session].collect()
+      .map(s => (s.key, s.startUs, s.endUs, s.nEvents))
+    assert(rows.contains(("u1", us("2024-01-01 00:40:00"),
+      us("2024-01-01 01:30:00"), 2L)),
+      s"got ${rows.mkString(", ")}")
+  }
+
   test("stream-stream interval join matches batch interval join") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, String, String)](spark)

@@ -94,4 +94,15 @@ class ZOrderSpec extends AnyFunSuite {
     // single col: lexicographic
     assert(ClusterLayout(df, Seq("x")).count() == 2)
   }
+
+  test("interleave fails loud when bits*cols would overflow the sign bit") {
+    // 11 cols at 6 bits = 66 positions: Java shifts wrap mod 64 and would
+    // silently alias high bucket bits onto low positions
+    val cols = (0 until 11).map(i => s"c$i")
+    val df = spark.range(10).select(
+      (col("id") +: cols.map(c => (col("id") * 31 + c.length).as(c))): _*)
+    val ex = intercept[IllegalArgumentException](
+      ZOrder.layout(df, cols))
+    assert(ex.getMessage.contains("63"))
+  }
 }
