@@ -73,7 +73,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry the -1 sentinel in the per-query map but must
+    // not SUBTRACT from the tracked total — a broken query reading as a
+    // round-over-round speedup would hide the regression
+    val failed = results.filter(_._2 < 0)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries excluded from total: " +
+        failed.map(_._1).mkString(", "))
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -47,13 +47,9 @@ object LlmQueries {
           round(col("punct_raw"), 6).as("punct_ratio"),
           round(col("sw_raw"), 6).as("stopword_ratio"),
           round(col("mwl_raw"), 6).as("mean_word_len"),
-          round(
-            when(col("n_chars_raw") >= 50 && col("n_chars_raw") <= 10000, 1.0)
-              .otherwise(0.0) * 0.3
-            + when(col("sw_raw") >= 0.05, 1.0).otherwise(0.0) * 0.3
-            + when(col("punct_raw") <= 0.2, 1.0).otherwise(0.0) * 0.2
-            + when(col("mwl_raw") >= 2.0 && col("mwl_raw") <= 12.0, 1.0)
-              .otherwise(0.0) * 0.2, 6).as("quality"))
+          round(TextOps.qualityFromComponents(col("n_chars_raw"),
+            col("sw_raw"), col("punct_raw"), col("mwl_raw")), 6)
+            .as("quality"))
         .orderBy(col("doc_id"))
     }),
 

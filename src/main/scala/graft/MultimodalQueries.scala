@@ -67,13 +67,22 @@ object MultimodalQueries {
       val media = Multimodal.readMedia(s, s"$mediaRoot/wav", "*.wav",
           kind = "video")
         .as[Multimodal.MediaRow]
-      Multimodal.sampleVideoFrames(
-          Multimodal.balanceBySize(media.toDF, 4).as[Multimodal.MediaRow],
-          everyMs = 20000L)
+      val frames = Multimodal.sampleVideoFrames(
+        Multimodal.balanceBySize(media.toDF, 4).as[Multimodal.MediaRow],
+        everyMs = 20000L)
         .map { case (id, ms, px) =>
           (id, ms, px.length, Multimodal.pixelChecksum(px)) }
         .toDF("media_id", "frame_ms", "n_values", "frame_checksum")
-        .orderBy(col("media_id"), col("frame_ms"))
+      // key output rows by FILE NAME, not the media_id path hash: the
+      // path embeds the checkout location, so id-keyed rows (and their
+      // order) would differ per machine — the instability file_name
+      // keying exists to avoid in the sibling decode queries
+      val names = media.toDF.select(col("media_id"),
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"))
+      frames.join(names, Seq("media_id"))
+        .select(col("file_name"), col("frame_ms"), col("n_values"),
+          col("frame_checksum"))
+        .orderBy(col("file_name"), col("frame_ms"))
     }))
 
   def oracleSql: Map[String, String] = Map(

@@ -43,7 +43,15 @@ object TargetProfiles {
             case _ => throw new IllegalArgumentException(
               s"target '$name' must be a JSON object")
           }
-          val default = fields.get("default").contains(JBool(true))
+          // accept the stringified boolean too — the same YAML-to-JSON
+          // tolerance the variables map has; a string-flagged default
+          // silently selecting the wrong environment is the bug this
+          // module exists to prevent
+          val default = fields.get("default").exists {
+            case JBool(b) => b
+            case JString(s) => s.equalsIgnoreCase("true")
+            case _ => false
+          }
           val vars = fields.get("variables") match {
             case Some(JObject(vs)) =>
               // scalar values stringify (YAML-ish configs write bare

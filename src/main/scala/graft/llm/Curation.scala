@@ -59,12 +59,8 @@ object Curation {
       .withColumn("_sw", TextOps.stopwordRatio(txt))
       .withColumn("_mwl", TextOps.meanWordLen(txt))
     val gated = scored
-      .withColumn("quality",
-        when(length(txt) >= 50 && length(txt) <= 10000, 1.0).otherwise(0.0) * 0.3
-          + when(col("_sw") >= 0.05, 1.0).otherwise(0.0) * 0.3
-          + when(col("_punct") <= 0.2, 1.0).otherwise(0.0) * 0.2
-          + when(col("_mwl") >= 2.0 && col("_mwl") <= 12.0, 1.0)
-            .otherwise(0.0) * 0.2)
+      .withColumn("quality", TextOps.qualityFromComponents(
+        length(txt), col("_sw"), col("_punct"), col("_mwl")))
       .filter(col("quality") >= cfg.minQuality)
       .drop("_punct", "_sw", "_mwl")
     val langed = (langCol, cfg.keepLangs) match {

@@ -65,19 +65,28 @@ object TextOps {
       size(toks).cast("double")
   }
 
+  /** Composite quality from PRECOMPUTED component columns — the ONE
+    * source of truth for the thresholds/weights, shared by
+    * [[qualityScore]], the `q_text_stats` projection, and the curation
+    * pipeline (which evaluate the components once per row and feed the
+    * attributes here). Deterministic double arithmetic, same expression
+    * shape as the oracle SQL. */
+  def qualityFromComponents(nChars: Column, swRatio: Column,
+      punct: Column, mwl: Column): Column =
+    when(nChars >= 50 && nChars <= 10000, 1.0).otherwise(0.0) * 0.3 +
+      when(swRatio >= 0.05, 1.0).otherwise(0.0) * 0.3 +
+      when(punct <= 0.2, 1.0).otherwise(0.0) * 0.2 +
+      when(mwl >= 2.0 && mwl <= 12.0, 1.0).otherwise(0.0) * 0.2
+
   /** Composite quality score in [0,1] — the C4/Gopher-style heuristic
-    * family (length band, stopword presence, punctuation sanity, word-length
-    * sanity) collapsed to one comparable number. Deterministic double
-    * arithmetic, same expression shape as the oracle SQL. */
-  def qualityScore(text: Column): Column = {
-    val lenOk = when(length(text) >= 50 && length(text) <= 10000, 1.0)
-      .otherwise(0.0)
-    val swOk = when(stopwordRatio(text) >= 0.05, 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
-    val wordOk = when(meanWordLen(text) >= 2.0 && meanWordLen(text) <= 12.0,
-      1.0).otherwise(0.0)
-    (lenOk * 0.3) + (swOk * 0.3) + (punctOk * 0.2) + (wordOk * 0.2)
-  }
+    * family (length band, stopword presence, punctuation sanity,
+    * word-length sanity) collapsed to one comparable number. NOTE as a
+    * single Column this re-evaluates each component per reference; when
+    * the frame shape allows, project the components as named columns and
+    * use [[qualityFromComponents]] (see Curation.stages). */
+  def qualityScore(text: Column): Column =
+    qualityFromComponents(length(text), stopwordRatio(text),
+      punctRatio(text), meanWordLen(text))
 
   /** Marker stopwords per language for the n-gram-free language-ID
     * heuristic. Ordered map ⇒ deterministic argmax tie-break (first wins). */

@@ -226,6 +226,9 @@ class OpsSpec extends AnyFunSuite {
     // no default marked → must name one
     intercept[IllegalArgumentException](TargetProfiles.select(
       TargetProfiles.parse("""{"a": {"variables": {}}}"""), None))
+    // stringified default flag (YAML-to-JSON conversions) still selects
+    assert(TargetProfiles.select(TargetProfiles.parse(
+      """{"p": {"default": "true", "variables": {}}}"""), None).name == "p")
 
     // overlay → PipelineParams, per target
     def paramsFor(name: Option[String],
