@@ -97,6 +97,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment: a verbatim-embedded probe scores exactly 1.0") {
+    forAllSampled(Gen.listOfN(6, Gen.choose(5, 15)), cases = 3) { lens: List[Int] =>
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        val probe = (0 until n).map(j => s"p${i}w$j").mkString(" ")
+        (i.toLong, probe)
+      }
+      val host = docs.map { case (i, p) =>
+        (i + 100L, s"prefix$i words before $p and after suffix$i")
+      }
+      val all = (docs ++ host).toDF("doc_id", "text")
+      val probes = all.filter(col("doc_id") < 100)
+      val out = DedupOps.containmentPairs(all, probes, "doc_id", "text",
+        n = 3, threshold = 0.999)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // every host contains its probe verbatim → containment 1.0 ≥ 0.999
+      docs.foreach { case (i, _) =>
+        assert(out.contains((i + 100L, i)), s"host ${i + 100} must contain probe $i")
+      }
+    }
+  }
+
   test("winnowFingerprints (row form) equals winnowFingerprint (array form)") {
     // texts spanning the edge cases: empty, shorter than one gram,
     // shorter than one window, and normal prose with repeats
