@@ -215,6 +215,33 @@ class AvroSourceSpec extends AnyFunSuite {
       s"bytes-under-string must null out, got '${row.get(2)}'")
   }
 
+  test("avro enum under a string target decodes to the symbol name") {
+    val dir = Files.createTempDirectory("graft-avro-enum").toString
+    val sch = SchemaBuilder.record("reading").fields()
+      .requiredLong("rid")
+      .name("status").`type`().enumeration("Status")
+        .symbols("ACTIVE", "RETIRED").noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, new File(Files.createDirectories(Path.of(dir)).toString,
+      "e.avro"))
+    try {
+      val r = new GenericData.Record(sch)
+      r.put("rid", 1L)
+      r.put("status", new GenericData.EnumSymbol(
+        sch.getField("status").schema(), "RETIRED"))
+      w.append(r)
+    } finally w.close()
+    val target = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType)))
+    val row = AvroSource.read(spark, dir, Some(target)).collect()(0)
+    assert(row.getString(1) == "RETIRED")
+  }
+
   test("S7 evolution: a new column in a newer avro file widens the table") {
     val src = Files.createTempDirectory("graft-avro-evo").toString
     val store = Files.createTempDirectory("graft-avro-evo-store").toString

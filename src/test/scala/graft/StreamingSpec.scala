@@ -172,6 +172,33 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${rows.mkString(", ")}")
   }
 
+  test("sessionization: a straggler more than a gap before the open session " +
+      "closes as its own session, not merged") {
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.sessionizeWithState(mem.toDF.toDF("ts", "k"),
+        "k", "ts", gapUs = 30L * 60 * 1000000, lateness = "6 hours")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 05:00:00"), "u1"))
+    q.processAllAvailable()
+    // 4h earlier than the open session's start (≫ gap, within lateness):
+    // belongs to an earlier session whose close time already passed
+    mem.addData((ts("2024-01-01 01:00:00"), "u1"))
+    q.processAllAvailable()
+    mem.addData((ts("2024-01-01 12:00:00"), "zz")) // watermark close
+    q.processAllAvailable()
+    q.stop()
+    def us(t: String) = ts(t).getTime * 1000
+    val rows = spark.table(sink).as[StreamOps.Session].collect()
+      .map(s => (s.key, s.startUs, s.endUs, s.nEvents)).toSet
+    assert(rows.contains(("u1", us("2024-01-01 01:00:00"),
+      us("2024-01-01 01:30:00"), 1L)), s"straggler session missing: $rows")
+    assert(rows.contains(("u1", us("2024-01-01 05:00:00"),
+      us("2024-01-01 05:30:00"), 1L)), s"open session corrupted: $rows")
+  }
+
   test("stream-stream interval join matches batch interval join") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, String, String)](spark)
