@@ -54,6 +54,26 @@ class KernelSpec extends AnyFunSuite {
         .select(VectorExpressions.floatDot($"a", $"b")).collect()
     }
     assert(ex.getMessage != null)
+    // a NULL ELEMENT raises loudly (getFloat would silently read 0.0) —
+    // in both the codegen'd path and the interpreted expression
+    val nullElem = Seq((Seq(Some(1.0f), None), Seq(Some(2.0f), Some(3.0f))))
+      .toDF("a", "b")
+    val exElem = intercept[Exception] {
+      nullElem.select(VectorExpressions.floatDot($"a", $"b")).collect()
+    }
+    assert(exElem.getMessage.contains("null element") ||
+      Option(exElem.getCause).exists(_.getMessage.contains("null element")))
+    val fArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = true)
+    val interpElem = intercept[Exception] {
+      VectorExpressions.FloatDot(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq[Any](1.0f, null), fArr),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq[Any](2.0f, 3.0f), fArr))
+        .eval(null)
+    }
+    assert(interpElem.getMessage.contains("null element"))
   }
 
   test("SimHash64 / MinHashSig: interpreted == codegen") {
