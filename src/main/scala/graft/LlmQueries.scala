@@ -152,13 +152,14 @@ object LlmQueries {
 
     // -- [EXT]: winnowing document fingerprint (Schleimer et al.
     //    SIGMOD'03): char-5-gram hashes, min per 4-gram sliding window,
-    //    one row per distinct selected gram. Row-based linear form (see
-    //    TextOps.winnowFingerprints scale notes). The md5-hash variant is
-    //    ENGINE-PORTABLE (hex strings order the same everywhere), so this
-    //    is a full DuckDB oracle row; the library default stays xxhash64.
+    //    one row per distinct selected gram, fused into one shuffle-free
+    //    kernel (see TextOps.winnowFingerprints scale notes). The md5
+    //    mode is ENGINE-PORTABLE (hex strings order the same everywhere),
+    //    so this is a full DuckDB oracle row; the library default stays
+    //    xxhash64.
     "q_winnow_fp" -> ((s, dir) => {
       TextOps.winnowFingerprints(t(s, dir, "documents"),
-          "doc_id", "text", k = 5, w = 4, hash = md5)
+          "doc_id", "text", k = 5, w = 4, portable = true)
         .orderBy(col("doc_id"), col("fp"))
     }),
 

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (north-star
@@ -206,50 +205,25 @@ object TextOps {
   }
 
   /** Winnowing document fingerprints (Schleimer et al. SIGMOD'03) as
-    * (id, fp) ROWS — the corpus-scale form: explode the char-k-gram
-    * hashes, take the min of each w-row sliding frame per document, keep
-    * distinct selections. Work is linear in text size (each gram hashed
-    * once) and the plan is one hash-partition window on `idCol` plus the
-    * distinct's partial-agg shuffle — both keyed per document, so it
+    * (id, fp) ROWS — the corpus-scale form, fused into ONE per-row kernel
+    * ([[graft.functions.WinnowFingerprint]]): gram hashing, sliding-window
+    * min, per-doc distinct and sort all happen inside a single codegen'd
+    * expression, so the plan is scan → project → explode with ZERO
+    * shuffles (the earlier staged form paid a per-doc window exchange plus
+    * the distinct's exchange and allocated a substring + hex string per
+    * gram — 5.7 s at sf0.1 vs ~1 s fused). Per-document local compute ⇒
     * scales horizontally with the corpus.
+    *
+    * `portable = true` uses md5 (hex strings, engine-portable — the
+    * DuckDB-matched mode `q_winnow_fp` declares); the default xxhash64
+    * mode is ~2× cheaper and right for Spark-only pipelines.
     *
     * A document shorter than one full window contributes exactly one
     * fingerprint: the min over all its grams (same contract as the array
     * form; property-tested equal). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, w: Int = 4,
-      hash: Column => Column = xxhash64(_)): DataFrame = {
-    // Stage shape matters here. (1) normalize in its OWN projection: an
-    // inline normalize expression referenced from a lambda would re-run
-    // the regex per array ELEMENT (measured 50 s at sf0.1); the alias
-    // survives CollapseProject (two non-cheap references) so downstream
-    // reads a per-row attribute. (2) explode POSITIONS, not a
-    // transform()-built hash array: hashing then happens in a flat
-    // projection over the exploded rows — md5/xxhash64 are codegen'd
-    // there, whereas higher-order lambdas are interpreted (53 s → 3.7 s
-    // at sf0.1 across the two fixes; md5 itself is ~2 s of the remainder,
-    // the portability tax the xxhash64 default avoids).
-    val normed = df.select(col(idCol), normalize(col(textCol)).as("_norm"))
-    val norm = col("_norm")
-    // the per-doc gram count is known BEFORE exploding (|norm|−k+1), so
-    // carry it as a column instead of a count() window — that would add a
-    // second WindowExec (different frame spec) and a second sort pass
-    val grams = normed
-      .select(col(idCol), norm,
-        greatest(length(norm) - (k - 1), lit(1)).cast("long").as("_n"),
-        posexplode(sequence(lit(1),
-          greatest(length(norm) - (k - 1), lit(1)))).as(Seq("_j", "_i")))
-      .select(col(idCol), col("_i"), col("_n"),
-        hash(substring(norm, col("_i"), lit(k))).as("_g"))
-    val frame = Window.partitionBy(col(idCol)).orderBy(col("_i"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("_min", min(col("_g")).over(frame))
-      // _i is the 1-based gram position; full frames start at
-      // _i ≤ n−w+1, plus the first gram alone when the doc is shorter
-      // than one window
-      .filter(col("_i") + (w - 1) <= col("_n") || col("_i") === 1)
-      .select(col(idCol), col("_min").as("fp"))
-      .distinct()
-  }
+      k: Int = 5, w: Int = 4, portable: Boolean = false): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.WinnowKernel.winnowFingerprint(
+        normalize(col(textCol)), k, w, portable)).as("fp"))
 }

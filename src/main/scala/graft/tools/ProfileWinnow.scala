@@ -79,13 +79,13 @@ object ProfileWinnow {
         .agg(count(col("_g"))).collect()(0).getLong(0)
     }
     time("full md5 winnow (no sort)") {
-      TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4, md5).count()
+      TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4, portable = true).count()
     }
     time("full xxhash64 winnow (no sort)") {
       TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4).count()
     }
     time("declared query (with sort)") {
-      TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4, md5)
+      TextOps.winnowFingerprints(docs, "doc_id", "text", 5, 4, portable = true)
         .orderBy(col("doc_id"), col("fp")).count()
     }
     spark.stop()

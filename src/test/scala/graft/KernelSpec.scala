@@ -209,11 +209,81 @@ class KernelSpec extends AnyFunSuite {
     val sfDir = "/root/testdata/sf0.001"
     val kernelQueries = Seq("q_ngram_jaccard", "q_minhash_neardup",
       "q_simhash_neardup", "q_text_stats", "q_lang_id", "q_repetition",
-      "q_cosine_topk", "q_lsh_topk", "q_exact_dedup", "q_curation")
+      "q_cosine_topk", "q_lsh_topk", "q_exact_dedup", "q_curation",
+      "q_winnow_fp")
     kernelQueries.foreach { name =>
       withClue(s"query $name under CODEGEN_ONLY: ") {
         assert(graft.SparkEntry.queries(name)(s2, sfDir).count() >= 0)
       }
+    }
+  }
+
+  test("WinnowFingerprint: interpreted == codegen == staged HOF form, both modes") {
+    import graft.functions.{WinnowFingerprint, WinnowKernel}
+    import graft.text.TextOps
+    // edge cases: empty, shorter than one gram, shorter than one window,
+    // repeats, and non-ASCII (exercises the char!=byte fallback path)
+    val texts = Seq("", "ab", "hello", "hello world hello world",
+      "The quick brown fox; jumps over THE lazy dog!",
+      "aaaaaaaaaaaaaaaaaaaaaa", "z9 x8 y7 w6 v5 u4 t3")
+    val nonAscii = Seq("héllo wörld naïve çafé über prose",
+      "日本語のテキスト with mixed ascii")
+    // md5 mode vs the HOF array form with md5 (the old oracle-matched path)
+    texts.foreach { t =>
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val fused = df.select(explode(WinnowKernel.winnowFingerprint(
+        TextOps.normalize($"text"), 5, 4, portable = true)).as("fp"))
+        .as[String].collect().toSeq
+      val hof = df.select(explode(
+        TextOps.winnowFingerprintWith($"text", 5, 4, md5)).as("fp"))
+        .as[String].collect().toSeq
+      assert(fused == hof, s"md5 mode mismatch on '$t'")
+      // interpreted path (direct eval, no codegen) agrees
+      val norm = df.select(TextOps.normalize($"text")).as[String].head()
+      val interp = WinnowFingerprint(
+        Literal(UTF8String.fromString(norm), StringType), 5, 4, true)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq
+      assert(interp == fused, s"md5 interpreted mismatch on '$t'")
+    }
+    // non-ASCII goes through the kernel on the RAW text (normalize would
+    // strip it): fused must equal the HOF form on the same input
+    nonAscii.foreach { t =>
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val grams = transform(sequence(lit(1),
+        greatest(length($"text") - 4, lit(1))),
+        i => md5(substring($"text", i, lit(5))))
+      val windows = transform(
+        sequence(lit(0), greatest(size(grams) - 4, lit(0))),
+        i => array_min(slice(grams, i + 1, lit(4))))
+      val hof = df.select(explode(array_sort(array_distinct(windows))))
+        .as[String].collect().toSeq
+      val fused = df.select(explode(WinnowKernel.winnowFingerprint(
+        $"text", 5, 4, portable = true))).as[String].collect().toSeq
+      assert(fused == hof, s"md5 non-ascii mismatch on '$t'")
+      val gramsXx = transform(sequence(lit(1),
+        greatest(length($"text") - 4, lit(1))),
+        j => xxhash64(substring($"text", j, lit(5))))
+      val windowsXx = transform(
+        sequence(lit(0), greatest(size(gramsXx) - 4, lit(0))),
+        i => array_min(slice(gramsXx, i + 1, lit(4))))
+      val hofXx = df.select(explode(array_sort(array_distinct(windowsXx))))
+        .as[Long].collect().toSeq
+      val fusedXx = df.select(explode(WinnowKernel.winnowFingerprint(
+        $"text", 5, 4, portable = false))).as[Long].collect().toSeq
+      assert(fusedXx == hofXx, s"xx non-ascii mismatch on '$t'")
+    }
+    // xx mode interpreted == codegen on plain text
+    texts.foreach { t =>
+      val df = Seq((1L, t)).toDF("doc_id", "text")
+      val norm = df.select(TextOps.normalize($"text")).as[String].head()
+      val viaDf = df.select(explode(WinnowKernel.winnowFingerprint(
+        TextOps.normalize($"text"), 5, 4, portable = false)))
+        .as[Long].collect().toSeq
+      val interp = WinnowFingerprint(
+        Literal(UTF8String.fromString(norm), StringType), 5, 4, false)
+        .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
+      assert(interp == viaDf, s"xx interpreted mismatch on '$t'")
     }
   }
 

@@ -105,12 +105,14 @@ class PlanSpec extends AnyFunSuite {
     assert(single <= 1, s"expected at most one single-partition exchange:\n$p")
   }
 
-  test("q_winnow_fp: one sliding-window pass, no second WindowExec for the gram count") {
+  test("q_winnow_fp: fused kernel — zero shuffles before the output sort") {
     val p = plan("q_winnow_fp")
-    // the per-doc gram count must ride the projection (known pre-explode),
-    // not a second count() window — that would double the sort passes
-    assert(p.split("Window ").length - 1 == 1,
-      s"expected exactly one WindowExec:\n$p")
+    // winnowing is per-document local compute in one kernel: no window
+    // exchange, no distinct exchange — the only Exchange allowed is the
+    // declared ORDER BY's range partitioning
+    assert(!p.contains("Window "), s"expected no WindowExec:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"expected no hash exchange (fused per-doc kernel):\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
