@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
-import graft.dedup.DedupOps
+import graft.dedup.{ConnectedComponents, DedupOps}
 import graft.similarity.SimilarityOps
 import graft.text.TextOps
 
@@ -85,6 +85,23 @@ object LlmQueries {
       DedupOps.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- [EXT]: near-dup CLUSTER resolution — connected components over
+    //    the MinHash-LSH pair graph (alternating large-star/small-star),
+    //    component = min doc id. ORACLE-CHECKED via a DuckDB recursive CTE
+    //    over the exact Jaccard pair set (LSH is candidate-exact on this
+    //    corpus, same argument as q_minhash_neardup). Catches A–B–C chains
+    //    that pairwise dropping leaves behind (spec'd in LlmOpsSpec).
+    "q_neardup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.minhashLsh(docs, "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val comp = ConnectedComponents(pairs, "id_a", "id_b")
+      docs.join(comp, docs("doc_id") === comp("id"), "left")
+        .select(docs("doc_id"),
+          coalesce(col("component"), docs("doc_id")).as("component"))
+        .orderBy(col("doc_id"))
     }),
 
     // -- [EXT]: SimHash near-dup with Manku-style chunk blocking (no oracle)
@@ -464,14 +481,45 @@ object LlmQueries {
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
 
+    // Near-dup components: recursive min-label closure over the exact
+    // Jaccard >= 0.5 pair graph (symmetrized), keeping every document
+    // with its component's minimum id (singletons map to themselves).
+    "q_neardup_groups" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3
+         |      THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |        FROM documents)),
+         |inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING count(*)::DOUBLE
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+         |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |ORDER BY doc_id""".stripMargin,
+
     // The composed curation pipeline, stage by stage: quality gate on the
     // RAW text -> PII scrub -> repetition gate on the SCRUBBED text ->
     // exact dedup on md5(normalized scrubbed) keeping the min doc_id ->
-    // exact trigram-Jaccard >= 0.8 near-dup removal dropping the higher
-    // id of each pair (== the Spark side's MinHash-LSH stage, which is
-    // candidate-exact on this corpus).
+    // exact trigram-Jaccard >= 0.8 near-dup pair graph (== the Spark
+    // side's MinHash-LSH stage, which is candidate-exact on this corpus)
+    // resolved into connected components via a recursive min-label
+    // closure, keeping each component's minimum doc id.
     "q_curation" ->
-      s"""WITH scored AS (
+      s"""WITH RECURSIVE scored AS (
          |  SELECT doc_id, lang, text,
          |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
          |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
@@ -511,12 +559,21 @@ object LlmQueries {
          |      PARTITION BY md5(norm) ORDER BY doc_id) AS rn FROM kept)
          |  WHERE rn = 1),
          |inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM exact),
-         |losers AS (
-         |  SELECT DISTINCT b.doc_id AS id_b
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id
          |  HAVING count(*)::DOUBLE
-         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.8)
+         |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |losers AS (
+         |  SELECT node AS id_b FROM reach GROUP BY node
+         |  HAVING min(label) <> node)
          |SELECT doc_id, lang, round(quality, 6) AS quality FROM exact
          |WHERE doc_id NOT IN (SELECT id_b FROM losers)
          |ORDER BY doc_id""".stripMargin,

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.dedup.DedupOps
+import graft.dedup.{ConnectedComponents, DedupOps}
 import graft.functions.HashExpressions
 import graft.text.TextOps
 
@@ -33,10 +33,18 @@ object Curation {
   case class Report(input: Long, afterQuality: Long, afterLang: Long,
       afterRepetition: Long, afterExactDedup: Long, afterNearDup: Long)
 
-  /** The curated frame as ONE lazy plan (no counting actions) — original
-    * columns plus `text` redacted and `quality` attached. Near-dup
-    * removal keeps the lower doc id of each detected pair (transitively:
-    * any doc matched to a smaller-id doc is dropped). */
+  /** The curated frame — original columns plus `text` redacted and
+    * `quality` attached. Near-dup removal resolves the pair graph into
+    * CONNECTED COMPONENTS and keeps the minimum doc id of each component:
+    * pairwise dropping (remove the higher id of each pair) leaves chained
+    * duplicates behind (A–B and A–C pair but B–C never does ⇒ B survives
+    * even though {A,B,C} is one cluster), components never do.
+    *
+    * The corpus stages remain one declarative plan (narrow gates fused
+    * into the scan + the two dedup shuffles); the component resolution is
+    * an iterate-to-fixpoint over the PAIR table only (≪ corpus), so
+    * calling this triggers those jobs eagerly — see
+    * [[graft.dedup.ConnectedComponents]]. */
   def curateFrame(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
       cfg: Config = Config()): DataFrame =
@@ -92,12 +100,15 @@ object Curation {
     // DedupOps.materialized — blocks are RDD-owned, freed on GC.
     val exactN = DedupOps.exactDedupByKey(scrubbed, md5(col("_norm")), idCol)
       .localCheckpoint(false)
-    // near-dup pairs -> drop the HIGHER id of each pair (left_anti join on
-    // the pair table's id_b column; one extra equi-join, no n² anywhere)
+    // near-dup pairs -> connected components over the pair graph -> keep
+    // the min-id doc of each component, drop the rest (one left_anti
+    // equi-join; the component iteration runs over the pair table only)
     val pairs = DedupOps.minhashLshFromShingles(exactN, idCol, "_sh",
       bands = cfg.minhashBands, rowsPerBand = cfg.minhashRows,
       threshold = cfg.nearDupJaccard)
-    val losers = pairs.select(col("id_b").as(idCol)).distinct()
+    val losers = ConnectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     val curated = exactN.join(losers, Seq(idCol), "left_anti")
     Seq("quality" -> gated, "lang" -> langed,
       "repetition" -> scrubbed.drop("_norm", "_sh"),

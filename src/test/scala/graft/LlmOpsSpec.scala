@@ -114,6 +114,68 @@ class LlmOpsSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("connectedComponents: A-B-C chain collapses to one cluster where " +
+      "pairwise dropping keeps a duplicate") {
+    // chain: 1-5 and 1-9 pair, 5-9 never does. Pairwise "drop the higher
+    // id of each pair" removes {5, 9}'s partner-of-1 only: losers = {5, 9}
+    // here BUT in the chain 2-7, 7-8 (2 never pairs 8) pairwise losers =
+    // {7, 8}... the case that breaks pairwise is a LOSER who is nobody's
+    // id_b: 10-3 means 3 < 10 so pair is (3,10). Chain (3,10),(10,40):
+    // pairwise losers = {10, 40}; fine. The failing shape is (5,9),(1,9):
+    // pairwise losers = {9}, keeping BOTH 1 and 5 though {1,5,9} is one
+    // cluster. Components keep only min=1.
+    val pairs = Seq((5L, 9L), (1L, 9L), (20L, 30L)).toDF("id_a", "id_b")
+    val comp = graft.dedup.ConnectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 30L -> 20L))
+    // pairwise dropping keeps 5 (it is never an id_b... it is id_a of
+    // (5,9)): losers_pairwise = {9, 30}; component losers = {5, 9, 30}
+    val pairwiseLosers = pairs.select("id_b").distinct()
+      .as[Long].collect().toSet
+    assert(pairwiseLosers == Set(9L, 30L))
+    val componentLosers = comp.filter { case (id, c) => id != c }.keySet
+    assert(componentLosers == Set(5L, 9L, 30L))
+    assert((componentLosers -- pairwiseLosers) == Set(5L),
+      "the chained duplicate pairwise dropping misses")
+  }
+
+  test("connectedComponents: long path, star, self-loops, duplicates, empty") {
+    // a 16-node path exercises >1 large/small-star round; a star graph is
+    // already a fixpoint; self-loops and duplicate/reversed edges must be
+    // tolerated
+    val path = (1L until 16L).map(i => (i, i + 1))
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
+    val noise = Seq((7L, 7L), (2L, 1L), (1L, 2L)) // self-loop + dup both ways
+    val comp = graft.dedup.ConnectedComponents(
+      (path ++ star ++ noise).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    (1L to 16L).foreach(i => assert(comp(i) == 1L, s"path node $i"))
+    (100L to 103L).foreach(i => assert(comp(i) == 100L, s"star node $i"))
+    assert(comp.size == 20)
+    val empty = graft.dedup.ConnectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(empty.count() == 0)
+  }
+
+  test("curation components: chained near-dups all collapse to the min id") {
+    // three documents, pairwise near-dup chain A~B, B~C at >=0.8 Jaccard
+    // where A~C may or may not pair — the curated output must keep ONLY
+    // the min id of the component either way
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val a = base
+    val b = base + " extra"
+    val c = base + " extra more"
+    val docs = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"))
+      .toDF("doc_id", "text", "lang")
+    val curated = graft.llm.Curation.curateFrame(docs, "doc_id", "text",
+      cfg = graft.llm.Curation.Config(minQuality = 0.0, maxRepetition = 1.0,
+        nearDupJaccard = 0.8))
+    val kept = curated.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"expected only doc 1 to survive, got $kept")
+  }
+
   test("containmentPairs: catches a probe buried in a larger doc that Jaccard misses") {
     val probe = "the quick brown fox jumps over the lazy dog again and again"
     val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
