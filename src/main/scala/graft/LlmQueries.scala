@@ -87,6 +87,15 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- [EXT]: substring-level exact dedup (ExactSubstr) — every repeated
+    //    8-token span keeps its first (doc_id, pos) occurrence; later
+    //    occurrences' tokens are removed and the text rebuilt. md5 gram
+    //    hashes are engine-portable, so this is a full oracle row.
+    "q_substr_dedup" -> ((s, dir) => {
+      DedupOps.substringDedup(t(s, dir, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: near-dup CLUSTER resolution — connected components over
     //    the MinHash-LSH pair graph (alternating large-star/small-star),
     //    component = min doc id. ORACLE-CHECKED via a DuckDB recursive CTE
@@ -480,6 +489,38 @@ object LlmQueries {
          |HAVING count(*)::DOUBLE
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // ExactSubstr: flag every non-first occurrence of each 8-token gram
+    // (first = min (doc_id, pos)), expand flags to covered token
+    // positions, rebuild each text from the uncovered tokens in order.
+    "q_substr_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS g
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+        |        FROM t WHERE len(toks) >= 8)),
+        |f AS (SELECT doc_id, pos FROM (
+        |        SELECT doc_id, pos, row_number() OVER (
+        |          PARTITION BY g ORDER BY doc_id, pos) AS rn FROM g)
+        |      WHERE rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tp FROM f),
+        |tok AS (SELECT doc_id, u.tp, u.tok FROM (
+        |          SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |            i -> struct_pack(tp := i, tok := toks[i::INT]))) AS u
+        |          FROM t)),
+        |kept AS (SELECT tok.doc_id, tok.tp, tok.tok
+        |         FROM tok LEFT JOIN cov
+        |           ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+        |         WHERE cov.tp IS NULL),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS dedup_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(reb.dedup_text, '') AS dedup_text,
+        |  len(t.toks)::BIGINT AS n_tokens,
+        |  (len(t.toks) - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
+        |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     // Near-dup components: recursive min-label closure over the exact
     // Jaccard >= 0.5 pair graph (symmetrized), keeping every document

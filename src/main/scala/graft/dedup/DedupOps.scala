@@ -289,6 +289,85 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
 
+  /** Substring-level exact dedup (the ExactSubstr operator of
+    * deduplicating-training-data practice, Lee et al. ACL'22): remove
+    * every repeated ≥k-token span across (and within) documents, keeping
+    * the span's FIRST occurrence in (doc id, position) order.
+    *
+    * Whole-document fingerprint dedup ([[exactDedup]]) misses the
+    * dominant duplication mode of web corpora — boilerplate, quoted
+    * passages, and templated fragments embedded in otherwise-distinct
+    * documents. This removes exactly those spans:
+    *
+    *  1. explode each document's token k-grams with their 1-based start
+    *     position, hashed (md5 — engine-portable, so the declared query is
+    *     a full oracle row; same staging discipline as
+    *     [[graft.text.TextOps.winnowFingerprints]]);
+    *  2. one window over the gram hash keeps the first occurrence
+    *     (`row_number` ordered by (id, pos) — rewritten by Spark to
+    *     WindowGroupLimit, so the exchange stays thin) and flags the rest;
+    *  3. flagged occurrences expand to their covered token positions
+    *     ([pos, pos+k−1] — adjacent/overlapping repeats merge by the
+    *     distinct union of intervals);
+    *  4. covered tokens anti-join out; survivors rebuild the text in
+    *     original order.
+    *
+    * Scale (100 TB): the gram table is the only wide structure — O(tokens)
+    * rows keyed by a high-cardinality hash, so the dedup window shuffles
+    * evenly (no hot keys beyond genuinely pandemic spans, which is the
+    * data telling you the span IS boilerplate). Coverage expansion is
+    * bounded by k × flagged occurrences; reconstruction groups by doc id.
+    * No cartesian anywhere (PlanSpec-asserted).
+    *
+    * Returns one row per input row: (idCol, `dedup_text`, `n_tokens`,
+    * `n_dropped`). A document whose every token is covered yields an
+    * empty `dedup_text` (callers typically filter `n_dropped / n_tokens`).
+    * Documents shorter than k tokens pass through untouched — they cannot
+    * contain a k-token span.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 50): DataFrame = {
+    require(k >= 2, s"span length k must be >= 2, got $k")
+    val base = materialized(df
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks"))))
+    // gram start positions are 1-based; md5 over the space-rejoined slice
+    // matches DuckDB's md5(array_to_string(...)) byte-for-byte
+    val grams = base.filter(col("n") >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), col("n") - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+        .as(Seq("gidx", "g")))
+      .select(col("id"), (col("gidx") + 1).as("pos"), col("g"))
+    val byGram = Window.partitionBy(col("g"))
+      .orderBy(col("id").asc, col("pos").asc)
+    val flagged = grams
+      .withColumn("_rn", row_number().over(byGram))
+      .filter(col("_rn") > 1)
+      .select(col("id"), col("pos"))
+    val covered = flagged
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("tp"))
+      .distinct()
+    val tokens = base
+      .select(col("id"), posexplode(col("toks")).as(Seq("tp0", "tok")))
+      .select(col("id"), (col("tp0") + 1).as("tp"), col("tok"))
+    val rebuilt = tokens.join(covered, Seq("id", "tp"), "left_anti")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ").as("dedup_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("id"), col("n"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        col("n").cast("long").as("n_tokens"),
+        (col("n") - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_dropped"))
+  }
+
   /** 64-bit SimHash over word unigrams: per bit b, sum +1/−1 by bit b of
     * each token's xxhash64; bit b of the result = sign of the sum.
     * Near-dups = Hamming distance ≤ d on the signature ([[hammingDist]]).

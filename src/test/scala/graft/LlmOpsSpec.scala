@@ -114,6 +114,58 @@ class LlmOpsSpec extends AnyFunSuite {
       s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("substringDedup: repeated 8-token span keeps first occurrence only; " +
+      "short docs pass through; fully-covered docs empty out") {
+    val span = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"), // first occurrence -> intact
+      (2L, s"prefix words here $span suffix tail"), // span excised
+      (3L, s"$span $span"), // both copies are repeats -> fully covered
+      (4L, "tiny doc"), // < k tokens: untouched by construction
+      (5L, span) // exactly the span, repeat -> empty
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.DedupOps.substringDedup(docs, "doc_id", "text", k = 8)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L,
+      s"alpha beta $span gamma delta", 12L, 0L)))
+    assert(out(1) == ((2L, "prefix words here suffix tail", 13L, 8L)))
+    assert(out(2) == ((3L, "", 16L, 16L)))
+    assert(out(3) == ((4L, "tiny doc", 2L, 0L)))
+    assert(out(4) == ((5L, "", 8L, 8L)))
+  }
+
+  test("substringDedup: on testdata no duplicated 8-gram survives and " +
+      "token counts are conserved") {
+    def grams(c: org.apache.spark.sql.Column) = {
+      val toks = split(trim(c), "\\s+")
+      when(size(toks) >= 8, transform(sequence(lit(1), size(toks) - 7),
+        i => md5(concat_ws(" ", slice(toks, i, lit(8))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docs = analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.dedup.DedupOps
+      .substringDedup(docs, "doc_id", "text", k = 8)
+      .localCheckpoint()
+    assert(out.count() == docs.count(), "one output row per input row")
+    // conservation: kept tokens + dropped tokens == original tokens
+    val keptToks = when(col("dedup_text") === "", lit(0))
+      .otherwise(size(split(col("dedup_text"), " ")))
+    assert(out.filter(keptToks =!= col("n_tokens") - col("n_dropped"))
+      .count() == 0)
+    assert(out.agg(sum("n_dropped")).as[Long].head() > 0,
+      "testdata's planted near-dups must trip span removal")
+    // the core guarantee: every 8-gram duplicated in the INPUT corpus
+    // occurs at most once in the OUTPUT corpus (the kept first occurrence)
+    val dupIn = docs.select(explode(grams(col("text"))).as("g"))
+      .groupBy("g").count().filter(col("count") > 1).select("g")
+    val outCnt = out.filter(col("dedup_text") =!= "")
+      .select(explode(grams(col("dedup_text"))).as("g"))
+      .groupBy("g").count()
+    assert(outCnt.join(dupIn, "g").filter(col("count") > 1).count() == 0,
+      "a duplicated span survived more than once")
+  }
+
   test("connectedComponents: A-B-C chain collapses to one cluster where " +
       "pairwise dropping keeps a duplicate") {
     // chain: 1-5 and 1-9 pair, 5-9 never does. Pairwise "drop the higher

@@ -116,6 +116,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
   }
 
+  test("q_substr_dedup: gram window + coverage joins stay hash-based — " +
+      "no CartesianProduct, no nested loop") {
+    val p = plan("q_substr_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"substring dedup went quadratic:\n$p")
+  }
+
   test("q_image_decode: metadata-only media queries prune the binaryFile content column") {
     // the declared query needs the bytes; a metadata projection must NOT
     // read them — binaryFile supports content pruning and a 100 TB media
