@@ -44,7 +44,7 @@ object SparkEntry {
     * with the [EXT] LLM and relational surfaces). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ LlmQueries.queries ++ RelQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -264,7 +264,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     coreOracleSql ++ LlmQueries.oracleSql ++ RelQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ PipelineQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
 

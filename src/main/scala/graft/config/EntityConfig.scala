@@ -31,7 +31,41 @@ final case class EntityConfig(
     /** Data-quality expectations name -> SQL predicate; a row is KEPT iff ALL
       * predicates are true (real SDP expect_all_or_drop semantics, SURVEY §2
       * P7) — reference `02_silver_processing.py:94-95,139-141`. */
+    expectAllOrDrop: Map[String, String] = Map.empty,
+    /** Optional declarative GOLD layer: a curated table derived from this
+      * entity's silver table by the corpus-curation pipeline
+      * ([[graft.llm.Curation]]), declared in config exactly the way the
+      * reference declares bronze/silver flows (one decorated table per
+      * entity — `01_bronze_ingestion.py:92-97` one layer down). Runs after
+      * silver with the same expectations / layout / versioned-publish /
+      * vacuum / lock semantics. */
+    gold: Option[GoldConfig] = None
+)
+
+/** Gold-layer declaration: which curation to run and how to publish it. */
+final case class GoldConfig(
+    curation: GoldCuration = GoldCuration(),
+    /** Physical layout of the gold table (same semantics as the silver
+      * clustering_cols). */
+    clusteringCols: Seq[String] = Nil,
+    /** Expectations gating the CURATED rows (post-curation vocabulary:
+      * original columns + `quality`). */
     expectAllOrDrop: Map[String, String] = Map.empty
+)
+
+/** Knobs of the curation stage — mirrors [[graft.llm.Curation.Config]]
+  * plus the column bindings. */
+final case class GoldCuration(
+    /** Document id column; None = the entity's unique_primary_key head. */
+    idCol: Option[String] = None,
+    textCol: String = "text",
+    langCol: Option[String] = None,
+    minQuality: Double = 0.5,
+    keepLangs: Seq[String] = Nil,
+    maxRepetition: Double = 0.5,
+    nearDupJaccard: Double = 0.8,
+    minhashBands: Int = 16,
+    minhashRows: Int = 4
 )
 
 /** Pipeline-wide parameters — the reference reads these from `spark.conf`
@@ -43,6 +77,7 @@ final case class PipelineParams(
     catalogName: String = "dev",
     bronzeDb: String = "bronze",
     silverDb: String = "silver",
+    goldDb: String = "gold",
     externalLocation: String = "",
     deletedFileRetention: String = "interval 14 days",
     softDeletes: String = "N",
@@ -63,6 +98,7 @@ final case class PipelineParams(
     * "{catalog}_{schema}" (SURVEY §7.4.2). */
   def bronzeSchema: String = collapse(bronzeDb)
   def silverSchema: String = collapse(silverDb)
+  def goldSchema: String = collapse(goldDb)
   def activeSchema: String = collapse(s"${silverDb}_active")
   /** Backtick-quote one identifier part, mirroring the reference's
     * `cat`.`db`.`table` quoting (`03_active_views.py:58-59`) — entity or
@@ -76,6 +112,8 @@ final case class PipelineParams(
     s"${bq(bronzeSchema)}.${bq(s"bronze_$entity")}"
   def silverFqn(entity: String): String =
     s"${bq(silverSchema)}.${bq(s"silver_$entity")}"
+  def goldFqn(entity: String): String =
+    s"${bq(goldSchema)}.${bq(s"gold_$entity")}"
   def activeViewFqn(entity: String): String =
     s"${bq(activeSchema)}.${bq(s"silver_$entity")}"
 }
@@ -90,6 +128,7 @@ object PipelineParams {
       catalogName = get("catalog_name", "dev"),
       bronzeDb = get("bronze_db", "bronze"),
       silverDb = get("silver_db", "silver"),
+      goldDb = get("gold_db", "gold"),
       externalLocation = get("external_location", "").stripSuffix("/"),
       deletedFileRetention =
         get("deleted_file_retention_duration", "interval 14 days"),
@@ -116,6 +155,14 @@ object ConfigLoader {
   private def strSeq(v: JValue): Seq[String] = v match {
     case JArray(xs) => xs.collect { case JString(s) => s }
     case _          => Nil
+  }
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JDouble(x)  => Some(x)
+    case JDecimal(x) => Some(x.toDouble)
+    case JInt(x)     => Some(x.toDouble)
+    case JLong(x)    => Some(x.toDouble)
+    case _           => None
   }
 
   private def strMap(v: JValue): Map[String, String] = v match {
@@ -151,11 +198,45 @@ object ConfigLoader {
             renamedColumns =
               f.get("renamed_columns").map(strMap).getOrElse(Map.empty),
             expectAllOrDrop =
-              f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty)
+              f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty),
+            gold = f.get("gold").collect { case JObject(gf) =>
+              parseGold(gf.toMap)
+            }
           )
         }.toMap
       case _ =>
         throw new IllegalArgumentException(
           "dp_config_template.json must be a JSON object keyed by entity name")
     }
+
+  /** `"gold": {"curation": {...}, "clustering_cols": [...],
+    * "expect_all_or_drop": {...}}` — all curation knobs optional, snake_case
+    * keys matching the reference config's vocabulary. */
+  private def parseGold(f: Map[String, JValue]): GoldConfig = {
+    val cf = f.get("curation") match {
+      case Some(JObject(fs)) => fs.toMap
+      case _                 => Map.empty[String, JValue]
+    }
+    def str(k: String): Option[String] = cf.get(k) match {
+      case Some(JString(s)) => Some(s)
+      case _                => None
+    }
+    def d(k: String, dft: Double): Double =
+      cf.get(k).flatMap(num).getOrElse(dft)
+    val base = GoldCuration()
+    GoldConfig(
+      curation = GoldCuration(
+        idCol = str("id_col"),
+        textCol = str("text_col").getOrElse(base.textCol),
+        langCol = str("lang_col"),
+        minQuality = d("min_quality", base.minQuality),
+        keepLangs = cf.get("keep_langs").map(strSeq).getOrElse(Nil),
+        maxRepetition = d("max_repetition", base.maxRepetition),
+        nearDupJaccard = d("near_dup_jaccard", base.nearDupJaccard),
+        minhashBands = d("minhash_bands", base.minhashBands.toDouble).toInt,
+        minhashRows = d("minhash_rows", base.minhashRows.toDouble).toInt),
+      clusteringCols = f.get("clustering_cols").map(strSeq).getOrElse(Nil),
+      expectAllOrDrop =
+        f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty))
+  }
 }

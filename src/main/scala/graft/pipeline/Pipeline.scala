@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StructField, StructType}
 
-import graft.config.{ConfigLoader, EntityConfig, PipelineParams}
+import graft.config.{ConfigLoader, EntityConfig, GoldConfig, PipelineParams}
 import graft.ops._
 
 /** The medallion pipeline engine — our idiomatic-Scala reimplementation of
@@ -17,7 +17,8 @@ import graft.ops._
   *
   * Execution order mirrors SDP's resolved dataflow graph (the only edges are
   * silver→bronze by FQN — reference `02_silver_processing.py:101,117`):
-  * all bronze flows, then all silver flows, then views. Bronze flows are
+  * all bronze flows, then all silver flows, then config-declared gold
+  * flows (curated tables — [[runGold]]), then views. Bronze flows are
   * independent of each other, as are silver flows, so each phase could run
   * its entities concurrently on a real cluster; we run them sequentially
   * (local mode shares one scheduler, and correctness is order-independent
@@ -59,6 +60,11 @@ final class PipelineRunner(
     if (params.externalLocation.nonEmpty)
       s"${params.externalLocation}/silver/$entity"
     else s"$storageRoot/silver/$entity"
+
+  private def goldPath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/gold/$entity"
+    else s"$storageRoot/gold/$entity"
 
   private def checkpointPath(entity: String): String =
     s"$storageRoot/_checkpoints/bronze_$entity"
@@ -322,8 +328,27 @@ final class PipelineRunner(
     val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
       new org.apache.spark.sql.Observation(s"expectations_$entity"))
     val laid = buildSilverFrame(entity, cfg, obs)
+    publishVersioned(fqn, silverPath(entity), laid)
+    val expectationMetrics: Map[String, String] = obs match {
+      case Some(o) =>
+        val m = o.get.map { case (k, v) => s"expectations.$k" -> v.toString }
+        m.foreach { case (k, v) => log(s"$fqn $k = $v") }
+        m.toMap
+      case None => Map.empty
+    }
+    setTableProps(spark, fqn, refTableProps(cfg) +
+      ("comment" -> s"Silver deduplicated table for $entity") +
+      ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+      expectationMetrics)
+  }
 
-    val base = new org.apache.hadoop.fs.Path(silverPath(entity))
+  /** Atomic versioned publish shared by the silver and gold batch tables:
+    * write `df` to a fresh `.../v{N}` dir, widen the catalog schema
+    * additively, repoint with `SET LOCATION` (or create on first run),
+    * then vacuum superseded versions past the retention window. */
+  private def publishVersioned(fqn: String, basePathStr: String,
+      df: DataFrame): Unit = {
+    val base = new org.apache.hadoop.fs.Path(basePathStr)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val oldVersions =
       if (fs.exists(base))
@@ -334,13 +359,13 @@ final class PipelineRunner(
       .flatMap(_.toLongOption).maxOption.getOrElse(0L) + 1
     val target = new org.apache.hadoop.fs.Path(base, s"v$nextV")
 
-    laid.write.mode("overwrite").parquet(target.toString)
+    df.write.mode("overwrite").parquet(target.toString)
     if (spark.catalog.tableExists(fqn)) {
       // S7: widen the catalog schema by any evolved columns BEFORE the
       // location switch (additive-only, mirroring bronze evolution)
       val existingCols = spark.table(fqn).schema.fieldNames
         .map(_.toLowerCase).toSet
-      val newFields = laid.schema.fields
+      val newFields = df.schema.fields
         .filterNot(f => existingCols.contains(f.name.toLowerCase))
       if (newFields.nonEmpty)
         spark.sql(s"ALTER TABLE $fqn ADD COLUMNS " +
@@ -373,6 +398,48 @@ final class PipelineRunner(
       if (PipelineRunner.readSupersededAt(fs, p).exists(_ <= horizonMs))
         fs.delete(p, true)
     }
+  }
+
+  // ---- phase 2.5: gold (batch, declarative curation) -----------------------
+
+  /** The gold curated frame: silver scan → [[graft.llm.Curation]] (quality
+    * gate → lang filter → PII scrub → repetition gate → exact dedup →
+    * near-dup component resolution) → cluster layout → expectations gate.
+    * Same stage discipline as [[buildSilverFrame]]: expectations (+observe)
+    * sit ABOVE the layout exchange so metrics count once; the layout's
+    * boundary sketch samples the cheap silver scan, not the curation
+    * pipeline. */
+  def buildGoldFrame(entity: String, cfg: EntityConfig, g: GoldConfig,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val silver = spark.read.table(params.silverFqn(entity))
+    val cur = g.curation
+    val idCol = cur.idCol.getOrElse(cfg.uniquePrimaryKey.head)
+    val curated = graft.llm.Curation.curateFrame(silver, idCol, cur.textCol,
+      cur.langCol, graft.llm.Curation.Config(
+        minQuality = cur.minQuality, keepLangs = cur.keepLangs,
+        maxRepetition = cur.maxRepetition,
+        nearDupJaccard = cur.nearDupJaccard,
+        minhashBands = cur.minhashBands, minhashRows = cur.minhashRows))
+    val laid = ClusterLayout(curated, g.clusteringCols,
+      boundsFrom = Some(silver))
+    obs match {
+      case Some(o) if g.expectAllOrDrop.nonEmpty =>
+        Expectations.observed(laid, g.expectAllOrDrop, o)
+      case _ => Expectations(laid, g.expectAllOrDrop,
+        observeName = Some(s"expectations_gold_$entity"))
+    }
+  }
+
+  /** Config-declared gold table: runs after silver with the SAME
+    * publish/retention/metrics semantics ([[publishVersioned]] — versioned
+    * dir + SET LOCATION swap + vacuum; expectation counts as table props).
+    * No-op for entities without a `gold` config section. */
+  def runGold(entity: String, cfg: EntityConfig): Unit = cfg.gold.foreach { g =>
+    val fqn = params.goldFqn(entity)
+    val obs = Option.when(g.expectAllOrDrop.nonEmpty)(
+      new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
+    val frame = buildGoldFrame(entity, cfg, g, obs)
+    publishVersioned(fqn, goldPath(entity), frame)
     val expectationMetrics: Map[String, String] = obs match {
       case Some(o) =>
         val m = o.get.map { case (k, v) => s"expectations.$k" -> v.toString }
@@ -381,8 +448,8 @@ final class PipelineRunner(
       case None => Map.empty
     }
     setTableProps(spark, fqn, refTableProps(cfg) +
-      ("comment" -> s"Silver deduplicated table for $entity") +
-      ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+      ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
+      ("clustering_cols" -> g.clusteringCols.mkString(",")) ++
       expectationMetrics)
   }
 
@@ -452,6 +519,11 @@ final class PipelineRunner(
       }
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
     each { case (e, cfg) => runSilver(e, cfg) }
+    // phase 2.5: gold tables are declared per entity; the schema is
+    // created lazily so gold-free configs never touch a gold catalog
+    if (entities.values.exists(_.gold.nonEmpty))
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.goldSchema}`")
+    each { case (e, cfg) => runGold(e, cfg) }
     if (params.softDeletesEnabled)
       entities.keys.toSeq.sorted.foreach(createActiveView)
   }

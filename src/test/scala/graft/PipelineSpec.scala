@@ -124,6 +124,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(rates.schema("rate").dataType.typeName == "double")
   }
 
+  test("gold layer: config-declared curation runs bronze->silver->gold " +
+      "with versioned publish, expectations, and component dedup") {
+    val src = tmpDir("gold-src"); val store = tmpDir("gold-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "gold": {
+        |    "curation": {"id_col": "doc_id", "text_col": "text",
+        |                 "lang_col": "lang", "min_quality": 0.0,
+        |                 "max_repetition": 1.0, "near_dup_jaccard": 0.8},
+        |    "expect_all_or_drop": {"has_lang": "lang IS NOT NULL"},
+        |    "clustering_cols": ["doc_id"]
+        |  }
+        |}}""".stripMargin)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val fish = "fish swim slowly down the long calm river past green reeds " +
+      "and quiet stones while herons wait patiently in the golden evening"
+    Seq(
+      (1L, base, "en"), (2L, base + " extra", "en"), // near-dup chain:
+      (3L, base + " extra more", "en"), // components keep only doc 1
+      (10L, fish, "en"), (11L, fish, "en") // exact dup: keep doc 10
+    ).toDF("doc_id", "text", "lang").write.parquet(s"$src/docs")
+
+    val entities = ConfigLoader.load(spark, src)
+    assert(entities("docs").gold.nonEmpty)
+    val (runner, params) = mkRunner(src, store, "2024-03-01 00:00:00",
+      catalog = "goldt")
+    runner.run(entities)
+
+    val gold = spark.table(params.goldFqn("docs"))
+    assert(gold.columns.contains("quality"))
+    assert(gold.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+    // audit columns ride through from silver (gold is a real pipeline table)
+    assert(gold.columns.contains("_ingested_at"))
+    // versioned publish landed under the storage root
+    assert(new java.io.File(s"$store/gold/docs/v1").isDirectory)
+    // expectation metrics persisted as table properties
+    val props = spark.sql(
+      s"SHOW TBLPROPERTIES ${params.goldFqn("docs")}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("expectations.violations_has_lang") == "0")
+    assert(props("clustering_cols") == "doc_id")
+
+    // second run: bronze is incremental (no new files), gold republishes
+    // atomically to v2 and stays identical
+    runner.run(entities)
+    assert(new java.io.File(s"$store/gold/docs/v2").isDirectory)
+    val gold2 = spark.table(params.goldFqn("docs"))
+    assert(gold2.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+  }
+
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
     val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
     writeConfig(src); writeBatch1(src)
