@@ -198,15 +198,23 @@ class LlmOpsSpec extends AnyFunSuite {
     val path = (1L until 16L).map(i => (i, i + 1))
     val star = Seq((100L, 101L), (100L, 102L), (100L, 103L))
     val noise = Seq((7L, 7L), (2L, 1L), (1L, 2L)) // self-loop + dup both ways
-    val comp = graft.dedup.ConnectedComponents(
-      (path ++ star ++ noise).toDF("id_a", "id_b"))
-      .as[(Long, Long)].collect().toMap
-    (1L to 16L).foreach(i => assert(comp(i) == 1L, s"path node $i"))
-    (100L to 103L).foreach(i => assert(comp(i) == 100L, s"star node $i"))
-    assert(comp.size == 20)
-    val empty = graft.dedup.ConnectedComponents(
-      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
-    assert(empty.count() == 0)
+    val df = (path ++ star ++ noise).toDF("id_a", "id_b")
+    // BOTH execution paths must produce the identical component map:
+    // driver union-find (default cutover) and the distributed star loop
+    // (forced with driverMaxEdges = 0)
+    for (cutover <- Seq(graft.dedup.ConnectedComponents.defaultDriverMaxEdges,
+        0L)) {
+      val comp = graft.dedup.ConnectedComponents(df,
+        driverMaxEdges = cutover).as[(Long, Long)].collect().toMap
+      (1L to 16L).foreach(i => assert(comp(i) == 1L, s"path node $i ($cutover)"))
+      (100L to 103L).foreach(i =>
+        assert(comp(i) == 100L, s"star node $i ($cutover)"))
+      assert(comp.size == 20)
+      val empty = graft.dedup.ConnectedComponents(
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+        driverMaxEdges = cutover)
+      assert(empty.count() == 0)
+    }
   }
 
   test("curation components: chained near-dups all collapse to the min id") {
