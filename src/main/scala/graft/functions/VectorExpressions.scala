@@ -241,6 +241,49 @@ object VectorExpressions {
         : LshBuckets = copy(child = newChild)
   }
 
+  /** Multi-probe variant of [[LshBuckets]] (Lv et al., VLDB'07): per
+    * table, emit the base bucket PLUS `probes − 1` neighbor buckets, each
+    * the base with one lowest-|projection| sign bit flipped (in increasing
+    * margin order). A vector near a hyperplane almost tips into the
+    * adjacent bucket — probing those first recovers most of the recall
+    * extra tables would buy WITHOUT replicating the corpus index: the
+    * corpus stays at one row per (vector, table); only the tiny probe side
+    * fans out. Output: array<long>[tables × probes], element t·probes+j =
+    * table t's j-th probe bucket (j = 0 is the base, identical to
+    * [[LshBuckets]] element t). */
+  case class LshBucketsMultiProbe(child: Expression, planes: Int,
+      tables: Int, probes: Int) extends UnaryExpression {
+    require(probes >= 1 && probes <= planes + 1,
+      s"probes must be in [1, planes + 1], got $probes (planes = $planes)")
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got $other")
+      }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "lsh_buckets_multiprobe"
+
+    private lazy val planeSeeds: Array[Long] =
+      LshKernel.seeds(tables * planes)
+
+    override def nullSafeEval(a: Any): Any =
+      LshKernel.multiProbe(a.asInstanceOf[ArrayData], planes, tables,
+        probes, planeSeeds)
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val seedsRef = ctx.addReferenceObj("lshSeeds", planeSeeds, "long[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.LshKernel
+           |  .multiProbe($a, $planes, $tables, $probes, $seedsRef);
+         """.stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : LshBucketsMultiProbe = copy(child = newChild)
+  }
+
   def floatDot(a: Column, b: Column): Column =
     column(FloatDot(expression(a), expression(b)))
 
@@ -248,4 +291,76 @@ object VectorExpressions {
 
   def lshBuckets(vec: Column, planes: Int, tables: Int): Column =
     column(LshBuckets(expression(vec), planes, tables))
+
+  def lshBucketsMultiProbe(vec: Column, planes: Int, tables: Int,
+      probes: Int): Column =
+    column(LshBucketsMultiProbe(expression(vec), planes, tables, probes))
+}
+
+/** Static per-row loops shared by interpreted eval and generated code (the
+  * [[WinnowKernel]] discipline: one monomorphic call per row). TOP-LEVEL
+  * object — Scala emits static forwarders only for top-level objects, and
+  * the generated (Janino-compiled) code calls these as plain Java
+  * statics. */
+object LshKernel {
+    def seeds(n: Int): Array[Long] = {
+      def splitmix64(x0: Long): Long = {
+        var x = x0 + 0x9E3779B97F4A7C15L
+        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+        x ^ (x >>> 31)
+      }
+      Array.tabulate(n)(g => splitmix64(g.toLong))
+    }
+
+    def multiProbe(x: ArrayData, planes: Int, tables: Int, probes: Int,
+        planeSeeds: Array[Long]): ArrayData = {
+      val n = x.numElements()
+      val out = new Array[Long](tables * probes)
+      val proj = new Array[Double](planes)
+      val order = new Array[Int](planes)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val seed = planeSeeds(t * planes + p)
+          var s = 0.0
+          var i = 0
+          while (i < n) {
+            // same splitmix-finalizer ±1 signs as LshBuckets — probe 0 is
+            // bit-identical to the single-probe bucket
+            var v = seed + i.toLong * 0x9E3779B97F4A7C15L
+            v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+            v = v ^ (v >>> 27)
+            s += x.getFloat(i).toDouble * (if ((v & 1L) == 1L) 1.0 else -1.0)
+            i += 1
+          }
+          proj(p) = s
+          if (s > 0) bucket |= (1L << p)
+          order(p) = p
+          p += 1
+        }
+        // partial selection sort: only the probes-1 smallest margins matter
+        var j = 0
+        while (j < probes - 1) {
+          var m = j
+          var q = j + 1
+          while (q < planes) {
+            if (math.abs(proj(order(q))) < math.abs(proj(order(m)))) m = q
+            q += 1
+          }
+          val tmp = order(j); order(j) = order(m); order(m) = tmp
+          j += 1
+        }
+        out(t * probes) = bucket
+        j = 1
+        while (j < probes) {
+          out(t * probes + j) = bucket ^ (1L << order(j - 1))
+          j += 1
+        }
+        t += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
 }

@@ -89,11 +89,19 @@ object SimilarityOps {
   /** ANN top-k: probes join the corpus on (table, bucket) equality instead
     * of the cross product; candidates are the union over `tables` hash
     * tables, scored exactly, ranked per probe. Tune recall with
-    * planes (bucket granularity) × tables (amplification); cost is the
-    * candidate count, never |corpus|×|probes|. */
+    * planes (bucket granularity) × tables (amplification) ×
+    * `probesPerTable` multi-probe; cost is the candidate count, never
+    * |corpus|×|probes|.
+    *
+    * Multi-probe (`probesPerTable` > 1) additionally searches, per table,
+    * the buckets reached by flipping the probe vector's lowest-margin
+    * sign bits — the buckets a near-boundary vector most likely fell
+    * into. At 100 TB this is the cheap recall lever: extra TABLES
+    * replicate the corpus index (L× storage and bucketing shuffle); extra
+    * PROBES only fan out the tiny probe side of the equi-join. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, planes: Int = 4,
       tables: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", probesPerTable: Int = 1): DataFrame = {
     // Bucket join + candidate dedup carry ONLY ids: with L tables a
     // colliding pair appears up to L times, and shipping the vectors
     // through that join (then distinct-ing on array columns) multiplies
@@ -103,8 +111,10 @@ object SimilarityOps {
       posexplode(VectorExpressions.lshBuckets(col(vecCol), planes, tables))
         .as(Seq("tbl", "bucket")))
     val pB = probes.select(col(idCol).as("probe_id"),
-      posexplode(VectorExpressions.lshBuckets(col(vecCol), planes, tables))
-        .as(Seq("tbl", "bucket")))
+      posexplode(VectorExpressions.lshBucketsMultiProbe(col(vecCol),
+        planes, tables, probesPerTable)).as(Seq("_pidx", "bucket")))
+      .withColumn("tbl", expr(s"_pidx DIV $probesPerTable").cast("int"))
+      .drop("_pidx")
     val candIds = cB.join(pB, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
@@ -126,10 +136,21 @@ object SimilarityOps {
   }
 
   /** IVF (inverted-file) ANN — the learned-partition alternative to LSH:
-    * a small deterministic centroid set (every ⌈|corpus|/nlist⌉-th vector
-    * by id — a k-means iteration could refine these without changing the
-    * join shape), each corpus vector assigned to its nearest centroid
-    * (cell), probes search their `nprobe` nearest cells.
+    * a small deterministic centroid seed set (the first nlist vectors by
+    * id) refined by `lloydIters` k-means iterations, each corpus vector
+    * assigned to its nearest centroid (cell), probes search their
+    * `nprobe` nearest cells.
+    *
+    * Lloyd refinement moves the cells from arbitrary id-seeded Voronoi
+    * regions toward actual density clusters, so a probe's nprobe cells
+    * capture more of its true neighbors at the SAME nprobe cost — the
+    * join shape is unchanged. Each iteration is one assignment pass plus
+    * a per-(cell, dim) mean: the explode feeds a partially-aggregated
+    * avg, so each map partition forwards at most nlist × dim rows — the
+    * exchange never scales with the corpus. Cells that win no vectors
+    * drop out (standard Lloyd-with-empty-cell-drop; nlist is an upper
+    * bound). Refinement is a BUILD step: at 100 TB it runs once when the
+    * index is (re)built, not per query batch.
     *
     * Scale: centroid table is tiny → broadcast; assignment is a narrow
     * |corpus|×nlist codegen'd-dot pass written once and reused across
@@ -139,22 +160,21 @@ object SimilarityOps {
     * product. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", lloydIters: Int = 1): DataFrame = {
     // norms hoisted into the side projections (the bruteForceTopK
     // discipline): an inline norm() would re-evaluate per (row × centroid)
     // pair in assignment and per candidate in scoring — >nlist redundant
     // full-vector passes per corpus row
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
-    // deterministic centroid pick: first nlist ids (TakeOrderedAndProject,
+    // deterministic centroid seed: first nlist ids (TakeOrderedAndProject,
     // no global shuffle). Ids carry no structure in embedding space, so
-    // this is as good as uniform sampling here; production IVF would
-    // k-means-refine the same table.
-    val cents = c.orderBy(col("vec_id")).limit(nlist)
+    // this is as good as uniform sampling for a k-means seed.
+    val seeds = c.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"),
         col("vec_norm").as("cent_norm"))
-    def assign(df: DataFrame, idC: String, vecC: String, normC: String,
-        top: Int): DataFrame = {
+    def assign(cents: DataFrame)(df: DataFrame, idC: String, vecC: String,
+        normC: String, top: Int): DataFrame = {
       val w = Window.partitionBy(col(idC))
         .orderBy(col("_sim").desc, col("cent_id").asc)
       df.crossJoin(broadcast(cents))
@@ -164,10 +184,25 @@ object SimilarityOps {
         .filter(col("_crn") <= top)
         .select(col(idC), col(vecC), col(normC), col("cent_id").as("cell"))
     }
-    val cAssigned = assign(c, "vec_id", "vec", "vec_norm", 1)
+    val cents = (1 to lloydIters).foldLeft(seeds) { (cur, _) =>
+      // mean per (cell, dim): posexplode + avg partial-aggregates map-side
+      // to <= nlist x dim rows per partition; rebuild the array dim-ordered
+      assign(cur)(c, "vec_id", "vec", "vec_norm", 1)
+        .select(col("cell"), posexplode(col("vec")).as(Seq("_pos", "_x")))
+        .groupBy(col("cell"), col("_pos"))
+        .agg(avg(col("_x")).as("_mx"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_mx")))),
+          s => s.getField("_mx")).cast("array<float>").as("cent_vec"))
+        .select(col("cell").as("cent_id"), col("cent_vec"),
+          norm(col("cent_vec")).as("cent_norm"))
+    }
+    val cAssigned = assign(cents)(c, "vec_id", "vec", "vec_norm", 1)
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
-    val pAssigned = assign(p, "probe_id", "probe_vec", "probe_norm", nprobe)
+    val pAssigned = assign(cents)(p, "probe_id", "probe_vec", "probe_norm",
+      nprobe)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cAssigned.join(pAssigned, Seq("cell"))

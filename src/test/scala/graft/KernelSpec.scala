@@ -301,4 +301,32 @@ class KernelSpec extends AnyFunSuite {
       .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
     assert(interp == b1)
   }
+
+  test("LshBucketsMultiProbe: probe 0 == LshBuckets; flips are single " +
+      "lowest-margin bits; interpreted == codegen") {
+    val v = Seq.tabulate(64)(i => (math.cos(i) * 7).toFloat)
+    val planes = 4; val tables = 8; val probes = 3
+    val base = Seq(Tuple1(v)).toDF("v")
+      .select(VectorExpressions.lshBuckets($"v", planes, tables))
+      .as[Seq[Long]].head()
+    val multi = Seq(Tuple1(v)).toDF("v")
+      .select(VectorExpressions.lshBucketsMultiProbe($"v", planes, tables,
+        probes)).as[Seq[Long]].head()
+    assert(multi.length == tables * probes)
+    (0 until tables).foreach { t =>
+      val group = multi.slice(t * probes, (t + 1) * probes)
+      assert(group.head == base(t), s"table $t probe 0 must be the base")
+      group.tail.foreach { b =>
+        val diff = b ^ base(t)
+        assert(java.lang.Long.bitCount(diff) == 1 &&
+          diff < (1L << planes), s"table $t: $b is not a 1-bit flip")
+      }
+      assert(group.distinct.size == probes, s"table $t probes must differ")
+    }
+    // interpreted path agrees with the codegen'd DataFrame result
+    val interp = VectorExpressions.LshBucketsMultiProbe(
+      Literal(floatArr(v), ArrayType(FloatType)), planes, tables, probes)
+      .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(interp == multi)
+  }
 }

@@ -375,14 +375,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-12))
   }
 
-  test("lshTopK recall@3 vs brute force with 16 hash tables") {
+  test("lshTopK recall@3 vs brute force with 16 hash tables; multi-probe " +
+      "raises recall at the same table count") {
     val probes = emb001.filter($"vec_id" < 20)
     val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
       .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ann = SimilarityOps.lshTopK(emb001, probes, 3, planes = 4, tables = 16)
-      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
-    val recall = (brute & ann).size.toDouble / brute.size
-    assert(recall > 0.6, s"recall@3 = $recall")
+    def recallAt(probesPerTable: Int, tables: Int = 16): Double = {
+      val ann = SimilarityOps.lshTopK(emb001, probes, 3, planes = 4,
+        tables = tables, probesPerTable = probesPerTable)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      (brute & ann).size.toDouble / brute.size
+    }
+    val single = recallAt(1)
+    val multi = recallAt(3)
+    assert(single > 0.6, s"recall@3 = $single")
+    assert(multi >= single,
+      s"multi-probe must not lose recall: $multi < $single")
+    // the 100 TB trade: 8 tables x 3 probes beats 8 tables x 1 probe
+    // without replicating the corpus index beyond 8 rows/vector
+    val small = recallAt(1, tables = 8)
+    val smallMulti = recallAt(3, tables = 8)
+    assert(smallMulti > small,
+      s"multi-probe at 8 tables: $smallMulti !> $small")
   }
 
   test("TopKAggregator: identical results to the window-based bruteForceTopK") {
@@ -397,16 +411,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(agg == window)
   }
 
-  test("ivfTopK recall@3 vs brute force with nprobe=4/nlist=16") {
+  test("ivfTopK recall@3 vs brute force with nprobe=4/nlist=16; " +
+      "one Lloyd iteration never hurts recall at equal nprobe") {
     val probes = emb001.filter($"vec_id" < 20)
     val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
       .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ann = SimilarityOps.ivfTopK(emb001, probes, 3, nlist = 8, nprobe = 4)
-      .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
-    val recall = (brute & ann).size.toDouble / brute.size
-    assert(recall > 0.5, s"recall@3 = $recall")
-    // every ANN hit is a real corpus vector with correctly-ranked output
-    assert(ann.forall { case (p, v) => p != v })
+    def recallAt(iters: Int): Double = {
+      val ann = SimilarityOps.ivfTopK(emb001, probes, 3, nlist = 8,
+        nprobe = 4, lloydIters = iters)
+        .select("probe_id", "vec_id").as[(Long, Long)].collect().toSet
+      assert(ann.forall { case (p, v) => p != v })
+      (brute & ann).size.toDouble / brute.size
+    }
+    val seeded = recallAt(0)
+    val refined = recallAt(1)
+    assert(seeded > 0.5, s"seed recall@3 = $seeded")
+    assert(refined >= seeded,
+      s"Lloyd refinement must not lose recall: $refined < $seeded")
   }
 
   test("cosineNearDupPairs: block-partitioned form EQUALS the naive " +
