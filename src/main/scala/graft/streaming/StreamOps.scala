@@ -63,6 +63,39 @@ object StreamOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Incremental corpus curation — the [EXT] curation stages composed on
+    * the [REF] streaming surface: quality gate and PII scrub are stateless
+    * narrow projections (identical expressions to the batch
+    * [[graft.llm.Curation]] stages), and the exact-dedup stage becomes
+    * [[org.apache.spark.sql.Dataset.dropDuplicatesWithinWatermark]] on the
+    * normalized-text fingerprint — a duplicate document arriving within
+    * the watermark horizon is dropped with BOUNDED state (fingerprints
+    * older than the horizon evict), the streaming analog of the batch
+    * fingerprint shuffle.
+    *
+    * Deliberately covers the STATELESS + keyed-dedup subset: near-dup
+    * removal (LSH banding self-joins + component resolution) is not
+    * expressible as an incremental stream — run it in the batch gold
+    * layer over the accumulated table ([[graft.pipeline.PipelineRunner]]).
+    *
+    * Scale: one narrow pass per micro-batch plus one hash exchange on the
+    * 128-bit fingerprint; state is one entry per distinct fingerprint
+    * inside the horizon. */
+  def curatedStream(docs: DataFrame, textCol: String, tsCol: String,
+      delay: String, minQuality: Double = 0.5): DataFrame = {
+    val fp = Iterator.iterate("_fp")(_ + "_")
+      .dropWhile(docs.columns.contains).next()
+    docs
+      .withColumn("quality",
+        graft.text.TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn(textCol, graft.text.TextOps.redactPii(col(textCol)))
+      .withColumn(fp, graft.text.TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fp)
+      .drop(fp)
+  }
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key within `[‑lowerMs, +upperMs]` of event time. BOTH sides
     * need watermarks (state eviction) and the time-bound condition (state

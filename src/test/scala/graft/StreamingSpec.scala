@@ -264,6 +264,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
+  test("streaming curation: quality gate + PII scrub + exact dedup " +
+      "compose incrementally; a duplicate arriving in batch 2 is dropped") {
+    import spark.implicits._
+    val textA = "The quick brown fox jumps over the lazy dog and then " +
+      "rests for a while near the river bank watching the water flow"
+    val textB = "Many researchers carefully study how large language " +
+      "models learn to follow instructions from diverse training data"
+    val mem = MemoryStream[(Timestamp, Long, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.curatedStream(
+      mem.toDF.toDF("ts", "doc_id", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), 1L, textA + " mail me at a@ex.com"),
+      (ts("2024-01-01 00:00:10"), 2L, "zzz qqq xxx")) // low quality
+    q.processAllAvailable()
+    mem.addData(
+      // same normalized fingerprint as doc 1 (case/punct noise + the
+      // SAME redacted email form) -> duplicate across batches, dropped
+      (ts("2024-01-01 00:01:00"), 3L,
+        (textA + " mail me at b@ex.com!").toUpperCase),
+      (ts("2024-01-01 00:01:10"), 4L, textB))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(sink)
+      .select($"doc_id", $"text", $"quality").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 4L),
+      "doc 2 fails quality, doc 3 is a cross-batch duplicate")
+    val d1 = out.find(_.getLong(0) == 1L).get
+    assert(d1.getString(1).contains("<EMAIL>"), "PII must be redacted")
+    assert(d1.getDouble(2) >= 0.5)
+  }
+
   test("T6 streaming dedup within watermark drops duplicate keys") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
