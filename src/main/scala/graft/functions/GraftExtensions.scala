@@ -58,6 +58,18 @@ object GraftExtensions {
           VectorExpressions.FloatNorm(a(1))))),
     arity("graft_lsh_buckets", 3, a => VectorExpressions.LshBuckets(a(0),
       intLit(a(1), "planes"), intLit(a(2), "tables"))),
+    arity("graft_lsh_buckets_multiprobe", 4, a =>
+      VectorExpressions.LshBucketsMultiProbe(a(0), intLit(a(1), "planes"),
+        intLit(a(2), "tables"), intLit(a(3), "probes"))),
+    // portable=true -> md5 hex strings (engine-portable); false -> xxhash64
+    arity("graft_winnow_fingerprint", 4, a =>
+      WinnowFingerprint(a(0), intLit(a(1), "k"), intLit(a(2), "w"),
+        a(3) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"portable must be a boolean literal, got $other")
+        })),
     arity("graft_simhash", 1, a => HashExpressions.SimHash64(a(0))),
     arity("graft_minhash_sig", 2,
       a => HashExpressions.MinHashSig(a(0), intLit(a(1), "k"))),

@@ -164,9 +164,13 @@ object SimilarityOps {
     // norms hoisted into the side projections (the bruteForceTopK
     // discipline): an inline norm() would re-evaluate per (row × centroid)
     // pair in assignment and per candidate in scoring — >nlist redundant
-    // full-vector passes per corpus row
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+    // full-vector passes per corpus row. With Lloyd refinement the corpus
+    // projection feeds one extra assignment pass per iteration, so it
+    // materializes once (lazy localCheckpoint, the DedupOps discipline)
+    // instead of re-running the scan+norm pipeline per pass.
+    val c0 = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
+    val c = if (lloydIters > 0) c0.localCheckpoint(false) else c0
     // deterministic centroid seed: first nlist ids (TakeOrderedAndProject,
     // no global shuffle). Ids carry no structure in embedding space, so
     // this is as good as uniform sampling for a k-means seed.

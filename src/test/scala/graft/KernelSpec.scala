@@ -180,13 +180,20 @@ class KernelSpec extends AnyFunSuite {
         |  graft_jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
         |  graft_intersect_count_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
         |  graft_simhash(array(5L)) AS sh,
-        |  size(graft_word_ngrams(array('a','b','c'), 2)) AS ng
+        |  size(graft_word_ngrams(array('a','b','c'), 2)) AS ng,
+        |  size(graft_lsh_buckets_multiprobe(
+        |    array(cast(1.0 as float), cast(-2.0 as float)), 4, 2, 3)) AS mp,
+        |  graft_winnow_fingerprint('abcdef', 5, 4, true) AS wf
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 0.5)
     assert(r.getInt(2) == 2)
     assert(r.getLong(3) == 5L)
     assert(r.getInt(4) == 2)
+    assert(r.getInt(5) == 6) // 2 tables x 3 probes
+    // 6 chars, k=5 -> grams "abcde","bcdef"; w=4 window covers both -> 1 min
+    assert(r.getSeq[String](6).length == 1 &&
+      r.getSeq[String](6).head.matches("[0-9a-f]{32}"))
     // arity misuse raises a clear error
     val ex = intercept[Exception](
       spark.sql("SELECT graft_float_dot(array(cast(1.0 as float)))").collect())
