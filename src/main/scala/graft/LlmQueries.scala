@@ -87,6 +87,20 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- [EXT]: incremental dedup against a historical corpus — Bloom
+    //    prefilter (only probable hits reach the anti-join) + exact
+    //    verification, so the OUTPUT is exact and fully oracle-checkable.
+    //    even doc_ids play the 10^9-doc history, odd ones the new batch.
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.dedupAgainstHistory(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "text", expectedHistoryItems = 100000L)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: substring-level exact dedup (ExactSubstr) — every repeated
     //    8-token span keeps its first (doc_id, pos) occurrence; later
     //    occurrences' tokens are removed and the text rebuilt. md5 gram
@@ -489,6 +503,17 @@ object LlmQueries {
          |HAVING count(*)::DOUBLE
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // batch (odd ids) minus rows whose normalized-text fingerprint exists
+    // in the history (even ids) — the Bloom stage is a prefilter only, so
+    // plain NOT IN is the exact semantics
+    "q_incr_dedup" ->
+      s"""WITH h AS (SELECT md5($duckNorm) AS fp FROM documents
+         |           WHERE doc_id % 2 = 0)
+         |SELECT doc_id, md5($duckNorm) AS fp FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND md5($duckNorm) NOT IN (SELECT fp FROM h)
+         |ORDER BY doc_id""".stripMargin,
 
     // ExactSubstr: flag every non-first occurrence of each 8-token gram
     // (first = min (doc_id, pos)), expand flags to covered token

@@ -289,6 +289,68 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
 
+  /** Build a Bloom filter over a corpus's text fingerprints (keyed by
+    * `xxhash64(fingerprint)` — 64-bit probes, zero-allocation
+    * `mightContainLong` on the executor side). ONE pass over the history
+    * with NO shuffle: Spark's sketch aggregation merges per-partition
+    * filters on the driver. At 100 TB the filter is built once per corpus
+    * snapshot and persisted (`BloomFilter.writeTo`/`readFrom`, ~1.2 GB at
+    * 10⁹ items / 1% fpp) — pass the deserialized filter to
+    * [[dedupAgainstBloom]] on every ingest batch. */
+  def buildFingerprintBloom(history: DataFrame, textCol: String,
+      expectedItems: Long, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter =
+    history.select(
+      xxhash64(TextOps.fingerprint(col(textCol))).as("_fph"))
+      .stat.bloomFilter(col("_fph"), expectedItems, fpp)
+
+  /** Incremental exact dedup of a NEW batch against a HISTORICAL corpus —
+    * the operator an always-ingesting training-data pipeline actually
+    * runs: "drop new documents whose (normalized) text already exists in
+    * the 10⁹-document history" WITHOUT paying a batch×history shuffle.
+    *
+    *  1. batch rows whose fingerprint the Bloom filter rules out are
+    *     emitted directly — at real ingest rates that is almost
+    *     everything, and those rows NEVER shuffle;
+    *  2. Bloom-positive rows (true matches + the fpp share of false
+    *     positives) re-verify with an exact left-anti join against the
+    *     history fingerprints, so the OUTPUT IS EXACT — the filter only
+    *     prunes the join's left side, it never decides membership.
+    *
+    * Scale: the anti-join's left side shrinks from |batch| to
+    * ≈ |true dups| + fpp·|batch|; the history side still hash-partitions
+    * once, which is what bucketing the history table by fingerprint (or
+    * persisting it pre-partitioned) amortizes across batches.
+    *
+    * Output: the batch rows that survive (original columns), exactly
+    * equal to a plain anti-join on the fingerprint (spec-asserted, for
+    * any fpp). In-batch duplicates are intentionally untouched — compose
+    * with [[exactDedup]] for those. */
+  def dedupAgainstHistory(batch: DataFrame, history: DataFrame,
+      textCol: String, expectedHistoryItems: Long = 10000000L,
+      fpp: Double = 0.01): DataFrame =
+    dedupAgainstBloom(batch, history, textCol,
+      buildFingerprintBloom(history, textCol, expectedHistoryItems, fpp))
+
+  /** [[dedupAgainstHistory]] with a pre-built (typically persisted)
+    * filter — the steady-state form at scale. */
+  def dedupAgainstBloom(batch: DataFrame, history: DataFrame,
+      textCol: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val fp = Iterator.iterate("_fp")(_ + "_")
+      .dropWhile(c => batch.columns.contains(c)).next()
+    val withFp = batch.withColumn(fp, TextOps.fingerprint(col(textCol)))
+    val maybe = graft.functions.BloomMightContainLong(
+      xxhash64(col(fp)), bloom)
+    val novel = withFp.filter(!maybe)
+    val hfp = history.select(TextOps.fingerprint(col(textCol)).as(fp))
+    // the USING join moves the key column first — realign before the
+    // positional union
+    val verified = withFp.filter(maybe).join(hfp, Seq(fp), "left_anti")
+      .select(withFp.columns.map(col).toIndexedSeq: _*)
+    novel.union(verified).drop(fp)
+  }
+
   /** Substring-level exact dedup (the ExactSubstr operator of
     * deduplicating-training-data practice, Lee et al. ACL'22): remove
     * every repeated ≥k-token span across (and within) documents, keeping

@@ -166,6 +166,38 @@ class LlmOpsSpec extends AnyFunSuite {
       "a duplicated span survived more than once")
   }
 
+  test("dedupAgainstHistory: exact at any fpp — equals the plain anti-join " +
+      "even when the Bloom filter is saturated with false positives") {
+    val docs = analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val history = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val exact = batch
+      .withColumn("_f", TextOps.fingerprint($"text"))
+      .join(history.select(TextOps.fingerprint($"text").as("_f")),
+        Seq("_f"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    // fpp 0.01 (normal) and a deliberately tiny/saturated filter (every
+    // probe positive -> everything re-verifies) must both be exact
+    for ((items, fpp) <- Seq((100000L, 0.01), (2L, 0.5))) {
+      val got = graft.dedup.DedupOps.dedupAgainstHistory(
+        batch, history, "text", items, fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == exact, s"items=$items fpp=$fpp")
+    }
+    // the prefilter actually prunes: at 1% fpp, bloom-positive rows are
+    // the true dups plus ~1% of the batch, not the whole batch
+    val bloom = graft.dedup.DedupOps.buildFingerprintBloom(
+      history, "text", 100000L, 0.01)
+    val positives = batch
+      .filter(graft.functions.BloomMightContainLong(
+        xxhash64(TextOps.fingerprint($"text")), bloom))
+      .count()
+    val trueDups = batch.count() - exact.size
+    assert(positives < batch.count(),
+      "a 1% filter must rule out most novel docs")
+    assert(positives >= trueDups, "no true duplicate may be ruled out")
+  }
+
   test("connectedComponents: A-B-C chain collapses to one cluster where " +
       "pairwise dropping keeps a duplicate") {
     // chain: 1-5 and 1-9 pair, 5-9 never does. Pairwise "drop the higher
