@@ -223,6 +223,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: source-weighted data mixing — per-source target fractions
+    //    (keep all of src0, half of src1, a tenth of src2, 20% elsewhere)
+    //    with exact quotas, deterministic md5 membership.
+    "q_source_mix" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedWeighted(t(s, dir, "documents"),
+          "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1),
+          defaultFraction = 0.2)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: the composed corpus-curation pipeline. ORACLE-CHECKED:
     //    every stage is SQL-expressible, and the MinHash-LSH near-dup
     //    stage equals the exact trigram-Jaccard pair set at threshold
@@ -503,6 +515,28 @@ object LlmQueries {
          |HAVING count(*)::DOUBLE
          |    / (any_value(a.n) + any_value(b.n) - count(*))::DOUBLE >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the stratified machinery with a per-source CASE fraction
+    "q_source_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS h,
+        |         substring(md5(doc_id::VARCHAR), 9, 2) AS shard
+        |  FROM documents),
+        |rn AS (SELECT doc_id, source, shard, row_number() OVER (
+        |         PARTITION BY source, shard ORDER BY h, doc_id) AS rn
+        |       FROM r),
+        |c AS (SELECT source, shard, count(*) AS c FROM r GROUP BY 1, 2),
+        |o AS (SELECT source, shard,
+        |        coalesce(sum(c) OVER (PARTITION BY source ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |        sum(c) OVER (PARTITION BY source) AS n
+        |      FROM c)
+        |SELECT rn.doc_id, rn.source FROM rn JOIN o
+        |  ON rn.source IS NOT DISTINCT FROM o.source AND rn.shard = o.shard
+        |WHERE rn.rn + o.off <= floor(
+        |    (CASE rn.source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.1 ELSE 0.2 END) * (n - 1)) + 1
+        |ORDER BY rn.doc_id""".stripMargin,
 
     // batch (odd ids) minus rows whose normalized-text fingerprint exists
     // in the history (even ids) — the Bloom stage is a prefilter only, so

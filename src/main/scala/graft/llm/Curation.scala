@@ -28,7 +28,13 @@ object Curation {
       maxRepetition: Double = 0.5,
       nearDupJaccard: Double = 0.8,
       minhashBands: Int = 16,
-      minhashRows: Int = 4)
+      minhashRows: Int = 4,
+      /** Near-dup cluster representative: false (default) keeps the
+        * MIN-ID doc of each connected component (stable, engine-portable,
+        * oracle-checkable); true keeps the HIGHEST-QUALITY doc (ties →
+        * min id) — what a production corpus actually wants when the
+        * duplicates differ in boilerplate or truncation. */
+      keepBestQuality: Boolean = false)
 
   case class Report(input: Long, afterQuality: Long, afterLang: Long,
       afterRepetition: Long, afterExactDedup: Long, afterNearDup: Long)
@@ -106,9 +112,21 @@ object Curation {
     val pairs = DedupOps.minhashLshFromShingles(exactN, idCol, "_sh",
       bands = cfg.minhashBands, rowsPerBand = cfg.minhashRows,
       threshold = cfg.nearDupJaccard)
-    val losers = ConnectedComponents(pairs, "id_a", "id_b")
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
+    val comp = ConnectedComponents(pairs, "id_a", "id_b")
+    val losers =
+      if (!cfg.keepBestQuality)
+        comp.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+      else {
+        // representative = argmax(quality) per component, tie -> min id;
+        // the component table is ≪ corpus, so this window is tiny
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component"))
+          .orderBy(col("quality").desc, col("id").asc)
+        comp.join(exactN.select(col(idCol).as("id"), col("quality")), Seq("id"))
+          .withColumn("_krn", row_number().over(w))
+          .filter(col("_krn") > 1)
+          .select(col("id").as(idCol))
+      }
     val curated = exactN.join(losers, Seq(idCol), "left_anti")
     Seq("quality" -> gated, "lang" -> langed,
       "repetition" -> scrubbed.drop("_norm", "_sh"),

@@ -166,6 +166,47 @@ class LlmOpsSpec extends AnyFunSuite {
       "a duplicated span survived more than once")
   }
 
+  test("stratifiedWeighted: exact per-source quotas at each source's own " +
+      "fraction; default applies to unlisted sources") {
+    val docs = analytics.Tables(spark, "/root/testdata/sf0.01", "documents")
+    val fr = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1)
+    val out = graft.ops.Sampling.stratifiedWeighted(
+      docs, "source", "doc_id", fr, defaultFraction = 0.2)
+    val got = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val n = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    n.keys.foreach { src =>
+      val f = fr.getOrElse(src, 0.2)
+      val want = math.floor(f * (n(src) - 1)).toLong + 1
+      assert(got.getOrElse(src, 0L) == want, s"$src: ${got.get(src)} != $want")
+    }
+    // determinism: same call, same rows
+    val again = graft.ops.Sampling.stratifiedWeighted(
+      docs, "source", "doc_id", fr, defaultFraction = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("curation keepBestQuality: the highest-quality doc of a near-dup " +
+      "component survives instead of the min id") {
+    // doc 1 is the min id but SHORT (< 50 chars -> quality 0.4); docs 2/3
+    // extend it past 50 chars (quality 0.7). Trigram Jaccard pairs 1-2
+    // and 1-3 chain the three into one component.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base + " twelve"), (3L, base + " thirteen"))
+      .toDF("doc_id", "text")
+    def curate(best: Boolean) = graft.llm.Curation.curateFrame(
+      docs, "doc_id", "text",
+      cfg = graft.llm.Curation.Config(minQuality = 0.0, maxRepetition = 1.0,
+        nearDupJaccard = 0.8, keepBestQuality = best))
+      .select("doc_id").as[Long].collect().toSet
+    assert(curate(false) == Set(1L), "min-id default keeps doc 1")
+    assert(curate(true) == Set(2L),
+      "best-quality keeps doc 2 (quality tie with 3 -> min id)")
+  }
+
   test("dedupAgainstHistory: exact at any fpp — equals the plain anti-join " +
       "even when the Bloom filter is saturated with false positives") {
     val docs = analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
