@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Tables
 import graft.dedup.{ConnectedComponents, DedupOps}
 import graft.similarity.SimilarityOps
-import graft.text.TextOps
+import graft.text.{CorpusStats, TextOps}
 
 /** LLM-training-data queries (north-star [EXT] surface): text analysis,
   * dedup family, embedding similarity — over `documents.parquet` /
@@ -328,6 +328,53 @@ object LlmQueries {
         nlist = 16, nprobe = 4)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: vocabulary construction — top-100 corpus terms by total
+    //    frequency with document frequency (TakeOrderedAndProject; each
+    //    partition forwards <= 100 rows)
+    "q_vocab_topk" -> ((s, dir) => {
+      CorpusStats.vocabularyTopK(t(s, dir, "documents"),
+        "doc_id", "text", k = 100)
+    }),
+
+    // -- [EXT]: per-document top-3 TF-IDF terms — keyword extraction.
+    //    Every score input is an integer (tf, df, N), so the ranking is
+    //    engine-exact; ties break on (tf desc, term asc).
+    "q_tfidf_topk" -> ((s, dir) => {
+      CorpusStats.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text",
+          k = 3)
+        .withColumn("tfidf", round(col("tfidf"), 6))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // -- [EXT]: unigram-LM fluency score — mean token log-prob under the
+    //    corpus's own unigram model (the KenLM-style quality signal)
+    "q_unigram_logprob" -> ((s, dir) => {
+      CorpusStats.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("logprob", round(col("logprob"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: logistic quality classifier — σ(w·x) over the
+    //    interpretable quality features (fastText-style scoring pass with
+    //    fixed published weights)
+    "q_quality_logit" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(CorpusStats.logisticQuality(col("text")), 6)
+            .as("quality_logit"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: SemDeDup semantic dedup — cluster embeddings (16
+    //    deterministic id-seeded cells), resolve same-cell cos>=0.4
+    //    near-dup GROUPS via connected components, keep min id. Output is
+    //    integer-only ⇒ bit-exact oracle.
+    "q_semdedup" -> ((s, dir) => {
+      SimilarityOps.semDedup(t(s, dir, "embeddings"), threshold = 0.4,
+          nlist = 16)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -750,6 +797,99 @@ object LlmQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_vocab_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents)
+         |SELECT term, count(*)::BIGINT AS tf,
+         |  count(DISTINCT doc_id)::BIGINT AS df
+         |FROM tok WHERE length(term) > 0
+         |GROUP BY term
+         |ORDER BY tf DESC, term ASC LIMIT 100""".stripMargin,
+
+    "q_tfidf_topk" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+         |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, rank, term, tf, round(tfidf, 6) AS tfidf FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf,
+         |    tf.tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) AS tfidf,
+         |    row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) DESC,
+         |        tf.term ASC) AS rank
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_unigram_logprob" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents),
+         |tk AS (SELECT * FROM tok WHERE length(term) > 0),
+         |c AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
+         |t AS (SELECT sum(c) AS t_total FROM c)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  round(avg(ln(c::DOUBLE / t_total::DOUBLE)), 6) AS logprob
+         |FROM tk JOIN c USING (term) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same left-fold order as CorpusStats.logisticQuality's z expression
+    "q_quality_logit" ->
+      s"""SELECT doc_id, round(1.0 / (1.0 + exp(-(
+         |    -2.0 + 6.0 * (sw_hits / n_toks_d)
+         |    + -4.0 * (punct_chars / n_chars_d)
+         |    + 0.15 * (tok_chars / n_toks_d)
+         |    + 0.25 * ln(n_chars_d)
+         |    + -3.0 * (1.0 - n_tri_distinct / tri_total)))), 6)
+         |  AS quality_logit
+         |FROM (
+         |  SELECT doc_id,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+         |    length(text)::DOUBLE AS n_chars_d,
+         |    len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |    len($duckToks)::DOUBLE AS n_toks_d,
+         |    list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars,
+         |    len(list_distinct(CASE WHEN len(ntoks) < 3
+         |      THEN [array_to_string(ntoks, ' ')]
+         |      ELSE list_transform(range(1, len(ntoks) - 1),
+         |        i -> array_to_string(ntoks[i:i+2], ' ')) END))::DOUBLE AS n_tri_distinct,
+         |    greatest(len(ntoks) - 2, 1)::DOUBLE AS tri_total
+         |  FROM (SELECT *, string_split($duckNorm, ' ') AS ntoks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |         ORDER BY vec_id LIMIT 16),
+        |sim AS (SELECT e.vec_id, cent_id,
+        |    list_dot_product(v, cv)
+        |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS s
+        |  FROM e CROSS JOIN cent),
+        |asg AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cent_id AS cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY s DESC, cent_id ASC) AS rn
+        |    FROM sim) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.cell, e.v FROM asg a JOIN e USING (vec_id)),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT g.b AS node, r.label FROM reach r JOIN edges g ON g.a = r.node),
+        |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+        |SELECT a.vec_id, a.cell, coalesce(c.component, a.vec_id) AS component
+        |FROM asg a LEFT JOIN comp c ON a.vec_id = c.node
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -297,6 +297,63 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    * the embedding space, then resolve near-duplicate GROUPS within each
+    * cluster — the "remove semantically redundant training data" pass.
+    * Clustering bounds the pair search to same-cell pairs (the SemDeDup
+    * approximation: cross-cluster near-dups are intentionally out of
+    * scope), so pair work is Σ n_c²/2 instead of n²/2.
+    *
+    * Deterministic throughout: centroids are the first `nlist` vectors by
+    * id (the [[ivfTopK]] seed — id order carries no embedding structure,
+    * so it stands in for uniform sampling; pass the output of a Lloyd
+    * refinement for learned cells), assignment is argmax cosine with
+    * id-ascending tie-break, and duplicate groups resolve via
+    * [[graft.dedup.ConnectedComponents]] to the component's minimum id —
+    * chained near-dups (A–B, B–C) collapse to ONE representative even when
+    * A–C never pairs directly.
+    *
+    * Returns one row per input vector: (id, cell, component) where
+    * `component` is the minimum id of its same-cell near-dup group
+    * (singletons map to themselves); `id === component` marks the kept
+    * representative.
+    *
+    * Scale: centroids broadcast; assignment is one narrow pass; the pair
+    * join is a cell-keyed equi-join (cells ≈ corpus/nlist — for a skewed
+    * giant cell, compose: raise nlist, or swap the in-cell self-join for
+    * the block-partitioned [[cosineNearDupPairs]] restricted to that
+    * cell). */
+  def semDedup(df: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
+    val seeds = c.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"),
+        col("vec_norm").as("cent_norm"))
+    val wAsg = Window.partitionBy(col("vec_id"))
+      .orderBy(col("_sim").desc, col("cent_id").asc)
+    val assigned = c.crossJoin(broadcast(seeds))
+      .withColumn("_sim",
+        dot(col("vec"), col("cent_vec")) / (col("vec_norm") * col("cent_norm")))
+      .withColumn("_rn", row_number().over(wAsg))
+      .filter(col("_rn") === 1)
+      .select(col("vec_id"), col("vec"), col("vec_norm"),
+        col("cent_id").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("vec").as("vec_a"), col("vec_norm").as("norm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("vec").as("vec_b"), col("vec_norm").as("norm_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("vec_a"), col("vec_b")) /
+        (col("norm_a") * col("norm_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.dedup.ConnectedComponents(pairs, "id_a", "id_b")
+    assigned.join(comp, assigned("vec_id") === comp("id"), "left")
+      .select(assigned("vec_id"), col("cell"),
+        coalesce(col("component"), assigned("vec_id")).as("component"))
+  }
+
   /** Naive all-pairs cross-join form — TEST GROUND TRUTH ONLY (O(n²)
     * unpartitioned; specs assert [[cosineNearDupPairs]] equals this and
     * [[cosineNearDupPairsLsh]] is a subset). Never declare at scale. */

@@ -1,0 +1,152 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for LLM training-data pipelines (north-star
+  * extension; no reference implementation — anchored to
+  * `/root/testdata/<sf>/documents.parquet`): vocabulary construction,
+  * per-document TF-IDF keyword extraction, and unigram-language-model
+  * scoring. These complement the per-row operators in [[TextOps]] — each
+  * one needs a corpus pass (term totals), so the scale story is about the
+  * shape of that aggregation, not per-row codegen:
+  *
+  *  - the term explode feeds hash aggregates keyed on high-cardinality
+  *    (doc, term) / (term) keys, so partial (map-side) aggregation
+  *    collapses each partition's repeats before any exchange — the
+  *    shuffle carries one row per distinct key per partition, never one
+  *    per token;
+  *  - corpus-wide scalars (document count, token total) ride a single
+  *    aggregated row through a broadcast nested-loop join — no
+  *    `.collect()`, the plan stays lazy and whole;
+  *  - per-document ranking windows key on the document id (maximal
+  *    cardinality — the q_pack lesson: never window over a low-cardinality
+  *    key at data size).
+  */
+object CorpusStats {
+
+  /** One row per (id, term) occurrence of the NORMALIZED text — the shared
+    * explode every operator here starts from. Empty documents contribute
+    * nothing (split of "" yields one empty token; filtered). */
+  private def termRows(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Vocabulary table: corpus term frequency + document frequency per
+    * distinct (normalized) token, restricted to `minCount` total
+    * occurrences — the vocab-construction primitive of a tokenizer
+    * pipeline. Returns (term, tf, df).
+    *
+    * Scale: `countDistinct` plans as the standard two-phase expand — a
+    * (term, doc) distinct keyed on the pair (high cardinality, no hot
+    * key) then a term-keyed count. Both exchanges are map-side combined;
+    * skew on stopword-class terms collapses in the partial phase. */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 1L): DataFrame =
+    termRows(df, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("_id")).as("df"))
+      .filter(col("tf") >= minCount)
+
+  /** Top-k corpus terms by total frequency (ties → term asc) — the "show
+    * me the vocabulary head" query. orderBy+limit plans as
+    * TakeOrderedAndProject: each partition forwards at most k rows, no
+    * global sort materializes. */
+  def vocabularyTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    vocabulary(df, idCol, textCol)
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(k)
+
+  /** Per-document top-k terms by TF-IDF (Salton & Buckley's classic
+    * tf · ln(N / df) with raw term counts) — the keyword-extraction /
+    * topic-signal primitive. Returns (id, rank, term, tf, tfidf), rank by
+    * (tfidf desc, term asc) — deterministic, and exactly reproducible by
+    * any engine since every input to the score is an integer.
+    *
+    * Scale: tf is a (doc, term)-keyed hash aggregate; df joins back on
+    * `term` (vocabulary-sized build side — Spark/AQE broadcasts it when it
+    * fits, and the join stays an equi-join either way); N rides one
+    * aggregated row through a broadcast cross join; the rank window keys
+    * on the document id. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = termRows(df, idCol, textCol)
+      .groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df counts DOCUMENTS containing the term: tf is already one row per
+    // (doc, term), so a plain count per term needs no second distinct
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("tfidf"))
+  }
+
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram language model — the KenLM-style fluency/perplexity signal
+    * scored against the corpus itself (every token has nonzero count by
+    * construction, so no smoothing term). Returns
+    * (id, n_tokens, logprob = Σ ln(c_t / T) / n) where c_t is the corpus
+    * count of token t and T the corpus token total; exp(−logprob) is the
+    * per-token perplexity. Out-of-band LMs plug in by substituting any
+    * (term, c) table for the self-counts.
+    *
+    * Scale: the token→count join is term-keyed against the vocabulary
+    * (build side ≪ corpus; broadcast when it fits), T rides one aggregated
+    * row, and the per-doc mean is a doc-keyed hash aggregate — three
+    * map-side-combined exchanges, none proportional to token count. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = termRows(df, idCol, textCol)
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("t_total"))
+    toks.join(counts, Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("c").cast("double") / col("t_total").cast("double")))
+          .as("logprob"))
+      .select(col("_id").as(idCol), col("n_tokens"), col("logprob"))
+  }
+
+  /** Logistic quality classifier: σ(w · features) over the interpretable
+    * per-document signals (stopword ratio, punctuation ratio, mean word
+    * length, ln chars, trigram repetition) — the fastText-style
+    * quality-classifier scoring pass of a curation pipeline, with the
+    * model reduced to its scoring semantics (fixed published weights; a
+    * trained model swaps in the same shape). Pure column arithmetic over
+    * [[TextOps]] components: narrow, codegen'd, zero corpus passes.
+    *
+    * @param weights (bias, wStopword, wPunct, wMeanWordLen, wLnChars,
+    *                wRepetition) */
+  def logisticQuality(text: Column,
+      weights: (Double, Double, Double, Double, Double, Double)
+        = DefaultQualityWeights): Column = {
+    val (b, wSw, wPunct, wMwl, wLen, wRep) = weights
+    val z = lit(b) +
+      lit(wSw) * TextOps.stopwordRatio(text) +
+      lit(wPunct) * TextOps.punctRatio(text) +
+      lit(wMwl) * TextOps.meanWordLen(text) +
+      lit(wLen) * log(length(text).cast("double")) +
+      lit(wRep) * TextOps.repetitionScore(text, 3)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Hand-set weights encoding the C4/Gopher heuristics as a smooth score:
+    * stopword presence and word-length sanity up, punctuation soup and
+    * n-gram repetition down, mild length reward. */
+  val DefaultQualityWeights: (Double, Double, Double, Double, Double, Double) =
+    (-2.0, 6.0, -4.0, 0.15, 0.25, -3.0)
+}

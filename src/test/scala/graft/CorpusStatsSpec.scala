@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.SimilarityOps
+import graft.text.CorpusStats
+
+/** Specs for the corpus-level text statistics ([[CorpusStats]]) and the
+  * SemDeDup semantic-dedup operator — hand-computable ground truth on tiny
+  * synthetic corpora (the declared queries `q_vocab_topk`, `q_tfidf_topk`,
+  * `q_unigram_logprob`, `q_quality_logit`, `q_semdedup` are additionally
+  * DuckDB-oracle-checked at sf0.01).
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "a dog ran")
+  ).toDF("doc_id", "text")
+
+  test("vocabulary: tf counts occurrences, df counts documents") {
+    val v = CorpusStats.vocabulary(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(v("the") == (2L, 2L))
+    assert(v("cat") == (2L, 2L))
+    assert(v("ran") == (2L, 2L))
+    assert(v("sat") == (1L, 1L))
+    assert(v("a") == (1L, 1L))
+    assert(v("dog") == (1L, 1L))
+    assert(v.size == 6)
+  }
+
+  test("vocabulary: minCount filters, empty docs contribute nothing") {
+    val withEmpty = docs.union(Seq((4L, "  ")).toDF("doc_id", "text"))
+    val v = CorpusStats.vocabulary(withEmpty, "doc_id", "text", minCount = 2)
+      .as[(String, Long, Long)].collect().map(_._1).toSet
+    assert(v == Set("the", "cat", "ran"))
+  }
+
+  test("vocabularyTopK: ordered by tf desc then term asc, limited") {
+    val top = CorpusStats.vocabularyTopK(docs, "doc_id", "text", k = 3)
+      .as[(String, Long, Long)].collect().map(_._1).toSeq
+    assert(top == Seq("cat", "ran", "the")) // all tf=2, term asc
+  }
+
+  test("tfidfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    // "the" appears in 2/3 docs -> idf ln(1.5); "sat" in 1/3 -> ln(3)
+    val out = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(out(1L).head == "sat") // unique term wins doc 1
+    assert(out(3L).take(2).toSet.subsetOf(Set("a", "dog"))) // both unique to doc 3
+    val sat = CorpusStats.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .filter($"doc_id" === 1L && $"term" === "sat")
+      .select($"tfidf").as[Double].head()
+    assert(math.abs(sat - math.log(3.0)) < 1e-12)
+  }
+
+  test("unigramLogProb: hand-computed mean log token probability") {
+    // corpus: the(2) cat(2) sat(1) ran(2) a(1) dog(1), T = 9
+    val lp = CorpusStats.unigramLogProb(docs, "doc_id", "text")
+      .filter($"doc_id" === 1L)
+      .select($"n_tokens", $"logprob").as[(Long, Double)].head()
+    val expected = (math.log(2.0 / 9) + math.log(2.0 / 9) + math.log(1.0 / 9)) / 3
+    assert(lp._1 == 3L)
+    assert(math.abs(lp._2 - expected) < 1e-12)
+  }
+
+  test("logisticQuality: in (0,1), prose above repetitive spam") {
+    val scores = Seq(
+      ("good", "This is a clean sentence with the usual structure of prose and it has enough length to pass the filters easily."),
+      ("spam", "buy gold buy gold buy gold buy gold buy gold buy gold buy gold buy gold")
+    ).toDF("kind", "text")
+      .select($"kind", CorpusStats.logisticQuality($"text").as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(scores.values.forall(s => s > 0.0 && s < 1.0))
+    assert(scores("good") > scores("spam"))
+  }
+
+  // ---- semDedup -------------------------------------------------------------
+
+  /** Axis-aligned toy embeddings: ids 0..2 near +x (one chained near-dup
+    * group), 3 exactly +y, 4 near -x (outside every 0.9 pair). With
+    * nlist=2 the centroids are vec 0 (+x-ish) and vec 1. */
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.95f, 0.3122499f, 0.0f)), // cos(0,1) ~ 0.95
+    (2L, Array(0.81f, 0.5864299f, 0.0f)), // cos(1,2) ~ 0.95, cos(0,2) ~ 0.81
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(-1.0f, 0.2f, 0.1f))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup: chained same-cell near-dups collapse to one component") {
+    val out = SimilarityOps.semDedup(vecs, threshold = 0.9, nlist = 1)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // pairs at 0.9: (0,1) and (1,2) — NOT (0,2); components must chain
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L)
+    assert(out(3L) == 3L && out(4L) == 4L) // singletons map to themselves
+  }
+
+  test("semDedup: one output row per input vector, cells within seed set") {
+    val out = SimilarityOps.semDedup(vecs, threshold = 0.9, nlist = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_._2).forall(c => c == 0L || c == 1L)) // first 2 ids seed
+  }
+
+  test("semDedup: cross-cell pairs are out of scope by contract") {
+    // two tight groups on opposite axes; nlist=2 seeds (0:+x, 1:-x) so the
+    // groups land in different cells and never pair with each other
+    val twoClusters = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.05f)),
+      (2L, Array(0.999f, 0.01f)), (3L, Array(-0.999f, 0.06f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semDedup(twoClusters, threshold = 0.9, nlist = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(2L) == 0L) // same cell as 0
+    assert(out(3L) == 1L) // same cell as 1
+    assert(out(0L) == 0L && out(1L) == 1L)
+  }
+}
