@@ -235,6 +235,44 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: token-budget data mixing — keep each source's docs, in
+    //    deterministic md5 order, until the cumulative token count hits
+    //    the source's budget (cap crawl at N tokens, keep all of a small
+    //    curated source)
+    "q_token_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.ops.Sampling.tokenBudget(docs, "source", "doc_id", "n_tokens",
+          Map("src0" -> 800L, "src1" -> 400L), defaultBudget = 1000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: epoch mixing — per-source repeat weights (src0 x2.5:
+    //    everyone twice, the first half of the md5 order a 3rd time;
+    //    src1 x0.4 downsamples; elsewhere x1), one row per (doc, epoch)
+    "q_upsample" -> ((s, dir) => {
+      graft.ops.Sampling.upsample(t(s, dir, "documents"),
+          "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.4),
+          defaultWeight = 1.0)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
+    // -- [EXT]: decontamination as a transform — docs with id >= 100 are
+    //    the corpus, docs with id < 100 stand in for an eval benchmark;
+    //    every corpus doc containing a probe (containment >= 0.5) is
+    //    REMOVED (the curation-stage form of q_contamination)
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.decontaminate(docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 100), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: the composed corpus-curation pipeline. ORACLE-CHECKED:
     //    every stage is SQL-expressible, and the MinHash-LSH near-dup
     //    stage equals the exact trigram-Jaccard pair set at threshold
@@ -798,6 +836,85 @@ object LlmQueries {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the tokenBudget machinery: inclusive running token sums within
+    // (source, md5-shard), exclusive shard offsets in shard order, keep
+    // while the shard-offset cumulative count clears the source's budget
+    "q_token_budget" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |    md5(doc_id::VARCHAR) AS h,
+        |    substring(md5(doc_id::VARCHAR), 9, 2) AS shard
+        |  FROM documents),
+        |cum AS (SELECT doc_id, source, n_tokens, shard,
+        |          sum(n_tokens) OVER (PARTITION BY source, shard
+        |            ORDER BY h, doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_local
+        |        FROM r),
+        |tot AS (SELECT source, shard, sum(n_tokens) AS sw FROM r GROUP BY 1, 2),
+        |o AS (SELECT source, shard,
+        |        coalesce(sum(sw) OVER (PARTITION BY source ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM tot)
+        |SELECT cum.doc_id, cum.source, cum.n_tokens
+        |FROM cum JOIN o
+        |  ON cum.source IS NOT DISTINCT FROM o.source AND cum.shard = o.shard
+        |WHERE o.off + cum.cum_local <=
+        |  (CASE cum.source WHEN 'src0' THEN 800 WHEN 'src1' THEN 400
+        |    ELSE 1000 END)
+        |ORDER BY cum.doc_id""".stripMargin,
+
+    // the upsample machinery: global md5 rank per source, copies =
+    // floor(w) + (rank <= floor((w - floor(w)) * n) ? 1 : 0), one row per
+    // (doc, epoch)
+    "q_upsample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, md5(doc_id::VARCHAR) AS h,
+        |         substring(md5(doc_id::VARCHAR), 9, 2) AS shard
+        |  FROM documents),
+        |rn AS (SELECT doc_id, source, shard, row_number() OVER (
+        |         PARTITION BY source, shard ORDER BY h, doc_id) AS rn
+        |       FROM r),
+        |c AS (SELECT source, shard, count(*) AS c FROM r GROUP BY 1, 2),
+        |o AS (SELECT source, shard,
+        |        coalesce(sum(c) OVER (PARTITION BY source ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+        |        sum(c) OVER (PARTITION BY source) AS n
+        |      FROM c),
+        |w AS (SELECT rn.doc_id, rn.source,
+        |        (CASE rn.source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+        |          ELSE 1.0 END) AS wt,
+        |        rn.rn + o.off AS grank, o.n
+        |      FROM rn JOIN o
+        |        ON rn.source IS NOT DISTINCT FROM o.source
+        |        AND rn.shard = o.shard),
+        |cp AS (SELECT doc_id, source,
+        |         (floor(wt)::BIGINT + CASE WHEN grank <=
+        |            floor((wt - floor(wt)::BIGINT) * n) THEN 1 ELSE 0 END)
+        |           AS copies
+        |       FROM w)
+        |SELECT doc_id, source, unnest(range(0, copies)) AS epoch
+        |FROM cp WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+
+    // q_contamination's detector turned into the anti-join transform
+    "q_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3
+         |      THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |        FROM documents)),
+         |b AS (SELECT doc_id, s, len(s) AS n_b FROM sh WHERE doc_id < 100),
+         |bad AS (
+         |  SELECT DISTINCT a.doc_id FROM sh a JOIN b ON a.doc_id >= 100
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE / b.n_b::DOUBLE >= 0.5)
+         |SELECT doc_id, source FROM documents
+         |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_vocab_topk" ->
       s"""WITH tok AS (

@@ -119,6 +119,25 @@ object RelQueries {
         .orderBy(col("month"))
     }),
 
+    // -- A4 [EXT]: explicit GROUPING SETS — the general form rollup/cube
+    //    specialize: exactly the (status, priority) and (status) and
+    //    grand-total groupings, no others (cube would add (priority))
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
     // -- A4 [EXT]: cube grouping sets (rollup's sibling; q_rollup covers
     //    the hierarchy case)
     "q_cube" -> ((s, dir) => {
@@ -394,6 +413,15 @@ object RelQueries {
         |UNION
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY status, priority""".stripMargin,
 
     "q_cube" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

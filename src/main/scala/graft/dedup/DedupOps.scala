@@ -247,6 +247,24 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
 
+  /** Decontamination as a corpus transform: REMOVE every document whose
+    * shingle containment of some probe (eval benchmark) meets the
+    * threshold — [[containmentPairs]] composed with a left-anti join, the
+    * form a pipeline actually runs (detection alone is reporting; this is
+    * the curation stage). Returns the surviving rows of `docs` unchanged.
+    *
+    * Scale: detection broadcasts the probe shingle sets (one narrow
+    * corpus pass); the anti-join keys on the id — only detected ids (≪
+    * corpus) build the hash side. Probes and docs must not share ids
+    * (the detector's self-pair guard would mask a real hit). */
+  def decontaminate(docs: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val contaminated = containmentPairs(docs, probes, idCol, textCol, n,
+      threshold).select(col("id_a").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** [[containmentPairs]] for probe sets too large to broadcast — the
     * PPJoin prefix trick adapted to CONTAINMENT: if |A∩B| ≥ t·|B| then A
     * must hit one of B's first ⌊(1−t)·|B|⌋+1 shingles under the global

@@ -34,7 +34,10 @@ object Curation {
         * oracle-checkable); true keeps the HIGHEST-QUALITY doc (ties →
         * min id) — what a production corpus actually wants when the
         * duplicates differ in boilerplate or truncation. */
-      keepBestQuality: Boolean = false)
+      keepBestQuality: Boolean = false,
+      /** Shingle-containment threshold for the optional decontamination
+        * stage (active only when `contaminationProbes` is passed). */
+      contaminationThreshold: Double = 0.5)
 
   case class Report(input: Long, afterQuality: Long, afterLang: Long,
       afterRepetition: Long, afterExactDedup: Long, afterNearDup: Long)
@@ -53,13 +56,22 @@ object Curation {
     * [[graft.dedup.ConnectedComponents]]. */
   def curateFrame(docs: DataFrame, idCol: String, textCol: String,
       langCol: Option[String] = None,
-      cfg: Config = Config()): DataFrame =
-    stages(docs, idCol, textCol, langCol, cfg).last._2
+      cfg: Config = Config(),
+      contaminationProbes: Option[DataFrame] = None): DataFrame =
+    stages(docs, idCol, textCol, langCol, cfg, contaminationProbes).last._2
 
   /** Named intermediate frames, in order (for [[curate]]'s report and for
-    * debugging a stage in isolation). */
+    * debugging a stage in isolation).
+    *
+    * @param contaminationProbes eval-benchmark documents (same id/text
+    *   column names as the corpus, ids disjoint from it); when present, a
+    *   decontamination stage ([[DedupOps.decontaminate]]) runs on the
+    *   scrubbed corpus BEFORE exact dedup — removing contaminated docs
+    *   after dedup could first let one win a duplicate group and then
+    *   delete it, losing its clean duplicates */
   def stages(docs: DataFrame, idCol: String, textCol: String,
-      langCol: Option[String], cfg: Config)
+      langCol: Option[String], cfg: Config,
+      contaminationProbes: Option[DataFrame] = None)
       : Seq[(String, DataFrame)] = {
     // quality components as NAMED COLUMNS, not one inline qualityScore
     // expression: the composite references meanWordLen twice and the
@@ -99,12 +111,20 @@ object Curation {
       .filter(lit(1.0) - size(col("_sh")).cast("double") /
         greatest(size(split(col("_norm"), " ")) - (shingleN - 1), lit(1))
           .cast("double") <= cfg.maxRepetition)
+    // Optional decontamination BEFORE dedup (see scaladoc): the probe
+    // shingle sets broadcast, the corpus takes one extra narrow pass
+    val decontaminated = contaminationProbes match {
+      case Some(probes) => DedupOps.decontaminate(scrubbed, probes,
+        idCol, textCol, shingleN, cfg.contaminationThreshold)
+      case None => scrubbed
+    }
     // Materialize the exact-dedup result once: it feeds BOTH the LSH
     // pair-generation branch and the final left_anti join, and everything
     // above it (quality + PII-scrub regexes + the fingerprint window) is
     // the most expensive narrow pipeline in the query. Same rationale as
     // DedupOps.materialized — blocks are RDD-owned, freed on GC.
-    val exactN = DedupOps.exactDedupByKey(scrubbed, md5(col("_norm")), idCol)
+    val exactN = DedupOps.exactDedupByKey(decontaminated,
+        md5(col("_norm")), idCol)
       .localCheckpoint(false)
     // near-dup pairs -> connected components over the pair graph -> keep
     // the min-id doc of each component, drop the rest (one left_anti
@@ -130,6 +150,7 @@ object Curation {
     val curated = exactN.join(losers, Seq(idCol), "left_anti")
     Seq("quality" -> gated, "lang" -> langed,
       "repetition" -> scrubbed.drop("_norm", "_sh"),
+      "decontam" -> decontaminated.drop("_norm", "_sh"),
       "exactDedup" -> exactN.drop("_norm", "_sh"),
       "nearDup" -> curated.drop("_norm", "_sh"))
   }

@@ -60,4 +60,46 @@ class CurationSpec extends AnyFunSuite {
       once.drop("quality"), "doc_id", "text")
     assert(twice.count() == once.count())
   }
+
+  test("decontaminate: removes containing docs, keeps the rest unchanged") {
+    val probe = "benchmark question alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"the filler text of the corpus runs along here $probe and then continues with more of the usual words"),
+      (2L, "the clean document talks about the weather and the hills and the rivers of the region in plain terms")
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, probe)).toDF("doc_id", "text")
+    val kept = graft.dedup.DedupOps.decontaminate(docs, probes,
+      "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("curation decontaminates BEFORE dedup so a contaminated near-dup " +
+      "winner cannot erase its clean duplicate") {
+    // shared: long enough that A (shared + benchmark span) and B (shared)
+    // stay >= 0.8 Jaccard near-dups; A contains the probe, B does not
+    val shared = "the quick brown fox jumps over the lazy dog while the " +
+      "gentle rain falls on the green hills and the warm wind blows " +
+      "through the tall trees near the old stone bridge where the small " +
+      "birds sing their morning songs and the slow river carries the " +
+      "fallen leaves toward the quiet valley below the ancient mountains"
+    val probeSpan = "benchmark question alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"$shared $probeSpan", "en"), // contaminated, min id
+      (2L, shared, "en") // the clean near-dup
+    ).toDF("doc_id", "text", "lang")
+    val probes = Seq((100L, probeSpan)).toDF("doc_id", "text")
+
+    // sanity: without probes the pair near-dups and the MIN id (the
+    // contaminated doc!) survives
+    val plain = Curation.curateFrame(docs, "doc_id", "text",
+      langCol = Some("lang"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == Set(1L))
+
+    // with probes: 1 is removed for contamination FIRST, so 2 survives
+    val decon = Curation.curateFrame(docs, "doc_id", "text",
+      langCol = Some("lang"), contaminationProbes = Some(probes))
+      .select("doc_id").as[Long].collect().toSet
+    assert(decon == Set(2L))
+  }
 }

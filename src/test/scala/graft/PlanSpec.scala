@@ -148,6 +148,23 @@ class PlanSpec extends AnyFunSuite {
       s"rank window must shard beyond the stratum: ${w.partitionSpec}"))
   }
 
+  test("q_token_budget/q_upsample: data-sized windows are sharded, not per-stratum") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- Seq("q_token_budget", "q_upsample")) {
+      val q = SparkEntry.queries(name)(spark, dir)
+      // the running-sum / rank window over the data must key on
+      // (stratum, shard); only the 256-row-per-stratum offset windows may
+      // key on the stratum alone
+      val allWindows = q.queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      val sharded = allWindows.filter(_.partitionSpec.size == 2)
+      assert(allWindows.nonEmpty, s"$name: expected window operators")
+      assert(sharded.nonEmpty,
+        s"$name: the data-sized window must shard beyond the stratum")
+    }
+  }
+
   test("broadcast-cross queries: every nested loop is broadcast-bounded, never Cartesian") {
     // contamination / brute-force top-k / IVF assignment intentionally
     // cross a streamed corpus with a BROADCAST small side (probes,

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Sampling
+
+/** Specs for the token-budget and epoch-mixing sampling operators (the
+  * stratified/weighted forms are covered in LlmOpsSpec; the declared
+  * queries `q_token_budget` / `q_upsample` are DuckDB-oracle-checked). */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokenBudget: kept weight never exceeds the budget, and is maximal " +
+      "in the deterministic order") {
+    val df = (1L to 20L).map(i => (i, "a", 5L))
+      .toDF("id", "src", "w") // stratum a: 20 rows x 5 tokens = 100
+    val kept = Sampling.tokenBudget(df, "src", "id", "w", Map("a" -> 37L))
+      .as[(Long, String, Long)].collect()
+    // 5-token rows against budget 37: exactly 7 rows (35 <= 37, 40 > 37)
+    assert(kept.length == 7)
+    assert(kept.map(_._3).sum <= 37L)
+    // deterministic: same call, same rows
+    val again = Sampling.tokenBudget(df, "src", "id", "w", Map("a" -> 37L))
+      .as[(Long, String, Long)].collect()
+    assert(kept.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+  }
+
+  test("tokenBudget: per-stratum budgets, unlimited default, zero budget, " +
+      "oversized first row") {
+    val df = Seq(
+      (1L, "a", 5L), (2L, "a", 5L), (3L, "a", 5L),
+      (4L, "b", 100L), (5L, "b", 1L),
+      (6L, "c", 999L)
+    ).toDF("id", "src", "w")
+    val kept = Sampling.tokenBudget(df, "src", "id", "w",
+        Map("a" -> 10L, "b" -> 0L))
+      .as[(Long, String, Long)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc.getOrElse("a", 0L) == 10L) // exactly 2 of the 3 fives
+    assert(!bySrc.contains("b")) // zero budget keeps nothing
+    assert(bySrc("c") == 999L) // default budget unlimited
+    // a row larger than the whole remaining budget is dropped, later
+    // smaller rows in the order may still fit — NOT tested here (order is
+    // md5-random); the <= contract alone is asserted
+    val tight = Sampling.tokenBudget(
+      Seq((1L, "x", 100L)).toDF("id", "src", "w"),
+      "src", "id", "w", Map("x" -> 50L))
+    assert(tight.count() == 0)
+  }
+
+  test("tokenBudget: null stratum gets its own budget via the default") {
+    val df = Seq((1L, null: String, 3L), (2L, null: String, 3L),
+      (3L, "a", 3L)).toDF("id", "src", "w")
+    val kept = Sampling.tokenBudget(df, "src", "id", "w",
+        Map("a" -> 100L), defaultBudget = 3L)
+      .as[(Long, String, Long)].collect()
+    assert(kept.count(_._2 == null) == 1) // 3 of 6 null-stratum tokens fit
+    assert(kept.count(_._2 == "a") == 1)
+  }
+
+  test("upsample: integer weight = exact copies, fractional extra quota, " +
+      "zero weight drops the stratum") {
+    val df = ((1L to 4L).map(i => (i, "a")) ++ (5L to 8L).map(i => (i, "b"))
+      ++ (9L to 10L).map(i => (i, "c"))).toDF("id", "src")
+    val out = Sampling.upsample(df, "src", "id",
+        Map("a" -> 2.5, "b" -> 0.0), defaultWeight = 1.0)
+      .as[(Long, String, Long)].collect()
+    val a = out.filter(_._2 == "a")
+    // x2.5 on 4 rows: everyone epochs {0,1}, floor(.5*4)=2 rows get epoch 2
+    assert(a.length == 10)
+    assert((1L to 4L).forall(i =>
+      a.filter(_._1 == i).map(_._3).toSet.contains(0L) &&
+        a.filter(_._1 == i).map(_._3).toSet.contains(1L)))
+    assert(a.count(_._3 == 2L) == 2)
+    assert(a.forall(r => r._3 >= 0L && r._3 <= 2L))
+    assert(!out.exists(_._2 == "b")) // x0.0 drops everything
+    val c = out.filter(_._2 == "c")
+    assert(c.length == 2 && c.forall(_._3 == 0L)) // x1.0 = one epoch each
+  }
+
+  test("upsample: weights < 1 downsample deterministically with quota " +
+      "floor(w*n)") {
+    val df = (1L to 10L).map(i => (i, "a")).toDF("id", "src")
+    val out = Sampling.upsample(df, "src", "id", Map("a" -> 0.4))
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 4) // floor(0.4 * 10)
+    assert(out.forall(_._3 == 0L))
+    val again = Sampling.upsample(df, "src", "id", Map("a" -> 0.4))
+      .as[(Long, String, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
+  }
+}
