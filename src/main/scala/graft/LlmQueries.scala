@@ -405,6 +405,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: per-source corpus profile — the reporting pass before/
+    //    after mixing: docs, tokens, languages, mean quality per source
+    "q_corpus_profile" -> ((s, dir) => {
+      CorpusStats.sourceProfile(t(s, dir, "documents"),
+          "source", "text", "lang")
+        .withColumn("mean_quality", round(col("mean_quality"), 6))
+        .orderBy(col("source"))
+    }),
+
     // -- [EXT]: SemDeDup semantic dedup — cluster embeddings (16
     //    deterministic id-seeded cells), resolve same-cell cos>=0.4
     //    near-dup GROUPS via connected components, keep min id. Output is
@@ -978,6 +987,27 @@ object LlmQueries {
          |    greatest(len(ntoks) - 2, 1)::DOUBLE AS tri_total
          |  FROM (SELECT *, string_split($duckNorm, ' ') AS ntoks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_profile" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  count(DISTINCT lang)::BIGINT AS n_langs,
+         |  round(avg(
+         |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN punct_chars / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN tok_chars / n_toks_d >= 2.0 AND tok_chars / n_toks_d <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |  ), 6) AS mean_quality
+         |FROM (
+         |  SELECT source, lang,
+         |    len($duckToks)::BIGINT AS n_toks,
+         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+         |    length(text)::DOUBLE AS n_chars_d,
+         |    len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |    len($duckToks)::DOUBLE AS n_toks_d,
+         |    list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_semdedup" ->
       """WITH RECURSIVE e AS (

@@ -121,6 +121,30 @@ object CorpusStats {
       .select(col("_id").as(idCol), col("n_tokens"), col("logprob"))
   }
 
+  /** Per-stratum corpus profile — the reporting pass a curation pipeline
+    * runs before and after mixing: document count, token total, distinct
+    * languages, and mean quality score per source. One stratum-keyed hash
+    * aggregate (map-side combined; ~#sources output rows), with the
+    * quality components evaluated once per row in the pre-aggregation
+    * projection (the Curation discipline). */
+  def sourceProfile(df: DataFrame, strataCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val txt = col(textCol)
+    df.select(col(strataCol), col(langCol),
+        size(TextOps.tokens(txt)).cast("long").as("_nt"),
+        length(txt).cast("double").as("_nc"),
+        TextOps.stopwordRatio(txt).as("_sw"),
+        TextOps.punctRatio(txt).as("_punct"),
+        TextOps.meanWordLen(txt).as("_mwl"))
+      .withColumn("_q", TextOps.qualityFromComponents(
+        col("_nc"), col("_sw"), col("_punct"), col("_mwl")))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        countDistinct(col(langCol)).as("n_langs"),
+        avg(col("_q")).as("mean_quality"))
+  }
+
   /** Logistic quality classifier: σ(w · features) over the interpretable
     * per-document signals (stopword ratio, punctuation ratio, mean word
     * length, ln chars, trigram repetition) — the fastText-style

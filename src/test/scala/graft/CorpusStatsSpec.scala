@@ -81,6 +81,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(scores("good") > scores("spam"))
   }
 
+  test("sourceProfile: per-source docs, tokens, languages, mean quality") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the dog ran", "en", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog near the blue river", "en", "a"),
+      (3L, "el perro es que un gato y la", "es", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val p = CorpusStats.sourceProfile(df, "source", "text", "lang")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("a")._2 == 2L && p("a")._3 == (10L + 13L) && p("a")._4 == 1L)
+    assert(p("b")._2 == 1L && p("b")._3 == 8L)
+    assert(p.values.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+  }
+
   // ---- semDedup -------------------------------------------------------------
 
   /** Axis-aligned toy embeddings: ids 0..2 near +x (one chained near-dup
