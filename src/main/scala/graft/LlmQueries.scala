@@ -952,16 +952,20 @@ object LlmQueries {
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // tf-weighted mean over the (doc, term) count frame — same shape as
+    // CorpusStats.unigramLogProb (sum tf·ln(p) / sum tf)
     "q_unigram_logprob" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
          |  FROM documents),
-         |tk AS (SELECT * FROM tok WHERE length(term) > 0),
-         |c AS (SELECT term, count(*) AS c FROM tk GROUP BY 1),
-         |t AS (SELECT sum(c) AS t_total FROM c)
-         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         |  round(avg(ln(c::DOUBLE / t_total::DOUBLE)), 6) AS logprob
-         |FROM tk JOIN c USING (term) CROSS JOIN t
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+         |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |c AS (SELECT term, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
+         |t AS (SELECT sum(c)::BIGINT AS t_total FROM c)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  round(sum(tf::DOUBLE * ln(c::DOUBLE / t_total::DOUBLE))
+         |    / sum(tf)::DOUBLE, 6) AS logprob
+         |FROM tf JOIN c USING (term) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same left-fold order as CorpusStats.logisticQuality's z expression

@@ -74,9 +74,14 @@ object CorpusStats {
     * on the document id. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // materialize tf ONCE (lazy localCheckpoint): it feeds BOTH the score
+    // side and the document-frequency aggregate, and Spark's exchange
+    // reuse cannot share a subplan that one branch aggregates further —
+    // without this the scan + explode + (doc, term) aggregate run twice
     val tf = termRows(df, idCol, textCol)
       .groupBy(col("_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     // df counts DOCUMENTS containing the term: tf is already one row per
     // (doc, term), so a plain count per term needs no second distinct
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -109,15 +114,25 @@ object CorpusStats {
     * map-side-combined exchanges, none proportional to token count. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val toks = termRows(df, idCol, textCol)
-    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    // everything derives from the (doc, term) count frame: corpus term
+    // counts and the total are sums of tf, and the per-doc mean is the
+    // tf-weighted mean Σ tf·ln(p) / Σ tf — so one materialized aggregate
+    // (lazy localCheckpoint) replaces two passes over the token explode,
+    // and the join carries |doc × distinct-term| rows instead of one per
+    // token occurrence
+    val tf = termRows(df, idCol, textCol)
+      .groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val total = counts.agg(sum(col("c")).as("t_total"))
-    toks.join(counts, Seq("term"))
+    tf.join(counts, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        avg(log(col("c").cast("double") / col("t_total").cast("double")))
-          .as("logprob"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        (sum(col("tf").cast("double") *
+            log(col("c").cast("double") / col("t_total").cast("double"))) /
+          sum(col("tf")).cast("double")).as("logprob"))
       .select(col("_id").as(idCol), col("n_tokens"), col("logprob"))
   }
 
