@@ -319,11 +319,27 @@ object SimilarityOps {
     * representative.
     *
     * Scale: centroids broadcast; assignment is one narrow pass; the pair
-    * join is a cell-keyed equi-join (cells ≈ corpus/nlist — for a skewed
-    * giant cell, compose: raise nlist, or swap the in-cell self-join for
-    * the block-partitioned [[cosineNearDupPairs]] restricted to that
-    * cell). */
+    * join keys on (cell, block_i, block_j) — the [[cosineNearDupPairs]]
+    * block partitioning APPLIED WITHIN each cell, so a 16-cell corpus
+    * spreads its pair work over nlist·B(B+1)/2 balanced keys instead of
+    * serializing each cell's n_c²/2 compares onto one task (a bare
+    * cell-keyed join is exactly the low-cardinality-shuffle-key trap).
+    * Pair compute within a cell is still Θ(n_c²) — that is SemDeDup's
+    * own contract (raise nlist for denser corpora); the blocking makes
+    * it horizontal, not cheaper. */
   def semDedup(df: DataFrame, threshold: Double, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      blocks: Int = 8): DataFrame = {
+    val assigned = semDedupAssign(df, nlist, idCol, vecCol)
+    val pairs = semDedupPairsOf(assigned, threshold, blocks)
+    val comp = graft.dedup.ConnectedComponents(pairs, "id_a", "id_b")
+    assigned.join(comp, assigned("vec_id") === comp("id"), "left")
+      .select(assigned("vec_id"), col("cell"),
+        coalesce(col("component"), assigned("vec_id")).as("component"))
+  }
+
+  /** [[semDedup]]'s cell assignment: (vec_id, vec, vec_norm, cell). */
+  private[graft] def semDedupAssign(df: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
@@ -332,26 +348,36 @@ object SimilarityOps {
         col("vec_norm").as("cent_norm"))
     val wAsg = Window.partitionBy(col("vec_id"))
       .orderBy(col("_sim").desc, col("cent_id").asc)
-    val assigned = c.crossJoin(broadcast(seeds))
+    c.crossJoin(broadcast(seeds))
       .withColumn("_sim",
         dot(col("vec"), col("cent_vec")) / (col("vec_norm") * col("cent_norm")))
       .withColumn("_rn", row_number().over(wAsg))
       .filter(col("_rn") === 1)
       .select(col("vec_id"), col("vec"), col("vec_norm"),
         col("cent_id").as("cell"))
+  }
+
+  /** [[semDedup]]'s same-cell near-dup pairs, LAZY — exposed for plan
+    * inspection: the (cell, bi, bj) join shape is the scale contract
+    * (PlanSpec-asserted). */
+  private[graft] def semDedupPairsOf(assigned: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
     val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
-      col("vec").as("vec_a"), col("vec_norm").as("norm_a"))
+        col("vec").as("vec_a"), col("vec_norm").as("norm_a"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bi"))
+      .withColumn("bj", explode(sequence(col("bi"), lit(blocks - 1))))
     val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
-      col("vec").as("vec_b"), col("vec_norm").as("norm_b"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+        col("vec").as("vec_b"), col("vec_norm").as("norm_b"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("bj"))
+      .withColumn("bi", explode(sequence(lit(0), col("bj"))))
+    a.join(b, Seq("cell", "bi", "bj"))
+      // same-block pairs appear in both orders → keep one; cross-block
+      // pairs occur exactly once per cell (the cosineNearDupPairs dedup)
+      .filter(col("bi") < col("bj") || col("id_a") < col("id_b"))
       .filter(dot(col("vec_a"), col("vec_b")) /
         (col("norm_a") * col("norm_b")) >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val comp = graft.dedup.ConnectedComponents(pairs, "id_a", "id_b")
-    assigned.join(comp, assigned("vec_id") === comp("id"), "left")
-      .select(assigned("vec_id"), col("cell"),
-        coalesce(col("component"), assigned("vec_id")).as("component"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
   }
 
   /** Naive all-pairs cross-join form — TEST GROUND TRUTH ONLY (O(n²)

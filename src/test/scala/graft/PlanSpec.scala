@@ -77,6 +77,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup: the in-cell pair join keys on (cell, block, block), " +
+      "never the bare ~nlist-value cell") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import graft.similarity.SimilarityOps
+    // the final query plan hides the pair join (ConnectedComponents is
+    // eager), so assert on the lazy pair frame the operator builds
+    val emb = analytics.Tables(spark, dir, "embeddings")
+    val pairs = SimilarityOps.semDedupPairsOf(
+      SimilarityOps.semDedupAssign(emb, nlist = 16), 0.4, blocks = 8)
+    // a cell-only join would put each cell's n^2/2 compares on one task
+    val joinKeyCounts = pairs.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isDefined =>
+        j.condition.get.references.map(_.name).toSeq
+          .count(n => n == "bi" || n == "bj" || n == "cell")
+    }
+    assert(joinKeyCounts.exists(_ >= 3),
+      s"expected a (cell, bi, bj)-keyed pair join; key hits: $joinKeyCounts")
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+  }
+
   test("q_embed_neardup: block-partitioned all-pairs is an equi-join — " +
       "no CartesianProduct, no nested loop") {
     val p = plan("q_embed_neardup")
