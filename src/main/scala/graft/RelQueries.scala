@@ -186,6 +186,34 @@ object RelQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- A3 [EXT]: approximate quantile sketch (Greenwald-Khanna via
+    //    approx_percentile) — the mergeable-quantile path for 100 TB
+    //    profiling where the exact `percentile` sort-per-group is too
+    //    heavy. No oracle (sketch internals are engine-specific); the
+    //    rank-error bound vs the exact percentile is spec-asserted.
+    "q_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+          .as("qtiles"), count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          element_at(col("qtiles"), 1).as("med_qty"),
+          element_at(col("qtiles"), 2).as("p90_qty"), col("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- A [EXT]: fixed-width histogram/binning — the numeric-profiling
+    //    pass (distribution of document lengths); one hash aggregate on
+    //    the bin id
+    "q_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(floor(col("n_chars") / 50).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+        .select(col("bin"), (col("bin") * 50).as("lo"),
+          (col("bin") * 50 + 50).as("hi"), col("n"))
+        .orderBy(col("bin"))
+    }),
+
     // -- A [EXT]: pivot (conditional aggregation to columns). Explicit
     //    value list = no extra distinct-values job and a deterministic
     //    column order; absent combos coalesce to 0 like the FILTER'd
@@ -349,6 +377,11 @@ object RelQueries {
         |  UNION ALL
         |  SELECT l_returnflag, 'n_items', n_items FROM g)
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT bin, bin * 50 AS lo, bin * 50 + 50 AS hi, count(*) AS n
+        |FROM (SELECT (n_chars // 50)::BIGINT AS bin FROM documents)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_percentile" ->
       """SELECT l_returnflag,
