@@ -963,7 +963,8 @@ object LlmQueries {
          |c AS (SELECT term, sum(tf)::BIGINT AS c FROM tf GROUP BY 1),
          |t AS (SELECT sum(c)::BIGINT AS t_total FROM c)
          |SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
-         |  round(sum(tf::DOUBLE * ln(c::DOUBLE / t_total::DOUBLE))
+         |  round(sum((tf::DOUBLE * ln(c::DOUBLE / t_total::DOUBLE))
+         |      ::DECIMAL(28,12))::DOUBLE
          |    / sum(tf)::DOUBLE, 6) AS logprob
          |FROM tf JOIN c USING (term) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
@@ -996,12 +997,12 @@ object LlmQueries {
       s"""SELECT source, count(*)::BIGINT AS n_docs,
          |  sum(n_toks)::BIGINT AS n_tokens,
          |  count(DISTINCT lang)::BIGINT AS n_langs,
-         |  round(avg(
+         |  round(sum((
          |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
          |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
          |    + (CASE WHEN punct_chars / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
          |    + (CASE WHEN tok_chars / n_toks_d >= 2.0 AND tok_chars / n_toks_d <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
-         |  ), 6) AS mean_quality
+         |  )::DECIMAL(18,12))::DOUBLE / count(*)::DOUBLE, 6) AS mean_quality
          |FROM (
          |  SELECT source, lang,
          |    len($duckToks)::BIGINT AS n_toks,

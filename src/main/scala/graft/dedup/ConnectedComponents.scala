@@ -37,10 +37,14 @@ import org.apache.spark.sql.types._
   */
 object ConnectedComponents {
 
-  /** Driver path cutover: 4M edges ≈ 64–128 MB collected — safely inside
-    * any driver heap, far above every near-dup pair table seen in
-    * practice at matching corpus scale. */
-  val defaultDriverMaxEdges: Long = 4L << 20
+  /** Driver path cutover. Collected edges are EXTERNAL Rows (Row wrapper
+    * + field array + two boxed ids ≈ 100–150 B each) and union-find adds
+    * up to 2 boxed HashMap entries per edge, so 1M edges costs roughly
+    * 300–500 MB peak on the driver — inside a default-sized driver heap
+    * with headroom, and still far above every near-dup pair table seen in
+    * practice at matching corpus scale (only detected duplicates appear).
+    * Raise it only with a driver sized for ~0.5 KB per edge. */
+  val defaultDriverMaxEdges: Long = 1L << 20
 
   /** Resolve components of the undirected graph given by a pair table.
     *

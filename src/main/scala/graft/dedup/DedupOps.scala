@@ -229,7 +229,19 @@ object DedupOps {
     * containment ≈ 1 — exactly the case decontamination must catch. */
   def containmentPairs(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    containmentPairsImpl(docs, probes, idCol, textCol, n, threshold,
+      excludeSameId = true)
+
+  /** [[containmentPairs]] core. `excludeSameId = true` is the DETECTOR
+    * form (probes are drawn from the corpus itself, e.g. q_contamination,
+    * so a doc must not flag as containing itself); `false` is the
+    * TRANSFORM form ([[decontaminate]]): probes are an external benchmark
+    * whose ids carry no relationship to corpus ids, and an accidental id
+    * collision must not mask a real contamination hit. */
+  private def containmentPairsImpl(docs: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      threshold: Double, excludeSameId: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1], got $threshold")
     val d = docs.select(col(idCol).as("id_a"),
@@ -237,7 +249,10 @@ object DedupOps {
     val p = probes.select(col(idCol).as("id_b"),
       shingleHashes(col(textCol), n).as("sh_b"))
       .withColumn("n_b", size(col("sh_b")))
-    d.join(broadcast(p), col("id_a") =!= col("id_b"))
+    val joined =
+      if (excludeSameId) d.join(broadcast(p), col("id_a") =!= col("id_b"))
+      else d.crossJoin(broadcast(p))
+    joined
       .withColumn("n_common",
         HashExpressions.intersectCountSorted(col("sh_a"), col("sh_b"))
           .cast("long"))
@@ -255,13 +270,15 @@ object DedupOps {
     *
     * Scale: detection broadcasts the probe shingle sets (one narrow
     * corpus pass); the anti-join keys on the id — only detected ids (≪
-    * corpus) build the hash side. Probes and docs must not share ids
-    * (the detector's self-pair guard would mask a real hit). */
+    * corpus) build the hash side. Unlike the detector, NO same-id guard
+    * applies: probe ids carry no relationship to corpus ids here, and an
+    * accidental collision must not mask a real contamination hit. */
   def decontaminate(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val contaminated = containmentPairs(docs, probes, idCol, textCol, n,
-      threshold).select(col("id_a").as(idCol)).distinct()
+    val contaminated = containmentPairsImpl(docs, probes, idCol, textCol, n,
+      threshold, excludeSameId = false)
+      .select(col("id_a").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
 
@@ -384,8 +401,11 @@ object DedupOps {
     *     a full oracle row; same staging discipline as
     *     [[graft.text.TextOps.winnowFingerprints]]);
     *  2. one window over the gram hash keeps the first occurrence
-    *     (`row_number` ordered by (id, pos) — rewritten by Spark to
-    *     WindowGroupLimit, so the exchange stays thin) and flags the rest;
+    *     (`row_number` ordered by (id, pos)) and flags the rest. NOTE the
+    *     `_rn > 1` complement filter is NOT a WindowGroupLimit rewrite
+    *     (Spark only rewrites rank ≤ k), so the exchange carries every
+    *     gram occurrence — O(tokens) shuffle, keyed on the gram hash
+    *     (high cardinality, horizontal);
     *  3. flagged occurrences expand to their covered token positions
     *     ([pos, pos+k−1] — adjacent/overlapping repeats merge by the
     *     distinct union of intervals);

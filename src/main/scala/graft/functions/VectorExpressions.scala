@@ -161,48 +161,18 @@ object VectorExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "lsh_buckets"
 
-    private lazy val planeSeeds: Array[Long] = {
-      def splitmix64(x0: Long): Long = {
-        var x = x0 + 0x9E3779B97F4A7C15L
-        x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-        x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-        x ^ (x >>> 31)
-      }
-      Array.tabulate(tables * planes)(g => splitmix64(g.toLong))
-    }
+    // ONE source of truth for seed derivation and the interpreted loop
+    // (LshKernel) — the multi-probe kernel's probe 0 must stay
+    // bit-identical to this bucket, and three drifting copies of the
+    // splitmix sign-hash would break that silently. The codegen string in
+    // doGenCode below necessarily restates the loop; KernelSpec asserts
+    // interpreted/codegen parity so it cannot drift unnoticed.
+    private lazy val planeSeeds: Array[Long] =
+      LshKernel.seeds(tables * planes)
 
-    /** ±1 sign for (global plane g, dim i): finalizer over seed+i·φ. */
-    @inline private def sign(seed: Long, i: Int): Double = {
-      var v = seed + i.toLong * 0x9E3779B97F4A7C15L
-      v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
-      v = v ^ (v >>> 27)
-      if ((v & 1L) == 1L) 1.0 else -1.0
-    }
-
-    override def nullSafeEval(a: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val n = x.numElements()
-      val out = new Array[Long](tables)
-      var t = 0
-      while (t < tables) {
-        var bucket = 0L
-        var p = 0
-        while (p < planes) {
-          val seed = planeSeeds(t * planes + p)
-          var proj = 0.0
-          var i = 0
-          while (i < n) {
-            proj += x.getFloat(i).toDouble * sign(seed, i)
-            i += 1
-          }
-          if (proj > 0) bucket |= (1L << p)
-          p += 1
-        }
-        out(t) = bucket
-        t += 1
-      }
-      UnsafeArrayData.fromPrimitiveArray(out)
-    }
+    override def nullSafeEval(a: Any): Any =
+      LshKernel.buckets(a.asInstanceOf[ArrayData], planes, tables,
+        planeSeeds)
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val seedsRef = ctx.addReferenceObj("lshSeeds", planeSeeds, "long[]")
@@ -311,6 +281,37 @@ object LshKernel {
         x ^ (x >>> 31)
       }
       Array.tabulate(n)(g => splitmix64(g.toLong))
+    }
+
+    /** Single-probe buckets: one long per table (bit p = sign of the
+      * projection on plane p). The interpreted twin of LshBuckets'
+      * generated code; multiProbe's probe 0 equals this by construction. */
+    def buckets(x: ArrayData, planes: Int, tables: Int,
+        planeSeeds: Array[Long]): ArrayData = {
+      val n = x.numElements()
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val seed = planeSeeds(t * planes + p)
+          var proj = 0.0
+          var i = 0
+          while (i < n) {
+            var v = seed + i.toLong * 0x9E3779B97F4A7C15L
+            v = (v ^ (v >>> 30)) * 0xBF58476D1CE4E5B9L
+            v = v ^ (v >>> 27)
+            proj += x.getFloat(i).toDouble * (if ((v & 1L) == 1L) 1.0 else -1.0)
+            i += 1
+          }
+          if (proj > 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
     }
 
     def multiProbe(x: ArrayData, planes: Int, tables: Int, probes: Int,

@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Keep EXACTLY floor(fraction·(n−1))+1 rows of each stratum (n = the
-    * stratum's row count; a 1-row stratum is always kept), selected
+    * stratum's row count; a 1-row stratum is always kept — except at
+    * fraction 0.0, which drops the stratum), selected
     * deterministically by an md5-keyed pseudo-random order.
     *
     * Scale shape — the q_pack lesson applied to sampling: a single
@@ -48,7 +49,9 @@ object Sampling {
   /** Per-stratum fractions — the DATA-MIXING operator proper: downsample
     * each source to its target weight in one pass (e.g. keep all of a
     * high-quality source, 10% of a crawl). Strata are matched on their
-    * string form; strata absent from `fractions` keep `defaultFraction`.
+    * string form; strata absent from `fractions` keep `defaultFraction`,
+    * and a fraction of exactly 0.0 drops its stratum entirely (no
+    * keep-at-least-one floor — the default 0.0 means "not in the mix").
     * Same exact-quota, shard-balanced machinery as [[stratified]] —
     * the fraction only enters the final quota comparison, so the plan
     * shape (and the 100 TB posture) is identical. */
@@ -183,9 +186,15 @@ object Sampling {
       .drop("_h", "_shard", "_rn", "_off", "_o_strata", "_o_shard")
   }
 
+  // quota floor(f·(n−1))+1 keeps at least one row of every NONZERO-weight
+  // stratum (the documented contract); fraction 0 means DROP THE STRATUM —
+  // without the explicit zero case the +1 would leak one row per unlisted
+  // stratum through stratifiedWeighted's defaultFraction = 0.0 (at 10⁶ web
+  // domains that is 10⁶ unwanted documents in a "wiki only" mix)
   private def stratifiedBy(df: DataFrame, strataCol: String, keyCol: String,
       fraction: Column): DataFrame =
     withGlobalRank(df, strataCol, keyCol)
-      .filter(col("_grank") <= floor(fraction * (col("_n") - 1)) + 1)
+      .filter(fraction > 0.0 &&
+        col("_grank") <= floor(fraction * (col("_n") - 1)) + 1)
       .drop("_grank", "_n")
 }

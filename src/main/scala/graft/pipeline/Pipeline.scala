@@ -329,18 +329,24 @@ final class PipelineRunner(
       new org.apache.spark.sql.Observation(s"expectations_$entity"))
     val laid = buildSilverFrame(entity, cfg, obs)
     publishVersioned(fqn, silverPath(entity), laid)
-    val expectationMetrics: Map[String, String] = obs match {
+    setTableProps(spark, fqn, refTableProps(cfg) +
+      ("comment" -> s"Silver deduplicated table for $entity") +
+      ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+      expectationMetrics(fqn, obs))
+  }
+
+  /** Drain an expectations Observation (post-write) into table-property
+    * form — shared by the silver and gold publishes so metric naming and
+    * logging cannot diverge between layers. */
+  private def expectationMetrics(fqn: String,
+      obs: Option[org.apache.spark.sql.Observation]): Map[String, String] =
+    obs match {
       case Some(o) =>
         val m = o.get.map { case (k, v) => s"expectations.$k" -> v.toString }
         m.foreach { case (k, v) => log(s"$fqn $k = $v") }
         m.toMap
       case None => Map.empty
     }
-    setTableProps(spark, fqn, refTableProps(cfg) +
-      ("comment" -> s"Silver deduplicated table for $entity") +
-      ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
-      expectationMetrics)
-  }
 
   /** Atomic versioned publish shared by the silver and gold batch tables:
     * write `df` to a fresh `.../v{N}` dir, widen the catalog schema
@@ -440,17 +446,10 @@ final class PipelineRunner(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
     val frame = buildGoldFrame(entity, cfg, g, obs)
     publishVersioned(fqn, goldPath(entity), frame)
-    val expectationMetrics: Map[String, String] = obs match {
-      case Some(o) =>
-        val m = o.get.map { case (k, v) => s"expectations.$k" -> v.toString }
-        m.foreach { case (k, v) => log(s"$fqn $k = $v") }
-        m.toMap
-      case None => Map.empty
-    }
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
       ("clustering_cols" -> g.clusteringCols.mkString(",")) ++
-      expectationMetrics)
+      expectationMetrics(fqn, obs))
   }
 
   // ---- phase 3: active views (catalog-only) -------------------------------

@@ -330,7 +330,12 @@ object SimilarityOps {
   def semDedup(df: DataFrame, threshold: Double, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       blocks: Int = 8): DataFrame = {
+    // materialize the assignment once (lazy localCheckpoint): the eager
+    // ConnectedComponents below executes the pair plan immediately, and
+    // the output join re-reads `assigned` — without this the scan +
+    // broadcast-crossJoin + window assignment pass runs twice per call
     val assigned = semDedupAssign(df, nlist, idCol, vecCol)
+      .localCheckpoint(false)
     val pairs = semDedupPairsOf(assigned, threshold, blocks)
     val comp = graft.dedup.ConnectedComponents(pairs, "id_a", "id_b")
     assigned.join(comp, assigned("vec_id") === comp("id"), "left")

@@ -126,12 +126,17 @@ object CorpusStats {
       .localCheckpoint(false)
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val total = counts.agg(sum(col("c")).as("t_total"))
+    // per-row terms are cast to decimal BEFORE summing (the q_stats_agg
+    // discipline): decimal sums are exact and therefore independent of the
+    // partial-aggregate merge order, where a raw double sum could flip a
+    // round(.,6) boundary between runs (or against the oracle's own order)
     tf.join(counts, Seq("term"))
       .crossJoin(broadcast(total))
       .groupBy(col("_id"))
       .agg(sum(col("tf")).as("n_tokens"),
-        (sum(col("tf").cast("double") *
-            log(col("c").cast("double") / col("t_total").cast("double"))) /
+        (sum((col("tf").cast("double") *
+            log(col("c").cast("double") / col("t_total").cast("double")))
+            .cast("decimal(28,12)")).cast("double") /
           sum(col("tf")).cast("double")).as("logprob"))
       .select(col("_id").as(idCol), col("n_tokens"), col("logprob"))
   }
@@ -157,7 +162,11 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_nt")).as("n_tokens"),
         countDistinct(col(langCol)).as("n_langs"),
-        avg(col("_q")).as("mean_quality"))
+        // decimal-cast summation: exact ⇒ merge-order-independent (the
+        // q_stats_agg discipline; quality is a sum of 0.1-multiples, far
+        // from any decimal(.,12) rounding boundary)
+        (sum(col("_q").cast("decimal(18,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_quality"))
   }
 
   /** Logistic quality classifier: σ(w · features) over the interpretable

@@ -188,6 +188,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("stratifiedWeighted: fraction 0.0 drops the stratum entirely — no " +
+      "keep-at-least-one leak through the default") {
+    val docs = analytics.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.ops.Sampling.stratifiedWeighted(
+      docs, "source", "doc_id", Map("src0" -> 1.0)) // default 0.0
+    val srcs = out.select("source").distinct().as[String].collect().toSet
+    assert(srcs == Set("src0"),
+      s"unlisted strata must contribute ZERO rows, got $srcs")
+  }
+
   test("curation keepBestQuality: the highest-quality doc of a near-dup " +
       "component survives instead of the min id") {
     // doc 1 is the min id but SHORT (< 50 chars -> quality 0.4); docs 2/3
