@@ -405,6 +405,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: tokenize-to-ids — encode each doc as token ids under the
+    //    rank-20 corpus vocabulary (OOV → 0); ids joined to one string for
+    //    the engine-portable compare (the operator returns a real array)
+    "q_tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = CorpusStats.rankedVocabulary(docs, "doc_id", "text", k = 20)
+      CorpusStats.tokenizeIds(docs, "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          array_join(col("token_ids").cast("array<string>"), " ")
+            .as("token_ids_str"),
+          col("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: per-source corpus profile — the reporting pass before/
     //    after mixing: docs, tokens, languages, mean quality per source
     "q_corpus_profile" -> ((s, dir) => {
@@ -992,6 +1006,25 @@ object LlmQueries {
          |    greatest(len(ntoks) - 2, 1)::DOUBLE AS tri_total
          |  FROM (SELECT *, string_split($duckNorm, ' ') AS ntoks FROM documents))
          |ORDER BY doc_id""".stripMargin,
+
+    "q_tokenize_ids" ->
+      s"""WITH n AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |           FROM documents),
+         |tok AS (SELECT doc_id, u.pos, u.term FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |      i -> struct_pack(pos := i, term := toks[i::INT]))) AS u
+         |    FROM n)
+         |  WHERE length(u.term) > 0),
+         |v AS (SELECT term, row_number() OVER (ORDER BY tf DESC, term ASC)
+         |        AS id
+         |      FROM (SELECT term, count(*) AS tf FROM tok GROUP BY 1
+         |            ORDER BY tf DESC, term ASC LIMIT 20)),
+         |j AS (SELECT tok.doc_id, tok.pos, coalesce(v.id, 0) AS tid
+         |      FROM tok LEFT JOIN v USING (term))
+         |SELECT doc_id,
+         |  array_to_string(list(tid ORDER BY pos), ' ') AS token_ids_str,
+         |  sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_unk
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_corpus_profile" ->
       s"""SELECT source, count(*)::BIGINT AS n_docs,

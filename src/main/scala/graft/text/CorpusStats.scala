@@ -141,6 +141,50 @@ object CorpusStats {
       .select(col("_id").as(idCol), col("n_tokens"), col("logprob"))
   }
 
+  /** Tokenize-to-ids: encode each document as an array of integer token
+    * ids under a vocabulary table — the encode step between curation and
+    * packing. Ids are assigned by vocabulary rank (tf desc, term asc —
+    * deterministic and engine-reproducible), 1-based; out-of-vocabulary
+    * tokens map to `unkId` (0). Returns (id, token_ids, n_unk).
+    *
+    * @param vocab (term, id) table, e.g. [[vocabularyTopK]] ranked — any
+    *   mapping works as long as ids are unique per term
+    *
+    * Scale: explode tokens with position → term-keyed join against the
+    * vocabulary (build side ≪ corpus: broadcast when it fits) → doc-keyed
+    * reassembly. The reassembly sorts each doc's (pos, id) structs INSIDE
+    * the row (`array_sort` after `collect_list`) rather than relying on
+    * collect order, so the result is deterministic under any shuffle
+    * schedule. */
+  def tokenizeIds(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkId: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+        posexplode(split(TextOps.normalize(col(textCol)), " "))
+          .as(Seq("_pos", "term")))
+      .filter(length(col("term")) > 0)
+    toks.join(broadcast(vocab.select(col("term"), col("id").as("_tid"))),
+        Seq("term"), "left")
+      .withColumn("_tid", coalesce(col("_tid"), lit(unkId)))
+      .groupBy(col("_id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_tid")))),
+          s => s.getField("_tid")).as("token_ids"),
+        sum(when(col("_tid") === unkId, 1L).otherwise(0L)).as("n_unk"))
+      .select(col("_id").as(idCol), col("token_ids"), col("n_unk"))
+  }
+
+  /** [[vocabularyTopK]] with rank ids attached — the (term, id) shape
+    * [[tokenizeIds]] consumes. Rank 1 = most frequent. */
+  def rankedVocabulary(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val w = Window.orderBy(col("tf").desc, col("term").asc)
+    // the window is global but runs over the top-k HEAD only (<= k rows
+    // after the TakeOrderedAndProject), never the corpus
+    vocabularyTopK(df, idCol, textCol, k)
+      .withColumn("id", row_number().over(w))
+      .select(col("term"), col("id"), col("tf"), col("df"))
+  }
+
   /** Per-stratum corpus profile — the reporting pass a curation pipeline
     * runs before and after mixing: document count, token total, distinct
     * languages, and mean quality score per source. One stratum-keyed hash
