@@ -79,6 +79,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(c.length == 2 && c.forall(_._3 == 0L)) // x1.0 = one epoch each
   }
 
+  test("identity contracts: unlimited budget / weight 1.0 pass everything " +
+      "through exactly once") {
+    val df = (1L to 9L).map(i => (i, if (i % 2 == 0) "a" else "b", i))
+      .toDF("id", "src", "w")
+    val budgeted = Sampling.tokenBudget(df, "src", "id", "w", Map.empty)
+    assert(budgeted.count() == 9)
+    assert(budgeted.columns.toSet == Set("id", "src", "w")) // no temp cols
+    val up = Sampling.upsample(df.drop("w"), "src", "id", Map.empty)
+      .as[(Long, String, Long)].collect()
+    assert(up.length == 9 && up.forall(_._3 == 0L))
+  }
+
   test("upsample: weights < 1 downsample deterministically with quota " +
       "floor(w*n)") {
     val df = (1L to 10L).map(i => (i, "a")).toDF("id", "src")
