@@ -298,6 +298,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(d1.getDouble(2) >= 0.5)
   }
 
+  test("stream-static join: streamed documents pick up static mixing " +
+      "weights and filter statelessly across batches") {
+    import spark.implicits._
+    // static dimension: per-source mixing decision (the data-mixing
+    // config joined INTO the stream — the standard stream-static shape;
+    // Spark broadcasts the static side into every micro-batch)
+    val weights = Seq(("src0", true), ("src1", false), ("src2", true))
+      .toDF("source", "keep")
+    val mem = MemoryStream[(Long, String)](spark)
+    val sink = nextSink()
+    val q = mem.toDF.toDF("doc_id", "source")
+      .join(broadcast(weights), Seq("source"))
+      .filter($"keep")
+      .select($"doc_id", $"source")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData((1L, "src0"), (2L, "src1"), (3L, "src2"))
+    q.processAllAvailable()
+    mem.addData((4L, "src1"), (5L, "src0"), (6L, "srcX")) // srcX: no dim row
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table(sink).select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 5L),
+      "src1 filtered by the static weight, srcX dropped by the inner join")
+  }
+
   test("T6 streaming dedup within watermark drops duplicate keys") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
