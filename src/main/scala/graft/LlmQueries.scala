@@ -21,6 +21,12 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  // IVF index built ONCE per dataset dir and reused across invocations —
+  // the build-once/query-many contract the persisted index exists for
+  // (the bench harness calls each query several times per session)
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** DuckDB-equivalent normalization (mirrors TextOps.normalize). */
   private val duckNorm =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -364,6 +370,24 @@ object LlmQueries {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
         nlist = 16, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: IVF ANN against a PERSISTED cell-partitioned index — the
+    //    build-once/query-many form (index built one time per dataset and
+    //    cached; each query prunes to its nprobe cell directories at
+    //    file-listing time). No oracle, same as the other ANN forms;
+    //    equivalence with ivfTopK + the pruned-scan plan are spec'd.
+    "q_ivf_indexed" -> ((s, dir) => {
+      val path = ivfIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx").toString
+        SimilarityOps.ivfBuildIndex(t(s, dir, "embeddings"), p, nlist = 16)
+        p
+      })
+      SimilarityOps.ivfTopKIndexed(s, path,
+          t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),

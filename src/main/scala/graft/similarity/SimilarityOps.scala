@@ -171,27 +171,26 @@ object SimilarityOps {
     val c0 = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
     val c = if (lloydIters > 0) c0.localCheckpoint(false) else c0
-    // deterministic centroid seed: first nlist ids (TakeOrderedAndProject,
-    // no global shuffle). Ids carry no structure in embedding space, so
-    // this is as good as uniform sampling for a k-means seed.
+    val cents = ivfCentroids(c, nlist, lloydIters)
+    val cAssigned = ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+    ivfScore(cAssigned, p, cents, k, nprobe)
+  }
+
+  /** Deterministic IVF centroids: first-nlist-ids seed (the
+    * TakeOrderedAndProject — ids carry no structure in embedding space, so
+    * this stands in for uniform sampling) refined by `lloydIters` k-means
+    * iterations. Each iteration: assignment pass + per-(cell, dim) mean
+    * (posexplode + avg partial-aggregates map-side to ≤ nlist × dim rows
+    * per partition — the exchange never scales with the corpus). */
+  private[graft] def ivfCentroids(c: DataFrame, nlist: Int,
+      lloydIters: Int): DataFrame = {
     val seeds = c.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cent_id"), col("vec").as("cent_vec"),
         col("vec_norm").as("cent_norm"))
-    def assign(cents: DataFrame)(df: DataFrame, idC: String, vecC: String,
-        normC: String, top: Int): DataFrame = {
-      val w = Window.partitionBy(col(idC))
-        .orderBy(col("_sim").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("_sim",
-          dot(col(vecC), col("cent_vec")) / (col(normC) * col("cent_norm")))
-        .withColumn("_crn", row_number().over(w))
-        .filter(col("_crn") <= top)
-        .select(col(idC), col(vecC), col(normC), col("cent_id").as("cell"))
-    }
-    val cents = (1 to lloydIters).foldLeft(seeds) { (cur, _) =>
-      // mean per (cell, dim): posexplode + avg partial-aggregates map-side
-      // to <= nlist x dim rows per partition; rebuild the array dim-ordered
-      assign(cur)(c, "vec_id", "vec", "vec_norm", 1)
+    (1 to lloydIters).foldLeft(seeds) { (cur, _) =>
+      ivfAssign(cur)(c, "vec_id", "vec", "vec_norm", 1)
         .select(col("cell"), posexplode(col("vec")).as(Seq("_pos", "_x")))
         .groupBy(col("cell"), col("_pos"))
         .agg(avg(col("_x")).as("_mx"))
@@ -202,11 +201,28 @@ object SimilarityOps {
         .select(col("cell").as("cent_id"), col("cent_vec"),
           norm(col("cent_vec")).as("cent_norm"))
     }
-    val cAssigned = assign(cents)(c, "vec_id", "vec", "vec_norm", 1)
-    val p = probes.select(col(idCol).as("probe_id"),
-      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
-    val pAssigned = assign(cents)(p, "probe_id", "probe_vec", "probe_norm",
-      nprobe)
+  }
+
+  /** Nearest-`top` centroid assignment (argmax cosine, ties → cent_id
+    * asc); centroids broadcast, one narrow pass over `df`. */
+  private[graft] def ivfAssign(cents: DataFrame)(df: DataFrame, idC: String,
+      vecC: String, normC: String, top: Int): DataFrame = {
+    val w = Window.partitionBy(col(idC))
+      .orderBy(col("_sim").desc, col("cent_id").asc)
+    df.crossJoin(broadcast(cents))
+      .withColumn("_sim",
+        dot(col(vecC), col("cent_vec")) / (col(normC) * col("cent_norm")))
+      .withColumn("_crn", row_number().over(w))
+      .filter(col("_crn") <= top)
+      .select(col(idC), col(vecC), col(normC), col("cent_id").as("cell"))
+  }
+
+  /** The shared IVF search tail: probes assign to their nprobe cells,
+    * candidates join on `cell`, exact rescoring, per-probe rank. */
+  private def ivfScore(cAssigned: DataFrame, p: DataFrame,
+      cents: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val pAssigned = ivfAssign(cents)(p, "probe_id", "probe_vec",
+      "probe_norm", nprobe)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     cAssigned.join(pAssigned, Seq("cell"))
@@ -217,6 +233,56 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
+  /** BUILD the IVF index as a persisted, cell-partitioned parquet layout —
+    * the 100 TB posture [[ivfTopK]]'s doc promises: at scale the
+    * assignment pass runs ONCE when the index is (re)built, and each
+    * query batch reads only its nprobe/nlist slice of the corpus via parquet
+    * PARTITION PRUNING (cell is a directory partition column, so pruning
+    * happens at file-listing time — no data files outside the probed
+    * cells are even opened).
+    *
+    * Layout: `<path>/index/cell=<id>/...` (vec_id, vec, vec_norm rows —
+    * norms persisted so queries never recompute them) and
+    * `<path>/centroids` (nlist rows). */
+  def ivfBuildIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1): Unit = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
+      .localCheckpoint(false) // feeds Lloyd passes AND the final assignment
+    val cents = ivfCentroids(c, nlist, lloydIters)
+      .localCheckpoint(false) // written once, reused for the assignment
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/index")
+  }
+
+  /** Query a persisted [[ivfBuildIndex]] layout. The probe batch's
+    * candidate cells collect to the driver (≤ nprobe × |probes| longs —
+    * probes are small by the ANN-query contract) and become an `IN`
+    * filter on the PARTITION column, so the scan lists and reads only
+    * those cell directories (PartitionFilters in the plan;
+    * PlanSpec-asserted). Centroids and probe assignment are tiny. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val p = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+      .localCheckpoint(false) // assignment runs twice: cells + scoring
+    val probeCells = ivfAssign(cents)(p, "probe_id", "probe_vec",
+        "probe_norm", nprobe)
+      .select(col("cell")).distinct().collect().map(_.get(0))
+    val cAssigned = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      // partition-directory values infer as int when they fit; normalize
+      // back to the centroid id type AFTER the pruning filter
+      .select(col("vec_id"), col("vec"), col("vec_norm"),
+        col("cell").cast("long").as("cell"))
+    ivfScore(cAssigned, p, cents, k, nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), EXACT, as a

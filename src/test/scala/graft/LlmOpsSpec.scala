@@ -513,6 +513,33 @@ class LlmOpsSpec extends AnyFunSuite {
       s"Lloyd refinement must not lose recall: $refined < $seeded")
   }
 
+  test("ivfBuildIndex/ivfTopKIndexed: the persisted cell-partitioned " +
+      "index returns the same results as the direct ivfTopK, through a " +
+      "partition-pruned scan") {
+    val probes = emb001.filter($"vec_id" < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    SimilarityOps.ivfBuildIndex(emb001, path, nlist = 8, lloydIters = 1)
+    val indexed = SimilarityOps.ivfTopKIndexed(spark, path, probes, 3,
+      nprobe = 4)
+    // same deterministic seeds + Lloyd shape ⇒ same centroids (the avg
+    // is exact up to merge order on this tiny fixture) ⇒ same answer
+    val direct = SimilarityOps.ivfTopK(emb001, probes, 3, nlist = 8,
+        nprobe = 4, lloydIters = 1)
+      .select("probe_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(indexed.select("probe_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet == direct)
+    // the index scan must carry a PartitionFilter on cell — file-listing
+    // level pruning, not a post-scan filter (AQE wraps the tree, so match
+    // the plan text like the other plan-shape specs)
+    val plan = indexed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/index"))
+    assert(scanLine.nonEmpty, s"expected a file scan over the index:\n$plan")
+    assert(scanLine.get.contains("PartitionFilters: [cell"),
+      s"index scan must prune on the cell partition column:\n${scanLine.get}")
+  }
+
   test("cosineNearDupPairs: block-partitioned form EQUALS the naive " +
       "cross-join ground truth (pairs and cos values)") {
     val naive = SimilarityOps.cosineNearDupPairsNaive(emb001, 0.3)
