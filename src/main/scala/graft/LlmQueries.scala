@@ -21,10 +21,12 @@ object LlmQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  // IVF index built ONCE per dataset dir and reused across invocations —
-  // the build-once/query-many contract the persisted index exists for
+  // ANN indexes built ONCE per dataset dir and reused across invocations —
+  // the build-once/query-many contract the persisted indexes exist for
   // (the bench harness calls each query several times per session)
   private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** DuckDB-equivalent normalization (mirrors TextOps.normalize). */
@@ -388,6 +390,24 @@ object LlmQueries {
       })
       SimilarityOps.ivfTopKIndexed(s, path,
           t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: LSH ANN against the PERSISTED bucket layout — id-only
+    //    bucket rows partitioned by (tbl, bucket); the probe batch prunes
+    //    to its (multi-probe) bucket directories at file-listing time
+    "q_lsh_indexed" -> ((s, dir) => {
+      val path = lshIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_lshidx").toString
+        SimilarityOps.lshBuildIndex(t(s, dir, "embeddings"), p,
+          planes = 4, tables = 16)
+        p
+      })
+      SimilarityOps.lshTopKIndexed(s, path,
+          t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3,
+          planes = 4, tables = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),

@@ -135,6 +135,72 @@ object SimilarityOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** BUILD the multi-table LSH index as a persisted layout — the
+    * "bucketing pass written once and reused across query batches" form
+    * [[lshAssign]]'s doc describes: `<path>/buckets` holds ID-ONLY rows
+    * partitioned by (tbl, bucket) — the wide structure stays two longs
+    * per (vector, table) — and `<path>/vectors` holds one
+    * (vec_id, vec, vec_norm) row per vector for candidate rescoring
+    * (norms persisted). */
+  def lshBuildIndex(corpus: DataFrame, path: String, planes: Int = 4,
+      tables: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm")).localCheckpoint(false)
+    c.select(col("vec_id"),
+        posexplode(VectorExpressions.lshBuckets(col("vec"), planes, tables))
+          .as(Seq("tbl", "bucket")))
+      .write.mode("overwrite").partitionBy("tbl", "bucket")
+      .parquet(s"$path/buckets")
+    c.write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Query a persisted [[lshBuildIndex]] layout (planes/tables must match
+    * the build). The probe batch's (tbl, bucket) targets — incl.
+    * multi-probe neighbors — collect to the driver (≤ |probes| × tables ×
+    * probesPerTable pairs; probes are small by the ANN-query contract)
+    * and become a partition-pruning predicate, so only the probed bucket
+    * directories are listed and read; the vector table joins back only
+    * for deduped candidates ([[lshTopK]]'s id-only discipline). */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, planes: Int = 4, tables: Int = 16,
+      probesPerTable: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pB = probes.select(col(idCol).as("probe_id"),
+        posexplode(VectorExpressions.lshBucketsMultiProbe(col(vecCol),
+          planes, tables, probesPerTable)).as(Seq("_pidx", "bucket")))
+      .withColumn("tbl", expr(s"_pidx DIV $probesPerTable").cast("int"))
+      .drop("_pidx")
+      .localCheckpoint(false) // feeds the pruning collect AND the join
+    val targets = pB.select(col("tbl"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(targets.nonEmpty, "probe set produced no bucket targets")
+    val prune = targets.map { case (t, b) =>
+      col("tbl") === t && col("bucket") === b
+    }.reduce(_ || _)
+    val cB = spark.read.parquet(s"$path/buckets").filter(prune)
+      // partition-directory values infer narrow; normalize after pruning
+      .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("long").as("bucket"))
+    val candIds = cB.join(pB, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id")).distinct()
+    val cVec = spark.read.parquet(s"$path/vectors")
+    val pVec = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    candIds
+      .join(cVec, Seq("vec_id"))
+      .join(broadcast(pVec), Seq("probe_id"))
+      .withColumn("cos",
+        dot(col("probe_vec"), col("vec")) /
+          (col("probe_norm") * col("vec_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** IVF (inverted-file) ANN — the learned-partition alternative to LSH:
     * a small deterministic centroid seed set (the first nlist vectors by
     * id) refined by `lloydIters` k-means iterations, each corpus vector

@@ -540,6 +540,28 @@ class LlmOpsSpec extends AnyFunSuite {
       s"index scan must prune on the cell partition column:\n${scanLine.get}")
   }
 
+  test("lshBuildIndex/lshTopKIndexed: persisted buckets return the same " +
+      "results as the direct lshTopK, through a partition-pruned scan") {
+    val probes = emb001.filter($"vec_id" < 20)
+    val path = java.nio.file.Files.createTempDirectory("lshidx").toString
+    SimilarityOps.lshBuildIndex(emb001, path, planes = 4, tables = 8)
+    val indexed = SimilarityOps.lshTopKIndexed(spark, path, probes, 3,
+      planes = 4, tables = 8, probesPerTable = 2)
+    val direct = SimilarityOps.lshTopK(emb001, probes, 3, planes = 4,
+        tables = 8, probesPerTable = 2)
+      .select("probe_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(indexed.select("probe_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSet == direct)
+    val plan = indexed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/buckets"))
+    assert(scanLine.nonEmpty, s"expected a file scan over the buckets:\n$plan")
+    assert(scanLine.get.contains("PartitionFilters: [((") ||
+      scanLine.get.matches(".*PartitionFilters: \\[[^\\]]*tbl.*"),
+      s"bucket scan must prune on (tbl, bucket):\n${scanLine.get}")
+  }
+
   test("cosineNearDupPairs: block-partitioned form EQUALS the naive " +
       "cross-join ground truth (pairs and cos values)") {
     val naive = SimilarityOps.cosineNearDupPairsNaive(emb001, 0.3)
