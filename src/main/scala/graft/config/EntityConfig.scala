@@ -65,7 +65,13 @@ final case class GoldCuration(
     maxRepetition: Double = 0.5,
     nearDupJaccard: Double = 0.8,
     minhashBands: Int = 16,
-    minhashRows: Int = 4
+    minhashRows: Int = 4,
+    /** ANOTHER entity whose SILVER table holds eval-benchmark documents
+      * (same id/text column names as this entity); when set, the curation
+      * runs its decontamination stage against that table — the
+      * config-declared form of [[graft.dedup.DedupOps.decontaminate]]. */
+    contaminationProbesEntity: Option[String] = None,
+    contaminationThreshold: Double = 0.5
 )
 
 /** Pipeline-wide parameters — the reference reads these from `spark.conf`
@@ -234,7 +240,10 @@ object ConfigLoader {
         maxRepetition = d("max_repetition", base.maxRepetition),
         nearDupJaccard = d("near_dup_jaccard", base.nearDupJaccard),
         minhashBands = d("minhash_bands", base.minhashBands.toDouble).toInt,
-        minhashRows = d("minhash_rows", base.minhashRows.toDouble).toInt),
+        minhashRows = d("minhash_rows", base.minhashRows.toDouble).toInt,
+        contaminationProbesEntity = str("contamination_probes_entity"),
+        contaminationThreshold =
+          d("contamination_threshold", base.contaminationThreshold)),
       clusteringCols = f.get("clustering_cols").map(strSeq).getOrElse(Nil),
       expectAllOrDrop =
         f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty))

@@ -339,6 +339,26 @@ object DedupOps {
       xxhash64(TextOps.fingerprint(col(textCol))).as("_fph"))
       .stat.bloomFilter(col("_fph"), expectedItems, fpp)
 
+  /** Persist a fingerprint Bloom filter (the `BloomFilter.writeTo` form
+    * the build doc describes) — built once per corpus snapshot, loaded by
+    * every subsequent ingest batch via [[readFingerprintBloom]]. */
+  def writeFingerprintBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
+      path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val out = java.nio.file.Files.newOutputStream(p)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Load a [[writeFingerprintBloom]]-persisted filter. */
+  def readFingerprintBloom(path: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path))
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
   /** Incremental exact dedup of a NEW batch against a HISTORICAL corpus —
     * the operator an always-ingesting training-data pipeline actually
     * runs: "drop new documents whose (normalized) text already exists in

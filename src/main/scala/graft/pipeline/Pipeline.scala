@@ -420,12 +420,20 @@ final class PipelineRunner(
     val silver = spark.read.table(params.silverFqn(entity))
     val cur = g.curation
     val idCol = cur.idCol.getOrElse(cfg.uniquePrimaryKey.head)
+    // config-declared decontamination: the probe corpus is ANOTHER
+    // entity's silver table (an eval-benchmark entity riding the same
+    // medallion flow), so bronze ingest ordering already guarantees it
+    // exists when gold runs
+    val probes = cur.contaminationProbesEntity.map(p =>
+      spark.read.table(params.silverFqn(p)))
     val curated = graft.llm.Curation.curateFrame(silver, idCol, cur.textCol,
       cur.langCol, graft.llm.Curation.Config(
         minQuality = cur.minQuality, keepLangs = cur.keepLangs,
         maxRepetition = cur.maxRepetition,
         nearDupJaccard = cur.nearDupJaccard,
-        minhashBands = cur.minhashBands, minhashRows = cur.minhashRows))
+        minhashBands = cur.minhashBands, minhashRows = cur.minhashRows,
+        contaminationThreshold = cur.contaminationThreshold),
+      contaminationProbes = probes)
     val laid = ClusterLayout(curated, g.clusteringCols,
       boundsFrom = Some(silver))
     obs match {

@@ -247,6 +247,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(positives < batch.count(),
       "a 1% filter must rule out most novel docs")
     assert(positives >= trueDups, "no true duplicate may be ruled out")
+    // persisted round-trip: the write/read filter is the steady-state
+    // form — results identical to the freshly built filter
+    val path = java.nio.file.Files.createTempDirectory("bloom")
+      .resolve("history.bloom").toString
+    graft.dedup.DedupOps.writeFingerprintBloom(bloom, path)
+    val reloaded = graft.dedup.DedupOps.readFingerprintBloom(path)
+    val viaDisk = graft.dedup.DedupOps.dedupAgainstBloom(
+      batch, history, "text", reloaded)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaDisk == exact, "persisted filter must behave identically")
   }
 
   test("connectedComponents: A-B-C chain collapses to one cluster where " +

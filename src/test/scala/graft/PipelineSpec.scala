@@ -124,6 +124,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(rates.schema("rate").dataType.typeName == "double")
   }
 
+  test("gold layer: config-declared decontamination against another " +
+      "entity's silver table") {
+    import spark.implicits._
+    val src = tmpDir("decon-src"); val store = tmpDir("decon-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "gold": {
+        |    "curation": {"id_col": "doc_id", "text_col": "text",
+        |                 "min_quality": 0.0, "max_repetition": 1.0,
+        |                 "contamination_probes_entity": "bench"}
+        |  }
+        |},
+        |"bench": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"]
+        |}}""".stripMargin)
+    val probeSpan = "benchmark question alpha beta gamma delta epsilon zeta"
+    val clean = "fish swim slowly down the long calm river past green " +
+      "reeds and quiet stones while herons wait patiently in the evening"
+    Seq(
+      (1L, s"$clean $probeSpan"), // contains the benchmark -> removed
+      (2L, clean) // clean -> survives
+    ).toDF("doc_id", "text").write.parquet(s"$src/docs")
+    Seq((100L, probeSpan)).toDF("doc_id", "text")
+      .write.parquet(s"$src/bench")
+
+    val entities = ConfigLoader.load(spark, src)
+    assert(entities("docs").gold.exists(
+      _.curation.contaminationProbesEntity.contains("bench")))
+    val (runner, params) = mkRunner(src, store, "2024-03-02 00:00:00",
+      catalog = "decont")
+    runner.run(entities)
+    val gold = spark.table(params.goldFqn("docs"))
+    assert(gold.select("doc_id").as[Long].collect().toSet == Set(2L),
+      "the contaminated doc must be decontaminated out of gold")
+  }
+
   test("gold layer: config-declared curation runs bronze->silver->gold " +
       "with versioned publish, expectations, and component dedup") {
     val src = tmpDir("gold-src"); val store = tmpDir("gold-store")
