@@ -341,20 +341,26 @@ object DedupOps {
 
   /** Persist a fingerprint Bloom filter (the `BloomFilter.writeTo` form
     * the build doc describes) — built once per corpus snapshot, loaded by
-    * every subsequent ingest batch via [[readFingerprintBloom]]. */
+    * every subsequent ingest batch via [[readFingerprintBloom]]. Goes
+    * through the Hadoop filesystem like every other persistence path in
+    * the library, so `s3a://`/`hdfs://` snapshot locations work, not just
+    * the driver's local disk. */
   def writeFingerprintBloom(bloom: org.apache.spark.util.sketch.BloomFilter,
       path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    val out = java.nio.file.Files.newOutputStream(p)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
+    val out = fs.create(hp, true)
     try bloom.writeTo(out) finally out.close()
   }
 
   /** Load a [[writeFingerprintBloom]]-persisted filter. */
   def readFingerprintBloom(path: String)
       : org.apache.spark.util.sketch.BloomFilter = {
-    val in = java.nio.file.Files.newInputStream(
-      java.nio.file.Paths.get(path))
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf())
+    val in = fs.open(hp)
     try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
     finally in.close()
   }

@@ -424,8 +424,14 @@ final class PipelineRunner(
     // entity's silver table (an eval-benchmark entity riding the same
     // medallion flow), so bronze ingest ordering already guarantees it
     // exists when gold runs
-    val probes = cur.contaminationProbesEntity.map(p =>
-      spark.read.table(params.silverFqn(p)))
+    val probes = cur.contaminationProbesEntity.map { p =>
+      // a self-reference would flag EVERY doc (each contains itself) and
+      // silently publish an empty gold table — fail loud instead
+      require(p != entity, s"gold.$entity: contamination_probes_entity " +
+        s"must name a DIFFERENT entity (got '$p' — self-containment " +
+        "would empty the gold table)")
+      spark.read.table(params.silverFqn(p))
+    }
     val curated = graft.llm.Curation.curateFrame(silver, idCol, cur.textCol,
       cur.langCol, graft.llm.Curation.Config(
         minQuality = cur.minQuality, keepLangs = cur.keepLangs,

@@ -175,9 +175,13 @@ object SimilarityOps {
     val targets = pB.select(col("tbl"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     require(targets.nonEmpty, "probe set produced no bucket targets")
-    val prune = targets.map { case (t, b) =>
-      col("tbl") === t && col("bucket") === b
-    }.reduce(_ || _)
+    // prune with tbl IN (...) AND bucket IN (...) — a SUPERSET of the
+    // exact (tbl, bucket) targets (the equi-join below matches exactly;
+    // the prune is IO-only, so a superset is safe). An OR-chain of
+    // per-pair conjunctions would nest one Catalyst node per target and
+    // blow the analyzer stack at a few thousand probes × tables.
+    val prune = col("tbl").isin(targets.map(_._1).distinct.toSeq: _*) &&
+      col("bucket").isin(targets.map(_._2).distinct.toSeq: _*)
     val cB = spark.read.parquet(s"$path/buckets").filter(prune)
       // partition-directory values infer narrow; normalize after pruning
       .select(col("vec_id"), col("tbl").cast("int").as("tbl"),

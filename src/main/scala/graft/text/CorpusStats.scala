@@ -162,7 +162,8 @@ object CorpusStats {
         posexplode(split(TextOps.normalize(col(textCol)), " "))
           .as(Seq("_pos", "term")))
       .filter(length(col("term")) > 0)
-    toks.join(broadcast(vocab.select(col("term"), col("id").as("_tid"))),
+    val encoded = toks
+      .join(broadcast(vocab.select(col("term"), col("id").as("_tid"))),
         Seq("term"), "left")
       .withColumn("_tid", coalesce(col("_tid"), lit(unkId)))
       .groupBy(col("_id"))
@@ -170,7 +171,15 @@ object CorpusStats {
         transform(array_sort(collect_list(struct(col("_pos"), col("_tid")))),
           s => s.getField("_tid")).as("token_ids"),
         sum(when(col("_tid") === unkId, 1L).otherwise(0L)).as("n_unk"))
-      .select(col("_id").as(idCol), col("token_ids"), col("n_unk"))
+    // a doc whose text normalizes to zero tokens must still come out
+    // (token_ids = [], n_unk = 0) — the encode step cannot silently
+    // shrink the corpus it hands to packing
+    df.select(col(idCol)).join(encoded,
+        df(idCol) === encoded("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("token_ids"),
+          array().cast("array<int>")).as("token_ids"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
   }
 
   /** [[vocabularyTopK]] with rank ids attached — the (term, id) shape

@@ -81,15 +81,19 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(scores("good") > scores("spam"))
   }
 
-  test("tokenizeIds: rank ids, OOV to unk, original token order") {
+  test("tokenizeIds: rank ids, OOV to unk, original token order, empty " +
+      "docs kept with an empty encoding") {
     // vocab k=3 over: cat(2) ran(2) the(2) sat(1) a(1) dog(1)
     // tie at tf=2 -> term asc: cat=1, ran=2, the=3; sat/a/dog OOV -> 0
     val vocab = CorpusStats.rankedVocabulary(docs, "doc_id", "text", k = 3)
-    val out = CorpusStats.tokenizeIds(docs, "doc_id", "text", vocab)
+    val withEmpty = docs.union(Seq((4L, "!!! ...")).toDF("doc_id", "text"))
+    val out = CorpusStats.tokenizeIds(withEmpty, "doc_id", "text", vocab)
       .as[(Long, Seq[Int], Long)].collect().map(r => r._1 -> r).toMap
     assert(out(1L)._2 == Seq(3, 1, 0) && out(1L)._3 == 1L) // the cat sat
     assert(out(2L)._2 == Seq(3, 1, 2) && out(2L)._3 == 0L) // the cat ran
     assert(out(3L)._2 == Seq(0, 0, 2) && out(3L)._3 == 2L) // a dog ran
+    // punctuation-only text normalizes to zero tokens but must survive
+    assert(out(4L)._2 == Seq.empty && out(4L)._3 == 0L)
   }
 
   test("sourceProfile: per-source docs, tokens, languages, mean quality") {
