@@ -71,7 +71,10 @@ final case class GoldCuration(
       * runs its decontamination stage against that table — the
       * config-declared form of [[graft.dedup.DedupOps.decontaminate]]. */
     contaminationProbesEntity: Option[String] = None,
-    contaminationThreshold: Double = 0.5
+    contaminationThreshold: Double = 0.5,
+    /** Near-dup cluster representative: false (default) = min id (the
+      * oracle-checkable form); true = highest quality, ties → min id. */
+    keepBestQuality: Boolean = false
 )
 
 /** Pipeline-wide parameters — the reference reads these from `spark.conf`
@@ -243,7 +246,11 @@ object ConfigLoader {
         minhashRows = d("minhash_rows", base.minhashRows.toDouble).toInt,
         contaminationProbesEntity = str("contamination_probes_entity"),
         contaminationThreshold =
-          d("contamination_threshold", base.contaminationThreshold)),
+          d("contamination_threshold", base.contaminationThreshold),
+        keepBestQuality = cf.get("keep_best_quality") match {
+          case Some(JBool(b)) => b
+          case _              => base.keepBestQuality
+        }),
       clusteringCols = f.get("clustering_cols").map(strSeq).getOrElse(Nil),
       expectAllOrDrop =
         f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty))

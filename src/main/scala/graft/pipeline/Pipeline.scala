@@ -438,7 +438,8 @@ final class PipelineRunner(
         maxRepetition = cur.maxRepetition,
         nearDupJaccard = cur.nearDupJaccard,
         minhashBands = cur.minhashBands, minhashRows = cur.minhashRows,
-        contaminationThreshold = cur.contaminationThreshold),
+        contaminationThreshold = cur.contaminationThreshold,
+        keepBestQuality = cur.keepBestQuality),
       contaminationProbes = probes)
     val laid = ClusterLayout(curated, g.clusteringCols,
       boundsFrom = Some(silver))

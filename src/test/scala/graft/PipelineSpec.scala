@@ -163,6 +163,35 @@ class PipelineSpec extends AnyFunSuite {
       "the contaminated doc must be decontaminated out of gold")
   }
 
+  test("gold layer: keep_best_quality picks the component's best doc " +
+      "instead of the min id") {
+    import spark.implicits._
+    val src = tmpDir("bestq-src"); val store = tmpDir("bestq-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "gold": {
+        |    "curation": {"id_col": "doc_id", "text_col": "text",
+        |                 "min_quality": 0.0, "max_repetition": 1.0,
+        |                 "keep_best_quality": true}
+        |  }
+        |}}""".stripMargin)
+    // doc 1 is the min id but SHORT (< 50 chars -> quality 0.4); doc 2
+    // extends it past 50 chars (quality 0.7); they near-dup at 0.8
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq((1L, base), (2L, base + " twelve"))
+      .toDF("doc_id", "text").write.parquet(s"$src/docs")
+    val entities = ConfigLoader.load(spark, src)
+    assert(entities("docs").gold.exists(_.curation.keepBestQuality))
+    val (runner, params) = mkRunner(src, store, "2024-03-03 00:00:00",
+      catalog = "bestq")
+    runner.run(entities)
+    assert(spark.table(params.goldFqn("docs"))
+      .select("doc_id").as[Long].collect().toSet == Set(2L),
+      "best-quality representative must win through the config path")
+  }
+
   test("gold layer: config-declared curation runs bronze->silver->gold " +
       "with versioned publish, expectations, and component dedup") {
     val src = tmpDir("gold-src"); val store = tmpDir("gold-store")
