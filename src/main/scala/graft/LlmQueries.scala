@@ -124,6 +124,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: line-level (segment) exact dedup, the C4-style rule — a
+    //    span duplicated anywhere in the corpus survives only at its first
+    //    (doc_id, pos) occurrence; unlike q_substr_dedup the spans are a
+    //    PARTITION of the document (fixed 8-token width stands in for
+    //    newline splits: the synthetic corpus has no line structure), so
+    //    reassembly is exact and k× cheaper. One fingerprint shuffle.
+    "q_line_dedup" -> ((s, dir) => {
+      DedupOps.fixedSpanDedup(t(s, dir, "documents"), "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: boilerplate removal — 4-token spans appearing in >= 4
+    //    distinct documents are dropped from EVERY document (including
+    //    the first occurrence): the nav-bar/footer rule, distinct from
+    //    keep-first dedup. Doc-frequency aggregate + anti-join, both on
+    //    the segment fingerprint.
+    "q_boilerplate" -> ((s, dir) => {
+      DedupOps.boilerplateRemove(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, minDocFreq = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: near-dup CLUSTER resolution — connected components over
     //    the MinHash-LSH pair graph (alternating large-star/small-star),
     //    component = min doc id. ORACLE-CHECKED via a DuckDB recursive CTE
@@ -738,6 +761,56 @@ object LlmQueries {
         |  (len(t.toks) - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
         |FROM t LEFT JOIN reb ON t.doc_id = reb.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // Line-level (fixed 8-token span) dedup: partition each doc into
+    // spans, keep-first globally by (doc_id, pos), reassemble.
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[(i-1)*8+1:(i-1)*8+8], ' ') AS seg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, cast(ceil(len(toks)/8.0) AS BIGINT) + 1)) AS i
+        |        FROM t)),
+        |k AS (SELECT doc_id, pos, seg FROM (
+        |        SELECT doc_id, pos, seg, row_number() OVER (
+        |          PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn FROM seg)
+        |      WHERE rn = 1),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS dedup_text,
+        |               count(*) AS n_kept FROM k GROUP BY doc_id),
+        |n AS (SELECT doc_id, cast(ceil(len(toks)/8.0) AS BIGINT) AS n_segments
+        |      FROM t)
+        |SELECT n.doc_id, coalesce(reb.dedup_text, '') AS dedup_text,
+        |  n.n_segments,
+        |  (n.n_segments - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
+        |FROM n LEFT JOIN reb ON n.doc_id = reb.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // Boilerplate removal: 4-token spans with doc-frequency >= 4 removed
+    // from every document.
+    "q_boilerplate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[(i-1)*4+1:(i-1)*4+4], ' ') AS seg
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, cast(ceil(len(toks)/4.0) AS BIGINT) + 1)) AS i
+        |        FROM t)),
+        |b AS (SELECT md5(seg) AS h FROM seg
+        |      GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 4),
+        |k AS (SELECT doc_id, pos, seg FROM seg
+        |      WHERE md5(seg) NOT IN (SELECT h FROM b)),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |               count(*) AS n_kept FROM k GROUP BY doc_id),
+        |n AS (SELECT doc_id, cast(ceil(len(toks)/4.0) AS BIGINT) AS n_segments
+        |      FROM t)
+        |SELECT n.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+        |  n.n_segments,
+        |  (n.n_segments - coalesce(reb.n_kept, 0))::BIGINT AS n_dropped
+        |FROM n LEFT JOIN reb ON n.doc_id = reb.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
 
     // Near-dup components: recursive min-label closure over the exact
     // Jaccard >= 0.5 pair graph (symmetrized), keeping every document

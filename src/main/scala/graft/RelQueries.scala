@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, Salt, Scd2}
 
 /** Remaining relational [EXT] operators (SURVEY §2.3/2.6/2.7): global
   * sort+limit, set operations, banded range join, as-of join, approx
@@ -300,6 +300,41 @@ object RelQueries {
     //    are merge-order-dependent in floating point and cannot
     //    hash-match across engines; power sums shuffle the same one
     //    row per group and are deterministic at any parallelism.
+    // -- [EXT]: SCD Type-2 history compaction — per user, collapse the
+    //    event stream into validity intervals over event_type (a CDC
+    //    change stream compacted into the history-preserving silver
+    //    shape). ONE shuffle on user_id; the lag (change detection) and
+    //    lead (interval close) windows share partitioning+sort, so the
+    //    second WindowExec adds no exchange (PlanSpec). valid_to is
+    //    coalesced to -1 for the open interval so the compare never sorts
+    //    or hashes a null.
+    "q_scd2" -> ((s, dir) => {
+      Scd2.scd2(events(s, dir), "user_id", "ts_us", "event_id",
+          Seq("event_type"))
+        .select(col("user_id"), col("src_event_id"), col("event_type"),
+          col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("src_event_id"))
+    }),
+
+    // -- [EXT]: skew-safe salted equi-join — facts salted into 8 sub-keys,
+    //    the per-key dim replicated once per salt, joined on
+    //    (key, salt): a hot key's rows spread over 8 shuffle partitions
+    //    instead of one task. Result is IDENTICAL to the plain join (the
+    //    oracle runs the unsalted form); OpsSpec asserts row-for-row
+    //    equality with broadcast disabled and PlanSpec the salted key set.
+    "q_salted_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_count"))
+      Salt.saltedJoin(
+          e.select(col("event_id"), col("event_type")), dim,
+          Seq("event_type"), col("event_id"), factor = 8)
+        .select(col("event_id"), col("event_type"), col("type_count"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_stats_agg" -> ((s, dir) => {
       def d(c: Column): Column = c.cast("decimal(38,6)")
       val g = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
@@ -390,6 +425,36 @@ object RelQueries {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // SCD2: change rows via lag + IS DISTINCT FROM, intervals via lead.
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id, event_type, ts_us,
+        |        lag(event_type) OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, ts_us FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |scd AS (SELECT user_id, event_id AS src_event_id, event_type,
+        |          ts_us AS valid_from,
+        |          lead(ts_us) OVER (
+        |            PARTITION BY user_id ORDER BY ts_us, event_id)
+        |            AS valid_to
+        |        FROM ch)
+        |SELECT user_id, src_event_id, event_type, valid_from,
+        |  coalesce(valid_to, -1) AS valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM scd ORDER BY user_id, valid_from, src_event_id""".stripMargin,
+
+    // Salted join oracle = the plain (unsalted) join: salting must not
+    // change the result set.
+    "q_salted_join" ->
+      """WITH d AS (SELECT event_type, count(*) AS type_count
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, d.type_count
+        |FROM events e JOIN d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_stats_agg" ->
       """WITH g AS (

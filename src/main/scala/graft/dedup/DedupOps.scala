@@ -546,4 +546,111 @@ object DedupOps {
         hammingDist(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  // ---- segment-level (line/paragraph) dedup ---------------------------
+
+  /** Core of line/span dedup: given `(id, segs: array<string>)`, keep the
+    * corpus-globally FIRST occurrence of each distinct segment (ordered by
+    * (id, position)), drop every later occurrence, and reassemble each
+    * document from its surviving segments in order.
+    *
+    * Scale: one posexplode (narrow) + ONE shuffle on the 128-bit segment
+    * fingerprint; the rank-1 filter rewrites to WindowGroupLimit, so each
+    * map partition forwards at most one candidate row per fingerprint
+    * before the exchange. Reassembly is a second shuffle keyed by doc id —
+    * both shuffles are on high-cardinality keys, skew-proof. */
+  private def segmentKeepFirst(base: DataFrame, joinSep: String)
+      : DataFrame = {
+    val segs = base
+      .select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val byHash = Window.partitionBy(col("h"))
+      .orderBy(col("id").asc, col("pos").asc)
+    val kept = segs.withColumn("_rn", row_number().over(byHash))
+      .filter(col("_rn") === 1)
+      .select(col("id"), col("pos"), col("seg"))
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s.getField("seg")), joinSep).as("dedup_text"),
+      count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("segs")).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped"))
+  }
+
+  /** Line-level exact dedup across documents (the C4-style rule: a line
+    * duplicated anywhere in the corpus survives only at its first
+    * occurrence). Lines are `sepRegex` splits of the raw text, trimmed,
+    * with whitespace-only lines discarded before matching. Returns
+    * `(idCol, dedup_text, n_segments, n_dropped)`. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sepRegex: String = "\n+", joinSep: String = "\n"): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      filter(transform(split(col(textCol), sepRegex), s => trim(s)),
+        s => length(s) > 0).as("segs"))
+    segmentKeepFirst(base, joinSep)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** [[lineDedup]] over fixed non-overlapping spans of `k` whitespace
+    * tokens (last span of a document may be shorter). The span form exists
+    * for corpora without line structure; unlike [[substringDedup]] (every
+    * overlapping k-gram, span-coverage removal) this is a partition of the
+    * document, so reassembly is exact and cheaper by a factor of k. */
+  def fixedSpanDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, s"span width k must be >= 1, got $k")
+    val base = df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), transform(
+        sequence(lit(0L), ((size(col("toks")) - 1) / k).cast("long")),
+        i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"),
+          lit(k)))).as("segs"))
+    segmentKeepFirst(base, " ")
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Boilerplate removal: drop EVERY occurrence (including the first) of
+    * any segment that appears in at least `minDocFreq` distinct documents
+    * — the nav-bar/footer rule of web-corpus curation, distinct from
+    * keep-first dedup. Segments are fixed `k`-token spans (see
+    * [[fixedSpanDedup]]); the doc-frequency aggregate is one shuffle on
+    * the segment fingerprint with map-side partial counts. */
+  def boilerplateRemove(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, minDocFreq: Int = 4): DataFrame = {
+    require(k >= 1, s"span width k must be >= 1, got $k")
+    require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
+    val base = materialized(df.select(col(idCol).as("id"),
+      split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), transform(
+        sequence(lit(0L), ((size(col("toks")) - 1) / k).cast("long")),
+        i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"),
+          lit(k)))).as("segs")))
+    val segs = base
+      .select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val boiler = segs.groupBy("h")
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select("h")
+    val kept = segs.join(boiler, Seq("h"), "left_anti")
+      .select(col("id"), col("pos"), col("seg"))
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s.getField("seg")), " ").as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("segs")).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped"))
+  }
 }

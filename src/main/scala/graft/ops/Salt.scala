@@ -51,4 +51,26 @@ object Salt {
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))
       .agg(sum(col("_partial")).as("n"))
+
+  /** Skew-safe equi-join: the big (skewed) side gets a deterministic salt
+    * in [0, factor); the small side is replicated once per salt value, so
+    * a hot key's rows spread over `factor` shuffle partitions instead of
+    * landing on one task. The result set is IDENTICAL to
+    * `big.join(small, keys)` — salting only re-partitions the work.
+    *
+    * Use when the small side is too large to broadcast AND AQE's
+    * skew-join split doesn't engage (it only splits sort-merge joins
+    * whose skewed partitions aren't pinned by a downstream requirement —
+    * e.g. when the join output feeds a window on the same key, AQE must
+    * leave the skew in place; salting moves it anyway). Cost: the small
+    * side is shuffled `factor`×, so keep `factor` modest and the small
+    * side thin. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltSource: Column, factor: Int = 16): DataFrame = {
+    require(factor >= 2, s"salt factor must be >= 2, got $factor")
+    val bigS = withSalt(big, saltSource, factor)
+    val smallS = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(factor - 1))))
+    bigS.join(smallS, keys :+ "_salt").drop("_salt")
+  }
 }

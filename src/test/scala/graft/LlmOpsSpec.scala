@@ -696,4 +696,63 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((Some(11L), Some("at50"))))
     assert(out(4L) == ((None, None))) // key 200 has no right rows
   }
+
+  // ---- segment-level (line) dedup + boilerplate -----------------------------
+
+  test("lineDedup: duplicated line survives only at its first occurrence; " +
+    "blank lines dropped; order preserved") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared line\ngamma"),
+      (2L, "shared line\n\n  \ndelta"),
+      (3L, "unique only\nshared line")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "alpha beta\nshared line\ngamma", 3L, 0L)))
+    // doc 2: blank/whitespace lines never count as segments; the shared
+    // line was first seen in doc 1 so only "delta" survives
+    assert(out(1) == ((2L, "delta", 2L, 1L)))
+    assert(out(2) == ((3L, "unique only", 2L, 1L)))
+  }
+
+  test("lineDedup idempotence: a second pass drops nothing") {
+    val docs = Seq(
+      (1L, "a b\nc d\na b"), (2L, "c d\ne f")).toDF("doc_id", "text")
+    val once = DedupOps.lineDedup(docs, "doc_id", "text")
+      .select($"doc_id", $"dedup_text".as("text"))
+    val twice = DedupOps.lineDedup(once, "doc_id", "text")
+    assert(twice.agg(sum($"n_dropped")).as[Long].head() == 0L)
+  }
+
+  test("fixedSpanDedup: spans partition the doc; remainder span kept; " +
+    "matches substringDedup on an exact-duplicate pair") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), // 2 spans at k=2: "w1 w2","w3 w4","w5" -> 3
+      (2L, "w1 w2 w3 w4")     // shares "w1 w2" and "w3 w4"
+    ).toDF("doc_id", "text")
+    val out = DedupOps.fixedSpanDedup(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "w1 w2 w3 w4 w5", 3L, 0L)))
+    assert(out(1) == ((2L, "", 2L, 2L)))
+  }
+
+  test("boilerplateRemove: a frequent span vanishes EVERYWHERE including " +
+    "its first occurrence; infrequent spans stay") {
+    val docs = Seq(
+      (1L, "nav bar copy x1 x2"),
+      (2L, "nav bar copy y1 y2"),
+      (3L, "nav bar copy z1 z2"),
+      (4L, "w1 w2 w3")
+    ).toDF("doc_id", "text")
+    val out = DedupOps
+      .boilerplateRemove(docs, "doc_id", "text", k = 3, minDocFreq = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    // "nav bar copy" appears in 3 docs -> removed from all three,
+    // including doc 1; the per-doc tails are unique and stay
+    assert(out(0) == ((1L, "x1 x2", 2L, 1L)))
+    assert(out(1) == ((2L, "y1 y2", 2L, 1L)))
+    assert(out(2) == ((3L, "z1 z2", 2L, 1L)))
+    assert(out(3) == ((4L, "w1 w2 w3", 1L, 0L)))
+  }
 }

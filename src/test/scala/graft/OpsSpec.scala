@@ -151,6 +151,58 @@ class OpsSpec extends AnyFunSuite {
     assert(saltedCounts == plainCounts)
   }
 
+  test("Salt.saltedJoin: identical to the plain join with broadcast off") {
+    val facts = ((1 to 800).map(i => (i.toLong, "hot")) ++
+      (801 to 1000).map(i => (i.toLong, s"k${i % 5}"))).toDF("id", "k")
+    val dim = (Seq("hot") ++ (0 until 5).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i * 10L) }.toDF("k", "w")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = graft.ops.Salt
+        .saltedJoin(facts, dim, Seq("k"), $"id", factor = 8)
+        .select("id", "k", "w").orderBy("id")
+        .as[(Long, String, Long)].collect().toSeq
+      val plain = facts.join(dim, Seq("k")).select("id", "k", "w")
+        .orderBy("id").as[(Long, String, Long)].collect().toSeq
+      assert(salted == plain)
+      // the join key set really is (k, _salt): the salted plan spreads the
+      // hot key across > 1 shuffle partition
+      val parts = graft.ops.Salt.withSalt(facts, $"id", 8)
+        .filter($"k" === "hot").select($"_salt").distinct().count()
+      assert(parts > 1)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("Scd2: collapses runs, chains intervals, one open row per key") {
+    val rows = Seq(
+      // key 1: A A B A -> intervals A[10,30) B[30,40) A[40,null)
+      (1L, 10L, 101L, "A"), (1L, 20L, 102L, "A"),
+      (1L, 30L, 103L, "B"), (1L, 40L, 104L, "A"),
+      // key 2: single row -> one open interval
+      (2L, 15L, 201L, "X"),
+      // key 3: null -> value -> null are all changes (null-safe compare)
+      (3L, 1L, 301L, null), (3L, 2L, 302L, "Y"), (3L, 3L, 303L, null))
+      .toDF("pk", "ts", "event_id", "status")
+    val out = graft.ops.Scd2
+      .scd2(rows, "pk", "ts", "event_id", Seq("status"))
+      .orderBy("pk", "valid_from")
+      .select("pk", "src_event_id", "status", "valid_from", "valid_to",
+        "is_current")
+      .collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((101L, "A"), (103L, "B"), (104L, "A")))
+    // intervals chain: valid_to of row i == valid_from of row i+1
+    assert(k1.map(_.getLong(3)).toSeq == Seq(10L, 30L, 40L))
+    assert(k1.dropRight(1).map(_.getLong(4)).toSeq == Seq(30L, 40L))
+    assert(k1.last.isNullAt(4) && k1.last.getBoolean(5))
+    assert(out.filter(_.getBoolean(5)).map(_.getLong(0)).toSeq.sorted ==
+      Seq(1L, 2L, 3L))
+    val k3 = out.filter(_.getLong(0) == 3L)
+    assert(k3.length == 3, "null <-> value flips must open intervals")
+  }
+
   test("config parser: full 6-field entity + defaults") {
     val json = """{
       "app_downloads": {

@@ -200,6 +200,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_scd2: lag + lead windows share ONE hash exchange and one sort") {
+    // change detection (lag) and interval close (lead) partition and
+    // order identically; the filter between them preserves both, so the
+    // second WindowExec must not add an exchange or a sort
+    val p = plan("q_scd2")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    // exactly one (user_id, ts_us, ...) window sort — the output orderBy
+    // sorts on (user_id, valid_from, ...) and is counted separately
+    val windowSorts = "Sort \\[user_id[^\\]]*ts_us".r.findAllIn(p).length
+    assert(windowSorts == 1, s"second window re-sorted, plan:\n$p")
+  }
+
+  test("q_line_dedup/q_boilerplate: keep-first window thins via " +
+    "WindowGroupLimit; all joins hash-based") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("WindowGroupLimit"), s"rank-1 not thinned:\n$p")
+    Seq("q_line_dedup", "q_boilerplate").foreach { q =>
+      val pl = plan(q)
+      assert(!pl.contains("CartesianProduct") && !pl.contains("NestedLoop"),
+        s"$q degenerated:\n$pl")
+    }
+  }
+
+  test("q_salted_join: join keys include the salt column") {
+    val p = plan("q_salted_join")
+    assert(p.contains("_salt"), s"salt column not in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
