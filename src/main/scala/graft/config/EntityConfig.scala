@@ -60,6 +60,14 @@ final case class GoldCuration(
     idCol: Option[String] = None,
     textCol: String = "text",
     langCol: Option[String] = None,
+    /** Boilerplate removal before quality scoring: drop every fixed
+      * `boilerplate_span`-token segment appearing in at least this many
+      * distinct documents. Absent = stage off. */
+    boilerplateMinDocFreq: Option[Int] = None,
+    boilerplateSpan: Int = 4,
+    /** Line-level (fixed-span) keep-first dedup before quality scoring;
+      * value = span width in tokens. Absent = stage off. */
+    lineDedupSpan: Option[Int] = None,
     minQuality: Double = 0.5,
     keepLangs: Seq[String] = Nil,
     maxRepetition: Double = 0.5,
@@ -238,6 +246,11 @@ object ConfigLoader {
         idCol = str("id_col"),
         textCol = str("text_col").getOrElse(base.textCol),
         langCol = str("lang_col"),
+        boilerplateMinDocFreq =
+          cf.get("boilerplate_min_doc_freq").flatMap(num).map(_.toInt),
+        boilerplateSpan =
+          d("boilerplate_span", base.boilerplateSpan.toDouble).toInt,
+        lineDedupSpan = cf.get("line_dedup_span").flatMap(num).map(_.toInt),
         minQuality = d("min_quality", base.minQuality),
         keepLangs = cf.get("keep_langs").map(strSeq).getOrElse(Nil),
         maxRepetition = d("max_repetition", base.maxRepetition),

@@ -23,6 +23,17 @@ import graft.text.TextOps
 object Curation {
 
   case class Config(
+      /** When set, drop every fixed `boilerplateSpan`-token segment that
+        * appears in at least this many distinct documents (nav-bar/footer
+        * removal, [[DedupOps.boilerplateRemove]]) BEFORE quality scoring —
+        * boilerplate inflates repetition and deflates quality, so it must
+        * go first. */
+      boilerplateMinDocFreq: Option[Int] = None,
+      boilerplateSpan: Int = 4,
+      /** When set, keep only the corpus-globally first occurrence of each
+        * fixed k-token span ([[DedupOps.fixedSpanDedup]], the C4 line-
+        * dedup rule) after boilerplate removal, before quality scoring. */
+      lineDedupSpan: Option[Int] = None,
       minQuality: Double = 0.5,
       keepLangs: Seq[String] = Nil, // empty = keep all
       maxRepetition: Double = 0.5,
@@ -79,8 +90,39 @@ object Curation {
     // form pays ~4 interpreted HOF passes per row; as multi-referenced
     // non-cheap aliases the ratios survive CollapseProject and evaluate
     // once, with the composite reduced to arithmetic over attributes
+    // Optional SEGMENT CLEANUP before anything reads the text: corpus-
+    // frequency boilerplate removal, then line(-span) keep-first dedup.
+    // Both run before the quality gate because boilerplate inflates
+    // repetition and deflates stopword/length ratios — scoring the
+    // cleaned text is the whole point. Each rewrite is one extra
+    // id-keyed join (the rewritten text back onto the row's other
+    // columns); disabled (the default) they cost nothing.
+    def replaceText(orig: DataFrame, rewritten: DataFrame,
+        newTextCol: String): DataFrame =
+      orig.drop(textCol)
+        .join(rewritten.select(col(idCol),
+          col(newTextCol).as(textCol)), Seq(idCol))
+        .select(orig.columns.map(col): _*)
+    val deboiled = cfg.boilerplateMinDocFreq match {
+      case Some(minDf) => replaceText(docs,
+        DedupOps.boilerplateRemove(docs, idCol, textCol,
+          cfg.boilerplateSpan, minDf), "clean_text")
+      case None => docs
+    }
+    val segCleanOn =
+      cfg.boilerplateMinDocFreq.isDefined || cfg.lineDedupSpan.isDefined
+    val cleaned0 = cfg.lineDedupSpan match {
+      case Some(k) => replaceText(deboiled,
+        DedupOps.fixedSpanDedup(deboiled, idCol, textCol, k), "dedup_text")
+      case None => deboiled
+    }
+    // a document whose every span was boilerplate/duplicate has no
+    // content left — drop it here rather than scoring an empty string
+    val cleaned =
+      if (segCleanOn) cleaned0.filter(length(trim(col(textCol))) > 0)
+      else cleaned0
     val txt = col(textCol)
-    val scored = docs
+    val scored = cleaned
       .withColumn("_punct", TextOps.punctRatio(txt))
       .withColumn("_sw", TextOps.stopwordRatio(txt))
       .withColumn("_mwl", TextOps.meanWordLen(txt))
@@ -148,6 +190,7 @@ object Curation {
           .select(col("id").as(idCol))
       }
     val curated = exactN.join(losers, Seq(idCol), "left_anti")
+    (if (segCleanOn) Seq("segclean" -> cleaned) else Nil) ++
     Seq("quality" -> gated, "lang" -> langed,
       "repetition" -> scrubbed.drop("_norm", "_sh"),
       "decontam" -> decontaminated.drop("_norm", "_sh"),

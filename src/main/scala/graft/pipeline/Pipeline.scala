@@ -434,6 +434,9 @@ final class PipelineRunner(
     }
     val curated = graft.llm.Curation.curateFrame(silver, idCol, cur.textCol,
       cur.langCol, graft.llm.Curation.Config(
+        boilerplateMinDocFreq = cur.boilerplateMinDocFreq,
+        boilerplateSpan = cur.boilerplateSpan,
+        lineDedupSpan = cur.lineDedupSpan,
         minQuality = cur.minQuality, keepLangs = cur.keepLangs,
         maxRepetition = cur.maxRepetition,
         nearDupJaccard = cur.nearDupJaccard,

@@ -37,8 +37,11 @@ object TextOps {
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
+    // greatest(len, 1): identical for any non-empty text; an EMPTY string
+    // scores 0.0 instead of throwing DIVIDE_BY_ZERO under ANSI mode
+    // (reachable since segment cleanup can dedup a document to "")
     length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
-      length(text).cast("double")
+      greatest(length(text), lit(1)).cast("double")
 
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",

@@ -102,4 +102,37 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(decon == Set(2L))
   }
+
+  test("segment cleanup stages: boilerplate + line dedup rewrite text " +
+    "BEFORE the quality gate; disabled by default") {
+    val nav = "subscribe to our newsletter now" // 5-token boilerplate
+    val body1 = "the quick brown fox jumps over the lazy dog and rests " +
+      "for a while near the river bank in the morning light"
+    val body2 = "a completely different second document about shipping " +
+      "routes and the seasonal market for fresh produce in the region"
+    val docs = Seq(
+      (1L, s"$nav $body1", "en"),
+      (2L, s"$nav $body2", "en"),
+      (3L, s"$nav $body1", "en"), // nav + exact dup body of 1
+      (4L, body2 + " with an extra unique tail of plain words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = Curation.Config(
+      boilerplateMinDocFreq = Some(3), boilerplateSpan = 5,
+      lineDedupSpan = Some(5),
+      minQuality = 0.0, maxRepetition = 1.0, nearDupJaccard = 0.95)
+    val st = Curation.stages(docs, "doc_id", "text", None, cfg).toMap
+    assert(st.contains("segclean"), "segclean stage must be present")
+    val cleaned = st("segclean").select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    // the nav span appears in 3 docs -> removed everywhere, including
+    // its first occurrence
+    assert(!cleaned.values.exists(_.contains(nav)))
+    // doc 3's body spans duplicate doc 1's -> line dedup empties it,
+    // and a fully-emptied doc is dropped from the corpus
+    assert(cleaned(1L).nonEmpty && !cleaned.contains(3L))
+    // default config has no segclean stage and identical text
+    val defaults = Curation.stages(docs, "doc_id", "text", None,
+      Curation.Config()).toMap
+    assert(!defaults.contains("segclean"))
+  }
 }

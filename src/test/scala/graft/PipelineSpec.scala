@@ -192,6 +192,45 @@ class PipelineSpec extends AnyFunSuite {
       "best-quality representative must win through the config path")
   }
 
+  test("gold layer: config-declared boilerplate + line-dedup segment " +
+      "cleanup rewrites text before the quality gate") {
+    import spark.implicits._
+    val src = tmpDir("segc-src"); val store = tmpDir("segc-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "gold": {
+        |    "curation": {"id_col": "doc_id", "text_col": "text",
+        |                 "min_quality": 0.0, "max_repetition": 1.0,
+        |                 "boilerplate_min_doc_freq": 3,
+        |                 "boilerplate_span": 5,
+        |                 "line_dedup_span": 5}
+        |  }
+        |}}""".stripMargin)
+    val nav = "subscribe to our newsletter now"
+    val b1 = "the quick brown fox jumps over the lazy dog and rests for " +
+      "a while near the river bank in the morning light"
+    val b2 = "a completely different second document about shipping " +
+      "routes and the seasonal market for fresh produce in the region"
+    Seq(
+      (1L, s"$nav $b1"), (2L, s"$nav $b2"), (3L, s"$nav $b2 tail words"))
+      .toDF("doc_id", "text").write.parquet(s"$src/docs")
+    val entities = ConfigLoader.load(spark, src)
+    assert(entities("docs").gold.exists(g =>
+      g.curation.boilerplateMinDocFreq.contains(3) &&
+        g.curation.boilerplateSpan == 5 &&
+        g.curation.lineDedupSpan.contains(5)))
+    val (runner, params) = mkRunner(src, store, "2024-03-04 00:00:00",
+      catalog = "segc")
+    runner.run(entities)
+    val gold = spark.table(params.goldFqn("docs"))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(gold.keySet == Set(1L, 2L, 3L))
+    assert(!gold.values.exists(_.contains(nav)),
+      "boilerplate must be removed from every gold row")
+  }
+
   test("gold layer: config-declared curation runs bronze->silver->gold " +
       "with versioned publish, expectations, and component dedup") {
     val src = tmpDir("gold-src"); val store = tmpDir("gold-store")
