@@ -164,6 +164,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: deflate compression ratio — the low-entropy/repetition
+    //    quality signal (codegen'd DeflateRatio expression; zlib output
+    //    is JVM-deterministic but not engine-portable, so rows-only: no
+    //    DuckDB oracle). Narrow projection, zero shuffles before the sort.
+    "q_compress_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.functions.CompressExpression
+            .deflateRatio(col("text")), 6).as("deflate_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: SimHash near-dup with Manku-style chunk blocking (no oracle)
     "q_simhash_neardup" -> ((s, dir) => {
       DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",

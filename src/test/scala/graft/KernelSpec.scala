@@ -97,6 +97,33 @@ class KernelSpec extends AnyFunSuite {
     assert(mh2.zip(mhDf).forall { case (x, y) => x <= y })
   }
 
+  test("DeflateRatio: interpreted == codegen; repetition compresses " +
+    "below random text; empty/null safe") {
+    import graft.functions.{CompressExpression, CompressKernel}
+    val spam = "buy gold now " * 100
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "rests for a while near the river bank watching boats drift by"
+    for (t <- Seq("", "a", spam, prose)) {
+      val interp = CompressExpression.DeflateRatio(
+        Literal(UTF8String.fromString(t), StringType))
+        .eval(InternalRow.empty).asInstanceOf[Double]
+      val viaDf = Seq(Tuple1(t)).toDF("t")
+        .select(CompressExpression.deflateRatio($"t")).as[Double].head()
+      assert(interp == viaDf, s"parity broke for ${t.take(20)}")
+      assert(interp == CompressKernel.ratio(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    assert(CompressKernel.ratio(Array.emptyByteArray) == 0.0)
+    val rSpam = CompressKernel.ratio(spam.getBytes("UTF-8"))
+    val rProse = CompressKernel.ratio(prose.getBytes("UTF-8"))
+    assert(rSpam < rProse && rSpam < 0.2 && rProse > 0.4,
+      s"expected spam($rSpam) << prose($rProse)")
+    // null propagates (UnaryExpression default null-intolerance)
+    val withNull = Seq(Some(prose), None).toDF("t")
+      .select(CompressExpression.deflateRatio($"t").as("r"))
+    assert(withNull.filter($"r".isNull).count() == 1)
+  }
+
   test("NGramHashes: sorted distinct, order-sensitive, short-input collapse") {
     def strArr(xs: Seq[String]): ArrayData =
       new GenericArrayData(xs.map(UTF8String.fromString).toArray)
@@ -217,7 +244,7 @@ class KernelSpec extends AnyFunSuite {
     val kernelQueries = Seq("q_ngram_jaccard", "q_minhash_neardup",
       "q_simhash_neardup", "q_text_stats", "q_lang_id", "q_repetition",
       "q_cosine_topk", "q_lsh_topk", "q_exact_dedup", "q_curation",
-      "q_winnow_fp")
+      "q_winnow_fp", "q_compress_ratio")
     kernelQueries.foreach { name =>
       withClue(s"query $name under CODEGEN_ONLY: ") {
         assert(graft.SparkEntry.queries(name)(s2, sfDir).count() >= 0)
