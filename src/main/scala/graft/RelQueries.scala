@@ -73,6 +73,29 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- J5b [EXT]: interval OVERLAP join with NO equi key — the case the
+    //    anchored range join can't express. Each event carries a 120 s
+    //    interval; pairs overlap iff |t_a − t_b| <= 120 s. Bucketized to
+    //    a (bucket) equi join with a report-once edge condition (see
+    //    ops.IntervalJoin) — no CartesianProduct, no output dedup.
+    "q_interval_join" -> ((s, dir) => {
+      val W = 120000000L // 120 s in µs
+      val e = events(s, dir)
+      val a = e.select(col("event_id").as("id_a"), col("ts_us").as("s_a"),
+        (col("ts_us") + W).as("e_a"))
+      val b = e.select(col("event_id").as("id_b"), col("ts_us").as("s_b"),
+        (col("ts_us") + W).as("e_b"))
+      val pairs = graft.ops.IntervalJoin
+        .overlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", W)
+        .filter(col("id_a") =!= col("id_b"))
+      e.select(col("event_id"))
+        .join(pairs.groupBy(col("id_a")).agg(count(lit(1)).as("n")),
+          col("event_id") === col("id_a"), "left")
+        .select(col("event_id"),
+          coalesce(col("n"), lit(0L)).as("n_overlaps"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- J6 [EXT]: as-of join — latest order per user at or before each
     //    event time (union + ordered window; see ops.AsOfJoin scale notes)
     "q_asof_join" -> ((s, dir) => {
@@ -425,6 +448,19 @@ object RelQueries {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Interval overlap count per event: naive range self-join (DuckDB
+    // plans range predicates as IEJoin; fine at oracle scale).
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |p AS (SELECT a.event_id, count(*) AS n
+        |      FROM e a JOIN e b
+        |        ON a.event_id != b.event_id
+        |       AND abs(a.t - b.t) <= 120000000
+        |      GROUP BY a.event_id)
+        |SELECT e.event_id, coalesce(p.n, 0) AS n_overlaps
+        |FROM e LEFT JOIN p USING (event_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     // SCD2: change rows via lag + IS DISTINCT FROM, intervals via lead.
     "q_scd2" ->

@@ -174,6 +174,30 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IntervalJoin.overlapJoin: equals the naive theta join; emits " +
+    "each pair exactly once; edge cases at bucket boundaries") {
+    // intervals engineered around bucket boundaries (W = 10): touching
+    // endpoints, containment, multi-bucket spans, exact-boundary starts
+    val left = Seq(
+      (1L, 0L, 10L), (2L, 5L, 25L), (3L, 30L, 40L), (4L, 100L, 101L))
+      .toDF("id_a", "s_a", "e_a")
+    val right = Seq(
+      (10L, 10L, 12L),  // touches interval 1 at t=10 and overlaps 2
+      (11L, 24L, 31L),  // overlaps 2 and 3
+      (12L, 50L, 60L),  // overlaps nothing
+      (13L, 0L, 200L))  // spans everything
+      .toDF("id_b", "s_b", "e_b")
+    val got = graft.ops.IntervalJoin
+      .overlapJoin(left, right, "s_a", "e_a", "s_b", "e_b", 10L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val naive = left.crossJoin(right)
+      .filter($"s_a" <= $"e_b" && $"s_b" <= $"e_a")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted,
+      s"got ${got.sorted} expected ${naive.sorted}")
+    assert(got.size == got.distinct.size, "a pair was emitted twice")
+  }
+
   test("Scd2: collapses runs, chains intervals, one open row per key") {
     val rows = Seq(
       // key 1: A A B A -> intervals A[10,30) B[30,40) A[40,null)

@@ -224,6 +224,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_interval_join: bucketized overlap join stays hash-based — " +
+    "no CartesianProduct, no nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"interval join degenerated:\n$p")
+  }
+
   test("q_salted_join: join keys include the salt column") {
     val p = plan("q_salted_join")
     assert(p.contains("_salt"), s"salt column not in the plan:\n$p")
