@@ -490,6 +490,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: percentile-gated quality filter — keep the best 30% per
+    //    source by logistic quality (relative threshold preserves the
+    //    source mix where an absolute cut skews it). Ordering key is the
+    //    ROUNDED score (engine-portable); tie-break doc_id. One shuffle.
+    "q_quality_topfrac" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(CorpusStats.logisticQuality(col("text")), 6).as("ql6"))
+      graft.ops.Sampling
+        .topFractionPerGroup(scored, "source", col("ql6"), "doc_id", 0.3)
+        .select(col("doc_id"), col("source"),
+          col("ql6").as("quality_logit"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: tokenize-to-ids — encode each doc as token ids under the
     //    rank-20 corpus vocabulary (OOV → 0); ids joined to one string for
     //    the engine-portable compare (the operator returns a real array)
@@ -528,6 +543,30 @@ object LlmQueries {
   private val duckToksLower = "regexp_split_to_array(trim(lower(text)), '\\s+')"
   private val stopList = TextOps.EnglishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** `(doc_id, source, ql)` — the UNROUNDED logistic-quality score
+    * (mirrors CorpusStats.logisticQuality); shared by the q_quality_logit
+    * and q_quality_topfrac oracles. */
+  private lazy val duckLogitSub =
+    s"""SELECT doc_id, source, 1.0 / (1.0 + exp(-(
+       |    -2.0 + 6.0 * (sw_hits / n_toks_d)
+       |    + -4.0 * (punct_chars / n_chars_d)
+       |    + 0.15 * (tok_chars / n_toks_d)
+       |    + 0.25 * ln(n_chars_d)
+       |    + -3.0 * (1.0 - n_tri_distinct / tri_total)))) AS ql
+       |FROM (
+       |  SELECT doc_id, source,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+       |    length(text)::DOUBLE AS n_chars_d,
+       |    len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+       |    len($duckToks)::DOUBLE AS n_toks_d,
+       |    list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars,
+       |    len(list_distinct(CASE WHEN len(ntoks) < 3
+       |      THEN [array_to_string(ntoks, ' ')]
+       |      ELSE list_transform(range(1, len(ntoks) - 1),
+       |        i -> array_to_string(ntoks[i:i+2], ' ')) END))::DOUBLE AS n_tri_distinct,
+       |    greatest(len(ntoks) - 2, 1)::DOUBLE AS tri_total
+       |  FROM (SELECT *, string_split($duckNorm, ' ') AS ntoks FROM documents))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1120,27 +1159,22 @@ object LlmQueries {
 
     // same left-fold order as CorpusStats.logisticQuality's z expression
     "q_quality_logit" ->
-      s"""SELECT doc_id, round(1.0 / (1.0 + exp(-(
-         |    -2.0 + 6.0 * (sw_hits / n_toks_d)
-         |    + -4.0 * (punct_chars / n_chars_d)
-         |    + 0.15 * (tok_chars / n_toks_d)
-         |    + 0.25 * ln(n_chars_d)
-         |    + -3.0 * (1.0 - n_tri_distinct / tri_total)))), 6)
-         |  AS quality_logit
-         |FROM (
-         |  SELECT doc_id,
-         |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
-         |    length(text)::DOUBLE AS n_chars_d,
-         |    len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
-         |    len($duckToks)::DOUBLE AS n_toks_d,
-         |    list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars,
-         |    len(list_distinct(CASE WHEN len(ntoks) < 3
-         |      THEN [array_to_string(ntoks, ' ')]
-         |      ELSE list_transform(range(1, len(ntoks) - 1),
-         |        i -> array_to_string(ntoks[i:i+2], ' ')) END))::DOUBLE AS n_tri_distinct,
-         |    greatest(len(ntoks) - 2, 1)::DOUBLE AS tri_total
-         |  FROM (SELECT *, string_split($duckNorm, ' ') AS ntoks FROM documents))
+      s"""SELECT doc_id, round(ql, 6) AS quality_logit
+         |FROM ($duckLogitSub)
          |ORDER BY doc_id""".stripMargin,
+
+    // Percentile-gated quality: keep the best 30% per source by the
+    // ROUNDED logit (rounding first makes the sort key engine-portable;
+    // the raw doubles agree only to ~1 ulp), percent_rank (= (rank-1)/
+    // (n-1), identical definition in both engines) over a unique order.
+    "q_quality_topfrac" ->
+      s"""WITH s AS (SELECT doc_id, source, round(ql, 6) AS ql6
+         |           FROM ($duckLogitSub)),
+         |r AS (SELECT doc_id, source, ql6, percent_rank() OVER (
+         |        PARTITION BY source ORDER BY ql6 DESC, doc_id ASC) AS pr
+         |      FROM s)
+         |SELECT doc_id, source, ql6 AS quality_logit
+         |FROM r WHERE pr <= 0.3 ORDER BY doc_id""".stripMargin,
 
     "q_tokenize_ids" ->
       s"""WITH n AS (SELECT doc_id, string_split($duckNorm, ' ') AS toks

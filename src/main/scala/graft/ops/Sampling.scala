@@ -197,4 +197,23 @@ object Sampling {
       .filter(fraction > 0.0 &&
         col("_grank") <= floor(fraction * (col("_n") - 1)) + 1)
       .drop("_grank", "_n")
+
+  /** SCORE-ordered top fraction per group — "keep the best 30% per
+    * source", the relative-threshold quality gate (an absolute cut like
+    * `quality >= 0.5` keeps different volumes per domain; a percentile
+    * cut keeps the SHAPE of the mix). `percent_rank() <= frac` over
+    * (score desc, tieBreak asc); the tie-break makes the kept set
+    * deterministic and engine-portable. One shuffle on the group key;
+    * a huge group = one sorted partition, so for million-row groups
+    * pre-aggregate or shard the way [[stratified]] does. */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, score: Column,
+      tieBreak: String, frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(score.desc, col(tieBreak).asc)
+    df.withColumn("_pr", percent_rank().over(w))
+      .filter(col("_pr") <= frac)
+      .drop("_pr")
+  }
 }

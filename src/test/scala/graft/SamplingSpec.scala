@@ -102,4 +102,19 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect()
     assert(out.map(_._1).sorted.toSeq == again.map(_._1).sorted.toSeq)
   }
+
+  test("topFractionPerGroup: keeps the best frac per group by score with " +
+      "deterministic ties; frac=0 keeps exactly the top row") {
+    // group a: scores 5,4,3,2,1 over ids 1..5; group b: all-tied scores
+    val df = ((1L to 5L).map(i => (i, "a", (6 - i).toDouble)) ++
+      (11L to 14L).map(i => (i, "b", 1.0))).toDF("id", "g", "score")
+    val top = Sampling.topFractionPerGroup(df, "g", $"score", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    // a: percent_rank over 5 rows = 0, .25, .5, .75, 1 -> keep ids 1,2,3
+    // b: tie-broken by id -> ranks unique -> keep 11,12 (pr 0, 1/3)
+    assert(top == Set(1L, 2L, 3L, 11L, 12L))
+    val top0 = Sampling.topFractionPerGroup(df, "g", $"score", "id", 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(top0 == Set(1L, 11L), "frac=0 keeps the single best row (pr=0)")
+  }
 }
