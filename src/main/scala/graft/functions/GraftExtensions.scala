@@ -80,7 +80,9 @@ object GraftExtensions {
     arity("graft_jaccard_sorted", 2,
       a => HashExpressions.JaccardSorted(a(0), a(1))),
     arity("graft_intersect_count_sorted", 2,
-      a => HashExpressions.IntersectCountSorted(a(0), a(1))))
+      a => HashExpressions.IntersectCountSorted(a(0), a(1))),
+    arity("graft_deflate_ratio", 1,
+      a => CompressExpression.DeflateRatio(a(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

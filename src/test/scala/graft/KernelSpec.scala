@@ -210,7 +210,8 @@ class KernelSpec extends AnyFunSuite {
         |  size(graft_word_ngrams(array('a','b','c'), 2)) AS ng,
         |  size(graft_lsh_buckets_multiprobe(
         |    array(cast(1.0 as float), cast(-2.0 as float)), 4, 2, 3)) AS mp,
-        |  graft_winnow_fingerprint('abcdef', 5, 4, true) AS wf
+        |  graft_winnow_fingerprint('abcdef', 5, 4, true) AS wf,
+        |  graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dr
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 0.5)
@@ -221,6 +222,8 @@ class KernelSpec extends AnyFunSuite {
     // 6 chars, k=5 -> grams "abcde","bcdef"; w=4 window covers both -> 1 min
     assert(r.getSeq[String](6).length == 1 &&
       r.getSeq[String](6).head.matches("[0-9a-f]{32}"))
+    // 32x'a' deflates well below its own length
+    assert(r.getDouble(7) > 0.0 && r.getDouble(7) < 1.0)
     // arity misuse raises a clear error
     val ex = intercept[Exception](
       spark.sql("SELECT graft_float_dot(array(cast(1.0 as float)))").collect())
