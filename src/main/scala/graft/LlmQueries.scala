@@ -536,6 +536,42 @@ object LlmQueries {
       SimilarityOps.semDedup(t(s, dir, "embeddings"), threshold = 0.4,
           nlist = 16)
         .orderBy(col("vec_id"))
+    }),
+
+    // -- [EXT]: URL canonicalization + host / registered-domain
+    //    extraction (the RefinedWeb/CCNet URL-curation pass). The
+    //    synthetic corpus carries no URL column, so the query BINDS a
+    //    derived messy URL per row (mixed-case scheme+host, default
+    //    port, tracking params, fragment) — the operators are
+    //    column-generic and every normalization rule is exercised.
+    //    Narrow shuffle-free projection.
+    "q_url_normalize" -> ((s, dir) => {
+      // even ids exercise tracking-param removal; odd ids exercise the
+      // fragment-then-trailing-slash path
+      val url = concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".Example.COM:80/Docs/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("/?utm_source=feed&ref="), col("lang"),
+            lit("&fbclid=x#top")))
+          .otherwise(lit("/#top")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          text.UrlOps.normalizeUrl(url).as("url_norm"),
+          text.UrlOps.urlHost(url).as("host"),
+          text.UrlOps.registeredDomain(text.UrlOps.urlHost(url))
+            .as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: per-domain document cap — at most 5 docs per source,
+    //    preferring the longest (n_chars desc, doc_id tie-break): the
+    //    anti-domination rule of web-corpus mixing. One shuffle on the
+    //    domain key, rank bounded map-side by WindowGroupLimit.
+    "q_domain_cap" -> ((s, dir) => {
+      text.UrlOps.domainCap(t(s, dir, "documents"), "source", 5,
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1248,6 +1284,59 @@ object LlmQueries {
         |comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
         |SELECT a.vec_id, a.cell, coalesce(c.component, a.vec_id) AS component
         |FROM asg a LEFT JOIN comp c ON a.vec_id = c.node
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // URL canonicalization — same rule sequence as UrlOps.normalizeUrl.
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    // default) and \1-style backreferences (Spark uses $1).
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://WWW.' || upper(source) || '.Example.COM:80/Docs/' ||
+        |    cast(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '/?utm_source=feed&ref=' || lang || '&fbclid=x#top'
+        |      ELSE '/#top' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, trim(url) AS t0,
+        |  regexp_extract(trim(url),
+        |    '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', 0) AS pre FROM u),
+        |s2 AS (SELECT doc_id, t0,
+        |  lower(pre) || substr(t0, len(pre) + 1) AS t1 FROM s1),
+        |s3 AS (SELECT doc_id, t0,
+        |  regexp_replace(t1, '#.*', '', 'g') AS t2 FROM s2),
+        |s4 AS (SELECT doc_id, t0, regexp_replace(t2,
+        |  '&(?:utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)=[^&#]*', '', 'g')
+        |  AS t3 FROM s3),
+        |s5 AS (SELECT doc_id, t0, regexp_replace(t3,
+        |  '\?(?:utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)=[^&#]*&', '?', 'g')
+        |  AS t4 FROM s4),
+        |s6 AS (SELECT doc_id, t0, regexp_replace(t4,
+        |  '\?(?:utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)=[^&#]*$', '', 'g')
+        |  AS t5 FROM s5),
+        |s7 AS (SELECT doc_id, t0, regexp_replace(t5,
+        |  '^(http://[^/:?#]+):80([/?#].*|$)', '\1\2', 'g') AS t6 FROM s6),
+        |s8 AS (SELECT doc_id, t0, regexp_replace(t6,
+        |  '^(https://[^/:?#]+):443([/?#].*|$)', '\1\2', 'g') AS t7 FROM s7),
+        |s9 AS (SELECT doc_id, t0,
+        |  regexp_replace(t7, '/+$', '', 'g') AS url_norm FROM s8),
+        |h AS (SELECT doc_id, lower(regexp_extract(t0,
+        |  '^[a-zA-Z][a-zA-Z0-9+.\-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1))
+        |  AS host FROM s9),
+        |d AS (SELECT doc_id, host, regexp_extract(host,
+        |  '([^.]+\.(?:co|com|org|net|ac|gov|edu)\.[a-z]{2}|[^.]+\.[^.]+)$',
+        |  1) AS m FROM h)
+        |SELECT s9.doc_id, s9.url_norm, d.host,
+        |  CASE WHEN d.m = '' THEN d.host ELSE d.m END AS domain
+        |FROM s9 JOIN d ON s9.doc_id = d.doc_id
+        |ORDER BY s9.doc_id""".stripMargin,
+
+    // Per-domain cap: keep the 5 longest docs per source.
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5
+        |ORDER BY doc_id""".stripMargin
   )
 }

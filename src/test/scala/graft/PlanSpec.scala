@@ -36,6 +36,10 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("q_domain_cap: per-domain rank bounded map-side (WindowGroupLimit)") {
+    assert(plan("q_domain_cap").contains("WindowGroupLimit"))
+  }
+
   test("q_sort_limit: global sort+limit is TakeOrderedAndProject, not a full sort") {
     val p = plan("q_sort_limit")
     assert(p.contains("TakeOrderedAndProject"))
