@@ -572,6 +572,32 @@ object LlmQueries {
           Seq(col("n_chars").desc, col("doc_id").asc))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: SQ8 int8 quantization codes — symmetric per-vector scalar
+    //    quantization (codegen'd Sq8Encode), 4× smaller than float32.
+    //    INTEGER-ONLY output (codes + exact squared norm) ⇒ bit-exact
+    //    oracle; the float scale is spec-covered. Narrow, shuffle-free.
+    "q_sq8_codes" -> ((s, dir) => {
+      SimilarityOps.sq8Quantize(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), " ")
+            .as("codes_str"),
+          graft.functions.VectorExpressions
+            .int8Dot(col("codes"), col("codes")).as("norm_sq"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // -- [EXT]: top-k by QUANTIZED cosine — bruteForceTopK's exact shape
+    //    (broadcast probes, WindowGroupLimit) over int8 codes: the
+    //    memory-bandwidth exhaustive search. Scales cancel in cosine so
+    //    the score is integer-derived ⇒ full oracle; recall vs the float
+    //    form is additionally spec'd.
+    "q_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .withColumn("qcos", round(col("qcos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
     })
   )
 
@@ -1337,6 +1363,49 @@ object LlmQueries {
         |  SELECT doc_id, source, n_chars, row_number() OVER (
         |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents) WHERE rn <= 5
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // SQ8 codes: round-half-away(127*x/amax) per element; DuckDB round()
+    // on doubles is also half-away-from-zero, and 127.0 * x::DOUBLE /
+    // amax restates the kernel's exact double-op order.
+    "q_sq8_codes" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0
+        |      ELSE cast(round(127.0 * x::DOUBLE / amax) AS BIGINT) END)
+        |      AS codes
+        |  FROM a)
+        |SELECT vec_id, array_to_string(codes, ' ') AS codes_str,
+        |  cast(list_sum(list_transform(codes, c -> c * c)) AS BIGINT)
+        |    AS norm_sq
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Quantized-cosine top-k over the SQ8 codes (scales cancel).
+    "q_sq8_topk" ->
+      """WITH a AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0.0
+        |      ELSE round(127.0 * x::DOUBLE / amax) END) AS codes
+        |  FROM a),
+        |n AS (SELECT vec_id, codes,
+        |        sqrt(list_dot_product(codes, codes)) AS cn FROM q),
+        |p AS (SELECT vec_id AS probe_id, codes AS pc, cn AS pn
+        |      FROM n WHERE vec_id < 5),
+        |sc AS (SELECT probe_id, vec_id,
+        |    list_dot_product(pc, codes) / (pn * cn) AS c
+        |  FROM n CROSS JOIN p WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
+        |SELECT probe_id, rank, vec_id, round(c, 6) AS qcos
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   )
 }

@@ -82,7 +82,11 @@ object GraftExtensions {
     arity("graft_intersect_count_sorted", 2,
       a => HashExpressions.IntersectCountSorted(a(0), a(1))),
     arity("graft_deflate_ratio", 1,
-      a => CompressExpression.DeflateRatio(a(0))))
+      a => CompressExpression.DeflateRatio(a(0))),
+    arity("graft_sq8_encode", 1, a => VectorExpressions.Sq8Encode(a(0))),
+    arity("graft_int8_dot", 2, a => VectorExpressions.Int8Dot(a(0), a(1))),
+    arity("graft_float_abs_max", 1,
+      a => VectorExpressions.FloatAbsMax(a(0))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

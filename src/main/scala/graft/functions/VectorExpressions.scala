@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Codegen'd vector math over `array<float>` embedding columns.
   *
@@ -265,6 +265,158 @@ object VectorExpressions {
   def lshBucketsMultiProbe(vec: Column, planes: Int, tables: Int,
       probes: Int): Column =
     column(LshBucketsMultiProbe(expression(vec), planes, tables, probes))
+
+  /** Symmetric int8 scalar quantization (SQ8) of an `array<float>`
+    * embedding: `code_i = round_half_away(127 * x_i / max|x|)`, the
+    * all-zero vector encoding to all zeros. 4× memory over float32 — at
+    * 100 TB the ANN candidate-verification pass becomes bandwidth-bound
+    * on exactly this payload, so codes travel through shuffles and
+    * indexes instead of the float vectors. Per-vector scales cancel in
+    * cosine, so quantized cosine ranking needs ONLY the codes
+    * ([[int8Dot]]); the scale `max|x|/127` matters only for value
+    * reconstruction. */
+  case class Sq8Encode(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got $other")
+      }
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def prettyName: String = "sq8_encode"
+
+    override def nullSafeEval(a: Any): Any =
+      Sq8Kernel.encode(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |${ev.value} = graft.functions.Sq8Kernel.encode($a);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : Sq8Encode = copy(child = newChild)
+  }
+
+  /** ⟨a, b⟩ over two int8 code arrays, exact integer accumulation (long).
+    * 64·127² per element bounds far below Long range at any real
+    * dimensionality. */
+  case class Int8Dot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(ByteType, _), ArrayType(ByteType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<tinyint>, array<tinyint>), got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "int8_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Sq8Kernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |${ev.value} = graft.functions.Sq8Kernel.dot($a, $b);
+         """.stripMargin)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Int8Dot =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** max|x_i| in double precision (0.0 for an empty array) — the SQ8
+    * scale numerator. */
+  case class FloatAbsMax(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got $other")
+      }
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "float_abs_max"
+
+    override def nullSafeEval(a: Any): Any =
+      Sq8Kernel.absMax(a.asInstanceOf[ArrayData])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |${ev.value} = graft.functions.Sq8Kernel.absMax($a);
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : FloatAbsMax = copy(child = newChild)
+  }
+
+  def sq8Encode(vec: Column): Column = column(Sq8Encode(expression(vec)))
+
+  def floatAbsMax(vec: Column): Column = column(FloatAbsMax(expression(vec)))
+
+  def int8Dot(a: Column, b: Column): Column =
+    column(Int8Dot(expression(a), expression(b)))
+}
+
+/** SQ8 loops shared by interpreted eval and generated code (the
+  * [[LshKernel]] discipline: TOP-LEVEL object so Janino-compiled code can
+  * call them as plain Java statics; ONE implementation so interpreted and
+  * codegen paths cannot drift). */
+object Sq8Kernel {
+
+  /** Round half away from zero — matches Spark's `round()` (HALF_UP) and
+    * DuckDB's `round()` on doubles, which is what makes the codes
+    * oracle-reproducible. (`Math.round` would differ: it rounds -2.5 to
+    * -2, toward +∞.) */
+  private def roundHalfAway(q: Double): Long =
+    if (q >= 0) math.floor(q + 0.5d).toLong else math.ceil(q - 0.5d).toLong
+
+  def absMax(x: ArrayData): Double = {
+    val n = x.numElements()
+    var amax = 0.0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"float_abs_max: null element at $i")
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > amax) amax = v
+      i += 1
+    }
+    amax
+  }
+
+  def encode(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    val amax = absMax(x)
+    var i = 0
+    val out = new Array[Byte](n)
+    if (amax > 0.0d) {
+      i = 0
+      while (i < n) {
+        out(i) = roundHalfAway(127.0d * x.getFloat(i).toDouble / amax).toByte
+        i += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"int8_dot: length mismatch $n vs ${b.numElements()}")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"int8_dot: null element at $i")
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Static per-row loops shared by interpreted eval and generated code (the

@@ -521,6 +521,58 @@ object SimilarityOps {
         greatest(col("id_a"), col("id_b")).as("id_b"))
   }
 
+  // --------------------------------------------------------------------
+  // SQ8 scalar quantization — the memory tier under the ANN family
+  // --------------------------------------------------------------------
+
+  /** Quantize an embedding column to int8 codes (symmetric per-vector
+    * SQ8, [[graft.functions.VectorExpressions.Sq8Encode]]): 4× smaller
+    * than float32, which at 100 TB is the difference between an index
+    * that fits executor memory/page cache and one that doesn't. Returns
+    * (id, codes array<tinyint>, scale double, code_norm double); `scale`
+    * (= max|x|/127) reconstructs values (`x_i ≈ scale·code_i`, error ≤
+    * scale/2), while cosine ranking needs only codes + code_norm — the
+    * per-vector scales cancel. Narrow shuffle-free projection; write the
+    * result as the stored index (optionally through [[ivfBuildIndex]]'s
+    * cell partitioning) and keep the float vectors out of the hot path. */
+  def sq8Quantize(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val codes = VectorExpressions.sq8Encode(col(vecCol))
+    df.select(col(idCol).as("vec_id"), codes.as("codes"),
+        (VectorExpressions.floatAbsMax(col(vecCol)) / lit(127.0d))
+          .as("scale"))
+      .withColumn("code_norm",
+        sqrt(VectorExpressions.int8Dot(col("codes"), col("codes"))
+          .cast("double")))
+  }
+
+  /** Approximate top-k by QUANTIZED cosine: [[bruteForceTopK]]'s exact
+    * join/rank shape (broadcast probes × streamed corpus, rank-k →
+    * WindowGroupLimit) with int8 codes in place of float vectors — the
+    * memory-bandwidth form of exhaustive search. Score =
+    * ⟨codes_p, codes_c⟩ / (|codes_p|·|codes_c|); per-vector scales
+    * cancel, so this IS cosine up to quantization error (recall-spec'd
+    * against the float form). Integer dot + integer-valued norms ⇒
+    * deterministic across engines. */
+  def sq8TopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = sq8Quantize(probes, idCol, vecCol)
+      .select(col("vec_id").as("probe_id"), col("codes").as("probe_codes"),
+        col("code_norm").as("probe_norm"))
+    val c = sq8Quantize(corpus, idCol, vecCol)
+      .select(col("vec_id"), col("codes"), col("code_norm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("qcos",
+        VectorExpressions.int8Dot(col("probe_codes"), col("codes"))
+          .cast("double") / (col("probe_norm") * col("code_norm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("qcos"))
+  }
+
   /** Naive all-pairs cross-join form — TEST GROUND TRUTH ONLY (O(n²)
     * unpartitioned; specs assert [[cosineNearDupPairs]] equals this and
     * [[cosineNearDupPairsLsh]] is a subset). Never declare at scale. */

@@ -97,6 +97,49 @@ class KernelSpec extends AnyFunSuite {
     assert(mh2.zip(mhDf).forall { case (x, y) => x <= y })
   }
 
+  test("Sq8Encode/Int8Dot/FloatAbsMax: interpreted == codegen; zero " +
+    "vector encodes to zeros; reconstruction bounded by scale/2") {
+    import graft.functions.VectorExpressions.{Sq8Encode, int8Dot, sq8Encode, floatAbsMax}
+    val vecs = Seq(
+      Seq(0.5f, -1.0f, 0.25f, 0.0f),
+      Seq(0.0f, 0.0f),
+      Seq(3.7f, -3.7f, 1.85f))
+    for (v <- vecs) {
+      val interp = Sq8Encode(Literal(floatArr(v),
+          ArrayType(FloatType, containsNull = false)))
+        .eval(InternalRow.empty).asInstanceOf[ArrayData]
+        .toByteArray().toSeq
+      val viaDf = Seq(Tuple1(v)).toDF("v")
+        .select(sq8Encode($"v")).as[Seq[Byte]].head()
+      assert(interp == viaDf, s"parity broke for $v")
+      val amax = if (v.isEmpty) 0.0 else v.map(x => math.abs(x.toDouble)).max
+      val amaxDf = Seq(Tuple1(v)).toDF("v")
+        .select(floatAbsMax($"v")).as[Double].head()
+      assert(amaxDf == amax)
+      if (amax > 0) {
+        val scale = amax / 127.0
+        v.zip(interp).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12,
+            s"reconstruction error for $x -> $c at scale $scale") }
+        assert(interp.map(c => math.abs(c.toInt)).max == 127)
+      } else assert(interp.forall(_ == 0))
+    }
+    // int8 dot is exact integer arithmetic:
+    // round(127*[1,-2,3]/3) = [42,-85,127]
+    val d = Seq((Seq(1.0f, -2.0f, 3.0f), Seq(1.0f, -2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(int8Dot(sq8Encode($"a"), sq8Encode($"b"))).as[Long].head()
+    assert(d == 42L * 42 + 85L * 85 + 127L * 127)
+    // null elements fail loudly (FloatDot discipline)
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq[java.lang.Float](1.0f, null))).toDF("v")
+        .select(sq8Encode($"v")).collect()
+    }
+    assert(ex.getMessage.contains("null element") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("null element"))
+  }
+
   test("DeflateRatio: interpreted == codegen; repetition compresses " +
     "below random text; empty/null safe") {
     import graft.functions.{CompressExpression, CompressKernel}
@@ -211,7 +254,13 @@ class KernelSpec extends AnyFunSuite {
         |  size(graft_lsh_buckets_multiprobe(
         |    array(cast(1.0 as float), cast(-2.0 as float)), 4, 2, 3)) AS mp,
         |  graft_winnow_fingerprint('abcdef', 5, 4, true) AS wf,
-        |  graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dr
+        |  graft_deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS dr,
+        |  graft_int8_dot(graft_sq8_encode(array(cast(1.0 as float),
+        |    cast(-2.0 as float), cast(3.0 as float))),
+        |    graft_sq8_encode(array(cast(1.0 as float), cast(-2.0 as float),
+        |    cast(3.0 as float)))) AS qd,
+        |  graft_float_abs_max(array(cast(1.0 as float),
+        |    cast(-2.0 as float))) AS am
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 0.5)
@@ -224,6 +273,8 @@ class KernelSpec extends AnyFunSuite {
       r.getSeq[String](6).head.matches("[0-9a-f]{32}"))
     // 32x'a' deflates well below its own length
     assert(r.getDouble(7) > 0.0 && r.getDouble(7) < 1.0)
+    assert(r.getLong(8) == 42L * 42 + 85L * 85 + 127L * 127)
+    assert(r.getDouble(9) == 2.0)
     // arity misuse raises a clear error
     val ex = intercept[Exception](
       spark.sql("SELECT graft_float_dot(array(cast(1.0 as float)))").collect())

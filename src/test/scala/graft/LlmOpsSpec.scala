@@ -492,6 +492,24 @@ class LlmOpsSpec extends AnyFunSuite {
       s"multi-probe at 8 tables: $smallMulti !> $small")
   }
 
+  test("sq8TopK: quantized-cosine recall@3 vs float brute force; scores " +
+      "within quantization error") {
+    val probes = emb001.filter($"vec_id" < 20)
+    val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
+    val bruteSet = brute.select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val q = SimilarityOps.sq8TopK(emb001, probes, 3)
+    val qSet = q.select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (bruteSet & qSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.85, s"sq8 recall@3 = $recall")
+    // a shared (probe, vec) pair scores nearly identically in the two
+    // domains: int8 cosine error is O(1/127) per axis, far under 0.05
+    val err = q.join(brute, Seq("probe_id", "vec_id"))
+      .select(abs($"qcos" - $"cos").as("e")).as[Double].collect()
+    assert(err.nonEmpty && err.max < 0.05, s"max |qcos-cos| = ${err.max}")
+  }
+
   test("TopKAggregator: identical results to the window-based bruteForceTopK") {
     val probes = emb001.filter($"vec_id" < 10)
     val window = SimilarityOps.bruteForceTopK(emb001, probes, 3)
