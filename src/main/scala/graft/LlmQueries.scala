@@ -32,6 +32,8 @@ object LlmQueries {
   // their own lifecycle).
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfSq8IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -596,6 +598,27 @@ object LlmQueries {
     "q_sq8_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.sq8TopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .withColumn("qcos", round(col("qcos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: IVF-SQ8 — ANN against the persisted cell-partitioned
+    //    index holding int8 CODES instead of float vectors (4× smaller
+    //    probed-cell reads; scoring in the int8 domain). nprobe=nlist
+    //    here makes candidates = whole corpus, so the result provably
+    //    equals q_sq8_topk (spec'd); the declared row is the integer-
+    //    derived full oracle reusing q_sq8_topk's SQL.
+    "q_ivf_sq8" -> ((s, dir) => {
+      val path = ivfSq8IndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfsq8idx").toString
+        SimilarityOps.ivfBuildIndex(t(s, dir, "embeddings"), p,
+          nlist = 16, quantized = true)
+        p
+      })
+      SimilarityOps.ivfTopKIndexed(s, path,
+          t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3,
+          nprobe = 16, quantized = true)
         .withColumn("qcos", round(col("qcos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     })
@@ -1385,7 +1408,14 @@ object LlmQueries {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     // Quantized-cosine top-k over the SQ8 codes (scales cancel).
-    "q_sq8_topk" ->
+    "q_sq8_topk" -> sq8TopkSql,
+
+    // IVF-SQ8 at nprobe=nlist probes every cell, so candidates = the
+    // whole corpus and the result is exactly the quantized top-k.
+    "q_ivf_sq8" -> sq8TopkSql
+  )
+
+  private lazy val sq8TopkSql: String =
       """WITH a AS (
         |  SELECT vec_id, embedding,
         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
@@ -1407,5 +1437,4 @@ object LlmQueries {
         |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
         |SELECT probe_id, rank, vec_id, round(c, 6) AS qcos
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
-  )
 }

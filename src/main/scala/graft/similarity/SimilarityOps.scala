@@ -318,15 +318,28 @@ object SimilarityOps {
     * `<path>/centroids` (nlist rows). */
   def ivfBuildIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 1): Unit = {
+      lloydIters: Int = 1, quantized: Boolean = false): Unit = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
       .localCheckpoint(false) // feeds Lloyd passes AND the final assignment
     val cents = ivfCentroids(c, nlist, lloydIters)
       .localCheckpoint(false) // written once, reused for the assignment
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
-      .write.mode("overwrite").partitionBy("cell")
+    val assigned = ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
+    // quantized = the IVF-SQ8 layout: int8 codes instead of float vectors
+    // (4× smaller on disk AND in page cache — at 100 TB the probed cells'
+    // residency is the query-latency budget), scored in the int8 domain
+    // where the per-vector scales cancel out of cosine.
+    val rows =
+      if (quantized)
+        assigned.select(col("vec_id"),
+            VectorExpressions.sq8Encode(col("vec")).as("codes"),
+            col("cell"))
+          .withColumn("code_norm",
+            sqrt(VectorExpressions.int8Dot(col("codes"), col("codes"))
+              .cast("double")))
+      else assigned
+    rows.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/index")
   }
 
@@ -338,7 +351,8 @@ object SimilarityOps {
     * PlanSpec-asserted). Centroids and probe assignment are tiny. */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      quantized: Boolean = false): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
@@ -346,13 +360,40 @@ object SimilarityOps {
     val probeCells = ivfAssign(cents)(p, "probe_id", "probe_vec",
         "probe_norm", nprobe)
       .select(col("cell")).distinct().collect().map(_.get(0))
-    val cAssigned = spark.read.parquet(s"$path/index")
+    val idx = spark.read.parquet(s"$path/index")
       .filter(col("cell").isin(probeCells.toSeq: _*))
-      // partition-directory values infer as int when they fit; normalize
-      // back to the centroid id type AFTER the pruning filter
-      .select(col("vec_id"), col("vec"), col("vec_norm"),
-        col("cell").cast("long").as("cell"))
-    ivfScore(cAssigned, p, cents, k, nprobe)
+    if (quantized) {
+      // probe assignment stays float (centroids are float either way);
+      // candidate scoring runs in the int8 domain against the stored
+      // codes — the probe side encodes once per (probe, probed cell).
+      val pAssigned = ivfAssign(cents)(p, "probe_id", "probe_vec",
+          "probe_norm", nprobe)
+        .select(col("cell"),  col("probe_id"),
+          VectorExpressions.sq8Encode(col("probe_vec")).as("probe_codes"))
+        .withColumn("probe_qnorm",
+          sqrt(VectorExpressions
+            .int8Dot(col("probe_codes"), col("probe_codes"))
+            .cast("double")))
+      val cAssigned = idx.select(col("vec_id"), col("codes"),
+        col("code_norm"), col("cell").cast("long").as("cell"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("qcos").desc, col("vec_id").asc)
+      cAssigned.join(pAssigned, Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("qcos",
+          VectorExpressions.int8Dot(col("probe_codes"), col("codes"))
+            .cast("double") / (col("probe_qnorm") * col("code_norm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("rank"), col("vec_id"), col("qcos"))
+    } else {
+      val cAssigned = idx
+        // partition-directory values infer as int when they fit; normalize
+        // back to the centroid id type AFTER the pruning filter
+        .select(col("vec_id"), col("vec"), col("vec_norm"),
+          col("cell").cast("long").as("cell"))
+      ivfScore(cAssigned, p, cents, k, nprobe)
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), EXACT, as a

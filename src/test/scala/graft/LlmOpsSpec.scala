@@ -510,6 +510,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(err.nonEmpty && err.max < 0.05, s"max |qcos-cos| = ${err.max}")
   }
 
+  test("IVF-SQ8 index: stores codes not vectors; at nprobe=nlist the " +
+      "query equals sq8TopK exactly; pruned at lower nprobe") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfsq8_spec").toString
+    SimilarityOps.ivfBuildIndex(emb001, path, nlist = 8, quantized = true)
+    val idx = spark.read.parquet(s"$path/index")
+    assert(idx.columns.toSet == Set("vec_id", "codes", "code_norm", "cell"))
+    // (parquet re-reads list elements as nullable; element type is the
+    // 4×-smaller-payload contract)
+    assert(idx.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.ByteType)
+    val probes = emb001.filter($"vec_id" < 10)
+    // all cells probed -> candidates = whole corpus -> bit-equal to the
+    // quantized brute force
+    val viaIdx = SimilarityOps.ivfTopKIndexed(spark, path, probes, 3,
+        nprobe = 8, quantized = true)
+      .select("probe_id", "rank", "vec_id", "qcos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = SimilarityOps.sq8TopK(emb001, probes, 3)
+      .select("probe_id", "rank", "vec_id", "qcos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaIdx == brute)
+    // low nprobe still returns k rows per probe with sane recall
+    val pruned = SimilarityOps.ivfTopKIndexed(spark, path, probes, 3,
+        nprobe = 2, quantized = true)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+    assert(pruned.map(_._1).distinct.length == 10)
+    val recall = (pruned.toSet &
+      brute.map(r => (r._1, r._3)).toSet).size.toDouble / brute.size
+    assert(recall > 0.3, s"nprobe=2 recall = $recall")
+  }
+
   test("TopKAggregator: identical results to the window-based bruteForceTopK") {
     val probes = emb001.filter($"vec_id" < 10)
     val window = SimilarityOps.bruteForceTopK(emb001, probes, 3)

@@ -80,6 +80,17 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(domain("localhost") == "localhost")
   }
 
+  test("extractUrls: all URLs in order; boundary chars end the match") {
+    val out = Seq("see https://a.com/x and http://b.org/y?z=1 <https://c.net> done")
+      .toDF("t").select(UrlOps.extractUrls(col("t")))
+      .as[Seq[String]].head()
+    assert(out == Seq("https://a.com/x", "http://b.org/y?z=1",
+      "https://c.net"))
+    val none = Seq("no links here").toDF("t")
+      .select(UrlOps.extractUrls(col("t"))).as[Seq[String]].head()
+    assert(none.isEmpty)
+  }
+
   test("domainCap: keeps at most N per domain by the given order") {
     val df = Seq(
       ("d1", 1L, 10), ("d1", 2L, 30), ("d1", 3L, 20), ("d1", 4L, 40),
