@@ -1430,7 +1430,9 @@ object LlmQueries {
         |p AS (SELECT vec_id AS probe_id, codes AS pc, cn AS pn
         |      FROM n WHERE vec_id < 5),
         |sc AS (SELECT probe_id, vec_id,
-        |    list_dot_product(pc, codes) / (pn * cn) AS c
+        |    CASE WHEN pn * cn > 0
+        |      THEN list_dot_product(pc, codes) / (pn * cn)
+        |      ELSE 0.0 END AS c
         |  FROM n CROSS JOIN p WHERE vec_id != probe_id),
         |r AS (SELECT probe_id, vec_id, c,
         |    row_number() OVER (PARTITION BY probe_id

@@ -559,8 +559,45 @@ object DedupOps {
     * map partition forwards at most one candidate row per fingerprint
     * before the exchange. Reassembly is a second shuffle keyed by doc id —
     * both shuffles are on high-cardinality keys, skew-proof. */
-  private def segmentKeepFirst(base: DataFrame, joinSep: String)
+  /** `(id, segs)` where segs are the fixed non-overlapping `k`-token
+    * spans of `textCol` (last span may be shorter) — the segmentation
+    * shared by [[fixedSpanDedup]] and [[boilerplateRemove]]; one
+    * definition so span semantics cannot drift between them. */
+  private def spanSegments(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col("id"), transform(
+        sequence(lit(0L), ((size(col("toks")) - 1) / k).cast("long")),
+        i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"),
+          lit(k)))).as("segs"))
+
+  /** Rebuild documents from surviving `(id, pos, seg)` rows and account
+    * for drops against `base` `(id, segs)`: returns
+    * `(id, <outCol>, n_segments, n_dropped)`; fully-emptied documents
+    * come back as `""`, not NULL. */
+  private def reassemble(base: DataFrame, kept: DataFrame, outCol: String,
+      joinSep: String): DataFrame = {
+    val rebuilt = kept.groupBy("id").agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("seg")))),
+        s => s.getField("seg")), joinSep).as(outCol),
+      count(lit(1)).as("n_kept"))
+    base.select(col("id"), size(col("segs")).cast("long").as("n_segments"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col(outCol), lit("")).as(outCol),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_dropped"))
+  }
+
+  private def segmentKeepFirst(base0: DataFrame, joinSep: String)
       : DataFrame = {
+    // base feeds both the keep-first branch and the accounting join —
+    // materialize once or the segmentation (and everything upstream of
+    // it) runs twice per action (the boilerplateRemove discipline)
+    val base = materialized(base0)
     val segs = base
       .select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
@@ -569,18 +606,7 @@ object DedupOps {
     val kept = segs.withColumn("_rn", row_number().over(byHash))
       .filter(col("_rn") === 1)
       .select(col("id"), col("pos"), col("seg"))
-    val rebuilt = kept.groupBy("id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("seg")))),
-        s => s.getField("seg")), joinSep).as("dedup_text"),
-      count(lit(1)).as("n_kept"))
-    base.select(col("id"), size(col("segs")).cast("long").as("n_segments"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("dedup_text"), lit("")).as("dedup_text"),
-        col("n_segments"),
-        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
-          .cast("long").as("n_dropped"))
+    reassemble(base, kept, "dedup_text", joinSep)
   }
 
   /** Line-level exact dedup across documents (the C4-style rule: a line
@@ -605,13 +631,7 @@ object DedupOps {
   def fixedSpanDedup(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16): DataFrame = {
     require(k >= 1, s"span width k must be >= 1, got $k")
-    val base = df.select(col(idCol).as("id"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
-      .select(col("id"), transform(
-        sequence(lit(0L), ((size(col("toks")) - 1) / k).cast("long")),
-        i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"),
-          lit(k)))).as("segs"))
-    segmentKeepFirst(base, " ")
+    segmentKeepFirst(spanSegments(df, idCol, textCol, k), " ")
       .withColumnRenamed("id", idCol)
   }
 
@@ -625,12 +645,7 @@ object DedupOps {
       k: Int = 4, minDocFreq: Int = 4): DataFrame = {
     require(k >= 1, s"span width k must be >= 1, got $k")
     require(minDocFreq >= 2, s"minDocFreq must be >= 2, got $minDocFreq")
-    val base = materialized(df.select(col(idCol).as("id"),
-      split(trim(col(textCol)), "\\s+").as("toks"))
-      .select(col("id"), transform(
-        sequence(lit(0L), ((size(col("toks")) - 1) / k).cast("long")),
-        i => concat_ws(" ", slice(col("toks"), (i * k + 1).cast("int"),
-          lit(k)))).as("segs")))
+    val base = materialized(spanSegments(df, idCol, textCol, k))
     val segs = base
       .select(col("id"), posexplode(col("segs")).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
@@ -640,17 +655,7 @@ object DedupOps {
       .select("h")
     val kept = segs.join(boiler, Seq("h"), "left_anti")
       .select(col("id"), col("pos"), col("seg"))
-    val rebuilt = kept.groupBy("id").agg(
-      array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("seg")))),
-        s => s.getField("seg")), " ").as("clean_text"),
-      count(lit(1)).as("n_kept"))
-    base.select(col("id"), size(col("segs")).cast("long").as("n_segments"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_segments"),
-        (col("n_segments") - coalesce(col("n_kept"), lit(0L)))
-          .cast("long").as("n_dropped"))
+    reassemble(base, kept, "clean_text", " ")
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -13,20 +13,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated Java of [[CompressExpression.DeflateRatio]] calls it
   * statically. */
 object CompressKernel {
+  // one native zlib state per executor thread, reset() between rows —
+  // constructing a Deflater allocates ~256 KB of native state, which at
+  // one-per-row turns a corpus pass into native alloc/free churn.
+  // Threads are long-lived executor workers, so the per-thread state is
+  // bounded (threads × 256 KB) and reused for the life of the executor.
+  private val deflaters =
+    java.lang.ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+
   /** deflate(bytes).length / max(bytes.length, 1) — empty input maps to
     * 0.0 (nothing to compress), not a division error. */
   def ratio(bytes: Array[Byte]): Double = {
     if (bytes.length == 0) return 0.0
-    val d = new java.util.zip.Deflater(
-      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length.toDouble
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length.toDouble
   }
 }
 

@@ -373,14 +373,15 @@ object Sq8Kernel {
   private def roundHalfAway(q: Double): Long =
     if (q >= 0) math.floor(q + 0.5d).toLong else math.ceil(q - 0.5d).toLong
 
-  def absMax(x: ArrayData): Double = {
+  // fn labels the throwing SQL function: encode delegates here, and an
+  // error blaming float_abs_max from a sq8_encode call would misdirect
+  private def absMaxImpl(x: ArrayData, fn: String): Double = {
     val n = x.numElements()
     var amax = 0.0d
     var i = 0
     while (i < n) {
       if (x.isNullAt(i))
-        throw new IllegalArgumentException(
-          s"float_abs_max: null element at $i")
+        throw new IllegalArgumentException(s"$fn: null element at $i")
       val v = math.abs(x.getFloat(i).toDouble)
       if (v > amax) amax = v
       i += 1
@@ -388,9 +389,11 @@ object Sq8Kernel {
     amax
   }
 
+  def absMax(x: ArrayData): Double = absMaxImpl(x, "float_abs_max")
+
   def encode(x: ArrayData): ArrayData = {
     val n = x.numElements()
-    val amax = absMax(x)
+    val amax = absMaxImpl(x, "sq8_encode")
     var i = 0
     val out = new Array[Byte](n)
     if (amax > 0.0d) {

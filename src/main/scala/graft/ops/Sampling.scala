@@ -212,8 +212,12 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(score.desc, col(tieBreak).asc)
-    df.withColumn("_pr", percent_rank().over(w))
-      .filter(col("_pr") <= frac)
-      .drop("_pr")
+    // fresh temp name (AsOfJoin/ZOrder discipline): never clobber a user
+    // column that happens to be called _pr
+    val pr = Iterator.iterate("_pr")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    df.withColumn(pr, percent_rank().over(w))
+      .filter(col(pr) <= frac)
+      .drop(pr)
   }
 }

@@ -380,9 +380,12 @@ object SimilarityOps {
         .orderBy(col("qcos").desc, col("vec_id").asc)
       cAssigned.join(pAssigned, Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
+        // zero-norm guard: same contract as sq8TopK
         .withColumn("qcos",
-          VectorExpressions.int8Dot(col("probe_codes"), col("codes"))
-            .cast("double") / (col("probe_qnorm") * col("code_norm")))
+          when(col("probe_qnorm") * col("code_norm") > 0,
+            VectorExpressions.int8Dot(col("probe_codes"), col("codes"))
+              .cast("double") / (col("probe_qnorm") * col("code_norm")))
+            .otherwise(lit(0.0d)))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("probe_id"), col("rank"), col("vec_id"), col("qcos"))
@@ -606,9 +609,14 @@ object SimilarityOps {
       .orderBy(col("qcos").desc, col("vec_id").asc)
     c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
+      // the all-zero vector is a VALID SQ8 input (encodes to all zeros)
+      // but has code_norm 0 — score it 0, don't divide (Spark NULL vs
+      // DuckDB inf/NaN would diverge on the zero-norm rows)
       .withColumn("qcos",
-        VectorExpressions.int8Dot(col("probe_codes"), col("codes"))
-          .cast("double") / (col("probe_norm") * col("code_norm")))
+        when(col("probe_norm") * col("code_norm") > 0,
+          VectorExpressions.int8Dot(col("probe_codes"), col("codes"))
+            .cast("double") / (col("probe_norm") * col("code_norm")))
+          .otherwise(lit(0.0d)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("qcos"))

@@ -91,18 +91,25 @@ object UrlOps {
       order: Seq[Column]): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be > 0, got $maxPerDomain")
     val w = Window.partitionBy(col(domainCol)).orderBy(order: _*)
-    df.withColumn("_graft_rn", row_number().over(w))
-      .filter(col("_graft_rn") <= maxPerDomain)
-      .drop("_graft_rn")
+    // fresh temp name (AsOfJoin/ZOrder discipline): never clobber a user
+    // column that happens to be called _rn
+    val rn = Iterator.iterate("_rn")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= maxPerDomain)
+      .drop(rn)
   }
 
   /** Drop rows whose `hostCol` is on a blocklist. For list-literal
     * blocklists (the common case: O(100)–O(10k) entries) this is a
-    * codegen'd hash-set membership test — no join, no shuffle. */
+    * codegen'd hash-set membership test — no join, no shuffle. NULL
+    * hosts are KEPT (not blocklisted), matching the anti-join overload's
+    * semantics — a bare `!isin` would silently drop them. */
   def hostBlocklistFilter(df: DataFrame, hostCol: String,
       blocked: Seq[String]): DataFrame =
     if (blocked.isEmpty) df
-    else df.filter(!col(hostCol).isin(blocked: _*))
+    else df.filter(
+      coalesce(!col(hostCol).isin(blocked: _*), lit(true)))
 
   /** Blocklist form for large/dynamic deny lists held in a table: a
     * broadcast left-anti join on the host. */

@@ -510,6 +510,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(err.nonEmpty && err.max < 0.05, s"max |qcos-cos| = ${err.max}")
   }
 
+  test("sq8TopK: an all-zero vector scores 0 against everything (never " +
+      "NULL/NaN), in corpus and probe position") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(-1.0f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.sq8TopK(df, df, k = 3)
+      .select("probe_id", "vec_id", "qcos")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 12) // every probe keeps k rows
+    assert(out.forall { case (_, _, q) => !q.isNaN })
+    assert(out.filter(r => r._1 == 1L || r._2 == 1L)
+      .forall(_._3 == 0.0))
+  }
+
   test("IVF-SQ8 index: stores codes not vectors; at nprobe=nlist the " +
       "query equals sq8TopK exactly; pruned at lower nprobe") {
     val path = java.nio.file.Files

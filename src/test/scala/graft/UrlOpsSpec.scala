@@ -111,8 +111,10 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L))
   }
 
-  test("hostBlocklistFilter: literal list and table forms agree") {
-    val df = Seq(("spam.com", 1L), ("ok.org", 2L), ("bad.net", 3L))
+  test("hostBlocklistFilter: literal list and table forms agree, " +
+      "including on NULL hosts (kept by both)") {
+    val df = Seq((Option("spam.com"), 1L), (Option("ok.org"), 2L),
+        (Option("bad.net"), 3L), (Option.empty[String], 4L))
       .toDF("host", "id")
     val blocked = Seq("spam.com", "bad.net")
     val viaList = UrlOps.hostBlocklistFilter(df, "host", blocked)
@@ -120,6 +122,13 @@ class UrlOpsSpec extends AnyFunSuite {
     val viaTable = UrlOps.hostBlocklistFilter(df, "host",
         blocked.toDF("bhost"), "bhost")
       .select("id").as[Long].collect().toSet
-    assert(viaList == Set(2L) && viaTable == Set(2L))
+    assert(viaList == Set(2L, 4L) && viaTable == Set(2L, 4L))
+  }
+
+  test("domainCap: does not clobber a pre-existing _rn column") {
+    val df = Seq(("d", 1L, 5, "keepme")).toDF("dom", "id", "score", "_rn")
+    val out = UrlOps.domainCap(df, "dom", 1, Seq(col("score").desc))
+    assert(out.columns.contains("_rn"))
+    assert(out.select("_rn").as[String].head() == "keepme")
   }
 }
