@@ -34,6 +34,8 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfSq8IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, similarity.PqModel]()
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -620,6 +622,22 @@ object LlmQueries {
           t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3,
           nprobe = 16, quantized = true)
         .withColumn("qcos", round(col("qcos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: product-quantization ADC top-k — 16-byte codes per
+    //    64-dim vector (16× vs float32), candidates scored with m table
+    //    reads each. Codebooks train deterministically on a bounded
+    //    id-ordered sample (no RNG) so rows are stable; scores depend on
+    //    driver-side k-means floats ⇒ rows-only (no DuckDB oracle);
+    //    recall vs the float brute force is spec'd.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModelCache.computeIfAbsent(dir,
+        _ => similarity.ProductQuantizer.train(emb))
+      similarity.ProductQuantizer
+        .adcTopK(emb, emb.filter(col("vec_id") < 5), model, kNN = 3)
+        .withColumn("pqcos", round(col("pqcos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     })
   )

@@ -140,6 +140,52 @@ class KernelSpec extends AnyFunSuite {
         ex.getCause.getMessage.contains("null element"))
   }
 
+  test("PQ kernels: interpreted == codegen; ADC dot == dot against the " +
+    "reconstruction; ties -> lowest centroid; wrong-dim fails loudly") {
+    import graft.functions.{PqExpressions, PqKernel}
+    import graft.functions.PqExpressions.{adcDot, pqEncode, pqLut, pqReconNorm}
+    val m = 2; val k = 3; val dsub = 2
+    // layout (j*k + c)*dsub: subspace 0 books {(0,0),(1,1),(2,2)},
+    // subspace 1 books {(0,1),(1,0),(5,5)}
+    val cents = Array(0f, 0f, 1f, 1f, 2f, 2f, 0f, 1f, 1f, 0f, 5f, 5f)
+    val normSq = Array(0.0, 2.0, 8.0, 1.0, 1.0, 50.0)
+    val v = Seq(0.9f, 1.1f, 1.2f, 0.1f)
+    val codesInterp = PqKernel.encode(floatArr(v), m, k, dsub, cents)
+      .toByteArray().toSeq
+    val codesDf = Seq(Tuple1(v)).toDF("v")
+      .select(pqEncode($"v", m, k, dsub, cents)).as[Seq[Byte]].head()
+    assert(codesInterp == codesDf)
+    assert(codesDf == Seq(1.toByte, 1.toByte)) // nearest: (1,1) and (1,0)
+    val lutInterp = PqKernel.lut(floatArr(v), m, k, dsub, cents)
+      .toDoubleArray().toSeq
+    val lutDf = Seq(Tuple1(v)).toDF("v")
+      .select(pqLut($"v", m, k, dsub, cents)).as[Seq[Double]].head()
+    assert(lutInterp == lutDf && lutDf.length == m * k)
+    // ADC dot == ⟨v, reconstruction⟩ (subspace sums reassociate, so
+    // compare within float tolerance)
+    val adc = Seq((v, codesDf)).toDF("v", "c")
+      .select(adcDot(pqLut($"v", m, k, dsub, cents), $"c", k))
+      .as[Double].head()
+    val recon = Seq(1.0, 1.0, 1.0, 0.0) // cent(0,1) ++ cent(1,1)
+    val direct = v.map(_.toDouble).zip(recon).map { case (a, b) => a * b }.sum
+    assert(math.abs(adc - direct) < 1e-9)
+    // reconstruction norm from the squared-norm table
+    val rn = Seq(Tuple1(codesDf)).toDF("c")
+      .select(pqReconNorm($"c", k, normSq)).as[Double].head()
+    assert(math.abs(rn - math.sqrt(2.0 + 1.0)) < 1e-12)
+    // exact tie (0.5,0.5) between books 0 and 1 -> lowest index wins
+    val tie = PqKernel.encode(floatArr(Seq(0.5f, 0.5f, 0f, 1f)),
+      m, k, dsub, cents).toByteArray()
+    assert(tie(0) == 0.toByte && tie(1) == 0.toByte)
+    // wrong dimensionality is an error, not silence
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Seq(1.0f))).toDF("v")
+        .select(pqEncode($"v", m, k, dsub, cents)).collect()
+    }
+    assert(ex.getMessage.contains("pq_encode") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("pq_encode"))
+  }
+
   test("DeflateRatio: interpreted == codegen; repetition compresses " +
     "below random text; empty/null safe") {
     import graft.functions.{CompressExpression, CompressKernel}

@@ -525,6 +525,29 @@ class LlmOpsSpec extends AnyFunSuite {
       .forall(_._3 == 0.0))
   }
 
+  test("PQ: training is deterministic (no RNG); ADC top-k recall vs " +
+      "float brute force; scores within coarse quantization error") {
+    val probes = emb001.filter($"vec_id" < 20)
+    val brute = SimilarityOps.bruteForceTopK(emb001, probes, 3)
+    val bruteSet = brute.select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val model = similarity.ProductQuantizer.train(emb001)
+    val model2 = similarity.ProductQuantizer.train(emb001)
+    assert(model.m == model2.m && model.k == model2.k &&
+      model.centroids.sameElements(model2.centroids))
+    val pq = similarity.ProductQuantizer.adcTopK(emb001, probes, model, 3)
+    val pqSet = pq.select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    // deterministic pipeline + deterministic data -> a fixed recall
+    // (0.75 measured); 0.7 leaves margin only for float-platform drift
+    val recall = (bruteSet & pqSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.7, s"pq recall@3 = $recall")
+    // PQ is coarser than SQ8 (16 bytes vs 64): scores track true cosine
+    // loosely but must stay in-range and non-null
+    val scores = pq.select("pqcos").as[Double].collect()
+    assert(scores.forall(s => !s.isNaN && s >= -1.5 && s <= 1.5))
+  }
+
   test("IVF-SQ8 index: stores codes not vectors; at nprobe=nlist the " +
       "query equals sq8TopK exactly; pruned at lower nprobe") {
     val path = java.nio.file.Files
