@@ -639,6 +639,26 @@ object LlmQueries {
         .adcTopK(emb, emb.filter(col("vec_id") < 5), model, kNN = 3)
         .withColumn("pqcos", round(col("pqcos"), 6))
         .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: deterministic global shuffle — the seeded md5 order that
+    //    decorrelates training batches from crawl order, reproducibly.
+    //    One range exchange + local sorts at scale. Full oracle.
+    "q_global_shuffle" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ops.Sampling.shuffleKey(col("doc_id"), "train-shuffle")
+            .as("skey"))
+        .orderBy(col("skey"), col("doc_id"))
+    }),
+
+    // -- [EXT]: training-shard assignment — seeded-hash shard in [0,8);
+    //    pure function of (seed, id) so incremental builds never move
+    //    existing rows. Narrow projection. Full oracle.
+    "q_shard_assign" -> ((s, dir) => {
+      graft.ops.Sampling.shardAssign(t(s, dir, "documents"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1397,6 +1417,19 @@ object LlmQueries {
         |  CASE WHEN d.m = '' THEN d.host ELSE d.m END AS domain
         |FROM s9 JOIN d ON s9.doc_id = d.doc_id
         |ORDER BY s9.doc_id""".stripMargin,
+
+    // Seeded md5 global shuffle order.
+    "q_global_shuffle" ->
+      """SELECT doc_id,
+        |  md5('train-shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+        |FROM documents ORDER BY skey, doc_id""".stripMargin,
+
+    // Seeded-hash shard assignment (8 hex digits need BIGINT).
+    "q_shard_assign" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+        |    1, 8))::BIGINT % 8 AS INTEGER) AS shard
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Per-domain cap: keep the 5 longest docs per source.
     "q_domain_cap" ->

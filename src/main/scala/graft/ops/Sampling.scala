@@ -206,6 +206,35 @@ object Sampling {
     * deterministic and engine-portable. One shuffle on the group key;
     * a huge group = one sorted partition, so for million-row groups
     * pre-aggregate or shard the way [[stratified]] does. */
+  /** Deterministic pseudo-random sort key for `id` under `seed` — the
+    * engine-portable stand-in for `rand()`-ordering: same seed ⇒ same
+    * permutation on every engine, every retry. */
+  def shuffleKey(id: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), id.cast("string")))
+
+  /** Deterministic global shuffle — training corpora are written in a
+    * pseudo-random order so batches decorrelate from crawl/source order,
+    * and a seeded md5 order makes that reproducible run-to-run (resume,
+    * re-shard, or audit a batch composition months later). At scale this
+    * is Spark's sort machinery: one range-partitioned exchange + local
+    * sorts, no single-task bottleneck. Tie-break on `idCol` keeps the
+    * order total even under (astronomically unlikely) digest collisions. */
+  def globalShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.orderBy(shuffleKey(col(idCol), seed).asc, col(idCol).asc)
+
+  /** Assign each row a shard in [0, numShards) by seeded hash — the
+    * write-side partitioner for training shards (`.write.partitionBy` or
+    * `repartition(col)` on the result). Pure function of (seed, id):
+    * adding rows never moves existing ones between shards, so shards can
+    * be built incrementally. Narrow projection, no shuffle. */
+  def shardAssign(df: DataFrame, idCol: String, numShards: Int,
+      seed: String = "shard"): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    df.withColumn("shard",
+      (conv(substring(shuffleKey(col(idCol), seed), 1, 8), 16, 10)
+        .cast("long") % numShards).cast("int"))
+  }
+
   def topFractionPerGroup(df: DataFrame, groupCol: String, score: Column,
       tieBreak: String, frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")

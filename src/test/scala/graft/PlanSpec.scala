@@ -196,11 +196,16 @@ class PlanSpec extends AnyFunSuite {
     // centroids): per-row fan-out is bounded by the broadcast size, so
     // the scan stays linear in the corpus — the scale dimension. What
     // must never appear is the unbounded data-x-data form.
-    Seq("q_contamination", "q_cosine_topk", "q_ivf_topk").foreach { q =>
+    Seq("q_contamination", "q_cosine_topk", "q_ivf_topk",
+        "q_sq8_topk", "q_pq_topk").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went Cartesian:\n$p")
       assert(p.contains("BroadcastNestedLoopJoin") || !p.contains("NestedLoop"),
         s"$q has a non-broadcast nested loop:\n$p")
+    }
+    // the quantized/ADC brute forms keep the rank-k map-side bound
+    Seq("q_sq8_topk", "q_pq_topk").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"), s"$q rank not thinned")
     }
   }
 

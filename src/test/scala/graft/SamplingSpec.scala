@@ -117,4 +117,34 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(top0 == Set(1L, 11L), "frac=0 keeps the single best row (pr=0)")
   }
+
+  test("globalShuffle: a permutation (no rows gained/lost), stable under " +
+      "re-run, different under a different seed") {
+    val df = (1L to 200L).toDF("id")
+    val s1 = Sampling.globalShuffle(df, "id", "seedA")
+      .select("id").as[Long].collect().toSeq
+    assert(s1.sorted == (1L to 200L))
+    assert(s1 != (1L to 200L), "seeded order should not be identity")
+    val again = Sampling.globalShuffle(df, "id", "seedA")
+      .select("id").as[Long].collect().toSeq
+    assert(s1 == again)
+    val s2 = Sampling.globalShuffle(df, "id", "seedB")
+      .select("id").as[Long].collect().toSeq
+    assert(s1 != s2)
+  }
+
+  test("shardAssign: shards in range, stable as rows are added, roughly " +
+      "balanced") {
+    val df = (1L to 1000L).toDF("id")
+    val shards = Sampling.shardAssign(df, "id", 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(shards.values.forall(s => s >= 0 && s < 8))
+    // incremental build: the first half's assignments are unchanged
+    val firstHalf = Sampling.shardAssign((1L to 500L).toDF("id"), "id", 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(firstHalf.forall { case (id, s) => shards(id) == s })
+    val counts = shards.values.groupBy(identity).map(_._2.size)
+    assert(counts.size == 8 && counts.min > 1000 / 8 / 2,
+      s"shard balance off: $counts")
+  }
 }
