@@ -36,6 +36,8 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val pqModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, similarity.PqModel]()
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -637,6 +639,28 @@ object LlmQueries {
         _ => similarity.ProductQuantizer.train(emb))
       similarity.ProductQuantizer
         .adcTopK(emb, emb.filter(col("vec_id") < 5), model, kNN = 3)
+        .withColumn("pqcos", round(col("pqcos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
+    // -- [EXT]: IVF-PQ — the FAISS billion-scale workhorse: coarse cells
+    //    as partition directories (pruned at file-listing time) holding
+    //    PQ codes; probed cells score by ADC. nprobe=nlist here ⇒ equals
+    //    q_pq_topk (spec'd bit-exact); rows-only like the other
+    //    trained-ANN rows.
+    "q_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pqModelCache.computeIfAbsent(dir,
+        _ => similarity.ProductQuantizer.train(emb))
+      val path = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_ivfpqidx").toString
+        similarity.ProductQuantizer.ivfPqBuildIndex(emb, p, model,
+          nlist = 16)
+        p
+      })
+      similarity.ProductQuantizer.ivfPqTopKIndexed(s, path,
+          emb.filter(col("vec_id") < 5), kNN = 3, nprobe = 16)
         .withColumn("pqcos", round(col("pqcos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),

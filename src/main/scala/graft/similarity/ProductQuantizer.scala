@@ -141,15 +141,30 @@ object ProductQuantizer {
     * [[SimilarityOps.sq8TopK]]. Rank ≤ kNN → WindowGroupLimit. */
   def adcTopK(corpus: DataFrame, probes: DataFrame, model: PqModel,
       kNN: Int, idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
-    val c = encode(corpus, model, idCol, vecCol)
-    val p = probes.select(col(idCol).as("probe_id"),
+      : DataFrame =
+    adcScore(encode(corpus, model, idCol, vecCol),
+      probeSide(probes, model, idCol, vecCol), model, kNN)
+
+  /** `(probe_id, lut, probe_norm)` — the broadcastable probe payload. */
+  private def probeSide(probes: DataFrame, model: PqModel, idCol: String,
+      vecCol: String): DataFrame =
+    probes.select(col(idCol).as("probe_id"),
       PqExpressions.pqLut(col(vecCol), model.m, model.k, model.dsub,
         model.centroids).as("lut"),
       SimilarityOps.norm(col(vecCol)).as("probe_norm"))
+
+  /** ADC-cosine rank-k of encoded candidates against probe payloads —
+    * shared by the brute scan and the IVF-PQ index path. `enc` must
+    * carry (vec_id, pq_codes, recon_norm) (+ any join keys already
+    * applied); `p` is broadcast. */
+  private def adcScore(enc: DataFrame, p: DataFrame, model: PqModel,
+      kNN: Int, joinKeys: Seq[String] = Nil): DataFrame = {
+    val joined =
+      if (joinKeys.isEmpty) enc.crossJoin(broadcast(p))
+      else enc.join(broadcast(p), joinKeys)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("pqcos").desc, col("vec_id").asc)
-    c.crossJoin(broadcast(p))
+    joined
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("pqcos",
         when(col("probe_norm") * col("recon_norm") > 0,
@@ -159,5 +174,69 @@ object ProductQuantizer {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("pqcos"))
+  }
+
+  /** BUILD the IVF-PQ layout — the FAISS workhorse at billion scale:
+    * coarse IVF cells as parquet partition directories (probed cells
+    * prune at file-listing time, the [[SimilarityOps.ivfBuildIndex]]
+    * contract) holding PQ codes instead of vectors (m bytes + one double
+    * per vector). Writes `<path>/centroids` (coarse, float),
+    * `<path>/pq_model` (the codebooks, one row), and
+    * `<path>/index/cell=<id>/(vec_id, pq_codes, recon_norm)`. */
+  def ivfPqBuildIndex(corpus: DataFrame, path: String, model: PqModel,
+      nlist: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", lloydIters: Int = 1): Unit = {
+    import corpus.sparkSession.implicits._
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      SimilarityOps.norm(col(vecCol)).as("vec_norm"))
+      .localCheckpoint(false)
+    val cents = SimilarityOps.ivfCentroids(c, nlist, lloydIters)
+      .localCheckpoint(false)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((model.m, model.k, model.dsub, model.centroids.toSeq))
+      .toDF("m", "k", "dsub", "centroids")
+      .write.mode("overwrite").parquet(s"$path/pq_model")
+    SimilarityOps.ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
+      .select(col("vec_id"),
+        PqExpressions.pqEncode(col("vec"), model.m, model.k, model.dsub,
+          model.centroids).as("pq_codes"), col("cell"))
+      .withColumn("recon_norm",
+        PqExpressions.pqReconNorm(col("pq_codes"), model.k, model.normSq))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/index")
+  }
+
+  /** Read back the codebooks persisted by [[ivfPqBuildIndex]]. */
+  def readModel(spark: org.apache.spark.sql.SparkSession, path: String)
+      : PqModel = {
+    val r = spark.read.parquet(s"$path/pq_model").head()
+    PqModel(r.getAs[Int]("m"), r.getAs[Int]("k"), r.getAs[Int]("dsub"),
+      r.getAs[Seq[Float]]("centroids").toArray)
+  }
+
+  /** Query the [[ivfPqBuildIndex]] layout: coarse probe assignment on
+    * the float centroids picks nprobe cells per probe; the scan prunes
+    * to those cell directories; candidates score by ADC. At nprobe =
+    * nlist this equals [[adcTopK]] exactly (spec'd). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, kNN: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val model = readModel(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val pFloat = probes.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"),
+      SimilarityOps.norm(col(vecCol)).as("probe_norm"))
+      .localCheckpoint(false)
+    val pAssigned = SimilarityOps.ivfAssign(cents)(pFloat, "probe_id",
+      "probe_vec", "probe_norm", nprobe)
+    val probeCells = pAssigned.select(col("cell")).distinct()
+      .collect().map(_.get(0))
+    val enc = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .select(col("vec_id"), col("pq_codes"), col("recon_norm"),
+        col("cell").cast("long").as("cell"))
+    val p = pAssigned.select(col("cell"), col("probe_id"))
+      .join(probeSide(probes, model, idCol, vecCol), Seq("probe_id"))
+    adcScore(enc, p, model, kNN, joinKeys = Seq("cell"))
   }
 }

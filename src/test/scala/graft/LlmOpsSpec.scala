@@ -548,6 +548,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(scores.forall(s => !s.isNaN && s >= -1.5 && s <= 1.5))
   }
 
+  test("IVF-PQ index: model round-trips; at nprobe=nlist the query " +
+      "equals adcTopK exactly; pruned nprobe still returns k per probe") {
+    val model = similarity.ProductQuantizer.train(emb001)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_spec").toString
+    similarity.ProductQuantizer.ivfPqBuildIndex(emb001, path, model,
+      nlist = 8)
+    val back = similarity.ProductQuantizer.readModel(spark, path)
+    assert(back.m == model.m && back.k == model.k &&
+      back.dsub == model.dsub &&
+      back.centroids.sameElements(model.centroids))
+    val probes = emb001.filter($"vec_id" < 10)
+    val viaIdx = similarity.ProductQuantizer
+      .ivfPqTopKIndexed(spark, path, probes, 3, nprobe = 8)
+      .select("probe_id", "rank", "vec_id", "pqcos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = similarity.ProductQuantizer.adcTopK(emb001, probes, model, 3)
+      .select("probe_id", "rank", "vec_id", "pqcos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaIdx == brute)
+    val pruned = similarity.ProductQuantizer
+      .ivfPqTopKIndexed(spark, path, probes, 3, nprobe = 2)
+      .select("probe_id").as[Long].collect()
+    assert(pruned.toSet.size == 10 && pruned.length == 30)
+  }
+
   test("IVF-SQ8 index: stores codes not vectors; at nprobe=nlist the " +
       "query equals sq8TopK exactly; pruned at lower nprobe") {
     val path = java.nio.file.Files
