@@ -568,10 +568,17 @@ class LlmOpsSpec extends AnyFunSuite {
       .select("probe_id", "rank", "vec_id", "pqcos")
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(viaIdx == brute)
-    val pruned = similarity.ProductQuantizer
+    val prunedDf = similarity.ProductQuantizer
       .ivfPqTopKIndexed(spark, path, probes, 3, nprobe = 2)
-      .select("probe_id").as[Long].collect()
+    val pruned = prunedDf.select("probe_id").as[Long].collect()
     assert(pruned.toSet.size == 10 && pruned.length == 30)
+    // codes scan must prune on the cell partition column at file-listing
+    // time (the ivfTopKIndexed contract)
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/index"))
+    assert(scanLine.nonEmpty && scanLine.get.contains("PartitionFilters: [cell"),
+      s"IVF-PQ scan must prune on cell:\n${scanLine.getOrElse(plan)}")
   }
 
   test("IVF-SQ8 index: stores codes not vectors; at nprobe=nlist the " +
@@ -598,13 +605,20 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(viaIdx == brute)
     // low nprobe still returns k rows per probe with sane recall
-    val pruned = SimilarityOps.ivfTopKIndexed(spark, path, probes, 3,
+    val prunedDf = SimilarityOps.ivfTopKIndexed(spark, path, probes, 3,
         nprobe = 2, quantized = true)
+    val pruned = prunedDf
       .select("probe_id", "vec_id").as[(Long, Long)].collect()
     assert(pruned.map(_._1).distinct.length == 10)
     val recall = (pruned.toSet &
       brute.map(r => (r._1, r._3)).toSet).size.toDouble / brute.size
     assert(recall > 0.3, s"nprobe=2 recall = $recall")
+    // the quantized index scan prunes on cell like the float form
+    val plan = prunedDf.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("/index"))
+    assert(scanLine.nonEmpty && scanLine.get.contains("PartitionFilters: [cell"),
+      s"IVF-SQ8 scan must prune on cell:\n${scanLine.getOrElse(plan)}")
   }
 
   test("TopKAggregator: identical results to the window-based bruteForceTopK") {
