@@ -324,6 +324,29 @@ class StreamingSpec extends AnyFunSuite {
       "src1 filtered by the static weight, srcX dropped by the inner join")
   }
 
+  test("streaming shard assignment: stateless seeded-hash shards match " +
+      "the batch operator across micro-batches") {
+    import spark.implicits._
+    val mem = MemoryStream[Long](spark)
+    val sink = nextSink()
+    val q = graft.ops.Sampling
+      .shardAssign(mem.toDF.toDF("doc_id"), "doc_id", 4)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    mem.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    mem.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sink)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val batch = graft.ops.Sampling
+      .shardAssign((1L to 5L).toDF("doc_id"), "doc_id", 4)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    assert(streamed == batch,
+      "a row's shard must not depend on which micro-batch carried it")
+  }
+
   test("T6 streaming dedup within watermark drops duplicate keys") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
