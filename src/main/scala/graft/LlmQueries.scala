@@ -1442,16 +1442,19 @@ object LlmQueries {
         |FROM s9 JOIN d ON s9.doc_id = d.doc_id
         |ORDER BY s9.doc_id""".stripMargin,
 
-    // Seeded md5 global shuffle order.
+    // Seeded md5 global shuffle order (NULL-id sentinel mirrors
+    // Sampling.shuffleKey).
     "q_global_shuffle" ->
       """SELECT doc_id,
-        |  md5('train-shuffle:' || CAST(doc_id AS VARCHAR)) AS skey
+        |  md5('train-shuffle:' ||
+        |    coalesce(CAST(doc_id AS VARCHAR), ' null')) AS skey
         |FROM documents ORDER BY skey, doc_id""".stripMargin,
 
     // Seeded-hash shard assignment (8 hex digits need BIGINT).
     "q_shard_assign" ->
       """SELECT doc_id,
-        |  CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+        |  CAST(('0x' || substr(md5('shard:' ||
+        |    coalesce(CAST(doc_id AS VARCHAR), ' null')),
         |    1, 8))::BIGINT % 8 AS INTEGER) AS shard
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -198,19 +198,16 @@ object Sampling {
         col("_grank") <= floor(fraction * (col("_n") - 1)) + 1)
       .drop("_grank", "_n")
 
-  /** SCORE-ordered top fraction per group — "keep the best 30% per
-    * source", the relative-threshold quality gate (an absolute cut like
-    * `quality >= 0.5` keeps different volumes per domain; a percentile
-    * cut keeps the SHAPE of the mix). `percent_rank() <= frac` over
-    * (score desc, tieBreak asc); the tie-break makes the kept set
-    * deterministic and engine-portable. One shuffle on the group key;
-    * a huge group = one sorted partition, so for million-row groups
-    * pre-aggregate or shard the way [[stratified]] does. */
   /** Deterministic pseudo-random sort key for `id` under `seed` — the
     * engine-portable stand-in for `rand()`-ordering: same seed ⇒ same
-    * permutation on every engine, every retry. */
+    * permutation on every engine, every retry. NULL ids hash via the
+    * [[withShard]] sentinel (a bare concat_ws would silently SKIP the
+    * null and collapse to md5(seed), diverging from SQL `||` semantics);
+    * all NULL ids share one key, so keys are expected unique for full
+    * determinism. */
   def shuffleKey(id: Column, seed: String): Column =
-    md5(concat_ws(":", lit(seed), id.cast("string")))
+    md5(concat_ws(":", lit(seed),
+      coalesce(id.cast("string"), lit(" null"))))
 
   /** Deterministic global shuffle — training corpora are written in a
     * pseudo-random order so batches decorrelate from crawl/source order,
@@ -235,6 +232,14 @@ object Sampling {
         .cast("long") % numShards).cast("int"))
   }
 
+  /** SCORE-ordered top fraction per group — "keep the best 30% per
+    * source", the relative-threshold quality gate (an absolute cut like
+    * `quality >= 0.5` keeps different volumes per domain; a percentile
+    * cut keeps the SHAPE of the mix). `percent_rank() <= frac` over
+    * (score desc, tieBreak asc); the tie-break makes the kept set
+    * deterministic and engine-portable. One shuffle on the group key;
+    * a huge group = one sorted partition, so for million-row groups
+    * pre-aggregate or shard the way [[stratified]] does. */
   def topFractionPerGroup(df: DataFrame, groupCol: String, score: Column,
       tieBreak: String, frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")

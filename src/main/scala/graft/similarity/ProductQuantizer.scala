@@ -187,23 +187,21 @@ object ProductQuantizer {
       nlist: Int = 16, idCol: String = "vec_id",
       vecCol: String = "embedding", lloydIters: Int = 1): Unit = {
     import corpus.sparkSession.implicits._
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      SimilarityOps.norm(col(vecCol)).as("vec_norm"))
-      .localCheckpoint(false)
-    val cents = SimilarityOps.ivfCentroids(c, nlist, lloydIters)
-      .localCheckpoint(false)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
     Seq((model.m, model.k, model.dsub, model.centroids.toSeq))
       .toDF("m", "k", "dsub", "centroids")
       .write.mode("overwrite").parquet(s"$path/pq_model")
-    SimilarityOps.ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
-      .select(col("vec_id"),
-        PqExpressions.pqEncode(col("vec"), model.m, model.k, model.dsub,
-          model.centroids).as("pq_codes"), col("cell"))
-      .withColumn("recon_norm",
-        PqExpressions.pqReconNorm(col("pq_codes"), model.k, model.normSq))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/index")
+    // the cell layout itself (checkpoint discipline, centroid write,
+    // partitionBy) is owned by SimilarityOps.ivfWriteIndex — the PQ
+    // codec only supplies its stored payload
+    SimilarityOps.ivfWriteIndex(corpus, path, nlist, lloydIters, idCol,
+        vecCol) { assigned =>
+      assigned.select(col("vec_id"),
+          PqExpressions.pqEncode(col("vec"), model.m, model.k, model.dsub,
+            model.centroids).as("pq_codes"), col("cell"))
+        .withColumn("recon_norm",
+          PqExpressions.pqReconNorm(col("pq_codes"), model.k,
+            model.normSq))
+    }
   }
 
   /** Read back the codebooks persisted by [[ivfPqBuildIndex]]. */
@@ -222,21 +220,25 @@ object ProductQuantizer {
       path: String, probes: DataFrame, kNN: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val model = readModel(spark, path)
-    val cents = spark.read.parquet(s"$path/centroids")
     val pFloat = probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("probe_vec"),
       SimilarityOps.norm(col(vecCol)).as("probe_norm"))
-      .localCheckpoint(false)
-    val pAssigned = SimilarityOps.ivfAssign(cents)(pFloat, "probe_id",
-      "probe_vec", "probe_norm", nprobe)
-    val probeCells = pAssigned.select(col("cell")).distinct()
-      .collect().map(_.get(0))
-    val enc = spark.read.parquet(s"$path/index")
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .localCheckpoint(false) // feeds cell assignment AND the LUT side
+    val (pAssigned, idx) =
+      SimilarityOps.ivfProbeScaffold(spark, path, pFloat, nprobe)
+    // candidates pick up probe_id from the THIN (cell, probe_id)
+    // assignment; the m·k-double LUTs ride a separate broadcast keyed by
+    // probe_id, shipping each LUT ONCE instead of once per probed cell —
+    // and the LUT projection reuses the checkpointed pFloat rather than
+    // re-running the probe source plan
+    val enc = idx
       .select(col("vec_id"), col("pq_codes"), col("recon_norm"),
-        col("cell").cast("long").as("cell"))
-    val p = pAssigned.select(col("cell"), col("probe_id"))
-      .join(probeSide(probes, model, idCol, vecCol), Seq("probe_id"))
-    adcScore(enc, p, model, kNN, joinKeys = Seq("cell"))
+        col("cell"))
+      .join(pAssigned.select(col("cell"), col("probe_id")), Seq("cell"))
+    val p = pFloat.select(col("probe_id"),
+      PqExpressions.pqLut(col("probe_vec"), model.m, model.k, model.dsub,
+        model.centroids).as("lut"),
+      col("probe_norm"))
+    adcScore(enc, p, model, kNN, joinKeys = Seq("probe_id"))
   }
 }

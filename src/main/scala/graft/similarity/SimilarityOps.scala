@@ -316,32 +316,67 @@ object SimilarityOps {
     * Layout: `<path>/index/cell=<id>/...` (vec_id, vec, vec_norm rows —
     * norms persisted so queries never recompute them) and
     * `<path>/centroids` (nlist rows). */
-  def ivfBuildIndex(corpus: DataFrame, path: String, nlist: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      lloydIters: Int = 1, quantized: Boolean = false): Unit = {
+  /** ONE owner of the coarse-cell index layout (`<path>/centroids` +
+    * `<path>/index/cell=<id>/...`) shared by the flat, SQ8, and PQ index
+    * builders — `payload` maps the assigned `(vec_id, vec, vec_norm,
+    * cell)` rows to whatever the codec stores per vector (`cell` must
+    * survive). The checkpoint discipline (corpus projection feeds Lloyd
+    * passes AND the final assignment; centroids written once and reused)
+    * lives here so the three codecs cannot drift. */
+  private[similarity] def ivfWriteIndex(corpus: DataFrame, path: String,
+      nlist: Int, lloydIters: Int, idCol: String, vecCol: String)(
+      payload: DataFrame => DataFrame): Unit = {
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
-      .localCheckpoint(false) // feeds Lloyd passes AND the final assignment
+      .localCheckpoint(false)
     val cents = ivfCentroids(c, nlist, lloydIters)
-      .localCheckpoint(false) // written once, reused for the assignment
+      .localCheckpoint(false)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1)
+    payload(ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/index")
+  }
+
+  /** ONE owner of the query-side cell pruning contract: assign the
+    * (already-projected, checkpointed) probe batch to its nprobe cells,
+    * collect the candidate cells (≤ nprobe × |probes| — probes are small
+    * by the ANN-query contract) into an `IN` filter on the PARTITION
+    * column so the scan lists only those directories, and normalize the
+    * partition value back to the centroid id type AFTER the pruning
+    * filter (partition-directory values infer as int when they fit).
+    * Returns (probe assignment, pruned index scan). */
+  private[similarity] def ivfProbeScaffold(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      pFloat: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val pAssigned = ivfAssign(cents)(pFloat, "probe_id", "probe_vec",
+      "probe_norm", nprobe)
+    val probeCells = pAssigned.select(col("cell")).distinct()
+      .collect().map(_.get(0))
+    val idx = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    (pAssigned, idx)
+  }
+
+  def ivfBuildIndex(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lloydIters: Int = 1, quantized: Boolean = false): Unit =
     // quantized = the IVF-SQ8 layout: int8 codes instead of float vectors
     // (4× smaller on disk AND in page cache — at 100 TB the probed cells'
     // residency is the query-latency budget), scored in the int8 domain
     // where the per-vector scales cancel out of cosine.
-    val rows =
-      if (quantized)
-        assigned.select(col("vec_id"),
-            VectorExpressions.sq8Encode(col("vec")).as("codes"),
-            col("cell"))
-          .withColumn("code_norm",
-            sqrt(VectorExpressions.int8Dot(col("codes"), col("codes"))
-              .cast("double")))
-      else assigned
-    rows.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/index")
-  }
+    ivfWriteIndex(corpus, path, nlist, lloydIters, idCol, vecCol) {
+      assigned =>
+        if (quantized)
+          assigned.select(col("vec_id"),
+              VectorExpressions.sq8Encode(col("vec")).as("codes"),
+              col("cell"))
+            .withColumn("code_norm",
+              sqrt(VectorExpressions.int8Dot(col("codes"), col("codes"))
+                .cast("double")))
+        else assigned
+    }
 
   /** Query a persisted [[ivfBuildIndex]] layout. The probe batch's
     * candidate cells collect to the driver (≤ nprobe × |probes| longs —
@@ -353,32 +388,26 @@ object SimilarityOps {
       probes: DataFrame, k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       quantized: Boolean = false): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
       .localCheckpoint(false) // assignment runs twice: cells + scoring
-    val probeCells = ivfAssign(cents)(p, "probe_id", "probe_vec",
-        "probe_norm", nprobe)
-      .select(col("cell")).distinct().collect().map(_.get(0))
-    val idx = spark.read.parquet(s"$path/index")
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val (pAssigned, idx) = ivfProbeScaffold(spark, path, p, nprobe)
     if (quantized) {
       // probe assignment stays float (centroids are float either way);
       // candidate scoring runs in the int8 domain against the stored
-      // codes — the probe side encodes once per (probe, probed cell).
-      val pAssigned = ivfAssign(cents)(p, "probe_id", "probe_vec",
-          "probe_norm", nprobe)
-        .select(col("cell"),  col("probe_id"),
+      // codes. Candidates join the THIN (cell, probe_id) assignment
+      // first; the probe codes broadcast once per probe, not per
+      // (probe, cell) (the ivfPqTopKIndexed review lesson).
+      val pCodes = p.select(col("probe_id"),
           VectorExpressions.sq8Encode(col("probe_vec")).as("probe_codes"))
         .withColumn("probe_qnorm",
           sqrt(VectorExpressions
             .int8Dot(col("probe_codes"), col("probe_codes"))
             .cast("double")))
-      val cAssigned = idx.select(col("vec_id"), col("codes"),
-        col("code_norm"), col("cell").cast("long").as("cell"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("qcos").desc, col("vec_id").asc)
-      cAssigned.join(pAssigned, Seq("cell"))
+      idx.join(pAssigned.select(col("cell"), col("probe_id")), Seq("cell"))
+        .join(broadcast(pCodes), Seq("probe_id"))
         .filter(col("vec_id") =!= col("probe_id"))
         // zero-norm guard: same contract as sq8TopK
         .withColumn("qcos",
@@ -390,12 +419,9 @@ object SimilarityOps {
         .filter(col("rank") <= k)
         .select(col("probe_id"), col("rank"), col("vec_id"), col("qcos"))
     } else {
-      val cAssigned = idx
-        // partition-directory values infer as int when they fit; normalize
-        // back to the centroid id type AFTER the pruning filter
-        .select(col("vec_id"), col("vec"), col("vec_norm"),
-          col("cell").cast("long").as("cell"))
-      ivfScore(cAssigned, p, cents, k, nprobe)
+      val cents = spark.read.parquet(s"$path/centroids")
+      ivfScore(idx.select(col("vec_id"), col("vec"), col("vec_norm"),
+        col("cell")), p, cents, k, nprobe)
     }
   }
 
