@@ -199,6 +199,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("UrlOps.normalizeUrl: idempotent — a canonical URL re-normalizes " +
+      "to itself") {
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HtTpS")
+      host <- Gen.oneOf("A.Example.COM", "www.b.org", "X.co.uk")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/P/q", "/a/b/")
+      query <- Gen.oneOf("", "?x=1", "?utm_source=z", "?utm_a=1&x=2",
+        "?x=1&fbclid=q")
+      frag <- Gen.oneOf("", "#top", "#a/b?c")
+    } yield s"$scheme://$host$port$path$query$frag"
+    forAllSampled(Gen.listOfN(30, urlGen), cases = 3) { urls: List[String] =>
+      val once = urls.toDF("u")
+        .select(graft.text.UrlOps.normalizeUrl(col("u")))
+        .as[String].collect()
+      val twice = once.toSeq.toDF("u")
+        .select(graft.text.UrlOps.normalizeUrl(col("u")))
+        .as[String].collect()
+      assert(once.toSeq == twice.toSeq)
+    }
+  }
+
+  test("SQ8: re-encoding the reconstruction is a fixpoint (codes stable)") {
+    import graft.functions.VectorExpressions.sq8Encode
+    val vecGen = Gen.listOfN(16,
+      Gen.chooseNum(-1000, 1000).map(_ / 250.0f))
+    forAllSampled(Gen.listOfN(10, vecGen), cases = 3) { vecs: List[List[Float]] =>
+      val df = vecs.map(v => Tuple1(v)).toDF("v")
+      val codes = df.select(sq8Encode(col("v")).as("c"))
+        .as[Seq[Byte]].collect()
+      // SQ8 is scale-invariant (codes = round(127·x/amax)), so encoding
+      // the code vector itself — the reconstruction divided by its scale
+      // — must return the codes unchanged (amax(codes) = 127 whenever
+      // the input wasn't all-zero; all-zero re-encodes to all-zero)
+      val recon = codes.map(c => Tuple1(c.map(_.toFloat).toSeq)).toSeq
+        .toDF("v")
+      val again = recon
+        .select(sq8Encode(col("v")).as("c")).as[Seq[Byte]].collect()
+      assert(codes.toSeq == again.toSeq)
+    }
+  }
+
   test("ZOrder.layout: pure reshuffle — multiset of rows preserved") {
     forAllSampled(Gen.choose(100, 2000)) { n: Int =>
       val df = spark.range(n).select(
