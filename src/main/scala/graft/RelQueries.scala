@@ -341,6 +341,36 @@ object RelQueries {
         .orderBy(col("user_id"), col("valid_from"), col("src_event_id"))
     }),
 
+    // -- [EXT]: LOCF gap fill — NULLs (synthetically punched into every
+    //    5th event's value; the corpus has no natural NULLs) carry the
+    //    latest preceding per-user observation forward. One key-hash
+    //    exchange; leading NULLs stay NULL.
+    "q_locf" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      graft.ops.TimeSeries.locf(e, "user_id",
+          Seq(col("ts_us").asc, col("event_id").asc), Seq("v"))
+        .select(col("event_id"), col("user_id"),
+          round(col("v"), 6).as("v_filled"))
+        .orderBy(col("event_id"))
+    }),
+
+    // -- [EXT]: linear interpolation between the nearest per-user
+    //    observations (same punched NULLs); edges degrade to carry-
+    //    forward/backward. Forward and backward frames share one
+    //    exchange + sort (PlanSpec).
+    "q_interpolate" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("v",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("value")))
+      graft.ops.TimeSeries.interpolate(e, "user_id", "ts_us",
+          Seq(col("ts_us").asc, col("event_id").asc), "v")
+        .select(col("event_id"), col("user_id"),
+          round(col("v"), 6).as("v_interp"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- [EXT]: skew-safe salted equi-join — facts salted into 8 sub-keys,
     //    the per-key dim replicated once per salt, joined on
     //    (key, salt): a hot key's rows spread over 8 shuffle partitions
@@ -482,6 +512,46 @@ object RelQueries {
         |  coalesce(valid_to, -1) AS valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM scd ORDER BY user_id, valid_from, src_event_id""".stripMargin,
+
+    // LOCF via IGNORE NULLS last_value over the preceding frame.
+    "q_locf" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS v_filled
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // Linear interpolation: v0 + (v1-v0)*(t-t0)/(t1-t0), same double-op
+    // order as the Spark form; edge rows carry forward/backward.
+    "q_interpolate" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |w AS (SELECT event_id, user_id, ts_us, v,
+        |  last_value(v IGNORE NULLS) OVER bk AS v0,
+        |  last_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |    OVER bk AS t0,
+        |  first_value(v IGNORE NULLS) OVER fw AS v1,
+        |  first_value(CASE WHEN v IS NOT NULL THEN ts_us END IGNORE NULLS)
+        |    OVER fw AS t1
+        |  FROM e
+        |  WINDOW bk AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  fw AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL AND t1 != t0 THEN
+        |      v0 + (v1 - v0) * (CAST(ts_us AS DOUBLE) - CAST(t0 AS DOUBLE))
+        |        / (CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE))
+        |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v0
+        |    WHEN v0 IS NOT NULL THEN v0
+        |    ELSE v1 END, 6) AS v_interp
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // Salted join oracle = the plain (unsalted) join: salting must not
     // change the result set.

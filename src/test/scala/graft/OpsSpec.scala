@@ -227,6 +227,39 @@ class OpsSpec extends AnyFunSuite {
     assert(k3.length == 3, "null <-> value flips must open intervals")
   }
 
+  test("TimeSeries.locf: carries last observation forward per key; " +
+      "leading nulls stay null; non-null rows untouched") {
+    val rows = Seq(
+      (1L, 10L, Option(1.0)), (1L, 20L, None), (1L, 30L, None),
+      (1L, 40L, Option(4.0)), (1L, 50L, None),
+      (2L, 5L, None), (2L, 6L, Option(9.0)))
+      .toDF("k", "t", "v")
+    val out = graft.ops.TimeSeries
+      .locf(rows, "k", Seq(col("t").asc), Seq("v"))
+      .orderBy("k", "t").select("v").as[Option[Double]].collect().toSeq
+    assert(out == Seq(Some(1.0), Some(1.0), Some(1.0), Some(4.0),
+      Some(4.0), None, Some(9.0)))
+  }
+
+  test("TimeSeries.interpolate: linear between neighbors; edges carry; " +
+      "all-null key stays null") {
+    val rows = Seq(
+      // key 1: 1.0 @10, null @20, null @25, 4.0 @30
+      (1L, 10L, Option(1.0)), (1L, 20L, None), (1L, 25L, None),
+      (1L, 30L, Option(4.0)),
+      // key 2: leading null backfills, trailing null carries forward
+      (2L, 1L, None), (2L, 2L, Option(5.0)), (2L, 3L, None),
+      // key 3: no observations at all
+      (3L, 7L, None))
+      .toDF("k", "t", "v")
+    val out = graft.ops.TimeSeries
+      .interpolate(rows, "k", "t", Seq(col("t").asc), "v")
+      .orderBy("k", "t").select("v").as[Option[Double]].collect().toSeq
+    // @20: 1 + 3*(20-10)/(30-10) = 2.5 ; @25: 1 + 3*15/20 = 3.25
+    assert(out == Seq(Some(1.0), Some(2.5), Some(3.25), Some(4.0),
+      Some(5.0), Some(5.0), Some(5.0), None))
+  }
+
   test("config parser: full 6-field entity + defaults") {
     val json = """{
       "app_downloads": {

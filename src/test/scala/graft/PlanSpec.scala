@@ -222,6 +222,15 @@ class PlanSpec extends AnyFunSuite {
     assert(windowSorts == 1, s"second window re-sorted, plan:\n$p")
   }
 
+  test("q_interpolate: forward and backward frames share ONE hash " +
+    "exchange and one window sort") {
+    val p = plan("q_interpolate")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+    val windowSorts = "Sort \\[user_id[^\\]]*ts_us".r.findAllIn(p).length
+    assert(windowSorts == 1, s"backward frame re-sorted, plan:\n$p")
+  }
+
   test("q_line_dedup/q_boilerplate: keep-first window thins via " +
     "WindowGroupLimit; all joins hash-based") {
     val p = plan("q_line_dedup")
