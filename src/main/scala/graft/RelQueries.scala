@@ -341,6 +341,26 @@ object RelQueries {
         .orderBy(col("user_id"), col("valid_from"), col("src_event_id"))
     }),
 
+    // -- [EXT]: SCD2 temporal join — every event joined to the history
+    //    interval (from q_scd2's compaction) valid at its timestamp:
+    //    the dimension-history lookup pattern. Equi-anchored on user_id
+    //    (hash join + residual range filter, no nested loop); each fact
+    //    hits exactly one interval by construction.
+    "q_scd2_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = Scd2.scd2(e, "user_id", "ts_us", "event_id",
+        Seq("event_type"))
+      val facts = e.select(col("event_id"), col("user_id"),
+        col("ts_us"), col("event_type").as("fact_type"))
+      Scd2.temporalJoin(facts, dim
+            .select(col("user_id"), col("src_event_id"), col("event_type"),
+              col("valid_from"), col("valid_to")),
+          "user_id", "ts_us")
+        .select(col("event_id"), col("user_id"), col("src_event_id"),
+          col("event_type").as("dim_type"), col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- [EXT]: LOCF gap fill — NULLs (synthetically punched into every
     //    5th event's value; the corpus has no natural NULLs) carry the
     //    latest preceding per-user observation forward. One key-hash
@@ -512,6 +532,30 @@ object RelQueries {
         |  coalesce(valid_to, -1) AS valid_to,
         |  (valid_to IS NULL) AS is_current
         |FROM scd ORDER BY user_id, valid_from, src_event_id""".stripMargin,
+
+    // SCD2 temporal join: rebuild the interval table, then the
+    // equi + range membership join.
+    "q_scd2_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |c AS (SELECT user_id, event_id, event_type, ts_us,
+        |        lag(event_type) OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |      FROM e),
+        |ch AS (SELECT user_id, event_id, event_type, ts_us FROM c
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |scd AS (SELECT user_id, event_id AS src_event_id, event_type,
+        |          ts_us AS valid_from,
+        |          lead(ts_us) OVER (
+        |            PARTITION BY user_id ORDER BY ts_us, event_id)
+        |            AS valid_to
+        |        FROM ch)
+        |SELECT e.event_id, e.user_id, s.src_event_id,
+        |  s.event_type AS dim_type, s.valid_from
+        |FROM e JOIN scd s ON e.user_id = s.user_id
+        |  AND e.ts_us >= s.valid_from
+        |  AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
 
     // LOCF via IGNORE NULLS last_value over the preceding frame.
     "q_locf" ->

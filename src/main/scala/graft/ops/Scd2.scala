@@ -48,4 +48,29 @@ object Scd2 {
       .withColumnRenamed(tieBreak, s"src_$tieBreak")
       .drop(ts)
   }
+
+  /** Join facts to the dimension-history row valid at the fact's time —
+    * the standard warehouse pattern downstream of [[scd2]]: equi on the
+    * dimension key plus the interval predicate
+    * `valid_from <= t < valid_to` (open `valid_to` = current row). The
+    * equi anchor makes this a plain hash/sort-merge join with a residual
+    * range filter — never a nested loop — and each fact matches at most
+    * one interval by [[scd2]]'s construction. Facts whose time precedes
+    * the key's first interval drop out (inner join), matching the
+    * warehouse convention.
+    * @param factTs NUMERIC fact-time column comparable to the dimension's
+    *               `valid_from`/`valid_to` (same unit). */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, key: String,
+      factTs: String): DataFrame = {
+    // fresh temp name (AsOfJoin/ZOrder discipline)
+    val taken = facts.columns.toSet ++ dim.columns.toSet
+    val dimKey = Iterator.iterate("_dim_key")(_ + "_")
+      .dropWhile(taken.contains).next()
+    val d = dim.withColumnRenamed(key, dimKey)
+    facts.join(d,
+        col(key) === col(dimKey) &&
+          col(factTs) >= col("valid_from") &&
+          (col("valid_to").isNull || col(factTs) < col("valid_to")))
+      .drop(dimKey)
+  }
 }

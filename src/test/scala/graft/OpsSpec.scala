@@ -227,6 +227,25 @@ class OpsSpec extends AnyFunSuite {
     assert(k3.length == 3, "null <-> value flips must open intervals")
   }
 
+  test("Scd2.temporalJoin: each fact lands in its valid interval; " +
+      "facts before a key's first interval drop; current row open-ended") {
+    val changes = Seq(
+      (1L, 10L, 101L, "A"), (1L, 30L, 103L, "B"), (1L, 40L, 104L, "A"),
+      (2L, 15L, 201L, "X"))
+      .toDF("pk", "ts", "event_id", "status")
+    val dim = graft.ops.Scd2.scd2(changes, "pk", "ts", "event_id",
+      Seq("status"))
+    val facts = Seq((1000L, 1L, 5L), (1001L, 1L, 10L), (1002L, 1L, 35L),
+        (1003L, 1L, 99L), (1004L, 2L, 15L), (1005L, 3L, 15L))
+      .toDF("fact_id", "pk", "t")
+    val out = graft.ops.Scd2.temporalJoin(facts, dim, "pk", "t")
+      .select("fact_id", "status").as[(Long, String)].collect().toMap
+    // 5 < first interval and pk 3 unknown -> dropped; 10->A, 35->B
+    // (interval [30,40)), 99 -> open current A, 15 -> X
+    assert(out == Map(1001L -> "A", 1002L -> "B", 1003L -> "A",
+      1004L -> "X"))
+  }
+
   test("TimeSeries.locf: carries last observation forward per key; " +
       "leading nulls stay null; non-null rows untouched") {
     val rows = Seq(

@@ -222,6 +222,12 @@ class PlanSpec extends AnyFunSuite {
     assert(windowSorts == 1, s"second window re-sorted, plan:\n$p")
   }
 
+  test("q_scd2_join: equi-anchored interval join stays hash-based") {
+    val p = plan("q_scd2_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"temporal join degenerated:\n$p")
+  }
+
   test("q_interpolate: forward and backward frames share ONE hash " +
     "exchange and one window sort") {
     val p = plan("q_interpolate")
