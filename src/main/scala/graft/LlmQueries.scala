@@ -660,7 +660,8 @@ object LlmQueries {
         p
       })
       similarity.ProductQuantizer.ivfPqTopKIndexed(s, path,
-          emb.filter(col("vec_id") < 5), kNN = 3, nprobe = 16)
+          emb.filter(col("vec_id") < 5), kNN = 3, nprobe = 16,
+          model0 = Some(model))
         .withColumn("pqcos", round(col("pqcos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -673,7 +674,9 @@ object LlmQueries {
         .select(col("doc_id"),
           graft.ops.Sampling.shuffleKey(col("doc_id"), "train-shuffle")
             .as("skey"))
-        .orderBy(col("skey"), col("doc_id"))
+        // nulls-last matches DuckDB's default ASC NULL placement (the
+        // skill-doc NULL-ordering gotcha); skey itself is never null
+        .orderBy(col("skey"), col("doc_id").asc_nulls_last)
     }),
 
     // -- [EXT]: training-shard assignment — seeded-hash shard in [0,8);
@@ -682,7 +685,7 @@ object LlmQueries {
     "q_shard_assign" -> ((s, dir) => {
       graft.ops.Sampling.shardAssign(t(s, dir, "documents"), "doc_id", 8)
         .select(col("doc_id"), col("shard"))
-        .orderBy(col("doc_id"))
+        .orderBy(col("doc_id").asc_nulls_last)
     })
   )
 

@@ -513,15 +513,21 @@ object RelQueries {
         |ORDER BY e.event_id""".stripMargin,
 
     // SCD2: change rows via lag + IS DISTINCT FROM, intervals via lead.
+    // rn = 1 keeps each key's first row unconditionally: with a NULL
+    // first attribute, `NULL IS DISTINCT FROM NULL` is false and the
+    // bare predicate would drop the opening interval that Spark's
+    // lag(struct) <=> struct comparison keeps.
     "q_scd2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |             epoch_us(ts) AS ts_us FROM events),
         |c AS (SELECT user_id, event_id, event_type, ts_us,
         |        lag(event_type) OVER (
-        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+        |        row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
         |      FROM e),
         |ch AS (SELECT user_id, event_id, event_type, ts_us FROM c
-        |       WHERE prev IS DISTINCT FROM event_type),
+        |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |scd AS (SELECT user_id, event_id AS src_event_id, event_type,
         |          ts_us AS valid_from,
         |          lead(ts_us) OVER (
@@ -533,17 +539,19 @@ object RelQueries {
         |  (valid_to IS NULL) AS is_current
         |FROM scd ORDER BY user_id, valid_from, src_event_id""".stripMargin,
 
-    // SCD2 temporal join: rebuild the interval table, then the
-    // equi + range membership join.
+    // SCD2 temporal join: rebuild the interval table (rn = 1 as in
+    // q_scd2's oracle), then the equi + range membership join.
     "q_scd2_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             epoch_us(ts) AS ts_us FROM events),
         |c AS (SELECT user_id, event_id, event_type, ts_us,
         |        lag(event_type) OVER (
-        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+        |        row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
         |      FROM e),
         |ch AS (SELECT user_id, event_id, event_type, ts_us FROM c
-        |       WHERE prev IS DISTINCT FROM event_type),
+        |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |scd AS (SELECT user_id, event_id AS src_event_id, event_type,
         |          ts_us AS valid_from,
         |          lead(ts_us) OVER (

@@ -62,6 +62,17 @@ object Scd2 {
     *               `valid_from`/`valid_to` (same unit). */
   def temporalJoin(facts: DataFrame, dim: DataFrame, key: String,
       factTs: String): DataFrame = {
+    require(dim.columns.contains("valid_from") &&
+      dim.columns.contains("valid_to"),
+      "temporalJoin: dim must carry valid_from/valid_to (an scd2 output)")
+    // the interval columns are referenced unqualified in the predicate;
+    // a fact side carrying the same names would be silently shadowed —
+    // reject it (IntervalJoin's disjointness discipline)
+    require(!facts.columns.contains("valid_from") &&
+      !facts.columns.contains("valid_to"),
+      "temporalJoin: facts must not carry valid_from/valid_to — alias them")
+    require(!dim.columns.contains(factTs),
+      s"temporalJoin: dim must not carry the fact-time column $factTs")
     // fresh temp name (AsOfJoin/ZOrder discipline)
     val taken = facts.columns.toSet ++ dim.columns.toSet
     val dimKey = Iterator.iterate("_dim_key")(_ + "_")

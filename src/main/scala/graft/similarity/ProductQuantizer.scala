@@ -218,8 +218,11 @@ object ProductQuantizer {
     * nlist this equals [[adcTopK]] exactly (spec'd). */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, probes: DataFrame, kNN: Int, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val model = readModel(spark, path)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      // pass the codebooks when the caller already holds them — skips
+      // the per-invocation pq_model parquet read job
+      model0: Option[PqModel] = None): DataFrame = {
+    val model = model0.getOrElse(readModel(spark, path))
     val pFloat = probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("probe_vec"),
       SimilarityOps.norm(col(vecCol)).as("probe_norm"))

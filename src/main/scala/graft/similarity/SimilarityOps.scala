@@ -305,17 +305,6 @@ object SimilarityOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
-  /** BUILD the IVF index as a persisted, cell-partitioned parquet layout —
-    * the 100 TB posture [[ivfTopK]]'s doc promises: at scale the
-    * assignment pass runs ONCE when the index is (re)built, and each
-    * query batch reads only its nprobe/nlist slice of the corpus via parquet
-    * PARTITION PRUNING (cell is a directory partition column, so pruning
-    * happens at file-listing time — no data files outside the probed
-    * cells are even opened).
-    *
-    * Layout: `<path>/index/cell=<id>/...` (vec_id, vec, vec_norm rows —
-    * norms persisted so queries never recompute them) and
-    * `<path>/centroids` (nlist rows). */
   /** ONE owner of the coarse-cell index layout (`<path>/centroids` +
     * `<path>/index/cell=<id>/...`) shared by the flat, SQ8, and PQ index
     * builders — `payload` maps the assigned `(vec_id, vec, vec_norm,
@@ -359,6 +348,18 @@ object SimilarityOps {
     (pAssigned, idx)
   }
 
+  /** BUILD the IVF index as a persisted, cell-partitioned parquet layout —
+    * the 100 TB posture [[ivfTopK]]'s doc promises: at scale the
+    * assignment pass runs ONCE when the index is (re)built, and each
+    * query batch reads only its nprobe/nlist slice of the corpus via
+    * parquet PARTITION PRUNING (cell is a directory partition column, so
+    * pruning happens at file-listing time — no data files outside the
+    * probed cells are even opened).
+    *
+    * Layout: `<path>/index/cell=<id>/...` (float form: vec_id, vec,
+    * vec_norm — norms persisted so queries never recompute them;
+    * quantized form: vec_id, codes, code_norm) and `<path>/centroids`
+    * (nlist rows). */
   def ivfBuildIndex(corpus: DataFrame, path: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       lloydIters: Int = 1, quantized: Boolean = false): Unit =

@@ -238,11 +238,14 @@ class OpsSpec extends AnyFunSuite {
     val facts = Seq((1000L, 1L, 5L), (1001L, 1L, 10L), (1002L, 1L, 35L),
         (1003L, 1L, 99L), (1004L, 2L, 15L), (1005L, 3L, 15L))
       .toDF("fact_id", "pk", "t")
-    val out = graft.ops.Scd2.temporalJoin(facts, dim, "pk", "t")
-      .select("fact_id", "status").as[(Long, String)].collect().toMap
+    val rows = graft.ops.Scd2.temporalJoin(facts, dim, "pk", "t")
+      .select("fact_id", "status").as[(Long, String)].collect().toSeq
+    // at-most-one interval per fact: count BEFORE collapsing to a map
+    // (a boundary regression emitting two rows must fail reliably)
+    assert(rows.length == 4, s"expected 4 joined rows, got $rows")
     // 5 < first interval and pk 3 unknown -> dropped; 10->A, 35->B
     // (interval [30,40)), 99 -> open current A, 15 -> X
-    assert(out == Map(1001L -> "A", 1002L -> "B", 1003L -> "A",
+    assert(rows.toMap == Map(1001L -> "A", 1002L -> "B", 1003L -> "A",
       1004L -> "X"))
   }
 
