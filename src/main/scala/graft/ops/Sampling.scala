@@ -232,6 +232,21 @@ object Sampling {
         .cast("long") % numShards).cast("int"))
   }
 
+  /** Write `df` as the training-shard layout: `<path>/shard=<k>/...`
+    * parquet directories under [[shardAssign]]'s seeded-hash assignment.
+    * Readers address one shard as a directory (partition pruning at
+    * file-listing time — the IVF-index discipline applied to training
+    * data); because the assignment is a pure function of (seed, id),
+    * re-running over a grown corpus rewrites each shard with its rows'
+    * membership unchanged. One exchange on the shard id so each shard
+    * writes from its own tasks rather than every task appending to every
+    * shard directory (numShards × tasks small files otherwise). */
+  def writeShards(df: DataFrame, idCol: String, numShards: Int,
+      path: String, seed: String = "shard"): Unit =
+    shardAssign(df, idCol, numShards, seed)
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** SCORE-ordered top fraction per group — "keep the best 30% per
     * source", the relative-threshold quality gate (an absolute cut like
     * `quality >= 0.5` keeps different volumes per domain; a percentile

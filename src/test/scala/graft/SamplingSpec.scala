@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Sampling
@@ -131,6 +132,27 @@ class SamplingSpec extends AnyFunSuite {
     val s2 = Sampling.globalShuffle(df, "id", "seedB")
       .select("id").as[Long].collect().toSeq
     assert(s1 != s2)
+  }
+
+  test("writeShards: shard=k directories partition-prune and hold " +
+      "exactly shardAssign's rows") {
+    val df = (1L to 300L).toDF("id")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Sampling.writeShards(df, "id", 4, path)
+    val expected = Sampling.shardAssign(df, "id", 4)
+      .filter(col("shard") === 2).select("id").as[Long].collect().toSet
+    val back = spark.read.parquet(path).filter(col("shard") === 2)
+    assert(back.select("id").as[Long].collect().toSet == expected)
+    // the shard filter must prune at file-listing time
+    val plan = back.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("FileScan"))
+    assert(scanLine.nonEmpty &&
+      scanLine.get.contains("PartitionFilters: [") &&
+      scanLine.get.contains("shard"),
+      s"shard read must partition-prune:\n${scanLine.getOrElse(plan)}")
+    // every row landed in exactly one shard directory
+    assert(spark.read.parquet(path).count() == 300L)
   }
 
   test("shardAssign: shards in range, stable as rows are added, roughly " +
