@@ -225,6 +225,30 @@ object RelQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- A3 [EXT]: count-min-sketch frequency scoring — the point-frequency
+    //    member of the mergeable-sketch family (HLL distinct ✓, GK
+    //    quantiles ✓, Bloom membership ✓). One ~1 MB sketch over every
+    //    token occurrence (single map-side-combined aggregate; counter
+    //    adds are exact ⇒ merge-order independent), then each document's
+    //    frequent-token share scores in a MAP-ONLY second pass — no
+    //    vocabulary join, which at 100 TB is a billions-of-rows build side.
+    //    No oracle (sketch internals are engine-specific); the one-sided /
+    //    ε·N error bounds, merge linearity, and the ⊇-of-exact filter
+    //    contract are spec-asserted (SketchSpec).
+    "q_cms_frequent_ratio" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(explode(
+          split(graft.text.TextOps.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val (cms, nTokens) =
+        graft.analytics.Sketches.cmsSketch(terms, col("term"))
+      // corpus-relative threshold: "appears in ≥0.1% of token mass" is
+      // stable across scale factors where an absolute count is not
+      graft.analytics.Sketches.frequentTokenRatio(docs, "doc_id", "text",
+          cms, minCount = math.max(1L, nTokens / 1000))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- A [EXT]: fixed-width histogram/binning — the numeric-profiling
     //    pass (distribution of document lengths); one hash aggregate on
     //    the bin id

@@ -1,0 +1,89 @@
+package graft.analytics
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+import graft.functions.CmsEstimateLong
+import graft.text.TextOps
+
+/** Count-min-sketch frequency estimation — the last member of the
+  * mergeable-sketch family (HLL distinct ✓ `q_approx_distinct`, GK
+  * quantiles ✓ `q_approx_percentile`, Bloom membership ✓ `q_incr_dedup`).
+  *
+  * The 100 TB story: the exact alternative to "how frequent is this
+  * token/host corpus-wide?" is a full (key, count) aggregate — at corpus
+  * scale that vocabulary table holds billions of rows, too large to
+  * broadcast back for per-row scoring, forcing a second giant shuffle
+  * join. A CMS is a few hundred KB regardless of key cardinality, built
+  * in ONE map-side-combined pass (Spark's `count_min_sketch` aggregate
+  * merges per-partition sketches — counter adds are exact, so the result
+  * is independent of merge order), and every later scoring pass is
+  * map-only: zero shuffles, zero joins.
+  *
+  * Error contract (ε, δ fixed at build): estimate ≥ true count always
+  * (one-sided), and ≤ true + ε·N with probability ≥ δ, N = total keys
+  * added. A frequency FILTER built on it therefore never loses a truly
+  * frequent key — false positives only, the right direction for
+  * stopword-class or domain-cap style gates.
+  *
+  * Keys are hashed to 64-bit with `xxhash64` before both build and probe
+  * (the [[graft.dedup.DedupOps.dedupAgainstBloom]] trick): one fixed-width
+  * code path for any key type, at a 2⁻⁶⁴-class collision risk.
+  */
+object Sketches {
+
+  /** Build a [[CountMinSketch]] over `key` (one sketch for the whole
+    * frame) plus the exact total key count, in a single aggregation job.
+    * ε/δ sizing: width = ⌈e/eps⌉ counters × depth = ⌈ln(1/(1−confidence))⌉
+    * rows — eps 1e-4 / confidence 0.99 is ~1.1 MB. Driver-side collect of
+    * ONE row (the sketch), mirroring `df.stat.bloomFilter`. */
+  def cmsSketch(df: DataFrame, key: Column, eps: Double = 1e-4,
+      confidence: Double = 0.99, seed: Int = 42): (CountMinSketch, Long) = {
+    val row = df.select(
+        count_min_sketch(xxhash64(key), lit(eps), lit(confidence), lit(seed))
+          .as("sketch"),
+        count(key).as("n"))
+      .head()
+    val cms = CountMinSketch.readFrom(
+      new ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    (cms, row.getLong(1))
+  }
+
+  /** Estimated frequency of `key` under a sketch built by [[cmsSketch]]
+    * (same xxhash64 mapping on both sides). Map-only, codegen'd. */
+  def cmsEstimate(key: Column, sketch: CountMinSketch): Column =
+    CmsEstimateLong(xxhash64(key), sketch)
+
+  /** Per-document frequent-token profile: the share of a document's tokens
+    * whose estimated corpus frequency is ≥ `minCount` — the
+    * stopword-saturation / boilerplate signal, scored WITHOUT joining a
+    * vocabulary table. Returns (id, n_tokens, n_frequent, frequent_ratio);
+    * zero-token documents are kept with ratio 0 (the tokenizeIds
+    * discipline: a scoring pass cannot silently shrink the corpus).
+    *
+    * Scale: one explode + doc-keyed hash aggregate (map-side combined);
+    * the sketch probe is a per-row expression. The exact equivalent joins
+    * the token explode against the full vocabulary — a corpus-sized
+    * build side at 100 TB. */
+  def frequentTokenRatio(df: DataFrame, idCol: String, textCol: String,
+      sketch: CountMinSketch, minCount: Long): DataFrame = {
+    val scored = df
+      .select(col(idCol).as("_id"),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum((cmsEstimate(col("term"), sketch) >= minCount).cast("long"))
+          .as("n_frequent"))
+    df.select(col(idCol)).join(scored, df(idCol) === scored("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_frequent"), lit(0L)).as("n_frequent"),
+        when(col("n_tokens").isNull, lit(0.0))
+          .otherwise(col("n_frequent").cast("double") /
+            col("n_tokens").cast("double")).as("frequent_ratio"))
+  }
+}

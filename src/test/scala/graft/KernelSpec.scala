@@ -463,4 +463,25 @@ class KernelSpec extends AnyFunSuite {
       .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
     assert(interp == multi)
   }
+
+  test("CmsEstimateLong: interpreted == codegen; unseen key estimates 0 " +
+    "or collision-bounded") {
+    import graft.functions.CmsEstimateLong
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .create(1e-4, 0.99, 42)
+    val keys = Seq(7L, 7L, 7L, -13L, Long.MaxValue)
+    keys.foreach(cms.addLong(_))
+    for (k <- keys.distinct :+ 999L) {
+      val interp = CmsEstimateLong(Literal(k), cms)
+        .eval(InternalRow.empty).asInstanceOf[Long]
+      val viaDf = Seq(Tuple1(k)).toDF("k")
+        .select(CmsEstimateLong($"k", cms)).as[Long].head()
+      assert(interp == viaDf, s"parity broke for key $k")
+      assert(interp == cms.estimateCount(k))
+    }
+    // null propagates (UnaryExpression default), never NPEs into the sketch
+    val nullOut = Seq(Tuple1(Option.empty[Long])).toDF("k")
+      .select(CmsEstimateLong($"k", cms)).as[Option[Long]].head()
+    assert(nullOut.isEmpty)
+  }
 }

@@ -26,6 +26,90 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("cms: estimate is one-sided (>= exact) and within eps*N for every term") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    val terms = docs.select(explode(
+        split(text.TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val eps = 1e-4
+    val (cms, n) = Sketches.cmsSketch(terms, col("term"), eps = eps)
+    val exact = text.CorpusStats.vocabulary(docs, "doc_id", "text")
+      .select(col("term"), col("tf")).as[(String, Long)].collect()
+    assert(exact.length > 10 && n == exact.map(_._2).sum)
+    val est = terms.select(col("term")).distinct()
+      .select(col("term"), Sketches.cmsEstimate(col("term"), cms).as("est"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (term, tf) =>
+      val e = est(term)
+      assert(e >= tf, s"$term: estimate $e below true count $tf")
+      // eps*N is the 1-delta bound per probe; fixed data + fixed seed make
+      // this deterministic, and at sf0.001 every probe sits well inside it
+      assert(e <= tf + (eps * n).toLong + 1, s"$term: $e vs $tf (N=$n)")
+    }
+  }
+
+  test("cms: linearity — sketches over two halves merge to the whole") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    def termsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(
+          split(text.TextOps.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+    val (whole, _) = Sketches.cmsSketch(termsOf(docs), col("term"))
+    val (even, _) = Sketches.cmsSketch(
+      termsOf(docs.filter(col("doc_id") % 2 === 0)), col("term"))
+    val (odd, _) = Sketches.cmsSketch(
+      termsOf(docs.filter(col("doc_id") % 2 === 1)), col("term"))
+    even.mergeInPlace(odd)
+    // counter adds are exact integers: the merged estimate must EQUAL the
+    // whole-corpus estimate for every probe, not just approximate it —
+    // this is the property that makes the one-pass distributed build valid
+    val probes = termsOf(docs).select(col("term")).distinct()
+    def estimates(cms: org.apache.spark.util.sketch.CountMinSketch) =
+      probes.select(col("term"), Sketches.cmsEstimate(col("term"), cms)
+        .as("e")).as[(String, Long)].collect().toMap
+    val (fromWhole, fromMerged) = (estimates(whole), estimates(even))
+    assert(fromWhole.nonEmpty && fromWhole == fromMerged)
+  }
+
+  test("cms frequentTokenRatio: never loses a truly frequent token; " +
+    "empty docs kept with ratio 0") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .union(Seq((-1L, "")).toDF("doc_id", "text"))
+    val terms = docs.select(explode(
+        split(text.TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val (cms, n) = Sketches.cmsSketch(terms, col("term"))
+    val minCount = math.max(1L, n / 1000)
+    val got = Sketches.frequentTokenRatio(docs, "doc_id", "text",
+        cms, minCount)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // exact frequent-token share via the vocabulary join (the expensive
+    // alternative the sketch replaces)
+    val vocab = text.CorpusStats.vocabulary(docs, "doc_id", "text")
+      .select(col("term"), col("tf")).as[(String, Long)].collect().toMap
+    val exact = docs.select(col("doc_id"), explode(
+        split(text.TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .as[(Long, String)].collect()
+      .groupBy(_._1)
+      .map { case (id, ts) =>
+        id -> ts.count { case (_, t) => vocab(t) >= minCount } }
+    exact.foreach { case (id, nFreqExact) =>
+      // one-sided estimates ⇒ the sketch count can only EXCEED the exact
+      // frequent count (a rare term overestimated past the gate), never
+      // undercount — a frequency gate built on CMS has false positives only
+      assert(got(id)._3 >= nFreqExact,
+        s"doc $id: cms $nFreqExact > ${got(id)._3}")
+    }
+    val empty = got(-1L)
+    assert(empty._2 == 0L && empty._3 == 0L && empty._4 == 0.0)
+  }
+
   test("approx_percentile: returned value sits within the rank-error band") {
     val li = analytics.Tables(spark, dir, "lineitem")
     val approx = li.groupBy(col("l_returnflag"))
