@@ -249,6 +249,31 @@ object RelQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- A3 [EXT]: HLL sketch-table rollup — per-(lang, source) mergeable
+    //    distinct-token sketches built ONCE from the data, then BOTH the
+    //    per-lang and the corpus-wide distinct estimates answered from the
+    //    KB-sized sketch table alone (union_agg over binary sketches — the
+    //    raw corpus is not rescanned). At 100 TB the sketch table is the
+    //    persisted artifact: a new ingest batch appends its rows, and
+    //    register-max merges make re-unions double-count-proof. No oracle
+    //    (DataSketches HLL internals are engine-specific); mergeability
+    //    (union-of-partials == direct global sketch), error vs exact, and
+    //    parquet round-trip are spec-asserted (SketchSpec).
+    "q_hll_rollup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("lang"), col("source"), explode(
+          split(graft.text.TextOps.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val sketches = graft.analytics.Sketches
+        .hllSketchTable(terms, col("term"), Seq("lang", "source"))
+      // ONE rollup aggregate over the sketch table yields every level:
+      // per-lang rows + the corpus grand total (lang NULL → "*")
+      graft.analytics.Sketches.hllRollupEstimate(sketches, Seq("lang"))
+        .select(coalesce(col("lang"), lit("*")).as("lang"),
+          col("distinct_est"), col("n_rows"))
+        .orderBy(col("lang"))
+    }),
+
     // -- A [EXT]: fixed-width histogram/binning — the numeric-profiling
     //    pass (distribution of document lengths); one hash aggregate on
     //    the bin id

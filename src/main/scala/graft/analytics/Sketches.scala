@@ -57,6 +57,53 @@ object Sketches {
   def cmsEstimate(key: Column, sketch: CountMinSketch): Column =
     CmsEstimateLong(xxhash64(key), sketch)
 
+  /** Per-stratum HLL sketch table: one row per stratum holding a MERGEABLE
+    * binary distinct-count sketch (Apache DataSketches HLL via Spark's
+    * `hll_sketch_agg`) plus the exact row count. This is the
+    * incremental-distinct pattern for 100 TB: persist this frame as a
+    * parquet "sketch table" partitioned like the data (it is KB-sized per
+    * stratum regardless of key cardinality), and every later question —
+    * corpus-wide distinct, per-source distinct, distinct after adding a
+    * new ingest batch — is answered by unioning sketch rows
+    * ([[hllUnionEstimate]]) WITHOUT rescanning raw data. A new batch
+    * appends its own sketch rows; history is never touched.
+    *
+    * HLL register merges are idempotent max-operations, so union is
+    * commutative/associative and re-unioning overlapping batches never
+    * double-counts (unlike an additive count rollup).
+    *
+    * @param lgK log2 of register count; relative error ≈ 1.04/√2^lgK
+    *            (~1.6 % at the default 12), size ≈ 2^lgK bytes. */
+  def hllSketchTable(df: DataFrame, key: Column, strata: Seq[String],
+      lgK: Int = 12): DataFrame =
+    df.groupBy(strata.map(col): _*)
+      .agg(hll_sketch_agg(key, lgK).as("hll_sketch"),
+        count(key).as("n_rows"))
+
+  /** Roll a sketch table built by [[hllSketchTable]] up to a coarser
+    * stratum set (possibly empty = corpus-wide): unions the binary
+    * sketches and returns the distinct estimate plus summed row counts.
+    * Input is the KB-per-row sketch table, so this aggregate touches
+    * megabytes where the raw-data equivalent touches terabytes. */
+  def hllUnionEstimate(sketchTable: DataFrame, strata: Seq[String] = Nil)
+      : DataFrame = {
+    val aggs = hll_sketch_estimate(hll_union_agg(col("hll_sketch")))
+      .as("distinct_est") :: sum(col("n_rows")).as("n_rows") :: Nil
+    if (strata.isEmpty) sketchTable.agg(aggs.head, aggs.tail: _*)
+    else sketchTable.groupBy(strata.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[hllUnionEstimate]] at every rollup level of `strata` in ONE
+    * aggregate over the sketch table (finest level … grand total, the
+    * grand-total row carrying NULL strata) — the full distinct-count
+    * profile of a corpus from one pass over KB-sized sketch rows. */
+  def hllRollupEstimate(sketchTable: DataFrame, strata: Seq[String])
+      : DataFrame =
+    sketchTable.rollup(strata.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("hll_sketch")))
+          .as("distinct_est"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Per-document frequent-token profile: the share of a document's tokens
     * whose estimated corpus frequency is ≥ `minCount` — the
     * stopword-saturation / boilerplate signal, scored WITHOUT joining a

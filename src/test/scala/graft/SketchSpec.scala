@@ -110,6 +110,72 @@ class SketchSpec extends AnyFunSuite {
     assert(empty._2 == 0L && empty._3 == 0L && empty._4 == 0.0)
   }
 
+  test("hll sketch table: estimates within error bound; union-of-partials == direct sketch") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    val terms = docs.select(col("lang"), col("source"), explode(
+        split(text.TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val sketches = Sketches.hllSketchTable(terms, col("term"),
+      Seq("lang", "source"))
+    // corpus-wide estimate from the sketch table vs a DIRECT global sketch
+    // of the raw terms: HLL register merges are max-ops, so union-of-
+    // per-stratum-partials must equal the single-pass sketch exactly
+    val fromPartials = Sketches.hllUnionEstimate(sketches)
+      .select(col("distinct_est")).as[Long].head()
+    val direct = terms
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("term"), 12)))
+      .as[Long].head()
+    assert(fromPartials == direct,
+      s"union of partials $fromPartials != direct sketch $direct")
+    val exact = terms.select(col("term")).distinct().count()
+    val rel = math.abs(fromPartials - exact).toDouble / exact
+    assert(rel <= 0.05, s"estimate $fromPartials vs exact $exact")
+    // rollup: finest rows match groupBy form; grand-total row matches the
+    // corpus-wide union (NULL strata on the total row)
+    val rollup = Sketches.hllRollupEstimate(sketches, Seq("lang"))
+    val total = rollup.filter(col("lang").isNull)
+      .select(col("distinct_est")).as[Long].head()
+    assert(total == fromPartials)
+    val perLangRollup = rollup.filter(col("lang").isNotNull)
+      .select(col("lang"), col("distinct_est"))
+      .as[(String, Long)].collect().toMap
+    val perLangGroup = Sketches.hllUnionEstimate(sketches, Seq("lang"))
+      .select(col("lang"), col("distinct_est"))
+      .as[(String, Long)].collect().toMap
+    assert(perLangRollup == perLangGroup && perLangRollup.size > 1)
+  }
+
+  test("hll sketch table: parquet round-trip + append-only batch merge") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    def termsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), explode(
+          split(text.TextOps.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+    // two ingest batches sketched independently (the incremental path:
+    // batch 2 never rescans batch 1), persisted, read back, unioned
+    val b1 = Sketches.hllSketchTable(
+      termsOf(docs.filter(col("doc_id") % 2 === 0)), col("term"), Seq("lang"))
+    val b2 = Sketches.hllSketchTable(
+      termsOf(docs.filter(col("doc_id") % 2 === 1)), col("term"), Seq("lang"))
+    val path = java.nio.file.Files.createTempDirectory("hll").toString
+    b1.write.mode("overwrite").parquet(path)
+    b2.write.mode("append").parquet(path)
+    val merged = Sketches.hllUnionEstimate(spark.read.parquet(path))
+      .select(col("distinct_est")).as[Long].head()
+    val direct = termsOf(docs)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("term"), 12)))
+      .as[Long].head()
+    assert(merged == direct,
+      s"round-tripped batch union $merged != direct $direct")
+    // re-unioning an overlapping batch cannot double-count (max-merge)
+    b1.write.mode("append").parquet(path)
+    val reUnioned = Sketches.hllUnionEstimate(spark.read.parquet(path))
+      .select(col("distinct_est")).as[Long].head()
+    assert(reUnioned == direct, s"overlap re-union drifted: $reUnioned")
+  }
+
   test("approx_percentile: returned value sits within the rank-error band") {
     val li = analytics.Tables(spark, dir, "lineitem")
     val approx = li.groupBy(col("l_returnflag"))
