@@ -485,6 +485,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: bigram-LM fluency scoring — mean log CONDITIONAL
+    //    probability under corpus self-counts; the order-sensitive
+    //    upgrade of the unigram LM (bigrams form in-row, no window)
+    "q_bigram_logprob" -> ((s, dir) => {
+      CorpusStats.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("logprob", round(col("logprob"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: logistic quality classifier — σ(w·x) over the
     //    interpretable quality features (fastText-style scoring pass with
     //    fixed published weights)
@@ -1305,6 +1314,33 @@ object LlmQueries {
          |      ::DECIMAL(28,12))::DOUBLE
          |    / sum(tf)::DOUBLE, 6) AS logprob
          |FROM tf JOIN c USING (term) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigrams via 1-based list indexing over the filtered token array —
+    // same adjacency as CorpusStats.bigramLogProb's in-row transform;
+    // denominator is the bigram-PREFIX count (sum of tf by prev), not the
+    // raw unigram count
+    "q_bigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($duckNorm, ' '),
+         |      x -> length(x) > 0) AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS prev,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> t[i] || ' ' || t[i + 1])) AS bigram
+         |  FROM toks WHERE len(t) >= 2),
+         |tf AS (SELECT doc_id, prev, bigram, count(*)::BIGINT AS tf
+         |       FROM bg GROUP BY 1, 2, 3),
+         |cb AS (SELECT bigram, sum(tf)::BIGINT AS cb FROM tf GROUP BY 1),
+         |cp AS (SELECT prev, sum(tf)::BIGINT AS cp FROM tf GROUP BY 1)
+         |SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         |  round(sum((tf::DOUBLE * ln(cb::DOUBLE / cp::DOUBLE))
+         |      ::DECIMAL(28,12))::DOUBLE
+         |    / sum(tf)::DOUBLE, 6) AS logprob
+         |FROM tf JOIN cb USING (bigram) JOIN cp USING (prev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same left-fold order as CorpusStats.logisticQuality's z expression

@@ -141,6 +141,54 @@ object CorpusStats {
       .select(col("_id").as(idCol), col("n_tokens"), col("logprob"))
   }
 
+  /** Bigram-LM fluency scoring: per-document mean log CONDITIONAL
+    * probability ln(c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·)) under corpus self-counts — the
+    * order-sensitive upgrade of [[unigramLogProb]] (a bag of frequent
+    * words scores high there; only frequent words in their usual ORDER
+    * score high here). Denominator is the bigram-PREFIX count (occurrences
+    * of wᵢ₋₁ in non-final position), so probabilities condition correctly
+    * and Σ p(·|w) = 1. Self-scoring needs no smoothing: every scored
+    * bigram is in the counts (≥1). Docs with <2 tokens have no bigrams and
+    * drop, mirroring the unigram treatment of empty docs.
+    * Returns (id, n_bigrams, logprob).
+    *
+    * Scale: bigrams form INSIDE the row (an index-transform over the token
+    * array — no posexplode+window, zero extra shuffle); from there the
+    * shape is [[unigramLogProb]]'s — a (doc, bigram) count frame feeding
+    * bigram-keyed joins against the two count tables (both ≪ corpus;
+    * broadcast when they fit) and a doc-keyed mean. Decimal-cast sums keep
+    * the result independent of partial-aggregate merge order. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = filter(split(TextOps.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val tf = df.select(col(idCol).as("_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(col("_id"), explode(pairsOf(col("_t"))).as("bg"))
+      .select(col("_id"), col("bg.prev").as("prev"),
+        col("bg.bigram").as("bigram"))
+      .groupBy(col("_id"), col("prev"), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val cb = tf.groupBy(col("bigram")).agg(sum(col("tf")).as("cb"))
+    val cp = tf.groupBy(col("prev")).agg(sum(col("tf")).as("cp"))
+    tf.join(cb, Seq("bigram")).join(cp, Seq("prev"))
+      .groupBy(col("_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        (sum((col("tf").cast("double") *
+            log(col("cb").cast("double") / col("cp").cast("double")))
+            .cast("decimal(28,12)")).cast("double") /
+          sum(col("tf")).cast("double")).as("logprob"))
+      .select(col("_id").as(idCol), col("n_bigrams"), col("logprob"))
+  }
+
+  /** Adjacent (prev, "prev cur") pairs of a token array, formed in-row. */
+  private def pairsOf(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => struct(element_at(toks, i).as("prev"),
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
+          .as("bigram")))
+
   /** Tokenize-to-ids: encode each document as an array of integer token
     * ids under a vocabulary table — the encode step between curation and
     * packing. Ids are assigned by vocabulary rank (tf desc, term asc —

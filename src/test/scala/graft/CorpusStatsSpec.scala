@@ -70,6 +70,38 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(math.abs(lp._2 - expected) < 1e-12)
   }
 
+  test("bigramLogProb: hand-computed mean log conditional probability; " +
+      "short docs drop") {
+    // bigrams: d1 {the cat, cat sat}, d2 {the cat, cat ran}, d3 {a dog,
+    // dog ran}; cb: the-cat=2 others=1; prefix counts: the=2 cat=2 a=1 dog=1
+    val withShort = docs.union(Seq((4L, "single")).toDF("doc_id", "text"))
+    val out = CorpusStats.bigramLogProb(withShort, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(4L)) // one token -> no bigrams -> drops
+    // d1: (ln(2/2) + ln(1/2)) / 2
+    assert(out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._3 - math.log(0.5) / 2) < 1e-12)
+    // d3: both bigrams deterministic given their prefix -> logprob 0
+    assert(out(3L)._2 == 2L && math.abs(out(3L)._3) < 1e-12)
+  }
+
+  test("bigramLogProb: order-sensitive where the unigram LM is not") {
+    // same bag of words, natural vs scrambled order: unigram scores tie,
+    // bigram must score the corpus-typical order higher
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the dog sat on the mat"),
+      (4L, "mat the on sat cat the") // d1's bag, scrambled
+    ).toDF("doc_id", "text")
+    val uni = CorpusStats.unigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(uni(1L) - uni(4L)) < 1e-12)
+    val bi = CorpusStats.bigramLogProb(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bi(1L) > bi(4L))
+  }
+
   test("logisticQuality: in (0,1), prose above repetitive spam") {
     val scores = Seq(
       ("good", "This is a clean sentence with the usual structure of prose and it has enough length to pass the filters easily."),
