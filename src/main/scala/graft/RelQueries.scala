@@ -274,6 +274,30 @@ object RelQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- A3 [EXT]: KLL quantile sketch-table rollup — the quantile member
+    //    of the persisted-sketch-table family (HLL = distinct). Per-(lang,
+    //    source) mergeable sketches of document length, then per-lang AND
+    //    corpus-wide p10/p50/p90/p99 answered from the KB-sized sketch
+    //    rows in one rollup — raw data scanned once, rescans never. No
+    //    oracle (KLL compaction is randomized); the rank-error bound,
+    //    mergeability, and parquet round-trip are spec-asserted
+    //    (SketchSpec).
+    "q_kll_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sketches = graft.analytics.Sketches
+        .kllSketchTable(docs, col("n_chars"), Seq("lang", "source"))
+      graft.analytics.Sketches
+        .kllRollupQuantiles(sketches, Seq("lang"),
+          Seq(0.1, 0.5, 0.9, 0.99))
+        .select(coalesce(col("lang"), lit("*")).as("lang"),
+          col("n_rows"),
+          element_at(col("quantiles"), 1).as("p10"),
+          element_at(col("quantiles"), 2).as("p50"),
+          element_at(col("quantiles"), 3).as("p90"),
+          element_at(col("quantiles"), 4).as("p99"))
+        .orderBy(col("lang"))
+    }),
+
     // -- A [EXT]: fixed-width histogram/binning — the numeric-profiling
     //    pass (distribution of document lengths); one hash aggregate on
     //    the bin id

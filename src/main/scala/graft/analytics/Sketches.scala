@@ -104,6 +104,39 @@ object Sketches {
           .as("distinct_est"),
         sum(col("n_rows")).as("n_rows"))
 
+  /** Per-stratum KLL quantile sketch table — the QUANTILE member of the
+    * persisted-sketch-table family ([[hllSketchTable]] is the distinct
+    * member). Each row holds a mergeable DataSketches KLL sketch of
+    * `value` (a few KB at k=200, normalized rank error ≈ 2.2 %) plus the
+    * exact row count; persist as parquet and answer any later percentile
+    * question — per-stratum, rolled up, or corpus-wide after appending new
+    * batch rows — from the sketch table alone ([[kllRollupQuantiles]]).
+    * NULL values are excluded (SQL aggregate semantics). Unlike HLL,
+    * KLL compaction is randomized, so estimates carry a rank-error bound
+    * rather than run-to-run determinism (spec-asserted). */
+  def kllSketchTable(df: DataFrame, value: Column, strata: Seq[String],
+      k: Int = 200): DataFrame =
+    df.filter(value.isNotNull)
+      .groupBy(strata.map(col): _*)
+      .agg(udaf(new KllAggregator(k)).apply(value.cast("double"))
+          .as("kll_sketch"),
+        count(value).as("n_rows"))
+
+  /** Quantiles at `probs` for every rollup level of `strata`, from ONE
+    * aggregate over a sketch table built by [[kllSketchTable]] (grand-total
+    * row carries NULL strata). Returns the strata, an array<double>
+    * `quantiles` column positionally matching `probs`, and summed
+    * `n_rows`. */
+  def kllRollupQuantiles(sketchTable: DataFrame, strata: Seq[String],
+      probs: Seq[Double], k: Int = 200): DataFrame =
+    sketchTable.rollup(strata.map(col): _*)
+      .agg(udaf(new KllUnionAggregator(k)).apply(col("kll_sketch"))
+          .as("_sk"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("quantiles",
+        graft.functions.KllQuantilesOf(col("_sk"), probs))
+      .drop("_sk")
+
   /** Per-document frequent-token profile: the share of a document's tokens
     * whose estimated corpus frequency is ≥ `minCount` — the
     * stopword-saturation / boilerplate signal, scored WITHOUT joining a

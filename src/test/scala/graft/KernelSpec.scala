@@ -484,4 +484,29 @@ class KernelSpec extends AnyFunSuite {
       .select(CmsEstimateLong($"k", cms)).as[Option[Long]].head()
     assert(nullOut.isEmpty)
   }
+
+  test("KllQuantilesOf: interpreted == codegen; exact quantiles below " +
+    "the sketch's exact-mode capacity; empty sketch -> empty array") {
+    import graft.functions.KllQuantilesOf
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val sk = KllDoublesSketch.newHeapInstance(200)
+    (1 to 100).foreach(v => sk.update(v.toDouble))
+    val bytes = sk.toByteArray
+    val probs = Seq(0.01, 0.5, 1.0)
+    val interp = new KllQuantilesOf(Literal(bytes), probs)
+      .eval(InternalRow.empty).asInstanceOf[ArrayData].toDoubleArray.toSeq
+    val viaDf = Seq(Tuple1(bytes)).toDF("s")
+      .select(KllQuantilesOf($"s", probs)).as[Seq[Double]].head()
+    assert(interp == viaDf, "parity broke")
+    // 100 values < the k=200 sketch's compaction threshold: no sampling
+    // has happened yet, so INCLUSIVE quantiles are exact order statistics
+    assert(interp == Seq(1.0, 50.0, 100.0))
+    val empty = KllDoublesSketch.newHeapInstance(200).toByteArray
+    val emptyOut = Seq(Tuple1(empty)).toDF("s")
+      .select(KllQuantilesOf($"s", probs)).as[Seq[Double]].head()
+    assert(emptyOut.isEmpty)
+    val nullOut = Seq(Tuple1(Option.empty[Array[Byte]])).toDF("s")
+      .select(KllQuantilesOf($"s", probs)).as[Option[Seq[Double]]].head()
+    assert(nullOut.isEmpty)
+  }
 }

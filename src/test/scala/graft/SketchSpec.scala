@@ -176,6 +176,58 @@ class SketchSpec extends AnyFunSuite {
     assert(reUnioned == direct, s"overlap re-union drifted: $reUnioned")
   }
 
+  test("kll sketch table: quantiles within rank-error band of exact; " +
+      "rollup levels consistent") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    val sketches = Sketches.kllSketchTable(docs, col("n_chars"),
+      Seq("lang", "source"))
+    val out = Sketches.kllRollupQuantiles(sketches, Seq("lang"),
+        Seq(0.1, 0.5, 0.9))
+      .select(col("lang"), col("quantiles"), col("n_rows"))
+      .as[(Option[String], Seq[Double], Long)].collect()
+    assert(out.count(_._1.isEmpty) == 1 && out.length > 2)
+    // every estimated quantile must rank within the k=200 normalized
+    // rank-error bound (~2.2%; allow 2x) of its target in the EXACT data
+    for ((langOpt, qs, n) <- out) {
+      val exact = (langOpt match {
+        case Some(l) => docs.filter(col("lang") === l)
+        case None => docs
+      }).select(col("n_chars").cast("double")).as[Double].collect().sorted
+      assert(n == exact.length)
+      for ((target, v) <- Seq(0.1, 0.5, 0.9).zip(qs)) {
+        val atOrBelow = exact.count(_ <= v).toDouble / exact.length
+        val below = exact.count(_ < v).toDouble / exact.length
+        assert(below <= target + 0.045 && atOrBelow >= target - 0.045,
+          s"lang $langOpt p$target: $v ranks [$below, $atOrBelow]")
+      }
+    }
+  }
+
+  test("kll sketch table: parquet round-trip + append-only batch merge " +
+      "stays within the error band") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    val b1 = Sketches.kllSketchTable(
+      docs.filter(col("doc_id") % 2 === 0), col("n_chars"), Seq("lang"))
+    val b2 = Sketches.kllSketchTable(
+      docs.filter(col("doc_id") % 2 === 1), col("n_chars"), Seq("lang"))
+    val path = java.nio.file.Files.createTempDirectory("kll").toString
+    b1.write.mode("overwrite").parquet(path)
+    b2.write.mode("append").parquet(path)
+    val (qs, n) = Sketches.kllRollupQuantiles(
+        spark.read.parquet(path), Nil, Seq(0.5))
+      .select(col("quantiles"), col("n_rows"))
+      .as[(Seq[Double], Long)].head()
+    val exact = docs.select(col("n_chars").cast("double"))
+      .as[Double].collect().sorted
+    assert(n == exact.length)
+    val atOrBelow = exact.count(_ <= qs.head).toDouble / exact.length
+    val below = exact.count(_ < qs.head).toDouble / exact.length
+    assert(below <= 0.5 + 0.045 && atOrBelow >= 0.5 - 0.045,
+      s"merged p50 ${qs.head} ranks [$below, $atOrBelow]")
+  }
+
   test("approx_percentile: returned value sits within the rank-error band") {
     val li = analytics.Tables(spark, dir, "lineitem")
     val approx = li.groupBy(col("l_returnflag"))
