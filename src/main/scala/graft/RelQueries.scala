@@ -390,6 +390,21 @@ object RelQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- A [EXT]: robust per-stratum outlier scoring — median/MAD z-score
+    //    (mean/stddev move with the outliers they should flag; the median
+    //    pair does not). Exact percentile form for oracle parity; the
+    //    100 TB path flips `exact = false` (mergeable GK sketches).
+    //    Single double division on identical operands both engines,
+    //    rounded at 6.
+    "q_robust_z" -> ((s, dir) => {
+      graft.ops.Robust.robustZ(t(s, dir, "documents"), "n_chars",
+          Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("robust_z"), 6).as("robust_z"),
+          (abs(col("robust_z")) > 3.5).as("is_outlier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- A [EXT]: statistical aggregates (stddev, correlation) computed
     //    from EXACT decimal power sums, then finished in double with the
     //    identical expression on both engines — the builtin stddev/corr
@@ -571,6 +586,23 @@ object RelQueries {
         |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Median/MAD robust z — same two-stage quantile_cont + single double
+    // division as Robust.robustZ; NULLIF guards the zero-MAD stratum
+    "q_robust_z" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT doc_id, lang, n_chars, med
+        |      FROM documents JOIN m USING (lang)),
+        |a AS (SELECT lang,
+        |        quantile_cont(abs(n_chars::DOUBLE - med), 0.5) AS mad
+        |      FROM d GROUP BY 1),
+        |z AS (SELECT doc_id, lang, n_chars,
+        |        (n_chars::DOUBLE - med) / (1.4826 * nullif(mad, 0.0)) AS rz
+        |      FROM d JOIN a USING (lang))
+        |SELECT doc_id, lang, n_chars, round(rz, 6) AS robust_z,
+        |  abs(rz) > 3.5 AS is_outlier
+        |FROM z ORDER BY doc_id""".stripMargin,
 
     // Interval overlap count per event: naive range self-join (DuckDB
     // plans range predicates as IEJoin; fine at oracle scale).

@@ -9,11 +9,15 @@ import org.apache.spark.util.sketch.CountMinSketch
 import graft.functions.CmsEstimateLong
 import graft.text.TextOps
 
-/** Count-min-sketch frequency estimation — the last member of the
-  * mergeable-sketch family (HLL distinct ✓ `q_approx_distinct`, GK
-  * quantiles ✓ `q_approx_percentile`, Bloom membership ✓ `q_incr_dedup`).
+/** The mergeable-sketch toolbox: count-min frequency estimation plus the
+  * PERSISTED sketch-table family — per-stratum HLL distinct sketches
+  * ([[hllSketchTable]]) and KLL quantile sketches ([[kllSketchTable]]),
+  * both parquet-persistable and re-aggregable without touching raw data.
+  * (The remaining family members live elsewhere: GK quantile aggregate =
+  * `q_approx_percentile`, Bloom membership =
+  * [[graft.dedup.DedupOps.dedupAgainstHistory]].)
   *
-  * The 100 TB story: the exact alternative to "how frequent is this
+  * The CMS 100 TB story: the exact alternative to "how frequent is this
   * token/host corpus-wide?" is a full (key, count) aggregate — at corpus
   * scale that vocabulary table holds billions of rows, too large to
   * broadcast back for per-row scoring, forcing a second giant shuffle

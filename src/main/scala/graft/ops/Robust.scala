@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-stratum outlier scoring — the median/MAD z-score
+  * (x − median) / (1.4826 · MAD) that curation pipelines use to gate
+  * length/score outliers, because mean/stddev move with the very outliers
+  * they are supposed to flag (a handful of 100 MB documents shifts a mean
+  * length far more than a median).
+  *
+  * Two stratum-keyed aggregates (median, then median absolute deviation
+  * around it) joined back; the per-stratum stat tables are tiny (one row
+  * per stratum) and broadcast. 1.4826 is the normal-consistency constant
+  * so the score reads in σ-equivalents; a zero MAD (over half the stratum
+  * at the median) yields NULL rather than ±∞.
+  *
+  * Scale: `exact = true` uses Spark's exact `percentile`, which holds each
+  * group's values in the aggregation buffer — right for oracle parity and
+  * profiling runs, wrong for 100 TB strata. `exact = false` switches both
+  * medians to `approx_percentile` (mergeable GK sketch, bounded memory,
+  * map-side combined) — rank error ≤ 1/accuracy, which perturbs scores
+  * only around the flag threshold. The data itself is scanned twice
+  * either way (MAD is a median AROUND a median — inherently two passes);
+  * both joins stay broadcast.
+  */
+object Robust {
+
+  /** Append `robust_z` to `df`: the MAD z-score of `valueCol` within its
+    * `strata` group (NULL when MAD = 0 or the value is NULL). */
+  def robustZ(df: DataFrame, valueCol: String, strata: Seq[String],
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(accuracy))
+    val v = col(valueCol).cast("double")
+    val medians = df.groupBy(strata.map(col): _*).agg(med(v).as("_med"))
+    val withMed = df.join(broadcast(medians), strata)
+    val mads = withMed.groupBy(strata.map(col): _*)
+      .agg(med(abs(v - col("_med"))).as("_mad"))
+    withMed.join(broadcast(mads), strata)
+      .withColumn("robust_z",
+        (v - col("_med")) / (lit(1.4826) * nullif(col("_mad"), lit(0.0))))
+      .drop("_med", "_mad")
+  }
+}

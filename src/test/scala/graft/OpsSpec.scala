@@ -282,6 +282,28 @@ class OpsSpec extends AnyFunSuite {
       Some(5.0), Some(5.0), Some(5.0), None))
   }
 
+  test("Robust.robustZ: hand-computed MAD z; zero-MAD stratum -> NULL; " +
+      "approx path tracks exact") {
+    import graft.ops.Robust
+    // stratum a: values 1..5 -> med 3, |x-3| = {2,1,0,1,2} -> MAD 1
+    // stratum b: constant -> MAD 0 -> NULL scores (never ±inf)
+    val df = ((1 to 5).map(v => ("a", v)) ++ Seq.fill(4)(("b", 7)))
+      .toDF("s", "v")
+    val out = Robust.robustZ(df, "v", Seq("s"))
+      .select($"s", $"v", $"robust_z")
+      .as[(String, Int, Option[Double])].collect()
+    val a = out.filter(_._1 == "a").map(r => r._2 -> r._3.get).toMap
+    assert(math.abs(a(5) - 2.0 / 1.4826) < 1e-12)
+    assert(math.abs(a(3)) < 1e-12)
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+    // approx path (mergeable sketches, the 100 TB form): same scores on
+    // data far below the sketch's exact-mode capacity
+    val approx = Robust.robustZ(df, "v", Seq("s"), exact = false)
+      .select($"s", $"v", $"robust_z")
+      .as[(String, Int, Option[Double])].collect().toSet
+    assert(approx == out.toSet)
+  }
+
   test("config parser: full 6-field entity + defaults") {
     val json = """{
       "app_downloads": {
