@@ -261,6 +261,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_robust_z: both per-stratum stat joins broadcast — data never " +
+      "shuffles on the stratum key") {
+    val p = plan("q_robust_z")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"expected 2 broadcast joins:\n$p")
+    // the only hash exchanges allowed are the two tiny stat aggregates'
+    // (one row per stratum), never a data-sized stratum repartition
+    assert(!p.contains("SortMergeJoin"), s"stat join fell to SMJ:\n$p")
+  }
+
+  test("sketch builds: HLL/KLL/CMS aggregates are map-side combined " +
+      "(partial before the exchange)") {
+    for (q <- Seq("q_hll_rollup", "q_kll_profile")) {
+      val p = plan(q)
+      // partial_ aggregate modes upstream of the exchange = map-side
+      // combine: each task ships one sketch per local stratum, not rows
+      assert(p.contains("partial_"), s"$q lost map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+    // the CMS build is a single global sketch: one partial per partition
+    // merged once — the scoring pass must stay join-free (map-only probe)
+    val cms = plan("q_cms_frequent_ratio")
+    assert(cms.contains("cms_estimate_long"),
+      s"sketch probe not inlined in the plan:\n$cms")
+  }
+
   test("bronze/silver pipeline: silver plan has exactly one hash exchange for dedup") {
     // the silver frame (read -> window -> filters) must shuffle ONCE (on
     // the PK window); extra exchanges mean a plan regression
