@@ -34,13 +34,19 @@ object Robust {
       if (exact) percentile(c, lit(0.5))
       else approx_percentile(c, lit(0.5), lit(accuracy))
     val v = col(valueCol).cast("double")
-    val medians = df.groupBy(strata.map(col): _*).agg(med(v).as("_med"))
+    // fresh temp names (AsOfJoin/ZOrder discipline): never clobber user
+    // columns that happen to be called _med/_mad
+    def fresh(base: String) = Iterator.iterate(base)(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val medCol = fresh("_med")
+    val madCol = fresh("_mad")
+    val medians = df.groupBy(strata.map(col): _*).agg(med(v).as(medCol))
     val withMed = df.join(broadcast(medians), strata)
     val mads = withMed.groupBy(strata.map(col): _*)
-      .agg(med(abs(v - col("_med"))).as("_mad"))
+      .agg(med(abs(v - col(medCol))).as(madCol))
     withMed.join(broadcast(mads), strata)
       .withColumn("robust_z",
-        (v - col("_med")) / (lit(1.4826) * nullif(col("_mad"), lit(0.0))))
-      .drop("_med", "_mad")
+        (v - col(medCol)) / (lit(1.4826) * nullif(col(madCol), lit(0.0))))
+      .drop(medCol, madCol)
   }
 }

@@ -302,6 +302,10 @@ class OpsSpec extends AnyFunSuite {
       .select($"s", $"v", $"robust_z")
       .as[(String, Int, Option[Double])].collect().toSet
     assert(approx == out.toSet)
+    // pre-existing _med/_mad user columns survive untouched
+    val clobber = Robust.robustZ(df.withColumn("_med", lit(-1)), "v", Seq("s"))
+    assert(clobber.columns.count(_ == "_med") == 1)
+    assert(clobber.select($"_med").distinct().as[Int].collect().toSeq == Seq(-1))
   }
 
   test("config parser: full 6-field entity + defaults") {
