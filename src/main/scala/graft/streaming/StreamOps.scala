@@ -96,6 +96,35 @@ object StreamOps {
       .drop(fp)
   }
 
+  /** Incremental sketch-table maintenance on the streaming surface: each
+    * micro-batch appends one HLL sketch row per stratum (plus the batch
+    * id) to a parquet sketch table — the streaming writer for
+    * [[graft.analytics.Sketches.hllSketchTable]]. Readers answer
+    * "distinct keys so far, per stratum or corpus-wide" by unioning ALL
+    * rows ([[graft.analytics.Sketches.hllUnionEstimate]]); because HLL
+    * merge is an idempotent register-max, a REPLAYED batch (at-least-once
+    * delivery, checkpoint recovery) cannot double-count distincts — the
+    * sketch table is correct without exactly-once coordination. The
+    * additive `n_rows` column IS replay-sensitive: readers needing exact
+    * row counts dedup on (strata, batch_id) first — `batch_id` is written
+    * for exactly that.
+    *
+    * Scale: per micro-batch this is one map-side-combined aggregate down
+    * to KB-sized sketch rows; the parquet append is one tiny file per
+    * batch (compact periodically like any streaming sink). */
+  def hllSketchSink(stream: DataFrame, key: Column, strata: Seq[String],
+      path: String, checkpoint: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.analytics.Sketches.hllSketchTable(batch, key, strata, lgK)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key within `[‑lowerMs, +upperMs]` of event time. BOTH sides
     * need watermarks (state eviction) and the time-bound condition (state

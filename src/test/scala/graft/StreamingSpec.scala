@@ -367,4 +367,36 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_._3).toSet
     assert(vals == Set("first", "other"))
   }
+
+  test("hllSketchSink: per-batch sketch rows append; union across " +
+      "batches == direct sketch; replayed rows cannot inflate distincts") {
+    import spark.implicits._
+    import graft.analytics.Sketches
+    val base = java.nio.file.Files.createTempDirectory("hllsink")
+    val path = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val mem = MemoryStream[(Timestamp, String, String)](spark)
+    val q = StreamOps.hllSketchSink(
+      mem.toDF.toDF("ts", "lang", "term"), col("term"), Seq("lang"),
+      path, ckpt).start()
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "en", "alpha"),
+      (ts("2024-01-01 00:00:01"), "en", "beta"),
+      (ts("2024-01-01 00:00:02"), "de", "alpha"))
+    q.processAllAvailable()
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "en", "alpha"), // replay-style overlap
+      (ts("2024-01-01 00:01:01"), "en", "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(path)
+    // one sketch row per (stratum, batch): batch 0 has en+de, batch 1 en
+    assert(table.select($"lang", $"batch_id").as[(String, Long)]
+      .collect().toSet == Set(("en", 0L), ("de", 0L), ("en", 1L)))
+    // union across batch rows == direct sketch over all rows seen:
+    // the overlapping "alpha" in batch 1 cannot double-count
+    val est = Sketches.hllUnionEstimate(table, Seq("lang"))
+      .select($"lang", $"distinct_est").as[(String, Long)].collect().toMap
+    assert(est == Map("en" -> 3L, "de" -> 1L))
+  }
 }
