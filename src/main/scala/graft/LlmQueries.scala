@@ -278,6 +278,28 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: Efraimidis–Spirakis weighted sampling without
+    //    replacement — keep the 20 docs per language with the largest
+    //    A-ES key ln(u)/w (u a seeded-md5 uniform, w = n_chars), so
+    //    inclusion probability is proportional to document length;
+    //    deterministic, RNG-free, bit-exact across engines.
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedSample(t(s, dir, "documents"),
+          "lang", "doc_id", "n_chars", k = 20)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: blocked edit-distance near-dup pairs — levenshtein ≤ 8
+    //    within (8-char normalized prefix, adjacent length-bucket)
+    //    blocks; thresholded (banded) levenshtein verification.
+    "q_editdist_neardup" -> ((s, dir) => {
+      DedupOps.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 8, prefixLen = 8, lenBucket = 16)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // -- [EXT]: source-weighted data mixing — per-source target fractions
     //    (keep all of src0, half of src1, a tenth of src2, 20% elsewhere)
     //    with exact quotas, deterministic md5 membership.
@@ -840,6 +862,36 @@ object LlmQueries {
         |  ON rn.lang IS NOT DISTINCT FROM o.lang AND rn.shard = o.shard
         |WHERE rn.rn + o.off <= floor(0.3 * (n - 1)) + 1
         |ORDER BY rn.doc_id""".stripMargin,
+
+    // A-ES weighted sampling: skey = ln(u)/w with u the 48-bit seeded-md5
+    // uniform (+0.5 keeps it in (0,1)); top-20 per language by skey DESC.
+    "q_weighted_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)),
+        |          1, 12))::BIGINT::DOUBLE + 0.5) / 281474976710656.0)
+        |      / n_chars::DOUBLE AS skey
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars::DOUBLE > 0)
+        |SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars, row_number() OVER (
+        |    PARTITION BY lang ORDER BY skey DESC, doc_id) AS rn
+        |  FROM r) WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    // Blocked editdist: candidates share the 8-char normalized prefix and
+    // sit within one length bucket (|Δ(len÷16)| ≤ 1 — no recall loss vs
+    // prefix-only blocking since dist ≤ 8 bounds Δlen by 8 < 16).
+    "q_editdist_neardup" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  levenshtein(a.t, b.t) AS dist
+         |FROM n a JOIN n b
+         |  ON substr(a.t, 1, 8) = substr(b.t, 1, 8)
+         | AND abs(length(a.t) // 16 - length(b.t) // 16) <= 1
+         | AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.t, b.t) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_pii_scrub" ->
       s"""SELECT doc_id,

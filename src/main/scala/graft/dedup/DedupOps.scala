@@ -658,4 +658,52 @@ object DedupOps {
     reassemble(base, kept, "clean_text", " ")
       .withColumnRenamed("id", idCol)
   }
+
+  /** Blocked edit-distance near-duplicate pairs: (id_a < id_b, dist)
+    * where dist = levenshtein(norm_a, norm_b) ≤ `maxDist`, over candidate
+    * pairs sharing a block. A block is (first `prefixLen` chars of the
+    * normalized text, length÷`lenBucket`), with each right-side row
+    * replicated into its bucket AND both neighbors — because an edit
+    * distance ≤ maxDist bounds the length difference by maxDist, any
+    * qualifying pair's buckets differ by at most 1 whenever
+    * `maxDist ≤ lenBucket`, so bucketing loses NO recall vs prefix-only
+    * blocking (spec-asserted equivalence); it exists purely to bound
+    * block size. Prefix blocking is the recall tradeoff (edits inside
+    * the first `prefixLen` chars escape the block — the standard
+    * sorted-neighborhood compromise; [[minhashLsh]] covers
+    * prefix-divergent near-dups).
+    *
+    * Scale: candidate generation is an equi-join on the block key (never
+    * all-pairs); the within-block quadratic is bounded by block size
+    * (prefix × length-bucket keys are high-cardinality; a corpus-wide
+    * hot prefix lands in many length buckets). Verification uses Spark's
+    * THRESHOLDED levenshtein — banded O(len·maxDist) per pair instead of
+    * O(len²), the difference between feasible and not on 10-KB docs. */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 4, prefixLen: Int = 8, lenBucket: Int = 16)
+      : DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(maxDist <= lenBucket,
+      s"maxDist ($maxDist) must be <= lenBucket ($lenBucket) — the " +
+        "adjacent-bucket join guarantees full prefix-block recall only " +
+        "when the length difference of a qualifying pair cannot span " +
+        "two bucket boundaries")
+    val norm = docs.select(col(idCol).as("_eid"),
+        TextOps.normalize(col(textCol)).as("_t"))
+      .withColumn("_pfx", substring(col("_t"), 1, prefixLen))
+      .withColumn("_bkt", floor(length(col("_t")) / lenBucket))
+    val a = norm.select(col("_pfx"), col("_bkt"),
+      col("_eid").as("id_a"), col("_t").as("_ta"))
+    val b = norm
+      .withColumn("_bkt",
+        explode(array(col("_bkt") - 1, col("_bkt"), col("_bkt") + 1)))
+      .select(col("_pfx"), col("_bkt"),
+        col("_eid").as("id_b"), col("_t").as("_tb"))
+    a.join(b, Seq("_pfx", "_bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -198,6 +198,54 @@ object Sampling {
         col("_grank") <= floor(fraction * (col("_n") - 1)) + 1)
       .drop("_grank", "_n")
 
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: keep the
+    * k rows of each stratum whose A-ES key ln(u)/w is LARGEST, where u is
+    * a per-row deterministic uniform and w the row's weight — each row's
+    * inclusion probability is then proportional to its weight (exactly
+    * the A-ES reservoir semantics), so "sample 10k docs per language
+    * biased toward high quality" is one declarative pass with no RNG
+    * state. u derives from a seeded md5 (48-bit prefix, exactly
+    * representable in a double; +0.5 keeps u in (0,1) so ln never sees
+    * 0), making the draw a pure function of (seed, key) — re-runs,
+    * retries, and other engines agree row-for-row. Rows with NULL or
+    * non-positive weight are dropped (they have zero inclusion mass).
+    *
+    * Scale — the [[stratified]] lesson: a stratum-keyed top-k window
+    * would serialize each stratum onto one task, so selection runs in
+    * two prunes: (1) top-k within (stratum, md5-shard) — 256 balanced
+    * shards, high-cardinality window key, and the rank≤k filter rewrites
+    * to WindowGroupLimit so per-task state is a bounded heap; (2) top-k
+    * among the ≤256·k survivors per stratum — input size independent of
+    * corpus size. Stage 1 can only over-select (a stratum's true top-k
+    * rows are each top-k within their own shard), so the composition
+    * equals the single-window form — spec-asserted. ln and / are the
+    * only float ops and both are ≤1-ulp on every engine; a selection
+    * flip needs two keys within 1 ulp at the k-th boundary, so the
+    * operator stays oracle-checkable in practice. */
+  def weightedSample(df: DataFrame, strataCol: String, keyCol: String,
+      weightCol: String, k: Int, seed: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = shuffleKey(col(keyCol), seed)
+    val u48 = conv(substring(h, 1, 12), 16, 10).cast("long").cast("double")
+    val aesKey = log((u48 + lit(0.5)) / lit(281474976710656.0)) /
+      col(weightCol).cast("double")
+    val keyed = df
+      .filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0.0)
+      .withColumn("_skey", aesKey)
+      .withColumn("_shard", substring(h, 9, 2))
+    val wShard = Window.partitionBy(col(strataCol), col("_shard"))
+      .orderBy(col("_skey").desc, col(keyCol))
+    val wStratum = Window.partitionBy(col(strataCol))
+      .orderBy(col("_skey").desc, col(keyCol))
+    keyed
+      .withColumn("_rn", row_number().over(wShard))
+      .filter(col("_rn") <= k)
+      .withColumn("_rk", row_number().over(wStratum))
+      .filter(col("_rk") <= k)
+      .drop("_skey", "_shard", "_rn", "_rk")
+  }
+
   /** Deterministic pseudo-random sort key for `id` under `seed` — the
     * engine-portable stand-in for `rand()`-ordering: same seed ⇒ same
     * permutation on every engine, every retry. NULL ids hash via the

@@ -884,4 +884,49 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "z1 z2", 2L, 1L)))
     assert(out(3) == ((4L, "w1 w2 w3", 1L, 0L)))
   }
+
+  test("editDistancePairs: adjacent-bucket blocking equals prefix-only " +
+      "blocking when maxDist <= lenBucket (zero recall loss)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = DedupOps
+      .editDistancePairs(docs, "doc_id", "text", maxDist = 8,
+        prefixLen = 8, lenBucket = 16)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    // reference: block on the prefix ALONE (no length bucketing) — the
+    // superset candidate generation the bucketed join must reproduce
+    val n = docs.select($"doc_id",
+      TextOps.normalize($"text").as("t"),
+      substring(TextOps.normalize($"text"), 1, 8).as("p"))
+    val ref = n.as("a").join(n.as("b"),
+        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.t"), col("b.t")).as("d"))
+      .filter($"d" <= 8)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == ref)
+    assert(got.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+    assert(got.forall { case (a, b, d) => a < b && d >= 0 && d <= 8 })
+  }
+
+  test("editDistancePairs: exact dup, near dup, straddling length " +
+      "buckets, and prefix-divergent miss behave per contract") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),          // len 22, bucket 1
+      (2L, "alpha beta gamma delts"),          // dist 1 to doc 1
+      (3L, "alpha beta gamma delta"),          // exact dup of doc 1
+      // same prefix, length one bucket over (pads past the boundary):
+      (4L, "alpha beta gamma delta " + ("x" * 12)), // len 35, bucket 2
+      (5L, "omega beta gamma delta")           // prefix differs -> unseen
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps
+      .editDistancePairs(docs, "doc_id", "text", maxDist = 13,
+        prefixLen = 8, lenBucket = 16)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(pairs.contains((1L, 3L, 0)))   // exact duplicate
+    assert(pairs.contains((1L, 2L, 1)))   // one substitution
+    assert(pairs.contains((1L, 4L, 13)))  // bucket 1 vs 2: adjacent join
+    assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L },
+      "prefix-divergent doc must not pair (documented recall tradeoff)")
+  }
 }

@@ -169,4 +169,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(counts.size == 8 && counts.min > 1000 / 8 / 2,
       s"shard balance off: $counts")
   }
+
+  test("weightedSample: two-stage shard prune equals the single-window " +
+      "A-ES selection; exact per-stratum counts; deterministic") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b",
+      (i % 17 + 1).toDouble)).toDF("id", "g", "w")
+    val got = Sampling.weightedSample(df, "g", "id", "w", k = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    // reference: plain per-stratum window over the SAME key definition
+    val h = md5(concat_ws(":", lit("wsample"), col("id").cast("string")))
+    val key = log((conv(substring(h, 1, 12), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(281474976710656.0)) /
+      col("w").cast("double")
+    val ref = df.withColumn("_k", key)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("_k").desc, col("id"))))
+      .filter(col("_rn") <= 25).select("id").as[Long].collect().sorted.toSeq
+    assert(got == ref)
+    val byG = Sampling.weightedSample(df, "g", "id", "w", k = 25)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG("a") == 25L && byG("b") == 25L)
+    val again = Sampling.weightedSample(df, "g", "id", "w", k = 25)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == again)
+  }
+
+  test("weightedSample: inclusion rate grows with weight; zero/null/" +
+      "negative weights never selected; small strata keep all rows") {
+    import org.apache.spark.sql.functions._
+    // two weight classes, 10:1 — heavy rows must be selected far more
+    // often (A-ES inclusion probability is weight-proportional)
+    val df = (1L to 400L)
+      .map(i => (i, "s", if (i <= 200) 10.0 else 1.0))
+      .toDF("id", "g", "w")
+    val picked = Sampling.weightedSample(df, "g", "id", "w", k = 80)
+      .select("id").as[Long].collect()
+    val heavy = picked.count(_ <= 200)
+    assert(heavy > 55, s"heavy-weight rows under-selected: $heavy/80")
+    val mixed = Seq((1L, "s", Some(0.0)), (2L, "s", Some(-3.0)),
+      (3L, "s", None: Option[Double]), (4L, "s", Some(2.0)))
+      .toDF("id", "g", "w")
+    val kept = Sampling.weightedSample(mixed, "g", "id", "w", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(4L))
+  }
 }
