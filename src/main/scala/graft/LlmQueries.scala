@@ -36,6 +36,8 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val pqModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, similarity.PqModel]()
+  private val pcaModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, analytics.PcaModel]()
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val lshIndexCache =
@@ -572,6 +574,21 @@ object LlmQueries {
     "q_semdedup" -> ((s, dir) => {
       SimilarityOps.semDedup(t(s, dir, "embeddings"), threshold = 0.4,
           nlist = 16)
+        .orderBy(col("vec_id"))
+    }),
+
+    // -- [EXT]: distributed PCA whitening — ONE moment-aggregation pass
+    //    (d(d+3)/2 doubles per partial), driver-side 64×64 Jacobi
+    //    eigensolve, broadcast-literal projection. No oracle (float
+    //    eigenbasis); PcaSpec asserts recovery/diagonalization/trace.
+    "q_pca_project" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = pcaModelCache.computeIfAbsent(dir,
+        _ => analytics.Pca.fit(emb, "embedding", r = 8))
+      analytics.Pca.project(emb, "embedding", model, whiten = true)
+        .select(col("vec_id") +:
+          (0 until 8).map(j =>
+            element_at(col("pca"), j + 1).as(s"pc${j + 1}")): _*)
         .orderBy(col("vec_id"))
     }),
 
