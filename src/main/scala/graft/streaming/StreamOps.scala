@@ -221,4 +221,78 @@ object StreamOps {
           }
       }
   }
+
+  /** Input row of [[streamingTokenBudget]]. */
+  case class BudgetRow(id: Long, stratum: String, weight: Long)
+
+  /** Admitted row: `cum_after` is the stratum's cumulative admitted
+    * weight INCLUDING this row — the streaming audit trail of the
+    * quota. */
+  case class Admitted(id: Long, stratum: String, weight: Long,
+      cumAfter: Long)
+
+  /** [[TokenBudgetProcessor]]'s per-stratum state is ONE long (the
+    * cumulative admitted weight), read and written once per
+    * (key, micro-batch) — the `transformWithState` arbitrary-state API
+    * (Spark 4.x), which unlike `flatMapGroupsWithState` composes typed
+    * per-key state variables with TTL and timers, and requires the
+    * RocksDB state store provider. */
+  private class TokenBudgetProcessor(budgets: Map[String, Long],
+      defaultBudget: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BudgetRow, Admitted] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var cum: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cum = getHandle.getValueState[Long]("cum",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BudgetRow],
+        timerValues: TimerValues): Iterator[Admitted] = {
+      val budget = budgets.getOrElse(key, defaultBudget)
+      var c = if (cum.exists()) cum.get() else 0L
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+      // id-sorted WITHIN the micro-batch so admission is deterministic
+      // under any shuffle schedule (cross-batch order is the stream's
+      // arrival order — inherently the quota's semantics)
+      rows.toSeq.sortBy(_.id).foreach { r =>
+        if (r.weight >= 0 && c + r.weight <= budget) {
+          c += r.weight
+          admitted += Admitted(r.id, r.stratum, r.weight, c)
+        }
+      }
+      cum.update(c)
+      admitted.iterator
+    }
+  }
+
+  /** Streaming per-stratum token-budget admission — the streaming sibling
+    * of [[graft.ops.Sampling.tokenBudget]]: a document is admitted iff
+    * its stratum's cumulative admitted weight ACROSS ALL MICRO-BATCHES
+    * stays within the stratum's budget ("stop taking crawl docs after
+    * 10 B tokens, keep taking curated ones"). A row larger than the
+    * remaining budget is dropped; later smaller rows may still fit
+    * (the [[graft.ops.Sampling.tokenBudget]] contract, cumulatively).
+    * Returns (id, stratum, weight, cumAfter).
+    *
+    * Scale: one hash exchange on the stratum per micro-batch; state is
+    * O(1) per stratum (one long in the RocksDB store), so a million
+    * strata cost MBs. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` (the transformWithState
+    * engine's store). */
+  def streamingTokenBudget(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue)
+      : org.apache.spark.sql.Dataset[Admitted] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    df.select(col(idCol).cast("long").as("id"),
+        col(strataCol).cast("string").as("stratum"),
+        col(weightCol).cast("long").as("weight"))
+      .as[BudgetRow]
+      .groupByKey(_.stratum)
+      .transformWithState(new TokenBudgetProcessor(budgets, defaultBudget),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

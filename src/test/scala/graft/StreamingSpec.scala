@@ -399,4 +399,49 @@ class StreamingSpec extends AnyFunSuite {
       .select($"lang", $"distinct_est").as[(String, Long)].collect().toMap
     assert(est == Map("en" -> 3L, "de" -> 1L))
   }
+
+  test("streamingTokenBudget (transformWithState): cumulative per-stratum " +
+      "quota holds across micro-batches; oversized row dropped while a " +
+      "later smaller row fits; strata independent") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Long)](spark)
+      val sink = nextSink()
+      val q = StreamOps.streamingTokenBudget(
+          mem.toDF.toDF("id", "src", "w"), "id", "src", "w",
+          Map("crawl" -> 10L), defaultBudget = Long.MaxValue)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      // batch 1: ids sorted within the batch -> 1 (4) admitted, 2 (4)
+      // admitted (cum 8), 3 (5) would blow the 10 budget -> dropped,
+      // 4 (2) still fits (cum 10); curated stratum unlimited
+      mem.addData((3L, "crawl", 5L), (1L, "crawl", 4L), (2L, "crawl", 4L),
+        (4L, "crawl", 2L), (9L, "curated", 1000L))
+      q.processAllAvailable()
+      // batch 2: budget exhausted — nothing from crawl fits but a
+      // zero-weight row; curated keeps flowing (state persisted)
+      mem.addData((5L, "crawl", 1L), (6L, "crawl", 0L),
+        (10L, "curated", 7L))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table(sink)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == Set(
+        (1L, "crawl", 4L, 4L), (2L, "crawl", 4L, 8L),
+        (4L, "crawl", 2L, 10L), (6L, "crawl", 0L, 10L),
+        (9L, "curated", 1000L, 1000L), (10L, "curated", 7L, 1007L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
