@@ -298,4 +298,40 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
   }
+
+  test("runtime bloom-filter join pruning: a selective dim filter injects " +
+      "a bloom probe into the fact scan side (the 100 TB shuffle-join " +
+      "reducer; thresholds lowered to make it observable at test scale)") {
+    // At 100 TB the conf posture is the DEFAULT thresholds (creation side
+    // <= 10 MB, application side >= 10 GB); here both thresholds collapse
+    // so the injection is assertable on sf0.001. Broadcast is disabled
+    // because InjectRuntimeFilter targets shuffle joins (a broadcast
+    // join already prunes via the hash relation).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$opt")
+      // and it still computes the right thing with the filter in place
+      assert(joined.collect().map(_.getLong(1)).sum > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
