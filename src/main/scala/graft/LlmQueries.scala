@@ -38,6 +38,8 @@ object LlmQueries {
     new java.util.concurrent.ConcurrentHashMap[String, similarity.PqModel]()
   private val pcaModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, analytics.PcaModel]()
+  private val bpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, text.BpeModel]()
   private val ivfPqIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val lshIndexCache =
@@ -555,6 +557,22 @@ object LlmQueries {
           array_join(col("token_ids").cast("array<string>"), " ")
             .as("token_ids_str"),
           col("n_unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: BPE tokenizer training + encoding — distributed
+    //    word-count shuffle, driver greedy merge loop over the word
+    //    table (the sentencepiece/HF shape), broadcast-ranks encode.
+    //    No oracle (iterative trainer has no SQL form); BpeSpec asserts
+    //    the hand-checkable merge sequence, segmentation reproduction,
+    //    round-trip, and partitioning invariance.
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = bpeModelCache.computeIfAbsent(dir,
+        _ => text.Bpe.train(docs, "text", numMerges = 200))
+      text.Bpe.encode(docs, "text", model)
+        .select(col("doc_id"), col("pieces_n"),
+          array_join(slice(col("pieces"), 1, 12), " ").as("pieces_head"))
         .orderBy(col("doc_id"))
     }),
 
