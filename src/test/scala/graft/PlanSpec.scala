@@ -299,6 +299,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$p")
   }
 
+  test("q_weighted_sample: both A-ES selection windows are " +
+      "WindowGroupLimit-bounded and the data-sized one is sharded") {
+    val p = plan("q_weighted_sample")
+    // two rank<=k windows -> two WindowGroupLimit spans (bounded heaps,
+    // never a full per-stratum sort of the corpus)
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2, s"expected 2 WindowGroupLimit spans:\n$p")
+    // stage-1 window partitions on (stratum, shard), not stratum alone
+    assert(p.contains("_shard"), s"stage-1 window lost its shard key:\n$p")
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects " +
       "a bloom probe into the fact scan side (the 100 TB shuffle-join " +
       "reducer; thresholds lowered to make it observable at test scale)") {
