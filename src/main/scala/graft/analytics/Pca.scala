@@ -98,28 +98,7 @@ object Pca {
       .as[Array[Float]]
       .select(new MomentAggregator().toColumn)
       .head()
-    require(m.n >= 2, s"PCA needs at least 2 vectors, got ${m.n}")
-    val d = m.sums.length
-    require(r <= d, s"r ($r) exceeds vector dim ($d)")
-    val n = m.n.toDouble
-    val mean = m.sums.map(_ / n)
-    // covariance from raw moments: C = (Σxxᵀ − n·μμᵀ) / (n−1)
-    val cov = Array.ofDim[Double](d, d)
-    var t = 0
-    var i = 0
-    while (i < d) {
-      var j = i
-      while (j < d) {
-        val c = (m.prods(t) - n * mean(i) * mean(j)) / (n - 1.0)
-        cov(i)(j) = c
-        cov(j)(i) = c
-        t += 1
-        j += 1
-      }
-      i += 1
-    }
-    val (evals, evecs) = symEigen(cov)
-    PcaModel(mean, evecs.take(r), evals.take(r))
+    fitMoments(m, r)
   }
 
   /** Append `outCol` = the r-dim projection of `vecCol` onto the model
@@ -146,6 +125,97 @@ object Pca {
     df.withColumn(ctr, centered)
       .withColumn(outCol, array(comps: _*))
       .drop(ctr)
+  }
+
+  // ---- mergeable moment tables (incremental / streaming fit) -------------
+
+  /** Per-stratum moment rows: (strata..., moments BINARY) — the
+    * PCA analog of the HLL/KLL sketch tables: moments are ADDITIVE, so a
+    * persisted moments table refreshes a PCA model from new data alone,
+    * never rescanning the corpus. The binary cell is the
+    * java-serialized [[PcaMoments]]. */
+  def momentsTable(df: DataFrame, vecCol: String,
+      strata: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = org.apache.spark.sql.functions.udaf(new MomentAggregator(),
+      implicitly[Encoder[Array[Float]]])
+    df.groupBy(strata.map(col): _*)
+      .agg(agg(col(vecCol).cast("array<float>")).as("moments"))
+  }
+
+  /** Streaming writer: one moments row per (stratum, micro-batch)
+    * appended to a parquet table — [[momentsTable]] on the streaming
+    * surface. Moments are additive (NOT replay-idempotent, unlike HLL
+    * register-max), so `batch_id` is written and [[fitFromMoments]]
+    * dedupes on it: an at-least-once replayed batch cannot double-count.
+    * Per batch this is one map-side-combined aggregate down to ~17 KB
+    * rows at d=64. */
+  def momentsSink(stream: DataFrame, vecCol: String, strata: Seq[String],
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        momentsTable(batch, vecCol, strata)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
+  private def deserialize(bytes: Array[Byte]): PcaMoments = {
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readObject().asInstanceOf[PcaMoments] finally in.close()
+  }
+
+  /** Fit a model from a persisted moments table (all strata pooled),
+    * deduping replayed (strata, batch_id) rows when a `batch_id` column
+    * is present. The table is KB-sized per row — a driver-side merge. */
+  def fitFromMoments(table: DataFrame, r: Int): PcaModel = {
+    val strata = table.columns.filter(c =>
+      c != "moments" && c != "batch_id").toSeq
+    val deduped =
+      if (!table.columns.contains("batch_id")) table
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy((strata :+ "batch_id").map(col): _*)
+          .orderBy(col("batch_id"))
+        table.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+    val blobs = deduped.select(col("moments")).collect()
+      .map(row => deserialize(row.getAs[Array[Byte]](0)))
+    require(blobs.nonEmpty, "empty moments table")
+    val agg = new MomentAggregator
+    val total = blobs.reduce(agg.merge)
+    fitMoments(total, r)
+  }
+
+  private def fitMoments(m: PcaMoments, r: Int): PcaModel = {
+    require(m.n >= 2, s"PCA needs at least 2 vectors, got ${m.n}")
+    val d = m.sums.length
+    require(r <= d, s"r ($r) exceeds vector dim ($d)")
+    val n = m.n.toDouble
+    val mean = m.sums.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val c = (m.prods(t) - n * mean(i) * mean(j)) / (n - 1.0)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val (evals, evecs) = symEigen(cov)
+    PcaModel(mean, evecs.take(r), evals.take(r))
   }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix — all

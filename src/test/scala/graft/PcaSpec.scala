@@ -107,6 +107,60 @@ class PcaSpec extends AnyFunSuite {
       .toSeq == Seq(4))
   }
 
+  test("moments table: batch fit == direct fit; strata rows pool; " +
+      "replayed batch_id rows dedupe instead of double-counting") {
+    import graft.analytics.Pca
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val direct = Pca.fit(emb, "embedding", r = 4)
+    val global = Pca.momentsTable(emb, "embedding")
+    val fromTable = Pca.fitFromMoments(global, r = 4)
+    direct.eigenvalues.zip(fromTable.eigenvalues).foreach { case (a, b) =>
+      assert(close(a, b, 1e-9), s"eigenvalue drift: $a vs $b") }
+    // per-stratum rows pool to the same model
+    val byLabel = Pca.momentsTable(emb, "embedding", Seq("label"))
+    assert(byLabel.count() > 1)
+    val pooled = Pca.fitFromMoments(byLabel.drop("label"), r = 4)
+    direct.eigenvalues.zip(pooled.eigenvalues).foreach { case (a, b) =>
+      assert(close(a, b, 1e-7), s"pooled eigenvalue drift: $a vs $b") }
+    // replay: duplicating a (strata, batch_id) row must not change the fit
+    val withBatch = byLabel.withColumn("batch_id", lit(0L))
+    val replayed = withBatch.unionByName(withBatch)
+    val rep = Pca.fitFromMoments(replayed, r = 4)
+    pooled.eigenvalues.zip(rep.eigenvalues).foreach { case (a, b) =>
+      assert(close(a, b, 1e-12), s"replayed row double-counted: $a vs $b") }
+  }
+
+  test("momentsSink: per-batch moment rows append; fit across batches " +
+      "== fit over all rows seen") {
+    import graft.analytics.Pca
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("pcamoments")
+    val path = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val all = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = Pca.momentsSink(mem.toDF.toDF("vec_id", "embedding"),
+      "embedding", Nil, path, ckpt).start()
+    mem.addData(all.take(30).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(all.drop(30).toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(path)
+    assert(table.select("batch_id").distinct().count() == 2)
+    val streamed = Pca.fitFromMoments(table, r = 3)
+    val direct = Pca.fit(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "embedding", r = 3)
+    direct.eigenvalues.zip(streamed.eigenvalues).foreach { case (a, b) =>
+      assert(close(a, b, 1e-9), s"streamed fit drift: $a vs $b") }
+  }
+
   test("explained variance: top-r eigenvalue share grows with r and " +
       "total variance equals the trace") {
     val emb = spark.read
