@@ -304,6 +304,17 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- [EXT]: sorted-neighborhood near-dup pairs (SNM) — global sort
+    //    by normalized text via the range-exchange rank (never a
+    //    single-task window), compare each doc to its 4 successors,
+    //    levenshtein ≤ 8. The multi-pass complement of prefix blocking.
+    "q_snm_neardup" -> ((s, dir) => {
+      DedupOps.sortedNeighborhoodPairs(t(s, dir, "documents"), "doc_id",
+          "text", window = 4, maxDist = 8)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy(col("id_lo"), col("id_hi"))
+    }),
+
     // -- [EXT]: source-weighted data mixing — per-source target fractions
     //    (keep all of src0, half of src1, a tenth of src2, 20% elsewhere)
     //    with exact quotas, deterministic md5 membership.
@@ -927,6 +938,19 @@ object LlmQueries {
          | AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.t, b.t) <= 8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SNM: rank by (normalized text, id) — a total order, so ranks (and
+    // the window-successor pairs) are engine-independent.
+    "q_snm_neardup" ->
+      s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
+         |r AS (SELECT doc_id, t,
+         |        row_number() OVER (ORDER BY t, doc_id) AS rk FROM n)
+         |SELECT least(a.doc_id, b.doc_id) AS id_lo,
+         |  greatest(a.doc_id, b.doc_id) AS id_hi,
+         |  levenshtein(a.t, b.t) AS dist
+         |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+         |WHERE levenshtein(a.t, b.t) <= 8
+         |ORDER BY id_lo, id_hi""".stripMargin,
 
     "q_pii_scrub" ->
       s"""SELECT doc_id,

@@ -706,4 +706,40 @@ object DedupOps {
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Sorted-neighborhood near-dup pairs (the classic SNM blocking): sort
+    * the corpus by normalized text, compare each document only to its
+    * `window` successors in that order, keep pairs with
+    * levenshtein ≤ `maxDist`. Complements [[editDistancePairs]]: prefix
+    * blocking misses pairs whose edits fall inside the prefix; the
+    * sorted order misses pairs whose edits fall at the FRONT of the text
+    * (they sort far apart) — the standard practice is a multi-pass union
+    * over different sort keys, each pass this operator.
+    *
+    * Scale: the global sort rank comes from [[graft.ops.Rank.globalRank]]
+    * (one range exchange + broadcast offsets — never a single-task
+    * window); neighbor candidates are an equi-join of the rank against
+    * its `window` shifted copies (row-local explode, `window`× postings,
+    * no quadratic block). Output: (id_lo, id_hi, dist) — id-ordered so
+    * the pair orientation is engine-independent even when the text order
+    * and id order disagree. */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 4, maxDist: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val norm = docs.select(col(idCol).as("_sid"),
+      TextOps.normalize(col(textCol)).as("_t"))
+    // total order (text, id) — ranks well-defined and oracle-matchable
+    val ranked = graft.ops.Rank.globalRank(norm,
+      Seq(col("_t"), col("_sid")), "_rk")
+    val left = ranked.select(col("_sid").as("_ida"), col("_t").as("_ta"),
+      col("_rk"))
+    val right = ranked.select(col("_sid").as("_idb"), col("_t").as("_tb"),
+      explode(sequence(col("_rk") - window, col("_rk") - 1)).as("_rk"))
+    left.join(right, Seq("_rk"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(least(col("_ida"), col("_idb")).as("id_lo"),
+        greatest(col("_ida"), col("_idb")).as("id_hi"), col("dist"))
+  }
 }

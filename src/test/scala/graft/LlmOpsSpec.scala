@@ -929,4 +929,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => a == 5L || b == 5L },
       "prefix-divergent doc must not pair (documented recall tradeoff)")
   }
+
+  test("sortedNeighborhoodPairs: equals the naive global-window SNM; " +
+      "catches a front-edited pair prefix blocking misses") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = DedupOps
+      .sortedNeighborhoodPairs(docs, "doc_id", "text", window = 4,
+        maxDist = 8)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    val n = docs.select($"doc_id", TextOps.normalize($"text").as("t"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy($"t", $"doc_id")).cast("long"))
+    val ref = n.as("a").join(n.as("b"),
+        col("b.rk") - col("a.rk") >= 1 && col("b.rk") - col("a.rk") <= 4)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("lo"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("hi"),
+        levenshtein(col("a.t"), col("b.t")).as("d"))
+      .filter(col("d") <= 8)
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    assert(got == ref)
+    assert(got.nonEmpty)
+    // a FRONT edit escapes prefix blocking but neighbors in sort order
+    // when the shared tail dominates... the reverse also holds: SNM
+    // misses pairs that sort far apart. Construct the SNM-favorable case:
+    val synth = Seq(
+      (1L, "zzz alpha beta gamma delta"),
+      (2L, "zza alpha beta gamma delta"), // front edit, sorts adjacent
+      (3L, "completely different text here")
+    ).toDF("doc_id", "text")
+    val prefixPairs = DedupOps.editDistancePairs(synth, "doc_id", "text",
+      maxDist = 8, prefixLen = 8, lenBucket = 16)
+      .as[(Long, Long, Int)].collect()
+    val snmPairs = DedupOps.sortedNeighborhoodPairs(synth, "doc_id",
+      "text", window = 2, maxDist = 8)
+      .as[(Long, Long, Int)].collect()
+    assert(!prefixPairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "prefix blocking should miss the front-edited pair")
+    assert(snmPairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1),
+      s"SNM should catch the front-edited pair: ${snmPairs.toSeq}")
+  }
 }
