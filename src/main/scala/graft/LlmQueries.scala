@@ -531,6 +531,24 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: BM25 keyword search — top-10 docs per probe query (the
+    //    targeted-subset-selection retrieval primitive). Query terms
+    //    broadcast; per-doc sum decimal-cast (merge-order-independent);
+    //    rank via (query, shard)-keyed WindowGroupLimit then a final
+    //    window over the <= 32·k survivors — never a low-cardinality
+    //    query-id window at data size. "watermark" is OOV on purpose.
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val probes = Seq(
+        ("q1", "hash join merge"),
+        ("q2", "customer order line"),
+        ("q3", "stream window watermark")).toDF("query_id", "query_text")
+      CorpusStats.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          probes, "query_id", "query_text", k = 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // -- [EXT]: logistic quality classifier — σ(w·x) over the
     //    interpretable quality features (fastText-style scoring pass with
     //    fixed published weights)
@@ -1453,6 +1471,41 @@ object LlmQueries {
          |    / sum(tf)::DOUBLE, 6) AS logprob
          |FROM tf JOIN cb USING (bigram) JOIN cp USING (prev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // BM25: every score input is integer-derived (tf, df, N, dl) except
+    // avgdl (one double division) — per-term doubles are bit-identical
+    // across engines (the q_unigram_logprob precedent), the per-doc sum
+    // is decimal-cast per term, and the rank orders on the DECIMAL sum.
+    "q_bm25_topk" ->
+      s"""WITH q AS (SELECT * FROM (VALUES
+         |    ('q1', 'hash join merge'),
+         |    ('q2', 'customer order line'),
+         |    ('q3', 'stream window watermark'))
+         |  AS v(query_id, query_text)),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(string_split(query_text, ' ')) AS term FROM q),
+         |tok AS (SELECT doc_id,
+         |    unnest(string_split($duckNorm, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+         |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n_docs,
+         |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    sum((ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5)
+         |          / (df::DOUBLE + 0.5))
+         |        * (tf::DOUBLE * 2.2)
+         |        / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)))
+         |      ::DECIMAL(28,12)) AS s
+         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, s, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |SELECT query_id, rank, doc_id, round(s::DOUBLE, 6) AS score
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // same left-fold order as CorpusStats.logisticQuality's z expression
     "q_quality_logit" ->

@@ -298,4 +298,77 @@ object CorpusStats {
     * n-gram repetition down, mild length reward. */
   val DefaultQualityWeights: (Double, Double, Double, Double, Double, Double) =
     (-2.0, 6.0, -4.0, 0.15, 0.25, -3.0)
+
+  /** BM25 keyword search: top-`k` documents per query under the
+    * Robertson–Spärck Jones BM25 ranking function — the retrieval
+    * primitive of targeted-subset selection ("pull the docs about X into
+    * the mix") and of quality probing. Per matched term,
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with the
+    * always-positive idf `ln(1 + (N − df + 0.5)/(df + 0.5))`; the
+    * document score is the sum over the query's distinct terms.
+    * Out-of-vocabulary query terms contribute nothing (inner join against
+    * the corpus vocabulary). N/avgdl are over documents with ≥1 token
+    * (empty docs can never match and would only dilute avgdl).
+    * Returns (query_id, rank, doc_id-as-`idCol`, score), rank by
+    * (score desc, doc asc) — deterministic: per-term scores are pure
+    * double arithmetic over integers, and the per-doc sum is decimal-cast
+    * per term (exact ⇒ merge-order-independent), ranked on the DECIMAL.
+    *
+    * Scale: tf is the (doc, term)-keyed hash aggregate every operator
+    * here shares (materialized once — it feeds dl, df, AND the match);
+    * query terms broadcast (a query set is human-sized); df joins
+    * term-keyed (vocabulary ≪ corpus, AQE broadcasts when it fits); dl
+    * joins doc-keyed — the one corpus-sized exchange. Top-k per query
+    * NEVER windows on the raw (low-cardinality!) query id: matched docs
+    * first thin through a (query, shard)-keyed WindowGroupLimit (top-k
+    * per 32 hash shards), then the ≤ 32·k survivors per query take the
+    * final rank — the q_pack/stratified sharding lesson applied to
+    * retrieval. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      shards: Int = 32): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val tf = termRows(df, idCol, textCol)
+      .groupBy(col("_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dl = tf.groupBy(col("_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val qterms = queries
+      .select(col(queryIdCol).as("_qid"),
+        explode(split(TextOps.normalize(col(queryTextCol)), " "))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfD = col("tf").cast("double")
+    val termScore = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl").cast("double") / col("avgdl")))
+    val scored = tf.join(broadcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("_qid"), col("_id"))
+      .agg(sum(termScore.cast("decimal(28,12)")).as("_s"))
+    val wShard = Window
+      .partitionBy(col("_qid"), pmod(xxhash64(col("_id")), lit(shards)))
+      .orderBy(col("_s").desc, col("_id").asc)
+    val wFinal = Window.partitionBy(col("_qid"))
+      .orderBy(col("_s").desc, col("_id").asc)
+    scored
+      .withColumn("_sr", row_number().over(wShard))
+      .filter(col("_sr") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(queryIdCol), col("rank"),
+        col("_id").as(idCol), col("_s").cast("double").as("score"))
+  }
 }

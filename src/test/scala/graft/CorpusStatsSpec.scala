@@ -183,4 +183,71 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(3L) == 1L) // same cell as 1
     assert(out(0L) == 0L && out(1L) == 1L)
   }
+
+  test("bm25TopK: hand-computed score; non-matching docs absent; ties " +
+      "break on doc id; OOV query terms contribute nothing") {
+    val q1 = Seq(("q1", "cat")).toDF("qid", "qtext")
+    val got = CorpusStats
+      .bm25TopK(docs, "doc_id", "text", q1, "qid", "qtext", k = 10)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    // N = 3, avgdl = 3, df(cat) = 2, tf = 1, dl = 3:
+    // idf = ln(1 + 1.5/2.5); tfpart = 2.2 / (1 + 1.2·(0.25+0.75)) = 1
+    val expected = math.log(1.0 + 1.5 / 2.5)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("q1", 1, 1L), ("q1", 2, 2L)), s"got: ${got.toSeq}")
+    got.foreach(r => assert(math.abs(r._4 - expected) < 1e-9))
+    val withOov = Seq(("q1", "cat zzznotaword")).toDF("qid", "qtext")
+    val oov = CorpusStats
+      .bm25TopK(docs, "doc_id", "text", withOov, "qid", "qtext", k = 10)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    assert(oov.toSeq == got.toSeq, "OOV term must not change results")
+  }
+
+  test("bm25TopK: equals the naive low-card-window form on real data; " +
+      "k bounds each query's rows") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val probes = Seq(("a", "hash join merge"), ("b", "customer order"))
+      .toDF("qid", "qtext")
+    val got = CorpusStats
+      .bm25TopK(corpus, "doc_id", "text", probes, "qid", "qtext", k = 7)
+      .as[(String, Int, Long, Double)].collect().sorted.toSeq
+    assert(got.count(_._1 == "a") == 7 && got.count(_._1 == "b") == 7)
+    // naive: same per-(query, doc) decimal score, ONE window on the raw
+    // query id (fine on a spec corpus; the operator's sharded selection
+    // must reproduce it exactly)
+    val tf = corpus.select(col("doc_id"),
+        explode(split(graft.text.TextOps.normalize(col("text")), " "))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val st = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val qt = probes.select(col("qid"),
+        explode(split(graft.text.TextOps.normalize(col("qtext")), " "))
+          .as("term")).distinct()
+    val term = log(lit(1.0) + (col("n_docs").cast("double") -
+        col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+      (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val naive = tf.join(qt, Seq("term")).join(dfreq, Seq("term"))
+      .join(dl, Seq("doc_id")).crossJoin(st)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(term.cast("decimal(28,12)")).as("s"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("s").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 7)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        col("s").cast("double").as("score"))
+      .as[(String, Int, Long, Double)].collect().sorted.toSeq
+    assert(got == naive)
+  }
 }

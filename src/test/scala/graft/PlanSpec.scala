@@ -310,6 +310,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("_shard"), s"stage-1 window lost its shard key:\n$p")
   }
 
+  test("q_bm25_topk: query terms broadcast; both rank windows are " +
+      "WindowGroupLimit-bounded and the data-sized one is hash-sharded, " +
+      "never keyed on the low-cardinality query id alone") {
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"query-term join lost its " +
+      s"broadcast:\n$p")
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2, s"expected 2 WindowGroupLimit spans:\n$p")
+    // stage-1 window partitions on (query, shard): a two-key group limit
+    // must exist (the shard expression is projected to a _w attribute)
+    val twoKey = """WindowGroupLimit \[[^\],]+, [^\]]+\]""".r
+    assert(twoKey.findFirstIn(p).nonEmpty,
+      s"stage-1 window lost its shard key:\n$p")
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects " +
       "a bloom probe into the fact scan side (the 100 TB shuffle-join " +
       "reducer; thresholds lowered to make it observable at test scale)") {
