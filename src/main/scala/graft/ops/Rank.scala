@@ -21,6 +21,66 @@ import org.apache.spark.sql.functions._
   * row_number). */
 object Rank {
 
+  /** Append `rankCol` = 1-based row_number by `order` WITHIN each group,
+    * plus (optionally) `countCol` = the group's row count — without ever
+    * windowing on the group key alone. `row_number() OVER (PARTITION BY
+    * source ORDER BY …)` sends each group through ONE task; when groups
+    * are few and huge (sources, languages — the calibration strata), that
+    * is the q_pack low-cardinality-window trap. Here the data takes one
+    * range exchange on (group ++ order) — every partition balanced
+    * regardless of group skew — with per-(group, partition) local ranks
+    * stitched by broadcast prefix offsets, exactly [[globalRank]] with the
+    * prefix scan keyed per group.
+    *
+    * Contract: the offsets table has ~(#groups + #partitions) rows and is
+    * broadcast — intended for LOW-cardinality groups with data-sized
+    * members. High-cardinality groups (doc-keyed) don't skew and should
+    * use a plain window. NULL group keys are ranked as their own group
+    * (null-safe join). Deterministic whenever (group ++ order) is a total
+    * order. */
+  def groupedRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+      rankCol: String, countCol: Option[String] = None,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRank needs at least one group col")
+    require(order.nonEmpty, "groupedRank needs at least one order column")
+    def fresh(base: String) = Iterator.iterate(base)(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val pid = fresh("_grk_pid")
+    val loc = fresh("_grk_loc")
+    val off = fresh("_grk_off")
+    val tot = fresh("_grk_tot")
+    val gcols = groupCols.map(col)
+    val keys = gcols ++ order
+    val ranged = numPartitions
+      .fold(df.repartitionByRange(keys: _*))(
+        n => df.repartitionByRange(n, keys: _*))
+      .withColumn(pid, spark_partition_id())
+    val wLocal = Window.partitionBy(col(pid) +: gcols: _*).orderBy(order: _*)
+    val local = ranged.withColumn(loc, row_number().over(wLocal))
+    // (group, partition) counts -> per-group exclusive prefix offsets and
+    // group totals (rows ~ #groups + #partitions: driver-scale)
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(gcols: _*)
+    val counts = local.groupBy(gcols :+ col(pid): _*)
+      .agg(max(col(loc)).as("_c"))
+    val offsets = counts
+      .withColumn(off, coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn(tot, sum(col("_c")).over(wTot))
+      .select(groupCols.map(c => col(c).as(s"_grkj_$c")) ++
+        Seq(col(pid).as(s"_grkj_$pid"), col(off), col(tot)): _*)
+    // null-safe equi-join on (group, pid): NULL groups must keep ranks.
+    // Every offsets-side column is aliased _grkj_* so no self-join
+    // ambiguity exists for Spark to second-guess.
+    val cond = groupCols.map(c => local(c) <=> col(s"_grkj_$c"))
+      .reduce(_ && _) && col(pid) === col(s"_grkj_$pid")
+    val joined = local.join(broadcast(offsets), cond)
+      .withColumn(rankCol, col(off) + col(loc))
+    countCol.fold(joined)(c => joined.withColumn(c, col(tot)))
+      .drop((Seq(pid, s"_grkj_$pid", loc, off, tot) ++
+        groupCols.map(c => s"_grkj_$c")): _*)
+  }
+
   /** Append `rankCol` = 1-based global row_number by `order`. */
   def globalRank(df: DataFrame, order: Seq[Column], rankCol: String,
       numPartitions: Option[Int] = None): DataFrame = {

@@ -298,23 +298,32 @@ object Sampling {
   /** SCORE-ordered top fraction per group — "keep the best 30% per
     * source", the relative-threshold quality gate (an absolute cut like
     * `quality >= 0.5` keeps different volumes per domain; a percentile
-    * cut keeps the SHAPE of the mix). `percent_rank() <= frac` over
-    * (score desc, tieBreak asc); the tie-break makes the kept set
-    * deterministic and engine-portable. One shuffle on the group key;
-    * a huge group = one sorted partition, so for million-row groups
-    * pre-aggregate or shard the way [[stratified]] does. */
+    * cut keeps the SHAPE of the mix). Keeps rows whose percent-rank
+    * `(rank − 1)/(n − 1)` over (score desc, tieBreak asc) is ≤ `frac`;
+    * the unique tie-break makes the kept set deterministic,
+    * engine-portable, and EQUAL to SQL `percent_rank() <= frac`
+    * (row_number == rank under a total order; single-row groups rank 0,
+    * percent_rank's own convention).
+    *
+    * Scale: the rank comes from [[graft.ops.Rank.groupedRank]] — a range
+    * exchange on (group, score, tieBreak) with broadcast prefix offsets —
+    * never a window on the group key alone, so a 100 TB source does NOT
+    * become one sorted task (the low-cardinality-window trap this used to
+    * have). */
   def topFractionPerGroup(df: DataFrame, groupCol: String, score: Column,
       tieBreak: String, frac: Double): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(score.desc, col(tieBreak).asc)
-    // fresh temp name (AsOfJoin/ZOrder discipline): never clobber a user
-    // column that happens to be called _pr
-    val pr = Iterator.iterate("_pr")(_ + "_")
+    // fresh temp names (AsOfJoin/ZOrder discipline): never clobber user
+    // columns that happen to share the names
+    val rk = Iterator.iterate("_pfg_rk")(_ + "_")
       .dropWhile(df.columns.contains).next()
-    df.withColumn(pr, percent_rank().over(w))
-      .filter(col(pr) <= frac)
-      .drop(pr)
+    val n = Iterator.iterate("_pfg_n")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    Rank.groupedRank(df, Seq(groupCol),
+        Seq(score.desc, col(tieBreak).asc), rk, countCol = Some(n))
+      .filter(when(col(n) === 1L, lit(0.0))
+        .otherwise((col(rk) - lit(1L)).cast("double") /
+          (col(n) - lit(1L)).cast("double")) <= frac)
+      .drop(rk, n)
   }
 }

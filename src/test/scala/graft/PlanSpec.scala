@@ -325,6 +325,18 @@ class PlanSpec extends AnyFunSuite {
       s"stage-1 window lost its shard key:\n$p")
   }
 
+  test("q_quality_topfrac: the per-source percentile gate range-exchanges " +
+      "on (source, score) — no data-sized window keyed on the " +
+      "low-cardinality source alone") {
+    val p = plan("q_quality_topfrac")
+    assert(p.contains("rangepartitioning(source"),
+      s"lost the range exchange on (source, score):\n$p")
+    // the only hash exchange on bare source feeds the offsets aggregate
+    // (rows ~ #sources x #partitions), never the corpus-sized frame
+    assert(!p.contains("Exchange SinglePartition"),
+      s"unexpected single-partition stage:\n$p")
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects " +
       "a bloom probe into the fact scan side (the 100 TB shuffle-join " +
       "reducer; thresholds lowered to make it observable at test scale)") {
