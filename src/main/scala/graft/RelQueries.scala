@@ -117,18 +117,42 @@ object RelQueries {
     // -- W2 [EXT]: ranking family. rank/dense_rank rank over a TIED key
     //    (values deterministic even though intra-tie row order is not);
     //    ntile gets a unique order so bucket assignment is deterministic.
+    //    NO data-sized window keys on the 5-value segment: rank/dense_rank
+    //    are pure functions of the per-(segment, bucket) counts (a tiny
+    //    aggregate, windowed there, broadcast back), and ntile derives
+    //    from the skew-safe groupedRank via the SQL ntile formula
+    //    (first n%k tiles get one extra row) — so at 100 TB no segment
+    //    ever serializes through a single task.
     "q_rank_family" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .withColumn("bal_bucket", floor(col("c_acctbal") / 1000).cast("long"))
-      val wTies = Window.partitionBy(col("c_mktsegment"))
+      val ranked = graft.ops.Rank.groupedRank(c, Seq("c_mktsegment"),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc), "_ur",
+        countCol = Some("_n"))
+      val wSeg = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("bal_bucket").desc)
-      val wUnique = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      c.select(col("c_mktsegment"), col("c_custkey"), col("bal_bucket"),
-        rank().over(wTies).as("rnk"),
-        dense_rank().over(wTies).as("drnk"),
-        ntile(4).over(wUnique).as("quartile"))
+      val bucketRanks = c
+        .groupBy(col("c_mktsegment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("_bc"))
+        .withColumn("rnk", (coalesce(sum(col("_bc")).over(
+            wSeg.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          + lit(1L)).cast("int"))
+        .withColumn("drnk", row_number().over(wSeg))
+        .drop("_bc")
+      // ntile(k): n = qk + r; first r tiles take q+1 rows (SQL
+      // semantics). All-integer arithmetic — no double division that
+      // could misfloor at huge group sizes.
+      val quartile = expr(
+        """CAST(CASE WHEN _ur <= (_n % 4) * ((_n DIV 4) + 1)
+          |  THEN ((_ur - 1) DIV ((_n DIV 4) + 1)) + 1
+          |  ELSE (_n % 4)
+          |    + ((_ur - ((_n % 4) * ((_n DIV 4) + 1)) - 1) DIV (_n DIV 4))
+          |    + 1 END AS INT)""".stripMargin)
+      ranked.join(broadcast(bucketRanks), Seq("c_mktsegment", "bal_bucket"))
+        .withColumn("quartile", quartile)
         .filter(col("rnk") <= 20)
+        .select(col("c_mktsegment"), col("c_custkey"), col("bal_bucket"),
+          col("rnk"), col("drnk"), col("quartile"))
         .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
     }),
 

@@ -337,6 +337,17 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected single-partition stage:\n$p")
   }
 
+  test("q_rank_family: no data-sized window keys on the 5-value segment " +
+      "— the corpus range-exchanges on (segment, acctbal) and bucket " +
+      "ranks broadcast back") {
+    val p = plan("q_rank_family")
+    assert(p.contains("rangepartitioning(c_mktsegment"),
+      s"groupedRank lost its range exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-rank join lost its broadcast:\n$p")
+    assert(!p.contains("ntile"), s"a window ntile reappeared:\n$p")
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects " +
       "a bloom probe into the fact scan side (the 100 TB shuffle-join " +
       "reducer; thresholds lowered to make it observable at test scale)") {

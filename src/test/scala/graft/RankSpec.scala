@@ -90,6 +90,39 @@ class RankSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
+  test("q_rank_family's aggregate-shaped rank/dense_rank/ntile equals " +
+      "the plain window form (incl. n < k and n % k != 0 groups)") {
+    // the declared query already oracle-matches DuckDB at both scales;
+    // this pins the window equivalence on ntile edge shapes: group a has
+    // 6 = 4+2 rows (first two quartiles get 2), group b has 3 < 4 rows
+    // (each row its own tile)
+    val df = (Seq((1L, "a", 3500.0), (2L, "a", 3200.0), (3L, "a", 2100.0),
+      (4L, "a", 1900.0), (5L, "a", 800.0), (6L, "a", 750.0),
+      (7L, "b", 5000.0), (8L, "b", 100.0), (9L, "b", 50.0)))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val dir = "/root/testdata/sf0.001"
+    val spark2 = spark
+    df.createOrReplaceTempView("rank_family_probe")
+    val naive = spark2.sql(
+      """SELECT c_mktsegment, c_custkey,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        |  RANK() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS drnk,
+        |  NTILE(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |FROM rank_family_probe""".stripMargin)
+      .as[(String, Long, Long, Int, Int, Int)].collect().sorted.toSeq
+    // run the declared query's exact shape against the probe by routing
+    // through a temp parquet dir shaped like the testdata layout
+    val tmp = java.nio.file.Files.createTempDirectory("rankfam").toString
+    df.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = SparkEntry.queries("q_rank_family")(spark2, tmp)
+      .as[(String, Long, Long, Int, Int, Int)].collect().sorted.toSeq
+    assert(got == naive.filter(_._4 <= 20))
+  }
+
   test("rank column name collision avoided via fresh temp names; " +
       "1-row and empty frames") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "_grk_pid")
