@@ -37,10 +37,19 @@ object Rank {
     * members. High-cardinality groups (doc-keyed) don't skew and should
     * use a plain window. NULL group keys are ranked as their own group
     * (null-safe join). Deterministic whenever (group ++ order) is a total
-    * order. */
+    * order.
+    *
+    * `materialize` (default true) lazily localCheckpoints the ranked
+    * frame: it feeds BOTH the offsets aggregate and the join side, and
+    * Spark cannot reuse an exchange one branch aggregates further — an
+    * unmaterialized rank recomputes the scan + order-key projection +
+    * range exchange twice, and (worse) leaves correctness hostage to the
+    * range sampler drawing identical boundaries on both executions.
+    * Disable only to inspect the full unmaterialized plan. */
   def groupedRank(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
       rankCol: String, countCol: Option[String] = None,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "groupedRank needs at least one group col")
     require(order.nonEmpty, "groupedRank needs at least one order column")
     def fresh(base: String) = Iterator.iterate(base)(_ + "_")
@@ -56,7 +65,8 @@ object Rank {
         n => df.repartitionByRange(n, keys: _*))
       .withColumn(pid, spark_partition_id())
     val wLocal = Window.partitionBy(col(pid) +: gcols: _*).orderBy(order: _*)
-    val local = ranged.withColumn(loc, row_number().over(wLocal))
+    val local0 = ranged.withColumn(loc, row_number().over(wLocal))
+    val local = if (materialize) local0.localCheckpoint(false) else local0
     // (group, partition) counts -> per-group exclusive prefix offsets and
     // group totals (rows ~ #groups + #partitions: driver-scale)
     val wOff = Window.partitionBy(gcols: _*).orderBy(col(pid))
@@ -81,9 +91,12 @@ object Rank {
         groupCols.map(c => s"_grkj_$c")): _*)
   }
 
-  /** Append `rankCol` = 1-based global row_number by `order`. */
+  /** Append `rankCol` = 1-based global row_number by `order`.
+    * `materialize` as in [[groupedRank]]: the ranked frame feeds both the
+    * offsets aggregate and the join, so it checkpoints once by default. */
   def globalRank(df: DataFrame, order: Seq[Column], rankCol: String,
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      materialize: Boolean = true): DataFrame = {
     require(order.nonEmpty, "globalRank needs at least one order column")
     def fresh(base: String) = Iterator.iterate(base)(_ + "_")
       .dropWhile(df.columns.contains).next()
@@ -95,7 +108,8 @@ object Rank {
         n => df.repartitionByRange(n, order: _*))
       .withColumn(pid, spark_partition_id())
     val wLocal = Window.partitionBy(col(pid)).orderBy(order: _*)
-    val local = ranged.withColumn(loc, row_number().over(wLocal))
+    val local0 = ranged.withColumn(loc, row_number().over(wLocal))
+    val local = if (materialize) local0.localCheckpoint(false) else local0
     // per-partition counts -> exclusive prefix offsets (rows = partition
     // count, driver-scale at any data size)
     val wOff = Window.orderBy(col(pid))

@@ -124,6 +124,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(rates.schema("rate").dataType.typeName == "double")
   }
 
+  test("S4b: an ORC entity rides the generic format dispatch end-to-end " +
+      "(inference, streaming bronze, silver dedup)") {
+    val src = tmpDir("orc-src"); val store = tmpDir("orc-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"metrics": {
+        |  "raw_file_format": "orc",
+        |  "unique_primary_key": ["mid"]
+        |}}""".stripMargin)
+    Seq((1L, "cpu", 0.9), (2L, "mem", 0.4), (2L, "mem", 0.4))
+      .toDF("mid", "name", "v")
+      .coalesce(1).write.mode("overwrite").orc(s"$src/metrics")
+    val (runner, params) = mkRunner(src, store, "2024-03-01 00:00:00",
+      catalog = "t_orc")
+    runner.run(ConfigLoader.load(spark, src), concurrency = 1)
+    assert(spark.table(params.bronzeFqn("metrics")).count() == 3)
+    val silver = spark.table(params.silverFqn("metrics"))
+    assert(silver.count() == 2) // PK dedup collapsed the duplicate mid=2
+    assert(silver.select("name").as[String].collect().toSet ==
+      Set("cpu", "mem"))
+  }
+
   test("gold layer: config-declared decontamination against another " +
       "entity's silver table") {
     import spark.implicits._

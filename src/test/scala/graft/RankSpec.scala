@@ -31,15 +31,24 @@ class RankSpec extends AnyFunSuite {
   }
 
   test("plan: one range exchange ranks the data; the only SinglePartition " +
-      "exchange is the partition-count offsets aggregate") {
+      "exchange is the partition-count offsets aggregate; materialized " +
+      "form checkpoints the ranked frame exactly once") {
     val df = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    val p = Rank.globalRank(df, Seq(col("doc_id")), "rk")
+    // materialize=false exposes the full plan for shape assertions
+    val p = Rank.globalRank(df, Seq(col("doc_id")), "rk",
+        materialize = false)
       .queryExecution.executedPlan.toString
     assert(p.contains("rangepartitioning"),
       s"rank lost its range exchange:\n$p")
     val singles = "Exchange SinglePartition".r.findAllIn(p).length
     assert(singles <= 1, s"data-sized single-partition stage:\n$p")
+    // default form: both consumers read the ONE checkpointed rank (two
+    // ExistingRDD scans of the same RDD, no second parquet scan)
+    val pm = Rank.globalRank(df, Seq(col("doc_id")), "rk")
+      .queryExecution.executedPlan.toString
+    assert(!pm.contains("Scan parquet"),
+      s"materialized rank recomputed its source:\n$pm")
   }
 
   test("groupedRank == row_number over the per-group window, counts == " +
