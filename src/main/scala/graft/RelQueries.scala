@@ -185,6 +185,19 @@ object RelQueries {
         .orderBy(col("status"), col("priority"))
     }),
 
+    // -- A7 [EXT]: EXACT grouped percentiles (percentile_cont) at corpus
+    //    scale — the skew-safe groupedRank supplies (rank, n) per group,
+    //    the quartile positions p·(n−1) select at most two rows per
+    //    (group, p), and a tiny aggregate interpolates exactly like SQL:
+    //    lo + (hi − lo)·frac. No per-group sort through one task, no
+    //    approximation (q_approx_percentile covers the sketch form).
+    "q_exact_percentile" -> ((s, dir) => {
+      graft.ops.Percentiles.exactPercentiles(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity",
+          Seq(0.25, 0.5, 0.75))
+        .orderBy(col("l_returnflag"), col("p"))
+    }),
+
     // -- A4 [EXT]: cube grouping sets (rollup's sibling; q_rollup covers
     //    the hierarchy case)
     "q_cube" -> ((s, dir) => {
@@ -815,6 +828,36 @@ object RelQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    // exact percentile_cont spelled out as the SQL-standard formula over
+    // row_number ranks — pinned to the same arithmetic the operator runs
+    // (RN = p·(n−1); lo + (hi − lo)·frac), so the compare is bit-exact
+    // rather than hostage to an engine's internal interpolator
+    "q_exact_percentile" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |ps AS (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.75::DOUBLE])
+        |  AS p),
+        |need AS (SELECT l_returnflag, p,
+        |    p * (n - 1)::DOUBLE AS rn,
+        |    CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) + 1 AS lo,
+        |    CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) + 1 AS hi,
+        |    p * (n - 1)::DOUBLE - floor(p * (n - 1)::DOUBLE) AS frac
+        |  FROM (SELECT DISTINCT l_returnflag, n FROM r) CROSS JOIN ps)
+        |SELECT need.l_returnflag, need.p,
+        |  max(CASE WHEN r.rk = need.lo THEN r.v END)
+        |    + (coalesce(max(CASE WHEN r.rk = need.hi THEN r.v END),
+        |        max(CASE WHEN r.rk = need.lo THEN r.v END))
+        |      - max(CASE WHEN r.rk = need.lo THEN r.v END)) * max(need.frac)
+        |    AS value
+        |FROM need JOIN r ON r.l_returnflag = need.l_returnflag
+        |  AND r.rk IN (need.lo, need.hi)
+        |GROUP BY need.l_returnflag, need.p
+        |ORDER BY need.l_returnflag, need.p""".stripMargin,
 
     "q_join_full" ->
       """SELECT COALESCE(o.k, e.k) AS k,

@@ -132,6 +132,35 @@ class RankSpec extends AnyFunSuite {
     assert(got == naive.filter(_._4 <= 20))
   }
 
+  test("exactPercentiles == Spark's built-in percentile; NULLs excluded; " +
+      "1-row and all-NULL groups") {
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = graft.ops.Percentiles
+      .exactPercentiles(li, Seq("l_returnflag"), "l_quantity",
+        Seq(0.25, 0.5, 0.75))
+      .as[(String, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val ref = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("v"))
+      .as[(String, Seq[Double])].collect()
+      .flatMap { case (g, vs) =>
+        Seq((g, 0.25) -> vs(0), (g, 0.5) -> vs(1), (g, 0.75) -> vs(2)) }
+      .toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - ref(k)) < 1e-9, s"$k: $v vs ${ref(k)}") }
+    // NULLs excluded; an all-NULL group vanishes; 1-row group = the value
+    val tiny = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
+      ("b", Some(7.0)), ("c", None))
+      .toDF("g", "v")
+    val out = graft.ops.Percentiles
+      .exactPercentiles(tiny, Seq("g"), "v", Seq(0.5))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map("a" -> 15.0, "b" -> 7.0))
+  }
+
   test("rank column name collision avoided via fresh temp names; " +
       "1-row and empty frames") {
     val df = Seq((1L, "x"), (2L, "y")).toDF("id", "_grk_pid")
