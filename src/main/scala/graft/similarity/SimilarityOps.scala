@@ -155,6 +155,27 @@ object SimilarityOps {
     c.write.mode("overwrite").parquet(s"$path/vectors")
   }
 
+  /** Incrementally ADD vectors to a persisted [[lshBuildIndex]] layout:
+    * bucket assignment is a PURE function of the vector under the
+    * build's seeded hyperplanes, so appended vectors land in exactly the
+    * buckets a rebuild would put them in — no drift, no rebuild cycle
+    * (the advantage LSH holds over IVF for streaming corpora).
+    * `planes`/`tables` must match the build (same contract as the query
+    * path). One pass over the new batch; append-only; NOT idempotent
+    * (exactly-once belongs to the ingest layer). */
+  def lshAppendIndex(newVectors: DataFrame, path: String, planes: Int = 4,
+      tables: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm")).localCheckpoint(false)
+    c.select(col("vec_id"),
+        posexplode(VectorExpressions.lshBuckets(col("vec"), planes, tables))
+          .as(Seq("tbl", "bucket")))
+      .write.mode("append").partitionBy("tbl", "bucket")
+      .parquet(s"$path/buckets")
+    c.write.mode("append").parquet(s"$path/vectors")
+  }
+
   /** Query a persisted [[lshBuildIndex]] layout (planes/tables must match
     * the build). The probe batch's (tbl, bucket) targets — incl.
     * multi-probe neighbors — collect to the driver (≤ |probes| × tables ×
@@ -367,17 +388,46 @@ object SimilarityOps {
     // (4× smaller on disk AND in page cache — at 100 TB the probed cells'
     // residency is the query-latency budget), scored in the int8 domain
     // where the per-vector scales cancel out of cosine.
-    ivfWriteIndex(corpus, path, nlist, lloydIters, idCol, vecCol) {
-      assigned =>
-        if (quantized)
-          assigned.select(col("vec_id"),
-              VectorExpressions.sq8Encode(col("vec")).as("codes"),
-              col("cell"))
-            .withColumn("code_norm",
-              sqrt(VectorExpressions.int8Dot(col("codes"), col("codes"))
-                .cast("double")))
-        else assigned
-    }
+    ivfWriteIndex(corpus, path, nlist, lloydIters, idCol, vecCol)(
+      ivfEncodePayload(_, quantized))
+
+  /** Shared flat/SQ8 per-vector payload encoding — the one place the
+    * build and APPEND paths agree on what a cell directory stores. */
+  private def ivfEncodePayload(assigned: DataFrame,
+      quantized: Boolean): DataFrame =
+    if (quantized)
+      assigned.select(col("vec_id"),
+          VectorExpressions.sq8Encode(col("vec")).as("codes"),
+          col("cell"))
+        .withColumn("code_norm",
+          sqrt(VectorExpressions.int8Dot(col("codes"), col("codes"))
+            .cast("double")))
+    else assigned
+
+  /** Incrementally ADD vectors to a persisted [[ivfBuildIndex]] layout
+    * without rebuilding: assign the new batch against the index's OWN
+    * persisted centroids (the cell geometry is frozen between rebuilds —
+    * the FAISS `add` contract) and append the encoded rows into their
+    * cell directories. The query path is untouched: partition pruning,
+    * scoring, and recall behavior apply to appended vectors exactly as to
+    * built ones (spec-asserted).
+    *
+    * Scale: one broadcast-assign pass over ONLY the new batch + a
+    * partitioned parquet append — never a corpus rescan. Centroid drift:
+    * appends don't move centroids; after heavy growth, rebuild (the
+    * standard IVF maintenance cycle). NOT idempotent — replaying a batch
+    * duplicates its ids; exactly-once belongs to the ingest layer (the
+    * pipeline's checkpointed streams), same as any parquet append sink. */
+  def ivfAppendIndex(spark: org.apache.spark.sql.SparkSession,
+      newVectors: DataFrame, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", quantized: Boolean = false): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
+    ivfEncodePayload(ivfAssign(cents)(c, "vec_id", "vec", "vec_norm", 1),
+        quantized)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+  }
 
   /** Query a persisted [[ivfBuildIndex]] layout. The probe batch's
     * candidate cells collect to the driver (≤ nprobe × |probes| longs —

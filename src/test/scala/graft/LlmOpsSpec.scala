@@ -701,6 +701,69 @@ class LlmOpsSpec extends AnyFunSuite {
       s"bucket scan must prune on (tbl, bucket):\n${scanLine.get}")
   }
 
+  test("ivfAppendIndex: appended vectors land in the argmax cell under " +
+      "the PERSISTED centroids, are returned by queries, and the " +
+      "quantized form encodes the same payload schema") {
+    val a = emb001.filter($"vec_id" % 2 === 0)
+    val b = emb001.filter($"vec_id" % 2 === 1)
+    val path = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    SimilarityOps.ivfBuildIndex(a, path, nlist = 8, lloydIters = 1)
+    SimilarityOps.ivfAppendIndex(spark, b, path)
+    // cells of appended ids == assignment under the index's centroids
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cProj = b.select($"vec_id", $"embedding".as("vec"))
+      .withColumn("vec_norm",
+        sqrt(graft.functions.VectorExpressions.floatDot(
+          col("vec"), col("vec")).cast("double")))
+    val expected = SimilarityOps
+      .ivfAssign(cents)(cProj, "vec_id", "vec", "vec_norm", 1)
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toMap
+    val stored = spark.read.parquet(s"$path/index")
+      .withColumn("cell", col("cell").cast("long"))
+      .select($"vec_id", $"cell").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    expected.foreach { case (id, cell) =>
+      assert(stored(id) == Set(cell), s"vec $id stored in ${stored(id)}, " +
+        s"assignment says $cell") }
+    // an appended vector is findable: probe with vec 1's EMBEDDING under
+    // a fresh probe id (the query tail excludes vec_id == probe_id, the
+    // self-match contract) -> top-1 is vec 1 at cos ~ 1
+    val probe = b.filter($"vec_id" === 1L)
+      .select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val hit = SimilarityOps.ivfTopKIndexed(spark, path, probe, 1,
+        nprobe = 2)
+      .select("vec_id").as[Long].head()
+    assert(hit == 1L, s"appended vector not found, got $hit")
+    // quantized layout: append encodes codes + code_norm like the build
+    val qpath = java.nio.file.Files.createTempDirectory("ivfappq").toString
+    SimilarityOps.ivfBuildIndex(a, qpath, nlist = 8, quantized = true)
+    SimilarityOps.ivfAppendIndex(spark, b, qpath, quantized = true)
+    val qidx = spark.read.parquet(s"$qpath/index")
+    assert(qidx.columns.toSet == Set("vec_id", "codes", "code_norm", "cell"))
+    assert(qidx.count() == emb001.count())
+  }
+
+  test("lshAppendIndex: build(A)+append(B) answers queries EXACTLY like " +
+      "build(A∪B) — bucket assignment is a pure function of the vector") {
+    val a = emb001.filter($"vec_id" % 2 === 0)
+    val b = emb001.filter($"vec_id" % 2 === 1)
+    val probes = emb001.filter($"vec_id" < 20)
+    val p1 = java.nio.file.Files.createTempDirectory("lshapp1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("lshapp2").toString
+    SimilarityOps.lshBuildIndex(a, p1, planes = 4, tables = 8)
+    SimilarityOps.lshAppendIndex(b, p1, planes = 4, tables = 8)
+    SimilarityOps.lshBuildIndex(emb001, p2, planes = 4, tables = 8)
+    val fromAppend = SimilarityOps.lshTopKIndexed(spark, p1, probes, 3,
+        planes = 4, tables = 8, probesPerTable = 2)
+      .select("probe_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val fromFull = SimilarityOps.lshTopKIndexed(spark, p2, probes, 3,
+        planes = 4, tables = 8, probesPerTable = 2)
+      .select("probe_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(fromAppend == fromFull)
+  }
+
   test("cosineNearDupPairs: block-partitioned form EQUALS the naive " +
       "cross-join ground truth (pairs and cos values)") {
     val naive = SimilarityOps.cosineNearDupPairsNaive(emb001, 0.3)
