@@ -217,6 +217,12 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("vec_id").asc)
     candIds
       .join(cVec, Seq("vec_id"))
+      // dedup AFTER the join (candidate-sized, never the full vector
+      // table): an at-least-once append ([[lshAppendIndex]] under a
+      // replayed streaming batch) can store an id twice; without this
+      // the duplicate would rank twice. Duplicate rows are identical, so
+      // keeping an arbitrary one is exact.
+      .dropDuplicates("probe_id", "vec_id")
       .join(broadcast(pVec), Seq("probe_id"))
       .withColumn("cos",
         dot(col("probe_vec"), col("vec")) /

@@ -125,6 +125,35 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpoint)
 
+  /** Streaming ANN-index maintenance: each micro-batch of embedding rows
+    * appends into a persisted [[graft.similarity.SimilarityOps
+    * .lshBuildIndex]] layout via [[graft.similarity.SimilarityOps
+    * .lshAppendIndex]] — new vectors become searchable at micro-batch
+    * latency with NO rebuild, because LSH bucket assignment is a pure
+    * function of the vector under the build's seeded hyperplanes
+    * (append ≡ rebuild; the property IVF lacks, which is why the
+    * streaming sink is the LSH one). `planes`/`tables` must match the
+    * build. Checkpointing makes delivery at-least-once: a REPLAYED batch
+    * re-appends its ids (duplicate candidates collapse in the query
+    * path's id-dedup, so results stay correct; compact/rebuild cycles
+    * clean the storage).
+    *
+    * Scale: per micro-batch one narrow projection + `tables` bucket rows
+    * per vector, partitioned-append into the probed-at-file-listing
+    * layout — the sketch-table pattern applied to an INDEX. */
+  def lshIndexSink(stream: DataFrame, path: String, planes: Int = 4,
+      tables: Int = 16, idCol: String = "vec_id",
+      vecCol: String = "embedding", checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.SimilarityOps.lshAppendIndex(batch, path,
+          planes, tables, idCol, vecCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
   /** Stream-stream interval join: left events matched to right events of
     * the same key within `[‑lowerMs, +upperMs]` of event time. BOTH sides
     * need watermarks (state eviction) and the time-bound condition (state

@@ -298,6 +298,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(d1.getDouble(2) >= 0.5)
   }
 
+  test("lshIndexSink: streamed embedding batches become searchable " +
+      "incrementally; a replayed append does not duplicate results") {
+    import spark.implicits._
+    import graft.similarity.SimilarityOps
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding").limit(60)
+      .as[(Long, Array[Float])].collect()
+    val (batch1, batch2) = emb.splitAt(30)
+    val path = java.nio.file.Files.createTempDirectory("lshsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lshckpt").toString
+    // seed layout: build with batch 1, stream batch 2 through the sink
+    SimilarityOps.lshBuildIndex(batch1.toSeq.toDF("vec_id", "embedding"),
+      path, planes = 4, tables = 8)
+    val mem = MemoryStream[(Long, Array[Float])](spark)
+    val q = StreamOps.lshIndexSink(
+      mem.toDF.toDF("vec_id", "embedding"), path, planes = 4, tables = 8,
+      checkpoint = ckpt).start()
+    mem.addData(batch2.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // a batch-2 vector is findable through the persisted layout
+    val target = batch2.head
+    val probe = Seq((target._1 + 100000L, target._2))
+      .toDF("vec_id", "embedding")
+    val res = SimilarityOps.lshTopKIndexed(spark, path, probe, 3,
+        planes = 4, tables = 8, probesPerTable = 2)
+      .select("rank", "vec_id").as[(Int, Long)].collect()
+    assert(res.exists(r => r._1 == 1 && r._2 == target._1),
+      s"streamed vector not top-1 for its own embedding: ${res.toSeq}")
+    // replay: append batch 2 AGAIN (at-least-once delivery) — results
+    // must not contain duplicate (rank, vec) entries
+    SimilarityOps.lshAppendIndex(batch2.toSeq.toDF("vec_id", "embedding"),
+      path, planes = 4, tables = 8)
+    val replayed = SimilarityOps.lshTopKIndexed(spark, path, probe, 3,
+        planes = 4, tables = 8, probesPerTable = 2)
+      .select("rank", "vec_id").as[(Int, Long)].collect()
+    assert(replayed.toSeq.sorted == res.toSeq.sorted,
+      s"replayed append changed results: ${replayed.toSeq} vs ${res.toSeq}")
+  }
+
   test("stream-static join: streamed documents pick up static mixing " +
       "weights and filter statelessly across batches") {
     import spark.implicits._
