@@ -315,6 +315,18 @@ object LlmQueries {
         .orderBy(col("id_lo"), col("id_hi"))
     }),
 
+    // -- [EXT]: proportional source interleaving — the stable epoch
+    //    order a data loader reads: every prefix holds each source in
+    //    proportion to its size. Both passes are the skew-safe rank
+    //    machinery (grouped rank per source, global rank on the
+    //    fraction); RNG-free, engine-exact.
+    "q_interleave" -> ((s, dir) => {
+      graft.ops.Sampling.interleaveBySource(t(s, dir, "documents"),
+          "source", Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: source-weighted data mixing — per-source target fractions
     //    (keep all of src0, half of src1, a tenth of src2, 20% elsewhere)
     //    with exact quotas, deterministic md5 membership.
@@ -969,6 +981,19 @@ object LlmQueries {
          |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
          |WHERE levenshtein(a.t, b.t) <= 8
          |ORDER BY id_lo, id_hi""".stripMargin,
+
+    // interleave: fractional position (rk-0.5)/n per source, global
+    // row_number over (frac, source, rk) — a total order of pure
+    // integer-derived doubles, engine-exact
+    "q_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, row_number() OVER (
+        |    ORDER BY (rk::DOUBLE - 0.5) / n::DOUBLE, source, rk) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       s"""SELECT doc_id,

@@ -295,6 +295,37 @@ object Sampling {
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Proportional source interleaving — the data-loader "interleave
+    * datasets" order as a STABLE, reproducible column: each source's
+    * i-th row (under `order`, within-source) gets fractional position
+    * `(i − 0.5)/n_source` in [0, 1], and the global order sorts by that
+    * fraction — so every prefix of the epoch holds each source in
+    * proportion to its size (a 2:1 corpus reads 2:1 in every window, not
+    * in alternating famines), with no RNG and no coordination. Append
+    * `posCol` = the 1-based global position.
+    *
+    * Scale: both passes are the skew-safe rank machinery — a grouped
+    * rank per source and a global rank on the fraction ([[Rank]]);
+    * nothing keys a data-sized window on the low-cardinality source.
+    * Deterministic whenever `order` is total within each source (add an
+    * id tiebreak). */
+  def interleaveBySource(df: DataFrame, sourceCol: String,
+      order: Seq[Column], posCol: String = "pos"): DataFrame = {
+    val rk = Iterator.iterate("_il_rk")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val n = Iterator.iterate("_il_n")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val frac = Iterator.iterate("_il_frac")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val ranked = Rank.groupedRank(df, Seq(sourceCol), order, rk,
+        countCol = Some(n))
+      .withColumn(frac,
+        (col(rk).cast("double") - lit(0.5)) / col(n).cast("double"))
+    Rank.globalRank(ranked,
+        Seq(col(frac).asc, col(sourceCol).asc, col(rk).asc), posCol)
+      .drop(rk, n, frac)
+  }
+
   /** SCORE-ordered top fraction per group — "keep the best 30% per
     * source", the relative-threshold quality gate (an absolute cut like
     * `quality >= 0.5` keeps different volumes per domain; a percentile

@@ -119,6 +119,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(top0 == Set(1L, 11L), "frac=0 keeps the single best row (pr=0)")
   }
 
+  test("interleaveBySource: hand-computed 4:2 interleave; every prefix " +
+      "holds sources in proportion (±1 per source)") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (11L, "b"), (12L, "b")).toDF("id", "src")
+    val out = Sampling.interleaveBySource(df, "src", Seq($"id".asc))
+      .select($"pos", $"id").as[(Long, Long)].collect().sortBy(_._1)
+    // fracs a: .125 .375 .625 .875; b: .25 .75
+    assert(out.map(_._2).toSeq == Seq(1L, 11L, 2L, 3L, 12L, 4L))
+    // proportionality on real data: every prefix of the order carries
+    // each source within ±1 of its proportional share
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val ordered = Sampling
+      .interleaveBySource(docs, "source", Seq($"doc_id".asc))
+      .select($"pos", $"source").as[(Long, String)].collect()
+      .sortBy(_._1).map(_._2)
+    val total = ordered.length
+    val share = ordered.groupBy(identity).view
+      .mapValues(_.length.toDouble / total).toMap
+    Seq(total / 10, total / 3, total / 2, total).foreach { pfx =>
+      val counts = ordered.take(pfx).groupBy(identity).view
+        .mapValues(_.length).toMap
+      share.foreach { case (src, p) =>
+        val expect = p * pfx
+        assert(math.abs(counts.getOrElse(src, 0) - expect) <= 1.0 + 1e-9,
+          s"prefix $pfx: $src has ${counts.getOrElse(src, 0)}, " +
+            s"expected ~$expect") }
+    }
+  }
+
   test("globalShuffle: a permutation (no rows gained/lost), stable under " +
       "re-run, different under a different seed") {
     val df = (1L to 200L).toDF("id")
