@@ -202,6 +202,19 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // -- [EXT]: hard-negative mining — per anchor, top-5 corpus vectors
+    //    with cosine in [0.15, 0.45): similar enough to inform a
+    //    contrastive loss, below the near-dup band that would make them
+    //    false negatives. Band filters BEFORE the rank, so the
+    //    WindowGroupLimit heaps see only in-band candidates.
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.hardNegatives(emb, emb.filter(col("vec_id") < 5),
+          k = 5, cosLo = 0.15, cosHi = 0.45)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // -- [EXT]: embedding-cosine near-dup pairs — EXACT via the
     //    block-partitioned all-pairs equi-join (no CartesianProduct; the
     //    n²/2 compares spread over B²/2 balanced tasks with O(n·B) shuffle;
@@ -1336,6 +1349,20 @@ object LlmQueries {
         |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
         |SELECT probe_id, rank, vec_id, round(c, 6) AS cos
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |sc AS (SELECT probe_id, vec_id,
+        |    list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM e CROSS JOIN p WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY c DESC, vec_id ASC) AS rank
+        |  FROM sc WHERE c >= 0.15 AND c < 0.45)
+        |SELECT probe_id, rank, vec_id, round(c, 6) AS cos
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

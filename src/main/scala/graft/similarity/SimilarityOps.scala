@@ -61,6 +61,38 @@ object SimilarityOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-`k` corpus vectors whose cosine lies in `[cosLo, cosHi)` —
+    * similar enough to be informative negatives, below the near-duplicate
+    * band that would make them FALSE negatives (the reason the band's
+    * upper bound matters as much as the lower). Exact form: broadcast
+    * anchors × streamed corpus with the band as a pre-rank filter, so the
+    * WindowGroupLimit heaps only ever see in-band candidates. Returns
+    * (anchor_id-as-probe_id, rank, vec_id, cos), rank by (cos desc, id
+    * asc) within the band. At 100 TB swap the corpus side for an
+    * [[ivfTopKIndexed]]/[[lshTopKIndexed]] candidate set and apply the
+    * same band filter — the contract (band then rank) is identical. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+      cosLo: Double, cosHi: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(cosLo < cosHi, s"need cosLo < cosHi, got [$cosLo, $cosHi)")
+    val p = anchors.select(col(idCol).as("probe_id"),
+      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      norm(col(vecCol)).as("vec_norm"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    c.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        dot(col("probe_vec"), col("vec")) /
+          (col("probe_norm") * col("vec_norm")))
+      .filter(col("cos") >= cosLo && col("cos") < cosHi)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+  }
+
   /** Sign-random-projection bucket id: bit p = sign of ⟨v, h_p⟩, with
     * deterministic pseudo-random ±1 hyperplanes — data-independent,
     * reproducible, shipped as a codegen'd expression rather than a model

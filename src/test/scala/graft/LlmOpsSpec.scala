@@ -701,6 +701,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"bucket scan must prune on (tbl, bucket):\n${scanLine.get}")
   }
 
+  test("hardNegatives: all results in the cosine band, ranked within the " +
+      "band (NOT a post-filtered global top-k), no self-matches") {
+    val anchors = emb001.filter($"vec_id" < 5)
+    val out = SimilarityOps
+      .hardNegatives(emb001, anchors, k = 5, cosLo = 0.15, cosHi = 0.45)
+      .select("probe_id", "rank", "vec_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (p, _, v, c) =>
+      assert(c >= 0.15 && c < 0.45, s"cos $c outside band")
+      assert(p != v, "self-match leaked") }
+    // ranking happens WITHIN the band: the rank-1 negative for an anchor
+    // is the in-band max, which a global-top-k-then-filter would lose
+    // whenever k near-dups outrank it
+    val naive = SimilarityOps.bruteForceTopK(emb001, anchors, Int.MaxValue)
+      .filter($"cos" >= 0.15 && $"cos" < 0.45)
+      .select("probe_id", "vec_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(r => (-r._3, r._2)).take(5).map(r => (r._2, r._3)).toSeq)
+      .toMap
+    val got = out.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    assert(got == naive)
+  }
+
   test("ivfAppendIndex: appended vectors land in the argmax cell under " +
       "the PERSISTED centroids, are returned by queries, and the " +
       "quantized form encodes the same payload schema") {
