@@ -44,18 +44,27 @@ object SimilarityOps {
     * corpus, rank filter (→ WindowGroupLimit). Deterministic tie-break on
     * corpus id. Returns (probe_id, rank, vec_id, cos). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // norms computed ONCE per side before the join, not per pair
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    broadcastTopK(corpus, probes, k, idCol, vecCol, None)
+
+  /** Shared broadcast-probes × streamed-corpus top-k core: norms computed
+    * ONCE per side before the join, self-matches excluded, optional
+    * pre-rank cos filter (so the WindowGroupLimit heaps only see rows
+    * that can appear in the result), rank by (cos desc, id asc). */
+  private def broadcastTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      idCol: String, vecCol: String,
+      band: Option[Column => Column]): DataFrame = {
     val p = probes.select(col(idCol).as("probe_id"),
       col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
     val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    c.crossJoin(broadcast(p))
+    val scored = c.crossJoin(broadcast(p))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos",
         dot(col("probe_vec"), col("vec")) / (col("probe_norm") * col("vec_norm")))
+    band.fold(scored)(f => scored.filter(f(col("cos"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
@@ -76,21 +85,8 @@ object SimilarityOps {
       cosLo: Double, cosHi: Double, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(cosLo < cosHi, s"need cosLo < cosHi, got [$cosLo, $cosHi)")
-    val p = anchors.select(col(idCol).as("probe_id"),
-      col(vecCol).as("probe_vec"), norm(col(vecCol)).as("probe_norm"))
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("vec_norm"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    c.crossJoin(broadcast(p))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos",
-        dot(col("probe_vec"), col("vec")) /
-          (col("probe_norm") * col("vec_norm")))
-      .filter(col("cos") >= cosLo && col("cos") < cosHi)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
+    broadcastTopK(corpus, anchors, k, idCol, vecCol,
+      Some(cos => cos >= cosLo && cos < cosHi))
   }
 
   /** Sign-random-projection bucket id: bit p = sign of ⟨v, h_p⟩, with
@@ -176,16 +172,9 @@ object SimilarityOps {
     * (norms persisted). */
   def lshBuildIndex(corpus: DataFrame, path: String, planes: Int = 4,
       tables: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("vec_norm")).localCheckpoint(false)
-    c.select(col("vec_id"),
-        posexplode(VectorExpressions.lshBuckets(col("vec"), planes, tables))
-          .as(Seq("tbl", "bucket")))
-      .write.mode("overwrite").partitionBy("tbl", "bucket")
-      .parquet(s"$path/buckets")
-    c.write.mode("overwrite").parquet(s"$path/vectors")
-  }
+      vecCol: String = "embedding"): Unit =
+    lshWriteIndex(corpus, path, planes, tables, idCol, vecCol,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Incrementally ADD vectors to a persisted [[lshBuildIndex]] layout:
     * bucket assignment is a PURE function of the vector under the
@@ -197,15 +186,24 @@ object SimilarityOps {
     * (exactly-once belongs to the ingest layer). */
   def lshAppendIndex(newVectors: DataFrame, path: String, planes: Int = 4,
       tables: Int = 16, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val c = newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
+      vecCol: String = "embedding"): Unit =
+    lshWriteIndex(newVectors, path, planes, tables, idCol, vecCol,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** ONE owner of the bucket/vector layout — build overwrites, append
+    * appends; a layout change cannot drift between the two (the
+    * ivfEncodePayload discipline). */
+  private def lshWriteIndex(vectors: DataFrame, path: String, planes: Int,
+      tables: Int, idCol: String, vecCol: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val c = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vec"),
       norm(col(vecCol)).as("vec_norm")).localCheckpoint(false)
     c.select(col("vec_id"),
         posexplode(VectorExpressions.lshBuckets(col("vec"), planes, tables))
           .as(Seq("tbl", "bucket")))
-      .write.mode("append").partitionBy("tbl", "bucket")
+      .write.mode(mode).partitionBy("tbl", "bucket")
       .parquet(s"$path/buckets")
-    c.write.mode("append").parquet(s"$path/vectors")
+    c.write.mode(mode).parquet(s"$path/vectors")
   }
 
   /** Query a persisted [[lshBuildIndex]] layout (planes/tables must match

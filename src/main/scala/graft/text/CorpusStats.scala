@@ -334,8 +334,12 @@ object CorpusStats {
       .groupBy(col("_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
+    // dl / n_docs / avgdl are corpus-wide BY DEFINITION (document length
+    // counts every token); df is only ever read for the query's terms,
+    // so restrict tf by the broadcast term set FIRST — the df aggregate
+    // then runs over the matched slice instead of the whole vocabulary,
+    // and the df join is guaranteed-broadcastable
     val dl = tf.groupBy(col("_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
         .as("avgdl"))
@@ -345,6 +349,10 @@ object CorpusStats {
           .as("term"))
       .filter(length(col("term")) > 0)
       .distinct()
+      .localCheckpoint(false) // feeds the term filter AND the qid join
+    val tfQ = tf.join(broadcast(qterms.select(col("term")).distinct()),
+      Seq("term"))
+    val dfreq = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
@@ -352,8 +360,8 @@ object CorpusStats {
     val termScore = idf * (tfD * lit(k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0 - b) +
         lit(b) * col("dl").cast("double") / col("avgdl")))
-    val scored = tf.join(broadcast(qterms), Seq("term"))
-      .join(dfreq, Seq("term"))
+    val scored = tfQ.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("_qid"), col("_id"))

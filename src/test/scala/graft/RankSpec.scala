@@ -43,6 +43,12 @@ class RankSpec extends AnyFunSuite {
       s"rank lost its range exchange:\n$p")
     val singles = "Exchange SinglePartition".r.findAllIn(p).length
     assert(singles <= 1, s"data-sized single-partition stage:\n$p")
+    // the ONLY hash exchange is the stats aggregate's (partial-combined
+    // to ~1 row per partition before shuffling). A second data-sized
+    // hashpartitioning(_grk_pid) would mean a pid-window crept back in
+    // and EnsureRequirements re-shuffled the whole corpus.
+    val hashes = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashes <= 1, s"extra data-sized hash exchange:\n$p")
     // default form: both consumers read the ONE checkpointed rank (two
     // ExistingRDD scans of the same RDD, no second parquet scan)
     val pm = Rank.globalRank(df, Seq(col("doc_id")), "rk")
@@ -150,15 +156,18 @@ class RankSpec extends AnyFunSuite {
     assert(got.keySet == ref.keySet)
     got.foreach { case (k, v) =>
       assert(math.abs(v - ref(k)) < 1e-9, s"$k: $v vs ${ref(k)}") }
-    // NULLs excluded; an all-NULL group vanishes; 1-row group = the value
+    // NULLs excluded; an all-NULL group vanishes; 1-row group = the
+    // value; a NULL GROUP KEY is its own group (SQL GROUP BY semantics —
+    // a plain equi-join would silently drop it)
     val tiny = Seq(("a", Some(10.0)), ("a", Some(20.0)), ("a", None),
-      ("b", Some(7.0)), ("c", None))
+      ("b", Some(7.0)), ("c", None), (null, Some(5.0)), (null, Some(15.0)))
       .toDF("g", "v")
     val out = graft.ops.Percentiles
       .exactPercentiles(tiny, Seq("g"), "v", Seq(0.5))
-      .as[(String, Double, Double)].collect()
+      .as[(Option[String], Double, Double)].collect()
       .map(r => r._1 -> r._3).toMap
-    assert(out == Map("a" -> 15.0, "b" -> 7.0))
+    assert(out == Map(Some("a") -> 15.0, Some("b") -> 7.0,
+      None -> 10.0))
   }
 
   test("rank column name collision avoided via fresh temp names; " +
