@@ -556,6 +556,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: corpus domain-similarity matrix — pairwise
+    //    Jensen–Shannon divergence between per-source token
+    //    distributions (the signal behind mixing decisions and
+    //    domain-shift monitoring). One (source, term) aggregate, one
+    //    term-keyed self-join; absent-in-one-side mass enters via the
+    //    shared-mass decomposition, never an outer join.
+    "q_source_divergence" -> ((s, dir) => {
+      CorpusStats.sourceDivergence(t(s, dir, "documents"),
+          "source", "text")
+        .withColumn("js", round(col("js"), 6))
+        .orderBy(col("stratum_a"), col("stratum_b"))
+    }),
+
     // -- [EXT]: BM25 keyword search — top-10 docs per probe query (the
     //    targeted-subset-selection retrieval primitive). Query terms
     //    broadcast; per-doc sum decimal-cast (merge-order-independent);
@@ -1523,6 +1536,33 @@ object LlmQueries {
          |    / sum(tf)::DOUBLE, 6) AS logprob
          |FROM tf JOIN cb USING (bigram) JOIN cp USING (prev)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // JS divergence via the shared-mass decomposition — the same IEEE
+    // double ops in the same order; decimal-cast sums
+    "q_source_divergence" ->
+      s"""WITH tok AS (SELECT source AS s,
+         |    unnest(string_split($duckNorm, ' ')) AS term FROM documents),
+         |cnt AS (SELECT s, term, count(*)::BIGINT AS c FROM tok
+         |        WHERE length(term) > 0 GROUP BY 1, 2),
+         |tot AS (SELECT s, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+         |p AS (SELECT s, term, c::DOUBLE / t::DOUBLE AS p
+         |      FROM cnt JOIN tot USING (s)),
+         |sh AS (SELECT a.s AS sa, b.s AS sb,
+         |    sum(((a.p * ln(2.0 * a.p / (a.p + b.p)))
+         |       + (b.p * ln(2.0 * b.p / (a.p + b.p))))::DECIMAL(28,12))
+         |      ::DOUBLE AS shared,
+         |    sum(a.p::DECIMAL(28,12))::DOUBLE AS ma,
+         |    sum(b.p::DECIMAL(28,12))::DOUBLE AS mb
+         |  FROM p a JOIN p b ON a.term = b.term AND a.s < b.s
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.s AS sa, b.s AS sb
+         |  FROM tot a CROSS JOIN tot b WHERE a.s < b.s)
+         |SELECT sa AS stratum_a, sb AS stratum_b,
+         |  round(0.5 * coalesce(shared, 0.0)
+         |    + (0.5 * ln(2.0)) * ((1.0 - coalesce(ma, 0.0))
+         |        + (1.0 - coalesce(mb, 0.0))), 6) AS js
+         |FROM pairs LEFT JOIN sh USING (sa, sb)
+         |ORDER BY stratum_a, stratum_b""".stripMargin,
 
     // BM25: every score input is integer-derived (tf, df, N, dl) except
     // avgdl (one double division) — per-term doubles are bit-identical

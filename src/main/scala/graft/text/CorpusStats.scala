@@ -299,6 +299,60 @@ object CorpusStats {
   val DefaultQualityWeights: (Double, Double, Double, Double, Double, Double) =
     (-2.0, 6.0, -4.0, 0.15, 0.25, -3.0)
 
+  /** Pairwise Jensen–Shannon divergence between the per-`strataCol`
+    * unigram token distributions — the domain-similarity matrix of a
+    * corpus ("how different is src2 from src0?"), the signal behind
+    * mixing decisions and domain-shift monitoring. JS(a,b) ∈ [0, ln 2];
+    * symmetric; 0 = identical distributions. Returns one row per
+    * unordered pair (stratum_a < stratum_b, js).
+    *
+    * The shared-mass decomposition keeps this ONE inner self-join:
+    * `JS = ½·Σ_shared [p·ln(2p/(p+q)) + q·ln(2q/(p+q))]
+    *      + ½·ln2·(onlyA + onlyB)` where onlyA = 1 − Σ_shared p — terms
+    * present in only one stratum never need a row (an outer join would
+    * manufacture vocabulary × strata² null rows just to read zeros).
+    *
+    * Scale: one (stratum, term) aggregate (map-side combined), totals
+    * per stratum broadcast back, a term-keyed self-join whose fan-out is
+    * ≤ #strata per term, and a #strata²-row result. Decimal-cast sums ⇒
+    * merge-order-independent, engine-exact. */
+  def sourceDivergence(df: DataFrame, strataCol: String,
+      textCol: String): DataFrame = {
+    val rows = df.select(col(strataCol).as("_s"),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("_s"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // feeds totals AND both join sides
+    val totals = rows.groupBy(col("_s")).agg(sum(col("c")).as("t"))
+    val p = rows.join(broadcast(totals), Seq("_s"))
+      .select(col("_s"), col("term"),
+        (col("c").cast("double") / col("t").cast("double")).as("p"))
+    val a = p.select(col("_s").as("sa"), col("term"), col("p").as("pa"))
+    val b = p.select(col("_s").as("sb"), col("term"), col("p").as("pb"))
+    val shared = a.join(b, Seq("term")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(
+        sum((col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .cast("decimal(28,12)")).cast("double").as("_shared"),
+        sum(col("pa").cast("decimal(28,12)")).cast("double").as("_ma"),
+        sum(col("pb").cast("decimal(28,12)")).cast("double").as("_mb"))
+    // every unordered pair must come out — a FULLY disjoint pair has no
+    // shared rows at all (JS = ln 2), so the pair list comes from the
+    // tiny strata-distinct frame and the shared aggregate left-joins in
+    val strata = totals.select(col("_s"))
+    val pairs = strata.select(col("_s").as("sa"))
+      .crossJoin(strata.select(col("_s").as("sb")))
+      .filter(col("sa") < col("sb"))
+    pairs.join(shared, Seq("sa", "sb"), "left")
+      .select(col("sa").as("stratum_a"), col("sb").as("stratum_b"),
+        (lit(0.5) * coalesce(col("_shared"), lit(0.0))
+          + lit(0.5 * math.log(2.0)) *
+            ((lit(1.0) - coalesce(col("_ma"), lit(0.0)))
+              + (lit(1.0) - coalesce(col("_mb"), lit(0.0)))))
+          .as("js"))
+  }
+
   /** BM25 keyword search: top-`k` documents per query under the
     * Robertson–Spärck Jones BM25 ranking function — the retrieval
     * primitive of targeted-subset selection ("pull the docs about X into

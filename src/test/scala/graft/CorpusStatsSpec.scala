@@ -184,6 +184,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out(0L) == 0L && out(1L) == 1L)
   }
 
+  test("sourceDivergence: zero for identical strata, ln 2 for disjoint " +
+      "vocabularies, hand-computed for a partial overlap; symmetric " +
+      "output covers each unordered pair once") {
+    val d = Seq(
+      (1L, "sa", "x y"), (2L, "sa", "x y"),   // sa: P(x)=P(y)=.5
+      (3L, "sb", "x y"),                       // sb identical dist
+      (4L, "sc", "z w")                        // sc disjoint
+    ).toDF("doc_id", "src", "text")
+    val out = CorpusStats.sourceDivergence(d, "src", "text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set(("sa", "sb"), ("sa", "sc"), ("sb", "sc")))
+    assert(math.abs(out(("sa", "sb"))) < 1e-12, "identical dists -> 0")
+    assert(math.abs(out(("sa", "sc")) - math.log(2.0)) < 1e-12,
+      "disjoint vocab -> ln 2")
+    // partial overlap, hand-computed: pa = {x: .5, y: .5}, pc = {x: 1.0}
+    val d2 = Seq((1L, "a", "x y"), (2L, "c", "x")).toDF("doc_id", "src",
+      "text")
+    val js = CorpusStats.sourceDivergence(d2, "src", "text")
+      .as[(String, String, Double)].head()._3
+    val expect = 0.5 * (0.5 * math.log(2 * 0.5 / 1.5) +
+      1.0 * math.log(2 * 1.0 / 1.5)) + 0.5 * math.log(2.0) * (0.5 + 0.0)
+    assert(math.abs(js - expect) < 1e-12, s"$js vs $expect")
+  }
+
   test("bm25TopK: hand-computed score; non-matching docs absent; ties " +
       "break on doc id; OOV query terms contribute nothing") {
     val q1 = Seq(("q1", "cat")).toDF("qid", "qtext")
