@@ -343,6 +343,20 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected single-partition stage:\n$p")
   }
 
+  test("q_exact_percentile: wanted-ranks table broadcasts back; no " +
+      "single-partition stage and no per-group sort through one task") {
+    val p = plan("q_exact_percentile")
+    assert(p.contains("BroadcastHashJoin"),
+      s"wanted-ranks join lost its broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"unexpected single-partition stage:\n$p")
+    // the only windows run over the driver-scale needs/offsets frames;
+    // a WindowExec whose partition spec is the bare group key over the
+    // ranked corpus would resurrect the per-group sort
+    assert(!p.contains("WindowGroupLimit"), // selection is join-based
+      s"unexpected group-limit window:\n$p")
+  }
+
   test("q_rank_family: no data-sized window keys on the 5-value segment " +
       "— the corpus range-exchanges on (segment, acctbal) and bucket " +
       "ranks broadcast back") {
