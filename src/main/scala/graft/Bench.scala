@@ -81,7 +81,19 @@ object Bench {
       System.err.println(s"[bench] FAILED queries excluded from total: " +
         failed.map(_._1).mkString(", "))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query JSON line is >4 KB at 111 queries and the driver's
+    // output capture truncated it in r5 (BENCH_r05.json parsed:null). Write
+    // the full JSON to a file AND print it, then keep the LAST stdout line
+    // short and self-contained (total + path) so a tail capture always ends
+    // on a parseable JSON line.
+    val jsonPath = "/tmp/graft_bench.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), full)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $jsonPath: $e") }
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"queries_file":"$jsonPath"}""")
     spark.stop()
   }
 }

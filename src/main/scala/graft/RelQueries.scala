@@ -16,7 +16,7 @@ object RelQueries {
     Tables(s, dir, name)
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.withEpochMicros(t(s, dir, "events"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

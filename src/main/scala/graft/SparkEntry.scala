@@ -14,9 +14,11 @@ import graft.ops._
   * Determinism rules used throughout (SURVEY §7.4.3):
   *   - doubles are only ever aggregated after a per-row cast to DECIMAL
   *     (exact, order-independent), then cast back to double at the end;
-  *   - `events.ts` (parquet TIMESTAMP(NANOS)) is read as epoch-ns bigint
-  *     (see [[graft.analytics.Tables]]) and exposed as epoch-µs via integer
-  *     division, matching DuckDB's µs truncation of the same column;
+  *   - `events.ts` is exposed as epoch-µs bigint `ts_us` via ONE
+  *     schema-adaptive helper ([[graft.analytics.Tables.epochMicros]]) that
+  *     handles both physical writers seen across testdata regenerations
+  *     (epoch-ns bigint under nanosAsLong, or a µs timestamp), matching
+  *     DuckDB's `epoch_us(ts)` either way;
   *   - every result has an explicit ORDER BY with a unique key prefix and
   *     deterministic tie-breakers inside window specs.
   */
@@ -31,9 +33,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
-  /** events with `ts_us` = epoch microseconds (bigint). */
+  /** events with `ts_us` = epoch microseconds (bigint), schema-adaptive to
+    * the testdata writer (epoch-ns bigint OR µs timestamp — see
+    * [[graft.analytics.Tables.epochMicros]]). */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    Tables.withEpochMicros(t(s, dir, "events"))
 
   /** Exact, order-independent sum of a double expression: per-row cast to
     * decimal, exact decimal sum, final cast back to double. */
@@ -238,9 +242,11 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
-    // -- F10 [EXT]: JSON extraction + aggregate
+    // -- F10 [EXT]: JSON extraction + aggregate. Reads the raw table — it
+    //    never touches `ts`, so it must not couple to the ts_us derivation
+    //    (analyzable against ANY events schema with props/event_type).
     "q_json_agg" -> ((s, dir) => {
-      events(s, dir)
+      t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
@@ -248,11 +254,13 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // -- F7/T3-batch [EXT]: event-time tumbling 1h buckets (integer bucketing
-    //    keeps ns/µs parity with the oracle; streaming variant in tests)
+    // -- F7/T3-batch [EXT]: event-time tumbling 1h buckets. Buckets on the
+    //    shared ts_us derivation so ONE helper owns the time unit (integer
+    //    µs bucketing keeps parity with the oracle's epoch_us // 3600000000;
+    //    streaming variant in tests)
     "q_hour_bucket" -> ((s, dir) => {
-      t(s, dir, "events")
-        .withColumn("hour_bucket", expr("ts DIV 3600000000000"))
+      events(s, dir)
+        .withColumn("hour_bucket", expr("ts_us DIV 3600000000"))
         .groupBy(col("hour_bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           dsum(col("value"), 3).as("sum_value"))

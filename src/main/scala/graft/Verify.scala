@@ -15,6 +15,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Schema-drift canary: a testdata regeneration that changes a physical
+    // type (it happened: events.ts went TIMESTAMP(NANOS) → timestamp[us] in
+    // r5) must produce ONE loud diagnostic line here, not N opaque query
+    // failures. Print every table's read schema and force a full-width
+    // 1-row read; separately prove the shared ts_us derivation analyzes.
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName.stripSuffix(".parquet"))
+      .sorted.foreach { name =>
+        try {
+          val df = graft.analytics.Tables(spark, sfDir, name)
+          df.limit(1).collect()
+          System.err.println(s"[canary] $name: " + df.schema.fields
+            .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+        } catch { case e: Throwable => System.err.println(
+          s"[canary] SCHEMA DRIFT? table $name unreadable: ${e.getMessage}") }
+      }
+    try graft.analytics.Tables.withEpochMicros(
+        graft.analytics.Tables(spark, sfDir, "events"))
+      .select("ts_us").limit(1).collect()
+    catch { case e: Throwable => System.err.println(
+      s"[canary] SCHEMA DRIFT? events.ts_us derivation broken: ${e.getMessage}") }
     // Builder-side iteration aid (same contract as Bench): restrict to a
     // comma-separated subset; unknown names fail loud. Driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -837,8 +837,8 @@ class LlmOpsSpec extends AnyFunSuite {
 
   test("AsOfJoin == join+window reference formulation on testdata") {
     import org.apache.spark.sql.expressions.{Window => W}
-    val ev = analytics.Tables(spark, "/root/testdata/sf0.001", "events")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val ev = analytics.Tables.withEpochMicros(
+        analytics.Tables(spark, "/root/testdata/sf0.001", "events"))
       .select($"event_id", $"user_id", $"ts_us")
     val ord = analytics.Tables(spark, "/root/testdata/sf0.001", "orders")
       .select($"o_custkey".as("user_id"),

@@ -234,15 +234,16 @@ class StreamingSpec extends AnyFunSuite {
   test("file-stream over real events testdata: streamed tumbling agg == batch") {
     import spark.implicits._
     import java.nio.file.{Files => JFiles, Path => JPath}
-    // events.ts is parquet TIMESTAMP(NANOS) -> bigint epoch-ns under
-    // nanosAsLong; the event-time column for watermark/window is derived
+    // events.ts physical type varies by testdata writer (epoch-ns bigint
+    // or µs timestamp); the event-time column for watermark/window is
+    // derived through the shared schema-adaptive helper
     val srcDir = JFiles.createTempDirectory("graft-evstream")
     JFiles.copy(JPath.of("/root/testdata/sf0.001/events.parquet"),
       srcDir.resolve("events.parquet"))
     val batchDf = analytics.Tables(spark, "/root/testdata/sf0.001", "events")
     val schema = batchDf.schema
     def withEventTime(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ets", timestamp_micros(expr("ts DIV 1000")))
+      df.withColumn("ets", timestamp_micros(analytics.Tables.epochMicros(df)))
     val expected = StreamOps.tumblingAgg(withEventTime(batchDf),
       "ets", "6 hours", Seq("event_type"), Seq(count(lit(1)).as("n")))
       .orderBy("win_start", "event_type")
