@@ -475,12 +475,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // -- [EXT]: IVF ANN top-k, the partition-pruning scale path (no
-    //    oracle; recall vs bruteForceTopK asserted in LlmOpsSpec)
+    // -- [EXT]: IVF ANN top-k. Declared at nprobe=nlist: every cell is
+    //    probed, candidates = whole corpus, and the result provably equals
+    //    bruteForceTopK (same exact rescoring + (cos desc, id asc)
+    //    tie-break) — so the full q_cosine_topk oracle applies while the
+    //    query still exercises the IVF machinery end-to-end (Lloyd
+    //    centroid train, cell assignment, cell-keyed candidate join). The
+    //    PRUNED nprobe<nlist path is covered by q_ivf_indexed + the
+    //    LlmOpsSpec recall/equivalence specs.
     "q_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -1350,18 +1356,13 @@ object LlmQueries {
         |    THEN 'train' ELSE 'eval' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
-        |sc AS (SELECT probe_id, vec_id,
-        |    list_dot_product(pv, v)
-        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
-        |  FROM e CROSS JOIN p WHERE vec_id != probe_id),
-        |r AS (SELECT probe_id, vec_id, c,
-        |    row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
-        |SELECT probe_id, rank, vec_id, round(c, 6) AS cos
-        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    "q_cosine_topk" -> cosineTopkSql,
+
+    // IVF at nprobe=nlist probes every cell: candidates = whole corpus,
+    // exact rescoring + identical tie-break ⇒ exactly the brute-force
+    // cosine top-k (the q_ivf_sq8 promotion trick, applied to the float
+    // form).
+    "q_ivf_topk" -> cosineTopkSql,
 
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1787,6 +1788,19 @@ object LlmQueries {
     // whole corpus and the result is exactly the quantized top-k.
     "q_ivf_sq8" -> sq8TopkSql
   )
+
+  private lazy val cosineTopkSql: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |sc AS (SELECT probe_id, vec_id,
+        |    list_dot_product(pv, v)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+        |  FROM e CROSS JOIN p WHERE vec_id != probe_id),
+        |r AS (SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
+        |SELECT probe_id, rank, vec_id, round(c, 6) AS cos
+        |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   private lazy val sq8TopkSql: String =
       """WITH a AS (
