@@ -29,7 +29,8 @@ object PipelineMain {
     require(args.nonEmpty,
       "usage: PipelineMain <storageRoot> [--full-refresh] " +
         "[--targets <dp_targets.json> [--target <name>]] " +
-        "[--repeat-every <seconds>]")
+        "[--repeat-every <seconds>] " +
+        "[--schedule <quartz-cron> [--schedule-tz <zoneId>]] [--validate]")
     // --target without --targets would silently run against defaults —
     // the one config mistake that must fail loud
     require(!(args.contains("--target") && !args.contains("--targets")),
@@ -58,16 +59,47 @@ object PipelineMain {
       spark.conf.getOption(s"spark.$k")
         .foreach(v => spark.conf.set(k, v))
     }
-    // scheduled-trigger analog of the reference job's daily Quartz cron
+    // scheduled-trigger analogs of the reference job's daily Quartz cron
     // (resources/sdp_job.job.yml:17-19): production scheduling belongs to
     // the orchestrator (cron/Airflow/etc. re-invoking this main — runs are
     // checkpoint-idempotent and lock-protected), but --repeat-every gives
-    // a self-contained interval loop for environments without one
+    // a self-contained interval loop, and --schedule accepts the job
+    // yaml's quartz_cron_expression + timezone_id verbatim
     val repeatEvery = flagValue(args, "--repeat-every").map { v =>
       v.toLongOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
         s"--repeat-every takes a positive interval in seconds, got '$v'"))
     }
+    val schedule = flagValue(args, "--schedule").map(QuartzCron.parse)
+    require(!(repeatEvery.nonEmpty && schedule.nonEmpty),
+      "--repeat-every and --schedule are mutually exclusive")
+    require(!(args.contains("--schedule-tz") && schedule.isEmpty),
+      "--schedule-tz requires --schedule <quartz-cron>")
+    val scheduleZone = flagValue(args, "--schedule-tz")
+      .map(java.time.ZoneId.of).getOrElse(java.time.ZoneId.of("UTC"))
     val (runner, entities) = PipelineRunner.fromConf(spark, storageRoot)
+    // --validate: the `databricks bundle validate` analog (README.md:
+    // 196-198) — resolve targets + params + entity config, report the
+    // flow plan, and exit WITHOUT touching catalogs, checkpoints, or the
+    // run lock. Config errors (bad JSON, unknown target, bad cron) have
+    // already failed loud above; reaching here means the bundle is sound.
+    if (args.contains("--validate")) {
+      val p = graft.config.PipelineParams.fromConf(spark)
+      println(s"[validate] source_location=${p.sourceLocation} " +
+        s"catalog=${p.catalogName} bronze=${p.bronzeSchema} " +
+        s"silver=${p.silverSchema} soft_deletes=${p.softDeletesEnabled}")
+      entities.toSeq.sortBy(_._1).foreach { case (name, cfg) =>
+        println(s"[validate] entity $name: format=${cfg.rawFileFormat} " +
+          s"pk=${cfg.uniquePrimaryKey.mkString(",")} " +
+          s"expectations=${cfg.expectAllOrDrop.size} " +
+          s"gold=${cfg.gold.size}")
+      }
+      schedule.foreach(c => println(s"[validate] schedule $c " +
+        s"zone=$scheduleZone next=" +
+        c.nextAfter(java.time.Instant.now(), scheduleZone).orNull))
+      println(s"[validate] OK: ${entities.size} entities")
+      spark.stop()
+      return
+    }
     // per-phase entity concurrency (flows within a phase are independent,
     // like SDP's parallel resolved flows); default sequential. Unparseable
     // or non-positive values FAIL like the other conf parsers — silently
@@ -84,6 +116,20 @@ object PipelineMain {
     repeatEvery.foreach { secs =>
       while (true) {
         Thread.sleep(secs * 1000L)
+        runner.run(entities, fullRefresh = false, concurrency)
+      }
+    }
+    // cron loop: sleep to each next fire time in the schedule's zone.
+    // A run that overruns past the next fire time does NOT double-fire:
+    // the next fire is computed from "now" after the run returns (the
+    // max_concurrent_runs=1 posture, sdp_job.job.yml:23).
+    schedule.foreach { cron =>
+      while (true) {
+        val now = java.time.Instant.now()
+        val next = cron.nextAfter(now, scheduleZone).getOrElse(
+          throw new IllegalStateException(
+            s"$cron has no future fire time (year-bounded schedule?)"))
+        Thread.sleep(math.max(0L, java.time.Duration.between(now, next).toMillis))
         runner.run(entities, fullRefresh = false, concurrency)
       }
     }
