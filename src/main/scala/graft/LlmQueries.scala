@@ -708,6 +708,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: Unicode NFC normalization — the canonical first step of
+    //    web-corpus cleanup (decomposed accents, compatibility forms).
+    //    The synthetic corpus is pure ASCII, so the query BINDS
+    //    deterministic decomposed sequences per row (e → e+U+0301 on
+    //    doc_id%3==0 rows, a decomposed Å prefix on %3==1 rows, the
+    //    already-normalized fast path on the rest) — the expression is
+    //    column-generic. Narrow shuffle-free projection; normalization
+    //    is UAX #15-stabilized so the JDK and DuckDB's utf8proc agree.
+    "q_unicode_nfc" -> ((s, dir) => {
+      val messy = when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), "e", "e\u0301"))   // e + COMBINING ACUTE
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("A\u030A "), col("text")))          // A + COMBINING RING
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), messy.as("messy"))
+        .select(col("doc_id"),
+          graft.functions.UnicodeExpression
+            .normalizeUnicode(col("messy"), "NFC").as("norm_text"),
+          (col("messy") =!= graft.functions.UnicodeExpression
+            .normalizeUnicode(col("messy"), "NFC")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: per-domain document cap — at most 5 docs per source,
     //    preferring the longest (n_chars desc, doc_id tie-break): the
     //    anti-domination rule of web-corpus mixing. One shuffle on the
@@ -1737,6 +1761,19 @@ object LlmQueries {
         |  CASE WHEN d.m = '' THEN d.host ELSE d.m END AS domain
         |FROM s9 JOIN d ON s9.doc_id = d.doc_id
         |ORDER BY s9.doc_id""".stripMargin,
+
+    // Unicode NFC — same derived decomposed bindings (chr() codepoints
+    // 0x301/0x30A mirror the Scala \u escapes); normalization is
+    // UAX #15-stabilized so JDK and utf8proc agree.
+    "q_unicode_nfc" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN replace(text, 'e', 'e' || chr(769))
+        |       WHEN doc_id % 3 = 1 THEN 'A' || chr(778) || ' ' || text
+        |       ELSE text END AS messy
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(messy) AS norm_text,
+        |  messy <> nfc_normalize(messy) AS changed
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Seeded md5 global shuffle order (NULL-id sentinel mirrors
     // Sampling.shuffleKey).

@@ -83,6 +83,13 @@ object GraftExtensions {
       a => HashExpressions.IntersectCountSorted(a(0), a(1))),
     arity("graft_deflate_ratio", 1,
       a => CompressExpression.DeflateRatio(a(0))),
+    arity("graft_unicode_normalize", 2, a =>
+      UnicodeExpression.UnicodeNormalize(a(0), a(1) match {
+        case org.apache.spark.sql.catalyst.expressions
+          .Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"form must be a string literal (NFC/NFD/NFKC/NFKD), got $other")
+      })),
     arity("graft_sq8_encode", 1, a => VectorExpressions.Sq8Encode(a(0))),
     arity("graft_int8_dot", 2, a => VectorExpressions.Int8Dot(a(0), a(1))),
     arity("graft_float_abs_max", 1,

@@ -509,4 +509,45 @@ class KernelSpec extends AnyFunSuite {
       .select(KllQuantilesOf($"s", probs)).as[Option[Seq[Double]]].head()
     assert(nullOut.isEmpty)
   }
+
+  test("UnicodeNormalize: interpreted == codegen; NFC composes, NFKC " +
+    "folds compatibility forms; invalid form fails at construction; " +
+    "null propagates; already-normalized input returns unchanged") {
+    import graft.functions.UnicodeExpression
+    val decomposed = "Café Å"        // e+ACUTE, A+RING
+    val composed = "Café Å"            // NFC targets
+    val compat = "ﬁle １２"         // fi-ligature, fullwidth 12
+    for ((in, form, want) <- Seq(
+        (decomposed, "NFC", composed),
+        (composed, "NFD", decomposed),
+        (compat, "NFKC", "file 12"),
+        (compat, "NFC", compat))) {            // NFC leaves compat forms
+      val interp = UnicodeExpression.UnicodeNormalize(
+        Literal(UTF8String.fromString(in), StringType), form)
+        .eval(InternalRow.empty).toString
+      val viaDf = Seq(Tuple1(in)).toDF("t")
+        .select(UnicodeExpression.normalizeUnicode($"t", form)).as[String].head()
+      assert(interp == viaDf, s"parity broke for $form")
+      assert(viaDf == want, s"$form($in) = $viaDf, want $want")
+      assert(java.text.Normalizer.isNormalized(viaDf,
+        java.text.Normalizer.Form.valueOf(form)))
+    }
+    // idempotence on already-normalized input (the fast path)
+    val twice = Seq(Tuple1(composed)).toDF("t")
+      .select(UnicodeExpression.normalizeUnicode(
+        UnicodeExpression.normalizeUnicode($"t", "NFC"), "NFC")).as[String].head()
+    assert(twice == composed)
+    // bad form fails at expression construction, not per row
+    assertThrows[IllegalArgumentException](
+      UnicodeExpression.normalizeUnicode(lit("x"), "NFX"))
+    // null propagates (UnaryExpression default null-intolerance)
+    val withNull = Seq(Some("a"), None).toDF("t")
+      .select(UnicodeExpression.normalizeUnicode($"t", "NFC").as("n"))
+    assert(withNull.filter($"n".isNull).count() == 1)
+    // SQL registration path
+    graft.functions.GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT graft_unicode_normalize('Café', 'NFC')").as[String].head()
+    assert(viaSql == "Café")
+  }
 }
