@@ -306,6 +306,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(gold2.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
   }
 
+  test("gold layer plan shape: ONE layout range exchange; CollectMetrics " +
+      "sits ABOVE it so expectation metrics never ride the boundary-" +
+      "sampling pass (no double execution)") {
+    val src = tmpDir("goldplan-src"); val store = tmpDir("goldplan-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "gold": {
+        |    "curation": {"id_col": "doc_id", "text_col": "text",
+        |                 "lang_col": "lang", "min_quality": 0.0,
+        |                 "max_repetition": 1.0, "near_dup_jaccard": 0.8},
+        |    "expect_all_or_drop": {"has_lang": "lang IS NOT NULL"},
+        |    "clustering_cols": ["doc_id"]
+        |  }
+        |}}""".stripMargin)
+    val prose = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    Seq((1L, prose, "en"), (2L, prose + " tail", "en"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$src/docs")
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, _) = mkRunner(src, store, "2024-03-02 00:00:00",
+      catalog = "goldplan")
+    runner.run(entities)
+    val frame = runner.buildGoldFrame("docs", entities("docs"),
+      entities("docs").gold.get)
+    val plan = frame.queryExecution.executedPlan.toString
+    val layoutExchanges =
+      "Exchange rangepartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(layoutExchanges == 1,
+      s"expected exactly 1 layout range exchange, plan:\n$plan")
+    val metricsIdx = plan.indexOf("CollectMetrics")
+    val exchangeIdx = plan.indexOf("Exchange rangepartitioning(doc_id")
+    assert(metricsIdx >= 0, s"no CollectMetrics in plan:\n$plan")
+    assert(plan.indexOf("CollectMetrics", metricsIdx + 1) < 0,
+      s"CollectMetrics appears twice (double-counted metrics):\n$plan")
+    // closer to the root = smaller index in the tree printout
+    assert(metricsIdx < exchangeIdx,
+      s"CollectMetrics must sit above the layout exchange:\n$plan")
+  }
+
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
     val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
     writeConfig(src); writeBatch1(src)
