@@ -545,6 +545,15 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- [EXT]: hashing-trick TF features — the no-global-vocabulary
+    //    vectorizer (signed buckets debias collisions). All-integer
+    //    output ⇒ bit-exact oracle.
+    "q_hashing_tf" -> ((s, dir) => {
+      CorpusStats.hashingTf(t(s, dir, "documents"), "doc_id", "text",
+          numFeatures = 256)
+        .orderBy(col("doc_id"), col("feature"))
+    }),
+
     // -- [EXT]: unigram-LM fluency score — mean token log-prob under the
     //    corpus's own unigram model (the KenLM-style quality signal)
     "q_unigram_logprob" -> ((s, dir) => {
@@ -1500,6 +1509,23 @@ object LlmQueries {
          |FROM tok WHERE length(term) > 0
          |GROUP BY term
          |ORDER BY tf DESC, term ASC LIMIT 100""".stripMargin,
+
+    // Hashing-trick features: same md5 bucket/sign derivation; zero-sum
+    // buckets dropped on both sides.
+    "q_hashing_tf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % 256 AS INTEGER)
+         |      AS feature,
+         |    CASE WHEN ('0x' || substr(md5(term), 9, 1))::INTEGER % 2 = 0
+         |      THEN 1 ELSE -1 END AS s
+         |  FROM tok WHERE length(term) > 0)
+         |SELECT doc_id, feature, CAST(SUM(s) AS BIGINT) AS weight
+         |FROM h GROUP BY doc_id, feature
+         |HAVING SUM(s) <> 0
+         |ORDER BY doc_id, feature""".stripMargin,
 
     "q_tfidf_topk" ->
       s"""WITH tok AS (

@@ -99,6 +99,38 @@ object CorpusStats {
         col("tfidf"))
   }
 
+  /** Hashing-trick term-frequency features (Weinberger et al. 2009 —
+    * feature hashing; the HashingTF vectorizer): each token maps to
+    * `bucket = H(term) mod numFeatures` with a ±1 sign from an
+    * independent hash bit, so colliding terms cancel in expectation
+    * instead of biasing the bucket upward. H = first 8 hex digits of
+    * md5 and sign = parity of the 9th (the stable-split/shard hash
+    * discipline: engine-portable, no seed state), so any engine
+    * reproduces the exact features. Entries whose signed counts cancel
+    * to 0 are dropped — sparse storage must not hold zeros. Returns one
+    * row per (id, feature, weight).
+    *
+    * Scale: this is the vectorizer that needs NO global vocabulary
+    * state — explode → (doc, bucket)-keyed hash aggregate, map-side
+    * combined, per-doc output bounded by min(distinct tokens,
+    * numFeatures); nothing joins, nothing broadcasts, nothing trains —
+    * which is exactly why hashing features replace dictionary features
+    * at corpus scale. */
+  def hashingTf(df: DataFrame, idCol: String, textCol: String,
+      numFeatures: Int = 1024): DataFrame = {
+    require(numFeatures > 0, s"numFeatures must be positive, got $numFeatures")
+    val hex = md5(col("term"))
+    val bucket = conv(substring(hex, 1, 8), 16, 10).cast("long") % numFeatures
+    val sign = when(
+      conv(substring(hex, 9, 1), 16, 10).cast("int") % 2 === 0, 1L)
+      .otherwise(-1L)
+    termRows(df, idCol, textCol)
+      .groupBy(col("_id"), bucket.cast("int").as("feature"))
+      .agg(sum(sign).as("weight"))
+      .filter(col("weight") =!= 0L)
+      .select(col("_id").as(idCol), col("feature"), col("weight"))
+  }
+
   /** Per-document mean token log-probability under the corpus's own
     * unigram language model — the KenLM-style fluency/perplexity signal
     * scored against the corpus itself (every token has nonzero count by

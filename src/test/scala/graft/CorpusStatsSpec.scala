@@ -275,4 +275,45 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(String, Int, Long, Double)].collect().sorted.toSeq
     assert(got == naive)
   }
+
+  test("hashingTf: bucket/sign from md5 match a reference computation; " +
+      "cancelled buckets are dropped; deterministic") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(term: String, n: Int): Int =
+      (java.lang.Long.parseLong(md5hex(term).take(8), 16) % n).toInt
+    def sign(term: String): Long =
+      if (Integer.parseInt(md5hex(term).substring(8, 9), 16) % 2 == 0) 1L
+      else -1L
+    val n = 16
+    val expected = Seq(
+      (1L, Seq("the", "cat", "sat", "the")),
+      (2L, Seq("dog", "ran"))
+    ).flatMap { case (id, toks) =>
+      toks.groupBy(t => bucket(t, n)).toSeq.map { case (b, ts) =>
+        (id, b, ts.map(sign).sum) }
+    }.filter(_._3 != 0L).sorted
+    val df = Seq((1L, "The cat SAT the!"), (2L, "dog ran"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.hashingTf(df, "doc_id", "text", numFeatures = n)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    // deterministic across runs
+    val again = CorpusStats.hashingTf(df, "doc_id", "text", numFeatures = n)
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(again == got)
+    // a +1 and a -1 term forced into the SAME bucket (numFeatures = 1)
+    // with equal counts cancels to zero and the row is DROPPED
+    val plus = Seq("aa", "ab", "ac", "ad").find(sign(_) == 1L).get
+    val minus = Seq("aa", "ab", "ac", "ad", "ae", "af").find(sign(_) == -1L).get
+    val cancelled = CorpusStats.hashingTf(
+      Seq((9L, s"$plus $minus")).toDF("doc_id", "text"),
+      "doc_id", "text", numFeatures = 1)
+    assert(cancelled.count() == 0)
+    // weight bound: |weight| <= token occurrences per bucket
+    assert(got.forall { case (_, _, w) => math.abs(w) <= 2 })
+    assertThrows[IllegalArgumentException](
+      CorpusStats.hashingTf(df, "doc_id", "text", numFeatures = 0))
+  }
 }
