@@ -202,6 +202,17 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // -- [EXT]: unit-L2 normalization (cosine = dot over unit vectors).
+    //    Exploded to (vec_id, pos, u) rows so the doubles compare
+    //    NUMERICALLY — double→string formatting is not engine-portable
+    //    (Java "1.0E-6" vs DuckDB "1e-06").
+    "q_l2_normalize" -> ((s, dir) => {
+      SimilarityOps.l2Normalize(t(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("unit")).as(Seq("pos", "u")))
+        .withColumn("u", round(col("u"), 6))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
     // -- [EXT]: hard-negative mining — per anchor, top-5 corpus vectors
     //    with cosine in [0.15, 0.45): similar enough to inform a
     //    contrastive loss, below the near-dup band that would make them
@@ -1390,6 +1401,16 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" -> cosineTopkSql,
+
+    // Unit-L2 normalization; zipped unnests align value and 0-based pos.
+    "q_l2_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |x AS (SELECT vec_id, nm, unnest(v) AS xv,
+        |         unnest(range(len(v))) AS pos FROM n)
+        |SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+        |  round(CASE WHEN nm = 0 THEN 0.0 ELSE xv / nm END, 6) AS u
+        |FROM x ORDER BY vec_id, pos""".stripMargin,
 
     // IVF at nprobe=nlist probes every cell: candidates = whole corpus,
     // exact rescoring + identical tie-break ⇒ exactly the brute-force

