@@ -69,6 +69,66 @@ final class PipelineRunner(
   private def checkpointPath(entity: String): String =
     s"$storageRoot/_checkpoints/bronze_$entity"
 
+  // ---- version inspection / time travel -----------------------------------
+
+  /** One published version of a silver/gold table: `v<version>` directory,
+    * whether it is the catalog-live one, and when it was superseded (None
+    * while live). */
+  final case class TableVersion(version: Long, path: String, live: Boolean,
+      supersededAtMs: Option[Long])
+
+  /** List the on-disk versions of a published table, oldest first — what
+    * [[publishVersioned]] wrote minus what vacuum reclaimed. `layer` is
+    * "silver" or "gold". */
+  def tableVersions(entity: String, layer: String = "silver")
+      : Seq[TableVersion] = {
+    val baseStr = layer match {
+      case "silver" => silverPath(entity)
+      case "gold"   => goldPath(entity)
+      case other => throw new IllegalArgumentException(
+        s"layer must be silver or gold, got '$other'")
+    }
+    val base = new org.apache.hadoop.fs.Path(baseStr)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val fqn = if (layer == "silver") params.silverFqn(entity)
+      else params.goldFqn(entity)
+    val liveLocation: Option[String] =
+      if (spark.catalog.tableExists(fqn))
+        Some(spark.sql(s"DESCRIBE TABLE EXTENDED $fqn")
+          .filter(col("col_name") === "Location")
+          .select(col("data_type")).collect().headOption
+          .map(_.getString(0)).getOrElse(""))
+      else None
+    fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix("v").toLongOption
+        .filter(_ => p.getName.startsWith("v")).map(v => (v, p)))
+      .sortBy(_._1)
+      .map { case (v, p) => TableVersion(v, p.toString,
+        live = liveLocation.exists(_.endsWith(p.toUri.getPath)),
+        supersededAtMs = PipelineRunner.readSupersededAt(fs, p))
+      }.toSeq
+  }
+
+  /** Time-travel read (Delta `VERSION AS OF` analog, bounded by the
+    * retention window exactly like the reference's
+    * `delta.deletedFileRetentionDuration` —
+    * 02_silver_processing.py:49,89): read the `v<version>` directory of a
+    * published table while vacuum still keeps it on disk. Fails loud with
+    * the versions that ARE readable when the requested one was vacuumed
+    * or never published. */
+  def readVersion(entity: String, version: Long,
+      layer: String = "silver"): DataFrame = {
+    val versions = tableVersions(entity, layer)
+    versions.find(_.version == version) match {
+      case Some(tv) => spark.read.parquet(tv.path)
+      case None => throw new NoSuchElementException(
+        s"$layer/$entity has no version $version on disk " +
+          s"(vacuumed or never published); available: " +
+          s"${versions.map(_.version).mkString("[", ", ", "]")}")
+    }
+  }
+
   /** Table properties carried from the reference (Delta-specific knobs
     * recorded as metadata on OSS parquet — SURVEY §4.1/§7.4.1). */
   private def refTableProps(cfg: EntityConfig): Map[String, String] = {

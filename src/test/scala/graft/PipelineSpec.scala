@@ -347,6 +347,46 @@ class PipelineSpec extends AnyFunSuite {
       s"CollectMetrics must sit above the layout exchange:\n$plan")
   }
 
+  test("version inspection + time travel: published versions listed with " +
+      "live/superseded state; VERSION AS OF read; vacuumed version fails " +
+      "loud with the available list") {
+    val src = tmpDir("tt-src"); val store = tmpDir("tt-store")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+    val (runner, _) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "tt1")
+    runner.run(entities)
+    runner.run(entities) // republish -> v2
+    val vs = runner.tableVersions("app_downloads")
+    assert(vs.map(_.version) == Seq(1L, 2L))
+    assert(vs.find(_.version == 2L).exists(v => v.live &&
+      v.supersededAtMs.isEmpty), s"v2 must be live: $vs")
+    assert(vs.find(_.version == 1L).exists(v => !v.live &&
+      v.supersededAtMs.nonEmpty), s"v1 must be superseded: $vs")
+    // both versions readable inside the retention window; same content
+    // (no new files arrived between the runs)
+    val v1 = runner.readVersion("app_downloads", 1L)
+    val v2 = runner.readVersion("app_downloads", 2L)
+    assert(v1.count() == v2.count() && v1.count() > 0)
+    val missing = intercept[NoSuchElementException](
+      runner.readVersion("app_downloads", 99L))
+    assert(missing.getMessage.contains("[1, 2]"))
+    // zero retention: publishing v2 vacuums v1 immediately -> time travel
+    // to it fails loud
+    val params0 = PipelineParams(sourceLocation = src, catalogName = "tt2",
+      deletedFileRetention = "interval 0 seconds",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+    val store0 = tmpDir("tt-store0")
+    val runner0 = new PipelineRunner(spark, params0, store0)
+    runner0.run(entities)
+    runner0.run(entities)
+    val vs0 = runner0.tableVersions("app_downloads")
+    assert(vs0.map(_.version) == Seq(2L), s"v1 must be vacuumed: $vs0")
+    assert(intercept[NoSuchElementException](
+      runner0.readVersion("app_downloads", 1L))
+      .getMessage.contains("vacuumed"))
+  }
+
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
     val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
     writeConfig(src); writeBatch1(src)
