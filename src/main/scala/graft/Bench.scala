@@ -89,9 +89,13 @@ object Bench {
     // short and self-contained (total + path) so a tail capture always ends
     // on a parseable JSON line.
     val jsonPath = "/tmp/graft_bench.json"
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), full)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $jsonPath: $e") }
+    // second copy inside the repo (cwd): /tmp may not survive to judging
+    // time, BENCH_local.json rides the round's end-of-round commit
+    Seq(jsonPath, "BENCH_local.json").foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: $e") }
+    }
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"queries_file":"$jsonPath"}""")
     spark.stop()
