@@ -533,6 +533,16 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- [EXT]: skew diagnosis — top-20 heaviest event keys with share of
+    //    the table (the measurement behind salting factors / AQE skew
+    //    thresholds). Map-side-combined count + TakeOrderedAndProject
+    //    head + one broadcast total row; the rank window runs over the
+    //    <= k-row head only.
+    "q_skew_report" -> ((s, dir) => {
+      Salt.heavyKeys(t(s, dir, "events"), Seq("user_id"), k = 20)
+        .orderBy(col("rank"))
+    }),
+
     "q_stats_agg" -> ((s, dir) => {
       def d(c: Column): Column = c.cast("decimal(38,6)")
       val g = t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
@@ -755,6 +765,18 @@ object RelQueries {
         |SELECT e.event_id, e.event_type, d.type_count
         |FROM events e JOIN d USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // Skew report: row_number needs the INTEGER cast (DuckDB emits BIGINT,
+    // Spark INT); the share division is the only double op, once per row.
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events
+        |           GROUP BY user_id),
+        |t AS (SELECT count(*)::BIGINT AS total FROM events),
+        |h AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id ASC)
+        |    AS INTEGER) AS rank,
+        |  user_id, n, CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM h, t ORDER BY rank""".stripMargin,
 
     "q_stats_agg" ->
       """WITH g AS (

@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** Skew DIAGNOSIS — the measurement that decides whether to salt at
+    * all and with what factor (and what AQE's skew threshold should be):
+    * the top-`k` heaviest keys with absolute count and share of the
+    * table. A key whose share approaches 1/parallelism is the straggler
+    * bound; shares ≫ that mean [[saltedJoin]]/[[withSalt]] territory.
+    *
+    * Scale: one map-side-combined count per key, the head bounded by
+    * TakeOrderedAndProject (each partition forwards ≤ k rows, no global
+    * sort), the table total riding ONE aggregated row through a
+    * broadcast join — the share division is the only double op, applied
+    * once per output row. */
+  def heavyKeys(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    require(keyCols.nonEmpty && k > 0, "need key columns and k > 0")
+    val gcols = keyCols.map(col)
+    val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("_total"))
+    counts
+      .orderBy(col("n").desc +: gcols.map(_.asc): _*)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("share", col("n").cast("double") /
+        col("_total").cast("double"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("n").desc +: gcols.map(_.asc): _*)))
+      .select((col("rank") +: gcols) ++ Seq(col("n"), col("share")): _*)
+  }
+
   /** Add a `_salt` column in [0, factor). */
   def withSalt(df: DataFrame, saltSource: Column, factor: Int): DataFrame =
     df.withColumn("_salt", pmod(hash(saltSource), lit(factor)))

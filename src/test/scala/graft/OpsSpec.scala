@@ -151,6 +151,23 @@ class OpsSpec extends AnyFunSuite {
     assert(saltedCounts == plainCounts)
   }
 
+  test("Salt.heavyKeys: counts/shares/ranks match hand truth; head " +
+      "bounded by TakeOrderedAndProject") {
+    val rows = (1 to 90).map(_ => "hot") ++ (1 to 8).map(_ => "warm") ++
+      Seq("c1", "c2")
+    val df = rows.toDF("k")
+    val got = graft.ops.Salt.heavyKeys(df, Seq("k"), k = 3)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(got == Seq((1, "hot", 90L, 0.90), (2, "warm", 8L, 0.08),
+      (3, "c1", 1L, 0.01)))
+    // the head never materializes a global sort of the key counts
+    val plan = graft.ops.Salt.heavyKeys(df, Seq("k"), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assertThrows[IllegalArgumentException](
+      graft.ops.Salt.heavyKeys(df, Seq.empty, 3))
+  }
+
   test("Salt.saltedJoin: identical to the plain join with broadcast off") {
     val facts = ((1 to 800).map(i => (i.toLong, "hot")) ++
       (801 to 1000).map(i => (i.toLong, s"k${i % 5}"))).toDF("id", "k")
