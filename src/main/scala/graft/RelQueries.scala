@@ -533,6 +533,18 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- [EXT]: per-stratum percentile winsorization — clamp the price
+    //    column into its [p05, p95] band per return flag (the
+    //    keep-the-row robust preprocessing move; bounds via the exact
+    //    distributed percentile machinery, broadcast back).
+    "q_winsorize" -> ((s, dir) => {
+      graft.ops.Robust.winsorize(t(s, dir, "lineitem"),
+          "l_extendedprice", Seq("l_returnflag"), pLo = 0.05, pHi = 0.95)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("winsorized"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // -- [EXT]: skew diagnosis — top-20 heaviest event keys with share of
     //    the table (the measurement behind salting factors / AQE skew
     //    thresholds). Map-side-combined count + TakeOrderedAndProject
@@ -765,6 +777,43 @@ object RelQueries {
         |SELECT e.event_id, e.event_type, d.type_count
         |FROM events e JOIN d USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // Winsorize: the bounds RESTATE the engine's exact interpolation
+    // `lo + (hi - lo) * frac` (native percentile_cont differs by an ulp
+    // at sf0.1 — the q_exact_percentile lesson); unclamped rows carry
+    // the original double.
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |ps AS (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS p),
+        |need AS (SELECT l_returnflag, p,
+        |    CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) + 1 AS lo,
+        |    CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) + 1 AS hi,
+        |    p * (n - 1)::DOUBLE - floor(p * (n - 1)::DOUBLE) AS frac
+        |  FROM (SELECT DISTINCT l_returnflag, n FROM r) CROSS JOIN ps),
+        |pv AS (SELECT need.l_returnflag, need.p,
+        |    max(CASE WHEN r.rk = need.lo THEN r.v END)
+        |      + (coalesce(max(CASE WHEN r.rk = need.hi THEN r.v END),
+        |          max(CASE WHEN r.rk = need.lo THEN r.v END))
+        |        - max(CASE WHEN r.rk = need.lo THEN r.v END))
+        |        * max(need.frac) AS value
+        |  FROM need JOIN r ON r.l_returnflag = need.l_returnflag
+        |    AND r.rk IN (need.lo, need.hi)
+        |  GROUP BY need.l_returnflag, need.p),
+        |b AS (SELECT l_returnflag,
+        |    max(CASE WHEN p = 0.05 THEN value END) AS blo,
+        |    max(CASE WHEN p = 0.95 THEN value END) AS bhi
+        |  FROM pv GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber, l.l_returnflag,
+        |  CASE WHEN l_extendedprice < blo THEN blo
+        |       WHEN l_extendedprice > bhi THEN bhi
+        |       ELSE l_extendedprice END AS winsorized
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // Skew report: row_number needs the INTEGER cast (DuckDB emits BIGINT,
     // Spark INT); the share division is the only double op, once per row.

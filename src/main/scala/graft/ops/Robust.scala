@@ -26,6 +26,39 @@ import org.apache.spark.sql.functions._
   */
 object Robust {
 
+  /** Winsorization — clamp `valueCol` into its per-stratum
+    * [`pLo`, `pHi`] EXACT percentile band, appended as `winsorized`: the
+    * robust preprocessing move when the row must SURVIVE (feature
+    * normalization over heavy-tailed length/score/price columns), where
+    * [[robustZ]] would flag and a filter would drop. NULL values stay
+    * NULL; strata absent from the bounds table (all-NULL values) pass
+    * through unclamped.
+    *
+    * Scale: bounds come from [[Percentiles.exactPercentiles]] (range-
+    * exchange rank + broadcast wanted-ranks — never a per-stratum sorted
+    * aggregation buffer), the bounds table is one row per stratum and
+    * broadcast back, and the clamp is two comparisons per row. */
+  def winsorize(df: DataFrame, valueCol: String, strata: Seq[String],
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi, got [$pLo, $pHi]")
+    def fresh(base: String) = Iterator.iterate(base)(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val loCol = fresh("_wlo")
+    val hiCol = fresh("_whi")
+    val bounds = Percentiles
+      .exactPercentiles(df, strata, valueCol, Seq(pLo, pHi))
+      .groupBy(strata.map(col): _*)
+      .agg(max(when(col("p") === pLo, col("value"))).as(loCol),
+        max(when(col("p") === pHi, col("value"))).as(hiCol))
+    val v = col(valueCol).cast("double")
+    df.join(broadcast(bounds), strata, "left")
+      .withColumn("winsorized",
+        when(col(loCol).isNotNull && v < col(loCol), col(loCol))
+          .when(col(hiCol).isNotNull && v > col(hiCol), col(hiCol))
+          .otherwise(v))
+      .drop(loCol, hiCol)
+  }
+
   /** Append `robust_z` to `df`: the MAD z-score of `valueCol` within its
     * `strata` group (NULL when MAD = 0 or the value is NULL). */
   def robustZ(df: DataFrame, valueCol: String, strata: Seq[String],

@@ -151,6 +151,30 @@ class OpsSpec extends AnyFunSuite {
     assert(saltedCounts == plainCounts)
   }
 
+  test("Robust.winsorize: clamps into the per-stratum percentile band; " +
+      "NULL values stay NULL; all-NULL strata pass through unclamped") {
+    // stratum a: values 0..10 -> p25 = 2.5, p75 = 7.5 (interpolated)
+    val rows = (0 to 10).map(i => ("a", Some(i.toDouble))) ++
+      Seq(("b", None: Option[Double]), ("b", None))
+    val df = rows.toDF("g", "x")
+    val out = graft.ops.Robust.winsorize(df, "x", Seq("g"),
+        pLo = 0.25, pHi = 0.75)
+      .select($"g", $"x", $"winsorized")
+      .as[(String, Option[Double], Option[Double])].collect()
+    val a = out.filter(_._1 == "a").flatMap(_._3).sorted
+    assert(a.head == 2.5 && a.last == 7.5)
+    assert(a.count(v => v == 2.5) == 3) // 0, 1, 2 clamped up
+    assert(a.count(v => v == 7.5) == 3) // 8, 9, 10 clamped down
+    assert(out.filter(_._1 == "a")
+      .forall(r => r._3.exists(v => v >= 2.5 && v <= 7.5)))
+    // in-band values unchanged
+    assert(out.exists(r => r._2.contains(5.0) && r._3.contains(5.0)))
+    // NULL value stays NULL; the all-NULL stratum has no bounds
+    assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
+    assertThrows[IllegalArgumentException](
+      graft.ops.Robust.winsorize(df, "x", Seq("g"), 0.9, 0.1))
+  }
+
   test("Salt.heavyKeys: counts/shares/ranks match hand truth; head " +
       "bounded by TakeOrderedAndProject") {
     val rows = (1 to 90).map(_ => "hot") ++ (1 to 8).map(_ => "warm") ++
