@@ -44,7 +44,12 @@ final class QuartzCron private (
     * 4 years since every supported field recurs annually modulo leap
     * years). */
   def nextAfter(after: Instant, zone: ZoneId): Option[Instant] = {
-    val start = after.atZone(zone).plusSeconds(1)
+    // truncate to whole seconds BEFORE stepping: candidate times carry
+    // nano = 0, so an untruncated fractional `after` (Instant.now()) would
+    // let a candidate in the same second slip through the >= floor check
+    // while actually preceding `after`
+    val start = after.atZone(zone)
+      .truncatedTo(java.time.temporal.ChronoUnit.SECONDS).plusSeconds(1)
     val startDate = start.toLocalDate
     var date = startDate
     val horizon = startDate.plusYears(4)
