@@ -406,4 +406,29 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("wave-7 queries: narrow projections stay shuffle-bounded — " +
+      "no cartesian/nested-loop anywhere; hashing-tf is one hash " +
+      "aggregate pair; winsorize bounds join is broadcast") {
+    Seq("q_unicode_nfc", "q_hashing_tf", "q_l2_normalize", "q_skew_report",
+        "q_winsorize").foreach { q =>
+      val pl = plan(q)
+      assert(!pl.contains("CartesianProduct"), s"$q went Cartesian:\n$pl")
+      // a 1-row scalar riding a BROADCAST nested loop is the intended
+      // corpus-scalar pattern; any other nested loop is a degeneration
+      assert(pl.contains("BroadcastNestedLoopJoin") || !pl.contains("NestedLoop"),
+        s"$q has a non-broadcast nested loop:\n$pl")
+    }
+    // per-(doc, bucket) aggregate: exactly one data-sized hash exchange
+    // (partial/final HashAggregate around it)
+    val htf = plan("q_hashing_tf")
+    assert("Exchange hashpartitioning".r.findAllIn(htf).length == 1,
+      s"hashing-tf grew extra exchanges:\n$htf")
+    // skew report: the head is TakeOrdered, never a global sort of counts
+    assert(plan("q_skew_report").contains("TakeOrderedAndProject"))
+    // winsorize: the per-stratum bounds come back via broadcast — the
+    // data-sized side never shuffles on the stratum key for the clamp
+    val win = plan("q_winsorize")
+    assert(win.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$win")
+  }
 }
