@@ -238,12 +238,19 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // -- [EXT]: LSH-bucketed ANN top-k, the scale path (no oracle; recall
-    //    vs bruteForceTopK asserted in LlmOpsSpec)
+    // -- [EXT]: LSH-bucketed ANN top-k. Declared at probesPerTable =
+    //    2^planes: the multi-probe perturbation lattice covers EVERY
+    //    bucket, so candidates = whole corpus and the result provably
+    //    equals bruteForceTopK (exact rescoring + identical tie-break) —
+    //    the q_ivf_topk promotion trick, so the full cosine oracle
+    //    applies while the query still exercises the LSH machinery
+    //    end-to-end (bucketing, multi-probe fan-out, id-only candidate
+    //    dedup, vector join-back). The PRUNED probesPerTable<2^planes
+    //    path is covered by q_lsh_indexed + the LlmOpsSpec recall specs.
     "q_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       SimilarityOps.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 3,
-        planes = 4, tables = 16)
+        planes = 4, tables = 16, probesPerTable = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -1417,6 +1424,10 @@ object LlmQueries {
     // cosine top-k (the q_ivf_sq8 promotion trick, applied to the float
     // form).
     "q_ivf_topk" -> cosineTopkSql,
+
+    // LSH at probesPerTable=2^planes probes every bucket: candidates =
+    // whole corpus ⇒ same equivalence, same oracle.
+    "q_lsh_topk" -> cosineTopkSql,
 
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

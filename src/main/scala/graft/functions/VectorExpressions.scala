@@ -212,19 +212,23 @@ object VectorExpressions {
   }
 
   /** Multi-probe variant of [[LshBuckets]] (Lv et al., VLDB'07): per
-    * table, emit the base bucket PLUS `probes − 1` neighbor buckets, each
-    * the base with one lowest-|projection| sign bit flipped (in increasing
-    * margin order). A vector near a hyperplane almost tips into the
-    * adjacent bucket — probing those first recovers most of the recall
-    * extra tables would buy WITHOUT replicating the corpus index: the
-    * corpus stays at one row per (vector, table); only the tiny probe side
-    * fans out. Output: array<long>[tables × probes], element t·probes+j =
-    * table t's j-th probe bucket (j = 0 is the base, identical to
-    * [[LshBuckets]] element t). */
+    * table, emit the base bucket PLUS `probes − 1` neighbor buckets — the
+    * perturbation SETS of smallest total |projection| margin (see
+    * [[LshKernel.multiProbe]]; flipping two near-boundary bits is
+    * correctly preferred over one far bit). A vector near a hyperplane
+    * almost tips into the adjacent bucket — probing those first recovers
+    * most of the recall extra tables would buy WITHOUT replicating the
+    * corpus index: the corpus stays at one row per (vector, table); only
+    * the tiny probe side fans out. `probes = 2^planes` (planes ≤ 12)
+    * probes every bucket — the exhaustive brute-force-equivalent
+    * configuration. Output: array<long>[tables × probes], element
+    * t·probes+j = table t's j-th probe bucket (j = 0 is the base,
+    * identical to [[LshBuckets]] element t). */
   case class LshBucketsMultiProbe(child: Expression, planes: Int,
       tables: Int, probes: Int) extends UnaryExpression {
-    require(probes >= 1 && probes <= planes + 1,
-      s"probes must be in [1, planes + 1], got $probes (planes = $planes)")
+    require(probes >= 1 && probes <= LshKernel.maxProbes(planes),
+      s"probes must be in [1, ${LshKernel.maxProbes(planes)}], got " +
+        s"$probes (planes = $planes)")
 
     override def checkInputDataTypes(): TypeCheckResult =
       child.dataType match {
@@ -469,12 +473,36 @@ object LshKernel {
       UnsafeArrayData.fromPrimitiveArray(out)
     }
 
+    /** Probe budget ceiling: with ≤ [[SubsetPlanesMax]] planes the full
+      * 2^planes perturbation lattice is scored, so every bucket is
+      * reachable; wider planes fall back to single-bit flips. */
+    val SubsetPlanesMax = 12
+    def maxProbes(planes: Int): Int =
+      if (planes <= SubsetPlanesMax) 1 << planes else planes + 1
+
+    /** Multi-probe perturbation sequence (Lv et al., VLDB'07): per table,
+      * the `probes` bucket ids reached by XOR-ing the base bucket with the
+      * flip-SETS of smallest total margin Σ|proj(bit)| — flipping two
+      * near-boundary bits is correctly preferred over one far bit (the
+      * single-flip shortcut cannot express that). Score-ascending, mask-
+      * ascending tie-break; the empty set (the base bucket, score 0) is
+      * always probe 0, bit-identical to [[buckets]]. For planes ≤
+      * [[SubsetPlanesMax]] the full 2^planes lattice is scored with one DP
+      * pass (score(m) = score(m without lowest bit) + |proj(lowest)|), so
+      * `probes = 2^planes` probes EVERY bucket of every table — the
+      * exhaustive configuration whose candidate set is provably the whole
+      * corpus (the q_lsh_topk full-oracle basis). Wider planes fall back
+      * to single-bit flips with probes ≤ planes + 1. */
     def multiProbe(x: ArrayData, planes: Int, tables: Int, probes: Int,
         planeSeeds: Array[Long]): ArrayData = {
       val n = x.numElements()
       val out = new Array[Long](tables * probes)
       val proj = new Array[Double](planes)
-      val order = new Array[Int](planes)
+      val subset = planes <= SubsetPlanesMax
+      val nMasks = if (subset) 1 << planes else 0
+      val score = if (subset) new Array[Double](nMasks) else null
+      val order =
+        if (subset) new Array[Int](nMasks) else new Array[Int](planes)
       var t = 0
       while (t < tables) {
         var bucket = 0L
@@ -494,26 +522,55 @@ object LshKernel {
           }
           proj(p) = s
           if (s > 0) bucket |= (1L << p)
-          order(p) = p
           p += 1
         }
-        // partial selection sort: only the probes-1 smallest margins matter
-        var j = 0
-        while (j < probes - 1) {
-          var m = j
-          var q = j + 1
-          while (q < planes) {
-            if (math.abs(proj(order(q))) < math.abs(proj(order(m)))) m = q
-            q += 1
+        if (subset) {
+          // DP over the subset lattice, then a partial selection of the
+          // `probes` smallest (score, mask) — probes is usually ≪ 2^planes
+          var m = 1
+          score(0) = 0.0
+          while (m < nMasks) {
+            score(m) = score(m & (m - 1)) +
+              math.abs(proj(java.lang.Integer.numberOfTrailingZeros(m)))
+            m += 1
           }
-          val tmp = order(j); order(j) = order(m); order(m) = tmp
-          j += 1
-        }
-        out(t * probes) = bucket
-        j = 1
-        while (j < probes) {
-          out(t * probes + j) = bucket ^ (1L << order(j - 1))
-          j += 1
+          m = 0
+          while (m < nMasks) { order(m) = m; m += 1 }
+          var j = 0
+          while (j < probes) {
+            var best = j
+            var q = j + 1
+            while (q < nMasks) {
+              val a = order(q); val b = order(best)
+              if (score(a) < score(b) || (score(a) == score(b) && a < b))
+                best = q
+              q += 1
+            }
+            val tmp = order(j); order(j) = order(best); order(best) = tmp
+            out(t * probes + j) = bucket ^ order(j).toLong
+            j += 1
+          }
+        } else {
+          // wide-planes fallback: single lowest-margin bit flips
+          var p2 = 0
+          while (p2 < planes) { order(p2) = p2; p2 += 1 }
+          var j = 0
+          while (j < probes - 1) {
+            var m = j
+            var q = j + 1
+            while (q < planes) {
+              if (math.abs(proj(order(q))) < math.abs(proj(order(m)))) m = q
+              q += 1
+            }
+            val tmp = order(j); order(j) = order(m); order(m) = tmp
+            j += 1
+          }
+          out(t * probes) = bucket
+          j = 1
+          while (j < probes) {
+            out(t * probes + j) = bucket ^ (1L << order(j - 1))
+            j += 1
+          }
         }
         t += 1
       }

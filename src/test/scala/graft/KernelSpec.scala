@@ -436,8 +436,9 @@ class KernelSpec extends AnyFunSuite {
     assert(interp == b1)
   }
 
-  test("LshBucketsMultiProbe: probe 0 == LshBuckets; flips are single " +
-      "lowest-margin bits; interpreted == codegen") {
+  test("LshBucketsMultiProbe: probe 0 == LshBuckets; the smallest " +
+      "perturbation sets are single lowest-margin flips at this budget; " +
+      "probes = 2^planes covers every bucket; interpreted == codegen") {
     val v = Seq.tabulate(64)(i => (math.cos(i) * 7).toFloat)
     val planes = 4; val tables = 8; val probes = 3
     val base = Seq(Tuple1(v)).toDF("v")
@@ -462,6 +463,21 @@ class KernelSpec extends AnyFunSuite {
       Literal(floatArr(v), ArrayType(FloatType)), planes, tables, probes)
       .eval(InternalRow.empty).asInstanceOf[ArrayData].toLongArray.toSeq
     assert(interp == multi)
+    // probes = 2^planes: the perturbation lattice covers EVERY bucket of
+    // every table (the exhaustive brute-force-equivalent configuration)
+    val full = Seq(Tuple1(v)).toDF("v")
+      .select(VectorExpressions.lshBucketsMultiProbe($"v", planes, tables,
+        1 << planes)).as[Seq[Long]].head()
+    (0 until tables).foreach { t =>
+      val group = full.slice(t * (1 << planes), (t + 1) * (1 << planes))
+      assert(group.head == base(t), s"table $t probe 0 must be the base")
+      assert(group.toSet == (0 until (1 << planes)).map(base(t) ^ _).toSet,
+        s"table $t does not cover all buckets")
+    }
+    // over-budget probes fail at construction
+    assertThrows[IllegalArgumentException](
+      VectorExpressions.lshBucketsMultiProbe(lit(v.toArray), planes, tables,
+        (1 << planes) + 1))
   }
 
   test("CmsEstimateLong: interpreted == codegen; unseen key estimates 0 " +

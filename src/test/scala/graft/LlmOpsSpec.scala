@@ -1093,4 +1093,19 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(math.abs(cos - dotU) < 1e-9, s"($ia, $ib): $cos vs $dotU")
     }
   }
+
+  test("lshTopK at probesPerTable = 2^planes equals bruteForceTopK " +
+      "bit-exactly (exhaustive-probe equivalence — the q_lsh_topk oracle " +
+      "basis)") {
+    val emb = analytics.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.filter($"vec_id" < 5)
+    val lsh = SimilarityOps.lshTopK(emb, probes, k = 3, planes = 4,
+        tables = 16, probesPerTable = 16)
+      .orderBy($"probe_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val brute = SimilarityOps.bruteForceTopK(emb, probes, k = 3)
+      .orderBy($"probe_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(lsh == brute)
+  }
 }
