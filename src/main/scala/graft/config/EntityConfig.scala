@@ -32,6 +32,17 @@ final case class EntityConfig(
       * predicates are true (real SDP expect_all_or_drop semantics, SURVEY §2
       * P7) — reference `02_silver_processing.py:94-95,139-141`. */
     expectAllOrDrop: Map[String, String] = Map.empty,
+    /** Silver materialization mode: `"full"` (reference behavior — batch
+      * recompute of the whole bronze table per trigger,
+      * `02_silver_processing.py:115-150`) or `"incremental"` (merge-on-
+      * arrival: a checkpointed stream over the bronze directory folds only
+      * NEW files into the published silver — the 100 TB path, where a full
+      * recompute per trigger is the scalability cliff). Both modes produce
+      * identical silver contents (keep-latest dedup is associative; the
+      * CDC filter and expectations gate run on the merged frame, so a new
+      * violating/deleted latest version retracts its PK exactly like the
+      * full recompute). */
+    silverMode: String = "full",
     /** Optional declarative GOLD layer: a curated table derived from this
       * entity's silver table by the corpus-curation pipeline
       * ([[graft.llm.Curation]]), declared in config exactly the way the
@@ -216,6 +227,12 @@ object ConfigLoader {
               f.get("renamed_columns").map(strMap).getOrElse(Map.empty),
             expectAllOrDrop =
               f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty),
+            silverMode = {
+              val m = s("silver_mode", "full")
+              require(m == "full" || m == "incremental",
+                s"$name.silver_mode must be 'full' or 'incremental', got '$m'")
+              m
+            },
             gold = f.get("gold").collect { case JObject(gf) =>
               parseGold(gf.toMap)
             }

@@ -352,20 +352,29 @@ final class PipelineRunner(
     * translated back. The bronze scan serves as the z-order quantile
     * sketch source so the sketch never re-executes the dedup window. */
   def buildSilverFrame(entity: String, cfg: EntityConfig,
-      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val bronze = spark.read.table(params.bronzeFqn(entity))
-    val deduped = Dedup.latestByIngestion(bronze, cfg.uniquePrimaryKey)
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    silverTransform(spark.read.table(params.bronzeFqn(entity)), cfg, obs,
+      s"expectations_$entity")
+
+  /** The silver transform over an arbitrary bronze-vocabulary source —
+    * shared by the full recompute ([[buildSilverFrame]] over the whole
+    * bronze table) and the incremental merge ([[runSilverIncremental]]
+    * over previous-silver ∪ new rows), so the two modes cannot drift. */
+  private def silverTransform(source: DataFrame, cfg: EntityConfig,
+      obs: Option[org.apache.spark.sql.Observation],
+      obsName: String): DataFrame = {
+    val deduped = Dedup.latestByIngestion(source, cfg.uniquePrimaryKey)
     val afterCdc =
       if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
     val newToOld = cfg.renamedColumns.map(_.swap)
     val clusterCols = cfg.clusteringCols.map(c => newToOld.getOrElse(c, c))
     val laid = ClusterLayout(afterCdc, clusterCols,
-      boundsFrom = Some(bronze))
+      boundsFrom = Some(source))
     val gated = obs match {
       case Some(o) if cfg.expectAllOrDrop.nonEmpty =>
         Expectations.observed(laid, cfg.expectAllOrDrop, o)
       case _ => Expectations(laid, cfg.expectAllOrDrop,
-        observeName = Some(s"expectations_$entity"))
+        observeName = Some(obsName))
     }
     Rename(gated, cfg.renamedColumns)
   }
@@ -380,17 +389,89 @@ final class PipelineRunner(
     * still finds its files. This replaces the naive DROP + rewrite, whose
     * window leaves the table missing — the parquet-catalog stand-in for a
     * table format's atomic commit. */
-  def runSilver(entity: String, cfg: EntityConfig): Unit = {
+  def runSilver(entity: String, cfg: EntityConfig,
+      fullRefresh: Boolean = false): Unit =
+    if (cfg.silverMode == "incremental")
+      runSilverIncremental(entity, cfg, fullRefresh)
+    else {
+      val fqn = params.silverFqn(entity)
+      // expectation metrics ride the write action via df.observe — zero
+      // extra passes (the SDP expectation-event-log analog); persisted as
+      // table properties below so they are queryable after the run
+      val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+        new org.apache.spark.sql.Observation(s"expectations_$entity"))
+      val laid = buildSilverFrame(entity, cfg, obs)
+      publishVersioned(fqn, silverPath(entity), laid)
+      setTableProps(spark, fqn, refTableProps(cfg) +
+        ("comment" -> s"Silver deduplicated table for $entity") +
+        ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+        expectationMetrics(fqn, obs))
+    }
+
+  /** Incremental silver (`silver_mode: "incremental"`) — the 100 TB path:
+    * at scale the reference's full silver recompute per trigger is the
+    * scalability cliff (every trigger rescans the entire bronze history).
+    * Here a SECOND checkpointed file stream follows the bronze directory
+    * and each micro-batch folds only the NEW files into the published
+    * silver: previous silver (inverse-renamed back to the bronze
+    * vocabulary — renames are bijective) ∪ new rows →
+    * [[silverTransform]] → versioned publish. Contents equal the full
+    * recompute because keep-latest dedup is associative and the CDC
+    * filter + expectations gate run on the MERGED frame — a new deleted/
+    * violating latest version retracts its PK exactly like the full
+    * recompute would. Per run, cost is O(|new| + |silver|) instead of
+    * O(|bronze history|); a run with no new bronze files publishes no
+    * new version (the checkpoint knows there is nothing to do).
+    * Expectation metrics are per-merge (they gate the merged frame, so
+    * violation counts cover survivors + increment, not bronze history).
+    * Full refresh drops the silver checkpoint and table first, then the
+    * stream replays the whole bronze directory in one rebuild. */
+  def runSilverIncremental(entity: String, cfg: EntityConfig,
+      fullRefresh: Boolean = false): Unit = {
     val fqn = params.silverFqn(entity)
-    // expectation metrics ride the write action via df.observe — zero
-    // extra passes (the SDP expectation-event-log analog); persisted as
-    // table properties below so they are queryable after the run
+    val cp = s"$storageRoot/_checkpoints/silver_$entity"
+    if (fullRefresh) {
+      log(s"full refresh: dropping $fqn, checkpoint $cp")
+      spark.sql(s"DROP TABLE IF EXISTS $fqn")
+      deleteRecursively(spark, cp)
+      deleteRecursively(spark, silverPath(entity))
+    }
+    // bronze's catalog schema is the evolved superset; older files simply
+    // read their missing columns as NULL
+    val bronzeSchema = spark.table(params.bronzeFqn(entity)).schema
+    val q = spark.readStream.schema(bronzeSchema)
+      .parquet(bronzePath(entity))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeSilverBatch(entity, cfg, batch, batchId)
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One incremental-silver merge: previous silver ∪ `batch` through the
+    * shared transform, atomically published. */
+  private def mergeSilverBatch(entity: String, cfg: EntityConfig,
+      batch: DataFrame, batchId: Long): Unit = {
+    val fqn = params.silverFqn(entity)
+    val prev =
+      if (spark.catalog.tableExists(fqn))
+        Rename(spark.table(fqn), cfg.renamedColumns.map(_.swap))
+      else batch.limit(0)
+    // allowMissingColumns: schema evolution can widen either side mid-
+    // stream (an old silver lacks a just-evolved bronze column); the
+    // absent side null-fills, exactly like the bronze evolution path
+    val merged = prev.unionByName(batch, allowMissingColumns = true)
     val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
-      new org.apache.spark.sql.Observation(s"expectations_$entity"))
-    val laid = buildSilverFrame(entity, cfg, obs)
-    publishVersioned(fqn, silverPath(entity), laid)
+      new org.apache.spark.sql.Observation(
+        s"expectations_${entity}_b$batchId"))
+    val frame = silverTransform(merged, cfg, obs,
+      s"expectations_${entity}_b$batchId")
+    publishVersioned(fqn, silverPath(entity), frame)
     setTableProps(spark, fqn, refTableProps(cfg) +
-      ("comment" -> s"Silver deduplicated table for $entity") +
+      ("comment" -> s"Silver deduplicated table for $entity (incremental)") +
       ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
       expectationMetrics(fqn, obs))
   }
@@ -595,7 +676,7 @@ final class PipelineRunner(
         }
       }
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
-    each { case (e, cfg) => runSilver(e, cfg) }
+    each { case (e, cfg) => runSilver(e, cfg, fullRefresh) }
     // phase 2.5: gold tables are declared per entity; the schema is
     // created lazily so gold-free configs never touch a gold catalog
     if (entities.values.exists(_.gold.nonEmpty))

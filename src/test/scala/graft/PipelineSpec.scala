@@ -387,6 +387,86 @@ class PipelineSpec extends AnyFunSuite {
       .getMessage.contains("vacuumed"))
   }
 
+  test("incremental silver (silver_mode): contents equal the full " +
+      "recompute across two batches incl. rename/expectations/CDC " +
+      "retraction; a no-new-files run publishes no version; full refresh " +
+      "rebuilds") {
+    def cfgJson = """{"app_downloads": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["id"],
+      |  "silver_mode": "MODE",
+      |  "expect_all_or_drop": {"created_ok": "created_at IS NOT NULL"},
+      |  "renamed_columns": {"downloads": "n_downloads"}
+      |}}""".stripMargin
+    def setup(mode: String, tag: String): (String, String) = {
+      val src = tmpDir(s"inc$tag-src"); val store = tmpDir(s"inc$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson.replace("MODE", mode))
+      writeBatch1(src)
+      (src, store)
+    }
+    val (srcI, storeI) = setup("incremental", "i")
+    val (srcF, storeF) = setup("full", "f")
+    def batch2(src: String): Unit = {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("downloads", IntegerType),
+        StructField("created_at", StringType), StructField("op", StringType),
+        StructField("v", StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, 11, "2024-03-01", "U", "one-v2"),   // newer version wins
+        Row(2L, 22, "2024-03-01", "D", "two-del"),  // CDC retracts id=2
+        Row(5L, 55, null, "I", "five-bad"),         // expectations drop
+        Row(9L, 99, "2024-03-01", "I", "nine-new")), 1), schema)
+        .write.mode("append").parquet(s"$src/app_downloads")
+    }
+    def silverRows(cat: String): Seq[(Long, Long, String)] =
+      spark.table(s"${cat}_silver.silver_app_downloads")
+        .select($"id", $"n_downloads", $"v") // exclude per-dir audit paths
+        .as[(Long, Long, String)].collect().sorted.toSeq
+
+    val entI = ConfigLoader.load(spark, srcI)
+    val entF = ConfigLoader.load(spark, srcF)
+    assert(entI("app_downloads").silverMode == "incremental")
+    val (ri1, _) = mkRunner(srcI, storeI, "2024-02-01 00:00:00",
+      catalog = "inci")
+    val (rf1, _) = mkRunner(srcF, storeF, "2024-02-01 00:00:00",
+      catalog = "incf")
+    ri1.run(entI); rf1.run(entF)
+    assert(silverRows("inci") == silverRows("incf"))
+    assert(silverRows("inci").nonEmpty)
+
+    // no new bronze files: the incremental checkpoint knows there is
+    // nothing to merge — no new silver version (full mode republishes)
+    ri1.run(entI)
+    assert(ri1.tableVersions("app_downloads").map(_.version) == Seq(1L))
+
+    batch2(srcI); batch2(srcF)
+    val (ri2, _) = mkRunner(srcI, storeI, "2024-03-05 00:00:00",
+      catalog = "inci")
+    val (rf2, _) = mkRunner(srcF, storeF, "2024-03-05 00:00:00",
+      catalog = "incf")
+    ri2.run(entI); rf2.run(entF)
+    val after = silverRows("inci")
+    assert(after == silverRows("incf"),
+      "incremental merge diverged from the full recompute")
+    val ids = after.map(_._1)
+    assert(ids.contains(9L) && !ids.contains(2L) && !ids.contains(5L),
+      s"retraction/gate mismatch: $ids")
+    assert(after.find(_._1 == 1L).exists(_._3 == "one-v2"))
+
+    // full refresh: checkpoint + table dropped, the stream replays the
+    // whole bronze directory in one rebuild and versions restart at v1.
+    // (All replayed rows share the refresh run's injected clock, so
+    // version ties resolve by file path — contested ids are not asserted;
+    // with a wall clock every run carries its own ingestion time.)
+    val (ri3, _) = mkRunner(srcI, storeI, "2024-03-05 00:00:00",
+      catalog = "inci")
+    ri3.run(entI, fullRefresh = true)
+    val refreshed = silverRows("inci")
+    assert(refreshed.map(_._1).contains(9L) && refreshed.nonEmpty)
+    assert(ri3.tableVersions("app_downloads").map(_.version).max == 1L)
+  }
+
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
     val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
     writeConfig(src); writeBatch1(src)
