@@ -388,6 +388,17 @@ class OpsSpec extends AnyFunSuite {
     assert(cfg("e").uniquePrimaryKey == Seq("id"))
   }
 
+  test("config parser: silver_mode defaults to full, accepts incremental, " +
+      "rejects anything else loudly") {
+    assert(ConfigLoader.parse("""{"e": {}}""")("e").silverMode == "full")
+    assert(ConfigLoader.parse(
+      """{"e": {"silver_mode": "incremental"}}""")("e")
+      .silverMode == "incremental")
+    val ex = intercept[IllegalArgumentException](ConfigLoader.parse(
+      """{"e": {"silver_mode": "delta"}}"""))
+    assert(ex.getMessage.contains("silver_mode"))
+  }
+
   test("config parser: renamed_columns accepts object and list forms") {
     assert(ConfigLoader.parse(
       """{"e": {"renamed_columns": {"old": "new"}}}""")("e")
