@@ -87,6 +87,18 @@ object PipelineMain {
       println(s"[validate] source_location=${p.sourceLocation} " +
         s"catalog=${p.catalogName} bronze=${p.bronzeSchema} " +
         s"silver=${p.silverSchema} soft_deletes=${p.softDeletesEnabled}")
+      // cross-entity references must resolve statically — a typo'd
+      // contamination_probes_entity would otherwise surface as a
+      // table-not-found deep inside the gold phase of a real run
+      entities.foreach { case (name, cfg) =>
+        cfg.gold.flatMap(_.curation.contaminationProbesEntity).foreach { probe =>
+          require(entities.contains(probe),
+            s"gold.$name.contamination_probes_entity references unknown " +
+              s"entity '$probe' (known: ${entities.keys.toSeq.sorted.mkString(", ")})")
+          require(probe != name,
+            s"gold.$name.contamination_probes_entity must name a DIFFERENT entity")
+        }
+      }
       entities.toSeq.sortBy(_._1).foreach { case (name, cfg) =>
         println(s"[validate] entity $name: format=${cfg.rawFileFormat} " +
           s"pk=${cfg.uniquePrimaryKey.mkString(",")} " +
