@@ -598,7 +598,18 @@ final class PipelineRunner(
   /** Config-declared gold table: runs after silver with the SAME
     * publish/retention/metrics semantics ([[publishVersioned]] — versioned
     * dir + SET LOCATION swap + vacuum; expectation counts as table props).
-    * No-op for entities without a `gold` config section. */
+    * No-op for entities without a `gold` config section.
+    *
+    * Gold stays a FULL recompute by design (unlike silver's optional
+    * incremental mode): curation is corpus-global — near-dup component
+    * membership, boilerplate document frequencies, and MinHash bands all
+    * shift when new documents arrive, so an incremental merge cannot be
+    * made equivalent the way associative keep-latest dedup can. The
+    * incremental pieces that ARE sound exist as operators (Bloom-
+    * prefiltered [[graft.dedup.DedupOps.dedupAgainstBloom]] against a
+    * persisted history, streaming [[graft.streaming.StreamOps]] curation
+    * with O(1) state) for pipelines that accept approximate-incremental
+    * gold semantics. */
   def runGold(entity: String, cfg: EntityConfig): Unit = cfg.gold.foreach { g =>
     val fqn = params.goldFqn(entity)
     val obs = Option.when(g.expectAllOrDrop.nonEmpty)(
