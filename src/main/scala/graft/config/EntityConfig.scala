@@ -37,12 +37,34 @@ final case class EntityConfig(
       * `02_silver_processing.py:115-150`) or `"incremental"` (merge-on-
       * arrival: a checkpointed stream over the bronze directory folds only
       * NEW files into the published silver — the 100 TB path, where a full
-      * recompute per trigger is the scalability cliff). Both modes produce
-      * identical silver contents (keep-latest dedup is associative; the
-      * CDC filter and expectations gate run on the merged frame, so a new
-      * violating/deleted latest version retracts its PK exactly like the
-      * full recompute). */
+      * recompute per trigger is the scalability cliff). Incremental silver
+      * is laid out in [[silverBuckets]] PK-hash buckets and each merge
+      * rewrites ONLY the buckets the new rows land in, so the write is
+      * O(new + touched buckets), not O(silver); the table carries an extra
+      * `_bucket` layout/audit column (same `_`-prefixed convention as
+      * `_ingested_at`).
+      *
+      * Equivalence with the full recompute: both modes produce identical
+      * silver contents PROVIDED `_ingested_at` is strictly monotone across
+      * triggers (the wall-clock default). Under an injected FIXED clock
+      * (the determinism mode) a PK whose latest version was CDC-deleted or
+      * expectation-dropped leaves no tombstone in silver, so a later file
+      * with the SAME ingestion timestamp re-contests the `_source_file`
+      * tie-break against fewer candidates than the full recompute sees —
+      * same-timestamp ties on such retracted PKs may resolve differently.
+      * Keep-latest dedup is associative, the CDC filter and expectations
+      * gate run on the merged frame, so with a monotone clock a new
+      * deleted/violating latest version retracts its PK exactly like the
+      * full recompute. */
     silverMode: String = "full",
+    /** Number of PK-hash buckets for the incremental-silver layout (used
+      * only when `silver_mode` is `"incremental"`). Each micro-batch
+      * rewrites only the buckets containing new rows; size so one bucket
+      * of silver fits a comfortable rewrite unit (at 100 TB silver and
+      * ~1 GB rewrite units, thousands). Changing it on an existing table
+      * requires a full refresh (bucket assignment is baked into the
+      * layout); the pipeline fails loud on a mismatch. */
+    silverBuckets: Int = 16,
     /** Optional declarative GOLD layer: a curated table derived from this
       * entity's silver table by the corpus-curation pipeline
       * ([[graft.llm.Curation]]), declared in config exactly the way the
@@ -232,6 +254,13 @@ object ConfigLoader {
               require(m == "full" || m == "incremental",
                 s"$name.silver_mode must be 'full' or 'incremental', got '$m'")
               m
+            },
+            silverBuckets = {
+              val b = f.get("silver_buckets").flatMap(num).map(_.toInt)
+                .getOrElse(EntityConfig().silverBuckets)
+              require(b > 0 && b <= (1 << 20),
+                s"$name.silver_buckets must be in [1, 2^20], got $b")
+              b
             },
             gold = f.get("gold").collect { case JObject(gf) =>
               parseGold(gf.toMap)

@@ -362,14 +362,27 @@ final class PipelineRunner(
     * over previous-silver ∪ new rows), so the two modes cannot drift. */
   private def silverTransform(source: DataFrame, cfg: EntityConfig,
       obs: Option[org.apache.spark.sql.Observation],
-      obsName: String): DataFrame = {
+      obsName: String,
+      /** When set, the frame carries this PK-hash bucket column and the
+        * physical layout is one hash exchange on it + a within-partition
+        * sort by (bucket, cluster cols) — exactly the sort the dynamic
+        * partitioned write needs, so no second exchange and bounded open
+        * writers per task. Replaces the global range/z-order layout, whose
+        * cross-bucket file ordering the bucketed publish cannot keep. */
+      bucketCol: Option[String] = None): DataFrame = {
     val deduped = Dedup.latestByIngestion(source, cfg.uniquePrimaryKey)
     val afterCdc =
       if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
     val newToOld = cfg.renamedColumns.map(_.swap)
     val clusterCols = cfg.clusteringCols.map(c => newToOld.getOrElse(c, c))
-    val laid = ClusterLayout(afterCdc, clusterCols,
-      boundsFrom = Some(source))
+    val laid = bucketCol match {
+      case Some(bc) =>
+        val cols = clusterCols.filter(afterCdc.columns.contains)
+        afterCdc.repartition(col(bc))
+          .sortWithinPartitions((bc +: cols).map(col): _*)
+      case None => ClusterLayout(afterCdc, clusterCols,
+        boundsFrom = Some(source))
+    }
     val gated = obs match {
       case Some(o) if cfg.expectAllOrDrop.nonEmpty =>
         Expectations.observed(laid, cfg.expectAllOrDrop, o)
@@ -413,19 +426,33 @@ final class PipelineRunner(
     * scalability cliff (every trigger rescans the entire bronze history).
     * Here a SECOND checkpointed file stream follows the bronze directory
     * and each micro-batch folds only the NEW files into the published
-    * silver: previous silver (inverse-renamed back to the bronze
-    * vocabulary — renames are bijective) ∪ new rows →
-    * [[silverTransform]] → versioned publish. Contents equal the full
-    * recompute because keep-latest dedup is associative and the CDC
-    * filter + expectations gate run on the MERGED frame — a new deleted/
-    * violating latest version retracts its PK exactly like the full
-    * recompute would. Per run, cost is O(|new| + |silver|) instead of
-    * O(|bronze history|); a run with no new bronze files publishes no
-    * new version (the checkpoint knows there is nothing to do).
-    * Expectation metrics are per-merge (they gate the merged frame, so
-    * violation counts cover survivors + increment, not bronze history).
-    * Full refresh drops the silver checkpoint and table first, then the
-    * stream replays the whole bronze directory in one rebuild. */
+    * silver, at BUCKET granularity: silver is laid out in
+    * `cfg.silverBuckets` PK-hash buckets (`_bucket = pmod(hash(pk), n)`,
+    * a hive-style partition dir per bucket), the merge reads ONLY the
+    * buckets the new rows land in (partition-pruned), and the publish
+    * rewrites only those buckets — untouched buckets are never written or
+    * moved; their catalog partition entries keep pointing at the older
+    * generation dirs that hold their files.
+    * Per trigger the READ is O(|new| + |touched silver buckets|) and the
+    * WRITE is O(|new| + |touched silver buckets|), not O(|silver|): at
+    * 100 TB silver with thousands of buckets, a trigger touching a few
+    * PKs rewrites gigabytes, not the table ([[mergeSilverBatch]]).
+    *
+    * Contents equal the full recompute because keep-latest dedup is
+    * per-PK (bucket-local by construction) and the CDC filter +
+    * expectations gate run on the MERGED frame — a new deleted/violating
+    * latest version retracts its PK exactly like the full recompute
+    * would. Caveat shared with any merge-on-arrival design: equivalence
+    * of same-timestamp ties needs a strictly monotone ingestion clock —
+    * under an injected FIXED clock a previously retracted PK re-contests
+    * the `_source_file` tie-break against fewer candidates (see the
+    * [[graft.config.EntityConfig.silverMode]] doc). A run with no new
+    * bronze files publishes no new version (the checkpoint knows there is
+    * nothing to do). Expectation metrics are per-merge (they gate the
+    * merged frame, so violation counts cover touched-bucket survivors +
+    * increment, not bronze history). Full refresh drops the silver
+    * checkpoint and table first, then the stream replays the whole bronze
+    * directory in one rebuild. */
   def runSilverIncremental(entity: String, cfg: EntityConfig,
       fullRefresh: Boolean = false): Unit = {
     val fqn = params.silverFqn(entity)
@@ -451,28 +478,59 @@ final class PipelineRunner(
     q.awaitTermination()
   }
 
-  /** One incremental-silver merge: previous silver ∪ `batch` through the
-    * shared transform, atomically published. */
+  /** One incremental-silver merge at bucket granularity:
+    * touched-buckets-of-previous-silver ∪ `batch` through the shared
+    * transform, published with only the touched bucket dirs rewritten
+    * ([[publishBucketedGeneration]]).
+    *
+    * The touched-bucket set is a `distinct().collect()` over the NEW
+    * batch's bucket ids — bounded by `silverBuckets` ints, never by data
+    * size. The previous-silver read carries a `_bucket IN (touched)`
+    * partition filter, so file listing prunes every untouched bucket dir
+    * before a byte is read. */
   private def mergeSilverBatch(entity: String, cfg: EntityConfig,
       batch: DataFrame, batchId: Long): Unit = {
     val fqn = params.silverFqn(entity)
+    val n = cfg.silverBuckets
+    // bucket count is baked into the physical layout: a silent change
+    // would make partition pruning read the WRONG subset — fail loud
+    tableProp(spark, fqn, BucketCountProp).map(_.toInt).foreach { recorded =>
+      require(recorded == n,
+        s"$fqn was laid out with silver_buckets=$recorded but the config " +
+          s"now says $n — bucket assignment is baked into the layout; " +
+          "run a full refresh (--full-refresh) to re-bucket")
+    }
+    // deterministic PK-hash bucket (Murmur3, the same hash family Spark
+    // bucketing uses); computed on the bronze-vocabulary PK, BEFORE the
+    // rename projection, on both sides of the merge
+    val bucketOf = pmod(hash(cfg.uniquePrimaryKey.map(col): _*), lit(n))
+    val withB = batch.withColumn(BucketCol, bucketOf)
+    val touched = withB.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty && spark.catalog.tableExists(fqn)) {
+      log(s"$fqn batch $batchId is empty; publishing nothing"); return
+    }
     val prev =
       if (spark.catalog.tableExists(fqn))
         Rename(spark.table(fqn), cfg.renamedColumns.map(_.swap))
-      else batch.limit(0)
+          .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
+      else withB.limit(0)
     // allowMissingColumns: schema evolution can widen either side mid-
     // stream (an old silver lacks a just-evolved bronze column); the
     // absent side null-fills, exactly like the bronze evolution path
-    val merged = prev.unionByName(batch, allowMissingColumns = true)
+    val merged = prev.unionByName(withB, allowMissingColumns = true)
     val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
       new org.apache.spark.sql.Observation(
         s"expectations_${entity}_b$batchId"))
     val frame = silverTransform(merged, cfg, obs,
-      s"expectations_${entity}_b$batchId")
-    publishVersioned(fqn, silverPath(entity), frame)
-    setTableProps(spark, fqn, refTableProps(cfg) +
-      ("comment" -> s"Silver deduplicated table for $entity (incremental)") +
-      ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+      s"expectations_${entity}_b$batchId", bucketCol = Some(BucketCol))
+    publishBucketedGeneration(fqn, silverPath(entity), frame, touched)
+    val comment = s"Silver deduplicated table for $entity (incremental, " +
+      s"$n PK-hash buckets)"
+    setTableProps(spark, fqn, refTableProps(cfg) ++ Map(
+      "comment" -> comment,
+      "clustering_cols" -> cfg.clusteringCols.mkString(","),
+      BucketCountProp -> n.toString) ++
       expectationMetrics(fqn, obs))
   }
 
@@ -497,14 +555,7 @@ final class PipelineRunner(
       df: DataFrame): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePathStr)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val oldVersions =
-      if (fs.exists(base))
-        fs.listStatus(base).filter(_.isDirectory)
-          .map(_.getPath).filter(_.getName.startsWith("v")).toSeq
-      else Seq.empty
-    val nextV = oldVersions.map(_.getName.stripPrefix("v"))
-      .flatMap(_.toLongOption).maxOption.getOrElse(0L) + 1
-    val target = new org.apache.hadoop.fs.Path(base, s"v$nextV")
+    val (oldVersions, target) = nextVersionDir(fs, base)
 
     df.write.mode("overwrite").parquet(target.toString)
     if (spark.catalog.tableExists(fqn)) {
@@ -524,16 +575,35 @@ final class PipelineRunner(
       spark.sql(s"CREATE TABLE $fqn ($schemaDdl) USING parquet " +
         s"LOCATION '${target.toString}'")
     }
-    // retention (the deletedFileRetentionDuration analog, reference
-    // `02_silver_processing.py:49,89` / `README.md:160-169`): superseded
-    // version dirs within the window survive for in-flight readers and
-    // time-travel-ish debugging; older ones are vacuumed here. The window
-    // is measured from when a version was SUPERSEDED (Delta's
-    // deletedFileRetentionDuration semantics), not from when it was
-    // written — a long-lived live version must still get the full grace
-    // period after the switch. The supersede instant is recorded in an
-    // underscore-prefixed marker file (ignored by parquet readers) the
-    // first time a version is seen as non-live.
+    supersedeAndVacuum(fs, oldVersions)
+  }
+
+  /** List existing `v{N}` version dirs and allocate the next one. */
+  private def nextVersionDir(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path)
+      : (Seq[org.apache.hadoop.fs.Path], org.apache.hadoop.fs.Path) = {
+    val oldVersions =
+      if (fs.exists(base))
+        fs.listStatus(base).filter(_.isDirectory)
+          .map(_.getPath).filter(_.getName.startsWith("v")).toSeq
+      else Seq.empty
+    val nextV = oldVersions.map(_.getName.stripPrefix("v"))
+      .flatMap(_.toLongOption).maxOption.getOrElse(0L) + 1
+    (oldVersions, new org.apache.hadoop.fs.Path(base, s"v$nextV"))
+  }
+
+  /** Retention (the deletedFileRetentionDuration analog, reference
+    * `02_silver_processing.py:49,89` / `README.md:160-169`): superseded
+    * version dirs within the window survive for in-flight readers and
+    * time-travel-ish debugging; older ones are vacuumed here. The window
+    * is measured from when a version was SUPERSEDED (Delta's
+    * deletedFileRetentionDuration semantics), not from when it was
+    * written — a long-lived live version must still get the full grace
+    * period after the switch. The supersede instant is recorded in an
+    * underscore-prefixed marker file (ignored by parquet readers) the
+    * first time a version is seen as non-live. */
+  private def supersedeAndVacuum(fs: org.apache.hadoop.fs.FileSystem,
+      oldVersions: Seq[org.apache.hadoop.fs.Path]): Unit = {
     val nowMs = System.currentTimeMillis()
     oldVersions.foreach { p =>
       if (PipelineRunner.readSupersededAt(fs, p).isEmpty)
@@ -544,6 +614,132 @@ final class PipelineRunner(
     oldVersions.foreach { p =>
       if (PipelineRunner.readSupersededAt(fs, p).exists(_ <= horizonMs))
         fs.delete(p, true)
+    }
+  }
+
+  /** Bucket-granular versioned publish for incremental silver
+    * ([[mergeSilverBatch]]). `df` holds the merged contents of exactly the
+    * `touched` buckets, bucket-tagged in [[PipelineRunner.BucketCol]].
+    *
+    * The catalog's partition registry IS the manifest: the table's own
+    * location is the stable base dir (it never changes and holds no data
+    * files), while every `_bucket=k` partition carries an explicit
+    * location pointing into some generation dir `v{N}/_bucket=k`. A
+    * publish (1) writes `df` hive-partitioned by `_bucket` into a fresh
+    * `v{N}` — only touched bucket dirs materialize; (2) widens the
+    * catalog schema additively (S7); (3) repoints each touched bucket
+    * with ONE catalog op — `ALTER TABLE .. PARTITION SET LOCATION` when
+    * the bucket existed, `ADD PARTITION .. LOCATION` when it is new, and
+    * `DROP PARTITION` when every PK in it was retracted (the bucket then
+    * has no dir in `v{N}`, which is the correct contents); (4) marks and
+    * vacuums superseded BUCKET dirs under the shared retention window
+    * ([[bucketedSupersedeAndVacuum]]).
+    *
+    * Untouched buckets are never written, moved, or even mentioned: their
+    * partition entries keep pointing at the older generation dirs that
+    * hold their files. Superseded bucket dirs stay on disk for the full
+    * retention window, so a reader that resolved its file list before a
+    * swap still finds every file — the SAME in-flight-reader guarantee as
+    * [[publishVersioned]]'s whole-table swap. Each bucket's swap is one
+    * atomic catalog operation; a reader resolving mid-publish can see a
+    * mix of pre- and post-merge BUCKETS (each individually consistent) —
+    * the standard posture of Hive partition repoints and exactly what
+    * Delta/Iceberg `overwrite-partitions` makes transactional; this
+    * bucket scheme maps 1:1 onto that operation on a real lakehouse.
+    *
+    * A superseded `v{M}` dir degrades to holding exactly the bucket dirs
+    * REPLACED by later generations — bucket-level versioning: a per-bucket
+    * restore source within the retention window, not a whole-table
+    * snapshot (whole-table time travel rides the full publish path). */
+  private def publishBucketedGeneration(fqn: String, basePathStr: String,
+      df: DataFrame, touched: Set[Int]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(basePathStr)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, target) = nextVersionDir(fs, base)
+
+    df.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(target.toString)
+
+    val existingParts: Set[Int] =
+      if (!spark.catalog.tableExists(fqn)) {
+        // schema from df (not a read-back): an all-rows-retracted first
+        // batch writes no partition dir at all, leaving nothing to infer.
+        // Partition column last, per datasource partitioned-table DDL.
+        val dataCols = StructType(df.schema.fields
+          .filterNot(_.name == BucketCol))
+        spark.sql(s"CREATE TABLE $fqn (${dataCols.toDDL}, " +
+          s"`$BucketCol` INT) USING parquet " +
+          s"PARTITIONED BY (`$BucketCol`) LOCATION '${base.toString}'")
+        Set.empty
+      } else {
+        val existingCols = spark.table(fqn).schema.fieldNames
+          .map(_.toLowerCase).toSet
+        val newFields = df.schema.fields
+          .filterNot(f => existingCols.contains(f.name.toLowerCase))
+        if (newFields.nonEmpty)
+          spark.sql(s"ALTER TABLE $fqn ADD COLUMNS " +
+            s"(${StructType(newFields).toDDL})")
+        spark.sql(s"SHOW PARTITIONS $fqn").collect()
+          .flatMap(_.getString(0).stripPrefix(s"$BucketCol=").toIntOption)
+          .toSet
+      }
+
+    touched.toSeq.sorted.foreach { k =>
+      val dir = new Path(target, s"$BucketCol=$k")
+      (fs.exists(dir), existingParts.contains(k)) match {
+        case (true, true) => spark.sql(
+          s"ALTER TABLE $fqn PARTITION (`$BucketCol`=$k) " +
+            s"SET LOCATION '${dir.toString}'")
+        case (true, false) => spark.sql(
+          s"ALTER TABLE $fqn ADD PARTITION (`$BucketCol`=$k) " +
+            s"LOCATION '${dir.toString}'")
+        case (false, true) => spark.sql(
+          s"ALTER TABLE $fqn DROP IF EXISTS PARTITION (`$BucketCol`=$k)")
+        case (false, false) => () // retracted bucket that never existed
+      }
+    }
+    spark.catalog.refreshTable(fqn)
+    bucketedSupersedeAndVacuum(fqn, fs, base, target)
+  }
+
+  /** Bucket-granular retention: a `v{M}/_bucket=k` dir is superseded the
+    * first time no live partition points at it; it survives the shared
+    * retention window (for in-flight readers and per-bucket restores) and
+    * is vacuumed after. A generation dir left with no bucket dirs (and
+    * not the newest) is removed. Cost: O(generations × buckets) pure
+    * metadata ops, bounded by the retention window — data is only ever
+    * deleted, never copied. */
+  private def bucketedSupersedeAndVacuum(fqn: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path,
+      newest: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(fqn)
+    val liveDirs: Set[String] = spark.sessionState.catalog
+      .listPartitions(ident)
+      .flatMap(_.storage.locationUri).map(u => new Path(u).toUri.getPath)
+      .toSet
+    val nowMs = System.currentTimeMillis()
+    val horizonMs = nowMs -
+      PipelineRunner.parseRetentionMs(params.deletedFileRetention)
+    val gens = fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        p.getName.stripPrefix("v").toLongOption.nonEmpty)
+    gens.foreach { gen =>
+      fs.listStatus(gen).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(s"$BucketCol="))
+        .filterNot(p => liveDirs.contains(p.toUri.getPath))
+        .foreach { dead =>
+          if (PipelineRunner.readSupersededAt(fs, dead).isEmpty)
+            PipelineRunner.markSupersededAt(fs, dead, nowMs)
+          if (PipelineRunner.readSupersededAt(fs, dead).exists(_ <= horizonMs))
+            fs.delete(dead, true)
+        }
+      if (gen != newest &&
+          !fs.listStatus(gen).exists(s => s.isDirectory &&
+            s.getPath.getName.startsWith(s"$BucketCol=")))
+        fs.delete(gen, true)
     }
   }
 
@@ -847,6 +1043,23 @@ object PipelineRunner {
   def tableSchema(spark: SparkSession, fqn: String): Option[StructType] =
     if (spark.catalog.tableExists(fqn)) Some(spark.table(fqn).schema)
     else None
+
+  /** PK-hash bucket column / hive partition key of the incremental-silver
+    * layout. `_`-prefixed like the audit columns; visible in the silver
+    * schema (partition dirs named `_bucket=<k>` survive Spark's
+    * hidden-path filter because the name contains `=`). */
+  val BucketCol = "_bucket"
+
+  /** Table property pinning the bucket count a silver table was laid out
+    * with — [[mergeSilverBatch]] fails loud when the config disagrees. */
+  val BucketCountProp = "graft.silver_buckets"
+
+  /** Read one table property, None when the table or property is absent. */
+  def tableProp(spark: SparkSession, fqn: String, key: String): Option[String] =
+    if (!spark.catalog.tableExists(fqn)) None
+    else spark.sql(s"SHOW TBLPROPERTIES $fqn")
+      .where(col("key") === key)
+      .collect().headOption.map(_.getString(1))
 
   def setTableProps(spark: SparkSession, fqn: String,
       props: Map[String, String]): Unit = {

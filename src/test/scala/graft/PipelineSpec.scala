@@ -467,6 +467,97 @@ class PipelineSpec extends AnyFunSuite {
     assert(ri3.tableVersions("app_downloads").map(_.version).max == 1L)
   }
 
+  test("bucketed incremental silver: a batch touching 1 of k buckets " +
+      "rewrites only that bucket; full CDC retraction drops its partition; " +
+      "a bucket-count change fails loud") {
+    val src = tmpDir("bkt-src"); val store = tmpDir("bkt-store")
+    def writeCfg(buckets: Int): Unit = Files.writeString(
+      Path.of(src, "dp_config_template.json"),
+      s"""{"app_downloads": {
+         |  "raw_file_format": "parquet",
+         |  "unique_primary_key": ["id"],
+         |  "silver_mode": "incremental",
+         |  "silver_buckets": $buckets
+         |}}""".stripMargin)
+    writeCfg(4)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("downloads", IntegerType),
+      StructField("op", StringType)))
+    def write(rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("append").parquet(s"$src/app_downloads")
+    val ids = (0L until 16L).toSeq
+    write(ids.map(i => Row(i, i.toInt * 10, "I")))
+
+    // bucket membership as the engine computes it (Murmur3 pmod)
+    val bucketOf: Map[Long, Int] = ids.toDF("id")
+      .select($"id", pmod(hash($"id"), lit(4)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val byBucket = ids.groupBy(bucketOf)
+    assert(byBucket.size == 4, s"ids 0..15 must span all 4 buckets: $byBucket")
+
+    val ent = ConfigLoader.load(spark, src)
+    assert(ent("app_downloads").silverBuckets == 4)
+    val fqn = "`bkt_silver`.`silver_app_downloads`"
+    val (r1, _) = mkRunner(src, store, "2024-02-01 00:00:00", catalog = "bkt")
+    r1.run(ent)
+    assert(spark.sql(s"SHOW PARTITIONS $fqn").count() == 4)
+    assert(spark.table(fqn).count() == 16)
+    def partLoc(b: Int): String =
+      spark.sql(s"DESCRIBE EXTENDED $fqn PARTITION (`_bucket`=$b)")
+        .where($"col_name" === "Location").select("data_type")
+        .as[String].head()
+    (0 to 3).foreach(b => assert(partLoc(b).contains("/v1/"), partLoc(b)))
+
+    // batch 2: update ONE id (bucket U) and CDC-delete EVERY id of a
+    // different bucket (bucket D); the other two buckets are untouched
+    val bU = bucketOf(0L); val bD = (0 to 3).find(_ != bU).get
+    write(Row(0L, 999, "U") +: byBucket(bD).map(i => Row(i, 0, "D")))
+    val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00", catalog = "bkt")
+    r2.run(ent)
+
+    // contents: id 0 updated, bucket D gone, everything else intact
+    val got = spark.table(fqn).select($"id", $"downloads")
+      .as[(Long, Long)].collect().toMap
+    val expect = ids.filterNot(byBucket(bD).contains)
+      .map(i => i -> (if (i == 0L) 999L else i * 10L)).toMap
+    assert(got == expect)
+
+    // only bucket U was rewritten: its partition now points into v2,
+    // untouched buckets still point into v1, bucket D's partition is gone
+    assert(partLoc(bU).contains("/v2/"), partLoc(bU))
+    (0 to 3).filterNot(b => b == bU || b == bD)
+      .foreach(b => assert(partLoc(b).contains("/v1/"), partLoc(b)))
+    val parts = spark.sql(s"SHOW PARTITIONS $fqn").as[String].collect()
+    assert(parts.sorted.toSeq ==
+      (0 to 3).filter(_ != bD).map(b => s"_bucket=$b").sorted)
+    // v2 on disk holds ONLY the touched bucket's dir (the write itself
+    // was touched-only), and v1 still holds the superseded dirs for
+    // retention-window readers / per-bucket restore
+    val fsBase = new java.io.File(s"$store/silver/app_downloads")
+    def bucketDirs(v: String): Set[String] =
+      Option(new java.io.File(fsBase, v).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+        .map(_.getName).toSet
+    assert(bucketDirs("v2") == Set(s"_bucket=$bU"))
+    assert(bucketDirs("v1") == (0 to 3).map(b => s"_bucket=$b").toSet)
+    assert(PipelineRunner.tableProp(spark, fqn,
+      PipelineRunner.BucketCountProp).contains("4"))
+
+    // a silent bucket-count change would prune the wrong partitions —
+    // the merge must fail loud and name the remedy
+    writeCfg(8)
+    write(Seq(Row(99L, 1, "I")))
+    val entChanged = ConfigLoader.load(spark, src)
+    val (r3, _) = mkRunner(src, store, "2024-04-01 00:00:00", catalog = "bkt")
+    val ex = intercept[Exception](r3.run(entChanged))
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("silver_buckets=4") && msgs.contains("full refresh"),
+      msgs.take(500))
+  }
+
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
     val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
     writeConfig(src); writeBatch1(src)
