@@ -54,35 +54,23 @@ object MultimodalQueries {
         .toDF().orderBy(col("file_name"))
     }),
 
-    // -- [EXT] multimodal: video frame sampling. The CODEC is the
-    //    documented deterministic stub (no ffmpeg-class libs in this
-    //    environment — Multimodal.StubCodec); the Spark plumbing is the
-    //    real contract: binaryFile scan → size-balanced repartition →
-    //    batched per-partition flatMap (one row per sampled frame) →
-    //    per-frame checksum. Deterministic rows-only check (no oracle —
-    //    the stub is engine-specific, same category as the hash-seeded
-    //    ANN queries).
+    // -- [EXT] multimodal: video frame sampling — REAL animated-GIF
+    //    decode (the JDK ImageIO GIF plugin: true multi-frame container,
+    //    per-frame GCE delays — Multimodal.GifVideoCodec), corrupt
+    //    members exercising the deterministic stub fallback. Plumbing:
+    //    binaryFile scan → size-balanced repartition → batched
+    //    per-partition flatMap (one row per sampled frame) → per-frame
+    //    checksum. Full rows+schema+hash oracle vs the committed
+    //    manifest (the q_image_decode promotion pattern).
     "q_frame_sample" -> ((s, _) => {
       import s.implicits._
-      val media = Multimodal.readMedia(s, s"$mediaRoot/wav", "*.wav",
+      val media = Multimodal.readMedia(s, s"$mediaRoot/gif", "*.gif",
           kind = "video")
         .as[Multimodal.MediaRow]
-      val frames = Multimodal.sampleVideoFrames(
+      Multimodal.frameSummaries(
         Multimodal.balanceBySize(media.toDF, 4).as[Multimodal.MediaRow],
-        everyMs = 20000L)
-        .map { case (id, ms, px) =>
-          (id, ms, px.length, Multimodal.pixelChecksum(px)) }
-        .toDF("media_id", "frame_ms", "n_values", "frame_checksum")
-      // key output rows by FILE NAME, not the media_id path hash: the
-      // path embeds the checkout location, so id-keyed rows (and their
-      // order) would differ per machine — the instability file_name
-      // keying exists to avoid in the sibling decode queries
-      val names = media.toDF.select(col("media_id"),
-        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"))
-      frames.join(names, Seq("media_id"))
-        .select(col("file_name"), col("frame_ms"), col("n_values"),
-          col("frame_checksum"))
-        .orderBy(col("file_name"), col("frame_ms"))
+        everyMs = 250L)
+        .toDF().orderBy(col("file_name"), col("frame_ms"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -93,5 +81,9 @@ object MultimodalQueries {
     "q_audio_decode" ->
       s"""SELECT file_name, sample_rate, channels, n_frames, sample_checksum
          |FROM read_parquet('$mediaRoot/manifest_wav/*.parquet')
-         |ORDER BY file_name""".stripMargin)
+         |ORDER BY file_name""".stripMargin,
+    "q_frame_sample" ->
+      s"""SELECT file_name, frame_ms, n_values, frame_checksum
+         |FROM read_parquet('$mediaRoot/manifest_gif/*.parquet')
+         |ORDER BY file_name, frame_ms""".stripMargin)
 }

@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   *  - byte-size-aware repartitioning before decode so a few giant videos
   *    don't serialize one executor (skew control for media blobs).
   *
-  * IMAGE decode is REAL: `javax.imageio` ships with the JDK, so PNG/JPEG
-  * bytes decode to actual RGB pixels ([[ImageIoCodec]]), headless-safe.
-  * AUDIO/VIDEO codecs (ffmpeg-class) are not in this container, so frame
-  * sampling falls back to [[StubCodec]] — deterministic fake frames with
-  * the same shape and cost model, swap-in point marked. Bytes ImageIO
-  * cannot parse also fall back to the stub, so mixed/corrupt inputs
-  * degrade instead of failing the job (a curation pipeline drops or
-  * quarantines them downstream).
+  * ALL THREE modalities decode for REAL with JDK-only codecs:
+  * PNG/JPEG/GIF/BMP images via `javax.imageio` ([[ImageIoCodec]]),
+  * WAV/AIFF audio via `javax.sound.sampled` ([[WavCodec]]), and
+  * animated-GIF video — a true multi-frame container with per-frame
+  * timing — via the ImageIO GIF plugin ([[GifVideoCodec]]), all
+  * headless-safe. ffmpeg-class codecs (mp4/mkv) are not in this
+  * container, so bytes none of the JDK codecs parse fall back to
+  * [[StubCodec]] — deterministic fake frames with the same shape and
+  * cost model, swap-in point marked — and mixed/corrupt inputs degrade
+  * instead of failing the job (a curation pipeline drops or quarantines
+  * them downstream).
   */
 object Multimodal {
 
@@ -130,11 +133,119 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** REAL video decode via the JDK's ImageIO GIF plugin: an animated GIF
+    * is a genuine multi-frame container (logical screen + per-frame image
+    * descriptors, per-frame delay in the Graphic Control Extension,
+    * LZW-coded indexed frames) and the JDK codec is a real decoder for it
+    * — no new dependencies. Frames are composited onto the logical-screen
+    * canvas at their descriptor offsets (disposal methods `none` /
+    * `doNotDispose` accumulate, which is what our fixtures and the common
+    * full-frame case use; other disposals are treated as `none` — a
+    * documented simplification, not a crash). Returns None for bytes the
+    * GIF reader does not parse — callers fall back to [[StubCodec]],
+    * the same posture as image/audio decode. */
+  object GifVideoCodec {
+    /** Decode every frame with its start offset (ms, from cumulative GCE
+      * delays) plus the total duration. */
+    def decodeFrames(bytes: Array[Byte])
+        : Option[(Seq[(Long, Decoded)], Long)] =
+      try {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (!it.hasNext) return None
+        val reader = it.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          // logical screen from stream metadata; fall back to frame 0
+          val (sw, sh) = {
+            val tree = Option(reader.getStreamMetadata).map(_.getAsTree(
+              "javax_imageio_gif_stream_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+            val lsd = tree.flatMap(t => childNamed(t, "LogicalScreenDescriptor"))
+            (lsd.map(_.getAttribute("logicalScreenWidth").toInt)
+              .getOrElse(reader.getWidth(0)),
+             lsd.map(_.getAttribute("logicalScreenHeight").toInt)
+              .getOrElse(reader.getHeight(0)))
+          }
+          val canvas = new java.awt.image.BufferedImage(sw, sh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          var offMs = 0L
+          val frames = (0 until n).map { k =>
+            val img = reader.read(k)
+            val meta = reader.getImageMetadata(k).getAsTree(
+              "javax_imageio_gif_image_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            val desc = childNamed(meta, "ImageDescriptor")
+            val (x, y) = (
+              desc.map(_.getAttribute("imageLeftPosition").toInt).getOrElse(0),
+              desc.map(_.getAttribute("imageTopPosition").toInt).getOrElse(0))
+            val delayCs = childNamed(meta, "GraphicControlExtension")
+              .flatMap(n => n.getAttribute("delayTime").toIntOption)
+              .getOrElse(0)
+            g.drawImage(img, x, y, null)
+            val start = offMs
+            offMs += delayCs * 10L
+            (start, bufferedToDecoded(canvas))
+          }
+          g.dispose()
+          Some((frames, offMs))
+        } finally { iis.close(); reader.dispose() }
+      } catch { case _: Exception => None }
+
+    /** Sample the frame ACTIVE at each instant `k*everyMs` inside the
+      * clip: the stub-compatible contract (first sample at 0, one sample
+      * per full `everyMs` of duration, at least one). */
+    def sampleFrames(bytes: Array[Byte], everyMs: Long)
+        : Option[Seq[(Long, Array[Float])]] =
+      decodeFrames(bytes).map { case (frames, durationMs) =>
+        val n = math.max(1L,
+          durationMs / math.max(1L, everyMs)).toInt
+        (0 until n).map { k =>
+          val t = k * everyMs
+          val active = frames.reverseIterator.find(_._1 <= t)
+            .getOrElse(frames.head)
+          (t, active._2.pixels)
+        }
+      }
+
+    private def childNamed(node: javax.imageio.metadata.IIOMetadataNode,
+        name: String): Option[javax.imageio.metadata.IIOMetadataNode] = {
+      val kids = node.getChildNodes
+      (0 until kids.getLength).iterator.map(kids.item)
+        .collectFirst { case n: javax.imageio.metadata.IIOMetadataNode
+          if n.getNodeName == name => n }
+    }
+
+    private def bufferedToDecoded(bi: java.awt.image.BufferedImage): Decoded = {
+      val (w, h) = (bi.getWidth, bi.getHeight)
+      val out = new Array[Float](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = bi.getRGB(x, y)
+          val base = (y * w + x) * 3
+          out(base) = ((rgb >> 16) & 0xff) / 255.0f
+          out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
+          out(base + 2) = (rgb & 0xff) / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(0L, w, h, 3, out)
+    }
+  }
+
   /** ======= STUB BOUNDARY =======
     * Deterministic fake codec standing in for ffmpeg-class VIDEO
-    * bindings, which are not installed in this environment (and the
-    * fallback for bytes ImageIO / javax.sound cannot parse). Replace the
-    * bodies with real decode calls; signatures and batch shape stay. */
+    * bindings (mp4/mkv/webm), which are not installed in this environment
+    * (and the fallback for bytes ImageIO / javax.sound / the GIF reader
+    * cannot parse). Replace the bodies with real decode calls; signatures
+    * and batch shape stay. */
   object StubCodec {
     /** "Decode" undecodable audio bytes: 160 deterministic fake frames at
       * 8 kHz mono, hashed from the input (mirrors [[decodeImage]]). */
@@ -316,8 +427,28 @@ object Multimodal {
     acc
   }
 
+  /** One video clip's sampled frames, real-codec-first: animated-GIF
+    * bytes decode through [[GifVideoCodec]] (true frame timing from the
+    * container); bytes it cannot parse fall back to the deterministic
+    * [[StubCodec]] clip of `durationMsFallback` at `w`×`h`×`c`. Shared by
+    * [[sampleVideoFrames]] and the fixture-manifest generator
+    * (tools.MakeMediaFixtures) so query output == manifest by
+    * construction. */
+  def sampleClip(bytes: Array[Byte], durationMsFallback: Long,
+      everyMs: Long, w: Int = 8, h: Int = 8, c: Int = 3)
+      : Seq[(Long, Array[Float])] =
+    GifVideoCodec.sampleFrames(bytes, everyMs).getOrElse(
+      StubCodec.sampleFrames(bytes, durationMsFallback, everyMs, w, h, c))
+
+  /** Per-frame decode summary keyed by file name (the `q_frame_sample`
+    * correctness surface; see [[ImageSummary]]). */
+  case class FrameSummary(file_name: String, frame_ms: Long,
+      n_values: Long, frame_checksum: Long)
+
   /** Frame-sample videos: one output row per sampled frame (flatMap —
-    * output cardinality is data-dependent, like a generator). */
+    * output cardinality is data-dependent, like a generator). REAL
+    * animated-GIF decode via [[GifVideoCodec]]; stub fallback for bytes
+    * it cannot parse ([[sampleClip]]). */
   def sampleVideoFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
       batchSize: Int = 8, w: Int = 8, h: Int = 8, c: Int = 3)
       : Dataset[(Long, Long, Array[Float])] = {
@@ -326,12 +457,31 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          StubCodec.sampleFrames(m.bytes, m.meta.durationMs, everyMs, w, h, c)
+          sampleClip(m.bytes, m.meta.durationMs, everyMs, w, h, c)
             .map { case (offMs, px) => (m.media_id, offMs, px) }
         }
       }
     }.toDF("media_id", "frame_ms", "pixels")
       .as[(Long, Long, Array[Float])]
+  }
+
+  /** Sample frames and reduce each to its [[FrameSummary]] in ONE batched
+    * mapPartitions (the [[imageSummaries]] pattern — no second pass over
+    * pixels, no join to recover the file name). */
+  def frameSummaries(media: Dataset[MediaRow], everyMs: Long = 1000L,
+      batchSize: Int = 8, w: Int = 8, h: Int = 8, c: Int = 3)
+      : Dataset[FrameSummary] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          sampleClip(m.bytes, m.meta.durationMs, everyMs, w, h, c)
+            .map { case (offMs, px) => FrameSummary(fileName(m.path),
+              offMs, px.length.toLong, pixelChecksum(px)) }
+        }
+      }
+    }
   }
 
   /** Resize decoded images by integer-factor average pooling — this part

@@ -8,7 +8,7 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 import org.apache.spark.sql.SparkSession
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.{AudioSummary, ImageSummary}
+import graft.multimodal.Multimodal.{AudioSummary, FrameSummary, ImageSummary}
 
 /** Generates the committed multimodal test fixtures under
   * `fixtures/media/`: deterministic PNG images and PCM-16 WAV clips (plus
@@ -74,6 +74,85 @@ object MakeMediaFixtures {
     java.nio.file.Files.write(f.toPath, bytes)
   }
 
+  /** The 216-color websafe palette as an IndexColorModel: every frame
+    * pixel is an exact palette color, so the GIF LZW round trip is
+    * bit-exact (no quantization) — what makes the frame-exact spec and
+    * the manifest oracle possible. */
+  def websafePalette: java.awt.image.IndexColorModel = {
+    val n = 216
+    val (r, g, b) = (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+    var i = 0
+    while (i < n) {
+      r(i) = ((i / 36) * 51).toByte
+      g(i) = (((i / 6) % 6) * 51).toByte
+      b(i) = ((i % 6) * 51).toByte
+      i += 1
+    }
+    new java.awt.image.IndexColorModel(8, n, r, g, b)
+  }
+
+  /** A deterministic websafe-indexed frame: pixel (x,y) of frame `k` is
+    * palette entry mix(seed,k,x,y) mod 216. */
+  def makeFrame(seed: Long, k: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED,
+      websafePalette)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = mix(seed * 31L + k, (y.toLong << 20) | x.toLong)
+        raster.setSample(x, y, 0, ((v >>> 16) % 216).toInt.abs)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode frames + per-frame delays (centiseconds, GIF's native unit)
+    * as an animated GIF via the JDK's ImageIO GIF writer — the encode
+    * twin of [[Multimodal.GifVideoCodec]]. Public: the frame-exact
+    * MultimodalSpec round-trips through it. */
+  def encodeGif(frames: Seq[BufferedImage], delaysCs: Seq[Int]): Array[Byte] = {
+    require(frames.nonEmpty && frames.size == delaysCs.size)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.zip(delaysCs).foreach { case (img, delayCs) =>
+        val param = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val gce = {
+          val kids = tree.getChildNodes
+          (0 until kids.getLength).iterator.map(kids.item)
+            .collectFirst { case n: javax.imageio.metadata.IIOMetadataNode
+              if n.getNodeName == "GraphicControlExtension" => n }
+            .getOrElse {
+              val n = new javax.imageio.metadata.IIOMetadataNode(
+                "GraphicControlExtension")
+              tree.appendChild(n); n
+            }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("transparentColorIndex", "0")
+        gce.setAttribute("delayTime", delayCs.toString)
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val root = new File(if (args.nonEmpty) args(0) else "fixtures/media")
 
@@ -107,6 +186,32 @@ object MakeMediaFixtures {
       write(new File(root, "wav/clip_90_corrupt.wav"), junk); "clip_90_corrupt.wav"
     })
 
+    // ---- video: 5 valid animated GIFs (dims × frame counts × delay
+    // patterns, incl. a single-frame clip and mixed per-frame delays)
+    // + 2 undecodable files exercising the stub fallback
+    val gifSpecs = Seq(
+      (8, 6, Seq(40, 40, 40)),          // 1.2 s, uniform
+      (16, 12, Seq(30, 30, 30, 30, 30)),// 1.5 s
+      (5, 5, Seq(0)),                   // single frame, zero duration
+      (12, 8, Seq(20, 40, 60, 80)),     // 2.0 s, mixed delays
+      (10, 10, Seq(25, 25, 25, 25, 25, 25))) // 1.5 s
+    val gifFiles = gifSpecs.zipWithIndex.map { case ((w, h, delays), i) =>
+      val name = f"vid_$i%02d.gif"
+      val frames = delays.indices.map(k => makeFrame(i * 5309L + 7L, k, w, h))
+      write(new File(root, s"gif/$name"), encodeGif(frames, delays))
+      name
+    } ++ Seq(
+      { // random bytes with a .gif extension → reader fails → stub
+        val junk = Array.tabulate[Byte](509)(i => (mix(55L, i.toLong) & 0xff).toByte)
+        write(new File(root, "gif/vid_90_corrupt.gif"), junk); "vid_90_corrupt.gif"
+      },
+      { // a valid GIF truncated mid-stream → decode throws → stub
+        val full = encodeGif(
+          (0 until 3).map(k => makeFrame(991L, k, 14, 14)), Seq(30, 30, 30))
+        write(new File(root, "gif/vid_91_truncated.gif"), full.take(full.length / 4))
+        "vid_91_truncated.gif"
+      })
+
     // ---- manifests: round-trip the bytes just written through the SAME
     // decode-or-stub paths the queries use, so manifest == query output
     def bytesOf(sub: String, name: String): Array[Byte] =
@@ -126,6 +231,15 @@ object MakeMediaFixtures {
       AudioSummary(name, d.sample_rate, d.channels, d.n_frames,
         Multimodal.sampleChecksum(d.samples))
     }
+    // everyMs must match the declared q_frame_sample sampling period;
+    // the stub fallback's duration convention (length·10 ms) mirrors
+    // Multimodal.readMedia's meta.durationMs
+    val gifRows = gifFiles.sorted.flatMap { name =>
+      val b = bytesOf("gif", name)
+      Multimodal.sampleClip(b, b.length * 10L, everyMs = 250L)
+        .map { case (offMs, px) => FrameSummary(name, offMs,
+          px.length.toLong, Multimodal.pixelChecksum(px)) }
+    }
 
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -134,7 +248,10 @@ object MakeMediaFixtures {
       .parquet(new File(root, "manifest_img").getPath)
     wavRows.toDS().coalesce(1).write.mode("overwrite")
       .parquet(new File(root, "manifest_wav").getPath)
+    gifRows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(new File(root, "manifest_gif").getPath)
     spark.stop()
-    println(s"wrote ${imgFiles.size} images + ${wavFiles.size} clips + manifests under $root")
+    println(s"wrote ${imgFiles.size} images + ${wavFiles.size} clips + " +
+      s"${gifFiles.size} gifs + manifests under $root")
   }
 }

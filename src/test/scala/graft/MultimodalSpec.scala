@@ -161,6 +161,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav == wavManifest)
     assert(wav.exists(r => r(1) == 44100)) // real decode at true rate
     assert(wav.exists(r => r(1) == 8000 && r(3) == 160L)) // stub fallback
+
+    val gif = MultimodalQueries.queries("q_frame_sample")(spark, "")
+      .collect().map(_.toSeq).toSeq
+    val gifManifest = spark.read.parquet(s"$root/manifest_gif")
+      .orderBy(col("file_name"), col("frame_ms")).collect()
+      .map(_.toSeq).toSeq
+    assert(gif == gifManifest)
+    // real decodes at true dims (16x12x3 = 576) + stub fallbacks (192)
+    assert(gif.exists(r => r(2) == 576L))
+    assert(gif.exists(r => r(2) == 192L))
+  }
+
+  test("GifVideoCodec: frame-exact round trip through the JDK GIF codec") {
+    // websafe-indexed frames → animated GIF → decode: every pixel of
+    // every frame must round-trip bit-exactly (palette colors only, so
+    // no quantization), and GCE delays must come back as frame offsets
+    val delays = Seq(20, 40, 30) // centiseconds
+    val frames = delays.indices.map(k =>
+      graft.tools.MakeMediaFixtures.makeFrame(seed = 42L, k, 11, 7))
+    val gif = graft.tools.MakeMediaFixtures.encodeGif(frames, delays)
+    val Some((decoded, durationMs)) =
+      Multimodal.GifVideoCodec.decodeFrames(gif)
+    assert(durationMs == 900L)
+    assert(decoded.map(_._1) == Seq(0L, 200L, 600L))
+    decoded.zip(frames).foreach { case ((_, d), src) =>
+      assert(d.width == 11 && d.height == 7 && d.channels == 3)
+      val expected = for {
+        y <- 0 until 7; x <- 0 until 11
+        rgb = src.getRGB(x, y)
+        v <- Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      } yield v / 255.0f
+      assert(d.pixels.toSeq == expected, "pixel mismatch")
+    }
+
+    // sampling picks the frame ACTIVE at each instant: delays 200/400/300
+    // → frame starts at 0, 200, 600; at 100 ms cadence, 9 samples
+    val Some(sampled) = Multimodal.GifVideoCodec.sampleFrames(gif, 100L)
+    assert(sampled.map(_._1) == (0L until 900L by 100L).toSeq)
+    val byStart = decoded.toMap
+    assert(sampled.forall { case (t, px) =>
+      val active = decoded.reverseIterator.find(_._1 <= t).get._2
+      px.toSeq == active.pixels.toSeq
+    })
+
+    // single-frame clip: zero duration still yields exactly one sample
+    val one = graft.tools.MakeMediaFixtures.encodeGif(
+      Seq(graft.tools.MakeMediaFixtures.makeFrame(7L, 0, 4, 4)), Seq(0))
+    assert(Multimodal.GifVideoCodec.sampleFrames(one, 250L).get.size == 1)
+
+    // bytes the GIF reader cannot parse → None (stub fallback upstream)
+    assert(Multimodal.GifVideoCodec.decodeFrames(
+      Array.tabulate[Byte](100)(_.toByte)).isEmpty)
+    assert(byStart.size == 3)
   }
 
   test("q_frame_sample: deterministic frames, multi-frame clips present") {
