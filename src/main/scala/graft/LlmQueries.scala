@@ -421,6 +421,40 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: the curation stateless subset EXECUTED AS A STREAM — a
+    //    real Structured Streaming path on the declared surface: file
+    //    stream over the documents table → StreamOps.curatedStreamStateless
+    //    (quality gate + PII scrub; per-row pure, so output is
+    //    deterministic under any micro-batching) → parquet sink +
+    //    checkpoint under Trigger.AvailableNow, then a batch read of the
+    //    sink. Oracle = the batch equivalent (q_curation's scored/gated
+    //    stages): stream replay == batch, driver-checked. The keyed-dedup
+    //    stage (arrival-order-dependent winner) stays in StreamingSpec.
+    "q_stream_curation" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streamcur")
+      // the testdata table is a single FILE; the file-stream source
+      // watches its parent DIRECTORY with a glob pinned to the table
+      // (a directory table streams as-is)
+      val stream =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      graft.streaming.StreamOps.curatedStreamStateless(stream, "text")
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"),
+          md5(col("text")).as("redacted_md5"))
+        .writeStream.format("parquet")
+        .option("path", tmp.resolve("out").toString)
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(tmp.resolve("out").toString).orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: context-window chunking — split each document into
     //    overlapping 32-token windows with stride 24 (the pretraining
     //    packing primitive), exploded to one row per chunk.
@@ -1296,6 +1330,31 @@ object LlmQueries {
     // side's MinHash-LSH stage, which is candidate-exact on this corpus)
     // resolved into connected components via a recursive min-label
     // closure, keeping each component's minimum doc id.
+    "q_stream_curation" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN punct_chars / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN tok_chars / n_toks_d >= 2.0 AND tok_chars / n_toks_d <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+         |      length(text)::DOUBLE AS n_chars_d,
+         |      len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |      len($duckToks)::DOUBLE AS n_toks_d,
+         |      list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars
+         |    FROM documents))
+         |SELECT doc_id, lang, round(quality, 6) AS quality,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    'https?://[^\\s]+', '<URL>', 'g'),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'))
+         |    AS redacted_md5
+         |FROM scored WHERE quality >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+
     "q_curation" ->
       s"""WITH RECURSIVE scored AS (
          |  SELECT doc_id, lang, text,

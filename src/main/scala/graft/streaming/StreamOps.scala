@@ -85,16 +85,28 @@ object StreamOps {
       delay: String, minQuality: Double = 0.5): DataFrame = {
     val fp = Iterator.iterate("_fp")(_ + "_")
       .dropWhile(docs.columns.contains).next()
-    docs
-      .withColumn("quality",
-        graft.text.TextOps.qualityScore(col(textCol)))
-      .filter(col("quality") >= minQuality)
-      .withColumn(textCol, graft.text.TextOps.redactPii(col(textCol)))
+    curatedStreamStateless(docs, textCol, minQuality)
       .withColumn(fp, graft.text.TextOps.fingerprint(col(textCol)))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(fp)
       .drop(fp)
   }
+
+  /** The STATELESS prefix of [[curatedStream]] — quality score + gate +
+    * PII scrub, identical expressions to the batch curation stages.
+    * Per-row pure, so its streamed output is deterministic regardless of
+    * micro-batch boundaries or arrival order — what puts a real
+    * `writeStream` execution on the driver-checkable declared surface
+    * (`q_stream_curation`), while the keyed-dedup stage (whose
+    * kept-duplicate winner is arrival-order-dependent) stays spec-covered
+    * in StreamingSpec. */
+  def curatedStreamStateless(docs: DataFrame, textCol: String,
+      minQuality: Double = 0.5): DataFrame =
+    docs
+      .withColumn("quality",
+        graft.text.TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn(textCol, graft.text.TextOps.redactPii(col(textCol)))
 
   /** Incremental sketch-table maintenance on the streaming surface: each
     * micro-batch appends one HLL sketch row per stratum (plus the batch

@@ -299,6 +299,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(d1.getDouble(2) >= 0.5)
   }
 
+  test("curatedStreamStateless: streamed output == the batch expression " +
+      "regardless of micro-batch boundaries (the q_stream_curation twin)") {
+    import spark.implicits._
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog and then rests for a " +
+        "while near the river bank watching the water flow every day",
+      "zzz qqq xxx", // fails the quality gate
+      "Many researchers carefully study how large language models learn " +
+        "to follow instructions from diverse training data at ftp scale",
+      "Reach the team at ops@example.org or http://ex.io/x for all of " +
+        "the questions that may come up while the batch is running today")
+    val mem = MemoryStream[(Long, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.curatedStreamStateless(
+        mem.toDF.toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // two different micro-batch splits of the same data must not matter
+    mem.addData((1L, texts(0)), (2L, texts(1)))
+    q.processAllAvailable()
+    mem.addData((3L, texts(2)), (4L, texts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(sink)
+      .select($"doc_id", $"text", $"quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    val batch = StreamOps.curatedStreamStateless(
+        texts.indices.map(i => (i + 1L, texts(i))).toDF("doc_id", "text"),
+        "text")
+      .select($"doc_id", $"text", $"quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(_._1).toSet == Set(1L, 3L, 4L))
+    assert(streamed.find(_._1 == 4L).get._2.contains("<EMAIL>"))
+  }
+
   test("lshIndexSink: streamed embedding batches become searchable " +
       "incrementally; a replayed append does not duplicate results") {
     import spark.implicits._
