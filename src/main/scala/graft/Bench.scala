@@ -89,9 +89,30 @@ object Bench {
     // short and self-contained (total + path) so a tail capture always ends
     // on a parseable JSON line.
     val jsonPath = "/tmp/graft_bench.json"
-    // second copy inside the repo (cwd): /tmp may not survive to judging
-    // time, BENCH_local.json rides the round's end-of-round commit
-    Seq(jsonPath, "BENCH_local.json").foreach { p =>
+    // second copy inside the REPO (resolved from the compiled class's
+    // location, falling back to a build.sbt-bearing cwd): /tmp may not
+    // survive to judging time — BENCH_local.json rides the end-of-round
+    // commit. A bare relative path would silently land wherever the JVM
+    // was launched from, defeating that purpose; if no repo root can be
+    // found, warn loudly instead of writing a stray file.
+    val repoRoot: Option[java.nio.file.Path] = {
+      val fromClass =
+        try {
+          val loc = java.nio.file.Paths.get(Bench.getClass
+            .getProtectionDomain.getCodeSource.getLocation.toURI)
+          Iterator.iterate(loc)(_.getParent).takeWhile(_ != null).take(8)
+            .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        } catch { case _: Throwable => None }
+      fromClass.orElse {
+        val cwd = java.nio.file.Paths.get("").toAbsolutePath
+        Option.when(java.nio.file.Files.exists(cwd.resolve("build.sbt")))(cwd)
+      }
+    }
+    val localCopy = repoRoot.map(_.resolve("BENCH_local.json").toString)
+    if (localCopy.isEmpty)
+      System.err.println("[bench] no repo root found (build.sbt) from the " +
+        "class location or cwd; skipping the committed BENCH_local.json copy")
+    (jsonPath +: localCopy.toSeq).foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $p: $e") }

@@ -166,6 +166,12 @@ final case class PipelineParams(
     s"${bq(goldSchema)}.${bq(s"gold_$entity")}"
   def activeViewFqn(entity: String): String =
     s"${bq(activeSchema)}.${bq(s"silver_$entity")}"
+  /** Pipeline-scoped expectation EVENT LOG table (the SDP event-log
+    * analog — reference `02_silver_processing.py:139-141` semantics):
+    * one append-only row per (publish, expectation) with the violation
+    * count, instead of only the latest counts in table properties. */
+  def expectationLogFqn: String =
+    s"${bq(silverSchema)}.${bq("_expectation_log")}"
 }
 
 object PipelineParams {

@@ -39,8 +39,13 @@ object Robust {
     * aggregation buffer), the bounds table is one row per stratum and
     * broadcast back, and the clamp is two comparisons per row. */
   def winsorize(df: DataFrame, valueCol: String, strata: Seq[String],
-      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+      pLo: Double = 0.05, pHi: Double = 0.95,
+      outCol: String = "winsorized"): DataFrame = {
     require(pLo < pHi, s"need pLo < pHi, got [$pLo, $pHi]")
+    // never silently replace a user column (the l2Normalize outCol
+    // contract): callers with a clashing column pick another name
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists; pass outCol = <other name>")
     def fresh(base: String) = Iterator.iterate(base)(_ + "_")
       .dropWhile(df.columns.contains).next()
     val loCol = fresh("_wlo")
@@ -52,7 +57,7 @@ object Robust {
         max(when(col("p") === pHi, col("value"))).as(hiCol))
     val v = col(valueCol).cast("double")
     df.join(broadcast(bounds), strata, "left")
-      .withColumn("winsorized",
+      .withColumn(outCol,
         when(col(loCol).isNotNull && v < col(loCol), col(loCol))
           .when(col(hiCol).isNotNull && v > col(hiCol), col(hiCol))
           .otherwise(v))
@@ -62,7 +67,10 @@ object Robust {
   /** Append `robust_z` to `df`: the MAD z-score of `valueCol` within its
     * `strata` group (NULL when MAD = 0 or the value is NULL). */
   def robustZ(df: DataFrame, valueCol: String, strata: Seq[String],
-      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+      exact: Boolean = true, accuracy: Int = 10000,
+      outCol: String = "robust_z"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists; pass outCol = <other name>")
     def med(c: Column): Column =
       if (exact) percentile(c, lit(0.5))
       else approx_percentile(c, lit(0.5), lit(accuracy))
@@ -78,7 +86,7 @@ object Robust {
     val mads = withMed.groupBy(strata.map(col): _*)
       .agg(med(abs(v - col(medCol))).as(madCol))
     withMed.join(broadcast(mads), strata)
-      .withColumn("robust_z",
+      .withColumn(outCol,
         (v - col(medCol)) / (lit(1.4826) * nullif(col(madCol), lit(0.0))))
       .drop(medCol, madCol)
   }

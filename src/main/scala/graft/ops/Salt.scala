@@ -35,15 +35,27 @@ object Salt {
     * once per output row. */
   def heavyKeys(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
     require(keyCols.nonEmpty && k > 0, "need key columns and k > 0")
+    // the OUTPUT vocabulary (rank, n, share) is this function's contract,
+    // but a KEY column with one of those names (or the internal total's)
+    // would collide — key columns named n/share/rank make the output
+    // ambiguous by construction, so fail loud; the internal total gets a
+    // fresh()-guarded name so a key literally called `_total` cannot make
+    // col("_total") ambiguous after the crossJoin
+    val reserved = Set("rank", "n", "share")
+    val clash = keyCols.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty, s"heavyKeys key columns ${clash.mkString(", ")} " +
+      "collide with the output columns (rank, n, share); alias them first")
+    val totalCol = Iterator.iterate("_total")(_ + "_")
+      .dropWhile(keyCols.contains).next()
     val gcols = keyCols.map(col)
     val counts = df.groupBy(gcols: _*).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("_total"))
+    val total = df.agg(count(lit(1)).as(totalCol))
     counts
       .orderBy(col("n").desc +: gcols.map(_.asc): _*)
       .limit(k)
       .crossJoin(broadcast(total))
       .withColumn("share", col("n").cast("double") /
-        col("_total").cast("double"))
+        col(totalCol).cast("double"))
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
         .Window.orderBy(col("n").desc +: gcols.map(_.asc): _*)))
       .select((col("rank") +: gcols) ++ Seq(col("n"), col("share")): _*)

@@ -24,10 +24,34 @@ import org.apache.spark.sql.functions._
   * collection, so steady-state maintenance cost follows the ingest rate,
   * not the table size. Pruning reads the stats table (one row per file)
   * and hands the surviving paths to the scan.
+  *
+  * Driver-manifest contract: [[refresh]] and [[prunedRead]] collect FILE
+  * PATH lists (never data) to the driver — manifest-scale state, the same
+  * posture as a table format's log replay (Delta's driver-side `add`
+  * actions, Iceberg's manifest scan). That is bounded by file COUNT, so
+  * both take a `maxDriverFiles` cap (default [[DefaultMaxDriverFiles]],
+  * ~1M paths ≈ low hundreds of MB of driver heap) and FAIL LOUD past it
+  * instead of silently ballooning the driver: the remedy is a larger cap
+  * on a bigger driver, a tighter `statsFilter`, or per-prefix refreshes.
   */
 object FileStats {
 
+  /** Default ceiling on driver-collected file paths (see the
+    * driver-manifest contract above). */
+  val DefaultMaxDriverFiles: Int = 1000000
+
   private def statsDir(tablePath: String) = s"$tablePath/_graft_stats"
+
+  /** Collect up to `cap` strings; one row past it fails loud. */
+  private def boundedPaths(df: DataFrame, cap: Int, what: String): Seq[String] = {
+    val got = df.limit(cap + 1).collect().map(_.getString(0)).toSeq
+    if (got.size > cap) throw new IllegalStateException(
+      s"$what exceeds maxDriverFiles=$cap file paths: the zone-map " +
+        "manifest is driver-resident by design (a table-format log-replay " +
+        "posture); raise maxDriverFiles if the driver heap allows, tighten " +
+        "the stats filter, or refresh/prune per path prefix")
+    got
+  }
 
   /** Per-file stats rows for `files` (or every file when None):
     * (file_path, n_rows, <c>_min, <c>_max per stats column). */
@@ -58,7 +82,8 @@ object FileStats {
     * the last collection drop out of the refreshed table. Returns the
     * number of newly statted files. */
   def refresh(spark: SparkSession, tablePath: String,
-      cols: Seq[String]): Long = {
+      cols: Seq[String],
+      maxDriverFiles: Int = DefaultMaxDriverFiles): Long = {
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(statsDir(tablePath)))) {
@@ -69,8 +94,9 @@ object FileStats {
     val current = spark.read.parquet(tablePath)
       .select(col("_metadata.file_path").as("file_path")).distinct()
     val known = old.select("file_path")
-    val newFiles = current.join(known, Seq("file_path"), "left_anti")
-      .collect().map(_.getString(0)).toSeq
+    val newFiles = boundedPaths(
+      current.join(known, Seq("file_path"), "left_anti"),
+      maxDriverFiles, s"refresh($tablePath): new-file list")
     val fresh = computeStats(spark, tablePath, cols, Some(newFiles))
     // keep only stats for files that still exist, plus the fresh rows
     val kept = old.join(current, Seq("file_path"), "left_semi")
@@ -96,10 +122,11 @@ object FileStats {
     * FILES can match, not which rows do. Returns an empty frame with the
     * table schema when nothing survives. */
   def prunedRead(spark: SparkSession, tablePath: String,
-      statsFilter: Column): DataFrame = {
-    val files = stats(spark, tablePath)
-      .filter(statsFilter)
-      .select("file_path").collect().map(_.getString(0))
+      statsFilter: Column,
+      maxDriverFiles: Int = DefaultMaxDriverFiles): DataFrame = {
+    val files = boundedPaths(
+      stats(spark, tablePath).filter(statsFilter).select("file_path"),
+      maxDriverFiles, s"prunedRead($tablePath): surviving-file list")
     if (files.isEmpty) spark.read.parquet(tablePath).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }

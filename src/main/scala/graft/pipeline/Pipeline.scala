@@ -418,7 +418,7 @@ final class PipelineRunner(
       setTableProps(spark, fqn, refTableProps(cfg) +
         ("comment" -> s"Silver deduplicated table for $entity") +
         ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
-        expectationMetrics(fqn, obs))
+        expectationMetrics(entity, "silver", fqn, obs))
     }
 
   /** Incremental silver (`silver_mode: "incremental"`) — the 100 TB path:
@@ -531,21 +531,57 @@ final class PipelineRunner(
       "comment" -> comment,
       "clustering_cols" -> cfg.clusteringCols.mkString(","),
       BucketCountProp -> n.toString) ++
-      expectationMetrics(fqn, obs))
+      expectationMetrics(entity, "silver", fqn, obs))
   }
 
   /** Drain an expectations Observation (post-write) into table-property
-    * form — shared by the silver and gold publishes so metric naming and
-    * logging cannot diverge between layers. */
-  private def expectationMetrics(fqn: String,
+    * form AND append the counts to the pipeline's expectation event log —
+    * shared by the silver (full + incremental) and gold publishes so
+    * metric naming, logging, and event-log rows cannot diverge between
+    * layers. */
+  private def expectationMetrics(entity: String, layer: String, fqn: String,
       obs: Option[org.apache.spark.sql.Observation]): Map[String, String] =
     obs match {
       case Some(o) =>
-        val m = o.get.map { case (k, v) => s"expectations.$k" -> v.toString }
-        m.foreach { case (k, v) => log(s"$fqn $k = $v") }
-        m.toMap
+        val raw = o.get.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> String.valueOf(v) }
+        raw.foreach { case (k, v) => log(s"$fqn expectations.$k = $v") }
+        appendExpectationLog(entity, layer, raw.map { case (k, v) =>
+          k.stripPrefix("violations_") -> v.toLong })
+        raw.map { case (k, v) => s"expectations.$k" -> v }.toMap
       case None => Map.empty
     }
+
+  /** The SDP event-log analog (reference `02_silver_processing.py:139-141`
+    * semantics): expectation violation counts were previously visible only
+    * as the LATEST table properties; real SDP keeps an append-only history
+    * in the pipeline event log. This appends one row per (publish,
+    * expectation) — (entity, layer, run_id, expectation, violations, ts)
+    * — to `<silver-schema>._expectation_log`, a plain parquet table
+    * registered on first use, queryable via `spark.table`. Tiny
+    * metadata-sized writes (one file per publish; compact like any
+    * streaming sink if it ever matters). */
+  private def appendExpectationLog(entity: String, layer: String,
+      counts: Seq[(String, Long)]): Unit = {
+    if (counts.isEmpty) return
+    val ts = params.fixedIngestedAt.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    import spark.implicits._
+    val path = s"$storageRoot/_expectation_log"
+    counts.map { case (name, n) => (entity, layer, runId, name, n, ts) }
+      .toDF("entity", "layer", "run_id", "expectation", "violations", "ts")
+      .coalesce(1).write.mode("append").parquet(path)
+    val fqn = params.expectationLogFqn
+    if (!spark.catalog.tableExists(fqn))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS $fqn (entity STRING, " +
+        "layer STRING, run_id STRING, expectation STRING, " +
+        s"violations BIGINT, ts TIMESTAMP) USING parquet LOCATION '$path'")
+    else spark.catalog.refreshTable(fqn)
+  }
+
+  /** One id per [[run]] invocation, stamped on event-log rows so a
+    * publish history groups by run. */
+  @volatile private var runId: String = java.util.UUID.randomUUID().toString
 
   /** Atomic versioned publish shared by the silver and gold batch tables:
     * write `df` to a fresh `.../v{N}` dir, widen the catalog schema
@@ -815,7 +851,7 @@ final class PipelineRunner(
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
       ("clustering_cols" -> g.clusteringCols.mkString(",")) ++
-      expectationMetrics(fqn, obs))
+      expectationMetrics(entity, "gold", fqn, obs))
   }
 
   // ---- phase 3: active views (catalog-only) -------------------------------
@@ -852,6 +888,7 @@ final class PipelineRunner(
   def run(entities: Map[String, EntityConfig],
       fullRefresh: Boolean = false, concurrency: Int = 1): Unit =
     RunLock.withLock(spark, s"$storageRoot/_checkpoints") {
+      runId = java.util.UUID.randomUUID().toString
       runLocked(entities, fullRefresh, concurrency)
     }
 

@@ -59,7 +59,18 @@ final class QuartzCron private (
           if (date == startDate) Some(start.toLocalTime) else None
         firstTimeAtOrAfter(floor) match {
           case Some(t) =>
-            return Some(ZonedDateTime.of(date, t, zone).toInstant)
+            // DST fall-back overlap: ZonedDateTime.of resolves an
+            // ambiguous local time to the EARLIER offset, which can land
+            // at or before `after` (the schedule loop would then sleep 0
+            // and re-fire back-to-back for the rest of the repeated
+            // hour). Taking the later offset restores the strictly-after
+            // contract; if even that is not after (overlap edge), keep
+            // searching forward instead of violating it.
+            val zdt = ZonedDateTime.of(date, t, zone)
+            val candidate =
+              if (zdt.toInstant.isAfter(after)) zdt.toInstant
+              else zdt.withLaterOffsetAtOverlap().toInstant
+            if (candidate.isAfter(after)) return Some(candidate)
           case None => ()
         }
       }

@@ -95,4 +95,28 @@ class FileStatsSpec extends AnyFunSuite {
     assert(hit.count() == 100)
     assert(hit.inputFiles.length == 2)
   }
+
+  test("maxDriverFiles: the driver-manifest collects are capped and fail " +
+      "loud past the cap, not at it") {
+    val path = mkTable()
+    FileStats.collect(spark, path, Seq("l_shipdate"))
+    val nFiles = FileStats.stats(spark, path).count().toInt
+    assert(nFiles >= 2, s"need a multi-file table, got $nFiles")
+    // at the cap: fine; one under: loud error naming the knob
+    val all = FileStats.prunedRead(spark, path, lit(true),
+      maxDriverFiles = nFiles)
+    assert(all.inputFiles.length == nFiles)
+    val ex = intercept[IllegalStateException](
+      FileStats.prunedRead(spark, path, lit(true),
+        maxDriverFiles = nFiles - 1))
+    assert(ex.getMessage.contains("maxDriverFiles") &&
+      ex.getMessage.contains("per path prefix"))
+    // refresh path: appending more new files than the cap fails loud too
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .limit(10).repartition(2).write.mode("append").parquet(path)
+    val ex2 = intercept[IllegalStateException](
+      FileStats.refresh(spark, path, Seq("l_shipdate"), maxDriverFiles = 1))
+    assert(ex2.getMessage.contains("maxDriverFiles"))
+    assert(FileStats.refresh(spark, path, Seq("l_shipdate")) == 2L)
+  }
 }

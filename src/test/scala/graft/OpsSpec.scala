@@ -173,6 +173,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "b").forall(_._3.isEmpty))
     assertThrows[IllegalArgumentException](
       graft.ops.Robust.winsorize(df, "x", Seq("g"), 0.9, 0.1))
+    // a pre-existing output column is never silently replaced: loud
+    // error, and outCol routes around it
+    val clash = df.withColumn("winsorized", lit(-1.0))
+    assertThrows[IllegalArgumentException](
+      graft.ops.Robust.winsorize(clash, "x", Seq("g")))
+    val routed = graft.ops.Robust.winsorize(clash, "x", Seq("g"),
+      pLo = 0.25, pHi = 0.75, outCol = "w2")
+    assert(routed.columns.count(_ == "winsorized") == 1 &&
+      routed.columns.contains("w2"))
+    assert(routed.select("winsorized").distinct().count() == 1) // untouched
+    assertThrows[IllegalArgumentException](
+      graft.ops.Robust.robustZ(
+        df.withColumn("robust_z", lit(0.0)), "x", Seq("g")))
   }
 
   test("Salt.heavyKeys: counts/shares/ranks match hand truth; head " +
@@ -190,6 +203,14 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
     assertThrows[IllegalArgumentException](
       graft.ops.Salt.heavyKeys(df, Seq.empty, 3))
+    // key columns that collide with the output vocabulary fail loud...
+    assertThrows[IllegalArgumentException](
+      graft.ops.Salt.heavyKeys(rows.toDF("n"), Seq("n"), 3))
+    // ...while a key literally named _total (the internal total's old
+    // name) works — the internal name fresh()-routes around it
+    val tot = graft.ops.Salt.heavyKeys(rows.toDF("_total"), Seq("_total"), 1)
+      .as[(Int, String, Long, Double)].collect().toSeq
+    assert(tot == Seq((1, "hot", 90L, 0.90)))
   }
 
   test("Salt.saltedJoin: identical to the plain join with broadcast off") {

@@ -467,6 +467,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ri3.tableVersions("app_downloads").map(_.version).max == 1L)
   }
 
+  test("expectation event log: each publish appends queryable rows " +
+      "(entity, run_id, expectation, violations)") {
+    val src = tmpDir("elog-src"); val store = tmpDir("elog-store")
+    writeConfig(src); writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "elog")
+    r1.run(entities)
+    r1.run(entities) // second publish appends, never overwrites
+    val log = spark.table(params.expectationLogFqn)
+    val rows = log.select($"entity", $"layer", $"run_id", $"expectation",
+        $"violations")
+      .as[(String, String, String, String, Long)].collect().toSeq
+    // only app_downloads declares expectations: 2 expectations × 2 runs
+    assert(rows.size == 4, rows.mkString("\n"))
+    assert(rows.forall(r => r._1 == "app_downloads" && r._2 == "silver"))
+    assert(rows.map(_._3).distinct.size == 2, "one run_id per run")
+    // id=3 has a null created_at (dropped); every row has an id
+    assert(rows.filter(_._4 == "has_created").map(_._5) == Seq(1L, 1L))
+    assert(rows.filter(_._4 == "has_id").map(_._5) == Seq(0L, 0L))
+    // history stays queryable by plain SQL over the catalog table
+    assert(spark.sql(s"SELECT sum(violations) FROM ${params.expectationLogFqn}")
+      .head().getLong(0) == 2L)
+  }
+
   test("bucketed incremental silver: a batch touching 1 of k buckets " +
       "rewrites only that bucket; full CDC retraction drops its partition; " +
       "a bucket-count change fails loud") {

@@ -70,6 +70,34 @@ class QuartzCronSpec extends AnyFunSuite {
       .nextAfter(at("2024-06-01T00:00:00Z"), UTC).isEmpty)
   }
 
+  test("DST fall-back overlap: nextAfter stays STRICTLY after — the " +
+      "repeated local hour never re-fires back-to-back") {
+    // America/Los_Angeles 2024-11-03: 01:30 PDT (08:30Z) repeats as
+    // 01:30 PST (09:30Z). After the FIRST occurrence, the earlier-offset
+    // resolution of the same local time is ≤ after; the schedule must
+    // advance to the later-offset occurrence instead of re-firing.
+    val schedule = "0 30 1 * * ?"
+    val first = next(schedule, "2024-11-03T00:00:00Z", LA)
+    assert(first == "2024-11-03T08:30:00Z") // 01:30 PDT
+    // Quartz fire-once semantics: the repeated 01:30 local time does NOT
+    // re-fire at its second (PST) occurrence — next fire is tomorrow
+    val second = next(schedule, first, LA)
+    assert(second == "2024-11-04T09:30:00Z")
+    // but when `after` lands INSIDE the overlap's second pass (01:00 PST
+    // = 09:00Z), the earlier-offset resolution of 01:30 precedes `after`
+    // (08:30Z); the later-offset occurrence (09:30Z) must fire instead of
+    // violating the strictly-after contract (the back-to-back re-fire bug)
+    assert(next(schedule, "2024-11-03T09:00:00Z", LA) ==
+      "2024-11-03T09:30:00Z")
+    // monotonicity through the whole overlap at a finer cadence
+    var t = at("2024-11-03T07:59:00Z")
+    (1 to 5).foreach { _ =>
+      val n = QuartzCron.parse("0 */20 1 * * ?").nextAfter(t, LA).get
+      assert(n.isAfter(t), s"$n not after $t")
+      t = n
+    }
+  }
+
   test("parse failures are loud: field count, L/W/#, dom+dow both set, " +
       "stray ?, bad values") {
     Seq(
