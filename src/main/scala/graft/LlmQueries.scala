@@ -851,16 +851,22 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
-    // -- [EXT]: product-quantization ADC top-k — 16-byte codes per
-    //    64-dim vector (16× vs float32), candidates scored with m table
-    //    reads each. Codebooks train deterministically on a bounded
-    //    id-ordered sample (no RNG) so rows are stable; scores depend on
-    //    driver-side k-means floats ⇒ rows-only (no DuckDB oracle);
-    //    recall vs the float brute force is spec'd.
+    // -- [EXT]: product-quantization ADC top-k — PQ codes per vector,
+    //    candidates scored with m table reads each. DECLARED in the
+    //    provably-SQL-expressible configuration (the q_ivf_topk
+    //    promotion pattern): m = dim ⇒ dsub = 1, lloydIters = 0 and
+    //    sampleSize = k = 16 ⇒ the codebook IS the first 16 vectors'
+    //    per-dimension values verbatim (no k-means floats), so the ADC
+    //    score is exactly cosine(probe, per-dim-quantized
+    //    reconstruction) — a full DuckDB oracle. The whole PQ machinery
+    //    still executes end-to-end (codebook build, argmin encode, LUT,
+    //    ADC table-read scoring, recon norms); the Lloyd-TRAINED path
+    //    keeps its determinism/recall/equivalence specs in LlmOpsSpec.
     "q_pq_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModelCache.computeIfAbsent(dir,
-        _ => similarity.ProductQuantizer.train(emb))
+        _ => similarity.ProductQuantizer.train(emb,
+          m = 64, k = 16, lloydIters = 0, sampleSize = 16))
       similarity.ProductQuantizer
         .adcTopK(emb, emb.filter(col("vec_id") < 5), model, kNN = 3)
         .withColumn("pqcos", round(col("pqcos"), 6))
@@ -869,13 +875,16 @@ object LlmQueries {
 
     // -- [EXT]: IVF-PQ — the FAISS billion-scale workhorse: coarse cells
     //    as partition directories (pruned at file-listing time) holding
-    //    PQ codes; probed cells score by ADC. nprobe=nlist here ⇒ equals
-    //    q_pq_topk (spec'd bit-exact); rows-only like the other
-    //    trained-ANN rows.
+    //    PQ codes; probed cells score by ADC. nprobe=nlist makes
+    //    candidates = whole corpus and the shared exact-configuration
+    //    model (see q_pq_topk) makes ADC SQL-expressible ⇒ the same
+    //    full oracle; the pruned nprobe<nlist path keeps its LlmOpsSpec
+    //    equivalence/recall specs.
     "q_ivf_pq" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val model = pqModelCache.computeIfAbsent(dir,
-        _ => similarity.ProductQuantizer.train(emb))
+        _ => similarity.ProductQuantizer.train(emb,
+          m = 64, k = 16, lloydIters = 0, sampleSize = 16))
       val path = ivfPqIndexCache.computeIfAbsent(dir, _ => {
         val p = java.nio.file.Files
           .createTempDirectory("graft_ivfpqidx").toString
@@ -1938,6 +1947,11 @@ object LlmQueries {
     // Quantized-cosine top-k over the SQ8 codes (scales cancel).
     "q_sq8_topk" -> sq8TopkSql,
 
+    // exact-configuration PQ (see pqExactTopkSql): the brute ADC scan and
+    // the exhaustive-probe IVF-PQ index produce the same rows
+    "q_pq_topk" -> pqExactTopkSql,
+    "q_ivf_pq" -> pqExactTopkSql,
+
     // IVF-SQ8 at nprobe=nlist probes every cell, so candidates = the
     // whole corpus and the result is exactly the quantized top-k.
     "q_ivf_sq8" -> sq8TopkSql
@@ -1955,6 +1969,37 @@ object LlmQueries {
         |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
         |SELECT probe_id, rank, vec_id, round(c, 6) AS cos
         |FROM r WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+
+  /** Oracle for the exact-configuration PQ rows (m = dim ⇒ dsub = 1,
+    * lloydIters = 0, sampleSize = k = 16): the codebook is the first 16
+    * vectors verbatim, the reconstruction picks each dimension's nearest
+    * codebook value (squared-distance argmin, ties → lowest index, the
+    * engine kernel's strict-< rule == list_indexof-of-min), and the ADC
+    * score reduces to cosine(probe, reconstruction) with the SAME double
+    * op order the cosine oracle already matches bit-exactly. */
+  private lazy val pqExactTopkSql: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb AS (SELECT list(v ORDER BY vec_id) AS cvecs
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |rec AS (SELECT vec_id,
+        |    list_transform(range(1, len(v) + 1), j ->
+        |      cvecs[list_indexof(
+        |          list_transform(cvecs, cv -> (v[j] - cv[j]) * (v[j] - cv[j])),
+        |          list_min(list_transform(cvecs,
+        |            cv -> (v[j] - cv[j]) * (v[j] - cv[j]))))][j]) AS r
+        |  FROM e CROSS JOIN cb),
+        |n AS (SELECT vec_id, r, sqrt(list_dot_product(r, r)) AS rn FROM rec),
+        |p AS (SELECT vec_id AS probe_id, v AS pv,
+        |        sqrt(list_dot_product(v, v)) AS pn FROM e WHERE vec_id < 5),
+        |sc AS (SELECT probe_id, n.vec_id,
+        |    CASE WHEN pn * rn > 0
+        |      THEN list_dot_product(pv, r) / (pn * rn) ELSE 0.0 END AS c
+        |  FROM n CROSS JOIN p WHERE n.vec_id != probe_id),
+        |rk AS (SELECT probe_id, vec_id, c,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY c DESC, vec_id ASC) AS rank FROM sc)
+        |SELECT probe_id, rank, vec_id, round(c, 6) AS pqcos
+        |FROM rk WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
 
   private lazy val sq8TopkSql: String =
       """WITH a AS (

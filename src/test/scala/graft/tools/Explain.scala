@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the formatted physical plan (and optionally run+time)
   * one or more SparkEntry queries. Usage:
-  *   runMain graft.tools.Explain q_ngram_jaccard [sfDir] [--time]
+  *   Test/runMain graft.tools.Explain q_ngram_jaccard [sfDir] [--time]
   */
 object Explain {
   def main(args: Array[String]): Unit = {

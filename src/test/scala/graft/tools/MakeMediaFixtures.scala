@@ -21,7 +21,7 @@ import graft.multimodal.Multimodal.{AudioSummary, FrameSummary, ImageSummary}
   *
   * Run once from the repo root; the outputs are committed, so verify/bench
   * never regenerate them:
-  *   sbt "runMain graft.tools.MakeMediaFixtures"
+  *   sbt "Test/runMain graft.tools.MakeMediaFixtures"
   *
   * Pixel/sample content derives from a splitmix64-style LCG seeded by the
   * file index — no wall clock, no RNG state, identical bytes every run.

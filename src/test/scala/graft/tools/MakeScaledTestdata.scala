@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * to the given dir (default /tmp/graft_sf1) — NEVER under /root/testdata,
   * which is read-only driver ground truth.
   *
-  *   sbt "runMain graft.tools.MakeScaledTestdata [outDir] [K]"
+  *   sbt "Test/runMain graft.tools.MakeScaledTestdata [outDir] [K]"
   */
 object MakeScaledTestdata {
 
