@@ -583,6 +583,39 @@ class PipelineSpec extends AnyFunSuite {
       msgs.take(500))
   }
 
+  test("S4 ORC source: e2e bronze ingest + incremental second batch + " +
+      "silver dedup through the shared format dispatch") {
+    val src = tmpDir("orc-src"); val store = tmpDir("orc-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"metrics": {
+        |  "raw_file_format": "orc",
+        |  "unique_primary_key": ["mid"]
+        |}}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("mid", LongType), StructField("score", IntegerType),
+      StructField("tag", StringType)))
+    def write(rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("append").orc(s"$src/metrics")
+    write(Seq(Row(1L, 10, "a"), Row(2L, 20, "b")))
+    val ent = ConfigLoader.load(spark, src)
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "orc1")
+    r1.run(ent)
+    val bronze1 = spark.table(params.bronzeFqn("metrics"))
+    assert(bronze1.count() == 2)
+    assert(bronze1.schema("score").dataType == LongType) // P1 upcast
+    // second batch: new file only (checkpoint resume), updated mid=1
+    write(Seq(Row(1L, 11, "a2")))
+    val (r2, _) = mkRunner(src, store, "2024-03-01 00:00:00",
+      catalog = "orc1")
+    r2.run(ent)
+    assert(spark.table(params.bronzeFqn("metrics")).count() == 3)
+    val silver = spark.table(params.silverFqn("metrics"))
+      .select($"mid", $"tag").as[(Long, String)].collect().toMap
+    assert(silver == Map(1L -> "a2", 2L -> "b"))
+  }
+
   test("T1 incremental: second run ingests only new files, dedup keeps latest") {
     val src = tmpDir("graft-src2"); val store = tmpDir("graft-store2")
     writeConfig(src); writeBatch1(src)
