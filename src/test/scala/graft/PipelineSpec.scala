@@ -569,6 +569,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(PipelineRunner.tableProp(spark, fqn,
       PipelineRunner.BucketCountProp).contains("4"))
 
+    // partition pruning: a _bucket-filtered read (the shape of the
+    // merge's previous-silver read) plans PartitionFilters and reads
+    // only that bucket's files — the O(touched) read-side evidence
+    val pruned = spark.table(fqn).where($"_bucket" === bU)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("_bucket"), planStr.take(800))
+    pruned.collect()
+    def scanNumFiles(df: org.apache.spark.sql.DataFrame): Option[Long] =
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).headOption.map(_.value)
+    val prunedFiles = scanNumFiles(pruned)
+    val all = spark.table(fqn); all.collect()
+    val allFiles = scanNumFiles(all)
+    assert(prunedFiles.nonEmpty && allFiles.nonEmpty &&
+      prunedFiles.get < allFiles.get,
+      s"pruned=$prunedFiles all=$allFiles")
+
     // a silent bucket-count change would prune the wrong partitions —
     // the merge must fail loud and name the remedy
     writeCfg(8)
