@@ -408,6 +408,22 @@ final class PipelineRunner(
       runSilverIncremental(entity, cfg, fullRefresh)
     else {
       val fqn = params.silverFqn(entity)
+      // mode-switch guard: a bucketed (incremental-mode) table has
+      // catalog-registered partitions pointing into generation dirs; a
+      // full-mode publish would repoint the TABLE location while those
+      // partition entries keep serving the old data — silently stale
+      // reads forever. Under --full-refresh the bucketed table and its
+      // data are dropped and rebuilt flat; otherwise fail loud.
+      if (tableProp(spark, fqn, BucketCountProp).nonEmpty) {
+        require(fullRefresh,
+          s"$fqn was published by silver_mode=incremental (bucketed " +
+            "layout with catalog-registered partitions); switching to " +
+            "silver_mode=full requires a full refresh (--full-refresh) " +
+            "to drop and rebuild it")
+        log(s"full refresh: dropping bucketed $fqn for silver_mode=full")
+        spark.sql(s"DROP TABLE IF EXISTS $fqn")
+        deleteRecursively(spark, silverPath(entity))
+      }
       // expectation metrics ride the write action via df.observe — zero
       // extra passes (the SDP expectation-event-log analog); persisted as
       // table properties below so they are queryable after the run
@@ -494,11 +510,21 @@ final class PipelineRunner(
     val n = cfg.silverBuckets
     // bucket count is baked into the physical layout: a silent change
     // would make partition pruning read the WRONG subset — fail loud
-    tableProp(spark, fqn, BucketCountProp).map(_.toInt).foreach { recorded =>
-      require(recorded == n,
-        s"$fqn was laid out with silver_buckets=$recorded but the config " +
-          s"now says $n — bucket assignment is baked into the layout; " +
-          "run a full refresh (--full-refresh) to re-bucket")
+    tableProp(spark, fqn, BucketCountProp).map(_.toInt) match {
+      case Some(recorded) =>
+        require(recorded == n,
+          s"$fqn was laid out with silver_buckets=$recorded but the " +
+            s"config now says $n — bucket assignment is baked into the " +
+            "layout; run a full refresh (--full-refresh) to re-bucket")
+      case None =>
+        // full→incremental mode switch on an existing flat table: the
+        // merge would look for a _bucket column that does not exist —
+        // name the situation and the remedy instead
+        require(!spark.catalog.tableExists(fqn),
+          s"$fqn exists but was published by silver_mode=full (no " +
+            "bucketed layout); switching to silver_mode=incremental " +
+            "requires a full refresh (--full-refresh) to rebuild it " +
+            "bucketed")
     }
     // deterministic PK-hash bucket (Murmur3, the same hash family Spark
     // bucketing uses); computed on the bronze-vocabulary PK, BEFORE the

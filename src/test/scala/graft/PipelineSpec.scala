@@ -601,6 +601,56 @@ class PipelineSpec extends AnyFunSuite {
       msgs.take(500))
   }
 
+  test("silver_mode switches on an existing table fail loud (both " +
+      "directions) and rebuild under --full-refresh") {
+    val src = tmpDir("msw-src"); val store = tmpDir("msw-store")
+    def cfg(mode: String): Unit = Files.writeString(
+      Path.of(src, "dp_config_template.json"),
+      s"""{"app_downloads": {"raw_file_format": "parquet",
+         |  "unique_primary_key": ["id"], "silver_mode": "$mode",
+         |  "silver_buckets": 4}}""".stripMargin)
+    cfg("incremental"); writeBatch1(src)
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "msw")
+    r1.run(ConfigLoader.load(spark, src))
+    val fqn = params.silverFqn("app_downloads")
+    assert(PipelineRunner.tableProp(spark, fqn,
+      PipelineRunner.BucketCountProp).nonEmpty)
+
+    // incremental → full without refresh: stale-partition hazard → loud
+    cfg("full")
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .mkString("\n")
+    val e1 = intercept[Exception](
+      r1.run(ConfigLoader.load(spark, src)))
+    assert(msgs(e1).contains("full refresh"), msgs(e1).take(400))
+    // with --full-refresh: dropped and rebuilt flat
+    r1.run(ConfigLoader.load(spark, src), fullRefresh = true)
+    assert(!spark.table(fqn).columns.contains("_bucket"))
+    assert(PipelineRunner.tableProp(spark, fqn,
+      PipelineRunner.BucketCountProp).isEmpty)
+    assert(spark.table(fqn).count() > 0)
+
+    // full → incremental without refresh: missing _bucket layout → loud
+    cfg("incremental")
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(8L, 80, "2024-03-01", "I", "eight")), 1),
+      StructType(Seq(StructField("id", LongType),
+        StructField("downloads", IntegerType),
+        StructField("created_at", StringType),
+        StructField("op", StringType), StructField("v", StringType))))
+      .write.mode("append").parquet(s"$src/app_downloads")
+    val e2 = intercept[Exception](
+      r1.run(ConfigLoader.load(spark, src)))
+    assert(msgs(e2).contains("silver_mode=full") &&
+      msgs(e2).contains("full refresh"), msgs(e2).take(400))
+    // with --full-refresh: rebuilt bucketed, new row present
+    r1.run(ConfigLoader.load(spark, src), fullRefresh = true)
+    assert(spark.table(fqn).columns.contains("_bucket"))
+    assert(spark.table(fqn).select($"id").as[Long].collect().contains(8L))
+  }
+
   test("S4 ORC source: e2e bronze ingest + incremental second batch + " +
       "silver dedup through the shared format dispatch") {
     val src = tmpDir("orc-src"); val store = tmpDir("orc-store")
