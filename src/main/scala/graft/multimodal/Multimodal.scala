@@ -146,7 +146,14 @@ object Multimodal {
     * the same posture as image/audio decode. */
   object GifVideoCodec {
     /** Decode every frame with its start offset (ms, from cumulative GCE
-      * delays) plus the total duration. */
+      * delays) plus the total duration.
+      *
+      * MEMORY CONTRACT: materializes a full logical-screen float copy of
+      * EVERY composited frame — O(frames × W × H × 3). Right for the
+      * frame-exact spec/fixture round trips it serves; the pipeline
+      * sampling path uses [[sampleFrames]], which composites
+      * incrementally and holds only the single canvas plus the sampled
+      * outputs. */
     def decodeFrames(bytes: Array[Byte])
         : Option[(Seq[(Long, Decoded)], Long)] =
       try {
@@ -198,19 +205,81 @@ object Multimodal {
 
     /** Sample the frame ACTIVE at each instant `k*everyMs` inside the
       * clip: the stub-compatible contract (first sample at 0, one sample
-      * per full `everyMs` of duration, at least one). */
+      * per full `everyMs` of duration, at least one; a repeated start
+      * offset — zero-delay frame — resolves to the LATER frame, matching
+      * [[decodeFrames]]' last-start-≤-t rule).
+      *
+      * Single streaming pass: per-frame GCE delays come from metadata
+      * alone (no pixel decode), then frames composite one at a time onto
+      * ONE canvas and pixels are copied only at sampled instants —
+      * memory is the canvas plus the output, never O(frames), so a long
+      * real-world clip cannot OOM the batched decode path
+      * ([[Multimodal.sampleVideoFrames]]). */
     def sampleFrames(bytes: Array[Byte], everyMs: Long)
         : Option[Seq[(Long, Array[Float])]] =
-      decodeFrames(bytes).map { case (frames, durationMs) =>
-        val n = math.max(1L,
-          durationMs / math.max(1L, everyMs)).toInt
-        (0 until n).map { k =>
-          val t = k * everyMs
-          val active = frames.reverseIterator.find(_._1 <= t)
-            .getOrElse(frames.head)
-          (t, active._2.pixels)
-        }
-      }
+      try {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+        if (!it.hasNext) return None
+        val reader = it.next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          // metadata-only pass: per-frame start offsets + total duration
+          val delays = (0 until n).map { k =>
+            val meta = reader.getImageMetadata(k).getAsTree(
+              "javax_imageio_gif_image_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            childNamed(meta, "GraphicControlExtension")
+              .flatMap(_.getAttribute("delayTime").toIntOption)
+              .getOrElse(0) * 10L
+          }
+          val starts = delays.scanLeft(0L)(_ + _) // starts(j); last = duration
+          val durationMs = starts.last
+          val every = math.max(1L, everyMs)
+          val count = math.max(1L, durationMs / every).toInt
+          val (sw, sh) = {
+            val tree = Option(reader.getStreamMetadata).map(_.getAsTree(
+              "javax_imageio_gif_stream_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+            val lsd = tree.flatMap(t => childNamed(t, "LogicalScreenDescriptor"))
+            (lsd.map(_.getAttribute("logicalScreenWidth").toInt)
+              .getOrElse(reader.getWidth(0)),
+             lsd.map(_.getAttribute("logicalScreenHeight").toInt)
+              .getOrElse(reader.getHeight(0)))
+          }
+          val canvas = new java.awt.image.BufferedImage(sw, sh,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          val out = Seq.newBuilder[(Long, Array[Float])]
+          var k = 0
+          var j = 0
+          while (j < n && k < count) {
+            val img = reader.read(j)
+            val meta = reader.getImageMetadata(j).getAsTree(
+              "javax_imageio_gif_image_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            val desc = childNamed(meta, "ImageDescriptor")
+            g.drawImage(img,
+              desc.map(_.getAttribute("imageLeftPosition").toInt).getOrElse(0),
+              desc.map(_.getAttribute("imageTopPosition").toInt).getOrElse(0),
+              null)
+            // emit every sample instant inside this frame's active window
+            // [starts(j), starts(j+1)) — the last frame's window is open
+            while (k < count &&
+                (j == n - 1 || k * every < starts(j + 1))) {
+              if (k * every >= starts(j))
+                out += ((k * every, bufferedToDecoded(canvas).pixels))
+              k += 1
+            }
+            j += 1
+          }
+          g.dispose()
+          Some(out.result())
+        } finally { iis.close(); reader.dispose() }
+      } catch { case _: Exception => None }
 
     private def childNamed(node: javax.imageio.metadata.IIOMetadataNode,
         name: String): Option[javax.imageio.metadata.IIOMetadataNode] = {

@@ -44,7 +44,11 @@ object FileStats {
 
   /** Collect up to `cap` strings; one row past it fails loud. */
   private def boundedPaths(df: DataFrame, cap: Int, what: String): Seq[String] = {
-    val got = df.limit(cap + 1).collect().map(_.getString(0)).toSeq
+    require(cap > 0, s"maxDriverFiles must be > 0, got $cap")
+    // saturate, don't overflow: cap = Int.MaxValue must behave as the
+    // documented "raise the cap" remedy, not crash on a negative limit
+    val probe = math.min(cap.toLong + 1, Int.MaxValue.toLong).toInt
+    val got = df.limit(probe).collect().map(_.getString(0)).toSeq
     if (got.size > cap) throw new IllegalStateException(
       s"$what exceeds maxDriverFiles=$cap file paths: the zone-map " +
         "manifest is driver-resident by design (a table-format log-replay " +

@@ -530,34 +530,41 @@ final class PipelineRunner(
     // bucketing uses); computed on the bronze-vocabulary PK, BEFORE the
     // rename projection, on both sides of the merge
     val bucketOf = pmod(hash(cfg.uniquePrimaryKey.map(col): _*), lit(n))
+    // persist: the batch is consumed TWICE (touched-bucket distinct, then
+    // the merge write) and a foreachBatch frame recomputes from the
+    // source files each time — at the 100 TB design point a catch-up
+    // batch would otherwise pay the new-file ingest I/O twice
     val withB = batch.withColumn(BucketCol, bucketOf)
-    val touched = withB.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty && spark.catalog.tableExists(fqn)) {
-      log(s"$fqn batch $batchId is empty; publishing nothing"); return
-    }
-    val prev =
-      if (spark.catalog.tableExists(fqn))
-        Rename(spark.table(fqn), cfg.renamedColumns.map(_.swap))
-          .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
-      else withB.limit(0)
-    // allowMissingColumns: schema evolution can widen either side mid-
-    // stream (an old silver lacks a just-evolved bronze column); the
-    // absent side null-fills, exactly like the bronze evolution path
-    val merged = prev.unionByName(withB, allowMissingColumns = true)
-    val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
-      new org.apache.spark.sql.Observation(
-        s"expectations_${entity}_b$batchId"))
-    val frame = silverTransform(merged, cfg, obs,
-      s"expectations_${entity}_b$batchId", bucketCol = Some(BucketCol))
-    publishBucketedGeneration(fqn, silverPath(entity), frame, touched)
-    val comment = s"Silver deduplicated table for $entity (incremental, " +
-      s"$n PK-hash buckets)"
-    setTableProps(spark, fqn, refTableProps(cfg) ++ Map(
-      "comment" -> comment,
-      "clustering_cols" -> cfg.clusteringCols.mkString(","),
-      BucketCountProp -> n.toString) ++
-      expectationMetrics(entity, "silver", fqn, obs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = withB.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty && spark.catalog.tableExists(fqn)) {
+        log(s"$fqn batch $batchId is empty; publishing nothing"); return
+      }
+      val prev =
+        if (spark.catalog.tableExists(fqn))
+          Rename(spark.table(fqn), cfg.renamedColumns.map(_.swap))
+            .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
+        else withB.limit(0)
+      // allowMissingColumns: schema evolution can widen either side mid-
+      // stream (an old silver lacks a just-evolved bronze column); the
+      // absent side null-fills, exactly like the bronze evolution path
+      val merged = prev.unionByName(withB, allowMissingColumns = true)
+      val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+        new org.apache.spark.sql.Observation(
+          s"expectations_${entity}_b$batchId"))
+      val frame = silverTransform(merged, cfg, obs,
+        s"expectations_${entity}_b$batchId", bucketCol = Some(BucketCol))
+      publishBucketedGeneration(fqn, silverPath(entity), frame, touched)
+      val comment = s"Silver deduplicated table for $entity (incremental, " +
+        s"$n PK-hash buckets)"
+      setTableProps(spark, fqn, refTableProps(cfg) ++ Map(
+        "comment" -> comment,
+        "clustering_cols" -> cfg.clusteringCols.mkString(","),
+        BucketCountProp -> n.toString) ++
+        expectationMetrics(entity, "silver", fqn, obs))
+    } finally withB.unpersist()
   }
 
   /** Drain an expectations Observation (post-write) into table-property
@@ -594,15 +601,23 @@ final class PipelineRunner(
       new java.sql.Timestamp(System.currentTimeMillis()))
     import spark.implicits._
     val path = s"$storageRoot/_expectation_log"
-    counts.map { case (name, n) => (entity, layer, runId, name, n, ts) }
-      .toDF("entity", "layer", "run_id", "expectation", "violations", "ts")
-      .coalesce(1).write.mode("append").parquet(path)
-    val fqn = params.expectationLogFqn
-    if (!spark.catalog.tableExists(fqn))
-      spark.sql(s"CREATE TABLE IF NOT EXISTS $fqn (entity STRING, " +
-        "layer STRING, run_id STRING, expectation STRING, " +
-        s"violations BIGINT, ts TIMESTAMP) USING parquet LOCATION '$path'")
-    else spark.catalog.refreshTable(fqn)
+    // SERIALIZE appends: concurrent entity flows (run(concurrency = N))
+    // would otherwise race two Spark append jobs on one output path,
+    // whose shared `_temporary` staging dir the first commit deletes —
+    // silently dropping the second flow's rows. Cross-RUN concurrency is
+    // already excluded by the RunLock, so a JVM-level monitor suffices;
+    // the serialized section writes a few KB.
+    PipelineRunner.expectationLogWriteLock.synchronized {
+      counts.map { case (name, n) => (entity, layer, runId, name, n, ts) }
+        .toDF("entity", "layer", "run_id", "expectation", "violations", "ts")
+        .coalesce(1).write.mode("append").parquet(path)
+      val fqn = params.expectationLogFqn
+      if (!spark.catalog.tableExists(fqn))
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $fqn (entity STRING, " +
+          "layer STRING, run_id STRING, expectation STRING, " +
+          s"violations BIGINT, ts TIMESTAMP) USING parquet LOCATION '$path'")
+      else spark.catalog.refreshTable(fqn)
+    }
   }
 
   /** One id per [[run]] invocation, stamped on event-log rows so a
@@ -798,7 +813,11 @@ final class PipelineRunner(
           if (PipelineRunner.readSupersededAt(fs, dead).exists(_ <= horizonMs))
             fs.delete(dead, true)
         }
-      if (gen != newest &&
+      // listStatus returns fs-QUALIFIED paths (file:/...), `newest` was
+      // built unqualified — compare qualified-to-qualified, or the guard
+      // never holds and an all-retracted batch's freshly written (empty)
+      // newest generation gets deleted, re-allocating its version number
+      if (fs.makeQualified(gen) != fs.makeQualified(newest) &&
           !fs.listStatus(gen).exists(s => s.isDirectory &&
             s.getPath.getName.startsWith(s"$BucketCol=")))
         fs.delete(gen, true)
@@ -1116,6 +1135,10 @@ object PipelineRunner {
   /** Table property pinning the bucket count a silver table was laid out
     * with — [[mergeSilverBatch]] fails loud when the config disagrees. */
   val BucketCountProp = "graft.silver_buckets"
+
+  /** JVM-level monitor serializing expectation-log appends across
+    * concurrent entity flows (see appendExpectationLog). */
+  private[pipeline] val expectationLogWriteLock = new Object
 
   /** Read one table property, None when the table or property is absent. */
   def tableProp(spark: SparkSession, fqn: String, key: String): Option[String] =
