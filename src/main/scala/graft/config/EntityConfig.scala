@@ -65,6 +65,38 @@ final case class EntityConfig(
       * requires a full refresh (bucket assignment is baked into the
       * layout); the pipeline fails loud on a mismatch. */
     silverBuckets: Int = 16,
+    /** Merge strategy for `silver_mode: "incremental"`:
+      *
+      *  - `"copy_on_write"` (default): each merge REWRITES the touched
+      *    buckets in full (read prev bucket ∪ new rows, keep-latest,
+      *    publish a fresh bucket generation). Reads stay plain table
+      *    scans; a 1-row update pays a whole-bucket write.
+      *  - `"merge_on_read"`: each merge only APPENDS the batch's
+      *    per-PK-latest rows as a small DELTA file per touched bucket
+      *    (CDC deletes / expectation violations ride along as tombstone
+      *    rows, `_retracted = true`), so the write is O(batch) — at
+      *    100 TB silver a 1-row update writes kilobytes, not a
+      *    multi-GB bucket. The published silver name becomes a MERGE
+      *    VIEW: base rows whose PK is uncontested pass through
+      *    untouched (one broadcast anti-join against the small delta PK
+      *    set — never a table-sized shuffle), contested PKs resolve by
+      *    the same keep-latest ordering the copy-on-write merge uses,
+      *    and tombstone winners retract their PK. Buckets whose delta
+      *    file count exceeds [[silverCompactAfter]] are compacted back
+      *    into their base generation inline (the Hudi MOR /
+      *    Iceberg merge-on-read posture on the repo's
+      *    catalog-partition manifest).
+      *
+      * Same fixed-clock tie caveat as [[silverMode]]; switching
+      * strategies on an existing table requires a full refresh (the
+      * physical layouts differ — fails loud otherwise). */
+    silverMerge: String = "copy_on_write",
+    /** Merge-on-read only: compact a bucket back into its base
+      * generation when it accumulates MORE than this many delta files.
+      * Bounds the per-bucket read amplification (a view read touches at
+      * most `silverCompactAfter + 1` generations per bucket) and the
+      * broadcast delta-PK set. */
+    silverCompactAfter: Int = 8,
     /** Optional declarative GOLD layer: a curated table derived from this
       * entity's silver table by the corpus-curation pipeline
       * ([[graft.llm.Curation]]), declared in config exactly the way the
@@ -162,6 +194,10 @@ final case class PipelineParams(
     s"${bq(bronzeSchema)}.${bq(s"bronze_$entity")}"
   def silverFqn(entity: String): String =
     s"${bq(silverSchema)}.${bq(s"silver_$entity")}"
+  /** Merge-on-read only: the physical base+delta table behind the
+    * published silver MERGE VIEW ([[silverFqn]]). */
+  def silverRawFqn(entity: String): String =
+    s"${bq(silverSchema)}.${bq(s"silver_${entity}_raw")}"
   def goldFqn(entity: String): String =
     s"${bq(goldSchema)}.${bq(s"gold_$entity")}"
   def activeViewFqn(entity: String): String =
@@ -267,6 +303,20 @@ object ConfigLoader {
               require(b > 0 && b <= (1 << 20),
                 s"$name.silver_buckets must be in [1, 2^20], got $b")
               b
+            },
+            silverMerge = {
+              val m = s("silver_merge", "copy_on_write")
+              require(m == "copy_on_write" || m == "merge_on_read",
+                s"$name.silver_merge must be 'copy_on_write' or " +
+                  s"'merge_on_read', got '$m'")
+              m
+            },
+            silverCompactAfter = {
+              val c = f.get("silver_compact_after").flatMap(num).map(_.toInt)
+                .getOrElse(EntityConfig().silverCompactAfter)
+              require(c >= 1 && c <= (1 << 16),
+                s"$name.silver_compact_after must be in [1, 2^16], got $c")
+              c
             },
             gold = f.get("gold").collect { case JObject(gf) =>
               parseGold(gf.toMap)

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -421,7 +421,8 @@ final class PipelineRunner(
             "silver_mode=full requires a full refresh (--full-refresh) " +
             "to drop and rebuild it")
         log(s"full refresh: dropping bucketed $fqn for silver_mode=full")
-        spark.sql(s"DROP TABLE IF EXISTS $fqn")
+        dropTableOrView(fqn) // a merge-on-read silver publishes a VIEW
+        spark.sql(s"DROP TABLE IF EXISTS ${params.silverRawFqn(entity)}")
         deleteRecursively(spark, silverPath(entity))
       }
       // expectation metrics ride the write action via df.observe — zero
@@ -475,7 +476,8 @@ final class PipelineRunner(
     val cp = s"$storageRoot/_checkpoints/silver_$entity"
     if (fullRefresh) {
       log(s"full refresh: dropping $fqn, checkpoint $cp")
-      spark.sql(s"DROP TABLE IF EXISTS $fqn")
+      dropTableOrView(fqn)
+      spark.sql(s"DROP TABLE IF EXISTS ${params.silverRawFqn(entity)}")
       deleteRecursively(spark, cp)
       deleteRecursively(spark, silverPath(entity))
     }
@@ -509,7 +511,9 @@ final class PipelineRunner(
     val fqn = params.silverFqn(entity)
     val n = cfg.silverBuckets
     // bucket count is baked into the physical layout: a silent change
-    // would make partition pruning read the WRONG subset — fail loud
+    // would make partition pruning read the WRONG subset — fail loud.
+    // Both strategies record their props on the PUBLISHED name (a table
+    // for copy-on-write, the merge view for merge-on-read).
     tableProp(spark, fqn, BucketCountProp).map(_.toInt) match {
       case Some(recorded) =>
         require(recorded == n,
@@ -526,6 +530,31 @@ final class PipelineRunner(
             "requires a full refresh (--full-refresh) to rebuild it " +
             "bucketed")
     }
+    // merge-strategy guard: cow publishes a bucketed TABLE, mor a raw
+    // table + merge VIEW — physically incompatible, so a silent switch
+    // would corrupt reads. Absent prop on an existing bucketed table =
+    // a pre-strategy copy-on-write layout.
+    val recorded = tableProp(spark, fqn, MergeStrategyProp).orElse(
+      Option.when(spark.catalog.tableExists(fqn))("copy_on_write"))
+    recorded.foreach { rec =>
+      require(rec == cfg.silverMerge,
+        s"$fqn was published with silver_merge=$rec but the config now " +
+          s"says ${cfg.silverMerge} — the physical layouts differ " +
+          "(bucketed table vs base+delta table behind a merge view); " +
+          "run a full refresh (--full-refresh) to switch")
+    }
+    if (cfg.silverMerge == "merge_on_read")
+      mergeSilverBatchMor(entity, cfg, batch, batchId)
+    else
+      mergeSilverBatchCow(entity, cfg, batch, batchId)
+  }
+
+  /** Copy-on-write merge (`silver_merge: "copy_on_write"`): the touched
+    * buckets are REWRITTEN in full per trigger. */
+  private def mergeSilverBatchCow(entity: String, cfg: EntityConfig,
+      batch: DataFrame, batchId: Long): Unit = {
+    val fqn = params.silverFqn(entity)
+    val n = cfg.silverBuckets
     // deterministic PK-hash bucket (Murmur3, the same hash family Spark
     // bucketing uses); computed on the bronze-vocabulary PK, BEFORE the
     // rename projection, on both sides of the merge
@@ -562,10 +591,325 @@ final class PipelineRunner(
       setTableProps(spark, fqn, refTableProps(cfg) ++ Map(
         "comment" -> comment,
         "clustering_cols" -> cfg.clusteringCols.mkString(","),
-        BucketCountProp -> n.toString) ++
+        BucketCountProp -> n.toString,
+        MergeStrategyProp -> "copy_on_write") ++
         expectationMetrics(entity, "silver", fqn, obs))
     } finally withB.unpersist()
   }
+
+  // ---- merge-on-read incremental silver -----------------------------------
+
+  /** Merge-on-read merge (`silver_merge: "merge_on_read"`): the write per
+    * trigger is O(batch) — the batch's per-PK-latest rows land as one
+    * small DELTA file per touched bucket, never rewriting base data. CDC
+    * deletes and expectation violations become TOMBSTONE rows
+    * (`_retracted = true`) so they can retract a base winner at read
+    * time. The published silver name is a merge VIEW over the raw
+    * base+delta table ([[refreshMorView]]); buckets whose delta count
+    * exceeds `silver_compact_after` compact inline
+    * ([[compactMorBuckets]]).
+    *
+    * At 100 TB silver this is the low-latency ingest posture (Hudi's MOR
+    * / Iceberg's merge-on-read on this repo's catalog-partition
+    * manifest): copy-on-write amortizes a whole-bucket write per touched
+    * bucket per trigger; merge-on-read defers that cost to a bounded
+    * read-side merge plus an occasional compaction, which is the right
+    * trade when triggers are frequent and batches are small relative to
+    * a bucket. */
+  private def mergeSilverBatchMor(entity: String, cfg: EntityConfig,
+      batch: DataFrame, batchId: Long): Unit = {
+    val fqn = params.silverFqn(entity)
+    val rawFqn = params.silverRawFqn(entity)
+    val n = cfg.silverBuckets
+    val bucketOf = pmod(hash(cfg.uniquePrimaryKey.map(col): _*), lit(n))
+    // persist: consumed twice (touched-bucket distinct + the write)
+    val withB = batch.withColumn(BucketCol, bucketOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = withB.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty && spark.catalog.tableExists(rawFqn)) {
+        log(s"$fqn batch $batchId is empty; publishing nothing"); return
+      }
+      val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+        new org.apache.spark.sql.Observation(
+          s"expectations_${entity}_b$batchId"))
+      val obsName = s"expectations_${entity}_b$batchId"
+      if (!spark.catalog.tableExists(rawFqn)) {
+        // first merge = the base build: the regular silver transform
+        // (keep-latest, CDC filter, expectations gate, bucket layout,
+        // rename). Dropped rows need no tombstone — there is no base
+        // to retract from yet.
+        val frame = silverTransform(withB, cfg, obs, obsName,
+          bucketCol = Some(BucketCol))
+          .withColumn(RetractedCol, lit(false))
+        publishMorGeneration(rawFqn, silverPath(entity), frame, touched,
+          deltaGen = 0L)
+      } else {
+        val frame = silverDeltaFrame(withB, cfg, obs)
+        // delta generation id: unique per merge. batchId is monotone per
+        // checkpoint; guard against a manually reset checkpoint by also
+        // clearing the max delta gen already registered.
+        val gen = math.max(math.max(batchId, 1L),
+          morPartitions(rawFqn).map(_._2).maxOption.getOrElse(0L) + 1L)
+        publishMorGeneration(rawFqn, silverPath(entity), frame, touched,
+          deltaGen = gen)
+        compactMorBuckets(entity, cfg, touched)
+      }
+      refreshMorView(entity, cfg)
+      setViewProps(spark, fqn, refTableProps(cfg) ++ Map(
+        "comment" -> (s"Silver deduplicated merge view for $entity " +
+          s"(incremental merge-on-read, $n PK-hash buckets over $rawFqn)"),
+        "clustering_cols" -> cfg.clusteringCols.mkString(","),
+        BucketCountProp -> n.toString,
+        MergeStrategyProp -> "merge_on_read") ++
+        expectationMetrics(entity, "silver", fqn, obs))
+    } finally withB.unpersist()
+  }
+
+  /** The DELTA transform: the batch's per-PK-latest rows, CLASSIFIED
+    * instead of filtered — a row the copy-on-write transform would drop
+    * (CDC delete when hard deletes are on, or an expectation violation)
+    * becomes a tombstone (`_retracted = true`) that retracts its PK at
+    * read time. Mirrors [[silverTransform]]'s order exactly: keep-latest
+    * dedup, CDC classification, expectation classification (violation
+    * metrics count post-dedup NON-deleted rows, matching the cow gate
+    * which runs above the CDC filter), bucket layout, rename. */
+  private def silverDeltaFrame(withB: DataFrame, cfg: EntityConfig,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val latest = Dedup.latestByIngestion(withB, cfg.uniquePrimaryKey)
+    val del: Column =
+      if (!params.softDeletesEnabled && latest.columns.contains("op"))
+        col("op") === "D"
+      else lit(false)
+    val preds = cfg.expectAllOrDrop.toSeq.sortBy(_._1)
+      .map { case (nm, sql) => nm -> expr(sql) }
+    val passes: Column =
+      if (preds.isEmpty) lit(true)
+      else preds.map(p => coalesce(p._2, lit(false))).reduce(_ && _)
+    val observed = obs match {
+      case Some(o) =>
+        val metrics = preds.map { case (nm, p) =>
+          sum(when(!del && !coalesce(p, lit(false)), 1L).otherwise(0L))
+            .as(s"violations_$nm")
+        }
+        latest.observe(o, metrics.head, metrics.tail: _*)
+      case None => latest
+    }
+    val classified = observed.withColumn(RetractedCol, del || !passes)
+    // same physical discipline as the bucketed transform: ONE hash
+    // exchange on the bucket + a within-partition sort — exactly what
+    // the partitioned write needs, no second exchange
+    val newToOld = cfg.renamedColumns.map(_.swap)
+    val clusterCols = cfg.clusteringCols
+      .map(c => newToOld.getOrElse(c, c))
+      .filter(classified.columns.contains)
+    val laid = classified.repartition(col(BucketCol))
+      .sortWithinPartitions((BucketCol +: clusterCols).map(col): _*)
+    Rename(laid, cfg.renamedColumns)
+  }
+
+  /** Publish one merge-on-read generation: write `frame` hive-partitioned
+    * by bucket into a fresh `v{N}` dir, then register each touched bucket
+    * dir as partition `(_bucket=k, _delta=deltaGen)` of the raw table —
+    * `deltaGen = 0` is the bucket's BASE (the creation build and
+    * compaction results), `> 0` a delta. Existing partitions are never
+    * touched: a delta publish is pure ADD PARTITION, so untouched buckets
+    * and prior deltas keep their dirs and the same in-flight-reader
+    * guarantee as [[publishBucketedGeneration]] holds. */
+  private def publishMorGeneration(rawFqn: String, basePathStr: String,
+      frame: DataFrame, touched: Set[Int], deltaGen: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(basePathStr)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, target) = nextVersionDir(fs, base)
+
+    frame.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(target.toString)
+
+    if (!spark.catalog.tableExists(rawFqn)) {
+      // schema from frame (not a read-back): an all-rows-gated first
+      // batch writes no partition dir at all. Partition columns last,
+      // per datasource partitioned-table DDL; `_delta` lives ONLY in
+      // the catalog partition values, never in data files.
+      val dataCols = StructType(frame.schema.fields
+        .filterNot(_.name == BucketCol))
+      spark.sql(s"CREATE TABLE $rawFqn (${dataCols.toDDL}, " +
+        s"`$BucketCol` INT, `$DeltaCol` BIGINT) USING parquet " +
+        s"PARTITIONED BY (`$BucketCol`, `$DeltaCol`) " +
+        s"LOCATION '${base.toString}'")
+    } else {
+      val existingCols = spark.table(rawFqn).schema.fieldNames
+        .map(_.toLowerCase).toSet
+      val newFields = frame.schema.fields
+        .filterNot(f => existingCols.contains(f.name.toLowerCase))
+      if (newFields.nonEmpty)
+        spark.sql(s"ALTER TABLE $rawFqn ADD COLUMNS " +
+          s"(${StructType(newFields).toDDL})")
+    }
+    touched.toSeq.sorted.foreach { k =>
+      val dir = new Path(target, s"$BucketCol=$k")
+      // every touched bucket dir exists on the delta path (tombstones
+      // are written, not dropped); on the base path a fully-gated
+      // bucket writes nothing — correct contents, nothing to register
+      if (fs.exists(dir))
+        spark.sql(s"ALTER TABLE $rawFqn ADD PARTITION " +
+          s"(`$BucketCol`=$k, `$DeltaCol`=$deltaGen) " +
+          s"LOCATION '${dir.toString}'")
+    }
+    spark.catalog.refreshTable(rawFqn)
+    bucketedSupersedeAndVacuum(rawFqn, fs, base, target)
+  }
+
+  /** Raw-table partition inventory: (bucket, deltaGen) pairs from the
+    * catalog — bounded by buckets × (compact_after + 1), pure metadata. */
+  private def morPartitions(rawFqn: String): Seq[(Int, Long)] =
+    spark.sql(s"SHOW PARTITIONS $rawFqn").collect().toSeq
+      .map(_.getString(0)).flatMap { s =>
+        val kv = s.split('/').flatMap { part =>
+          part.split("=", 2) match {
+            case Array(a, b) => Some(a -> b)
+            case _ => None
+          }
+        }.toMap
+        for {
+          b <- kv.get(BucketCol).flatMap(_.toIntOption)
+          d <- kv.get(DeltaCol).flatMap(_.toLongOption)
+        } yield (b, d)
+      }
+
+  /** Compact every candidate bucket holding MORE than
+    * `silver_compact_after` delta partitions: merge its base ∪ deltas
+    * with the same keep-latest ordering the view uses, drop tombstone
+    * winners, write the result as the bucket's new BASE generation, and
+    * drop its delta partitions. Read is partition-pruned to exactly the
+    * compacted buckets; untouched buckets never move. The view contents
+    * are invariant under compaction (same ordering, same tombstone
+    * filter) — pinned by spec. */
+  private def compactMorBuckets(entity: String, cfg: EntityConfig,
+      candidates: Set[Int]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rawFqn = params.silverRawFqn(entity)
+    val parts = morPartitions(rawFqn)
+    val deltasPerBucket: Map[Int, Seq[Long]] = parts.filter(_._2 > 0L)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val toCompact = candidates.toSeq.sorted.filter(k =>
+      deltasPerBucket.getOrElse(k, Nil).sizeIs > cfg.silverCompactAfter)
+    if (toCompact.isEmpty) return
+    log(s"$rawFqn compacting buckets ${toCompact.mkString(",")} " +
+      s"(> ${cfg.silverCompactAfter} deltas)")
+    val pkNew = cfg.uniquePrimaryKey
+      .map(p => cfg.renamedColumns.getOrElse(p, p))
+    val rows = spark.table(rawFqn)
+      .where(col(BucketCol).isin(toCompact.map(Int.box): _*))
+    val winners = Dedup.latestByIngestion(rows, pkNew)
+      .filter(!col(RetractedCol))
+      .drop(DeltaCol)
+    val clusterCols = cfg.clusteringCols.filter(winners.columns.contains)
+    val laid = winners.repartition(col(BucketCol))
+      .sortWithinPartitions((BucketCol +: clusterCols).map(col): _*)
+
+    val base = new Path(silverPath(entity))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, target) = nextVersionDir(fs, base)
+    laid.write.mode("overwrite").partitionBy(BucketCol)
+      .parquet(target.toString)
+    toCompact.foreach { k =>
+      val dir = new Path(target, s"$BucketCol=$k")
+      val hadBase = parts.exists(p => p._1 == k && p._2 == 0L)
+      (fs.exists(dir), hadBase) match {
+        case (true, true) => spark.sql(
+          s"ALTER TABLE $rawFqn PARTITION (`$BucketCol`=$k, `$DeltaCol`=0) " +
+            s"SET LOCATION '${dir.toString}'")
+        case (true, false) => spark.sql(
+          s"ALTER TABLE $rawFqn ADD PARTITION " +
+            s"(`$BucketCol`=$k, `$DeltaCol`=0) LOCATION '${dir.toString}'")
+        case (false, true) => spark.sql(
+          s"ALTER TABLE $rawFqn DROP IF EXISTS PARTITION " +
+            s"(`$BucketCol`=$k, `$DeltaCol`=0)")
+        case (false, false) => () // every version of every PK retracted
+      }
+      deltasPerBucket.getOrElse(k, Nil).foreach { d =>
+        spark.sql(s"ALTER TABLE $rawFqn DROP IF EXISTS PARTITION " +
+          s"(`$BucketCol`=$k, `$DeltaCol`=$d)")
+      }
+    }
+    spark.catalog.refreshTable(rawFqn)
+    bucketedSupersedeAndVacuum(rawFqn, fs, base, target)
+  }
+
+  /** (Re)create the published silver MERGE VIEW over the raw base+delta
+    * table. Read-side plan, by construction:
+    *
+    *  - `dpk` (the contested-PK set) comes from delta partitions only —
+    *    bounded by `silver_compact_after` small files per bucket — and is
+    *    BROADCAST to both joins: base is NEVER shuffled, the whole read
+    *    is one pass over base plus a delta-sized merge. (Base is scanned
+    *    by two branches; each is a pruned columnar scan — still far
+    *    cheaper at scale than one table-sized hash exchange.)
+    *  - keep-latest ties resolve by the SAME ordering
+    *    [[graft.ops.Dedup.latestByIngestion]] uses (`_ingested_at` DESC,
+    *    then source-file/mod-time DESC — Spark's DESC is NULLS LAST,
+    *    matching `desc_nulls_last`), so view contents equal the
+    *    copy-on-write merge row for row.
+    *  - the window partitions by (`_bucket`, pk) — `_bucket` is a pure
+    *    function of the PK so the grouping is unchanged, and having the
+    *    partition column in the spec lets a reader's `_bucket` predicate
+    *    push below the window into BOTH raw scans: partition pruning
+    *    survives the view.
+    *  - tombstone winners (`_retracted`) drop here, retracting their PK
+    *    exactly like the cow merge's CDC filter / expectations gate. */
+  private def refreshMorView(entity: String, cfg: EntityConfig): Unit = {
+    def q(id: String): String = "`" + id.replace("`", "``") + "`"
+    val fqn = params.silverFqn(entity)
+    val rawFqn = params.silverRawFqn(entity)
+    val raw = spark.table(rawFqn)
+    val pkNew = cfg.uniquePrimaryKey
+      .map(p => cfg.renamedColumns.getOrElse(p, p))
+    val pkList = pkNew.map(q).mkString(", ")
+    val joinCond = pkNew.map(p => s"b.${q(p)} <=> d.${q(p)}")
+      .mkString(" AND ")
+    val order = Seq(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
+      .filter(raw.columns.contains).map(c => s"${q(c)} DESC").mkString(", ")
+    val outCols = raw.schema.fieldNames
+      .filterNot(Set(DeltaCol, RetractedCol).contains)
+    val outList = outCols.map(q).mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW $fqn AS
+         |WITH delta AS (SELECT * FROM $rawFqn WHERE ${q(DeltaCol)} > 0),
+         |dpk AS (SELECT DISTINCT $pkList FROM delta),
+         |base AS (SELECT * FROM $rawFqn WHERE ${q(DeltaCol)} = 0),
+         |uncontested AS (
+         |  SELECT /*+ BROADCAST(d) */ b.* FROM base b
+         |  LEFT ANTI JOIN dpk d ON $joinCond),
+         |contested AS (
+         |  SELECT /*+ BROADCAST(d) */ b.* FROM base b
+         |  LEFT SEMI JOIN dpk d ON $joinCond
+         |  UNION ALL SELECT * FROM delta),
+         |ranked AS (
+         |  SELECT c.*, ROW_NUMBER() OVER (
+         |    PARTITION BY ${q(BucketCol)}, $pkList
+         |    ORDER BY $order) AS ${q(RowNumCol)}
+         |  FROM contested c)
+         |SELECT $outList FROM uncontested
+         |UNION ALL
+         |SELECT $outList FROM ranked
+         |WHERE ${q(RowNumCol)} = 1 AND NOT ${q(RetractedCol)}
+         |""".stripMargin)
+  }
+
+  /** DROP VIEW / DROP TABLE as the object's actual type demands — the
+    * published silver name is a TABLE under full / copy-on-write modes
+    * and a VIEW under merge-on-read. */
+  private def dropTableOrView(fqn: String): Unit =
+    if (spark.catalog.tableExists(fqn)) {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(fqn)
+      val isView = spark.sessionState.catalog.getTableMetadata(ident)
+        .tableType ==
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      if (isView) spark.sql(s"DROP VIEW IF EXISTS $fqn")
+      else spark.sql(s"DROP TABLE IF EXISTS $fqn")
+    }
 
   /** Drain an expectations Observation (post-write) into table-property
     * form AND append the counts to the pipeline's expectation event log —
@@ -1135,6 +1479,34 @@ object PipelineRunner {
   /** Table property pinning the bucket count a silver table was laid out
     * with — [[mergeSilverBatch]] fails loud when the config disagrees. */
   val BucketCountProp = "graft.silver_buckets"
+
+  /** Table property pinning the merge strategy (`copy_on_write` /
+    * `merge_on_read`) the incremental silver was published with — the two
+    * physical layouts are incompatible, so [[mergeSilverBatch]] fails
+    * loud on a config switch without a full refresh. */
+  val MergeStrategyProp = "graft.silver_merge"
+
+  /** Merge-on-read: catalog partition column holding the delta
+    * generation id (0 = the bucket's base, > 0 a delta). Lives only in
+    * partition values, never in data files. */
+  val DeltaCol = "_delta"
+
+  /** Merge-on-read: tombstone marker — a delta row whose arrival
+    * RETRACTS its PK (CDC delete under hard-delete mode, or an
+    * expectation violation). Hidden by the merge view. */
+  val RetractedCol = "_retracted"
+
+  /** Internal rank column of the merge view's keep-latest window. */
+  val RowNumCol = "_rn"
+
+  /** [[setTableProps]] for views (`ALTER VIEW ... SET TBLPROPERTIES`). */
+  def setViewProps(spark: SparkSession, fqn: String,
+      props: Map[String, String]): Unit = {
+    val kv = props.map { case (k, v) =>
+      s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'"
+    }.mkString(", ")
+    spark.sql(s"ALTER VIEW $fqn SET TBLPROPERTIES ($kv)")
+  }
 
   /** JVM-level monitor serializing expectation-log appends across
     * concurrent entity flows (see appendExpectationLog). */

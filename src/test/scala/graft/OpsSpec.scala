@@ -420,6 +420,22 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("silver_mode"))
   }
 
+  test("config parser: silver_merge defaults to copy_on_write, accepts " +
+      "merge_on_read, rejects others; silver_compact_after bounds-checked") {
+    val d = ConfigLoader.parse("""{"e": {}}""")("e")
+    assert(d.silverMerge == "copy_on_write" && d.silverCompactAfter == 8)
+    assert(ConfigLoader.parse(
+      """{"e": {"silver_merge": "merge_on_read",
+        |       "silver_compact_after": 3}}""".stripMargin)("e")
+      .silverMerge == "merge_on_read")
+    val e1 = intercept[IllegalArgumentException](ConfigLoader.parse(
+      """{"e": {"silver_merge": "mor"}}"""))
+    assert(e1.getMessage.contains("silver_merge"))
+    val e2 = intercept[IllegalArgumentException](ConfigLoader.parse(
+      """{"e": {"silver_compact_after": 0}}"""))
+    assert(e2.getMessage.contains("silver_compact_after"))
+  }
+
   test("config parser: renamed_columns accepts object and list forms") {
     assert(ConfigLoader.parse(
       """{"e": {"renamed_columns": {"old": "new"}}}""")("e")

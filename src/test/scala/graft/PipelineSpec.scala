@@ -601,6 +601,172 @@ class PipelineSpec extends AnyFunSuite {
       msgs.take(500))
   }
 
+  test("merge-on-read incremental silver: deltas are O(batch) appends, " +
+      "the merge view equals the full recompute incl. CDC + expectation " +
+      "tombstones, compaction folds deltas back, strategy switch fails " +
+      "loud") {
+    val src = tmpDir("mor-src"); val store = tmpDir("mor-store")
+    val srcF = tmpDir("morf-src"); val storeF = tmpDir("morf-store")
+    def cfgJson(mode: String, merge: String) = s"""{"app_downloads": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["id"],
+      |  "silver_mode": "$mode",
+      |  "silver_merge": "$merge",
+      |  "silver_buckets": 4,
+      |  "silver_compact_after": 1,
+      |  "expect_all_or_drop": {"created_ok": "created_at IS NOT NULL"},
+      |  "renamed_columns": {"downloads": "n_downloads"}
+      |}}""".stripMargin
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      cfgJson("incremental", "merge_on_read"))
+    Files.writeString(Path.of(srcF, "dp_config_template.json"),
+      cfgJson("full", "copy_on_write"))
+    writeBatch1(src); writeBatch1(srcF)
+
+    val fqn = "`morm_silver`.`silver_app_downloads`"
+    val rawFqn = "`morm_silver`.`silver_app_downloads_raw`"
+    def silverRows(cat: String): Seq[(Long, Long, String)] =
+      spark.table(s"`${cat}_silver`.`silver_app_downloads`")
+        .select($"id", $"n_downloads", $"v")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+    def runBoth(clock: String): Unit = {
+      val (rm, _) = mkRunner(src, store, clock, catalog = "morm")
+      val (rf, _) = mkRunner(srcF, storeF, clock, catalog = "morf")
+      rm.run(ConfigLoader.load(spark, src))
+      rf.run(ConfigLoader.load(spark, srcF))
+    }
+    def rawParts(): Seq[(Int, Long)] =
+      spark.sql(s"SHOW PARTITIONS $rawFqn").as[String].collect().toSeq
+        .map { s =>
+          val kv = s.split('/').map { p =>
+            val Array(a, b) = p.split("=", 2); a -> b
+          }.toMap
+          (kv("_bucket").toInt, kv("_delta").toLong)
+        }
+
+    // batch 1: base build — view == full recompute, raw is all-base
+    runBoth("2024-02-01 00:00:00")
+    assert(silverRows("morm") == silverRows("morf"))
+    assert(silverRows("morm").nonEmpty)
+    assert(spark.catalog.getTable("morm_silver", "silver_app_downloads")
+      .tableType == "VIEW", "merge-on-read silver must publish a view")
+    assert(rawParts().nonEmpty && rawParts().forall(_._2 == 0L))
+    assert(PipelineRunner.tableProp(spark, fqn,
+      PipelineRunner.MergeStrategyProp).contains("merge_on_read"))
+
+    // batch 2: newer version (id=1), CDC delete (id=2), expectation
+    // violation (id=5), brand-new id=9 — retractions must work through
+    // TOMBSTONES because their base winners live in already-published
+    // base files that a delta append never touches
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("downloads", IntegerType),
+      StructField("created_at", StringType), StructField("op", StringType),
+      StructField("v", StringType)))
+    def writeMore(dir: String, rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("append").parquet(s"$dir/app_downloads")
+    val batch2 = Seq(
+      Row(1L, 11, "2024-03-01", "U", "one-v2"),
+      Row(2L, 22, "2024-03-01", "D", "two-del"),
+      Row(5L, 55, null, "I", "five-bad"),
+      Row(9L, 99, "2024-03-01", "I", "nine-new"))
+    writeMore(src, batch2); writeMore(srcF, batch2)
+    runBoth("2024-03-05 00:00:00")
+    val after = silverRows("morm")
+    assert(after == silverRows("morf"),
+      "merge-on-read view diverged from the full recompute")
+    val ids = after.map(_._1)
+    assert(ids.contains(9L) && !ids.contains(2L) && !ids.contains(5L),
+      s"tombstone retraction mismatch: $ids")
+    assert(after.find(_._1 == 1L).exists(_._3 == "one-v2"))
+
+    // physical evidence of O(batch) writes: the merge added ONLY delta
+    // partitions; every base partition still points into v1 (no base
+    // data was rewritten), and the raw deltas are exactly the batch's
+    // per-PK-latest rows with 2 tombstones (id=2 delete, id=5 violation)
+    val parts2 = rawParts()
+    assert(parts2.exists(_._2 > 0L), s"no delta partitions: $parts2")
+    def basePartLoc(b: Int): String =
+      spark.sql(s"DESCRIBE EXTENDED $rawFqn " +
+          s"PARTITION (`_bucket`=$b, `_delta`=0)")
+        .where($"col_name" === "Location").select("data_type")
+        .as[String].head()
+    parts2.filter(_._2 == 0L).map(_._1).foreach(b =>
+      assert(basePartLoc(b).contains("/v1/"),
+        s"base bucket $b was rewritten: ${basePartLoc(b)}"))
+    val draw = spark.table(rawFqn).where($"_delta" > 0)
+    assert(draw.count() == 4, "delta must hold the batch-latest rows only")
+    assert(draw.where($"_retracted").count() == 2)
+    assert(draw.where($"_retracted").select($"id").as[Long]
+      .collect().toSet == Set(2L, 5L))
+
+    // read plan: delta-PK set is BROADCAST (base is never shuffled) and
+    // a _bucket predicate partition-prunes through the view
+    val planStr = spark.table(fqn).queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr.take(800))
+    assert(!planStr.contains("SortMergeJoin"), planStr.take(800))
+    val bucketOf: Map[Long, Int] = Seq(1L, 2L, 5L, 9L).toDF("id")
+      .select($"id", pmod(hash($"id"), lit(4)).as("b"))
+      .as[(Long, Int)].collect().toMap
+    val b1 = bucketOf(1L)
+    // the view's joins trigger AQE, so file metrics live inside
+    // AdaptiveSparkPlanExec / QueryStageExec wrappers — unwrap them
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def walk(p: SparkPlan): Long = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: FileSourceScanExec =>
+          s.metrics.get("numFiles").map(_.value).getOrElse(0L)
+        case o => o.children.map(walk).sum
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val prunedN = scannedFiles(spark.table(fqn).where($"_bucket" === b1))
+    val allN = scannedFiles(spark.table(fqn))
+    assert(prunedN > 0 && prunedN < allN, s"pruned=$prunedN all=$allN")
+
+    // batch 3: a second update to id=1 pushes its bucket past
+    // silver_compact_after=1 → that bucket compacts back to base-only;
+    // contents still equal the full recompute
+    val batch3 = Seq(Row(1L, 12, "2024-04-01", "U", "one-v3"))
+    writeMore(src, batch3); writeMore(srcF, batch3)
+    runBoth("2024-04-05 00:00:00")
+    assert(silverRows("morm") == silverRows("morf"),
+      "post-compaction view diverged from the full recompute")
+    assert(silverRows("morm").find(_._1 == 1L).exists(_._3 == "one-v3"))
+    val parts3 = rawParts()
+    assert(parts3.filter(_._1 == b1).map(_._2) == Seq(0L),
+      s"bucket $b1 should be compacted to base-only: $parts3")
+    // the compacted base holds winners only — no tombstones
+    assert(spark.table(rawFqn).where($"_bucket" === b1)
+      .where($"_retracted").count() == 0)
+
+    // strategy switch on an existing table: loud, names the remedy;
+    // with --full-refresh it rebuilds under the new strategy as a TABLE
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      cfgJson("incremental", "copy_on_write"))
+    writeMore(src, Seq(Row(7L, 70, "2024-05-01", "I", "seven")))
+    val (r4, _) = mkRunner(src, store, "2024-05-05 00:00:00",
+      catalog = "morm")
+    val ex = intercept[Exception](r4.run(ConfigLoader.load(spark, src)))
+    val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("silver_merge=merge_on_read") &&
+      msgs.contains("full refresh"), msgs.take(500))
+    r4.run(ConfigLoader.load(spark, src), fullRefresh = true)
+    assert(spark.catalog.getTable("morm_silver", "silver_app_downloads")
+      .tableType != "VIEW")
+    assert(!spark.catalog.tableExists(rawFqn),
+      "full refresh must drop the raw base+delta table")
+    val rebuilt = silverRows("morm").map(_._1)
+    assert(rebuilt.contains(7L) && rebuilt.contains(9L) &&
+      !rebuilt.contains(2L) && !rebuilt.contains(5L), rebuilt.toString)
+  }
+
   test("silver_mode switches on an existing table fail loud (both " +
       "directions) and rebuild under --full-refresh") {
     val src = tmpDir("msw-src"); val store = tmpDir("msw-store")
