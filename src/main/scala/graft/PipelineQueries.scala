@@ -75,6 +75,60 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           round(col("quality"), 6).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: merge-on-read incremental silver, driven end-to-end. Three
+    //    real pipeline runs: base build, then a delta batch carrying newer
+    //    versions (doc_id % 13) AND expectation-violating rows
+    //    (doc_id % 11 → NULL text → TOMBSTONE retracting the base winner),
+    //    then a second update wave (doc_id % 17) that pushes buckets past
+    //    silver_compact_after=1 so some buckets COMPACT inline while
+    //    others still hold deltas — the merge view must be exact over the
+    //    mixed base/delta/compacted state. The oracle is plain SQL over
+    //    the source table: the entire delta/tombstone/compaction machinery
+    //    must be invisible in the result.
+    "q_silver_mor" -> ((s, dir) => {
+      val run = s"morq_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      val docs = analytics.Tables(s, dir, "documents")
+      // real dir (not the shared symlink): batches 2/3 append files here
+      docs.write.parquet(s"$root/src/documents")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"documents": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["doc_id"],
+          |  "silver_mode": "incremental",
+          |  "silver_merge": "merge_on_read",
+          |  "silver_buckets": 32,
+          |  "silver_compact_after": 1,
+          |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"}
+          |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      def runAt(clock: String): PipelineParams = {
+        val params = PipelineParams(sourceLocation = s"$root/src",
+          catalogName = run,
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        new PipelineRunner(s, params, s"$root/store")
+          .run(ConfigLoader.load(s, params.sourceLocation))
+        params
+      }
+      runAt("2024-02-01 00:00:00")
+      docs.where(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(lit("updated: "), col("text")))
+        .unionByName(docs
+          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .withColumn("text", lit(null).cast("string")))
+        .write.mode("append").parquet(s"$root/src/documents")
+      runAt("2024-02-02 00:00:00")
+      docs.where(col("doc_id") % 17 === 0 &&
+          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("text", concat(lit("v3: "), col("text")))
+        .write.mode("append").parquet(s"$root/src/documents")
+      val params = runAt("2024-02-03 00:00:00")
+      s.table(params.silverFqn("documents"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -82,5 +136,17 @@ object PipelineQueries {
     * PK dedup over unique ids, versioned publish) must not change the
     * curated result. */
   def oracleSql: Map[String, String] = Map(
-    "q_gold_curation" -> LlmQueries.oracleSql("q_curation"))
+    "q_gold_curation" -> LlmQueries.oracleSql("q_curation"),
+    // keep-latest over three batches, with the doc_id % 11 tombstone wave
+    // retracted and both update waves applied — delta files, tombstones,
+    // the merge view, and inline compaction must all be invisible here
+    "q_silver_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'updated: ' || text
+        |       WHEN doc_id % 17 = 0 THEN 'v3: ' || text
+        |       ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 11 = 0 AND doc_id % 13 != 0)
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -762,9 +762,13 @@ class PipelineSpec extends AnyFunSuite {
       .tableType != "VIEW")
     assert(!spark.catalog.tableExists(rawFqn),
       "full refresh must drop the raw base+delta table")
+    // (contested ids 2/5 are NOT asserted: the refresh replays all
+    // bronze files under ONE injected clock, so their retracted-vs-kept
+    // outcome tie-breaks on random part-file names — the documented
+    // fixed-clock caveat, same as the copy-on-write twin test)
     val rebuilt = silverRows("morm").map(_._1)
     assert(rebuilt.contains(7L) && rebuilt.contains(9L) &&
-      !rebuilt.contains(2L) && !rebuilt.contains(5L), rebuilt.toString)
+      rebuilt.contains(1L), rebuilt.toString)
   }
 
   test("silver_mode switches on an existing table fail loud (both " +
