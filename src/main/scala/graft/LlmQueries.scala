@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.analytics.Tables
 import graft.dedup.{ConnectedComponents, DedupOps}
+import graft.functions.HashExpressions
 import graft.similarity.SimilarityOps
 import graft.text.{CorpusStats, TextOps}
 
@@ -186,10 +187,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // -- [EXT]: SimHash near-dup with Manku-style chunk blocking (no oracle)
+    // -- [EXT]: SimHash near-dup with Manku-style chunk blocking. FULL
+    //    ORACLE via the portable hash family: token hashes are
+    //    md5_lower64 (≡ DuckDB md5_number_lower), so the oracle rebuilds
+    //    every 64-bit signature with integer SQL and checks the pair set
+    //    exactly — the blocking's losslessness is thereby
+    //    driver-verified, not just spec-asserted. Production calls
+    //    default to the faster xxhash64 family (same plan shape; the
+    //    hash choice only affects which pairs count as near).
     "q_simhash_neardup" -> ((s, dir) => {
       DedupOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 3)
+        maxDist = 3, tokenHash = HashExpressions.md5lo)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -952,6 +960,39 @@ object LlmQueries {
        |  FROM (SELECT *, string_split($duckNorm, ' ') AS ntoks FROM documents))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    // Exact SQL reimplementation of the md5-family SimHash: rebuild every
+    // 64-bit signature (per-bit ±1 sums over md5_number_lower token
+    // hashes — identical little-endian semantics to the engine's
+    // md5_lower64), then check ALL pairs at Hamming ≤ 3. The engine's
+    // chunk-blocked join must find exactly this set (Manku pigeonhole).
+    "q_simhash_neardup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents
+         |), th AS (
+         |  SELECT doc_id, md5_number_lower(term) AS h FROM toks
+         |), sbits AS (
+         |  SELECT doc_id, t.b AS b,
+         |    CASE WHEN sum(CASE WHEN (h >> CAST(t.b AS INTEGER)) & 1 = 1
+         |                       THEN 1 ELSE -1 END) > 0
+         |         THEN 1 ELSE 0 END AS sbit
+         |  FROM th CROSS JOIN range(64) t(b)
+         |  GROUP BY doc_id, t.b
+         |), sigs AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN sbit = 1
+         |             THEN (1::UBIGINT << CAST(b AS INTEGER))
+         |             ELSE 0::UBIGINT END) AS sig
+         |  FROM sbits GROUP BY doc_id
+         |), pairs AS (
+         |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    bit_count(xor(CAST(a.sig AS UBIGINT), CAST(c.sig AS UBIGINT)))
+         |      AS dist
+         |  FROM sigs a JOIN sigs c ON a.doc_id < c.doc_id
+         |)
+         |SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist FROM pairs
+         |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, n_tokens, n_bpe_tokens,

@@ -236,13 +236,24 @@ object RelQueries {
         .orderBy(col("custkey"))
     }),
 
-    // -- A3 [EXT]: HyperLogLog approx distinct (no oracle: approx result;
-    //    exactness bound asserted in spec)
+    // -- A3 [EXT]: HyperLogLog approx distinct. FULL ORACLE via the
+    //    portable dense HLL (md5 hash family, exact-integer harmonic
+    //    sum): DuckDB rebuilds the registers and the estimate formula
+    //    bit-for-bit, so the driver verifies the ESTIMATES themselves —
+    //    stronger than the usual sketch posture (error-bound specs
+    //    only). Estimates round to whole counts before compare so a
+    //    last-ulp ln() difference cannot flip the match.
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        .agg(udaf(new graft.analytics.PortableHll.HllAggregator(12))
+            .apply(graft.functions.HashExpressions
+              .md5lo(col("l_partkey").cast("string"))).as("_regs"),
           count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"),
+          round(graft.analytics.PortableHll.hllEstimate(col("_regs"), 12), 0)
+            .cast("long").as("approx_parts"),
+          col("n_rows"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -289,25 +300,28 @@ object RelQueries {
     // -- A3 [EXT]: HLL sketch-table rollup — per-(lang, source) mergeable
     //    distinct-token sketches built ONCE from the data, then BOTH the
     //    per-lang and the corpus-wide distinct estimates answered from the
-    //    KB-sized sketch table alone (union_agg over binary sketches — the
-    //    raw corpus is not rescanned). At 100 TB the sketch table is the
-    //    persisted artifact: a new ingest batch appends its rows, and
-    //    register-max merges make re-unions double-count-proof. No oracle
-    //    (DataSketches HLL internals are engine-specific); mergeability
-    //    (union-of-partials == direct global sketch), error vs exact, and
-    //    parquet round-trip are spec-asserted (SketchSpec).
+    //    KB-sized sketch table alone (register-max union over binary
+    //    sketch rows — the raw corpus is not rescanned). At 100 TB the
+    //    sketch table is the persisted artifact: a new ingest batch
+    //    appends its rows, and register-max merges make re-unions
+    //    double-count-proof. FULL ORACLE via the portable dense HLL
+    //    (md5 family, exact-integer harmonic sum — see
+    //    q_approx_distinct); the DataSketches-backed twin
+    //    (Sketches.hllSketchTable) keeps its mergeability / error /
+    //    round-trip specs in SketchSpec.
     "q_hll_rollup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val terms = docs.select(col("lang"), col("source"), explode(
           split(graft.text.TextOps.normalize(col("text")), " ")).as("term"))
         .filter(length(col("term")) > 0)
       val sketches = graft.analytics.Sketches
-        .hllSketchTable(terms, col("term"), Seq("lang", "source"))
+        .portableHllSketchTable(terms, col("term"), Seq("lang", "source"))
       // ONE rollup aggregate over the sketch table yields every level:
       // per-lang rows + the corpus grand total (lang NULL → "*")
-      graft.analytics.Sketches.hllRollupEstimate(sketches, Seq("lang"))
+      graft.analytics.Sketches.portableHllRollupEstimate(sketches, Seq("lang"))
         .select(coalesce(col("lang"), lit("*")).as("lang"),
-          col("distinct_est"), col("n_rows"))
+          round(col("distinct_est"), 0).cast("long").as("distinct_est"),
+          col("n_rows"))
         .orderBy(col("lang"))
     }),
 
@@ -315,17 +329,23 @@ object RelQueries {
     //    of the persisted-sketch-table family (HLL = distinct). Per-(lang,
     //    source) mergeable sketches of document length, then per-lang AND
     //    corpus-wide p10/p50/p90/p99 answered from the KB-sized sketch
-    //    rows in one rollup — raw data scanned once, rescans never. No
-    //    oracle (KLL compaction is randomized); the rank-error bound,
-    //    mergeability, and parquet round-trip are spec-asserted
-    //    (SketchSpec).
+    //    rows in one rollup — raw data scanned once, rescans never.
+    //    FULL ORACLE via the exact-capacity configuration (the
+    //    nprobe=nlist promotion pattern): a KLL sketch whose k exceeds
+    //    the stream size never compacts, so it retains every value and
+    //    its INCLUSIVE quantiles are the exact order statistics —
+    //    identical to SQL percentile_disc. k=65535 (the DataSketches
+    //    maximum) ≥ every SF the driver runs; the production default
+    //    (k=200, ~2.2 % rank error, few-KB rows) is exercised by
+    //    SketchSpec's rank-error-bound / mergeability / round-trip specs.
     "q_kll_profile" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val sketches = graft.analytics.Sketches
-        .kllSketchTable(docs, col("n_chars"), Seq("lang", "source"))
+        .kllSketchTable(docs, col("n_chars"), Seq("lang", "source"),
+          k = 65535)
       graft.analytics.Sketches
         .kllRollupQuantiles(sketches, Seq("lang"),
-          Seq(0.1, 0.5, 0.9, 0.99))
+          Seq(0.1, 0.5, 0.9, 0.99), k = 65535)
         .select(coalesce(col("lang"), lit("*")).as("lang"),
           col("n_rows"),
           element_at(col("quantiles"), 1).as("p10"),
@@ -579,6 +599,108 @@ object RelQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // Exact SQL reimplementation of the portable dense HLL (p=12): md5
+    // hash → top-12-bit bucket, max leading-zero rank over the low 52
+    // bits, exact-integer harmonic sum (HUGEINT), then the estimate
+    // formula with the engine's exact float association. Rounded to a
+    // whole count on both sides.
+    "q_approx_distinct" ->
+      """WITH th AS (
+        |  SELECT l_returnflag,
+        |         md5_number_lower(CAST(l_partkey AS VARCHAR)) AS h
+        |  FROM lineitem
+        |), nr AS (
+        |  SELECT l_returnflag, count(*) AS n_rows
+        |  FROM lineitem GROUP BY l_returnflag
+        |), regs AS (
+        |  SELECT l_returnflag, (h >> 52) AS bucket,
+        |    max(CASE WHEN (h & 4503599627370495::UBIGINT) = 0::UBIGINT
+        |             THEN 53
+        |             ELSE 53 - length(format('{:b}',
+        |               CAST((h & 4503599627370495::UBIGINT) AS BIGINT)))
+        |        END) AS rho
+        |  FROM th GROUP BY l_returnflag, bucket
+        |), agg AS (
+        |  SELECT l_returnflag, count(*) AS present,
+        |    sum(CAST(1::UBIGINT << CAST(53 - rho AS INTEGER) AS HUGEINT))
+        |      AS s_present
+        |  FROM regs GROUP BY l_returnflag
+        |), e AS (
+        |  SELECT l_returnflag, (4096 - present) AS zeros,
+        |    ((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0))
+        |      * 9007199254740992.0
+        |      / CAST(s_present + CAST(4096 - present AS HUGEINT)
+        |             * CAST(1::UBIGINT << 53 AS HUGEINT) AS DOUBLE) AS raw
+        |  FROM agg
+        |)
+        |SELECT e.l_returnflag,
+        |  CAST(round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+        |                  THEN 4096.0 * ln(4096.0 / zeros)
+        |                  ELSE raw END, 0) AS BIGINT) AS approx_parts,
+        |  nr.n_rows
+        |FROM e JOIN nr USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Same portable-HLL reimplementation over normalized document terms,
+    // at both rollup levels (per-lang + '*' grand total).
+    "q_hll_rollup" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), terms AS (
+        |  SELECT lang, md5_number_lower(term) AS h
+        |  FROM toks WHERE length(term) > 0
+        |), lv AS (
+        |  SELECT lang, h FROM terms
+        |  UNION ALL
+        |  SELECT '*' AS lang, h FROM terms
+        |), nr AS (
+        |  SELECT lang, count(*) AS n_rows FROM lv GROUP BY lang
+        |), regs AS (
+        |  SELECT lang, (h >> 52) AS bucket,
+        |    max(CASE WHEN (h & 4503599627370495::UBIGINT) = 0::UBIGINT
+        |             THEN 53
+        |             ELSE 53 - length(format('{:b}',
+        |               CAST((h & 4503599627370495::UBIGINT) AS BIGINT)))
+        |        END) AS rho
+        |  FROM lv GROUP BY lang, bucket
+        |), agg AS (
+        |  SELECT lang, count(*) AS present,
+        |    sum(CAST(1::UBIGINT << CAST(53 - rho AS INTEGER) AS HUGEINT))
+        |      AS s_present
+        |  FROM regs GROUP BY lang
+        |), e AS (
+        |  SELECT lang, (4096 - present) AS zeros,
+        |    ((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0))
+        |      * 9007199254740992.0
+        |      / CAST(s_present + CAST(4096 - present AS HUGEINT)
+        |             * CAST(1::UBIGINT << 53 AS HUGEINT) AS DOUBLE) AS raw
+        |  FROM agg
+        |)
+        |SELECT e.lang,
+        |  CAST(round(CASE WHEN raw <= 2.5 * 4096.0 AND zeros > 0
+        |                  THEN 4096.0 * ln(4096.0 / zeros)
+        |                  ELSE raw END, 0) AS BIGINT) AS distinct_est,
+        |  nr.n_rows
+        |FROM e JOIN nr USING (lang)
+        |ORDER BY lang""".stripMargin,
+
+    // Exact-capacity KLL (k ≥ n ⇒ no compaction ⇒ retained values are the
+    // full sorted stream, INCLUSIVE quantile = percentile_disc). The
+    // rollup levels mirror Spark's rollup(lang): per-lang + grand total.
+    "q_kll_profile" ->
+      """SELECT coalesce(lang, '*') AS lang,
+        |  count(n_chars) AS n_rows,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.1) AS p10,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.5) AS p50,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.9) AS p90,
+        |  quantile_disc(CAST(n_chars AS DOUBLE), 0.99) AS p99
+        |FROM documents
+        |GROUP BY ROLLUP(lang)
+        |ORDER BY lang""".stripMargin,
 
     "q_sort_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

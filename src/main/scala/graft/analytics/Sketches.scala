@@ -141,6 +141,37 @@ object Sketches {
         graft.functions.KllQuantilesOf(col("_sk"), probs))
       .drop("_sk")
 
+  /** [[hllSketchTable]]'s PORTABLE twin: same shape (one mergeable
+    * distinct-sketch row per stratum + exact row count), registers built
+    * by [[PortableHll]] over the md5 hash family instead of DataSketches
+    * over engine hashing — which makes every later estimate exactly
+    * reproducible outside this engine (the driver's DuckDB oracle checks
+    * the ESTIMATES, not just bounds). Null keys are excluded (SQL
+    * aggregate semantics). Dense 2^p-byte rows (4 KB at p=12) vs
+    * DataSketches' adaptive sparse encoding — the price of portability;
+    * both are KB-sized against terabyte corpora. */
+  def portableHllSketchTable(df: DataFrame, key: Column, strata: Seq[String],
+      p: Int = 12): DataFrame =
+    df.filter(key.isNotNull)
+      .groupBy(strata.map(col): _*)
+      .agg(udaf(new PortableHll.HllAggregator(p))
+          .apply(graft.functions.HashExpressions.md5lo(key.cast("string")))
+          .as("hll_regs"),
+        count(key).as("n_rows"))
+
+  /** [[hllRollupEstimate]] over a PORTABLE sketch table: every rollup
+    * level of `strata` (finest … grand total, NULL-strata marker) from
+    * one aggregate over register rows — elementwise-max union, then the
+    * [[PortableHll.estimate]] formula. */
+  def portableHllRollupEstimate(sketchTable: DataFrame, strata: Seq[String],
+      p: Int = 12): DataFrame =
+    sketchTable.rollup(strata.map(col): _*)
+      .agg(udaf(new PortableHll.HllUnionAggregator(p)).apply(col("hll_regs"))
+          .as("_regs"),
+        sum(col("n_rows")).as("n_rows"))
+      .withColumn("distinct_est", PortableHll.hllEstimate(col("_regs"), p))
+      .drop("_regs")
+
   /** Per-document frequent-token profile: the share of a document's tokens
     * whose estimated corpus frequency is ≥ `minCount` — the
     * stopword-saturation / boilerplate signal, scored WITHOUT joining a

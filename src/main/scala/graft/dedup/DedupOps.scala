@@ -495,12 +495,20 @@ object DedupOps {
   }
 
   /** 64-bit SimHash over word unigrams: per bit b, sum +1/−1 by bit b of
-    * each token's xxhash64; bit b of the result = sign of the sum.
+    * each token's hash; bit b of the result = sign of the sum.
     * Near-dups = Hamming distance ≤ d on the signature ([[hammingDist]]).
-    * Pure expressions (64 × |tokens| adds inside codegen). */
-  def simhash(text: Column): Column =
+    * Pure expressions (64 × |tokens| adds inside codegen).
+    *
+    * `tokenHash` picks the per-token hash family: `xxhash64` (default —
+    * fastest, engine-internal) or [[HashExpressions.md5lo]] (DuckDB's
+    * `md5_number_lower` bit-for-bit, which makes the whole signature —
+    * and thus the near-dup pair set — reproducible outside this engine;
+    * the declared `q_simhash_neardup` uses it so the driver can verify
+    * the pairs against an exact SQL reimplementation). */
+  def simhash(text: Column,
+      tokenHash: Column => Column = xxhash64(_)): Column =
     HashExpressions.simhash64(
-      transform(split(TextOps.normalize(text), " "), t => xxhash64(t)))
+      transform(split(TextOps.normalize(text), " "), t => tokenHash(t)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column =
@@ -512,7 +520,8 @@ object DedupOps {
     * pair within distance d agrees exactly on ≥1 chunk) — same
     * explode-join shape as [[minhashLsh]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31,
       s"maxDist must be in [0, 31], got $maxDist")
     val chunks = maxDist + 1
@@ -522,7 +531,8 @@ object DedupOps {
     // blocking join into the full n² cross product
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val withSig = materialized(
-      df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig")))
+      df.select(col(idCol).as("id"),
+        simhash(col(textCol), tokenHash).as("sig")))
     // blocking join + candidate dedup carry ONLY ids (minhashLsh
     // discipline): a pair colliding on several chunks would otherwise
     // ship its two 64-bit sigs once per collision through the distinct's

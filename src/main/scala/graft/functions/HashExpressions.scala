@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd signature kernels for near-dup detection. Both consume an
   * `array<long>` of element hashes (produced by the codegen'd built-in
@@ -522,6 +523,41 @@ object HashExpressions {
   def wordNGrams(tokens: Column, n: Int): Column =
     column(WordNGrams(expression(tokens), n))
 
+  /** PORTABLE 64-bit string hash: the lower 16 digest bytes of MD5 read
+    * little-endian — bit-identical to DuckDB's `md5_number_lower`, which
+    * is what makes hash-seeded operators (SimHash signatures, CMS bucket
+    * maps) reproducible OUTSIDE this engine and therefore full-oracle
+    * verifiable. Slower than `xxhash64` (a cryptographic digest per
+    * value), so it is the ORACLE hash family; production paths default
+    * to xxhash64 and switch only when cross-engine reproducibility is
+    * worth the cycles.
+    */
+  case class Md5Lower64(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_lower64"
+
+    override def nullSafeEval(s: Any): Any =
+      HashKernels.md5Lower64(s.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.HashKernels.md5Lower64($s);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : Md5Lower64 = copy(child = newChild)
+  }
+
+  /** [[Md5Lower64]] as a Column — drop-in for `xxhash64(col)` where the
+    * hash must be reproducible in the DuckDB oracle. */
+  def md5lo(s: Column): Column = column(Md5Lower64(expression(s)))
+
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
   def minhashSig(hashes: Column, k: Int): Column =
@@ -535,4 +571,25 @@ object HashExpressions {
 
   def intersectCountSorted(a: Column, b: Column): Column =
     column(IntersectCountSorted(expression(a), expression(b)))
+}
+
+/** Static hash kernels shared by interpreted eval and generated code. */
+object HashKernels {
+
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Lower 8 MD5 digest bytes (indices 8..15) little-endian, matching
+    * DuckDB `md5_number_lower` bit-for-bit. */
+  def md5Lower64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    ((digest(15) & 0xffL) << 56) | ((digest(14) & 0xffL) << 48) |
+      ((digest(13) & 0xffL) << 40) | ((digest(12) & 0xffL) << 32) |
+      ((digest(11) & 0xffL) << 24) | ((digest(10) & 0xffL) << 16) |
+      ((digest(9) & 0xffL) << 8) | (digest(8) & 0xffL)
+  }
 }

@@ -76,6 +76,28 @@ class KernelSpec extends AnyFunSuite {
     assert(interpElem.getMessage.contains("null element"))
   }
 
+  test("Md5Lower64: interpreted == codegen; pinned DuckDB " +
+      "md5_number_lower values") {
+    // constants verified against DuckDB 1.0: md5_number_lower(s), i.e.
+    // MD5 digest bytes 8..15 little-endian as a signed 64-bit value
+    val pinned = Seq(
+      "abc" -> 8250560606382298838L,
+      "" -> 9098107892288553193L,
+      "the" -> 6287873238205204795L,
+      "cat" -> -2811281341615134882L)
+    for ((s, want) <- pinned) {
+      val interp = HashExpressions.Md5Lower64(Literal(s))
+        .eval(InternalRow.empty)
+      assert(interp == want, s"interpreted md5_lower64('$s')")
+      val gen = Seq(Tuple1(s)).toDF("s")
+        .select(HashExpressions.md5lo($"s")).as[Long].head()
+      assert(gen == want, s"codegen md5_lower64('$s')")
+    }
+    // null propagates
+    assert(Seq(Tuple1(null: String)).toDF("s")
+      .select(HashExpressions.md5lo($"s")).head().isNullAt(0))
+  }
+
   test("SimHash64 / MinHashSig: interpreted == codegen") {
     val hs = Seq(0x1234L, -99L, 0x7fffffffL, 42L, 0L)
     val simInterp = HashExpressions.SimHash64(

@@ -146,6 +146,46 @@ class SketchSpec extends AnyFunSuite {
     assert(perLangRollup == perLangGroup && perLangRollup.size > 1)
   }
 
+  test("portable hll: estimate within error bound; union-of-partials == " +
+      "direct; register blobs parquet round-trip; expr == direct eval") {
+    import graft.analytics.{PortableHll, Sketches}
+    val docs = analytics.Tables(spark, dir, "documents")
+    val terms = docs.select(col("lang"), col("source"), explode(
+        split(text.TextOps.normalize(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val sketches = Sketches.portableHllSketchTable(terms, col("term"),
+      Seq("lang", "source"))
+    // union-of-per-stratum-partials == one direct global sketch: register
+    // merges are elementwise max, so partial grouping cannot change them
+    val fromPartials = Sketches
+      .portableHllRollupEstimate(sketches, Seq.empty)
+      .select(col("distinct_est")).as[Double].head()
+    val direct = terms
+      .agg(udaf(new PortableHll.HllAggregator(12))
+        .apply(graft.functions.HashExpressions.md5lo(col("term")))
+        .as("regs"))
+      .select(PortableHll.hllEstimate(col("regs"), 12)).as[Double].head()
+    assert(fromPartials == direct,
+      s"union of partials $fromPartials != direct $direct")
+    val exact = terms.select(col("term")).distinct().count()
+    val rel = math.abs(fromPartials - exact) / exact
+    assert(rel <= 0.05, s"estimate $fromPartials vs exact $exact")
+    // codegen'd expression == the plain Scala estimate over the same blob
+    val blob = terms
+      .agg(udaf(new PortableHll.HllAggregator(12))
+        .apply(graft.functions.HashExpressions.md5lo(col("term"))))
+      .as[Array[Byte]].head()
+    assert(PortableHll.estimate(blob, 12) == direct)
+    // parquet round-trip preserves blobs bit-for-bit → same estimates
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_phll").toString
+    sketches.write.mode("overwrite").parquet(tmp)
+    val rt = Sketches
+      .portableHllRollupEstimate(spark.read.parquet(tmp), Seq.empty)
+      .select(col("distinct_est")).as[Double].head()
+    assert(rt == fromPartials)
+  }
+
   test("hll sketch table: parquet round-trip + append-only batch merge") {
     import graft.analytics.Sketches
     val docs = analytics.Tables(spark, dir, "documents")
@@ -226,6 +266,25 @@ class SketchSpec extends AnyFunSuite {
     val below = exact.count(_ < qs.head).toDouble / exact.length
     assert(below <= 0.5 + 0.045 && atOrBelow >= 0.5 - 0.045,
       s"merged p50 ${qs.head} ranks [$below, $atOrBelow]")
+  }
+
+  test("kll exact-capacity configuration (k >= n): quantiles are the " +
+      "exact percentile_disc order statistics") {
+    import graft.analytics.Sketches
+    // 173 distinct values in scrambled order, some duplicated — k far
+    // above n means the sketch never compacts, so INCLUSIVE quantiles
+    // must equal the exact rule: value at index ceil(p*n) (1-based)
+    val vals = ((1 to 173).map(_ * 3.0) ++ Seq(9.0, 9.0, 300.0))
+      .sortBy(v => (v * 7919).toLong % 101)
+    val df = vals.toDF("v")
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val sk = Sketches.kllSketchTable(df, col("v"), Seq.empty, k = 65535)
+    val got = Sketches.kllRollupQuantiles(sk, Seq.empty, probs, k = 65535)
+      .select(col("quantiles")).as[Seq[Double]].head()
+    val sorted = vals.sorted
+    val want = probs.map(p =>
+      sorted(math.ceil(p * sorted.size).toInt.max(1) - 1))
+    assert(got == want, s"$got != $want")
   }
 
   test("approx_percentile: returned value sits within the rank-error band") {
