@@ -280,20 +280,23 @@ object RelQueries {
     //    adds are exact ⇒ merge-order independent), then each document's
     //    frequent-token share scores in a MAP-ONLY second pass — no
     //    vocabulary join, which at 100 TB is a billions-of-rows build side.
-    //    No oracle (sketch internals are engine-specific); the one-sided /
-    //    ε·N error bounds, merge linearity, and the ⊇-of-exact filter
-    //    contract are spec-asserted (SketchSpec).
+    //    FULL ORACLE via the portable CMS (md5 double hashing,
+    //    exact-integer counters — PortableCms): DuckDB rebuilds the
+    //    counter table and every min-over-rows estimate exactly, so the
+    //    one-sided error contract is driver-verified on real scoring
+    //    output, not just spec-asserted. The built-in-hash twin
+    //    (Sketches.cmsSketch) keeps its bound/linearity specs.
     "q_cms_frequent_ratio" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val terms = docs.select(explode(
           split(graft.text.TextOps.normalize(col("text")), " ")).as("term"))
         .filter(length(col("term")) > 0)
-      val (cms, nTokens) =
-        graft.analytics.Sketches.cmsSketch(terms, col("term"))
+      val (counters, nTokens) =
+        graft.analytics.Sketches.portableCmsSketch(terms, col("term"))
       // corpus-relative threshold: "appears in ≥0.1% of token mass" is
       // stable across scale factors where an absolute count is not
-      graft.analytics.Sketches.frequentTokenRatio(docs, "doc_id", "text",
-          cms, minCount = math.max(1L, nTokens / 1000))
+      graft.analytics.Sketches.frequentTokenRatioPortable(docs, "doc_id",
+          "text", counters, minCount = math.max(1L, nTokens / 1000))
         .orderBy(col("doc_id"))
     }),
 
@@ -641,6 +644,55 @@ object RelQueries {
         |  nr.n_rows
         |FROM e JOIN nr USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Exact SQL reimplementation of the portable CMS (5 × 27183):
+    // occurrence counts per (row, KM-double-hash bucket), per-term
+    // estimate = min over rows, then the per-document frequent-token
+    // scoring — integer arithmetic end-to-end except the final ratio
+    // division, mirrored exactly.
+    "q_cms_frequent_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), tt AS (
+        |  SELECT doc_id, term FROM toks WHERE length(term) > 0
+        |), n_total AS (
+        |  SELECT count(*) AS n FROM tt
+        |), hs AS (
+        |  SELECT term, count(*) AS occ,
+        |    md5_number_lower(term) % 27183::UBIGINT AS h1m,
+        |    md5_number_upper(term) % 27183::UBIGINT AS h2m
+        |  FROM tt GROUP BY term
+        |), cnt AS (
+        |  SELECT t.i AS i,
+        |    (h.h1m + t.i::UBIGINT * h.h2m) % 27183::UBIGINT AS bucket,
+        |    CAST(sum(h.occ) AS BIGINT) AS c
+        |  FROM hs h CROSS JOIN range(5) t(i)
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT h.term, min(c.c) AS est
+        |  FROM hs h CROSS JOIN range(5) t(i)
+        |  JOIN cnt c ON c.i = t.i
+        |    AND c.bucket = (h.h1m + t.i::UBIGINT * h.h2m) % 27183::UBIGINT
+        |  GROUP BY h.term
+        |), scored AS (
+        |  SELECT tt.doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN e.est >=
+        |                 greatest(1, (SELECT n FROM n_total) // 1000)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_frequent
+        |  FROM tt JOIN est e USING (term)
+        |  GROUP BY tt.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(s.n_tokens, 0) AS n_tokens,
+        |  coalesce(s.n_frequent, 0) AS n_frequent,
+        |  CASE WHEN s.n_tokens IS NULL THEN 0.0
+        |       ELSE CAST(s.n_frequent AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+        |  END AS frequent_ratio
+        |FROM documents d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Same portable-HLL reimplementation over normalized document terms,
     // at both rollup levels (per-lang + '*' grand total).

@@ -184,14 +184,34 @@ object Sketches {
     * the token explode against the full vocabulary — a corpus-sized
     * build side at 100 TB. */
   def frequentTokenRatio(df: DataFrame, idCol: String, textCol: String,
-      sketch: CountMinSketch, minCount: Long): DataFrame = {
+      sketch: CountMinSketch, minCount: Long): DataFrame =
+    frequentTokenRatioBy(df, idCol, textCol,
+      term => cmsEstimate(term, sketch), minCount)
+
+  /** [[frequentTokenRatio]] against a PORTABLE sketch built by
+    * [[portableCmsSketch]] — same map-only scoring shape; the estimates
+    * (and therefore the ratios) are exactly reproducible in the DuckDB
+    * oracle. */
+  def frequentTokenRatioPortable(df: DataFrame, idCol: String,
+      textCol: String, counters: Array[Long], minCount: Long,
+      depth: Int = 5, width: Int = 27183): DataFrame =
+    frequentTokenRatioBy(df, idCol, textCol,
+      term => PortableCms.cmsEstimate(
+        graft.functions.HashExpressions.md5lo(term),
+        graft.functions.HashExpressions.md5hi(term),
+        counters, depth, width),
+      minCount)
+
+  private def frequentTokenRatioBy(df: DataFrame, idCol: String,
+      textCol: String, estimateOf: Column => Column, minCount: Long)
+      : DataFrame = {
     val scored = df
       .select(col(idCol).as("_id"),
         explode(split(TextOps.normalize(col(textCol)), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum((cmsEstimate(col("term"), sketch) >= minCount).cast("long"))
+        sum((estimateOf(col("term")) >= minCount).cast("long"))
           .as("n_frequent"))
     df.select(col(idCol)).join(scored, df(idCol) === scored("_id"), "left")
       .select(col(idCol),
@@ -200,5 +220,23 @@ object Sketches {
         when(col("n_tokens").isNull, lit(0.0))
           .otherwise(col("n_frequent").cast("double") /
             col("n_tokens").cast("double")).as("frequent_ratio"))
+  }
+
+  /** Build a PORTABLE CMS ([[PortableCms]]) over `key` plus the exact
+    * total key count, in one aggregation job — [[cmsSketch]]'s
+    * oracle-reproducible twin (md5 double hashing instead of the
+    * engine-internal row hashes). Driver-side collect of ONE ~1 MB row,
+    * same posture as `df.stat.bloomFilter`. */
+  def portableCmsSketch(df: DataFrame, key: Column, depth: Int = 5,
+      width: Int = 27183): (Array[Long], Long) = {
+    val keyed = key.cast("string")
+    val row = df.select(
+        udaf(new PortableCms.CmsAggregator(depth, width))
+          .apply(graft.functions.HashExpressions.md5lo(keyed),
+            graft.functions.HashExpressions.md5hi(keyed))
+          .as("sketch"),
+        count(key).as("n"))
+      .head()
+    (PortableCms.unpack(row.getAs[Array[Byte]](0)), row.getLong(1))
   }
 }

@@ -558,6 +558,35 @@ object HashExpressions {
     * hash must be reproducible in the DuckDB oracle. */
   def md5lo(s: Column): Column = column(Md5Lower64(expression(s)))
 
+  /** Upper MD5 digest half (bytes 0..7 little-endian) — DuckDB's
+    * `md5_number_upper`. Paired with [[Md5Lower64]] it gives two
+    * independent portable 64-bit hashes per key (the Kirsch–Mitzenmacher
+    * double-hashing inputs for the portable CMS). */
+  case class Md5Upper64(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got $other")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "md5_upper64"
+
+    override def nullSafeEval(s: Any): Any =
+      HashKernels.md5Upper64(s.asInstanceOf[UTF8String])
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.HashKernels.md5Upper64($s);")
+
+    override protected def withNewChildInternal(newChild: Expression)
+        : Md5Upper64 = copy(child = newChild)
+  }
+
+  /** [[Md5Upper64]] as a Column. */
+  def md5hi(s: Column): Column = column(Md5Upper64(expression(s)))
+
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
 
   def minhashSig(hashes: Column, k: Int): Column =
@@ -591,5 +620,17 @@ object HashKernels {
       ((digest(13) & 0xffL) << 40) | ((digest(12) & 0xffL) << 32) |
       ((digest(11) & 0xffL) << 24) | ((digest(10) & 0xffL) << 16) |
       ((digest(9) & 0xffL) << 8) | (digest(8) & 0xffL)
+  }
+
+  /** Upper 8 MD5 digest bytes (indices 0..7) little-endian, matching
+    * DuckDB `md5_number_upper` bit-for-bit. */
+  def md5Upper64(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    ((digest(7) & 0xffL) << 56) | ((digest(6) & 0xffL) << 48) |
+      ((digest(5) & 0xffL) << 40) | ((digest(4) & 0xffL) << 32) |
+      ((digest(3) & 0xffL) << 24) | ((digest(2) & 0xffL) << 16) |
+      ((digest(1) & 0xffL) << 8) | (digest(0) & 0xffL)
   }
 }

@@ -73,6 +73,48 @@ class SketchSpec extends AnyFunSuite {
     assert(fromWhole.nonEmpty && fromWhole == fromMerged)
   }
 
+  test("portable cms: one-sided within eps*N; counters of halves sum to " +
+      "the whole; scoring == built-in-hash scoring contract") {
+    import graft.analytics.Sketches
+    val docs = analytics.Tables(spark, dir, "documents")
+    def termsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(
+          split(text.TextOps.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+    val terms = termsOf(docs)
+    val (counters, n) = Sketches.portableCmsSketch(terms, col("term"))
+    val exact = text.CorpusStats.vocabulary(docs, "doc_id", "text")
+      .select(col("term"), col("tf")).as[(String, Long)].collect()
+    assert(n == exact.map(_._2).sum)
+    val est = terms.select(col("term")).distinct()
+      .select(col("term"),
+        graft.analytics.PortableCms.cmsEstimate(
+          graft.functions.HashExpressions.md5lo(col("term")),
+          graft.functions.HashExpressions.md5hi(col("term")),
+          counters, 5, 27183).as("est"))
+      .as[(String, Long)].collect().toMap
+    val epsN = (math.E / 27183 * n).toLong + 1
+    exact.foreach { case (term, tf) =>
+      assert(est(term) >= tf, s"$term: ${est(term)} below true $tf")
+      assert(est(term) <= tf + epsN, s"$term: ${est(term)} vs $tf (N=$n)")
+    }
+    // linearity: counter arrays are exact sums, so half-sketches add to
+    // the whole elementwise — the property behind the distributed build
+    val (even, _) = Sketches.portableCmsSketch(
+      termsOf(docs.filter(col("doc_id") % 2 === 0)), col("term"))
+    val (odd, _) = Sketches.portableCmsSketch(
+      termsOf(docs.filter(col("doc_id") % 2 === 1)), col("term"))
+    val summed = even.zip(odd).map { case (a, b) => a + b }
+    assert(summed.sameElements(counters))
+    // interpreted == codegen for the estimate expression
+    val interp = graft.analytics.PortableCms.estimate(counters, 5, 27183,
+      graft.functions.HashKernels.md5Lower64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("the")),
+      graft.functions.HashKernels.md5Upper64(
+        org.apache.spark.unsafe.types.UTF8String.fromString("the")))
+    est.get("the").foreach(e => assert(e == interp))
+  }
+
   test("cms frequentTokenRatio: never loses a truly frequent token; " +
     "empty docs kept with ratio 0") {
     import graft.analytics.Sketches
