@@ -662,6 +662,20 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // -- [EXT]: hybrid retrieval — BM25 (lexical) + dense cosine
+    //    (semantic) candidate lists fused by reciprocal-rank fusion
+    //    (Cormack et al., SIGIR 2009), the standard RAG first stage.
+    //    Probes are documents themselves (related-doc retrieval); each
+    //    component contributes its own top-20 list, fusion keeps top-10.
+    //    Decimal-exact contribution sums make the fused scores
+    //    order-independent and oracle-reproducible.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      graft.similarity.HybridSearch.relatedDocsHybrid(
+          t(s, dir, "documents"), t(s, dir, "embeddings"),
+          col("doc_id") < 3)
+        .orderBy(col("probe_id"), col("rank"))
+    }),
+
     // -- [EXT]: logistic quality classifier — σ(w·x) over the
     //    interpretable quality features (fastText-style scoring pass with
     //    fixed published weights)
@@ -1760,6 +1774,57 @@ object LlmQueries {
     // avgdl (one double division) — per-term doubles are bit-identical
     // across engines (the q_unigram_logprob precedent), the per-doc sum
     // is decimal-cast per term, and the rank orders on the DECIMAL sum.
+    // The bm25 + cosine oracles composed verbatim (top-20 lists, self
+    // dropped from each component keeping its own rank positions), then
+    // the decimal-exact RRF fold at k0=60, top-10.
+    "q_hybrid_rrf" ->
+      s"""WITH q AS (SELECT doc_id AS query_id,
+         |    $duckNorm AS qnorm FROM documents WHERE doc_id < 3),
+         |qt AS (SELECT DISTINCT query_id,
+         |    unnest(string_split(qnorm, ' ')) AS term FROM q),
+         |tok AS (SELECT doc_id,
+         |    unnest(string_split($duckNorm, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+         |       WHERE length(term) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*)::BIGINT AS n_docs,
+         |    sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+         |sc AS (SELECT qt.query_id, tf.doc_id,
+         |    sum((ln(1.0 + (n_docs::DOUBLE - df::DOUBLE + 0.5)
+         |          / (df::DOUBLE + 0.5))
+         |        * (tf::DOUBLE * 2.2)
+         |        / (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl::DOUBLE / avgdl)))
+         |      ::DECIMAL(28,12)) AS s
+         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |br AS (SELECT query_id, doc_id, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY s DESC, doc_id ASC) AS rank
+         |  FROM sc),
+         |bm AS (SELECT query_id AS probe_id, doc_id AS id, rank
+         |  FROM br WHERE rank <= 20 AND doc_id != query_id),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 3),
+         |dsc AS (SELECT probe_id, vec_id,
+         |    list_dot_product(pv, v)
+         |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(v, v))) AS c
+         |  FROM e CROSS JOIN p WHERE vec_id != probe_id),
+         |dr AS (SELECT probe_id, vec_id AS id, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY c DESC, vec_id ASC) AS rank
+         |  FROM dsc),
+         |dn AS (SELECT probe_id, id, rank FROM dr WHERE rank <= 20),
+         |u AS (SELECT * FROM bm UNION ALL SELECT * FROM dn),
+         |f AS (SELECT probe_id, id,
+         |    sum(CAST(1.0 / (60.0 + rank::DOUBLE) AS DECIMAL(28,15))) AS s,
+         |    count(*) AS n_lists
+         |  FROM u GROUP BY 1, 2),
+         |fr AS (SELECT probe_id, id, s, n_lists, row_number() OVER
+         |    (PARTITION BY probe_id ORDER BY s DESC, id ASC) AS rank
+         |  FROM f)
+         |SELECT probe_id, rank, id, s::DOUBLE AS rrf_score, n_lists
+         |FROM fr WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "q_bm25_topk" ->
       s"""WITH q AS (SELECT * FROM (VALUES
          |    ('q1', 'hash join merge'),

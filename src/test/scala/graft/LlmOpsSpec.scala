@@ -1094,6 +1094,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: hand-computed scores, n_lists, tie-break, top-k cut") {
+    import graft.similarity.HybridSearch
+    // probe 1: doc 10 is rank 1 lexically and rank 2 densely; doc 11
+    // only lexical rank 2; doc 12 only dense rank 1
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("probe_id", "id", "rank")
+    val den = Seq((1L, 12L, 1), (1L, 10L, 2)).toDF("probe_id", "id", "rank")
+    val got = HybridSearch.rrfFuse(Seq(lex, den), k0 = 60, k = 2)
+      .orderBy($"rank")
+      .as[(Long, Int, Long, Double, Long)].collect().toSeq
+    def d(xs: Double*) = xs.map(x =>
+      BigDecimal(x).setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum
+        .toDouble
+    // doc 10 fuses both lists and must beat the single-list docs
+    assert(got.map(r => (r._1, r._2, r._3, r._5)) ==
+      Seq((1L, 1, 10L, 2L), (1L, 2, 12L, 1L)))
+    assert(got(0)._4 == d(1.0 / 61, 1.0 / 62))
+    assert(got(1)._4 == d(1.0 / 61))
+    // equal single-list ranks tie on score -> lower id wins
+    val t1 = Seq((7L, 5L, 1)).toDF("probe_id", "id", "rank")
+    val t2 = Seq((7L, 3L, 1)).toDF("probe_id", "id", "rank")
+    val tied = HybridSearch.rrfFuse(Seq(t1, t2), k0 = 60, k = 2)
+      .orderBy($"rank").as[(Long, Int, Long, Double, Long)].collect()
+    assert(tied.map(_._3).toSeq == Seq(3L, 5L))
+  }
+
   test("lshTopK at probesPerTable = 2^planes equals bruteForceTopK " +
       "bit-exactly (exhaustive-probe equivalence — the q_lsh_topk oracle " +
       "basis)") {
