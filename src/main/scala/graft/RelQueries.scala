@@ -260,12 +260,19 @@ object RelQueries {
     // -- A3 [EXT]: approximate quantile sketch (Greenwald-Khanna via
     //    approx_percentile) — the mergeable-quantile path for 100 TB
     //    profiling where the exact `percentile` sort-per-group is too
-    //    heavy. No oracle (sketch internals are engine-specific); the
-    //    rank-error bound vs the exact percentile is spec-asserted.
+    //    heavy. FULL ORACLE via the exactness-forcing configuration
+    //    (the q_kll_profile promotion pattern): at accuracy 1e8 the GK
+    //    guarantee |rank(returned) − target| ≤ n/accuracy is < 1 rank
+    //    for every driver SF, pinning the returned element to the exact
+    //    percentile_disc order statistic (empirically bit-equal to
+    //    DuckDB quantile_disc at sf0.01 AND sf0.1). The production
+    //    default (accuracy 1000, KB-sized summaries) keeps its
+    //    rank-error-band spec in SketchSpec.
     "q_approx_percentile" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+        .agg(expr(
+          "approx_percentile(l_quantity, array(0.5, 0.9), 100000000)")
           .as("qtiles"), count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"),
           element_at(col("qtiles"), 1).as("med_qty"),
@@ -643,6 +650,17 @@ object RelQueries {
         |                  ELSE raw END, 0) AS BIGINT) AS approx_parts,
         |  nr.n_rows
         |FROM e JOIN nr USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Exactness-forcing GK configuration: returned elements are the
+    // percentile_disc order statistics (see the query comment).
+    "q_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS med_qty,
+        |  quantile_disc(l_quantity, 0.9) AS p90_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     // Exact SQL reimplementation of the portable CMS (5 × 27183):
