@@ -614,6 +614,41 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("feature"))
     }),
 
+    // -- [EXT]: DSIR importance weights — every doc scored by hashed-
+    //    unigram likelihood ratio target-domain vs raw corpus (sources
+    //    src0/src1 stand in for the curated target); resampling ∝
+    //    exp(logw) shifts the crawl toward the target. 64 buckets so
+    //    collisions are actually exercised at sf-test vocab size.
+    "q_dsir_weights" -> ((s, dir) => {
+      CorpusStats.dsirLogWeights(t(s, dir, "documents"), "doc_id", "text",
+          target = col("source").isin("src0", "src1"), numFeatures = 64)
+        .withColumn("logw", round(col("logw"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: HTML → text extraction — the web-corpus entry stage
+    //    (testdata text is already plain, so each doc is wrapped in a
+    //    deterministic HTML shell — title/style/script/comment/entities —
+    //    the same way q_pii_scrub appends synthetic PII; the extraction
+    //    must strip everything it added and decode the entities)
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit("</title>"),
+        lit("<style type=\"text/css\">body { margin: 0; }</style>"),
+        lit("<script>var n = 1; if (n < 2) { n = 2; }</script></head>"),
+        lit("<body><!-- doc "), col("doc_id").cast("string"), lit(" -->"),
+        lit("<h1>Title &amp; Header</h1><p>"), col("text"),
+        lit("</p><ul><li>alpha&nbsp;beta</li>"),
+        lit("<li>&lt;tag&gt; &#39;q&#39; &quot;z&quot;</li></ul>"),
+        lit("</body></html>"))
+      t(s, dir, "documents")
+        .withColumn("extract", TextOps.htmlExtract(html))
+        .select(col("doc_id"),
+          length(col("extract")).as("n_extract_chars"),
+          md5(col("extract")).as("extract_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: unigram-LM fluency score — mean token log-prob under the
     //    corpus's own unigram model (the KenLM-style quality signal)
     "q_unigram_logprob" -> ((s, dir) => {
@@ -1681,6 +1716,61 @@ object LlmQueries {
          |FROM h GROUP BY doc_id, feature
          |HAVING SUM(s) <> 0
          |ORDER BY doc_id, feature""".stripMargin,
+
+    // hashed-unigram likelihood ratio: the hashingTf md5 bucket (no sign),
+    // add-1 smoothing over 64 buckets, decimal-cast per-doc sum
+    "q_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source IN ('src0','src1') AS tgt,
+         |    unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents),
+         |db AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS INTEGER)
+         |      AS bucket,
+         |    count(*)::BIGINT AS n, max(tgt) AS tgt
+         |  FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+         |bt AS (SELECT bucket,
+         |    sum(CASE WHEN tgt THEN n ELSE 0 END)::BIGINT AS ct,
+         |    sum(n)::BIGINT AS cr FROM db GROUP BY 1),
+         |tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM bt)
+         |SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+         |  round(CAST(sum(CAST(n::DOUBLE *
+         |    (ln((ct::DOUBLE + 1) / (tt::DOUBLE + 64)) -
+         |     ln((cr::DOUBLE + 1) / (tr::DOUBLE + 64)))
+         |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS logw
+         |FROM db JOIN bt USING (bucket) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the exact regexp_replace chain of TextOps.htmlExtract (RE2-safe
+    // patterns ⇒ identical semantics); entities via plain replace()
+    "q_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>' || source || '</title>'
+        |    || '<style type="text/css">body { margin: 0; }</style>'
+        |    || '<script>var n = 1; if (n < 2) { n = 2; }</script></head>'
+        |    || '<body><!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->'
+        |    || '<h1>Title &amp; Header</h1><p>' || text
+        |    || '</p><ul><li>alpha&nbsp;beta</li>'
+        |    || '<li>&lt;tag&gt; &#39;q&#39; &quot;z&quot;</li></ul>'
+        |    || '</body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t\n\r]+', ' ', 'g')) AS extract
+        |  FROM h)
+        |SELECT doc_id, length(extract)::INTEGER AS n_extract_chars,
+        |  md5(extract) AS extract_md5
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_topk" ->
       s"""WITH tok AS (

@@ -131,6 +131,59 @@ object CorpusStats {
       .select(col("_id").as(idCol), col("feature"), col("weight"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023 — Data Selection via
+    * Importance Resampling): score every document by how much more likely
+    * its hashed-unigram bag is under the TARGET domain's distribution than
+    * under the raw corpus's, `logw = Σ_b n_b · (ln p_b − ln q_b)` with
+    * add-α smoothing over `numFeatures` hash buckets. Resampling raw data
+    * with weights ∝ exp(logw) shifts it toward the target domain — the
+    * published recipe for "make my crawl look like Wikipedia". Buckets use
+    * the [[hashingTf]] engine-portable md5 hash (no signs: DSIR models
+    * counts, not signed features), so any engine reproduces the weights
+    * exactly. Returns (id, n_tokens, logw); target docs score themselves
+    * too (useful as a calibration band).
+    *
+    * Scale: this is why DSIR beats classifier-based selection at corpus
+    * scale — the "model" is two B-bucket count tables. One
+    * (doc, bucket)-keyed hash aggregate over the token explode, a
+    * B-row aggregate from it, then a broadcast join back; nothing
+    * data-sized shuffles twice, nothing trains. Decimal-cast sums keep
+    * the per-doc total independent of partial-aggregate merge order. */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      target: Column, numFeatures: Int = 256, alpha: Double = 1.0)
+      : DataFrame = {
+    require(numFeatures > 0, s"numFeatures must be positive, got $numFeatures")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val hex = md5(col("term"))
+    val bucket = (conv(substring(hex, 1, 8), 16, 10).cast("long")
+      % numFeatures).cast("int")
+    // the (doc, bucket) count frame feeds both distribution estimates and
+    // the per-doc score — materialize it once (lazy localCheckpoint, the
+    // unigramLogProb discipline) instead of re-exploding the corpus
+    val db = df.select(col(idCol).as("_id"), target.as("_tgt"),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("_id"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("_tgt")).as("_tgt"))
+      .localCheckpoint(false)
+    val bt = db.groupBy(col("bucket"))
+      .agg(sum(when(col("_tgt"), col("n")).otherwise(0L)).as("ct"),
+        sum(col("n")).as("cr"))
+    val tot = bt.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val aB = alpha * numFeatures
+    db.join(broadcast(bt), Seq("bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_llr", col("n").cast("double") *
+        (log((col("ct").cast("double") + alpha) /
+            (col("tt").cast("double") + aB)) -
+          log((col("cr").cast("double") + alpha) /
+            (col("tr").cast("double") + aB))))
+      .groupBy(col("_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("_llr").cast("decimal(28,12)")).cast("double").as("logw"))
+      .select(col("_id").as(idCol), col("n_tokens"), col("logw"))
+  }
+
   /** Per-document mean token log-probability under the corpus's own
     * unigram language model — the KenLM-style fluency/perplexity signal
     * scored against the corpus itself (every token has nonzero count by

@@ -125,6 +125,32 @@ object TextOps {
   val UrlPattern = "https?://[^\\s]+"
   val IpPattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
+  /** HTML → text extraction — the entry stage of a web-corpus pipeline
+    * (CCNet / C4 / RefinedWeb all start from crawled HTML, not text):
+    * strip `<script>`/`<style>` elements WITH their contents, strip
+    * comments, strip remaining tags, decode the six common character
+    * entities, collapse whitespace. Every pattern is RE2-safe (no
+    * lookarounds, lazy quantifiers only), so DuckDB's `regexp_replace`
+    * reproduces the extraction byte-for-byte — this is oracle-verifiable,
+    * unlike a DOM parser. Element bodies go first (their contents may hold
+    * `<`/`>` that must not be re-parsed as tags), `&amp;` decodes LAST so
+    * double-escaped entities (`&amp;lt;`) stay escaped-once, per the HTML
+    * spec's single-pass decode.
+    *
+    * Scale: a chain of codegen'd `regexp_replace` — one narrow projection,
+    * no shuffle; the pass is bounded by parquet scan + regex CPU. */
+  def htmlExtract(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Redact emails, URLs, and IPv4 literals with typed placeholders.
     * Order matters: URLs first (they can contain @ and dots), then
     * emails, then bare IPs. */

@@ -316,4 +316,37 @@ class CorpusStatsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       CorpusStats.hashingTf(df, "doc_id", "text", numFeatures = 0))
   }
+
+  test("dsirLogWeights: hand-computed likelihood ratios; target words " +
+    "score positive, off-target negative; decimal sums deterministic") {
+    // md5 buckets mod 4: alpha -> 3, beta -> 0 (distinct, so the hand
+    // math below sees no collision). Target = docs 1,2 (all-alpha);
+    // raw adds doc 3 (all-beta).
+    //   ct: alpha 3, beta 0;  cr: alpha 3, beta 3;  Tt = 3, Tr = 6
+    //   lr(alpha) = ln((3+1)/(3+4)) - ln((3+1)/(6+4)) = ln(40/28)
+    //   lr(beta)  = ln((0+1)/(3+4)) - ln((3+1)/(6+4)) = ln(10/28)
+    val df = Seq(
+      (1L, "alpha alpha"), (2L, "alpha"), (3L, "beta beta beta")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.dsirLogWeights(df, "doc_id", "text",
+        target = $"doc_id" <= 2L, numFeatures = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val lrA = math.log(40.0 / 28.0)
+    val lrB = math.log(10.0 / 28.0)
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - 2 * lrA) < 1e-9)
+    assert(out(2L)._1 == 1L && math.abs(out(2L)._2 - lrA) < 1e-9)
+    assert(out(3L)._1 == 3L && math.abs(out(3L)._2 - 3 * lrB) < 1e-9)
+    // the selection property DSIR exists for: target-like docs weigh
+    // above off-target docs
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0 && out(3L)._2 < 0)
+    // deterministic across runs (decimal-cast sum ⇒ merge-order-free)
+    val again = CorpusStats.dsirLogWeights(df, "doc_id", "text",
+        target = $"doc_id" <= 2L, numFeatures = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == out)
+    assertThrows[IllegalArgumentException](CorpusStats.dsirLogWeights(
+      df, "doc_id", "text", target = lit(true), numFeatures = 0))
+    assertThrows[IllegalArgumentException](CorpusStats.dsirLogWeights(
+      df, "doc_id", "text", target = lit(true), alpha = 0.0))
+  }
 }

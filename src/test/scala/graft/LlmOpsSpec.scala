@@ -25,6 +25,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == "hello world it s 42")
   }
 
+  test("htmlExtract: strips script/style bodies, comments, tags; decodes " +
+    "entities once; collapses whitespace") {
+    val html = "<html><body><SCRIPT>if (a<b) { x(); }</script>" +
+      "<style media=\"all\">p { color: red }</style><!-- note -->" +
+      "<p>Hello &amp; <b>world</b></p>&lt;i&gt;&nbsp;&#39;hi&#39; " +
+      "&quot;q&quot;</body></html>"
+    val out = Seq(html).toDF("h")
+      .select(TextOps.htmlExtract($"h")).as[String].head()
+    // script/style CONTENTS gone (incl. the inner '<'), tags -> spaces,
+    // entities decoded, whitespace collapsed + trimmed
+    assert(out == "Hello & world <i> 'hi' \"q\"")
+    // single-pass decode: double-escaped stays escaped-once (&amp; last)
+    val twice = Seq("<p>&amp;lt;tag&amp;gt;</p>").toDF("h")
+      .select(TextOps.htmlExtract($"h")).as[String].head()
+    assert(twice == "&lt;tag&gt;")
+    // plain text passes through untouched
+    val plain = Seq("no markup here").toDF("h")
+      .select(TextOps.htmlExtract($"h")).as[String].head()
+    assert(plain == "no markup here")
+  }
+
   test("fingerprint: equal after formatting noise, different for real edits") {
     val df = Seq(
       (1L, "The quick brown fox."),
