@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Tables
+import graft.analytics.{EventFunnel, Tables}
 import graft.ops.{AsOfJoin, Salt, Scd2}
 
 /** Remaining relational [EXT] operators (SURVEY §2.3/2.6/2.7): global
@@ -19,6 +19,24 @@ object RelQueries {
     Tables.withEpochMicros(t(s, dir, "events"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- [EXT]: first-touch conversion funnel — deepest ordered prefix of
+    //    signup → view → purchase completed within 3 days of the first
+    //    signup (the ClickHouse-windowFunnel-class sequence query)
+    "q_funnel" -> ((s, dir) => {
+      EventFunnel.funnel(events(s, dir), "user_id", "event_type", "ts_us",
+          steps = Seq("signup", "view", "purchase"),
+          windowUs = 3L * 86400000000L)
+        .orderBy(col("user_id"))
+    }),
+
+    // -- [EXT]: daily cohort retention matrix — users cohorted by
+    //    first-event day, per (cohort, day offset) active count/fraction
+    "q_retention" -> ((s, dir) => {
+      EventFunnel.retention(events(s, dir), "user_id", "ts_us",
+          periodUs = 86400000000L)
+        .orderBy(col("cohort_period"), col("k"))
+    }),
 
     // -- [EXT] §2.6: global sort + limit (TakeOrderedAndProject — top-k on
     //    each partition then k-merge on the driver, never a full sort)
@@ -609,6 +627,49 @@ object RelQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+
+    // the min-ts cascade (first-touch funnel): each step's min qualifying
+    // ts joins the previous frontier; window anchored on the first step
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1_us
+        |         AND ts_us - t1_us <= 259200000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3_us
+        |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2_us
+        |         AND ts_us - t1_us <= 259200000000 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, t1_us, t2_us, t3_us,
+        |  (CASE WHEN t1_us IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+        |   + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::INTEGER
+        |    AS step_reached
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // exact integer day buckets (epoch_us // day) on both sides
+    "q_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_period
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS p
+        |      FROM events),
+        |n AS (SELECT cohort_period, p - cohort_period AS k,
+        |        count(*)::BIGINT AS n_active
+        |      FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_period, count(*)::BIGINT AS cohort_size
+        |      FROM c GROUP BY 1)
+        |SELECT cohort_period, k, n_active, cohort_size,
+        |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
+        |FROM n JOIN s USING (cohort_period)
+        |ORDER BY cohort_period, k""".stripMargin,
 
     // Exact SQL reimplementation of the portable dense HLL (p=12): md5
     // hash → top-12-bit bucket, max leading-zero rank over the low 52

@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence event analytics ([EXT] north-star surface; no
+  * reference implementation — the reference's events land in bronze and
+  * stop there): conversion funnels and cohort retention, the two queries
+  * every event warehouse (ClickHouse `windowFunnel`/`retention`,
+  * Amplitude, Mixpanel) treats as primitives. Both operate on the
+  * schema-adaptive epoch-µs column from [[Tables.withEpochMicros]], never
+  * on a raw timestamp.
+  */
+object EventFunnel {
+
+  /** First-touch conversion funnel: per user, the deepest prefix of
+    * `steps` completed IN ORDER within `windowUs` of the first step.
+    * Semantics (deterministic, no tie ambiguity):
+    *   t1 = min ts of a step-1 event;
+    *   tᵢ = min ts of a step-i event with tᵢ > tᵢ₋₁ and tᵢ − t1 ≤ windowUs.
+    * `step_reached` counts the defined tᵢ (0 for users with funnel-type
+    * activity but no step-1 event). Returns one row per user seen in any
+    * funnel step: (userCol, t1_us … tk_us nullable, step_reached).
+    *
+    * Greedy-earliest is the standard funnel definition: taking the
+    * earliest valid event at each step dominates any other choice (a
+    * later tᵢ only shrinks the window left for step i+1), so it finds a
+    * completion iff one exists within the window of the FIRST t1 — the
+    * first-touch attribution model.
+    *
+    * Scale: k−1 passes over a once-materialized (user, type, ts) slice
+    * pre-filtered to the funnel's event types (filter pushed to the
+    * scan; the slice is a fraction of the event log). Every pass is a
+    * map-side-combined min aggregate keyed on user joined against the
+    * per-user frontier (ONE row per qualifying user — always the small
+    * side); nothing shuffles twice, no data-sized window, no
+    * per-user array state. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val e = events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsUsCol).as("_ts"))
+      .filter(col("_t").isin(steps: _*))
+      .localCheckpoint(false)
+    val s1 = e.filter(col("_t") === steps.head)
+      .groupBy(col("_u")).agg(min(col("_ts")).as("t1_us"))
+    val frontier = steps.zipWithIndex.drop(1).foldLeft(s1) {
+      case (acc, (st, i)) =>
+        val prev = s"t${i}_us"
+        val cur = s"t${i + 1}_us"
+        val nxt = e.filter(col("_t") === st)
+          .join(acc.select(col("_u"), col("t1_us").as("_w0"), col(prev)),
+            Seq("_u"))
+          .filter(col("_ts") > col(prev) &&
+            col("_ts") - col("_w0") <= windowUs)
+          .groupBy(col("_u")).agg(min(col("_ts")).as(cur))
+        acc.join(nxt, Seq("_u"), "left")
+    }
+    val stepCols = (1 to steps.size).map(i => col(s"t${i}_us"))
+    e.select(col("_u")).distinct()
+      .join(frontier, Seq("_u"), "left")
+      .withColumn("step_reached",
+        stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("int"))
+      .select(col("_u").as(userCol) +: stepCols :+ col("step_reached"): _*)
+  }
+
+  /** Cohort retention matrix: users cohorted by the period of their FIRST
+    * event; for each (cohort, offset k) the count and fraction of the
+    * cohort active k periods later. Periods are exact integer µs buckets
+    * (`ts_us DIV periodUs` — the q_hour_bucket discipline, so DuckDB's
+    * `//` reproduces the boundary bit-for-bit; no double division).
+    * Returns (cohort_period, k, n_active, cohort_size, retention);
+    * k = 0 rows carry retention 1.0 by construction.
+    *
+    * Scale: two aggregates over the event log — per-user first-ts (the
+    * cohort table, one row per user) and distinct (user, period) — joined
+    * user-keyed, then a (cohort, k) count. Both exchanges are map-side
+    * combined; the cohort-size join is a (cohort)-keyed broadcast
+    * (one row per period). Nothing holds per-user history. */
+  def retention(events: DataFrame, userCol: String, tsUsCol: String,
+      periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val period = expr(s"$tsUsCol DIV $periodUs")
+    val cohorts = events.groupBy(col(userCol).as("_u"))
+      .agg(min(period).as("cohort_period"))
+    val active = events
+      .select(col(userCol).as("_u"), period.as("_p")).distinct()
+    val sizes = cohorts.groupBy(col("cohort_period"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(cohorts, Seq("_u"))
+      .groupBy(col("cohort_period"),
+        (col("_p") - col("cohort_period")).as("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_period"))
+      .withColumn("retention",
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.EventFunnel
+
+/** Hand-computed ground truth for the sequence-analytics operators
+  * ([[EventFunnel]]) — the declared queries `q_funnel`/`q_retention` are
+  * additionally DuckDB-oracle-checked at sf0.01.
+  */
+class EventFunnelSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val steps = Seq("A", "B", "C")
+
+  private def funnelOf(rows: Seq[(Long, String, Long)]) =
+    EventFunnel.funnel(rows.toDF("user_id", "event_type", "ts_us"),
+        "user_id", "event_type", "ts_us", steps, windowUs = 100L)
+      .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("funnel: ordered completion, order violations, window cutoff, " +
+    "strict-after ties, no-step-1 users") {
+    val out = funnelOf(Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L), // full funnel
+      (2L, "A", 10L), (2L, "C", 5L), // C BEFORE A: order matters
+      (3L, "B", 10L), (3L, "C", 20L), // no step-1 event at all
+      (4L, "A", 10L), (4L, "B", 200L), // B outside the 100-unit window
+      (5L, "A", 10L), (5L, "B", 10L), // tie is not strictly after
+      (6L, "A", 10L), (6L, "B", 11L), (6L, "C", 111L) // C misses by 1
+    ))
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(out(2L) == ((Some(10L), None, None, 1)))
+    assert(out(3L) == ((None, None, None, 0)))
+    assert(out(4L) == ((Some(10L), None, None, 1)))
+    assert(out(5L) == ((Some(10L), None, None, 1)))
+    assert(out(6L) == ((Some(10L), Some(11L), None, 2)))
+    assert(out.size == 6)
+  }
+
+  test("funnel: earliest event wins each step; window anchors on the " +
+    "FIRST step-1 event (first-touch), not the best one") {
+    val out = funnelOf(Seq(
+      // two As: t1 = 10; B at 150 is outside 10+100 even though the
+      // A at 100 would have admitted it — first-touch semantics
+      (8L, "A", 10L), (8L, "A", 100L), (8L, "B", 150L),
+      // earliest qualifying B (20) anchors C's strict-after bound, so
+      // C@25 completes even though a later B (90) also fits the window
+      (9L, "A", 10L), (9L, "B", 20L), (9L, "B", 90L), (9L, "C", 25L)
+    ))
+    assert(out(8L) == ((Some(10L), None, None, 1)))
+    assert(out(9L) == ((Some(10L), Some(20L), Some(25L), 3)))
+  }
+
+  test("funnel: events not in the step list are ignored; arg validation") {
+    val out = EventFunnel.funnel(
+      Seq((1L, "A", 10L), (1L, "X", 15L), (1L, "B", 20L))
+        .toDF("user_id", "event_type", "ts_us"),
+      "user_id", "event_type", "ts_us", Seq("A", "B"), windowUs = 100L)
+      .as[(Long, Option[Long], Option[Long], Int)].collect()
+    assert(out.toSeq == Seq((1L, Some(10L), Some(20L), 2)))
+    assertThrows[IllegalArgumentException](EventFunnel.funnel(
+      Seq((1L, "A", 1L)).toDF("user_id", "event_type", "ts_us"),
+      "user_id", "event_type", "ts_us", Seq("A"), 100L))
+    assertThrows[IllegalArgumentException](EventFunnel.funnel(
+      Seq((1L, "A", 1L)).toDF("user_id", "event_type", "ts_us"),
+      "user_id", "event_type", "ts_us", Seq("A", "A"), 100L))
+    assertThrows[IllegalArgumentException](EventFunnel.funnel(
+      Seq((1L, "A", 1L)).toDF("user_id", "event_type", "ts_us"),
+      "user_id", "event_type", "ts_us", Seq("A", "B"), 0L))
+  }
+
+  test("retention: cohort by first-event period, k offsets, exact " +
+    "integer buckets, retention fraction of cohort size") {
+    val df = Seq(
+      (1L, 10L), (1L, 250L), // cohort 0, active periods {0, 2}
+      (2L, 120L), (2L, 130L), // cohort 1, active {1} (distinct collapses)
+      (3L, 50L), (3L, 150L) // cohort 0, active {0, 1}
+    ).toDF("user_id", "ts_us")
+    val out = EventFunnel.retention(df, "user_id", "ts_us", periodUs = 100L)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // cohort 0 has 2 users: both active at k=0, one at k=1, one at k=2
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(out((0L, 2L)) == ((1L, 2L, 0.5)))
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 4)
+    assertThrows[IllegalArgumentException](
+      EventFunnel.retention(df, "user_id", "ts_us", periodUs = 0L))
+  }
+}
