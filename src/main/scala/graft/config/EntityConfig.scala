@@ -32,6 +32,25 @@ final case class EntityConfig(
       * predicates are true (real SDP expect_all_or_drop semantics, SURVEY §2
       * P7) — reference `02_silver_processing.py:94-95,139-141`. */
     expectAllOrDrop: Map[String, String] = Map.empty,
+    /** WARN-only expectations (the DLT `expect` tier): violations are
+      * counted in the observe metrics / event log but the rows are KEPT.
+      * Names must be unique across all four expectation maps. */
+    expectAll: Map[String, String] = Map.empty,
+    /** FAIL expectations (the DLT `expect_or_fail` tier): a publish with
+      * ANY violating row is ABORTED before the table repoints — the
+      * candidate version dir is deleted and the run throws, so readers
+      * keep the last good version (the atomic versioned publish doubles
+      * as the rollback). Counted on the same observe pass as the other
+      * tiers; currently requires `silver_mode: "full"`. */
+    expectAllOrFail: Map[String, String] = Map.empty,
+    /** QUARANTINE expectations ([EXT] — the documented DLT quarantine
+      * pattern): violating rows are EXCLUDED from silver and appended to
+      * `<silver-schema>._quarantine_<entity>` with a `_violated` name
+      * array, `_run_id`, and the ingestion clock — an auditable
+      * dead-letter table instead of silent row loss. Costs one extra
+      * filtered pass over the batch (the two sides are written with
+      * opposite filters); currently requires `silver_mode: "full"`. */
+    expectAllOrQuarantine: Map[String, String] = Map.empty,
     /** Silver materialization mode: `"full"` (reference behavior — batch
       * recompute of the whole bronze table per trigger,
       * `02_silver_processing.py:115-150`) or `"incremental"` (merge-on-
@@ -105,7 +124,18 @@ final case class EntityConfig(
       * silver with the same expectations / layout / versioned-publish /
       * vacuum / lock semantics. */
     gold: Option[GoldConfig] = None
-)
+) {
+  /** Expectations that FILTER rows out of silver (drop + quarantine —
+    * the quarantined side is additionally captured by the publish). */
+  def gateExpectations: Map[String, String] =
+    expectAllOrDrop ++ expectAllOrQuarantine
+  /** Expectations that only COUNT (warn keeps rows; fail aborts the
+    * publish from the observed count, rows untouched). */
+  def monitorExpectations: Map[String, String] =
+    expectAll ++ expectAllOrFail
+  def anyExpectations: Boolean =
+    gateExpectations.nonEmpty || monitorExpectations.nonEmpty
+}
 
 /** Gold-layer declaration: which curation to run and how to publish it. */
 final case class GoldConfig(
@@ -208,6 +238,13 @@ final case class PipelineParams(
     * count, instead of only the latest counts in table properties. */
   def expectationLogFqn: String =
     s"${bq(silverSchema)}.${bq("_expectation_log")}"
+  /** Dead-letter table for `expect_all_or_quarantine` violations
+    * ([EXT]): the entity's quarantined rows (silver vocabulary +
+    * `_violated` names + run stamps), republished per run through the
+    * same versioned publish as silver, so history is inspectable via
+    * time-travel version reads. */
+  def quarantineFqn(entity: String): String =
+    s"${bq(silverSchema)}.${bq(s"_quarantine_$entity")}"
 }
 
 object PipelineParams {
@@ -291,6 +328,11 @@ object ConfigLoader {
               f.get("renamed_columns").map(strMap).getOrElse(Map.empty),
             expectAllOrDrop =
               f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty),
+            expectAll = f.get("expect_all").map(strMap).getOrElse(Map.empty),
+            expectAllOrFail =
+              f.get("expect_all_or_fail").map(strMap).getOrElse(Map.empty),
+            expectAllOrQuarantine = f.get("expect_all_or_quarantine")
+              .map(strMap).getOrElse(Map.empty),
             silverMode = {
               val m = s("silver_mode", "full")
               require(m == "full" || m == "incremental",
@@ -322,7 +364,25 @@ object ConfigLoader {
               parseGold(gf.toMap)
             }
           )
-        }.toMap
+        }.toMap.map { case (name, c) =>
+          // cross-tier validation: one violations_<name> metric per
+          // expectation, so names must be unique ACROSS the four tiers;
+          // fail/quarantine ride the full path's atomic versioned publish
+          // (abort-before-repoint / opposite-filter split) — incremental
+          // merges don't have that hook yet, so fail loud, not silent
+          val tiers = Seq(c.expectAll, c.expectAllOrDrop,
+            c.expectAllOrFail, c.expectAllOrQuarantine)
+          val dup = tiers.flatMap(_.keys).groupBy(identity)
+            .collect { case (k, v) if v.size > 1 => k }
+          require(dup.isEmpty, s"$name: expectation names used in more " +
+            s"than one tier: ${dup.toSeq.sorted.mkString(", ")}")
+          require(c.silverMode == "full" ||
+            (c.expectAllOrFail.isEmpty && c.expectAllOrQuarantine.isEmpty),
+            s"$name: expect_all_or_fail / expect_all_or_quarantine " +
+              "require silver_mode 'full' (the abort-before-repoint and " +
+              "quarantine-split hooks live on the versioned batch publish)")
+          name -> c
+        }
       case _ =>
         throw new IllegalArgumentException(
           "dp_config_template.json must be a JSON object keyed by entity name")

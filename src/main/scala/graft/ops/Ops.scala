@@ -155,6 +155,46 @@ object Expectations {
     df.observe(obs, metrics.head, metrics.tail: _*)
       .filter(preds.map(_._2).reduce(_ && _))
   }
+
+  /** Full DLT-triad variant: `gate` predicates FILTER (drop/quarantine
+    * semantics) while `monitor` predicates are COUNTED ONLY (warn/fail
+    * semantics — warn keeps the rows; fail aborts the whole publish on a
+    * nonzero count, decided by the caller from the observation, so the
+    * rows themselves pass through). All violation counts ride one
+    * `observe` on the same action — still zero extra passes. Expectation
+    * names must be globally unique across both maps (one
+    * `violations_<name>` metric each). */
+  def gated(df: DataFrame, gate: Map[String, String],
+      monitor: Map[String, String],
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val overlap = gate.keySet.intersect(monitor.keySet)
+    require(overlap.isEmpty, s"expectation names in both a gating and a " +
+      s"monitoring set: ${overlap.toSeq.sorted.mkString(", ")}")
+    if (gate.isEmpty && monitor.isEmpty) return df
+    val gatePreds = predicates(gate)
+    val metrics = metricsFor(gatePreds ++ predicates(monitor))
+    val observedDf = df.observe(obs, metrics.head, metrics.tail: _*)
+    if (gatePreds.isEmpty) observedDf
+    else observedDf.filter(gatePreds.map(_._2).reduce(_ && _))
+  }
+
+  /** The complement of the gate: rows violating AT LEAST ONE of
+    * `expectations`, annotated with the sorted array of violated
+    * expectation names in `outCol` — the quarantine side of an
+    * expect-or-quarantine split (the documented DLT quarantine pattern:
+    * write the two sides with opposite filters). */
+  def violatedOnly(df: DataFrame, expectations: Map[String, String],
+      outCol: String = "_violated"): DataFrame = {
+    require(expectations.nonEmpty, "violatedOnly needs >= 1 expectation")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists; pass outCol = <other name>")
+    val preds = predicates(expectations)
+    val names = preds.map { case (n, p) =>
+      when(!coalesce(p, lit(false)), lit(n))
+    }
+    df.withColumn(outCol, array_compact(array(names: _*)))
+      .filter(size(col(outCol)) > 0)
+  }
 }
 
 /** P8: column renaming — reserved in the reference (`README.md:100`);

@@ -383,10 +383,16 @@ final class PipelineRunner(
       case None => ClusterLayout(afterCdc, clusterCols,
         boundsFrom = Some(source))
     }
+    // drop + quarantine tiers FILTER; warn + fail tiers only COUNT (all
+    // four ride one observe on the write action — zero extra passes).
+    // The named-observe fallback (no Observation handle) carries the gate
+    // tiers only; fail/quarantine are config-restricted to the full path,
+    // which always passes a handle.
     val gated = obs match {
-      case Some(o) if cfg.expectAllOrDrop.nonEmpty =>
-        Expectations.observed(laid, cfg.expectAllOrDrop, o)
-      case _ => Expectations(laid, cfg.expectAllOrDrop,
+      case Some(o) if cfg.anyExpectations =>
+        Expectations.gated(laid, cfg.gateExpectations,
+          cfg.monitorExpectations, o)
+      case _ => Expectations(laid, cfg.gateExpectations,
         observeName = Some(obsName))
     }
     Rename(gated, cfg.renamedColumns)
@@ -428,14 +434,20 @@ final class PipelineRunner(
       // expectation metrics ride the write action via df.observe — zero
       // extra passes (the SDP expectation-event-log analog); persisted as
       // table properties below so they are queryable after the run
-      val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+      val obs = Option.when(cfg.anyExpectations)(
         new org.apache.spark.sql.Observation(s"expectations_$entity"))
       val laid = buildSilverFrame(entity, cfg, obs)
-      publishVersioned(fqn, silverPath(entity), laid)
+      // expect_all_or_fail: the version dir is fully written when the
+      // check runs, so a violation aborts BEFORE the repoint — readers
+      // keep the last good version, the candidate dir is deleted
+      // (atomic versioned publish doubling as the rollback)
+      publishVersioned(fqn, silverPath(entity), laid,
+        preCommit = () => failOnViolations(entity, cfg, obs))
       setTableProps(spark, fqn, refTableProps(cfg) +
         ("comment" -> s"Silver deduplicated table for $entity") +
         ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
         expectationMetrics(entity, "silver", fqn, obs))
+      if (cfg.expectAllOrQuarantine.nonEmpty) publishQuarantine(entity, cfg)
     }
 
   /** Incremental silver (`silver_mode: "incremental"`) — the 100 TB path:
@@ -580,7 +592,7 @@ final class PipelineRunner(
       // stream (an old silver lacks a just-evolved bronze column); the
       // absent side null-fills, exactly like the bronze evolution path
       val merged = prev.unionByName(withB, allowMissingColumns = true)
-      val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+      val obs = Option.when(cfg.anyExpectations)(
         new org.apache.spark.sql.Observation(
           s"expectations_${entity}_b$batchId"))
       val frame = silverTransform(merged, cfg, obs,
@@ -631,7 +643,7 @@ final class PipelineRunner(
       if (touched.isEmpty && spark.catalog.tableExists(rawFqn)) {
         log(s"$fqn batch $batchId is empty; publishing nothing"); return
       }
-      val obs = Option.when(cfg.expectAllOrDrop.nonEmpty)(
+      val obs = Option.when(cfg.anyExpectations)(
         new org.apache.spark.sql.Observation(
           s"expectations_${entity}_b$batchId"))
       val obsName = s"expectations_${entity}_b$batchId"
@@ -687,9 +699,14 @@ final class PipelineRunner(
     val passes: Column =
       if (preds.isEmpty) lit(true)
       else preds.map(p => coalesce(p._2, lit(false))).reduce(_ && _)
+    // warn-tier (expect_all) predicates are counted on the same observe
+    // but never gate (fail/quarantine tiers are config-restricted to
+    // silver_mode=full, so only warn can appear here as a monitor)
+    val monitors = cfg.monitorExpectations.toSeq.sortBy(_._1)
+      .map { case (nm, sql) => nm -> expr(sql) }
     val observed = obs match {
       case Some(o) =>
-        val metrics = preds.map { case (nm, p) =>
+        val metrics = (preds ++ monitors).map { case (nm, p) =>
           sum(when(!del && !coalesce(p, lit(false)), 1L).otherwise(0L))
             .as(s"violations_$nm")
         }
@@ -968,17 +985,70 @@ final class PipelineRunner(
     * publish history groups by run. */
   @volatile private var runId: String = java.util.UUID.randomUUID().toString
 
+  /** `expect_all_or_fail` check, run between the version-dir write and
+    * the table repoint: the observed violation counts (already collected
+    * by the write action — no extra pass) abort the publish on the first
+    * nonzero fail-tier count. */
+  private def failOnViolations(entity: String, cfg: EntityConfig,
+      obs: Option[org.apache.spark.sql.Observation]): Unit =
+    if (cfg.expectAllOrFail.nonEmpty) obs.foreach { o =>
+      val counts = o.get
+      val failed = cfg.expectAllOrFail.keys.toSeq.sorted
+        .map(nm => nm -> String.valueOf(
+          counts.getOrElse(s"violations_$nm", 0L)).toLong)
+        .filter(_._2 > 0)
+      if (failed.nonEmpty)
+        throw new IllegalStateException(s"expect_all_or_fail violated " +
+          s"for $entity: " + failed.map { case (nm, n) => s"$nm ($n rows)" }
+            .mkString(", ") + "; publish aborted, previous version kept")
+    }
+
+  /** Quarantine publish ([EXT] `expect_all_or_quarantine`): the rows that
+    * passed the drop gate but violate >= 1 quarantine predicate, with the
+    * sorted `_violated` names and run stamps, republished through the
+    * same versioned publish as silver — the table always reflects the
+    * CURRENT source (no cross-run duplicate rows) and history stays
+    * inspectable via time-travel version reads. Costs one extra filtered
+    * pass over the batch (the documented price of the DLT quarantine
+    * pattern: two sides, opposite filters). */
+  private def publishQuarantine(entity: String, cfg: EntityConfig): Unit = {
+    val source = spark.read.table(params.bronzeFqn(entity))
+    val deduped = Dedup.latestByIngestion(source, cfg.uniquePrimaryKey)
+    val afterCdc =
+      if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
+    val afterDrop = Expectations(afterCdc, cfg.expectAllOrDrop)
+    val ts = params.fixedIngestedAt.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val frame = Rename(
+      Expectations.violatedOnly(afterDrop, cfg.expectAllOrQuarantine),
+      cfg.renamedColumns)
+      .withColumn("_run_id", lit(runId))
+      .withColumn("_quarantined_at", lit(ts))
+    val fqn = params.quarantineFqn(entity)
+    publishVersioned(fqn, s"$storageRoot/_quarantine/$entity", frame)
+    setTableProps(spark, fqn, Map(
+      "comment" -> s"Quarantined expectation violations for $entity"))
+  }
+
   /** Atomic versioned publish shared by the silver and gold batch tables:
     * write `df` to a fresh `.../v{N}` dir, widen the catalog schema
     * additively, repoint with `SET LOCATION` (or create on first run),
-    * then vacuum superseded versions past the retention window. */
+    * then vacuum superseded versions past the retention window. A
+    * `preCommit` hook runs after the write but before the repoint; if it
+    * throws, the candidate dir is deleted and the table keeps its
+    * previous version (the `expect_all_or_fail` abort path). */
   private def publishVersioned(fqn: String, basePathStr: String,
-      df: DataFrame): Unit = {
+      df: DataFrame, preCommit: () => Unit = () => ()): Unit = {
     val base = new org.apache.hadoop.fs.Path(basePathStr)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (oldVersions, target) = nextVersionDir(fs, base)
 
     df.write.mode("overwrite").parquet(target.toString)
+    try preCommit() catch {
+      case e: Throwable =>
+        fs.delete(target, true)
+        throw e
+    }
     if (spark.catalog.tableExists(fqn)) {
       // S7: widen the catalog schema by any evolved columns BEFORE the
       // location switch (additive-only, mirroring bronze evolution)

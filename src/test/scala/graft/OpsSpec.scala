@@ -121,6 +121,42 @@ class OpsSpec extends AnyFunSuite {
     assert(Expectations(df, Map.empty).count() == 1)
   }
 
+  test("P7 tiers: gated filters by gate only, counts monitors on the " +
+    "same observe; names shared across maps rejected") {
+    val df = Seq(
+      (1L, Some(5.0), "ok"), (2L, Some(-1.0), "ok"),
+      (3L, None, "ok"), (4L, Some(5.0), null)).toDF("id", "qty", "name")
+    val obs = org.apache.spark.sql.Observation("exp_tiers")
+    val out = Expectations.gated(df,
+      gate = Map("qty_pos" -> "qty > 0"),
+      monitor = Map("name_nonnull" -> "name IS NOT NULL"), obs)
+    // monitor tier (warn/fail) never filters: id=4 violates it but stays
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(obs.get("violations_qty_pos") == 2L)
+    assert(obs.get("violations_name_nonnull") == 1L)
+    assertThrows[IllegalArgumentException](Expectations.gated(df,
+      Map("x" -> "qty > 0"), Map("x" -> "name IS NOT NULL"),
+      org.apache.spark.sql.Observation("exp_dup")))
+  }
+
+  test("P7 violatedOnly: the quarantine side — violators with sorted " +
+    "violated-name arrays; clean rows absent; outCol collision loud") {
+    val df = Seq(
+      (1L, Some(5.0), "ok"), (2L, Some(-1.0), null),
+      (3L, None, "ok")).toDF("id", "qty", "name")
+    val out = Expectations.violatedOnly(df, Map(
+        "qty_pos" -> "qty > 0", "name_nonnull" -> "name IS NOT NULL"))
+      .select($"id", $"_violated").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(out == Map(
+      2L -> Seq("name_nonnull", "qty_pos"), // both, name-sorted
+      3L -> Seq("qty_pos")))
+    assertThrows[IllegalArgumentException](
+      Expectations.violatedOnly(df, Map.empty))
+    assertThrows[IllegalArgumentException](Expectations.violatedOnly(
+      df.withColumn("_violated", lit(1)), Map("q" -> "qty > 0")))
+  }
+
   test("P8 rename maps old -> new") {
     val df = Seq((1, "x")).toDF("a", "b")
     val out = Rename(df, Map("a" -> "id", "b" -> "val"))

@@ -1302,4 +1302,126 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("'a'") &&
       e.getMessage.contains("full refresh"))
   }
+
+  private val triadConfig = """{
+    "items": {
+      "raw_file_format": "parquet",
+      "unique_primary_key": ["id"],
+      "expect_all_or_drop": {"has_id": "id IS NOT NULL"},
+      "expect_all": {"score_high": "score >= 50"},
+      "expect_all_or_quarantine": {"score_valid": "score <= 100"}
+    }
+  }"""
+
+  private def writeItems(src: String, rows: Seq[Row],
+      mode: String = "overwrite"): Unit = {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("score", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode(mode).parquet(s"$src/items")
+  }
+
+  test("expectations triad: warn counts but keeps; quarantine splits to " +
+    "the dead-letter table; both republish to current state on rerun") {
+    val src = tmpDir("graft-src"); val store = tmpDir("graft-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"), triadConfig)
+    writeItems(src, Seq(
+      Row(1L, Integer.valueOf(60)), // clean
+      Row(2L, Integer.valueOf(40)), // warn tier violated -> KEPT
+      Row(3L, Integer.valueOf(150)), // quarantine tier -> diverted
+      Row(null, Integer.valueOf(70)))) // drop tier -> gone entirely
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "triad")
+    r1.run(ConfigLoader.load(spark, src))
+
+    val silver = spark.table(params.silverFqn("items"))
+    assert(silver.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L)) // warn row kept, quarantine + drop rows absent
+    val quarantined = spark.table(params.quarantineFqn("items"))
+    val qRows = quarantined
+      .select("id", "_violated", "_run_id").collect()
+    assert(qRows.map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    assert(qRows.head.getAs[scala.collection.Seq[String]]("_violated")
+      .toSeq == Seq("score_valid"))
+    assert(qRows.head.getAs[String]("_run_id").nonEmpty)
+    // all three tiers counted on the one observe + in the event log
+    val props = spark.sql(
+      s"SHOW TBLPROPERTIES ${params.silverFqn("items")}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("expectations.violations_score_high") == "1")
+    assert(props("expectations.violations_score_valid") == "1")
+    assert(props("expectations.violations_has_id") == "1")
+    val logged = spark.table(params.expectationLogFqn)
+      .filter($"entity" === "items").select("expectation")
+      .as[String].collect().toSet
+    assert(logged == Set("score_high", "score_valid", "has_id"))
+
+    // batch 2 fixes id=3 (later clock wins dedup): quarantine table
+    // republishes to CURRENT state — empty, no stale rows
+    writeItems(src, Seq(Row(3L, Integer.valueOf(90))), mode = "append")
+    val (r2, _) = mkRunner(src, store, "2024-02-02 00:00:00",
+      catalog = "triad")
+    r2.run(ConfigLoader.load(spark, src))
+    assert(spark.table(params.silverFqn("items"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(spark.table(params.quarantineFqn("items")).count() == 0)
+  }
+
+  test("expect_all_or_fail: a violating batch aborts BEFORE the repoint " +
+    "— readers keep the last good version, candidate dir deleted") {
+    val src = tmpDir("graft-src"); val store = tmpDir("graft-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"), """{
+      "items": {
+        "raw_file_format": "parquet",
+        "unique_primary_key": ["id"],
+        "expect_all_or_fail": {"score_sane": "score <= 100"}
+      }
+    }""")
+    writeItems(src, Seq(Row(1L, Integer.valueOf(60))))
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "triadfail")
+    r1.run(ConfigLoader.load(spark, src)) // clean run publishes v1
+    assert(spark.table(params.silverFqn("items")).count() == 1)
+
+    writeItems(src, Seq(Row(9L, Integer.valueOf(999))), mode = "append")
+    val (r2, _) = mkRunner(src, store, "2024-02-02 00:00:00",
+      catalog = "triadfail")
+    val e = intercept[IllegalStateException](
+      r2.run(ConfigLoader.load(spark, src)))
+    assert(e.getMessage.contains("score_sane") &&
+      e.getMessage.contains("items"))
+    // last good version still served; the aborted candidate dir is gone
+    assert(spark.table(params.silverFqn("items"))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+    val versions = new java.io.File(s"$store/silver/items")
+      .listFiles().filter(_.getName.startsWith("v")).map(_.getName).toSeq
+    assert(versions == Seq("v1"))
+  }
+
+  test("expectations config validation: duplicate names across tiers and " +
+    "fail/quarantine under incremental mode are rejected loud") {
+    val src = tmpDir("graft-src")
+    Files.writeString(Path.of(src, "dp_config_template.json"), """{
+      "items": {
+        "raw_file_format": "parquet",
+        "unique_primary_key": ["id"],
+        "expect_all_or_drop": {"x": "id IS NOT NULL"},
+        "expect_all": {"x": "id > 0"}
+      }
+    }""")
+    val dup = intercept[IllegalArgumentException](
+      ConfigLoader.load(spark, src))
+    assert(dup.getMessage.contains("x"))
+    Files.writeString(Path.of(src, "dp_config_template.json"), """{
+      "items": {
+        "raw_file_format": "parquet",
+        "unique_primary_key": ["id"],
+        "silver_mode": "incremental",
+        "expect_all_or_fail": {"y": "id IS NOT NULL"}
+      }
+    }""")
+    val inc = intercept[IllegalArgumentException](
+      ConfigLoader.load(spark, src))
+    assert(inc.getMessage.contains("silver_mode"))
+  }
 }
