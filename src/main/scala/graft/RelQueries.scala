@@ -30,6 +30,18 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- [EXT]: sliding-anchor funnel (ClickHouse windowFunnel
+    //    semantics) — deepest chain from ANY signup anchor within 1 day;
+    //    tighter window than q_funnel so the two semantics actually
+    //    diverge on the data (a later anchor rescues chains the
+    //    first-touch model rejects)
+    "q_funnel_sliding" -> ((s, dir) => {
+      EventFunnel.funnelSliding(events(s, dir), "user_id", "event_type",
+          "ts_us", steps = Seq("signup", "view", "purchase"),
+          windowUs = 86400000000L)
+        .orderBy(col("user_id"))
+    }),
+
     // -- [EXT]: daily cohort retention matrix — users cohorted by
     //    first-event day, per (cohort, day offset) active count/fraction
     "q_retention" -> ((s, dir) => {
@@ -653,6 +665,32 @@ object RelQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // the maximal-anchor recurrence as window functions: A1 = running max
+    // signup ts strictly before (ROWS ... 1 PRECEDING); step rows carry
+    // chain start s_j = A_{j-1}; depth >= j iff ts - s_j <= window
+    "q_funnel_sliding" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t, epoch_us(ts) AS ts_us, event_id
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |w1 AS (SELECT *, max(CASE WHEN t = 'signup' THEN ts_us END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a1
+        |  FROM e),
+        |w2 AS (SELECT *, CASE WHEN t = 'view' THEN a1 END AS s2 FROM w1),
+        |w3 AS (SELECT *, max(s2) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a2
+        |  FROM w2),
+        |w4 AS (SELECT *, CASE WHEN t = 'purchase' THEN a2 END AS s3 FROM w3)
+        |SELECT user_id, greatest(
+        |    max(CASE WHEN t = 'signup' THEN 1 ELSE 0 END),
+        |    max(CASE WHEN s2 IS NOT NULL AND ts_us - s2 <= 86400000000
+        |      THEN 2 ELSE 0 END),
+        |    max(CASE WHEN s3 IS NOT NULL AND ts_us - s3 <= 86400000000
+        |      THEN 3 ELSE 0 END))::INTEGER AS step_reached
+        |FROM w4 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // exact integer day buckets (epoch_us // day) on both sides
     "q_retention" ->

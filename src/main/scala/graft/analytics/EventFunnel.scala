@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence event analytics ([EXT] north-star surface; no
@@ -66,6 +67,60 @@ object EventFunnel {
         stepCols.map(c => when(c.isNotNull, 1).otherwise(0))
           .reduce(_ + _).cast("int"))
       .select(col("_u").as(userCol) +: stepCols :+ col("step_reached"): _*)
+  }
+
+  /** Sliding-anchor funnel (the ClickHouse `windowFunnel` semantics):
+    * per user, the deepest k such that SOME ordered chain
+    * e₁ < e₂ < … < e_k of the step types fits within `windowUs` of ITS
+    * OWN first event — any step-1 event can anchor, not just the first
+    * ([[funnel]]'s first-touch model is the stricter attribution view;
+    * this is the recall view). Chain order is row order by
+    * (ts, orderCol): same-timestamp events chain in `orderCol` order.
+    *
+    * One per-user window pass computes it exactly, via the maximal-anchor
+    * recurrence: A₁(t) = max step-1 ts strictly before t; a step-j row
+    * carries chain-start s_j = A_{j-1} (the LATEST viable anchor — later
+    * anchors dominate: they only loosen the window check); A_j = running
+    * max of s_j over earlier step-j rows. Depth ≥ j iff some step-j row
+    * has t − s_j ≤ windowUs; intermediate rows need no window check
+    * because t_j − a ≤ W implies t_i − a ≤ W for every i < j. Returns
+    * (userCol, step_reached) for every user with funnel-type activity.
+    *
+    * Scale: ONE hash exchange on user + one within-partition sort feeds
+    * every window column (Spark computes all the running maxes in a
+    * single Window operator) and the final depth is a map-side-combined
+    * per-user max — the q_session_gap shape, linear in events. */
+  def funnelSliding(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, steps: Seq[String], windowUs: Long,
+      orderCol: String = "event_id"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
+      .filter(col("_t").isin(steps: _*))
+    val withA1 = e.withColumn("_a1",
+      max(when(col("_t") === steps.head, col("_ts"))).over(w))
+    val chained = steps.indices.drop(1).foldLeft(withA1) { (df, j) =>
+      // s_{j+1} on step-(j+1) rows = A_j (latest chain start among
+      // shallower chains strictly before this row)
+      val withS = df.withColumn(s"_s${j + 1}",
+        when(col("_t") === steps(j), col(s"_a$j")))
+      if (j == steps.size - 1) withS
+      else withS.withColumn(s"_a${j + 1}", max(col(s"_s${j + 1}")).over(w))
+    }
+    val depth = greatest(
+      (when(col("_t") === steps.head, 1).otherwise(0) +:
+        steps.indices.drop(1).map(j =>
+          when(col(s"_s${j + 1}").isNotNull &&
+            col("_ts") - col(s"_s${j + 1}") <= windowUs, j + 1)
+            .otherwise(0))): _*)
+    chained.groupBy(col("_u"))
+      .agg(max(depth).cast("int").as("step_reached"))
+      .select(col("_u").as(userCol), col("step_reached"))
   }
 
   /** Cohort retention matrix: users cohorted by the period of their FIRST

@@ -72,6 +72,49 @@ class EventFunnelSpec extends AnyFunSuite {
       "user_id", "event_type", "ts_us", Seq("A", "B"), 0L))
   }
 
+  private def slidingOf(rows: Seq[(Long, String, Long)]) =
+    EventFunnel.funnelSliding(
+        rows.zipWithIndex.map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+          .toDF("user_id", "event_type", "ts_us", "event_id"),
+        "user_id", "event_type", "ts_us", steps, windowUs = 100L)
+      .as[(Long, Int)].collect().toMap
+
+  test("funnelSliding: ANY anchor can complete the chain (the first-touch " +
+    "counterexample); maximal-anchor recurrence is exact") {
+    val rows = Seq(
+      // first-touch rejects B@150 (150-10 > 100); the second A@100
+      // anchors it here -> depth 2
+      (8L, "A", 10L), (8L, "A", 100L), (8L, "B", 150L),
+      // chain must use the LATEST viable anchor per step: A@10 B@20
+      // C@115 fails from anchor 10 (105 > 100) but A@50 B@60 C@115
+      // completes -> depth 3
+      (9L, "A", 10L), (9L, "B", 20L), (9L, "A", 50L), (9L, "B", 60L),
+      (9L, "C", 115L),
+      // order still matters: C before any B stays depth 2
+      (10L, "A", 10L), (10L, "C", 20L), (10L, "B", 30L),
+      // no step-1 event at all -> depth 0
+      (11L, "B", 10L), (11L, "C", 20L)
+    )
+    val out = slidingOf(rows)
+    assert(out(8L) == 2)
+    assert(out(9L) == 3)
+    assert(out(10L) == 2)
+    assert(out(11L) == 0)
+  }
+
+  test("funnelSliding dominates the first-touch funnel on real events " +
+    "and agrees when a single anchor exists") {
+    val rows = Seq(
+      (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      (2L, "A", 10L), (2L, "C", 5L),
+      (4L, "A", 10L), (4L, "B", 200L),
+      (6L, "A", 10L), (6L, "B", 11L), (6L, "C", 111L))
+    val ft = funnelOf(rows).view.mapValues(_._4).toMap
+    val sl = slidingOf(rows)
+    // single-anchor users: identical depths
+    assert(sl == ft)
+  }
+
   test("retention: cohort by first-event period, k offsets, exact " +
     "integer buckets, retention fraction of cohort size") {
     val df = Seq(
