@@ -145,8 +145,19 @@ final case class GoldConfig(
     clusteringCols: Seq[String] = Nil,
     /** Expectations gating the CURATED rows (post-curation vocabulary:
       * original columns + `quality`). */
-    expectAllOrDrop: Map[String, String] = Map.empty
-)
+    expectAllOrDrop: Map[String, String] = Map.empty,
+    /** WARN-only tier for gold (counted, rows kept) — see
+      * [[EntityConfig.expectAll]]. */
+    expectAll: Map[String, String] = Map.empty,
+    /** FAIL tier for gold: abort the gold publish before the repoint on
+      * any violating curated row — see [[EntityConfig.expectAllOrFail]].
+      * (No gold quarantine tier: its opposite-filter side would re-run
+      * the whole curation pipeline.) */
+    expectAllOrFail: Map[String, String] = Map.empty
+) {
+  def anyExpectations: Boolean =
+    expectAllOrDrop.nonEmpty || expectAll.nonEmpty || expectAllOrFail.nonEmpty
+}
 
 /** Knobs of the curation stage — mirrors [[graft.llm.Curation.Config]]
   * plus the column bindings. */
@@ -381,6 +392,13 @@ object ConfigLoader {
             s"$name: expect_all_or_fail / expect_all_or_quarantine " +
               "require silver_mode 'full' (the abort-before-repoint and " +
               "quarantine-split hooks live on the versioned batch publish)")
+          c.gold.foreach { g =>
+            val gdup = Seq(g.expectAll, g.expectAllOrDrop, g.expectAllOrFail)
+              .flatMap(_.keys).groupBy(identity)
+              .collect { case (k, v) if v.size > 1 => k }
+            require(gdup.isEmpty, s"$name.gold: expectation names used " +
+              s"in more than one tier: ${gdup.toSeq.sorted.mkString(", ")}")
+          }
           name -> c
         }
       case _ =>
@@ -428,6 +446,9 @@ object ConfigLoader {
         }),
       clusteringCols = f.get("clustering_cols").map(strSeq).getOrElse(Nil),
       expectAllOrDrop =
-        f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty))
+        f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty),
+      expectAll = f.get("expect_all").map(strMap).getOrElse(Map.empty),
+      expectAllOrFail =
+        f.get("expect_all_or_fail").map(strMap).getOrElse(Map.empty))
   }
 }

@@ -442,7 +442,7 @@ final class PipelineRunner(
       // keep the last good version, the candidate dir is deleted
       // (atomic versioned publish doubling as the rollback)
       publishVersioned(fqn, silverPath(entity), laid,
-        preCommit = () => failOnViolations(entity, cfg, obs))
+        preCommit = () => failOnViolations(entity, cfg.expectAllOrFail, obs))
       setTableProps(spark, fqn, refTableProps(cfg) +
         ("comment" -> s"Silver deduplicated table for $entity") +
         ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
@@ -989,11 +989,12 @@ final class PipelineRunner(
     * the table repoint: the observed violation counts (already collected
     * by the write action — no extra pass) abort the publish on the first
     * nonzero fail-tier count. */
-  private def failOnViolations(entity: String, cfg: EntityConfig,
+  private def failOnViolations(entity: String,
+      failTier: Map[String, String],
       obs: Option[org.apache.spark.sql.Observation]): Unit =
-    if (cfg.expectAllOrFail.nonEmpty) obs.foreach { o =>
+    if (failTier.nonEmpty) obs.foreach { o =>
       val counts = o.get
-      val failed = cfg.expectAllOrFail.keys.toSeq.sorted
+      val failed = failTier.keys.toSeq.sorted
         .map(nm => nm -> String.valueOf(
           counts.getOrElse(s"violations_$nm", 0L)).toLong)
         .filter(_._2 > 0)
@@ -1278,9 +1279,13 @@ final class PipelineRunner(
       contaminationProbes = probes)
     val laid = ClusterLayout(curated, g.clusteringCols,
       boundsFrom = Some(silver))
+    // gold carries the warn/fail tiers too (same one-observe discipline);
+    // quarantine stays silver-only — its opposite-filter side would
+    // re-run the whole curation pipeline for the dead-letter rows
     obs match {
-      case Some(o) if g.expectAllOrDrop.nonEmpty =>
-        Expectations.observed(laid, g.expectAllOrDrop, o)
+      case Some(o) if g.anyExpectations =>
+        Expectations.gated(laid, g.expectAllOrDrop,
+          g.expectAll ++ g.expectAllOrFail, o)
       case _ => Expectations(laid, g.expectAllOrDrop,
         observeName = Some(s"expectations_gold_$entity"))
     }
@@ -1303,10 +1308,11 @@ final class PipelineRunner(
     * gold semantics. */
   def runGold(entity: String, cfg: EntityConfig): Unit = cfg.gold.foreach { g =>
     val fqn = params.goldFqn(entity)
-    val obs = Option.when(g.expectAllOrDrop.nonEmpty)(
+    val obs = Option.when(g.anyExpectations)(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
     val frame = buildGoldFrame(entity, cfg, g, obs)
-    publishVersioned(fqn, goldPath(entity), frame)
+    publishVersioned(fqn, goldPath(entity), frame,
+      preCommit = () => failOnViolations(entity, g.expectAllOrFail, obs))
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
       ("clustering_cols" -> g.clusteringCols.mkString(",")) ++

@@ -184,6 +184,57 @@ class PipelineSpec extends AnyFunSuite {
       "the contaminated doc must be decontaminated out of gold")
   }
 
+  test("gold layer: warn tier counts without filtering and the fail " +
+      "tier aborts the gold publish, keeping the last good version") {
+    import spark.implicits._
+    val src = tmpDir("goldexp-src"); val store = tmpDir("goldexp-store")
+    val text = "fish swim slowly down the long calm river past green " +
+      "reeds and quiet stones while herons wait patiently in the evening"
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "gold": {
+        |    "curation": {"id_col": "doc_id", "text_col": "text",
+        |                 "min_quality": 0.0, "max_repetition": 1.0},
+        |    "expect_all": {"id_small": "doc_id < 2"},
+        |    "expect_all_or_fail": {"id_sane": "doc_id < 100"}
+        |  }
+        |}}""".stripMargin)
+    val text2 = "mountain goats climb steep rocky cliffs under bright " +
+      "morning skies while eagles circle high above the silent valley"
+    Seq((1L, text), (2L, text2))
+      .toDF("doc_id", "text").write.parquet(s"$src/docs")
+    val (r1, params) = mkRunner(src, store, "2024-03-02 00:00:00",
+      catalog = "goldexp")
+    r1.run(ConfigLoader.load(spark, src))
+    val gold = spark.table(params.goldFqn("docs"))
+    // warn tier violated by doc 2 but the row is KEPT
+    assert(gold.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${params.goldFqn("docs")}")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("expectations.violations_id_small") == "1")
+    assert(props("expectations.violations_id_sane") == "0")
+
+    // a doc violating the fail tier arrives: gold publish aborts before
+    // the repoint; readers keep the 2-row version, candidate dir gone
+    val text3 = "desert winds carry warm sand across ancient dunes as " +
+      "camels walk slowly toward the distant shimmering oasis water"
+    Seq((200L, text3)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$src/docs")
+    val (r2, _) = mkRunner(src, store, "2024-03-03 00:00:00",
+      catalog = "goldexp")
+    val e = intercept[IllegalStateException](
+      r2.run(ConfigLoader.load(spark, src)))
+    assert(e.getMessage.contains("id_sane"))
+    assert(spark.table(params.goldFqn("docs"))
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    val versions = new java.io.File(s"$store/gold/docs")
+      .listFiles().filter(_.getName.startsWith("v")).map(_.getName).toSeq
+    assert(versions == Seq("v1"))
+  }
+
   test("gold layer: keep_best_quality picks the component's best doc " +
       "instead of the min id") {
     import spark.implicits._
