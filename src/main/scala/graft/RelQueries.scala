@@ -42,6 +42,16 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- [EXT]: path analysis — top 20 first-5-event user journeys by
+    //    user count (the sankey/flow query that motivates which funnels
+    //    to define)
+    "q_event_paths" -> ((s, dir) => {
+      EventFunnel.eventPaths(events(s, dir), "user_id", "event_type",
+          "ts_us", maxEvents = 5)
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(20)
+    }),
+
     // -- [EXT]: daily cohort retention matrix — users cohorted by
     //    first-event day, per (cohort, day offset) active count/fraction
     "q_retention" -> ((s, dir) => {
@@ -691,6 +701,21 @@ object RelQueries {
         |    max(CASE WHEN s3 IS NOT NULL AND ts_us - s3 <= 86400000000
         |      THEN 3 ELSE 0 END))::INTEGER AS step_reached
         |FROM w4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ordered string_agg per user over the row-number-pruned prefix; the
+    // top-k tie-break (count desc, path asc) makes the limit deterministic
+    "q_event_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, count(*)::BIGINT AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
 
     // exact integer day buckets (epoch_us // day) on both sides
     "q_retention" ->

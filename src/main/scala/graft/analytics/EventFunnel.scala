@@ -123,6 +123,38 @@ object EventFunnel {
       .select(col("_u").as(userCol), col("step_reached"))
   }
 
+  /** Path analysis (the user-journey / sankey query): each user's ordered
+    * event-type sequence truncated to the first `maxEvents` events, with
+    * the user count per distinct path — top paths reveal the dominant
+    * flows the funnel queries then quantify. Paths are `'>'`-joined type
+    * names ordered by (ts, orderCol). Returns (path, n_users) sorted
+    * count desc, path asc.
+    *
+    * Scale: one per-user window (row_number prune to `maxEvents` — the
+    * same user-keyed exchange+sort every sequence query here shares, and
+    * WindowGroupLimit caps what the exchange carries), a per-user
+    * collect bounded by `maxEvents` rows, then a map-side-combined count
+    * on the path string. No unbounded per-user state. */
+  def eventPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, maxEvents: Int, orderCol: String = "event_id")
+      : DataFrame = {
+    require(maxEvents > 0, s"maxEvents must be positive, got $maxEvents")
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+    val pathCol = array_join(
+      transform(
+        array_sort(collect_list(struct(col("_ts"), col("_eid"),
+          col("_t").as("t")))),
+        e => e.getField("t")),
+      ">")
+    events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxEvents)
+      .groupBy(col("_u")).agg(pathCol.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Cohort retention matrix: users cohorted by the period of their FIRST
     * event; for each (cohort, offset k) the count and fraction of the
     * cohort active k periods later. Periods are exact integer µs buckets

@@ -115,6 +115,27 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(sl == ft)
   }
 
+  test("eventPaths: ordered truncated journeys with per-path user " +
+    "counts; order by (ts, orderCol) not input order") {
+    val df = Seq(
+      // user 1: out-of-order input rows, path must follow ts
+      (1L, "C", 30L, 0L), (1L, "A", 10L, 1L), (1L, "B", 20L, 2L),
+      // user 2: same path as 1
+      (2L, "A", 5L, 3L), (2L, "B", 6L, 4L), (2L, "C", 7L, 5L),
+      // user 3: truncation to first 3 of 4 events
+      (3L, "A", 1L, 6L), (3L, "A", 2L, 7L), (3L, "B", 3L, 8L),
+      (3L, "C", 4L, 9L),
+      // user 4: same-ts tie broken by orderCol
+      (4L, "B", 1L, 11L), (4L, "A", 1L, 10L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = EventFunnel.eventPaths(df, "user_id", "event_type", "ts_us",
+        maxEvents = 3)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("A>B>C" -> 2L, "A>A>B" -> 1L, "A>B" -> 1L))
+    assertThrows[IllegalArgumentException](EventFunnel.eventPaths(
+      df, "user_id", "event_type", "ts_us", maxEvents = 0))
+  }
+
   test("retention: cohort by first-event period, k offsets, exact " +
     "integer buckets, retention fraction of cohort size") {
     val df = Seq(
