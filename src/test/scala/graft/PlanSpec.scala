@@ -36,6 +36,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_topk_per_group").contains("WindowGroupLimit"))
   }
 
+  test("q_funnel_sliding: ONE user exchange feeds both window passes AND " +
+      "the per-user depth aggregate; step filter pushes to the scan") {
+    val p = plan("q_funnel_sliding")
+    // the recurrence is two Window operators + the depth agg sharing the
+    // single hashpartitioning(user) exchange (the orderBy adds one range
+    // exchange); a second hash exchange means the reuse regressed
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one user hash exchange:\n$p")
+    assert("Window ".r.findAllIn(p).length >= 2)
+    assert(p.contains("In(event_type"), s"step filter not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_event_paths: the first-N prune is a WindowGroupLimit on BOTH " +
+      "sides of the user exchange (map partitions ship <= N rows/user)") {
+    val p = plan("q_event_paths")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"row_number prune lost its map-side WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_funnel + q_dsir_weights: model/frontier joins never fall to a " +
+      "cartesian; dsir's B-row distribution tables broadcast") {
+    val pf = plan("q_funnel")
+    assert(!pf.contains("CartesianProduct"))
+    val pd = plan("q_dsir_weights")
+    assert(pd.contains("BroadcastHashJoin"), s"dsir model join not broadcast:\n$pd")
+    assert(!pd.contains("SortMergeJoin") && !pd.contains("CartesianProduct"))
+  }
+
   test("q_domain_cap: per-domain rank bounded map-side (WindowGroupLimit)") {
     assert(plan("q_domain_cap").contains("WindowGroupLimit"))
   }

@@ -294,4 +294,57 @@ class PropertySpec extends AnyFunSuite {
         assert(again.isAfter(next)) // strictly-after contract holds at a fire point
     }
   }
+
+  test("funnel: sliding-anchor depth dominates first-touch depth on " +
+    "random event streams; both within [0, k]") {
+    val steps = Seq("A", "B", "C")
+    val evGen = Gen.listOfN(30, for {
+      u <- Gen.chooseNum(1L, 4L)
+      t <- Gen.oneOf("A", "B", "C", "X")
+      ts <- Gen.chooseNum(0L, 200L)
+    } yield (u, t, ts))
+    forAllSampled(evGen, cases = 4) { rows: List[(Long, String, Long)] =>
+      val df = rows.zipWithIndex
+        .map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+        .toDF("user_id", "event_type", "ts_us", "event_id")
+      val ft = graft.analytics.EventFunnel
+        .funnel(df, "user_id", "event_type", "ts_us", steps, 100L)
+        .select("user_id", "step_reached")
+        .as[(Long, Int)].collect().toMap
+      val sl = graft.analytics.EventFunnel
+        .funnelSliding(df, "user_id", "event_type", "ts_us", steps, 100L)
+        .as[(Long, Int)].collect().toMap
+      assert(ft.keySet == sl.keySet) // same universe: funnel-type users
+      ft.foreach { case (u, d) =>
+        assert(d >= 0 && d <= 3 && sl(u) >= 0 && sl(u) <= 3)
+        // any chain the first-touch model finds is a valid chain for the
+        // sliding model, so sliding depth can never be smaller
+        assert(sl(u) >= d, s"user $u: sliding ${sl(u)} < first-touch $d")
+      }
+    }
+  }
+
+  test("retention: k=0 is always full retention; no offset exceeds its " +
+    "cohort size; actives sum to the distinct (user, period) count") {
+    val evGen = Gen.listOfN(25, for {
+      u <- Gen.chooseNum(1L, 5L)
+      ts <- Gen.chooseNum(0L, 500L)
+    } yield (u, ts))
+    forAllSampled(evGen, cases = 4) { rows: List[(Long, Long)] =>
+      val df = rows.toDF("user_id", "ts_us")
+      val out = graft.analytics.EventFunnel
+        .retention(df, "user_id", "ts_us", periodUs = 100L)
+        .as[(Long, Long, Long, Long, Double)].collect()
+      val byCohort = out.groupBy(_._1)
+      byCohort.foreach { case (_, rs) =>
+        val size = rs.head._4
+        assert(rs.forall(_._4 == size)) // one size per cohort
+        assert(rs.forall(r => r._3 <= size && r._2 >= 0))
+        val k0 = rs.find(_._2 == 0L).get
+        assert(k0._3 == size && k0._5 == 1.0) // first period: everyone
+      }
+      val distinctUp = rows.map { case (u, ts) => (u, ts / 100L) }.toSet
+      assert(out.map(_._3).sum == distinctUp.size)
+    }
+  }
 }
