@@ -64,8 +64,12 @@ object MultimodalQueries {
     //    manifest (the q_image_decode promotion pattern).
     "q_frame_sample" -> ((s, _) => {
       import s.implicits._
+      // BOTH real containers ride one decode pass: animated GIF and
+      // MJPEG-AVI (magic-dispatched per clip inside sampleClip)
       val media = Multimodal.readMedia(s, s"$mediaRoot/gif", "*.gif",
           kind = "video")
+        .unionByName(Multimodal.readMedia(s, s"$mediaRoot/avi", "*.avi",
+          kind = "video"))
         .as[Multimodal.MediaRow]
       Multimodal.frameSummaries(
         Multimodal.balanceBySize(media.toDF, 4).as[Multimodal.MediaRow],
@@ -85,5 +89,8 @@ object MultimodalQueries {
     "q_frame_sample" ->
       s"""SELECT file_name, frame_ms, n_values, frame_checksum
          |FROM read_parquet('$mediaRoot/manifest_gif/*.parquet')
+         |UNION ALL
+         |SELECT file_name, frame_ms, n_values, frame_checksum
+         |FROM read_parquet('$mediaRoot/manifest_avi/*.parquet')
          |ORDER BY file_name, frame_ms""".stripMargin)
 }

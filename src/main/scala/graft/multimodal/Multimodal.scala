@@ -289,24 +289,140 @@ object Multimodal {
           if n.getNodeName == name => n }
     }
 
-    private def bufferedToDecoded(bi: java.awt.image.BufferedImage): Decoded = {
-      val (w, h) = (bi.getWidth, bi.getHeight)
-      val out = new Array[Float](w * h * 3)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = bi.getRGB(x, y)
-          val base = (y * w + x) * 3
-          out(base) = ((rgb >> 16) & 0xff) / 255.0f
-          out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
-          out(base + 2) = (rgb & 0xff) / 255.0f
-          x += 1
-        }
-        y += 1
+    private def bufferedToDecoded(bi: java.awt.image.BufferedImage): Decoded =
+      Decoded(0L, bi.getWidth, bi.getHeight, 3, rgbFloats(bi))
+  }
+
+  /** RGB float planes of a BufferedImage (getRGB handles any source
+    * color model) — shared by the GIF and AVI codecs so both containers
+    * produce byte-identical pixel layouts. */
+  private[multimodal] def rgbFloats(bi: java.awt.image.BufferedImage)
+      : Array[Float] = {
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    val out = new Array[Float](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = bi.getRGB(x, y)
+        val base = (y * w + x) * 3
+        out(base) = ((rgb >> 16) & 0xff) / 255.0f
+        out(base + 1) = ((rgb >> 8) & 0xff) / 255.0f
+        out(base + 2) = (rgb & 0xff) / 255.0f
+        x += 1
       }
-      Decoded(0L, w, h, 3, out)
+      y += 1
     }
+    out
+  }
+
+  /** REAL MJPEG-AVI video decode — the standard camera/capture container
+    * (RIFF `AVI ` wrapping one JPEG per `..dc`/`..db` chunk), parsed
+    * directly (the RIFF walk is ~40 lines; no ffmpeg-class dependency
+    * exists in this environment) with per-frame JPEG decode via the
+    * JDK's ImageIO. Frame timing comes from the main AVI header's
+    * `dwMicroSecPerFrame`: frame j is active on
+    * `[j·usPerFrame, (j+1)·usPerFrame)` — sampling does the comparison
+    * in exact µs integer math, so a non-ms-aligned frame rate (e.g.
+    * 30 fps = 33333 µs) still resolves every instant deterministically.
+    * Malformed input (bad header, truncated chunk, undecodable frame)
+    * yields None and the caller falls back to the stub, mirroring
+    * [[GifVideoCodec]].
+    *
+    * Unlike GIF there is no inter-frame compositing — every MJPEG frame
+    * is independent — so [[sampleFrames]] decodes ONLY the sampled
+    * frames (memory and CPU follow the sample count, not the clip
+    * length). */
+  object AviMjpegCodec {
+    def looksLikeAvi(bytes: Array[Byte]): Boolean =
+      bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+        bytes(3) == 'F' && bytes(8) == 'A' && bytes(9) == 'V' &&
+        bytes(10) == 'I' && bytes(11) == ' '
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    /** (usPerFrame, per-frame (offset, length) in stream order), or None
+      * when the container is malformed/truncated. */
+    private def parse(bytes: Array[Byte]): Option[(Long, Seq[(Int, Int)])] =
+      try {
+        if (!looksLikeAvi(bytes)) return None
+        val riffEnd = math.min(bytes.length.toLong, u32(bytes, 4) + 8L).toInt
+        var usPerFrame = 0L
+        var truncated = false
+        val frames = Seq.newBuilder[(Int, Int)]
+        def walk(start: Int, end: Int): Unit = {
+          var p = start
+          while (p + 8 <= end && !truncated) {
+            val id = new String(bytes, p, 4, "US-ASCII")
+            val sz = u32(bytes, p + 4).toInt
+            val body = p + 8
+            if (sz < 0 || body + sz > end) { truncated = true; return }
+            if (id == "LIST" && sz >= 4) walk(body + 4, body + sz)
+            else if (id == "avih" && sz >= 4) usPerFrame = u32(bytes, body)
+            else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+              frames += ((body, sz))
+            p = body + sz + (sz & 1) // chunks pad to even offsets
+          }
+          if (p < end) truncated = true // trailing partial header
+        }
+        walk(12, riffEnd)
+        val fs = frames.result()
+        if (truncated || usPerFrame <= 0 || fs.isEmpty) None
+        else Some((usPerFrame, fs))
+      } catch { case _: Exception => None }
+
+    private def decodeJpeg(bytes: Array[Byte], off: Int, len: Int)
+        : Option[java.awt.image.BufferedImage] =
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len)))
+
+    /** Decode every frame with its start offset (ms) + total duration
+      * (ms) — the frame-exact spec/fixture surface. */
+    def decodeFrames(bytes: Array[Byte])
+        : Option[(Seq[(Long, Decoded)], Long)] =
+      parse(bytes).flatMap { case (usPerFrame, fs) =>
+        val decoded = fs.map { case (off, len) => decodeJpeg(bytes, off, len) }
+        if (decoded.exists(_.isEmpty)) None // any bad frame -> stub path
+        else Some((decoded.zipWithIndex.map { case (bi, j) =>
+          (j * usPerFrame / 1000L, Decoded(0L, bi.get.getWidth,
+            bi.get.getHeight, 3, rgbFloats(bi.get)))
+        }, fs.size * usPerFrame / 1000L))
+      }
+
+    /** Sample the frame ACTIVE at each instant `k*everyMs` — identical
+      * contract to [[GifVideoCodec.sampleFrames]] (first sample at 0, one
+      * per full `everyMs` of duration, at least one). Only the sampled
+      * frames are JPEG-decoded; repeated instants inside one frame reuse
+      * the decode. */
+    def sampleFrames(bytes: Array[Byte], everyMs: Long)
+        : Option[Seq[(Long, Array[Float])]] =
+      parse(bytes).flatMap { case (usPerFrame, fs) =>
+        val n = fs.size
+        val durationMs = n * usPerFrame / 1000L
+        val every = math.max(1L, everyMs)
+        val count = math.max(1L, durationMs / every).toInt
+        var lastJ = -1
+        var lastPx: Array[Float] = null
+        var bad = false
+        val out = Seq.newBuilder[(Long, Array[Float])]
+        var k = 0
+        while (k < count && !bad) {
+          val t = k * every
+          val j = math.min(n - 1L, t * 1000L / usPerFrame).toInt
+          if (j != lastJ) {
+            val (off, len) = fs(j)
+            decodeJpeg(bytes, off, len) match {
+              case Some(bi) => lastJ = j; lastPx = rgbFloats(bi)
+              case None     => bad = true
+            }
+          }
+          if (!bad) { out += ((t, lastPx)); k += 1 }
+        }
+        if (bad) None else Some(out.result())
+      }
   }
 
   /** ======= STUB BOUNDARY =======
@@ -496,18 +612,24 @@ object Multimodal {
     acc
   }
 
-  /** One video clip's sampled frames, real-codec-first: animated-GIF
-    * bytes decode through [[GifVideoCodec]] (true frame timing from the
-    * container); bytes it cannot parse fall back to the deterministic
-    * [[StubCodec]] clip of `durationMsFallback` at `w`×`h`×`c`. Shared by
-    * [[sampleVideoFrames]] and the fixture-manifest generator
-    * (tools.MakeMediaFixtures) so query output == manifest by
-    * construction. */
+  /** One video clip's sampled frames, real-codec-first: RIFF `AVI `
+    * magic dispatches to [[AviMjpegCodec]], anything else tries the
+    * animated-GIF reader ([[GifVideoCodec]] — true frame timing from
+    * either container); bytes neither can parse fall back to the
+    * deterministic [[StubCodec]] clip of `durationMsFallback` at
+    * `w`×`h`×`c`. Shared by [[sampleVideoFrames]] and the
+    * fixture-manifest generator (tools.MakeMediaFixtures) so query
+    * output == manifest by construction. */
   def sampleClip(bytes: Array[Byte], durationMsFallback: Long,
       everyMs: Long, w: Int = 8, h: Int = 8, c: Int = 3)
-      : Seq[(Long, Array[Float])] =
-    GifVideoCodec.sampleFrames(bytes, everyMs).getOrElse(
+      : Seq[(Long, Array[Float])] = {
+    val real =
+      if (AviMjpegCodec.looksLikeAvi(bytes))
+        AviMjpegCodec.sampleFrames(bytes, everyMs)
+      else GifVideoCodec.sampleFrames(bytes, everyMs)
+    real.getOrElse(
       StubCodec.sampleFrames(bytes, durationMsFallback, everyMs, w, h, c))
+  }
 
   /** Per-frame decode summary keyed by file name (the `q_frame_sample`
     * correctness surface; see [[ImageSummary]]). */

@@ -162,15 +162,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(wav.exists(r => r(1) == 44100)) // real decode at true rate
     assert(wav.exists(r => r(1) == 8000 && r(3) == 160L)) // stub fallback
 
-    val gif = MultimodalQueries.queries("q_frame_sample")(spark, "")
+    val vid = MultimodalQueries.queries("q_frame_sample")(spark, "")
       .collect().map(_.toSeq).toSeq
-    val gifManifest = spark.read.parquet(s"$root/manifest_gif")
+    // BOTH container manifests (gif + mjpeg-avi) — same union the
+    // DuckDB oracle takes
+    val vidManifest = spark.read.parquet(s"$root/manifest_gif")
+      .unionByName(spark.read.parquet(s"$root/manifest_avi"))
       .orderBy(col("file_name"), col("frame_ms")).collect()
       .map(_.toSeq).toSeq
-    assert(gif == gifManifest)
-    // real decodes at true dims (16x12x3 = 576) + stub fallbacks (192)
-    assert(gif.exists(r => r(2) == 576L))
-    assert(gif.exists(r => r(2) == 192L))
+    assert(vid == vidManifest)
+    // real decodes at true dims (16x12x3 = 576) + stub fallbacks (192),
+    // from each container family
+    assert(vid.exists(r => r(2) == 576L &&
+      r(0).toString.endsWith(".gif")))
+    assert(vid.exists(r => r(2) == 576L &&
+      r(0).toString.endsWith(".avi")))
+    assert(vid.exists(r => r(2) == 192L))
   }
 
   test("GifVideoCodec: frame-exact round trip through the JDK GIF codec") {
@@ -214,6 +221,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.GifVideoCodec.decodeFrames(
       Array.tabulate[Byte](100)(_.toByte)).isEmpty)
     assert(byStart.size == 3)
+  }
+
+  test("AviMjpegCodec: RIFF/MJPEG round trip — timing from the AVI " +
+    "header, µs-exact frame selection, malformed inputs rejected") {
+    val frames = (0 until 3).map(k =>
+      graft.tools.MakeMediaFixtures.makeFrame(seed = 31L, k, 10, 6))
+    val avi = graft.tools.MakeMediaFixtures.encodeAviMjpeg(frames, 400000L)
+    assert(Multimodal.AviMjpegCodec.looksLikeAvi(avi))
+    val Some((decoded, durationMs)) =
+      Multimodal.AviMjpegCodec.decodeFrames(avi)
+    assert(durationMs == 1200L)
+    assert(decoded.map(_._1) == Seq(0L, 400L, 800L))
+    assert(decoded.forall { case (_, d) =>
+      d.width == 10 && d.height == 6 && d.channels == 3 &&
+        d.pixels.length == 180 })
+    // JPEG is lossy but the decode is deterministic: two decodes agree
+    val again = Multimodal.AviMjpegCodec.decodeFrames(avi).get._1
+    assert(decoded.map(_._2.pixels.toSeq) == again.map(_._2.pixels.toSeq))
+
+    // frames are independent (no compositing): each sampled frame equals
+    // its decodeFrames twin, selected by the last-start-<=-t rule
+    val Some(sampled) = Multimodal.AviMjpegCodec.sampleFrames(avi, 250L)
+    assert(sampled.map(_._1) == Seq(0L, 250L, 500L, 750L))
+    assert(sampled.forall { case (t, px) =>
+      val active = decoded.reverseIterator.find(_._1 <= t).get._2
+      px.toSeq == active.pixels.toSeq
+    })
+
+    // 30 fps (33333 µs): instant 500 ms lands in frame 15 by exact µs
+    // math — per-frame ms truncation would pick frame 16 at some instants
+    val thirty = graft.tools.MakeMediaFixtures.encodeAviMjpeg(
+      (0 until 20).map(k =>
+        graft.tools.MakeMediaFixtures.makeFrame(77L, k, 6, 6)), 33333L)
+    val Some(s30) = Multimodal.AviMjpegCodec.sampleFrames(thirty, 100L)
+    val Some((d30, dur30)) = Multimodal.AviMjpegCodec.decodeFrames(thirty)
+    assert(dur30 == 666L && s30.size == 6)
+    assert(s30.forall { case (t, px) =>
+      val j = math.min(19L, t * 1000L / 33333L).toInt
+      px.toSeq == d30(j)._2.pixels.toSeq
+    })
+
+    // malformed containers -> None (stub upstream): truncated mid-chunk,
+    // non-AVI bytes, and a valid container with an undecodable frame
+    assert(Multimodal.AviMjpegCodec
+      .decodeFrames(avi.take(avi.length / 2)).isEmpty)
+    assert(Multimodal.AviMjpegCodec
+      .sampleFrames(avi.take(avi.length / 2), 250L).isEmpty)
+    assert(Multimodal.AviMjpegCodec
+      .decodeFrames(Array.tabulate[Byte](64)(_.toByte)).isEmpty)
+    val corrupt = avi.clone()
+    val dc = avi.indices.find(p => p + 4 <= avi.length &&
+      avi(p) == '0' && avi(p + 1) == '0' && avi(p + 2) == 'd' &&
+      avi(p + 3) == 'c').get
+    (dc + 8 until dc + 40).foreach(p => corrupt(p) = 0x5a)
+    assert(Multimodal.AviMjpegCodec.decodeFrames(corrupt).isEmpty)
+    // sampleClip dispatch: AVI bytes use the real codec, junk the stub
+    assert(Multimodal.sampleClip(avi, 1000L, 250L).map(_._1) ==
+      Seq(0L, 250L, 500L, 750L))
+    assert(Multimodal.sampleClip(corrupt, 1000L, 250L)
+      .forall(_._2.length == 8 * 8 * 3)) // stub shape
   }
 
   test("q_frame_sample: deterministic frames, multi-frame clips present") {

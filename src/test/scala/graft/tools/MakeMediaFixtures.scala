@@ -153,6 +153,51 @@ object MakeMediaFixtures {
     bos.toByteArray
   }
 
+  /** Encode frames as an MJPEG-AVI (RIFF `AVI ` + full `hdrl` headers +
+    * one JPEG per `00dc` chunk) — the encode twin of
+    * [[Multimodal.AviMjpegCodec]]. Public: MultimodalSpec round-trips
+    * through it. */
+  def encodeAviMjpeg(frames: Seq[BufferedImage], usPerFrame: Long)
+      : Array[Byte] = {
+    require(frames.nonEmpty && usPerFrame > 0)
+    def u32(v: Long): Array[Byte] = Array((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] =
+        if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+      fcc(id) ++ u32(body.length.toLong) ++ body ++ pad
+    }
+    def list(typ: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(typ) ++ children)
+    val jpegs = frames.map { f =>
+      // JPEG can't encode an indexed image directly; draw onto BGR first
+      val rgb = new BufferedImage(f.getWidth, f.getHeight,
+        BufferedImage.TYPE_3BYTE_BGR)
+      val g = rgb.createGraphics(); g.drawImage(f, 0, 0, null); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(rgb, "jpg", bos)
+      bos.toByteArray
+    }
+    val (w, h) = (frames.head.getWidth.toLong, frames.head.getHeight.toLong)
+    val avih = u32(usPerFrame) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(frames.size.toLong) ++ u32(0) ++ u32(1) ++ u32(0) ++
+      u32(w) ++ u32(h) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val strh = fcc("vids") ++ fcc("MJPG") ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(usPerFrame) ++ u32(1000000L) ++ u32(0) ++
+      u32(frames.size.toLong) ++ u32(0) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32((h << 16) | w)
+    val strf = u32(40) ++ u32(w) ++ u32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ fcc("MJPG") ++ u32(w * h * 3) ++
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", jpegs.toArray.flatMap(j => chunk("00dc", j)))
+    val payload = fcc("AVI ") ++ hdrl ++ movi
+    fcc("RIFF") ++ u32(payload.length.toLong) ++ payload
+  }
+
   def main(args: Array[String]): Unit = {
     val root = new File(if (args.nonEmpty) args(0) else "fixtures/media")
 
@@ -212,6 +257,42 @@ object MakeMediaFixtures {
         "vid_91_truncated.gif"
       })
 
+    // ---- video, second container: 4 valid MJPEG-AVIs (incl. a
+    // non-ms-aligned 30 fps rate and a single-frame clip) + 2 files
+    // exercising the stub fallback (bad JPEG payload; truncated RIFF)
+    val aviSpecs = Seq(
+      (8, 6, 3, 400000L),    // 3 × 400 ms = 1.2 s
+      (16, 12, 5, 333333L),  // 30 fps-ish: µs timing not ms-aligned
+      (12, 8, 1, 1000000L),  // single frame, 1 s
+      (10, 10, 4, 250000L))  // exactly one frame per sample period
+    val aviFiles = aviSpecs.zipWithIndex.map { case ((w, h, n, us), i) =>
+      val name = f"avi_$i%02d.avi"
+      val frames = (0 until n).map(k => makeFrame(i * 7121L + 3L, k, w, h))
+      write(new File(root, s"avi/$name"), encodeAviMjpeg(frames, us))
+      name
+    } ++ Seq(
+      { // valid container, garbage JPEG payload → frame decode fails → stub
+        val good = encodeAviMjpeg(
+          (0 until 2).map(k => makeFrame(881L, k, 8, 8)), 400000L)
+        val bad = good.clone()
+        // find the first 00dc body and trash it
+        val idx = good.indices.find(p => p + 4 <= good.length - 4 &&
+          good(p) == '0' && good(p + 1) == '0' && good(p + 2) == 'd' &&
+          good(p + 3) == 'c').get
+        (idx + 8 until math.min(idx + 48, bad.length)).foreach { p =>
+          bad(p) = (mix(13L, p.toLong) & 0xff).toByte
+        }
+        write(new File(root, "avi/avi_90_corrupt.avi"), bad)
+        "avi_90_corrupt.avi"
+      },
+      { // truncated mid-chunk → parse rejects → stub
+        val full = encodeAviMjpeg(
+          (0 until 3).map(k => makeFrame(883L, k, 14, 14)), 400000L)
+        write(new File(root, "avi/avi_91_truncated.avi"),
+          full.take(full.length / 2))
+        "avi_91_truncated.avi"
+      })
+
     // ---- manifests: round-trip the bytes just written through the SAME
     // decode-or-stub paths the queries use, so manifest == query output
     def bytesOf(sub: String, name: String): Array[Byte] =
@@ -240,6 +321,12 @@ object MakeMediaFixtures {
         .map { case (offMs, px) => FrameSummary(name, offMs,
           px.length.toLong, Multimodal.pixelChecksum(px)) }
     }
+    val aviRows = aviFiles.sorted.flatMap { name =>
+      val b = bytesOf("avi", name)
+      Multimodal.sampleClip(b, b.length * 10L, everyMs = 250L)
+        .map { case (offMs, px) => FrameSummary(name, offMs,
+          px.length.toLong, Multimodal.pixelChecksum(px)) }
+    }
 
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -250,8 +337,11 @@ object MakeMediaFixtures {
       .parquet(new File(root, "manifest_wav").getPath)
     gifRows.toDS().coalesce(1).write.mode("overwrite")
       .parquet(new File(root, "manifest_gif").getPath)
+    aviRows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(new File(root, "manifest_avi").getPath)
     spark.stop()
     println(s"wrote ${imgFiles.size} images + ${wavFiles.size} clips + " +
-      s"${gifFiles.size} gifs + manifests under $root")
+      s"${gifFiles.size} gifs + ${aviFiles.size} avis + manifests " +
+      s"under $root")
   }
 }
