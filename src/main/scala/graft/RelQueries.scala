@@ -190,9 +190,19 @@ object RelQueries {
           |    + 1 END AS INT)""".stripMargin)
       ranked.join(broadcast(bucketRanks), Seq("c_mktsegment", "bal_bucket"))
         .withColumn("quartile", quartile)
+        // percent_rank/cume_dist close the SQL rank family: under the
+        // tie-broken (acctbal, custkey) TOTAL order they are pure
+        // functions of (_ur, _n) — (r−1)/(n−1) and r/n — so they too
+        // ride the skew-safe rank, never a data-sized window. n=1 →
+        // percent_rank 0 (the SQL convention; greatest guards 0/0).
+        .withColumn("pct_rank", round((col("_ur") - 1).cast("double") /
+          greatest(col("_n") - 1, lit(1L)).cast("double"), 6))
+        .withColumn("cume", round(col("_ur").cast("double") /
+          col("_n").cast("double"), 6))
         .filter(col("rnk") <= 20)
         .select(col("c_mktsegment"), col("c_custkey"), col("bal_bucket"),
-          col("rnk"), col("drnk"), col("quartile"))
+          col("rnk"), col("drnk"), col("quartile"), col("pct_rank"),
+          col("cume"))
         .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
     }),
 
@@ -1173,7 +1183,8 @@ object RelQueries {
         |ORDER BY custkey""".stripMargin,
 
     "q_rank_family" ->
-      """SELECT c_mktsegment, c_custkey, bal_bucket, rnk, drnk, quartile
+      """SELECT c_mktsegment, c_custkey, bal_bucket, rnk, drnk, quartile,
+        |  pct_rank, cume
         |FROM (
         |  SELECT c_mktsegment, c_custkey,
         |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
@@ -1182,7 +1193,11 @@ object RelQueries {
         |    DENSE_RANK() OVER (PARTITION BY c_mktsegment
         |      ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS drnk,
         |    NTILE(4) OVER (PARTITION BY c_mktsegment
-        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+        |    round(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS pct_rank,
+        |    round(CUME_DIST() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS cume
         |  FROM customer)
         |WHERE rnk <= 20
         |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,

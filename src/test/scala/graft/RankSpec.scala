@@ -105,7 +105,7 @@ class RankSpec extends AnyFunSuite {
     assert(got == naive && got.nonEmpty)
   }
 
-  test("q_rank_family's aggregate-shaped rank/dense_rank/ntile equals " +
+  test("q_rank_family's aggregate-shaped rank/dense_rank/ntile/pct_rank/cume_dist equals " +
       "the plain window form (incl. n < k and n % k != 0 groups)") {
     // the declared query already oracle-matches DuckDB at both scales;
     // this pins the window equivalence on ntile edge shapes: group a has
@@ -126,15 +126,21 @@ class RankSpec extends AnyFunSuite {
         |  DENSE_RANK() OVER (PARTITION BY c_mktsegment
         |    ORDER BY CAST(FLOOR(c_acctbal / 1000) AS BIGINT) DESC) AS drnk,
         |  NTILE(4) OVER (PARTITION BY c_mktsegment
-        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |    ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+        |  round(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS pct_rank,
+        |  round(CUME_DIST() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal DESC, c_custkey ASC), 6) AS cume
         |FROM rank_family_probe""".stripMargin)
-      .as[(String, Long, Long, Int, Int, Int)].collect().sorted.toSeq
+      .as[(String, Long, Long, Int, Int, Int, Double, Double)]
+      .collect().sorted.toSeq
     // run the declared query's exact shape against the probe by routing
     // through a temp parquet dir shaped like the testdata layout
     val tmp = java.nio.file.Files.createTempDirectory("rankfam").toString
     df.write.mode("overwrite").parquet(s"$tmp/customer.parquet")
     val got = SparkEntry.queries("q_rank_family")(spark2, tmp)
-      .as[(String, Long, Long, Int, Int, Int)].collect().sorted.toSeq
+      .as[(String, Long, Long, Int, Int, Int, Double, Double)]
+      .collect().sorted.toSeq
     assert(got == naive.filter(_._4 <= 20))
   }
 
