@@ -148,13 +148,8 @@ object Expectations {
     * dropped-row counts with ZERO extra passes over the data (the SDP
     * expectation-metrics analog). */
   def observed(df: DataFrame, expectations: Map[String, String],
-      obs: org.apache.spark.sql.Observation): DataFrame = {
-    if (expectations.isEmpty) return df
-    val preds = predicates(expectations)
-    val metrics = metricsFor(preds)
-    df.observe(obs, metrics.head, metrics.tail: _*)
-      .filter(preds.map(_._2).reduce(_ && _))
-  }
+      obs: org.apache.spark.sql.Observation): DataFrame =
+    gated(df, expectations, Map.empty, obs)
 
   /** Full DLT-triad variant: `gate` predicates FILTER (drop/quarantine
     * semantics) while `monitor` predicates are COUNTED ONLY (warn/fail

@@ -370,9 +370,7 @@ final class PipelineRunner(
         * writers per task. Replaces the global range/z-order layout, whose
         * cross-bucket file ordering the bucketed publish cannot keep. */
       bucketCol: Option[String] = None): DataFrame = {
-    val deduped = Dedup.latestByIngestion(source, cfg.uniquePrimaryKey)
-    val afterCdc =
-      if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
+    val afterCdc = silverPreGate(source, cfg)
     val newToOld = cfg.renamedColumns.map(_.swap)
     val clusterCols = cfg.clusteringCols.map(c => newToOld.getOrElse(c, c))
     val laid = bucketCol match {
@@ -937,12 +935,18 @@ final class PipelineRunner(
       obs: Option[org.apache.spark.sql.Observation]): Map[String, String] =
     obs match {
       case Some(o) =>
+        // sum() over an EMPTY observed frame yields NULL — an empty
+        // publish (empty bronze, everything dropped upstream) has zero
+        // violations, not unparseable ones
         val raw = o.get.toSeq.sortBy(_._1)
-          .map { case (k, v) => k -> String.valueOf(v) }
+          .map { case (k, v) => k -> (v match {
+            case n: Number => n.longValue()
+            case _         => 0L
+          }) }
         raw.foreach { case (k, v) => log(s"$fqn expectations.$k = $v") }
         appendExpectationLog(entity, layer, raw.map { case (k, v) =>
-          k.stripPrefix("violations_") -> v.toLong })
-        raw.map { case (k, v) => s"expectations.$k" -> v }.toMap
+          k.stripPrefix("violations_") -> v })
+        raw.map { case (k, v) => s"expectations.$k" -> v.toString }.toMap
       case None => Map.empty
     }
 
@@ -995,8 +999,13 @@ final class PipelineRunner(
     if (failTier.nonEmpty) obs.foreach { o =>
       val counts = o.get
       val failed = failTier.keys.toSeq.sorted
-        .map(nm => nm -> String.valueOf(
-          counts.getOrElse(s"violations_$nm", 0L)).toLong)
+        // sum() over an EMPTY observed frame yields NULL, not 0 — an
+        // empty publish (all rows dropped upstream, empty bronze) has
+        // zero violations and must go through
+        .map(nm => nm -> (counts.get(s"violations_$nm") match {
+          case Some(v: Number) => v.longValue()
+          case _               => 0L
+        }))
         .filter(_._2 > 0)
       if (failed.nonEmpty)
         throw new IllegalStateException(s"expect_all_or_fail violated " +
@@ -1004,19 +1013,29 @@ final class PipelineRunner(
             .mkString(", ") + "; publish aborted, previous version kept")
     }
 
+  /** The shared silver prefix BEFORE any expectation gate — keep-latest
+    * PK dedup then the CDC delete filter. Factored so the quarantine
+    * side can never drift from what silver actually gated (both derive
+    * from this exact sequence). */
+  private def silverPreGate(source: DataFrame, cfg: EntityConfig)
+      : DataFrame = {
+    val deduped = Dedup.latestByIngestion(source, cfg.uniquePrimaryKey)
+    if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
+  }
+
   /** Quarantine publish ([EXT] `expect_all_or_quarantine`): the rows that
     * passed the drop gate but violate >= 1 quarantine predicate, with the
     * sorted `_violated` names and run stamps, republished through the
     * same versioned publish as silver — the table always reflects the
     * CURRENT source (no cross-run duplicate rows) and history stays
-    * inspectable via time-travel version reads. Costs one extra filtered
-    * pass over the batch (the documented price of the DLT quarantine
-    * pattern: two sides, opposite filters). */
+    * inspectable via time-travel version reads. Costs one extra pass
+    * over the batch INCLUDING the PK-dedup shuffle (the price of the
+    * DLT quarantine pattern — two sides, opposite filters; the sides
+    * share [[silverPreGate]], so the cost is duplicated work, never
+    * divergent semantics). */
   private def publishQuarantine(entity: String, cfg: EntityConfig): Unit = {
-    val source = spark.read.table(params.bronzeFqn(entity))
-    val deduped = Dedup.latestByIngestion(source, cfg.uniquePrimaryKey)
     val afterCdc =
-      if (!params.softDeletesEnabled) SoftDeleteFilter(deduped) else deduped
+      silverPreGate(spark.read.table(params.bronzeFqn(entity)), cfg)
     val afterDrop = Expectations(afterCdc, cfg.expectAllOrDrop)
     val ts = params.fixedIngestedAt.getOrElse(
       new java.sql.Timestamp(System.currentTimeMillis()))

@@ -1449,6 +1449,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(versions == Seq("v1"))
   }
 
+  test("expect_all_or_fail: an EMPTY publish (zero observed rows -> NULL " +
+    "metric sums) passes the fail check instead of aborting") {
+    val src = tmpDir("graft-src"); val store = tmpDir("graft-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"), """{
+      "items": {
+        "raw_file_format": "parquet",
+        "unique_primary_key": ["id"],
+        "expect_all_or_drop": {"has_id": "id IS NOT NULL"},
+        "expect_all_or_fail": {"score_sane": "score <= 100"}
+      }
+    }""")
+    writeItems(src, Seq.empty) // schema-only parquet: zero rows
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "triadempty")
+    r1.run(ConfigLoader.load(spark, src)) // must NOT throw
+    assert(spark.table(params.silverFqn("items")).count() == 0)
+  }
+
   test("expectations config validation: duplicate names across tiers and " +
     "fail/quarantine under incremental mode are rejected loud") {
     val src = tmpDir("graft-src")
