@@ -30,6 +30,17 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- [EXT]: the funnel REPORT — per-step reach + conversion rates
+    //    over the sliding-anchor funnel (the dashboard numbers)
+    "q_funnel_steps" -> ((s, dir) => {
+      EventFunnel.funnelReport(
+        EventFunnel.funnelSliding(events(s, dir), "user_id", "event_type",
+          "ts_us", steps = Seq("signup", "view", "purchase"),
+          windowUs = 86400000000L),
+        nSteps = 3)
+        .orderBy(col("step"))
+    }),
+
     // -- [EXT]: sliding-anchor funnel (ClickHouse windowFunnel
     //    semantics) — deepest chain from ANY signup anchor within 1 day;
     //    tighter window than q_funnel so the two semantics actually
@@ -685,6 +696,44 @@ object RelQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // the sliding-funnel CTEs collapsed to per-step reach counts; lag's
+    // third argument defaults step 1's previous count to its own value
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t, epoch_us(ts) AS ts_us, event_id
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |w1 AS (SELECT *, max(CASE WHEN t = 'signup' THEN ts_us END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a1
+        |  FROM e),
+        |w2 AS (SELECT *, CASE WHEN t = 'view' THEN a1 END AS s2 FROM w1),
+        |w3 AS (SELECT *, max(s2) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a2
+        |  FROM w2),
+        |w4 AS (SELECT *, CASE WHEN t = 'purchase' THEN a2 END AS s3 FROM w3),
+        |f AS (SELECT user_id, greatest(
+        |    max(CASE WHEN t = 'signup' THEN 1 ELSE 0 END),
+        |    max(CASE WHEN s2 IS NOT NULL AND ts_us - s2 <= 86400000000
+        |      THEN 2 ELSE 0 END),
+        |    max(CASE WHEN s3 IS NOT NULL AND ts_us - s3 <= 86400000000
+        |      THEN 3 ELSE 0 END)) AS step_reached
+        |  FROM w4 GROUP BY user_id),
+        |steps(step) AS (VALUES (1), (2), (3)),
+        |r AS (SELECT step,
+        |    (SELECT count(*) FROM f WHERE step_reached >= step)::BIGINT
+        |      AS n_reached
+        |  FROM steps)
+        |SELECT step, n_reached,
+        |  round(n_reached::DOUBLE / NULLIF(
+        |    first_value(n_reached) OVER (ORDER BY step), 0), 6)
+        |    AS conv_from_first,
+        |  round(n_reached::DOUBLE / NULLIF(
+        |    lag(n_reached, 1, n_reached) OVER (ORDER BY step), 0), 6)
+        |    AS conv_from_prev
+        |FROM r ORDER BY step""".stripMargin,
 
     // the maximal-anchor recurrence as window functions: A1 = running max
     // signup ts strictly before (ROWS ... 1 PRECEDING); step rows carry

@@ -69,6 +69,42 @@ object EventFunnel {
       .select(col("_u").as(userCol) +: stepCols :+ col("step_reached"): _*)
   }
 
+  /** The funnel REPORT on top of [[funnel]]/[[funnelSliding]] output:
+    * per step, how many users reached AT LEAST that depth, plus
+    * conversion vs step 1 and vs the previous step (the numbers every
+    * funnel dashboard shows). Rates are NULL when the respective
+    * denominator is zero (the SQL NULLIF convention); step 1's
+    * step-over-step rate is 1.0 by definition.
+    *
+    * Scale: the input is already one row per user; this collapses it to
+    * a ≤ `nSteps`-row depth-count frame, so the inequality join and the
+    * unpartitioned ordering window run on k rows, not data. */
+  def funnelReport(funnelOut: DataFrame, nSteps: Int): DataFrame = {
+    require(nSteps >= 2, s"a funnel needs >= 2 steps, got $nSteps")
+    val session = funnelOut.sparkSession
+    import session.implicits._
+    val counts = funnelOut.groupBy(col("step_reached").as("_d"))
+      .agg(count(lit(1)).as("_n"))
+    val reached = (1 to nSteps).toDF("step")
+      .join(counts, col("_d") >= col("step"), "left")
+      .groupBy(col("step"))
+      .agg(coalesce(sum(col("_n")), lit(0L)).as("n_reached"))
+    val w = Window.orderBy(col("step").asc)
+    reached
+      .withColumn("_first", first(col("n_reached")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_prev",
+        coalesce(lag(col("n_reached"), 1).over(w), col("n_reached")))
+      .withColumn("conv_from_first",
+        round(col("n_reached").cast("double") /
+          when(col("_first") =!= 0L, col("_first")), 6))
+      .withColumn("conv_from_prev",
+        round(col("n_reached").cast("double") /
+          when(col("_prev") =!= 0L, col("_prev")), 6))
+      .select(col("step"), col("n_reached"), col("conv_from_first"),
+        col("conv_from_prev"))
+  }
+
   /** Sliding-anchor funnel (the ClickHouse `windowFunnel` semantics):
     * per user, the deepest k such that SOME ordered chain
     * e₁ < e₂ < … < e_k of the step types fits within `windowUs` of ITS

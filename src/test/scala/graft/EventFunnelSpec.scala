@@ -115,6 +115,33 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(sl == ft)
   }
 
+  test("funnelReport: at-least-depth counts, conversion rates, zero-" +
+    "denominator NULLs, absent depths count zero") {
+    // depths: two users at 3, one at 2, one at 0 -> reach 3/3/2... wait:
+    // reached(s) counts step_reached >= s, so (0,2,3,3) gives 3,3,2
+    val f = Seq((1L, 3), (2L, 3), (3L, 2), (4L, 0))
+      .toDF("user_id", "step_reached")
+    val out = EventFunnel.funnelReport(f, nSteps = 3)
+      .as[(Int, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 3L, Some(1.0), Some(1.0)),
+      (2, 3L, Some(1.0), Some(1.0)),
+      (3, 2L, Some(0.666667), Some(0.666667))))
+    // nobody past step 1 -> steps 2..3 read zero with rate 0 from step 1
+    // and NULL step-over-step past the first zero (0/0)
+    val cold = Seq((1L, 1)).toDF("user_id", "step_reached")
+    val c = EventFunnel.funnelReport(cold, nSteps = 3)
+      .as[(Int, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    assert(c == Seq(
+      (1, 1L, Some(1.0), Some(1.0)),
+      (2, 0L, Some(0.0), Some(0.0)),
+      (3, 0L, Some(0.0), None))) // step-over-step 0/0 -> NULL
+    assertThrows[IllegalArgumentException](
+      EventFunnel.funnelReport(f, nSteps = 1))
+  }
+
   test("eventPaths: ordered truncated journeys with per-path user " +
     "counts; order by (ts, orderCol) not input order") {
     val df = Seq(
