@@ -263,6 +263,73 @@ object StreamOps {
       }
   }
 
+  /** A user's funnel progress emitted by [[funnelWithState]] whenever
+    * their depth advances. */
+  case class FunnelProgress(key: String, stepReached: Int, t1Us: Long)
+
+  /** Internal per-key state for [[funnelWithState]]: the first-touch
+    * frontier — earliest qualifying event time per reached step, -1 for
+    * steps not yet reached (always a prefix). Public: the state encoder's
+    * generated code constructs it reflectively. */
+  case class FunnelFrontier(frontier: Seq[Long])
+
+  /** STREAMING first-touch funnel — the incremental twin of
+    * [[graft.analytics.EventFunnel.funnel]] via `flatMapGroupsWithState`:
+    * per user the state is the k-long frontier (earliest step-1 ts, then
+    * the earliest qualifying ts of each later step), events fold into it
+    * as they arrive and one [[FunnelProgress]] row is emitted whenever a
+    * user's depth advances. Frontier entries never change once set
+    * (first-touch is monotone), so the operator is EXACT — equal to the
+    * batch funnel over everything ingested — whenever each user's events
+    * arrive in event-time order across batches (within a batch they are
+    * sorted); an out-of-order straggler that would have anchored an
+    * earlier chain is not retracted, the documented kappa-style contract
+    * (same arrival-order caveat as streaming dedup's keep-first).
+    *
+    * Scale: state is k longs per user regardless of event volume; one
+    * hash exchange on the key per micro-batch, like any streaming agg. */
+  def funnelWithState(df: DataFrame, keyCol: String, typeCol: String,
+      tsUsCol: String, steps: Seq[String], windowUs: Long)
+      : org.apache.spark.sql.Dataset[FunnelProgress] = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stepIdx = steps.zipWithIndex.toMap
+    df.select(col(keyCol).cast("string").as("k"),
+        col(typeCol).cast("string").as("t"),
+        col(tsUsCol).cast("long").as("ts"))
+      .filter(col("t").isin(steps: _*))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelFrontier, FunnelProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, events, state: GroupState[FunnelFrontier]) =>
+          val frontier = state.getOption.map(_.frontier.toArray)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          val before = frontier.count(_ >= 0)
+          // sort the batch slice by (ts, type): the cascade's strictly-
+          // after rule makes equal-ts ordering irrelevant, the ts sort
+          // restores event-time order within the batch
+          events.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, ty, ts) =>
+            val j = stepIdx(ty)
+            if (j == 0) { if (frontier(0) < 0) frontier(0) = ts }
+            else if (frontier(j) < 0 && frontier(j - 1) >= 0 &&
+                ts > frontier(j - 1) && ts - frontier(0) <= windowUs)
+              frontier(j) = ts
+          }
+          val depth = frontier.count(_ >= 0)
+          if (depth != before) {
+            // frontier entries are write-once, so state changes iff depth
+            // advanced — one tiny state write per advancing user per batch
+            state.update(FunnelFrontier(frontier.toSeq))
+            Iterator.single(FunnelProgress(key, depth, frontier(0)))
+          } else Iterator.empty
+      }
+  }
+
   /** Input row of [[streamingTokenBudget]]. */
   case class BudgetRow(id: Long, stratum: String, weight: Long)
 

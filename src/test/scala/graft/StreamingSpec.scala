@@ -146,6 +146,47 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 02:30:00"), 1L)))
   }
 
+  test("streaming funnel: per-user frontier advances across batches and " +
+    "the final depths equal the batch funnel over everything ingested") {
+    import spark.implicits._
+    val mem = MemoryStream[(String, String, Long)](spark)
+    val sink = nextSink()
+    val src = mem.toDF.toDF("k", "t", "ts_us")
+    val q = StreamOps.funnelWithState(src, "k", "t", "ts_us",
+        steps = Seq("A", "B", "C"), windowUs = 100L)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").start()
+    // batch 1: u1 reaches depth 2; u2 starts; u3 only off-funnel noise
+    val batch1 = Seq(("u1", "A", 10L), ("u1", "B", 20L),
+      ("u2", "A", 50L), ("u3", "X", 5L))
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    // batch 2: u1 completes; u2's B is outside the window from ITS t1;
+    // intra-batch out-of-order (C arrives before B in input order) is
+    // sorted inside the batch slice
+    val batch2 = Seq(("u1", "C", 30L), ("u2", "B", 200L),
+      ("u4", "C", 1L), ("u4", "B", 2L), ("u4", "A", 3L))
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(sink)
+      .as[StreamOps.FunnelProgress].collect()
+    // progress rows: u1 advanced in BOTH batches (2 then 3), u2/u4 once
+    assert(rows.count(_.key == "u1") == 2)
+    assert(rows.filter(_.key == "u1").map(_.stepReached).sorted.toSeq ==
+      Seq(2, 3))
+    // final depth per user == the batch funnel over the full ingest
+    val finalDepth = rows.groupBy(_.key)
+      .map { case (k, rs) => k -> rs.map(_.stepReached).max }
+    val batchTwin = graft.analytics.EventFunnel.funnel(
+        (batch1 ++ batch2).toDF("user_id", "event_type", "ts_us"),
+        "user_id", "event_type", "ts_us", Seq("A", "B", "C"), 100L)
+      .select($"user_id", $"step_reached").as[(String, Int)]
+      .collect().filter(_._2 > 0).toMap
+    assert(finalDepth == batchTwin)
+    assert(batchTwin == Map("u1" -> 3, "u2" -> 1, "u4" -> 1))
+  }
+
   test("sessionization: a late cross-batch event extends the session START backward") {
     import spark.implicits._
     val mem = MemoryStream[(Timestamp, String)](spark)
