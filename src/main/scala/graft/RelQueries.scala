@@ -165,6 +165,25 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- J6b [EXT]: as-of join with a staleness TOLERANCE (the pandas
+    //    merge_asof bound) — matches staler than 8400 days come back
+    //    NULL (orders carry TPC-H-era dates decades before the events,
+    //    so the bound splits the corpus near its median staleness)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val left = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val right = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+          col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin(left, right, key = "user_id",
+        leftTime = "ts_us", rightTime = "o_us",
+        payload = Seq("o_orderkey", "o_totalprice"),
+        rightOrderCol = "o_orderkey",
+        tolerance = Some(8400L * 86400000000L))
+        .orderBy(col("event_id"))
+    }),
+
     // -- W2 [EXT]: ranking family. rank/dense_rank rank over a TIED key
     //    (values deterministic even though intra-tie row order is not);
     //    ntile gets a unique order so bucket assignment is deterministic.
@@ -1348,6 +1367,35 @@ object RelQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, t AS ts_us, asof_o_orderkey,
         |  asof_o_totalprice
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+
+    // the q_asof_join shape + the matched row's own time carried along;
+    // both payload fields null TOGETHER past the 8400-day tolerance
+    "q_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, 1 AS is_left, event_id,
+        |    NULL::BIGINT AS o_orderkey, NULL::DOUBLE AS o_totalprice
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey, epoch_us(o_orderdate), 0, NULL, o_orderkey,
+        |    o_totalprice
+        |  FROM orders),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN is_left = 0 THEN o_orderkey END IGNORE NULLS)
+        |      OVER win AS m_orderkey,
+        |    last_value(CASE WHEN is_left = 0 THEN o_totalprice END IGNORE NULLS)
+        |      OVER win AS m_totalprice,
+        |    last_value(CASE WHEN is_left = 0 THEN t END IGNORE NULLS)
+        |      OVER win AS m_t
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY t ASC, is_left ASC, o_orderkey ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, t AS ts_us,
+        |  CASE WHEN m_t IS NOT NULL AND t - m_t <= 725760000000000
+        |    THEN m_orderkey END AS asof_o_orderkey,
+        |  CASE WHEN m_t IS NOT NULL AND t - m_t <= 725760000000000
+        |    THEN m_totalprice END AS asof_o_totalprice
         |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
   )
 }

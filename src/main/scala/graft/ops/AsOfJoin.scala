@@ -25,9 +25,17 @@ import org.apache.spark.sql.expressions.Window
   * resolve to the greatest `rightOrderCol`.
   */
 object AsOfJoin {
+  /** `tolerance`: when set, a match older than this (in the time columns'
+    * own unit — left − right > tolerance) is dropped and the payload
+    * comes back NULL, the pandas `merge_asof(tolerance=...)` / kdb `wj`
+    * bound. The matched right row's time rides inside the carried struct,
+    * so the whole payload nulls ATOMICALLY — no stitched half-rows. */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      payload: Seq[String], rightOrderCol: String): DataFrame = {
+      payload: Seq[String], rightOrderCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    require(tolerance.forall(_ > 0),
+      s"tolerance must be positive when set, got $tolerance")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"as-of payload columns collide with left columns: " +
@@ -62,10 +70,21 @@ object AsOfJoin {
     // field — stitching together a row that never existed. The struct is
     // null exactly for left rows, so last(ignoreNulls) lands on the
     // latest right ROW atomically and intra-row NULLs survive.
+    // the matched right row's own time rides in the struct so the
+    // tolerance gate (and any audit) sees it atomically with the payload
+    val tFld = Iterator.iterate("_t")(_ + "_")
+      .dropWhile(payload.contains).next()
     val carried = unioned.withColumn(ps,
-      last(when(col(isLeft) === 0, struct(payload.map(col): _*)),
+      last(when(col(isLeft) === 0,
+        struct(payload.map(col) :+ col(t).as(tFld): _*)),
         ignoreNulls = true).over(w))
-    carried.filter(col(isLeft) === 1)
+    val gated = tolerance match {
+      case Some(tol) => carried.withColumn(ps,
+        when(col(s"$ps.$tFld").isNotNull &&
+          col(t) - col(s"$ps.$tFld") <= tol, col(ps)))
+      case None => carried
+    }
+    gated.filter(col(isLeft) === 1)
       .select((leftCols.map(col) ++
         payload.map(p => col(s"$ps.$p").as(s"asof_$p"))).toIndexedSeq: _*)
   }

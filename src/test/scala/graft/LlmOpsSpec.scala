@@ -896,6 +896,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.getString(out.fieldIndex("asof_tag")) == "b")
   }
 
+  test("AsOfJoin tolerance: matches older than the bound null out " +
+    "ATOMICALLY; fresh matches and the no-tolerance form are unchanged") {
+    val left = Seq((1L, 7L, 30L), (2L, 7L, 100L), (3L, 9L, 50L))
+      .toDF("eid", "k", "t")
+    val right = Seq((7L, 20L, 5.0, "a"), (9L, 10L, 7.0, "b"))
+      .toDF("k", "rt", "price", "tag")
+    val out = AsOfJoin(left, right, "k", "t", "rt",
+        payload = Seq("price", "tag"), rightOrderCol = "tag",
+        tolerance = Some(15L))
+      .select($"eid", $"asof_price", $"asof_tag")
+      .as[(Long, Option[Double], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(5.0), Some("a")))) // 30-20=10 <= 15: fresh
+    assert(out(2L) == ((None, None))) // 100-20=80 > 15: BOTH fields null
+    assert(out(3L) == ((None, None))) // 50-10=40 > 15
+    // tolerance exactly at the bound is inclusive (<=)
+    val edge = AsOfJoin(Seq((1L, 7L, 35L)).toDF("eid", "k", "t"),
+        right, "k", "t", "rt", Seq("price"), "price",
+        tolerance = Some(15L))
+      .select($"asof_price").as[Option[Double]].head()
+    assert(edge.contains(5.0))
+    assertThrows[IllegalArgumentException](AsOfJoin(left, right, "k", "t",
+      "rt", Seq("price"), "price", tolerance = Some(0L)))
+  }
+
   test("Dedup/exactDedup: user columns named _row_num/_fp_rn survive") {
     val df = Seq((1L, "a", 99), (1L, "b", 98)).toDF("id", "text", "_row_num")
     val kept = graft.ops.Dedup(df, Seq("id"), Seq($"text".asc)).collect()(0)
