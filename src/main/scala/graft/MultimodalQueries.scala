@@ -47,7 +47,10 @@ object MultimodalQueries {
     // -- [EXT] multimodal: audio decode (real javax.sound + stub fallback)
     "q_audio_decode" -> ((s, _) => {
       import s.implicits._
-      val media = Multimodal.readMedia(s, s"$mediaRoot/wav", "*.wav")
+      // all three javax.sound containers (WAV/AIFF/AU) through one
+      // decode path
+      val media = Multimodal.readMedia(s, s"$mediaRoot/wav",
+          "*.{wav,aiff,au}")
         .as[Multimodal.MediaRow]
       Multimodal.audioSummaries(Multimodal.balanceBySize(media.toDF, 4)
           .as[Multimodal.MediaRow])

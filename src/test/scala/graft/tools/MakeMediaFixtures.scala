@@ -153,6 +153,19 @@ object MakeMediaFixtures {
     bos.toByteArray
   }
 
+  /** Re-container a WAV through javax.sound into AIFF/AU (same PCM
+    * samples, different header + endianness owned by AudioSystem). */
+  def transcodeAudio(wav: Array[Byte],
+      typ: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in, typ, bos)
+      bos.toByteArray
+    } finally in.close()
+  }
+
   /** Encode frames as an MJPEG-AVI (RIFF `AVI ` + full `hdrl` headers +
     * one JPEG per `00dc` chunk) — the encode twin of
     * [[Multimodal.AviMjpegCodec]]. Public: MultimodalSpec round-trips
@@ -226,10 +239,26 @@ object MakeMediaFixtures {
       val name = f"clip_$i%02d.wav"
       write(new File(root, s"wav/$name"), makeWav(i, rate, ch, n))
       name
-    } ++ Seq({
-      val junk = Array.tabulate[Byte](509)(i => (mix(77L, i.toLong) & 0xff).toByte)
-      write(new File(root, "wav/clip_90_corrupt.wav"), junk); "clip_90_corrupt.wav"
-    })
+    } ++ Seq(
+      // the OTHER javax.sound container formats ride the same
+      // AudioSystem decode path — transcode two clips so AIFF and AU
+      // are exercised with real fixtures, not just claimed
+      {
+        write(new File(root, "wav/clip_07.aiff"),
+          transcodeAudio(makeWav(7, 16000, 1, 640),
+            javax.sound.sampled.AudioFileFormat.Type.AIFF))
+        "clip_07.aiff"
+      },
+      {
+        write(new File(root, "wav/clip_08.au"),
+          transcodeAudio(makeWav(8, 8000, 2, 256),
+            javax.sound.sampled.AudioFileFormat.Type.AU))
+        "clip_08.au"
+      },
+      {
+        val junk = Array.tabulate[Byte](509)(i => (mix(77L, i.toLong) & 0xff).toByte)
+        write(new File(root, "wav/clip_90_corrupt.wav"), junk); "clip_90_corrupt.wav"
+      })
 
     // ---- video: 5 valid animated GIFs (dims × frame counts × delay
     // patterns, incl. a single-frame clip and mixed per-frame delays)
