@@ -685,10 +685,89 @@ object RelQueries {
             * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
           .as("corr_qty_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // -- [EXT]: fixed-point PageRank over the supplier→customer shipment
+    //    graph (supplier ships a lineitem to the ordering customer). The
+    //    graph-quality-prior operator of crawl curation, exercised here
+    //    on the star schema's natural digraph; customers are all dangling
+    //    (no out-edges), so the teleport/dangling redistribution path is
+    //    genuinely load-bearing, not decorative.
+    "q_pagerank" -> ((s, dir) => {
+      graft.analytics.Graph.pageRank(
+          shipmentEdges(s, dir), "src", "dst", iters = 3)
+        .orderBy(col("rank_fp").desc, col("node"))
+    }),
+
+    // -- [EXT]: per-node degree summary of the same digraph (the
+    //    link-farm / hub diagnosis pass)
+    "q_graph_degrees" -> ((s, dir) => {
+      graft.analytics.Graph.degrees(shipmentEdges(s, dir), "src", "dst")
+        .orderBy(col("node"))
     })
   )
 
+  /** supplier→customer edge list: one edge per (supplier, customer) pair
+    * connected by at least one lineitem; node ids are type-tagged strings
+    * because supplier and customer key spaces overlap numerically. */
+  private def shipmentEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+
+  /** The unrolled-CTE PageRank oracle: one (dangling, contributions,
+    * ranks) CTE triple per iteration — DuckDB replays the integer
+    * fixed-point recurrence of [[graft.analytics.Graph.pageRank]]
+    * bit-for-bit (`//` there ≡ `div` here on the all-positive ranks). */
+  private def pageRankOracle(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |edeg AS (SELECT e.src, e.dst, g.outdeg
+        |         FROM edges e JOIN deg g ON e.src = g.node),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |tp AS (SELECT (15 * 1000000000000) // (100 * n) AS tp FROM nn),
+        |r0 AS (SELECT node, 1000000000000 // n AS r FROM nodes CROSS JOIN nn)"""
+        .stripMargin
+    val iterations = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT COALESCE(SUM(r), 0) AS dang
+         |        FROM $p LEFT JOIN deg ON $p.node = deg.node
+         |        WHERE deg.node IS NULL),
+         |c$i AS (SELECT e.dst AS node, SUM(p.r // e.outdeg) AS c
+         |        FROM edeg e JOIN $p p ON e.src = p.node GROUP BY e.dst),
+         |r$i AS (SELECT nodes.node,
+         |          tp.tp + (85 * (COALESCE(c.c, 0) + d.dang // nn.n)) // 100
+         |            AS r
+         |        FROM nodes CROSS JOIN nn CROSS JOIN tp CROSS JOIN d$i d
+         |        LEFT JOIN c$i c ON nodes.node = c.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$iterations
+       |SELECT node, r AS rank_fp FROM r$iters
+       |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_pagerank" -> pageRankOracle(3),
+
+    "q_graph_degrees" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY 1),
+        |i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM edges GROUP BY 1)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.node = i.node
+        |ORDER BY node""".stripMargin,
 
     // the min-ts cascade (first-touch funnel): each step's min qualifying
     // ts joins the previous frontier; window anchored on the first step

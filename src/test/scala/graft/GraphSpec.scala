@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Graph
+
+/** Graph analytics: PageRank's fixed-point recurrence against a
+  * hand-computed reference, the invariants that make it trustworthy
+  * (mass conservation up to floor-truncation, partitioning
+  * determinism), and the degree summary. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // a→b, a→c, b→c: c is dangling, a has fan-out 2 — both division
+  // paths and the dangling redistribution are exercised
+  private def triangle = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+    .toDF("src", "dst")
+
+  test("pageRank matches the hand-computed fixed-point recurrence") {
+    // scale 1000, damping 1/2 — small enough to hand-verify:
+    //   r0 = 333 each, teleport = 1000 div 6 = 166
+    //   iter1: dang=333 (c), dang div 3=111
+    //     c(b)=333 div 2=166; c(c)=166+333=499
+    //     r1 = (a 221, b 304, c 471)
+    //   iter2: dang=471, div 3=157
+    //     c(b)=221 div 2=110; c(c)=110+304=414
+    //     r2 = (a 244, b 299, c 451)
+    val r = Graph.pageRank(triangle, "src", "dst", iters = 2,
+        dampingNum = 1L, dampingDen = 2L, scale = 1000L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("a" -> 244L, "b" -> 299L, "c" -> 451L))
+  }
+
+  test("duplicate edges collapse to the simple digraph") {
+    val dup = triangle.union(triangle).union(triangle)
+    val a = Graph.pageRank(triangle, "src", "dst", iters = 2,
+      dampingNum = 1L, dampingDen = 2L, scale = 1000L).collect().toSet
+    val b = Graph.pageRank(dup, "src", "dst", iters = 2,
+      dampingNum = 1L, dampingDen = 2L, scale = 1000L).collect().toSet
+    assert(a === b)
+  }
+
+  test("rank mass is conserved up to floor truncation; identical across partitionings") {
+    // 60-node graph: ring + chords + a dangling tail
+    val edges = spark.range(60).select(
+        concat(lit("n"), col("id")).as("src"),
+        concat(lit("n"), (col("id") + 1) % 50).as("dst"))
+      .union(spark.range(20).select(
+        concat(lit("n"), col("id")).as("src"),
+        concat(lit("n"), (col("id") * 7 + 3) % 50).as("dst")))
+    val r1 = Graph.pageRank(edges, "src", "dst", iters = 4)
+    val total = r1.agg(sum("rank_fp")).as[Long].head()
+    val n = 60L
+    // each of the ~3 floor divisions per node per iteration loses < 1
+    // unit; teleport truncation loses < N per iteration
+    assert(total <= 1000000000000L)
+    assert(total > 1000000000000L - 5 * 4 * n * 2,
+      s"mass drifted too far: $total")
+
+    val r2 = Graph.pageRank(edges.repartition(13), "src", "dst", iters = 4)
+    assert(r1.collect().toSet === r2.collect().toSet,
+      "fixed-point ranks must be independent of input partitioning")
+  }
+
+  test("degrees: per-node in/out counts with zero-fill on both sides") {
+    val d = Graph.degrees(triangle, "src", "dst")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d === Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
+  }
+
+  test("declared q_pagerank runs on sf0.001 with full coverage of both node types") {
+    val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nodes = rows.map(_.getString(0))
+    assert(nodes.exists(_.startsWith("s")) && nodes.exists(_.startsWith("c")))
+    // descending rank order with the node tie-break
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y })
+    // suppliers have out-edges, customers are dangling — yet every node
+    // must hold at least the teleport mass
+    assert(ranks.last > 0L)
+  }
+}
