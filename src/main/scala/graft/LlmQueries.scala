@@ -378,6 +378,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: temperature-based mixture resampling (sample languages
+    //    ∝ n^0.5) — the multilingual-LM rebalancing rule on the corpus's
+    //    naturally skewed lang column (en ≈ 3.4× fr): a 300-doc budget
+    //    drawn by √-damped size lifts low-resource languages' share while
+    //    keeping the big ones ahead
+    "q_temperature_mix" -> ((s, dir) => {
+      graft.ops.Sampling.temperatureResample(t(s, dir, "documents"),
+          "lang", "doc_id", budget = 300L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: token-budget data mixing — keep each source's docs, in
     //    deterministic md5 order, until the cumulative token count hits
     //    the source's budget (cap crawl at N tokens, keep all of a small
@@ -1136,6 +1148,37 @@ object LlmQueries {
     // mirrors Sampling.stratified's two-pass construction exactly:
     // shard by md5 hex chars 9-10, rank within (lang, shard), prefix-sum
     // shard counts in shard order, keep global rank <= floor(f*(n-1))+1
+    // temperature resampling: per-lang integer weight w = ⌊√n·10⁶⌋ (√ is
+    // IEEE-correctly-rounded ⇒ bit-exact), target = (budget·w) div Σw in
+    // exact HUGEINT arithmetic (the Spark side uses decimal(38,0) — same
+    // exact integers), membership by the stratified md5 shard-major rank
+    "q_temperature_mix" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h,
+        |         substring(md5(doc_id::VARCHAR), 9, 2) AS shard
+        |  FROM documents),
+        |rn AS (SELECT doc_id, lang, shard, row_number() OVER (
+        |         PARTITION BY lang, shard ORDER BY h, doc_id) AS rn
+        |       FROM r),
+        |c AS (SELECT lang, shard, count(*) AS c FROM r GROUP BY 1, 2),
+        |o AS (SELECT lang, shard,
+        |        coalesce(sum(c) OVER (PARTITION BY lang ORDER BY shard
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM c),
+        |s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n,
+        |        CAST(floor(sqrt(n) * 1000000) AS BIGINT) AS w FROM s),
+        |tot AS (SELECT SUM(w) AS tw FROM w),
+        |tgt AS (SELECT lang,
+        |          least((CAST(300 AS HUGEINT) * w) // tw,
+        |                CAST(n AS HUGEINT)) AS tgt
+        |        FROM w CROSS JOIN tot)
+        |SELECT rn.doc_id, rn.lang FROM rn
+        |JOIN o ON rn.lang = o.lang AND rn.shard = o.shard
+        |JOIN tgt ON rn.lang = tgt.lang
+        |WHERE rn.rn + o.off <= tgt.tgt
+        |ORDER BY rn.doc_id""".stripMargin,
+
     "q_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h,

@@ -64,6 +64,47 @@ object Sampling {
       perStratum(strataCol, fractions, defaultFraction))
   }
 
+  /** Temperature-based mixture resampling — the multilingual/multi-domain
+    * rebalancing rule (sample strata ∝ n^α, α ∈ (0,1]): α = 1 keeps the
+    * natural distribution, α → 0 flattens toward uniform, and the
+    * standard α = 0.5…0.7 lifts low-resource strata without letting a
+    * giant crawl stratum dominate the budget. Selects a TOTAL of ≈
+    * `budget` rows (floor-rounding per stratum, capped at the stratum's
+    * size — this is sampling without replacement; pair with [[upsample]]
+    * when a recipe wants multi-epoch repetition of tiny strata).
+    *
+    * Determinism/portability: per-stratum integer weight
+    * w = ⌊n^α · 10⁶⌋ — for the default α = 0.5 that is ⌊√n · 10⁶⌋, and
+    * IEEE-754 requires √ to be correctly rounded, so w is bit-exact on
+    * every engine (other α go through `pow`, ≤1-ulp on practical libms —
+    * documented, not oracle-declared). Targets are then EXACT integer
+    * arithmetic in decimal space, t = (budget·w) div Σw (no long
+    * overflow even at 10⁹-row budgets × 10¹²-row strata), and membership
+    * rides [[stratified]]'s md5 shard-major rank — one data-sized window
+    * on (stratum, shard), broadcast offsets, broadcast targets. */
+  def temperatureResample(df: DataFrame, strataCol: String, keyCol: String,
+      budget: Long, alpha: Double = 0.5): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val nPow =
+      if (alpha == 0.5) sqrt(col("_sn").cast("double"))
+      else pow(col("_sn").cast("double"), lit(alpha))
+    val strata = df.groupBy(col(strataCol)).agg(count(lit(1)).as("_sn"))
+      .withColumn("_w", floor(nPow * lit(1000000.0)))
+    val totRow = strata.agg(
+      sum(col("_w").cast("decimal(38,0)")).as("_tw"))
+    val targets = broadcast(strata.crossJoin(broadcast(totRow))
+      .select(col(strataCol).as("_t_strata"),
+        least(
+          call_function("div",
+            lit(budget).cast("decimal(38,0)") * col("_w"), col("_tw")),
+          col("_sn")).as("_tgt")))
+    withGlobalRank(df, strataCol, keyCol)
+      .join(targets, col(strataCol) <=> col("_t_strata"))
+      .filter(col("_grank") <= col("_tgt"))
+      .drop("_grank", "_n", "_t_strata", "_tgt")
+  }
+
   /** Token-budget mixing: keep each stratum's rows, in the deterministic
     * md5 order, until the CUMULATIVE WEIGHT (token count) reaches the
     * stratum's budget — "give me at most 10 B tokens of crawl, 2 B of

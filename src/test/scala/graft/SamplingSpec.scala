@@ -92,6 +92,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(up.length == 9 && up.forall(_._3 == 0L))
   }
 
+  test("temperatureResample: per-stratum kept counts equal the hand-computed " +
+      "integer targets; rows are a deterministic subset") {
+    // strata sizes 100 / 25 / 4: w = floor(sqrt(n)*1e6) = 10_000_000 /
+    // 5_000_000 / 2_000_000, Σw = 17_000_000; budget 50 ⇒ targets
+    // (50·w) div Σw = 29 / 14 / 5 capped at n ⇒ 29 / 14 / 4
+    val df = ((1L to 100L).map((_, "big")) ++ (101L to 125L).map((_, "mid"))
+      ++ (126L to 129L).map((_, "tiny"))).toDF("id", "src")
+    val kept = Sampling.temperatureResample(df, "src", "id", budget = 50L)
+    val counts = kept.groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts === Map("big" -> 29L, "mid" -> 14L, "tiny" -> 4L))
+    assert(kept.columns.toSet === Set("id", "src")) // no temp cols
+    // natural share of `big` is 100/129 ≈ 78%; √-damping lowers it
+    assert(counts("big").toDouble / 47.0 < 0.70)
+    // membership is a pure function of the keys: repartitioned input
+    // produces the same rows
+    val again = Sampling.temperatureResample(
+      df.repartition(7), "src", "id", budget = 50L)
+    assert(kept.select("id").as[Long].collect().sorted
+      === again.select("id").as[Long].collect().sorted)
+  }
+
+  test("temperatureResample: alpha=1 reproduces proportional targets; a " +
+      "budget above the corpus keeps everything") {
+    val df = ((1L to 80L).map((_, "a")) ++ (81L to 100L).map((_, "b")))
+      .toDF("id", "src")
+    // alpha=1: w = n·1e6, targets = (40·w) div Σw = 32 / 8
+    val prop = Sampling.temperatureResample(df, "src", "id",
+        budget = 40L, alpha = 1.0)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(prop === Map("a" -> 32L, "b" -> 8L))
+    val all = Sampling.temperatureResample(df, "src", "id", budget = 1000L)
+    assert(all.count() === 100L) // every target hits the stratum-size cap
+  }
+
   test("upsample: weights < 1 downsample deterministically with quota " +
       "floor(w*n)") {
     val df = (1L to 10L).map(i => (i, "a")).toDF("id", "src")
