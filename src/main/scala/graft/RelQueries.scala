@@ -704,6 +704,20 @@ object RelQueries {
     "q_graph_degrees" -> ((s, dir) => {
       graft.analytics.Graph.degrees(shipmentEdges(s, dir), "src", "dst")
         .orderBy(col("node"))
+    }),
+
+    // -- [EXT]: exact-rank z-order values — the multi-dimensional
+    //    clustering key (Delta OPTIMIZE ZORDER BY / liquid clustering
+    //    analog) in its deterministic form: equal-frequency buckets from
+    //    exact ranks, bits interleaved so (o_totalprice, o_orderdate)
+    //    share skipping power. The layout itself (repartitionByRange on
+    //    this key) is exercised in ZOrderSpec; the key computation is
+    //    what's oracle-checkable.
+    "q_zorder" -> ((s, dir) => {
+      graft.ops.ZOrder.exactZValues(t(s, dir, "orders"),
+          Seq("o_totalprice", "o_orderdate"), tieCol = "o_orderkey")
+        .select(col("o_orderkey"), col("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
     })
   )
 
@@ -753,9 +767,29 @@ object RelQueries {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Bit-interleave replay of [[graft.ops.ZOrder.exactZValues]]: bucket
+    * b of column i lands at bit position b·ncols+i. */
+  private def zorderOracle(bits: Int): String = {
+    val terms = (0 until bits).flatMap { b =>
+      Seq(s"(((bx >> $b) & 1) << ${2 * b})",
+        s"(((by >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" + ")
+    s"""WITH n AS (SELECT count(*) AS n FROM orders),
+       |b AS (SELECT o_orderkey,
+       |  ((row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1)
+       |     * ${1L << bits}) // n.n AS bx,
+       |  ((row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+       |     * ${1L << bits}) // n.n AS by
+       |  FROM orders CROSS JOIN n)
+       |SELECT o_orderkey, $terms AS zval FROM b
+       |ORDER BY zval, o_orderkey""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_pagerank" -> pageRankOracle(3),
+
+    "q_zorder" -> zorderOracle(6),
 
     "q_graph_degrees" ->
       """WITH edges AS (

@@ -67,6 +67,45 @@ object ZOrder {
     pieces.reduce(_ + _)
   }
 
+  /** EXACT-rank z-values — [[layout]]'s bucketing made deterministic and
+    * engine-portable: instead of the approxQuantile sketch (whose
+    * boundaries depend on sampling), each column's bucket comes from its
+    * exact equal-frequency rank, bucket = ((rank−1)·2^bits) div N with
+    * `tieCol` breaking value ties. Every ingredient (row_number by a
+    * total order, integer arithmetic, bit interleave) is ANSI-portable,
+    * so the z-value column itself is oracle-checkable bit-for-bit — the
+    * declared-surface form of the clustering operator. Rank rides the
+    * skew-safe [[Rank.globalRank]] machinery (range exchange + broadcast
+    * shard offsets, one per clustering column), NOT an unpartitioned
+    * window; the cost is `cols.size` range exchanges, same order as the
+    * one-off layout write this feeds.
+    *
+    * [[layout]] remains the production entry point — the sketch pass is
+    * cheaper than per-column exact ranks and file skipping only needs
+    * approximate boundaries. This form exists for when determinism
+    * matters more: reproducible layouts across reruns/engines, and the
+    * correctness gate. */
+  def exactZValues(df: DataFrame, cols: Seq[String], tieCol: String,
+      bits: Int = 6, outCol: String = "zval"): DataFrame = {
+    require(cols.nonEmpty, "exactZValues needs at least one column")
+    require(!df.columns.contains(outCol),
+      s"output column '$outCol' already exists; pass outCol = <other name>")
+    val nBuckets = 1L << bits
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(df.columns.contains).next()
+    val rankNames = cols.indices.map(i => fresh(s"_zxr$i"))
+    val ranked = cols.zip(rankNames).foldLeft(df) { case (acc, (c, rn)) =>
+      Rank.globalRank(acc, Seq(col(c), col(tieCol)), rn)
+    }
+    val nName = fresh("_zxn")
+    val nRow = broadcast(df.agg(count(lit(1)).as(nName)))
+    val buckets = rankNames.map(rn =>
+      call_function("div", (col(rn) - 1L) * lit(nBuckets), col(nName)))
+    ranked.crossJoin(nRow)
+      .withColumn(outCol, interleave(buckets, bits))
+      .drop(rankNames :+ nName: _*)
+  }
+
   /** Layout `df` for multi-dimensional data skipping on `cols`.
     *
     * `bits` trades bucket resolution against the per-row fold cost

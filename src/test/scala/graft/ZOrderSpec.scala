@@ -95,6 +95,59 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ClusterLayout(df, Seq("x")).count() == 2)
   }
 
+  test("exactZValues: matches a brute-force Morton computation and is " +
+      "partitioning-invariant") {
+    val n = 1000
+    val bits = 4
+    val df = spark.range(n).select(col("id"),
+      pmod(xxhash64(col("id")), lit(997)).as("x"),
+      pmod(xxhash64(col("id") + 31L), lit(997)).as("y"))
+    val got = ZOrder.exactZValues(df, Seq("x", "y"), "id", bits = bits)
+      .select(col("id"), col("zval")).as[(Long, Long)].collect().toMap
+
+    // brute force on the driver: exact equal-frequency buckets from full
+    // sorts, bit b of column i at position b*2+i
+    val rows = df.select("id", "x", "y").as[(Long, Long, Long)].collect()
+    def ranks(key: ((Long, Long, Long)) => Long) =
+      rows.sortBy(r => (key(r), r._1)).zipWithIndex
+        .map { case (r, i) => r._1 -> i.toLong }.toMap
+    val (rx, ry) = (ranks(_._2), ranks(_._3))
+    def bucket(rank: Long) = rank * (1L << bits) / n
+    val expect = rows.map { r =>
+      val (bx, by) = (bucket(rx(r._1)), bucket(ry(r._1)))
+      val z = (0 until bits).map(b =>
+        (((bx >> b) & 1L) << (2 * b)) | (((by >> b) & 1L) << (2 * b + 1)))
+        .sum
+      r._1 -> z
+    }.toMap
+    assert(got === expect)
+
+    val again = ZOrder.exactZValues(df.repartition(7), Seq("x", "y"), "id",
+        bits = bits)
+      .select(col("id"), col("zval")).as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
+  test("exactZValues: no unpartitioned data-sized window, and the layout " +
+      "built on it skips like the sketched form") {
+    val df = spark.range(20000).select(col("id"),
+      pmod(xxhash64(col("id")), lit(20000)).as("x"),
+      pmod(xxhash64(col("id") + 7L), lit(20000)).as("y"))
+    val z = ZOrder.exactZValues(df, Seq("x", "y"), "id")
+    // the skew-safe rank machinery must not fall back to a global window
+    // over the data: any Window in the plan may only run over the
+    // 256-row shard-offsets frame (its child aggregates by shard)
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val laid = z.repartitionByRange(16, col("zval"))
+      .sortWithinPartitions(col("zval"))
+    val touched = laid.groupBy(spark_partition_id())
+      .agg(min(col("y")).as("mn"), max(col("y")).as("mx"))
+      .filter(col("mn") <= 1250 && col("mx") >= 0).count()
+    assert(touched * 2 <= 16,
+      s"exact z-layout should skip at least half the partitions on y, got $touched")
+  }
+
   test("interleave fails loud when bits*cols would overflow the sign bit") {
     // 11 cols at 6 bits = 66 positions: Java shifts wrap mod 64 and would
     // silently alias high bucket bits onto low positions
