@@ -718,6 +718,22 @@ object RelQueries {
           Seq("o_totalprice", "o_orderdate"), tieCol = "o_orderkey")
         .select(col("o_orderkey"), col("zval"))
         .orderBy(col("zval"), col("o_orderkey"))
+    }),
+
+    // -- [EXT]: schema-generic table profile (the deequ-style census:
+    //    per-column nulls / exact distincts / typed min-max / mean
+    //    length) — one scan, long-form output diffable across snapshots.
+    //    exactDistinct here because the gate wants exact numbers; the
+    //    production default is the HLL form (no Expand blowup).
+    "q_table_profile" -> ((s, dir) => {
+      graft.analytics.Profiler.profile(t(s, dir, "lineitem"),
+          exactDistinct = true)
+        // decimal → double for the driver's pandas compare (decimal
+        // parquet loads as object Decimals there); decimal→double is
+        // nearest-rounding on both engines, so still bit-exact
+        .withColumn("min_num", col("min_num").cast("double"))
+        .withColumn("max_num", col("max_num").cast("double"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -785,11 +801,52 @@ object RelQueries {
        |ORDER BY zval, o_orderkey""".stripMargin
   }
 
+  /** One UNION ALL branch per lineitem column, replaying
+    * [[graft.analytics.Profiler.profile]]'s metric typing: numeric
+    * min/max as DECIMAL(38,6), timestamp min/max as strings, mean string
+    * length in exact integer micro-units via HUGEINT floor division. */
+  private def profileOracle: String = {
+    val cols = Seq(
+      ("l_orderkey", "bigint", "num"), ("l_partkey", "bigint", "num"),
+      ("l_suppkey", "bigint", "num"), ("l_linenumber", "int", "num"),
+      ("l_quantity", "double", "num"), ("l_extendedprice", "double", "num"),
+      ("l_discount", "double", "num"), ("l_tax", "double", "num"),
+      ("l_returnflag", "string", "str"), ("l_linestatus", "string", "str"),
+      ("l_shipdate", "timestamp_ntz", "ts"))
+    val branches = cols.map { case (n, dt, kind) =>
+      val (minNum, maxNum) =
+        if (kind == "num")
+          (s"CAST(CAST(min($n) AS DECIMAL(38,6)) AS DOUBLE)",
+            s"CAST(CAST(max($n) AS DECIMAL(38,6)) AS DOUBLE)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      val (minStr, maxStr) =
+        if (kind == "num") ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else (s"CAST(min($n) AS VARCHAR)", s"CAST(max($n) AS VARCHAR)")
+      val avgLen =
+        if (kind == "str")
+          s"""CAST(CASE WHEN count($n) > 0 THEN
+             |    (CAST(sum(length($n)) AS HUGEINT) * 1000000)
+             |      // CAST(count($n) AS HUGEINT)
+             |    END AS BIGINT)""".stripMargin
+        else "CAST(NULL AS BIGINT)"
+      s"""SELECT '$n' AS col_name, '$dt' AS data_type,
+         |  count(*) AS n_rows, count(*) - count($n) AS n_nulls,
+         |  count(DISTINCT $n) AS n_distinct,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minStr AS min_str, $maxStr AS max_str,
+         |  $avgLen AS avg_len_x1e6
+         |FROM lineitem""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_pagerank" -> pageRankOracle(3),
 
     "q_zorder" -> zorderOracle(6),
+
+    "q_table_profile" -> profileOracle,
 
     "q_graph_degrees" ->
       """WITH edges AS (
