@@ -725,6 +725,16 @@ object RelQueries {
     //    length) — one scan, long-form output diffable across snapshots.
     //    exactDistinct here because the gate wants exact numbers; the
     //    production default is the HLL form (no Expand blowup).
+    // -- [EXT]: co-occurrence / association mining — parts co-ordered in
+    //    the same order, with exact fixed-point jaccard / confidence /
+    //    lift (lift = exp(PMI)); the within-basket self-join is guarded
+    //    by the max-basket-size contract
+    "q_copurchase" -> ((s, dir) => {
+      graft.analytics.Association.coOccurrence(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+    }),
+
     "q_table_profile" -> ((s, dir) => {
       graft.analytics.Profiler.profile(t(s, dir, "lineitem"),
           exactDistinct = true)
@@ -847,6 +857,27 @@ object RelQueries {
     "q_zorder" -> zorderOracle(6),
 
     "q_table_profile" -> profileOracle,
+
+    // set-semantic support counts; metrics replayed in exact HUGEINT
+    // micro-units (engine side uses decimal(38,0) — same integers)
+    "q_copurchase" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+        |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
+        |p AS (SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
+        |      FROM bb x JOIN bb y ON x.bk = y.bk AND x.it < y.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT it, count(*) AS n FROM bb GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT bk) AS nb FROM bb)
+        |SELECT a AS item_a, b2 AS item_b, n_ab, ia.n AS n_a, ib.n AS n_b,
+        |  (n_ab * 1000000) // (ia.n + ib.n - n_ab) AS jaccard_x1e6,
+        |  (n_ab * 1000000) // ia.n AS conf_ab_x1e6,
+        |  CAST((CAST(n_ab AS HUGEINT) * nb * 1000000)
+        |       // (CAST(ia.n AS HUGEINT) * ib.n) AS BIGINT) AS lift_x1e6
+        |FROM p JOIN ic ia ON a = ia.it JOIN ic ib ON b2 = ib.it
+        |CROSS JOIN nb
+        |ORDER BY n_ab DESC, item_a, item_b""".stripMargin,
 
     "q_graph_degrees" ->
       """WITH edges AS (

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Association
+
+/** Co-occurrence mining: hand-computed support/confidence/lift, set
+  * semantics, the oversized-basket guard, and the self-join plan
+  * shape. */
+class AssociationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // baskets: 1:{p,q,r} 2:{p,q} 3:{p,r} 4:{q} — N=4
+  private def baskets = Seq(
+    (1L, "p"), (1L, "q"), (1L, "r"),
+    (2L, "p"), (2L, "q"),
+    (3L, "p"), (3L, "r"),
+    (4L, "q")).toDF("bk", "it")
+
+  test("hand-computed pair metrics: support, jaccard, confidence, lift") {
+    val r = Association.coOccurrence(baskets, "bk", "it")
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6), x.getLong(7))).toMap
+    // n_p=3 n_q=3 n_r=2; pairs: pq=2 pr=2 qr=1
+    // pq: jacc=2/4=0.5, conf=2/3, lift=2*4/(3*3)=8/9
+    assert(r(("p", "q")) === (2L, 3L, 3L, 500000L, 666666L, 888888L))
+    // pr: jacc=2/3, conf=2/3, lift=2*4/(3*2)=4/3
+    assert(r(("p", "r")) === (2L, 3L, 2L, 666666L, 666666L, 1333333L))
+    // qr: jacc=1/4, conf=1/3, lift=1*4/(3*2)=2/3
+    assert(r(("q", "r")) === (1L, 3L, 2L, 250000L, 333333L, 666666L))
+    assert(r.size === 3)
+  }
+
+  test("set semantics: repeated (basket,item) rows do not inflate support") {
+    val r = Association.coOccurrence(baskets.union(baskets), "bk", "it")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2))
+      .toMap
+    assert(r === Map(("p", "q") -> 2L, ("p", "r") -> 2L, ("q", "r") -> 1L))
+  }
+
+  test("minSupport filters pairs; oversized baskets are dropped entirely") {
+    val r2 = Association.coOccurrence(baskets, "bk", "it", minSupport = 2L)
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(r2 === Set(("p", "q"), ("p", "r")))
+
+    // a 5-item basket above the cap contributes NO pairs, and its items
+    // don't even count toward item/basket totals (dropped pre-pairing)
+    val big = (1 to 5).map(i => (9L, s"z$i")).toDF("bk", "it")
+    val capped = Association.coOccurrence(baskets.union(big), "bk", "it",
+      maxBasketSize = 4)
+    val pairs = capped.collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(!pairs.exists { case (a, b) => a.startsWith("z") || b.startsWith("z") })
+    // metrics identical to the uncapped small-basket run
+    assert(capped.collect().toSet ===
+      Association.coOccurrence(baskets, "bk", "it").collect().toSet)
+  }
+
+  test("plan: no cartesian product; the basket self-join reuses one exchange") {
+    val df = spark.range(2000).select((col("id") % 500).as("bk"),
+      concat(lit("i"), col("id") % 37).as("it"))
+    val q = Association.coOccurrence(df, "bk", "it")
+    q.collect() // AQE only materializes ReusedExchange in the FINAL plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("ReusedExchange"),
+      "both sides of the within-basket self-join are the same frame — " +
+        "the basket-key exchange must be planned once")
+  }
+}
