@@ -788,6 +788,18 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // -- [EXT]: PSI distribution drift between two corpus snapshots
+    //    (here: even vs odd doc ids) on the lang column — Laplace-
+    //    smoothed integer rates, psi_term doubles only at the last step
+    //    (Σ psi_term = the PSI; >= 0.2 = conventional drift alarm)
+    "q_drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Profiler.categoricalDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "lang")
+        .orderBy(col("category"))
+    }),
+
     // -- [EXT]: SemDeDup semantic dedup — cluster embeddings (16
     //    deterministic id-seeded cells), resolve same-cell cos>=0.4
     //    near-dup GROUPS via connected components, keep min id. Output is
@@ -1148,6 +1160,26 @@ object LlmQueries {
     // mirrors Sampling.stratified's two-pass construction exactly:
     // shard by md5 hex chars 9-10, rank within (lang, shard), prefix-sum
     // shard counts in shard order, keep global rank <= floor(f*(n-1))+1
+    // PSI drift: Laplace-smoothed rates (n+1)/(N+K) as exact integer
+    // micro-units; the ln enters only at the rounded last step
+    "q_drift_psi" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id % 2 AS side FROM documents),
+        |c AS (SELECT lang AS category,
+        |        sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
+        |        sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+        |      FROM u GROUP BY 1),
+        |s AS (SELECT sum(n_a) AS na, sum(n_b) AS nb, count(*) AS k FROM c),
+        |r AS (SELECT category, n_a, n_b,
+        |        ((n_a + 1) * 1000000) // (na + k) AS rate_a_x1e6,
+        |        ((n_b + 1) * 1000000) // (nb + k) AS rate_b_x1e6
+        |      FROM c CROSS JOIN s)
+        |SELECT category, n_a, n_b, rate_a_x1e6, rate_b_x1e6,
+        |  round((rate_a_x1e6 - rate_b_x1e6) / 1000000.0
+        |        * ln(CAST(rate_a_x1e6 AS DOUBLE) / rate_b_x1e6), 6)
+        |    AS psi_term
+        |FROM r ORDER BY category""".stripMargin,
+
     // temperature resampling: per-lang integer weight w = ⌊√n·10⁶⌋ (√ is
     // IEEE-correctly-rounded ⇒ bit-exact), target = (budget·w) div Σw in
     // exact HUGEINT arithmetic (the Spark side uses decimal(38,0) — same

@@ -90,4 +90,46 @@ object Profiler {
     }
     wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
   }
+
+  /** Categorical distribution drift between two snapshots — the PSI
+    * (population stability index) report that decides "did the source
+    * mix / language mix / label mix move?". One row per category over
+    * the UNION of both frames' categories:
+    * `n_a`/`n_b` raw counts, `rate_a_x1e6`/`rate_b_x1e6` the
+    * Laplace-smoothed rates (n+1)/(N+K) in exact integer micro-units
+    * (K = category count — smoothing makes zero bins well-defined
+    * deterministically, no ε tuning), and `psi_term` =
+    * (ra − rb)·ln(ra/rb) rounded to 6 decimals (Σ over rows = the PSI;
+    * ≥ 0.2 is the conventional "significant drift" line). The doubles
+    * enter only at the last step, FROM the exact integer rates, so the
+    * only portability surface is one correctly-rounded ln — the
+    * q_stats_agg precedent.
+    *
+    * Shape: tag-and-union the two frames (no join of two aggregates —
+    * one shuffle on the category key), aggregate counts per side,
+    * broadcast the three scalars (Na, Nb, K). NULL categories count as
+    * a real category (the null rate drifting IS drift). */
+  def categoricalDrift(a: DataFrame, b: DataFrame,
+      colName: String): DataFrame = {
+    val tagged = a.select(col(colName).as("_cat"), lit(0).as("_side"))
+      .unionByName(b.select(col(colName).as("_cat"), lit(1).as("_side")))
+    val counts = tagged.groupBy(col("_cat")).agg(
+      sum(when(col("_side") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("_side") === 1, 1L).otherwise(0L)).as("n_b"))
+    val scalars = broadcast(counts.agg(
+      sum(col("n_a")).as("_na"), sum(col("n_b")).as("_nb"),
+      count(lit(1)).as("_k")))
+    val rate = (n: Column, tot: Column) =>
+      ldiv((n + 1L) * lit(1000000L), tot + col("_k"))
+    counts.crossJoin(scalars)
+      .withColumn("rate_a_x1e6", rate(col("n_a"), col("_na")))
+      .withColumn("rate_b_x1e6", rate(col("n_b"), col("_nb")))
+      .withColumn("psi_term", round(
+        (col("rate_a_x1e6") - col("rate_b_x1e6")).cast("double")
+          / 1000000.0
+          * log(col("rate_a_x1e6").cast("double")
+            / col("rate_b_x1e6").cast("double")), 6))
+      .select(col("_cat").as("category"), col("n_a"), col("n_b"),
+        col("rate_a_x1e6"), col("rate_b_x1e6"), col("psi_term"))
+  }
 }

@@ -70,6 +70,45 @@ class ProfilerSpec extends AnyFunSuite {
     assert(exactPlan.contains("Expand"))
   }
 
+  test("categoricalDrift: hand-computed PSI terms with Laplace smoothing " +
+      "over the union category set") {
+    // a: x×6 y×2 ; b: x×2 z×2  — y and z each absent from one side
+    val a = (Seq.fill(6)("x") ++ Seq.fill(2)("y")).toDF("c")
+    val b = (Seq.fill(2)("x") ++ Seq.fill(2)("z")).toDF("c")
+    val rows = graft.analytics.Profiler.categoricalDrift(a, b, "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // K=3, Na=8, Nb=4: rates = (n+1)*1e6 // (N+3)
+    // x: a (7*1e6)//11 = 636363, b (3*1e6)//7 = 428571
+    // y: a (3*1e6)//11 = 272727, b (1*1e6)//7 = 142857
+    // z: a (1*1e6)//11 =  90909, b (3*1e6)//7 = 428571
+    assert(rows("x")._3 === 636363L && rows("x")._4 === 428571L)
+    assert(rows("y")._3 === 272727L && rows("y")._4 === 142857L)
+    assert(rows("z")._3 === 90909L && rows("z")._4 === 428571L)
+    def term(ra: Long, rb: Long) = BigDecimal(
+      (ra - rb) / 1000000.0 * math.log(ra.toDouble / rb))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows("x")._5 === term(636363L, 428571L))
+    assert(rows("z")._5 === term(90909L, 428571L))
+    // all terms positive (divergence) and PSI > 0.2 flags this drift
+    val psi = rows.values.map(_._5).sum
+    assert(psi > 0.2, s"expected drift alarm, psi=$psi")
+    // identical snapshots → every term 0.0
+    val zero = graft.analytics.Profiler.categoricalDrift(a, a, "c")
+      .agg(sum(abs(col("psi_term")))).head.getDouble(0)
+    assert(zero === 0.0)
+  }
+
+  test("categoricalDrift: NULL category participates as a real bin") {
+    val a = Seq(Some("x"), None, None).toDF("c")
+    val b = Seq(Some("x"), Some("x"), None).toDF("c")
+    val rows = graft.analytics.Profiler.categoricalDrift(a, b, "c").collect()
+    assert(rows.length === 2)
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 2L && nullRow.getLong(2) === 1L)
+  }
+
   test("profile: column names needing backtick quoting survive") {
     val df = Seq((1L, "v")).toDF("id", "weird name.dot")
     val p = Profiler.profile(df, exactDistinct = true).collect()
