@@ -725,6 +725,25 @@ object RelQueries {
     //    length) — one scan, long-form output diffable across snapshots.
     //    exactDistinct here because the gate wants exact numbers; the
     //    production default is the HLL form (no Expand blowup).
+    // -- [EXT]: referential-integrity sweep over the star schema's FK
+    //    edges (inclusion dependencies) — 0 orphans ⇔ the FK holds; the
+    //    reversed customer→orders edge is included as the deliberately
+    //    violated case (customers without orders ARE orphans there)
+    "q_fk_integrity" -> ((s, dir) => {
+      import graft.analytics.Profiler.inclusion
+      inclusion(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionByName(inclusion(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "orders.o_custkey->customer"))
+        .unionByName(inclusion(t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey", "lineitem.l_partkey->part"))
+        .unionByName(inclusion(t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey", "lineitem.l_suppkey->supplier"))
+        .unionByName(inclusion(t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders"), "o_custkey", "customer.c_custkey->orders"))
+        .orderBy(col("relation"))
+    }),
+
     // -- [EXT]: co-occurrence / association mining — parts co-ordered in
     //    the same order, with exact fixed-point jaccard / confidence /
     //    lift (lift = exp(PMI)); the within-basket self-join is guarded
@@ -857,6 +876,36 @@ object RelQueries {
     "q_zorder" -> zorderOracle(6),
 
     "q_table_profile" -> profileOracle,
+
+    "q_fk_integrity" -> {
+      def branch(rel: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$rel' AS relation,
+           |  (SELECT count($ck) FROM $child) AS n_rows,
+           |  (SELECT count(DISTINCT $ck) FROM $child) AS n_distinct,
+           |  (SELECT count(*) - count($ck) FROM $child) AS n_null_rows,
+           |  (SELECT count(*) FROM $child
+           |     WHERE $ck IS NOT NULL
+           |       AND $ck NOT IN (SELECT $pk FROM $parent
+           |                       WHERE $pk IS NOT NULL)) AS orphan_rows,
+           |  (SELECT count(DISTINCT $ck) FROM $child
+           |     WHERE $ck IS NOT NULL
+           |       AND $ck NOT IN (SELECT $pk FROM $parent
+           |                       WHERE $pk IS NOT NULL)) AS orphan_distinct
+           |""".stripMargin
+      Seq(
+        branch("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        branch("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        branch("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        branch("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        branch("customer.c_custkey->orders", "customer", "c_custkey",
+          "orders", "o_custkey"))
+        .mkString("", "UNION ALL\n", "ORDER BY relation")
+    },
 
     // set-semantic support counts; metrics replayed in exact HUGEINT
     // micro-units (engine side uses decimal(38,0) — same integers)

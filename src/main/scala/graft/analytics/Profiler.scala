@@ -91,6 +91,44 @@ object Profiler {
     wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
   }
 
+  /** Referential-integrity / inclusion-dependency check — the FK half of
+    * the census (deequ's `isContainedIn`, the Spider-style IND test):
+    * does every non-null `childCol` value appear in `parentCol`? One
+    * row out per checked relation:
+    * `n_rows`/`n_distinct` (non-null child occurrences/values),
+    * `n_null_rows` (SQL FK semantics ignore nulls — reported, not
+    * counted as orphans), `orphan_rows`/`orphan_distinct` (child
+    * occurrences/values absent from the parent; 0 ⇔ the FK holds).
+    *
+    * Shape: the child aggregates to (key, count) first — one hash
+    * aggregate — so the anti-join against the parent's distinct keys
+    * runs at distinct-value size, not table size, and `orphan_rows`
+    * falls out as a sum over the surviving groups. Both sides shuffle
+    * once on the key; nothing is collected. */
+  def inclusion(child: DataFrame, childCol: String,
+      parent: DataFrame, parentCol: String,
+      relation: String): DataFrame = {
+    val keyed = child.select(col(childCol).as("_k"))
+    val nullRow = keyed.agg(
+      sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_rows"))
+    val groups = keyed.filter(col("_k").isNotNull)
+      .groupBy(col("_k")).agg(count(lit(1)).as("_n"))
+    val parentKeys = parent.select(col(parentCol).as("_pk"))
+      .filter(col("_pk").isNotNull).distinct()
+    val orphans = groups.join(parentKeys,
+      groups("_k") === parentKeys("_pk"), "left_anti")
+    val totals = groups.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_distinct"))
+    val orphanTotals = orphans.agg(
+      coalesce(sum(col("_n")), lit(0L)).as("orphan_rows"),
+      count(lit(1)).as("orphan_distinct"))
+    totals.crossJoin(orphanTotals).crossJoin(nullRow)
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_distinct"), col("n_null_rows"),
+        col("orphan_rows"), col("orphan_distinct"))
+  }
+
   /** Categorical distribution drift between two snapshots — the PSI
     * (population stability index) report that decides "did the source
     * mix / language mix / label mix move?". One row per category over

@@ -100,6 +100,26 @@ class ProfilerSpec extends AnyFunSuite {
     assert(zero === 0.0)
   }
 
+  test("inclusion: orphan counting with nulls ignored per FK semantics") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(9L), None).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val r = graft.analytics.Profiler
+      .inclusion(child, "k", parent, "p", "child.k->parent").head
+    assert(r.getString(0) === "child.k->parent")
+    assert(r.getLong(1) === 6L && r.getLong(2) === 3L) // non-null rows/vals
+    assert(r.getLong(3) === 1L) // the null, reported not orphaned
+    assert(r.getLong(4) === 3L && r.getLong(5) === 1L) // 9 ×3 is orphaned
+    // a holding FK reports zero orphans
+    val ok = graft.analytics.Profiler
+      .inclusion(child, "k", Seq(1L, 2L, 9L).toDF("p"), "p", "ok").head
+    assert(ok.getLong(4) === 0L && ok.getLong(5) === 0L)
+    // duplicate parent keys must not multiply anything
+    val dup = graft.analytics.Profiler.inclusion(child, "k",
+      Seq(1L, 1L, 2L, 9L, 9L).toDF("p"), "p", "dup").head
+    assert(dup.getLong(1) === 6L && dup.getLong(4) === 0L)
+  }
+
   test("categoricalDrift: NULL category participates as a real bin") {
     val a = Seq(Some("x"), None, None).toDF("c")
     val b = Seq(Some("x"), Some("x"), None).toDF("c")
