@@ -725,6 +725,16 @@ object RelQueries {
     //    length) — one scan, long-form output diffable across snapshots.
     //    exactDistinct here because the gate wants exact numbers; the
     //    production default is the HLL form (no Expand blowup).
+    // -- [EXT]: leakage-free K-fold target encoding — the tabular-ML
+    //    feature-prep op: per (category, fold), the smoothed mean of the
+    //    target over all OTHER folds' rows, in exact micro-units; md5
+    //    folds, decimal-exact sums
+    "q_target_encode" -> ((s, dir) => {
+      graft.ops.Encoding.targetEncodeTable(t(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy(col("category"), col("fold"))
+    }),
+
     // -- [EXT]: referential-integrity sweep over the star schema's FK
     //    edges (inclusion dependencies) — 0 orphans ⇔ the FK holds; the
     //    reversed customer→orders edge is included as the deliberately
@@ -876,6 +886,36 @@ object RelQueries {
     "q_zorder" -> zorderOracle(6),
 
     "q_table_profile" -> profileOracle,
+
+    // md5 folds, micro-unit target sums, out-of-fold flip on the
+    // aggregated table, HUGEINT smoothing division (engine side:
+    // decimal(38,0) — same exact integers)
+    "q_target_encode" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS category,
+        |    (('0x' || substr(md5('tenc:' || CAST(o_orderkey AS VARCHAR)),
+        |       1, 12))::BIGINT) % 5 AS fold,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS t
+        |  FROM orders),
+        |pf AS (SELECT category, fold, COALESCE(sum(t), 0) AS s,
+        |         count(t) AS n FROM r GROUP BY 1, 2),
+        |bf AS (SELECT fold AS pf, sum(s) AS fsum, sum(n) AS fn
+        |       FROM pf GROUP BY 1),
+        |g AS (SELECT sum(s) AS gsum, sum(n) AS gn FROM pf),
+        |pr AS (SELECT pf, (gsum - fsum) // GREATEST(gn - fn, 1)
+        |         AS prior_x1e6 FROM bf CROSS JOIN g),
+        |oof AS (SELECT category, fold,
+        |          sum(s) OVER (PARTITION BY category) - s AS osum,
+        |          sum(n) OVER (PARTITION BY category) - n AS onn
+        |        FROM pf)
+        |SELECT category, fold, onn AS oof_n, prior_x1e6,
+        |  CASE WHEN onn + 20 > 0 THEN
+        |    CAST((CAST(osum AS HUGEINT) + CAST(prior_x1e6 AS HUGEINT) * 20)
+        |         // CAST(onn + 20 AS HUGEINT) AS BIGINT)
+        |  ELSE prior_x1e6 END AS enc_x1e6
+        |FROM oof JOIN pr ON fold = pf
+        |ORDER BY category, fold""".stripMargin,
 
     "q_fk_integrity" -> {
       def branch(rel: String, child: String, ck: String,
