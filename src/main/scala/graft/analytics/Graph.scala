@@ -79,12 +79,17 @@ object Graph {
 
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .distinct()
-    val nodes = e.select(col("_src").as("node"))
-      .union(e.select(col("_dst"))).distinct()
-      .localCheckpoint(eager = false)
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
-    // one materialized (src, dst, outdeg) table drives every iteration
+    // ONE materialized (src, dst, outdeg) table drives every iteration —
+    // and, because the inner join keeps every edge (each edge's src has
+    // outdeg >= 1), the node and source sets derive from this checkpoint
+    // too: the raw edge table is scanned/deduplicated exactly once
     val edgesDeg = e.join(outdeg, "_src").localCheckpoint(eager = false)
+    val nodes = edgesDeg.select(col("_src").as("node"))
+      .union(edgesDeg.select(col("_dst"))).distinct()
+      .localCheckpoint(eager = false)
+    val srcNodes = edgesDeg.select(col("_src")).distinct()
+      .localCheckpoint(eager = false)
 
     // the two graph scalars, broadcast everywhere they're needed
     val nRow = broadcast(nodes.agg(count(lit(1)).as("_n")))
@@ -97,7 +102,7 @@ object Graph {
 
     for (_ <- 1 to iters) {
       val dangRow = broadcast(
-        ranks.join(outdeg, ranks("node") === outdeg("_src"), "left_anti")
+        ranks.join(srcNodes, ranks("node") === srcNodes("_src"), "left_anti")
           .agg(coalesce(sum(col("_r")), lit(0L)).as("_dang")))
       val contrib = ranks
         .join(edgesDeg, ranks("node") === edgesDeg("_src"))
