@@ -137,6 +137,38 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpoint)
 
+  /** Streaming distribution-drift monitor: each micro-batch's
+    * categorical distribution is scored against a STATIC reference
+    * snapshot with [[graft.analytics.Profiler.categoricalDrift]], and
+    * the per-category PSI rows land in an append-only parquet history
+    * (`batch_id`-stamped) — the data-quality alarm feed ("did the lang /
+    * source / label mix of what we're ingesting move?") as a streaming
+    * sink. Σ psi_term per batch_id is the batch's PSI; ≥ 0.2 pages
+    * someone.
+    *
+    * Replay semantics: at-least-once appends keyed by `batch_id` — a
+    * replayed batch rewrites the same rows (drift is a pure function of
+    * (reference, batch)), so readers dedup by (batch_id, category) or
+    * simply tolerate duplicate identical rows; no exactly-once
+    * coordination needed (the sketch-sink argument).
+    *
+    * Scale: reference counts are recomputed per batch from `reference` —
+    * pass a PRE-AGGREGATED or small reference frame (it is typically a
+    * fixed profile table, KB-sized); the batch side is one hash
+    * aggregate of the micro-batch. */
+  def driftSink(stream: DataFrame, reference: DataFrame, colName: String,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.analytics.Profiler.categoricalDrift(reference, batch, colName)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+
   /** Streaming ANN-index maintenance: each micro-batch of embedding rows
     * appends into a persisted [[graft.similarity.SimilarityOps
     * .lshBuildIndex]] layout via [[graft.similarity.SimilarityOps

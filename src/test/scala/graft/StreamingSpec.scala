@@ -519,6 +519,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(est == Map("en" -> 3L, "de" -> 1L))
   }
 
+  test("driftSink: per-batch PSI rows append against the static reference; " +
+      "batch PSI flags a shifted mix and stays 0 for an identical one") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("driftsink")
+    val path = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val reference = (Seq.fill(6)("en") ++ Seq.fill(2)("de")).toDF("lang")
+    val mem = MemoryStream[(Timestamp, String)](spark)
+    val q = StreamOps.driftSink(mem.toDF.toDF("ts", "lang"),
+      reference, "lang", path, ckpt).start()
+    // batch 0: the same counts as the reference (6 en, 2 de) → every
+    // smoothed rate matches bin-for-bin and PSI is exactly 0 (equal
+    // PROPORTIONS at a different size would differ slightly: Laplace
+    // smoothing shrinks by 1/(N+K))
+    mem.addData(
+      (ts("2024-01-01 00:00:00"), "en"), (ts("2024-01-01 00:00:01"), "en"),
+      (ts("2024-01-01 00:00:02"), "en"), (ts("2024-01-01 00:00:03"), "en"),
+      (ts("2024-01-01 00:00:04"), "en"), (ts("2024-01-01 00:00:05"), "en"),
+      (ts("2024-01-01 00:00:06"), "de"), (ts("2024-01-01 00:00:07"), "de"))
+    q.processAllAvailable()
+    // batch 1: inverted mix plus a category the reference never saw
+    mem.addData(
+      (ts("2024-01-01 00:01:00"), "de"), (ts("2024-01-01 00:01:01"), "de"),
+      (ts("2024-01-01 00:01:02"), "de"), (ts("2024-01-01 00:01:03"), "de"),
+      (ts("2024-01-01 00:01:04"), "de"), (ts("2024-01-01 00:01:05"), "de"),
+      (ts("2024-01-01 00:01:06"), "zz"), (ts("2024-01-01 00:01:07"), "zz"))
+    q.processAllAvailable()
+    q.stop()
+    val table = spark.read.parquet(path)
+    val psi = table.groupBy($"batch_id")
+      .agg(sum($"psi_term").as("psi")).as[(Long, Double)].collect().toMap
+    assert(psi(0L) === 0.0) // smoothed rates identical bin-for-bin
+    assert(psi(1L) > 0.2, s"inverted mix must alarm, psi=${psi(1L)}")
+    // the unseen category appears as a bin of batch 1's report
+    assert(table.filter($"batch_id" === 1 && $"category" === "zz")
+      .count() === 1L)
+    // drift is a pure function of (reference, batch): re-scoring batch
+    // 1's rows directly reproduces the appended report exactly
+    val direct = graft.analytics.Profiler.categoricalDrift(
+      reference,
+      (Seq.fill(6)("de") ++ Seq.fill(2)("zz")).toDF("lang"), "lang")
+    assert(direct.collect().toSet ===
+      table.filter($"batch_id" === 1).drop("batch_id").collect().toSet)
+  }
+
   test("streamingTokenBudget (transformWithState): cumulative per-stratum " +
       "quota holds across micro-batches; oversized row dropped while a " +
       "later smaller row fits; strata independent") {
