@@ -725,6 +725,25 @@ object RelQueries {
     //    length) — one scan, long-form output diffable across snapshots.
     //    exactDistinct here because the gate wants exact numbers; the
     //    production default is the HLL form (no Expand blowup).
+    // -- [EXT]: row-level snapshot diff by PK — "what changed between
+    //    dataset v1 and v2" (added/removed/changed; unchanged keys emit
+    //    nothing). v2 is derived deterministically from orders: keys
+    //    %97 removed, status flipped at %101, synthetic keys added at
+    //    %499
+    "q_snapshot_diff" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+      val surviving = a.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 101 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val added = a.filter(col("o_orderkey") % 499 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      graft.analytics.Profiler.snapshotDiff(a,
+          surviving.unionByName(added), Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_orderpriority", "o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- [EXT]: leakage-free K-fold target encoding — the tabular-ML
     //    feature-prep op: per (category, fold), the smoothed mean of the
     //    target over all OTHER folds' rows, in exact micro-units; md5
@@ -886,6 +905,35 @@ object RelQueries {
     "q_zorder" -> zorderOracle(6),
 
     "q_table_profile" -> profileOracle,
+
+    // the oracle compares columns directly (IS DISTINCT FROM) — md5
+    // signature equality on the engine side is the same predicate
+    // modulo collisions
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_custkey
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 'X'
+        |         ELSE o_orderstatus END AS o_orderstatus,
+        |    o_orderpriority, o_custkey
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderstatus, o_orderpriority,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey % 499 = 0),
+        |d AS (
+        |  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+        |         WHEN a.o_orderkey IS NULL THEN 'added'
+        |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+        |           OR a.o_custkey IS DISTINCT FROM b.o_custkey
+        |           THEN 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, status FROM d WHERE status IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     // md5 folds, micro-unit target sums, out-of-fold flip on the
     // aggregated table, HUGEINT smoothing division (engine side:

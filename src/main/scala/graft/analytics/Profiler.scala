@@ -91,6 +91,47 @@ object Profiler {
     wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
   }
 
+  /** Row-level diff between two snapshots of a PK-keyed table — the
+    * "what changed between dataset v1 and v2" pass behind incremental
+    * publication audits and CDC backfills. One row per differing key:
+    * `status` ∈ ('added', 'removed', 'changed'); unchanged keys emit
+    * nothing (at 100 TB the diff is the small output, the table is not).
+    *
+    * `compareCols` are the value columns that define row identity
+    * (explicit, not "everything else": audit/lineage columns would
+    * otherwise mark every row changed). Comparison is an md5 over the
+    * canonical string form — each value rendered as `V<cast>` and NULL
+    * as `N` (a flag PREFIX, not a sentinel substitution, so no string
+    * VALUE can collide with NULL), \u0001-joined — computed BEFORE the
+    * join so the full-outer merge carries one 32-char column per side
+    * instead of every compared column. Two scans + one full-outer shuffle on the PK; nothing
+    * driver-side.
+    *
+    * A duplicate PK within one snapshot is a contract violation the diff
+    * would silently mangle (full-outer fan-out) — caller owns PK
+    * uniqueness (run the dedup operator first; `q_table_profile`'s
+    * n_distinct == n_rows is the check). */
+  def snapshotDiff(a: DataFrame, b: DataFrame, pkCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(pkCols.nonEmpty, "snapshotDiff needs at least one PK column")
+    require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    def sig(df: DataFrame, as: String) = df.select(
+      pkCols.map(col) :+
+        md5(concat_ws("\u0001", compareCols.map(c =>
+          when(col(c).isNull, lit("N"))
+            .otherwise(concat(lit("V"), col(c).cast("string")))): _*))
+          .as(as): _*)
+    val sa = sig(a, "_sig_a")
+    val sb = sig(b, "_sig_b")
+    sa.join(sb, pkCols, "full_outer")
+      .withColumn("status",
+        when(col("_sig_b").isNull, lit("removed"))
+          .when(col("_sig_a").isNull, lit("added"))
+          .when(col("_sig_a") =!= col("_sig_b"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(pkCols.map(col) :+ col("status"): _*)
+  }
+
   /** Referential-integrity / inclusion-dependency check — the FK half of
     * the census (deequ's `isContainedIn`, the Spider-style IND test):
     * does every non-null `childCol` value appear in `parentCol`? One

@@ -120,6 +120,40 @@ class ProfilerSpec extends AnyFunSuite {
     assert(dup.getLong(1) === 6L && dup.getLong(4) === 0L)
   }
 
+  test("snapshotDiff: added/removed/changed; unchanged and null-value " +
+      "rows emit nothing; compareCols scope what counts as change") {
+    val v1 = Seq(
+      (1L, Some("a"), "keep"), (2L, Some("b"), "keep"),
+      (3L, Some("c"), "keep"), (4L, Option.empty[String], "keep"),
+      (5L, Some("e"), "meta1")).toDF("pk", "v", "meta")
+    val v2 = Seq(
+      (1L, Some("a"), "keep"),             // unchanged
+      (2L, Some("B"), "keep"),             // changed
+      (4L, Option.empty[String], "keep"),  // unchanged (null == null)
+      (5L, Some("e"), "meta2"),            // meta drift only — NOT compared
+      (6L, Some("f"), "keep")              // added
+    ).toDF("pk", "v", "meta")
+    val d = graft.analytics.Profiler
+      .snapshotDiff(v1, v2, Seq("pk"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(2L -> "changed", 3L -> "removed", 6L -> "added"))
+    // widening compareCols to meta surfaces row 5
+    val d2 = graft.analytics.Profiler
+      .snapshotDiff(v1, v2, Seq("pk"), Seq("v", "meta"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2(5L) === "changed" && d2.size === 4)
+    // null vs non-null is a CHANGE even for adversarial values: the
+    // empty string and a literal U+0002 both differ from NULL (the
+    // null-flag-prefix encoding admits no value/NULL collision)
+    val x1 = Seq((1L, Option.empty[String])).toDF("pk", "v")
+    for (adversarial <- Seq("", "\u0002", "N")) {
+      val x2 = Seq((1L, Option(adversarial))).toDF("pk", "v")
+      assert(graft.analytics.Profiler
+        .snapshotDiff(x1, x2, Seq("pk"), Seq("v")).count() === 1L,
+        s"null vs ${adversarial.length}-char value must diff")
+    }
+  }
+
   test("categoricalDrift: NULL category participates as a real bin") {
     val a = Seq(Some("x"), None, None).toDF("c")
     val b = Seq(Some("x"), Some("x"), None).toDF("c")
