@@ -116,6 +116,15 @@ final case class EntityConfig(
       * most `silverCompactAfter + 1` generations per bucket) and the
       * broadcast delta-PK set. */
     silverCompactAfter: Int = 8,
+    /** Append a per-column data-quality profile
+      * ([[graft.analytics.Profiler.profile]], approx-distinct mode) of
+      * the just-published silver table to the pipeline's `_profile_log`
+      * on every publish — the monitoring census behind drift dashboards
+      * and expectation authoring. OPT-IN because it is one extra
+      * aggregate scan of the published table per publish (column-pruned
+      * but full-row-count); at 100 TB enable it on the entities whose
+      * distributions you actually watch. */
+    profileOnPublish: Boolean = false,
     /** Optional declarative GOLD layer: a curated table derived from this
       * entity's silver table by the corpus-curation pipeline
       * ([[graft.llm.Curation]]), declared in config exactly the way the
@@ -249,6 +258,12 @@ final case class PipelineParams(
     * count, instead of only the latest counts in table properties. */
   def expectationLogFqn: String =
     s"${bq(silverSchema)}.${bq("_expectation_log")}"
+  /** Pipeline-scoped per-column PROFILE history ([EXT] — the
+    * data-quality census of `profile_on_publish`): one append-only row
+    * per (publish, column) with null/distinct/min-max/length metrics,
+    * the feed behind drift dashboards. */
+  def profileLogFqn: String =
+    s"${bq(silverSchema)}.${bq("_profile_log")}"
   /** Dead-letter table for `expect_all_or_quarantine` violations
     * ([EXT]): the entity's quarantined rows (silver vocabulary +
     * `_violated` names + run stamps), republished per run through the
@@ -370,6 +385,14 @@ object ConfigLoader {
               require(c >= 1 && c <= (1 << 16),
                 s"$name.silver_compact_after must be in [1, 2^16], got $c")
               c
+            },
+            profileOnPublish = f.get("profile_on_publish") match {
+              case Some(org.json4s.JBool(b)) => b
+              case Some(JString("true"))     => true
+              case Some(JString("false"))    => false
+              case None                      => false
+              case Some(other) => throw new IllegalArgumentException(
+                s"$name.profile_on_publish must be a boolean, got $other")
             },
             gold = f.get("gold").collect { case JObject(gf) =>
               parseGold(gf.toMap)

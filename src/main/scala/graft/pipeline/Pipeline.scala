@@ -446,6 +446,7 @@ final class PipelineRunner(
         ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
         expectationMetrics(entity, "silver", fqn, obs))
       if (cfg.expectAllOrQuarantine.nonEmpty) publishQuarantine(entity, cfg)
+      if (cfg.profileOnPublish) appendProfileLog(entity, "silver", fqn)
     }
 
   /** Incremental silver (`silver_mode: "incremental"`) — the 100 TB path:
@@ -982,6 +983,37 @@ final class PipelineRunner(
           "layer STRING, run_id STRING, expectation STRING, " +
           s"violations BIGINT, ts TIMESTAMP) USING parquet LOCATION '$path'")
       else spark.catalog.refreshTable(fqn)
+    }
+  }
+
+  /** `profile_on_publish`: append the published table's per-column
+    * census ([[graft.analytics.Profiler.profile]], approx-distinct mode
+    * — no Expand blowup) to `<silver-schema>._profile_log`, stamped
+    * (entity, layer, run_id, ts) — the drift-dashboard feed. One extra
+    * column-pruned aggregate scan of the published table; the appended
+    * rows are column-count-sized. Same serialized-append posture as the
+    * expectation log. */
+  private def appendProfileLog(entity: String, layer: String,
+      fqn: String): Unit = {
+    val ts = params.fixedIngestedAt.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val rows = graft.analytics.Profiler.profile(spark.table(fqn))
+      .withColumn("entity", lit(entity))
+      .withColumn("layer", lit(layer))
+      .withColumn("run_id", lit(runId))
+      .withColumn("ts", lit(ts))
+    val path = s"$storageRoot/_profile_log"
+    PipelineRunner.expectationLogWriteLock.synchronized {
+      rows.coalesce(1).write.mode("append").parquet(path)
+      val logFqn = params.profileLogFqn
+      if (!spark.catalog.tableExists(logFqn))
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $logFqn " +
+          "(col_name STRING, data_type STRING, n_rows BIGINT, " +
+          "n_nulls BIGINT, n_distinct BIGINT, min_num DECIMAL(38,6), " +
+          "max_num DECIMAL(38,6), min_str STRING, max_str STRING, " +
+          "avg_len_x1e6 BIGINT, entity STRING, layer STRING, " +
+          s"run_id STRING, ts TIMESTAMP) USING parquet LOCATION '$path'")
+      else spark.catalog.refreshTable(logFqn)
     }
   }
 

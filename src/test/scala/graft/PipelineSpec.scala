@@ -543,6 +543,47 @@ class PipelineSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
   }
 
+  test("profile_on_publish: each silver publish appends the per-column " +
+      "census to _profile_log, stamped and queryable") {
+    val src = tmpDir("plog-src"); val store = tmpDir("plog-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{
+        "app_downloads": {
+          "raw_file_format": "parquet",
+          "unique_primary_key": ["id"],
+          "expect_all_or_drop": {"has_created": "created_at IS NOT NULL"},
+          "profile_on_publish": true
+        }
+      }""")
+    writeBatch1(src)
+    val entities = ConfigLoader.load(spark, src)
+    val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "plog")
+    r1.run(entities)
+    r1.run(entities)
+    val log = spark.table(params.profileLogFqn)
+    val idRows = log.filter($"col_name" === "id")
+      .select($"entity", $"layer", $"run_id", $"n_rows", $"n_nulls")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    // one id-row per publish; silver keeps ids 1,2 (3 dropped by the
+    // gate, 4 is a D row filtered under soft_deletes=N)
+    assert(idRows.size == 2, idRows.mkString("\n"))
+    assert(idRows.forall(r => r._1 == "app_downloads" && r._2 == "silver"
+      && r._4 == 2L && r._5 == 0L))
+    assert(idRows.map(_._3).distinct.size == 2, "one run_id per publish")
+    // every silver column is profiled (audit columns included)
+    val cols = log.filter($"run_id" === idRows.head._3)
+      .select($"col_name").as[String].collect().toSet
+    assert(cols.contains("_ingested_at") && cols.contains("downloads"))
+    // history queryable via SQL; the typed min/max landed for numerics
+    // (id 2's survivor under the fixed-clock tie is one of its two
+    // versions — either way the D-row's 40 must be filtered out)
+    val maxDl = spark.sql(
+      s"SELECT max(max_num) FROM ${params.profileLogFqn} " +
+        "WHERE col_name = 'downloads'").head().getDecimal(0).doubleValue()
+    assert(maxDl == 20.0 || maxDl == 21.0, s"got $maxDl")
+  }
+
   test("bucketed incremental silver: a batch touching 1 of k buckets " +
       "rewrites only that bucket; full CDC retraction drops its partition; " +
       "a bucket-count change fails loud") {
