@@ -800,6 +800,19 @@ object LlmQueries {
         .orderBy(col("category"))
     }),
 
+    // -- [EXT]: embedding-centroid drift — the semantic counterpart of
+    //    q_drift_psi: per label, cosine between the even- and odd-id
+    //    halves' mean embeddings (scale-invariance ⇒ computed on exact
+    //    integer per-dim sums; doubles only at the last step)
+    "q_embed_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.similarity.SimilarityOps.centroidDrift(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+        .orderBy(col("label"))
+    }),
+
     // -- [EXT]: SemDeDup semantic dedup — cluster embeddings (16
     //    deterministic id-seeded cells), resolve same-cell cos>=0.4
     //    near-dup GROUPS via connected components, keep min id. Output is
@@ -1160,6 +1173,36 @@ object LlmQueries {
     // mirrors Sampling.stratified's two-pass construction exactly:
     // shard by md5 hex chars 9-10, rank within (lang, shard), prefix-sum
     // shard counts in shard order, keep global rank <= floor(f*(n-1))+1
+    // centroid drift: cos(mean_a, mean_b) == cos(sum_a, sum_b) (scale
+    // invariance), per-dim sums in exact integer micro-units, HUGEINT
+    // products (engine: decimal(38,0) — same integers), doubles only at
+    // the final division/sqrt/round
+    "q_embed_drift" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    CAST(CAST(unnest(embedding::DOUBLE[]) AS DECIMAL(15,6))
+        |         * 1000000 AS BIGINT) AS v,
+        |    unnest(range(len(embedding))) AS pos
+        |  FROM embeddings),
+        |s AS (SELECT label, pos,
+        |        SUM(CASE WHEN vec_id % 2 = 0 THEN v END) AS sa,
+        |        SUM(CASE WHEN vec_id % 2 = 1 THEN v END) AS sb,
+        |        COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS na,
+        |        COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS nb
+        |      FROM x GROUP BY 1, 2),
+        |g AS (SELECT label,
+        |        SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+        |        SUM(CAST(sa AS HUGEINT) * sa) AS aa,
+        |        SUM(CAST(sb AS HUGEINT) * sb) AS bb,
+        |        MAX(na) AS n_a, MAX(nb) AS n_b
+        |      FROM s GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    round(CAST(dot AS DOUBLE)
+        |          / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)), 6)
+        |  END AS cos_shift
+        |FROM g ORDER BY label""".stripMargin,
+
     // PSI drift: Laplace-smoothed rates (n+1)/(N+K) as exact integer
     // micro-units; the ln enters only at the rounded last step
     "q_drift_psi" ->

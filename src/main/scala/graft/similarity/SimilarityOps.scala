@@ -61,6 +61,53 @@ object SimilarityOps {
       .drop(n)
   }
 
+  /** Embedding-centroid drift between two snapshots — the semantic
+    * counterpart of the categorical PSI monitor: per group, the cosine
+    * between the two snapshots' MEAN embeddings (`cos_shift` → 1.0 =
+    * the group's semantic center held still; a drop says the content of
+    * that label/source/language changed even if its row counts did not).
+    *
+    * Exactness: cosine is scale-invariant, so cos(mean_a, mean_b) =
+    * cos(sum_a, sum_b) — the division by group size cancels and is never
+    * computed. Per-dimension sums are exact integer micro-units (each
+    * element decimal-cast then scaled — order-independent), dot/norm
+    * products ride decimal(38,0) (magnitudes ≤ 1e24 at web scale — 14
+    * digits of headroom), and doubles enter only at the final
+    * division/sqrt/round — the q_stats_agg portability argument.
+    *
+    * Shape: one posexplode + (group, dim) hash aggregate per side
+    * (map-side combined; dims ≤ a few thousand keys per group), a
+    * (group, dim) full-outer merge, then a per-group fold over ≤dims
+    * rows. Groups present in only one snapshot report NULL `cos_shift`
+    * (no drift defined) with their one-sided count intact. */
+  def centroidDrift(a: DataFrame, b: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    def sums(df: DataFrame, s: String, n: String) = df
+      .select(col(groupCol).as("_g"),
+        posexplode(col(vecCol)).as(Seq("_p", "_v")))
+      .groupBy(col("_g"), col("_p"))
+      .agg(sum((col("_v").cast("decimal(15,6)") * lit(1000000L))
+          .cast("long")).as(s),
+        count(lit(1)).as(n))
+    val sa = sums(a, "_sa", "_na")
+    val sb = sums(b, "_sb", "_nb")
+    sa.join(sb, Seq("_g", "_p"), "full_outer")
+      .groupBy(col("_g"))
+      .agg(
+        sum(d(col("_sa")) * d(col("_sb"))).as("_dot"),
+        sum(d(col("_sa")) * d(col("_sa"))).as("_aa"),
+        sum(d(col("_sb")) * d(col("_sb"))).as("_bb"),
+        max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"))
+      .select(col("_g").as(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("_aa") > 0 && col("_bb") > 0,
+          round(col("_dot").cast("double")
+            / sqrt(col("_aa").cast("double") * col("_bb").cast("double")),
+            6)).as("cos_shift"))
+  }
+
   /** Exact top-k by cosine for each probe vector: broadcast probes ×
     * corpus, rank filter (→ WindowGroupLimit). Deterministic tie-break on
     * corpus id. Returns (probe_id, rank, vec_id, cos). */

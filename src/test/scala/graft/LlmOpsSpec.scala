@@ -489,6 +489,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(selfCos.forall(c => math.abs(c - 1.0) < 1e-12))
   }
 
+  test("centroidDrift: identical halves cos 1, orthogonal means cos 0, " +
+      "opposed means cos -1, one-sided group NULL; counts per side") {
+    val a = Seq(
+      (1L, "g1", Seq(1.0f, 0.0f)), (2L, "g1", Seq(1.0f, 0.0f)),
+      (3L, "g2", Seq(2.0f, 0.0f)),
+      (4L, "g3", Seq(0.5f, 0.5f)),
+      (5L, "g4", Seq(1.0f, 1.0f))).toDF("vec_id", "label", "embedding")
+    val b = Seq(
+      (6L, "g1", Seq(3.0f, 0.0f)),                      // same direction
+      (7L, "g2", Seq(0.0f, 5.0f)),                      // orthogonal
+      (8L, "g3", Seq(-0.25f, -0.25f)),                  // opposed
+      (9L, "g5", Seq(1.0f, 0.0f))                       // b-only group
+    ).toDF("vec_id", "label", "embedding")
+    val d = SimilarityOps.centroidDrift(a, b, "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(d("g1") === (2L, 1L, Some(1.0)))
+    assert(d("g2") === (1L, 1L, Some(0.0)))
+    assert(d("g3") === (1L, 1L, Some(-1.0)))
+    assert(d("g4") === (1L, 0L, None)) // a-only: no drift defined
+    assert(d("g5") === (0L, 1L, None))
+    // partitioning invariance (exact integer sums are associative)
+    val d2 = SimilarityOps.centroidDrift(a.repartition(5), b.repartition(3),
+      "label", "embedding").collect().toSet
+    assert(d2 === SimilarityOps.centroidDrift(a, b, "label", "embedding")
+      .collect().toSet)
+  }
+
   test("lshTopK recall@3 vs brute force with 16 hash tables; multi-probe " +
       "raises recall at the same table count") {
     val probes = emb001.filter($"vec_id" < 20)
