@@ -706,6 +706,24 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: semi-supervised label propagation — a third of the
+    //    suppliers carry a trusted nation label; 3 synchronous
+    //    majority-vote rounds spread labels through the bipartite
+    //    shipment graph (customers vote from seeded suppliers, then
+    //    unseeded suppliers vote back from labeled customers)
+    "q_label_prop" -> ((s, dir) => {
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 3 === 0)
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("s"), col("s_suppkey").cast("string"))
+          .as("node"), col("n_name").as("lbl"))
+      graft.analytics.Graph.labelPropagate(
+          shipmentEdges(s, dir), "src", "dst",
+          seeds, "node", "lbl", iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // -- [EXT]: exact-rank z-order values — the multi-dimensional
     //    clustering key (Delta OPTIMIZE ZORDER BY / liquid clustering
     //    analog) in its deterministic form: equal-frequency buckets from
@@ -898,9 +916,50 @@ object RelQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Unrolled-CTE replay of [[graft.analytics.Graph.labelPropagate]]:
+    * per round, a neighbor-label count, a (n DESC, label) rank-1 pick,
+    * and the seed-clamped merge. */
+  private def labelPropOracle(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |          SELECT src AS u, dst AS v FROM edges
+        |          UNION ALL SELECT dst, src FROM edges)
+        |        WHERE u <> v),
+        |nodes AS (SELECT DISTINCT u AS node FROM und),
+        |seeds AS (
+        |  SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+        |         n_name AS lbl
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE s_suppkey % 3 = 0),
+        |l0 AS (SELECT nodes.node, seeds.lbl
+        |       FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node)"""
+        .stripMargin
+    val iterations = (1 to iters).map { i =>
+      val p = s"l${i - 1}"
+      s"""v$i AS (SELECT e.v AS node, l.lbl AS cand, count(*) AS n
+         |        FROM und e JOIN $p l ON e.u = l.node
+         |        WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+         |w$i AS (SELECT node, cand FROM (
+         |          SELECT node, cand, row_number() OVER (
+         |            PARTITION BY node ORDER BY n DESC, cand) AS rk
+         |          FROM v$i) WHERE rk = 1),
+         |l$i AS (SELECT nodes.node, COALESCE(seeds.lbl, w.cand) AS lbl
+         |        FROM nodes LEFT JOIN w$i w ON nodes.node = w.node
+         |        LEFT JOIN seeds ON nodes.node = seeds.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$iterations
+       |SELECT node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_pagerank" -> pageRankOracle(3),
+
+    "q_label_prop" -> labelPropOracle(3),
 
     "q_zorder" -> zorderOracle(6),
 

@@ -122,6 +122,77 @@ object Graph {
     ranks.select(col("node"), col("_r").as("rank_fp"))
   }
 
+  /** Semi-supervised LABEL PROPAGATION over the undirected form of the
+    * edge set — spread sparse trusted labels (a hand-rated quality tier,
+    * a verified language, a topic) to unlabeled nodes through
+    * connectivity, the standard cheap alternative to training a
+    * classifier when labels are scarce but structure is dense.
+    *
+    * Synchronous iterations; each round every node takes the MOST
+    * FREQUENT label among its neighbors' current labels, ties broken by
+    * the SMALLEST label (a total order — no RNG, unlike classic async
+    * LPA, so results are deterministic and engine-replayable). Seed
+    * nodes are CLAMPED: their label never changes (the semi-supervised
+    * contract); unlabeled nodes start empty and may stay empty if no
+    * labeled node is reachable in `iters` hops. Counts are integers and
+    * the tie-break is lexicographic, so every iteration is bit-exact.
+    *
+    * Scale shape: per iteration one (labels ⋈ edges) shuffle + one
+    * (node, label) count aggregate + one rank-1 filter (→
+    * WindowGroupLimit, bounded per-task state) + a seed-override left
+    * join; labels `localCheckpoint` per round (same lineage argument as
+    * [[pageRank]]). `seeds` is BROADCAST (it joins twice per round) —
+    * the scarce-labels contract this operator exists for; for a
+    * beyond-broadcast seed set, the labels frame would already be the
+    * answer. Returns (`node`, `label`) — label NULL if never reached. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val dir = edges.select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+    // undirected: both directions, self-loops dropped, deduplicated
+    val und = dir.union(dir.select(col("_v").as("_u"), col("_u").as("_v")))
+      .filter(col("_u") =!= col("_v"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = und.select(col("_u").as("node")).distinct()
+      .localCheckpoint(eager = false)
+    val seedsDf = broadcastableSeeds(seeds, seedNodeCol, seedLabelCol)
+
+    var labels = nodes
+      .join(seedsDf, nodes("node") === seedsDf("_s_node"), "left")
+      .select(col("node"), col("_s_label").as("_label"))
+      .localCheckpoint(eager = false)
+
+    for (_ <- 1 to iters) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_v"))
+        .orderBy(col("_n").desc, col("_cand"))
+      val voted = labels.filter(col("_label").isNotNull)
+        .join(und, labels("node") === und("_u"))
+        .groupBy(col("_v"), col("_label").as("_cand"))
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("_v").as("_vn"), col("_cand"))
+      labels = nodes
+        .join(voted, nodes("node") === voted("_vn"), "left")
+        .join(seedsDf, nodes("node") === seedsDf("_s_node"), "left")
+        // seeds clamp; otherwise adopt the vote; otherwise keep nothing
+        // (a node with no labeled neighbor this round stays unlabeled —
+        // monotone frontier growth comes from neighbors keeping theirs)
+        .select(col("node"),
+          coalesce(col("_s_label"), col("_cand")).as("_label"))
+        .localCheckpoint(eager = false)
+    }
+    labels.select(col("node"), col("_label").as("label"))
+  }
+
+  private def broadcastableSeeds(seeds: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame =
+    broadcast(seeds.select(col(nodeCol).as("_s_node"),
+      col(labelCol).as("_s_label")).distinct())
+
   /** Per-node degree summary of a digraph: `out_deg`/`in_deg` (0 for
     * absent direction — every endpoint appears exactly once). One
     * dedup + two count aggregates + an outer merge; no windows. */

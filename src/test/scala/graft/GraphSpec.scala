@@ -70,6 +70,48 @@ class GraphSpec extends AnyFunSuite {
     assert(d === Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
   }
 
+  test("labelPropagate: hand-traced frontier growth, majority vote with " +
+      "min-label ties, seed clamping, unreachable stays NULL") {
+    // chain s1 - a - b - c, plus s2 - a (two seeds vote on a), and an
+    // isolated pair x - y with no seed
+    val edges = Seq(("s1", "a"), ("a", "b"), ("b", "c"), ("s2", "a"),
+      ("x", "y")).toDF("src", "dst")
+    val seeds = Seq(("s1", "L1"), ("s2", "L2")).toDF("n", "l")
+    def run(iters: Int) =
+      Graph.labelPropagate(edges, "src", "dst", seeds, "n", "l", iters)
+        .collect().map(r => r.getString(0) ->
+          Option(r.getString(1))).toMap
+    val r1 = run(1)
+    // a sees L1 and L2 once each: tie → min label L1; b sees nothing yet
+    assert(r1("a") === Some("L1") && r1("b") === None && r1("c") === None)
+    assert(r1("s1") === Some("L1") && r1("s2") === Some("L2")) // clamped
+    val r2 = run(2)
+    assert(r2("b") === Some("L1") && r2("c") === None)
+    val r3 = run(3)
+    assert(r3("c") === Some("L1"))
+    // the seedless component never labels
+    assert(r3("x") === None && r3("y") === None)
+    // seeds never drift even when neighbors disagree
+    assert(r3("s1") === Some("L1") && r3("s2") === Some("L2"))
+    // deterministic under repartitioning
+    val again = Graph.labelPropagate(edges.repartition(7), "src", "dst",
+      seeds, "n", "l", 3).collect().map(r =>
+        r.getString(0) -> Option(r.getString(1))).toMap
+    assert(again === r3)
+  }
+
+  test("labelPropagate: majority beats minority; duplicate seed rows collapse") {
+    // t gets two L2 neighbors vs one L1 neighbor: majority L2 wins
+    // even though L1 < L2 lexicographically
+    val edges = Seq(("m1", "t"), ("m2", "t"), ("k1", "t"))
+      .toDF("src", "dst")
+    val seeds = Seq(("m1", "L2"), ("m2", "L2"), ("k1", "L1"),
+      ("m1", "L2")).toDF("n", "l")
+    val r = Graph.labelPropagate(edges, "src", "dst", seeds, "n", "l", 1)
+      .collect().map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(r("t") === Some("L2"))
+  }
+
   test("declared q_pagerank runs on sf0.001 with full coverage of both node types") {
     val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
