@@ -706,6 +706,20 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: personalized PageRank (TrustRank) — teleport/dangling
+    //    mass returns only to the trusted seed set (suppliers of
+    //    nations 0-4); rank = proximity to trust, the seed-biased
+    //    quality prior
+    "q_ppr" -> ((s, dir) => {
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select(concat(lit("s"), col("s_suppkey").cast("string"))
+          .as("node"))
+      graft.analytics.Graph.personalizedPageRank(
+          shipmentEdges(s, dir), "src", "dst", seeds, "node", iters = 3)
+        .orderBy(col("rank_fp").desc, col("node"))
+    }),
+
     // -- [EXT]: semi-supervised label propagation — a third of the
     //    suppliers carry a trusted nation label; 3 synchronous
     //    majority-vote rounds spread labels through the bipartite
@@ -916,6 +930,49 @@ object RelQueries {
     branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** The personalized variant of [[pageRankOracle]]: teleport/dangling
+    * gated on seed membership, |S ∩ V| as the denominator, zero start
+    * mass off the seed set. */
+  private def pprOracle(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        |edeg AS (SELECT e.src, e.dst, g.outdeg
+        |         FROM edges e JOIN deg g ON e.src = g.node),
+        |seeds AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |          FROM supplier WHERE s_nationkey < 5),
+        |nf AS (SELECT nodes.node, (seeds.node IS NOT NULL) AS is_seed
+        |       FROM nodes LEFT JOIN seeds ON nodes.node = seeds.node),
+        |dd AS (SELECT SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS d FROM nf),
+        |r0 AS (SELECT node, is_seed,
+        |         CASE WHEN is_seed THEN 1000000000000 // d ELSE 0 END AS r
+        |       FROM nf CROSS JOIN dd)""".stripMargin
+    val iterations = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (SELECT COALESCE(SUM(r), 0) AS dang
+         |        FROM $p LEFT JOIN deg ON $p.node = deg.node
+         |        WHERE deg.node IS NULL),
+         |c$i AS (SELECT e.dst AS node, SUM(p.r // e.outdeg) AS c
+         |        FROM edeg e JOIN $p p ON e.src = p.node GROUP BY e.dst),
+         |r$i AS (SELECT nf.node, nf.is_seed,
+         |          (CASE WHEN nf.is_seed
+         |             THEN (15 * 1000000000000) // (100 * dd.d) ELSE 0 END)
+         |          + (85 * (COALESCE(c.c, 0)
+         |                   + CASE WHEN nf.is_seed
+         |                       THEN d.dang // dd.d ELSE 0 END)) // 100
+         |            AS r
+         |        FROM nf CROSS JOIN dd CROSS JOIN d$i d
+         |        LEFT JOIN c$i c ON nf.node = c.node)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$iterations
+       |SELECT node, r AS rank_fp FROM r$iters
+       |ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   /** Unrolled-CTE replay of [[graft.analytics.Graph.labelPropagate]]:
     * per round, a neighbor-label count, a (n DESC, label) rank-1 pick,
     * and the seed-clamped merge. */
@@ -960,6 +1017,8 @@ object RelQueries {
     "q_pagerank" -> pageRankOracle(3),
 
     "q_label_prop" -> labelPropOracle(3),
+
+    "q_ppr" -> pprOracle(3),
 
     "q_zorder" -> zorderOracle(6),
 

@@ -72,7 +72,31 @@ object Graph {
     * units. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingNum: Long = 85L, dampingDen: Long = 100L,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iters, dampingNum, dampingDen,
+      scale, seeds = None)
+
+  /** PERSONALIZED PageRank: teleport (and dangling) mass returns only
+    * to the `seeds` set instead of uniformly — rank becomes proximity
+    * to the trusted set, the "quality flows outward from known-good
+    * hosts" prior (TrustRank) rather than global centrality. Same
+    * fixed-point integer recurrence as [[pageRank]] with the teleport
+    * term gated on seed membership and |S| replacing N in the
+    * teleport/dangling denominators; non-seed start mass is 0. Seeds
+    * are broadcast (the scarce-trust contract); seed ids absent from
+    * the graph are ignored (the restart vector normalizes over
+    * |S ∩ V| — only seeds that exist in the graph hold mass). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String, iters: Int,
+      dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame =
+    pageRankCore(edges, srcCol, dstCol, iters, dampingNum, dampingDen,
+      scale, seeds = Some(seeds.select(col(seedCol).as("_seed"))
+        .distinct()))
+
+  private def pageRankCore(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, dampingNum: Long, dampingDen: Long,
+      scale: Long, seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"damping must satisfy 0 < num < den, got $dampingNum/$dampingDen")
@@ -85,19 +109,31 @@ object Graph {
     // outdeg >= 1), the node and source sets derive from this checkpoint
     // too: the raw edge table is scanned/deduplicated exactly once
     val edgesDeg = e.join(outdeg, "_src").localCheckpoint(eager = false)
-    val nodes = edgesDeg.select(col("_src").as("node"))
+    val bare = edgesDeg.select(col("_src").as("node"))
       .union(edgesDeg.select(col("_dst"))).distinct()
-      .localCheckpoint(eager = false)
+    // `_is_seed` gates where teleport/dangling mass returns; the uniform
+    // form flags every node, so ONE recurrence serves both (and the
+    // denominator `_d` is N there, |S ∩ V| when personalized — restart
+    // mass normalizes over seeds that exist in the graph)
+    val nodes = seeds.fold(bare.withColumn("_is_seed", lit(true))) { sd =>
+      bare.join(broadcast(sd), bare("node") === sd("_seed"), "left")
+        .withColumn("_is_seed", col("_seed").isNotNull).drop("_seed")
+    }.localCheckpoint(eager = false)
     val srcNodes = edgesDeg.select(col("_src")).distinct()
       .localCheckpoint(eager = false)
 
-    // the two graph scalars, broadcast everywhere they're needed
-    val nRow = broadcast(nodes.agg(count(lit(1)).as("_n")))
-    val teleport =
-      ldiv(lit((dampingDen - dampingNum) * scale), lit(dampingDen) * col("_n"))
+    val dRow = broadcast(nodes.agg(
+      sum(when(col("_is_seed"), 1L).otherwise(0L)).as("_d")))
+    val teleport = when(col("_is_seed"),
+      ldiv(lit((dampingDen - dampingNum) * scale),
+        lit(dampingDen) * col("_d"))).otherwise(0L)
+    val dangShare = when(col("_is_seed"),
+      ldiv(col("_dang"), col("_d"))).otherwise(0L)
 
-    var ranks = nodes.crossJoin(nRow)
-      .select(col("node"), ldiv(lit(scale), col("_n")).as("_r"))
+    var ranks = nodes.crossJoin(dRow)
+      .select(col("node"), col("_is_seed"),
+        when(col("_is_seed"), ldiv(lit(scale), col("_d")))
+          .otherwise(0L).as("_r"))
       .localCheckpoint(eager = false)
 
     for (_ <- 1 to iters) {
@@ -110,12 +146,11 @@ object Graph {
         .agg(sum(ldiv(col("_r"), col("_outdeg"))).as("_c"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("_dst"), "left")
-        .crossJoin(nRow).crossJoin(dangRow)
-        .select(nodes("node"),
+        .crossJoin(dRow).crossJoin(dangRow)
+        .select(nodes("node"), nodes("_is_seed"),
           (teleport
             + ldiv(lit(dampingNum)
-                     * (coalesce(col("_c"), lit(0L))
-                        + ldiv(col("_dang"), col("_n"))),
+                     * (coalesce(col("_c"), lit(0L)) + dangShare),
                    lit(dampingDen))).as("_r"))
         .localCheckpoint(eager = false)
     }

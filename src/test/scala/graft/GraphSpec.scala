@@ -70,6 +70,37 @@ class GraphSpec extends AnyFunSuite {
     assert(d === Set(("a", 2L, 0L), ("b", 1L, 1L), ("c", 0L, 2L)))
   }
 
+  test("personalizedPageRank: mass concentrates near the seed set and " +
+      "decays with distance; off-seed teleport is zero") {
+    // chain s -> a -> b -> c -> s (cycle keeps mass flowing) plus a far
+    // branch b -> d
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("c", "s"),
+      ("b", "d")).toDF("src", "dst")
+    val seeds = Seq("s").toDF("n")
+    val r = Graph.personalizedPageRank(edges, "src", "dst", seeds, "n",
+        iters = 4)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // the seed holds the teleport mass; trust decays along the chain
+    assert(r("s") > r("a") && r("a") > r("b") && r("b") > r("c"))
+    // d is dangling and far: least mass (shares b's inflow with c but
+    // gets no teleport and no dangling return)
+    assert(r("d") <= r("c"))
+    // hand-check the first iteration: d=1, r0 = (s:1e12, others 0)
+    //   iter1: dang = r(c)+r(d) = 0; contrib(a) = 1e12
+    //   r1(s) = 15e13 div 100 = 1.5e11 ; r1(a) = 85e12 div 100 = 8.5e11
+    //   r1(b..d) = 0
+    val r1 = Graph.personalizedPageRank(edges, "src", "dst", seeds, "n",
+        iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1("s") === 150000000000L && r1("a") === 850000000000L)
+    assert(r1("b") === 0L && r1("c") === 0L && r1("d") === 0L)
+    // seeds absent from the graph are ignored (|S ∩ V| normalization)
+    val r2 = Graph.personalizedPageRank(edges, "src", "dst",
+      Seq("s", "ghost").toDF("n"), "n", iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 === r1)
+  }
+
   test("labelPropagate: hand-traced frontier growth, majority vote with " +
       "min-label ties, seed clamping, unreachable stays NULL") {
     // chain s1 - a - b - c, plus s2 - a (two seeds vote on a), and an
