@@ -706,6 +706,43 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: the STATEFUL streaming funnel on the declared surface —
+    //    a real flatMapGroupsWithState writeStream execution over the
+    //    events file stream (AvailableNow), per-user write-once frontier
+    //    state; final per-user depths == the batch first-touch funnel
+    //    (its progress rows append via foreachBatch; max(depth) per user
+    //    is the funnel state at stream end)
+    "q_stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/events.parquet"
+      val schema = s.read.parquet(path).schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streamfun")
+      val stream =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val out = tmp.resolve("out").toString
+      graft.streaming.StreamOps.funnelWithState(
+          graft.analytics.Tables.withEpochMicros(stream),
+          "user_id", "event_type", "ts_us",
+          steps = Seq("signup", "view", "purchase"),
+          windowUs = 3L * 86400000000L)
+        .toDF()
+        .writeStream
+        .outputMode("update") // flatMapGroupsWithState(Update) contract
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("key").cast("long").as("user_id"))
+        .agg(max(col("stepReached")).as("depth"))
+        .orderBy(col("user_id"))
+    }),
+
     // -- [EXT]: personalized PageRank (TrustRank) — teleport/dangling
     //    mass returns only to the trusted seed set (suppliers of
     //    nations 0-4); rank = proximity to trust, the seed-biased
@@ -1170,6 +1207,29 @@ object RelQueries {
         |    AS step_reached
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // the streamed funnel's final state == the batch min-ts cascade,
+    // restricted to users who entered the funnel (a progress row exists
+    // iff depth advanced past 0)
+    "q_stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1_us
+        |         AND ts_us - t1_us <= 259200000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3_us
+        |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2_us
+        |         AND ts_us - t1_us <= 259200000000 GROUP BY 1)
+        |SELECT s1.user_id,
+        |  (1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+        |     + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::INTEGER AS depth
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
     // the sliding-funnel CTEs collapsed to per-step reach counts; lag's
