@@ -118,8 +118,8 @@ final case class EntityConfig(
     silverCompactAfter: Int = 8,
     /** Append a per-column data-quality profile
       * ([[graft.analytics.Profiler.profile]], approx-distinct mode) of
-      * the just-published silver table to the pipeline's `_profile_log`
-      * on every publish — the monitoring census behind drift dashboards
+      * each just-published table (silver, and gold when declared) to
+      * the pipeline's `_profile_log` on every publish — the monitoring census behind drift dashboards
       * and expectation authoring. OPT-IN because it is one extra
       * aggregate scan of the published table per publish (column-pruned
       * but full-row-count); at 100 TB enable it on the entities whose

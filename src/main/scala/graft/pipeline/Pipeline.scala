@@ -1368,6 +1368,7 @@ final class PipelineRunner(
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
       ("clustering_cols" -> g.clusteringCols.mkString(",")) ++
       expectationMetrics(entity, "gold", fqn, obs))
+    if (cfg.profileOnPublish) appendProfileLog(entity, "gold", fqn)
   }
 
   // ---- phase 3: active views (catalog-only) -------------------------------

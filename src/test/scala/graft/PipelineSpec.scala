@@ -153,6 +153,7 @@ class PipelineSpec extends AnyFunSuite {
       """{"docs": {
         |  "raw_file_format": "parquet",
         |  "unique_primary_key": ["doc_id"],
+        |  "profile_on_publish": true,
         |  "gold": {
         |    "curation": {"id_col": "doc_id", "text_col": "text",
         |                 "min_quality": 0.0, "max_repetition": 1.0,
@@ -194,6 +195,7 @@ class PipelineSpec extends AnyFunSuite {
       """{"docs": {
         |  "raw_file_format": "parquet",
         |  "unique_primary_key": ["doc_id"],
+        |  "profile_on_publish": true,
         |  "gold": {
         |    "curation": {"id_col": "doc_id", "text_col": "text",
         |                 "min_quality": 0.0, "max_repetition": 1.0},
@@ -243,6 +245,7 @@ class PipelineSpec extends AnyFunSuite {
       """{"docs": {
         |  "raw_file_format": "parquet",
         |  "unique_primary_key": ["doc_id"],
+        |  "profile_on_publish": true,
         |  "gold": {
         |    "curation": {"id_col": "doc_id", "text_col": "text",
         |                 "min_quality": 0.0, "max_repetition": 1.0,
@@ -272,6 +275,7 @@ class PipelineSpec extends AnyFunSuite {
       """{"docs": {
         |  "raw_file_format": "parquet",
         |  "unique_primary_key": ["doc_id"],
+        |  "profile_on_publish": true,
         |  "gold": {
         |    "curation": {"id_col": "doc_id", "text_col": "text",
         |                 "min_quality": 0.0, "max_repetition": 1.0,
@@ -310,6 +314,7 @@ class PipelineSpec extends AnyFunSuite {
       """{"docs": {
         |  "raw_file_format": "parquet",
         |  "unique_primary_key": ["doc_id"],
+        |  "profile_on_publish": true,
         |  "gold": {
         |    "curation": {"id_col": "doc_id", "text_col": "text",
         |                 "lang_col": "lang", "min_quality": 0.0,
@@ -355,6 +360,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(new java.io.File(s"$store/gold/docs/v2").isDirectory)
     val gold2 = spark.table(params.goldFqn("docs"))
     assert(gold2.select("doc_id").as[Long].collect().toSet == Set(1L, 10L))
+
+    // profile_on_publish covers BOTH layers: 2 runs x (silver + gold)
+    val layers = spark.table(params.profileLogFqn)
+      .filter($"col_name" === "doc_id")
+      .groupBy($"layer").count().as[(String, Long)].collect().toMap
+    assert(layers == Map("silver" -> 2L, "gold" -> 2L), layers.toString)
   }
 
   test("gold layer plan shape: ONE layout range exchange; CollectMetrics " +
@@ -365,6 +376,7 @@ class PipelineSpec extends AnyFunSuite {
       """{"docs": {
         |  "raw_file_format": "parquet",
         |  "unique_primary_key": ["doc_id"],
+        |  "profile_on_publish": true,
         |  "gold": {
         |    "curation": {"id_col": "doc_id", "text_col": "text",
         |                 "lang_col": "lang", "min_quality": 0.0,
