@@ -1215,12 +1215,12 @@ object LlmQueries {
         |s AS (SELECT sum(n_a) AS na, sum(n_b) AS nb, count(*) AS k FROM c),
         |r AS (SELECT category, n_a, n_b,
         |        ((n_a + 1) * 1000000) // (na + k) AS rate_a_x1e6,
-        |        ((n_b + 1) * 1000000) // (nb + k) AS rate_b_x1e6
+        |        ((n_b + 1) * 1000000) // (nb + k) AS rate_b_x1e6,
+        |        CAST(n_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS ra,
+        |        CAST(n_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS rb
         |      FROM c CROSS JOIN s)
         |SELECT category, n_a, n_b, rate_a_x1e6, rate_b_x1e6,
-        |  round((rate_a_x1e6 - rate_b_x1e6) / 1000000.0
-        |        * ln(CAST(rate_a_x1e6 AS DOUBLE) / rate_b_x1e6), 6)
-        |    AS psi_term
+        |  round((ra - rb) * ln(ra / rb), 6) AS psi_term
         |FROM r ORDER BY category""".stripMargin,
 
     // temperature resampling: per-lang integer weight w = ⌊√n·10⁶⌋ (√ is

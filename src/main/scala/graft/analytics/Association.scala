@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Fixed.ldiv
+
 /** Pairwise co-occurrence mining over (basket, item) rows — association
   * rules / item-item similarity / the count side of PMI. In a training
   * corpus the same pass powers "which domains co-cite", "which tokens
@@ -23,8 +25,6 @@ import org.apache.spark.sql.functions._
   * overflow at web scale).
   */
 object Association {
-
-  private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Co-occurrence pairs with support ≥ `minSupport`, one row per
     * unordered item pair (item_a < item_b by the column's natural

@@ -3,6 +3,8 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Fixed.ldiv
+
 /** Distributed graph analytics over an edge table — the curation-side
   * graph signals a web-scale training corpus needs: host-level PageRank
   * is a standard quality prior in crawl filtering (the CommonCrawl host
@@ -34,14 +36,6 @@ import org.apache.spark.sql.functions._
   *    trade (GraphX checkpoints the same way).
   */
 object Graph {
-
-  /** True integer floor division (Spark's `div` operator / DuckDB's
-    * `//`). `Column./` on longs is DOUBLE division — casting its result
-    * back to long truncates the correctly-ROUNDED quotient, which can
-    * exceed the true floor when the rational quotient sits within half
-    * an ulp below an integer, silently breaking bit-exactness. */
-  private def ldiv(a: Column, b: Column): Column =
-    call_function("div", a, b)
 
   /** PageRank with damping `dampingNum/dampingDen` (default 0.85) and
     * uniform-teleport dangling-mass redistribution, `iters` synchronous

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.ops.Fixed.ldiv
+
 /** Schema-generic table profiling — the data-quality census (the
   * deequ/Great-Expectations "profile" pass) that precedes writing
   * expectation rules: per column, row/null/distinct counts, typed
@@ -32,8 +34,6 @@ import org.apache.spark.sql.types._
   * NULL metrics. */
 object Profiler {
 
-  private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
-
   def profile(df: DataFrame, exactDistinct: Boolean = false): DataFrame = {
     require(df.schema.fields.nonEmpty, "cannot profile a zero-column frame")
     val fields = df.schema.fields.toSeq
@@ -50,9 +50,13 @@ object Profiler {
         case _: NumericType => Some(c.cast("decimal(38,6)"))
         case _ => None
       }
-      val distinct =
-        if (exactDistinct) count_distinct(c)
-        else approx_count_distinct(c)
+      // MapType is not orderable/hashable for distinct aggregation —
+      // a schema-generic profiler must skip, not crash, on such columns
+      val distinct = f.dataType match {
+        case _: MapType => lit(null).cast("long")
+        case _ if exactDistinct => count_distinct(c)
+        case _ => approx_count_distinct(c)
+      }
       Seq(
         "n_nulls" -> sum(when(c.isNull, 1L).otherwise(0L)),
         "n_distinct" -> distinct,
@@ -115,12 +119,18 @@ object Profiler {
       compareCols: Seq[String]): DataFrame = {
     require(pkCols.nonEmpty, "snapshotDiff needs at least one PK column")
     require(compareCols.nonEmpty, "snapshotDiff needs compare columns")
+    // length-prefixed framing: "V<len>:<value>" / "N" tokens joined by
+    // \u0001 are uniquely decodable even when values CONTAIN the
+    // separator (a bare prefix scheme is injectable: ("x\u0001Vy", "z")
+    // vs ("x", "y\u0001Vz") would collide) — spec-pinned
     def sig(df: DataFrame, as: String) = df.select(
       pkCols.map(col) :+
-        md5(concat_ws("\u0001", compareCols.map(c =>
+        md5(concat_ws("\u0001", compareCols.map { c =>
+          val v = col(c).cast("string")
           when(col(c).isNull, lit("N"))
-            .otherwise(concat(lit("V"), col(c).cast("string")))): _*))
-          .as(as): _*)
+            .otherwise(concat(lit("V"), length(v).cast("string"),
+              lit(":"), v))
+        }: _*)).as(as): _*)
     val sa = sig(a, "_sig_a")
     val sb = sig(b, "_sig_b")
     sa.join(sb, pkCols, "full_outer")
@@ -151,7 +161,8 @@ object Profiler {
       relation: String): DataFrame = {
     val keyed = child.select(col(childCol).as("_k"))
     val nullRow = keyed.agg(
-      sum(when(col("_k").isNull, 1L).otherwise(0L)).as("n_null_rows"))
+      coalesce(sum(when(col("_k").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null_rows"))
     val groups = keyed.filter(col("_k").isNotNull)
       .groupBy(col("_k")).agg(count(lit(1)).as("_n"))
     val parentKeys = parent.select(col(parentCol).as("_pk"))
@@ -175,14 +186,19 @@ object Profiler {
     * mix / language mix / label mix move?". One row per category over
     * the UNION of both frames' categories:
     * `n_a`/`n_b` raw counts, `rate_a_x1e6`/`rate_b_x1e6` the
-    * Laplace-smoothed rates (n+1)/(N+K) in exact integer micro-units
-    * (K = category count — smoothing makes zero bins well-defined
-    * deterministically, no ε tuning), and `psi_term` =
-    * (ra − rb)·ln(ra/rb) rounded to 6 decimals (Σ over rows = the PSI;
-    * ≥ 0.2 is the conventional "significant drift" line). The doubles
-    * enter only at the last step, FROM the exact integer rates, so the
-    * only portability surface is one correctly-rounded ln — the
-    * q_stats_agg precedent.
+    * Laplace-smoothed rates (n+1)/(N+K) in integer micro-units for
+    * display (K = category count — smoothing makes zero bins
+    * well-defined, no ε tuning), and `psi_term` = (ra − rb)·ln(ra/rb)
+    * rounded to 6 decimals (Σ over rows = the PSI; ≥ 0.2 is the
+    * conventional "significant drift" line).
+    *
+    * The psi_term rates are the exact RATIONALS (n+1)/(N+K) evaluated
+    * as one correctly-rounded double division each — NOT the floored
+    * micro-unit columns: past ~10⁶ rows per side a rare category's
+    * integer rate floors to 0 and ln(0) would poison the PSI with
+    * ±Infinity/NaN. Integer→double conversion is exact below 2⁵³ and
+    * ÷ and ln are correctly rounded, so the term stays deterministic
+    * across engines — the q_stats_agg precedent.
     *
     * Shape: tag-and-union the two frames (no join of two aggregates —
     * one shuffle on the category key), aggregate counts per side,
@@ -203,11 +219,12 @@ object Profiler {
     counts.crossJoin(scalars)
       .withColumn("rate_a_x1e6", rate(col("n_a"), col("_na")))
       .withColumn("rate_b_x1e6", rate(col("n_b"), col("_nb")))
+      .withColumn("_ra", (col("n_a") + 1L).cast("double")
+        / (col("_na") + col("_k")).cast("double"))
+      .withColumn("_rb", (col("n_b") + 1L).cast("double")
+        / (col("_nb") + col("_k")).cast("double"))
       .withColumn("psi_term", round(
-        (col("rate_a_x1e6") - col("rate_b_x1e6")).cast("double")
-          / 1000000.0
-          * log(col("rate_a_x1e6").cast("double")
-            / col("rate_b_x1e6").cast("double")), 6))
+        (col("_ra") - col("_rb")) * log(col("_ra") / col("_rb")), 6))
       .select(col("_cat").as("category"), col("n_a"), col("n_b"),
         col("rate_a_x1e6"), col("rate_b_x1e6"), col("psi_term"))
   }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Fixed.ldiv
+
 /** Supervised categorical encodings for feature preparation — the
   * mean/target encoding every tabular-ML pipeline runs before
   * training, built leakage-free: a row's own fold never contributes to
@@ -19,8 +21,6 @@ import org.apache.spark.sql.functions._
   * whole operator is oracle-checkable bit-for-bit.
   */
 object Encoding {
-
-  private def ldiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   /** Out-of-fold target-encoding TABLE: one row per (category, fold)
     * with `enc_x1e6` = smoothed out-of-fold mean of `targetCol` in

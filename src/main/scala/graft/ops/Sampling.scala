@@ -96,7 +96,7 @@ object Sampling {
     val targets = broadcast(strata.crossJoin(broadcast(totRow))
       .select(col(strataCol).as("_t_strata"),
         least(
-          call_function("div",
+          Fixed.ldiv(
             lit(budget).cast("decimal(38,0)") * col("_w"), col("_tw")),
           col("_sn")).as("_tgt")))
     withGlobalRank(df, strataCol, keyCol)

@@ -100,7 +100,7 @@ object ZOrder {
     val nName = fresh("_zxn")
     val nRow = broadcast(df.agg(count(lit(1)).as(nName)))
     val buckets = rankNames.map(rn =>
-      call_function("div", (col(rn) - 1L) * lit(nBuckets), col(nName)))
+      Fixed.ldiv((col(rn) - 1L) * lit(nBuckets), col(nName)))
     ranked.crossJoin(nRow)
       .withColumn(outCol, interleave(buckets, bits))
       .drop(rankNames :+ nName: _*)

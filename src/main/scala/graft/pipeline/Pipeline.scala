@@ -505,6 +505,10 @@ final class PipelineRunner(
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // profile once per RUN (not per micro-batch — a run is the publish
+    // session); guard on existence for the nothing-ever-ingested case
+    if (cfg.profileOnPublish && spark.catalog.tableExists(fqn))
+      appendProfileLog(entity, "silver", fqn)
   }
 
   /** One incremental-silver merge at bucket granularity:
@@ -1002,9 +1006,15 @@ final class PipelineRunner(
       .withColumn("layer", lit(layer))
       .withColumn("run_id", lit(runId))
       .withColumn("ts", lit(ts))
+    // materialize the (column-count-sized) profile OUTSIDE the lock —
+    // the lock's contract is a few-KB critical section, and the profile
+    // is a full aggregate scan of the published table
+    val schema = rows.schema
+    val local = java.util.Arrays.asList(rows.collect(): _*)
     val path = s"$storageRoot/_profile_log"
     PipelineRunner.expectationLogWriteLock.synchronized {
-      rows.coalesce(1).write.mode("append").parquet(path)
+      spark.createDataFrame(local, schema)
+        .coalesce(1).write.mode("append").parquet(path)
       val logFqn = params.profileLogFqn
       if (!spark.catalog.tableExists(logFqn))
         spark.sql(s"CREATE TABLE IF NOT EXISTS $logFqn " +

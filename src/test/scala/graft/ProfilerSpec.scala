@@ -86,11 +86,15 @@ class ProfilerSpec extends AnyFunSuite {
     assert(rows("x")._3 === 636363L && rows("x")._4 === 428571L)
     assert(rows("y")._3 === 272727L && rows("y")._4 === 142857L)
     assert(rows("z")._3 === 90909L && rows("z")._4 === 428571L)
-    def term(ra: Long, rb: Long) = BigDecimal(
-      (ra - rb) / 1000000.0 * math.log(ra.toDouble / rb))
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(rows("x")._5 === term(636363L, 428571L))
-    assert(rows("z")._5 === term(90909L, 428571L))
+    // psi_term derives from the exact RATIONAL rates (n+1)/(N+K), not
+    // the floored display columns
+    def term(na: Long, nb: Long) = {
+      val ra = (na + 1).toDouble / 11.0; val rb = (nb + 1).toDouble / 7.0
+      BigDecimal((ra - rb) * math.log(ra / rb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows("x")._5 === term(6L, 2L))
+    assert(rows("z")._5 === term(0L, 2L))
     // all terms positive (divergence) and PSI > 0.2 flags this drift
     val psi = rows.values.map(_._5).sum
     assert(psi > 0.2, s"expected drift alarm, psi=$psi")
@@ -152,6 +156,54 @@ class ProfilerSpec extends AnyFunSuite {
         .snapshotDiff(x1, x2, Seq("pk"), Seq("v")).count() === 1L,
         s"null vs ${adversarial.length}-char value must diff")
     }
+  }
+
+  test("categoricalDrift: psi_term stays finite when an integer rate " +
+      "floors to zero (the >1e6-rows-per-side regime)") {
+    // 1.2M 'x' rows per side + one one-sided 'zz' row: zz's smoothed
+    // integer micro-unit rate is (0+1)*1e6 // (1_200_001+2) = 0, but the
+    // rational rate is tiny-positive — psi must not be Inf/NaN
+    val a = spark.range(1200000).select(lit("x").as("c"))
+      .union(Seq("zz").toDF("c"))
+    val b = spark.range(1200000).select(lit("x").as("c"))
+    val rows = graft.analytics.Profiler.categoricalDrift(a, b, "c")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val zz = rows("zz")
+    assert(zz._1 === 0L || zz._2 === 0L) // the floored display rate IS 0
+    assert(!zz._3.isInfinite && !zz._3.isNaN, s"psi_term ${zz._3}")
+    val psi = rows.values.map(_._3).sum
+    assert(!psi.isInfinite && !psi.isNaN && psi >= 0.0)
+  }
+
+  test("snapshotDiff: separator injection across column boundaries is " +
+      "a change, not a collision (length-prefixed framing)") {
+    // values deliberately CONTAIN the \u0001 joiner and spoofed
+    // "V<len>:" prefixes; only uniquely-decodable framing keeps the
+    // signatures distinct
+    val a = Seq((1L, "x\u0001V2:y", "z")).toDF("pk", "c1", "c2")
+    val b = Seq((1L, "x", "y\u0001V1:z")).toDF("pk", "c1", "c2")
+    val d = graft.analytics.Profiler
+      .snapshotDiff(a, b, Seq("pk"), Seq("c1", "c2")).collect()
+    assert(d.length === 1 && d.head.getString(1) === "changed")
+  }
+
+  test("inclusion: empty child reports all-zero metrics, never NULL") {
+    val child = Seq.empty[(Long, Long)].toDF("k", "x")
+    val r = graft.analytics.Profiler
+      .inclusion(child, "k", Seq(1L).toDF("p"), "p", "empty").head
+    assert((1 to 5).forall(!r.isNullAt(_)))
+    assert((1 to 5).map(r.getLong(_)).forall(_ === 0L))
+  }
+
+  test("profile: map-typed columns are skipped for distincts, not fatal") {
+    val df = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
+      .toDF("id", "m")
+    val rows = Profiler.profile(df, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("m").isNullAt(4)) // n_distinct undefined for maps
+    assert(rows("m").getLong(3) === 0L) // nulls still counted
+    assert(rows("id").getLong(4) === 2L) // other columns unaffected
   }
 
   test("categoricalDrift: NULL category participates as a real bin") {
