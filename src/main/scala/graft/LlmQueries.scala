@@ -94,6 +94,16 @@ object LlmQueries {
     }),
 
     // -- [EXT]: n-gram Jaccard near-dup pairs (exact inverted-index join)
+    // -- [EXT]: n-gram novelty vs a reference snapshot (even docs) —
+    //    the memorization-risk / freshness score: fraction of each odd
+    //    doc's distinct trigrams the reference never saw, exact ×10⁶
+    "q_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.ngramNovelty(docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "q_ngram_jaccard" -> ((s, dir) => {
       DedupOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxPrefixFreq = Int.MaxValue)
@@ -1132,6 +1142,28 @@ object LlmQueries {
          |    row_number() OVER (PARTITION BY md5($duckNorm)
          |      ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // shared shingle CTE; reference = distinct even-doc shingles;
+    // membership counted per odd doc; exact integer novelty
+    "q_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(CASE WHEN len(toks) < 3
+         |      THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks
+         |        FROM documents)),
+         |d AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 2 = 1),
+         |r AS (SELECT DISTINCT g FROM (
+         |        SELECT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0)),
+         |t AS (SELECT doc_id, count(*) AS n_grams,
+         |        SUM(CASE WHEN g IN (SELECT g FROM r)
+         |            THEN 1 ELSE 0 END) AS n_seen
+         |      FROM d GROUP BY 1)
+         |SELECT doc_id, n_grams, n_seen,
+         |  ((n_grams - n_seen) * 1000000) // n_grams AS novelty_x1e6
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH sh AS (

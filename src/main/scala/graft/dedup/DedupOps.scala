@@ -106,6 +106,44 @@ object DedupOps {
     *   near-dup at 100 TB prefer [[minhashLsh]], whose cost is bounded by
     *   design rather than by this knob.
     */
+  /** Per-document N-GRAM NOVELTY against a reference corpus — the
+    * memorization-risk / freshness metric: what fraction of a doc's
+    * distinct word n-grams has the reference never seen? (novelty 0 =
+    * fully covered, e.g. a near-copy of reference content; ≈10⁶ = all
+    * new). The decontamination cousin turned into a continuous score:
+    * decontamination asks "does a doc CONTAIN a benchmark", novelty
+    * asks "how much of this doc is NEW relative to the last snapshot /
+    * an earlier crawl / a license-risky corpus".
+    *
+    * Output per doc: `n_grams` (distinct shingles), `n_seen` (present
+    * in the reference's shingle set), `novelty_x1e6` = exact
+    * ((n_grams − n_seen)·10⁶) div n_grams.
+    *
+    * Scale: the doc side explodes to (doc, shingle) rows — the
+    * inverted-index shape every dedup op here uses; the reference
+    * collapses to its DISTINCT shingle set once; membership is one
+    * shuffle-on-shingle LEFT SEMI join counted per doc. Nothing
+    * quadratic, nothing driver-side; shingle normalization is the
+    * shared codegen'd kernel, bit-identical to the DuckDB oracle. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val docGrams = materialized(docs.select(col(idCol).as("_id"),
+      explode(shingles(col(textCol), n)).as("_g")))
+    val refGrams = reference
+      .select(explode(shingles(col(textCol), n)).as("_g")).distinct()
+    val totals = docGrams.groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val seen = docGrams.join(refGrams, Seq("_g"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_seen"))
+    totals.join(seen, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        graft.ops.Fixed.ldiv(
+          (col("n_grams") - coalesce(col("n_seen"), lit(0L)))
+            * lit(1000000L),
+          col("n_grams")).as("novelty_x1e6"))
+  }
+
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.2,
       maxPrefixFreq: Int = 1000): DataFrame = {

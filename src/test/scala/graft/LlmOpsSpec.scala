@@ -408,6 +408,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(nullKept == 1) // floor(0.3*(2-1))+1 = 1
   }
 
+  test("ngramNovelty: hand-computed coverage fractions; copies score 0, " +
+      "disjoint docs score 1e6; reference duplicates don't inflate") {
+    val ref = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // exact copy: novelty 0
+      (2L, "omega psi chi phi"),        // fully novel
+      (3L, "alpha beta gamma omega")    // trigrams: "a b g" seen,
+                                        // "b g o" new -> 1/2 novel
+    ).toDF("doc_id", "text")
+    val r = graft.dedup.DedupOps.ngramNovelty(docs, ref, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r(1L) === (2L, 2L, 0L))
+    assert(r(2L) === (2L, 0L, 1000000L))
+    assert(r(3L) === (2L, 1L, 500000L))
+  }
+
   test("jaccardPairs maxPrefixFreq: hot-shingle cap keeps high-sim pairs") {
     val exact = DedupOps.jaccardPairs(docs001, "doc_id", "text",
       n = 3, threshold = 0.8, maxPrefixFreq = Int.MaxValue)
