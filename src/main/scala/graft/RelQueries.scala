@@ -706,6 +706,19 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: approximate heavy hitters (frequent-items sketch) — top
+    //    users per event type from KB-sized mergeable sketch rows,
+    //    declared at the exactness-forcing configuration (map size ≥
+    //    distinct items ⇒ no eviction ⇒ estimates and bounds all equal
+    //    the true counts — the sketch-family promotion pattern)
+    "q_freq_topk" -> ((s, dir) => {
+      val table = graft.analytics.FrequentItems.sketchTable(
+        t(s, dir, "events"), "user_id", Seq("event_type"),
+        maxMapSize = 32768)
+      graft.analytics.FrequentItems.topK(table, "event_type", k = 10)
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
     // -- [EXT]: the STATEFUL streaming funnel on the declared surface —
     //    a real flatMapGroupsWithState writeStream execution over the
     //    events file stream (AvailableNow), per-user write-once frontier
@@ -1208,6 +1221,20 @@ object RelQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // exact-config frequent-items: estimates == true counts, bounds
+    // collapse onto the estimate; rank ties break on the item STRING
+    "q_freq_topk" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+        |         count(*) AS est
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, item, est, row_number() OVER (
+        |        PARTITION BY event_type ORDER BY est DESC, item) AS rank
+        |      FROM c)
+        |SELECT event_type, rank, item, est, est AS lb, est AS ub
+        |FROM r WHERE rank <= 10
+        |ORDER BY event_type, rank""".stripMargin,
 
     // the streamed funnel's final state == the batch min-ts cascade,
     // restricted to users who entered the funnel (a progress row exists

@@ -329,6 +329,66 @@ class SketchSpec extends AnyFunSuite {
     assert(got == want, s"$got != $want")
   }
 
+  test("frequent-items sketch: exact config equals true counts with " +
+      "collapsed bounds; deterministic rank ties") {
+    import graft.analytics.FrequentItems
+    // zipf-ish: item i appears (40 - i) times, plus ties at the tail
+    val df = (1 to 40).flatMap(i => Seq.fill(41 - i)(s"it${"%02d".format(i)}"))
+      .map(("g", _)).toDF("g", "item")
+    val table = FrequentItems.sketchTable(df, "item", Seq("g"),
+      maxMapSize = 1024)
+    val top = FrequentItems.topK(table, "g", k = 5)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(top.toSeq === Seq(
+      (1, "it01", 40L, 40L, 40L), (2, "it02", 39L, 39L, 39L),
+      (3, "it03", 38L, 38L, 38L), (4, "it04", 37L, 37L, 37L),
+      (5, "it05", 36L, 36L, 36L)))
+  }
+
+  test("frequent-items sketch: bounded-memory mode never misses a true " +
+      "heavy hitter (NO_FALSE_NEGATIVES) and bounds bracket truth") {
+    import graft.analytics.FrequentItems
+    // 4 hot items (1000 each) in a sea of 2000 singletons; tiny map
+    val hot = (1 to 4).flatMap(i => Seq.fill(1000)(s"hot$i"))
+    val noise = (1 to 2000).map(i => s"n$i")
+    val df = (hot ++ noise).map(("g", _)).toDF("g", "item")
+      .repartition(8)
+    val table = FrequentItems.sketchTable(df, "item", Seq("g"),
+      maxMapSize = 64)
+    val top = FrequentItems.topK(table, "g", k = 10)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    val names = top.map(_._1).toSet
+    assert((1 to 4).forall(i => names.contains(s"hot$i")),
+      s"lost a heavy hitter in $names")
+    top.filter(_._1.startsWith("hot")).foreach { case (n, est, lb, ub) =>
+      assert(lb <= 1000L && 1000L <= ub, s"$n bounds [$lb,$ub] miss truth")
+      assert(est >= 1000L, s"$n underestimated past its guarantee: $est")
+    }
+  }
+
+  test("frequent-items sketch table: parquet round-trip + rollup union " +
+      "== direct sketch in exact mode") {
+    import graft.analytics.FrequentItems
+    val df = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c"))
+      .zipWithIndex.map { case (it, i) => (s"s${i % 3}", it) }
+      .toDF("g", "item")
+    val dir = java.nio.file.Files.createTempDirectory("freqsk")
+      .resolve("t").toString
+    FrequentItems.sketchTable(df, "item", Seq("g"), maxMapSize = 256)
+      .write.parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    // roll the 3 strata up to a grand total via the union aggregator
+    val union = loaded.groupBy()
+      .agg(udaf(new graft.analytics.FreqUnionAggregator(256))
+        .apply(col("freq_sketch")).as("freq_sketch"))
+      .withColumn("g", lit("all"))
+    val rolled = FrequentItems.topK(union, "g", k = 3)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(rolled === Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
+  }
+
   test("approx_percentile: returned value sits within the rank-error band") {
     val li = analytics.Tables(spark, dir, "lineitem")
     val approx = li.groupBy(col("l_returnflag"))
