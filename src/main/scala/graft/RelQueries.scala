@@ -706,6 +706,16 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: A/B experiment readout — two-proportion z-test on
+    //    user-level purchase conversion, variants split by user_id
+    //    parity; exact integer counts, doubles only in the final fixed
+    //    op sequence
+    "q_ab_test" -> ((s, dir) => {
+      graft.analytics.Experiment.abTest(t(s, dir, "events"),
+        "user_id", col("user_id") % 2 === 1,
+        col("event_type") === "purchase")
+    }),
+
     // -- [EXT]: approximate heavy hitters (frequent-items sketch) — top
     //    users per event type from KB-sized mergeable sketch rows,
     //    declared at the exactness-forcing configuration (map size ≥
@@ -1221,6 +1231,41 @@ object RelQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // pooled two-proportion z; the CASE mirrors the zero-variance guard
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 = 1 AS b,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT b, count(*) AS n, sum(c) AS conv FROM u GROUP BY 1),
+        |w AS (SELECT
+        |        (SELECT n FROM v WHERE NOT b) AS n_a,
+        |        (SELECT n FROM v WHERE b) AS n_b,
+        |        (SELECT conv FROM v WHERE NOT b) AS conv_a,
+        |        (SELECT conv FROM v WHERE b) AS conv_b),
+        |m AS (SELECT *,
+        |        CAST(conv_a + conv_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE) AS p,
+        |        sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |               / CAST(n_a + n_b AS DOUBLE))
+        |             * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                 / CAST(n_a + n_b AS DOUBLE))
+        |             * (1.0 / CAST(n_a AS DOUBLE)
+        |                + 1.0 / CAST(n_b AS DOUBLE))) AS se
+        |      FROM w)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  round(CASE WHEN se > 0.0 THEN
+        |      (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / se
+        |    ELSE 0.0 END, 6) AS z_score,
+        |  abs(round(CASE WHEN se > 0.0 THEN
+        |      (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / se
+        |    ELSE 0.0 END, 6)) >= 1.96 AS significant
+        |FROM m""".stripMargin,
 
     // exact-config frequent-items: estimates == true counts, bounds
     // collapse onto the estimate; rank ties break on the item STRING

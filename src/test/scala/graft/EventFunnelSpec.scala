@@ -182,4 +182,34 @@ class EventFunnelSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       EventFunnel.retention(df, "user_id", "ts_us", periodUs = 0L))
   }
+
+  test("abTest: hand-computed pooled z, per-user dedup, zero-variance " +
+      "guard, significance flag") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // A: users 2,4,6,8 (conv: 2) — B: users 1,3,5,7,9 (conv: 1,3,5,7)
+    // user 2 converts TWICE: must count once
+    val ev = Seq(
+      (2L, "purchase"), (2L, "purchase"), (4L, "view"), (6L, "view"),
+      (8L, "view"),
+      (1L, "purchase"), (3L, "purchase"), (5L, "purchase"),
+      (7L, "purchase"), (9L, "view")).toDF("user_id", "event_type")
+    val r = Experiment.abTest(ev, "user_id", col("user_id") % 2 === 1,
+      col("event_type") === "purchase").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((4L, 5L, 1L, 4L)))
+    // pooled p = 5/9; se = sqrt(p(1-p)(1/4+1/5)); z = (0.8-0.25)/se
+    val p = 5.0 / 9.0
+    val se = math.sqrt(p * (1 - p) * (1.0 / 4 + 1.0 / 5))
+    val z = BigDecimal((4.0 / 5 - 1.0 / 4) / se)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) === z)
+    assert(r.getBoolean(7) === (math.abs(z) >= 1.96))
+    // all-convert on both sides: pooled variance 0 → z defined as 0
+    val flat = Seq((1L, "purchase"), (2L, "purchase")).toDF(
+      "user_id", "event_type")
+    val r0 = Experiment.abTest(flat, "user_id", col("user_id") % 2 === 1,
+      col("event_type") === "purchase").head
+    assert(r0.getDouble(6) === 0.0 && !r0.getBoolean(7))
+  }
 }
