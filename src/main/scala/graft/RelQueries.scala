@@ -706,6 +706,15 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: event transition matrix (the Markov/sankey backend) —
+    //    consecutive-pair counts within user timelines + exact ×10⁶
+    //    conditional probabilities P(to | from)
+    "q_event_transitions" -> ((s, dir) => {
+      EventFunnel.transitions(events(s, dir), "user_id", "event_type",
+          "ts_us", orderCol = "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // -- [EXT]: A/B experiment readout — two-proportion z-test on
     //    user-level purchase conversion, variants split by user_id
     //    parity; exact integer counts, doubles only in the final fixed
@@ -1231,6 +1240,22 @@ object RelQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // consecutive pairs via lead over (ts, event_id); integer floor
+    // probabilities
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type AS from_type, epoch_us(ts) AS t,
+        |    event_id,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |p AS (SELECT from_type, to_type, count(*) AS n FROM o
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type AS ff, sum(n) AS ft FROM p GROUP BY 1)
+        |SELECT from_type, to_type, n, (n * 1000000) // ft AS p_x1e6
+        |FROM p JOIN f ON from_type = ff
+        |ORDER BY from_type, to_type""".stripMargin,
 
     // pooled two-proportion z; the CASE mirrors the zero-variance guard
     "q_ab_test" ->

@@ -171,6 +171,34 @@ object EventFunnel {
     * WindowGroupLimit caps what the exchange carries), a per-user
     * collect bounded by `maxEvents` rows, then a map-side-combined count
     * on the path string. No unbounded per-user state. */
+  /** Event TRANSITION MATRIX — the Markov-chain / sankey backend of
+    * sequence analytics: for every ordered (from → to) pair of
+    * consecutive events within a user's timeline, the transition count
+    * and probability P(to | from) = n(from,to) / Σ_to' n(from,to') in
+    * exact ×10⁶ fixed point. The per-user ordering ties break on
+    * `orderCol` (a unique event id) so consecutive-pair formation is
+    * deterministic; transitions never cross users. One per-user window
+    * pass (lead) + one (from, to) hash aggregate + a ≤|event types|-row
+    * broadcast of the per-from totals. */
+  def transitions(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+    val pairs = events
+      .select(col(userCol).as("_u"), col(typeCol).as("from_type"),
+        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = broadcast(pairs.groupBy(col("from_type").as("_f"))
+      .agg(sum(col("n")).as("_ft")))
+    pairs.join(fromTotals, col("from_type") === col("_f"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.ops.Fixed.ldiv(col("n") * lit(1000000L), col("_ft"))
+          .as("p_x1e6"))
+  }
+
   def eventPaths(events: DataFrame, userCol: String, typeCol: String,
       tsUsCol: String, maxEvents: Int, orderCol: String = "event_id")
       : DataFrame = {

@@ -183,6 +183,33 @@ class EventFunnelSpec extends AnyFunSuite {
       EventFunnel.retention(df, "user_id", "ts_us", periodUs = 0L))
   }
 
+  test("transitions: hand-computed pair counts and conditional probs; " +
+      "no cross-user pairs; per-from rows sum to 1e6-ish") {
+    import spark.implicits._
+    // u1: A B A C ; u2: B A  — pairs: AB, BA, AC (u1), BA (u2)
+    val ev = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L),
+      (1L, "C", 40L, 4L),
+      (2L, "B", 10L, 5L), (2L, "A", 20L, 6L)).toDF(
+      "user_id", "event_type", "ts_us", "event_id")
+    val t = EventFunnel.transitions(ev, "user_id", "event_type",
+        "ts_us", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(t === Map(
+      ("A", "B") -> (1L, 500000L), ("A", "C") -> (1L, 500000L),
+      ("B", "A") -> (2L, 1000000L)))
+    // the boundary pair (u1's C -> u2's B) must NOT exist
+    assert(!t.contains(("C", "B")))
+    // same-timestamp ordering falls back to the unique event id
+    val tie = Seq((1L, "X", 5L, 1L), (1L, "Y", 5L, 2L)).toDF(
+      "user_id", "event_type", "ts_us", "event_id")
+    val tt = EventFunnel.transitions(tie, "user_id", "event_type",
+      "ts_us", "event_id").collect()
+    assert(tt.length === 1 && tt.head.getString(0) === "X"
+      && tt.head.getString(1) === "Y")
+  }
+
   test("abTest: hand-computed pooled z, per-user dedup, zero-variance " +
       "guard, significance flag") {
     import graft.analytics.Experiment
