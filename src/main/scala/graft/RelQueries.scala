@@ -706,6 +706,23 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: funnel completion-latency percentiles — exact p50/p90/p99
+    //    of signup→purchase time among completing users (the SLA numbers
+    //    next to the funnel's reach counts), on the skew-safe exact
+    //    percentile machinery
+    "q_funnel_latency" -> ((s, dir) => {
+      val completed = EventFunnel.funnel(events(s, dir), "user_id",
+          "event_type", "ts_us",
+          steps = Seq("signup", "view", "purchase"),
+          windowUs = 3L * 86400000000L)
+        .filter(col("step_reached") === 3)
+        .select(lit("all").as("cohort"),
+          (col("t3_us") - col("t1_us")).as("latency_us"))
+      graft.ops.Percentiles.exactPercentiles(completed, Seq("cohort"),
+          "latency_us", Seq(0.5, 0.9, 0.99))
+        .orderBy(col("p"))
+    }),
+
     // -- [EXT]: event transition matrix (the Markov/sankey backend) —
     //    consecutive-pair counts within user timelines + exact ×10⁶
     //    conditional probabilities P(to | from)
@@ -1240,6 +1257,43 @@ object RelQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // the q_funnel cascade restricted to completers, then the exact
+    // percentile_cont machinery over the single 'all' cohort
+    "q_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |s1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t2_us
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND ts_us > t1_us
+        |         AND ts_us - t1_us <= 259200000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(ts_us) AS t3_us
+        |       FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND ts_us > t2_us
+        |         AND ts_us - t1_us <= 259200000000 GROUP BY 1),
+        |r AS (SELECT (t3_us - t1_us) AS v,
+        |        row_number() OVER (ORDER BY t3_us - t1_us) AS rk,
+        |        count(*) OVER () AS n
+        |      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)),
+        |ps AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE])
+        |  AS p),
+        |need AS (SELECT p,
+        |    CAST(floor(p * (n - 1)::DOUBLE) AS BIGINT) + 1 AS lo,
+        |    CAST(ceil(p * (n - 1)::DOUBLE) AS BIGINT) + 1 AS hi,
+        |    p * (n - 1)::DOUBLE - floor(p * (n - 1)::DOUBLE) AS frac
+        |  FROM (SELECT DISTINCT n FROM r) CROSS JOIN ps)
+        |SELECT 'all' AS cohort, need.p,
+        |  max(CASE WHEN r.rk = need.lo THEN r.v END)
+        |    + (coalesce(max(CASE WHEN r.rk = need.hi THEN r.v END),
+        |        max(CASE WHEN r.rk = need.lo THEN r.v END))
+        |      - max(CASE WHEN r.rk = need.lo THEN r.v END)) * max(need.frac)
+        |    AS value
+        |FROM need JOIN r ON r.rk IN (need.lo, need.hi)
+        |GROUP BY need.p
+        |ORDER BY need.p""".stripMargin,
 
     // consecutive pairs via lead over (ts, event_id); integer floor
     // probabilities
