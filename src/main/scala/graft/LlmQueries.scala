@@ -93,7 +93,6 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // -- [EXT]: n-gram Jaccard near-dup pairs (exact inverted-index join)
     // -- [EXT]: n-gram novelty vs a reference snapshot (even docs) —
     //    the memorization-risk / freshness score: fraction of each odd
     //    doc's distinct trigrams the reference never saw, exact ×10⁶
@@ -104,6 +103,7 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: n-gram Jaccard near-dup pairs (exact inverted-index join)
     "q_ngram_jaccard" -> ((s, dir) => {
       DedupOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxPrefixFreq = Int.MaxValue)

@@ -744,9 +744,11 @@ object RelQueries {
 
     // -- [EXT]: approximate heavy hitters (frequent-items sketch) — top
     //    users per event type from KB-sized mergeable sketch rows,
-    //    declared at the exactness-forcing configuration (map size ≥
-    //    distinct items ⇒ no eviction ⇒ estimates and bounds all equal
-    //    the true counts — the sketch-family promotion pattern)
+    //    declared at the exactness-forcing configuration (distinct
+    //    items ≤ 0.75·maxMapSize, the map's purge threshold ⇒ no
+    //    eviction ⇒ estimates and bounds all equal the true counts —
+    //    the sketch-family promotion pattern; 32768·0.75 = 24576 covers
+    //    the ≤15k distinct users at every declared scale)
     "q_freq_topk" -> ((s, dir) => {
       val table = graft.analytics.FrequentItems.sketchTable(
         t(s, dir, "events"), "user_id", Seq("event_type"),
@@ -1311,18 +1313,21 @@ object RelQueries {
         |FROM p JOIN f ON from_type = ff
         |ORDER BY from_type, to_type""".stripMargin,
 
-    // pooled two-proportion z; the CASE mirrors the zero-variance guard
+    // pooled two-proportion z via ONE conditional aggregation (the same
+    // always-one-row shape as the operator: an all-one-variant log
+    // yields zero counts + NULL rate/z, never an empty result); the
+    // CASEs mirror the empty-variant and zero-variance guards
     "q_ab_test" ->
       """WITH u AS (
         |  SELECT user_id, user_id % 2 = 1 AS b,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
         |  FROM events GROUP BY 1, 2),
-        |v AS (SELECT b, count(*) AS n, sum(c) AS conv FROM u GROUP BY 1),
         |w AS (SELECT
-        |        (SELECT n FROM v WHERE NOT b) AS n_a,
-        |        (SELECT n FROM v WHERE b) AS n_b,
-        |        (SELECT conv FROM v WHERE NOT b) AS conv_a,
-        |        (SELECT conv FROM v WHERE b) AS conv_b),
+        |        COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0) AS n_a,
+        |        COALESCE(SUM(CASE WHEN b THEN 1 END), 0) AS n_b,
+        |        COALESCE(SUM(CASE WHEN NOT b THEN c END), 0) AS conv_a,
+        |        COALESCE(SUM(CASE WHEN b THEN c END), 0) AS conv_b
+        |      FROM u),
         |m AS (SELECT *,
         |        CAST(conv_a + conv_b AS DOUBLE)
         |          / CAST(n_a + n_b AS DOUBLE) AS p,
@@ -1334,16 +1339,24 @@ object RelQueries {
         |                + 1.0 / CAST(n_b AS DOUBLE))) AS se
         |      FROM w)
         |SELECT n_a, n_b, conv_a, conv_b,
-        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
-        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
-        |  round(CASE WHEN se > 0.0 THEN
-        |      (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / se
-        |    ELSE 0.0 END, 6) AS z_score,
-        |  abs(round(CASE WHEN se > 0.0 THEN
-        |      (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-        |       - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / se
-        |    ELSE 0.0 END, 6)) >= 1.96 AS significant
+        |  CASE WHEN n_a > 0 THEN
+        |    round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |  END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |  END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    round(CASE WHEN se > 0.0 THEN
+        |        (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / se
+        |      ELSE 0.0 END, 6)
+        |  END AS z_score,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    abs(round(CASE WHEN se > 0.0 THEN
+        |        (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |         - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / se
+        |      ELSE 0.0 END, 6)) >= 1.96
+        |  END AS significant
         |FROM m""".stripMargin,
 
     // exact-config frequent-items: estimates == true counts, bounds

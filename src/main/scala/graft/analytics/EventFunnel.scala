@@ -171,6 +171,26 @@ object EventFunnel {
     * WindowGroupLimit caps what the exchange carries), a per-user
     * collect bounded by `maxEvents` rows, then a map-side-combined count
     * on the path string. No unbounded per-user state. */
+  def eventPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, maxEvents: Int, orderCol: String = "event_id")
+      : DataFrame = {
+    require(maxEvents > 0, s"maxEvents must be positive, got $maxEvents")
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+    val pathCol = array_join(
+      transform(
+        array_sort(collect_list(struct(col("_ts"), col("_eid"),
+          col("_t").as("t")))),
+        e => e.getField("t")),
+      ">")
+    events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxEvents)
+      .groupBy(col("_u")).agg(pathCol.as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Event TRANSITION MATRIX — the Markov-chain / sankey backend of
     * sequence analytics: for every ordered (from → to) pair of
     * consecutive events within a user's timeline, the transition count
@@ -197,26 +217,6 @@ object EventFunnel {
       .select(col("from_type"), col("to_type"), col("n"),
         graft.ops.Fixed.ldiv(col("n") * lit(1000000L), col("_ft"))
           .as("p_x1e6"))
-  }
-
-  def eventPaths(events: DataFrame, userCol: String, typeCol: String,
-      tsUsCol: String, maxEvents: Int, orderCol: String = "event_id")
-      : DataFrame = {
-    require(maxEvents > 0, s"maxEvents must be positive, got $maxEvents")
-    val w = Window.partitionBy(col("_u"))
-      .orderBy(col("_ts").asc, col("_eid").asc)
-    val pathCol = array_join(
-      transform(
-        array_sort(collect_list(struct(col("_ts"), col("_eid"),
-          col("_t").as("t")))),
-        e => e.getField("t")),
-      ">")
-    events.select(col(userCol).as("_u"), col(typeCol).as("_t"),
-        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxEvents)
-      .groupBy(col("_u")).agg(pathCol.as("path"))
-      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
   }
 
   /** Cohort retention matrix: users cohorted by the period of their FIRST

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   */
 object Experiment {
 
-  /** Per-variant user conversion + the pairwise z-test, one output row:
-    * (`n_a`, `n_b`, `conv_a`, `conv_b`, `rate_a`, `rate_b`, `z_score`,
-    * `significant`). A USER converts if ANY of their rows satisfies
+  /** Per-variant user conversion + the pairwise z-test, ALWAYS exactly
+    * one output row — an all-one-variant log yields zero counts and
+    * NULL rate/z for the missing side rather than an empty frame.
+    * Columns: (`n_a`, `n_b`, `conv_a`, `conv_b`, `rate_a`, `rate_b`,
+    * `z_score`, `significant`). A USER converts if ANY of their rows satisfies
     * `converted` (exposure = appearing in the log at all); users are
     * deduplicated per variant, so event volume doesn't bias rates. A
     * user appearing in both variants (a bucketing bug) counts in each —
@@ -34,26 +36,37 @@ object Experiment {
     val users = events
       .groupBy(col(userCol).as("_u"), isB.as("_b"))
       .agg(max(when(converted, 1L).otherwise(0L)).as("_c"))
-    val variants = users.groupBy(col("_b"))
-      .agg(count(lit(1)).as("n"), sum(col("_c")).as("conv"))
-    val a = variants.filter(!col("_b"))
-      .select(col("n").as("n_a"), col("conv").as("conv_a"))
-    val b = variants.filter(col("_b"))
-      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    // ONE conditional aggregation to a single row (never a crossJoin of
+    // possibly-empty variant frames — an all-one-variant log must yield
+    // one explicit zero/NULL row, not silently vanish)
     val d = (c: Column) => c.cast("double")
-    a.crossJoin(b)
-      .withColumn("rate_a", round(d(col("conv_a")) / d(col("n_a")), 6))
-      .withColumn("rate_b", round(d(col("conv_b")) / d(col("n_b")), 6))
-      .withColumn("_p",
-        d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b")))
-      .withColumn("_se", sqrt(col("_p") * (lit(1.0) - col("_p"))
-        * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))))
-      .withColumn("z_score", round(
-        when(col("_se") > 0.0,
-          (d(col("conv_b")) / d(col("n_b"))
-            - d(col("conv_a")) / d(col("n_a"))) / col("_se"))
-          .otherwise(lit(0.0)), 6))
-      .withColumn("significant", abs(col("z_score")) >= 1.96)
+    users.agg(
+        coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(!col("_b"), col("_c"))), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("_b"), col("_c"))), lit(0L)).as("conv_b"))
+      .withColumn("rate_a",
+        when(col("n_a") > 0L, round(d(col("conv_a")) / d(col("n_a")), 6)))
+      .withColumn("rate_b",
+        when(col("n_b") > 0L, round(d(col("conv_b")) / d(col("n_b")), 6)))
+      // z is undefined (NULL) with an empty variant; exactly 0 when both
+      // sides exist but pooled variance is 0 (all or none convert). The
+      // pooled/se expressions live INSIDE the guard branch: ANSI mode
+      // raises DIVIDE_BY_ZERO even for doubles, and when() evaluates
+      // branches conditionally
+      .withColumn("z_score", {
+        val pool = d(col("conv_a") + col("conv_b")) /
+          d(col("n_a") + col("n_b"))
+        val se = sqrt(pool * (lit(1.0) - pool)
+          * (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+        when(col("n_a") > 0L && col("n_b") > 0L, round(
+          when(se > 0.0,
+            (d(col("conv_b")) / d(col("n_b"))
+              - d(col("conv_a")) / d(col("n_a"))) / se)
+            .otherwise(lit(0.0)), 6))
+      })
+      .withColumn("significant",
+        when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
       .select("n_a", "n_b", "conv_a", "conv_b", "rate_a", "rate_b",
         "z_score", "significant")
   }

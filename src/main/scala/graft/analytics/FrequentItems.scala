@@ -30,9 +30,12 @@ final class FreqBuffer(@transient var sketch: ItemsSketch[String])
 /** Build a frequent-items (Misra–Gries / SpaceSaving family) sketch over
   * string items. `maxMapSize` (a power of 2) bounds memory and sets the
   * error: estimates are within N · 3.5/maxMapSize of truth (one-sided —
-  * never underestimating by more than the error bound). When maxMapSize
-  * exceeds the number of distinct items nothing is ever evicted and every
-  * estimate is EXACT — the oracle-promotion configuration. Merges via
+  * never underestimating by more than the error bound). The sketch
+  * purges once active items exceed 0.75 · maxMapSize (the map's load
+  * factor), so when distinct items stay ≤ 0.75 · maxMapSize nothing is
+  * ever evicted and every estimate is EXACT — the oracle-promotion
+  * configuration. Size with that 0.75 margin, not to the raw distinct
+  * count. Merges via
   * the sketch's own `merge`, so partial aggregation is map-side combined
   * and sketch TABLES roll up without rescanning raw data. */
 class FreqAggregator(maxMapSize: Int)
@@ -59,8 +62,9 @@ class FreqUnionAggregator(maxMapSize: Int)
   override def zero: FreqBuffer =
     new FreqBuffer(new ItemsSketch[String](maxMapSize))
   override def reduce(b: FreqBuffer, v: Array[Byte]): FreqBuffer = {
-    b.sketch.merge(
-      ItemsSketch.getInstance(Memory.wrap(v), new ArrayOfStringsSerDe))
+    if (v != null) // same skip-null contract as the element aggregator
+      b.sketch.merge(
+        ItemsSketch.getInstance(Memory.wrap(v), new ArrayOfStringsSerDe))
     b
   }
   override def merge(a: FreqBuffer, b: FreqBuffer): FreqBuffer = {
@@ -103,8 +107,8 @@ object FrequentItems {
     * for engine-replayable output. `errorType` NO_FALSE_NEGATIVES
     * returns a superset of the true heavy hitters (safe for
     * "don't miss a hot key"); NO_FALSE_POSITIVES a subset. In the exact
-    * configuration (map size ≥ distinct items) both return every item
-    * with its true count. Decode cost is sketch-table-sized — KBs per
+    * configuration (distinct items ≤ 0.75 · maxMapSize) both return
+    * every item with its true count. Decode cost is sketch-table-sized — KBs per
     * stratum — through one flatMap + one WindowGroupLimit rank. */
   def topK(sketchTable: DataFrame, strataCol: String, k: Int,
       errorType: ErrorType = ErrorType.NO_FALSE_NEGATIVES): DataFrame = {

@@ -50,13 +50,19 @@ object Profiler {
         case _: NumericType => Some(c.cast("decimal(38,6)"))
         case _ => None
       }
-      // MapType is not orderable/hashable for distinct aggregation —
-      // a schema-generic profiler must skip, not crash, on such columns
-      val distinct = f.dataType match {
-        case _: MapType => lit(null).cast("long")
-        case _ if exactDistinct => count_distinct(c)
-        case _ => approx_count_distinct(c)
+      // Map types are not orderable/hashable for distinct aggregation —
+      // even NESTED inside arrays/structs — so a schema-generic profiler
+      // must skip them (null n_distinct), not crash the publish
+      def hasMap(dt: DataType): Boolean = dt match {
+        case _: MapType => true
+        case ArrayType(et, _) => hasMap(et)
+        case StructType(fs) => fs.exists(x => hasMap(x.dataType))
+        case _ => false
       }
+      val distinct =
+        if (hasMap(f.dataType)) lit(null).cast("long")
+        else if (exactDistinct) count_distinct(c)
+        else approx_count_distinct(c)
       Seq(
         "n_nulls" -> sum(when(c.isNull, 1L).otherwise(0L)),
         "n_distinct" -> distinct,

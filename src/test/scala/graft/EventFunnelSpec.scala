@@ -238,5 +238,15 @@ class EventFunnelSpec extends AnyFunSuite {
     val r0 = Experiment.abTest(flat, "user_id", col("user_id") % 2 === 1,
       col("event_type") === "purchase").head
     assert(r0.getDouble(6) === 0.0 && !r0.getBoolean(7))
+    // an all-one-variant log yields ONE explicit row (zero counts +
+    // NULL rate/z for the missing side), never an empty frame
+    val solo = Seq((2L, "purchase"), (4L, "view")).toDF(
+      "user_id", "event_type")
+    val rs = Experiment.abTest(solo, "user_id", col("user_id") % 2 === 1,
+      col("event_type") === "purchase").collect()
+    assert(rs.length === 1)
+    assert(rs.head.getLong(0) === 2L && rs.head.getLong(1) === 0L)
+    assert(!rs.head.isNullAt(4) && rs.head.isNullAt(5))
+    assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
 }

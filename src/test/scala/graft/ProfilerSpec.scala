@@ -196,12 +196,15 @@ class ProfilerSpec extends AnyFunSuite {
     assert((1 to 5).map(r.getLong(_)).forall(_ === 0L))
   }
 
-  test("profile: map-typed columns are skipped for distincts, not fatal") {
-    val df = Seq((1L, Map("a" -> 1)), (2L, Map("b" -> 2)))
-      .toDF("id", "m")
+  test("profile: map-typed columns — including maps NESTED in arrays — " +
+      "are skipped for distincts, not fatal") {
+    val df = Seq((1L, Map("a" -> 1), Seq(Map("x" -> 1))),
+      (2L, Map("b" -> 2), Seq(Map("y" -> 2))))
+      .toDF("id", "m", "am")
     val rows = Profiler.profile(df, exactDistinct = true)
       .collect().map(r => r.getString(0) -> r).toMap
     assert(rows("m").isNullAt(4)) // n_distinct undefined for maps
+    assert(rows("am").isNullAt(4)) // array<map> would crash un-guarded
     assert(rows("m").getLong(3) === 0L) // nulls still counted
     assert(rows("id").getLong(4) === 2L) // other columns unaffected
   }
