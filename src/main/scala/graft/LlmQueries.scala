@@ -798,6 +798,16 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // -- [EXT]: mutual information between source and lang — the
+    //    feature-redundancy diagnostic; per-cell exact counts, rational
+    //    probabilities, ln only at the rounded last step (Σ mi_term =
+    //    the MI in nats)
+    "q_mutual_info" -> ((s, dir) => {
+      graft.analytics.Profiler.mutualInformation(
+          t(s, dir, "documents"), "source", "lang")
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // -- [EXT]: PSI distribution drift between two corpus snapshots
     //    (here: even vs odd doc ids) on the lang column — Laplace-
     //    smoothed integer rates, psi_term doubles only at the last step
@@ -1234,6 +1244,23 @@ object LlmQueries {
         |          / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE)), 6)
         |  END AS cos_shift
         |FROM g ORDER BY label""".stripMargin,
+
+    // per-cell MI terms from rational probabilities (the PSI pattern)
+    "q_mutual_info" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_xy FROM documents
+        |  GROUP BY 1, 2),
+        |xm AS (SELECT source, sum(n_xy) AS n_x FROM c GROUP BY 1),
+        |ym AS (SELECT lang, sum(n_xy) AS n_y FROM c GROUP BY 1),
+        |t AS (SELECT sum(n_xy) AS n FROM c)
+        |SELECT c.source, c.lang, n_xy, n_x, n_y,
+        |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * ln((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / ((CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+        |             * (CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+        |    AS mi_term
+        |FROM c JOIN xm USING (source) JOIN ym USING (lang) CROSS JOIN t
+        |ORDER BY c.source, c.lang""".stripMargin,
 
     // PSI drift: Laplace-smoothed rates (n+1)/(N+K) as exact integer
     // micro-units; the ln enters only at the rounded last step

@@ -187,6 +187,44 @@ object Profiler {
         col("orphan_rows"), col("orphan_distinct"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-selection / redundancy diagnostic ("does `source` tell me
+    * anything about `lang`?"): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    * 0 ⇔ independent, min(H(X),H(Y)) at full dependence. One row per
+    * observed (x, y) cell with exact counts and the cell's `mi_term`
+    * (Σ over rows = the MI, in nats, rounded at 6); NULLs are real
+    * categories.
+    *
+    * Portability is the PSI pattern: probabilities are the exact
+    * rationals n/N evaluated as single correctly-rounded double
+    * divisions from exact integers (never floored fixed-point — a rare
+    * cell must not hit ln(0)), so the only libm surface is one ln.
+    *
+    * Shape: ONE (x, y) hash aggregate over the data; the margins
+    * derive from the cell table (≤ |X|·|Y| rows) by two tiny
+    * re-aggregations joined back broadcast. */
+  def mutualInformation(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val xm = broadcast(cells.groupBy(col("_x").as("_mx"))
+      .agg(sum(col("n_xy")).as("n_x")))
+    val ym = broadcast(cells.groupBy(col("_y").as("_my"))
+      .agg(sum(col("n_xy")).as("n_y")))
+    val tot = broadcast(cells.agg(sum(col("n_xy")).as("_n")))
+    cells
+      .join(xm, col("_x") <=> col("_mx"))
+      .join(ym, col("_y") <=> col("_my"))
+      .crossJoin(tot)
+      .withColumn("_pxy", col("n_xy").cast("double") / col("_n").cast("double"))
+      .withColumn("_px", col("n_x").cast("double") / col("_n").cast("double"))
+      .withColumn("_py", col("n_y").cast("double") / col("_n").cast("double"))
+      .withColumn("mi_term", round(
+        col("_pxy") * log(col("_pxy") / (col("_px") * col("_py"))), 6))
+      .select(col("_x").as(xCol), col("_y").as(yCol),
+        col("n_xy"), col("n_x"), col("n_y"), col("mi_term"))
+  }
+
   /** Categorical distribution drift between two snapshots — the PSI
     * (population stability index) report that decides "did the source
     * mix / language mix / label mix move?". One row per category over

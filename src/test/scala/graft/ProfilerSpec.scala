@@ -209,6 +209,42 @@ class ProfilerSpec extends AnyFunSuite {
     assert(rows("id").getLong(4) === 2L) // other columns unaffected
   }
 
+  test("mutualInformation: zero for independent columns, ln(2) for a " +
+      "deterministic bijection, NULL cells are real bins") {
+    // independent: every (x, y) combination equally likely → MI 0
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val miInd = graft.analytics.Profiler.mutualInformation(ind, "x", "y")
+      .agg(sum("mi_term")).head.getDouble(0)
+    assert(math.abs(miInd) < 1e-9, s"independent MI must be 0, got $miInd")
+
+    // bijection over 2 uniform values: MI = H = ln 2
+    val bij = Seq.fill(10)(("a", "p")) ++ Seq.fill(10)(("b", "q"))
+    val miBij = graft.analytics.Profiler
+      .mutualInformation(bij.toDF("x", "y"), "x", "y")
+      .agg(sum("mi_term")).head.getDouble(0)
+    assert(math.abs(miBij - math.log(2)) < 1e-5, s"got $miBij")
+
+    // hand-computed asymmetric cell: n=(aa:3, ab:1, bb:4) N=8
+    val h = Seq(("a", "A"), ("a", "A"), ("a", "A"), ("a", "B"),
+      ("b", "B"), ("b", "B"), ("b", "B"), ("b", "B")).toDF("x", "y")
+    val cells = graft.analytics.Profiler.mutualInformation(h, "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(cells(("a", "A"))._1 === 3L && cells(("a", "A"))._2 === 4L
+      && cells(("a", "A"))._3 === 3L)
+    val expect = BigDecimal(3.0 / 8 * math.log((3.0 / 8)
+      / ((4.0 / 8) * (3.0 / 8))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(cells(("a", "A"))._4 === expect)
+
+    // NULL category is a bin, not dropped
+    val withNull = Seq((Some("a"), Some("A")), (None, Some("A")))
+      .toDF("x", "y")
+    assert(graft.analytics.Profiler
+      .mutualInformation(withNull, "x", "y").count() === 2L)
+  }
+
   test("categoricalDrift: NULL category participates as a real bin") {
     val a = Seq(Some("x"), None, None).toDF("c")
     val b = Seq(Some("x"), Some("x"), None).toDF("c")
