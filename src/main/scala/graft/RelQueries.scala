@@ -732,6 +732,15 @@ object RelQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // -- [EXT]: pairwise Pearson correlation matrix over the lineitem
+    //    measures — one-scan power sums (decimal-exact), long-form
+    //    pairs, doubles only in the rounded final formula
+    "q_corr_matrix" -> ((s, dir) => {
+      graft.analytics.Profiler.correlationMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // -- [EXT]: A/B experiment readout — two-proportion z-test on
     //    user-level purchase conversion, variants split by user_id
     //    parity; exact integer counts, doubles only in the final fixed
@@ -1312,6 +1321,34 @@ object RelQueries {
         |SELECT from_type, to_type, n, (n * 1000000) // ft AS p_x1e6
         |FROM p JOIN f ON from_type = ff
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // the q_stats_agg formula per pair, pairwise-complete (products in
+    // double, then the decimal(38,6) per-row cast — both engines agree)
+    "q_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val branches = for {
+        i <- cs.indices; j <- (i + 1) until cs.size
+      } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""SELECT * FROM (
+           |  WITH g AS (
+           |    SELECT count(*)::DOUBLE AS n,
+           |      SUM(CAST($a AS DECIMAL(38,6)))::DOUBLE AS sx,
+           |      SUM(CAST($b AS DECIMAL(38,6)))::DOUBLE AS sy,
+           |      SUM(CAST($a * $a AS DECIMAL(38,6)))::DOUBLE AS sxx,
+           |      SUM(CAST($b * $b AS DECIMAL(38,6)))::DOUBLE AS syy,
+           |      SUM(CAST($a * $b AS DECIMAL(38,6)))::DOUBLE AS sxy
+           |    FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL)
+           |  SELECT '$a' AS col_a, '$b' AS col_b, n::BIGINT AS n,
+           |    CASE WHEN n * sxx - sx * sx > 0.0
+           |          AND n * syy - sy * sy > 0.0
+           |    THEN round((n * sxy - sx * sy)
+           |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           |    END AS corr
+           |  FROM g)""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+    },
 
     // pooled two-proportion z via ONE conditional aggregation (the same
     // always-one-row shape as the operator: an all-one-variant log

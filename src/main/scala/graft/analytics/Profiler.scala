@@ -187,6 +187,64 @@ object Profiler {
         col("orphan_rows"), col("orphan_distinct"))
   }
 
+  /** Pairwise Pearson CORRELATION MATRIX over numeric columns — the
+    * EDA pass next to [[profile]]: which measures move together
+    * (feature redundancy, sanity checks before modeling). Long-form
+    * output (`col_a`, `col_b`, `n`, `corr`), one row per unordered
+    * pair, pairwise-complete (each pair drops only rows where EITHER
+    * of ITS columns is null — the standard EDA convention, so a sparse
+    * column doesn't erase the others' sample).
+    *
+    * Exactness is the q_stats_agg pattern: per-row double products
+    * decimal(38,6)-cast, decimal-exact power sums (order-independent),
+    * doubles only
+    * in the final correlation formula rounded at 6. Zero-variance
+    * pairs yield NULL corr.
+    *
+    * Shape: ONE wide aggregate computes every pair's six power sums in
+    * a single scan (k·(k−1)/2 · 6 aggregate expressions — plan-size
+    * cost only), then a literal unpivot. Keep `cols` to the handful of
+    * measures under study; 20 columns = 190 pairs ≈ 1 140 agg
+    * expressions, about the practical plan-size ceiling. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs >= 2 columns")
+    require(cols.distinct.size == cols.size, s"duplicate column in $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // products in DOUBLE first, then the per-row decimal(38,6) cast —
+    // the q_stats_agg convention both engines reproduce exactly
+    // (decimal×decimal would overflow DuckDB's multiply width)
+    def dec(c: Column) = c.cast("decimal(38,6)")
+    def tag(a: String, b: String, m: String) = s"_cm_${a}_${b}_$m"
+    val aggs = pairs.flatMap { case (a, b) =>
+      val (x, y) = (col(s"`$a`"), col(s"`$b`"))
+      val both = x.isNotNull && y.isNotNull
+      def s(e: Column, m: String) =
+        sum(when(both, e)).as(tag(a, b, m))
+      Seq(
+        count(when(both, lit(1))).as(tag(a, b, "n")),
+        s(dec(x), "sx"), s(dec(y), "sy"),
+        s(dec(x * x), "sxx"), s(dec(y * y), "syy"),
+        s(dec(x * y), "sxy"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = pairs.map { case (a, b) =>
+      def g(m: String) = col(s"`${tag(a, b, m)}`")
+      def d(m: String) = g(m).cast("double")
+      val n = g("n").cast("double")
+      val varx = n * d("sxx") - d("sx") * d("sx")
+      val vary = n * d("syy") - d("sy") * d("sy")
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        g("n").cast("long").as("n"),
+        when(varx > 0.0 && vary > 0.0,
+          round((n * d("sxy") - d("sx") * d("sy"))
+            / (sqrt(varx) * sqrt(vary)), 6)).as("corr"))
+    }
+    wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * feature-selection / redundancy diagnostic ("does `source` tell me
     * anything about `lang`?"): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),

@@ -209,6 +209,32 @@ class ProfilerSpec extends AnyFunSuite {
     assert(rows("id").getLong(4) === 2L) // other columns unaffected
   }
 
+  test("correlationMatrix: exact +1/-1 on linear columns, ~0 on " +
+      "independents, pairwise-complete nulls, zero-variance NULL") {
+    val df = spark.range(1000).select(
+      col("id").cast("double").as("a"),
+      (col("id") * 3 + 7).cast("double").as("b"),   // corr(a,b) = 1
+      (lit(0) - col("id")).cast("double").as("c"),  // corr(a,c) = -1
+      pmod(xxhash64(col("id")), lit(1000)).cast("double").as("r"),
+      lit(5.0).as("k"),                             // zero variance
+      when(col("id") % 2 === 0, col("id").cast("double")).as("h"))
+    val m = graft.analytics.Profiler.correlationMatrix(df,
+        Seq("a", "b", "c", "r", "k", "h"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), if (x.isNullAt(3)) None else Some(x.getDouble(3))))
+      .toMap
+    assert(m(("a", "b"))._2 === Some(1.0))
+    assert(m(("a", "c"))._2 === Some(-1.0))
+    assert(math.abs(m(("a", "r"))._2.get) < 0.1) // hash ~independent
+    // constant column: zero variance → NULL, for every pair touching k
+    assert(m(("a", "k"))._2 === None && m(("k", "h"))._2 === None)
+    // pairwise-complete: h is null on odd ids, so (a,h) sees 500 rows
+    // while (a,b) keeps all 1000
+    assert(m(("a", "h"))._1 === 500L && m(("a", "b"))._1 === 1000L)
+    assert(m(("a", "h"))._2 === Some(1.0))
+    assert(m.size === 15)
+  }
+
   test("mutualInformation: zero for independent columns, ln(2) for a " +
       "deterministic bijection, NULL cells are real bins") {
     // independent: every (x, y) combination equally likely → MI 0
