@@ -732,6 +732,16 @@ object RelQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // -- [EXT]: Benford's-law first-digit screen over order amounts —
+    //    the classic fabricated-data / truncation anomaly check; digit
+    //    from the decimal string form (no float log), χ² vs the
+    //    log10(1+1/d) expectation
+    "q_benford" -> ((s, dir) => {
+      graft.analytics.Profiler.benford(t(s, dir, "orders"),
+          "o_totalprice")
+        .orderBy(col("digit"))
+    }),
+
     // -- [EXT]: pairwise Pearson correlation matrix over the lineitem
     //    measures — one-scan power sums (decimal-exact), long-form
     //    pairs, doubles only in the rounded final formula
@@ -1321,6 +1331,36 @@ object RelQueries {
         |SELECT from_type, to_type, n, (n * 1000000) // ft AS p_x1e6
         |FROM p JOIN f ON from_type = ff
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // the expectation constants are the DRIVER-computed Math.log10
+    // doubles interpolated as round-trip literals, so both engines use
+    // bit-identical expected rates (libm log10 may differ in the last
+    // ulp); digit from the decimal string form
+    "q_benford" -> {
+      val expVals = (1 to 9)
+        .map(d => s"($d, ${math.log10(1.0 + 1.0 / d)})")
+        .mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(regexp_extract(
+         |      CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+         |      '[1-9]', 0) AS INTEGER) AS digit, count(*) AS n
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+         |    AND regexp_extract(
+         |      CAST(CAST(abs(o_totalprice) AS DECIMAL(38,6)) AS VARCHAR),
+         |      '[1-9]', 0) <> ''
+         |  GROUP BY 1),
+         |t AS (SELECT sum(n) AS tn FROM c),
+         |e(digit, ex) AS (VALUES $expVals)
+         |SELECT e.digit, COALESCE(c.n, 0) AS n,
+         |  round(COALESCE(c.n, 0)::DOUBLE / tn::DOUBLE, 6) AS observed,
+         |  round(ex, 6) AS expected,
+         |  round((COALESCE(c.n, 0)::DOUBLE - ex * tn::DOUBLE)
+         |        * (COALESCE(c.n, 0)::DOUBLE - ex * tn::DOUBLE)
+         |        / (ex * tn::DOUBLE), 6) AS chi2_term
+         |FROM e LEFT JOIN c USING (digit) CROSS JOIN t
+         |ORDER BY e.digit""".stripMargin
+    },
 
     // the q_stats_agg formula per pair, pairwise-complete (products in
     // double, then the decimal(38,6) per-row cast — both engines agree)

@@ -245,6 +245,50 @@ object Profiler {
     wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
   }
 
+  /** BENFORD'S-LAW first-digit analysis — the classic anomaly/fraud
+    * screen for naturally-occurring positive measures (amounts, sizes,
+    * populations): organically generated magnitudes have first digit d
+    * with probability log₁₀(1+1/d); fabricated or truncated data
+    * doesn't. One row per digit 1-9 with the observed count, the
+    * observed and expected rates, and the digit's χ² contribution
+    * (Σ over rows = the test statistic; vs χ²₈, ≈15.5 at p=.05).
+    *
+    * Rows with NULL, zero, or non-finite values are excluded (they have
+    * no first significant digit); negatives contribute their magnitude.
+    * The first digit comes from the DECIMAL STRING form of the
+    * magnitude (regexp for the first 1-9), not float log arithmetic —
+    * exact for every representable value. Doubles appear only in the
+    * final rate/χ² arithmetic from exact integers and the log₁₀
+    * constants, rounded at 6. One digit-keyed aggregate (9 groups) +
+    * a broadcast total. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = regexp_extract(
+      abs(col(valueCol)).cast("decimal(38,6)").cast("string"),
+      "[1-9]", 0)
+    val counts = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) > 0)
+      .select(digit.as("_d"))
+      .filter(col("_d") =!= "")
+      .groupBy(col("_d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("_n")))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = broadcast((1 to 9).map(d =>
+      (d, math.log10(1.0 + 1.0 / d))).toDF("digit", "_exp"))
+    expected.join(counts, Seq("digit"), "left").crossJoin(tot)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("observed", round(
+        col("n").cast("double") / col("_n").cast("double"), 6))
+      .withColumn("expected", round(col("_exp"), 6))
+      .withColumn("chi2_term", round({
+        val e = col("_exp") * col("_n").cast("double")
+        (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+      }, 6))
+      .select(col("digit"), col("n"), col("observed"), col("expected"),
+        col("chi2_term"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * feature-selection / redundancy diagnostic ("does `source` tell me
     * anything about `lang`?"): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),

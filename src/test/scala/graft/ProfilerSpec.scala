@@ -235,6 +235,35 @@ class ProfilerSpec extends AnyFunSuite {
     assert(m.size === 15)
   }
 
+  test("benford: a perfect Benford sample scores chi2 ~0, uniform digits " +
+      "alarm; zero/null/negative/sub-1 handling") {
+    // counts proportional to log10(1+1/d) out of 10000
+    val benfordish = (1 to 9).flatMap { d =>
+      val n = math.round(math.log10(1.0 + 1.0 / d) * 10000).toInt
+      Seq.fill(n)(d * 111.0) // value with first digit d
+    }
+    val good = graft.analytics.Profiler
+      .benford(benfordish.toDF("v"), "v")
+      .agg(sum("chi2_term")).head.getDouble(0)
+    assert(good < 1.0, s"benford-shaped data must score low, got $good")
+    // uniform first digits: far over the chi2_8 p=.05 line (~15.5)
+    val uniform = (1 to 9).flatMap(d => Seq.fill(1000)(d * 10.0))
+    val bad = graft.analytics.Profiler
+      .benford(uniform.toDF("v"), "v")
+      .agg(sum("chi2_term")).head.getDouble(0)
+    assert(bad > 15.5, s"uniform digits must alarm, got $bad")
+    // exclusions and magnitude handling: null/zero dropped, -0.034 → 3,
+    // 0.0072 → 7
+    val edge = Seq(Some(0.0), None, Some(-0.034), Some(0.0072))
+      .toDF("v")
+    val rows = graft.analytics.Profiler.benford(edge, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows(3) === 1L && rows(7) === 1L)
+    assert(rows.values.sum === 2L)
+    // every digit 1-9 gets a row even with zero observations
+    assert(rows.size === 9)
+  }
+
   test("mutualInformation: zero for independent columns, ln(2) for a " +
       "deterministic bijection, NULL cells are real bins") {
     // independent: every (x, y) combination equally likely → MI 0
