@@ -732,6 +732,14 @@ object RelQueries {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // -- [EXT]: k-anonymity census over customer quasi-identifiers
+    //    (nation × market segment — the linkage-attack bound before
+    //    publishing person-adjacent data)
+    "q_k_anonymity" -> ((s, dir) => {
+      graft.analytics.Profiler.kAnonymity(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), threshold = 5L)
+    }),
+
     // -- [EXT]: Benford's-law first-digit screen over order amounts —
     //    the classic fabricated-data / truncation anomaly check; digit
     //    from the decimal string form (no float log), χ² vs the
@@ -1331,6 +1339,16 @@ object RelQueries {
         |SELECT from_type, to_type, n, (n * 1000000) // ft AS p_x1e6
         |FROM p JOIN f ON from_type = ff
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT min(sz) AS k_anonymity, count(*) AS n_classes,
+        |  sum(sz) AS n_rows,
+        |  COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS rows_below_k,
+        |  COALESCE(SUM(CASE WHEN sz < 5 THEN 1 END), 0) AS classes_below_k
+        |FROM c""".stripMargin,
 
     // the expectation constants are the DRIVER-computed Math.log10
     // doubles interpolated as round-trip literals, so both engines use

@@ -245,6 +245,35 @@ object Profiler {
     wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
   }
 
+  /** K-ANONYMITY census over a quasi-identifier set — the privacy
+    * check before publishing or training on person-adjacent data: every
+    * row should be indistinguishable from at least k−1 others on the
+    * quasi-identifiers (the linkage-attack bound). Returns ONE summary
+    * row: `k_anonymity` (the smallest equivalence-class size — the
+    * dataset's k), `n_classes`, `n_rows`, and `rows_below_k` /
+    * `classes_below_k` for the caller's threshold (the re-identifiable
+    * exposure a suppression pass must handle). NULL quasi-identifier
+    * values group as values (SQL GROUP BY semantics — null is a
+    * linkable value).
+    *
+    * Shape: one hash aggregate to class sizes, one tiny re-aggregation
+    * — the k of a 100 TB table costs one count per class, never a
+    * window. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      threshold: Long = 5L): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs quasi-identifier columns")
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("_sz"))
+      .agg(min(col("_sz")).as("k_anonymity"),
+        count(lit(1)).as("n_classes"),
+        sum(col("_sz")).as("n_rows"),
+        coalesce(sum(when(col("_sz") < threshold, col("_sz"))), lit(0L))
+          .as("rows_below_k"),
+        coalesce(sum(when(col("_sz") < threshold, 1L)), lit(0L))
+          .as("classes_below_k"))
+  }
+
   /** BENFORD'S-LAW first-digit analysis — the classic anomaly/fraud
     * screen for naturally-occurring positive measures (amounts, sizes,
     * populations): organically generated magnitudes have first digit d

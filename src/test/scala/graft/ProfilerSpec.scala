@@ -235,6 +235,27 @@ class ProfilerSpec extends AnyFunSuite {
     assert(m.size === 15)
   }
 
+  test("kAnonymity: min class size, threshold exposure, null as a " +
+      "linkable value") {
+    // classes: (a,1)x5 (a,2)x2 (b,1)x1 (null,1)x3
+    val df = (Seq.fill(5)((Some("a"), 1)) ++ Seq.fill(2)((Some("a"), 2))
+      ++ Seq((Option.empty[String], 1), (Option.empty[String], 1),
+        (Option.empty[String], 1)) :+ ((Some("b"): Option[String]), 1))
+      .toDF("q1", "q2")
+    val r = graft.analytics.Profiler
+      .kAnonymity(df, Seq("q1", "q2"), threshold = 3L).head
+    assert(r.getLong(0) === 1L) // the singleton (b,1) sets k
+    assert(r.getLong(1) === 4L && r.getLong(2) === 11L)
+    assert(r.getLong(3) === 3L) // rows below k=3: (a,2)x2 + (b,1)x1
+    assert(r.getLong(4) === 2L)
+    // fully k-anonymous data reports zero exposure
+    val safe = (Seq.fill(4)("x") ++ Seq.fill(4)("y")).toDF("q1")
+    val rs = graft.analytics.Profiler
+      .kAnonymity(safe, Seq("q1"), threshold = 3L).head
+    assert(rs.getLong(0) === 4L && rs.getLong(3) === 0L
+      && rs.getLong(4) === 0L)
+  }
+
   test("benford: a perfect Benford sample scores chi2 ~0, uniform digits " +
       "alarm; zero/null/negative/sub-1 handling") {
     // counts proportional to log10(1+1/d) out of 10000
