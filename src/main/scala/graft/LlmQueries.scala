@@ -1168,8 +1168,8 @@ object LlmQueries {
          |r AS (SELECT DISTINCT g FROM (
          |        SELECT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0)),
          |t AS (SELECT doc_id, count(*) AS n_grams,
-         |        SUM(CASE WHEN g IN (SELECT g FROM r)
-         |            THEN 1 ELSE 0 END) AS n_seen
+         |        CAST(SUM(CASE WHEN g IN (SELECT g FROM r)
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
          |      FROM d GROUP BY 1)
          |SELECT doc_id, n_grams, n_seen,
          |  ((n_grams - n_seen) * 1000000) // n_grams AS novelty_x1e6
@@ -1250,8 +1250,10 @@ object LlmQueries {
       """WITH c AS (
         |  SELECT source, lang, count(*) AS n_xy FROM documents
         |  GROUP BY 1, 2),
-        |xm AS (SELECT source, sum(n_xy) AS n_x FROM c GROUP BY 1),
-        |ym AS (SELECT lang, sum(n_xy) AS n_y FROM c GROUP BY 1),
+        |xm AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_x
+        |       FROM c GROUP BY 1),
+        |ym AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_y
+        |       FROM c GROUP BY 1),
         |t AS (SELECT sum(n_xy) AS n FROM c)
         |SELECT c.source, c.lang, n_xy, n_x, n_y,
         |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
@@ -1268,13 +1270,17 @@ object LlmQueries {
       """WITH u AS (
         |  SELECT lang, doc_id % 2 AS side FROM documents),
         |c AS (SELECT lang AS category,
-        |        sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_a,
-        |        sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_b
+        |        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_b
         |      FROM u GROUP BY 1),
         |s AS (SELECT sum(n_a) AS na, sum(n_b) AS nb, count(*) AS k FROM c),
         |r AS (SELECT category, n_a, n_b,
-        |        ((n_a + 1) * 1000000) // (na + k) AS rate_a_x1e6,
-        |        ((n_b + 1) * 1000000) // (nb + k) AS rate_b_x1e6,
+        |        CAST(((n_a + 1) * 1000000) // (na + k) AS BIGINT)
+        |          AS rate_a_x1e6,
+        |        CAST(((n_b + 1) * 1000000) // (nb + k) AS BIGINT)
+        |          AS rate_b_x1e6,
         |        CAST(n_a + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS ra,
         |        CAST(n_b + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS rb
         |      FROM c CROSS JOIN s)

@@ -129,6 +129,55 @@ object PipelineQueries {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: copy-on-write incremental silver — the same 3-batch CDC
+    //    shape as q_silver_mor (updates, tombstone retraction, a second
+    //    update wave) under `silver_merge: "copy_on_write"`: each merge
+    //    REWRITES only the touched buckets, so batch 3 must leave
+    //    untouched buckets' files from batches 1-2 in place while the
+    //    read is a plain bucket-pruned scan (no merge view). The same
+    //    oracle proves both strategies converge to identical contents.
+    "q_silver_cow" -> ((s, dir) => {
+      val run = s"cowq_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      val docs = analytics.Tables(s, dir, "documents")
+      docs.write.parquet(s"$root/src/documents")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"documents": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["doc_id"],
+          |  "silver_mode": "incremental",
+          |  "silver_merge": "copy_on_write",
+          |  "silver_buckets": 32,
+          |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"}
+          |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      def runAt(clock: String): PipelineParams = {
+        val params = PipelineParams(sourceLocation = s"$root/src",
+          catalogName = run,
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        new PipelineRunner(s, params, s"$root/store")
+          .run(ConfigLoader.load(s, params.sourceLocation))
+        params
+      }
+      runAt("2024-02-01 00:00:00")
+      docs.where(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(lit("updated: "), col("text")))
+        .unionByName(docs
+          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .withColumn("text", lit(null).cast("string")))
+        .write.mode("append").parquet(s"$root/src/documents")
+      runAt("2024-02-02 00:00:00")
+      docs.where(col("doc_id") % 17 === 0 &&
+          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("text", concat(lit("v3: "), col("text")))
+        .write.mode("append").parquet(s"$root/src/documents")
+      val params = runAt("2024-02-03 00:00:00")
+      s.table(params.silverFqn("documents"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -141,6 +190,16 @@ object PipelineQueries {
     // retracted and both update waves applied — delta files, tombstones,
     // the merge view, and inline compaction must all be invisible here
     "q_silver_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN 'updated: ' || text
+        |       WHEN doc_id % 17 = 0 THEN 'v3: ' || text
+        |       ELSE text END AS text,
+        |  lang, source, n_chars
+        |FROM documents
+        |WHERE NOT (doc_id % 11 = 0 AND doc_id % 13 != 0)
+        |ORDER BY doc_id""".stripMargin,
+    // identical contents contract for the copy-on-write strategy
+    "q_silver_cow" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 13 = 0 THEN 'updated: ' || text
         |       WHEN doc_id % 17 = 0 THEN 'v3: ' || text

@@ -984,7 +984,7 @@ object RelQueries {
          |        LEFT JOIN c$i c ON nodes.node = c.node)""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"""$base$iterations
-       |SELECT node, r AS rank_fp FROM r$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
@@ -1084,7 +1084,7 @@ object RelQueries {
          |        LEFT JOIN c$i c ON nf.node = c.node)""".stripMargin
     }.mkString(",\n", ",\n", "")
     s"""$base$iterations
-       |SELECT node, r AS rank_fp FROM r$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
@@ -1184,13 +1184,13 @@ object RelQueries {
         |bf AS (SELECT fold AS pf, sum(s) AS fsum, sum(n) AS fn
         |       FROM pf GROUP BY 1),
         |g AS (SELECT sum(s) AS gsum, sum(n) AS gn FROM pf),
-        |pr AS (SELECT pf, (gsum - fsum) // GREATEST(gn - fn, 1)
-        |         AS prior_x1e6 FROM bf CROSS JOIN g),
+        |pr AS (SELECT pf, CAST((gsum - fsum) // GREATEST(gn - fn, 1)
+        |         AS BIGINT) AS prior_x1e6 FROM bf CROSS JOIN g),
         |oof AS (SELECT category, fold,
         |          sum(s) OVER (PARTITION BY category) - s AS osum,
         |          sum(n) OVER (PARTITION BY category) - n AS onn
         |        FROM pf)
-        |SELECT category, fold, onn AS oof_n, prior_x1e6,
+        |SELECT category, fold, CAST(onn AS BIGINT) AS oof_n, prior_x1e6,
         |  CASE WHEN onn + 20 > 0 THEN
         |    CAST((CAST(osum AS HUGEINT) + CAST(prior_x1e6 AS HUGEINT) * 20)
         |         // CAST(onn + 20 AS HUGEINT) AS BIGINT)
@@ -1336,7 +1336,8 @@ object RelQueries {
         |p AS (SELECT from_type, to_type, count(*) AS n FROM o
         |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |f AS (SELECT from_type AS ff, sum(n) AS ft FROM p GROUP BY 1)
-        |SELECT from_type, to_type, n, (n * 1000000) // ft AS p_x1e6
+        |SELECT from_type, to_type, n,
+        |  CAST((n * 1000000) // ft AS BIGINT) AS p_x1e6
         |FROM p JOIN f ON from_type = ff
         |ORDER BY from_type, to_type""".stripMargin,
 
@@ -1345,9 +1346,11 @@ object RelQueries {
         |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
         |  FROM customer GROUP BY 1, 2)
         |SELECT min(sz) AS k_anonymity, count(*) AS n_classes,
-        |  sum(sz) AS n_rows,
-        |  COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS rows_below_k,
-        |  COALESCE(SUM(CASE WHEN sz < 5 THEN 1 END), 0) AS classes_below_k
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+        |    AS rows_below_k,
+        |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN 1 END), 0) AS BIGINT)
+        |    AS classes_below_k
         |FROM c""".stripMargin,
 
     // the expectation constants are the DRIVER-computed Math.log10
@@ -1380,22 +1383,28 @@ object RelQueries {
          |ORDER BY e.digit""".stripMargin
     },
 
-    // the q_stats_agg formula per pair, pairwise-complete (products in
-    // double, then the decimal(38,6) per-row cast — both engines agree)
+    // the q_stats_agg formula per pair, pairwise-complete; per-row
+    // floor(v*1e6) micro-units (floor of a double is bit-portable,
+    // round-half modes are not) summed exactly — HUGEINT here,
+    // Int128Sum on the engine side — then the identical ::DOUBLE/1e6
+    // conversion before the rounded formula
     "q_corr_matrix" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val branches = for {
         i <- cs.indices; j <- (i + 1) until cs.size
       } yield {
         val (a, b) = (cs(i), cs(j))
+        def ms(e: String) =
+          s"(SUM(CAST(floor(($e) * 1000000.0) AS HUGEINT))::DOUBLE" +
+            " / 1000000.0)"
         s"""SELECT * FROM (
            |  WITH g AS (
            |    SELECT count(*)::DOUBLE AS n,
-           |      SUM(CAST($a AS DECIMAL(38,6)))::DOUBLE AS sx,
-           |      SUM(CAST($b AS DECIMAL(38,6)))::DOUBLE AS sy,
-           |      SUM(CAST($a * $a AS DECIMAL(38,6)))::DOUBLE AS sxx,
-           |      SUM(CAST($b * $b AS DECIMAL(38,6)))::DOUBLE AS syy,
-           |      SUM(CAST($a * $b AS DECIMAL(38,6)))::DOUBLE AS sxy
+           |      ${ms(a)} AS sx,
+           |      ${ms(b)} AS sy,
+           |      ${ms(s"$a * $a")} AS sxx,
+           |      ${ms(s"$b * $b")} AS syy,
+           |      ${ms(s"$a * $b")} AS sxy
            |    FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL)
            |  SELECT '$a' AS col_a, '$b' AS col_b, n::BIGINT AS n,
            |    CASE WHEN n * sxx - sx * sx > 0.0
@@ -1418,10 +1427,14 @@ object RelQueries {
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
         |  FROM events GROUP BY 1, 2),
         |w AS (SELECT
-        |        COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0) AS n_a,
-        |        COALESCE(SUM(CASE WHEN b THEN 1 END), 0) AS n_b,
-        |        COALESCE(SUM(CASE WHEN NOT b THEN c END), 0) AS conv_a,
-        |        COALESCE(SUM(CASE WHEN b THEN c END), 0) AS conv_b
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN c END), 0)
+        |          AS BIGINT) AS conv_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN c END), 0)
+        |          AS BIGINT) AS conv_b
         |      FROM u),
         |m AS (SELECT *,
         |        CAST(conv_a + conv_b AS DOUBLE)

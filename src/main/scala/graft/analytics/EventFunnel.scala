@@ -213,7 +213,9 @@ object EventFunnel {
       .agg(count(lit(1)).as("n"))
     val fromTotals = broadcast(pairs.groupBy(col("from_type").as("_f"))
       .agg(sum(col("n")).as("_ft")))
-    pairs.join(fromTotals, col("from_type") === col("_f"))
+    // <=> so a NULL from event type (groupBy keeps the NULL group)
+    // isn't silently dropped by a null-unsafe equality here
+    pairs.join(fromTotals, col("from_type") <=> col("_f"))
       .select(col("from_type"), col("to_type"), col("n"),
         graft.ops.Fixed.ldiv(col("n") * lit(1000000L), col("_ft"))
           .as("p_x1e6"))

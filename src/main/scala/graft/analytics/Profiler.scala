@@ -195,11 +195,19 @@ object Profiler {
     * of ITS columns is null — the standard EDA convention, so a sparse
     * column doesn't erase the others' sample).
     *
-    * Exactness is the q_stats_agg pattern: per-row double products
-    * decimal(38,6)-cast, decimal-exact power sums (order-independent),
-    * doubles only
-    * in the final correlation formula rounded at 6. Zero-variance
-    * pairs yield NULL corr.
+    * Exactness convention: per-row values and double products are
+    * quantized to exact 1e-6 fixed point via `floor(v·1e6)` (floor of
+    * an IEEE double is bit-portable across engines — unlike any
+    * round-half mode, which was measured to diverge from DuckDB on
+    * large-magnitude ties), then summed EXACTLY and order-independently
+    * by [[graft.functions.Int128Sum]]; doubles re-enter only in the
+    * final correlation formula rounded at 6. The earlier
+    * decimal(38,6)-sum form of the same idea paid Spark's ~10×
+    * decimal-aggregation tax (4 s per execution at 600k rows — see
+    * Int128Sum's doc); the int128 path is exact at a plain-long-sum
+    * price. Bound: |value·1e6| and |product·1e6| must fit a long
+    * (|v| ≤ 3e6 for products), or the ANSI floor→long cast fails loud.
+    * Zero-variance pairs yield NULL corr.
     *
     * Shape: ONE wide aggregate computes every pair's six power sums in
     * a single scan (k·(k−1)/2 · 6 aggregate expressions — plan-size
@@ -212,37 +220,57 @@ object Profiler {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    // products in DOUBLE first, then the per-row decimal(38,6) cast —
-    // the q_stats_agg convention both engines reproduce exactly
-    // (decimal×decimal would overflow DuckDB's multiply width)
-    def dec(c: Column) = c.cast("decimal(38,6)")
     def tag(a: String, b: String, m: String) = s"_cm_${a}_${b}_$m"
-    val aggs = pairs.flatMap { case (a, b) =>
-      val (x, y) = (col(s"`$a`"), col(s"`$b`"))
+    // codegen'd projection to exact micro-units (products in DOUBLE
+    // first — an int/long native multiply would overflow on large
+    // values), then imperative int128 sums over the long column
+    val proj = pairs.flatMap { case (a, b) =>
+      val (x, y) = (col(s"`$a`").cast("double"), col(s"`$b`").cast("double"))
       val both = x.isNotNull && y.isNotNull
-      def s(e: Column, m: String) =
-        sum(when(both, e)).as(tag(a, b, m))
-      Seq(
-        count(when(both, lit(1))).as(tag(a, b, "n")),
-        s(dec(x), "sx"), s(dec(y), "sy"),
-        s(dec(x * x), "sxx"), s(dec(y * y), "syy"),
-        s(dec(x * y), "sxy"))
+      def m(e: Column, mn: String) =
+        when(both, floor(e * lit(1e6))).as(tag(a, b, mn))
+      Seq(when(both, lit(1L)).as(tag(a, b, "one")),
+        m(x, "sx"), m(y, "sy"),
+        m(x * x, "sxx"), m(y * y, "syy"), m(x * y, "sxy"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(count(col(tag(a, b, "one"))).as(tag(a, b, "n")),
+        graft.functions.Int128Sum.int128Sum(col(tag(a, b, "sx")))
+          .as(tag(a, b, "sx")),
+        graft.functions.Int128Sum.int128Sum(col(tag(a, b, "sy")))
+          .as(tag(a, b, "sy")),
+        graft.functions.Int128Sum.int128Sum(col(tag(a, b, "sxx")))
+          .as(tag(a, b, "sxx")),
+        graft.functions.Int128Sum.int128Sum(col(tag(a, b, "syy")))
+          .as(tag(a, b, "syy")),
+        graft.functions.Int128Sum.int128Sum(col(tag(a, b, "sxy")))
+          .as(tag(a, b, "sxy")))
+    }
+    val wide = df.select(proj: _*).agg(aggs.head, aggs.tail: _*)
+    // unpivot the RAW power sums first and compute the correlation
+    // formula ONCE over the exploded rows: inlining the formula into
+    // every pair's struct (the obvious one-step unpivot) generates a
+    // projection with k·(k−1)/2 copies of the math tree, whose Janino
+    // compile alone cost ~7 s per execution at 6 pairs — and the
+    // compile re-runs whenever the plan cache misses
     val structs = pairs.map { case (a, b) =>
       def g(m: String) = col(s"`${tag(a, b, m)}`")
-      def d(m: String) = g(m).cast("double")
-      val n = g("n").cast("double")
-      val varx = n * d("sxx") - d("sx") * d("sx")
-      val vary = n * d("syy") - d("sy") * d("sy")
+      // micro-unit decimal sums → doubles → /1e6: both engines make
+      // the identical nearest-double conversion of the exact integer
+      def d(m: String) = (g(m).cast("double") / lit(1e6)).as(m)
       struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
         g("n").cast("long").as("n"),
-        when(varx > 0.0 && vary > 0.0,
-          round((n * d("sxy") - d("sx") * d("sy"))
-            / (sqrt(varx) * sqrt(vary)), 6)).as("corr"))
+        d("sx"), d("sy"), d("sxx"), d("syy"), d("sxy"))
     }
+    val n = col("n").cast("double")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
     wide.select(explode(array(structs: _*)).as("_m")).select(col("_m.*"))
+      .select(col("col_a"), col("col_b"), col("n"),
+        when(varx > 0.0 && vary > 0.0,
+          round((n * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(varx) * sqrt(vary)), 6)).as("corr"))
   }
 
   /** K-ANONYMITY census over a quasi-identifier set — the privacy
@@ -294,8 +322,13 @@ object Profiler {
     val digit = regexp_extract(
       abs(col(valueCol)).cast("decimal(38,6)").cast("string"),
       "[1-9]", 0)
+    // the finiteness guard runs on the double view: NaN passes
+    // abs(v) > 0 under Spark's NaN ordering and Infinity trivially
+    // does, and either would throw in the ANSI decimal cast above
+    val v = col(valueCol).cast("double")
     val counts = df
-      .filter(col(valueCol).isNotNull && abs(col(valueCol)) > 0)
+      .filter(col(valueCol).isNotNull && !isnan(v) &&
+        abs(v) > 0 && abs(v) =!= lit(Double.PositiveInfinity))
       .select(digit.as("_d"))
       .filter(col("_d") =!= "")
       .groupBy(col("_d").cast("int").as("digit"))

@@ -72,7 +72,10 @@ object Curation {
     stages(docs, idCol, textCol, langCol, cfg, contaminationProbes).last._2
 
   /** Named intermediate frames, in order (for [[curate]]'s report and for
-    * debugging a stage in isolation).
+    * debugging a stage in isolation) — the composition
+    * [[prefixStages]] ++ [[suffixStages]], so the full-recompute path and
+    * the incremental-prefix pipeline path share one implementation by
+    * construction (twin equivalence is structural, not re-proved).
     *
     * @param contaminationProbes eval-benchmark documents (same id/text
     *   column names as the corpus, ids disjoint from it); when present, a
@@ -84,6 +87,37 @@ object Curation {
       langCol: Option[String], cfg: Config,
       contaminationProbes: Option[DataFrame] = None)
       : Seq[(String, DataFrame)] = {
+    val pfx = prefixStages(docs, idCol, textCol, langCol, cfg)
+    val prefix = pfx.last._2
+    pfx.init.map { case (n, f) => n -> f } ++
+      suffixStages(prefix, idCol, textCol, cfg, contaminationProbes)
+  }
+
+  /** Shingle width shared by repetition scoring, the exact-dedup
+    * fingerprint path, MinHash banding, and decontamination. */
+  val ShingleN = 3
+
+  /** The ROW-LOCAL curation prefix — every stage whose per-document fate
+    * and derived columns depend only on that document: quality gate,
+    * language filter, PII scrub, fingerprint/shingle derivation,
+    * repetition gate. This is the expensive narrow pipeline (regex + hash
+    * kernels over full text), and because it is row-local it can run
+    * INCREMENTALLY over just a batch of new/changed documents (the
+    * pipeline's `gold_mode: "incremental"` does exactly that, persisting
+    * the result); the corpus-global [[suffixStages]] then run over the
+    * compact prefix output. The optional segment-cleanup stages
+    * (boilerplate document frequencies, corpus-first span dedup) are
+    * corpus-GLOBAL text rewrites feeding the quality gate, so they live
+    * here only for the full-recompute path — incremental callers must
+    * keep them disabled (the pipeline enforces it).
+    *
+    * Returns the named frames ending with `"prefix"`: the scrubbed
+    * survivors carrying `quality`, `_fp` (the exact-dedup md5
+    * fingerprint of the normalized text), and `_sh` (the hashed shingle
+    * set MinHash and decontamination consume) — everything the suffix
+    * needs, none of the raw normalized text. */
+  def prefixStages(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String], cfg: Config): Seq[(String, DataFrame)] = {
     // quality components as NAMED COLUMNS, not one inline qualityScore
     // expression: the composite references meanWordLen twice and the
     // pushed-down filter re-substitutes the whole thing, so the inline
@@ -140,25 +174,46 @@ object Curation {
     // fingerprint, and MinHash all consume normalize(text) (and the first
     // and last consume the same hashed-shingle set). Computing them as
     // named columns here means the regex/hash kernels run one pass per
-    // row; every later stage reads the column. The checkpoint below
-    // persists them, so the whole minhash stage does zero text work.
-    val shingleN = 3
+    // row; every later stage reads the column. The raw normalized text
+    // itself stops here — downstream only its md5 fingerprint and the
+    // shingle hashes travel (what the incremental prefix table persists).
     val scrubbed = langed
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
       .withColumn("_norm", TextOps.normalize(col(textCol)))
       .withColumn("_sh", HashExpressions.ngramHashes(
-        split(col("_norm"), " "), shingleN))
+        split(col("_norm"), " "), ShingleN))
       // repetitionScore(text, n) ≡ 1 − |distinct n-grams| / (|tokens| − n
       // + 1) over the normalized tokens — same expression, shared columns
       .filter(lit(1.0) - size(col("_sh")).cast("double") /
-        greatest(size(split(col("_norm"), " ")) - (shingleN - 1), lit(1))
+        greatest(size(split(col("_norm"), " ")) - (ShingleN - 1), lit(1))
           .cast("double") <= cfg.maxRepetition)
-    // Optional decontamination BEFORE dedup (see scaladoc): the probe
-    // shingle sets broadcast, the corpus takes one extra narrow pass
+      .withColumn("_fp", md5(col("_norm")))
+      .drop("_norm")
+    (if (segCleanOn) Seq("segclean" -> cleaned) else Nil) ++
+    Seq("quality" -> gated, "lang" -> langed,
+      "repetition" -> scrubbed.drop("_fp", "_sh"),
+      "prefix" -> scrubbed)
+  }
+
+  /** The CORPUS-GLOBAL curation suffix over a [[prefixStages]] output
+    * frame (columns + `quality` + `_fp` + `_sh`): decontamination (the
+    * probe set is global, current-as-of-this-run), exact dedup on the
+    * fingerprint, MinHash-LSH near-dup component resolution. These stages
+    * are the ones an incremental merge cannot make associative — near-dup
+    * component membership and duplicate-group winners shift when ANY new
+    * document arrives — so the incremental-gold pipeline runs them as a
+    * full pass per publish, but over the compact prefix table (ids,
+    * fingerprints, shingle hashes, scrubbed text), never re-running the
+    * prefix's text kernels. */
+  def suffixStages(prefix: DataFrame, idCol: String, textCol: String,
+      cfg: Config, contaminationProbes: Option[DataFrame] = None)
+      : Seq[(String, DataFrame)] = {
+    // Optional decontamination BEFORE dedup (see stages scaladoc): the
+    // probe shingle sets broadcast, the corpus takes one extra narrow pass
     val decontaminated = contaminationProbes match {
-      case Some(probes) => DedupOps.decontaminate(scrubbed, probes,
-        idCol, textCol, shingleN, cfg.contaminationThreshold)
-      case None => scrubbed
+      case Some(probes) => DedupOps.decontaminate(prefix, probes,
+        idCol, textCol, ShingleN, cfg.contaminationThreshold)
+      case None => prefix
     }
     // Materialize the exact-dedup result once: it feeds BOTH the LSH
     // pair-generation branch and the final left_anti join, and everything
@@ -166,7 +221,7 @@ object Curation {
     // the most expensive narrow pipeline in the query. Same rationale as
     // DedupOps.materialized — blocks are RDD-owned, freed on GC.
     val exactN = DedupOps.exactDedupByKey(decontaminated,
-        md5(col("_norm")), idCol)
+        col("_fp"), idCol)
       .localCheckpoint(false)
     // near-dup pairs -> connected components over the pair graph -> keep
     // the min-id doc of each component, drop the rest (one left_anti
@@ -190,12 +245,9 @@ object Curation {
           .select(col("id").as(idCol))
       }
     val curated = exactN.join(losers, Seq(idCol), "left_anti")
-    (if (segCleanOn) Seq("segclean" -> cleaned) else Nil) ++
-    Seq("quality" -> gated, "lang" -> langed,
-      "repetition" -> scrubbed.drop("_norm", "_sh"),
-      "decontam" -> decontaminated.drop("_norm", "_sh"),
-      "exactDedup" -> exactN.drop("_norm", "_sh"),
-      "nearDup" -> curated.drop("_norm", "_sh"))
+    Seq("decontam" -> decontaminated.drop("_fp", "_sh"),
+      "exactDedup" -> exactN.drop("_fp", "_sh"),
+      "nearDup" -> curated.drop("_fp", "_sh"))
   }
 
   /** [[curateFrame]] plus a per-stage row-count report (one action per

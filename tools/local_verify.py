@@ -31,6 +31,15 @@ def normalize(df):
             df[c] = df[c].astype("datetime64[us]")
     return df
 
+def kind(s):
+    """Coarse dtype kind — the granularity at which the driver's hasher
+    renders values differently (float 75.0 vs int 75)."""
+    if pd.api.types.is_float_dtype(s): return "float"
+    if pd.api.types.is_bool_dtype(s): return "bool"
+    if pd.api.types.is_integer_dtype(s): return "int"
+    if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+    return "object"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -44,7 +53,18 @@ def main(sf_dir, out_dir):
             failures.append((name, "spark output missing"))
             print(f"FAIL {name}: no spark output"); continue
         try:
-            exp = con.sql(sql).df()
+            rel = con.sql(sql)
+            # r7 postmortem: DuckDB types bare SUM(BIGINT) as HUGEINT,
+            # which the driver's hasher renders differently from Spark's
+            # BIGINT even when the values are identical. Fail loudly so
+            # the divergence can never pass the local gate again.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                failures.append((name, f"oracle HUGEINT columns {huge}"))
+                print(f"FAIL {name}: oracle emits HUGEINT columns {huge} "
+                      f"— CAST(... AS BIGINT) in the oracle SQL"); continue
+            exp = rel.df()
         except Exception as e:
             failures.append((name, f"oracle error: {e}"))
             print(f"FAIL {name}: oracle error: {e}"); continue
@@ -55,6 +75,12 @@ def main(sf_dir, out_dir):
         if len(got) != len(exp):
             failures.append((name, f"rows {len(got)} vs {len(exp)}"))
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); continue
+        kinds = [(c, kind(got[c]), kind(exp[c])) for c in got.columns
+                 if kind(got[c]) != kind(exp[c])]
+        if kinds:
+            failures.append((name, f"dtype kind mismatch {kinds}"))
+            print(f"FAIL {name}: dtype kind mismatch (spark vs oracle): "
+                  f"{kinds}"); continue
         bad = []
         for c in got.columns:
             g, e = got[c], exp[c]
