@@ -575,9 +575,13 @@ object LlmQueries {
 
     // -- [EXT]: IVF ANN against a PERSISTED cell-partitioned index — the
     //    build-once/query-many form (index built one time per dataset and
-    //    cached; each query prunes to its nprobe cell directories at
-    //    file-listing time). No oracle, same as the other ANN forms;
-    //    equivalence with ivfTopK + the pruned-scan plan are spec'd.
+    //    cached; each query prunes to its probed cell directories at
+    //    file-listing time). Declared at nprobe=nlist, the q_ivf_topk
+    //    promotion trick: every cell directory is read THROUGH the real
+    //    persisted-index IO path (partition listing, persisted norms,
+    //    candidate join) and the result provably equals brute force, so
+    //    the full cosine-top-k oracle applies. The PRUNED nprobe<nlist
+    //    path keeps its LlmOpsSpec equivalence/plan specs.
     "q_ivf_indexed" -> ((s, dir) => {
       val path = ivfIndexCache.computeIfAbsent(dir, _ => {
         val p = java.nio.file.Files
@@ -586,7 +590,8 @@ object LlmQueries {
         p
       })
       SimilarityOps.ivfTopKIndexed(s, path,
-          t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3)
+          t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3,
+          nprobe = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -594,6 +599,12 @@ object LlmQueries {
     // -- [EXT]: LSH ANN against the PERSISTED bucket layout — id-only
     //    bucket rows partitioned by (tbl, bucket); the probe batch prunes
     //    to its (multi-probe) bucket directories at file-listing time
+    //    Declared at probesPerTable=2^planes (the same promotion trick
+    //    as q_ivf_indexed): the multi-probe lattice lists EVERY bucket
+    //    directory through the persisted-index IO path, candidates =
+    //    whole corpus, result provably brute force ⇒ full cosine oracle.
+    //    The PRUNED probesPerTable<2^planes path keeps its LlmOpsSpec
+    //    recall/equivalence specs.
     "q_lsh_indexed" -> ((s, dir) => {
       val path = lshIndexCache.computeIfAbsent(dir, _ => {
         val p = java.nio.file.Files
@@ -604,7 +615,7 @@ object LlmQueries {
       })
       SimilarityOps.lshTopKIndexed(s, path,
           t(s, dir, "embeddings").filter(col("vec_id") < 5), k = 3,
-          planes = 4, tables = 16)
+          planes = 4, tables = 16, probesPerTable = 16)
         .withColumn("cos", round(col("cos"), 6))
         .orderBy(col("probe_id"), col("rank"))
     }),
@@ -1766,9 +1777,16 @@ object LlmQueries {
     // form).
     "q_ivf_topk" -> cosineTopkSql,
 
+    // nprobe=nlist through the PERSISTED index IO path: every cell
+    // directory read, result provably brute-force ⇒ same oracle
+    "q_ivf_indexed" -> cosineTopkSql,
+
     // LSH at probesPerTable=2^planes probes every bucket: candidates =
     // whole corpus ⇒ same equivalence, same oracle.
     "q_lsh_topk" -> cosineTopkSql,
+
+    // every bucket directory through the persisted LSH index IO path
+    "q_lsh_indexed" -> cosineTopkSql,
 
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -178,6 +178,60 @@ object PipelineQueries {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- [EXT]: INCREMENTAL gold — the Lambda split driven end-to-end
+    //    through the same 3-batch CDC shape as q_silver_mor: the
+    //    row-local curation prefix (quality/lang/scrub/repetition text
+    //    kernels) runs only over each batch's new silver rows and
+    //    appends O(batch) prefix parquet; the corpus-global suffix
+    //    (exact dedup, near-dup components) re-runs over the compact
+    //    prefix table per publish. The oracle is the FULL q_curation
+    //    SQL over the CDC-final documents state — three prefix batches,
+    //    keep-latest supersession, gate tombstones, and the silver
+    //    retraction must all be invisible in the curated result.
+    "q_gold_incr" -> ((s, dir) => {
+      val run = s"gincq_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      val docs = analytics.Tables(s, dir, "documents")
+      docs.write.parquet(s"$root/src/documents")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"documents": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["doc_id"],
+          |  "silver_mode": "incremental",
+          |  "silver_buckets": 32,
+          |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"},
+          |  "gold": {"mode": "incremental",
+          |    "curation": {"id_col": "doc_id", "text_col": "text",
+          |                 "lang_col": "lang"}}
+          |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      def runAt(clock: String): PipelineParams = {
+        val params = PipelineParams(sourceLocation = s"$root/src",
+          catalogName = run,
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        new PipelineRunner(s, params, s"$root/store")
+          .run(ConfigLoader.load(s, params.sourceLocation))
+        params
+      }
+      runAt("2024-02-01 00:00:00")
+      docs.where(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(lit("updated: "), col("text")))
+        .unionByName(docs
+          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .withColumn("text", lit(null).cast("string")))
+        .write.mode("append").parquet(s"$root/src/documents")
+      runAt("2024-02-02 00:00:00")
+      docs.where(col("doc_id") % 17 === 0 &&
+          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("text", concat(lit("v3: "), col("text")))
+        .write.mode("append").parquet(s"$root/src/documents")
+      val params = runAt("2024-02-03 00:00:00")
+      s.table(params.goldFqn("documents"))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -207,5 +261,26 @@ object PipelineQueries {
         |  lang, source, n_chars
         |FROM documents
         |WHERE NOT (doc_id % 11 = 0 AND doc_id % 13 != 0)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // the full q_curation oracle evaluated over the CDC-final document
+    // state (a shadowing CTE applies the same three waves as the
+    // q_silver_mor oracle) — the incremental prefix/suffix machinery
+    // must reproduce the full-recompute curation on it exactly
+    "q_gold_incr" -> {
+      val cdc =
+        """docs_cdc AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 13 = 0 THEN 'updated: ' || text
+          |         WHEN doc_id % 17 = 0 THEN 'v3: ' || text
+          |         ELSE text END AS text,
+          |    lang
+          |  FROM documents
+          |  WHERE NOT (doc_id % 11 = 0 AND doc_id % 13 != 0)),""".stripMargin
+      val base = LlmQueries.oracleSql("q_curation")
+      require(base.contains("WITH RECURSIVE scored") &&
+        base.contains("FROM documents)"),
+        "q_curation oracle shape changed; update q_gold_incr's CDC wrap")
+      base.replace("WITH RECURSIVE scored", s"WITH RECURSIVE $cdc\nscored")
+        .replace("FROM documents)", "FROM docs_cdc)")
+    })
 }

@@ -148,6 +148,17 @@ final case class EntityConfig(
 
 /** Gold-layer declaration: which curation to run and how to publish it. */
 final case class GoldConfig(
+    /** `"full"` (default): recompute the whole curation per run.
+      * `"incremental"`: persist the row-local curation PREFIX (quality,
+      * language, PII scrub, fingerprint/shingle derivation, repetition —
+      * [[graft.llm.Curation.prefixStages]]) per batch of new/changed
+      * silver rows, and run only the corpus-global SUFFIX (decontam,
+      * exact dedup, near-dup components) as a full pass over the compact
+      * prefix table each publish. Requires the corpus-global segment-
+      * cleanup knobs (boilerplate_min_doc_freq / line_dedup_span) to be
+      * off, and relies on the same strictly-monotone `_ingested_at`
+      * contract as incremental silver. */
+    mode: String = "full",
     curation: GoldCuration = GoldCuration(),
     /** Physical layout of the gold table (same semantics as the silver
       * clustering_cols). */
@@ -164,6 +175,12 @@ final case class GoldConfig(
       * the whole curation pipeline.) */
     expectAllOrFail: Map[String, String] = Map.empty
 ) {
+  require(mode != "incremental" || (curation.boilerplateMinDocFreq.isEmpty
+      && curation.lineDedupSpan.isEmpty),
+    "gold mode 'incremental' cannot run the corpus-global segment-cleanup " +
+      "stages (boilerplate_min_doc_freq / line_dedup_span rewrite text " +
+      "from corpus-wide frequencies BEFORE the quality gate); use full " +
+      "mode or disable them")
   def anyExpectations: Boolean =
     expectAllOrDrop.nonEmpty || expectAll.nonEmpty || expectAllOrFail.nonEmpty
 }
@@ -444,7 +461,14 @@ object ConfigLoader {
     def d(k: String, dft: Double): Double =
       cf.get(k).flatMap(num).getOrElse(dft)
     val base = GoldCuration()
+    val mode = f.get("mode") match {
+      case Some(JString(m)) => m
+      case _                => "full"
+    }
+    require(mode == "full" || mode == "incremental",
+      s"gold.mode must be 'full' or 'incremental', got '$mode'")
     GoldConfig(
+      mode = mode,
       curation = GoldCuration(
         idCol = str("id_col"),
         textCol = str("text_col").getOrElse(base.textCol),

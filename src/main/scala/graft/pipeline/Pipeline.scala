@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StructField, StructType}
 
-import graft.config.{ConfigLoader, EntityConfig, GoldConfig, PipelineParams}
+import graft.config.{ConfigLoader, EntityConfig, GoldConfig, GoldCuration, PipelineParams}
 import graft.ops._
 
 /** The medallion pipeline engine — our idiomatic-Scala reimplementation of
@@ -562,6 +562,118 @@ final class PipelineRunner(
       mergeSilverBatchMor(entity, cfg, batch, batchId)
     else
       mergeSilverBatchCow(entity, cfg, batch, batchId)
+  }
+
+  /** REBUCKET MIGRATION: rewrite an existing incremental-silver layout
+    * from its recorded `silver_buckets` to the config's new count — the
+    * surgical alternative to `--full-refresh` when ONLY the bucket count
+    * changed. A full refresh drops the checkpoint and replays every
+    * bronze file through the stream; this is one read of the CURRENT
+    * silver contents (winners only — the logical table, so for
+    * merge-on-read the tombstones collapse exactly as a full compaction
+    * would) re-hashed into the new bucket count and published as a fresh
+    * generation, with stale partitions/deltas dropped. Bronze, the
+    * checkpoint, and the ingest stream are untouched, so the next run
+    * merges incrementally into the new layout.
+    *
+    * No-op when the recorded count already matches. Fails loud when the
+    * entity has no bucketed layout (nothing to migrate — either
+    * silver_mode=full or the table was never built).
+    *
+    * Scale: one table-sized shuffle+write — the same cost class as one
+    * compaction of every bucket; at 100 TB you schedule it like any
+    * table rewrite, but you do NOT re-read or re-parse the raw zone the
+    * way full refresh does. */
+  def rebucketSilver(entity: String, cfg: EntityConfig): Unit =
+    RunLock.withLock(spark, s"$storageRoot/_checkpoints") {
+      rebucketSilverLocked(entity, cfg)
+    }
+
+  private def rebucketSilverLocked(entity: String, cfg: EntityConfig): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fqn = params.silverFqn(entity)
+    val n = cfg.silverBuckets
+    if (!spark.catalog.tableExists(fqn)) {
+      // fresh deployment: nothing to migrate, the first run lays out
+      // with the config's count directly
+      log(s"$fqn does not exist yet; rebucket is a no-op"); return
+    }
+    val recorded = tableProp(spark, fqn, BucketCountProp).map(_.toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"$fqn has no bucketed layout to rebucket (silver_mode=full); " +
+          "rebucket only migrates an existing incremental layout — " +
+          "use --full-refresh to rebuild bucketed"))
+    if (recorded == n) {
+      log(s"$fqn already at silver_buckets=$n; rebucket is a no-op"); return
+    }
+    log(s"$fqn rebucketing $recorded -> $n buckets")
+    // bucket = PK hash; the published table holds post-rename columns
+    // with the SAME values, so hashing the renamed PK names reproduces
+    // the merge path's bronze-vocabulary assignment exactly
+    val pkNew = cfg.uniquePrimaryKey
+      .map(p => cfg.renamedColumns.getOrElse(p, p))
+    val bucketOf = pmod(hash(pkNew.map(col): _*), lit(n))
+    val allBuckets = (0 until math.max(recorded, n)).toSet
+    val strategy = tableProp(spark, fqn, MergeStrategyProp)
+      .getOrElse("copy_on_write")
+    val clusterCols = cfg.clusteringCols
+    def layout(df: DataFrame): DataFrame = {
+      val cc = clusterCols.filter(df.columns.contains)
+      df.repartition(col(BucketCol))
+        .sortWithinPartitions((BucketCol +: cc).map(col): _*)
+    }
+    if (strategy == "copy_on_write") {
+      val cur = spark.table(fqn).drop(BucketCol)
+        .withColumn(BucketCol, bucketOf)
+      // publish writes to a NEW generation dir before any partition
+      // repoint, so the rewrite reads the old layout consistently
+      publishBucketedGeneration(fqn, silverPath(entity), layout(cur),
+        touched = allBuckets)
+      setTableProps(spark, fqn, Map(BucketCountProp -> n.toString))
+    } else {
+      // merge-on-read: materialize the MERGE VIEW (winners, tombstones
+      // collapsed — identical to compacting every bucket) as the new
+      // base generation, then drop every old partition incl. deltas
+      val rawFqn = params.silverRawFqn(entity)
+      val parts = morPartitions(rawFqn)
+      val cur = spark.table(fqn).drop(BucketCol)
+        .withColumn(BucketCol, bucketOf)
+        .withColumn(RetractedCol, lit(false))
+      val base = new Path(silverPath(entity))
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (_, target) = nextVersionDir(fs, base)
+      layout(cur).write.mode("overwrite").partitionBy(BucketCol)
+        .parquet(target.toString)
+      allBuckets.toSeq.sorted.foreach { k =>
+        val dir = new Path(target, s"$BucketCol=$k")
+        val hadBase = parts.exists(p => p._1 == k && p._2 == 0L)
+        (fs.exists(dir), hadBase) match {
+          case (true, true) => spark.sql(
+            s"ALTER TABLE $rawFqn PARTITION (`$BucketCol`=$k, " +
+              s"`$DeltaCol`=0) SET LOCATION '${dir.toString}'")
+          case (true, false) => spark.sql(
+            s"ALTER TABLE $rawFqn ADD PARTITION " +
+              s"(`$BucketCol`=$k, `$DeltaCol`=0) LOCATION '${dir.toString}'")
+          case (false, true) => spark.sql(
+            s"ALTER TABLE $rawFqn DROP IF EXISTS PARTITION " +
+              s"(`$BucketCol`=$k, `$DeltaCol`=0)")
+          case (false, false) => ()
+        }
+        parts.filter(p => p._1 == k && p._2 > 0L).foreach { case (_, d) =>
+          spark.sql(s"ALTER TABLE $rawFqn DROP IF EXISTS PARTITION " +
+            s"(`$BucketCol`=$k, `$DeltaCol`=$d)")
+        }
+      }
+      spark.catalog.refreshTable(rawFqn)
+      bucketedSupersedeAndVacuum(rawFqn, fs, base, target)
+      // CREATE OR REPLACE VIEW wipes the view's properties — restore the
+      // layout contract (count AND strategy) or the next merge's guard
+      // misreads the table as a pre-strategy copy-on-write layout
+      refreshMorView(entity, cfg)
+      setViewProps(spark, fqn, Map(BucketCountProp -> n.toString,
+        MergeStrategyProp -> "merge_on_read"))
+    }
+    log(s"$fqn rebucketed to $n buckets")
   }
 
   /** Copy-on-write merge (`silver_merge: "copy_on_write"`): the touched
@@ -1314,11 +1426,32 @@ final class PipelineRunner(
     val silver = spark.read.table(params.silverFqn(entity))
     val cur = g.curation
     val idCol = cur.idCol.getOrElse(cfg.uniquePrimaryKey.head)
-    // config-declared decontamination: the probe corpus is ANOTHER
-    // entity's silver table (an eval-benchmark entity riding the same
-    // medallion flow), so bronze ingest ordering already guarantees it
-    // exists when gold runs
-    val probes = cur.contaminationProbesEntity.map { p =>
+    val curated = graft.llm.Curation.curateFrame(silver, idCol, cur.textCol,
+      cur.langCol, curationConfig(cur),
+      contaminationProbes = goldProbes(entity, cur))
+    goldGate(entity, g, curated, silver, obs)
+  }
+
+  /** [[graft.llm.Curation.Config]] from the config-declared knobs. */
+  private def curationConfig(cur: GoldCuration): graft.llm.Curation.Config =
+    graft.llm.Curation.Config(
+      boilerplateMinDocFreq = cur.boilerplateMinDocFreq,
+      boilerplateSpan = cur.boilerplateSpan,
+      lineDedupSpan = cur.lineDedupSpan,
+      minQuality = cur.minQuality, keepLangs = cur.keepLangs,
+      maxRepetition = cur.maxRepetition,
+      nearDupJaccard = cur.nearDupJaccard,
+      minhashBands = cur.minhashBands, minhashRows = cur.minhashRows,
+      contaminationThreshold = cur.contaminationThreshold,
+      keepBestQuality = cur.keepBestQuality)
+
+  /** Config-declared decontamination probes: the probe corpus is ANOTHER
+    * entity's silver table (an eval-benchmark entity riding the same
+    * medallion flow), so bronze ingest ordering already guarantees it
+    * exists when gold runs. */
+  private def goldProbes(entity: String, cur: GoldCuration)
+      : Option[DataFrame] =
+    cur.contaminationProbesEntity.map { p =>
       // a self-reference would flag EVERY doc (each contains itself) and
       // silently publish an empty gold table — fail loud instead
       require(p != entity, s"gold.$entity: contamination_probes_entity " +
@@ -1326,18 +1459,12 @@ final class PipelineRunner(
         "would empty the gold table)")
       spark.read.table(params.silverFqn(p))
     }
-    val curated = graft.llm.Curation.curateFrame(silver, idCol, cur.textCol,
-      cur.langCol, graft.llm.Curation.Config(
-        boilerplateMinDocFreq = cur.boilerplateMinDocFreq,
-        boilerplateSpan = cur.boilerplateSpan,
-        lineDedupSpan = cur.lineDedupSpan,
-        minQuality = cur.minQuality, keepLangs = cur.keepLangs,
-        maxRepetition = cur.maxRepetition,
-        nearDupJaccard = cur.nearDupJaccard,
-        minhashBands = cur.minhashBands, minhashRows = cur.minhashRows,
-        contaminationThreshold = cur.contaminationThreshold,
-        keepBestQuality = cur.keepBestQuality),
-      contaminationProbes = probes)
+
+  /** Cluster layout + the expectation tiers over a curated frame — the
+    * publish-side tail shared by full and incremental gold. */
+  private def goldGate(entity: String, g: GoldConfig, curated: DataFrame,
+      silver: DataFrame,
+      obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val laid = ClusterLayout(curated, g.clusteringCols,
       boundsFrom = Some(silver))
     // gold carries the warn/fail tiers too (same one-observe discipline);
@@ -1350,6 +1477,102 @@ final class PipelineRunner(
       case _ => Expectations(laid, g.expectAllOrDrop,
         observeName = Some(s"expectations_gold_$entity"))
     }
+  }
+
+  private def goldPrefixPath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/gold_prefix/$entity"
+    else s"$storageRoot/gold_prefix/$entity"
+
+  /** INCREMENTAL gold (`gold.mode: "incremental"`) — the Lambda split of
+    * the curation pipeline. The ROW-LOCAL prefix (quality gate, language
+    * filter, PII scrub, fingerprint + shingle derivation, repetition
+    * gate — the expensive regex/hash text kernels,
+    * [[graft.llm.Curation.prefixStages]]) runs only over silver rows
+    * whose `_ingested_at` is newer than the persisted watermark and
+    * APPENDS one O(batch) parquet batch to the prefix store; the
+    * CORPUS-GLOBAL suffix (decontamination against the CURRENT probe
+    * set, exact dedup, near-dup components —
+    * [[graft.llm.Curation.suffixStages]]) then runs as a full pass over
+    * the keep-latest view of the compact prefix table (ids, scrubbed
+    * text, fingerprints, shingle hashes — no raw-text kernels). At
+    * 100 TB the per-run cost is O(new documents) text work plus a
+    * metadata-sized global pass, not a corpus recompute.
+    *
+    * Semantics vs full mode: identical BY CONSTRUCTION — `stages` IS
+    * `prefixStages ++ suffixStages` — with one documented exception:
+    * none (decontamination re-runs in the suffix, so probe-set drift is
+    * picked up exactly as in full mode). CDC is handled like the silver
+    * merge: an UPDATED doc supersedes its old prefix row (keep-latest on
+    * `_ingested_at`); a changed doc that now FAILS a prefix gate writes
+    * a tombstone row superseding its old surviving version; a doc
+    * RETRACTED from silver (expectation tombstone) is dropped by the
+    * read-side semi-join against current silver keys.
+    *
+    * The watermark is derived from the stored batches themselves
+    * (`max(_ingested_at)`), so a run that crashes between the prefix
+    * append and the gold publish resumes consistently: the prefix is a
+    * pure cache of row-local computation, never gated on the publish. */
+  def buildGoldFrameIncremental(entity: String, cfg: EntityConfig,
+      g: GoldConfig, obs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    val silver = spark.read.table(params.silverFqn(entity))
+    val cur = g.curation
+    val idCol = cur.idCol.getOrElse(cfg.uniquePrimaryKey.head)
+    val ccfg = curationConfig(cur)
+    val dir = goldPrefixPath(entity)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasPrefix = fs.exists(new org.apache.hadoop.fs.Path(dir))
+    // schema evolution: later batches may carry columns earlier ones
+    // lack (additive, like bronze) — merge them on read
+    def readPrefix(): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(dir)
+    val watermark = if (!hasPrefix) None
+      else readPrefix().agg(max(col(Audit.IngestedAt))).head()
+        match { case r if r.isNullAt(0) => None
+                case r => Some(r.getTimestamp(0)) }
+    val changed = watermark match {
+      case Some(w) => silver.filter(col(Audit.IngestedAt) > lit(w))
+      case None    => silver
+    }
+    val fresh = graft.llm.Curation
+      .prefixStages(changed, idCol, cur.textCol, cur.langCol, ccfg)
+      .last._2
+      .withColumn("_pfx_live", lit(true))
+    // a changed doc whose NEW version fails a prefix gate must supersede
+    // its old surviving prefix row — record a tombstone for it
+    val tomb = changed
+      .select(col(idCol), col(Audit.IngestedAt))
+      .join(fresh.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("_pfx_live", lit(false))
+    val batch = fresh.unionByName(tomb, allowMissingColumns = true)
+    // the O(batch) write — the whole point of the split. The id
+    // repartition matters: without it the batch inherits the FULL
+    // silver scan's partitioning and writes O(table-partitions) near-
+    // empty files per run; with a column repartition (no fixed count)
+    // AQE sizes the post-shuffle partition count to the batch's actual
+    // bytes, so a small batch lands as one file and a huge one fans out
+    batch.repartition(col(idCol))
+      .write.mode("append").parquet(dir)
+    log(s"gold.$entity: incremental prefix batch appended " +
+      s"(watermark=${watermark.getOrElse("none")})")
+    // keep-latest per doc across batches (strictly-monotone
+    // `_ingested_at` contract, same as incremental silver), then drop
+    // tombstoned versions and docs retracted from silver itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(Audit.IngestedAt).desc)
+    val live = readPrefix()
+      .withColumn("_pfx_rn", row_number().over(w))
+      .filter(col("_pfx_rn") === 1 && col("_pfx_live"))
+      .drop("_pfx_rn", "_pfx_live")
+      .join(silver.select(col(idCol)), Seq(idCol), "left_semi")
+    val curated = graft.llm.Curation
+      .suffixStages(live, idCol, cur.textCol, ccfg,
+        goldProbes(entity, cur))
+      .last._2
+    goldGate(entity, g, curated, silver, obs)
   }
 
   /** Config-declared gold table: runs after silver with the SAME
@@ -1367,16 +1590,28 @@ final class PipelineRunner(
     * persisted history, streaming [[graft.streaming.StreamOps]] curation
     * with O(1) state) for pipelines that accept approximate-incremental
     * gold semantics. */
-  def runGold(entity: String, cfg: EntityConfig): Unit = cfg.gold.foreach { g =>
+  def runGold(entity: String, cfg: EntityConfig,
+      fullRefresh: Boolean = false): Unit = cfg.gold.foreach { g =>
     val fqn = params.goldFqn(entity)
+    if (fullRefresh && g.mode == "incremental") {
+      // full refresh rebuilds the prefix cache from scratch (mirrors the
+      // bronze checkpoint reset): the next watermark read sees no batches
+      val p = new org.apache.hadoop.fs.Path(goldPrefixPath(entity))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      log(s"gold.$entity: full refresh cleared the incremental prefix")
+    }
     val obs = Option.when(g.anyExpectations)(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
-    val frame = buildGoldFrame(entity, cfg, g, obs)
+    val frame =
+      if (g.mode == "incremental") buildGoldFrameIncremental(entity, cfg, g, obs)
+      else buildGoldFrame(entity, cfg, g, obs)
     publishVersioned(fqn, goldPath(entity), frame,
       preCommit = () => failOnViolations(entity, g.expectAllOrFail, obs))
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
-      ("clustering_cols" -> g.clusteringCols.mkString(",")) ++
+      ("clustering_cols" -> g.clusteringCols.mkString(",")) +
+      ("gold_mode" -> g.mode) ++
       expectationMetrics(entity, "gold", fqn, obs))
     if (cfg.profileOnPublish) appendProfileLog(entity, "gold", fqn)
   }
@@ -1452,7 +1687,7 @@ final class PipelineRunner(
     // created lazily so gold-free configs never touch a gold catalog
     if (entities.values.exists(_.gold.nonEmpty))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.goldSchema}`")
-    each { case (e, cfg) => runGold(e, cfg) }
+    each { case (e, cfg) => runGold(e, cfg, fullRefresh) }
     if (params.softDeletesEnabled)
       entities.keys.toSeq.sorted.foreach(createActiveView)
   }

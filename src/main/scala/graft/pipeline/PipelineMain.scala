@@ -122,6 +122,15 @@ object PipelineMain {
         throw new IllegalArgumentException(
           s"pipeline_concurrency must be a positive int, got '$v'")))
       .getOrElse(1)
+    // --rebucket: migrate any incremental-silver layout whose recorded
+    // bucket count differs from the config BEFORE the run (one
+    // winners-only rewrite; bronze + checkpoints untouched) — the
+    // surgical alternative to --full-refresh for a silver_buckets change
+    if (args.contains("--rebucket"))
+      entities.toSeq.sortBy(_._1).foreach { case (name, cfg) =>
+        if (cfg.silverMode == "incremental")
+          runner.rebucketSilver(name, cfg)
+      }
     runner.run(entities, fullRefresh, concurrency)
     // interval loop: full refresh applies to the FIRST run only (the
     // reference's full-refresh is likewise a one-shot job parameter)

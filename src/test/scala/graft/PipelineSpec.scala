@@ -1546,4 +1546,211 @@ class PipelineSpec extends AnyFunSuite {
       ConfigLoader.load(spark, src))
     assert(inc.getMessage.contains("silver_mode"))
   }
+
+  test("incremental gold (gold.mode): prefix batches + global suffix " +
+      "equal the full recompute across three CDC batches (update into a " +
+      "component, prefix-gate tombstone, lang tombstone, silver " +
+      "retraction); prefix writes are O(batch)") {
+    // distinct word sequences per doc (seeded PRNG per doc — an
+    // arithmetic generator makes every doc a shifted window of one
+    // cycle and near-dups EVERYTHING): shingle overlap across docs
+    // stays near zero, so the near-dup stage only clusters the pairs
+    // this test PLANTS
+    val vocab = (0 until 200).map(i => s"word$i")
+    def text(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 50).map(_ => vocab(r.nextInt(200))).mkString(" ")
+    }
+    def cfgJson(mode: String) = s"""{"docs": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["doc_id"],
+      |  "silver_mode": "incremental",
+      |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"},
+      |  "gold": {"mode": "$mode",
+      |    "curation": {"id_col": "doc_id", "text_col": "text",
+      |                 "lang_col": "lang", "min_quality": 0.0,
+      |                 "keep_langs": ["en"], "max_repetition": 0.9,
+      |                 "near_dup_jaccard": 0.8}}
+      |}}""".stripMargin
+    def setup(mode: String, tag: String): (String, String) = {
+      val src = tmpDir(s"goldinc$tag-src")
+      val store = tmpDir(s"goldinc$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode))
+      // batch 1: 60 distinct docs, one planted near-dup pair (2 ≈ 1,
+      // keep 1) and one exact-dup pair (11 == 10, keep 10)
+      ((0 until 60).map(i => (i.toLong, text(i), "en")) ++ Seq(
+        (101L, text(1) + " tail", "en"),  // near-dup of doc 1
+        (110L, text(10), "en")            // exact dup of doc 10
+      )).toDF("doc_id", "text", "lang")
+        .write.parquet(s"$src/docs")
+      (src, store)
+    }
+    def batch2(src: String): Unit = Seq(
+      (2L, text(300), "en"),     // plain update: new distinct text
+      (20L, Seq.fill(60)("spam").mkString(" "), "en"), // repetition gate
+      (21L, text(21), "de"),     // lang gate -> prefix tombstone
+      (30L, null.asInstanceOf[String], "en"), // silver retraction
+      (200L, text(10) + " fin", "en") // new near-dup joins {10,110}
+    ).toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$src/docs")
+    def batch3(src: String): Unit = Seq(
+      (300L, text(301), "en"), (301L, text(302), "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("append").parquet(s"$src/docs")
+    val (srcI, storeI) = setup("incremental", "i")
+    val (srcF, storeF) = setup("full", "f")
+    val entI = ConfigLoader.load(spark, srcI)
+    val entF = ConfigLoader.load(spark, srcF)
+    assert(entI("docs").gold.get.mode == "incremental")
+    def goldRows(cat: String): Seq[(Long, String, String)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("docs"))
+        .select($"doc_id", $"text", $"lang")
+        .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    }
+    def prefixBytes(): Map[String, Long] = {
+      val d = new java.io.File(s"$storeI/gold_prefix/docs")
+      if (!d.isDirectory) Map.empty
+      else d.listFiles().filter(_.isFile)
+        .map(f => f.getName -> f.length()).toMap
+    }
+    def run(src: String, store: String, cat: String, clock: String,
+        ent: Map[String, graft.config.EntityConfig]): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1.run(ent)
+
+    run(srcI, storeI, "ginci", "2024-02-01 00:00:00", entI)
+    run(srcF, storeF, "gincf", "2024-02-01 00:00:00", entF)
+    val g1 = goldRows("ginci")
+    assert(g1 == goldRows("gincf"),
+      "batch-1 incremental gold diverged from full recompute")
+    val ids1 = g1.map(_._1).toSet
+    assert(ids1.contains(1L) && !ids1.contains(101L), "near-dup pair")
+    assert(ids1.contains(10L) && !ids1.contains(110L), "exact-dup pair")
+    val b1Files = prefixBytes()
+    val b1Bytes = b1Files.values.sum
+
+    batch2(srcI); batch2(srcF)
+    run(srcI, storeI, "ginci", "2024-02-02 00:00:00", entI)
+    run(srcF, storeF, "gincf", "2024-02-02 00:00:00", entF)
+    val g2 = goldRows("ginci")
+    assert(g2 == goldRows("gincf"),
+      "batch-2 incremental gold diverged from full recompute")
+    val ids2 = g2.map(_._1).toSet
+    assert(g2.find(_._1 == 2L).exists(_._2 == text(300)), "update applied")
+    assert(!ids2.contains(20L), "repetition-gate tombstone")
+    assert(!ids2.contains(21L), "lang-gate tombstone")
+    assert(!ids2.contains(30L), "silver retraction")
+    assert(ids2.contains(10L) && !ids2.contains(200L),
+      "new near-dup joins the existing component")
+
+    batch3(srcI); batch3(srcF)
+    run(srcI, storeI, "ginci", "2024-02-03 00:00:00", entI)
+    run(srcF, storeF, "gincf", "2024-02-03 00:00:00", entF)
+    val g3 = goldRows("ginci")
+    assert(g3 == goldRows("gincf"),
+      "batch-3 incremental gold diverged from full recompute")
+    assert(g3.map(_._1).toSet.contains(300L))
+
+    // O(batch) evidence: the 2-doc batch-3 append wrote a small
+    // fraction of the 62-doc batch-1 prefix build
+    val b3Bytes = prefixBytes()
+      .filterNot { case (n, _) => b1Files.contains(n) }.values.sum
+    assert(b3Bytes > 0, "batch 3 appended no prefix data?")
+    assert(b3Bytes < b1Bytes / 2,
+      s"prefix append not O(batch): batch3=$b3Bytes vs batch1=$b1Bytes")
+  }
+
+  test("incremental gold rejects the corpus-global segment-cleanup " +
+      "knobs at config time") {
+    val bad = intercept[IllegalArgumentException] {
+      graft.config.GoldConfig(mode = "incremental",
+        curation = graft.config.GoldCuration(lineDedupSpan = Some(3)))
+    }
+    assert(bad.getMessage.contains("segment-cleanup"))
+  }
+
+  test("rebucket migration: silver_buckets 4 -> 8 preserves contents for " +
+      "BOTH merge strategies, prunes on the new layout, and the next " +
+      "incremental batch merges into it; full table w/o layout fails loud") {
+    for (merge <- Seq("copy_on_write", "merge_on_read")) {
+      val tag = if (merge == "copy_on_write") "cow" else "mor"
+      val src = tmpDir(s"rbk$tag-src"); val store = tmpDir(s"rbk$tag-store")
+      def cfgJson(k: Int) = s"""{"app_downloads": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["id"],
+        |  "silver_mode": "incremental",
+        |  "silver_merge": "$merge",
+        |  "silver_buckets": $k,
+        |  "expect_all_or_drop": {"created_ok": "created_at IS NOT NULL"},
+        |  "renamed_columns": {"downloads": "n_downloads"}
+        |}}""".stripMargin
+      Files.writeString(Path.of(src, "dp_config_template.json"), cfgJson(4))
+      writeBatch1(src)
+      val cat = s"rbk$tag"
+      val fqn = s"${cat}_silver.silver_app_downloads"
+      def rows(): Seq[(Long, Long, String)] =
+        spark.table(fqn).select($"id", $"n_downloads", $"v")
+          .as[(Long, Long, String)].collect().sorted.toSeq
+      val (r1, _) = mkRunner(src, store, "2024-02-01 00:00:00",
+        catalog = cat)
+      r1.run(ConfigLoader.load(spark, src))
+      val before = rows()
+      assert(before.nonEmpty)
+
+      // config now says 8 buckets: a plain run fails loud (r7 contract)
+      Files.writeString(Path.of(src, "dp_config_template.json"), cfgJson(8))
+      val ent8 = ConfigLoader.load(spark, src)
+      // migrate, then verify contents and the recorded count
+      val (r2, _) = mkRunner(src, store, "2024-02-02 00:00:00",
+        catalog = cat)
+      r2.rebucketSilver("app_downloads", ent8("app_downloads"))
+      assert(rows() == before, s"$merge rebucket changed contents")
+      assert(graft.pipeline.PipelineRunner
+        .tableProp(spark, fqn, graft.pipeline.PipelineRunner.BucketCountProp)
+        .contains("8"))
+      // the physical layout really is 8-bucket now: a PK filter prunes
+      // to one of 8 partitions (sanity: partition values all < 8)
+      val parts = spark.sql(s"SHOW PARTITIONS " +
+          (if (merge == "copy_on_write") fqn
+           else s"${cat}_silver.silver_app_downloads_raw"))
+        .collect().map(_.getString(0))
+      val bucketVals = parts.flatMap(_.split('/').find(_.startsWith("_bucket="))
+        .map(_.stripPrefix("_bucket=").toInt))
+      assert(bucketVals.nonEmpty && bucketVals.forall(_ < 8))
+
+      // a second incremental batch merges into the MIGRATED layout
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("downloads", IntegerType),
+        StructField("created_at", StringType), StructField("op", StringType),
+        StructField("v", StringType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, 11, "2024-03-01", "U", "one-v2"),
+        Row(9L, 99, "2024-03-01", "I", "nine-new")), 1), schema)
+        .write.mode("append").parquet(s"$src/app_downloads")
+      val (r3, _) = mkRunner(src, store, "2024-03-05 00:00:00",
+        catalog = cat)
+      r3.run(ent8)
+      val after = rows()
+      assert(after.map(_._1).contains(9L))
+      assert(after.find(_._1 == 1L).exists(_._3 == "one-v2"))
+    }
+
+    // a full-mode (non-bucketed) silver rejects rebucket with the remedy
+    val src = tmpDir("rbkf-src"); val store = tmpDir("rbkf-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"app_downloads": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["id"],
+        |  "renamed_columns": {"downloads": "n_downloads"}
+        |}}""".stripMargin)
+    writeBatch1(src)
+    val (rf, _) = mkRunner(src, store, "2024-02-01 00:00:00",
+      catalog = "rbkfull")
+    val entF = ConfigLoader.load(spark, src)
+    rf.run(entF)
+    val e = intercept[IllegalStateException](
+      rf.rebucketSilver("app_downloads", entF("app_downloads")))
+    assert(e.getMessage.contains("full-refresh"))
+  }
 }
