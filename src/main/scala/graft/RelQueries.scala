@@ -759,6 +759,34 @@ object RelQueries {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // -- [EXT]: grouped OLS — closed-form simple regression per
+    //    l_returnflag (price-vs-quantity slope/intercept/r2), power sums
+    //    in exact floor-micro fixed point via Int128Sum, doubles only in
+    //    the rounded closed form
+    "q_ols_group" -> ((s, dir) => {
+      graft.analytics.Regression.olsByGroup(t(s, dir, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- [EXT]: Cramér's V — bounded association strength between the
+    //    document source and language (the absolute-scale companion to
+    //    q_mutual_info); exact contingency counts, per-cell χ² terms
+    //    fixed-point-summed so the cross-cell total is order-independent
+    "q_cramers_v" -> ((s, dir) => {
+      graft.analytics.Profiler.cramersV(t(s, dir, "documents"),
+        "source", "lang")
+    }),
+
+    // -- [EXT]: Gini coefficient of order value per priority class —
+    //    the concentration/inequality census; centi-unit quantization,
+    //    exact rank·value sums via Int128Sum
+    "q_gini" -> ((s, dir) => {
+      graft.analytics.Profiler.gini(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- [EXT]: A/B experiment readout — two-proportion z-test on
     //    user-level purchase conversion, variants split by user_id
     //    parity; exact integer counts, doubles only in the final fixed
@@ -1416,6 +1444,86 @@ object RelQueries {
       }
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
+
+    // per-group power sums in floor-micro fixed point (HUGEINT here,
+    // Int128Sum engine-side), the identical closed-form double sequence
+    "q_ols_group" -> {
+      def ms(e: String) =
+        s"(SUM(CAST(floor(($e) * 1000000.0) AS HUGEINT))::DOUBLE" +
+          " / 1000000.0)"
+      val (x, y) = ("l_quantity", "l_extendedprice")
+      s"""WITH g AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    ${ms(x)} AS sx, ${ms(y)} AS sy,
+         |    ${ms(s"$x * $x")} AS sxx,
+         |    ${ms(s"$y * $y")} AS syy,
+         |    ${ms(s"$x * $y")} AS sxy
+         |  FROM lineitem
+         |  WHERE $x IS NOT NULL AND $y IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT l_returnflag, n,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
+         |    round((n::DOUBLE * sxy - sx * sy)
+         |          / (n::DOUBLE * sxx - sx * sx), 6) END AS slope,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
+         |    round((sy - ((n::DOUBLE * sxy - sx * sy)
+         |                 / (n::DOUBLE * sxx - sx * sx)) * sx)
+         |          / n::DOUBLE, 6) END AS intercept,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0
+         |        AND n::DOUBLE * syy - sy * sy > 0.0 THEN
+         |    round(((n::DOUBLE * sxy - sx * sy)
+         |           * (n::DOUBLE * sxy - sx * sy))
+         |          / ((n::DOUBLE * sxx - sx * sx)
+         |             * (n::DOUBLE * syy - sy * sy)), 6) END AS r2
+         |FROM g ORDER BY l_returnflag""".stripMargin
+    },
+
+    // exact contingency counts; χ² in the Σo²/e − n form (empty cells
+    // contribute 0 — see cramersV's scaladoc), per-cell terms floored to
+    // micro-units and HUGEINT-summed (order-independent ≡ Int128Sum)
+    "q_cramers_v" ->
+      """WITH c AS (
+        |  SELECT source AS x, lang AS y, count(*) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |xm AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+        |ym AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
+        |        count(DISTINCT x) AS r, count(DISTINCT y) AS cc FROM c),
+        |s AS (SELECT n, r, cc,
+        |        SUM(CAST(floor(
+        |          (n_xy::DOUBLE * n_xy::DOUBLE
+        |           / (n_x::DOUBLE * n_y::DOUBLE / n::DOUBLE)) * 1000000.0)
+        |          AS HUGEINT)) AS chi2m
+        |      FROM c JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t
+        |      GROUP BY 1, 2, 3)
+        |SELECT n, r AS n_rows_x, cc AS n_cols_y,
+        |  CASE WHEN r > 1 AND cc > 1 THEN
+        |    round(greatest(chi2m::DOUBLE / 1000000.0 - n::DOUBLE, 0.0), 6)
+        |  END AS chi2,
+        |  CASE WHEN r > 1 AND cc > 1 THEN
+        |    round(sqrt(greatest(chi2m::DOUBLE / 1000000.0 - n::DOUBLE, 0.0)
+        |               / (n::DOUBLE * (least(r, cc) - 1)::DOUBLE)), 6)
+        |  END AS cramers_v
+        |FROM s""".stripMargin,
+
+    // centi-unit values, exact HUGEINT rank·value sums, the identical
+    // rank-formula double sequence
+    "q_gini" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+        |r AS (SELECT g, v, row_number() OVER (
+        |        PARTITION BY g ORDER BY v) AS i FROM c),
+        |a AS (SELECT g, count(*) AS n, SUM(CAST(v AS HUGEINT)) AS s,
+        |        SUM(CAST(i AS HUGEINT) * CAST(v AS HUGEINT)) AS isum
+        |      FROM r GROUP BY 1)
+        |SELECT g AS o_orderpriority, n, CAST(s AS BIGINT) AS total_x100,
+        |  CASE WHEN s > 0 THEN
+        |    round((2.0 * isum::DOUBLE) / (n::DOUBLE * s::DOUBLE)
+        |          - (n::DOUBLE + 1.0) / n::DOUBLE, 6) END AS gini
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
 
     // pooled two-proportion z via ONE conditional aggregation (the same
     // always-one-row shape as the operator: an all-one-variant log

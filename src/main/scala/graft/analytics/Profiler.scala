@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Int128Sum.int128Sum
 import graft.ops.Fixed.ldiv
 
 /** Schema-generic table profiling — the data-quality census (the
@@ -367,6 +368,102 @@ object Profiler {
     * Shape: ONE (x, y) hash aggregate over the data; the margins
     * derive from the cell table (≤ |X|·|Y| rows) by two tiny
     * re-aggregations joined back broadcast. */
+  /** CRAMÉR'S V between two categorical columns — the bounded-to-[0,1]
+    * association strength next to [[mutualInformation]] (MI is in nats
+    * and unbounded; V answers "how strong on an absolute scale"):
+    * V = √(χ²/(n·(min(r,c)−1))) over the contingency table. Returns ONE
+    * summary row: `n`, `n_rows_x`/`n_cols_y` (distinct category counts),
+    * `chi2`, and `cramers_v`, the last two rounded at 6. NULL categories
+    * are real categories. Degenerate tables (a single category on either
+    * axis) yield NULL chi2/V.
+    *
+    * χ² uses the algebraic form Σ o²/e − n so EMPTY cells (absent from
+    * the observed-cell table but present in the full r×c grid) need no
+    * materialization — an o=0 cell contributes 0 to Σ o²/e, while the
+    * naive Σ (o−e)²/e would silently miss its e term. Every input is an
+    * exact integer count; each observed cell's o²/e is double arithmetic
+    * from those exact integers (correctly-rounded ops, deterministic),
+    * quantized to 1e-6 fixed point and summed EXACTLY by
+    * [[graft.functions.Int128Sum]] — a raw double sum across cells would
+    * be accumulation-order-dependent and flake the oracle.
+    *
+    * Shape: one (x, y) hash aggregate (≤ r·c cells), two cell-table
+    * re-aggregations for the marginals, a broadcast total, one cell-
+    * level sum — the 100 TB cost is the single scan to cells. */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .localCheckpoint(false) // feeds marginals + the cell sum
+    val xm = broadcast(cells.groupBy(col("_x").as("_mx"))
+      .agg(sum(col("n_xy")).as("n_x")))
+    val ym = broadcast(cells.groupBy(col("_y").as("_my"))
+      .agg(sum(col("n_xy")).as("n_y")))
+    val tot = broadcast(cells.agg(sum(col("n_xy")).as("_n"),
+      count_distinct(col("_x")).as("_r"), count_distinct(col("_y")).as("_c")))
+    val e = col("n_x").cast("double") * col("n_y").cast("double") /
+      col("_n").cast("double")
+    val o = col("n_xy").cast("double")
+    val termMicros = floor((o * o / e) * lit(1e6))
+    // clamp: χ² ≥ 0 by definition, but the floor quantization can land
+    // Σo²/e a few µ below n at exact independence (sqrt(−ε) = NaN)
+    val chi2 = greatest(
+      col("_chi2m").cast("double") / lit(1e6) - col("_n").cast("double"),
+      lit(0.0))
+    cells
+      .join(xm, col("_x") <=> col("_mx"))
+      .join(ym, col("_y") <=> col("_my"))
+      .crossJoin(tot)
+      .groupBy(col("_n"), col("_r"), col("_c"))
+      .agg(int128Sum(termMicros).as("_chi2m"))
+      .select(col("_n").as("n"),
+        col("_r").as("n_rows_x"), col("_c").as("n_cols_y"),
+        when(col("_r") > 1 && col("_c") > 1, round(chi2, 6)).as("chi2"),
+        when(col("_r") > 1 && col("_c") > 1, round(
+          sqrt(chi2 / (col("_n").cast("double") *
+            (least(col("_r"), col("_c")) - lit(1)).cast("double"))), 6))
+          .as("cramers_v"))
+  }
+
+  /** GINI COEFFICIENT per group — the concentration/inequality summary
+    * ("how skewed is spend per segment / tokens per source / traffic per
+    * key"): 0 = perfectly equal, →1 = one member holds everything. Uses
+    * the rank formula over ascending values,
+    * G = 2·Σᵢ i·xᵢ / (n·Σ xᵢ) − (n+1)/n. One row per group with `n`,
+    * `total` (exact centi-unit sum as a long) and `gini` rounded at 6.
+    * NULL and negative values drop (Gini is defined on non-negative
+    * quantities); an all-zero group yields NULL.
+    *
+    * Exactness: values quantized to exact 1e-2 fixed point
+    * (`floor(v·100)` — centi-units, not micro, so the per-row
+    * rank·value product stays within `long` out to ~10¹⁰ rows of
+    * ~10⁷-sized values), the two sums accumulated exactly by
+    * [[graft.functions.Int128Sum]], doubles only in the final formula.
+    * Tie order between equal values cannot change Σ i·xᵢ, so the
+    * row_number tie-break is free.
+    *
+    * Shape: one within-group sort (range exchange per group) + one
+    * map-side-combined aggregate — the standard per-group-rank cost. */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val v = col(s"`$valueCol`").cast("double")
+    val cents = df.filter(v.isNotNull && v >= 0)
+      .select(col(s"`$groupCol`").as("_g"),
+        floor(v * lit(100)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_c").asc)
+    val ranked = cents.withColumn("_i", row_number().over(w))
+    val agg = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        int128Sum(col("_c")).as("_s"),
+        int128Sum(col("_i") * col("_c")).as("_is"))
+    val n = col("n").cast("double")
+    val s = col("_s").cast("double")
+    agg.select(col("_g").as(groupCol), col("n"),
+      col("_s").cast("long").as("total_x100"),
+      when(col("_s") > 0, round(
+        lit(2.0) * col("_is").cast("double") / (n * s) - (n + 1.0) / n, 6))
+        .as("gini"))
+  }
+
   def mutualInformation(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))

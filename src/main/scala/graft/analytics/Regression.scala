@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Int128Sum.int128Sum
+
+/** Grouped ORDINARY LEAST SQUARES — the "fit a line per segment" EDA /
+  * monitoring primitive (price-vs-quantity elasticity per flag, latency-
+  * vs-load slope per service, drift of a metric against time per
+  * cohort). One row per group with the closed-form simple-regression
+  * fit: `n`, `slope`, `intercept`, `r2`, all from the five power sums —
+  * no iterative solver, one aggregate over the data.
+  *
+  * Exactness is the [[Profiler.correlationMatrix]] convention: per-row
+  * values and products quantized to exact 1e-6 fixed point
+  * (`floor(v·1e6)` — bit-portable across engines), summed exactly and
+  * order-independently by [[graft.functions.Int128Sum]], doubles only in
+  * the final closed-form arithmetic rounded at 6. Rows where either
+  * column is NULL drop (complete-case per group). A zero-variance x
+  * yields NULL slope/intercept/r2; a zero-variance y yields r2 NULL.
+  * Bound: |x|, |y| and their products must stay within `long` micro-
+  * units (|x·y| ≤ 9.2e12), or the ANSI floor→long cast fails loud.
+  *
+  * Shape: one map-side-combined hash aggregate (6 accumulators per
+  * group) + a scalar projection — the 100 TB cost is the scan. */
+object Regression {
+
+  def olsByGroup(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "olsByGroup needs at least one group column")
+    val (x, y) =
+      (col(s"`$xCol`").cast("double"), col(s"`$yCol`").cast("double"))
+    val both = x.isNotNull && y.isNotNull
+    def m(e: Column) = when(both, floor(e * lit(1e6)))
+    val proj = df.select(
+      groupCols.map(c => col(s"`$c`")) ++ Seq(
+        when(both, lit(1L)).as("_one"),
+        m(x).as("_sx"), m(y).as("_sy"),
+        m(x * x).as("_sxx"), m(y * y).as("_syy"),
+        m(x * y).as("_sxy")): _*)
+    val agg = proj.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(count(col("_one")).as("n"),
+        int128Sum(col("_sx")).as("_sx"), int128Sum(col("_sy")).as("_sy"),
+        int128Sum(col("_sxx")).as("_sxx"),
+        int128Sum(col("_syy")).as("_syy"),
+        int128Sum(col("_sxy")).as("_sxy"))
+    // micro-unit decimal sums → doubles → /1e6: identical nearest-double
+    // conversions in any engine replaying the oracle
+    def d(c: String) = col(c).cast("double") / lit(1e6)
+    val n = col("n").cast("double")
+    val varx = n * d("_sxx") - d("_sx") * d("_sx")
+    val vary = n * d("_syy") - d("_sy") * d("_sy")
+    val cov = n * d("_sxy") - d("_sx") * d("_sy")
+    val slope = cov / varx
+    agg.select(
+      groupCols.map(c => col(s"`$c`")) ++ Seq(
+        col("n"),
+        when(col("n") > 0 && varx > 0.0, round(slope, 6)).as("slope"),
+        when(col("n") > 0 && varx > 0.0,
+          round((d("_sy") - slope * d("_sx")) / n, 6)).as("intercept"),
+        when(col("n") > 0 && varx > 0.0 && vary > 0.0,
+          round(cov * cov / (varx * vary), 6)).as("r2")): _*)
+  }
+}

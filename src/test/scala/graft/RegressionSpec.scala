@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.{Profiler, Regression}
+
+/** Grouped OLS, Cramér's V, and Gini: hand-checked closed forms, NULL /
+  * degenerate-input handling, and the fixed-point determinism contract. */
+class RegressionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("olsByGroup: exact fit, noisy fit, zero-variance x, null drop") {
+    val df = Seq(
+      ("exact", Some(1.0), Some(2.0)), ("exact", Some(2.0), Some(4.0)),
+      ("exact", Some(3.0), Some(6.0)),
+      ("noisy", Some(1.0), Some(1.0)), ("noisy", Some(2.0), Some(3.0)),
+      ("noisy", Some(3.0), Some(2.0)),
+      ("flatx", Some(5.0), Some(1.0)), ("flatx", Some(5.0), Some(2.0)),
+      ("nully", Some(1.0), None), ("nully", None, Some(1.0)),
+      ("nully", Some(2.0), Some(2.0))
+    ).toDF("g", "x", "y")
+    val r = Regression.olsByGroup(df, Seq("g"), "x", "y")
+      .collect().map(row => row.getString(0) -> row).toMap
+    val exact = r("exact")
+    assert(exact.getLong(1) == 3L)
+    assert(exact.getDouble(2) == 2.0 && exact.getDouble(3) == 0.0 &&
+      exact.getDouble(4) == 1.0)
+    val noisy = r("noisy")
+    // sx=6 sy=6 sxx=14 syy=14 sxy=13: slope=.5 intercept=1 r2=.25
+    assert(noisy.getDouble(2) == 0.5 && noisy.getDouble(3) == 1.0 &&
+      noisy.getDouble(4) == 0.25)
+    val flat = r("flatx")
+    assert(flat.isNullAt(2) && flat.isNullAt(3) && flat.isNullAt(4))
+    assert(r("nully").getLong(1) == 1L) // complete cases only
+  }
+
+  test("cramersV: perfect association = 1, independence = 0, " +
+      "degenerate table NULL") {
+    val perfect = (Seq.fill(10)(("a", 1)) ++ Seq.fill(10)(("b", 2)))
+      .toDF("x", "y")
+    val p = Profiler.cramersV(perfect, "x", "y").head
+    assert(p.getLong(0) == 20L && p.getLong(1) == 2L && p.getLong(2) == 2L)
+    assert(p.getDouble(4) == 1.0, s"perfect association: $p")
+    assert(p.getDouble(3) == 20.0) // chi2 = n for a perfect 2x2
+
+    val indep = (for { x <- Seq("a", "b"); y <- Seq(1, 2); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val i = Profiler.cramersV(indep, "x", "y").head
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0)
+
+    val degen = Seq(("a", 1), ("a", 2)).toDF("x", "y")
+    val d = Profiler.cramersV(degen, "x", "y").head
+    assert(d.isNullAt(3) && d.isNullAt(4))
+  }
+
+  test("gini: equal values 0, one-holder (n-1)/n, nulls and negatives " +
+      "drop, all-zero NULL") {
+    val df = Seq(
+      ("equal", Some(5.0)), ("equal", Some(5.0)), ("equal", Some(5.0)),
+      ("equal", Some(5.0)),
+      ("onehot", Some(0.0)), ("onehot", Some(0.0)), ("onehot", Some(0.0)),
+      ("onehot", Some(10.0)),
+      ("mixed", Some(1.0)), ("mixed", None), ("mixed", Some(-3.0)),
+      ("mixed", Some(2.0)),
+      ("zeros", Some(0.0)), ("zeros", Some(0.0))
+    ).toDF("g", "v")
+    val r = Profiler.gini(df, "g", "v")
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("equal").getDouble(3) == 0.0)
+    assert(r("onehot").getDouble(3) == 0.75) // (n-1)/n at n=4
+    assert(r("mixed").getLong(1) == 2L) // null + negative dropped
+    // [100, 200] cents: G = 2*(1*100+2*200)/(2*300) - 3/2 = 1/6
+    assert(r("mixed").getDouble(3) == math.rint(1.0 / 6.0 * 1e6) / 1e6 ||
+      math.abs(r("mixed").getDouble(3) - 1.0 / 6.0) < 1e-6)
+    assert(r("zeros").isNullAt(3))
+  }
+
+  test("gini: tie order between equal values cannot change the result") {
+    val a = Seq(("g", 2.0), ("g", 1.0), ("g", 2.0), ("g", 3.0))
+    val results = (1 to 3).map { i =>
+      val shuffled = new scala.util.Random(i).shuffle(a)
+      Profiler.gini(shuffled.toDF("g", "v").repartition(i), "g", "v")
+        .head.getDouble(3)
+    }.distinct
+    assert(results.size == 1 && results.head > 0.0,
+      s"tie/partition order changed gini: $results")
+  }
+}
