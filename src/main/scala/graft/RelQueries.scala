@@ -787,6 +787,31 @@ object RelQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // -- [EXT]: AUC-ROC per variant — Mann–Whitney rank-sum with exact
+    //    average-rank tie handling (2·avgrank is an integer); is the
+    //    event `value` predictive of purchase within each user-parity
+    //    variant?
+    "q_auc" -> ((s, dir) => {
+      graft.analytics.Evaluation.aucByGroup(
+          t(s, dir, "events")
+            .withColumn("variant", col("user_id") % 2),
+          Seq("variant"), col("event_type") === "purchase", "value")
+        .orderBy(col("variant"))
+    }),
+
+    // -- [EXT]: calibration (reliability) table — 10 equal-width bins
+    //    of a deterministic md5-fraction score vs the purchase rate;
+    //    exact bin counts + exact micro-unit mean scores
+    "q_calibration" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("cal:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.calibrationTable(
+          t(s, dir, "events").withColumn("score", score),
+          col("event_type") === "purchase", "score", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // -- [EXT]: A/B experiment readout — two-proportion z-test on
     //    user-level purchase conversion, variants split by user_id
     //    parity; exact integer counts, doubles only in the final fixed
@@ -1524,6 +1549,45 @@ object RelQueries {
         |    round((2.0 * isum::DOUBLE) / (n::DOUBLE * s::DOUBLE)
         |          - (n::DOUBLE + 1.0) / n::DOUBLE, 6) END AS gini
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // the rank-sum identity with 2·avgrank = 2·rank + tiecount − 1
+    // (integer, HUGEINT-summed ≡ Int128Sum), one double division
+    "q_auc" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 AS variant,
+        |    event_type = 'purchase' AS y, value AS s
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT variant, y,
+        |        2 * rank() OVER (PARTITION BY variant ORDER BY s)
+        |          + count(*) OVER (PARTITION BY variant, s) - 1 AS r2
+        |      FROM b),
+        |a AS (SELECT variant,
+        |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+        |        CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS n_neg,
+        |        SUM(CASE WHEN y THEN CAST(r2 AS HUGEINT) END) AS rp2
+        |      FROM r GROUP BY 1)
+        |SELECT variant, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
+        |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
+        |FROM a ORDER BY variant""".stripMargin,
+
+    // exact bin counts; micro-unit mean via HUGEINT floor division
+    "q_calibration" ->
+      """WITH b AS (
+        |  SELECT event_type = 'purchase' AS y,
+        |    (('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events),
+        |g AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+        |        count(*) AS n,
+        |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+        |        SUM(CAST(floor(s * 1000000.0) AS HUGEINT)) AS sm
+        |      FROM b WHERE s >= 0.0 AND s <= 1.0 GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  CAST(sm // CAST(n AS HUGEINT) AS BIGINT) AS mean_score_x1e6,
+        |  round(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate
+        |FROM g ORDER BY bin""".stripMargin,
 
     // pooled two-proportion z via ONE conditional aggregation (the same
     // always-one-row shape as the operator: an all-one-variant log

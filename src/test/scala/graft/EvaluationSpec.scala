@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analytics.Evaluation
+
+/** AUC (Mann–Whitney with average-rank ties) and the calibration table:
+  * hand-checked values, tie exactness, degenerate groups, bin edges. */
+class EvaluationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def auc(rows: Seq[(String, Boolean, Double)]): Map[String, Row] =
+    Evaluation.aucByGroup(rows.toDF("g", "y", "s"), Seq("g"),
+        col("y"), "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+  private type Row = org.apache.spark.sql.Row
+
+  test("aucByGroup: perfect, inverted, interleaved, all-tied, one-class") {
+    val r = auc(Seq(
+      ("perfect", false, 1.0), ("perfect", false, 2.0),
+      ("perfect", true, 3.0), ("perfect", true, 4.0),
+      ("inverted", true, 1.0), ("inverted", true, 2.0),
+      ("inverted", false, 3.0), ("inverted", false, 4.0),
+      ("inter", true, 1.0), ("inter", false, 2.0),
+      ("inter", true, 3.0), ("inter", false, 4.0),
+      ("tied", true, 5.0), ("tied", false, 5.0),
+      ("tied", true, 5.0), ("tied", false, 5.0),
+      ("onecls", true, 1.0), ("onecls", true, 2.0)))
+    assert(r("perfect").getDouble(3) == 1.0)
+    assert(r("inverted").getDouble(3) == 0.0)
+    assert(r("inter").getDouble(3) == 0.25)
+    assert(r("tied").getDouble(3) == 0.5) // average-rank tie treatment
+    assert(r("onecls").isNullAt(3))
+    assert(r("perfect").getLong(1) == 2L && r("perfect").getLong(2) == 2L)
+  }
+
+  test("aucByGroup: partial tie equals the pairwise win/tie count") {
+    // pos {2} vs neg {1, 2, 3}: win + half-tie + loss = 1.5/3 = 0.5
+    val r = auc(Seq(("g", true, 2.0), ("g", false, 1.0),
+      ("g", false, 2.0), ("g", false, 3.0)))
+    assert(r("g").getDouble(3) == 0.5)
+  }
+
+  test("aucByGroup is invariant to row order and partitioning") {
+    val rows = (1 to 200).map(i =>
+      ("g", i % 3 == 0, (i * 37 % 50).toDouble))
+    val vals = (1 to 3).map { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      Evaluation.aucByGroup(shuffled.toDF("g", "y", "s")
+          .repartition(seed * 2), Seq("g"), col("y"), "s")
+        .head.getDouble(3)
+    }.distinct
+    assert(vals.size == 1)
+  }
+
+  test("calibrationTable: bin edges, score 1.0 in top bin, exact means, " +
+      "out-of-range and null drop") {
+    val df = Seq(
+      (true, Some(0.05)), (false, Some(0.05)),   // bin 0
+      (true, Some(0.55)),                         // bin 5
+      (true, Some(0.95)), (true, Some(1.0)),      // bin 9 (1.0 clamps)
+      (false, Some(1.5)), (true, Some(-0.1)),     // out of range: drop
+      (true, None)                                // null: drop
+    ).toDF("y", "s")
+    val bins = Evaluation.calibrationTable(df, col("y"), "s", bins = 10)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(bins.keySet == Set(0, 5, 9))
+    val b0 = bins(0)
+    assert(b0.getLong(1) == 2L && b0.getLong(2) == 1L)
+    assert(b0.getLong(3) == 50000L && b0.getDouble(4) == 0.5)
+    val b9 = bins(9)
+    assert(b9.getLong(1) == 2L && b9.getLong(2) == 2L)
+    // mean of micro(0.95)=949999 (floor of 0.95*1e6 under the double
+    // repr) or 950000 and micro(1.0)=1000000 — assert via recompute
+    val m95 = math.floor(0.95 * 1e6).toLong
+    assert(b9.getLong(3) == (m95 + 1000000L) / 2L)
+    assert(b9.getDouble(4) == 1.0)
+  }
+}
