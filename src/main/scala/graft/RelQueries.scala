@@ -799,6 +799,22 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: NDCG@10 per source — graded-relevance retrieval eval
+    //    with driver-literal log2 discounts (libm-portable), exact
+    //    micro-unit DCG/IDCG sums; rel = n_chars % 4, score = md5
+    //    fraction, ties broken on doc_id
+    "q_ndcg" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("ndcg:"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.ndcgByQuery(
+          t(s, dir, "documents")
+            .withColumn("rel", col("n_chars") % 4)
+            .withColumn("score", score),
+          Seq("source"), "doc_id", "rel", "score", k = 10)
+        .orderBy(col("source"))
+    }),
+
     // -- [EXT]: calibration (reliability) table — 10 equal-width bins
     //    of a deterministic md5-fraction score vs the purchase rate;
     //    exact bin counts + exact micro-unit mean scores
@@ -1571,6 +1587,43 @@ object RelQueries {
         |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
         |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
         |FROM a ORDER BY variant""".stripMargin,
+
+    // the same driver-computed discount literals as the engine (libm
+    // log2 may differ in the last ulp across engines), exact micro sums
+    "q_ndcg" -> {
+      // ::DOUBLE per element: DuckDB parses bare numeric literals as
+      // DECIMAL, and a decimal-typed discount changes the product; the
+      // shortest-repr string ::DOUBLE round-trips to the exact double
+      val discounts = (1 to 10).map(r =>
+        (1.0 / (math.log(r + 1.0) / math.log(2.0))).toString + "::DOUBLE")
+      val dList = discounts.mkString("[", ", ", "]")
+      s"""WITH b AS (
+         |  SELECT source AS q, doc_id, CAST(n_chars % 4 AS INT) AS rel,
+         |    (('0x' || substr(md5('ndcg:' || CAST(doc_id AS VARCHAR)),
+         |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |g AS (SELECT q, doc_id, rel,
+         |        ((1::BIGINT << rel) - 1)::DOUBLE AS gain,
+         |        row_number() OVER (PARTITION BY q
+         |          ORDER BY s DESC, doc_id) AS rs,
+         |        row_number() OVER (PARTITION BY q
+         |          ORDER BY rel DESC, doc_id) AS ri
+         |      FROM b),
+         |a AS (SELECT q, count(*) AS n_docs,
+         |        COALESCE(SUM(CASE WHEN rs <= 10 THEN
+         |          CAST(floor(gain * ($dList)[rs] * 1000000.0) AS HUGEINT)
+         |          END), 0) AS dcgm,
+         |        COALESCE(SUM(CASE WHEN ri <= 10 THEN
+         |          CAST(floor(gain * ($dList)[ri] * 1000000.0) AS HUGEINT)
+         |          END), 0) AS idcgm
+         |      FROM g GROUP BY 1)
+         |SELECT q AS source, n_docs,
+         |  CAST(dcgm AS BIGINT) AS dcg_x1e6,
+         |  CAST(idcgm AS BIGINT) AS idcg_x1e6,
+         |  CASE WHEN idcgm > 0 THEN
+         |    round(dcgm::DOUBLE / idcgm::DOUBLE, 6) END AS ndcg
+         |FROM a ORDER BY source""".stripMargin
+    },
 
     // exact bin counts; micro-unit mean via HUGEINT floor division
     "q_calibration" ->

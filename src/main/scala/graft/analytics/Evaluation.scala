@@ -60,6 +60,67 @@ object Evaluation {
             / (lit(2.0) * np * nn), 6)).as("auc")): _*)
   }
 
+  /** NDCG@k per query — the graded-relevance ranking metric of retrieval
+    * eval (search/RAG regression suites): DCG@k = Σᵣ (2^rel − 1)/log₂(r+1)
+    * over the score-DESC ranking, normalized by the ideal (rel-DESC)
+    * ordering's IDCG@k. One row per query with `n_docs`, `dcg_x1e6`,
+    * `idcg_x1e6` (exact micro-unit fixed point) and `ndcg` rounded at 6;
+    * a query whose candidates are all rel=0 yields NULL ndcg. Rows with
+    * NULL rel/score drop; `rel` must be a small non-negative integer
+    * (gain = 2^rel − 1 must fit a long).
+    *
+    * Determinism: the 1/log₂(r+1) discounts are DRIVER-computed double
+    * literals (libm log differences across engines can flip the last
+    * ulp — the Benford-constants discipline), gains are exact integers,
+    * each rank's term is one double product floored to micro-units, and
+    * the per-query sums are exact ([[graft.functions.Int128Sum]]).
+    * Score ties break on `idCol` so the ranking — and therefore DCG —
+    * is reproducible; ideal-ranking ties are between equal gains and
+    * cannot affect IDCG.
+    *
+    * Shape: two rank windows over the same query partition + one
+    * aggregate; only the top-k rows per query carry terms. */
+  def ndcgByQuery(df: DataFrame, queryCols: Seq[String], idCol: String,
+      relCol: String, scoreCol: String, k: Int = 10): DataFrame = {
+    require(queryCols.nonEmpty, "ndcgByQuery needs at least one query col")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qc = queryCols.map(c => col(s"`$c`"))
+    val rel = col(s"`$relCol`").cast("int")
+    val s = col(s"`$scoreCol`").cast("double")
+    val base = df.filter(rel.isNotNull && s.isNotNull && rel >= 0)
+      .select(qc ++ Seq(col(s"`$idCol`").as("_id"), rel.as("_rel"),
+        s.as("_s")): _*)
+    // driver-computed literal discounts: both engines consume the same
+    // shortest-repr double constants, never their own log2
+    val discounts = (1 to k).map(r => 1.0 / (math.log(r + 1.0) /
+      math.log(2.0)))
+    val dArr = array(discounts.map(lit): _*)
+    // SQL-form shiftleft: the DSL overload only takes a literal shift
+    val gain = (expr("shiftleft(1L, _rel)") - lit(1L)).cast("double")
+    val wScore = Window.partitionBy(qc: _*)
+      .orderBy(col("_s").desc, col("_id").asc)
+    val wIdeal = Window.partitionBy(qc: _*)
+      .orderBy(col("_rel").desc, col("_id").asc)
+    val agg = base
+      .withColumn("_dm", when(row_number().over(wScore) <= k,
+        floor(gain * element_at(dArr, row_number().over(wScore))
+          * lit(1e6))))
+      .withColumn("_im", when(row_number().over(wIdeal) <= k,
+        floor(gain * element_at(dArr, row_number().over(wIdeal))
+          * lit(1e6))))
+      .groupBy(qc: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        int128Sum(col("_dm")).as("_dcg"),
+        int128Sum(col("_im")).as("_idcg"))
+    agg.select(qc ++ Seq(
+      col("n_docs"),
+      coalesce(col("_dcg"), lit(0)).cast("long").as("dcg_x1e6"),
+      coalesce(col("_idcg"), lit(0)).cast("long").as("idcg_x1e6"),
+      when(col("_idcg") > 0, round(
+        col("_dcg").cast("double") / col("_idcg").cast("double"), 6))
+        .as("ndcg")): _*)
+  }
+
   /** CALIBRATION (reliability) TABLE over [0,1] scores — "when the
     * model says 0.7, does it happen 70% of the time?": equal-width bins
     * over the unit interval, one row per NON-EMPTY bin with `bin`

@@ -55,6 +55,52 @@ class EvaluationSpec extends AnyFunSuite {
     assert(vals.size == 1)
   }
 
+  private def discount(r: Int): Double =
+    1.0 / (math.log(r + 1.0) / math.log(2.0))
+  private def micros(gain: Long, r: Int): Long =
+    math.floor(gain.toDouble * discount(r) * 1e6).toLong
+
+  test("ndcgByQuery: ideal ranking = 1, reversed matches the closed " +
+      "form, all-zero rel NULL, k cutoff") {
+    val df = Seq(
+      // ideal: score order == rel order
+      ("ideal", 1L, 3, 0.9), ("ideal", 2L, 2, 0.8),
+      ("ideal", 3L, 1, 0.7), ("ideal", 4L, 0, 0.6),
+      // reversed: score order inverts rel order
+      ("rev", 1L, 3, 0.1), ("rev", 2L, 2, 0.2),
+      ("rev", 3L, 1, 0.3), ("rev", 4L, 0, 0.4),
+      ("zero", 1L, 0, 0.9), ("zero", 2L, 0, 0.1)
+    ).toDF("q", "id", "rel", "s")
+    val r = Evaluation.ndcgByQuery(df, Seq("q"), "id", "rel", "s", k = 10)
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("ideal").getDouble(4) == 1.0)
+    val idcg = micros(7, 1) + micros(3, 2) + micros(1, 3) + micros(0, 4)
+    val dcgRev = micros(0, 1) + micros(1, 2) + micros(3, 3) + micros(7, 4)
+    assert(r("rev").getLong(2) == dcgRev && r("rev").getLong(3) == idcg)
+    assert(r("rev").getDouble(4) ==
+      math.rint(dcgRev.toDouble / idcg.toDouble * 1e6) / 1e6 ||
+      math.abs(r("rev").getDouble(4) - dcgRev.toDouble / idcg) < 1e-6)
+    assert(r("zero").isNullAt(4) && r("zero").getLong(2) == 0L)
+
+    // k=2 cuts the tail from BOTH dcg and idcg
+    val r2 = Evaluation.ndcgByQuery(df.filter($"q" === "rev"),
+      Seq("q"), "id", "rel", "s", k = 2).head
+    assert(r2.getLong(3) == micros(7, 1) + micros(3, 2))
+    assert(r2.getLong(2) == micros(0, 1) + micros(1, 2))
+  }
+
+  test("ndcgByQuery: score ties break on id — deterministic under " +
+      "shuffling") {
+    val rows = (1 to 40).map(i => ("q", i.toLong, i % 4, (i % 5) * 0.2))
+    val vals = (1 to 3).map { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      Evaluation.ndcgByQuery(shuffled.toDF("q", "id", "rel", "s")
+          .repartition(seed * 3), Seq("q"), "id", "rel", "s", k = 5)
+        .head.getDouble(4)
+    }.distinct
+    assert(vals.size == 1)
+  }
+
   test("calibrationTable: bin edges, score 1.0 in top bin, exact means, " +
       "out-of-range and null drop") {
     val df = Seq(
