@@ -799,6 +799,19 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: CUPED variance-reduced A/B readout — per-user spend
+    //    adjusted by activity count (the pooled Deng et al. estimator);
+    //    unit metrics in portable micro fixed point, power sums exact
+    "q_cuped" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(floor(col("value") * lit(1e6))).cast("double")
+            / lit(1e6)).as("y"),
+          count(lit(1)).as("x"))
+        .withColumn("_isb", col("user_id") % 2 === 1)
+      graft.analytics.Experiment.cuped(units, col("_isb"), "y", "x")
+    }),
+
     // -- [EXT]: NDCG@10 per source — graded-relevance retrieval eval
     //    with driver-literal log2 discounts (libm-portable), exact
     //    micro-unit DCG/IDCG sums; rel = n_chars % 4, score = md5
@@ -1587,6 +1600,70 @@ object RelQueries {
         |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
         |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
         |FROM a ORDER BY variant""".stripMargin,
+
+    // unit-level micro quantization, pooled θ/x̄ from exact HUGEINT power
+    // sums, the identical closed-form double sequence as the operator
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CAST(floor(value * 1000000.0) AS BIGINT))::DOUBLE
+        |       / 1000000.0) AS y,
+        |    count(*) AS x, user_id % 2 = 1 AS b
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT b,
+        |        CAST(floor(y * 1000000.0) AS BIGINT) AS ym,
+        |        CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT) AS xm,
+        |        CAST(floor(x::DOUBLE * x::DOUBLE * 1000000.0) AS BIGINT)
+        |          AS xxm,
+        |        CAST(floor(x::DOUBLE * y * 1000000.0) AS BIGINT) AS xym,
+        |        CAST(floor(y * y * 1000000.0) AS BIGINT) AS yym
+        |      FROM u WHERE y IS NOT NULL AND x IS NOT NULL),
+        |a AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        SUM(CASE WHEN NOT b THEN CAST(ym AS HUGEINT) END) AS sya,
+        |        SUM(CASE WHEN b THEN CAST(ym AS HUGEINT) END) AS syb,
+        |        SUM(CASE WHEN NOT b THEN CAST(xm AS HUGEINT) END) AS sxa,
+        |        SUM(CASE WHEN b THEN CAST(xm AS HUGEINT) END) AS sxb,
+        |        SUM(CAST(xxm AS HUGEINT)) AS sxx,
+        |        SUM(CAST(xym AS HUGEINT)) AS sxy,
+        |        SUM(CAST(yym AS HUGEINT)) AS syy
+        |      FROM f),
+        |m AS (SELECT *,
+        |        (n_a + n_b)::DOUBLE AS n,
+        |        (sxa + sxb)::DOUBLE / 1000000.0 AS sx,
+        |        (sya + syb)::DOUBLE / 1000000.0 AS sy,
+        |        sya::DOUBLE / 1000000.0 / n_a::DOUBLE AS ma,
+        |        syb::DOUBLE / 1000000.0 / n_b::DOUBLE AS mb,
+        |        sxa::DOUBLE / 1000000.0 / n_a::DOUBLE AS xa,
+        |        sxb::DOUBLE / 1000000.0 / n_b::DOUBLE AS xb
+        |      FROM a),
+        |v AS (SELECT *,
+        |        n * (sxx::DOUBLE / 1000000.0) - sx * sx AS varx,
+        |        n * (syy::DOUBLE / 1000000.0) - sy * sy AS vary,
+        |        n * (sxy::DOUBLE / 1000000.0) - sx * sy AS cov
+        |      FROM m)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a > 0 THEN round(CASE WHEN varx > 0.0
+        |    THEN ma - (cov / varx) * (xa - sx / n) ELSE ma END, 6)
+        |  END AS adj_mean_a,
+        |  CASE WHEN n_b > 0 THEN round(CASE WHEN varx > 0.0
+        |    THEN mb - (cov / varx) * (xb - sx / n) ELSE mb END, 6)
+        |  END AS adj_mean_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND varx > 0.0 THEN
+        |    round(cov / varx, 6) END AS theta,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0 THEN
+        |    round(cov * cov / (varx * vary), 6) END AS var_reduction,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(mb - ma, 6) END AS diff,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(CASE WHEN varx > 0.0
+        |    THEN (mb - (cov / varx) * (xb - sx / n))
+        |         - (ma - (cov / varx) * (xa - sx / n))
+        |    ELSE mb - ma END, 6) END AS adj_diff
+        |FROM v""".stripMargin,
 
     // the same driver-computed discount literals as the engine (libm
     // log2 may differ in the last ulp across engines), exact micro sums

@@ -101,6 +101,43 @@ class EvaluationSpec extends AnyFunSuite {
     assert(vals.size == 1)
   }
 
+  test("cuped: perfect covariate collapses both variants to the pooled " +
+      "mean (var_reduction 1), constant covariate falls back to raw, " +
+      "closed form matches") {
+    import graft.analytics.Experiment
+    // perfect: x == y ⇒ θ = 1, adj means both = pooled mean
+    val perfect = Seq((false, 1.0, 1.0), (false, 2.0, 2.0),
+      (true, 3.0, 3.0), (true, 5.0, 5.0)).toDF("b", "y", "x")
+    val p = Experiment.cuped(perfect, col("b"), "y", "x").head
+    assert(p.getDouble(8) == 4.0 - 1.5)            // raw diff preserved
+    assert(p.getDouble(6) == 1.0)                  // theta
+    assert(p.getDouble(7) == 1.0)                  // var_reduction = rho^2
+    assert(p.getDouble(4) == 2.75 && p.getDouble(5) == 2.75) // pooled mean
+    assert(p.getDouble(9) == 0.0)                  // adj_diff
+
+    // constant covariate: zero variance ⇒ NULL theta, adjusted = raw
+    val const = Seq((false, 1.0, 7.0), (true, 3.0, 7.0)).toDF("b", "y", "x")
+    val c = Experiment.cuped(const, col("b"), "y", "x").head
+    assert(c.isNullAt(6) && c.isNullAt(7))
+    assert(c.getDouble(4) == 1.0 && c.getDouble(5) == 3.0)
+    assert(c.getDouble(9) == 2.0)
+
+    // general case vs the closed form recomputed with the same math
+    val g = Experiment.cuped(Seq((false, 1.0, 1.0), (false, 2.0, 2.0),
+      (true, 3.0, 2.0), (true, 5.0, 4.0)).toDF("b", "y", "x"),
+      col("b"), "y", "x").head
+    val (n, sx, sy, sxx, sxy) = (4.0, 9.0, 11.0, 25.0, 31.0)
+    val varx = n * sxx - sx * sx
+    val theta = (n * sxy - sx * sy) / varx
+    val xbar = sx / n
+    val adjA = 1.5 - theta * (1.5 - xbar)
+    val adjB = 4.0 - theta * (3.0 - xbar)
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    assert(math.abs(g.getDouble(4) - r6(adjA)) < 2e-6)
+    assert(math.abs(g.getDouble(5) - r6(adjB)) < 2e-6)
+    assert(math.abs(g.getDouble(9) - r6(adjB - adjA)) < 2e-6)
+  }
+
   test("calibrationTable: bin edges, score 1.0 in top bin, exact means, " +
       "out-of-range and null drop") {
     val df = Seq(
