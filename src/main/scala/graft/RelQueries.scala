@@ -1012,6 +1012,20 @@ object RelQueries {
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
     }),
 
+    // -- [EXT]: triangle census over the co-purchase item graph —
+    //    degree-oriented wedge counting (each triangle closed exactly
+    //    once from its minimal member; out-degrees capped at O(√m), so
+    //    a hub's d² wedges never materialize), per-node counts + exact
+    //    micro-unit clustering coefficients
+    "q_triangles" -> ((s, dir) => {
+      val edges = graft.analytics.Association.coOccurrence(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .select(col("item_a"), col("item_b"))
+      graft.analytics.Graph.triangles(edges, "item_a", "item_b")
+        .orderBy(col("node"))
+    }),
+
     "q_table_profile" -> ((s, dir) => {
       graft.analytics.Profiler.profile(t(s, dir, "lineitem"),
           exactDistinct = true)
@@ -1330,6 +1344,37 @@ object RelQueries {
         |FROM p JOIN ic ia ON a = ia.it JOIN ic ib ON b2 = ib.it
         |CROSS JOIN nb
         |ORDER BY n_ab DESC, item_a, item_b""".stripMargin,
+
+    // edges = the q_copurchase pair table (support >= 2 under the same
+    // basket guard); triangles enumerated directly as sorted triples
+    // with three edges — the orientation is an execution strategy, not
+    // a semantic, so the oracle needn't replay it
+    "q_triangles" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+        |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
+        |und AS (SELECT x.it AS a, y.it AS b2
+        |        FROM bb x JOIN bb y ON x.bk = y.bk AND x.it < y.it
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT a AS n FROM und
+        |          UNION ALL SELECT b2 FROM und) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b2 AS y, e2.b2 AS z
+        |        FROM und e1
+        |        JOIN und e2 ON e2.a = e1.b2
+        |        JOIN und e3 ON e3.a = e1.a AND e3.b2 = e2.b2),
+        |tn AS (SELECT n, count(*) AS t FROM (
+        |          SELECT x AS n FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |  COALESCE(tn.t, 0) AS triangles,
+        |  CASE WHEN deg.d >= 2 THEN
+        |    (COALESCE(tn.t, 0) * 2000000) // (deg.d * (deg.d - 1))
+        |  END AS clustering_x1e6
+        |FROM deg LEFT JOIN tn ON deg.n = tn.n
+        |ORDER BY node""".stripMargin,
 
     "q_graph_degrees" ->
       """WITH edges AS (

@@ -225,6 +225,63 @@ object Graph {
   /** Per-node degree summary of a digraph: `out_deg`/`in_deg` (0 for
     * absent direction — every endpoint appears exactly once). One
     * dedup + two count aggregates + an outer merge; no windows. */
+  /** TRIANGLE COUNT + local clustering coefficient per node — the
+    * community-structure census (how clique-ish is each node's
+    * neighborhood): per node, its undirected simple degree, the number
+    * of triangles through it, and the local clustering coefficient
+    * 2·t/(d·(d−1)) in exact integer micro-units (NULL when d < 2).
+    *
+    * Algorithm is the standard DEGREE ORIENTATION: orient every
+    * undirected edge from its lower-(degree, id) endpoint — a total
+    * order, so the oriented graph is acyclic and every triangle has
+    * EXACTLY one node with both out-edges (its minimal member), counted
+    * once by one wedge join + one closing-edge semi-join. At scale this
+    * is the whole point: wedge fan-out is Σ outdeg², and orientation
+    * caps every out-degree at O(√m) — the skew a raw neighbor self-join
+    * dies on (a celebrity node's d² wedges) never materializes.
+    *
+    * Input edges are treated as UNDIRECTED; duplicates, reversed
+    * duplicates, self-loops, and NULL endpoints are dropped. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // consumed 3×: degrees, wedges, closing
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("d").as("_da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("_db")), Seq("b"))
+    val aFirst = col("_da") < col("_db") ||
+      (col("_da") === col("_db") && col("a") < col("b"))
+    val o = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(false) // self-joined below
+    // one wedge per unordered neighbor pair (v < w), closed against the
+    // sorted undirected edge set
+    val wedges = o.as("x").join(o.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("_n1"), col("x.v").as("_n2"),
+        col("y.v").as("_n3"))
+    val tris = wedges.join(und,
+      col("_n2") === col("a") && col("_n3") === col("b"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("_n1"), col("_n2"), col("_n3"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("d") >= 2, graft.ops.Fixed.ldiv(
+          coalesce(col("t"), lit(0L)) * lit(2000000L),
+          col("d") * (col("d") - lit(1L)))).as("clustering_x1e6"))
+  }
+
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .distinct()

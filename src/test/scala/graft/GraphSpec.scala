@@ -143,6 +143,34 @@ class GraphSpec extends AnyFunSuite {
     assert(r("t") === Some("L2"))
   }
 
+  test("triangles: K4 is all-clique, pendant nodes get NULL clustering, " +
+      "dirty edges (dupes/reversals/self-loops) are ignored") {
+    // K4 on 1..4 with noise: duplicate, reversed, self-loop
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (2L, 1L), (1L, 2L), (3L, 3L)).toDF("s", "d")
+    val r = Graph.triangles(k4, "s", "d")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 4L))
+    r.values.foreach { row =>
+      assert(row.getLong(1) == 3L && row.getLong(2) == 3L)
+      assert(row.getLong(3) == 1000000L) // clustering = 1
+    }
+
+    // triangle {1,2,3} + pendant 3-4
+    val tp = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "d")
+    val t = Graph.triangles(tp, "s", "d")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(t(3L).getLong(1) == 3L && t(3L).getLong(2) == 1L)
+    assert(t(3L).getLong(3) == 2000000L / 6L) // 2t/(d(d-1)) = 1/3
+    assert(t(4L).getLong(2) == 0L && t(4L).isNullAt(3)) // d=1
+    assert(t(1L).getLong(2) == 1L && t(1L).getLong(3) == 1000000L)
+
+    // star: no triangles anywhere
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "d")
+    assert(Graph.triangles(star, "s", "d")
+      .agg(sum(col("triangles"))).head.getLong(0) == 0L)
+  }
+
   test("declared q_pagerank runs on sf0.001 with full coverage of both node types") {
     val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
