@@ -78,9 +78,54 @@ object MultimodalQueries {
         Multimodal.balanceBySize(media.toDF, 4).as[Multimodal.MediaRow],
         everyMs = 250L)
         .toDF().orderBy(col("file_name"), col("frame_ms"))
+    }),
+
+    // -- [EXT] multimodal: perceptual hashes (DCT pHash) over the
+    //    structured fixture corpus — real ImageIO decode, real DCT
+    //    math; the manifest pins the deterministic 64-bit signatures
+    "q_phash" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.readMedia(s, s"$mediaRoot/phash", "*.png")
+        .as[Multimodal.MediaRow]
+      Multimodal.imagePhashes(Multimodal.balanceBySize(media.toDF, 4)
+          .as[Multimodal.MediaRow])
+        .toDF().orderBy(col("file_name"))
+    }),
+
+    // -- [EXT] multimodal: IMAGE near-dup pairs — pHash signatures
+    //    through the Manku banded-Hamming join (DedupOps.hammingPairs,
+    //    the SimHash machinery generalized to any 64-bit signature).
+    //    The oracle recomputes the pairs INDEPENDENTLY in DuckDB from
+    //    the pinned manifest hashes (xor + bit_count), so the join
+    //    logic — not just the hashes — is externally verified.
+    "q_phash_neardup" -> ((s, _) => {
+      import s.implicits._
+      val media = Multimodal.readMedia(s, s"$mediaRoot/phash", "*.png")
+        .as[Multimodal.MediaRow]
+      val hashes = Multimodal.imagePhashes(
+        Multimodal.balanceBySize(media.toDF, 4)
+          .as[Multimodal.MediaRow]).toDF()
+      graft.dedup.DedupOps.hammingPairs(hashes, "file_name", "phash",
+          maxDist = 10)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q_phash" ->
+      s"""SELECT file_name, phash
+         |FROM read_parquet('$mediaRoot/manifest_phash/*.parquet')
+         |ORDER BY file_name""".stripMargin,
+    // independent pair recompute from the pinned hashes: brightness/
+    // noise variants at distance 0, the 2x upscale at 4, every
+    // structurally distinct pair beyond the threshold
+    "q_phash_neardup" ->
+      s"""WITH h AS (SELECT file_name, phash
+         |  FROM read_parquet('$mediaRoot/manifest_phash/*.parquet'))
+         |SELECT a.file_name AS id_a, b.file_name AS id_b,
+         |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS dist
+         |FROM h a JOIN h b ON a.file_name < b.file_name
+         |WHERE bit_count(xor(a.phash, b.phash)) <= 10
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_image_decode" ->
       s"""SELECT file_name, width, height, channels, pixel_checksum
          |FROM read_parquet('$mediaRoot/manifest_img/*.parquet')

@@ -559,7 +559,23 @@ object DedupOps {
     * explode-join shape as [[minhashLsh]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_)): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"),
+        simhash(col(textCol), tokenHash).as("sig")),
+      "id", "sig", maxDist)
+
+  /** All (id_a < id_b) pairs of 64-bit signatures within Hamming
+    * distance `maxDist` — the Manku blocking shared by SimHash text
+    * near-dup and perceptual-hash image near-dup (any 64-bit
+    * locality-preserving signature family): split the 64 bits into
+    * maxDist+1 chunks; a pair within distance d must agree EXACTLY on
+    * ≥ 1 chunk (pigeonhole), so candidates come from an equi-join on
+    * (chunk, value) — the same explode-join shape as [[minhashLsh]],
+    * never an all-pairs product. Candidates verify with the exact
+    * popcount distance. */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31,
       s"maxDist must be in [0, 31], got $maxDist")
     val chunks = maxDist + 1
@@ -569,8 +585,7 @@ object DedupOps {
     // blocking join into the full n² cross product
     val mask = if (width == 64) -1L else (1L << width) - 1L
     val withSig = materialized(
-      df.select(col(idCol).as("id"),
-        simhash(col(textCol), tokenHash).as("sig")))
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
     // blocking join + candidate dedup carry ONLY ids (minhashLsh
     // discipline): a pair colliding on several chunks would otherwise
     // ship its two 64-bit sigs once per collision through the distinct's

@@ -675,6 +675,116 @@ object Multimodal {
     }
   }
 
+  /** 64-bit PERCEPTUAL HASH (DCT pHash) of a decoded image — the
+    * image-near-dup fingerprint: luma → 32×32 box-average resize → 2-D
+    * DCT-II → the top-left 8×8 low-frequency block thresholded at the
+    * median of its 63 non-DC coefficients (bit per coefficient; the DC
+    * bit is forced 0 — it only encodes global brightness). Images that
+    * differ by re-encoding, mild noise, or small brightness shifts land
+    * within a few bits; structurally different images land ~32 bits
+    * apart. Deterministic: integer-exact luma from the 8-bit channels,
+    * StrictMath cosines (platform-independent), no RNG.
+    *
+    * Real math, not a stub — pairs with [[imagePhashes]] (the batched
+    * dataset form) and [[graft.dedup.DedupOps.hammingPairs]] (the Manku
+    * banded join) for corpus-scale image dedup. */
+  def perceptualHash(pixels: Array[Float], w: Int, h: Int, c: Int): Long = {
+    require(w >= 1 && h >= 1 && c >= 1,
+      s"perceptualHash needs a non-empty image, got ${w}x${h}x$c")
+    val N = 32
+    // luma from exact 8-bit values (k/255f is exact in float); channels
+    // beyond 3 ignored, mono replicates
+    def luma(x: Int, y: Int): Double = {
+      val base = (y * w + x) * c
+      def ch(i: Int): Double =
+        Math.round(pixels(base + math.min(i, c - 1)) * 255f).toDouble
+      0.299 * ch(0) + 0.587 * ch(1) + 0.114 * ch(2)
+    }
+    // box-average resize to N×N (blocks derived by integer division —
+    // deterministic, no resampling kernel)
+    val g = new Array[Double](N * N)
+    var ty = 0
+    while (ty < N) {
+      val y0 = ty * h / N
+      val y1 = math.max((ty + 1) * h / N, y0 + 1)
+      var tx = 0
+      while (tx < N) {
+        val x0 = tx * w / N
+        val x1 = math.max((tx + 1) * w / N, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += luma(x, y); x += 1 }
+          y += 1
+        }
+        g(ty * N + tx) = s / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    // separable 2-D DCT-II, only the first 8 output frequencies per axis
+    val K = 8
+    val cosT = Array.tabulate(K, N)((u, i) =>
+      StrictMath.cos(StrictMath.PI * (2 * i + 1) * u / (2.0 * N)))
+    val rows = Array.ofDim[Double](N, K) // DCT over x per row
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0
+        var x = 0
+        while (x < N) { s += g(y * N + x) * cosT(u)(x); x += 1 }
+        rows(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](K * K) // then over y per column
+    var v = 0
+    while (v < K) {
+      var u = 0
+      while (u < K) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) { s += rows(yy)(u) * cosT(v)(yy); yy += 1 }
+        coef(v * K + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val nonDc = coef.drop(1).sorted
+    val median = nonDc(nonDc.length / 2 - 1) // lower median of 63
+    var hash = 0L
+    var i = 1
+    while (i < K * K) {
+      if (coef(i) > median) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-file perceptual hashes, batched mapPartitions (the
+    * [[imageSummaries]] decode pattern; stub fallback at `w`×`h`×`c`
+    * for bytes ImageIO can't parse, so corrupt members still hash
+    * deterministically). */
+  def imagePhashes(media: Dataset[MediaRow], batchSize: Int = 32,
+      w: Int = 8, h: Int = 8, c: Int = 3): Dataset[(String, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val d = ImageIoCodec.decodeImage(m.bytes).getOrElse(
+            Decoded(m.media_id, w, h, c,
+              StubCodec.decodeImage(m.bytes, w, h, c)))
+          (fileName(m.path),
+            perceptualHash(d.pixels, d.width, d.height, d.channels))
+        }
+      }
+    }.toDF("file_name", "phash").as[(String, Long)]
+  }
+
   /** Resize decoded images by integer-factor average pooling — this part
     * is real math (not stubbed): mean over each factor×factor block per
     * channel. */

@@ -311,4 +311,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaSummary.values.toSeq.sorted ==
       viaDecode.values.toSeq.sorted)
   }
+
+  test("perceptualHash: deterministic, brightness/noise invariant on the " +
+      "fixtures, scale-robust, distinct bases far apart") {
+    import Multimodal._
+    val root = MultimodalQueries.mediaRoot
+    def hashOf(name: String): Long = {
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(s"$root/phash/$name"))
+      val d = ImageIoCodec.decodeImage(b).get
+      perceptualHash(d.pixels, d.width, d.height, d.channels)
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // decode + hash twice: bit-identical
+    assert(hashOf("ph_00.png") == hashOf("ph_00.png"))
+    // planted perturbations stay within the dedup threshold
+    assert(ham(hashOf("ph_00.png"), hashOf("ph_00_bright.png")) <= 4)
+    assert(ham(hashOf("ph_01.png"), hashOf("ph_01_noise.png")) <= 4)
+    assert(ham(hashOf("ph_02.png"), hashOf("ph_02_up2x.png")) <= 8)
+    // structurally distinct bases land far apart
+    for (i <- 0 until 6; j <- (i + 1) until 6)
+      assert(ham(hashOf(f"ph_$i%02d.png"), hashOf(f"ph_$j%02d.png")) > 10,
+        s"bases $i/$j too close")
+  }
+
+  test("hammingPairs equals the brute-force pair set on the phash corpus") {
+    import Multimodal._
+    val root = MultimodalQueries.mediaRoot
+    val media = Multimodal.readMedia(spark, s"$root/phash", "*.png")
+      .as[MediaRow]
+    val hashes = Multimodal.imagePhashes(media).toDF()
+    val banded = graft.dedup.DedupOps
+      .hammingPairs(hashes, "file_name", "phash", maxDist = 10)
+      .select("id_a", "id_b", "dist")
+      .as[(String, String, Int)].collect().toSet
+    val h = hashes.as[(String, Long)].collect()
+    val brute = (for {
+      (a, ha) <- h; (b, hb) <- h if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield (a, b, d)).toSet
+    assert(banded == brute && brute.size == 3)
+  }
 }

@@ -51,6 +51,46 @@ object MakeMediaFixtures {
     bos.toByteArray
   }
 
+  /** A STRUCTURED image (stripes + a contrasting rectangle) for the
+    * perceptual-hash fixtures — pHash is about low-frequency structure,
+    * so unlike [[makePng]]'s noise these have stable DCT signatures.
+    * `brightness` shifts every channel; `noiseAmp` sprinkles ±amp
+    * per-pixel noise; `scale` integer-upsamples (nearest) — the three
+    * perturbations a near-dup detector must shrug off. */
+  private def makeStructuredPng(idx: Int, w: Int, h: Int,
+      brightness: Int = 0, noiseAmp: Int = 0, scale: Int = 1)
+      : Array[Byte] = {
+    val img = new BufferedImage(w * scale, h * scale,
+      BufferedImage.TYPE_INT_RGB)
+    val (ks, kt) = (2 + idx % 5, 3 + (idx / 5) % 4)
+    val (rx, ry, rw, rh) = (w / 5 + idx % 3, h / 4, w / 3, h / 3)
+    var y = 0
+    while (y < h * scale) {
+      var x = 0
+      while (x < w * scale) {
+        val (sx, sy) = (x / scale, y / scale)
+        val inRect = sx >= rx && sx < rx + rw && sy >= ry && sy < ry + rh
+        def clamp(v: Int) = math.max(0, math.min(255, v))
+        val base =
+          if (inRect) 220 - ((idx * 17) % 60)
+          else (sx * ks * 255 / w + sy * kt * 128 / h) % 200
+        val noise =
+          if (noiseAmp == 0) 0
+          else ((mix(idx * 131L + 7L, (sy.toLong << 20) | sx.toLong)
+            % (2 * noiseAmp + 1)) - noiseAmp).toInt
+        val v = clamp(base + brightness + noise)
+        val g2 = clamp(v + (if (inRect) -30 else 20))
+        val b2 = clamp(255 - v)
+        img.setRGB(x, y, (v << 16) | (g2 << 8) | b2)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   private def makeWav(idx: Int, rate: Int, channels: Int, nFrames: Int)
       : Array[Byte] = {
     val raw = new Array[Byte](nFrames * channels * 2)
@@ -232,6 +272,27 @@ object MakeMediaFixtures {
         "img_91_truncated.png"
       })
 
+    // ---- perceptual-hash family: 6 structurally DISTINCT base images
+    // + 3 perturbed near-dups (brightness shift, pixel noise, 2×
+    // upscale) — the corpus q_phash/q_phash_neardup runs on. Structured
+    // content (stripes+rectangle), NOT noise: pHash fingerprints
+    // low-frequency structure.
+    val phashFiles = (0 until 6).map { i =>
+      val name = f"ph_$i%02d.png"
+      write(new File(root, s"phash/$name"),
+        makeStructuredPng(i, 48, 36))
+      name
+    } ++ Seq(
+      { write(new File(root, "phash/ph_00_bright.png"),
+          makeStructuredPng(0, 48, 36, brightness = 4))
+        "ph_00_bright.png" },
+      { write(new File(root, "phash/ph_01_noise.png"),
+          makeStructuredPng(1, 48, 36, noiseAmp = 3))
+        "ph_01_noise.png" },
+      { write(new File(root, "phash/ph_02_up2x.png"),
+          makeStructuredPng(2, 48, 36, scale = 2))
+        "ph_02_up2x.png" })
+
     // ---- audio: 6 valid WAVs (rates × channel layouts) + 1 undecodable
     val clips = Seq((8000, 1, 400), (8000, 2, 320), (16000, 1, 800),
       (16000, 2, 512), (44100, 1, 2205), (44100, 2, 1024))
@@ -357,9 +418,21 @@ object MakeMediaFixtures {
           px.length.toLong, Multimodal.pixelChecksum(px)) }
     }
 
+    val phashRows = phashFiles.sorted.map { name =>
+      val b = bytesOf("phash", name)
+      val d = Multimodal.ImageIoCodec.decodeImage(b).getOrElse(
+        Multimodal.Decoded(0L, 8, 8, 3,
+          Multimodal.StubCodec.decodeImage(b, 8, 8, 3)))
+      (name, Multimodal.perceptualHash(d.pixels, d.width, d.height,
+        d.channels))
+    }
+
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
+    phashRows.toDF("file_name", "phash").coalesce(1).write
+      .mode("overwrite")
+      .parquet(new File(root, "manifest_phash").getPath)
     imgRows.toDS().coalesce(1).write.mode("overwrite")
       .parquet(new File(root, "manifest_img").getPath)
     wavRows.toDS().coalesce(1).write.mode("overwrite")
