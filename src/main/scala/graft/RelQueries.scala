@@ -799,6 +799,16 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: multi-touch attribution — first/last/linear channel
+    //    credit per purchase conversion, credit window resetting at each
+    //    conversion; exact integer credits (floor micro-units per
+    //    (conversion, channel)), '(direct)' for touchless conversions
+    "q_attribution" -> ((s, dir) => {
+      graft.analytics.EventFunnel.attribution(events(s, dir),
+          "user_id", "event_type", "ts_us", "event_id", "purchase")
+        .orderBy(col("channel"))
+    }),
+
     // -- [EXT]: CUPED variance-reduced A/B readout — per-user spend
     //    adjusted by activity count (the pooled Deng et al. estimator);
     //    unit metrics in portable micro fixed point, power sums exact
@@ -1645,6 +1655,58 @@ object RelQueries {
         |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
         |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
         |FROM a ORDER BY variant""".stripMargin,
+
+    // the reverse running conversion count forms (touches…, conversion)
+    // groups; first/last via tie-broken row_numbers (the engine's
+    // min_by/max_by over (ts, eid) structs — same total order)
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+        |    event_id AS eid
+        |  FROM events),
+        |g AS (SELECT *, sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY u ORDER BY ts, eid
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS grp
+        |      FROM e),
+        |gg AS (SELECT * FROM g WHERE grp >= 1),
+        |tch AS (SELECT * FROM gg WHERE t <> 'purchase'),
+        |fr AS (SELECT u, grp, t,
+        |         row_number() OVER (PARTITION BY u, grp
+        |           ORDER BY ts, eid) AS rf,
+        |         row_number() OVER (PARTITION BY u, grp
+        |           ORDER BY ts DESC, eid DESC) AS rl
+        |       FROM tch),
+        |pc AS (SELECT u, grp, CAST(count(*) AS BIGINT) AS n FROM tch
+        |       GROUP BY 1, 2),
+        |pcf AS (SELECT pc.u, pc.grp, pc.n,
+        |          f.t AS f, l.t AS l
+        |        FROM pc
+        |        JOIN fr f ON f.u = pc.u AND f.grp = pc.grp AND f.rf = 1
+        |        JOIN fr l ON l.u = pc.u AND l.grp = pc.grp AND l.rl = 1),
+        |cv AS (SELECT gg.u, gg.grp, pcf.n, pcf.f, pcf.l FROM gg
+        |       LEFT JOIN pcf ON gg.u = pcf.u AND gg.grp = pcf.grp
+        |       WHERE gg.t = 'purchase'),
+        |fi AS (SELECT COALESCE(f, '(direct)') AS channel,
+        |         CAST(count(*) AS BIGINT) AS n_first FROM cv GROUP BY 1),
+        |la AS (SELECT COALESCE(l, '(direct)') AS channel,
+        |         CAST(count(*) AS BIGINT) AS n_last FROM cv GROUP BY 1),
+        |lt AS (SELECT tch.u, tch.grp, tch.t AS channel,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM tch GROUP BY 1, 2, 3),
+        |lm AS (SELECT channel, (cnt * 1000000) // n AS m
+        |       FROM lt JOIN pc ON lt.u = pc.u AND lt.grp = pc.grp
+        |       UNION ALL
+        |       SELECT '(direct)', 1000000 FROM cv WHERE n IS NULL),
+        |li AS (SELECT channel, CAST(sum(m) AS BIGINT) AS linear_x1e6
+        |       FROM lm GROUP BY 1)
+        |SELECT channel,
+        |  COALESCE(n_first, 0) AS n_first,
+        |  COALESCE(n_last, 0) AS n_last,
+        |  COALESCE(linear_x1e6, 0) AS linear_x1e6
+        |FROM fi
+        |FULL JOIN la USING (channel)
+        |FULL JOIN li USING (channel)
+        |ORDER BY channel""".stripMargin,
 
     // unit-level micro quantization, pooled θ/x̄ from exact HUGEINT power
     // sums, the identical closed-form double sequence as the operator

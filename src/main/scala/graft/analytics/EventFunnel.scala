@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -189,6 +189,76 @@ object EventFunnel {
       .filter(col("_rn") <= maxEvents)
       .groupBy(col("_u")).agg(pathCol.as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** MULTI-TOUCH ATTRIBUTION — the marketing/channel-credit census over
+    * an event log: every `convType` event is a conversion; the touches
+    * credited to it are the same user's non-conversion events since the
+    * user's PREVIOUS conversion (credit resets per conversion — the
+    * standard model). One row per channel (touch event type) with
+    * `n_first` / `n_last` (conversions whose first/last touch was this
+    * channel) and `linear_x1e6` (each conversion splits 1e6 micro-units
+    * equally across its touches, floor per (conversion, channel) —
+    * exact integers, deterministic). Conversions with NO preceding
+    * touches credit the synthetic `(direct)` channel in all three
+    * columns. Touch order (and first/last ties) resolve by
+    * (`tsUsCol`, `orderCol`) — orderCol must be a unique event id.
+    *
+    * Shape: ONE per-user window pass assigns every row to its next
+    * conversion (a reverse running count — no per-user array state),
+    * then (user, conversion)-keyed hash aggregates and a channel
+    * rollup. Nothing holds a user's history in memory; skew is bounded
+    * by events-per-(user, conversion-gap). */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsUsCol: String, orderCol: String, convType: String): DataFrame = {
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+    // conversions at-or-after each row: rows sharing a value form one
+    // (touches…, conversion) group; rows after the user's last
+    // conversion have 0 and drop
+    val grouped = events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
+      .withColumn("_g", sum(when(col("_t") === convType, 1L)
+          .otherwise(0L))
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("_g") >= 1)
+    val touches = grouped.filter(col("_t") =!= convType)
+    // per conversion: touch count + first/last channel by (ts, id)
+    val perConv = touches.groupBy(col("_u"), col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        min_by(col("_t"), struct(col("_ts"), col("_eid"))).as("_first"),
+        max_by(col("_t"), struct(col("_ts"), col("_eid"))).as("_last"))
+    val convs = grouped.filter(col("_t") === convType)
+      .select(col("_u"), col("_g"))
+      .join(perConv, Seq("_u", "_g"), "left")
+    // firsts/lasts: direct conversions (no touches) credit "(direct)"
+    def credit(c: Column) = coalesce(c, lit("(direct)"))
+    val firsts = convs.groupBy(credit(col("_first")).as("channel"))
+      .agg(count(lit(1)).as("n_first"))
+    val lasts = convs.groupBy(credit(col("_last")).as("channel"))
+      .agg(count(lit(1)).as("n_last"))
+    // linear: channel's share of each conversion = cnt/n in floor
+    // micro-units; direct conversions carry the full 1e6
+    val linTouch = touches.groupBy(col("_u"), col("_g"),
+        col("_t").as("channel"))
+      .agg(count(lit(1)).as("_cnt"))
+      .join(perConv.select(col("_u"), col("_g"), col("_n")),
+        Seq("_u", "_g"))
+      .select(col("channel"),
+        graft.ops.Fixed.ldiv(col("_cnt") * lit(1000000L), col("_n"))
+          .as("_m"))
+    val linDirect = convs.filter(col("_n").isNull)
+      .select(lit("(direct)").as("channel"), lit(1000000L).as("_m"))
+    val linear = linTouch.unionByName(linDirect)
+      .groupBy(col("channel"))
+      .agg(sum(col("_m")).as("linear_x1e6"))
+    firsts.join(lasts, Seq("channel"), "full_outer")
+      .join(linear, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_last"), lit(0L)).as("n_last"),
+        coalesce(col("linear_x1e6"), lit(0L)).as("linear_x1e6"))
   }
 
   /** Event TRANSITION MATRIX — the Markov-chain / sankey backend of

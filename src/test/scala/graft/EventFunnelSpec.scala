@@ -249,4 +249,31 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(!rs.head.isNullAt(4) && rs.head.isNullAt(5))
     assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
+
+  test("attribution: first/last/linear credit with per-conversion reset, " +
+      "(direct) for touchless conversions, trailing touches uncredited") {
+    // user 1: ad,email → BUY | ad → BUY | (nothing) → BUY | ad (dropped)
+    // user 2: touches only, no conversion → no credit at all
+    val ev = Seq(
+      (1L, "ad", 10L, 101L), (1L, "email", 20L, 102L),
+      (1L, "purchase", 30L, 103L),
+      (1L, "ad", 40L, 104L), (1L, "purchase", 50L, 105L),
+      (1L, "purchase", 60L, 106L),
+      (1L, "ad", 70L, 107L),
+      (2L, "ad", 10L, 201L), (2L, "email", 20L, 202L)
+    ).toDF("user_id", "event_type", "ts_us", "event_id")
+    val r = EventFunnel.attribution(ev, "user_id", "event_type", "ts_us",
+        "event_id", "purchase")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("ad", "email", "(direct)"))
+    val ad = r("ad")
+    assert(ad.getLong(1) == 2L && ad.getLong(2) == 1L &&
+      ad.getLong(3) == 1500000L)
+    val em = r("email")
+    assert(em.getLong(1) == 0L && em.getLong(2) == 1L &&
+      em.getLong(3) == 500000L)
+    val d = r("(direct)")
+    assert(d.getLong(1) == 1L && d.getLong(2) == 1L &&
+      d.getLong(3) == 1000000L)
+  }
 }

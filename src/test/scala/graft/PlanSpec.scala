@@ -464,4 +464,38 @@ class PlanSpec extends AnyFunSuite {
     val win = plan("q_winsorize")
     assert(win.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$win")
   }
+
+  test("round-8 analytics: OLS one aggregate, Cramér broadcast marginals, " +
+      "gini/auc single rank exchange, no cartesian anywhere") {
+    // grouped OLS: exactly one data-sized hash exchange (the partial/
+    // final aggregate pair) — power sums never re-shuffle
+    val ols = plan("q_ols_group")
+    assert("Exchange hashpartitioning".r.findAllIn(ols).length == 1,
+      s"OLS grew extra exchanges:\n$ols")
+    // Cramér's V: the marginal/total joins ride broadcasts, the data
+    // shuffles only into the (x, y) cell aggregate
+    val cv = plan("q_cramers_v")
+    assert(cv.contains("BroadcastHashJoin") ||
+      cv.contains("BroadcastNestedLoopJoin"),
+      s"cramersV marginals not broadcast:\n$cv")
+    assert(!cv.contains("CartesianProduct"), s"cartesian in cramersV:\n$cv")
+    // gini / auc: the rank window needs ONE range exchange on the group;
+    // the aggregate reuses the windowed partitioning (no second
+    // data-sized hash exchange on the same key)
+    for (q <- Seq("q_gini", "q_auc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+      assert("Exchange rangepartitioning".r.findAllIn(p).length <= 1,
+        s"$q re-sorts more than once:\n$p")
+    }
+    // triangles: every join hash-based (the wedge join + closing
+    // semi-join must never degrade to a nested loop)
+    val tri = plan("q_triangles")
+    assert(!tri.contains("CartesianProduct") &&
+      !tri.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins degraded:\n$tri")
+    // calibration: one hash aggregate over the bin key
+    val cal = plan("q_calibration")
+    assert(!cal.contains("CartesianProduct"))
+  }
 }
