@@ -71,6 +71,14 @@ object RelQueries {
         .orderBy(col("cohort_period"), col("k"))
     }),
 
+    // -- [EXT]: cohort LTV curve — daily cohorts, exact micro-unit
+    //    revenue, cumulative + per-member lifetime value
+    "q_ltv_curve" -> ((s, dir) => {
+      EventFunnel.ltvCurve(events(s, dir), "user_id", "ts_us",
+          "value", periodUs = 86400000000L)
+        .orderBy(col("cohort_period"), col("k"))
+    }),
+
     // -- [EXT] §2.6: global sort + limit (TakeOrderedAndProject — top-k on
     //    each partition then k-merge on the driver, never a full sort)
     "q_sort_limit" -> ((s, dir) => {
@@ -1993,6 +2001,29 @@ object RelQueries {
         |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
 
     // exact integer day buckets (epoch_us // day) on both sides
+    // micro-exact revenue, per-cohort running sum, floor-divided LTV
+    "q_ltv_curve" ->
+      """WITH c AS (
+        |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_period
+        |  FROM events GROUP BY 1),
+        |sz AS (SELECT cohort_period, CAST(count(*) AS BIGINT)
+        |         AS cohort_size FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort_period,
+        |        (epoch_us(e.ts) // 86400000000) - c.cohort_period AS k,
+        |        CAST(COALESCE(SUM(CAST(floor(e.value * 1000000.0)
+        |          AS BIGINT)), 0) AS BIGINT) AS revenue_x1e6
+        |      FROM events e JOIN c USING (user_id)
+        |      GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(revenue_x1e6) OVER (
+        |          PARTITION BY cohort_period ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum_revenue_x1e6
+        |        FROM r)
+        |SELECT cohort_period, k, revenue_x1e6, cum_revenue_x1e6,
+        |  cohort_size, cum_revenue_x1e6 // cohort_size AS ltv_per_user_x1e6
+        |FROM cum JOIN sz USING (cohort_period)
+        |ORDER BY cohort_period, k""".stripMargin,
+
     "q_retention" ->
       """WITH c AS (
         |  SELECT user_id, min(epoch_us(ts) // 86400000000) AS cohort_period

@@ -304,6 +304,48 @@ object EventFunnel {
     * user-keyed, then a (cohort, k) count. Both exchanges are map-side
     * combined; the cohort-size join is a (cohort)-keyed broadcast
     * (one row per period). Nothing holds per-user history. */
+  /** Cohort LTV CURVE — the revenue companion of [[retention]]: users
+    * cohorted by the period of their FIRST event; for each (cohort,
+    * offset k) the period's revenue, the cohort's CUMULATIVE revenue
+    * through k, and cumulative revenue per cohort member (the
+    * lifetime-value curve payback analyses read off). All monetary
+    * figures are exact integer micro-units (per-event `floor(v·1e6)`,
+    * long sums, floor division for the per-user figure); NULL-value
+    * events still define cohorts but contribute no revenue. Offsets
+    * with zero activity emit no row (sparse form — the cumulative
+    * column jumps across gaps).
+    *
+    * Shape: one (cohort derivation) user aggregate + one (cohort, k)
+    * revenue aggregate + a per-cohort running-sum window over ≤
+    * #periods rows per cohort (k-sized, never data-sized) + a
+    * broadcast cohort-size join. */
+  def ltvCurve(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val period = expr(s"$tsUsCol DIV $periodUs")
+    val cohorts = events.groupBy(col(userCol).as("_u"))
+      .agg(min(period).as("cohort_period"))
+    val sizes = cohorts.groupBy(col("cohort_period"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val rev = events
+      .select(col(userCol).as("_u"), period.as("_p"),
+        floor(col(valueCol).cast("double") * lit(1e6)).as("_m"))
+      .join(cohorts, Seq("_u"))
+      .groupBy(col("cohort_period"),
+        (col("_p") - col("cohort_period")).as("k"))
+      .agg(coalesce(sum(col("_m")), lit(0L)).as("revenue_x1e6"))
+    val w = Window.partitionBy(col("cohort_period")).orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev
+      .withColumn("cum_revenue_x1e6", sum(col("revenue_x1e6")).over(w))
+      .join(broadcast(sizes), Seq("cohort_period"))
+      .withColumn("ltv_per_user_x1e6",
+        graft.ops.Fixed.ldiv(col("cum_revenue_x1e6"), col("cohort_size")))
+      .select(col("cohort_period"), col("k"), col("revenue_x1e6"),
+        col("cum_revenue_x1e6"), col("cohort_size"),
+        col("ltv_per_user_x1e6"))
+  }
+
   def retention(events: DataFrame, userCol: String, tsUsCol: String,
       periodUs: Long): DataFrame = {
     require(periodUs > 0, s"periodUs must be positive, got $periodUs")

@@ -250,6 +250,29 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
 
+  test("ltvCurve: exact micro revenue, cumulative across sparse offsets, " +
+      "per-member floor division, null-value events cohort but don't pay") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L * day + 5L, Some(1.5)),   // cohort 0, k 0
+      (1L, 2L * day + 5L, Some(2.25)),  // cohort 0, k 2 (k=1 absent)
+      (2L, 0L * day + 9L, Some(0.5)),   // cohort 0, k 0
+      (3L, 1L * day + 1L, Option.empty[Double]) // cohort 1, no revenue
+    ).toDF("user_id", "ts_us", "value")
+    val r = EventFunnel.ltvCurve(ev, "user_id", "ts_us", "value", day)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    assert(r.keySet == Set((0L, 0L), (0L, 2L), (1L, 0L)))
+    val k0 = r((0L, 0L))
+    assert(k0.getLong(2) == 2000000L && k0.getLong(3) == 2000000L)
+    assert(k0.getLong(4) == 2L && k0.getLong(5) == 1000000L)
+    val k2 = r((0L, 2L))
+    assert(k2.getLong(2) == 2250000L && k2.getLong(3) == 4250000L)
+    assert(k2.getLong(5) == 2125000L)
+    val c1 = r((1L, 0L))
+    assert(c1.getLong(2) == 0L && c1.getLong(4) == 1L &&
+      c1.getLong(5) == 0L)
+  }
+
   test("attribution: first/last/linear credit with per-conversion reset, " +
       "(direct) for touchless conversions, trailing touches uncredited") {
     // user 1: ad,email → BUY | ad → BUY | (nothing) → BUY | ad (dropped)
