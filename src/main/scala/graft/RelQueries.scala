@@ -807,6 +807,18 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: numeric drift — the binned-PSI monitor for a continuous
+    //    column (event value, even vs odd event ids): equal-width bins
+    //    over the pooled range, Laplace-smoothed micro rates, psi_terms
+    "q_numeric_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.analytics.Profiler.numericDrift(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1),
+          "value", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // -- [EXT]: multi-touch attribution — first/last/linear channel
     //    credit per purchase conversion, credit window resetting at each
     //    conversion; exact integer credits (floor micro-units per
@@ -1663,6 +1675,40 @@ object RelQueries {
         |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
         |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
         |FROM a ORDER BY variant""".stripMargin,
+
+    // pooled-extreme equal-width binning as a fixed double-op sequence,
+    // then the exact q_drift_psi machinery over bin ids
+    "q_numeric_drift" ->
+      """WITH v AS (
+        |  SELECT event_id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+        |f AS (SELECT CASE WHEN hi = lo THEN 0
+        |        ELSE CAST(least(floor((v - lo) * 10 / (hi - lo)), 9)
+        |          AS INT) END AS bin,
+        |        event_id % 2 = 0 AS a_side
+        |      FROM v CROSS JOIN mm),
+        |c AS (SELECT bin,
+        |        CAST(sum(CASE WHEN a_side THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN NOT a_side THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_b
+        |      FROM f GROUP BY 1),
+        |s AS (SELECT sum(n_a) AS na, sum(n_b) AS nb, count(*) AS k FROM c),
+        |r AS (SELECT bin, n_a, n_b,
+        |        CAST(((n_a + 1) * 1000000) // (na + k) AS BIGINT)
+        |          AS rate_a_x1e6,
+        |        CAST(((n_b + 1) * 1000000) // (nb + k) AS BIGINT)
+        |          AS rate_b_x1e6,
+        |        (n_a + 1)::DOUBLE / (na + k)::DOUBLE AS ra,
+        |        (n_b + 1)::DOUBLE / (nb + k)::DOUBLE AS rb
+        |      FROM c CROSS JOIN s)
+        |SELECT bin,
+        |  round(lo + bin * ((hi - lo) / 10), 6) AS bin_lo,
+        |  round(lo + (bin + 1) * ((hi - lo) / 10), 6) AS bin_hi,
+        |  n_a, n_b, rate_a_x1e6, rate_b_x1e6,
+        |  round((ra - rb) * ln(ra / rb), 6) AS psi_term
+        |FROM r CROSS JOIN mm ORDER BY bin""".stripMargin,
 
     // the reverse running conversion count forms (touches…, conversion)
     // groups; first/last via tie-broken row_numbers (the engine's

@@ -509,6 +509,44 @@ object Profiler {
     * one shuffle on the category key), aggregate counts per side,
     * broadcast the three scalars (Na, Nb, K). NULL categories count as
     * a real category (the null rate drifting IS drift). */
+  /** NUMERIC drift between two snapshots — [[categoricalDrift]]'s PSI
+    * machinery over a CONTINUOUS column: equal-width bins over the
+    * pooled [min, max] (one broadcast scalar pass; the last bin is
+    * closed so the max lands inside), then per-bin counts, Laplace-
+    * smoothed micro-unit rates, and psi_terms exactly as the
+    * categorical form (Σ psi_term = the PSI). One row per NON-EMPTY
+    * bin with its [bin_lo, bin_hi) bounds rounded at 6; NULL and NaN
+    * values drop; a degenerate pooled range (min == max) collapses to
+    * one bin. The bin assignment is a fixed double-op sequence from
+    * the pooled extremes, so an external engine reproduces it exactly.
+    *
+    * Shape: the categorical machinery plus one broadcast min/max —
+    * still one data shuffle (the bin-keyed count). */
+  def numericDrift(a: DataFrame, b: DataFrame, colName: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val v = col(s"`$colName`").cast("double")
+    def clean(df: DataFrame) = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+    val (aa, bb) = (clean(a), clean(b))
+    val mm = broadcast(aa.unionByName(bb)
+      .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")))
+    def binned(df: DataFrame) = df.crossJoin(mm).select(
+      when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(least(
+          floor((col("_v") - col("_lo")) * lit(bins)
+            / (col("_hi") - col("_lo"))), lit(bins - 1L)))
+        .cast("int").as("_bin"))
+    val width = (col("_hi") - col("_lo")) / lit(bins)
+    categoricalDrift(binned(aa), binned(bb), "_bin")
+      .crossJoin(mm)
+      .select(col("category").as("bin"),
+        round(col("_lo") + col("category") * width, 6).as("bin_lo"),
+        round(col("_lo") + (col("category") + 1) * width, 6).as("bin_hi"),
+        col("n_a"), col("n_b"),
+        col("rate_a_x1e6"), col("rate_b_x1e6"), col("psi_term"))
+  }
+
   def categoricalDrift(a: DataFrame, b: DataFrame,
       colName: String): DataFrame = {
     val tagged = a.select(col(colName).as("_cat"), lit(0).as("_side"))

@@ -77,6 +77,31 @@ class RegressionSpec extends AnyFunSuite {
     assert(r("zeros").isNullAt(3))
   }
 
+  test("numericDrift: identical sides zero every psi_term, a shift " +
+      "yields positive PSI, max lands in the top bin, constant range " +
+      "collapses to one bin") {
+    val a = (0 to 100).map(i => i.toDouble / 10.0).toDF("v")
+    val same = Profiler.numericDrift(a, a, "v", bins = 10).collect()
+    assert(same.nonEmpty)
+    assert(same.forall(r => r.getDouble(7) == 0.0), "identical sides")
+    // the pooled max (10.0) sits INSIDE bin 9, not a phantom bin 10
+    assert(same.map(_.getInt(0)).max == 9)
+    assert(same.map(_.getInt(0)).toSet.size == same.length)
+
+    val b = (0 to 100).map(i => 5.0 + i.toDouble / 20.0).toDF("v")
+    val drift = Profiler.numericDrift(a, b, "v", bins = 10)
+      .agg(sum(col("psi_term"))).head.getDouble(0)
+    assert(drift > 0.1, s"shifted distribution PSI too small: $drift")
+
+    val const = Seq(3.0, 3.0).toDF("v")
+    val c = Profiler.numericDrift(const, const, "v").collect()
+    assert(c.length == 1 && c.head.getInt(0) == 0)
+
+    val dirty = Seq(Some(1.0), None, Some(Double.NaN), Some(2.0)).toDF("v")
+    val d = Profiler.numericDrift(dirty, dirty, "v", bins = 2).collect()
+    assert(d.map(r => r.getLong(3)).sum == 2L) // only the 2 finite rows
+  }
+
   test("gini: tie order between equal values cannot change the result") {
     val a = Seq(("g", 2.0), ("g", 1.0), ("g", 2.0), ("g", 3.0))
     val results = (1 to 3).map { i =>
