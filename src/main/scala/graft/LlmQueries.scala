@@ -57,6 +57,17 @@ object LlmQueries {
     //    COLUMNS: CollapseProject keeps non-cheap expressions referenced
     //    more than once in their own project, so each interpreted
     //    higher-order ratio evaluates exactly once per row.
+    // -- [EXT]: Flesch readability per document — deterministic
+    //    word/sentence/vowel-group counts, the classic 206.835 formula
+    "q_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.readability(col("text")).as("_r"))
+        .select(col("doc_id"), col("_r.n_words"), col("_r.n_sentences"),
+          col("_r.n_syllables"), col("_r.flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       val txt = col("text")
       t(s, dir, "documents").select(
@@ -1110,6 +1121,28 @@ object LlmQueries {
          |)
          |SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist FROM pairs
          |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // the same three surrogate counts (whitespace words, [.!?]+ runs,
+    // [aeiouy]+ runs) and the same fixed double sequence
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) > 0 THEN
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    ELSE 0 END AS n_words,
+        |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS syl_raw
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_words, n_sentences,
+        |        greatest(syl_raw, n_words) AS n_syllables FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+        |          - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6)
+        |  END AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       s"""SELECT doc_id, n_tokens, n_bpe_tokens,

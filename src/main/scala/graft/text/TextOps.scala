@@ -119,6 +119,36 @@ object TextOps {
     * is engine-specific), so this IS oracle-verifiable. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** FLESCH READING EASE — the classic readability screen for corpus
+    * curation (too-hard / too-trivial documents): 206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/words). All three
+    * counts are simple deterministic surrogates an external engine
+    * reproduces exactly: words = whitespace tokens, sentences =
+    * terminator runs `[.!?]+` (min 1 — unterminated text is one
+    * sentence), syllables = vowel-group runs `[aeiouy]+` of the
+    * lowercased text (min 1 per word, floored at n_words). Returns a
+    * struct (n_words, n_sentences, n_syllables, flesch) with flesch
+    * rounded at 6; empty/blank text yields NULL flesch. */
+  def readability(text: Column): Column = {
+    val nWords = when(length(trim(text)) > 0,
+      size(split(trim(text), "\\s+")).cast("long")).otherwise(lit(0L))
+    val nSent = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+    // vowel-group surrogate, floored at one syllable per word
+    val nSyl = greatest(
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("long"),
+      nWords)
+    val (w, s, y) =
+      (nWords.cast("double"), nSent.cast("double"), nSyl.cast("double"))
+    struct(
+      nWords.as("n_words"), nSent.as("n_sentences"), nSyl.as("n_syllables"),
+      when(nWords > 0, round(
+        lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / w), 6))
+        .as("flesch"))
+  }
+
   /** RE2-safe PII patterns (no lookarounds ⇒ identical semantics in Java
     * regex and DuckDB's RE2) — the pre-training scrub pass. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

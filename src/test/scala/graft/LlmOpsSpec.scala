@@ -1226,4 +1226,25 @@ class LlmOpsSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect().toSeq
     assert(lsh == brute)
   }
+
+  test("readability: hand-checked counts, syllable floor, blank NULL") {
+    val df = Seq(
+      (1L, "Hello world! How are you?"),
+      (2L, "a b."),      // raw vowel groups (1) floor up to n_words (2)
+      (3L, "no terminator here"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", graft.text.TextOps.readability($"text").as("r"))
+      .select($"doc_id", $"r.n_words", $"r.n_sentences",
+        $"r.n_syllables", $"r.flesch")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val h = df(1L)
+    // hello(2) world(1) how(1) are(2) you(1) = 7 vowel runs
+    assert(h.getLong(1) == 5L && h.getLong(2) == 2L && h.getLong(3) == 7L)
+    val expected = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (7.0 / 5.0)
+    assert(math.abs(h.getDouble(4) - expected) < 1e-6)
+    assert(df(2L).getLong(3) == 2L)
+    assert(df(3L).getLong(2) == 1L) // unterminated = one sentence
+    assert(df(4L).getLong(1) == 0L && df(4L).isNullAt(4))
+  }
 }
