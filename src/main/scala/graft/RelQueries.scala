@@ -807,6 +807,16 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: two-sample Kolmogorov–Smirnov — exact rational max-CDF-
+    //    gap between the even/odd event-id value distributions (the
+    //    binning-free companion to q_numeric_drift)
+    "q_ks_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.analytics.Profiler.ksTest(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1), "value")
+    }),
+
     // -- [EXT]: numeric drift — the binned-PSI monitor for a continuous
     //    column (event value, even vs odd event ids): equal-width bins
     //    over the pooled range, Laplace-smoothed micro rates, psi_terms
@@ -1675,6 +1685,39 @@ object RelQueries {
         |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
         |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
         |FROM a ORDER BY variant""".stripMargin,
+
+    // exact integer CDF cross-multiplication per distinct value
+    // (HUGEINT ≡ the engine's decimal(38,0)), one floor division
+    "q_ks_test" ->
+      """WITH v AS (
+        |  SELECT value::DOUBLE AS v, event_id % 2 = 0 AS a_side
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |c AS (SELECT v,
+        |        sum(CASE WHEN a_side THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN NOT a_side THEN 1 ELSE 0 END) AS cb
+        |      FROM v GROUP BY 1),
+        |cum AS (SELECT v,
+        |          sum(ca) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa,
+        |          sum(cb) OVER (ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb
+        |        FROM c),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |        CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+        |d AS (SELECT n_a, n_b,
+        |        max(abs(CAST(fa AS HUGEINT) * n_b
+        |                - CAST(fb AS HUGEINT) * n_a)) AS maxd
+        |      FROM cum CROSS JOIN t GROUP BY 1, 2)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST((maxd * 1000000) // (CAST(n_a AS HUGEINT) * n_b)
+        |      AS BIGINT) END AS ks_x1e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (CAST((maxd * 1000000) // (CAST(n_a AS HUGEINT) * n_b)
+        |       AS BIGINT))::DOUBLE / 1000000.0 >
+        |    1.358 * sqrt((n_a + n_b)::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE))
+        |  END AS significant_05
+        |FROM d""".stripMargin,
 
     // pooled-extreme equal-width binning as a fixed double-op sequence,
     // then the exact q_drift_psi machinery over bin ids

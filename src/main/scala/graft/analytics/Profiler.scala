@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -509,6 +510,58 @@ object Profiler {
     * one shuffle on the category key), aggregate counts per side,
     * broadcast the three scalars (Na, Nb, K). NULL categories count as
     * a real category (the null rate drifting IS drift). */
+  /** Two-sample KOLMOGOROV–SMIRNOV statistic — the binning-free
+    * companion to [[numericDrift]]: D = max over values of
+    * |F_a(v) − F_b(v)| between the two sides' empirical CDFs. Returns
+    * ONE row: `n_a`, `n_b`, `ks_x1e6` (the exact rational
+    * max|ca·nb − cb·na| / (na·nb) in floor micro-units — no doubles
+    * anywhere, so the statistic is engine-exact), and `significant_05`
+    * (D > 1.358·√((na+nb)/(na·nb)), the asymptotic two-sided p<.05
+    * line, evaluated in doubles from the exact integers). NULL/NaN
+    * values drop; an empty side yields NULL ks.
+    *
+    * Exactness: the CDF comparison cross-multiplies the exact
+    * cumulative counts into decimal(38,0) per DISTINCT value (the
+    * post-aggregate table, ≪ data), so no n²-scaled integer ever needs
+    * to fit a long.
+    *
+    * Shape: one value-keyed count aggregate, one running-sum window
+    * over the distinct-value table ordered by value, one max — the
+    * data-sized work is the first aggregate. */
+  def ksTest(a: DataFrame, b: DataFrame, colName: String): DataFrame = {
+    val v = col(s"`$colName`").cast("double")
+    def clean(df: DataFrame, side: Int) = df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .withColumn("_side", lit(side))
+    val counts = clean(a, 0).unionByName(clean(b, 1))
+      .groupBy(col("_v"))
+      .agg(sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("_fa", sum(col("_ca")).over(w))
+      .withColumn("_fb", sum(col("_cb")).over(w))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tot = broadcast(counts.agg(
+      sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b")))
+    val d = cum.crossJoin(tot)
+      .select(col("n_a"), col("n_b"),
+        abs(dec(col("_fa")) * dec(col("n_b")) -
+          dec(col("_fb")) * dec(col("n_a"))).as("_d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("_d")).as("_maxd"))
+    d.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        ldiv(col("_maxd") * lit(1000000L).cast("decimal(38,0)"),
+          dec(col("n_a")) * dec(col("n_b")))).as("ks_x1e6"))
+      .withColumn("significant_05",
+        when(col("ks_x1e6").isNotNull,
+          col("ks_x1e6").cast("double") / lit(1e6) >
+            lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double")
+              / (col("n_a").cast("double") * col("n_b").cast("double")))))
+  }
+
   /** NUMERIC drift between two snapshots — [[categoricalDrift]]'s PSI
     * machinery over a CONTINUOUS column: equal-width bins over the
     * pooled [min, max] (one broadcast scalar pass; the last bin is

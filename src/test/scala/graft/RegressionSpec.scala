@@ -102,6 +102,25 @@ class RegressionSpec extends AnyFunSuite {
     assert(d.map(r => r.getLong(3)).sum == 2L) // only the 2 finite rows
   }
 
+  test("ksTest: identical 0, disjoint 1, half-shift 1/2 exact; empty " +
+      "side NULL; null/NaN drop") {
+    def ks(a: Seq[Double], b: Seq[Double]): org.apache.spark.sql.Row =
+      Profiler.ksTest(a.toDF("v"), b.toDF("v"), "v").head
+    val same = ks(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))
+    assert(same.getLong(2) == 0L && !same.getBoolean(3))
+    assert(ks(Seq(1.0, 2.0), Seq(3.0, 4.0)).getLong(2) == 1000000L)
+    // max gap at v=2: F_a=1/2, F_b=0 → D = 1/2 exactly
+    assert(ks(Seq(1.0, 2.0, 3.0, 4.0), Seq(3.0, 4.0, 5.0, 6.0))
+      .getLong(2) == 500000L)
+    val dirty = Profiler.ksTest(
+      Seq(Some(1.0), None, Some(Double.NaN)).toDF("v"),
+      Seq(Some(1.0)).toDF("v"), "v").head
+    assert(dirty.getLong(0) == 1L && dirty.getLong(2) == 0L)
+    val empty = Profiler.ksTest(
+      Seq.empty[Double].toDF("v"), Seq(1.0).toDF("v"), "v").head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2))
+  }
+
   test("gini: tie order between equal values cannot change the result") {
     val a = Seq(("g", 2.0), ("g", 1.0), ("g", 2.0), ("g", 3.0))
     val results = (1 to 3).map { i =>
