@@ -843,9 +843,13 @@ object RelQueries {
     //    adjusted by activity count (the pooled Deng et al. estimator);
     //    unit metrics in portable micro fixed point, power sums exact
     "q_cuped" -> ((s, dir) => {
+      // non-finite spend maps to NULL (contributes nothing) — floor(NaN)
+      // silently lands 0 in Spark but errors DuckDB's BIGINT cast
+      val v = col("value").cast("double")
+      val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
       val units = t(s, dir, "events")
         .groupBy(col("user_id"))
-        .agg((sum(floor(col("value") * lit(1e6))).cast("double")
+        .agg((sum(floor(fin * lit(1e6))).cast("double")
             / lit(1e6)).as("y"),
           count(lit(1)).as("x"))
         .withColumn("_isb", col("user_id") % 2 === 1)
@@ -1623,7 +1627,8 @@ object RelQueries {
     "q_cramers_v" ->
       """WITH c AS (
         |  SELECT source AS x, lang AS y, count(*) AS n_xy
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
         |xm AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
         |ym AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
         |t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n,
@@ -1670,7 +1675,8 @@ object RelQueries {
       """WITH b AS (
         |  SELECT user_id % 2 AS variant,
         |    event_type = 'purchase' AS y, value AS s
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
         |r AS (SELECT variant, y,
         |        2 * rank() OVER (PARTITION BY variant ORDER BY s)
         |          + count(*) OVER (PARTITION BY variant, s) - 1 AS r2
@@ -1724,7 +1730,7 @@ object RelQueries {
     "q_numeric_drift" ->
       """WITH v AS (
         |  SELECT event_id, value::DOUBLE AS v FROM events
-        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |  WHERE value IS NOT NULL AND isfinite(value)),
         |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
         |f AS (SELECT CASE WHEN hi = lo THEN 0
         |        ELSE CAST(least(floor((v - lo) * 10 / (hi - lo)), 9)
@@ -1810,8 +1816,8 @@ object RelQueries {
     "q_cuped" ->
       """WITH u AS (
         |  SELECT user_id,
-        |    (SUM(CAST(floor(value * 1000000.0) AS BIGINT))::DOUBLE
-        |       / 1000000.0) AS y,
+        |    (SUM(CAST(floor(CASE WHEN isfinite(value) THEN value END
+        |       * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0) AS y,
         |    count(*) AS x, user_id % 2 = 1 AS b
         |  FROM events GROUP BY user_id),
         |f AS (SELECT b,
@@ -1912,7 +1918,7 @@ object RelQueries {
         |  SELECT event_type = 'purchase' AS y,
         |    (('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
         |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
-        |  FROM events),
+        |  FROM events WHERE event_type IS NOT NULL),
         |g AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
         |        count(*) AS n,
         |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
@@ -2099,8 +2105,9 @@ object RelQueries {
         |         AS cohort_size FROM c GROUP BY 1),
         |r AS (SELECT c.cohort_period,
         |        (epoch_us(e.ts) // 86400000000) - c.cohort_period AS k,
-        |        CAST(COALESCE(SUM(CAST(floor(e.value * 1000000.0)
-        |          AS BIGINT)), 0) AS BIGINT) AS revenue_x1e6
+        |        CAST(COALESCE(SUM(CAST(floor(
+        |            CASE WHEN isfinite(e.value) THEN e.value END
+        |            * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS revenue_x1e6
         |      FROM events e JOIN c USING (user_id)
         |      GROUP BY 1, 2),
         |cum AS (SELECT *, CAST(sum(revenue_x1e6) OVER (

@@ -291,27 +291,15 @@ object EventFunnel {
           .as("p_x1e6"))
   }
 
-  /** Cohort retention matrix: users cohorted by the period of their FIRST
-    * event; for each (cohort, offset k) the count and fraction of the
-    * cohort active k periods later. Periods are exact integer µs buckets
-    * (`ts_us DIV periodUs` — the q_hour_bucket discipline, so DuckDB's
-    * `//` reproduces the boundary bit-for-bit; no double division).
-    * Returns (cohort_period, k, n_active, cohort_size, retention);
-    * k = 0 rows carry retention 1.0 by construction.
-    *
-    * Scale: two aggregates over the event log — per-user first-ts (the
-    * cohort table, one row per user) and distinct (user, period) — joined
-    * user-keyed, then a (cohort, k) count. Both exchanges are map-side
-    * combined; the cohort-size join is a (cohort)-keyed broadcast
-    * (one row per period). Nothing holds per-user history. */
   /** Cohort LTV CURVE — the revenue companion of [[retention]]: users
     * cohorted by the period of their FIRST event; for each (cohort,
     * offset k) the period's revenue, the cohort's CUMULATIVE revenue
     * through k, and cumulative revenue per cohort member (the
     * lifetime-value curve payback analyses read off). All monetary
     * figures are exact integer micro-units (per-event `floor(v·1e6)`,
-    * long sums, floor division for the per-user figure); NULL-value
-    * events still define cohorts but contribute no revenue. Offsets
+    * long sums, floor division for the per-user figure); NULL, NaN and
+    * ±Infinity values still define cohorts but contribute no revenue.
+    * Offsets
     * with zero activity emit no row (sparse form — the cumulative
     * column jumps across gaps).
     *
@@ -327,9 +315,14 @@ object EventFunnel {
       .agg(min(period).as("cohort_period"))
     val sizes = cohorts.groupBy(col("cohort_period"))
       .agg(count(lit(1)).as("cohort_size"))
+    // non-finite revenue maps to NULL (contributes nothing): floor(NaN)
+    // silently becomes 0 in the long cast, which would book phantom
+    // zero-revenue rows an external engine errors on instead
+    val vd = col(valueCol).cast("double")
+    val fin = when(!isnan(vd) && abs(vd) =!= lit(Double.PositiveInfinity), vd)
     val rev = events
       .select(col(userCol).as("_u"), period.as("_p"),
-        floor(col(valueCol).cast("double") * lit(1e6)).as("_m"))
+        floor(fin * lit(1e6)).as("_m"))
       .join(cohorts, Seq("_u"))
       .groupBy(col("cohort_period"),
         (col("_p") - col("cohort_period")).as("k"))
@@ -346,6 +339,19 @@ object EventFunnel {
         col("ltv_per_user_x1e6"))
   }
 
+  /** Cohort retention matrix: users cohorted by the period of their FIRST
+    * event; for each (cohort, offset k) the count and fraction of the
+    * cohort active k periods later. Periods are exact integer µs buckets
+    * (`ts_us DIV periodUs` — the q_hour_bucket discipline, so DuckDB's
+    * `//` reproduces the boundary bit-for-bit; no double division).
+    * Returns (cohort_period, k, n_active, cohort_size, retention);
+    * k = 0 rows carry retention 1.0 by construction.
+    *
+    * Scale: two aggregates over the event log — per-user first-ts (the
+    * cohort table, one row per user) and distinct (user, period) — joined
+    * user-keyed, then a (cohort, k) count. Both exchanges are map-side
+    * combined; the cohort-size join is a (cohort)-keyed broadcast
+    * (one row per period). Nothing holds per-user history. */
   def retention(events: DataFrame, userCol: String, tsUsCol: String,
       periodUs: Long): DataFrame = {
     require(periodUs > 0, s"periodUs must be positive, got $periodUs")

@@ -222,9 +222,6 @@ object Graph {
     broadcast(seeds.select(col(nodeCol).as("_s_node"),
       col(labelCol).as("_s_label")).distinct())
 
-  /** Per-node degree summary of a digraph: `out_deg`/`in_deg` (0 for
-    * absent direction — every endpoint appears exactly once). One
-    * dedup + two count aggregates + an outer merge; no windows. */
   /** TRIANGLE COUNT + local clustering coefficient per node — the
     * community-structure census (how clique-ish is each node's
     * neighborhood): per node, its undirected simple degree, the number
@@ -282,6 +279,9 @@ object Graph {
           col("d") * (col("d") - lit(1L)))).as("clustering_x1e6"))
   }
 
+  /** Per-node degree summary of a digraph: `out_deg`/`in_deg` (0 for
+    * absent direction — every endpoint appears exactly once). One
+    * dedup + two count aggregates + an outer merge; no windows. */
   def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
       .distinct()

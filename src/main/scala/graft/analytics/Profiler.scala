@@ -353,29 +353,16 @@ object Profiler {
         col("chi2_term"))
   }
 
-  /** MUTUAL INFORMATION between two categorical columns — the
-    * feature-selection / redundancy diagnostic ("does `source` tell me
-    * anything about `lang`?"): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),
-    * 0 ⇔ independent, min(H(X),H(Y)) at full dependence. One row per
-    * observed (x, y) cell with exact counts and the cell's `mi_term`
-    * (Σ over rows = the MI, in nats, rounded at 6); NULLs are real
-    * categories.
-    *
-    * Portability is the PSI pattern: probabilities are the exact
-    * rationals n/N evaluated as single correctly-rounded double
-    * divisions from exact integers (never floored fixed-point — a rare
-    * cell must not hit ln(0)), so the only libm surface is one ln.
-    *
-    * Shape: ONE (x, y) hash aggregate over the data; the margins
-    * derive from the cell table (≤ |X|·|Y| rows) by two tiny
-    * re-aggregations joined back broadcast. */
   /** CRAMÉR'S V between two categorical columns — the bounded-to-[0,1]
     * association strength next to [[mutualInformation]] (MI is in nats
     * and unbounded; V answers "how strong on an absolute scale"):
     * V = √(χ²/(n·(min(r,c)−1))) over the contingency table. Returns ONE
     * summary row: `n`, `n_rows_x`/`n_cols_y` (distinct category counts),
-    * `chi2`, and `cramers_v`, the last two rounded at 6. NULL categories
-    * are real categories. Degenerate tables (a single category on either
+    * `chi2`, and `cramers_v`, the last two rounded at 6. Rows with a
+    * NULL category on either axis drop (complete-case — χ²'s expected-
+    * count model needs every cell inside the r×c grid, and a NULL
+    * "category" would silently shrink the min(r,c)−1 degrees of
+    * freedom). Degenerate tables (a single category on either
     * axis) yield NULL chi2/V.
     *
     * χ² uses the algebraic form Σ o²/e − n so EMPTY cells (absent from
@@ -392,7 +379,13 @@ object Profiler {
     * re-aggregations for the marginals, a broadcast total, one cell-
     * level sum — the 100 TB cost is the single scan to cells. */
   def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
+    // complete-case: count_distinct ignores NULL (it would corrupt the
+    // min(r,c)−1 degrees of freedom) and SQL's null-unsafe marginal
+    // joins drop NULL cells — so rows with a NULL category drop here,
+    // ONE consistent contract instead of a half-counted NULL category
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
       .agg(count(lit(1)).as("n_xy"))
       .localCheckpoint(false) // feeds marginals + the cell sum
     val xm = broadcast(cells.groupBy(col("_x").as("_mx"))
@@ -465,6 +458,22 @@ object Profiler {
         .as("gini"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-selection / redundancy diagnostic ("does `source` tell me
+    * anything about `lang`?"): MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    * 0 ⇔ independent, min(H(X),H(Y)) at full dependence. One row per
+    * observed (x, y) cell with exact counts and the cell's `mi_term`
+    * (Σ over rows = the MI, in nats, rounded at 6); NULLs are real
+    * categories.
+    *
+    * Portability is the PSI pattern: probabilities are the exact
+    * rationals n/N evaluated as single correctly-rounded double
+    * divisions from exact integers (never floored fixed-point — a rare
+    * cell must not hit ln(0)), so the only libm surface is one ln.
+    *
+    * Shape: ONE (x, y) hash aggregate over the data; the margins
+    * derive from the cell table (≤ |X|·|Y| rows) by two tiny
+    * re-aggregations joined back broadcast. */
   def mutualInformation(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
     val cells = df.groupBy(col(xCol).as("_x"), col(yCol).as("_y"))
@@ -487,29 +496,6 @@ object Profiler {
         col("n_xy"), col("n_x"), col("n_y"), col("mi_term"))
   }
 
-  /** Categorical distribution drift between two snapshots — the PSI
-    * (population stability index) report that decides "did the source
-    * mix / language mix / label mix move?". One row per category over
-    * the UNION of both frames' categories:
-    * `n_a`/`n_b` raw counts, `rate_a_x1e6`/`rate_b_x1e6` the
-    * Laplace-smoothed rates (n+1)/(N+K) in integer micro-units for
-    * display (K = category count — smoothing makes zero bins
-    * well-defined, no ε tuning), and `psi_term` = (ra − rb)·ln(ra/rb)
-    * rounded to 6 decimals (Σ over rows = the PSI; ≥ 0.2 is the
-    * conventional "significant drift" line).
-    *
-    * The psi_term rates are the exact RATIONALS (n+1)/(N+K) evaluated
-    * as one correctly-rounded double division each — NOT the floored
-    * micro-unit columns: past ~10⁶ rows per side a rare category's
-    * integer rate floors to 0 and ln(0) would poison the PSI with
-    * ±Infinity/NaN. Integer→double conversion is exact below 2⁵³ and
-    * ÷ and ln are correctly rounded, so the term stays deterministic
-    * across engines — the q_stats_agg precedent.
-    *
-    * Shape: tag-and-union the two frames (no join of two aggregates —
-    * one shuffle on the category key), aggregate counts per side,
-    * broadcast the three scalars (Na, Nb, K). NULL categories count as
-    * a real category (the null rate drifting IS drift). */
   /** Two-sample KOLMOGOROV–SMIRNOV statistic — the binning-free
     * companion to [[numericDrift]]: D = max over values of
     * |F_a(v) − F_b(v)| between the two sides' empirical CDFs. Returns
@@ -520,10 +506,14 @@ object Profiler {
     * line, evaluated in doubles from the exact integers). NULL/NaN
     * values drop; an empty side yields NULL ks.
     *
+    * Scale: the distinct-value table of a CONTINUOUS column is ~row
+    * count (the value aggregate doesn't compress), so the cumulative
+    * counts ride [[graft.ops.PrefixSum]]'s two-pass range-exchange
+    * scheme — never a single-task global running-sum window.
+    *
     * Exactness: the CDF comparison cross-multiplies the exact
-    * cumulative counts into decimal(38,0) per DISTINCT value (the
-    * post-aggregate table, ≪ data), so no n²-scaled integer ever needs
-    * to fit a long.
+    * cumulative counts into decimal(38,0) per distinct value, so no
+    * n²-scaled integer ever needs to fit a long.
     *
     * Shape: one value-keyed count aggregate, one running-sum window
     * over the distinct-value table ordered by value, one max — the
@@ -537,11 +527,12 @@ object Profiler {
       .groupBy(col("_v"))
       .agg(sum(when(col("_side") === 0, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_side") === 1, 1L).otherwise(0L)).as("_cb"))
-    val w = Window.orderBy(col("_v").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("_fa", sum(col("_ca")).over(w))
-      .withColumn("_fb", sum(col("_cb")).over(w))
+    // CDFs via the two-pass range-partitioned prefix sum, NOT a global
+    // running-sum window: for a CONTINUOUS column the distinct-value
+    // table is ~row-count-sized, and `sum() OVER (ORDER BY v)` with no
+    // partition would funnel all of it through one task
+    val cum = graft.ops.PrefixSum.runningSums(counts, Seq(col("_v").asc),
+      Seq("_ca" -> "_fa", "_cb" -> "_fb"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     val tot = broadcast(counts.agg(
       sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b")))
@@ -568,8 +559,8 @@ object Profiler {
     * closed so the max lands inside), then per-bin counts, Laplace-
     * smoothed micro-unit rates, and psi_terms exactly as the
     * categorical form (Σ psi_term = the PSI). One row per NON-EMPTY
-    * bin with its [bin_lo, bin_hi) bounds rounded at 6; NULL and NaN
-    * values drop; a degenerate pooled range (min == max) collapses to
+    * bin with its [bin_lo, bin_hi) bounds rounded at 6; NULL, NaN and
+    * ±Infinity values drop; a degenerate pooled range (min == max) collapses to
     * one bin. The bin assignment is a fixed double-op sequence from
     * the pooled extremes, so an external engine reproduces it exactly.
     *
@@ -579,8 +570,11 @@ object Profiler {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
     val v = col(s"`$colName`").cast("double")
+    // ±Infinity must drop too (not just NaN): one Inf extreme collapses
+    // every finite value into bin 0 and floors NaN bin ids downstream
     def clean(df: DataFrame) = df.select(v.as("_v"))
-      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .filter(col("_v").isNotNull && !isnan(col("_v")) &&
+        abs(col("_v")) =!= lit(Double.PositiveInfinity))
     val (aa, bb) = (clean(a), clean(b))
     val mm = broadcast(aa.unionByName(bb)
       .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi")))
@@ -600,6 +594,29 @@ object Profiler {
         col("rate_a_x1e6"), col("rate_b_x1e6"), col("psi_term"))
   }
 
+  /** Categorical distribution drift between two snapshots — the PSI
+    * (population stability index) report that decides "did the source
+    * mix / language mix / label mix move?". One row per category over
+    * the UNION of both frames' categories:
+    * `n_a`/`n_b` raw counts, `rate_a_x1e6`/`rate_b_x1e6` the
+    * Laplace-smoothed rates (n+1)/(N+K) in integer micro-units for
+    * display (K = category count — smoothing makes zero bins
+    * well-defined, no ε tuning), and `psi_term` = (ra − rb)·ln(ra/rb)
+    * rounded to 6 decimals (Σ over rows = the PSI; ≥ 0.2 is the
+    * conventional "significant drift" line).
+    *
+    * The psi_term rates are the exact RATIONALS (n+1)/(N+K) evaluated
+    * as one correctly-rounded double division each — NOT the floored
+    * micro-unit columns: past ~10⁶ rows per side a rare category's
+    * integer rate floors to 0 and ln(0) would poison the PSI with
+    * ±Infinity/NaN. Integer→double conversion is exact below 2⁵³ and
+    * ÷ and ln are correctly rounded, so the term stays deterministic
+    * across engines — the q_stats_agg precedent.
+    *
+    * Shape: tag-and-union the two frames (no join of two aggregates —
+    * one shuffle on the category key), aggregate counts per side,
+    * broadcast the three scalars (Na, Nb, K). NULL categories count as
+    * a real category (the null rate drifting IS drift). */
   def categoricalDrift(a: DataFrame, b: DataFrame,
       colName: String): DataFrame = {
     val tagged = a.select(col(colName).as("_cat"), lit(0).as("_side"))

@@ -17,7 +17,9 @@ import graft.functions.Int128Sum.int128Sum
   * (`floor(v·1e6)` — bit-portable across engines), summed exactly and
   * order-independently by [[graft.functions.Int128Sum]], doubles only in
   * the final closed-form arithmetic rounded at 6. Rows where either
-  * column is NULL drop (complete-case per group). A zero-variance x
+  * column is NULL drop (complete-case per group — a group with no
+  * complete row emits NO output row, not an n=0 placeholder). A
+  * zero-variance x
   * yields NULL slope/intercept/r2; a zero-variance y yields r2 NULL.
   * Bound: |x|, |y| and their products must stay within `long` micro-
   * units (|x·y| ≤ 9.2e12), or the ANSI floor→long cast fails loud.
@@ -31,16 +33,18 @@ object Regression {
     require(groupCols.nonEmpty, "olsByGroup needs at least one group column")
     val (x, y) =
       (col(s"`$xCol`").cast("double"), col(s"`$yCol`").cast("double"))
-    val both = x.isNotNull && y.isNotNull
-    def m(e: Column) = when(both, floor(e * lit(1e6)))
-    val proj = df.select(
+    // filter (not NULL-out) the incomplete rows: a group with NO
+    // complete-case row must emit no row at all, exactly like the
+    // oracle's WHERE ... GROUP BY — projecting NULL measures instead
+    // would keep the group alive as a phantom n=0 row
+    def m(e: Column) = floor(e * lit(1e6))
+    val proj = df.filter(x.isNotNull && y.isNotNull).select(
       groupCols.map(c => col(s"`$c`")) ++ Seq(
-        when(both, lit(1L)).as("_one"),
         m(x).as("_sx"), m(y).as("_sy"),
         m(x * x).as("_sxx"), m(y * y).as("_syy"),
         m(x * y).as("_sxy")): _*)
     val agg = proj.groupBy(groupCols.map(c => col(s"`$c`")): _*)
-      .agg(count(col("_one")).as("n"),
+      .agg(count(lit(1)).as("n"),
         int128Sum(col("_sx")).as("_sx"), int128Sum(col("_sy")).as("_sy"),
         int128Sum(col("_sxx")).as("_sxx"),
         int128Sum(col("_syy")).as("_syy"),

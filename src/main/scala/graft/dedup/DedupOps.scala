@@ -279,11 +279,23 @@ object DedupOps {
     * collision must not mask a real contamination hit. */
   private def containmentPairsImpl(docs: DataFrame, probes: DataFrame,
       idCol: String, textCol: String, n: Int,
+      threshold: Double, excludeSameId: Boolean): DataFrame =
+    containmentPairsCore(
+      docs.select(col(idCol).as("id_a"),
+        shingleHashes(col(textCol), n).as("sh_a")),
+      probes, idCol, textCol, n, threshold, excludeSameId)
+
+  /** [[containmentPairsImpl]] with the CORPUS side's shingle sets already
+    * materialized as (id_a, sh_a) — the seam [[decontaminateFromShingles]]
+    * uses so an incremental pipeline never re-runs the normalize+shingle
+    * text kernels over the full corpus. Probes still shingle from text:
+    * they are an external benchmark (small, broadcast), not pipeline
+    * output. */
+  private def containmentPairsCore(d: DataFrame, probes: DataFrame,
+      idCol: String, textCol: String, n: Int,
       threshold: Double, excludeSameId: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"containment threshold must be in (0,1], got $threshold")
-    val d = docs.select(col(idCol).as("id_a"),
-      shingleHashes(col(textCol), n).as("sh_a"))
     val p = probes.select(col(idCol).as("id_b"),
       shingleHashes(col(textCol), n).as("sh_b"))
       .withColumn("n_b", size(col("sh_b")))
@@ -316,6 +328,23 @@ object DedupOps {
       threshold: Double = 0.5): DataFrame = {
     val contaminated = containmentPairsImpl(docs, probes, idCol, textCol, n,
       threshold, excludeSameId = false)
+      .select(col("id_a").as(idCol)).distinct()
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** [[decontaminate]] consuming a PRE-COMPUTED hashed-shingle column
+    * (`shCol`, the [[shingleHashes]] of the document text — what the
+    * curation prefix persists as `_sh`): the corpus side skips the
+    * normalize+shingle text kernels entirely, so a per-publish
+    * decontamination pass over an incrementally-maintained prefix table
+    * costs one broadcast probe join over already-hashed sets. Probes
+    * shingle from `probeTextCol` as usual (external benchmark text). */
+  def decontaminateFromShingles(docs: DataFrame, probes: DataFrame,
+      idCol: String, shCol: String, probeTextCol: String, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val contaminated = containmentPairsCore(
+      docs.select(col(idCol).as("id_a"), col(shCol).as("sh_a")),
+      probes, idCol, probeTextCol, n, threshold, excludeSameId = false)
       .select(col("id_a").as(idCol)).distinct()
     docs.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -89,8 +89,7 @@ object Curation {
       : Seq[(String, DataFrame)] = {
     val pfx = prefixStages(docs, idCol, textCol, langCol, cfg)
     val prefix = pfx.last._2
-    pfx.init.map { case (n, f) => n -> f } ++
-      suffixStages(prefix, idCol, textCol, cfg, contaminationProbes)
+    pfx.init ++ suffixStages(prefix, idCol, textCol, cfg, contaminationProbes)
   }
 
   /** Shingle width shared by repetition scoring, the exact-dedup
@@ -209,10 +208,14 @@ object Curation {
       cfg: Config, contaminationProbes: Option[DataFrame] = None)
       : Seq[(String, DataFrame)] = {
     // Optional decontamination BEFORE dedup (see stages scaladoc): the
-    // probe shingle sets broadcast, the corpus takes one extra narrow pass
+    // probe shingle sets broadcast; the corpus side consumes the
+    // prefix's persisted `_sh` — NOT the text — so this stage never
+    // re-runs the normalize+shingle kernels (the incremental-gold
+    // contract: the suffix is O(prefix metadata) per publish)
     val decontaminated = contaminationProbes match {
-      case Some(probes) => DedupOps.decontaminate(prefix, probes,
-        idCol, textCol, ShingleN, cfg.contaminationThreshold)
+      case Some(probes) => DedupOps.decontaminateFromShingles(prefix,
+        probes, idCol, "_sh", textCol, ShingleN,
+        cfg.contaminationThreshold)
       case None => prefix
     }
     // Materialize the exact-dedup result once: it feeds BOTH the LSH

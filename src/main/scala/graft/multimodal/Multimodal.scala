@@ -754,7 +754,10 @@ object Multimodal {
       v += 1
     }
     val nonDc = coef.drop(1).sorted
-    val median = nonDc(nonDc.length / 2 - 1) // lower median of 63
+    // true median of the 63 non-DC coefficients: index 31 is the 32nd
+    // smallest (31 below, 31 above) — index 30 would bias every hash
+    // one bit denser than the standard pHash threshold
+    val median = nonDc(nonDc.length / 2)
     var hash = 0L
     var i = 1
     while (i < K * K) {
