@@ -310,7 +310,9 @@ object EventFunnel {
   def ltvCurve(events: DataFrame, userCol: String, tsUsCol: String,
       valueCol: String, periodUs: Long): DataFrame = {
     require(periodUs > 0, s"periodUs must be positive, got $periodUs")
-    val period = expr(s"$tsUsCol DIV $periodUs")
+    // floor division, not DIV: DIV truncates toward zero, so pre-1970
+    // (negative-µs) timestamps would land one period late vs DuckDB's //
+    val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
     val cohorts = events.groupBy(col(userCol).as("_u"))
       .agg(min(period).as("cohort_period"))
     val sizes = cohorts.groupBy(col("cohort_period"))
@@ -342,8 +344,9 @@ object EventFunnel {
   /** Cohort retention matrix: users cohorted by the period of their FIRST
     * event; for each (cohort, offset k) the count and fraction of the
     * cohort active k periods later. Periods are exact integer µs buckets
-    * (`ts_us DIV periodUs` — the q_hour_bucket discipline, so DuckDB's
-    * `//` reproduces the boundary bit-for-bit; no double division).
+    * (floor division via [[graft.ops.Fixed.ldiv]], so DuckDB's `//`
+    * reproduces the boundary bit-for-bit even for pre-1970 negative-µs
+    * timestamps; no double division).
     * Returns (cohort_period, k, n_active, cohort_size, retention);
     * k = 0 rows carry retention 1.0 by construction.
     *
@@ -355,7 +358,8 @@ object EventFunnel {
   def retention(events: DataFrame, userCol: String, tsUsCol: String,
       periodUs: Long): DataFrame = {
     require(periodUs > 0, s"periodUs must be positive, got $periodUs")
-    val period = expr(s"$tsUsCol DIV $periodUs")
+    // floor division for negative-µs timestamps — see ltvCurve above
+    val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
     val cohorts = events.groupBy(col(userCol).as("_u"))
       .agg(min(period).as("cohort_period"))
     val active = events

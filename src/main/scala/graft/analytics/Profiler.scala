@@ -208,7 +208,10 @@ object Profiler {
     * decimal-aggregation tax (4 s per execution at 600k rows — see
     * Int128Sum's doc); the int128 path is exact at a plain-long-sum
     * price. Bound: |value·1e6| and |product·1e6| must fit a long
-    * (|v| ≤ 3e6 for products), or the ANSI floor→long cast fails loud.
+    * (|v| ≤ 3e6 for products). Beyond it, floor(double)→long SATURATES
+    * silently at ±2^63 (Spark's floor is (long)Math.floor — no ANSI
+    * error), so out-of-bound inputs diverge from the oracle silently;
+    * the caller owns the range check.
     * Zero-variance pairs yield NULL corr.
     *
     * Shape: ONE wide aggregate computes every pair's six power sums in
@@ -424,8 +427,8 @@ object Profiler {
     * the rank formula over ascending values,
     * G = 2·Σᵢ i·xᵢ / (n·Σ xᵢ) − (n+1)/n. One row per group with `n`,
     * `total` (exact centi-unit sum as a long) and `gini` rounded at 6.
-    * NULL and negative values drop (Gini is defined on non-negative
-    * quantities); an all-zero group yields NULL.
+    * NULL, NaN, ±Infinity and negative values drop (Gini is defined on
+    * finite non-negative quantities); an all-zero group yields NULL.
     *
     * Exactness: values quantized to exact 1e-2 fixed point
     * (`floor(v·100)` — centi-units, not micro, so the per-row
@@ -439,7 +442,12 @@ object Profiler {
     * map-side-combined aggregate — the standard per-group-rank cost. */
   def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val v = col(s"`$valueCol`").cast("double")
-    val cents = df.filter(v.isNotNull && v >= 0)
+    // NaN orders above every number in Spark, so `v >= 0` alone lets
+    // NaN (floor→0) and +Inf (floor saturates to Long.MaxValue) through
+    // and silently corrupts the exact Int128Sum totals — same guard as
+    // numericDrift above
+    val cents = df.filter(v.isNotNull && !isnan(v) && v >= 0 &&
+        v =!= lit(Double.PositiveInfinity))
       .select(col(s"`$groupCol`").as("_g"),
         floor(v * lit(100)).as("_c"))
     val w = org.apache.spark.sql.expressions.Window

@@ -22,7 +22,10 @@ import graft.functions.Int128Sum.int128Sum
   * zero-variance x
   * yields NULL slope/intercept/r2; a zero-variance y yields r2 NULL.
   * Bound: |x|, |y| and their products must stay within `long` micro-
-  * units (|x·y| ≤ 9.2e12), or the ANSI floor→long cast fails loud.
+  * units (|x·y| ≤ 9.2e12). Beyond it, floor(double)→long SATURATES
+  * silently at ±2^63 (Spark's floor is (long)Math.floor — no ANSI
+  * error), so out-of-bound inputs diverge from the oracle silently;
+  * the caller owns the range check.
   *
   * Shape: one map-side-combined hash aggregate (6 accumulators per
   * group) + a scalar projection — the 100 TB cost is the scan. */

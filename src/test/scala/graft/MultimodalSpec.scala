@@ -335,6 +335,67 @@ class MultimodalSpec extends AnyFunSuite {
         s"bases $i/$j too close")
   }
 
+  test("perceptualHash matches an independent direct-DCT reimplementation " +
+      "of the published pHash recipe") {
+    // Anchors the hash SEMANTICS (luma weights, box-average resize, DCT-II
+    // definition, 8×8 low-frequency block, median-of-63 threshold with the
+    // DC bit forced 0, bit order) against a from-scratch derivation: the
+    // committed manifest that q_phash's oracle reads is generated by the
+    // same Multimodal.perceptualHash under test, so without this anchor a
+    // bug in the DCT/median logic would be baked into the manifest and
+    // pass both driver queries. This reimplementation is non-separable
+    // (direct quadruple loop, per-term StrictMath.cos — no cosine table)
+    // and selects the median by explicit rank, so it shares no structure
+    // with the production code beyond the recipe itself.
+    def referencePhash(px: Array[Float], w: Int, h: Int, c: Int): Long = {
+      val N = 32; val K = 8
+      def luma(x: Int, y: Int): Double = {
+        val b = (y * w + x) * c
+        def ch(i: Int) =
+          Math.round(px(b + math.min(i, c - 1)) * 255f).toDouble
+        0.299 * ch(0) + 0.587 * ch(1) + 0.114 * ch(2)
+      }
+      val g = Array.tabulate(N, N) { (ty, tx) =>
+        val (y0, x0) = (ty * h / N, tx * w / N)
+        val y1 = math.max((ty + 1) * h / N, y0 + 1)
+        val x1 = math.max((tx + 1) * w / N, x0 + 1)
+        val vals = for (y <- y0 until y1; x <- x0 until x1) yield luma(x, y)
+        vals.sum / vals.length
+      }
+      val coef = Array.tabulate(K, K) { (v, u) =>
+        var s = 0.0
+        for (y <- 0 until N; x <- 0 until N)
+          s += g(y)(x) *
+            StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * N)) *
+            StrictMath.cos(StrictMath.PI * (2 * y + 1) * v / (2.0 * N))
+        s
+      }
+      val flat = (for (v <- 0 until K; u <- 0 until K) yield coef(v)(u))
+        .toArray
+      val nonDc = flat.drop(1).sorted
+      val median = nonDc(31) // 32nd smallest: 31 strictly-ranked below
+      // self-check: every thresholded coefficient sits far from the
+      // median relative to summation-order fp noise, so separable vs
+      // direct evaluation cannot flip a bit on this input
+      val gap = flat.drop(1).map(x => math.abs(x - median))
+        .filter(_ > 0).min
+      assert(gap > 1e-6, s"degenerate test image: median gap $gap")
+      (1 until K * K).foldLeft(0L)((acc, i) =>
+        if (flat(i) > median) acc | (1L << i) else acc)
+    }
+    // deterministic LCG-filled images: one 32×32 (identity resize) and
+    // one 48×40 (real box-average blocks)
+    for ((w, h) <- Seq((32, 32), (48, 40))) {
+      var seed = 0x9e3779b97f4a7c15L ^ (w * 1000L + h)
+      val px = Array.fill(w * h * 3) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ((seed >>> 40) & 0xff).toFloat / 255f
+      }
+      assert(Multimodal.perceptualHash(px, w, h, 3) ==
+        referencePhash(px, w, h, 3), s"${w}x$h hash mismatch")
+    }
+  }
+
   test("hammingPairs equals the brute-force pair set on the phash corpus") {
     import Multimodal._
     val root = MultimodalQueries.mediaRoot
