@@ -8,6 +8,12 @@ object Bench {
     // (SPARK_GRAFT_ONLY=q_curation,q_pack); unset = the full suite.
     // Unknown names fail loud — a typo silently benching nothing would
     // read as a pass
+    // min-of-N protocol: 3 by default (round-8 showed a uniform ~14%
+    // common-subset drift that min-of-2 cannot distinguish from box
+    // load; a third sample collapses that noise). SPARK_GRAFT_RUNS
+    // overrides for quick local iteration.
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    require(benchRuns >= 1, s"SPARK_GRAFT_RUNS must be >= 1, got $benchRuns")
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { names =>
@@ -59,7 +65,7 @@ object Bench {
       // the standard steady-state estimator. GC between timings keeps an
       // allocation-heavy query (1.5M md5 strings in q_winnow_fp) from
       // taxing the next measurement with its garbage (measured: 3x).
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to benchRuns).flatMap { _ =>
         System.gc()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
