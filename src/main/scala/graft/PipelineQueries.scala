@@ -77,6 +77,45 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: cross-entity gold JOIN (the dim⋈fact mart) — three
+    //    entities ride the pipeline (streaming bronze, PK-dedup silver),
+    //    then a config-DECLARED gold joins orders⋈customer⋈nation with
+    //    broadcast dims and a projection, publishing through the same
+    //    versioned gold path. The oracle is the plain star join over the
+    //    raw tables — bronze/silver plumbing must be invisible.
+    "q_gold_join" -> ((s, dir) => {
+      val run = s"gjoin_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      Files.createDirectories(Paths.get(s"$root/src"))
+      for (t <- Seq("orders", "customer", "nation"))
+        analytics.Tables(s, dir, t).write.parquet(s"$root/src/$t")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"orders": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["o_orderkey"],
+          |  "gold": {
+          |    "join": [
+          |      {"entity": "customer", "on": "o_custkey = c_custkey",
+          |       "broadcast": true},
+          |      {"entity": "nation", "on": "c_nationkey = n_nationkey",
+          |       "broadcast": true}],
+          |    "select": ["o_orderkey", "o_totalprice",
+          |               "c_name AS customer", "n_name AS nation"]}
+          |},
+          |"customer": {"raw_file_format": "parquet",
+          |             "unique_primary_key": ["c_custkey"]},
+          |"nation": {"raw_file_format": "parquet",
+          |           "unique_primary_key": ["n_nationkey"]}
+          |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val params = PipelineParams(sourceLocation = s"$root/src",
+        catalogName = run)
+      new PipelineRunner(s, params, s"$root/store")
+        .run(ConfigLoader.load(s, params.sourceLocation))
+      s.table(params.goldFqn("orders"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- [EXT]: merge-on-read incremental silver, driven end-to-end. Three
     //    real pipeline runs: base build, then a delta batch carrying newer
     //    versions (doc_id % 13) AND expectation-violating rows
@@ -100,7 +139,7 @@ object PipelineQueries {
           |  "unique_primary_key": ["doc_id"],
           |  "silver_mode": "incremental",
           |  "silver_merge": "merge_on_read",
-          |  "silver_buckets": 32,
+          |  "silver_buckets": 8,
           |  "silver_compact_after": 1,
           |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"}
           |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
@@ -150,7 +189,7 @@ object PipelineQueries {
           |  "unique_primary_key": ["doc_id"],
           |  "silver_mode": "incremental",
           |  "silver_merge": "copy_on_write",
-          |  "silver_buckets": 32,
+          |  "silver_buckets": 8,
           |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"}
           |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
       def runAt(clock: String): PipelineParams = {
@@ -184,12 +223,17 @@ object PipelineQueries {
     //    through the same 3-batch CDC shape as q_silver_mor: the
     //    row-local curation prefix (quality/lang/scrub/repetition text
     //    kernels) runs only over each batch's new silver rows and
-    //    appends O(batch) prefix parquet; the corpus-global suffix
-    //    (exact dedup, near-dup components) re-runs over the compact
-    //    prefix table per publish. The oracle is the FULL q_curation
-    //    SQL over the CDC-final documents state — three prefix batches,
+    //    appends O(batch) prefix parquet; the suffix's near-dup MINING
+    //    is incremental too (persisted LSH band index + verified edge
+    //    store; per publish only exact dedup + components over the live
+    //    edge set re-run). The oracle is the FULL q_curation SQL over
+    //    the CDC-final documents state — three prefix batches,
     //    keep-latest supersession, gate tombstones, and the silver
     //    retraction must all be invisible in the curated result.
+    //    Silver stays mode=full here ON PURPOSE: its contents are
+    //    twin-equal either way (PipelineSpec pins it) and q_silver_cow/
+    //    q_silver_mor already put the bucketed merge on the bench — this
+    //    row should measure the GOLD increment, not repeat theirs.
     "q_gold_incr" -> ((s, dir) => {
       val run = s"gincq_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
@@ -200,8 +244,6 @@ object PipelineQueries {
         """{"documents": {
           |  "raw_file_format": "parquet",
           |  "unique_primary_key": ["doc_id"],
-          |  "silver_mode": "incremental",
-          |  "silver_buckets": 32,
           |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"},
           |  "gold": {"mode": "incremental",
           |    "curation": {"id_col": "doc_id", "text_col": "text",
@@ -240,6 +282,16 @@ object PipelineQueries {
     * curated result. */
   def oracleSql: Map[String, String] = Map(
     "q_gold_curation" -> LlmQueries.oracleSql("q_curation"),
+    // the star join over the raw tables: the medallion plumbing
+    // (bronze streams, PK-dedup silver, versioned gold publish) must be
+    // invisible in the mart
+    "q_gold_join" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  c_name AS customer, n_name AS nation
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
     // keep-latest over three batches, with the doc_id % 11 tombstone wave
     // retracted and both update waves applied — delta files, tombstones,
     // the merge view, and inline compaction must all be invisible here

@@ -160,6 +160,16 @@ final case class GoldConfig(
       * contract as incremental silver. */
     mode: String = "full",
     curation: GoldCuration = GoldCuration(),
+    /** CROSS-ENTITY gold (the dim⋈fact mart): joins declared against
+      * OTHER entities' silver tables, applied in order to this entity's
+      * silver. Mutually exclusive with `curation` (a mart is a join +
+      * projection, not a text-curation pipeline) and with incremental
+      * mode. Empty = curation gold (the default). */
+    join: Seq[GoldJoin] = Nil,
+    /** Projection over the joined frame (SQL expressions, aliases
+      * allowed — `"c_name AS customer_name"`). Empty = every column the
+      * join produces. */
+    select: Seq[String] = Nil,
     /** Physical layout of the gold table (same semantics as the silver
       * clustering_cols). */
     clusteringCols: Seq[String] = Nil,
@@ -181,8 +191,32 @@ final case class GoldConfig(
       "stages (boilerplate_min_doc_freq / line_dedup_span rewrite text " +
       "from corpus-wide frequencies BEFORE the quality gate); use full " +
       "mode or disable them")
+  require(join.isEmpty || mode == "full",
+    "gold.join (cross-entity mart) requires mode 'full': the join output " +
+      "has no per-row ingest watermark to split a prefix on")
+  require(join.nonEmpty || select.isEmpty,
+    "gold.select is only meaningful with gold.join (curation gold " +
+      "publishes the curated columns)")
   def anyExpectations: Boolean =
     expectAllOrDrop.nonEmpty || expectAll.nonEmpty || expectAllOrFail.nonEmpty
+}
+
+/** One join of a cross-entity gold mart: this entity's silver joined to
+  * `entity`'s silver on the SQL condition `on`. Audit columns are
+  * dropped from the joined (right) side before the join, so the mart
+  * carries the fact side's lineage. */
+final case class GoldJoin(
+    entity: String,
+    /** SQL join condition over both silvers' columns
+      * (`"o_custkey = c_custkey"`). */
+    on: String,
+    joinType: String = "inner",
+    /** Broadcast the joined entity's silver — the 100 TB posture for
+      * dimension tables: the fact side never shuffles. */
+    broadcast: Boolean = false) {
+  require(Set("inner", "left", "right", "full").contains(joinType),
+    s"gold.join.type must be inner/left/right/full, got '$joinType'")
+  require(on.trim.nonEmpty, "gold.join.on must be a SQL join condition")
 }
 
 /** Knobs of the curation stage — mirrors [[graft.llm.Curation.Config]]
@@ -440,6 +474,20 @@ object ConfigLoader {
               s"in more than one tier: ${gdup.toSeq.sorted.mkString(", ")}")
           }
           name -> c
+        } match { case all =>
+          // cross-entity gold joins must name DECLARED entities (their
+          // silvers are the join inputs, built in the phase before gold)
+          // and never this entity itself
+          all.foreach { case (name, c) =>
+            c.gold.toSeq.flatMap(_.join).foreach { j =>
+              require(j.entity != name, s"$name.gold.join: '${j.entity}' " +
+                "is this entity itself — a mart joins OTHER silvers")
+              require(all.contains(j.entity), s"$name.gold.join: entity " +
+                s"'${j.entity}' is not declared in this config (its " +
+                "silver would not exist when gold runs)")
+            }
+          }
+          all
         }
       case _ =>
         throw new IllegalArgumentException(
@@ -467,8 +515,39 @@ object ConfigLoader {
     }
     require(mode == "full" || mode == "incremental",
       s"gold.mode must be 'full' or 'incremental', got '$mode'")
+    val joins = f.get("join") match {
+      case Some(org.json4s.JArray(js)) => js.map {
+        case JObject(jf) =>
+          val m = jf.toMap
+          def s(k: String): Option[String] = m.get(k) match {
+            case Some(JString(v)) => Some(v)
+            case _                => None
+          }
+          GoldJoin(
+            entity = s("entity").getOrElse(throw new IllegalArgumentException(
+              "gold.join entries need an 'entity'")),
+            on = s("on").getOrElse(throw new IllegalArgumentException(
+              "gold.join entries need an 'on' condition")),
+            joinType = s("type").getOrElse("inner"),
+            broadcast = m.get("broadcast") match {
+              case Some(JBool(b)) => b
+              case _              => false
+            })
+        case other => throw new IllegalArgumentException(
+          s"gold.join entries must be objects, got $other")
+      }
+      case None => Nil
+      case Some(other) => throw new IllegalArgumentException(
+        s"gold.join must be an array of join objects, got $other")
+    }
+    require(joins.isEmpty || cf.isEmpty,
+      "gold.join (cross-entity mart) and gold.curation are mutually " +
+        "exclusive — a mart is a join + projection; declare curation on " +
+        "a separate gold entity instead")
     GoldConfig(
       mode = mode,
+      join = joins,
+      select = f.get("select").map(strSeq).getOrElse(Nil),
       curation = GoldCuration(
         idCol = str("id_col"),
         textCol = str("text_col").getOrElse(base.textCol),

@@ -222,24 +222,61 @@ object DedupOps {
     // hashed shingle set computed ONCE per doc; signature derives from it.
     // Banding carries only (id, band, band_hash) — no text through the
     // shuffle; candidates join back to the shingle sets by id.
-    // signature computed INSIDE the materialized projection: referenced
-    // from the banding lambda it would otherwise be inlined by
-    // CollapseProject and re-evaluated once per band (16x the k-hash
-    // sweep over the shingle set)
     val sh = materialized(df.select(col(idCol).as("id"), col(shCol).as("sh"))
       .select(col("id"), col("sh"),
         HashExpressions.minhashSig(col("sh"), k).as("sig")))
-    val banded = sh.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"),
-          b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "band_hash")))
+    val banded = bandRowsFromSig(sh, bands, rowsPerBand)
     val candIds = banded.select(col("id").as("id_a"), col("band"),
       col("band_hash"))
       .join(banded.select(col("id").as("id_b"), col("band"),
         col("band_hash")), Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    verifyJaccard(candIds, sh.select(col("id"), col("sh")), threshold)
+  }
+
+  /** The LSH band rows (id, band, band_hash) for a frame carrying a
+    * minhash `sig` column — the unit both the one-shot self-join above
+    * and the PERSISTED band index of the incremental-gold suffix derive
+    * candidates from: a pair is a candidate iff it shares a
+    * (band, band_hash) bucket, a property of the two docs alone, so
+    * candidates mined against an append-maintained index equal the ones
+    * a full rebuild would mine (append ≡ rebuild, the lshAppendIndex
+    * argument). The signature is computed INSIDE a materialized
+    * projection by the caller: referenced from the banding lambda it
+    * would otherwise be inlined by CollapseProject and re-evaluated once
+    * per band (16x the k-hash sweep over the shingle set). */
+  private def bandRowsFromSig(sh: DataFrame, bands: Int,
+      rowsPerBand: Int, carry: Seq[String] = Nil): DataFrame =
+    sh.select(col("id") +: carry.map(col) :+
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"),
+          b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "band_hash")): _*)
+
+  /** Public band-row derivation from a hashed-shingle frame: one row per
+    * (doc, band) with the bucket hash — what the incremental-gold
+    * pipeline persists per doc VERSION so signatures are computed once,
+    * at ingest, never re-derived per publish. `carry` columns ride along
+    * unchanged (the pipeline carries the version timestamp). */
+  def minhashBandRows(df: DataFrame, idCol: String, shCol: String,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      carry: Seq[String] = Nil): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = materialized(df
+      .select(col(idCol).as("id") +: col(shCol).as("sh") +:
+        carry.map(col): _*)
+      .select(col("id") +: HashExpressions.minhashSig(col("sh"), k)
+        .as("sig") +: carry.map(col): _*))
+    bandRowsFromSig(sh, bands, rowsPerBand, carry)
+  }
+
+  /** Exact-Jaccard re-verification of a candidate id-pair set against the
+    * docs' hashed shingle sets — the second half of [[minhashLshFromShingles]],
+    * shared with the incremental-gold probe path (candidates there come
+    * from the persisted band index, not a self-join). */
+  def verifyJaccard(candIds: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame =
     candIds
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -247,7 +284,6 @@ object DedupOps {
         HashExpressions.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Benchmark-contamination detection: containment of each PROBE
     * document's shingle set in each corpus document —

@@ -206,7 +206,41 @@ object Curation {
     * prefix's text kernels. */
   def suffixStages(prefix: DataFrame, idCol: String, textCol: String,
       cfg: Config, contaminationProbes: Option[DataFrame] = None)
-      : Seq[(String, DataFrame)] = {
+      : Seq[(String, DataFrame)] =
+    suffixCore(prefix, idCol, textCol, cfg, contaminationProbes,
+      exactN => DedupOps.minhashLshFromShingles(exactN, idCol, "_sh",
+        bands = cfg.minhashBands, rowsPerBand = cfg.minhashRows,
+        threshold = cfg.nearDupJaccard))
+
+  /** [[suffixStages]] with the near-dup pair MINING replaced by a
+    * pre-mined edge table (id_a, id_b) — the incremental-gold suffix:
+    * the pipeline maintains a persisted LSH band index and appends
+    * verified edges per batch, so per publish no signature is computed
+    * and no corpus self-join runs. `edges` may cover a SUPERSET of the
+    * surviving docs (it is mined over all live doc versions, before
+    * decontamination and exact dedup); restriction to the survivor set
+    * commutes with mining because both candidate membership (shared
+    * band bucket) and verification (Jaccard ≥ t) are properties of the
+    * two docs alone — so the restricted edge set equals what full-mode
+    * mining over the survivors produces, and component resolution
+    * (which must not bridge through removed docs) sees identical
+    * input. */
+  def suffixStagesFromEdges(prefix: DataFrame, idCol: String,
+      textCol: String, cfg: Config,
+      contaminationProbes: Option[DataFrame], edges: DataFrame)
+      : Seq[(String, DataFrame)] =
+    suffixCore(prefix, idCol, textCol, cfg, contaminationProbes,
+      exactN => {
+        val ids = exactN.select(col(idCol).as("_live_id"))
+        edges
+          .join(ids, col("id_a") === col("_live_id"), "left_semi")
+          .join(ids, col("id_b") === col("_live_id"), "left_semi")
+          .select(col("id_a"), col("id_b"))
+      })
+
+  private def suffixCore(prefix: DataFrame, idCol: String, textCol: String,
+      cfg: Config, contaminationProbes: Option[DataFrame],
+      minePairs: DataFrame => DataFrame): Seq[(String, DataFrame)] = {
     // Optional decontamination BEFORE dedup (see stages scaladoc): the
     // probe shingle sets broadcast; the corpus side consumes the
     // prefix's persisted `_sh` — NOT the text — so this stage never
@@ -229,9 +263,7 @@ object Curation {
     // near-dup pairs -> connected components over the pair graph -> keep
     // the min-id doc of each component, drop the rest (one left_anti
     // equi-join; the component iteration runs over the pair table only)
-    val pairs = DedupOps.minhashLshFromShingles(exactN, idCol, "_sh",
-      bands = cfg.minhashBands, rowsPerBand = cfg.minhashRows,
-      threshold = cfg.nearDupJaccard)
+    val pairs = minePairs(exactN)
     val comp = ConnectedComponents(pairs, "id_a", "id_b")
     val losers =
       if (!cfg.keepBestQuality)

@@ -691,15 +691,32 @@ object Multimodal {
   def perceptualHash(pixels: Array[Float], w: Int, h: Int, c: Int): Long = {
     require(w >= 1 && h >= 1 && c >= 1,
       s"perceptualHash needs a non-empty image, got ${w}x${h}x$c")
-    val N = 32
     // luma from exact 8-bit values (k/255f is exact in float); channels
     // beyond 3 ignored, mono replicates
-    def luma(x: Int, y: Int): Double = {
-      val base = (y * w + x) * c
+    val lum = new Array[Double](w * h)
+    var p = 0
+    while (p < w * h) {
+      val base = p * c
       def ch(i: Int): Double =
         Math.round(pixels(base + math.min(i, c - 1)) * 255f).toDouble
-      0.299 * ch(0) + 0.587 * ch(1) + 0.114 * ch(2)
+      lum(p) = 0.299 * ch(0) + 0.587 * ch(1) + 0.114 * ch(2)
+      p += 1
     }
+    dctHash64(lum, w, h)
+  }
+
+  /** The DCT-threshold hash core shared by [[perceptualHash]] (luma
+    * grid) and [[audioFingerprint]] (log-energy spectrogram): box-average
+    * resize of an arbitrary w×h grid of doubles to 32×32 → 2-D DCT-II →
+    * the top-left 8×8 low-frequency block thresholded at the median of
+    * its 63 non-DC coefficients (bit per coefficient; the DC bit forced
+    * 0 — it only encodes the global mean, which is exactly the component
+    * a brightness shift or an audio gain change moves). Deterministic:
+    * StrictMath cosines, no RNG. */
+  def dctHash64(values: Array[Double], w: Int, h: Int): Long = {
+    require(w >= 1 && h >= 1 && values.length == w * h,
+      s"dctHash64 needs a w*h grid, got ${values.length} for ${w}x$h")
+    val N = 32
     // box-average resize to N×N (blocks derived by integer division —
     // deterministic, no resampling kernel)
     val g = new Array[Double](N * N)
@@ -715,7 +732,7 @@ object Multimodal {
         var y = y0
         while (y < y1) {
           var x = x0
-          while (x < x1) { s += luma(x, y); x += 1 }
+          while (x < x1) { s += values(y * w + x); x += 1 }
           y += 1
         }
         g(ty * N + tx) = s / ((y1 - y0) * (x1 - x0))
@@ -786,6 +803,100 @@ object Multimodal {
         }
       }
     }.toDF("file_name", "phash").as[(String, Long)]
+  }
+
+  /** LOG-ENERGY SPECTROGRAM of a decoded clip — `frames` equal time
+    * slices × `bands` log-spaced frequency bands between `fLo` and `fHi`
+    * Hz, each cell `log10(|X(f_c)|² + 1e-12)` where `X(f_c)` is the
+    * frame's mean-normalized DFT coefficient at the band's CENTER
+    * frequency (one Goertzel-style projection per band — no FFT
+    * dependency, exact StrictMath trig). Channels mono-mix first.
+    *
+    * The two invariances the fingerprint needs fall out of this
+    * construction: a GAIN change scales every |X|² by g², adding a
+    * constant in the log domain (only the DCT's DC coefficient moves —
+    * and [[dctHash64]] forces that bit 0); a RESAMPLE keeps absolute
+    * band frequencies and time-proportional framing, so the
+    * mean-normalized projections approximate the same integral.
+    * Row-major layout: value(band * frames + frame) — time on the x
+    * axis, matching [[dctHash64]]'s w=frames, h=bands. */
+  def audioSpectrogram(samples: Array[Float], channels: Int,
+      sampleRate: Int, frames: Int = 32, bands: Int = 32,
+      fLo: Double = 100.0, fHi: Double = 3500.0): Array[Double] = {
+    require(channels >= 1 && sampleRate >= 1 && frames >= 1 && bands >= 2,
+      s"audioSpectrogram: channels=$channels rate=$sampleRate " +
+        s"frames=$frames bands=$bands")
+    require(fHi > fLo && fLo > 0, s"band range [$fLo, $fHi] invalid")
+    val n = samples.length / channels
+    require(n >= 1, "audioSpectrogram needs at least one sample frame")
+    val mono = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = 0.0
+      var ch = 0
+      while (ch < channels) { s += samples(i * channels + ch); ch += 1 }
+      mono(i) = s / channels
+      i += 1
+    }
+    val out = new Array[Double](bands * frames)
+    var b = 0
+    while (b < bands) {
+      val fc = fLo * StrictMath.pow(fHi / fLo, b.toDouble / (bands - 1))
+      val w = 2.0 * StrictMath.PI * fc / sampleRate
+      var t = 0
+      while (t < frames) {
+        val n0 = t.toLong * n / frames
+        val n1 = math.max((t + 1).toLong * n / frames, n0 + 1)
+        var re = 0.0
+        var im = 0.0
+        var k = n0
+        while (k < n1) {
+          // frame-local phase: magnitude is phase-invariant, and local
+          // indexing keeps the projection exact under clip trimming
+          val ang = w * (k - n0)
+          re += mono(k.toInt) * StrictMath.cos(ang)
+          im -= mono(k.toInt) * StrictMath.sin(ang)
+          k += 1
+        }
+        val len = (n1 - n0).toDouble
+        val e = (re / len) * (re / len) + (im / len) * (im / len)
+        out(b * frames + t) = StrictMath.log10(e + 1e-12)
+        t += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** 64-bit AUDIO FINGERPRINT — the spectral twin of [[perceptualHash]]
+    * for corpus-scale audio near-dup: [[audioSpectrogram]] (32 time
+    * slices × 32 log bands) → [[dctHash64]]. Clips that differ by gain,
+    * re-containering (WAV/AIFF/AU), or resampling land within a few
+    * bits; different material lands ~32 bits apart. Pairs with
+    * [[graft.dedup.DedupOps.hammingPairs]] exactly like the image
+    * path. */
+  def audioFingerprint(d: DecodedAudio): Long = {
+    val spec = audioSpectrogram(d.samples, math.max(d.channels, 1),
+      math.max(d.sample_rate, 1))
+    dctHash64(spec, 32, 32)
+  }
+
+  /** Per-file audio fingerprints, batched mapPartitions (the
+    * [[imagePhashes]] pattern; stub fallback for bytes javax.sound can't
+    * parse, so corrupt members still hash deterministically). */
+  def audioFingerprints(media: Dataset[MediaRow], batchSize: Int = 32)
+      : Dataset[(String, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val d = WavCodec.decodeAudio(m.bytes)
+            .getOrElse(StubCodec.decodeAudio(m.bytes))
+          (fileName(m.path), audioFingerprint(d))
+        }
+      }
+    }.toDF("file_name", "afp").as[(String, Long)]
   }
 
   /** Resize decoded images by integer-factor average pooling — this part

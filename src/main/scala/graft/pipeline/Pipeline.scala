@@ -46,8 +46,14 @@ final class PipelineRunner(
 
   import PipelineRunner._
 
-  private def log(msg: String): Unit =
-    Console.err.println(s"[pipeline] $msg")
+  private val startedAtNs = System.nanoTime()
+
+  /** Elapsed-stamped so a slow run localizes its cost to a phase without
+    * a profiler (`[pipeline +12.3s] ...`). */
+  private def log(msg: String): Unit = {
+    val elapsed = (System.nanoTime() - startedAtNs) / 1e9
+    Console.err.println(f"[pipeline +$elapsed%.1fs] $msg")
+  }
 
   // ---- locations ----------------------------------------------------------
 
@@ -1432,6 +1438,36 @@ final class PipelineRunner(
     goldGate(entity, g, curated, silver, obs)
   }
 
+  /** Cross-entity gold mart (`gold.join`): this entity's silver joined
+    * to the declared entities' silvers in order, then the declared
+    * projection, then the shared gold gate (cluster layout +
+    * expectations) and the same versioned publish. The joined sides
+    * drop their audit columns before the join (the mart carries the
+    * fact side's lineage, and both silvers carry `_ingested_at` — the
+    * collision would poison every downstream star reference) and
+    * broadcast when declared — the 100 TB posture for a dim⋈fact mart:
+    * the fact table never shuffles for a dimension join. */
+  def buildGoldJoinFrame(entity: String, cfg: EntityConfig, g: GoldConfig,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val silver = spark.read.table(params.silverFqn(entity))
+    val joined = g.join.foldLeft(silver) { (acc, j) =>
+      val dim = spark.read.table(params.silverFqn(j.entity))
+        .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
+      acc.join(if (j.broadcast) broadcast(dim) else dim,
+        expr(j.on), j.joinType)
+    }
+    val projected =
+      if (g.select.nonEmpty) joined.select(g.select.map(expr): _*)
+      else joined
+    // clustering bounds sample the cheap fact-silver scan only when
+    // every cluster column lives there; a dim-sourced layout samples
+    // the mart itself
+    val boundsSrc =
+      if (g.clusteringCols.forall(silver.columns.contains)) silver
+      else projected
+    goldGate(entity, g, projected, boundsSrc, obs)
+  }
+
   /** [[graft.llm.Curation.Config]] from the config-declared knobs. */
   private def curationConfig(cur: GoldCuration): graft.llm.Curation.Config =
     graft.llm.Curation.Config(
@@ -1484,6 +1520,14 @@ final class PipelineRunner(
       s"${params.externalLocation}/gold_prefix/$entity"
     else s"$storageRoot/gold_prefix/$entity"
 
+  /** Root of the incremental-gold SUFFIX state (the persisted LSH band
+    * index and verified near-dup edge table — see
+    * [[buildGoldFrameIncremental]]). */
+  private def goldSuffixPath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/gold_suffix/$entity"
+    else s"$storageRoot/gold_suffix/$entity"
+
   /** INCREMENTAL gold (`gold.mode: "incremental"`) — the Lambda split of
     * the curation pipeline. The ROW-LOCAL prefix (quality gate, language
     * filter, PII scrub, fingerprint + shingle derivation, repetition
@@ -1491,13 +1535,16 @@ final class PipelineRunner(
     * [[graft.llm.Curation.prefixStages]]) runs only over silver rows
     * whose `_ingested_at` is newer than the persisted watermark and
     * APPENDS one O(batch) parquet batch to the prefix store; the
-    * CORPUS-GLOBAL suffix (decontamination against the CURRENT probe
-    * set, exact dedup, near-dup components —
-    * [[graft.llm.Curation.suffixStages]]) then runs as a full pass over
-    * the keep-latest view of the compact prefix table (ids, scrubbed
-    * text, fingerprints, shingle hashes — no raw-text kernels). At
-    * 100 TB the per-run cost is O(new documents) text work plus a
-    * metadata-sized global pass, not a corpus recompute.
+    * CORPUS-GLOBAL suffix then runs over the keep-latest view of the
+    * compact prefix table (ids, scrubbed text, fingerprints, shingle
+    * hashes — no raw-text kernels) with its near-dup MINING made
+    * incremental too ([[maintainGoldSuffixState]]): new prefix versions
+    * probe a persisted LSH band index and append verified edges, so per
+    * publish only decontamination (probe drift), the exact-dedup hash
+    * aggregate, and connected components over the dup-graph-sized live
+    * edge set re-run. At 100 TB the per-run cost is O(new documents)
+    * text work + O(batch · candidates) mining + a metadata-sized global
+    * pass, not a corpus recompute.
     *
     * Semantics vs full mode: identical BY CONSTRUCTION — `stages` IS
     * `prefixStages ++ suffixStages` — with one documented exception:
@@ -1563,16 +1610,179 @@ final class PipelineRunner(
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col(Audit.IngestedAt).desc)
+    // materialized: the live view feeds the band join, both sides of the
+    // edge mining, and the suffix — replaying the keep-latest window per
+    // consumer would quadruple the prefix-store scan
     val live = readPrefix()
       .withColumn("_pfx_rn", row_number().over(w))
       .filter(col("_pfx_rn") === 1 && col("_pfx_live"))
       .drop("_pfx_rn", "_pfx_live")
       .join(silver.select(col(idCol)), Seq(idCol), "left_semi")
+      .localCheckpoint(false)
+    val liveEdges = maintainGoldSuffixState(entity, idCol, ccfg,
+      readPrefix _, live)
     val curated = graft.llm.Curation
-      .suffixStages(live, idCol, cur.textCol, ccfg,
-        goldProbes(entity, cur))
+      .suffixStagesFromEdges(live, idCol, cur.textCol, ccfg,
+        goldProbes(entity, cur), liveEdges)
       .last._2
     goldGate(entity, g, curated, silver, obs)
+  }
+
+  /** The INCREMENTAL near-dup suffix state — why the per-publish suffix
+    * is O(batch · candidates) instead of a corpus re-mine. Two persisted
+    * stores under [[goldSuffixPath]], each carrying its own watermark so
+    * a crash between any two appends self-heals on the next run (the
+    * same at-least-once posture as the prefix store; appended batches
+    * become visible atomically via the parquet committer):
+    *
+    *  - `bands/` — the LSH BAND INDEX: one row per live doc VERSION and
+    *    band, (id, _ingested_at, band, band_hash). Appended only for
+    *    prefix versions newer than the store's `max(_ingested_at)`, so
+    *    each version's MinHash signature (the k-hash sweep over its
+    *    shingle set — the dominant cost of full-mode mining) is computed
+    *    exactly once, at ingest. Candidate membership (sharing a
+    *    (band, band_hash) bucket) is a property of the two docs alone,
+    *    so probing an append-maintained index yields the same candidates
+    *    a full rebuild would (append ≡ rebuild — the lshAppendIndex
+    *    argument).
+    *  - `edges/` — VERIFIED near-dup pairs, version-stamped on both
+    *    endpoints: (id_a, id_b, jaccard, _ia_a, _ia_b, _mined_at). Per
+    *    run, only band rows newer than the store's `max(_mined_at)`
+    *    probe the index; candidates are Jaccard-verified against the
+    *    live shingle sets and appended. An edge is LIVE iff both
+    *    endpoint versions are still current — so a doc UPDATE or
+    *    RETRACTION kills its stale edges by construction (no deletes
+    *    against the store), and the update's batch re-mines the new
+    *    version against the whole index. A per-run null-id sentinel row
+    *    advances the watermark even when a batch verifies zero edges.
+    *
+    * Components are NOT incrementally maintained on purpose: CDC removes
+    * edges (an updated doc may stop matching), and edge removal SPLITS
+    * components — a union-only persisted component table cannot express
+    * that. Instead connected components run per publish over the LIVE
+    * edge set, which is dup-graph-sized (≪ corpus) — the metadata-sized
+    * pass the Lambda split budgets for, vs full mode's corpus-wide
+    * signature computation + self-join.
+    *
+    * Returns the live (id_a, id_b) edge set; restriction to each
+    * publish's survivor set happens in
+    * [[graft.llm.Curation.suffixStagesFromEdges]] (restriction commutes
+    * with pairwise mining, so results equal full mode's exactly). */
+  private def maintainGoldSuffixState(entity: String, idCol: String,
+      ccfg: graft.llm.Curation.Config, readPrefix: () => DataFrame,
+      live: DataFrame): DataFrame = {
+    import graft.dedup.DedupOps
+    val sfxDir = goldSuffixPath(entity)
+    val bandsDir = s"$sfxDir/bands"
+    val edgesDir = s"$sfxDir/edges"
+    val fs = new org.apache.hadoop.fs.Path(sfxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout guard: band buckets and the verified-edge set are functions
+    // of (bands, rowsPerBand, threshold); a silent knob change would mix
+    // incompatible generations — fail loud, remedy named
+    val layoutP = new org.apache.hadoop.fs.Path(s"$sfxDir/_lsh_layout")
+    val layout = s"bands=${ccfg.minhashBands} rows=${ccfg.minhashRows} " +
+      s"jaccard=${ccfg.nearDupJaccard}"
+    if (fs.exists(layoutP)) {
+      val in = fs.open(layoutP)
+      val rec = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(rec == layout,
+        s"gold.$entity: persisted LSH suffix state was built with [$rec] " +
+          s"but the config now says [$layout]; run a full refresh " +
+          "(--full-refresh) to rebuild it")
+    } else {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(sfxDir))
+      val out = fs.create(layoutP, true)
+      try out.write(layout.getBytes("UTF-8")) finally out.close()
+    }
+    def storeWatermark(dir: String, tsCol: String)
+        : Option[java.sql.Timestamp] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+      else spark.read.parquet(dir).agg(max(col(tsCol))).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getTimestamp(0))
+      }
+    // ---- band append: prefix versions the index does not know yet.
+    // Derived from the persisted prefix STORE, not this run's in-memory
+    // `fresh` plan, for two reasons: the store read is a cheap columnar
+    // scan while re-referencing `fresh` would re-run the whole prefix
+    // text-kernel pipeline (measured: +0.7 s/run at sf0.1), and a crash
+    // between the prefix append and this one self-heals because each
+    // store carries its own watermark.
+    val bandWm = storeWatermark(bandsDir, Audit.IngestedAt)
+    val needBands = bandWm match {
+      case Some(wm) => readPrefix().filter(col("_pfx_live") &&
+        col(Audit.IngestedAt) > lit(wm))
+      case None => readPrefix().filter(col("_pfx_live"))
+    }
+    DedupOps.minhashBandRows(needBands, idCol, "_sh",
+        ccfg.minhashBands, ccfg.minhashRows, carry = Seq(Audit.IngestedAt))
+      .repartition(col("id"))
+      .write.mode("append").parquet(bandsDir)
+    // ---- edge mining: NEW band rows probe the whole live index
+    val liveKeys = live.select(col(idCol).as("id"), col(Audit.IngestedAt))
+    val liveBands = spark.read.parquet(bandsDir)
+      .join(liveKeys, Seq("id", Audit.IngestedAt), "left_semi")
+    val edgeWm = storeWatermark(edgesDir, "_mined_at")
+    val newBands = edgeWm match {
+      case Some(wm) => liveBands.filter(col(Audit.IngestedAt) > lit(wm))
+      case None => liveBands
+    }
+    val mineStamp = newBands.agg(max(col(Audit.IngestedAt))).head() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getTimestamp(0))
+    }
+    mineStamp.foreach { stamp =>
+      val cands = newBands
+        .select(col("id").as("_pid"), col("band"), col("band_hash"))
+        .join(liveBands.select(col("id").as("_cid"), col("band"),
+          col("band_hash")), Seq("band", "band_hash"))
+        .filter(col("_pid") =!= col("_cid"))
+        // normalized pair: a pair whose BOTH endpoints are new is mined
+        // from each side; least/greatest + distinct collapses the twins
+        .select(least(col("_pid"), col("_cid")).as("id_a"),
+          greatest(col("_pid"), col("_cid")).as("id_b"))
+        .distinct()
+      val verified = DedupOps.verifyJaccard(cands,
+        live.select(col(idCol).as("id"), col("_sh").as("sh")),
+        ccfg.nearDupJaccard)
+      val batchEdges = verified
+        .join(live.select(col(idCol).as("id_a"),
+          col(Audit.IngestedAt).as("_ia_a")), Seq("id_a"))
+        .join(live.select(col(idCol).as("id_b"),
+          col(Audit.IngestedAt).as("_ia_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          col("_ia_a"), col("_ia_b"))
+        .withColumn("_mined_at", lit(stamp))
+      val idT = live.schema(idCol).dataType
+      val sentinel = spark.range(1).select(
+        lit(null).cast(idT).as("id_a"), lit(null).cast(idT).as("id_b"),
+        lit(null).cast("double").as("jaccard"),
+        lit(null).cast("timestamp").as("_ia_a"),
+        lit(null).cast("timestamp").as("_ia_b"),
+        lit(stamp).as("_mined_at"))
+      batchEdges.unionByName(sentinel)
+        .repartition(col("id_a"))
+        .write.mode("append").parquet(edgesDir)
+      log(s"gold.$entity: suffix state advanced to $stamp " +
+        s"(bands + verified edges appended)")
+    }
+    // ---- the live edge set: both endpoint versions still current.
+    // distinct on the stamped tuple first: an at-least-once re-mine
+    // (crash before the sentinel landed) may duplicate a batch
+    if (!fs.exists(new org.apache.hadoop.fs.Path(edgesDir)))
+      live.limit(0).select(col(idCol).as("id_a"), col(idCol).as("id_b"))
+    else spark.read.parquet(edgesDir)
+      .filter(col("id_a").isNotNull)
+      .select("id_a", "id_b", "_ia_a", "_ia_b").distinct()
+      .join(live.select(col(idCol).as("id_a"),
+        col(Audit.IngestedAt).as("_ia_a")), Seq("id_a", "_ia_a"),
+        "left_semi")
+      .join(live.select(col(idCol).as("id_b"),
+        col(Audit.IngestedAt).as("_ia_b")), Seq("id_b", "_ia_b"),
+        "left_semi")
+      .select("id_a", "id_b")
   }
 
   /** Config-declared gold table: runs after silver with the SAME
@@ -1599,12 +1809,17 @@ final class PipelineRunner(
       val p = new org.apache.hadoop.fs.Path(goldPrefixPath(entity))
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      log(s"gold.$entity: full refresh cleared the incremental prefix")
+      val sp = new org.apache.hadoop.fs.Path(goldSuffixPath(entity))
+      if (fs.exists(sp)) fs.delete(sp, true)
+      log(s"gold.$entity: full refresh cleared the incremental prefix " +
+        "and suffix state")
     }
     val obs = Option.when(g.anyExpectations)(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
     val frame =
-      if (g.mode == "incremental") buildGoldFrameIncremental(entity, cfg, g, obs)
+      if (g.join.nonEmpty) buildGoldJoinFrame(entity, cfg, g, obs)
+      else if (g.mode == "incremental")
+        buildGoldFrameIncremental(entity, cfg, g, obs)
       else buildGoldFrame(entity, cfg, g, obs)
     publishVersioned(fqn, goldPath(entity), frame,
       preCommit = () => failOnViolations(entity, g.expectAllOrFail, obs))
@@ -1682,12 +1897,15 @@ final class PipelineRunner(
         }
       }
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
+    log("phase bronze done")
     each { case (e, cfg) => runSilver(e, cfg, fullRefresh) }
+    log("phase silver done")
     // phase 2.5: gold tables are declared per entity; the schema is
     // created lazily so gold-free configs never touch a gold catalog
     if (entities.values.exists(_.gold.nonEmpty))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.goldSchema}`")
     each { case (e, cfg) => runGold(e, cfg, fullRefresh) }
+    log("phase gold done")
     if (params.softDeletesEnabled)
       entities.keys.toSeq.sorted.foreach(createActiveView)
   }

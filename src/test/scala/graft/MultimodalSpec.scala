@@ -396,6 +396,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audioSpectrogram: a pure tone at a band's center frequency puts " +
+      "that band's energy on top in every frame") {
+    // semantic anchor for the spectrogram (the manifest only pins
+    // determinism): band centers are fc(b) = 100 · 35^(b/31) Hz, so a
+    // sine at fc(10) must make band 10 the per-frame argmax
+    val rate = 8000
+    val bands = 32
+    for (b <- Seq(5, 10, 20)) {
+      val fc = 100.0 * StrictMath.pow(35.0, b / 31.0)
+      val n = rate / 2
+      val samples = Array.tabulate(n)(i =>
+        (0.5 * StrictMath.sin(2 * StrictMath.PI * fc * i / rate)).toFloat)
+      val spec = Multimodal.audioSpectrogram(samples, 1, rate,
+        frames = 8, bands = bands)
+      for (t <- 0 until 8) {
+        val col = (0 until bands).map(bb => spec(bb * 8 + t))
+        assert(col.indexOf(col.max) == b,
+          s"tone at band $b center peaked at band ${col.indexOf(col.max)}")
+      }
+    }
+  }
+
+  test("audioFingerprint: gain shift is EXACTLY invariant, resample and " +
+      "re-containering stay within a few bits, distinct melodies are far") {
+    import Multimodal._
+    val root = MultimodalQueries.mediaRoot
+    assume(new java.io.File(s"$root/afp").isDirectory)
+    def fpOf(name: String): Long = {
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(s"$root/afp/$name"))
+      audioFingerprint(WavCodec.decodeAudio(b).get)
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fpOf("afp_00.wav") == fpOf("afp_00.wav")) // deterministic
+    // gain scales every |X|² by g²: +constant in the log domain, and the
+    // only DCT coefficient that moves is the DC bit the hash forces 0 —
+    // so the invariance is exact, not approximate
+    assert(ham(fpOf("afp_00.wav"), fpOf("afp_00_gain.wav")) == 0)
+    // 2× resample: absolute band frequencies + time-proportional frames
+    // approximate the same integrals
+    assert(ham(fpOf("afp_01.wav"), fpOf("afp_01_rs2x.wav")) <= 6)
+    // AU re-container: same PCM through javax.sound
+    assert(ham(fpOf("afp_02.wav"), fpOf("afp_02_au.au")) == 0)
+    for (i <- 0 until 5; j <- (i + 1) until 5)
+      assert(ham(fpOf(f"afp_$i%02d.wav"), fpOf(f"afp_$j%02d.wav")) > 10,
+        s"melodies $i/$j too close")
+  }
+
   test("hammingPairs equals the brute-force pair set on the phash corpus") {
     import Multimodal._
     val root = MultimodalQueries.mediaRoot

@@ -1609,12 +1609,13 @@ class PipelineSpec extends AnyFunSuite {
         .select($"doc_id", $"text", $"lang")
         .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     }
-    def prefixBytes(): Map[String, Long] = {
-      val d = new java.io.File(s"$storeI/gold_prefix/docs")
+    def storeFiles(sub: String): Map[String, Long] = {
+      val d = new java.io.File(s"$storeI/$sub")
       if (!d.isDirectory) Map.empty
       else d.listFiles().filter(_.isFile)
         .map(f => f.getName -> f.length()).toMap
     }
+    def prefixBytes(): Map[String, Long] = storeFiles("gold_prefix/docs")
     def run(src: String, store: String, cat: String, clock: String,
         ent: Map[String, graft.config.EntityConfig]): Unit =
       mkRunner(src, store, clock, catalog = cat)._1.run(ent)
@@ -1629,6 +1630,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids1.contains(10L) && !ids1.contains(110L), "exact-dup pair")
     val b1Files = prefixBytes()
     val b1Bytes = b1Files.values.sum
+    // the suffix's persisted LSH state exists after run 1: band rows for
+    // every live prefix version, and the planted near-dup edge
+    val b1Bands = storeFiles("gold_suffix/docs/bands")
+    assert(b1Bands.nonEmpty, "no persisted band index after batch 1")
+    def liveSuffixEdges(): Set[(Long, Long)] =
+      spark.read.parquet(s"$storeI/gold_suffix/docs/edges")
+        .filter($"id_a".isNotNull)
+        .select($"id_a".cast("long"), $"id_b".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    assert(liveSuffixEdges().contains((1L, 101L)),
+      "planted near-dup pair missing from the persisted edge store")
 
     batch2(srcI); batch2(srcF)
     run(srcI, storeI, "ginci", "2024-02-02 00:00:00", entI)
@@ -1659,6 +1671,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(b3Bytes > 0, "batch 3 appended no prefix data?")
     assert(b3Bytes < b1Bytes / 2,
       s"prefix append not O(batch): batch3=$b3Bytes vs batch1=$b1Bytes")
+    // O(batch) SUFFIX evidence: the 2-doc batch-3 run appended a small
+    // fraction of the batch-1 band build (signatures are computed once
+    // per version, never re-derived per publish), and the edge store
+    // still resolves CDC by version: batch 2 updated doc 2 and added
+    // 200 ≈ 10, so (10,200) is live while the stale edges of superseded
+    // versions died with their version stamps
+    val b3BandBytes = storeFiles("gold_suffix/docs/bands")
+      .filterNot { case (n, _) => b1Bands.contains(n) }.values.sum
+    assert(b3BandBytes > 0, "batch 3 appended no band rows?")
+    assert(b3BandBytes < b1Bands.values.sum / 2,
+      s"band append not O(batch): batch3=$b3BandBytes vs " +
+        s"batch1=${b1Bands.values.sum}")
+    assert(liveSuffixEdges().contains((10L, 200L)),
+      "batch-2 mined near-dup edge missing from the persisted store")
   }
 
   test("incremental gold rejects the corpus-global segment-cleanup " +
@@ -1668,6 +1694,112 @@ class PipelineSpec extends AnyFunSuite {
         curation = graft.config.GoldCuration(lineDedupSpan = Some(3)))
     }
     assert(bad.getMessage.contains("segment-cleanup"))
+  }
+
+  test("cross-entity gold join (gold.join): dim⋈fact mart e2e through " +
+      "bronze→silver→gold with broadcast, projection, expectations; " +
+      "config rejects unknown/self entities and curation+join") {
+    val src = tmpDir("goldjoin-src"); val store = tmpDir("goldjoin-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {
+        |    "join": [
+        |      {"entity": "stores", "on": "store_id = s_id",
+        |       "type": "left", "broadcast": true}],
+        |    "select": ["sale_id", "amount", "store_id",
+        |               "s_city AS city", "s_region AS region"],
+        |    "expect_all_or_drop": {"has_store": "city IS NOT NULL"},
+        |    "clustering_cols": ["store_id"]}
+        |},
+        |"stores": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"]
+        |}}""".stripMargin)
+    Seq((1L, 100L, 10L), (2L, 250L, 11L), (3L, 75L, 10L),
+        (4L, 30L, 99L)) // store 99 undeclared -> left join NULL -> dropped
+      .toDF("sale_id", "amount", "store_id")
+      .write.parquet(s"$src/sales")
+    Seq((10L, "lima", "south"), (11L, "oslo", "north"))
+      .toDF("s_id", "s_city", "s_region")
+      .write.parquet(s"$src/stores")
+    val ent = ConfigLoader.load(spark, src)
+    val (runner, params) =
+      mkRunner(src, store, "2024-04-01 00:00:00", catalog = "gjoin")
+    runner.run(ent)
+    val mart = spark.table(params.goldFqn("sales"))
+    assert(mart.columns.toSeq ==
+      Seq("sale_id", "amount", "store_id", "city", "region"))
+    assert(mart.orderBy($"sale_id")
+      .as[(Long, Long, Long, String, String)].collect().toSeq == Seq(
+        (1L, 100L, 10L, "lima", "south"),
+        (2L, 250L, 11L, "oslo", "north"),
+        (3L, 75L, 10L, "lima", "south")))
+    // the declared broadcast reached the plan: no shuffle on the fact
+    // side for the dim join
+    val g = ConfigLoader.load(spark, src)("sales").gold.get
+    val plan = runner.buildGoldJoinFrame("sales",
+      ConfigLoader.load(spark, src)("sales"), g)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // config validation: unknown entity, self-join, curation+join
+    def loadCfg(json: String): Unit = {
+      val bad = tmpDir("goldjoin-bad")
+      Files.writeString(Path.of(bad, "dp_config_template.json"), json)
+      ConfigLoader.load(spark, bad)
+    }
+    val unk = intercept[IllegalArgumentException] { loadCfg(
+      """{"sales": {"raw_file_format": "parquet",
+        |"unique_primary_key": ["sale_id"],
+        |"gold": {"join": [{"entity": "nope", "on": "a = b"}]}}}"""
+        .stripMargin) }
+    assert(unk.getMessage.contains("not declared"))
+    val self = intercept[IllegalArgumentException] { loadCfg(
+      """{"sales": {"raw_file_format": "parquet",
+        |"unique_primary_key": ["sale_id"],
+        |"gold": {"join": [{"entity": "sales", "on": "a = b"}]}}}"""
+        .stripMargin) }
+    assert(self.getMessage.contains("itself"))
+    val both = intercept[IllegalArgumentException] { loadCfg(
+      """{"sales": {"raw_file_format": "parquet",
+        |"unique_primary_key": ["sale_id"],
+        |"gold": {"join": [{"entity": "stores", "on": "a = b"}],
+        |         "curation": {"text_col": "t"}}},
+        |"stores": {"raw_file_format": "parquet",
+        |"unique_primary_key": ["s_id"]}}""".stripMargin) }
+    assert(both.getMessage.contains("mutually exclusive"))
+  }
+
+  test("incremental gold suffix state: LSH layout change fails loud and " +
+      "names the remedy; full refresh rebuilds it") {
+    val src = tmpDir("goldlay-src"); val store = tmpDir("goldlay-store")
+    def cfgJson(bands: Int) = s"""{"docs": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["doc_id"],
+      |  "gold": {"mode": "incremental",
+      |    "curation": {"id_col": "doc_id", "text_col": "text",
+      |                 "min_quality": 0.0, "max_repetition": 1.0,
+      |                 "minhash_bands": $bands}}
+      |}}""".stripMargin
+    Files.writeString(Path.of(src, "dp_config_template.json"), cfgJson(16))
+    (0 until 20).map(i => (i.toLong, s"alpha bravo charlie doc$i delta"))
+      .toDF("doc_id", "text").write.parquet(s"$src/docs")
+    val cat = "goldlay"
+    def runWith(bands: Int, fullRefresh: Boolean = false): Unit = {
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(bands))
+      val ent = ConfigLoader.load(spark, src)
+      mkRunner(src, store, "2024-03-01 00:00:00", catalog = cat)._1
+        .run(ent, fullRefresh = fullRefresh)
+    }
+    runWith(16)
+    val boom = intercept[IllegalArgumentException] { runWith(8) }
+    assert(boom.getMessage.contains("full refresh") &&
+      boom.getMessage.contains("bands=16"), boom.getMessage)
+    runWith(8, fullRefresh = true) // rebuilds the suffix state cleanly
+    val p = PipelineParams(sourceLocation = "", catalogName = cat)
+    assert(spark.table(p.goldFqn("docs")).count() == 20)
   }
 
   test("rebucket migration: silver_buckets 4 -> 8 preserves contents for " +

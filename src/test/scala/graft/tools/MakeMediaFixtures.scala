@@ -109,6 +109,41 @@ object MakeMediaFixtures {
     bos.toByteArray
   }
 
+  /** A STRUCTURED clip (an 8-segment "melody" of pure tones drawn from
+    * a per-clip seed) for the audio-fingerprint fixtures — like
+    * [[makeStructuredPng]] vs [[makePng]], the spectral hash is about
+    * band-time structure, so unlike [[makeWav]]'s noise these have
+    * stable spectrogram signatures. `gain` scales amplitude (the
+    * fingerprint must shrug it off); `rate` resamples the SAME analytic
+    * signal (segment boundaries are time-proportional, so a 2× rate is
+    * the resample perturbation). */
+  def makeToneWav(idx: Int, rate: Int, gain: Double = 0.5,
+      durMs: Int = 400): Array[Byte] = {
+    val n = rate * durMs / 1000
+    val segs = 8
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val seg = math.min(i * segs / n, segs - 1)
+      // per-(clip, segment) tone from the log-spaced fingerprint band
+      // range: 150 · 1.31^k Hz, k ∈ [0, 11] — inside [100, 3500]
+      val k = ((mix(idx * 524287L + 101L, seg.toLong) >>> 33) % 12).toInt
+      val f = 150.0 * StrictMath.pow(1.31, k)
+      val t = i.toDouble / rate
+      val s = (StrictMath.sin(2.0 * StrictMath.PI * f * t) * gain
+        * 32767.0).toInt
+      raw(2 * i) = (s & 0xff).toByte
+      raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+      1, 2, rate, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   private def write(f: File, bytes: Array[Byte]): Unit = {
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath, bytes)
@@ -321,6 +356,27 @@ object MakeMediaFixtures {
         write(new File(root, "wav/clip_90_corrupt.wav"), junk); "clip_90_corrupt.wav"
       })
 
+    // ---- audio-fingerprint family: 5 structurally DISTINCT tone
+    // melodies + 3 perturbed near-dups (gain shift, 2× resample, AU
+    // re-container) — the corpus q_audio_fp/q_audio_neardup runs on.
+    // Structured content (tone sequences), NOT noise: the spectral
+    // hash fingerprints band-time structure.
+    val afpFiles = (0 until 5).map { i =>
+      val name = f"afp_$i%02d.wav"
+      write(new File(root, s"afp/$name"), makeToneWav(i, 8000))
+      name
+    } ++ Seq(
+      { write(new File(root, "afp/afp_00_gain.wav"),
+          makeToneWav(0, 8000, gain = 0.2))
+        "afp_00_gain.wav" },
+      { write(new File(root, "afp/afp_01_rs2x.wav"),
+          makeToneWav(1, 16000))
+        "afp_01_rs2x.wav" },
+      { write(new File(root, "afp/afp_02_au.au"),
+          transcodeAudio(makeToneWav(2, 8000),
+            javax.sound.sampled.AudioFileFormat.Type.AU))
+        "afp_02_au.au" })
+
     // ---- video: 5 valid animated GIFs (dims × frame counts × delay
     // patterns, incl. a single-frame clip and mixed per-frame delays)
     // + 2 undecodable files exercising the stub fallback
@@ -427,12 +483,22 @@ object MakeMediaFixtures {
         d.channels))
     }
 
+    val afpRows = afpFiles.sorted.map { name =>
+      val b = bytesOf("afp", name)
+      val d = Multimodal.WavCodec.decodeAudio(b)
+        .getOrElse(Multimodal.StubCodec.decodeAudio(b))
+      (name, Multimodal.audioFingerprint(d))
+    }
+
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
     phashRows.toDF("file_name", "phash").coalesce(1).write
       .mode("overwrite")
       .parquet(new File(root, "manifest_phash").getPath)
+    afpRows.toDF("file_name", "afp").coalesce(1).write
+      .mode("overwrite")
+      .parquet(new File(root, "manifest_afp").getPath)
     imgRows.toDS().coalesce(1).write.mode("overwrite")
       .parquet(new File(root, "manifest_img").getPath)
     wavRows.toDS().coalesce(1).write.mode("overwrite")
