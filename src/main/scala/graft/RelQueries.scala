@@ -807,6 +807,18 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: average precision (PR-AUC) — the top-of-ranking
+    //    companion to q_auc; exact per-positive micro-unit Precision@k
+    //    terms, event_id tie-break
+    "q_avg_precision" -> ((s, dir) => {
+      graft.analytics.Evaluation.averagePrecisionByGroup(
+          t(s, dir, "events")
+            .withColumn("variant", col("user_id") % 2),
+          Seq("variant"), col("event_type") === "purchase", "value",
+          "event_id")
+        .orderBy(col("variant"))
+    }),
+
     // -- [EXT]: two-sample Kolmogorov–Smirnov — exact rational max-CDF-
     //    gap between the even/odd event-id value distributions (the
     //    binning-free companion to q_numeric_drift)
@@ -1690,6 +1702,32 @@ object RelQueries {
         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
         |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
         |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
+        |FROM a ORDER BY variant""".stripMargin,
+
+    // reproducible total order (score DESC, event_id ASC), exact
+    // floor(1e6·cum⁺/k) terms (// ≡ Fixed.ldiv), one double division
+    "q_avg_precision" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 AS variant,
+        |    event_type = 'purchase' AS y, value AS s, event_id AS id
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT variant, y,
+        |        CAST(row_number() OVER w AS BIGINT) AS k,
+        |        SUM(CASE WHEN y THEN 1 ELSE 0 END) OVER (
+        |          PARTITION BY variant ORDER BY s DESC, id ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |      FROM b
+        |      WINDOW w AS (PARTITION BY variant ORDER BY s DESC, id ASC)),
+        |a AS (SELECT variant,
+        |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+        |        CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS n_neg,
+        |        SUM(CASE WHEN y THEN CAST((1000000 * cp) // k AS HUGEINT)
+        |            END) AS ts
+        |      FROM r GROUP BY 1)
+        |SELECT variant, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 THEN
+        |    round(ts::DOUBLE / (1000000.0 * n_pos::DOUBLE), 6) END AS ap
         |FROM a ORDER BY variant""".stripMargin,
 
     // exact integer CDF cross-multiplication per distinct value

@@ -60,6 +60,60 @@ object Evaluation {
             / (lit(2.0) * np * nn), 6)).as("auc")): _*)
   }
 
+  /** AVERAGE PRECISION (the PR-AUC companion to [[aucByGroup]]) per
+    * group: AP = (1/n⁺) Σ_{k positive} Precision@k over the score-DESC
+    * ranking. Where AUC-ROC weighs positives against negatives
+    * symmetrically, AP concentrates on the top of the ranking — the
+    * metric of record for imbalanced retrieval/detection evals. One row
+    * per group: `n_pos`, `n_neg`, `ap` rounded at 6; a group with no
+    * positives yields NULL ap. Rows with NULL score or label drop.
+    *
+    * Ties: the ranking is made a reproducible TOTAL order by breaking
+    * score ties on `idCol` (the [[ndcgByQuery]] discipline) — the
+    * analytic tie-sharing of the rank-sum identity has no closed form
+    * for AP, so determinism comes from the explicit tie-break, which an
+    * external engine reproduces exactly.
+    *
+    * Exactness: Precision@k = cum⁺(k)/k is a rational; each positive's
+    * term enters as the exact integer floor(10⁶·cum⁺/k)
+    * ([[graft.ops.Fixed.ldiv]] — DuckDB's `//`), the per-group sum is
+    * exact ([[graft.functions.Int128Sum]]), and doubles appear only in
+    * the final /(10⁶·n⁺) division.
+    *
+    * Shape: ONE rank window per group (row_number and the running
+    * positive count ride the same (group, score desc, id) sort — no
+    * second exchange), then a map-side-combined aggregate. The running
+    * sum is per-GROUP, bounded by group size: the global-window trap
+    * does not apply. */
+  def averagePrecisionByGroup(df: DataFrame, groupCols: Seq[String],
+      labelCol: Column, scoreCol: String, idCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "averagePrecisionByGroup needs at least one group column")
+    val s = col(s"`$scoreCol`").cast("double")
+    val base = df.filter(s.isNotNull && labelCol.isNotNull)
+      .select(groupCols.map(c => col(s"`$c`")) ++ Seq(
+        labelCol.cast("boolean").as("_y"), s.as("_s"),
+        col(s"`$idCol`").as("_id")): _*)
+    val wRank = Window.partitionBy(groupCols.map(c => col(s"`$c`")): _*)
+      .orderBy(col("_s").desc, col("_id").asc)
+    val ranked = base
+      .withColumn("_k", row_number().over(wRank).cast("long"))
+      .withColumn("_cp", sum(when(col("_y"), lit(1L)).otherwise(lit(0L)))
+        .over(wRank.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val agg = ranked.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+      .agg(count(when(col("_y"), lit(1))).as("n_pos"),
+        count(when(!col("_y"), lit(1))).as("n_neg"),
+        int128Sum(when(col("_y"),
+          ldiv(lit(1000000L) * col("_cp"), col("_k")))).as("_ts"))
+    agg.select(
+      groupCols.map(c => col(s"`$c`")) ++ Seq(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0, round(
+          col("_ts").cast("double")
+            / (lit(1e6) * col("n_pos").cast("double")), 6)).as("ap")): _*)
+  }
+
   /** NDCG@k per query — the graded-relevance ranking metric of retrieval
     * eval (search/RAG regression suites): DCG@k = Σᵣ (2^rel − 1)/log₂(r+1)
     * over the score-DESC ranking, normalized by the ideal (rel-DESC)

@@ -60,6 +60,51 @@ class EvaluationSpec extends AnyFunSuite {
   private def micros(gain: Long, r: Int): Long =
     math.floor(gain.toDouble * discount(r) * 1e6).toLong
 
+  private def ap(rows: Seq[(String, Boolean, Double, Long)])
+      : Map[String, Row] =
+    Evaluation.averagePrecisionByGroup(rows.toDF("g", "y", "s", "id"),
+        Seq("g"), col("y"), "s", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("averagePrecisionByGroup: hand-computed AP, perfect/inverted/" +
+      "interleaved, no-positive NULL") {
+    val r = ap(Seq(
+      // perfect: positives at ranks 1,2 -> (1/1 + 2/2)/2 = 1
+      ("perfect", true, 4.0, 1L), ("perfect", true, 3.0, 2L),
+      ("perfect", false, 2.0, 3L), ("perfect", false, 1.0, 4L),
+      // inverted: positives at ranks 3,4 -> (1/3 + 2/4)/2 = 5/12
+      ("inverted", false, 4.0, 1L), ("inverted", false, 3.0, 2L),
+      ("inverted", true, 2.0, 3L), ("inverted", true, 1.0, 4L),
+      // interleaved p,n,p,n: (1/1 + 2/3)/2 = 5/6
+      ("inter", true, 4.0, 1L), ("inter", false, 3.0, 2L),
+      ("inter", true, 2.0, 3L), ("inter", false, 1.0, 4L),
+      ("nopos", false, 1.0, 1L), ("nopos", false, 2.0, 2L)))
+    assert(r("perfect").getDouble(3) == 1.0)
+    // micro-floored terms: floor(1e6/3)=333333, floor(1e6·2/4)=500000
+    assert(r("inverted").getDouble(3) == math.rint(
+      (333333 + 500000) / 2.0) / 1e6 || r("inverted").getDouble(3)
+        == 0.416667)
+    assert(r("inter").getDouble(3) == 0.833333)
+    assert(r("nopos").isNullAt(3))
+    assert(r("perfect").getLong(1) == 2L && r("perfect").getLong(2) == 2L)
+  }
+
+  test("averagePrecisionByGroup: score ties break on id — deterministic " +
+      "under shuffled input") {
+    val rows = Seq(
+      ("g", true, 2.0, 10L), ("g", false, 2.0, 11L),
+      ("g", true, 2.0, 12L), ("g", false, 1.0, 13L))
+    // total order by (s desc, id asc): ids 10,11,12,13 -> positives at
+    // ranks 1 and 3: AP = (1 + floor-2/3)/2
+    val expected = (1000000L + 666666L) / 2.0 / 1e6
+    for (seed <- 1 to 3) {
+      val shuffled = new scala.util.Random(seed).shuffle(rows)
+      val r = ap(shuffled)
+      assert(r("g").getDouble(3) == math.rint(expected * 1e6) / 1e6 ||
+        r("g").getDouble(3) == 0.833333)
+    }
+  }
+
   test("ndcgByQuery: ideal ranking = 1, reversed matches the closed " +
       "form, all-zero rel NULL, k cutoff") {
     val df = Seq(
