@@ -496,6 +496,38 @@ object LlmQueries {
       s.read.parquet(tmp.resolve("out").toString).orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: the FULL incremental-gold prefix EXECUTED AS A STREAM —
+    //    quality gate + PII scrub + normalize-once fingerprint/shingle
+    //    derivation + repetition gate (Curation.prefixStages via
+    //    StreamOps.goldPrefixStream), every stage row-local, through a
+    //    real parquet sink + checkpoint under Trigger.AvailableNow. The
+    //    oracle replays the same stages in SQL and checks the PERSISTED
+    //    prefix columns (fingerprint, shingle count) — the continuous
+    //    twin of the batch pipeline's per-run prefix append.
+    "q_stream_gold_prefix" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val path = s"$dir/documents.parquet"
+      val schema = s.read.parquet(path).schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streamgp")
+      val stream =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      graft.streaming.StreamOps
+        .goldPrefixStream(stream, "doc_id", "text", Some("lang"))
+        .select(col("doc_id"), col("lang"),
+          round(col("quality"), 6).as("quality"),
+          col("_fp").as("fp"),
+          size(col("_sh")).cast("long").as("n_shingles"))
+        .writeStream.format("parquet")
+        .option("path", tmp.resolve("out").toString)
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(tmp.resolve("out").toString).orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: context-window chunking — split each document into
     //    overlapping 32-token windows with stride 24 (the pretraining
     //    packing primitive), exploded to one row per chunk.
@@ -1739,6 +1771,49 @@ object LlmQueries {
          |  HAVING min(label) <> node)
          |SELECT doc_id, lang, round(quality, 6) AS quality FROM exact
          |WHERE doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the prefix CTEs of the q_curation oracle (quality → gate → scrub →
+    // normalize → shingle → repetition), exposing the persisted prefix
+    // columns: fp = md5(normalized scrubbed text), n_shingles = distinct
+    // trigram count (== size of the engine's hashed shingle set)
+    "q_stream_gold_prefix" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    (CASE WHEN n_chars_d >= 50 AND n_chars_d <= 10000 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN sw_hits / n_toks_d >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.3
+         |    + (CASE WHEN punct_chars / n_chars_d <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    + (CASE WHEN tok_chars / n_toks_d >= 2.0 AND tok_chars / n_toks_d <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+         |    AS quality
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS punct_chars,
+         |      length(text)::DOUBLE AS n_chars_d,
+         |      len(list_filter($duckToksLower, t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |      len($duckToks)::DOUBLE AS n_toks_d,
+         |      list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars
+         |    FROM documents)),
+         |gated AS (
+         |  SELECT doc_id, lang, quality,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      'https?://[^\\s]+', '<URL>', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS text
+         |  FROM scored WHERE quality >= 0.5),
+         |normed AS (
+         |  SELECT doc_id, lang, quality,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+         |  FROM gated),
+         |shingled AS (
+         |  SELECT doc_id, lang, quality, norm, toks,
+         |    list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |      ELSE list_transform(range(1, len(toks) - 1),
+         |        i -> array_to_string(toks[i:i+2], ' ')) END) AS s
+         |  FROM (SELECT *, string_split(norm, ' ') AS toks FROM normed))
+         |SELECT doc_id, lang, round(quality, 6) AS quality,
+         |  md5(norm) AS fp, CAST(len(s) AS BIGINT) AS n_shingles
+         |FROM shingled
+         |WHERE 1.0 - len(s)::DOUBLE / greatest(len(toks) - 2, 1)::DOUBLE <= 0.5
          |ORDER BY doc_id""".stripMargin,
 
     "q_chunk" ->

@@ -108,6 +108,31 @@ object StreamOps {
       .filter(col("quality") >= minQuality)
       .withColumn(textCol, graft.text.TextOps.redactPii(col(textCol)))
 
+  /** The incremental-gold curation PREFIX
+    * ([[graft.llm.Curation.prefixStages]] — quality gate, language
+    * filter, PII scrub, fingerprint + shingle derivation, repetition
+    * gate) as a STREAM transform: every prefix stage is row-local, so
+    * the whole gate composes with any streaming source/sink and its
+    * output is deterministic under arbitrary micro-batch boundaries.
+    * This is the continuously-running twin of the batch pipeline's
+    * per-run prefix append (`gold_mode: "incremental"`): a deployment
+    * that wants the prefix store maintained by a standing stream writes
+    * this frame with a parquet sink + checkpoint and points the
+    * per-publish suffix at the same directory. The corpus-global
+    * segment-cleanup knobs must stay off — the same restriction the
+    * batch incremental mode enforces. Declared as `q_stream_gold_prefix`
+    * (a real writeStream execution on the oracle surface). */
+  def goldPrefixStream(docs: DataFrame, idCol: String, textCol: String,
+      langCol: Option[String] = None,
+      cfg: graft.llm.Curation.Config = graft.llm.Curation.Config())
+      : DataFrame = {
+    require(cfg.boilerplateMinDocFreq.isEmpty && cfg.lineDedupSpan.isEmpty,
+      "goldPrefixStream cannot run the corpus-global segment-cleanup " +
+        "stages (they read corpus-wide frequencies; use the batch path)")
+    graft.llm.Curation.prefixStages(docs, idCol, textCol, langCol, cfg)
+      .last._2
+  }
+
   /** Incremental sketch-table maintenance on the streaming surface: each
     * micro-batch appends one HLL sketch row per stratum (plus the batch
     * id) to a parquet sketch table — the streaming writer for
