@@ -116,6 +116,64 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- [EXT]: INCREMENTALLY-MAINTAINED join mart — materialized-view
+    //    maintenance driven end-to-end through 3 CDC batches on BOTH
+    //    sides of the star: batch 2 updates a wave of fact rows AND a
+    //    wave of dim attributes (the dim delta comes from diffing the
+    //    dim's versioned silver snapshots and broadcasts into a fact
+    //    semi-join); batch 3 retracts a fact wave via the expectation
+    //    gate. The oracle is the star join over the CDC-final state —
+    //    upserts, tombstones, and dim-diff re-derivation must be
+    //    invisible.
+    "q_gold_join_incr" -> ((s, dir) => {
+      val run = s"gjinc_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      val orders = analytics.Tables(s, dir, "orders")
+      val customer = analytics.Tables(s, dir, "customer")
+      orders.write.parquet(s"$root/src/orders")
+      customer.write.parquet(s"$root/src/customer")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"orders": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["o_orderkey"],
+          |  "expect_all_or_drop": {"price_ok": "o_totalprice IS NOT NULL"},
+          |  "gold": {"mode": "incremental",
+          |    "join": [
+          |      {"entity": "customer", "on": "o_custkey = c_custkey",
+          |       "broadcast": true}],
+          |    "select": ["o_orderkey", "o_totalprice",
+          |               "c_name AS customer", "c_mktsegment AS segment"]}
+          |},
+          |"customer": {"raw_file_format": "parquet",
+          |             "unique_primary_key": ["c_custkey"]}
+          |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      def runAt(clock: String): PipelineParams = {
+        val params = PipelineParams(sourceLocation = s"$root/src",
+          catalogName = run,
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        new PipelineRunner(s, params, s"$root/store")
+          .run(ConfigLoader.load(s, params.sourceLocation))
+        params
+      }
+      runAt("2024-03-01 00:00:00")
+      // fact update wave + dim attribute wave
+      orders.where(col("o_orderkey") % 13 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .write.mode("append").parquet(s"$root/src/orders")
+      customer.where(col("c_custkey") % 7 === 0)
+        .withColumn("c_name", concat(lit("upd: "), col("c_name")))
+        .write.mode("append").parquet(s"$root/src/customer")
+      runAt("2024-03-02 00:00:00")
+      // fact retraction wave through the expectation gate
+      orders.where(col("o_orderkey") % 11 === 0 &&
+          col("o_orderkey") % 13 =!= 0)
+        .withColumn("o_totalprice", lit(null).cast("double"))
+        .write.mode("append").parquet(s"$root/src/orders")
+      val params = runAt("2024-03-03 00:00:00")
+      s.table(params.goldFqn("orders")).orderBy(col("o_orderkey"))
+    }),
+
     // -- [EXT]: merge-on-read incremental silver, driven end-to-end. Three
     //    real pipeline runs: base build, then a delta batch carrying newer
     //    versions (doc_id % 13) AND expectation-violating rows
@@ -282,6 +340,21 @@ object PipelineQueries {
     * curated result. */
   def oracleSql: Map[String, String] = Map(
     "q_gold_curation" -> LlmQueries.oracleSql("q_curation"),
+    // the star join over the CDC-final state: keep-latest fact updates,
+    // the expectation retraction wave, and the dim attribute wave all
+    // applied by shadowing CASEs — the incremental upsert/tombstone/
+    // dim-diff machinery must be invisible
+    "q_gold_join_incr" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'upd: ' || c_name
+        |       ELSE c_name END AS customer,
+        |  c_mktsegment AS segment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 13 != 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
     // the star join over the raw tables: the medallion plumbing
     // (bronze streams, PK-dedup silver, versioned gold publish) must be
     // invisible in the mart

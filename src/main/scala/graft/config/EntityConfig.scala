@@ -163,8 +163,11 @@ final case class GoldConfig(
     /** CROSS-ENTITY gold (the dim⋈fact mart): joins declared against
       * OTHER entities' silver tables, applied in order to this entity's
       * silver. Mutually exclusive with `curation` (a mart is a join +
-      * projection, not a text-curation pipeline) and with incremental
-      * mode. Empty = curation gold (the default). */
+      * projection, not a text-curation pipeline). With mode
+      * "incremental" the mart is MAINTAINED incrementally (fact-delta
+      * upserts + dim-delta re-derivation against versioned dim
+      * snapshots) — star-only equi joins, full-mode dims. Empty =
+      * curation gold (the default). */
     join: Seq[GoldJoin] = Nil,
     /** Projection over the joined frame (SQL expressions, aliases
       * allowed — `"c_name AS customer_name"`). Empty = every column the
@@ -191,9 +194,10 @@ final case class GoldConfig(
       "stages (boilerplate_min_doc_freq / line_dedup_span rewrite text " +
       "from corpus-wide frequencies BEFORE the quality gate); use full " +
       "mode or disable them")
-  require(join.isEmpty || mode == "full",
-    "gold.join (cross-entity mart) requires mode 'full': the join output " +
-      "has no per-row ingest watermark to split a prefix on")
+  // mode "incremental" + join = incrementally-maintained mart
+  // (fact-delta upserts + dim-delta re-derivation); its structural
+  // preconditions (star-only equi joins, full-mode dims) are validated
+  // at run time where schemas exist
   require(join.nonEmpty || select.isEmpty,
     "gold.select is only meaningful with gold.join (curation gold " +
       "publishes the curated columns)")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StructField, StructType}
 
-import graft.config.{ConfigLoader, EntityConfig, GoldConfig, GoldCuration, PipelineParams}
+import graft.config.{ConfigLoader, EntityConfig, GoldConfig, GoldCuration, GoldJoin, PipelineParams}
 import graft.ops._
 
 /** The medallion pipeline engine — our idiomatic-Scala reimplementation of
@@ -1468,6 +1468,224 @@ final class PipelineRunner(
     goldGate(entity, g, projected, boundsSrc, obs)
   }
 
+  private def goldMartPath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/gold_mart/$entity"
+    else s"$storageRoot/gold_mart/$entity"
+
+  /** Parse a star-join condition into (factCol, dimCol) equi pairs —
+    * the structural precondition of INCREMENTAL mart maintenance: a dim
+    * change can only be mapped back to affected fact rows when each
+    * equality pairs one fact column with one column of THAT dim.
+    * Snowflake chains (a join keyed through another dim's columns) have
+    * no such mapping and fail loud with the remedy. */
+  private def starJoinKeys(entity: String, j: GoldJoin,
+      factColsL: Set[String], dimColsL: Set[String])
+      : Seq[(String, String)] = {
+    def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+    j.on.split("(?i)\\bAND\\b").toSeq.map { term =>
+      val sides = term.split("=").map(bare)
+      require(sides.length == 2 && sides.forall(_.nonEmpty),
+        s"gold.$entity: incremental marts need star equi-join " +
+          s"conditions ('fact_col = dim_col [AND ...]'); got " +
+          s"'${term.trim}' in '${j.on}'")
+      val (l, r) = (sides(0), sides(1))
+      if (factColsL.contains(l.toLowerCase) &&
+          dimColsL.contains(r.toLowerCase)) (l, r)
+      else if (dimColsL.contains(l.toLowerCase) &&
+          factColsL.contains(r.toLowerCase)) (r, l)
+      else throw new IllegalArgumentException(
+        s"gold.$entity: incremental marts are STAR-only — each " +
+          s"equality must pair one FACT column with one column of the " +
+          s"joined dim '${j.entity}'; '${term.trim}' does not " +
+          "(snowflake chains through another dim's columns need mode " +
+          "'full', or denormalize the chain into the dim's silver)")
+    }
+  }
+
+  /** INCREMENTALLY-MAINTAINED join mart (`gold.mode: "incremental"` +
+    * `gold.join`) — materialized-view maintenance for the dim⋈fact
+    * star: per run, only (a) fact rows newer than the store's
+    * watermark and (b) fact rows whose dim rows CHANGED are re-derived
+    * (joined against the CURRENT dims, projected) and upserted into a
+    * persisted row store keyed by the fact PK with a run-sequence
+    * stamp. Dim deltas come from diffing each dim's live versioned
+    * silver snapshot against the version the mart last consumed
+    * ([[readVersion]] — the same retention-bounded time travel the
+    * reference's Delta history provides); the changed dim keys
+    * broadcast into a fact semi-join, so at 100 TB a dim attribute
+    * update touches O(matching fact rows), never a table re-join. A
+    * re-derived fact PK with no surviving join row (inner-join dropout
+    * after a dim retraction) upserts a TOMBSTONE; fact retractions
+    * drop at read time via a semi-join against current silver PKs (the
+    * gold-prefix discipline).
+    *
+    * Publish = keep-latest per PK over the store → live rows →
+    * retraction semi-join → the shared gold gate + versioned publish;
+    * results equal [[buildGoldJoinFrame]]'s full recompute by
+    * construction (PipelineSpec pins twin equivalence across CDC
+    * batches on both sides of the star).
+    *
+    * Preconditions, all fail-loud: star-only equi joins
+    * ([[starJoinKeys]]); dims published by full-mode silver (versioned
+    * whole-table snapshots to diff — a bucketed incremental silver has
+    * none). A consumed dim version already vacuumed degrades to
+    * re-deriving every fact row, LOUDLY, rather than guessing a
+    * delta. */
+  def buildGoldMartIncremental(entity: String, cfg: EntityConfig,
+      g: GoldConfig, obs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fact = spark.read.table(params.silverFqn(entity))
+    val pkCols = cfg.uniquePrimaryKey
+    val dims: Map[String, DataFrame] = g.join.map(j => j.entity ->
+      spark.read.table(params.silverFqn(j.entity))
+        .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)).toMap
+    g.join.foreach { j =>
+      require(tableProp(spark, params.silverFqn(j.entity),
+          BucketCountProp).isEmpty,
+        s"gold.$entity: incremental-mart dim '${j.entity}' is published " +
+          "by silver_mode=incremental (bucketed layout — no versioned " +
+          "whole-table snapshots to diff); incremental marts need " +
+          "full-mode dims")
+    }
+    val factColsL = fact.columns.map(_.toLowerCase).toSet
+    val keysByDim: Map[String, Seq[(String, String)]] = g.join.map { j =>
+      j.entity -> starJoinKeys(entity, j, factColsL,
+        dims(j.entity).columns.map(_.toLowerCase).toSet)
+    }.toMap
+    val dir = goldMartPath(entity)
+    val rowsDir = s"$dir/rows"
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasRows = fs.exists(new Path(rowsDir))
+    def readRows(): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(rowsDir)
+    val (factWm, nextSeq) = if (!hasRows) (None, 1L) else {
+      val r = readRows().agg(max(col("_mart_ia")), max(col("_mart_seq")))
+        .head()
+      (if (r.isNullAt(0)) None else Some(r.getTimestamp(0)),
+        (if (r.isNullAt(1)) 0L else r.getLong(1)) + 1L)
+    }
+    // dim versions the mart last consumed (absent on the first run)
+    val markerP = new Path(s"$dir/_dim_versions")
+    val consumed: Map[String, Long] = if (!fs.exists(markerP)) Map.empty
+      else {
+        val in = fs.open(markerP)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.split("\n").filter(_.contains("=")).map { l =>
+          val Array(e, v) = l.trim.split("=");
+          e -> v.toLong
+        }.toMap
+      }
+    val liveVersions: Map[String, Long] = g.join.map { j =>
+      val v = tableVersions(j.entity, "silver").find(_.live)
+        .map(_.version).getOrElse(throw new IllegalStateException(
+          s"gold.$entity: dim '${j.entity}' has no live silver version"))
+      j.entity -> v
+    }.toMap
+    val factDelta = factWm match {
+      case Some(w) => fact.filter(col(Audit.IngestedAt) > lit(w))
+      case None => fact
+    }
+    // fact rows invalidated by dim changes: per changed dim, the
+    // symmetric row diff (old snapshot vs live) projected to that dim's
+    // join keys, broadcast into a fact semi-join
+    val affected: Seq[DataFrame] = g.join.flatMap { j =>
+      val cv = consumed.get(j.entity)
+      if (cv.isEmpty || cv.contains(liveVersions(j.entity))) None
+      else {
+        val pairs = keysByDim(j.entity)
+        val dimNow = dims(j.entity)
+        val diffKeys: Option[DataFrame] =
+          try {
+            val dimOld = readVersion(j.entity, cv.get)
+              .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
+            // schema evolution: diff over the SHARED columns (an added
+            // column makes every old row trivially "changed" otherwise
+            // only if selected; keep it simple and conservative)
+            val oldL = dimOld.columns.map(_.toLowerCase).toSet
+            val shared = dimNow.columns.filter(c =>
+              oldL.contains(c.toLowerCase))
+            Some(dimNow.select(shared.map(col): _*)
+              .exceptAll(dimOld.select(shared.map(col): _*))
+              .unionByName(dimOld.select(shared.map(col): _*)
+                .exceptAll(dimNow.select(shared.map(col): _*)))
+              .select(pairs.map { case (_, d) => col(d) }: _*)
+              .distinct())
+          } catch {
+            case _: NoSuchElementException =>
+              log(s"gold.$entity: dim '${j.entity}' version ${cv.get} " +
+                "was vacuumed — re-deriving EVERY fact row this run " +
+                "(correct but not incremental; raise the retention " +
+                "window or run the mart more often)")
+              None
+          }
+        diffKeys match {
+          case Some(keys) =>
+            val renamed = pairs.foldLeft(keys) { case (k, (f, d)) =>
+              k.withColumnRenamed(d, f) }
+            Some(fact.join(broadcast(renamed),
+              pairs.map(_._1), "left_semi"))
+          case None => Some(fact) // vacuumed snapshot: full re-derive
+        }
+      }
+    }
+    val toDerive = affected.foldLeft(factDelta)(
+        (acc, a) => acc.unionByName(a))
+      .dropDuplicates(pkCols)
+      .localCheckpoint(false)
+    def joinAll(f: DataFrame): DataFrame = g.join.foldLeft(f) { (acc, j) =>
+      val dim = dims(j.entity)
+      acc.join(if (j.broadcast) broadcast(dim) else dim,
+        expr(j.on), j.joinType)
+    }
+    val joined = joinAll(toDerive)
+    val projCols =
+      if (g.select.nonEmpty) g.select.map(expr)
+      else joined.columns.map(c => col(s"`$c`")).toSeq
+    // the store row carries the projected mart columns PLUS hidden
+    // upsert keys: the fact PK (_mpk_*), the fact version (_mart_ia —
+    // the watermark), the run sequence and the live flag
+    val derived = joined.select(projCols ++
+      pkCols.map(c => col(s"`$c`").as(s"_mpk_$c")) :+
+      col(Audit.IngestedAt).as("_mart_ia"): _*)
+      .withColumn("_mart_seq", lit(nextSeq))
+      .withColumn("_mart_live", lit(true))
+    val tomb = toDerive
+      .select(pkCols.map(c => col(s"`$c`").as(s"_mpk_$c")) :+
+        col(Audit.IngestedAt).as("_mart_ia"): _*)
+      .join(derived.select(pkCols.map(c => col(s"_mpk_$c")): _*),
+        pkCols.map(c => s"_mpk_$c"), "left_anti")
+      .withColumn("_mart_seq", lit(nextSeq))
+      .withColumn("_mart_live", lit(false))
+    derived.unionByName(tomb, allowMissingColumns = true)
+      .repartition(col(s"_mpk_${pkCols.head}"))
+      .write.mode("append").parquet(rowsDir)
+    val out = fs.create(markerP, true)
+    try out.write(liveVersions.toSeq.sortBy(_._1)
+      .map { case (e, v) => s"$e=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    log(s"gold.$entity: mart upsert batch appended (seq=$nextSeq, " +
+      s"factWm=${factWm.getOrElse("none")}, dims=${liveVersions})")
+    // publish: keep-latest per PK, live rows, fact-retraction semi-join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(c => col(s"_mpk_$c")): _*)
+      .orderBy(col("_mart_seq").desc)
+    val liveRows = readRows()
+      .withColumn("_mart_rn", row_number().over(w))
+      .filter(col("_mart_rn") === 1 && col("_mart_live"))
+      .join(fact.select(pkCols.map(c => col(s"`$c`").as(s"_mpk_$c")): _*),
+        pkCols.map(c => s"_mpk_$c"), "left_semi")
+      .drop("_mart_rn" +: "_mart_seq" +: "_mart_live" +: "_mart_ia" +:
+        pkCols.map(c => s"_mpk_$c"): _*)
+    val boundsSrc =
+      if (g.clusteringCols.forall(fact.columns.contains)) fact
+      else liveRows
+    goldGate(entity, g, liveRows, boundsSrc, obs)
+  }
+
   /** [[graft.llm.Curation.Config]] from the config-declared knobs. */
   private def curationConfig(cur: GoldCuration): graft.llm.Curation.Config =
     graft.llm.Curation.Config(
@@ -1811,13 +2029,17 @@ final class PipelineRunner(
       if (fs.exists(p)) fs.delete(p, true)
       val sp = new org.apache.hadoop.fs.Path(goldSuffixPath(entity))
       if (fs.exists(sp)) fs.delete(sp, true)
-      log(s"gold.$entity: full refresh cleared the incremental prefix " +
-        "and suffix state")
+      val mp = new org.apache.hadoop.fs.Path(goldMartPath(entity))
+      if (fs.exists(mp)) fs.delete(mp, true)
+      log(s"gold.$entity: full refresh cleared the incremental prefix/" +
+        "suffix/mart state")
     }
     val obs = Option.when(g.anyExpectations)(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
     val frame =
-      if (g.join.nonEmpty) buildGoldJoinFrame(entity, cfg, g, obs)
+      if (g.join.nonEmpty && g.mode == "incremental")
+        buildGoldMartIncremental(entity, cfg, g, obs)
+      else if (g.join.nonEmpty) buildGoldJoinFrame(entity, cfg, g, obs)
       else if (g.mode == "incremental")
         buildGoldFrameIncremental(entity, cfg, g, obs)
       else buildGoldFrame(entity, cfg, g, obs)

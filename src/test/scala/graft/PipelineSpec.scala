@@ -1771,6 +1771,144 @@ class PipelineSpec extends AnyFunSuite {
     assert(both.getMessage.contains("mutually exclusive"))
   }
 
+  test("incremental join mart (gold.mode incremental + gold.join): " +
+      "fact-delta upserts + dim-delta re-derivation equal the full " +
+      "recompute across three CDC batches (fact add/update/retraction, " +
+      "dim attribute update, dim addition, dim retraction -> inner " +
+      "dropout); upserts are O(batch)") {
+    def cfgJson(mode: String) = s"""{"sales": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["sale_id"],
+      |  "expect_all_or_drop": {"amt_ok": "amount IS NOT NULL"},
+      |  "gold": {"mode": "$mode",
+      |    "join": [
+      |      {"entity": "stores", "on": "store_id = s_id",
+      |       "broadcast": true}],
+      |    "select": ["sale_id", "amount", "store_id",
+      |               "s_city AS city", "s_tier AS tier"]}
+      |},
+      |"stores": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["s_id"],
+      |  "expect_all_or_drop": {"city_ok": "s_city IS NOT NULL"}
+      |}}""".stripMargin
+    def setup(mode: String, tag: String): (String, String) = {
+      val src = tmpDir(s"martinc$tag-src")
+      val store = tmpDir(s"martinc$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode))
+      // batch 1: 40 facts over stores 10/11/12; sale 4 points at the
+      // not-yet-declared store 99 (inner join -> absent until batch 2
+      // declares it)
+      ((0 until 40).map(i =>
+        (i.toLong, 100L + i, 10L + (i % 3))) :+ (4L, 104L, 99L))
+        .toDF("sale_id", "amount", "store_id")
+        .write.parquet(s"$src/sales")
+      Seq((10L, "lima", "gold"), (11L, "oslo", "silver"),
+          (12L, "pune", "bronze"))
+        .toDF("s_id", "s_city", "s_tier")
+        .write.parquet(s"$src/stores")
+      (src, store)
+    }
+    def batch2(src: String): Unit = {
+      Seq((100L, 900L, 10L),   // new fact
+          (1L, 111L, 11L))     // fact update: moves store + amount
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+      Seq((11L, "oslo", "platinum"), // dim ATTRIBUTE update
+          (99L, "reyk", "iron"))     // dim addition -> sale 4 appears
+        .toDF("s_id", "s_city", "s_tier")
+        .write.mode("append").parquet(s"$src/stores")
+    }
+    def batch3(src: String): Unit = {
+      Seq((2L, null.asInstanceOf[java.lang.Long], 10L)) // fact retraction
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+      Seq((12L, null.asInstanceOf[String], "bronze")) // dim retraction
+        .toDF("s_id", "s_city", "s_tier")              // -> inner dropouts
+        .write.mode("append").parquet(s"$src/stores")
+    }
+    val (srcI, storeI) = setup("incremental", "i")
+    val (srcF, storeF) = setup("full", "f")
+    def run(src: String, store: String, cat: String, clock: String): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1
+        .run(ConfigLoader.load(spark, src))
+    def mart(cat: String): Seq[(Long, Long, Long, String, String)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("sales"))
+        .select($"sale_id", $"amount", $"store_id", $"city", $"tier")
+        .as[(Long, Long, Long, String, String)]
+        .collect().sortBy(_._1).toSeq
+    }
+
+    run(srcI, storeI, "minci", "2024-05-01 00:00:00")
+    run(srcF, storeF, "mincf", "2024-05-01 00:00:00")
+    val m1 = mart("minci")
+    assert(m1 == mart("mincf"), "batch-1 mart diverged from full")
+    assert(!m1.exists(_._1 == 4L), "store-99 fact leaked before declared")
+
+    batch2(srcI); batch2(srcF)
+    run(srcI, storeI, "minci", "2024-05-02 00:00:00")
+    run(srcF, storeF, "mincf", "2024-05-02 00:00:00")
+    val m2 = mart("minci")
+    assert(m2 == mart("mincf"), "batch-2 mart diverged from full")
+    assert(m2.find(_._1 == 1L).exists(r => r._2 == 111L && r._4 == "oslo"),
+      "fact update not applied")
+    assert(m2.filter(_._5 == "platinum").nonEmpty &&
+      m2.filter(_._3 == 11L).forall(_._5 == "platinum"),
+      "dim attribute update did not reach existing mart rows")
+    assert(m2.find(_._1 == 4L).exists(_._4 == "reyk"),
+      "dim addition did not surface the waiting fact")
+
+    batch3(srcI); batch3(srcF)
+    run(srcI, storeI, "minci", "2024-05-03 00:00:00")
+    run(srcF, storeF, "mincf", "2024-05-03 00:00:00")
+    val m3 = mart("minci")
+    assert(m3 == mart("mincf"), "batch-3 mart diverged from full")
+    assert(!m3.exists(_._1 == 2L), "fact retraction survived")
+    assert(!m3.exists(_._3 == 12L),
+      "dim retraction left inner-join rows behind")
+    // O(batch): upsert ROWS per run (parquet framing dominates bytes at
+    // this scale). Batch 1 derived all 41 facts (seq 1); batch 3
+    // touched only the retracted fact's row + store-12's fan-out
+    // (tombstones included), a fraction of the initial build
+    val perSeq = spark.read.option("mergeSchema", "true")
+      .parquet(s"$storeI/gold_mart/sales/rows")
+      .groupBy($"_mart_seq").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perSeq(1L) >= 40L, s"batch-1 build rows: $perSeq")
+    assert(perSeq(3L) > 0L && perSeq(3L) <= perSeq(1L) / 2,
+      s"mart upsert not O(batch): rows per seq $perSeq")
+  }
+
+  test("incremental join mart guards: snowflake chains and bucketed " +
+      "dims fail loud") {
+    val src = tmpDir("martg-src"); val store = tmpDir("martg-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"mode": "incremental",
+        |    "join": [
+        |      {"entity": "stores", "on": "store_id = s_id"},
+        |      {"entity": "regions", "on": "s_region_id = r_id"}]}
+        |},
+        |"stores": {"raw_file_format": "parquet",
+        |           "unique_primary_key": ["s_id"]},
+        |"regions": {"raw_file_format": "parquet",
+        |            "unique_primary_key": ["r_id"]}}""".stripMargin)
+    Seq((1L, 10L)).toDF("sale_id", "store_id").write.parquet(s"$src/sales")
+    Seq((10L, 5L)).toDF("s_id", "s_region_id")
+      .write.parquet(s"$src/stores")
+    Seq((5L, "south")).toDF("r_id", "r_name")
+      .write.parquet(s"$src/regions")
+    val boom = intercept[IllegalArgumentException] {
+      mkRunner(src, store, "2024-05-01 00:00:00", catalog = "martg")._1
+        .run(ConfigLoader.load(spark, src))
+    }
+    assert(boom.getMessage.contains("STAR-only"), boom.getMessage)
+  }
+
   test("incremental gold suffix state: LSH layout change fails loud and " +
       "names the remedy; full refresh rebuilds it") {
     val src = tmpDir("goldlay-src"); val store = tmpDir("goldlay-store")
