@@ -748,6 +748,18 @@ object RelQueries {
         Seq("c_nationkey", "c_mktsegment"), threshold = 5L)
     }),
 
+    // -- [EXT]: l-diversity census — the homogeneity-attack companion
+    //    to q_k_anonymity: per (nation × segment) class, at least l
+    //    distinct account-balance bands must appear
+    "q_l_diversity" -> ((s, dir) => {
+      graft.analytics.Profiler.lDiversity(
+        t(s, dir, "customer")
+          .withColumn("balance_band",
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "balance_band",
+        threshold = 3L)
+    }),
+
     // -- [EXT]: Benford's-law first-digit screen over order amounts —
     //    the classic fabricated-data / truncation anomaly check; digit
     //    from the decimal string form (no float log), χ² vs the
@@ -1535,6 +1547,25 @@ object RelQueries {
         |  CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN 1 END), 0) AS BIGINT)
         |    AS classes_below_k
         |FROM c""".stripMargin,
+
+    // distinct-sensitive count via stacked GROUP BYs (count-distinct
+    // would silently drop a NULL band); exact integer floor bands
+    "q_l_diversity" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+        |  FROM customer),
+        |pv AS (SELECT c_nationkey, c_mktsegment, balance_band,
+        |         count(*) AS n FROM b GROUP BY 1, 2, 3),
+        |pc AS (SELECT c_nationkey, c_mktsegment,
+        |         count(*) AS l, sum(n) AS sz FROM pv GROUP BY 1, 2)
+        |SELECT min(l) AS l_diversity, count(*) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN l < 3 THEN sz END), 0) AS BIGINT)
+        |    AS rows_below_l,
+        |  CAST(COALESCE(SUM(CASE WHEN l < 3 THEN 1 END), 0) AS BIGINT)
+        |    AS classes_below_l
+        |FROM pc""".stripMargin,
 
     // the expectation constants are the DRIVER-computed Math.log10
     // doubles interpolated as round-trip literals, so both engines use

@@ -307,6 +307,38 @@ object Profiler {
           .as("classes_below_k"))
   }
 
+  /** L-DIVERSITY census — k-anonymity's companion: a k-anonymous
+    * equivalence class is still exposed when everyone in it shares the
+    * SAME sensitive value (the homogeneity attack), so each class must
+    * carry at least l DISTINCT sensitive values. Returns ONE summary
+    * row: `l_diversity` (the smallest per-class distinct-sensitive
+    * count — the dataset's l), `n_classes`, `n_rows`, and
+    * `rows_below_l` / `classes_below_l` for the caller's threshold.
+    * NULL quasi-identifiers group as values; a NULL sensitive value
+    * counts as a distinct value (it still partitions the class — SQL
+    * count-distinct semantics would silently uncount it, so the
+    * distinct count runs over (class, sensitive) groups instead).
+    *
+    * Shape: two stacked hash aggregates (class+sensitive → class → one
+    * row) — distinct-value-sized, never a window or Expand. */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, threshold: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs quasi-identifier columns")
+    require(threshold >= 1L, s"threshold must be >= 1, got $threshold")
+    val perValue = df
+      .groupBy((quasiCols :+ sensitiveCol).map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("_n"))
+    val perClass = perValue.groupBy(quasiCols.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("_l"), sum(col("_n")).as("_sz"))
+    perClass.agg(min(col("_l")).as("l_diversity"),
+      count(lit(1)).as("n_classes"),
+      sum(col("_sz")).as("n_rows"),
+      coalesce(sum(when(col("_l") < threshold, col("_sz"))), lit(0L))
+        .as("rows_below_l"),
+      coalesce(sum(when(col("_l") < threshold, 1L)), lit(0L))
+        .as("classes_below_l"))
+  }
+
   /** BENFORD'S-LAW first-digit analysis — the classic anomaly/fraud
     * screen for naturally-occurring positive measures (amounts, sizes,
     * populations): organically generated magnitudes have first digit d

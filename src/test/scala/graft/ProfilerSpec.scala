@@ -256,6 +256,24 @@ class ProfilerSpec extends AnyFunSuite {
       && rs.getLong(4) === 0L)
   }
 
+  test("lDiversity: min per-class distinct sensitive count, threshold " +
+      "exposure, NULL sensitive counts as a distinct value") {
+    // class a: sensitive {1,2,3} (l=3, 4 rows); class b: {7,7,7} (l=1,
+    // 3 rows — the homogeneity attack); class c: {5, null} (l=2 — a
+    // count-distinct would report 1 and miss the partition)
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(2)), ("a", Some(3)), ("a", Some(1)),
+      ("b", Some(7)), ("b", Some(7)), ("b", Some(7)),
+      ("c", Some(5)), ("c", Option.empty[Int]))
+      .toDF("q", "s")
+    val r = graft.analytics.Profiler
+      .lDiversity(df, Seq("q"), "s", threshold = 3L).head
+    assert(r.getLong(0) === 1L) // class b's homogeneity sets l
+    assert(r.getLong(1) === 3L && r.getLong(2) === 9L)
+    assert(r.getLong(3) === 5L) // rows below l=3: b (3) + c (2)
+    assert(r.getLong(4) === 2L)
+  }
+
   test("benford: a perfect Benford sample scores chi2 ~0, uniform digits " +
       "alarm; zero/null/negative/sub-1 handling") {
     // counts proportional to log10(1+1/d) out of 10000
