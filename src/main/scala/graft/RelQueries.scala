@@ -714,6 +714,16 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: k-core of the shipment graph — iterative synchronous
+    //    peel to the maximal subgraph where every node keeps >= k
+    //    neighbors (the cohesion filter before community/influence
+    //    analysis); oracle replays the peel rounds as unrolled CTEs
+    "q_kcore" -> ((s, dir) => {
+      graft.analytics.Graph.kCore(shipmentEdges(s, dir), "src", "dst",
+          k = 25)
+        .orderBy(col("node"))
+    }),
+
     // -- [EXT]: funnel completion-latency percentiles — exact p50/p90/p99
     //    of signup→purchase time among completing users (the SLA numbers
     //    next to the funnel's reach counts), on the skew-safe exact
@@ -1116,6 +1126,42 @@ object RelQueries {
       .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
         concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
 
+  /** The unrolled-CTE k-core oracle: one (degrees, peel set, surviving
+    * edges) CTE triple per SYNCHRONOUS peel round — the peel fixpoint is
+    * unique and round-deterministic, so any `rounds` ≥ the convergence
+    * round replays [[graft.analytics.Graph.kCore]] exactly (converged
+    * rounds are no-ops). Equality therefore also PROVES convergence
+    * within `rounds` on this graph. Every CTE is `AS MATERIALIZED`:
+    * each round references its predecessor several times, and an
+    * INLINED 20-round chain expands the base scan exponentially
+    * (measured: DuckDB exhausts file handles before finishing). */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    least('s' || CAST(l_suppkey AS VARCHAR),
+        |          'c' || CAST(o_custkey AS VARCHAR)) AS a,
+        |    greatest('s' || CAST(l_suppkey AS VARCHAR),
+        |             'c' || CAST(o_custkey AS VARCHAR)) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""".stripMargin)
+    for (i <- 0 until rounds) {
+      sb.append(s""",
+        |d$i AS MATERIALIZED (SELECT n, count(*) AS d FROM (
+        |  SELECT a AS n FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1),
+        |bad$i AS MATERIALIZED (SELECT n FROM d$i WHERE d < $k),
+        |e${i + 1} AS MATERIALIZED (SELECT * FROM e$i
+        |  WHERE a NOT IN (SELECT n FROM bad$i)
+        |    AND b NOT IN (SELECT n FROM bad$i))""".stripMargin)
+    }
+    sb.append(s""",
+      |dfin AS (SELECT n, count(*) AS d FROM (
+      |  SELECT a AS n FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+      |  GROUP BY 1)
+      |SELECT n AS node, CAST(d AS BIGINT) AS core_degree
+      |FROM dfin ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   /** The unrolled-CTE PageRank oracle: one (dangling, contributions,
     * ranks) CTE triple per iteration — DuckDB replays the integer
     * fixed-point recurrence of [[graft.analytics.Graph.pageRank]]
@@ -1455,6 +1501,8 @@ object RelQueries {
         |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
         |FROM o FULL OUTER JOIN i ON o.node = i.node
         |ORDER BY node""".stripMargin,
+
+    "q_kcore" -> kCoreOracle(k = 25, rounds = 20),
 
     // the min-ts cascade (first-touch funnel): each step's min qualifying
     // ts joins the previous frontier; window anchored on the first step

@@ -279,6 +279,53 @@ object Graph {
           col("d") * (col("d") - lit(1L)))).as("clustering_x1e6"))
   }
 
+  /** K-CORE of the undirected graph — the standard cohesion filter
+    * (drop everything that isn't embedded in a mutually-dense region):
+    * iteratively peel every node whose degree among SURVIVORS is < k
+    * until a fixpoint; what remains is the (unique, order-independent)
+    * maximal subgraph where every node keeps ≥ k neighbors. Returns the
+    * surviving nodes with their within-core degree. Rounds are
+    * SYNCHRONOUS (all under-k nodes drop together), so the peel
+    * sequence — and any fixed-round replay of it — is deterministic.
+    *
+    * Shape: per round one endpoint-count aggregate + two anti-joins
+    * against the (node-sized) peel set, with `localCheckpoint` lineage
+    * truncation and one driver-side count to detect the fixpoint — the
+    * [[pageRank]] iteration posture. Round COUNT is data-dependent
+    * (worst case O(n) on a path; degenerate-free graphs converge in a
+    * handful); `maxIters` fails loud rather than returning a
+    * half-peeled graph. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIters: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def degreesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    var cur = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    var round = 0
+    while (round < maxIters) {
+      val deg = degreesOf(cur).localCheckpoint(false)
+      val bad = deg.filter(col("d") < k).select(col("n"))
+      if (bad.isEmpty)
+        return deg.select(col("n").as("node"), col("d").as("core_degree"))
+      cur = cur
+        .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
+        .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
+        .localCheckpoint(false)
+      round += 1
+    }
+    throw new IllegalStateException(
+      s"kCore(k=$k) did not converge within $maxIters peel rounds — " +
+        "raise maxIters (a near-path graph peels one layer per round)")
+  }
+
   /** Per-node degree summary of a digraph: `out_deg`/`in_deg` (0 for
     * absent direction — every endpoint appears exactly once). One
     * dedup + two count aggregates + an outer merge; no windows. */

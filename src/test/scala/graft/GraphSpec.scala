@@ -171,6 +171,31 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum(col("triangles"))).head.getLong(0) == 0L)
   }
 
+  test("kCore: cascade peel (pendant chain unravels), K4 core survives, " +
+      "within-core degrees, k beyond the graph empties it") {
+    // K4 on 1..4, plus a chain 4-5-6 hanging off it: at k=2 the chain
+    // unravels over TWO rounds (6 peels first, THEN 5 — the cascade the
+    // synchronous fixpoint must capture), leaving exactly K4 with
+    // within-core degree 3
+    val g = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val r = Graph.kCore(g, "s", "d", k = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), r.toString)
+    // k=3: K4 still stands (every node keeps 3 neighbors)
+    val r3 = Graph.kCore(g, "s", "d", k = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4: nothing survives
+    assert(Graph.kCore(g, "s", "d", k = 4).isEmpty)
+    // dirty edges (dupes/reversals/self-loops) are ignored like triangles
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L), (2L, 3L),
+      (1L, 3L)).toDF("s", "d")
+    val rd = Graph.kCore(dirty, "s", "d", k = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rd == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("declared q_pagerank runs on sf0.001 with full coverage of both node types") {
     val df = SparkEntry.queries("q_pagerank")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
