@@ -876,6 +876,20 @@ object RelQueries {
     // -- [EXT]: CUPED variance-reduced A/B readout — per-user spend
     //    adjusted by activity count (the pooled Deng et al. estimator);
     //    unit metrics in portable micro fixed point, power sums exact
+    // -- [EXT]: Welch's t-test on per-user spend — the continuous-metric
+    //    companion to q_ab_test's proportion z (unequal variances,
+    //    Welch–Satterthwaite df); exact micro-unit power sums
+    "q_welch_ttest" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(floor(fin * lit(1e6))).cast("double")
+            / lit(1e6)).as("y"))
+        .withColumn("_isb", col("user_id") % 2 === 1)
+      graft.analytics.Experiment.welchTTest(units, col("_isb"), "y")
+    }),
+
     "q_cuped" -> ((s, dir) => {
       // non-finite spend maps to NULL (contributes nothing) — floor(NaN)
       // silently lands 0 in Spark but errors DuckDB's BIGINT cast
@@ -1930,6 +1944,59 @@ object RelQueries {
 
     // unit-level micro quantization, pooled θ/x̄ from exact HUGEINT power
     // sums, the identical closed-form double sequence as the operator
+    // identical double-op sequence to Experiment.welchTTest from the
+    // same exact HUGEINT micro-unit power sums
+    "q_welch_ttest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CAST(floor(CASE WHEN isfinite(value) THEN value END
+        |       * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0) AS y,
+        |    user_id % 2 = 1 AS b
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT b,
+        |        CAST(floor(y * 1000000.0) AS BIGINT) AS ym,
+        |        CAST(floor(y * y * 1000000.0) AS BIGINT) AS yym
+        |      FROM u WHERE y IS NOT NULL AND NOT isnan(y)
+        |        AND isfinite(y)),
+        |a AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        SUM(CASE WHEN NOT b THEN CAST(ym AS HUGEINT) END) AS sa,
+        |        SUM(CASE WHEN b THEN CAST(ym AS HUGEINT) END) AS sb,
+        |        SUM(CASE WHEN NOT b THEN CAST(yym AS HUGEINT) END) AS qa,
+        |        SUM(CASE WHEN b THEN CAST(yym AS HUGEINT) END) AS qb
+        |      FROM f),
+        |m AS (SELECT *,
+        |        sa::DOUBLE / 1000000.0 / n_a::DOUBLE AS ma,
+        |        sb::DOUBLE / 1000000.0 / n_b::DOUBLE AS mb,
+        |        (n_a::DOUBLE * (qa::DOUBLE / 1000000.0)
+        |          - (sa::DOUBLE / 1000000.0) * (sa::DOUBLE / 1000000.0))
+        |          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) AS va,
+        |        (n_b::DOUBLE * (qb::DOUBLE / 1000000.0)
+        |          - (sb::DOUBLE / 1000000.0) * (sb::DOUBLE / 1000000.0))
+        |          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) AS vb
+        |      FROM a),
+        |w AS (SELECT *,
+        |        va / n_a::DOUBLE AS ra, vb / n_b::DOUBLE AS rb
+        |      FROM m),
+        |z AS (SELECT *, ra + rb AS se2 FROM w)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a > 1 THEN round(va, 6) END AS var_a,
+        |  CASE WHEN n_b > 1 THEN round(vb, 6) END AS var_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0
+        |    THEN round((mb - ma) / sqrt(se2), 6) END AS t_stat,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0
+        |    THEN round(se2 * se2 / (ra * ra / (n_a::DOUBLE - 1.0)
+        |      + rb * rb / (n_b::DOUBLE - 1.0)), 6) END AS df,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0.0
+        |    THEN abs(round((mb - ma) / sqrt(se2), 6)) >= 1.96
+        |  END AS significant
+        |FROM z""".stripMargin,
+
     "q_cuped" ->
       """WITH u AS (
         |  SELECT user_id,

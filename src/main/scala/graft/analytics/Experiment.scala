@@ -146,4 +146,67 @@ object Experiment {
         when(hasVar, adj(mb, xb) - adj(ma, xa)).otherwise(mb - ma), 6))
         .as("adj_diff"))
   }
+
+  /** WELCH'S t-TEST for CONTINUOUS metrics — the unequal-variance
+    * companion to [[abTest]]'s two-proportion z (revenue per user,
+    * session length, latency — anything that isn't a 0/1 conversion):
+    * t = (ȳ_b − ȳ_a) / √(s²_a/n_a + s²_b/n_b) with the
+    * Welch–Satterthwaite degrees of freedom. ONE output row:
+    * (`n_a`, `n_b`, `mean_a`, `mean_b`, `var_a`, `var_b`, `t_stat`,
+    * `df`, `significant`) — means/vars/t/df rounded at 6. A variant
+    * with < 2 units has no sample variance ⇒ NULL t/df; both variances
+    * zero ⇒ t NULL (no sampling noise to test against — the difference
+    * is exact, not statistical). `significant` is the large-sample
+    * |t| ≥ 1.96 line (the [[abTest]] convention; at the df this test
+    * is used with, the t and normal quantiles agree to the decimals
+    * reported).
+    *
+    * Exactness is the [[cuped]] convention: unit metrics quantized to
+    * exact 1e-6 fixed point, sums and sums-of-squares accumulated by
+    * [[graft.functions.Int128Sum]], doubles only in the fixed
+    * closed-form sequence. One aggregate over the unit frame. */
+  def welchTTest(units: DataFrame, isB: Column, metricCol: String)
+      : DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    val y = col(s"`$metricCol`").cast("double")
+    val base = units.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity))
+      .select(isB.as("_b"),
+        floor(y * lit(1e6)).as("_ym"),
+        floor(y * y * lit(1e6)).as("_yym"))
+    val agg = base.agg(
+      coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+      int128Sum(when(!col("_b"), col("_ym"))).as("_sa"),
+      int128Sum(when(col("_b"), col("_ym"))).as("_sb"),
+      int128Sum(when(!col("_b"), col("_yym"))).as("_qa"),
+      int128Sum(when(col("_b"), col("_yym"))).as("_qb"))
+    def d(c: Column) = c.cast("double") / lit(1e6)
+    def nD(c: Column) = c.cast("double")
+    // sample variance from exact power sums:
+    // s² = (n·Σy² − (Σy)²) / (n·(n−1))
+    def svar(n: Column, s: Column, q: Column) =
+      (nD(n) * d(q) - d(s) * d(s)) / (nD(n) * (nD(n) - 1.0))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val (ma, mb) = (d(col("_sa")) / nD(na), d(col("_sb")) / nD(nb))
+    val (va, vb) = (svar(na, col("_sa"), col("_qa")),
+      svar(nb, col("_sb"), col("_qb")))
+    val (ra, rb) = (va / nD(na), vb / nD(nb))
+    val se2 = ra + rb
+    val tStat = (mb - ma) / sqrt(se2)
+    val df = se2 * se2 /
+      (ra * ra / (nD(na) - 1.0) + rb * rb / (nD(nb) - 1.0))
+    val hasA = na > 0L
+    val hasB = nb > 0L
+    val testable = na > 1L && nb > 1L
+    agg.select(na, nb,
+      when(hasA, round(ma, 6)).as("mean_a"),
+      when(hasB, round(mb, 6)).as("mean_b"),
+      when(na > 1L, round(va, 6)).as("var_a"),
+      when(nb > 1L, round(vb, 6)).as("var_b"),
+      when(testable, when(se2 > 0.0, round(tStat, 6))).as("t_stat"),
+      when(testable, when(se2 > 0.0, round(df, 6))).as("df"))
+      .withColumn("significant",
+        when(col("t_stat").isNotNull, abs(col("t_stat")) >= 1.96))
+  }
 }

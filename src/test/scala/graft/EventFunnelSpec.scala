@@ -250,6 +250,47 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
 
+  test("welchTTest: hand-computed t and Welch df, zero-variance and " +
+      "small-variant guards, NaN/Inf drop") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // A (even ids): y = 1, 2, 3 — mean 2, s² = 1
+    // B (odd ids):  y = 4, 6, 8, 10 — mean 7, s² = 20/3
+    val units = Seq((2L, 1.0), (4L, 2.0), (6L, 3.0),
+      (1L, 4.0), (3L, 6.0), (5L, 8.0), (7L, 10.0)).toDF("uid", "y")
+    val r = Experiment.welchTTest(units, col("uid") % 2 === 1, "y").head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 4L)))
+    assert(r.getDouble(2) === 2.0 && r.getDouble(3) === 7.0)
+    assert(r.getDouble(4) === 1.0)
+    val vb = 20.0 / 3.0
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === r6(vb))
+    val (ra, rb) = (1.0 / 3.0, vb / 4.0)
+    val t = (7.0 - 2.0) / math.sqrt(ra + rb)
+    val df = (ra + rb) * (ra + rb) / (ra * ra / 2.0 + rb * rb / 3.0)
+    // engine works on exact 1e-6-floored sums; hand values here are
+    // micro-exact so the rounded results agree to all 6 decimals
+    assert(math.abs(r.getDouble(6) - t) < 2e-6, r.getDouble(6).toString)
+    assert(math.abs(r.getDouble(7) - df) < 2e-5, r.getDouble(7).toString)
+    assert(r.getBoolean(8) === (math.abs(t) >= 1.96))
+    // both variances zero: the difference is exact, not statistical
+    val const = Seq((2L, 5.0), (4L, 5.0), (1L, 9.0), (3L, 9.0))
+      .toDF("uid", "y")
+    val rc = Experiment.welchTTest(const, col("uid") % 2 === 1, "y").head
+    assert(rc.isNullAt(6) && rc.isNullAt(7) && rc.isNullAt(8))
+    // a single-unit variant has no sample variance
+    val tiny = Seq((2L, 1.0), (4L, 2.0), (1L, 9.0)).toDF("uid", "y")
+    val rt = Experiment.welchTTest(tiny, col("uid") % 2 === 1, "y").head
+    assert(rt.isNullAt(5) && rt.isNullAt(6))
+    // NaN/Inf units drop instead of poisoning the exact sums
+    val dirty = Seq((2L, 1.0), (4L, 2.0), (6L, Double.NaN),
+      (8L, Double.PositiveInfinity), (1L, 4.0), (3L, 6.0))
+      .toDF("uid", "y")
+    val rd = Experiment.welchTTest(dirty, col("uid") % 2 === 1, "y").head
+    assert((rd.getLong(0), rd.getLong(1)) === ((2L, 2L)))
+  }
+
   test("ltvCurve: exact micro revenue, cumulative across sparse offsets, " +
       "per-member floor division, null-value events cohort but don't pay") {
     val day = 86400000000L
