@@ -116,6 +116,49 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- [EXT]: CHANGE DATA FEED between published silver versions (the
+    //    Delta CDF analog on the versioned-publish layout): two pipeline
+    //    runs with an update/retract/insert wave between them, then
+    //    tableChanges(v_min -> v_max) — one row per differing PK with
+    //    added/removed/changed status, oracled by replaying the wave
+    //    arithmetic directly.
+    "q_table_changes" -> ((s, dir) => {
+      val run = s"tchg_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      val docs = analytics.Tables(s, dir, "documents")
+      docs.write.parquet(s"$root/src/documents")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"documents": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["doc_id"],
+          |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"}
+          |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      def runAt(clock: String): PipelineRunner = {
+        val params = PipelineParams(sourceLocation = s"$root/src",
+          catalogName = run,
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        val r = new PipelineRunner(s, params, s"$root/store")
+        r.run(ConfigLoader.load(s, params.sourceLocation))
+        r
+      }
+      runAt("2024-04-01 00:00:00")
+      docs.where(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(lit("updated: "), col("text")))
+        .unionByName(docs
+          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .withColumn("text", lit(null).cast("string")))
+        .unionByName(docs
+          .where(col("doc_id") % 17 === 0 && col("doc_id") % 13 =!= 0 &&
+            col("doc_id") % 11 =!= 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        .write.mode("append").parquet(s"$root/src/documents")
+      val runner = runAt("2024-04-02 00:00:00")
+      val vs = runner.tableVersions("documents").map(_.version)
+      runner.tableChanges("documents", vs.min, vs.max, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: INCREMENTALLY-MAINTAINED join mart — materialized-view
     //    maintenance driven end-to-end through 3 CDC batches on BOTH
     //    sides of the star: batch 2 updates a wave of fact rows AND a
@@ -340,6 +383,20 @@ object PipelineQueries {
     * curated result. */
   def oracleSql: Map[String, String] = Map(
     "q_gold_curation" -> LlmQueries.oracleSql("q_curation"),
+    // the wave arithmetic replayed directly: %13 rewrites text
+    // (changed), %11 nulls it so the expectation retracts (removed),
+    // %17 re-keys a copy (added)
+    "q_table_changes" ->
+      """SELECT doc_id, 'changed' AS status FROM documents
+        |WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, 'removed' FROM documents
+        |WHERE doc_id % 11 = 0 AND doc_id % 13 != 0
+        |UNION ALL
+        |SELECT doc_id + 10000000, 'added' FROM documents
+        |WHERE doc_id % 17 = 0 AND doc_id % 13 != 0 AND doc_id % 11 != 0
+        |ORDER BY doc_id""".stripMargin,
+
     // the star join over the CDC-final state: keep-latest fact updates,
     // the expectation retraction wave, and the dim attribute wave all
     // applied by shadowing CASEs — the incremental upsert/tombstone/

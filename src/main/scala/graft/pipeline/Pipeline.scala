@@ -135,6 +135,36 @@ final class PipelineRunner(
     }
   }
 
+  /** CHANGE DATA FEED between two published versions of a silver/gold
+    * table — the Delta CDF analog on the versioned-publish layout,
+    * retention-bounded exactly like [[readVersion]]: one row per
+    * differing PK with `status` ∈ ('added', 'removed', 'changed'),
+    * derived by the signature-compressed snapshot diff (two scans + one
+    * PK-keyed full-outer merge; at 100 TB the diff is the small output).
+    * `compareCols` default to every column shared by both versions
+    * minus the PK and audit columns (audit lineage would mark every
+    * republished row changed). Downstream consumers that can't
+    * subscribe to the pipeline read this instead of re-diffing tables:
+    * `tableChanges(e, v, v+1)` per published version is the CDC
+    * stream. */
+  def tableChanges(entity: String, fromVersion: Long, toVersion: Long,
+      pkCols: Seq[String], layer: String = "silver",
+      compareCols: Seq[String] = Nil): DataFrame = {
+    val a = readVersion(entity, fromVersion, layer)
+    val b = readVersion(entity, toVersion, layer)
+    val cmp: Seq[String] =
+      if (compareCols.nonEmpty) compareCols
+      else {
+        val bl = b.columns.map(_.toLowerCase).toSet
+        val audit = Set(Audit.IngestedAt, Audit.SourceFile,
+          Audit.FileModTime)
+        val pkl = pkCols.map(_.toLowerCase).toSet
+        a.columns.toSeq.filter(c => bl.contains(c.toLowerCase) &&
+          !pkl.contains(c.toLowerCase) && !audit.contains(c))
+      }
+    graft.analytics.Profiler.snapshotDiff(a, b, pkCols, cmp)
+  }
+
   /** Table properties carried from the reference (Delta-specific knobs
     * recorded as metadata on OSS parquet — SURVEY §4.1/§7.4.1). */
   private def refTableProps(cfg: EntityConfig): Map[String, String] = {
