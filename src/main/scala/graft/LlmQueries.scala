@@ -375,6 +375,17 @@ object LlmQueries {
         .orderBy(col("id_lo"), col("id_hi"))
     }),
 
+    // -- [EXT]: Jaro–Winkler entity-resolution pairs over part names —
+    //    the name-matching companion to q_snm_neardup (length-
+    //    normalized, transposition-aware, prefix-weighted); DuckDB's
+    //    native jaro_winkler_similarity independently verifies the
+    //    codegen kernel pair by pair
+    "q_jaro_names" -> ((s, dir) => {
+      DedupOps.jaroNeighborhoodPairs(t(s, dir, "part"), "p_partkey",
+          "p_name", window = 4, minSim = 0.88)
+        .orderBy(col("id_lo"), col("id_hi"))
+    }),
+
     // -- [EXT]: proportional source interleaving — the stable epoch
     //    order a data loader reads: every prefix holds each source in
     //    proportion to its size. Both passes are the skew-safe rank
@@ -1446,6 +1457,22 @@ object LlmQueries {
 
     // SNM: rank by (normalized text, id) — a total order, so ranks (and
     // the window-successor pairs) are engine-independent.
+    // DuckDB's native jaro_winkler_similarity is the independent
+    // referee for the codegen kernel; both sides round at 4 BEFORE the
+    // threshold so the gate sits on a shared grid, not a raw double
+    // boundary
+    "q_jaro_names" ->
+      s"""WITH n AS (SELECT p_partkey,
+         |  ${duckNorm.replace("text", "p_name")} AS t FROM part),
+         |r AS (SELECT p_partkey, t,
+         |        row_number() OVER (ORDER BY t, p_partkey) AS rk FROM n)
+         |SELECT least(a.p_partkey, b.p_partkey) AS id_lo,
+         |  greatest(a.p_partkey, b.p_partkey) AS id_hi,
+         |  round(jaro_winkler_similarity(a.t, b.t), 4) AS sim
+         |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+         |WHERE round(jaro_winkler_similarity(a.t, b.t), 4) >= 0.88
+         |ORDER BY id_lo, id_hi""".stripMargin,
+
     "q_snm_neardup" ->
       s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
          |r AS (SELECT doc_id, t,

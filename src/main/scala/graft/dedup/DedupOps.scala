@@ -877,6 +877,38 @@ object DedupOps {
     * no quadratic block). Output: (id_lo, id_hi, dist) — id-ordered so
     * the pair orientation is engine-independent even when the text order
     * and id order disagree. */
+  /** Sorted-neighborhood candidate pairs verified by JARO–WINKLER
+    * similarity — the ENTITY-RESOLUTION twin of
+    * [[sortedNeighborhoodPairs]]: Levenshtein distance is the right
+    * verifier for near-identical documents, but name/title matching
+    * wants a length-normalized, transposition-aware, prefix-weighted
+    * score ([[graft.functions.StringSimilarity.jaroWinkler]], a codegen
+    * expression). Same skew-safe global-rank blocking; similarity is
+    * ROUNDED AT 4 before the threshold compare on both engine and
+    * oracle sides, so the gate sits on a shared grid rather than a raw
+    * double boundary. */
+  def jaroNeighborhoodPairs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 4, minSim: Double = 0.88)
+      : DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"minSim must be in [0,1], got $minSim")
+    val norm = docs.select(col(idCol).as("_sid"),
+      TextOps.normalize(col(textCol)).as("_t"))
+    val ranked = graft.ops.Rank.globalRank(norm,
+      Seq(col("_t"), col("_sid")), "_rk")
+    val left = ranked.select(col("_sid").as("_ida"), col("_t").as("_ta"),
+      col("_rk"))
+    val right = ranked.select(col("_sid").as("_idb"), col("_t").as("_tb"),
+      explode(sequence(col("_rk") - window, col("_rk") - 1)).as("_rk"))
+    left.join(right, Seq("_rk"))
+      .withColumn("sim", round(graft.functions.StringSimilarity
+        .jaroWinkler(col("_ta"), col("_tb")), 4))
+      .filter(col("sim") >= minSim)
+      .select(least(col("_ida"), col("_idb")).as("id_lo"),
+        greatest(col("_ida"), col("_idb")).as("id_hi"), col("sim"))
+  }
+
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
       textCol: String, window: Int = 4, maxDist: Int = 8): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")

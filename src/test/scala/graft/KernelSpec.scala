@@ -366,12 +366,43 @@ class KernelSpec extends AnyFunSuite {
     val kernelQueries = Seq("q_ngram_jaccard", "q_minhash_neardup",
       "q_simhash_neardup", "q_text_stats", "q_lang_id", "q_repetition",
       "q_cosine_topk", "q_lsh_topk", "q_exact_dedup", "q_curation",
-      "q_winnow_fp", "q_compress_ratio")
+      "q_winnow_fp", "q_compress_ratio", "q_jaro_names")
     kernelQueries.foreach { name =>
       withClue(s"query $name under CODEGEN_ONLY: ") {
         assert(graft.SparkEntry.queries(name)(s2, sfDir).count() >= 0)
       }
     }
+  }
+
+  test("JaroWinkler: pinned external reference values, symmetry, " +
+      "edge conventions, boost threshold and prefix cap") {
+    import graft.functions.JaroKernel
+    def jw(a: String, b: String): Double = JaroKernel.jaroWinkler(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def r(x: Double, s: Int = 10) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    // literals pinned from DuckDB's native jaro_winkler_similarity —
+    // an EXTERNAL implementation of the same published algorithm (the
+    // q_jaro_names oracle replays this check over 79k real pairs)
+    assert(r(jw("martha", "marhta")) == r(0.9611111111111111))
+    assert(r(jw("dixon", "dicksonx")) == r(0.8133333333333332))
+    assert(r(jw("jellyfish", "smellyfish")) == r(0.8962962962962964))
+    assert(r(jw("DWAYNE", "DUANE")) == r(0.8400000000000001))
+    assert(jw("abc", "abc") == 1.0)
+    // DuckDB conventions: empty-vs-anything AND empty-vs-empty are 0
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    // window max(1,1)/2-1 = 0: single differing chars cannot match
+    assert(jw("a", "b") == 0.0)
+    // boost applies only above jaro 0.7 ...
+    assert(r(jw("ab", "axyzw")) == r(0.5666666666666667))
+    // ... and the common prefix caps at 4 even when 5 chars agree
+    assert(r(jw("aaaaab", "aaaaac")) == r(0.9333333333333333))
+    // symmetric by construction
+    assert(jw("dixon", "dicksonx") == jw("dicksonx", "dixon"))
+    // supplementary code points count as ONE character, not two chars
+    val emoji = "😀"
+    assert(jw(emoji, emoji) == 1.0)
   }
 
   test("WinnowFingerprint: interpreted == codegen == staged HOF form, both modes") {
