@@ -909,6 +909,36 @@ object DedupOps {
         greatest(col("_ida"), col("_idb")).as("id_hi"), col("sim"))
   }
 
+  /** ENTITY RESOLUTION end-to-end: [[jaroNeighborhoodPairs]] blocking +
+    * similarity, [[ConnectedComponents]] cluster closure, min-id
+    * survivorship — the composed "same real-world entity" pass over a
+    * record table (typo'd names, transposed characters, shared
+    * prefixes). One row per INPUT record: `entity_id` (the cluster's
+    * minimum id — singletons are their own entity), `cluster_size`, and
+    * `is_survivor` (the cluster representative a dedup keeps).
+    * Chained matches collapse transitively (A≈B≈C one entity even when
+    * A≉C — the [[graft.llm.Curation]] component argument).
+    *
+    * Shape: the blocking self-join is window-bounded, components run
+    * over the PAIR table only, and the final join back to the records
+    * is id-keyed — nothing quadratic, nothing driver-sized beyond the
+    * bounded union-find. */
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+      window: Int = 4, minSim: Double = 0.88): DataFrame = {
+    val pairs = jaroNeighborhoodPairs(df, idCol, nameCol, window, minSim)
+    val comp = ConnectedComponents(pairs, "id_lo", "id_hi")
+    val assigned = df.select(col(idCol))
+      .join(comp.select(col("id").as(idCol), col("component")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("entity_id"))
+    val sizes = assigned.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, Seq("entity_id"))
+      .select(col(idCol), col("entity_id"), col("cluster_size"),
+        (col(idCol) === col("entity_id")).as("is_survivor"))
+  }
+
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
       textCol: String, window: Int = 4, maxDist: Int = 8): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")

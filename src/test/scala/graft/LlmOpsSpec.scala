@@ -1112,6 +1112,40 @@ class LlmOpsSpec extends AnyFunSuite {
       "prefix-divergent doc must not pair (documented recall tradeoff)")
   }
 
+  test("resolveEntities: planted typo variants cluster transitively with " +
+      "min-id survivorship; singletons are their own entity; " +
+      "jaroNeighborhoodPairs gate matches the kernel") {
+    // three variants of one name (A≈B≈C chains into one entity even
+    // though the ends differ most), one pair, three singletons
+    val recs = Seq(
+      (10L, "jonathan smithson"),
+      (11L, "jonathan smithsen"),   // tail typo of 10
+      (12L, "jonathan smithsan"),   // tail typo chaining via 10/11
+      (20L, "margaret wolverton"),
+      (21L, "margaret wolvertan"),  // tail typo of 20
+      (30L, "completely unrelated"),
+      (31L, "nothing alike at all"),
+      (32L, "zzz different again")).toDF("rid", "name")
+    val r = DedupOps.resolveEntities(recs, "rid", "name",
+        window = 4, minSim = 0.93)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getBoolean(3))).toMap
+    assert(r(10L) == ((10L, 3L, true)))
+    assert(r(11L) == ((10L, 3L, false)))
+    assert(r(12L) == ((10L, 3L, false)))
+    assert(r(20L) == ((20L, 2L, true)))
+    assert(r(21L) == ((20L, 2L, false)))
+    for (s <- Seq(30L, 31L, 32L))
+      assert(r(s) == ((s, 1L, true)), s"singleton $s")
+    // the pair gate: exactly the planted variants, all above threshold
+    val pairs = DedupOps.jaroNeighborhoodPairs(recs, "rid", "name",
+        window = 4, minSim = 0.93)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+    assert(pairs.forall(_._3 >= 0.93))
+  }
+
   test("sortedNeighborhoodPairs: equals the naive global-window SNM; " +
       "catches a front-edited pair prefix blocking misses") {
     import org.apache.spark.sql.expressions.Window
