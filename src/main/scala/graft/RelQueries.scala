@@ -890,6 +890,20 @@ object RelQueries {
       graft.analytics.Experiment.welchTTest(units, col("_isb"), "y")
     }),
 
+    // -- [EXT]: Mann–Whitney U on per-user spend — the NONPARAMETRIC
+    //    two-sample companion (rank shift, no normality assumption);
+    //    exact micro-quantized ranks, tie-corrected z
+    "q_mannwhitney" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(floor(fin * lit(1e6))).cast("double")
+            / lit(1e6)).as("y"))
+        .withColumn("_isb", col("user_id") % 2 === 1)
+      graft.analytics.Experiment.mannWhitneyU(units, col("_isb"), "y")
+    }),
+
     "q_cuped" -> ((s, dir) => {
       // non-finite spend maps to NULL (contributes nothing) — floor(NaN)
       // silently lands 0 in Spark but errors DuckDB's BIGINT cast
@@ -1996,6 +2010,58 @@ object RelQueries {
         |    THEN abs(round((mb - ma) / sqrt(se2), 6)) >= 1.96
         |  END AS significant
         |FROM z""".stripMargin,
+
+    // per-user spend quantized to micros (the same unit frame as
+    // q_welch_ttest), distinct-value table with tie counts, average
+    // ranks via 2·avgrank = 2·cum − t + 1, tie-corrected normal z
+    "q_mannwhitney" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CAST(floor(CASE WHEN isfinite(value) THEN value END
+        |       * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0) AS y,
+        |    user_id % 2 = 1 AS b
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT CAST(floor(y * 1000000.0) AS BIGINT) AS vm, b
+        |      FROM u WHERE y IS NOT NULL AND NOT isnan(y)
+        |        AND isfinite(y)),
+        |v AS (SELECT vm,
+        |        SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+        |        SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+        |        COUNT(*) AS t
+        |      FROM f GROUP BY vm),
+        |c AS (SELECT *,
+        |        SUM(t) OVER (ORDER BY vm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft
+        |      FROM v),
+        |a AS (SELECT
+        |        CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+        |        SUM(CAST(cb AS HUGEINT)
+        |          * (2 * CAST(ft AS HUGEINT) - t + 1)) AS wb2,
+        |        SUM(CAST(t AS HUGEINT) * t * t - t) AS tt
+        |      FROM c),
+        |m AS (SELECT *,
+        |        wb2 - CAST(n_b AS HUGEINT) * (n_b + 1) AS u2,
+        |        CAST(n_a AS HUGEINT) * n_b AS mu2,
+        |        (n_a + n_b)::DOUBLE AS n
+        |      FROM a),
+        |s AS (SELECT *,
+        |        CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |          n_a::DOUBLE * n_b::DOUBLE / 12.0 *
+        |            ((n + 1.0) - tt::DOUBLE / (n * (n - 1.0)))
+        |        END AS sig2
+        |      FROM m)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(u2 AS BIGINT) END AS u_x2,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sig2 > 0.0
+        |    THEN round((u2::DOUBLE - mu2::DOUBLE) / (2.0 * sqrt(sig2)), 6)
+        |  END AS z_score,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sig2 > 0.0
+        |    THEN abs(round((u2::DOUBLE - mu2::DOUBLE)
+        |      / (2.0 * sqrt(sig2)), 6)) >= 1.96
+        |  END AS significant
+        |FROM s""".stripMargin,
 
     "q_cuped" ->
       """WITH u AS (

@@ -209,4 +209,76 @@ object Experiment {
       .withColumn("significant",
         when(col("t_stat").isNotNull, abs(col("t_stat")) >= 1.96))
   }
+
+  /** MANN–WHITNEY U TEST — the NONPARAMETRIC companion to
+    * [[welchTTest]]: does variant B's metric stochastically dominate
+    * A's, without assuming normality (heavy-tailed revenue, latency,
+    * bounded scores)? Completes the two-sample family: Welch tests
+    * means under normality, [[graft.analytics.Profiler.ksTest]] tests
+    * whole-distribution equality, this tests rank shift.
+    *
+    * Statistic: U_b = W_b − n_b(n_b+1)/2 where W_b is B's rank sum with
+    * AVERAGE ranks on ties; normal approximation
+    * z = (U_b − n_a·n_b/2) / σ with the tie-corrected variance
+    * σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1))) over tie-group sizes
+    * t. ONE output row always: (`n_a`, `n_b`, `u_x2`, `z_score`,
+    * `significant`) — `u_x2` is the EXACT integer 2·U_b (ties make U_b
+    * a half-integer; doubling keeps it integral — the q_ks_test ×1e6
+    * discipline), z rounded at 6, |z| ≥ 1.96 the conventional line.
+    * An empty variant ⇒ NULL u/z; all values tied ⇒ σ² = 0 ⇒ NULL z
+    * (no rank information). NULL/NaN/±Inf metric rows drop.
+    *
+    * Exactness: values quantize to 1e-6 fixed point (the [[welchTTest]]
+    * convention) so both engines rank the SAME total order; rank sums
+    * come from the tie-count identity 2·avgrank = 2·cum_total − t + 1
+    * on the distinct-value table — every intermediate is an exact
+    * decimal, and doubles enter only in the final closed-form z.
+    *
+    * Shape: one distinct-value aggregate, a two-pass range-partitioned
+    * prefix sum over it ([[graft.ops.PrefixSum]] — for a continuous
+    * metric the value table is ~unit-count-sized, so a global
+    * running-sum window would funnel it through one task), then a
+    * single-row aggregate. The final `u_x2` cast to long is
+    * ANSI-checked: past |2U| = 2^63 (n_a·n_b ≈ 4.6e18 — a quintillion
+    * comparisons) it fails loud rather than saturating. */
+  def mannWhitneyU(units: DataFrame, isB: Column, metricCol: String)
+      : DataFrame = {
+    val y = col(s"`$metricCol`").cast("double")
+    val base = units.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity))
+      .select(isB.as("_b"), floor(y * lit(1e6)).as("_vm"))
+    val vals = base.groupBy(col("_vm"))
+      .agg(sum(when(!col("_b"), 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("_cb"),
+        count(lit(1)).as("_t"))
+    val cum = graft.ops.PrefixSum.runningSums(vals,
+      Seq(col("_vm").asc), Seq("_t" -> "_ft"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // 2·avgrank(v) = 2·cum_total(v) − t(v) + 1 (ranks of a tie group
+    // straddle its cumulative span); Σ over B's members is 2·W_b
+    val agg = cum.agg(
+      coalesce(sum(col("_ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("_cb")), lit(0L)).as("n_b"),
+      sum(dec(col("_cb")) *
+        dec(lit(2L) * col("_ft") - col("_t") + lit(1L))).as("_wb2"),
+      sum(dec(col("_t")) * dec(col("_t")) * dec(col("_t")) -
+        dec(col("_t"))).as("_tt"))
+    def d(c: Column) = c.cast("double")
+    val n = col("n_a") + col("n_b")
+    val u2 = col("_wb2") - dec(col("n_b")) * dec(col("n_b") + lit(1L))
+    val mu2 = dec(col("n_a")) * dec(col("n_b"))
+    val bothSides = col("n_a") > 0L && col("n_b") > 0L
+    agg.select(col("n_a"), col("n_b"),
+      when(bothSides, u2.cast("long")).as("u_x2"),
+      // the σ² divisions live INSIDE the guard (the abTest ANSI
+      // discipline); bothSides ⇒ n ≥ 2 ⇒ n(n−1) > 0
+      when(bothSides, {
+        val sig2 = d(col("n_a")) * d(col("n_b")) / lit(12.0) *
+          ((d(n) + lit(1.0)) - d(col("_tt")) / (d(n) * (d(n) - lit(1.0))))
+        when(sig2 > 0.0,
+          round((d(u2) - d(mu2)) / (lit(2.0) * sqrt(sig2)), 6))
+      }).as("z_score"))
+      .withColumn("significant",
+        when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
+  }
 }

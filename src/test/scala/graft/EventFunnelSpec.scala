@@ -291,6 +291,45 @@ class EventFunnelSpec extends AnyFunSuite {
     assert((rd.getLong(0), rd.getLong(1)) === ((2L, 2L)))
   }
 
+  test("mannWhitneyU: hand-computed tie-corrected rank test, all-tied " +
+      "and empty-variant guards, NaN/Inf drop") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // A (even ids): 1, 2, 2, 5   B (odd ids): 2, 3, 4
+    // combined ranks: 1→1; the three 2s share avg rank 3; 3→5; 4→6; 5→7
+    // W_b = 3+5+6 = 14, U_b = 14 − 3·4/2 = 8 ⇒ u_x2 = 16
+    // ties: one group of 3 ⇒ T = 27−3 = 24, n = 7
+    // σ² = (4·3/12)·((7+1) − 24/(7·6)) = 8 − 4/7
+    // z = (8 − 6)/σ = 2/√(52/7) ≈ 0.733815
+    val units = Seq((2L, 1.0), (4L, 2.0), (6L, 2.0), (8L, 5.0),
+      (1L, 2.0), (3L, 3.0), (5L, 4.0)).toDF("uid", "y")
+    val r = Experiment.mannWhitneyU(units, col("uid") % 2 === 1, "y").head
+    assert((r.getLong(0), r.getLong(1)) === ((4L, 3L)))
+    assert(r.getLong(2) === 16L)
+    val z = 2.0 / math.sqrt(4.0 * 3.0 / 12.0 * (8.0 - 24.0 / 42.0))
+    assert(math.abs(r.getDouble(3) - z) < 1e-6, r.getDouble(3).toString)
+    assert(r.getBoolean(4) === false)
+    // every value tied: no rank information, σ² = 0 ⇒ NULL z but U exact
+    val const = Seq((2L, 5.0), (4L, 5.0), (1L, 5.0), (3L, 5.0))
+      .toDF("uid", "y")
+    val rc = Experiment.mannWhitneyU(const, col("uid") % 2 === 1, "y").head
+    // all four share avg rank 2.5 ⇒ W_b = 5, U_b = 2 ⇒ u_x2 = 4 = n_a·n_b/2·2
+    assert(rc.getLong(2) === 4L && rc.isNullAt(3) && rc.isNullAt(4))
+    // an empty variant: NULL U and z, counts still reported
+    val solo = Seq((2L, 1.0), (4L, 2.0)).toDF("uid", "y")
+    val rs = Experiment.mannWhitneyU(solo, col("uid") % 2 === 1, "y").head
+    assert((rs.getLong(0), rs.getLong(1)) === ((2L, 0L)))
+    assert(rs.isNullAt(2) && rs.isNullAt(3))
+    // NaN/Inf units drop instead of poisoning the value table
+    val dirty = Seq((2L, 1.0), (4L, Double.NaN),
+      (6L, Double.NegativeInfinity), (1L, 4.0), (3L, 6.0))
+      .toDF("uid", "y")
+    val rd = Experiment.mannWhitneyU(dirty, col("uid") % 2 === 1, "y").head
+    assert((rd.getLong(0), rd.getLong(1)) === ((1L, 2L)))
+    // no ties here: A{1} B{4,6} ⇒ W_b = 2+3 = 5, U_b = 5−3 = 2, u_x2 = 4
+    assert(rd.getLong(2) === 4L)
+  }
+
   test("ltvCurve: exact micro revenue, cumulative across sparse offsets, " +
       "per-member floor division, null-value events cohort but don't pay") {
     val day = 86400000000L
