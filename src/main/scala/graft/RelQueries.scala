@@ -904,6 +904,21 @@ object RelQueries {
       graft.analytics.Experiment.mannWhitneyU(units, col("_isb"), "y")
     }),
 
+    // -- [EXT]: Benjamini–Hochberg FDR across a family of tests. The
+    //    p-values here are deterministic pseudo-p's (micro-fraction of
+    //    each test cell's spend sum) — the operator is a pure transform
+    //    on (test_id, p); real use feeds per-metric test outputs
+    "q_bh_fdr" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
+      val tests = t(s, dir, "events")
+        .groupBy(concat(col("event_type"), lit("_"),
+          (col("user_id") % 25).cast("string")).as("tid"))
+        .agg((pmod(sum(floor(fin * lit(1e6))), lit(1000000L))
+            .cast("double") / lit(1e6)).as("p"))
+      graft.analytics.Experiment.bhCorrect(tests, "tid", "p")
+    }),
+
     "q_cuped" -> ((s, dir) => {
       // non-finite spend maps to NULL (contributes nothing) — floor(NaN)
       // silently lands 0 in Spark but errors DuckDB's BIGINT cast
@@ -2062,6 +2077,34 @@ object RelQueries {
         |      / (2.0 * sqrt(sig2)), 6)) >= 1.96
         |  END AS significant
         |FROM s""".stripMargin,
+
+    // step-up envelope = running min over the reversed p-order; every
+    // intermediate an exact floored micro integer (// = Fixed.ldiv)
+    "q_bh_fdr" ->
+      """WITH u AS (
+        |  SELECT event_type || '_' || CAST(user_id % 25 AS VARCHAR)
+        |      AS test_id,
+        |    (((SUM(CAST(floor(CASE WHEN isfinite(value) THEN value END
+        |        * 1000000.0) AS BIGINT)) % 1000000) + 1000000) % 1000000
+        |      )::DOUBLE / 1000000.0 AS p
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT test_id,
+        |        CAST(floor(p * 1000000.0) AS BIGINT) AS p_x1e6
+        |      FROM u WHERE p IS NOT NULL AND NOT isnan(p)
+        |        AND p >= 0.0 AND p <= 1.0),
+        |r AS (SELECT *,
+        |        row_number() OVER (ORDER BY p_x1e6, test_id) AS rk,
+        |        COUNT(*) OVER () AS m
+        |      FROM b),
+        |c AS (SELECT *, (m * p_x1e6) // rk AS cx FROM r),
+        |s AS (SELECT *,
+        |        min(cx) OVER (ORDER BY p_x1e6 DESC, test_id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sfx
+        |      FROM c)
+        |SELECT test_id, p_x1e6, CAST(rk AS BIGINT) AS rank,
+        |  least(sfx, 1000000) AS p_adj_x1e6,
+        |  least(sfx, 1000000) <= 50000 AS reject
+        |FROM s ORDER BY rank""".stripMargin,
 
     "q_cuped" ->
       """WITH u AS (

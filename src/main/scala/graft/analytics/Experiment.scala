@@ -281,4 +281,50 @@ object Experiment {
       .withColumn("significant",
         when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
   }
+
+  /** BENJAMINI–HOCHBERG FDR correction — the multiple-testing layer
+    * over the per-test family ([[abTest]]/[[welchTTest]]/
+    * [[mannWhitneyU]] readouts across many metrics × segments): testing
+    * 200 hypotheses at α = .05 expects 10 false positives; BH step-up
+    * controls the FALSE DISCOVERY RATE instead of the per-test error.
+    * One row per test: (`test_id`, `p_x1e6`, `rank`, `p_adj_x1e6`,
+    * `reject`) ordered by rank, where
+    * p_adj(i) = min(1, min_{j ≥ i} m·p_(j)/j) over the p-ascending
+    * ranking and reject ⇔ p_adj ≤ α — the standard step-up decision.
+    *
+    * Exactness: p quantizes to 1e-6 fixed point; ties in p break on
+    * `test_id` so the ranking is a reproducible TOTAL order; each
+    * m·p/j term enters as the exact floored micro integer
+    * ([[graft.ops.Fixed.ldiv]] — DuckDB's `//`), so the whole output is
+    * integers + booleans, no doubles at all. The m·p product is
+    * ANSI-checked: past m·10⁶ = 2^63 (~9e12 simultaneous tests) it
+    * fails loud. Rows with NULL/NaN p or p outside [0,1] drop.
+    *
+    * Shape: ranks via [[graft.ops.PrefixSum.runningSums]] over the
+    * p-ascending order and the step-up envelope via
+    * [[graft.ops.PrefixSum.runningMins]] over the reversed order — two
+    * range exchanges on the same key, never a single-task global
+    * window; m broadcasts from a one-row aggregate. */
+  def bhCorrect(tests: DataFrame, testIdCol: String, pCol: String,
+      alphaX1e6: Long = 50000L): DataFrame = {
+    require(alphaX1e6 >= 0L && alphaX1e6 <= 1000000L,
+      s"alphaX1e6 must be a micro-probability in [0, 1e6], got $alphaX1e6")
+    val p = col(s"`$pCol`").cast("double")
+    val base = tests.filter(p.isNotNull && !isnan(p) &&
+        p >= 0.0 && p <= 1.0)
+      .select(col(s"`$testIdCol`").as("test_id"),
+        floor(p * lit(1e6)).as("p_x1e6"), lit(1L).as("_one"))
+    val ranked = graft.ops.PrefixSum.runningSums(base,
+      Seq(col("p_x1e6").asc, col("test_id").asc), Seq("_one" -> "_rk"))
+    val tot = broadcast(base.agg(count(lit(1)).as("_m")))
+    val withC = ranked.crossJoin(tot)
+      .withColumn("_c",
+        graft.ops.Fixed.ldiv(col("_m") * col("p_x1e6"), col("_rk")))
+    graft.ops.PrefixSum.runningMins(withC,
+        Seq(col("p_x1e6").desc, col("test_id").desc), Seq("_c" -> "_sfx"))
+      .select(col("test_id"), col("p_x1e6"), col("_rk").as("rank"),
+        least(col("_sfx"), lit(1000000L)).as("p_adj_x1e6"))
+      .withColumn("reject", col("p_adj_x1e6") <= lit(alphaX1e6))
+      .orderBy(col("rank"))
+  }
 }

@@ -108,4 +108,80 @@ object PrefixSum {
           (col(out) + col(s"_off_$out")).as(out)
         }: _*)
   }
+
+  /** Append, for each `(valueCol, outCol)` in `mins`, the INCLUSIVE
+    * global running MIN of `valueCol` in the total order given by
+    * `order` — the monotone-envelope companion to [[runningSums]]
+    * (suffix minima, e.g. Benjamini–Hochberg's step-up clamp, are a
+    * running min over the REVERSED order). Same two-pass scheme: one
+    * range exchange, a narrow per-partition scan, per-partition totals
+    * turned into exclusive prefix minima over ≤ #partitions rows, and
+    * a broadcast pid join combining them with `least` (which skips the
+    * NULL side). A prefix that has seen no non-NULL value yet yields
+    * NULL. */
+  def runningMins(df: DataFrame, order: Seq[Column],
+      mins: Seq[(String, String)],
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(order.nonEmpty, "runningMins needs at least one order column")
+    require(mins.nonEmpty, "runningMins needs at least one value column")
+    val inCols = df.columns
+    mins.foreach { case (v, out) =>
+      require(inCols.contains(v), s"value column $v missing from input")
+      require(!inCols.contains(out) && v != out,
+        s"output column $out collides with an input column")
+      require(df.schema(v).dataType == LongType,
+        s"value column $v must be LongType (exact-integer discipline), " +
+          s"got ${df.schema(v).dataType}")
+    }
+    val outNames = mins.map(_._2)
+    def fresh(base: String) = Iterator.iterate(base)(_ + "_")
+      .dropWhile(c => inCols.contains(c) || outNames.contains(c)).next()
+    val pid = fresh("_ps_pid")
+    val positioned = numPartitions
+      .fold(df.repartitionByRange(order: _*))(
+        n => df.repartitionByRange(n, order: _*))
+      .sortWithinPartitions(order: _*)
+    val valueIdx = mins.map { case (v, _) => positioned.schema.fieldIndex(v) }
+      .toArray
+    val outSchema = StructType(positioned.schema.fields ++
+      (StructField(pid, IntegerType, nullable = false) +:
+        mins.map { case (_, out) =>
+          StructField(out, LongType, nullable = true)
+        }))
+    val local = positioned.mapPartitions { it =>
+      val p = TaskContext.getPartitionId()
+      val acc = new Array[Long](valueIdx.length)
+      val seen = new Array[Boolean](valueIdx.length)
+      it.map { r =>
+        var i = 0
+        while (i < acc.length) {
+          if (!r.isNullAt(valueIdx(i))) {
+            val v = r.getLong(valueIdx(i))
+            if (!seen(i) || v < acc(i)) acc(i) = v
+            seen(i) = true
+          }
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ (p +: Seq.tabulate(acc.length) { i =>
+          if (seen(i)) java.lang.Long.valueOf(acc(i)) else null
+        }))
+      }
+    }(Encoders.row(outSchema))
+      .localCheckpoint(false)
+    val wOff = Window.orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // totals re-min the ORIGINAL value columns (min-of-local-cumulative
+    // happens to equal it, but the original is the invariant form)
+    val totals = local.groupBy(col(pid))
+      .agg(min(col(mins.head._1)).as(s"_pt_${outNames.head}"),
+        mins.tail.map { case (v, o) => min(col(v)).as(s"_pt_$o") }: _*)
+    val offsets = totals.select(col(pid).as(s"_psj_$pid") +:
+      outNames.map(o =>
+        min(col(s"_pt_$o")).over(wOff).as(s"_off_$o")): _*)
+    local.join(broadcast(offsets), col(pid) === col(s"_psj_$pid"))
+      .select(inCols.map(col) ++
+        mins.map { case (_, out) =>
+          least(col(out), col(s"_off_$out")).as(out)
+        }: _*)
+  }
 }

@@ -330,6 +330,42 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(2) === 4L)
   }
 
+  test("bhCorrect: textbook step-up example, envelope clamp at 1, " +
+      "dirty-p drop, alpha bounds") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // m = 5, p = .01 .02 .03 .04 .2: every m·p/i for the first four is
+    // exactly 50000 micros, so the suffix-min envelope rejects all four
+    // at α = .05 while the naive per-test line would also pass them —
+    // the interesting BH case is .04·5/4 = .05 ≤ α though .04 > α/5
+    val tests = Seq(("t1", 0.01), ("t2", 0.02), ("t3", 0.03),
+      ("t4", 0.04), ("t5", 0.2)).toDF("tid", "p")
+    val r = Experiment.bhCorrect(tests, "tid", "p").collect()
+    assert(r.map(_.getString(0)).toSeq ==
+      Seq("t1", "t2", "t3", "t4", "t5"))
+    assert(r.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(r.map(_.getLong(3)).toSeq ==
+      Seq(50000L, 50000L, 50000L, 50000L, 200000L))
+    assert(r.map(_.getBoolean(4)).toSeq ==
+      Seq(true, true, true, true, false))
+    // a large p at a small rank overshoots 1: clamp — and the envelope
+    // must be MONOTONE (t_lo's adjusted p is capped by t_hi's term)
+    val clamp = Seq(("t_lo", 0.4), ("t_hi", 0.9)).toDF("tid", "p")
+    val rc = Experiment.bhCorrect(clamp, "tid", "p").collect()
+    // t_lo: min(2·.4/1, 2·.9/2) = .8; t_hi: min(1, .9) = .9
+    assert(rc.map(_.getLong(3)).toSeq == Seq(800000L, 900000L))
+    assert(rc.map(_.getBoolean(4)).forall(_ == false))
+    // NULL/NaN/out-of-range p drop; ranks stay dense over survivors
+    val dirty = Seq(("a", 0.03), ("b", Double.NaN), ("c", 1.5),
+      ("d", -0.1), ("e", 0.5)).toDF("tid", "p")
+    val rdirty = Experiment.bhCorrect(dirty, "tid", "p").collect()
+    assert(rdirty.map(_.getString(0)).toSeq == Seq("a", "e"))
+    assert(rdirty.map(_.getLong(2)).toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Experiment.bhCorrect(tests, "tid", "p", alphaX1e6 = 2000000L)
+    }
+  }
+
   test("ltvCurve: exact micro revenue, cumulative across sparse offsets, " +
       "per-member floor division, null-value events cohort but don't pay") {
     val day = 86400000000L

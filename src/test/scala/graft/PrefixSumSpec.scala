@@ -89,4 +89,61 @@ class PrefixSumSpec extends AnyFunSuite {
         s"global window not over the pid-totals aggregate:\n$w")
     }
   }
+
+  test("bhCorrect's plan: both global windows ride the pid-totals " +
+      "aggregates, never the data-sized test frame") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val tests = ev.groupBy($"event_type".as("tid"))
+      .agg((sum($"value") / 500.0).as("p"))
+    val bh = graft.analytics.Experiment.bhCorrect(tests, "tid", "p")
+    val plan = bh.queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the envelope pass's localCheckpoint truncates the rank pass out
+    // of the visible lineage, so only the outermost offsets window
+    // appears here — the rank pass's own shape is pinned by the ksTest
+    // plan test over the identical runningSums machinery
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.partitionSpec.isEmpty)
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.exists(_.groupingExpressions.exists(
+        _.references.exists(_.name.startsWith("_ps_pid")))),
+        s"global window not over the pid-totals aggregate:\n$w")
+    }
+  }
+
+  test("runningMins == the naive global running-min window, NULLs " +
+      "skipped (leading NULLs stay NULL), across partitionings") {
+    // min-specific traps: a NULL must NOT reset or poison the envelope,
+    // and a prefix with no value yet must be NULL (not MaxValue)
+    val rows = (0L until 500L).map { i =>
+      val k = (i * 131) % 997
+      val a = if (k % 7 == 0) null
+        else java.lang.Long.valueOf((k * 379) % 101 - 50)
+      (k, a)
+    }
+    val df = rows.toDF("k", "a")
+    val w = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df.withColumn("ra", min(col("a")).over(w))
+      .select($"k", $"ra").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    def run(in: org.apache.spark.sql.DataFrame, np: Option[Int]) =
+      PrefixSum.runningMins(in, Seq(col("k").asc), Seq("a" -> "ra"), np)
+        .select($"k", $"ra").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getLong(1)))).toMap
+    assert(run(df, None) == expect)
+    assert(run(df.repartition(17), Some(5)) == expect)
+    // the permutation makes k=0 first (a NULL row): leading-NULL case
+    assert(expect(0L).isEmpty)
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningMins(df, Seq(col("k")), Seq("a" -> "k"))
+    }
+  }
 }
