@@ -71,6 +71,14 @@ object RelQueries {
         .orderBy(col("cohort_period"), col("k"))
     }),
 
+    // -- [EXT]: Kaplan–Meier survival over user lifetimes — censoring-
+    //    aware churn (day periods; last-period users right-censored)
+    "q_kaplan_meier" -> ((s, dir) => {
+      EventFunnel.kaplanMeier(events(s, dir), "user_id", "ts_us",
+          periodUs = 86400000000L)
+        .orderBy(col("duration"))
+    }),
+
     // -- [EXT]: cohort LTV curve — daily cohorts, exact micro-unit
     //    revenue, cumulative + per-member lifetime value
     "q_ltv_curve" -> ((s, dir) => {
@@ -2428,6 +2436,41 @@ object RelQueries {
         |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
         |FROM n JOIN s USING (cohort_period)
         |ORDER BY cohort_period, k""".stripMargin,
+
+    // the product-limit estimate replayed as the SAME integer micro
+    // recurrence (floor at every step) via a recursive CTE; n_risk from
+    // the suffix count identity tot − cum + cnt
+    "q_kaplan_meier" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS fp,
+        |    max(epoch_us(ts) // 86400000000) AS lp
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(lp) AS endp, count(*)::BIGINT AS tot FROM u),
+        |d AS (SELECT lp - fp AS duration,
+        |        CAST(SUM(CASE WHEN lp < endp THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_event,
+        |        CAST(SUM(CASE WHEN lp >= endp THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_censored
+        |      FROM u CROSS JOIN mx GROUP BY 1),
+        |r AS (SELECT duration, n_event, n_censored,
+        |        CAST((SELECT tot FROM mx)
+        |          - SUM(n_event + n_censored) OVER (ORDER BY duration
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          + n_event + n_censored AS BIGINT) AS n_risk,
+        |        row_number() OVER (ORDER BY duration) AS i
+        |      FROM d),
+        |km AS (
+        |  SELECT i, duration, n_risk, n_event, n_censored,
+        |    (1000000 * (n_risk - n_event)) // n_risk AS s
+        |  FROM r WHERE i = 1
+        |  UNION ALL
+        |  SELECT b.i, b.duration, b.n_risk, b.n_event, b.n_censored,
+        |    (km.s * (b.n_risk - b.n_event)) // b.n_risk
+        |  FROM km JOIN r b ON b.i = km.i + 1)
+        |SELECT duration, n_risk, n_event, n_censored,
+        |  CAST(s AS BIGINT) AS surv_x1e6
+        |FROM km ORDER BY duration""".stripMargin,
 
     // Exact SQL reimplementation of the portable dense HLL (p=12): md5
     // hash → top-12-bit bucket, max leading-zero rank over the low 52

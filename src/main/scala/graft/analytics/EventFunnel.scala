@@ -375,4 +375,67 @@ object EventFunnel {
         round(col("n_active").cast("double") /
           col("cohort_size").cast("double"), 6))
   }
+
+  /** KAPLAN–MEIER survival curve over user lifetimes — the censoring-
+    * aware churn companion to [[retention]]: retention answers "what
+    * fraction of a cohort is active at k", KM answers "what fraction
+    * SURVIVES past duration d" without biasing against users whose
+    * lifetime the log truncates. Lifetime = periods between a user's
+    * first and last activity; a user whose last activity falls in the
+    * log's final observed period is RIGHT-CENSORED (still alive at the
+    * boundary — their survival is unknown past it), everyone else is an
+    * observed churn event. One row per distinct lifetime d, ordered:
+    * (`duration`, `n_risk`, `n_event`, `n_censored`, `surv_x1e6`) with
+    * the product-limit estimate S(d) = Π_{d' ≤ d} (n_risk − n_event)/
+    * n_risk over EVENT steps (censored-only steps leave S unchanged —
+    * the floor recurrence is exact there since n·S/n = S).
+    *
+    * Exactness: S is DEFINED as the integer micro recurrence
+    * s ← ⌊s·(n_risk − n_event)/n_risk⌋ from s = 10⁶ — each step floors,
+    * so both engines replay it bit-for-bit (an external engine uses a
+    * recursive CTE); the true rational product is within
+    * #event-steps·1e-6 below.
+    *
+    * Shape: lifetimes are one user-keyed aggregate, the KM table one
+    * duration-keyed aggregate (both map-side combined; the log-end
+    * scalar broadcasts); n_risk and the product chain then run on the
+    * DRIVER over the duration grid — bounded by the observation window
+    * in periods (sf-INDEPENDENT, e.g. days in a year), not by data
+    * size, and guarded by a loud `maxSteps` cap. The recurrence is
+    * order-dependent and non-associative under flooring, so it cannot
+    * ride a parallel prefix; the grid bound is what makes the driver
+    * chain legitimate. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsUsCol: String,
+      periodUs: Long, maxSteps: Int = 10000): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val lives = events.groupBy(col(userCol).as("_u"))
+      .agg(min(period).as("_fp"), max(period).as("_lp"))
+    val mx = broadcast(lives.agg(max(col("_lp")).as("_endp")))
+    val durs = lives.crossJoin(mx)
+      .select((col("_lp") - col("_fp")).as("duration"),
+        when(col("_lp") < col("_endp"), 1L).otherwise(0L).as("_e"))
+      .groupBy(col("duration"))
+      .agg(sum(col("_e")).as("n_event"),
+        sum(lit(1L) - col("_e")).as("n_censored"))
+      .orderBy(col("duration"))
+    val steps = durs.collect()
+    require(steps.length <= maxSteps,
+      s"Kaplan-Meier grid has ${steps.length} steps > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (the driver chain is " +
+        "grid-sized by design)")
+    var atRisk = steps.iterator.map(r => r.getLong(1) + r.getLong(2)).sum
+    var s = BigInt(1000000L)
+    val out = steps.map { r =>
+      val (d, e, c) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = atRisk
+      s = s * BigInt(n - e) / BigInt(n)
+      atRisk -= e + c
+      (d, n, e, c, s.toLong)
+    }
+    out.toSeq
+      .toDF("duration", "n_risk", "n_event", "n_censored", "surv_x1e6")
+  }
 }

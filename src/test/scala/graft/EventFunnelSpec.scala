@@ -330,6 +330,39 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(2) === 4L)
   }
 
+  test("kaplanMeier: hand-traced product-limit curve, right-censoring " +
+      "at the log end, censored-only steps leave S unchanged") {
+    import graft.analytics.EventFunnel
+    import spark.implicits._
+    // periodUs = 1 so ts IS the period. Lifetimes (first, last):
+    // A (0,0) dur 0; B (0,2) dur 2; C (0,5) dur 5; D (1,6) dur 5;
+    // E (2,8) dur 6. Log end = 8 ⇒ E right-censored, rest churn events.
+    // n_risk: d0→5, d2→4, d5→3, d6→1
+    // S: 1·4/5 = .8; ·3/4 = .6; ·1/3 = .2; d6 censored-only → .2
+    val ev = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L), (2L, 2L),
+      (3L, 0L), (3L, 5L), (4L, 1L), (4L, 6L), (5L, 2L), (5L, 8L))
+      .toDF("uid", "ts")
+    val km = EventFunnel.kaplanMeier(ev, "uid", "ts", periodUs = 1L)
+      .orderBy("duration").collect()
+    assert(km.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (0L, 5L, 1L, 0L, 800000L),
+      (2L, 4L, 1L, 0L, 600000L),
+      (5L, 3L, 2L, 0L, 200000L),
+      (6L, 1L, 0L, 1L, 200000L)))
+    // a one-user log: its only user sits in the final period ⇒ fully
+    // censored, survival never drops
+    val solo = Seq((9L, 3L), (9L, 7L)).toDF("uid", "ts")
+    val ks = EventFunnel.kaplanMeier(solo, "uid", "ts", 1L).collect()
+    assert(ks.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))) == Seq((4L, 1L, 0L, 1L, 1000000L)))
+    // the grid cap fails loud, naming the remedy
+    val e = intercept[IllegalArgumentException] {
+      EventFunnel.kaplanMeier(ev, "uid", "ts", 1L, maxSteps = 2)
+    }
+    assert(e.getMessage.contains("coarsen periodUs"))
+  }
+
   test("bhCorrect: textbook step-up example, envelope clamp at 1, " +
       "dirty-p drop, alpha bounds") {
     import graft.analytics.Experiment
