@@ -899,6 +899,90 @@ object Multimodal {
     }.toDF("file_name", "afp").as[(String, Long)]
   }
 
+  /** TEMPORAL LUMA GRID of a sampled clip — the video analog of
+    * [[audioSpectrogram]]: `slices` time positions × `bands` horizontal
+    * luma slabs, each cell the mean luma of slab `b` at time slice `k`
+    * (row-major `value(b*slices + k)`, time on the x axis — the
+    * [[dctHash64]] w=slices, h=bands layout).
+    *
+    * Slices index the SAMPLE LIST proportionally (`⌊k·m/slices⌋`), not
+    * absolute time — so a re-timed clip (same frames, 2× delays)
+    * produces the same grid, and a longer clip spreads its slices
+    * across its whole run. Slabs are contiguous pixel-index ranges over
+    * the interleaved-RGB frame: row-major order makes range
+    * [b·n/bands, (b+1)·n/bands) a horizontal slab regardless of frame
+    * dimensions, so a 2× spatial upscale lands in the same slabs. Luma
+    * uses the [[perceptualHash]] weights on exact 8-bit values.
+    *
+    * The invariances mirror the audio construction: a global BRIGHTNESS
+    * shift adds a constant to every cell (only the DCT's DC coefficient
+    * moves, and [[dctHash64]] drops that bit); spatial RESCALE and
+    * lossy RE-ENCODING (GIF→MJPEG) perturb slab means only slightly;
+    * TEMPORAL motion — the thing that distinguishes two clips with
+    * similar frames — lands in the time axis the DCT fingerprints. */
+  def videoTemporalGrid(samples: Seq[Array[Float]], slices: Int = 32,
+      bands: Int = 32): Array[Double] = {
+    require(samples.nonEmpty, "videoTemporalGrid needs >= 1 sampled frame")
+    require(slices >= 1 && bands >= 1,
+      s"videoTemporalGrid: slices=$slices bands=$bands")
+    val m = samples.size
+    val grid = new Array[Double](slices * bands)
+    var k = 0
+    while (k < slices) {
+      val px = samples((k.toLong * m / slices).toInt)
+      val np = px.length / 3
+      var b = 0
+      while (b < bands) {
+        val lo = (b.toLong * np / bands).toInt
+        val hi = ((b + 1).toLong * np / bands).toInt
+        var s = 0.0
+        var p = lo
+        while (p < hi) {
+          val base = p * 3
+          s += 0.299 * Math.round(px(base) * 255f).toDouble +
+            0.587 * Math.round(px(base + 1) * 255f).toDouble +
+            0.114 * Math.round(px(base + 2) * 255f).toDouble
+          p += 1
+        }
+        grid(b * slices + k) = if (hi > lo) s / (hi - lo) else 0.0
+        b += 1
+      }
+      k += 1
+    }
+    grid
+  }
+
+  /** 64-bit VIDEO FINGERPRINT: stream-sample the clip ([[sampleClip]] —
+    * bounded memory: one canvas plus the samples; `sampleEveryMs` is
+    * the temporal-resolution knob, coarsen it for long clips), build
+    * the [[videoTemporalGrid]], hash through the shared [[dctHash64]].
+    * Undecodable bytes ride the deterministic stub, so corrupt corpus
+    * members still fingerprint reproducibly. */
+  def videoFingerprint(bytes: Array[Byte], durationMsFallback: Long,
+      sampleEveryMs: Long = 100L, slices: Int = 32, bands: Int = 32,
+      w: Int = 8, h: Int = 8, c: Int = 3): Long = {
+    val samples = sampleClip(bytes, durationMsFallback, sampleEveryMs,
+      w, h, c)
+    dctHash64(videoTemporalGrid(samples.map(_._2), slices, bands),
+      slices, bands)
+  }
+
+  /** Per-file video fingerprints, batched mapPartitions (the
+    * [[imagePhashes]] pattern). */
+  def videoFingerprints(media: Dataset[MediaRow], batchSize: Int = 8,
+      sampleEveryMs: Long = 100L): Dataset[(String, Long)] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          (fileName(m.path),
+            videoFingerprint(m.bytes, m.meta.durationMs, sampleEveryMs))
+        }
+      }
+    }.toDF("file_name", "vfp").as[(String, Long)]
+  }
+
   /** Resize decoded images by integer-factor average pooling — this part
     * is real math (not stubbed): mean over each factor×factor block per
     * channel. */

@@ -444,6 +444,99 @@ class MultimodalSpec extends AnyFunSuite {
         s"melodies $i/$j too close")
   }
 
+  test("videoFingerprint: brightness and re-timing are EXACTLY " +
+      "invariant, upscale/re-encode stay within a few bits, distinct " +
+      "motion is far") {
+    import Multimodal._
+    val root = MultimodalQueries.mediaRoot
+    assume(new java.io.File(s"$root/vfp").isDirectory)
+    def fpOf(name: String): Long = {
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Path.of(s"$root/vfp/$name"))
+      videoFingerprint(b, b.length * 10L)
+    }
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(fpOf("vf_00.gif") == fpOf("vf_00.gif")) // deterministic
+    // one-lattice-step brightness adds a constant to every grid cell:
+    // only the DC coefficient moves, and dctHash64 forces that bit 0 —
+    // exact invariance (the fixtures keep values off the clamp)
+    assert(ham(fpOf("vf_00.gif"), fpOf("vf_00_bright.gif")) == 0)
+    // re-timing (same frames, 2× delays): slices index the sample list
+    // PROPORTIONALLY, so the doubled clip lands on the same frames
+    assert(ham(fpOf("vf_01.gif"), fpOf("vf_01_slow.gif")) == 0)
+    // 2× nearest upscale: slab boundaries shift sub-row, means barely move
+    assert(ham(fpOf("vf_02.gif"), fpOf("vf_02_up2x.gif")) <= 4)
+    // MJPEG re-encode of the same frames: lossy but low-frequency
+    assert(ham(fpOf("vf_03.gif"), fpOf("vf_03_avi.avi")) <= 8)
+    // structurally distinct motion (every clip has its own y(t)
+    // trajectory): far beyond the 10-bit near-dup line
+    for (i <- 0 until 5; j <- (i + 1) until 5)
+      assert(ham(fpOf(f"vf_$i%02d.gif"), fpOf(f"vf_$j%02d.gif")) > 10,
+        s"clips $i/$j too close")
+  }
+
+  test("videoFingerprint matches an independent reimplementation of the " +
+      "temporal-grid recipe") {
+    // Anchors the fingerprint SEMANTICS (proportional slice indexing,
+    // index-range slabs over interleaved RGB, pHash luma weights, the
+    // shared DCT-median core) against a from-scratch derivation — the
+    // committed manifest q_video_fp's oracle reads is generated by the
+    // same videoFingerprint under test, so without this anchor a bug in
+    // the grid/DCT logic would be baked in and pass both driver queries
+    // (the perceptualHash anchor discipline). The reimplementation
+    // decodes GIF frames directly (full-frame fixtures: no compositing),
+    // walks pixels by (x, y) instead of flat index, and evaluates the
+    // DCT non-separably with per-term StrictMath.cos.
+    import Multimodal._
+    val root = MultimodalQueries.mediaRoot
+    assume(new java.io.File(s"$root/vfp").isDirectory)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$root/vfp/vf_00.gif"))
+    val reader = javax.imageio.ImageIO
+      .getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(iis, false)
+    val n = reader.getNumImages(true) // 8 frames × 100 ms
+    val frames = (0 until n).map(reader.read)
+    reader.dispose(); iis.close()
+    // duration 800 ms sampled at 100 ms ⇒ samples ARE the frames
+    val (slices, bands) = (32, 32)
+    val grid = new Array[Double](slices * bands)
+    for (k <- 0 until slices; b <- 0 until bands) {
+      val img = frames((k * n) / slices)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val np = w * h
+      val (lo, hi) = ((b * np) / bands, ((b + 1) * np) / bands)
+      val lums = (lo until hi).map { p =>
+        val rgb = img.getRGB(p % w, p / w)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      grid(b * slices + k) = lums.sum / lums.length
+    }
+    val N = 32; val K = 8
+    val g32 = Array.tabulate(N, N)((y, x) => grid(y * N + x))
+    val coef = Array.tabulate(K, K) { (v, u) =>
+      var s = 0.0
+      for (y <- 0 until N; x <- 0 until N)
+        s += g32(y)(x) *
+          StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * N)) *
+          StrictMath.cos(StrictMath.PI * (2 * y + 1) * v / (2.0 * N))
+      s
+    }
+    val flat = (for (v <- 0 until K; u <- 0 until K) yield coef(v)(u))
+      .toArray
+    val nonDc = flat.drop(1).sorted
+    val median = nonDc(31)
+    val gap = flat.drop(1).map(x => math.abs(x - median))
+      .filter(_ > 0).min
+    assert(gap > 1e-6, s"degenerate clip: median gap $gap")
+    val expect = (1 until K * K).foldLeft(0L)((acc, i) =>
+      if (flat(i) > median) acc | (1L << i) else acc)
+    assert(videoFingerprint(bytes, bytes.length * 10L) == expect)
+  }
+
   test("hammingPairs equals the brute-force pair set on the phash corpus") {
     import Multimodal._
     val root = MultimodalQueries.mediaRoot

@@ -166,6 +166,46 @@ object MakeMediaFixtures {
     new java.awt.image.IndexColorModel(8, n, r, g, b)
   }
 
+  /** A STRUCTURED MOTION frame for the video-fingerprint fixtures: a
+    * bright rectangle DESCENDING over a banded gradient as `k` runs
+    * 0..nFrames-1. Every channel value sits on the websafe lattice
+    * (multiples of 51, greyscale) so the GIF palette round-trip is
+    * LOSSLESS and a one-step brightness shift stays exact on the
+    * lattice (204+51 = 255 — no clamping, so the shift is a pure DC
+    * move for the temporal-grid hash). Motion is VERTICAL because the
+    * fingerprint's slabs are horizontal — only y-motion lands in the
+    * time axis it fingerprints. `scale` integer-upsamples (nearest). */
+  def makeMotionFrame(idx: Int, k: Int, nFrames: Int, w: Int, h: Int,
+      brightSteps: Int = 0, scale: Int = 1): BufferedImage = {
+    val img = new BufferedImage(w * scale, h * scale,
+      BufferedImage.TYPE_BYTE_INDEXED, websafePalette)
+    val (ka, kb) = (2 + idx % 3, 1 + idx % 4)
+    val rh = h / 3 + idx % 3
+    val rw = w / 2 + (idx * 3) % 7
+    val rx = w / 6
+    // per-clip DISTINCT vertical speed (wraps): motion is what the
+    // temporal grid fingerprints, so two clips must never share their
+    // y(t) trajectory — speed 1 descends once, speed 5 hops 0,5,2,7,…
+    val ry = if (nFrames <= 1) 0
+      else ((k * (1 + idx % 5)) % nFrames) * (h - rh) / (nFrames - 1)
+    var y = 0
+    while (y < h * scale) {
+      var x = 0
+      while (x < w * scale) {
+        val (sx, sy) = (x / scale, y / scale)
+        val inRect = sx >= rx && sx < rx + rw && sy >= ry && sy < ry + rh
+        val step =
+          if (inRect) 4
+          else ((sx * ka) / w + (sy * kb * 2) / h) % 4
+        val v = math.min(5, step + brightSteps) * 51
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   /** A deterministic websafe-indexed frame: pixel (x,y) of frame `k` is
     * palette entry mix(seed,k,x,y) mod 216. */
   def makeFrame(seed: Long, k: Int, w: Int, h: Int): BufferedImage = {
@@ -439,6 +479,35 @@ object MakeMediaFixtures {
         "avi_91_truncated.avi"
       })
 
+    // ---- video-fingerprint family: 5 structurally DISTINCT motion
+    // clips (different gradients, rect sizes, all with vertical motion)
+    // + 4 perturbed near-dups: one-lattice-step brightness (pure DC),
+    // 2× re-timing (same frames, doubled delays — the proportional-
+    // slicing invariance), 2× spatial upscale, and an MJPEG-AVI
+    // re-encode of the same frames (lossy cross-container)
+    val nMotion = 8
+    def motionFrames(idx: Int, bright: Int = 0, scale: Int = 1) =
+      (0 until nMotion).map(k =>
+        makeMotionFrame(idx, k, nMotion, 48, 36, bright, scale))
+    val vfpFiles = (0 until 5).map { i =>
+      val name = f"vf_$i%02d.gif"
+      write(new File(root, s"vfp/$name"),
+        encodeGif(motionFrames(i), Seq.fill(nMotion)(10)))
+      name
+    } ++ Seq(
+      { write(new File(root, "vfp/vf_00_bright.gif"),
+          encodeGif(motionFrames(0, bright = 1), Seq.fill(nMotion)(10)))
+        "vf_00_bright.gif" },
+      { write(new File(root, "vfp/vf_01_slow.gif"),
+          encodeGif(motionFrames(1), Seq.fill(nMotion)(20)))
+        "vf_01_slow.gif" },
+      { write(new File(root, "vfp/vf_02_up2x.gif"),
+          encodeGif(motionFrames(2, scale = 2), Seq.fill(nMotion)(10)))
+        "vf_02_up2x.gif" },
+      { write(new File(root, "vfp/vf_03_avi.avi"),
+          encodeAviMjpeg(motionFrames(3), 100000L))
+        "vf_03_avi.avi" })
+
     // ---- manifests: round-trip the bytes just written through the SAME
     // decode-or-stub paths the queries use, so manifest == query output
     def bytesOf(sub: String, name: String): Array[Byte] =
@@ -490,6 +559,11 @@ object MakeMediaFixtures {
       (name, Multimodal.audioFingerprint(d))
     }
 
+    val vfpRows = vfpFiles.sorted.map { name =>
+      val b = bytesOf("vfp", name)
+      (name, Multimodal.videoFingerprint(b, b.length * 10L))
+    }
+
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()
     import spark.implicits._
@@ -499,6 +573,9 @@ object MakeMediaFixtures {
     afpRows.toDF("file_name", "afp").coalesce(1).write
       .mode("overwrite")
       .parquet(new File(root, "manifest_afp").getPath)
+    vfpRows.toDF("file_name", "vfp").coalesce(1).write
+      .mode("overwrite")
+      .parquet(new File(root, "manifest_vfp").getPath)
     imgRows.toDS().coalesce(1).write.mode("overwrite")
       .parquet(new File(root, "manifest_img").getPath)
     wavRows.toDS().coalesce(1).write.mode("overwrite")
