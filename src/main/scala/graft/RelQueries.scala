@@ -1155,6 +1155,20 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: link prediction on the co-purchase graph — common
+    //    neighbors + capped-universe Jaccard for non-adjacent pairs
+    "q_link_predict" -> ((s, dir) => {
+      val edges = graft.analytics.Association.coOccurrence(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minSupport = 2L)
+        .select(col("item_a"), col("item_b"))
+      // minCommon = 1: the TPC-H co-purchase graph is sparse (median
+      // degree 1 even at sf0.1), so 2-witness pairs vanish at scale
+      graft.analytics.Graph.linkPrediction(edges, "item_a", "item_b",
+          maxCenterDegree = 64L, minCommon = 1L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_table_profile" -> ((s, dir) => {
       graft.analytics.Profiler.profile(t(s, dir, "lineitem"),
           exactDistinct = true)
@@ -1540,6 +1554,39 @@ object RelQueries {
         |  END AS clustering_x1e6
         |FROM deg LEFT JOIN tn ON deg.n = tn.n
         |ORDER BY node""".stripMargin,
+
+    // same co-occurrence graph as q_triangles; the degree-capped center
+    // universe is part of the declared contract (hub exclusion)
+    "q_link_predict" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+        |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
+        |und AS (SELECT x.it AS a, y.it AS b2
+        |        FROM bb x JOIN bb y ON x.bk = y.bk AND x.it < y.it
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT a AS n FROM und
+        |          UNION ALL SELECT b2 FROM und) GROUP BY 1),
+        |adj AS (SELECT a AS c, b2 AS m FROM und
+        |        UNION ALL SELECT b2, a FROM und),
+        |adjf AS (SELECT adj.c, adj.m FROM adj
+        |         JOIN deg ON deg.n = adj.c WHERE deg.d <= 64),
+        |degf AS (SELECT m, count(*) AS df FROM adjf GROUP BY 1),
+        |cand AS (SELECT x.m AS id_a, y.m AS id_b,
+        |           count(*)::BIGINT AS common
+        |         FROM adjf x JOIN adjf y ON x.c = y.c AND x.m < y.m
+        |         GROUP BY 1, 2 HAVING count(*) >= 1),
+        |newp AS (SELECT * FROM cand WHERE NOT EXISTS (
+        |           SELECT 1 FROM und
+        |           WHERE und.a = cand.id_a AND und.b2 = cand.id_b))
+        |SELECT id_a, id_b, common,
+        |  da.df AS deg_a, db.df AS deg_b,
+        |  (common * 1000000) // (da.df + db.df - common) AS jaccard_x1e6
+        |FROM newp
+        |JOIN degf da ON da.m = newp.id_a
+        |JOIN degf db ON db.m = newp.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_graph_degrees" ->
       """WITH edges AS (

@@ -279,6 +279,71 @@ object Graph {
           col("d") * (col("d") - lit(1L)))).as("clustering_x1e6"))
   }
 
+  /** LINK PREDICTION scores — common-neighbor count + neighborhood
+    * Jaccard for NON-adjacent node pairs (the classic "people you may
+    * know" / co-purchase recommendation primitive, and the graph twin
+    * of the similarity family's set-overlap joins). One row per
+    * candidate pair: (`id_a`, `id_b`, `common`, `deg_a`, `deg_b`,
+    * `jaccard_x1e6`) with jaccard = common/(deg_a + deg_b − common) in
+    * exact floored micros ([[graft.ops.Fixed.ldiv]]).
+    *
+    * HUB EXCLUSION is the scale contract: a candidate pair is generated
+    * once per shared neighbor, so a degree-d hub fans out d² wedge
+    * rows — the celebrity blowup [[triangles]] dodges via orientation.
+    * Orientation cannot help here (BOTH sides of every hub wedge are
+    * genuine candidates), so instead common neighbors are counted only
+    * through centers with degree ≤ `maxCenterDegree` — bounding wedge
+    * fan-out at cap² per node — and `deg_a`/`deg_b` count the SAME
+    * capped universe, keeping the Jaccard a true set overlap of
+    * N≤cap(·). The semantic loss is the stop-word argument: a neighbor
+    * shared with everyone carries no signal about THIS pair. The cap is
+    * part of the declared contract (the oracle replicates it), not a
+    * silent truncation.
+    *
+    * Shape: edge dedup + degree aggregate, one capped self-join on the
+    * center key, a (pair)-keyed count, an anti-join against the edge
+    * set (predict NEW links only), two degree joins. No global windows,
+    * no driver state. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      maxCenterDegree: Long = 64L, minCommon: Long = 2L): DataFrame = {
+    require(maxCenterDegree >= 1,
+      s"maxCenterDegree must be >= 1, got $maxCenterDegree")
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // consumed 3×: degrees, wedges, anti-join
+    val deg = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val adjF = und.select(col("a").as("c"), col("b").as("m"))
+      .unionAll(und.select(col("b").as("c"), col("a").as("m")))
+      .join(deg.select(col("n").as("c"), col("d")), Seq("c"))
+      .filter(col("d") <= maxCenterDegree)
+      .select(col("c"), col("m"))
+      .localCheckpoint(false) // self-joined + capped-degree counts
+    val degF = adjF.groupBy(col("m")).agg(count(lit(1)).as("df"))
+    val cand = adjF.as("x").join(adjF.as("y"),
+        col("x.c") === col("y.c") && col("x.m") < col("y.m"))
+      .groupBy(col("x.m").as("id_a"), col("y.m").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val newPairs = cand.join(und,
+      cand("id_a") === und("a") && cand("id_b") === und("b"), "left_anti")
+    newPairs
+      .join(degF.select(col("m").as("id_a"), col("df").as("deg_a")),
+        Seq("id_a"))
+      .join(degF.select(col("m").as("id_b"), col("df").as("deg_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        graft.ops.Fixed.ldiv(col("common") * lit(1000000L),
+          col("deg_a") + col("deg_b") - col("common")).as("jaccard_x1e6"))
+  }
+
   /** K-CORE of the undirected graph — the standard cohesion filter
     * (drop everything that isn't embedded in a mutually-dense region):
     * iteratively peel every node whose degree among SURVIVORS is < k

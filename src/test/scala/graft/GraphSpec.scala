@@ -209,4 +209,36 @@ class GraphSpec extends AnyFunSuite {
     // must hold at least the teleport mass
     assert(ranks.last > 0L)
   }
+
+  test("linkPrediction: hand-traced common-neighbor Jaccard, adjacent " +
+      "pairs excluded, hub exclusion empties the capped universe") {
+    // triangle 1-2-3 plus 4 adjacent to {2,3} and a pendant 5 on 1:
+    // the only non-adjacent pair with 2 common neighbors is (1,4)
+    // through centers 2 and 3 — jaccard 2/(3+2-2) = 2/3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L)).toDF("src", "dst")
+    val r = Graph.linkPrediction(edges, "src", "dst").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getLong(4), x.getLong(5))).toSeq ==
+      Seq((1L, 4L, 2L, 3L, 2L, 666666L)))
+    // minCommon = 1 admits the single-neighbor pairs through node 1
+    val r1 = Graph.linkPrediction(edges, "src", "dst", minCommon = 1L)
+      .orderBy("id_a", "id_b").collect()
+    assert(r1.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .toSeq == Seq((1L, 4L, 2L), (2L, 5L, 1L), (3L, 5L, 1L)))
+    // jaccard for (2,5): common {1}, capped neighborhoods |N(2)|=3,
+    // |N(5)|=1 — 1/(3+1-1) = 1/3 floored
+    assert(r1(1).getLong(5) == 333333L)
+    // cap at 2 excludes every degree-3 center (1, 2, 3): the (1,4)
+    // evidence disappears and nothing else reaches minCommon
+    val rc = Graph.linkPrediction(edges, "src", "dst",
+      maxCenterDegree = 2L, minCommon = 1L).collect()
+    assert(rc.isEmpty)
+    // dirty input: self-loops, duplicates, reversed duplicates collapse
+    val dirty = edges.unionAll(Seq((2L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("src", "dst"))
+    val rd = Graph.linkPrediction(dirty, "src", "dst").collect()
+    assert(rd.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 4L)))
+  }
 }
