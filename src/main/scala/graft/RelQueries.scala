@@ -71,6 +71,13 @@ object RelQueries {
         .orderBy(col("cohort_period"), col("k"))
     }),
 
+    // -- [EXT]: RFM segmentation — per-user recency/frequency/monetary
+    //    quintile codes via rank-arithmetic ntile (skew-safe ranks)
+    "q_rfm" -> ((s, dir) => {
+      EventFunnel.rfm(events(s, dir), "user_id", "ts_us", "value")
+        .orderBy(col("user_id"))
+    }),
+
     // -- [EXT]: Kaplan–Meier survival over user lifetimes — censoring-
     //    aware churn (day periods; last-period users right-censored)
     "q_kaplan_meier" -> ((s, dir) => {
@@ -2483,6 +2490,30 @@ object RelQueries {
         |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
         |FROM n JOIN s USING (cohort_period)
         |ORDER BY cohort_period, k""".stripMargin,
+
+    // rank-arithmetic ntile: score = q − (q·(rank−1)) // n over the
+    // DESC rank with user-id tie-break — all-integer output
+    "q_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(epoch_us(ts)) AS recency_ts,
+        |    count(*)::BIGINT AS frequency,
+        |    CAST(COALESCE(SUM(CAST(floor(CASE WHEN isfinite(value)
+        |      THEN value END * 1000000.0) AS BIGINT)), 0) AS BIGINT)
+        |      AS monetary_x1e6
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY recency_ts DESC, user_id) AS rr,
+        |    row_number() OVER (ORDER BY frequency DESC, user_id) AS rf,
+        |    row_number() OVER (ORDER BY monetary_x1e6 DESC, user_id) AS rm,
+        |    COUNT(*) OVER () AS n
+        |  FROM u)
+        |SELECT user_id, recency_ts, frequency, monetary_x1e6,
+        |  5 - (5 * (rr - 1)) // n AS r,
+        |  5 - (5 * (rf - 1)) // n AS f,
+        |  5 - (5 * (rm - 1)) // n AS m,
+        |  (5 - (5 * (rr - 1)) // n) * 100 + (5 - (5 * (rf - 1)) // n) * 10
+        |    + (5 - (5 * (rm - 1)) // n) AS rfm
+        |FROM r ORDER BY user_id""".stripMargin,
 
     // the product-limit estimate replayed as the SAME integer micro
     // recurrence (floor at every step) via a recursive CTE; n_risk from

@@ -376,6 +376,52 @@ object EventFunnel {
           col("cohort_size").cast("double"), 6))
   }
 
+  /** RFM SEGMENTATION — the classic marketing mart over an event log:
+    * per user, Recency (last-activity timestamp), Frequency (event
+    * count) and Monetary (exact micro-unit spend), each ranked across
+    * ALL users and bucketed into `quantiles` scores (best = `quantiles`,
+    * worst = 1), plus the composite `rfm` code (r·100 + f·10 + m at the
+    * default 5). One row per user.
+    *
+    * Bucketing is DEFINED as score = q − ⌊q·(rank−1)/n⌋ over the
+    * 1-based global rank (DESC on each metric, `user id` tie-break —
+    * a reproducible total order), so every output is an exact integer
+    * an external engine replays; this is rank-arithmetic ntile, chosen
+    * over ntile() because the latter's remainder-spreading ties scores
+    * to partition counts.
+    *
+    * Shape: one user aggregate, then THREE skew-safe global ranks
+    * ([[graft.ops.Rank.globalRank]] — range exchange + broadcast
+    * offsets each; a data-sized user table must never ride a
+    * partition-less ntile window), one broadcast total. NaN/±Inf spend
+    * contributes nothing to monetary (NULL-summed, coalesced to 0). */
+  def rfm(events: DataFrame, userCol: String, tsUsCol: String,
+      valueCol: String, quantiles: Int = 5): DataFrame = {
+    require(quantiles >= 2 && quantiles <= 9,
+      s"quantiles must be in [2, 9] (single-digit codes), got $quantiles")
+    val v = col(s"`$valueCol`").cast("double")
+    val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
+    val users = events.groupBy(col(userCol).as("user_id"))
+      .agg(max(expr(tsUsCol)).as("recency_ts"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(floor(fin * lit(1e6))), lit(0L)).as("monetary_x1e6"))
+    val tot = broadcast(users.agg(count(lit(1)).as("_n")))
+    val ranked = graft.ops.Rank.globalRank(
+      graft.ops.Rank.globalRank(
+        graft.ops.Rank.globalRank(users,
+          Seq(col("recency_ts").desc, col("user_id").asc), "_rr"),
+        Seq(col("frequency").desc, col("user_id").asc), "_rf"),
+      Seq(col("monetary_x1e6").desc, col("user_id").asc), "_rm")
+    def score(rank: String) = lit(quantiles.toLong) - graft.ops.Fixed.ldiv(
+      lit(quantiles.toLong) * (col(rank) - lit(1L)), col("_n"))
+    ranked.crossJoin(tot)
+      .select(col("user_id"), col("recency_ts"), col("frequency"),
+        col("monetary_x1e6"),
+        score("_rr").as("r"), score("_rf").as("f"), score("_rm").as("m"))
+      .withColumn("rfm",
+        col("r") * lit(100L) + col("f") * lit(10L) + col("m"))
+  }
+
   /** KAPLAN–MEIER survival curve over user lifetimes — the censoring-
     * aware churn companion to [[retention]]: retention answers "what
     * fraction of a cohort is active at k", KM answers "what fraction

@@ -330,6 +330,41 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(2) === 4L)
   }
 
+  test("rfm: hand-traced quintile codes, NaN spend scores but pays " +
+      "nothing, rank-arithmetic halves at q=2") {
+    import graft.analytics.EventFunnel
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1.0), (1L, 20L, 2.0),                 // rec 20 f 2 mon 3
+      (2L, 5L, 10.0),                                 // rec 5  f 1 mon 10
+      (3L, 30L, 0.5), (3L, 1L, 0.0), (3L, 2L, 0.0),   // rec 30 f 3 mon .5
+      (4L, 15L, Double.NaN),                          // rec 15 f 1 mon 0
+      (5L, 25L, 2.0))                                 // rec 25 f 1 mon 2
+      .toDF("uid", "ts_us", "value")
+    val r = EventFunnel.rfm(ev, "uid", "ts_us", "value")
+      .orderBy("user_id").collect()
+    // 5 users × 5 quantiles ⇒ score = 6 − rank on every axis
+    assert(r.map(x => (x.getLong(0), x.getLong(4), x.getLong(5),
+      x.getLong(6), x.getLong(7))).toSeq == Seq(
+      (1L, 3L, 4L, 4L, 344L),
+      (2L, 1L, 3L, 5L, 135L),
+      (3L, 5L, 5L, 2L, 552L),
+      (4L, 2L, 2L, 1L, 221L),
+      (5L, 4L, 1L, 3L, 413L)))
+    // NaN spend: monetary 0, but the user is still ranked
+    assert(r(3).getLong(3) == 0L)
+    // q = 2 over 4 users: ranks 1-2 score 2, ranks 3-4 score 1
+    val four = ev.filter(col("uid") =!= 5L)
+    val r2 = EventFunnel.rfm(four, "uid", "ts_us", "value", quantiles = 2)
+      .orderBy("user_id").collect()
+    // recency ranks: u3(30)→1 u1(20)→2 u4(15)→3 u2(5)→4
+    assert(r2.map(x => (x.getLong(0), x.getLong(4))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 2L), (4L, 1L)))
+    intercept[IllegalArgumentException] {
+      EventFunnel.rfm(ev, "uid", "ts_us", "value", quantiles = 10)
+    }
+  }
+
   test("kaplanMeier: hand-traced product-limit curve, right-censoring " +
       "at the log end, censored-only steps leave S unchanged") {
     import graft.analytics.EventFunnel
