@@ -1577,11 +1577,12 @@ object RelQueries {
         |          UNION ALL SELECT b2 FROM und) GROUP BY 1),
         |adj AS (SELECT a AS c, b2 AS m FROM und
         |        UNION ALL SELECT b2, a FROM und),
-        |adjf AS (SELECT adj.c, adj.m FROM adj
+        |adjf AS (SELECT adj.c, adj.m, deg.d FROM adj
         |         JOIN deg ON deg.n = adj.c WHERE deg.d <= 64),
         |degf AS (SELECT m, count(*) AS df FROM adjf GROUP BY 1),
         |cand AS (SELECT x.m AS id_a, y.m AS id_b,
-        |           count(*)::BIGINT AS common
+        |           count(*)::BIGINT AS common,
+        |           CAST(SUM(1000000 // x.d) AS BIGINT) AS ra_x1e6
         |         FROM adjf x JOIN adjf y ON x.c = y.c AND x.m < y.m
         |         GROUP BY 1, 2 HAVING count(*) >= 1),
         |newp AS (SELECT * FROM cand WHERE NOT EXISTS (
@@ -1589,7 +1590,8 @@ object RelQueries {
         |           WHERE und.a = cand.id_a AND und.b2 = cand.id_b))
         |SELECT id_a, id_b, common,
         |  da.df AS deg_a, db.df AS deg_b,
-        |  (common * 1000000) // (da.df + db.df - common) AS jaccard_x1e6
+        |  (common * 1000000) // (da.df + db.df - common) AS jaccard_x1e6,
+        |  ra_x1e6
         |FROM newp
         |JOIN degf da ON da.m = newp.id_a
         |JOIN degf db ON db.m = newp.id_b

@@ -284,7 +284,8 @@ object Graph {
     * know" / co-purchase recommendation primitive, and the graph twin
     * of the similarity family's set-overlap joins). One row per
     * candidate pair: (`id_a`, `id_b`, `common`, `deg_a`, `deg_b`,
-    * `jaccard_x1e6`) with jaccard = common/(deg_a + deg_b − common) in
+    * `jaccard_x1e6`, `ra_x1e6`) with jaccard = common/(deg_a + deg_b −
+    * common) and the resource-allocation index Σ_c 1/deg(c), both in
     * exact floored micros ([[graft.ops.Fixed.ldiv]]).
     *
     * HUB EXCLUSION is the scale contract: a candidate pair is generated
@@ -323,13 +324,19 @@ object Graph {
       .unionAll(und.select(col("b").as("c"), col("a").as("m")))
       .join(deg.select(col("n").as("c"), col("d")), Seq("c"))
       .filter(col("d") <= maxCenterDegree)
-      .select(col("c"), col("m"))
+      .select(col("c"), col("m"), col("d"))
       .localCheckpoint(false) // self-joined + capped-degree counts
     val degF = adjF.groupBy(col("m")).agg(count(lit(1)).as("df"))
+    // resource-allocation index Σ 1/deg(center) — the exact-rational
+    // member of the weighted-common-neighbor family (Adamic–Adar's
+    // 1/log d needs a transcendental; RA outperforms it in the original
+    // Zhou-Lü-Zhang comparison and floors exactly per center)
     val cand = adjF.as("x").join(adjF.as("y"),
         col("x.c") === col("y.c") && col("x.m") < col("y.m"))
       .groupBy(col("x.m").as("id_a"), col("y.m").as("id_b"))
-      .agg(count(lit(1)).as("common"))
+      .agg(count(lit(1)).as("common"),
+        sum(graft.ops.Fixed.ldiv(lit(1000000L), col("x.d")))
+          .as("ra_x1e6"))
       .filter(col("common") >= minCommon)
     val newPairs = cand.join(und,
       cand("id_a") === und("a") && cand("id_b") === und("b"), "left_anti")
@@ -341,7 +348,8 @@ object Graph {
       .select(col("id_a"), col("id_b"), col("common"),
         col("deg_a"), col("deg_b"),
         graft.ops.Fixed.ldiv(col("common") * lit(1000000L),
-          col("deg_a") + col("deg_b") - col("common")).as("jaccard_x1e6"))
+          col("deg_a") + col("deg_b") - col("common")).as("jaccard_x1e6"),
+        col("ra_x1e6"))
   }
 
   /** K-CORE of the undirected graph — the standard cohesion filter

@@ -218,17 +218,19 @@ class GraphSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
       (1L, 5L)).toDF("src", "dst")
     val r = Graph.linkPrediction(edges, "src", "dst").collect()
+    // resource allocation through centers 2 and 3 (degree 3 each):
+    // 2·⌊1e6/3⌋ = 666666 — coincidentally equal to the jaccard micros
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
-      x.getLong(3), x.getLong(4), x.getLong(5))).toSeq ==
-      Seq((1L, 4L, 2L, 3L, 2L, 666666L)))
+      x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6))).toSeq ==
+      Seq((1L, 4L, 2L, 3L, 2L, 666666L, 666666L)))
     // minCommon = 1 admits the single-neighbor pairs through node 1
     val r1 = Graph.linkPrediction(edges, "src", "dst", minCommon = 1L)
       .orderBy("id_a", "id_b").collect()
     assert(r1.map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
       .toSeq == Seq((1L, 4L, 2L), (2L, 5L, 1L), (3L, 5L, 1L)))
     // jaccard for (2,5): common {1}, capped neighborhoods |N(2)|=3,
-    // |N(5)|=1 — 1/(3+1-1) = 1/3 floored
-    assert(r1(1).getLong(5) == 333333L)
+    // |N(5)|=1 — 1/(3+1-1) = 1/3 floored; RA through center 1 (deg 3)
+    assert(r1(1).getLong(5) == 333333L && r1(1).getLong(6) == 333333L)
     // cap at 2 excludes every degree-3 center (1, 2, 3): the (1,4)
     // evidence disappears and nothing else reaches minCommon
     val rc = Graph.linkPrediction(edges, "src", "dst",
