@@ -71,6 +71,14 @@ object RelQueries {
         .orderBy(col("cohort_period"), col("k"))
     }),
 
+    // -- [EXT]: classical seasonal decomposition of daily activity —
+    //    7-day centered moving-average trend, weekday seasonals,
+    //    residual; dense day spine, all-integer micro output
+    "q_seasonal_daily" -> ((s, dir) => {
+      graft.ops.TimeSeries.seasonalDecompose(events(s, dir), "ts_us",
+        periodUs = 86400000000L, seasonLen = 7, trendWindow = 7)
+    }),
+
     // -- [EXT]: RFM segmentation — per-user recency/frequency/monetary
     //    quintile codes via rank-arithmetic ntile (skew-safe ranks)
     "q_rfm" -> ((s, dir) => {
@@ -2492,6 +2500,46 @@ object RelQueries {
         |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
         |FROM n JOIN s USING (cohort_period)
         |ORDER BY cohort_period, k""".stripMargin,
+
+    // observed = trend + seasonal + residual, every mean a floor
+    // division — the whole decomposition replays as integers
+    "q_seasonal_daily" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+        |  (SELECT hi FROM b))) AS period),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n
+        |      FROM spine LEFT JOIN c USING (period)),
+        |t AS (SELECT *,
+        |        CASE WHEN count(*) OVER w = 7
+        |          THEN (sum(n) OVER w * 1000000) // 7 END AS trend_x1e6,
+        |        ((period % 7) + 7) % 7 AS pos
+        |      FROM d WINDOW w AS (ORDER BY period
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, n * 1000000 - trend_x1e6 AS detr FROM t),
+        |s AS (SELECT pos,
+        |        CASE WHEN SUM(detr) % count(*) <> 0 AND SUM(detr) < 0
+        |          THEN SUM(detr) // count(*) - 1
+        |          ELSE SUM(detr) // count(*) END AS smean
+        |      FROM dt WHERE detr IS NOT NULL GROUP BY 1),
+        |ctr AS (SELECT
+        |          CASE WHEN SUM(smean) % count(*) <> 0 AND SUM(smean) < 0
+        |            THEN SUM(smean) // count(*) - 1
+        |            ELSE SUM(smean) // count(*) END AS c0
+        |        FROM s),
+        |sa AS (SELECT pos,
+        |         CAST(smean - (SELECT c0 FROM ctr) AS BIGINT)
+        |           AS seasonal_x1e6
+        |       FROM s)
+        |SELECT dt.period, dt.n,
+        |  CAST(trend_x1e6 AS BIGINT) AS trend_x1e6,
+        |  seasonal_x1e6,
+        |  CAST(detr - seasonal_x1e6 AS BIGINT) AS resid_x1e6
+        |FROM dt LEFT JOIN sa USING (pos)
+        |ORDER BY period""".stripMargin,
 
     // rank-arithmetic ntile: score = q − (q·(rank−1)) // n over the
     // DESC rank with user-id tie-break — all-integer output

@@ -310,8 +310,11 @@ object EventFunnel {
   def ltvCurve(events: DataFrame, userCol: String, tsUsCol: String,
       valueCol: String, periodUs: Long): DataFrame = {
     require(periodUs > 0, s"periodUs must be positive, got $periodUs")
-    // floor division, not DIV: DIV truncates toward zero, so pre-1970
-    // (negative-µs) timestamps would land one period late vs DuckDB's //
+    // floor division, not DIV: a pre-1970 (negative-µs) timestamp must
+    // land in the period CONTAINING it, not one later. NOTE DuckDB's //
+    // ALSO truncates (see Fixed.ldiv's oracle-parity note): an oracle
+    // over negative timestamps needs the explicit floor CASE — the
+    // declared oracles run on post-1970 data where // and floor agree
     val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
     val cohorts = events.groupBy(col(userCol).as("_u"))
       .agg(min(period).as("cohort_period"))
@@ -344,9 +347,11 @@ object EventFunnel {
   /** Cohort retention matrix: users cohorted by the period of their FIRST
     * event; for each (cohort, offset k) the count and fraction of the
     * cohort active k periods later. Periods are exact integer µs buckets
-    * (floor division via [[graft.ops.Fixed.ldiv]], so DuckDB's `//`
-    * reproduces the boundary bit-for-bit even for pre-1970 negative-µs
-    * timestamps; no double division).
+    * (floor division via [[graft.ops.Fixed.ldiv]] — the period
+    * CONTAINING the timestamp even pre-1970; an external engine
+    * replays negative boundaries with the explicit floor CASE in
+    * [[graft.ops.Fixed.ldiv]]'s oracle-parity note, since DuckDB's
+    * `//` truncates; no double division).
     * Returns (cohort_period, k, n_active, cohort_size, retention);
     * k = 0 rows carry retention 1.0 by construction.
     *

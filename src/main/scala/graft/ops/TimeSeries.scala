@@ -57,4 +57,69 @@ object TimeSeries {
         .when(v0.isNotNull, v0)
         .otherwise(v1))
   }
+
+  /** CLASSICAL additive SEASONAL DECOMPOSITION of an event log's
+    * per-period activity — observed = trend + seasonal + residual, the
+    * dashboard de-noising pass beside [[locf]]/[[interpolate]]. One row
+    * per period on the DENSE spine (gaps count 0): (`period`, `n`,
+    * `trend_x1e6`, `seasonal_x1e6`, `resid_x1e6`), ordered.
+    *
+    * - trend: centered `trendWindow`-period moving average (window must
+    *   be odd); NULL at the `trendWindow/2` edge periods where the full
+    *   frame doesn't exist — the classical convention, not imputation.
+    * - seasonal: mean detrended value per season position
+    *   (`period mod seasonLen`, floor-mod so pre-1970 periods land in
+    *   0..len−1), zero-centered by subtracting the positions' mean.
+    * - residual: observed − trend − seasonal where both exist.
+    *
+    * Exactness: counts enter as micro integers; every mean is a
+    * [[graft.ops.Fixed.ldiv]] floor — the whole output is integers an
+    * external engine replays exactly.
+    *
+    * Shape: one period-keyed count, a spine join, then windows over the
+    * PERIOD GRID — calendar-bounded (days in the observation window),
+    * not data-sized, which is what justifies the partition-less frame
+    * (the Kaplan–Meier grid argument); the seasonal table (≤ seasonLen
+    * rows) broadcasts back. */
+  def seasonalDecompose(events: DataFrame, tsUsCol: String,
+      periodUs: Long, seasonLen: Int = 7, trendWindow: Int = 7)
+      : DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(seasonLen >= 2, s"seasonLen must be >= 2, got $seasonLen")
+    require(trendWindow >= 3 && trendWindow % 2 == 1,
+      s"trendWindow must be odd >= 3, got $trendWindow")
+    val h = trendWindow / 2
+    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val counts = events.select(period.as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("period")).as("_lo"),
+      max(col("period")).as("_hi"))
+    val spine = bounds
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
+    val dense = spine.join(counts, Seq("period"), "left")
+      .select(col("period"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.orderBy(col("period")).rowsBetween(-h, h)
+    val trended = dense
+      .withColumn("trend_x1e6",
+        when(count(lit(1)).over(w) === trendWindow,
+          Fixed.ldiv(sum(col("n")).over(w) * lit(1000000L),
+            lit(trendWindow.toLong))))
+      .withColumn("_pos", pmod(col("period"), lit(seasonLen.toLong)))
+      .withColumn("_detr",
+        col("n") * lit(1000000L) - col("trend_x1e6"))
+      .localCheckpoint(false) // feeds the seasonal means AND the output
+    val seasonal = trended.filter(col("_detr").isNotNull)
+      .groupBy(col("_pos"))
+      .agg(Fixed.ldiv(sum(col("_detr")), count(lit(1))).as("_smean"))
+    val center = seasonal.agg(
+      Fixed.ldiv(sum(col("_smean")), count(lit(1))).as("_c"))
+    val seas = broadcast(seasonal.crossJoin(broadcast(center))
+      .select(col("_pos"), (col("_smean") - col("_c"))
+        .as("seasonal_x1e6")))
+    trended.join(seas, Seq("_pos"), "left")
+      .select(col("period"), col("n"), col("trend_x1e6"),
+        col("seasonal_x1e6"),
+        (col("_detr") - col("seasonal_x1e6")).as("resid_x1e6"))
+      .orderBy(col("period"))
+  }
 }

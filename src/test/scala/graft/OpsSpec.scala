@@ -380,6 +380,45 @@ class OpsSpec extends AnyFunSuite {
       Some(5.0), Some(5.0), Some(5.0), None))
   }
 
+  test("TimeSeries.seasonalDecompose: hand-traced trend/seasonal/residual " +
+      "with a gap day, edge trend NULL, floor-exact centering") {
+    // periodUs = 1: periods 0,1,3 observed (2, 4, 6 events), 2 is a gap
+    // ⇒ dense n = [2, 4, 0, 6]; window 3, season 2
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(6)(3L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val out = graft.ops.TimeSeries
+      .seasonalDecompose(ev, "ts_us", periodUs = 1L, seasonLen = 2,
+        trendWindow = 3)
+      .collect()
+    def g(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // trend: p1 = 6e6//3 = 2000000, p2 = 10e6//3 = 3333333, edges NULL
+    // detr: p1 = +2000000, p2 = −3333333
+    // smean: pos0 = −3333333, pos1 = 2000000; center = −1333333//2 =
+    // −666667 (FLOOR, not truncation) ⇒ seasonal −2666666 / +2666667
+    // residual: both interior days −666667; edge days NULL
+    assert(out.map(r => (r.getLong(0), r.getLong(1), g(r, 2), g(r, 3),
+      g(r, 4))).toSeq == Seq(
+      (0L, 2L, None, Some(-2666666L), None),
+      (1L, 4L, Some(2000000L), Some(2666667L), Some(-666667L)),
+      (2L, 0L, Some(3333333L), Some(-2666666L), Some(-666667L)),
+      (3L, 6L, None, Some(2666667L), None)))
+    // the decomposition identity holds where defined:
+    // n·1e6 = trend + seasonal + residual
+    out.filter(!_.isNullAt(4)).foreach { r =>
+      assert(r.getLong(1) * 1000000L ==
+        r.getLong(2) + r.getLong(3) + r.getLong(4))
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.seasonalDecompose(ev, "ts_us", 1L,
+        trendWindow = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.seasonalDecompose(ev, "ts_us", 1L,
+        seasonLen = 1)
+    }
+  }
+
   test("Robust.robustZ: hand-computed MAD z; zero-MAD stratum -> NULL; " +
       "approx path tracks exact") {
     import graft.ops.Robust
