@@ -446,6 +446,21 @@ object RelQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- A3 [EXT]: HLL sketch-set OVERLAP — pairwise vocabulary
+    //    intersection between languages by inclusion–exclusion on the
+    //    same mergeable register rows (union = register max; the raw
+    //    corpus is never rescanned)
+    "q_hll_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = docs.select(col("lang"), explode(
+          split(graft.text.TextOps.normalize(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val sketches = graft.analytics.Sketches
+        .portableHllSketchTable(terms, col("term"), Seq("lang"))
+      graft.analytics.Sketches.portableHllOverlap(sketches, "lang")
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     // -- A3 [EXT]: KLL quantile sketch-table rollup — the quantile member
     //    of the persisted-sketch-table family (HLL = distinct). Per-(lang,
     //    source) mergeable sketches of document length, then per-lang AND
@@ -2747,6 +2762,88 @@ object RelQueries {
         |  nr.n_rows
         |FROM e JOIN nr USING (lang)
         |ORDER BY lang""".stripMargin,
+
+    // the q_hll_rollup register machinery per lang, plus per-PAIR union
+    // registers (max rho via an OR-join — pair count is lang²-bounded);
+    // estimates round to whole counts BEFORE the integer inclusion–
+    // exclusion, exactly like the engine
+    "q_hll_overlap" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+        |    '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents
+        |), terms AS (
+        |  SELECT lang, md5_number_lower(term) AS h
+        |  FROM toks WHERE length(term) > 0
+        |), regs AS (
+        |  SELECT lang, (h >> 52) AS bucket,
+        |    max(CASE WHEN (h & 4503599627370495::UBIGINT) = 0::UBIGINT
+        |             THEN 53
+        |             ELSE 53 - length(format('{:b}',
+        |               CAST((h & 4503599627370495::UBIGINT) AS BIGINT)))
+        |        END) AS rho
+        |  FROM terms GROUP BY lang, bucket
+        |), agg AS (
+        |  SELECT lang AS k, count(*) AS present,
+        |    sum(CAST(1::UBIGINT << CAST(53 - rho AS INTEGER) AS HUGEINT))
+        |      AS s_present
+        |  FROM regs GROUP BY 1
+        |), e AS (
+        |  SELECT k, CAST(round(CASE
+        |    WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0))
+        |           * 9007199254740992.0
+        |           / CAST(s_present + CAST(4096 - present AS HUGEINT)
+        |                  * CAST(1::UBIGINT << 53 AS HUGEINT) AS DOUBLE)
+        |         <= 2.5 * 4096.0 AND (4096 - present) > 0
+        |    THEN 4096.0 * ln(4096.0 / (4096 - present))
+        |    ELSE ((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0))
+        |           * 9007199254740992.0
+        |           / CAST(s_present + CAST(4096 - present AS HUGEINT)
+        |                  * CAST(1::UBIGINT << 53 AS HUGEINT) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS est
+        |  FROM agg
+        |), pairs AS (
+        |  SELECT a.lang AS key_a, b.lang AS key_b
+        |  FROM (SELECT DISTINCT lang FROM terms) a
+        |  JOIN (SELECT DISTINCT lang FROM terms) b ON a.lang < b.lang
+        |), uregs AS (
+        |  SELECT p.key_a, p.key_b, r.bucket, max(r.rho) AS rho
+        |  FROM pairs p JOIN regs r
+        |    ON r.lang = p.key_a OR r.lang = p.key_b
+        |  GROUP BY 1, 2, 3
+        |), uagg AS (
+        |  SELECT key_a, key_b, count(*) AS present,
+        |    sum(CAST(1::UBIGINT << CAST(53 - rho AS INTEGER) AS HUGEINT))
+        |      AS s_present
+        |  FROM uregs GROUP BY 1, 2
+        |), ue AS (
+        |  SELECT key_a, key_b, CAST(round(CASE
+        |    WHEN ((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0))
+        |           * 9007199254740992.0
+        |           / CAST(s_present + CAST(4096 - present AS HUGEINT)
+        |                  * CAST(1::UBIGINT << 53 AS HUGEINT) AS DOUBLE)
+        |         <= 2.5 * 4096.0 AND (4096 - present) > 0
+        |    THEN 4096.0 * ln(4096.0 / (4096 - present))
+        |    ELSE ((0.7213 / (1.0 + 1.079 / 4096.0)) * (4096.0 * 4096.0))
+        |           * 9007199254740992.0
+        |           / CAST(s_present + CAST(4096 - present AS HUGEINT)
+        |                  * CAST(1::UBIGINT << 53 AS HUGEINT) AS DOUBLE)
+        |    END, 0) AS BIGINT) AS est_union
+        |  FROM uagg
+        |)
+        |SELECT p.key_a, p.key_b, ea.est AS est_a, eb.est AS est_b,
+        |  ue.est_union,
+        |  ea.est + eb.est - ue.est_union AS est_intersect,
+        |  CASE WHEN ue.est_union > 0 THEN
+        |    (greatest(ea.est + eb.est - ue.est_union, 0) * 1000000)
+        |      // ue.est_union
+        |  ELSE 0 END AS jaccard_est_x1e6
+        |FROM pairs p
+        |JOIN e ea ON ea.k = p.key_a
+        |JOIN e eb ON eb.k = p.key_b
+        |JOIN ue ON ue.key_a = p.key_a AND ue.key_b = p.key_b
+        |ORDER BY p.key_a, p.key_b""".stripMargin,
 
     // Exact-capacity KLL (k ≥ n ⇒ no compaction ⇒ retained values are the
     // full sorted stream, INCLUSIVE quantile = percentile_disc). The

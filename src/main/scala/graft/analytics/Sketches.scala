@@ -172,6 +172,50 @@ object Sketches {
       .withColumn("distinct_est", PortableHll.hllEstimate(col("_regs"), p))
       .drop("_regs")
 
+  /** Pairwise SKETCH-SET OVERLAP between strata — |A∩B| by
+    * inclusion–exclusion over the mergeable HLL register rows:
+    * est(A) + est(B) − est(A∪B), where the union sketch is the
+    * elementwise register max (EXACT for HLL — the union estimate is
+    * what a sketch of A∪B would be, unlike intersection which has no
+    * mergeable form; that asymmetry is why the intersection must be
+    * derived). One row per unordered stratum pair: (`key_a`, `key_b`,
+    * `est_a`, `est_b`, `est_union`, `est_intersect`,
+    * `jaccard_est_x1e6`). Estimates round to whole counts FIRST so the
+    * derived columns are integer arithmetic an external engine replays;
+    * `est_intersect` may go slightly negative when the true overlap is
+    * near zero (estimator noise) — reported as-is, clamped only inside
+    * the Jaccard.
+    *
+    * Scale: the pair table is strata-count-sized (never data-sized);
+    * the pairwise union rides the existing [[PortableHll.HllUnionAggregator]]
+    * via a 2-row explode per pair — no new merge kernel. Raw data was
+    * already scanned once into the sketch table; overlaps never rescan. */
+  def portableHllOverlap(sketchTable: DataFrame, keyCol: String,
+      p: Int = 12): DataFrame = {
+    val a = sketchTable.select(col(s"`$keyCol`").as("key_a"),
+      col("hll_regs").as("_ra"))
+    val b = sketchTable.select(col(s"`$keyCol`").as("key_b"),
+      col("hll_regs").as("_rb"))
+    val pairs = a.join(b, col("key_a") < col("key_b"))
+    val unions = pairs.select(col("key_a"), col("key_b"),
+        explode(array(col("_ra"), col("_rb"))).as("hll_regs"))
+      .groupBy(col("key_a"), col("key_b"))
+      .agg(udaf(new PortableHll.HllUnionAggregator(p))
+        .apply(col("hll_regs")).as("_ru"))
+    def est(c: Column) =
+      round(PortableHll.hllEstimate(c, p), 0).cast("long")
+    pairs.join(unions, Seq("key_a", "key_b"))
+      .select(col("key_a"), col("key_b"),
+        est(col("_ra")).as("est_a"), est(col("_rb")).as("est_b"),
+        est(col("_ru")).as("est_union"))
+      .withColumn("est_intersect",
+        col("est_a") + col("est_b") - col("est_union"))
+      .withColumn("jaccard_est_x1e6",
+        when(col("est_union") > 0L, graft.ops.Fixed.ldiv(
+          greatest(col("est_intersect"), lit(0L)) * lit(1000000L),
+          col("est_union"))).otherwise(lit(0L)))
+  }
+
   /** Per-document frequent-token profile: the share of a document's tokens
     * whose estimated corpus frequency is ≥ `minCount` — the
     * stopword-saturation / boilerplate signal, scored WITHOUT joining a

@@ -228,6 +228,37 @@ class SketchSpec extends AnyFunSuite {
     assert(rt == fromPartials)
   }
 
+  test("portable hll overlap: identical sets meet fully, disjoint sets " +
+      "nearly not at all, a half-subset lands in between") {
+    import graft.analytics.Sketches
+    import spark.implicits._
+    // three strata over synthetic term sets: B == A, C disjoint from A,
+    // D = the first half of A
+    val a = (0 until 400).map(i => ("a", s"t$i"))
+    val rows = a ++ a.map { case (_, t) => ("b", t) } ++
+      (0 until 400).map(i => ("c", s"u$i")) ++
+      (0 until 200).map(i => ("d", s"t$i"))
+    val terms = rows.toDF("k", "term")
+    val sketches = Sketches.portableHllSketchTable(terms, col("term"),
+      Seq("k"))
+    val out = Sketches.portableHllOverlap(sketches, "k")
+      .orderBy("key_a", "key_b").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // identical sets: union == each side ⇒ intersect == est, jaccard 1
+    val (ea, eb, eu, ei, j) = out(("a", "b"))
+    assert(ea == eb && eu == ea && ei == ea && j == 1000000L)
+    // disjoint: intersect estimate near zero (|err| well under either side)
+    val (_, _, _, eiC, jC) = out(("a", "c"))
+    assert(math.abs(eiC) <= ea / 5, s"disjoint intersect $eiC vs $ea")
+    assert(jC <= 100000L)
+    // half subset: intersect ≈ |D|, jaccard ≈ 1/2 (loose sketch bounds)
+    val (_, _, _, eiD, jD) = out(("a", "d"))
+    assert(math.abs(eiD - 200L) <= 40L, s"subset intersect $eiD")
+    assert(math.abs(jD - 500000L) <= 100000L, s"subset jaccard $jD")
+  }
+
   test("hll sketch table: parquet round-trip + append-only batch merge") {
     import graft.analytics.Sketches
     val docs = analytics.Tables(spark, dir, "documents")
