@@ -168,6 +168,46 @@ object PipelineQueries {
     //    gate. The oracle is the star join over the CDC-final state —
     //    upserts, tombstones, and dim-diff re-derivation must be
     //    invisible.
+    // -- [EXT]: incrementally-maintained AGGREGATE mart — classical
+    //    additive IVM: run 1 builds per-status order counts + exact
+    //    micro revenue, run 2 ships an update wave (every 7th order
+    //    +1000 and re-statused 'U'); only the signed row diff is
+    //    aggregated, and the published mart must equal a direct
+    //    aggregate over the CDC-final state
+    "q_gold_agg" -> ((s, dir) => {
+      val run = s"gagg_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      val orders = analytics.Tables(s, dir, "orders")
+      orders.write.parquet(s"$root/src/orders")
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"orders": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["o_orderkey"],
+          |  "gold": {"mode": "incremental",
+          |    "aggregate": {"group_by": ["o_orderstatus"],
+          |      "aggs": [
+          |        {"op": "count", "as": "n_orders"},
+          |        {"op": "sum_x1e6", "expr": "o_totalprice",
+          |         "as": "total_x1e6"}]}}
+          |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      def runAt(clock: String): Unit = {
+        val params = PipelineParams(sourceLocation = s"$root/src",
+          catalogName = run,
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        new PipelineRunner(s, params, s"$root/store")
+          .run(ConfigLoader.load(s, params.sourceLocation))
+      }
+      runAt("2024-07-01 00:00:00")
+      orders.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+        .write.mode("append").parquet(s"$root/src/orders")
+      runAt("2024-07-02 00:00:00")
+      val params = PipelineParams(sourceLocation = "", catalogName = run)
+      s.table(params.goldFqn("orders")).orderBy(col("o_orderstatus"))
+    }),
+
     "q_gold_join_incr" -> ((s, dir) => {
       val run = s"gjinc_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
@@ -396,6 +436,24 @@ object PipelineQueries {
         |SELECT doc_id + 10000000, 'added' FROM documents
         |WHERE doc_id % 17 = 0 AND doc_id % 13 != 0 AND doc_id % 11 != 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the aggregate over the CDC-final state (keep-latest: the %7 wave
+    // shadows its base rows) — the signed-delta partial machinery must
+    // be invisible
+    "q_gold_agg" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT o_orderstatus,
+        |  count(*)::BIGINT AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(floor(CASE WHEN isfinite(o_totalprice)
+        |    THEN o_totalprice END * 1000000.0) AS BIGINT)), 0) AS BIGINT)
+        |    AS total_x1e6
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the star join over the CDC-final state: keep-latest fact updates,
     // the expectation retraction wave, and the dim attribute wave all

@@ -173,6 +173,15 @@ final case class GoldConfig(
       * allowed — `"c_name AS customer_name"`). Empty = every column the
       * join produces. */
     select: Seq[String] = Nil,
+    /** AGGREGATE gold (the summary mart): group this entity's silver by
+      * `group_by` and publish the declared additive aggregates. With
+      * mode "incremental" the mart is MAINTAINED incrementally
+      * (classical additive IVM: per run only the silver-version row
+      * DIFF is aggregated into signed per-group partials; publish
+      * re-sums the group-count-sized partial store) — requires a
+      * full-mode silver (versioned snapshots to diff). Mutually
+      * exclusive with `join` and `curation`. */
+    aggregate: Option[GoldAggregate] = None,
     /** Physical layout of the gold table (same semantics as the silver
       * clustering_cols). */
     clusteringCols: Seq[String] = Nil,
@@ -201,8 +210,36 @@ final case class GoldConfig(
   require(join.nonEmpty || select.isEmpty,
     "gold.select is only meaningful with gold.join (curation gold " +
       "publishes the curated columns)")
+  require(aggregate.isEmpty || join.isEmpty,
+    "gold.aggregate and gold.join are mutually exclusive — aggregate a " +
+      "published mart by declaring the aggregate gold on its own entity")
   def anyExpectations: Boolean =
     expectAllOrDrop.nonEmpty || expectAll.nonEmpty || expectAllOrFail.nonEmpty
+}
+
+/** Aggregate-mart declaration: GROUP BY `groupBy` with the declared
+  * additive aggregates. Additivity is the INCREMENTAL-maintenance
+  * contract — count and micro-floored sums compose under signed row
+  * deltas; a mean is `sum_x1e6`/`count` at read time. */
+final case class GoldAggregate(
+    groupBy: Seq[String],
+    aggs: Seq[GoldAgg]) {
+  require(groupBy.nonEmpty, "gold.aggregate.group_by must be non-empty")
+  require(aggs.nonEmpty, "gold.aggregate.aggs must be non-empty")
+  require(aggs.map(_.as).distinct.size == aggs.size,
+    "gold.aggregate.aggs output names must be distinct")
+}
+
+/** One additive aggregate of a [[GoldAggregate]] mart: `op` is `count`
+  * (rows per group; `expr` ignored) or `sum_x1e6` (exact micro-floored
+  * sum of the SQL expression `expr` — NaN/±Inf values contribute
+  * nothing, the engine-wide finite-sum convention). */
+final case class GoldAgg(op: String, expr: String = "", as: String) {
+  require(op == "count" || op == "sum_x1e6",
+    s"gold.aggregate op must be 'count' or 'sum_x1e6', got '$op'")
+  require(op == "count" || expr.nonEmpty,
+    s"gold.aggregate op '$op' needs an 'expr'")
+  require(as.nonEmpty, "gold.aggregate entries need an output name 'as'")
 }
 
 /** One join of a cross-entity gold mart: this entity's silver joined to
@@ -548,10 +585,44 @@ object ConfigLoader {
       "gold.join (cross-entity mart) and gold.curation are mutually " +
         "exclusive — a mart is a join + projection; declare curation on " +
         "a separate gold entity instead")
+    val aggregate = f.get("aggregate") match {
+      case Some(JObject(af)) =>
+        val m = af.toMap
+        val aggs = m.get("aggs") match {
+          case Some(org.json4s.JArray(as)) => as.map {
+            case JObject(gf) =>
+              val gm = gf.toMap
+              def s(k: String): Option[String] = gm.get(k) match {
+                case Some(JString(v)) => Some(v)
+                case _                => None
+              }
+              GoldAgg(
+                op = s("op").getOrElse(throw new IllegalArgumentException(
+                  "gold.aggregate.aggs entries need an 'op'")),
+                expr = s("expr").getOrElse(""),
+                as = s("as").getOrElse(throw new IllegalArgumentException(
+                  "gold.aggregate.aggs entries need an output name 'as'")))
+            case other => throw new IllegalArgumentException(
+              s"gold.aggregate.aggs entries must be objects, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "gold.aggregate needs an 'aggs' array")
+        }
+        Some(GoldAggregate(
+          groupBy = m.get("group_by").map(v => strSeq(v)).getOrElse(Nil),
+          aggs = aggs))
+      case None => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"gold.aggregate must be an object, got $other")
+    }
+    require(aggregate.isEmpty || cf.isEmpty,
+      "gold.aggregate and gold.curation are mutually exclusive — " +
+        "declare the aggregate gold on its own entity")
     GoldConfig(
       mode = mode,
       join = joins,
       select = f.get("select").map(strSeq).getOrElse(Nil),
+      aggregate = aggregate,
       curation = GoldCuration(
         idCol = str("id_col"),
         textCol = str("text_col").getOrElse(base.textCol),

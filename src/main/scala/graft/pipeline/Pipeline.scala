@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StructField, StructType}
 
-import graft.config.{ConfigLoader, EntityConfig, GoldConfig, GoldCuration, GoldJoin, PipelineParams}
+import graft.config.{ConfigLoader, EntityConfig, GoldAggregate, GoldConfig, GoldCuration, GoldJoin, PipelineParams}
 import graft.ops._
 
 /** The medallion pipeline engine — our idiomatic-Scala reimplementation of
@@ -1716,6 +1716,143 @@ final class PipelineRunner(
     goldGate(entity, g, liveRows, boundsSrc, obs)
   }
 
+  /** Per-agg aggregate expressions with a SIGN column — the additive
+    * core shared by the full build (sign ≡ +1) and the incremental
+    * signed-delta partials: count → Σ sign, sum_x1e6 → Σ sign·⌊10⁶·v⌋
+    * over FINITE v (NaN/±Inf contribute nothing, the engine-wide
+    * convention; floors are per-row, so partials compose exactly). */
+  private def goldAggExprs(a: GoldAggregate, sign: Column): Seq[Column] =
+    a.aggs.map { g =>
+      g.op match {
+        case "count" => coalesce(sum(sign), lit(0L)).as(g.as)
+        case "sum_x1e6" =>
+          val v = expr(g.expr).cast("double")
+          val fin = when(!isnan(v) &&
+            abs(v) =!= lit(Double.PositiveInfinity), v)
+          coalesce(sum(sign * floor(fin * lit(1e6))), lit(0L)).as(g.as)
+      }
+    }
+
+  /** AGGREGATE gold mart (`gold.aggregate`, mode "full"): one hash
+    * aggregate over this entity's silver, then the shared gold gate +
+    * versioned publish. */
+  def buildGoldAggFrame(entity: String, cfg: EntityConfig, g: GoldConfig,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val a = g.aggregate.get
+    val silver = spark.read.table(params.silverFqn(entity))
+    val es = goldAggExprs(a, lit(1L))
+    val out = silver.groupBy(a.groupBy.map(c => col(s"`$c`")): _*)
+      .agg(es.head, es.tail: _*)
+    val boundsSrc =
+      if (g.clusteringCols.forall(silver.columns.contains)) silver else out
+    goldGate(entity, g, out, boundsSrc, obs)
+  }
+
+  /** INCREMENTALLY-MAINTAINED aggregate mart (`gold.mode:
+    * "incremental"` + `gold.aggregate`) — classical additive IVM: per
+    * run the silver-version row DIFF (live snapshot vs the version the
+    * mart last consumed — inserts +1, deletes −1, updates as −old+new)
+    * is aggregated into SIGNED per-group partials and appended to a
+    * group-count-sized store; publish re-sums the store and keeps
+    * groups whose net row count is positive. Work per run is
+    * O(changed rows), never a fact-table rescan — the aggregate twin of
+    * [[buildGoldMartIncremental]]'s join maintenance, sound because
+    * count and per-row-floored micro sums are associative under signed
+    * deltas (which is why `gold.aggregate` admits only those ops).
+    *
+    * The partial store compacts back to one row per group past 16
+    * batches (associativity makes compaction invariant — spec-pinned).
+    * Preconditions fail loud: full-mode silver (versioned snapshots to
+    * diff). A vacuumed consumed snapshot degrades LOUDLY to a store
+    * rebuild from the live snapshot rather than guessing a delta. */
+  def buildGoldAggIncremental(entity: String, cfg: EntityConfig,
+      g: GoldConfig, obs: Option[org.apache.spark.sql.Observation] = None)
+      : DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val a = g.aggregate.get
+    require(tableProp(spark, params.silverFqn(entity),
+        BucketCountProp).isEmpty,
+      s"gold.$entity: incremental aggregate marts need a full-mode " +
+        "silver (versioned whole-table snapshots to diff); " +
+        "silver_mode=incremental publishes bucketed layouts")
+    val live = spark.read.table(params.silverFqn(entity))
+    val dir = goldMartPath(entity)
+    val partialsDir = s"$dir/agg_partials"
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val markerP = new Path(s"$dir/_agg_fact_version")
+    val consumed: Option[Long] = if (!fs.exists(markerP)) None else {
+      val in = fs.open(markerP)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim.toLongOption
+    }
+    val liveVersion = tableVersions(entity, "silver").find(_.live)
+      .map(_.version).getOrElse(throw new IllegalStateException(
+        s"gold.$entity: no live silver version"))
+    val (plus, minus) = consumed match {
+      case Some(cv) if cv == liveVersion => (live.limit(0), live.limit(0))
+      case Some(cv) =>
+        try {
+          val old = readVersion(entity, cv)
+          val oldL = old.columns.map(_.toLowerCase).toSet
+          val shared = live.columns.filter(c =>
+            oldL.contains(c.toLowerCase))
+          val l = live.select(shared.map(col): _*)
+          val o = old.select(shared.map(col): _*)
+          (l.exceptAll(o), o.exceptAll(l))
+        } catch {
+          case _: NoSuchElementException =>
+            log(s"gold.$entity: consumed silver version $cv was " +
+              "vacuumed — rebuilding the aggregate store from the live " +
+              "snapshot (correct but not incremental; raise the " +
+              "retention window or run the mart more often)")
+            if (fs.exists(new Path(partialsDir)))
+              fs.delete(new Path(partialsDir), true)
+            (live, live.limit(0))
+        }
+      case None => (live, live.limit(0))
+    }
+    val gcols = a.groupBy.map(c => col(s"`$c`"))
+    val delta = plus.withColumn("_sign", lit(1L))
+      .unionByName(minus.withColumn("_sign", lit(-1L)))
+    // hidden net row count: the liveness filter at publish (a group
+    // whose inserts were all retracted must vanish from the mart)
+    val es = goldAggExprs(a, col("_sign")) :+
+      coalesce(sum(col("_sign")), lit(0L)).as("_agg_n")
+    // one partial file per batch: the store's file count IS its batch
+    // count (group-count-sized rows, so a single file is the right
+    // layout anyway)
+    delta.groupBy(gcols: _*).agg(es.head, es.tail: _*)
+      .coalesce(1).write.mode("append").parquet(partialsDir)
+    def storeSums = {
+      val sums = (a.aggs.map(_.as) :+ "_agg_n")
+        .map(c2 => sum(col(s"`$c2`")).as(c2))
+      spark.read.parquet(partialsDir)
+        .groupBy(gcols: _*).agg(sums.head, sums.tail: _*)
+    }
+    val batchFiles = fs.listStatus(new Path(partialsDir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (batchFiles > 16) {
+      // compaction: re-sum to one partial per group (invariant by
+      // associativity); materialize before overwriting the input
+      val compacted = storeSums.localCheckpoint(true)
+      compacted.coalesce(1).write.mode("overwrite").parquet(partialsDir)
+      log(s"gold.$entity: aggregate store compacted " +
+        s"($batchFiles batch partials -> 1)")
+    }
+    val out = fs.create(markerP, true)
+    try out.write(liveVersion.toString.getBytes("UTF-8"))
+    finally out.close()
+    log(s"gold.$entity: aggregate partial appended " +
+      s"(consumed=${consumed.getOrElse("none")} -> $liveVersion)")
+    val published = storeSums.filter(col("_agg_n") > 0L).drop("_agg_n")
+    val boundsSrc =
+      if (g.clusteringCols.forall(live.columns.contains)) live
+      else published
+    goldGate(entity, g, published, boundsSrc, obs)
+  }
+
   /** [[graft.llm.Curation.Config]] from the config-declared knobs. */
   private def curationConfig(cur: GoldCuration): graft.llm.Curation.Config =
     graft.llm.Curation.Config(
@@ -2067,7 +2204,10 @@ final class PipelineRunner(
     val obs = Option.when(g.anyExpectations)(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
     val frame =
-      if (g.join.nonEmpty && g.mode == "incremental")
+      if (g.aggregate.nonEmpty && g.mode == "incremental")
+        buildGoldAggIncremental(entity, cfg, g, obs)
+      else if (g.aggregate.nonEmpty) buildGoldAggFrame(entity, cfg, g, obs)
+      else if (g.join.nonEmpty && g.mode == "incremental")
         buildGoldMartIncremental(entity, cfg, g, obs)
       else if (g.join.nonEmpty) buildGoldJoinFrame(entity, cfg, g, obs)
       else if (g.mode == "incremental")

@@ -1881,6 +1881,122 @@ class PipelineSpec extends AnyFunSuite {
       s"mart upsert not O(batch): rows per seq $perSeq")
   }
 
+  test("incremental aggregate mart (gold.mode incremental + " +
+      "gold.aggregate): signed-delta partials equal the full recompute " +
+      "across CDC batches (insert, update, group move, retraction " +
+      "emptying a group); partials are O(delta); compaction invariant") {
+    def cfgJson(mode: String) = s"""{"sales": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["sale_id"],
+      |  "expect_all_or_drop": {"amt_ok": "amount IS NOT NULL"},
+      |  "gold": {"mode": "$mode",
+      |    "aggregate": {"group_by": ["store_id"],
+      |      "aggs": [
+      |        {"op": "count", "as": "n_sales"},
+      |        {"op": "sum_x1e6", "expr": "amount * 1.5",
+      |         "as": "rev_x1e6"}]}}
+      |}}""".stripMargin
+    def setup(mode: String, tag: String): (String, String) = {
+      val src = tmpDir(s"agginc$tag-src")
+      val store = tmpDir(s"agginc$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode))
+      // fractional amounts exercise the per-row micro floors; store 13
+      // gets exactly one sale so a later retraction EMPTIES the group
+      ((0 until 30).map(i =>
+        (i.toLong, java.lang.Double.valueOf(i + 0.25),
+          10L + (i % 3))) :+
+        (50L, java.lang.Double.valueOf(7.77), 13L))
+        .toDF("sale_id", "amount", "store_id")
+        .write.parquet(s"$src/sales")
+      (src, store)
+    }
+    val (srcI, storeI) = setup("incremental", "i")
+    val (srcF, storeF) = setup("full", "f")
+    def run(src: String, store: String, cat: String, clock: String): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1
+        .run(ConfigLoader.load(spark, src))
+    def mart(cat: String): Seq[(Long, Long, Long)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("sales"))
+        .select($"store_id", $"n_sales", $"rev_x1e6")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    run(srcI, storeI, "aggi", "2024-06-01 00:00:00")
+    run(srcF, storeF, "aggf", "2024-06-01 00:00:00")
+    val m1 = mart("aggi")
+    assert(m1 == mart("aggf"), "batch-1 mart diverged from full")
+    assert(m1.map(_._1) == Seq(10L, 11L, 12L, 13L))
+    // batch 2: new fact, in-group amount update, cross-group move
+    // (sale 2 was born in store 12 — batch 2 moves it to store 10)
+    def batch2(src: String): Unit =
+      Seq((100L, java.lang.Double.valueOf(900.5), 10L), // insert
+          (1L, java.lang.Double.valueOf(111.0), 11L),   // update in group
+          (2L, java.lang.Double.valueOf(2.25), 10L))    // move 12 -> 10
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+    batch2(srcI); batch2(srcF)
+    run(srcI, storeI, "aggi", "2024-06-02 00:00:00")
+    run(srcF, storeF, "aggf", "2024-06-02 00:00:00")
+    assert(mart("aggi") == mart("aggf"), "batch-2 mart diverged from full")
+    // O(delta): the batch-2 partial touches ≤ 4 groups, not all rows
+    val partials = s"$storeI/gold_mart/sales/agg_partials"
+    val files = new java.io.File(partials).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
+    assert(files.length == 2, s"expected 2 batch partials: ${files.toSeq}")
+    val b2rows = spark.read.parquet(files.last.getPath).count()
+    assert(b2rows <= 4, s"batch-2 partial not O(delta): $b2rows rows")
+    // batch 3: retract store 13's only sale -> the group must VANISH
+    def batch3(src: String): Unit =
+      Seq((50L, null.asInstanceOf[java.lang.Double], 13L))
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+    batch3(srcI); batch3(srcF)
+    run(srcI, storeI, "aggi", "2024-06-03 00:00:00")
+    run(srcF, storeF, "aggf", "2024-06-03 00:00:00")
+    val m3 = mart("aggi")
+    assert(m3 == mart("aggf"), "batch-3 mart diverged from full")
+    assert(!m3.exists(_._1 == 13L), "emptied group survived retraction")
+    // compaction: idle runs append empty partials until the 16-file
+    // threshold collapses the store to one summed partial per group —
+    // and the published mart is invariant under the rewrite
+    (4 to 18).foreach { d =>
+      run(srcI, storeI, "aggi", f"2024-06-$d%02d 00:00:00")
+    }
+    val after = new java.io.File(partials).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"store did not compact: $after files")
+    assert(mart("aggi") == m3, "compaction changed the published mart")
+  }
+
+  test("incremental aggregate mart guards: bucketed silver fails loud; " +
+      "aggregate+join config is rejected") {
+    val src = tmpDir("agggd-src"); val store = tmpDir("agggd-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "silver_mode": "incremental",
+        |  "gold": {"mode": "incremental",
+        |    "aggregate": {"group_by": ["store_id"],
+        |      "aggs": [{"op": "count", "as": "n"}]}}
+        |}}""".stripMargin)
+    Seq((1L, 1.0, 10L)).toDF("sale_id", "amount", "store_id")
+      .write.parquet(s"$src/sales")
+    val boom = intercept[IllegalArgumentException] {
+      mkRunner(src, store, "2024-06-01 00:00:00", catalog = "agggd")._1
+        .run(ConfigLoader.load(spark, src))
+    }
+    assert(boom.getMessage.contains("full-mode silver"), boom.getMessage)
+    val cfgBoom = intercept[IllegalArgumentException] {
+      graft.config.GoldConfig(
+        join = Seq(graft.config.GoldJoin("x", "a = b")),
+        aggregate = Some(graft.config.GoldAggregate(Seq("g"),
+          Seq(graft.config.GoldAgg("count", as = "n")))))
+    }
+    assert(cfgBoom.getMessage.contains("mutually exclusive"))
+  }
+
   test("incremental join mart guards: snowflake chains and bucketed " +
       "dims fail loud") {
     val src = tmpDir("martg-src"); val store = tmpDir("martg-store")
