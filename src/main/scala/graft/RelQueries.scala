@@ -827,6 +827,14 @@ object RelQueries {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // -- [EXT]: Spearman rank correlation — the monotone-association
+    //    companion to q_corr_matrix's Pearson; exact average-rank ties
+    //    over the micro-quantized value tables, PrefixSum range exchange
+    "q_spearman" -> ((s, dir) => {
+      graft.analytics.Profiler.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")
+    }),
+
     // -- [EXT]: grouped OLS — closed-form simple regression per
     //    l_returnflag (price-vs-quantity slope/intercept/r2), power sums
     //    in exact floor-micro fixed point via Int128Sum, doubles only in
@@ -1780,6 +1788,47 @@ object RelQueries {
     // round-half modes are not) summed exactly — HUGEINT here,
     // Int128Sum on the engine side — then the identical ::DOUBLE/1e6
     // conversion before the rounded formula
+    // doubled average ranks via 2·avgrank = 2·cum − t + 1 on each
+    // micro-quantized value table, exact HUGEINT power sums, then the
+    // Pearson closed form in the engine's exact double-op order
+    "q_spearman" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_quantity * 1000000.0) AS BIGINT) AS xm,
+        |    CAST(floor(l_extendedprice * 1000000.0) AS BIGINT) AS ym
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+        |    AND isfinite(l_quantity)
+        |    AND l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+        |    AND isfinite(l_extendedprice)),
+        |vx AS (SELECT xm, count(*) AS t FROM b GROUP BY 1),
+        |cx AS (SELECT xm,
+        |         2 * SUM(t) OVER (ORDER BY xm
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - t + 1 AS r2x
+        |       FROM vx),
+        |vy AS (SELECT ym, count(*) AS t FROM b GROUP BY 1),
+        |cy AS (SELECT ym,
+        |         2 * SUM(t) OVER (ORDER BY ym
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - t + 1 AS r2y
+        |       FROM vy),
+        |r AS (SELECT CAST(r2x AS HUGEINT) AS a, CAST(r2y AS HUGEINT) AS b2
+        |      FROM b JOIN cx USING (xm) JOIN cy USING (ym)),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |        SUM(a) AS sa, SUM(b2) AS sb,
+        |        SUM(a * a) AS saa, SUM(b2 * b2) AS sbb,
+        |        SUM(a * b2) AS sab
+        |      FROM r),
+        |f AS (SELECT n,
+        |        n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE AS varx,
+        |        n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE AS vary,
+        |        n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE AS cov
+        |      FROM g)
+        |SELECT n,
+        |  CASE WHEN varx > 0.0 AND vary > 0.0
+        |    THEN round(cov / (sqrt(varx) * sqrt(vary)), 6) END AS rho
+        |FROM f""".stripMargin,
+
     "q_corr_matrix" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val branches = for {

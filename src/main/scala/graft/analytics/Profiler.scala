@@ -278,6 +278,64 @@ object Profiler {
             / (sqrt(varx) * sqrt(vary)), 6)).as("corr"))
   }
 
+  /** SPEARMAN rank correlation between two numeric columns — the
+    * monotone-association companion to [[correlationMatrix]]'s Pearson
+    * (outlier-robust, captures any monotone relation, the standard
+    * screen when linearity is doubtful). Computed as Pearson over
+    * AVERAGE ranks with exact tie handling: values quantize to 1e-6
+    * fixed point, per-value doubled average ranks come from the tie
+    * identity 2·avgrank = 2·cum − t + 1 on each distinct-value table
+    * (the [[graft.analytics.Experiment.mannWhitneyU]] discipline), and
+    * the five power sums over the integer doubled ranks accumulate
+    * exactly ([[graft.functions.Int128Sum]]) — doubles appear only in
+    * the final closed form, rounded at 6. ONE output row: (`n`, `rho`);
+    * a constant column (zero rank variance) yields NULL rho. Rows with
+    * NULL/NaN/±Inf in either column drop pairwise.
+    *
+    * Shape: two distinct-value aggregates + two-pass range-partitioned
+    * prefix sums ([[graft.ops.PrefixSum]] — continuous columns make the
+    * value tables row-count-sized; never a one-task window), two hash
+    * joins back to the pair frame, one aggregate. The doubled-rank
+    * products are ANSI-checked longs — past ~1.5e9 rows they fail loud
+    * rather than silently losing exactness. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(s"`$xCol`").cast("double")
+    val y = col(s"`$yCol`").cast("double")
+    def fin(c: Column) = c.isNotNull && !isnan(c) &&
+      abs(c) =!= lit(Double.PositiveInfinity)
+    val base = df.filter(fin(x) && fin(y))
+      .select(floor(x * lit(1e6)).as("_xm"),
+        floor(y * lit(1e6)).as("_ym"))
+      .localCheckpoint(false) // feeds both value tables AND the joins
+    def ranks2(vc: String): DataFrame = {
+      val vals = base.groupBy(col(vc)).agg(count(lit(1)).as("_t"))
+      graft.ops.PrefixSum.runningSums(vals, Seq(col(vc).asc),
+          Seq("_t" -> "_ft"))
+        .select(col(vc),
+          (lit(2L) * col("_ft") - col("_t") + lit(1L)).as(s"_r2$vc"))
+    }
+    val pairs = base
+      .join(ranks2("_xm"), Seq("_xm"))
+      .join(ranks2("_ym"), Seq("_ym"))
+      .select(col("_r2_xm").as("_a"), col("_r2_ym").as("_b"))
+    import graft.functions.Int128Sum.int128Sum
+    val agg = pairs.agg(
+      count(lit(1)).as("n"),
+      int128Sum(col("_a")).as("_sa"),
+      int128Sum(col("_b")).as("_sb"),
+      int128Sum(col("_a") * col("_a")).as("_saa"),
+      int128Sum(col("_b") * col("_b")).as("_sbb"),
+      int128Sum(col("_a") * col("_b")).as("_sab"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    val varx = n * d(col("_saa")) - d(col("_sa")) * d(col("_sa"))
+    val vary = n * d(col("_sbb")) - d(col("_sb")) * d(col("_sb"))
+    agg.select(col("n"),
+      when(varx > 0.0 && vary > 0.0,
+        round((n * d(col("_sab")) - d(col("_sa")) * d(col("_sb")))
+          / (sqrt(varx) * sqrt(vary)), 6)).as("rho"))
+  }
+
   /** K-ANONYMITY census over a quasi-identifier set — the privacy
     * check before publishing or training on person-adjacent data: every
     * row should be indistinguishable from at least k−1 others on the

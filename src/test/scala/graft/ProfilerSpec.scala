@@ -235,6 +235,38 @@ class ProfilerSpec extends AnyFunSuite {
     assert(m.size === 15)
   }
 
+  test("spearman: monotone-but-nonlinear hits exactly 1, hand-computed " +
+      "tie case, reversal -1, constant column NULL, dirty rows drop") {
+    import spark.implicits._
+    // any MONOTONE relation scores 1 (where Pearson would not): y = x³
+    val mono = (1 to 50).map(i => (i.toDouble, math.pow(i.toDouble, 3)))
+      .toDF("x", "y")
+    val rm = graft.analytics.Profiler.spearman(mono, "x", "y").head
+    assert(rm.getLong(0) == 50L && rm.getDouble(1) == 1.0)
+    // hand-computed tie case: x = 1,2,2,3 (avg ranks 1, 2.5, 2.5, 4),
+    // y strictly increasing ⇒ ρ = 72/(√72·√80) ≈ 0.948683
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 30.0), (3.0, 40.0))
+      .toDF("x", "y")
+    val rt = graft.analytics.Profiler.spearman(tied, "x", "y").head
+    assert(math.abs(rt.getDouble(1) - 0.948683) < 1e-6,
+      rt.getDouble(1).toString)
+    // perfect reversal
+    val rev = (1 to 20).map(i => (i.toDouble, (100 - i).toDouble))
+      .toDF("x", "y")
+    assert(graft.analytics.Profiler.spearman(rev, "x", "y")
+      .head.getDouble(1) == -1.0)
+    // a constant column has zero rank variance ⇒ NULL
+    val const = (1 to 9).map(i => (i.toDouble, 5.0)).toDF("x", "y")
+    val rc = graft.analytics.Profiler.spearman(const, "x", "y").head
+    assert(rc.isNullAt(1))
+    // NaN/Inf/NULL rows drop PAIRWISE (n reflects the survivors)
+    val dirty = Seq((1.0, 1.0), (2.0, Double.NaN),
+      (Double.PositiveInfinity, 3.0), (4.0, 4.0), (5.0, 5.0))
+      .toDF("x", "y")
+    val rd = graft.analytics.Profiler.spearman(dirty, "x", "y").head
+    assert(rd.getLong(0) == 3L && rd.getDouble(1) == 1.0)
+  }
+
   test("kAnonymity: min class size, threshold exposure, null as a " +
       "linkable value") {
     // classes: (a,1)x5 (a,2)x2 (b,1)x1 (null,1)x3
