@@ -936,6 +936,14 @@ object RelQueries {
       graft.analytics.Experiment.welchTTest(units, col("_isb"), "y")
     }),
 
+    // -- [EXT]: one-way ANOVA across event types — the k-sample member
+    //    of the test family; exact centi-unit sum-of-squares
+    //    decomposition, F in the final doubles only
+    "q_anova" -> ((s, dir) => {
+      graft.analytics.Experiment.anovaF(t(s, dir, "events"),
+        "event_type", "value")
+    }),
+
     // -- [EXT]: Mann–Whitney U on per-user spend — the NONPARAMETRIC
     //    two-sample companion (rank shift, no normality assumption);
     //    exact micro-quantized ranks, tie-corrected z
@@ -2161,6 +2169,37 @@ object RelQueries {
         |    THEN abs(round((mb - ma) / sqrt(se2), 6)) >= 1.96
         |  END AS significant
         |FROM z""".stripMargin,
+
+    // centi-quantized sum-of-squares decomposition; S² numerators are
+    // squares so // parity with the engine's floor ldiv holds
+    "q_anova" ->
+      """WITH v AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value)),
+        |gr AS (SELECT g, count(*)::BIGINT AS ng,
+        |         SUM(CAST(vc AS HUGEINT)) AS sg,
+        |         SUM(CAST(vc AS HUGEINT) * vc) AS qg
+        |       FROM v GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k,
+        |        CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+        |        SUM(sg) AS s, SUM(qg) AS q,
+        |        SUM((sg * sg) // ng) AS tp
+        |      FROM gr),
+        |f AS (SELECT k, n,
+        |        CASE WHEN k >= 2 AND n > k
+        |          THEN CAST(tp - (s * s) // n AS BIGINT) END AS ssb_c2,
+        |        CASE WHEN k >= 2 AND n > k
+        |          THEN CAST(q - tp AS BIGINT) END AS ssw_c2
+        |      FROM t)
+        |SELECT k, n, ssb_c2, ssw_c2,
+        |  CASE WHEN ssw_c2 IS NOT NULL AND ssw_c2 > 0 THEN
+        |    round((ssb_c2::DOUBLE / (k - 1)::DOUBLE)
+        |      / (ssw_c2::DOUBLE / (n - k)::DOUBLE), 6)
+        |  END AS f_stat
+        |FROM f""".stripMargin,
 
     // per-user spend quantized to micros (the same unit frame as
     // q_welch_ttest), distinct-value table with tie counts, average

@@ -282,6 +282,58 @@ object Experiment {
         when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
   }
 
+  /** ONE-WAY ANOVA F statistic — the k-SAMPLE member of the test
+    * family ([[welchTTest]]/[[mannWhitneyU]] compare two samples; this
+    * asks whether ANY of k group means differ): F = (SSB/(k−1)) /
+    * (SSW/(n−k)) from the between/within sum-of-squares decomposition.
+    * ONE output row: (`k`, `n`, `ssb_c2`, `ssw_c2`, `f_stat`) — the
+    * sums of squares in exact CENTI² units, F rounded at 6, NULL when
+    * k < 2, n ≤ k, or SSW = 0 (no within-group noise to test against).
+    *
+    * Exactness: values quantize to 1e-2 fixed point (the gini
+    * centi-unit convention — micro² squares would overflow the exact
+    * range), per-group sums and sums-of-squares accumulate via
+    * [[graft.functions.Int128Sum]], and the cross terms S²/n enter as
+    * exact floored integers ([[graft.ops.Fixed.ldiv]]; numerators are
+    * squares, so `//` parity holds) — doubles only in the final F.
+    * The per-row square and the Σ(S_g²/n_g) long are ANSI-checked:
+    * they fail loud past |value| ≈ 3e7 or ~1e9 rows per group rather
+    * than saturating. NULL/NaN/±Inf values drop.
+    *
+    * Shape: one group aggregate (map-side combined) + one k-row
+    * reduction. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(s"`$valueCol`").cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v) &&
+        abs(v) =!= lit(Double.PositiveInfinity))
+      .select(col(s"`$groupCol`").as("_g"),
+        floor(v * lit(100.0)).as("_vc"))
+    import graft.functions.Int128Sum.int128Sum
+    val groups = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"),
+        int128Sum(col("_vc")).as("_sg"),
+        int128Sum(col("_vc") * col("_vc")).as("_qg"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agg = groups.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("_ng")), lit(0L)).as("n"),
+      sum(dec(col("_sg"))).as("_s"),
+      sum(dec(col("_qg"))).as("_q"),
+      sum(graft.ops.Fixed.ldiv(dec(col("_sg")) * dec(col("_sg")),
+        col("_ng"))).as("_t"))
+    def d(c: Column) = c.cast("double")
+    val bothDf = col("k") >= 2L && col("n") > col("k")
+    agg.select(col("k"), col("n"),
+      when(bothDf, (col("_t") - graft.ops.Fixed.ldiv(
+        col("_s") * col("_s"), col("n"))).cast("long")).as("ssb_c2"),
+      when(bothDf, (col("_q") - col("_t")).cast("long")).as("ssw_c2"))
+      .withColumn("f_stat",
+        when(col("ssw_c2").isNotNull && col("ssw_c2") > 0L,
+          round((d(col("ssb_c2")) / d(col("k") - lit(1L)))
+            / (d(col("ssw_c2")) / d(col("n") - col("k"))), 6)))
+  }
+
   /** BENJAMINI–HOCHBERG FDR correction — the multiple-testing layer
     * over the per-test family ([[abTest]]/[[welchTTest]]/
     * [[mannWhitneyU]] readouts across many metrics × segments): testing

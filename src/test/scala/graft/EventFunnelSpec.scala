@@ -398,6 +398,37 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("coarsen periodUs"))
   }
 
+  test("anovaF: hand-computed F over three groups, zero-SSW and " +
+      "single-group guards, NaN/Inf drop") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // A {1,2,3}, B {2,3,4}, C {6,8}: in centi units T' = 120000 +
+    // 270000 + 980000, S²/n = 2900²/8 ⇒ SSB 318750, SSW 60000,
+    // F = (318750/2)/(60000/5) = 13.28125
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 6.0), ("c", 8.0)).toDF("g", "v")
+    val r = Experiment.anovaF(df, "g", "v").head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 8L)))
+    assert(r.getLong(2) === 318750L && r.getLong(3) === 60000L)
+    assert(r.getDouble(4) === 13.28125)
+    // every group constant: SSW = 0 ⇒ no noise to test against
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0))
+      .toDF("g", "v")
+    val rc = Experiment.anovaF(const, "g", "v").head
+    assert(rc.getLong(3) === 0L && rc.isNullAt(4))
+    // a single group has no between-group df
+    val solo = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val rs = Experiment.anovaF(solo, "g", "v").head
+    assert(rs.getLong(0) === 1L && rs.isNullAt(2) && rs.isNullAt(4))
+    // NaN/Inf drop before the decomposition
+    val dirty = Seq(("a", 1.0), ("a", Double.NaN),
+      ("b", Double.PositiveInfinity), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val rd = Experiment.anovaF(dirty, "g", "v").head
+    assert(rd.getLong(1) === 3L)
+  }
+
   test("bhCorrect: textbook step-up example, envelope clamp at 1, " +
       "dirty-p drop, alpha bounds") {
     import graft.analytics.Experiment
