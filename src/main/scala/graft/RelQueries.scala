@@ -944,6 +944,14 @@ object RelQueries {
         "event_type", "value")
     }),
 
+    // -- [EXT]: Kruskal–Wallis H across event types — the NONPARAMETRIC
+    //    k-sample twin of q_anova; pooled average ranks, exact decimal
+    //    floor cross terms, tie-corrected
+    "q_kruskal" -> ((s, dir) => {
+      graft.analytics.Experiment.kruskalWallis(t(s, dir, "events"),
+        "event_type", "value")
+    }),
+
     // -- [EXT]: Mann–Whitney U on per-user spend — the NONPARAMETRIC
     //    two-sample companion (rank shift, no normality assumption);
     //    exact micro-quantized ranks, tie-corrected z
@@ -2200,6 +2208,44 @@ object RelQueries {
         |      / (ssw_c2::DOUBLE / (n - k)::DOUBLE), 6)
         |  END AS f_stat
         |FROM f""".stripMargin,
+
+    // pooled doubled average ranks over the micro-quantized value
+    // table; the S²/n cross terms floor EXACTLY in HUGEINT ((S² −
+    // S² mod n)/n divides exactly), H and the tie correction in the
+    // engine's double-op order
+    "q_kruskal" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value)),
+        |v AS (SELECT vm, count(*) AS t FROM b GROUP BY 1),
+        |c AS (SELECT vm,
+        |        2 * SUM(t) OVER (ORDER BY vm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - t + 1 AS r2
+        |      FROM v),
+        |gr AS (SELECT g, count(*)::BIGINT AS ng,
+        |         SUM(CAST(r2 AS HUGEINT)) AS sg
+        |       FROM b JOIN c USING (vm) GROUP BY 1),
+        |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+        |         AS tie FROM v),
+        |a AS (SELECT count(*)::BIGINT AS k,
+        |        CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+        |        SUM((sg * sg - (sg * sg) % ng) // ng) AS x
+        |      FROM gr)
+        |SELECT k, n,
+        |  CASE WHEN k >= 2 AND n > k AND
+        |    (1.0 - tie::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+        |       - n::DOUBLE)) > 0.0
+        |  THEN round(
+        |    (3.0 * x::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0))
+        |      - 3.0 * (n::DOUBLE + 1.0))
+        |    / (1.0 - tie::DOUBLE / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+        |         - n::DOUBLE)), 6)
+        |  END AS h_stat
+        |FROM a CROSS JOIN tt""".stripMargin,
 
     // per-user spend quantized to micros (the same unit frame as
     // q_welch_ttest), distinct-value table with tie counts, average

@@ -334,6 +334,70 @@ object Experiment {
             / (d(col("ssw_c2")) / d(col("n") - col("k"))), 6)))
   }
 
+  /** KRUSKAL–WALLIS H test — the NONPARAMETRIC k-sample twin of
+    * [[anovaF]] (rank-based, no normality assumption; reduces to
+    * [[mannWhitneyU]] at k = 2): H = 12/(n(n+1)) · Σ_g R_g²/n_g −
+    * 3(n+1) over pooled average ranks, divided by the tie correction
+    * 1 − Σ(t³−t)/(n³−n). ONE output row: (`k`, `n`, `h_stat` rounded
+    * at 6) — NULL when k < 2 or every value is tied (no rank
+    * information). NULL/NaN/±Inf values drop.
+    *
+    * Exactness: pooled doubled average ranks via the
+    * 2·avgrank = 2·cum − t + 1 identity on the micro-quantized
+    * distinct-value table ([[mannWhitneyU]]'s PrefixSum discipline);
+    * per-group rank sums are exact decimals, and the Σ R_g²/n_g cross
+    * term enters as Σ⌊S_g²/n_g⌋/4 with the floor taken EXACTLY in
+    * decimal ((S² − S² mod n)/n is an exact integer division — no long
+    * overflow at any n), so both engines replay it; doubles only in
+    * the final H.
+    *
+    * Shape: one distinct-value aggregate + PrefixSum range exchange +
+    * one hash join back + one group aggregate + a k-row reduction. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(s"`$valueCol`").cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v) &&
+        abs(v) =!= lit(Double.PositiveInfinity))
+      .select(col(s"`$groupCol`").as("_g"),
+        floor(v * lit(1e6)).as("_vm"))
+      .localCheckpoint(false) // feeds the value table AND the join
+    val vals = base.groupBy(col("_vm")).agg(count(lit(1)).as("_t"))
+    val ranked = graft.ops.PrefixSum.runningSums(vals,
+        Seq(col("_vm").asc), Seq("_t" -> "_ft"))
+      .select(col("_vm"),
+        (lit(2L) * col("_ft") - col("_t") + lit(1L)).as("_r2"))
+    import graft.functions.Int128Sum.int128Sum
+    val groups = base.join(ranked, Seq("_vm"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"), int128Sum(col("_r2")).as("_sg"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // exact ⌊S²/n⌋ in DECIMAL: (S² − S² mod n)/n divides exactly, so
+    // the decimal division is an exact integer at any scale — the long
+    // ldiv would overflow past ~1e9 pooled rows
+    val sq = dec(col("_sg")) * dec(col("_sg"))
+    val term = ((sq - pmod(sq, dec(col("_ng")))) / dec(col("_ng")))
+      .cast("decimal(38,0)")
+    val tieTerm = vals.agg(coalesce(
+      sum(dec(col("_t")) * dec(col("_t")) * dec(col("_t")) -
+        dec(col("_t"))), dec(lit(0L))).as("_tt"))
+    val agg = groups.agg(
+        count(lit(1)).as("k"),
+        coalesce(sum(col("_ng")), lit(0L)).as("n"),
+        sum(term).as("_x"))
+      .crossJoin(broadcast(tieTerm))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    agg.select(col("k"), col("n"),
+      when(col("k") >= 2L && col("n") > col("k"), {
+        // Σ R²/n = X/4 (ranks are halves of the doubled ranks), so
+        // 12/(n(n+1)) · X/4 = 3X/(n(n+1))
+        val h = lit(3.0) * d(col("_x")) / (n * (n + lit(1.0))) -
+          lit(3.0) * (n + lit(1.0))
+        val corr = lit(1.0) - d(col("_tt")) / (n * n * n - n)
+        when(corr > 0.0, round(h / corr, 6))
+      }).as("h_stat"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR correction — the multiple-testing layer
     * over the per-test family ([[abTest]]/[[welchTTest]]/
     * [[mannWhitneyU]] readouts across many metrics × segments): testing

@@ -398,6 +398,36 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("coarsen periodUs"))
   }
 
+  test("kruskalWallis: hand-computed H without and with ties, all-tied " +
+      "and single-group guards, NaN drop") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // A {1,2}, B {3,4}: ranks 1..4, R_A = 3, R_B = 7,
+    // H = 12/20·(9/2 + 49/2) − 15 = 2.4 (no ties)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0))
+      .toDF("g", "v")
+    val r = Experiment.kruskalWallis(df, "g", "v").head
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 4L)))
+    assert(r.getDouble(2) === 2.4)
+    // ties: A {1,2,2}, B {3} — avg ranks 1, 2.5, 2.5, 4;
+    // X = ⌊12²/3⌋ + ⌊8²/1⌋ = 112, H = 3·112/20 − 15 = 1.8,
+    // tie corr = 1 − 6/60 = .9 ⇒ H_c = 2.0
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val rt = Experiment.kruskalWallis(tied, "g", "v").head
+    assert(rt.getDouble(2) === 2.0)
+    // every value tied: the correction hits 0 — no rank information
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    assert(Experiment.kruskalWallis(const, "g", "v").head.isNullAt(2))
+    // single group: no between-group comparison
+    val solo = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    assert(Experiment.kruskalWallis(solo, "g", "v").head.isNullAt(2))
+    // NaN/Inf drop
+    val dirty = Seq(("a", 1.0), ("a", Double.NaN), ("b", 2.0),
+      ("b", Double.NegativeInfinity), ("b", 3.0)).toDF("g", "v")
+    assert(Experiment.kruskalWallis(dirty, "g", "v").head.getLong(1) == 3L)
+  }
+
   test("anovaF: hand-computed F over three groups, zero-SSW and " +
       "single-group guards, NaN/Inf drop") {
     import graft.analytics.Experiment
