@@ -71,6 +71,15 @@ object RelQueries {
         .orderBy(col("cohort_period"), col("k"))
     }),
 
+    // -- [EXT]: CUSUM drift alarm over daily activity — one-sided
+    //    cumulative sums vs the spine mean (slack 5, alarm 50 events);
+    //    exact integer recurrence, dense day spine
+    "q_cusum" -> ((s, dir) => {
+      graft.ops.TimeSeries.cusum(events(s, dir), "ts_us",
+        periodUs = 86400000000L, kX1e6 = 5000000L, hX1e6 = 50000000L)
+        .orderBy(col("period"))
+    }),
+
     // -- [EXT]: classical seasonal decomposition of daily activity —
     //    7-day centered moving-average trend, weekday seasonals,
     //    residual; dense day spine, all-integer micro output
@@ -2649,6 +2658,41 @@ object RelQueries {
         |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
         |FROM n JOIN s USING (cohort_period)
         |ORDER BY cohort_period, k""".stripMargin,
+
+    // the integer max/add recurrence replayed via a recursive CTE; μ₀
+    // as the exact floored spine mean (non-negative ⇒ // parity)
+    "q_cusum" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+        |  (SELECT hi FROM b))) AS period),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n,
+        |        row_number() OVER (ORDER BY spine.period) AS i
+        |      FROM spine LEFT JOIN c USING (period)),
+        |m AS (SELECT CAST((SUM(n) * 1000000) // count(*) AS BIGINT)
+        |        AS mu0 FROM d),
+        |r AS (
+        |  SELECT i, period, n,
+        |    greatest(0, n * 1000000 - (SELECT mu0 FROM m) - 5000000)
+        |      AS sp,
+        |    greatest(0, (SELECT mu0 FROM m) - n * 1000000 - 5000000)
+        |      AS sn
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i, d.period, d.n,
+        |    greatest(0, r.sp
+        |      + (d.n * 1000000 - (SELECT mu0 FROM m) - 5000000)),
+        |    greatest(0, r.sn
+        |      + ((SELECT mu0 FROM m) - d.n * 1000000 - 5000000))
+        |  FROM r JOIN d ON d.i = r.i + 1)
+        |SELECT period, n,
+        |  CAST(sp AS BIGINT) AS cusum_pos_x1e6,
+        |  CAST(sn AS BIGINT) AS cusum_neg_x1e6,
+        |  sp > 50000000 OR sn > 50000000 AS signal
+        |FROM r ORDER BY period""".stripMargin,
 
     // observed = trend + seasonal + residual, every mean a floor
     // division — the whole decomposition replays as integers

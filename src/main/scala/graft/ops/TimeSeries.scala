@@ -81,6 +81,62 @@ object TimeSeries {
     * not data-sized, which is what justifies the partition-less frame
     * (the Kaplan–Meier grid argument); the seasonal table (≤ seasonLen
     * rows) broadcasts back. */
+  /** CUSUM change detection over per-period activity — the classical
+    * SPC drift alarm beside [[seasonalDecompose]]: one-sided cumulative
+    * sums S⁺ ← max(0, S⁺ + (x − μ₀ − k)) and S⁻ ← max(0, S⁻ + (μ₀ − x
+    * − k)) over the DENSE period spine (gaps count 0), signaling when
+    * either exceeds `h` — catches small sustained level shifts a
+    * per-period threshold misses. One ordered row per period:
+    * (`period`, `n`, `cusum_pos_x1e6`, `cusum_neg_x1e6`, `signal`).
+    * μ₀ is the spine mean in exact floored micros; `kX1e6` (slack) and
+    * `hX1e6` (alarm) are caller micros.
+    *
+    * Exactness: x enters as n·10⁶, μ₀ as ⌊10⁶·total/periods⌋
+    * ([[Fixed.ldiv]]) — the recurrence is pure integer max/add, so an
+    * external engine replays it bit-for-bit via a recursive CTE.
+    *
+    * Shape: one period-keyed count + spine join (distributed); the
+    * max-recurrence is order-dependent and non-associative, so it runs
+    * on the DRIVER over the period grid — calendar-bounded
+    * (sf-independent) and guarded by a loud `maxSteps` cap, the
+    * [[graft.analytics.EventFunnel.kaplanMeier]] argument. */
+  def cusum(events: DataFrame, tsUsCol: String, periodUs: Long,
+      kX1e6: Long, hX1e6: Long, maxSteps: Int = 10000): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(kX1e6 >= 0, s"kX1e6 must be >= 0, got $kX1e6")
+    require(hX1e6 > 0, s"hX1e6 must be positive, got $hX1e6")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val counts = events.select(period.as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("period")).as("_lo"),
+      max(col("period")).as("_hi"))
+    val dense = bounds
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
+      .join(counts, Seq("period"), "left")
+      .select(col("period"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("period"))
+    val steps = dense.collect()
+    require(steps.length <= maxSteps,
+      s"CUSUM grid has ${steps.length} periods > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (the driver chain is " +
+        "grid-sized by design)")
+    val total = steps.iterator.map(_.getLong(1)).sum
+    val mu0 = if (steps.isEmpty) 0L
+      else Math.floorDiv(total * 1000000L, steps.length.toLong)
+    var (sp, sn) = (0L, 0L)
+    val out = steps.map { r =>
+      val (p, n) = (r.getLong(0), r.getLong(1))
+      val x = n * 1000000L
+      sp = math.max(0L, sp + (x - mu0 - kX1e6))
+      sn = math.max(0L, sn + (mu0 - x - kX1e6))
+      (p, n, sp, sn, sp > hX1e6 || sn > hX1e6)
+    }
+    out.toSeq.toDF("period", "n", "cusum_pos_x1e6", "cusum_neg_x1e6",
+      "signal")
+  }
+
   def seasonalDecompose(events: DataFrame, tsUsCol: String,
       periodUs: Long, seasonLen: Int = 7, trendWindow: Int = 7)
       : DataFrame = {

@@ -380,6 +380,37 @@ class OpsSpec extends AnyFunSuite {
       Some(5.0), Some(5.0), Some(5.0), None))
   }
 
+  test("TimeSeries.cusum: hand-traced one-sided sums around a level " +
+      "shift, gap day counts zero, loud grid cap") {
+    // periods 0..5 with counts 3,3,3,3,10,10: μ0 = ⌊32e6/6⌋ = 5333333;
+    // k = 1e6, h = 5e6. The low plateau walks S⁻ up to an alarm at
+    // period 3 (5333332 is 1 micro short of 2/3... > 5e6 ⇒ signal),
+    // the shift to 10 resets S⁻ and walks S⁺ to an alarm at period 5
+    val ev = (Seq.fill(3)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(3)(2L) ++
+      Seq.fill(3)(3L) ++ Seq.fill(10)(4L) ++ Seq.fill(10)(5L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val out = graft.ops.TimeSeries.cusum(ev, "ts_us", periodUs = 1L,
+      kX1e6 = 1000000L, hX1e6 = 5000000L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+      r.getBoolean(4))).toSeq == Seq(
+      (0L, 0L, 1333333L, false),
+      (1L, 0L, 2666666L, false),
+      (2L, 0L, 3999999L, false),
+      (3L, 0L, 5333332L, true),
+      (4L, 3666667L, 0L, false),
+      (5L, 7333334L, 0L, true)))
+    // a missing period counts ZERO (the alarm a sparse-row scan misses)
+    val gap = (Seq.fill(2)(0L) ++ Seq.fill(2)(2L)).map(Tuple1(_))
+      .toDF("ts_us")
+    val g = graft.ops.TimeSeries.cusum(gap, "ts_us", 1L,
+      kX1e6 = 0L, hX1e6 = 1000000L).collect()
+    // μ0 = ⌊4e6/3⌋ = 1333333; the gap day pushes S⁻ to 1333333 > h
+    assert(g(1).getLong(1) == 0L && g(1).getBoolean(4))
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.cusum(ev, "ts_us", 1L, 1L, 1L, maxSteps = 2)
+    }
+  }
+
   test("TimeSeries.seasonalDecompose: hand-traced trend/seasonal/residual " +
       "with a gap day, edge trend NULL, floor-exact centering") {
     // periodUs = 1: periods 0,1,3 observed (2, 4, 6 events), 2 is a gap
