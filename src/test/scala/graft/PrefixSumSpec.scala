@@ -116,6 +116,51 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-based round-9 operators (spearman, kruskalWallis, " +
+      "mannWhitneyU, rfm): every partition-less window rides a " +
+      "pid-totals aggregate, never the data-sized frame") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plans = Seq(
+      "spearman" -> graft.analytics.Profiler
+        .spearman(li, "l_quantity", "l_extendedprice"),
+      "kruskal" -> graft.analytics.Experiment
+        .kruskalWallis(ev, "event_type", "value"),
+      "mannwhitney" -> graft.analytics.Experiment
+        .mannWhitneyU(ev.withColumn("_b", $"event_id" % 2 === 0),
+          col("_b"), "value"))
+    plans.foreach { case (name, df) =>
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      windows.foreach { w =>
+        assert(w.partitionSpec.isEmpty)
+        val aggs = w.child.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }
+        assert(aggs.exists(_.groupingExpressions.exists(
+          _.references.exists(_.name.startsWith("_ps_pid")))),
+          s"$name: global window not over the pid-totals aggregate:\n$w")
+      }
+    }
+    // rfm's three globalRank passes range-partition; any window it
+    // plans must likewise sit above Rank's offsets machinery (grk pid)
+    val rfm = graft.analytics.EventFunnel.rfm(
+      graft.analytics.Tables.withEpochMicros(ev),
+      "user_id", "ts_us", "value")
+    val rfmWindows = rfm.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    rfmWindows.foreach { w =>
+      val aggs = w.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggs.exists(_.groupingExpressions.exists(
+        _.references.exists(_.name.contains("_grk_")))),
+        s"rfm: global window not over Rank's offsets machinery:\n$w")
+    }
+  }
+
   test("runningMins == the naive global running-min window, NULLs " +
       "skipped (leading NULLs stay NULL), across partitionings") {
     // min-specific traps: a NULL must NOT reset or poison the envelope,
