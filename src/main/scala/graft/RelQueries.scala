@@ -71,6 +71,14 @@ object RelQueries {
         .orderBy(col("cohort_period"), col("k"))
     }),
 
+    // -- [EXT]: exponential smoothing of daily activity (α = .3) — the
+    //    baseline forecast; exact floored micro recurrence, dense spine
+    "q_expsmooth" -> ((s, dir) => {
+      graft.ops.TimeSeries.exponentialSmooth(events(s, dir), "ts_us",
+        periodUs = 86400000000L, alphaX1e6 = 300000L)
+        .orderBy(col("period"))
+    }),
+
     // -- [EXT]: CUSUM drift alarm over daily activity — one-sided
     //    cumulative sums vs the spine mean (slack 5, alarm 50 events);
     //    exact integer recurrence, dense day spine
@@ -2658,6 +2666,30 @@ object RelQueries {
         |  round(n_active::DOUBLE / cohort_size::DOUBLE, 6) AS retention
         |FROM n JOIN s USING (cohort_period)
         |ORDER BY cohort_period, k""".stripMargin,
+
+    // the floored smoothing recurrence replayed via a recursive CTE
+    // (all terms non-negative ⇒ // parity with the engine's floor)
+    "q_expsmooth" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+        |  (SELECT hi FROM b))) AS period),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n,
+        |        row_number() OVER (ORDER BY spine.period) AS i
+        |      FROM spine LEFT JOIN c USING (period)),
+        |r AS (
+        |  SELECT i, period, n, CAST(n AS HUGEINT) * 1000000 AS s
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i, d.period, d.n,
+        |    (300000 * (CAST(d.n AS HUGEINT) * 1000000)
+        |      + 700000 * r.s) // 1000000
+        |  FROM r JOIN d ON d.i = r.i + 1)
+        |SELECT period, n, CAST(s AS BIGINT) AS smooth_x1e6
+        |FROM r ORDER BY period""".stripMargin,
 
     // the integer max/add recurrence replayed via a recursive CTE; μ₀
     // as the exact floored spine mean (non-negative ⇒ // parity)

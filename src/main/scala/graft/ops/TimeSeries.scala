@@ -58,6 +58,56 @@ object TimeSeries {
         .otherwise(v1))
   }
 
+  /** SIMPLE EXPONENTIAL SMOOTHING of per-period activity — the
+    * baseline forecasting primitive beside [[cusum]]/
+    * [[seasonalDecompose]]: s₁ = x₁, sᵢ = ⌊(α·xᵢ + (10⁶−α)·sᵢ₋₁)/10⁶⌋
+    * over the DENSE period spine (gaps count 0), where each sᵢ is also
+    * the one-step-ahead forecast for period i+1. One ordered row per
+    * period: (`period`, `n`, `smooth_x1e6`). `alphaX1e6` is the
+    * caller's smoothing weight in micros (0 < α ≤ 10⁶).
+    *
+    * Exactness: x enters as n·10⁶ and the recurrence floors at every
+    * step in arbitrary-precision integers (no overflow at any count),
+    * so an external engine replays it bit-for-bit via a recursive CTE.
+    *
+    * Shape: distributed period count + spine join; the floored
+    * recurrence is order-dependent and non-associative, so it runs on
+    * the DRIVER over the calendar-bounded period grid with a loud
+    * `maxSteps` cap — the [[cusum]] posture. */
+  def exponentialSmooth(events: DataFrame, tsUsCol: String,
+      periodUs: Long, alphaX1e6: Long, maxSteps: Int = 10000)
+      : DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(alphaX1e6 > 0 && alphaX1e6 <= 1000000L,
+      s"alphaX1e6 must be in (0, 1e6], got $alphaX1e6")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val counts = events.select(period.as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("period")).as("_lo"),
+      max(col("period")).as("_hi"))
+    val dense = bounds
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
+      .join(counts, Seq("period"), "left")
+      .select(col("period"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("period"))
+    val steps = dense.collect()
+    require(steps.length <= maxSteps,
+      s"smoothing grid has ${steps.length} periods > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (the driver chain is " +
+        "grid-sized by design)")
+    val (a, b) = (BigInt(alphaX1e6), BigInt(1000000L - alphaX1e6))
+    var s: BigInt = null
+    val out = steps.map { r =>
+      val (p, n) = (r.getLong(0), r.getLong(1))
+      val x = BigInt(n) * 1000000L
+      s = if (s == null) x else (a * x + b * s) / 1000000L
+      (p, n, s.toLong)
+    }
+    out.toSeq.toDF("period", "n", "smooth_x1e6")
+  }
+
   /** CLASSICAL additive SEASONAL DECOMPOSITION of an event log's
     * per-period activity — observed = trend + seasonal + residual, the
     * dashboard de-noising pass beside [[locf]]/[[interpolate]]. One row

@@ -380,6 +380,38 @@ class OpsSpec extends AnyFunSuite {
       Some(5.0), Some(5.0), Some(5.0), None))
   }
 
+  test("TimeSeries.exponentialSmooth: hand-traced recurrence, gap day " +
+      "pulls the level down, alpha bounds, loud grid cap") {
+    // counts 4, 8, 8 at α = .5: s = 4e6, 6e6, 7e6 (exact halves)
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(8)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val out = graft.ops.TimeSeries.exponentialSmooth(ev, "ts_us",
+      periodUs = 1L, alphaX1e6 = 500000L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((0L, 4L, 4000000L), (1L, 8L, 6000000L),
+        (2L, 8L, 7000000L)))
+    // a gap period (count 0) decays the level: 4, _, 4 at α=.5 gives
+    // s = 4e6, 2e6, 3e6
+    val gap = (Seq.fill(4)(0L) ++ Seq.fill(4)(2L)).map(Tuple1(_))
+      .toDF("ts_us")
+    val g = graft.ops.TimeSeries.exponentialSmooth(gap, "ts_us", 1L,
+      500000L).collect()
+    assert(g.map(_.getLong(2)).toSeq ==
+      Seq(4000000L, 2000000L, 3000000L))
+    // α = 1 reproduces the raw series; α = 0 is rejected
+    val raw = graft.ops.TimeSeries.exponentialSmooth(gap, "ts_us", 1L,
+      1000000L).collect()
+    assert(raw.map(_.getLong(2)).toSeq ==
+      Seq(4000000L, 0L, 4000000L))
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.exponentialSmooth(gap, "ts_us", 1L, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.exponentialSmooth(ev, "ts_us", 1L, 500000L,
+        maxSteps = 2)
+    }
+  }
+
   test("TimeSeries.cusum: hand-traced one-sided sums around a level " +
       "shift, gap day counts zero, loud grid cap") {
     // periods 0..5 with counts 3,3,3,3,10,10: μ0 = ⌊32e6/6⌋ = 5333333;
