@@ -1891,21 +1891,26 @@ object RelQueries {
       branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
     },
 
-    // per-group power sums in floor-micro fixed point (HUGEINT here,
-    // Int128Sum engine-side), the identical closed-form double sequence
+    // values quantized ONCE to floor-micros; first moments HUGEINT sums
+    // at 1e-6, product moments HUGEINT sums of per-row micro products at
+    // 1e-12 (Int128Sum / Int128SumProd engine-side), the identical
+    // closed-form double sequence
     "q_ols_group" -> {
-      def ms(e: String) =
-        s"(SUM(CAST(floor(($e) * 1000000.0) AS HUGEINT))::DOUBLE" +
-          " / 1000000.0)"
       val (x, y) = ("l_quantity", "l_extendedprice")
-      s"""WITH g AS (
-         |  SELECT l_returnflag, count(*) AS n,
-         |    ${ms(x)} AS sx, ${ms(y)} AS sy,
-         |    ${ms(s"$x * $x")} AS sxx,
-         |    ${ms(s"$y * $y")} AS syy,
-         |    ${ms(s"$x * $y")} AS sxy
+      s"""WITH q AS (
+         |  SELECT l_returnflag,
+         |    CAST(floor(($x) * 1000000.0) AS HUGEINT) AS xm,
+         |    CAST(floor(($y) * 1000000.0) AS HUGEINT) AS ym
          |  FROM lineitem
-         |  WHERE $x IS NOT NULL AND $y IS NOT NULL
+         |  WHERE $x IS NOT NULL AND $y IS NOT NULL),
+         |g AS (
+         |  SELECT l_returnflag, count(*) AS n,
+         |    SUM(xm)::DOUBLE / 1000000.0 AS sx,
+         |    SUM(ym)::DOUBLE / 1000000.0 AS sy,
+         |    SUM(xm * xm)::DOUBLE / 1000000000000.0 AS sxx,
+         |    SUM(ym * ym)::DOUBLE / 1000000000000.0 AS syy,
+         |    SUM(xm * ym)::DOUBLE / 1000000000000.0 AS sxy
+         |  FROM q
          |  GROUP BY 1)
          |SELECT l_returnflag, n,
          |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
@@ -2152,8 +2157,7 @@ object RelQueries {
         |    user_id % 2 = 1 AS b
         |  FROM events GROUP BY user_id),
         |f AS (SELECT b,
-        |        CAST(floor(y * 1000000.0) AS BIGINT) AS ym,
-        |        CAST(floor(y * y * 1000000.0) AS BIGINT) AS yym
+        |        CAST(floor(y * 1000000.0) AS BIGINT) AS ym
         |      FROM u WHERE y IS NOT NULL AND NOT isnan(y)
         |        AND isfinite(y)),
         |a AS (SELECT
@@ -2163,16 +2167,18 @@ object RelQueries {
         |          AS BIGINT) AS n_b,
         |        SUM(CASE WHEN NOT b THEN CAST(ym AS HUGEINT) END) AS sa,
         |        SUM(CASE WHEN b THEN CAST(ym AS HUGEINT) END) AS sb,
-        |        SUM(CASE WHEN NOT b THEN CAST(yym AS HUGEINT) END) AS qa,
-        |        SUM(CASE WHEN b THEN CAST(yym AS HUGEINT) END) AS qb
+        |        SUM(CASE WHEN NOT b
+        |          THEN CAST(ym AS HUGEINT) * ym END) AS qa,
+        |        SUM(CASE WHEN b
+        |          THEN CAST(ym AS HUGEINT) * ym END) AS qb
         |      FROM f),
         |m AS (SELECT *,
         |        sa::DOUBLE / 1000000.0 / n_a::DOUBLE AS ma,
         |        sb::DOUBLE / 1000000.0 / n_b::DOUBLE AS mb,
-        |        (n_a::DOUBLE * (qa::DOUBLE / 1000000.0)
+        |        (n_a::DOUBLE * (qa::DOUBLE / 1000000000000.0)
         |          - (sa::DOUBLE / 1000000.0) * (sa::DOUBLE / 1000000.0))
         |          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0)) AS va,
-        |        (n_b::DOUBLE * (qb::DOUBLE / 1000000.0)
+        |        (n_b::DOUBLE * (qb::DOUBLE / 1000000000000.0)
         |          - (sb::DOUBLE / 1000000.0) * (sb::DOUBLE / 1000000.0))
         |          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0)) AS vb
         |      FROM a),
@@ -2353,11 +2359,7 @@ object RelQueries {
         |  FROM events GROUP BY user_id),
         |f AS (SELECT b,
         |        CAST(floor(y * 1000000.0) AS BIGINT) AS ym,
-        |        CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT) AS xm,
-        |        CAST(floor(x::DOUBLE * x::DOUBLE * 1000000.0) AS BIGINT)
-        |          AS xxm,
-        |        CAST(floor(x::DOUBLE * y * 1000000.0) AS BIGINT) AS xym,
-        |        CAST(floor(y * y * 1000000.0) AS BIGINT) AS yym
+        |        CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT) AS xm
         |      FROM u WHERE y IS NOT NULL AND x IS NOT NULL),
         |a AS (SELECT
         |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
@@ -2368,9 +2370,9 @@ object RelQueries {
         |        SUM(CASE WHEN b THEN CAST(ym AS HUGEINT) END) AS syb,
         |        SUM(CASE WHEN NOT b THEN CAST(xm AS HUGEINT) END) AS sxa,
         |        SUM(CASE WHEN b THEN CAST(xm AS HUGEINT) END) AS sxb,
-        |        SUM(CAST(xxm AS HUGEINT)) AS sxx,
-        |        SUM(CAST(xym AS HUGEINT)) AS sxy,
-        |        SUM(CAST(yym AS HUGEINT)) AS syy
+        |        SUM(CAST(xm AS HUGEINT) * xm) AS sxx,
+        |        SUM(CAST(xm AS HUGEINT) * ym) AS sxy,
+        |        SUM(CAST(ym AS HUGEINT) * ym) AS syy
         |      FROM f),
         |m AS (SELECT *,
         |        (n_a + n_b)::DOUBLE AS n,
@@ -2382,9 +2384,9 @@ object RelQueries {
         |        sxb::DOUBLE / 1000000.0 / n_b::DOUBLE AS xb
         |      FROM a),
         |v AS (SELECT *,
-        |        n * (sxx::DOUBLE / 1000000.0) - sx * sx AS varx,
-        |        n * (syy::DOUBLE / 1000000.0) - sy * sy AS vary,
-        |        n * (sxy::DOUBLE / 1000000.0) - sx * sy AS cov
+        |        n * (sxx::DOUBLE / 1000000000000.0) - sx * sx AS varx,
+        |        n * (syy::DOUBLE / 1000000000000.0) - sy * sy AS vary,
+        |        n * (sxy::DOUBLE / 1000000000000.0) - sx * sy AS cov
         |      FROM m)
         |SELECT n_a, n_b,
         |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,

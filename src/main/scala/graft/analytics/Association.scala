@@ -68,4 +68,43 @@ object Association {
         ldiv(d(col("n_ab")) * d(col("_nb")) * lit(1000000L),
           d(col("n_a")) * d(col("n_b"))).cast("long").as("lift_x1e6"))
   }
+
+  /** ITEM-ITEM COLLABORATIVE SIMILARITY, top-k per item — the
+    * "customers who bought X also bought Y" retrieval table built from
+    * the same co-occurrence pass: cosine over binary basket vectors,
+    * cos(a,b) = n_ab / √(n_a·n_b), as exact-input micros
+    * `cos_x1e6 = ⌊n_ab·10⁶ / √(n_a·n_b)⌋` (integer counts and products;
+    * the lone double op is one IEEE mul/sqrt/div sequence, identical in
+    * any engine). Each co-occurring pair appears in BOTH directions and
+    * each item keeps its `k` best neighbors by (cos desc, neighbor asc
+    * — a total tie order). Output: (`item`, `neighbor`, `n_ab`,
+    * `cos_x1e6`, `rank`), ordered.
+    *
+    * Scale posture: inherits [[coOccurrence]]'s basket guard (the n²
+    * fan-out is bounded by `maxBasketSize`); the top-k window
+    * partitions by item — rank-1-filter shape (WindowGroupLimit prunes
+    * map-side), keys are items ⇒ high cardinality, skew-safe. */
+  def itemSimilarityTopK(df: DataFrame, basketCol: String,
+      itemCol: String, k: Int, minSupport: Long = 1L,
+      maxBasketSize: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val co = coOccurrence(df, basketCol, itemCol, minSupport,
+      maxBasketSize)
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        col("n_a"), col("n_b"))
+    val sym = co.unionByName(co.select(
+      col("item_b").as("item_a"), col("item_a").as("item_b"),
+      col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))
+    val cos = floor(col("n_ab").cast("double") * lit(1e6) /
+      sqrt((col("n_a") * col("n_b")).cast("double"))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item_a"))
+      .orderBy(col("cos_x1e6").desc, col("item_b").asc)
+    sym.withColumn("cos_x1e6", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("item_a").as("item"), col("item_b").as("neighbor"),
+        col("n_ab"), col("cos_x1e6"), col("rank"))
+      .orderBy(col("item"), col("rank"))
+  }
 }

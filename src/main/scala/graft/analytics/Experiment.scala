@@ -87,21 +87,23 @@ object Experiment {
     * the raw means; an empty variant ⇒ NULL for that side's columns.
     *
     * Exactness is the [[Regression.olsByGroup]] convention: unit values
-    * quantized to exact 1e-6 fixed point, power sums accumulated by
-    * [[graft.functions.Int128Sum]], doubles only in the fixed closed-
-    * form sequence. One aggregate over the units — at any scale the
-    * cost is the unit-level scan. */
+    * quantized ONCE to exact 1e-6 fixed point, first moments via
+    * [[graft.functions.Int128Sum]] and cross/second moments via
+    * [[graft.functions.Int128SumProd]] over the same quantized micros,
+    * doubles only in the fixed closed-form sequence. One aggregate over
+    * the units — at any scale the cost is the unit-level scan. */
   def cuped(units: DataFrame, isB: Column, metricCol: String,
       covariateCol: String): DataFrame = {
     import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
     val y = col(s"`$metricCol`").cast("double")
     val x = col(s"`$covariateCol`").cast("double")
+    // ONE quantization per value; second moments are exact int128
+    // products of the quantized micros (1e-12 scale) — the welchTTest
+    // consistency discipline, keeping varx·vary ≥ cov² by construction
     val base = units.filter(y.isNotNull && x.isNotNull)
       .select(isB.as("_b"),
-        floor(y * lit(1e6)).as("_ym"), floor(x * lit(1e6)).as("_xm"),
-        floor(x * x * lit(1e6)).as("_xxm"),
-        floor(x * y * lit(1e6)).as("_xym"),
-        floor(y * y * lit(1e6)).as("_yym"))
+        floor(y * lit(1e6)).as("_ym"), floor(x * lit(1e6)).as("_xm"))
     val agg = base.agg(
       coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
       coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
@@ -109,16 +111,17 @@ object Experiment {
       int128Sum(when(col("_b"), col("_ym"))).as("_syb"),
       int128Sum(when(!col("_b"), col("_xm"))).as("_sxa"),
       int128Sum(when(col("_b"), col("_xm"))).as("_sxb"),
-      int128Sum(col("_xxm")).as("_sxx"),
-      int128Sum(col("_xym")).as("_sxy"),
-      int128Sum(col("_yym")).as("_syy"))
+      int128SumProd(col("_xm"), col("_xm")).as("_sxx"),
+      int128SumProd(col("_xm"), col("_ym")).as("_sxy"),
+      int128SumProd(col("_ym"), col("_ym")).as("_syy"))
     def d(c: Column) = c.cast("double") / lit(1e6)
+    def d12(c: Column) = c.cast("double") / lit(1e12)
     val n = (col("n_a") + col("n_b")).cast("double")
     val sx = d(col("_sxa") + col("_sxb"))
     val sy = d(col("_sya") + col("_syb"))
-    val varx = n * d(col("_sxx")) - sx * sx
-    val vary = n * d(col("_syy")) - sy * sy
-    val cov = n * d(col("_sxy")) - sx * sy
+    val varx = n * d12(col("_sxx")) - sx * sx
+    val vary = n * d12(col("_syy")) - sy * sy
+    val cov = n * d12(col("_sxy")) - sx * sy
     val theta = cov / varx
     val xbar = sx / n
     def meanOf(s: Column, cnt: Column) = s.cast("double") / lit(1e6) /
@@ -161,32 +164,41 @@ object Experiment {
     * is used with, the t and normal quantiles agree to the decimals
     * reported).
     *
-    * Exactness is the [[cuped]] convention: unit metrics quantized to
-    * exact 1e-6 fixed point, sums and sums-of-squares accumulated by
-    * [[graft.functions.Int128Sum]], doubles only in the fixed
-    * closed-form sequence. One aggregate over the unit frame. */
+    * Exactness is the [[cuped]] convention: unit metrics quantized ONCE
+    * to exact 1e-6 fixed point, first moments accumulated by
+    * [[graft.functions.Int128Sum]] and second moments by
+    * [[graft.functions.Int128SumProd]] over the SAME quantized micros
+    * (so n·Σy² ≥ (Σy)² holds by construction — independent
+    * re-quantization of y² can produce a negative sample variance on
+    * near-constant data), doubles only in the fixed closed-form
+    * sequence. One aggregate over the unit frame. */
   def welchTTest(units: DataFrame, isB: Column, metricCol: String)
       : DataFrame = {
     import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
     val y = col(s"`$metricCol`").cast("double")
+    // ONE quantization: the second moment is Σ _ym·_ym (exact int128
+    // per-row product at 1e-12 scale), derived from the SAME fixed-point
+    // representation as the first — so n·Σy² ≥ (Σy)² holds by
+    // construction (a second independent floor(y·y·1e6) can violate it
+    // on near-constant data, yielding a negative sample variance)
     val base = units.filter(y.isNotNull && !isnan(y) &&
         abs(y) =!= lit(Double.PositiveInfinity))
-      .select(isB.as("_b"),
-        floor(y * lit(1e6)).as("_ym"),
-        floor(y * y * lit(1e6)).as("_yym"))
+      .select(isB.as("_b"), floor(y * lit(1e6)).as("_ym"))
     val agg = base.agg(
       coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
       coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
       int128Sum(when(!col("_b"), col("_ym"))).as("_sa"),
       int128Sum(when(col("_b"), col("_ym"))).as("_sb"),
-      int128Sum(when(!col("_b"), col("_yym"))).as("_qa"),
-      int128Sum(when(col("_b"), col("_yym"))).as("_qb"))
+      int128SumProd(when(!col("_b"), col("_ym")), col("_ym")).as("_qa"),
+      int128SumProd(when(col("_b"), col("_ym")), col("_ym")).as("_qb"))
     def d(c: Column) = c.cast("double") / lit(1e6)
+    def d12(c: Column) = c.cast("double") / lit(1e12)
     def nD(c: Column) = c.cast("double")
     // sample variance from exact power sums:
     // s² = (n·Σy² − (Σy)²) / (n·(n−1))
     def svar(n: Column, s: Column, q: Column) =
-      (nD(n) * d(q) - d(s) * d(s)) / (nD(n) * (nD(n) - 1.0))
+      (nD(n) * d12(q) - d(s) * d(s)) / (nD(n) * (nD(n) - 1.0))
     val (na, nb) = (col("n_a"), col("n_b"))
     val (ma, mb) = (d(col("_sa")) / nD(na), d(col("_sb")) / nD(nb))
     val (va, vb) = (svar(na, col("_sa"), col("_qa")),

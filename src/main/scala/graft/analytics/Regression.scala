@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Int128Sum.int128Sum
+import graft.functions.Int128SumProd.int128SumProd
 
 /** Grouped ORDINARY LEAST SQUARES — the "fit a line per segment" EDA /
   * monitoring primitive (price-vs-quantity elasticity per flag, latency-
@@ -13,16 +14,22 @@ import graft.functions.Int128Sum.int128Sum
   * no iterative solver, one aggregate over the data.
   *
   * Exactness is the [[Profiler.correlationMatrix]] convention: per-row
-  * values and products quantized to exact 1e-6 fixed point
-  * (`floor(v·1e6)` — bit-portable across engines), summed exactly and
-  * order-independently by [[graft.functions.Int128Sum]], doubles only in
+  * values quantized ONCE to exact 1e-6 fixed point (`floor(v·1e6)` —
+  * bit-portable across engines); first moments summed by
+  * [[graft.functions.Int128Sum]] and cross/second moments by
+  * [[graft.functions.Int128SumProd]] over the SAME quantized micros
+  * (exact int128 per-row products at 1e-12 scale — so varx·vary ≥ cov²
+  * and non-negative variances hold by construction, where independent
+  * re-quantization of x², y², x·y can violate them on near-constant
+  * data), doubles only in
   * the final closed-form arithmetic rounded at 6. Rows where either
   * column is NULL drop (complete-case per group — a group with no
   * complete row emits NO output row, not an n=0 placeholder). A
   * zero-variance x
   * yields NULL slope/intercept/r2; a zero-variance y yields r2 NULL.
-  * Bound: |x|, |y| and their products must stay within `long` micro-
-  * units (|x·y| ≤ 9.2e12). Beyond it, floor(double)→long SATURATES
+  * Bound: |x| and |y| must each stay within `long` micro-units
+  * (≤ 9.2e12 — products need no bound: the per-row int128 product is
+  * exact for any two longs). Beyond it, floor(double)→long SATURATES
   * silently at ±2^63 (Spark's floor is (long)Math.floor — no ANSI
   * error), so out-of-bound inputs diverge from the oracle silently;
   * the caller owns the range check.
@@ -43,22 +50,22 @@ object Regression {
     def m(e: Column) = floor(e * lit(1e6))
     val proj = df.filter(x.isNotNull && y.isNotNull).select(
       groupCols.map(c => col(s"`$c`")) ++ Seq(
-        m(x).as("_sx"), m(y).as("_sy"),
-        m(x * x).as("_sxx"), m(y * y).as("_syy"),
-        m(x * y).as("_sxy")): _*)
+        m(x).as("_xm"), m(y).as("_ym")): _*)
     val agg = proj.groupBy(groupCols.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("n"),
-        int128Sum(col("_sx")).as("_sx"), int128Sum(col("_sy")).as("_sy"),
-        int128Sum(col("_sxx")).as("_sxx"),
-        int128Sum(col("_syy")).as("_syy"),
-        int128Sum(col("_sxy")).as("_sxy"))
-    // micro-unit decimal sums → doubles → /1e6: identical nearest-double
-    // conversions in any engine replaying the oracle
+        int128Sum(col("_xm")).as("_sx"), int128Sum(col("_ym")).as("_sy"),
+        int128SumProd(col("_xm"), col("_xm")).as("_sxx"),
+        int128SumProd(col("_ym"), col("_ym")).as("_syy"),
+        int128SumProd(col("_xm"), col("_ym")).as("_sxy"))
+    // micro-unit decimal sums → doubles → /1e6 (first moments) and
+    // /1e12 (product moments): identical nearest-double conversions in
+    // any engine replaying the oracle
     def d(c: String) = col(c).cast("double") / lit(1e6)
+    def d12(c: String) = col(c).cast("double") / lit(1e12)
     val n = col("n").cast("double")
-    val varx = n * d("_sxx") - d("_sx") * d("_sx")
-    val vary = n * d("_syy") - d("_sy") * d("_sy")
-    val cov = n * d("_sxy") - d("_sx") * d("_sy")
+    val varx = n * d12("_sxx") - d("_sx") * d("_sx")
+    val vary = n * d12("_syy") - d("_sy") * d("_sy")
+    val cov = n * d12("_sxy") - d("_sx") * d("_sy")
     val slope = cov / varx
     agg.select(
       groupCols.map(c => col(s"`$c`")) ++ Seq(

@@ -108,29 +108,6 @@ object TimeSeries {
     out.toSeq.toDF("period", "n", "smooth_x1e6")
   }
 
-  /** CLASSICAL additive SEASONAL DECOMPOSITION of an event log's
-    * per-period activity — observed = trend + seasonal + residual, the
-    * dashboard de-noising pass beside [[locf]]/[[interpolate]]. One row
-    * per period on the DENSE spine (gaps count 0): (`period`, `n`,
-    * `trend_x1e6`, `seasonal_x1e6`, `resid_x1e6`), ordered.
-    *
-    * - trend: centered `trendWindow`-period moving average (window must
-    *   be odd); NULL at the `trendWindow/2` edge periods where the full
-    *   frame doesn't exist — the classical convention, not imputation.
-    * - seasonal: mean detrended value per season position
-    *   (`period mod seasonLen`, floor-mod so pre-1970 periods land in
-    *   0..len−1), zero-centered by subtracting the positions' mean.
-    * - residual: observed − trend − seasonal where both exist.
-    *
-    * Exactness: counts enter as micro integers; every mean is a
-    * [[graft.ops.Fixed.ldiv]] floor — the whole output is integers an
-    * external engine replays exactly.
-    *
-    * Shape: one period-keyed count, a spine join, then windows over the
-    * PERIOD GRID — calendar-bounded (days in the observation window),
-    * not data-sized, which is what justifies the partition-less frame
-    * (the Kaplan–Meier grid argument); the seasonal table (≤ seasonLen
-    * rows) broadcasts back. */
   /** CUSUM change detection over per-period activity — the classical
     * SPC drift alarm beside [[seasonalDecompose]]: one-sided cumulative
     * sums S⁺ ← max(0, S⁺ + (x − μ₀ − k)) and S⁻ ← max(0, S⁻ + (μ₀ − x
@@ -172,21 +149,50 @@ object TimeSeries {
       s"CUSUM grid has ${steps.length} periods > maxSteps=$maxSteps" +
         " - coarsen periodUs or raise the cap (the driver chain is " +
         "grid-sized by design)")
-    val total = steps.iterator.map(_.getLong(1)).sum
-    val mu0 = if (steps.isEmpty) 0L
-      else Math.floorDiv(total * 1000000L, steps.length.toLong)
-    var (sp, sn) = (0L, 0L)
+    // arbitrary-precision recurrence (the exponentialSmooth posture):
+    // total·10⁶ wraps a Long past ~9.2e12 events, silently corrupting
+    // μ₀ and every alarm — BigInt stays exact at any count, and the
+    // output conversion fails LOUD (longValueExact) rather than wrap
+    val total = steps.iterator.map(r => BigInt(r.getLong(1))).sum
+    val mu0: BigInt = if (steps.isEmpty) BigInt(0)
+      else (total * 1000000L) / steps.length // total ≥ 0 ⇒ floor
+    val (k, zero) = (BigInt(kX1e6), BigInt(0))
+    var (sp, sn) = (zero, zero)
     val out = steps.map { r =>
       val (p, n) = (r.getLong(0), r.getLong(1))
-      val x = n * 1000000L
-      sp = math.max(0L, sp + (x - mu0 - kX1e6))
-      sn = math.max(0L, sn + (mu0 - x - kX1e6))
-      (p, n, sp, sn, sp > hX1e6 || sn > hX1e6)
+      val x = BigInt(n) * 1000000L
+      sp = zero.max(sp + (x - mu0 - k))
+      sn = zero.max(sn + (mu0 - x - k))
+      (p, n, sp.bigInteger.longValueExact(), sn.bigInteger.longValueExact(),
+        sp > hX1e6 || sn > hX1e6)
     }
     out.toSeq.toDF("period", "n", "cusum_pos_x1e6", "cusum_neg_x1e6",
       "signal")
   }
 
+  /** CLASSICAL additive SEASONAL DECOMPOSITION of an event log's
+    * per-period activity — observed = trend + seasonal + residual, the
+    * dashboard de-noising pass beside [[locf]]/[[interpolate]]. One row
+    * per period on the DENSE spine (gaps count 0): (`period`, `n`,
+    * `trend_x1e6`, `seasonal_x1e6`, `resid_x1e6`), ordered.
+    *
+    * - trend: centered `trendWindow`-period moving average (window must
+    *   be odd); NULL at the `trendWindow/2` edge periods where the full
+    *   frame doesn't exist — the classical convention, not imputation.
+    * - seasonal: mean detrended value per season position
+    *   (`period mod seasonLen`, floor-mod so pre-1970 periods land in
+    *   0..len−1), zero-centered by subtracting the positions' mean.
+    * - residual: observed − trend − seasonal where both exist.
+    *
+    * Exactness: counts enter as micro integers; every mean is a
+    * [[graft.ops.Fixed.ldiv]] floor — the whole output is integers an
+    * external engine replays exactly.
+    *
+    * Shape: one period-keyed count, a spine join, then windows over the
+    * PERIOD GRID — calendar-bounded (days in the observation window),
+    * not data-sized, which is what justifies the partition-less frame
+    * (the Kaplan–Meier grid argument); the seasonal table (≤ seasonLen
+    * rows) broadcasts back. */
   def seasonalDecompose(events: DataFrame, tsUsCol: String,
       periodUs: Long, seasonLen: Int = 7, trendWindow: Int = 7)
       : DataFrame = {
@@ -226,6 +232,194 @@ object TimeSeries {
       .select(col("period"), col("n"), col("trend_x1e6"),
         col("seasonal_x1e6"),
         (col("_detr") - col("seasonal_x1e6")).as("resid_x1e6"))
+      .orderBy(col("period"))
+  }
+
+  /** Exact floor division in arbitrary precision (BigInt `/` truncates
+    * toward zero — wrong for the negative trend terms Holt produces). */
+  private def fdiv(a: BigInt, d: BigInt): BigInt = {
+    val q = a / d
+    if ((a % d).signum != 0 && a.signum * d.signum < 0) q - 1 else q
+  }
+
+  /** HOLT double exponential smoothing (level + linear trend) of
+    * per-period activity — the trend-aware forecaster beside
+    * [[exponentialSmooth]] (which a trending series lags by design):
+    * over the DENSE period spine (gaps count 0),
+    *   l₁ = x₁, b₁ = x₂ − x₁ (classical init; b₁ = 0 on a 1-period
+    *   spine),
+    *   lᵢ = ⌊(α·xᵢ + (10⁶−α)·(lᵢ₋₁ + bᵢ₋₁)) / 10⁶⌋,
+    *   bᵢ = ⌊(β·(lᵢ − lᵢ₋₁) + (10⁶−β)·bᵢ₋₁) / 10⁶⌋,
+    * one ordered row per period: (`period`, `n`, `level_x1e6`,
+    * `trend_x1e6`, `forecast_x1e6` = lᵢ + bᵢ — the one-step-ahead
+    * forecast for period i+1). `alphaX1e6`/`betaX1e6` in micros.
+    *
+    * Exactness: x enters as n·10⁶; every step FLOORS (floor, not
+    * truncate — trend terms go negative) in arbitrary precision, so an
+    * external engine replays it bit-for-bit via a recursive CTE with
+    * the explicit negative-remainder floor adjustment. Output
+    * conversion fails LOUD past long range (longValueExact).
+    *
+    * Shape: distributed period count + spine join; the coupled
+    * recurrence is order-dependent and non-associative, so it runs on
+    * the DRIVER over the calendar-bounded period grid with a loud
+    * `maxSteps` cap — the [[exponentialSmooth]]/[[cusum]] posture. */
+  def holt(events: DataFrame, tsUsCol: String, periodUs: Long,
+      alphaX1e6: Long, betaX1e6: Long, maxSteps: Int = 10000)
+      : DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(alphaX1e6 > 0 && alphaX1e6 <= 1000000L,
+      s"alphaX1e6 must be in (0, 1e6], got $alphaX1e6")
+    require(betaX1e6 > 0 && betaX1e6 <= 1000000L,
+      s"betaX1e6 must be in (0, 1e6], got $betaX1e6")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = denseSpine(events, tsUsCol, periodUs)
+    require(steps.length <= maxSteps,
+      s"Holt grid has ${steps.length} periods > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (the driver chain is " +
+        "grid-sized by design)")
+    val M = BigInt(1000000L)
+    val (a, a1) = (BigInt(alphaX1e6), M - alphaX1e6)
+    val (bw, bw1) = (BigInt(betaX1e6), M - betaX1e6)
+    var l: BigInt = null
+    var b: BigInt = null
+    val out = steps.zipWithIndex.map { case (r, i) =>
+      val (p, n) = (r.getLong(0), r.getLong(1))
+      val x = BigInt(n) * 1000000L
+      if (i == 0) {
+        l = x
+        b = if (steps.length > 1)
+          BigInt(steps(1).getLong(1)) * 1000000L - x
+        else BigInt(0)
+      } else {
+        val lPrev = l
+        l = fdiv(a * x + a1 * (lPrev + b), M)
+        b = fdiv(bw * (l - lPrev) + bw1 * b, M)
+      }
+      (p, n, l.bigInteger.longValueExact(), b.bigInteger.longValueExact(),
+        (l + b).bigInteger.longValueExact())
+    }
+    out.toSeq.toDF("period", "n", "level_x1e6", "trend_x1e6",
+      "forecast_x1e6")
+  }
+
+  /** The dense (period, n) grid, ordered, collected — the shared spine
+    * of the driver-recurrence family. */
+  private def denseSpine(events: DataFrame, tsUsCol: String,
+      periodUs: Long): Array[org.apache.spark.sql.Row] = {
+    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val counts = events.select(period.as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("n"))
+    val bounds = counts.agg(min(col("period")).as("_lo"),
+      max(col("period")).as("_hi"))
+    bounds
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
+      .join(counts, Seq("period"), "left")
+      .select(col("period"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("period"))
+      .collect()
+  }
+
+  /** ONE-STEP-AHEAD FORECAST EVALUATION of [[exponentialSmooth]] on its
+    * own series — the backtest that closes the forecasting family: for
+    * each period i ≥ 2 the model forecast is sᵢ₋₁ and the naive
+    * baseline forecast is xᵢ₋₁. ONE output row:
+    * (`n_periods`, `mae_x1e6`, `rmse_x1e6`, `mae_naive_x1e6`,
+    * `mase_x1e6`) where
+    *   mae  = ⌊Σ|xᵢ·10⁶ − sᵢ₋₁| / (n−1)⌋,
+    *   rmse = ⌊√(⌊Σe²/(n−1)⌋)⌋ (e in micros ⇒ Σe²/(n−1) is micro²;
+    *   the square root lands back on the micro scale),
+    *   mase = ⌊mae·10⁶ / mae_naive⌋ (NULL when the naive error is 0 —
+    *   a constant series has nothing to beat). A spine with < 2
+    *   periods yields NULL errors.
+    *
+    * Exactness: errors are exact micro integers off the replayable
+    * [[exponentialSmooth]] recurrence; Σe² rides
+    * [[graft.functions.Int128SumProd]] (e² can exceed long); the only
+    * double is the final IEEE sqrt, identical in any engine.
+    *
+    * Shape: the error frame is the calendar-bounded period grid (the
+    * driver already holds it — [[exponentialSmooth]]'s contract), so
+    * the lag + aggregate run at grid size, never data size. */
+  def forecastEval(events: DataFrame, tsUsCol: String, periodUs: Long,
+      alphaX1e6: Long, maxSteps: Int = 10000): DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    val sm = exponentialSmooth(events, tsUsCol, periodUs, alphaX1e6,
+      maxSteps)
+    // grid-sized frame (≤ maxSteps rows): the partition-less window is
+    // the documented calendar-bounded exception, not a scale hazard
+    val w = Window.orderBy(col("period"))
+    val err = sm
+      .withColumn("_f", lag(col("smooth_x1e6"), 1).over(w))
+      .withColumn("_fn", lag(col("n") * lit(1000000L), 1).over(w))
+      .filter(col("_f").isNotNull)
+      .select((col("n") * lit(1000000L) - col("_f")).as("_e"),
+        (col("n") * lit(1000000L) - col("_fn")).as("_en"))
+    val agg = err.agg(
+      (count(lit(1)) + lit(1L)).as("n_periods"),
+      int128Sum(abs(col("_e"))).as("_sae"),
+      int128SumProd(col("_e"), col("_e")).as("_se2"),
+      int128Sum(abs(col("_en"))).as("_saen"),
+      count(lit(1)).as("_k"))
+    // exact floor divisions (Fixed.ldiv — decimal-capable); the divisor
+    // is the grid count, the one long-range-sensitive ratio (mase) gets
+    // a decimal numerator so mae·10⁶ can't wrap
+    val mae = Fixed.ldiv(col("_sae"), col("_k"))
+    val maeN = Fixed.ldiv(col("_saen"), col("_k"))
+    agg.select(col("n_periods"),
+      when(col("_k") > 0L, mae).as("mae_x1e6"),
+      when(col("_k") > 0L,
+        // decimal floor (NOT the long-typed ldiv): the mean SQUARED
+        // error can exceed long range; the scale-6 decimal quotient
+        // floors exactly because the divisor is grid-sized (≤ maxSteps
+        // ≪ 2e6, so the fractional part can never sit within the
+        // HALF_UP rounding step of 1)
+        floor(sqrt(floor(col("_se2") / col("_k")).cast("double")))
+          .cast("long")).as("rmse_x1e6"),
+      when(col("_k") > 0L, maeN).as("mae_naive_x1e6"),
+      when(col("_k") > 0L && col("_saen") > 0L,
+        Fixed.ldiv(mae.cast("decimal(38,0)") * lit(1000000L), maeN))
+        .as("mase_x1e6"))
+  }
+
+  /** SEASONAL-RESIDUAL ANOMALY FLAGS — the robust outlier detector the
+    * [[seasonalDecompose]] output exists for: a period is anomalous
+    * when its |residual| exceeds `kX1e6` (micros) times the MAD-style
+    * scale, where the scale is the LOWER MEDIAN of the non-null
+    * |residual|s (the rank-⌊(cnt+1)/2⌋ order statistic — exact,
+    * engine-portable, no interpolation). One ordered row per period
+    * with a non-null residual: (`period`, `n`, `resid_x1e6`,
+    * `mad_x1e6`, `anomaly`). A zero MAD (more than half the residuals
+    * exactly 0) flags every non-zero residual — the conventional
+    * degenerate-MAD behavior, documented not hidden.
+    *
+    * Exactness: residuals are the all-integer [[seasonalDecompose]]
+    * output; the threshold compare is exact decimal (|r|·10⁶ vs
+    * k·MAD — no doubles anywhere).
+    *
+    * Shape: everything after the decomposition runs on the
+    * calendar-bounded period grid (the partition-less rank is the
+    * documented grid-size exception); the MAD row broadcasts back. */
+  def seasonalAnomaly(events: DataFrame, tsUsCol: String, periodUs: Long,
+      kX1e6: Long, seasonLen: Int = 7, trendWindow: Int = 7): DataFrame = {
+    require(kX1e6 > 0, s"kX1e6 must be positive, got $kX1e6")
+    val dec = seasonalDecompose(events, tsUsCol, periodUs, seasonLen,
+      trendWindow)
+      .filter(col("resid_x1e6").isNotNull)
+      .localCheckpoint(false) // feeds the MAD AND the output
+    val ranked = dec.select(abs(col("resid_x1e6")).as("_ar"))
+      .withColumn("_rn", row_number().over(
+        Window.orderBy(col("_ar"))))
+    val cnt = dec.count()
+    val madRow = ranked.filter(col("_rn") === lit((cnt + 1L) / 2L))
+      .select(col("_ar").as("mad_x1e6"))
+    dec.crossJoin(broadcast(madRow))
+      .select(col("period"), col("n"), col("resid_x1e6"), col("mad_x1e6"),
+        (abs(col("resid_x1e6")).cast("decimal(38,0)") * lit(1000000L) >
+          col("mad_x1e6").cast("decimal(38,0)") * lit(kX1e6))
+          .as("anomaly"))
       .orderBy(col("period"))
   }
 }

@@ -1559,7 +1559,9 @@ final class PipelineRunner(
     * Preconditions, all fail-loud: star-only equi joins
     * ([[starJoinKeys]]); dims published by full-mode silver (versioned
     * whole-table snapshots to diff — a bucketed incremental silver has
-    * none). A consumed dim version already vacuumed degrades to
+    * none); each dim UNIQUE on its join keys (checked per run — a 1:N
+    * fan-out breaks the fact-PK-keyed upsert store, so it must run in
+    * mode 'full'). A consumed dim version already vacuumed degrades to
     * re-deriving every fact row, LOUDLY, rather than guessing a
     * delta. */
   def buildGoldMartIncremental(entity: String, cfg: EntityConfig,
@@ -1584,6 +1586,24 @@ final class PipelineRunner(
       j.entity -> starJoinKeys(entity, j, factColsL,
         dims(j.entity).columns.map(_.toLowerCase).toSet)
     }.toMap
+    // the row store is keyed by the FACT PK (keep-latest upsert), which
+    // is only equivalent to the full recompute when each dim matches at
+    // most one row per fact row — a 1:N dim fan-out would silently drop
+    // all but one joined row and pick a nondeterministic survivor. Fail
+    // loud instead: one cheap aggregate per dim per run (dims are the
+    // broadcast-sized side of a star by construction).
+    g.join.foreach { j =>
+      val dimKeys = keysByDim(j.entity).map(_._2)
+      val dup = dims(j.entity)
+        .groupBy(dimKeys.map(c => col(s"`$c`")): _*)
+        .agg(count(lit(1)).as("_c")).filter(col("_c") > 1L).limit(1)
+      require(dup.isEmpty,
+        s"gold.$entity: incremental-mart dim '${j.entity}' is NOT " +
+          s"unique on its join keys (${dimKeys.mkString(", ")}) — a " +
+          "1:N fan-out cannot ride a fact-PK-keyed row store (joined " +
+          "rows would be silently dropped); deduplicate the dim's " +
+          "silver on those keys or use gold mode 'full'")
+    }
     val dir = goldMartPath(entity)
     val rowsDir = s"$dir/rows"
     val fs = new Path(dir).getFileSystem(
@@ -1761,7 +1781,10 @@ final class PipelineRunner(
     * deltas (which is why `gold.aggregate` admits only those ops).
     *
     * The partial store compacts back to one row per group past 16
-    * batches (associativity makes compaction invariant — spec-pinned).
+    * batches (associativity makes compaction invariant — spec-pinned),
+    * via generation directories: the compacted partial commits to a
+    * fresh dir and a marker repoints before the old generation drops,
+    * so a crash mid-compaction can never truncate the history.
     * Preconditions fail loud: full-mode silver (versioned snapshots to
     * diff). A vacuumed consumed snapshot degrades LOUDLY to a store
     * rebuild from the live snapshot rather than guessing a delta. */
@@ -1781,6 +1804,20 @@ final class PipelineRunner(
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val markerP = new Path(s"$dir/_agg_fact_version")
+    // the partial store lives in GENERATION subdirs (g0, g1, …) with a
+    // marker naming the live one: compaction writes the NEXT generation
+    // to a fresh dir, repoints the marker, THEN deletes the old — a
+    // crash at any step leaves the marker pointing at a complete store
+    // (an in-place mode("overwrite") would delete the history before
+    // the replacement commits, silently truncating the totals)
+    val genMarkerP = new Path(s"$dir/_agg_gen")
+    val gen: Long = if (!fs.exists(genMarkerP)) 0L else {
+      val in = fs.open(genMarkerP)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim.toLongOption.getOrElse(0L)
+    }
+    val genDir = s"$partialsDir/g$gen"
     val consumed: Option[Long] = if (!fs.exists(markerP)) None else {
       val in = fs.open(markerP)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1824,29 +1861,41 @@ final class PipelineRunner(
     // count (group-count-sized rows, so a single file is the right
     // layout anyway)
     delta.groupBy(gcols: _*).agg(es.head, es.tail: _*)
-      .coalesce(1).write.mode("append").parquet(partialsDir)
-    def storeSums = {
+      .coalesce(1).write.mode("append").parquet(genDir)
+    def storeSums(from: String) = {
       val sums = (a.aggs.map(_.as) :+ "_agg_n")
         .map(c2 => sum(col(s"`$c2`")).as(c2))
-      spark.read.parquet(partialsDir)
+      spark.read.parquet(from)
         .groupBy(gcols: _*).agg(sums.head, sums.tail: _*)
     }
-    val batchFiles = fs.listStatus(new Path(partialsDir))
+    val batchFiles = fs.listStatus(new Path(genDir))
       .count(_.getPath.getName.endsWith(".parquet"))
+    var liveGenDir = genDir
     if (batchFiles > 16) {
       // compaction: re-sum to one partial per group (invariant by
-      // associativity); materialize before overwriting the input
-      val compacted = storeSums.localCheckpoint(true)
-      compacted.coalesce(1).write.mode("overwrite").parquet(partialsDir)
+      // associativity) in a FRESH generation dir — the source is never
+      // touched until the new store is committed and the marker
+      // repointed. mode("overwrite") only clears an orphan left by a
+      // crashed prior attempt; the sweep below self-heals leftovers.
+      val nextDir = s"$partialsDir/g${gen + 1L}"
+      storeSums(genDir).coalesce(1).write.mode("overwrite").parquet(nextDir)
+      val gm = fs.create(genMarkerP, true)
+      try gm.write((gen + 1L).toString.getBytes("UTF-8"))
+      finally gm.close()
+      fs.listStatus(new Path(partialsDir)).map(_.getPath)
+        .filter(p => p.getName != s"g${gen + 1L}")
+        .foreach(p => fs.delete(p, true))
+      liveGenDir = nextDir
       log(s"gold.$entity: aggregate store compacted " +
-        s"($batchFiles batch partials -> 1)")
+        s"($batchFiles batch partials -> 1, generation ${gen + 1L})")
     }
     val out = fs.create(markerP, true)
     try out.write(liveVersion.toString.getBytes("UTF-8"))
     finally out.close()
     log(s"gold.$entity: aggregate partial appended " +
       s"(consumed=${consumed.getOrElse("none")} -> $liveVersion)")
-    val published = storeSums.filter(col("_agg_n") > 0L).drop("_agg_n")
+    val published = storeSums(liveGenDir)
+      .filter(col("_agg_n") > 0L).drop("_agg_n")
     val boundsSrc =
       if (g.clusteringCols.forall(live.columns.contains)) live
       else published

@@ -85,4 +85,71 @@ class Int128SumSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Int128Sum") ||
       e.getMessage.toLowerCase.contains("type"))
   }
+
+  // ---- Int128SumProd: exact Σ a·b ----
+  import graft.functions.Int128SumProd.int128SumProd
+
+  private def prodSumOf(vs: Seq[(java.lang.Long, java.lang.Long)],
+      partitions: Int = 4): Option[BigInt] = {
+    val df = vs.map { case (a, b) =>
+      (Option(a).map(Long2long), Option(b).map(Long2long)) }
+      .toDF("a", "b").repartition(partitions)
+    val r = df.agg(int128SumProd(col("a"), col("b")).as("s")).head
+    if (r.isNullAt(0)) None
+    else Some(BigInt(r.getDecimal(0).toBigInteger))
+  }
+
+  test("prod: per-row products beyond long range stay exact") {
+    // (3e9)² = 9e18 per row sits at the long edge; ×3 rows overflows —
+    // the welch/cuped/ols second-moment shape this aggregate serves
+    val m = java.lang.Long.valueOf(3000000000L)
+    assert(prodSumOf(Seq.fill(3)((m, m))) ===
+      Some(BigInt(3000000000L).pow(2) * 3))
+    // extremes: MinValue² needs the full 128 bits
+    val mn = java.lang.Long.valueOf(Long.MinValue)
+    assert(prodSumOf(Seq((mn, mn))) === Some(BigInt(Long.MinValue).pow(2)))
+  }
+
+  test("prod: either side NULL skips the row; empty/all-null yields NULL") {
+    val five = java.lang.Long.valueOf(5L)
+    assert(prodSumOf(Seq((five, five), (null, five), (five, null)))
+      === Some(BigInt(25)))
+    assert(prodSumOf(Seq((null, five))) === None)
+    assert(prodSumOf(Seq.empty) === None)
+  }
+
+  test("prod: matches BigInteger ground truth on random longs " +
+      "(signed products, merge path)") {
+    val rnd = new scala.util.Random(7)
+    val vs = (Seq((Long.MaxValue, Long.MaxValue),
+        (Long.MinValue, Long.MaxValue), (-1L, Long.MinValue)) ++
+      Seq.fill(2000)((rnd.nextLong(), rnd.nextLong())))
+      .map { case (a, b) =>
+        (java.lang.Long.valueOf(a), java.lang.Long.valueOf(b)) }
+    val expected = vs.map { case (a, b) =>
+      BigInt(a.longValue()) * BigInt(b.longValue()) }.sum
+    assert(prodSumOf(vs, partitions = 7) === Some(expected))
+    assert(prodSumOf(vs, partitions = 1) === Some(expected))
+  }
+
+  test("prod: n·Σy² ≥ (Σy)² holds on near-constant micros (the " +
+      "consistency property independent re-quantization can violate)") {
+    val micros = Seq.fill(1000)(1234567L) ++ Seq(1234568L)
+    val df = micros.toDF("ym")
+    val r = df.agg(count(lit(1)).as("n"), int128Sum(col("ym")).as("s"),
+      int128SumProd(col("ym"), col("ym")).as("q")).head
+    val n = BigInt(r.getLong(0))
+    val s = BigInt(r.getDecimal(1).toBigInteger)
+    val q = BigInt(r.getDecimal(2).toBigInteger)
+    assert(n * q >= s * s, s"n·Σy²=${n * q} < (Σy)²=${s * s}")
+  }
+
+  test("prod: non-long input fails analysis loudly") {
+    val e = intercept[Exception] {
+      Seq((1.5, 2L)).toDF("a", "b")
+        .agg(int128SumProd(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("Int128SumProd") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
 }

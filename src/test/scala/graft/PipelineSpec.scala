@@ -1939,9 +1939,18 @@ class PipelineSpec extends AnyFunSuite {
     run(srcI, storeI, "aggi", "2024-06-02 00:00:00")
     run(srcF, storeF, "aggf", "2024-06-02 00:00:00")
     assert(mart("aggi") == mart("aggf"), "batch-2 mart diverged from full")
-    // O(delta): the batch-2 partial touches ≤ 4 groups, not all rows
-    val partials = s"$storeI/gold_mart/sales/agg_partials"
-    val files = new java.io.File(partials).listFiles()
+    // O(delta): the batch-2 partial touches ≤ 4 groups, not all rows.
+    // The store lives in generation subdirs (g0, g1, …) named by the
+    // _agg_gen marker — compaction commits a fresh generation before
+    // dropping the old one (crash-safe swap, never an in-place
+    // overwrite).
+    val partialsBase = s"$storeI/gold_mart/sales/agg_partials"
+    def liveGenDir(): java.io.File = {
+      val m = Path.of(storeI, "gold_mart", "sales", "_agg_gen")
+      val g = if (Files.exists(m)) Files.readString(m).trim else "0"
+      new java.io.File(s"$partialsBase/g$g")
+    }
+    val files = liveGenDir().listFiles()
       .filter(_.getName.endsWith(".parquet")).sortBy(_.lastModified)
     assert(files.length == 2, s"expected 2 batch partials: ${files.toSeq}")
     val b2rows = spark.read.parquet(files.last.getPath).count()
@@ -1963,9 +1972,17 @@ class PipelineSpec extends AnyFunSuite {
     (4 to 18).foreach { d =>
       run(srcI, storeI, "aggi", f"2024-06-$d%02d 00:00:00")
     }
-    val after = new java.io.File(partials).listFiles()
+    val after = liveGenDir().listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(after <= 2, s"store did not compact: $after files")
+    // the swap repointed the marker to a NEW generation and dropped the
+    // superseded one — exactly one generation dir survives
+    assert(liveGenDir().getName != "g0", "compaction did not advance " +
+      "the generation marker")
+    val gens = new java.io.File(partialsBase).listFiles()
+      .filter(_.getName.startsWith("g")).map(_.getName).toSeq
+    assert(gens == Seq(liveGenDir().getName),
+      s"superseded generations not swept: $gens")
     assert(mart("aggi") == m3, "compaction changed the published mart")
   }
 
@@ -2023,6 +2040,33 @@ class PipelineSpec extends AnyFunSuite {
         .run(ConfigLoader.load(spark, src))
     }
     assert(boom.getMessage.contains("STAR-only"), boom.getMessage)
+  }
+
+  test("incremental join mart guards: a dim NOT unique on its join " +
+      "keys (1:N fan-out) fails loud") {
+    // the dim is PK-unique (s_id) but joined on a NON-unique column
+    // (s_cat) — the fact-PK-keyed row store would silently keep one
+    // survivor of each fan-out, diverging from the full recompute
+    val src = tmpDir("martu-src"); val store = tmpDir("martu-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"mode": "incremental",
+        |    "join": [{"entity": "stores", "on": "category = s_cat"}]}
+        |},
+        |"stores": {"raw_file_format": "parquet",
+        |           "unique_primary_key": ["s_id"]}}""".stripMargin)
+    Seq((1L, "x")).toDF("sale_id", "category")
+      .write.parquet(s"$src/sales")
+    Seq((10L, "x", "a"), (11L, "x", "b")).toDF("s_id", "s_cat", "s_name")
+      .write.parquet(s"$src/stores")
+    val boom = intercept[IllegalArgumentException] {
+      mkRunner(src, store, "2024-05-01 00:00:00", catalog = "martu")._1
+        .run(ConfigLoader.load(spark, src))
+    }
+    assert(boom.getMessage.contains("NOT unique"), boom.getMessage)
+    assert(boom.getMessage.contains("s_cat"), boom.getMessage)
   }
 
   test("incremental gold suffix state: LSH layout change fails loud and " +
