@@ -96,6 +96,42 @@ object RelQueries {
         periodUs = 86400000000L, seasonLen = 7, trendWindow = 7)
     }),
 
+    // -- [EXT]: Holt double exponential smoothing (α=.3, β=.2) — the
+    //    trend-aware forecaster the flat smoother lags by design;
+    //    exact floored micro recurrence (floor, not truncate — trends
+    //    go negative), dense day spine
+    "q_holt" -> ((s, dir) => {
+      graft.ops.TimeSeries.holt(events(s, dir), "ts_us",
+        periodUs = 86400000000L, alphaX1e6 = 300000L,
+        betaX1e6 = 200000L)
+        .orderBy(col("period"))
+    }),
+
+    // -- [EXT]: one-step-ahead backtest of the α=.3 smoother —
+    //    MAE/RMSE vs the naive last-value baseline and the MASE ratio,
+    //    exact micros off the replayable recurrence (Σe² rides the
+    //    int128 product sum)
+    "q_forecast_eval" -> ((s, dir) => {
+      graft.ops.TimeSeries.forecastEval(events(s, dir), "ts_us",
+        periodUs = 86400000000L, alphaX1e6 = 300000L)
+    }),
+
+    // -- [EXT]: seasonal-residual anomaly flags — |residual| > 3× the
+    //    MAD-style lower-median scale over the 7-day decomposition;
+    //    exact integers end-to-end
+    "q_seasonal_anomaly" -> ((s, dir) => {
+      graft.ops.TimeSeries.seasonalAnomaly(events(s, dir), "ts_us",
+        periodUs = 86400000000L, kX1e6 = 3000000L)
+    }),
+
+    // -- [EXT]: Poisson-bootstrap 95% CI for the mean event value —
+    //    200 hash-seeded deterministic resamples, replicate means as
+    //    exact floored micros, CI = the 2.5%/97.5% order statistics
+    "q_bootstrap_ci" -> ((s, dir) => {
+      graft.analytics.Experiment.bootstrapCi(events(s, dir),
+        "event_id", "value", replicas = 200)
+    }),
+
     // -- [EXT]: RFM segmentation — per-user recency/frequency/monetary
     //    quintile codes via rank-arithmetic ntile (skew-safe ranks)
     "q_rfm" -> ((s, dir) => {
@@ -1212,6 +1248,15 @@ object RelQueries {
         .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
     }),
 
+    // -- [EXT]: item-item collaborative similarity — "bought X also
+    //    bought Y" top-5 neighbors per part by binary-cosine over
+    //    order baskets (exact counts; one IEEE mul/sqrt/div)
+    "q_item_sim" -> ((s, dir) => {
+      graft.analytics.Association.itemSimilarityTopK(
+          t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          k = 5, minSupport = 2L)
+    }),
+
     // -- [EXT]: triangle census over the co-purchase item graph —
     //    degree-oriented wedge counting (each triangle closed exactly
     //    once from its minimal member; out-degrees capped at O(√m), so
@@ -1594,6 +1639,37 @@ object RelQueries {
         |FROM p JOIN ic ia ON a = ia.it JOIN ic ib ON b2 = ib.it
         |CROSS JOIN nb
         |ORDER BY n_ab DESC, item_a, item_b""".stripMargin,
+
+    // same pair table symmetrized; cosine replayed with the identical
+    // IEEE mul/sqrt/div sequence on exact integer inputs, top-5 by the
+    // total (cos desc, neighbor asc) tie order
+    "q_item_sim" ->
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
+        |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
+        |p AS (SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
+        |      FROM bb x JOIN bb y ON x.bk = y.bk AND x.it < y.it
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |ic AS (SELECT it, count(*) AS n FROM bb GROUP BY 1),
+        |co AS (SELECT a, b2, n_ab, ia.n AS n_a, ib.n AS n_b
+        |       FROM p JOIN ic ia ON a = ia.it JOIN ic ib ON b2 = ib.it),
+        |sym AS (SELECT a, b2, n_ab, n_a, n_b FROM co
+        |        UNION ALL
+        |        SELECT b2, a, n_ab, n_b, n_a FROM co),
+        |r AS (SELECT a, b2, n_ab,
+        |        CAST(floor(CAST(n_ab AS DOUBLE) * 1000000
+        |          / sqrt(CAST(n_a * n_b AS DOUBLE))) AS BIGINT)
+        |          AS cos_x1e6
+        |      FROM sym),
+        |rk AS (SELECT a, b2, n_ab, cos_x1e6,
+        |        row_number() OVER (PARTITION BY a
+        |          ORDER BY cos_x1e6 DESC, b2 ASC) AS rank
+        |       FROM r)
+        |SELECT a AS item, b2 AS neighbor, n_ab, cos_x1e6,
+        |  CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5
+        |ORDER BY item, rank""".stripMargin,
 
     // edges = the q_copurchase pair table (support >= 2 under the same
     // basket guard); triangles enumerated directly as sorted triples
@@ -2767,6 +2843,197 @@ object RelQueries {
         |  CAST(detr - seasonal_x1e6 AS BIGINT) AS resid_x1e6
         |FROM dt LEFT JOIN sa USING (pos)
         |ORDER BY period""".stripMargin,
+
+    // the coupled level/trend floor recurrence replayed via a recursive
+    // CTE; the nested derived tables compute l_i once and feed it into
+    // b_i, each floor spelled out with the negative-remainder
+    // adjustment (DuckDB // truncates toward zero — Fixed.ldiv's doc)
+    "q_holt" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+        |  (SELECT hi FROM b))) AS period),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n,
+        |        row_number() OVER (ORDER BY spine.period) AS i
+        |      FROM spine LEFT JOIN c USING (period)),
+        |x2 AS (SELECT CAST(n AS HUGEINT) * 1000000 AS v
+        |       FROM d WHERE i = 2),
+        |r AS (
+        |  SELECT i, period, n,
+        |    CAST(n AS HUGEINT) * 1000000 AS l,
+        |    COALESCE((SELECT v FROM x2),
+        |      CAST(n AS HUGEINT) * 1000000)
+        |      - CAST(n AS HUGEINT) * 1000000 AS t
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT i, period, n, lnew,
+        |    CASE WHEN numt % 1000000 <> 0 AND numt < 0
+        |      THEN numt // 1000000 - 1 ELSE numt // 1000000 END
+        |  FROM (
+        |    SELECT i, period, n, lnew,
+        |      200000 * (lnew - lprev) + 800000 * tprev AS numt
+        |    FROM (
+        |      SELECT i, period, n, lprev, tprev,
+        |        CASE WHEN numl % 1000000 <> 0 AND numl < 0
+        |          THEN numl // 1000000 - 1
+        |          ELSE numl // 1000000 END AS lnew
+        |      FROM (
+        |        SELECT d.i AS i, d.period AS period, d.n AS n,
+        |          r.l AS lprev, r.t AS tprev,
+        |          300000 * (CAST(d.n AS HUGEINT) * 1000000)
+        |            + 700000 * (r.l + r.t) AS numl
+        |        FROM r JOIN d ON d.i = r.i + 1) s1) s2) s3)
+        |SELECT period, n, CAST(l AS BIGINT) AS level_x1e6,
+        |  CAST(t AS BIGINT) AS trend_x1e6,
+        |  CAST(l + t AS BIGINT) AS forecast_x1e6
+        |FROM r ORDER BY period""".stripMargin,
+
+    // the q_expsmooth recurrence, then one-step-ahead errors via LAG;
+    // Σ|e| and Σe² in HUGEINT (Int128Sum/Int128SumProd engine-side),
+    // non-negative floor divisions, one IEEE sqrt
+    "q_forecast_eval" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+        |  (SELECT hi FROM b))) AS period),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n,
+        |        row_number() OVER (ORDER BY spine.period) AS i
+        |      FROM spine LEFT JOIN c USING (period)),
+        |r AS (
+        |  SELECT i, period, n, CAST(n AS HUGEINT) * 1000000 AS s
+        |  FROM d WHERE i = 1
+        |  UNION ALL
+        |  SELECT d.i, d.period, d.n,
+        |    (300000 * (CAST(d.n AS HUGEINT) * 1000000)
+        |      + 700000 * r.s) // 1000000
+        |  FROM r JOIN d ON d.i = r.i + 1),
+        |e AS (SELECT
+        |        CAST(n AS HUGEINT) * 1000000
+        |          - lag(s) OVER (ORDER BY period) AS e,
+        |        CAST(n AS HUGEINT) * 1000000
+        |          - lag(CAST(n AS HUGEINT) * 1000000)
+        |            OVER (ORDER BY period) AS en
+        |      FROM r),
+        |f AS (SELECT count(*)::BIGINT AS k,
+        |        SUM(abs(e)) AS sae, SUM(e * e) AS se2,
+        |        SUM(abs(en)) AS saen
+        |      FROM e WHERE e IS NOT NULL)
+        |SELECT k + 1 AS n_periods,
+        |  CASE WHEN k > 0 THEN CAST(sae // k AS BIGINT) END AS mae_x1e6,
+        |  CASE WHEN k > 0 THEN
+        |    CAST(floor(sqrt((se2 // k)::DOUBLE)) AS BIGINT)
+        |  END AS rmse_x1e6,
+        |  CASE WHEN k > 0 THEN CAST(saen // k AS BIGINT)
+        |  END AS mae_naive_x1e6,
+        |  CASE WHEN k > 0 AND saen > 0 THEN
+        |    CAST(((sae // k) * 1000000) // (saen // k) AS BIGINT)
+        |  END AS mase_x1e6
+        |FROM f""".stripMargin,
+
+    // the q_seasonal_daily decomposition, residual rows only, MAD as
+    // the rank-⌊(cnt+1)/2⌋ order statistic of |resid|, exact HUGEINT
+    // threshold compare — no doubles anywhere
+    "q_seasonal_anomaly" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |spine AS (SELECT unnest(generate_series((SELECT lo FROM b),
+        |  (SELECT hi FROM b))) AS period),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n
+        |      FROM spine LEFT JOIN c USING (period)),
+        |t AS (SELECT *,
+        |        CASE WHEN count(*) OVER w = 7
+        |          THEN (sum(n) OVER w * 1000000) // 7 END AS trend_x1e6,
+        |        ((period % 7) + 7) % 7 AS pos
+        |      FROM d WINDOW w AS (ORDER BY period
+        |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, n * 1000000 - trend_x1e6 AS detr FROM t),
+        |s AS (SELECT pos,
+        |        CASE WHEN SUM(detr) % count(*) <> 0 AND SUM(detr) < 0
+        |          THEN SUM(detr) // count(*) - 1
+        |          ELSE SUM(detr) // count(*) END AS smean
+        |      FROM dt WHERE detr IS NOT NULL GROUP BY 1),
+        |ctr AS (SELECT
+        |          CASE WHEN SUM(smean) % count(*) <> 0 AND SUM(smean) < 0
+        |            THEN SUM(smean) // count(*) - 1
+        |            ELSE SUM(smean) // count(*) END AS c0
+        |        FROM s),
+        |sa AS (SELECT pos,
+        |         CAST(smean - (SELECT c0 FROM ctr) AS BIGINT)
+        |           AS seasonal_x1e6
+        |       FROM s),
+        |res AS (SELECT dt.period, dt.n,
+        |          CAST(detr - seasonal_x1e6 AS BIGINT) AS resid_x1e6
+        |        FROM dt LEFT JOIN sa USING (pos)
+        |        WHERE detr - seasonal_x1e6 IS NOT NULL),
+        |m AS (SELECT count(*) AS cnt FROM res),
+        |rk AS (SELECT abs(resid_x1e6) AS ar,
+        |         row_number() OVER (ORDER BY abs(resid_x1e6)) AS rn
+        |       FROM res),
+        |mad AS (SELECT ar AS mad_x1e6 FROM rk
+        |        WHERE rn = ((SELECT cnt FROM m) + 1) // 2)
+        |SELECT res.period, res.n, res.resid_x1e6, mad.mad_x1e6,
+        |  CAST(abs(res.resid_x1e6) AS HUGEINT) * 1000000
+        |    > CAST(mad.mad_x1e6 AS HUGEINT) * 3000000 AS anomaly
+        |FROM res CROSS JOIN mad ORDER BY period""".stripMargin,
+
+    // 200 md5-seeded Poisson(1) resamples (inverse-CDF thresholds are
+    // floor(CDF·1e6) literals), exact floored replicate means, CI =
+    // the ⌈0.025·R⌉/⌈0.975·R⌉ order statistics — all integers
+    "q_bootstrap_ci" ->
+      """WITH f AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS k,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value)),
+        |pt AS (SELECT count(*)::BIGINT AS n,
+        |         CASE WHEN SUM(CAST(vm AS HUGEINT)) % count(*) <> 0
+        |              AND SUM(CAST(vm AS HUGEINT)) < 0
+        |           THEN CAST(SUM(CAST(vm AS HUGEINT)) // count(*) - 1
+        |                AS BIGINT)
+        |           ELSE CAST(SUM(CAST(vm AS HUGEINT)) // count(*)
+        |                AS BIGINT)
+        |         END AS mean_x1e6
+        |       FROM f),
+        |x AS (SELECT g.r, f.vm,
+        |        ('0x' || substr(md5('boot:' || g.r || ':' || f.k),
+        |          1, 12))::BIGINT % 1000000 AS u
+        |      FROM f CROSS JOIN
+        |        (SELECT unnest(generate_series(1, 200)) AS r) g),
+        |wgt AS (SELECT r, vm,
+        |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |              WHEN u < 999916 THEN 6 ELSE 7 END AS w
+        |        FROM x),
+        |rm AS (SELECT r, SUM(CAST(w AS HUGEINT) * vm) AS swv,
+        |         SUM(w)::BIGINT AS sw
+        |       FROM wgt GROUP BY r HAVING SUM(w) > 0),
+        |means AS (SELECT CASE WHEN swv % sw <> 0 AND swv < 0
+        |            THEN CAST(swv // sw - 1 AS BIGINT)
+        |            ELSE CAST(swv // sw AS BIGINT) END AS m
+        |          FROM rm),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+        |         count(*) OVER () AS cnt FROM means),
+        |ci AS (SELECT
+        |         max(CASE WHEN rn = (cnt * 25 + 999) // 1000
+        |           THEN m END) AS ci_lo_x1e6,
+        |         max(CASE WHEN rn = (cnt * 975 + 999) // 1000
+        |           THEN m END) AS ci_hi_x1e6,
+        |         count(*)::BIGINT AS n_replicas
+        |       FROM rk)
+        |SELECT pt.n, pt.mean_x1e6, ci.n_replicas,
+        |  ci.ci_lo_x1e6, ci.ci_hi_x1e6
+        |FROM pt CROSS JOIN ci""".stripMargin,
 
     // rank-arithmetic ntile: score = q − (q·(rank−1)) // n over the
     // DESC rank with user-id tie-break — all-integer output

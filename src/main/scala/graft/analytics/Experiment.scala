@@ -455,4 +455,82 @@ object Experiment {
       .withColumn("reject", col("p_adj_x1e6") <= lit(alphaX1e6))
       .orderBy(col("rank"))
   }
+
+  /** POISSON-BOOTSTRAP percentile CI for a mean — the
+    * distribution-free uncertainty interval the closed-form tests
+    * can't give (heavy-tailed revenue, ratio metrics): each of
+    * `replicas` resamples draws every row with an independent
+    * Poisson(1)-distributed multiplicity (the streaming-friendly
+    * bootstrap — no global resample pass, one weight per (row,
+    * replica)), and the CI is the 2.5 %/97.5 % order statistics of the
+    * replicate means. ONE output row: (`n`, `mean_x1e6`,
+    * `n_replicas`, `ci_lo_x1e6`, `ci_hi_x1e6`).
+    *
+    * Determinism: the multiplicity is the Poisson(1) inverse CDF
+    * looked up at u = md5("boot:" ‖ replica ‖ ":" ‖ key) mod 10⁶ —
+    * thresholds are ⌊CDF·10⁶⌋ literals (367879 = ⌊e⁻¹·10⁶⌋, …,
+    * capped at 7), so any engine with md5 replays the exact weights
+    * (the `q_stable_split` hash-seeded discipline; keys must be
+    * unique for iid weights). Replicate means are exact floored
+    * micros ([[graft.functions.Int128SumProd]] for Σw·v —
+    * per-row products never wrap); CI bounds are the
+    * rank-⌈0.025·R⌉ / rank-⌈0.975·R⌉ order statistics — no
+    * interpolation, no doubles anywhere.
+    *
+    * Shape: the R-fold row inflation collapses in the map-side
+    * combine of one (replica)-keyed aggregate — the shuffle carries
+    * R×partials, never R×rows; the R-row replicate table rides a
+    * single-partition rank (R is a bounded knob, not data). Work is
+    * R passes over the scan — the inherent bootstrap cost, linear
+    * and embarrassingly parallel at any scale. */
+  def bootstrapCi(df: DataFrame, keyCol: String, metricCol: String,
+      replicas: Int = 200): DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    require(replicas >= 40,
+      s"replicas must be >= 40 (percentile CI needs tail mass), " +
+        s"got $replicas")
+    val y = col(s"`$metricCol`").cast("double")
+    val base = df.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity))
+      .select(col(s"`$keyCol`").cast("string").as("_k"),
+        floor(y * lit(1e6)).as("_vm"))
+    val point = base.agg(count(lit(1)).as("n"),
+      graft.ops.Fixed.ldiv(int128Sum(col("_vm")), count(lit(1)))
+        .as("mean_x1e6"))
+    // Poisson(1) inverse CDF at micro resolution (floor(CDF*1e6))
+    val u = conv(substring(
+      md5(concat(lit("boot:"), col("_r").cast("string"), lit(":"),
+        col("_k"))), 1, 12), 16, 10).cast("long") % lit(1000000L)
+    val wgt = when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 981011L, 3L)
+      .when(u < 996340L, 4L).when(u < 999405L, 5L)
+      .when(u < 999916L, 6L).otherwise(7L)
+    val reps = base
+      .withColumn("_r", explode(sequence(lit(1), lit(replicas))))
+      .withColumn("_w", wgt)
+      .groupBy(col("_r"))
+      .agg(int128SumProd(col("_w"), col("_vm")).as("_swv"),
+        sum(col("_w")).as("_sw"))
+      .filter(col("_sw") > 0L)
+      .select(graft.ops.Fixed.ldiv(col("_swv"), col("_sw")).as("_rm"))
+    // R-row table: the single-partition rank is bounded by the knob
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_rm"))
+    val ci = reps
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .agg(
+        max(when(col("_rn") === graft.ops.Fixed.ldiv(
+          col("_cnt") * 25L + 999L, lit(1000L)), col("_rm")))
+          .as("ci_lo_x1e6"),
+        max(when(col("_rn") === graft.ops.Fixed.ldiv(
+          col("_cnt") * 975L + 999L, lit(1000L)), col("_rm")))
+          .as("ci_hi_x1e6"),
+        count(lit(1)).as("n_replicas"))
+    point.crossJoin(ci)
+      .select(col("n"), col("mean_x1e6"), col("n_replicas"),
+        col("ci_lo_x1e6"), col("ci_hi_x1e6"))
+  }
 }

@@ -60,6 +60,42 @@ class AssociationSpec extends AnyFunSuite {
       Association.coOccurrence(baskets, "bk", "it").collect().toSet)
   }
 
+  test("itemSimilarityTopK: hand-computed binary cosine, symmetric " +
+      "directions, tie broken by neighbor order, k prunes") {
+    // n_p=3 n_q=3 n_r=2; n_pq=2 n_pr=2 n_qr=1
+    // cos(p,q) = ⌊2e6/3⌋ = 666666; cos(p,r) = ⌊2e6/√6⌋ = 816496;
+    // cos(q,r) = ⌊1e6/√6⌋ = 408248
+    val k2 = Association.itemSimilarityTopK(baskets, "bk", "it", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    assert(k2 == Seq(
+      ("p", "r", 2L, 816496L, 1), ("p", "q", 2L, 666666L, 2),
+      ("q", "p", 2L, 666666L, 1), ("q", "r", 1L, 408248L, 2),
+      ("r", "p", 2L, 816496L, 1), ("r", "q", 1L, 408248L, 2)))
+    // k=1 keeps only each item's best neighbor
+    val k1 = Association.itemSimilarityTopK(baskets, "bk", "it", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(k1 == Seq(("p", "r"), ("q", "p"), ("r", "p")))
+    // equal cosines: the (cos desc, neighbor asc) total order picks the
+    // lexicographically smaller neighbor — 1:{a,b} 2:{a,c} gives
+    // cos(a,b) = cos(a,c) = ⌊1e6/√2⌋ = 707106
+    val tie = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "c"))
+      .toDF("bk", "it")
+    val t1 = Association.itemSimilarityTopK(tie, "bk", "it", k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSeq
+    assert(t1 == Seq(("a", "b", 707106L), ("b", "a", 707106L),
+      ("c", "a", 707106L)))
+    // minSupport drops the qr pair from BOTH directions
+    val ms = Association.itemSimilarityTopK(baskets, "bk", "it", k = 5,
+      minSupport = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ms == Set(("p", "q"), ("p", "r"), ("q", "p"), ("r", "p")))
+    intercept[IllegalArgumentException] {
+      Association.itemSimilarityTopK(baskets, "bk", "it", k = 0)
+    }
+  }
+
   test("plan: no cartesian product; the basket self-join reuses one exchange") {
     val df = spark.range(2000).select((col("id") % 500).as("bk"),
       concat(lit("i"), col("id") % 37).as("it"))

@@ -495,6 +495,39 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapCi: exact point mean, degenerate CI on constant data, " +
+      "bracketing on mixed data, determinism, dirty-row filter, bounds") {
+    import graft.analytics.Experiment
+    // constant metric: EVERY surviving replicate mean is exactly the
+    // constant, so the percentile CI collapses onto the point estimate
+    val const = (1 to 60).map(i => (s"u$i", 5.0)).toDF("uid", "y")
+    val rc = Experiment.bootstrapCi(const, "uid", "y").collect().head
+    assert((rc.getLong(0), rc.getLong(1)) == (60L, 5000000L))
+    assert(rc.getLong(2) == 200L) // P(a replica draws 60 zero weights) ~ e^-60
+    assert(rc.getLong(3) == 5000000L && rc.getLong(4) == 5000000L)
+    // mixed data: CI is ordered, brackets the mean, and stays within
+    // the data range (replicate means are convex combinations)
+    val mixed = (1 to 40).map(i => (s"u$i", if (i % 2 == 0) 10.0 else 0.0))
+      .toDF("uid", "y")
+    val rm = Experiment.bootstrapCi(mixed, "uid", "y").collect().head
+    assert(rm.getLong(1) == 5000000L)
+    val (lo, hi) = (rm.getLong(3), rm.getLong(4))
+    assert(lo <= 5000000L && 5000000L <= hi && lo < hi)
+    assert(lo >= 0L && hi <= 10000000L)
+    // hash-seeded ⇒ bit-identical on a re-run
+    val rm2 = Experiment.bootstrapCi(mixed, "uid", "y").collect().head
+    assert(rm.toSeq == rm2.toSeq)
+    // null/NaN/Inf metric rows are filtered before everything
+    val dirty = mixed.union(Seq(("d1", Double.NaN), ("d2",
+      Double.PositiveInfinity)).toDF("uid", "y"))
+      .union(Seq(("d3", Option.empty[Double])).toDF("uid", "y"))
+    val rd = Experiment.bootstrapCi(dirty, "uid", "y").collect().head
+    assert(rd.toSeq == rm.toSeq)
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapCi(mixed, "uid", "y", replicas = 39)
+    }
+  }
+
   test("ltvCurve: exact micro revenue, cumulative across sparse offsets, " +
       "per-member floor division, null-value events cohort but don't pay") {
     val day = 86400000000L

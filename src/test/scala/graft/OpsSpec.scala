@@ -482,6 +482,120 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TimeSeries.holt: hand-traced level/trend recurrence, classical " +
+      "init, negative trend, parameter bounds") {
+    // counts 4, 8, 8 at α = β = .5: l₁=4e6, b₁ = x₂−x₁ = 4e6;
+    // i=2: l = (.5·8e6 + .5·(4e6+4e6)) = 8e6, b = (.5·4e6 + .5·4e6) = 4e6;
+    // i=3: l = (.5·8e6 + .5·12e6) = 10e6, b = (.5·2e6 + .5·4e6) = 3e6
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(8)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val out = graft.ops.TimeSeries.holt(ev, "ts_us", periodUs = 1L,
+      alphaX1e6 = 500000L, betaX1e6 = 500000L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (0L, 4L, 4000000L, 4000000L, 8000000L),
+      (1L, 8L, 8000000L, 4000000L, 12000000L),
+      (2L, 8L, 10000000L, 3000000L, 13000000L)))
+    // decreasing series keeps an exact NEGATIVE trend: counts 7, 4, 2
+    // at α=.3, β=.2: b₁=−3e6; i=2: l=4e6, b=−3e6; i=3: l+b=1e6 ⇒
+    // l = (.3·2e6 + .7·1e6) = 1.3e6, b = (.2·(1.3e6−4e6) + .8·(−3e6))
+    //   = −2.94e6; forecast = −1.64e6 (goes negative — floor, not trunc)
+    val dn = (Seq.fill(7)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(2)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val d = graft.ops.TimeSeries.holt(dn, "ts_us", 1L, 300000L, 200000L)
+      .collect()
+    assert(d.map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq((7000000L, -3000000L, 4000000L),
+        (4000000L, -3000000L, 1000000L),
+        (1300000L, -2940000L, -1640000L)))
+    // a 1-period spine gets b₁ = 0
+    val one = Seq.fill(3)(0L).map(Tuple1(_)).toDF("ts_us")
+    val o = graft.ops.TimeSeries.holt(one, "ts_us", 1L, 500000L, 500000L)
+      .collect()
+    assert(o.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((3000000L, 0L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holt(ev, "ts_us", 1L, 0L, 500000L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holt(ev, "ts_us", 1L, 500000L, 1000001L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holt(ev, "ts_us", 1L, 500000L, 500000L,
+        maxSteps = 2)
+    }
+  }
+
+  test("TimeSeries.forecastEval: hand-traced MAE/RMSE/MASE, α=1 " +
+      "equals naive, constant series NULL MASE, short spine NULLs") {
+    // counts 4, 8, 8 at α=.5 ⇒ s = 4e6, 6e6, 7e6 (exponentialSmooth
+    // spec); model errors |8e6−4e6|, |8e6−6e6| ⇒ mae = 3e6,
+    // rmse = ⌊√((16e12+4e12)//2)⌋ = ⌊√1e13⌋ = 3162277;
+    // naive errors 4e6, 0 ⇒ mae_naive = 2e6, mase = 1.5e6
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(8)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val r = graft.ops.TimeSeries.forecastEval(ev, "ts_us", 1L,
+      alphaX1e6 = 500000L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (3L, 3000000L, 3162277L, 2000000L, 1500000L))
+    // α = 1: the smoother IS the naive forecaster ⇒ mase = 1e6 exactly
+    val r1 = graft.ops.TimeSeries.forecastEval(ev, "ts_us", 1L,
+      1000000L).collect().head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(4)) ==
+      (2000000L, 2828427L, 1000000L))
+    // constant series: zero naive error ⇒ MASE NULL (nothing to beat)
+    val const = (Seq.fill(5)(0L) ++ Seq.fill(5)(1L) ++ Seq.fill(5)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val rc = graft.ops.TimeSeries.forecastEval(const, "ts_us", 1L,
+      500000L).collect().head
+    assert((rc.getLong(1), rc.getLong(2)) == (0L, 0L) && rc.isNullAt(4))
+    // a 1-period spine has no one-step-ahead pairs at all
+    val one = Seq.fill(3)(0L).map(Tuple1(_)).toDF("ts_us")
+    val ro = graft.ops.TimeSeries.forecastEval(one, "ts_us", 1L,
+      500000L).collect().head
+    assert(ro.getLong(0) == 1L && ro.isNullAt(1) && ro.isNullAt(2) &&
+      ro.isNullAt(3) && ro.isNullAt(4))
+  }
+
+  test("TimeSeries.seasonalAnomaly: lower-median MAD over the " +
+      "decomposition residuals, exact threshold compare, spike flagged") {
+    // the seasonalDecompose spec's series: dense n = [2,4,0,6],
+    // residuals both −666667 ⇒ MAD = 666667 (rank ⌊(2+1)/2⌋ = 1).
+    // k=3: |r|·1e6 = 666667·1e6 ≤ 666667·3e6 ⇒ nothing flagged;
+    // k=0.999999: 666667·1e6 > 666667·999999 ⇒ both flagged
+    val ev = (Seq.fill(2)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(6)(3L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val r3 = graft.ops.TimeSeries.seasonalAnomaly(ev, "ts_us", 1L,
+      kX1e6 = 3000000L, seasonLen = 2, trendWindow = 3).collect()
+    assert(r3.map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+      r.getBoolean(4))).toSeq == Seq(
+      (1L, -666667L, 666667L, false), (2L, -666667L, 666667L, false)))
+    val rT = graft.ops.TimeSeries.seasonalAnomaly(ev, "ts_us", 1L,
+      kX1e6 = 999999L, seasonLen = 2, trendWindow = 3).collect()
+    assert(rT.map(_.getBoolean(4)).toSeq == Seq(true, true))
+    // a spike stands out of a flat background: the flagged set is
+    // exactly the periods whose |resid| exceeds k×(recomputed lower
+    // median), and the MAD column matches that recomputation
+    val spike = ((0 to 20).flatMap(p => Seq.fill(2)(p.toLong)) ++
+      Seq.fill(200)(10L)).map(Tuple1(_)).toDF("ts_us")
+    val dec = graft.ops.TimeSeries.seasonalDecompose(spike, "ts_us", 1L,
+      seasonLen = 2, trendWindow = 3).collect()
+      .filter(!_.isNullAt(4)).map(r => r.getLong(0) -> r.getLong(4))
+    val mags = dec.map(x => math.abs(x._2)).sorted
+    val mad = mags((mags.length + 1) / 2 - 1)
+    val expect = dec.filter { case (_, res) =>
+      BigInt(math.abs(res)) * 1000000L > BigInt(mad) * 3000000L
+    }.map(_._1).toSet
+    val rs = graft.ops.TimeSeries.seasonalAnomaly(spike, "ts_us", 1L,
+      kX1e6 = 3000000L, seasonLen = 2, trendWindow = 3).collect()
+    assert(rs.forall(_.getLong(3) == mad))
+    assert(rs.filter(_.getBoolean(4)).map(_.getLong(0)).toSet == expect)
+    assert(expect.nonEmpty) // the spike period actually trips the gate
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.seasonalAnomaly(ev, "ts_us", 1L, 0L)
+    }
+  }
+
   test("Robust.robustZ: hand-computed MAD z; zero-MAD stratum -> NULL; " +
       "approx path tracks exact") {
     import graft.ops.Robust
