@@ -132,6 +132,31 @@ object RelQueries {
         "event_id", "value", replicas = 200)
     }),
 
+    // -- [EXT]: autocorrelation function, lags 1..7 — the seasonality
+    //    detector (a lag-7 spike = weekly cycle) feeding
+    //    seasonalDecompose's seasonLen; exact integer deviations,
+    //    int128 product sums, one decimal floor per lag
+    "q_acf" -> ((s, dir) => {
+      graft.ops.TimeSeries.acf(events(s, dir), "ts_us",
+        periodUs = 86400000000L, maxLag = 7)
+    }),
+
+    // -- [EXT]: Theil–Sen robust trend — lower-median pairwise slope +
+    //    intercept over the dense day spine (outlier-proof vs OLS);
+    //    grid-bounded pairs, skew-safe global-rank medians
+    "q_theilsen" -> ((s, dir) => {
+      graft.ops.TimeSeries.theilSen(events(s, dir), "ts_us",
+        periodUs = 86400000000L)
+    }),
+
+    // -- [EXT]: Mann–Kendall trend test — tie-corrected S/Var(S) and
+    //    the continuity-corrected z, the significance companion to
+    //    q_theilsen; exact longs + one IEEE div/sqrt/div chain
+    "q_mk_trend" -> ((s, dir) => {
+      graft.ops.TimeSeries.mannKendall(events(s, dir), "ts_us",
+        periodUs = 86400000000L)
+    }),
+
     // -- [EXT]: RFM segmentation — per-user recency/frequency/monetary
     //    quintile codes via rank-arithmetic ntile (skew-safe ranks)
     "q_rfm" -> ((s, dir) => {
@@ -1075,6 +1100,23 @@ object RelQueries {
           t(s, dir, "events").withColumn("score", score),
           col("event_type") === "purchase", "score", bins = 10)
         .orderBy(col("bin"))
+    }),
+
+    // -- [EXT]: MRR@10 + HitRate@10 per variant — first-relevant-rank
+    //    retrieval eval over per-user rankings (query = user, relevant
+    //    = purchase, deterministic md5 score, event_id tie-break);
+    //    exact ⌊10⁶/rank⌋ terms, no doubles anywhere
+    "q_mrr" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("mrr:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.mrrByGroup(
+          t(s, dir, "events")
+            .withColumn("variant", col("user_id") % 2)
+            .withColumn("score", score),
+          Seq("variant"), Seq("user_id"),
+          col("event_type") === "purchase", "score", "event_id", k = 10)
+        .orderBy(col("variant"))
     }),
 
     // -- [EXT]: A/B experiment readout — two-proportion z-test on
@@ -2538,6 +2580,32 @@ object RelQueries {
         |  round(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate
         |FROM g ORDER BY bin""".stripMargin,
 
+    // per-(variant,user) rankings under the same md5 score + event_id
+    // tie-break; RR terms as exact 1000000 // first_rank (non-negative
+    // => // is the floor), HUGEINT-safe sums, floor-divided means
+    "q_mrr" ->
+      """WITH base AS (
+        |  SELECT user_id % 2 AS variant, user_id,
+        |    event_type = 'purchase' AS y, event_id,
+        |    (('0x' || substr(md5('mrr:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |r AS (SELECT variant, user_id, y,
+        |        row_number() OVER (PARTITION BY variant, user_id
+        |          ORDER BY s DESC, event_id ASC) AS k
+        |      FROM base),
+        |q AS (SELECT variant, user_id,
+        |        min(CASE WHEN y AND k <= 10 THEN k END) AS fr
+        |      FROM r GROUP BY 1, 2),
+        |g AS (SELECT variant, count(*) AS n_queries,
+        |        count(fr) AS n_hit,
+        |        COALESCE(sum(1000000 // fr), 0) AS srr
+        |      FROM q GROUP BY 1)
+        |SELECT variant, n_queries, n_hit,
+        |  CAST(srr // n_queries AS BIGINT) AS mrr_x1e6,
+        |  (n_hit * 1000000) // n_queries AS hit_rate_x1e6
+        |FROM g ORDER BY variant""".stripMargin,
+
     // pooled two-proportion z via ONE conditional aggregation (the same
     // always-one-row shape as the operator: an all-one-variant log
     // yields zero counts + NULL rate/z, never an empty result); the
@@ -2890,6 +2958,110 @@ object RelQueries {
         |  CAST(t AS BIGINT) AS trend_x1e6,
         |  CAST(l + t AS BIGINT) AS forecast_x1e6
         |FROM r ORDER BY period""".stripMargin,
+
+    // dense spine, one non-negative floor mean, HUGEINT deviation
+    // products, and per-lag floored ratios with the explicit
+    // negative-remainder adjustment (num can be negative)
+    "q_acf" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |d0 AS (SELECT spine.period, COALESCE(c.n, 0) AS n
+        |       FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+        |         (SELECT hi FROM b))) AS period) spine
+        |       LEFT JOIN c USING (period)),
+        |s AS (SELECT count(*) AS cnt,
+        |        sum(CAST(n AS HUGEINT)) AS sx FROM d0),
+        |m AS (SELECT (sx * 1000000) // cnt AS mu FROM s),
+        |d AS (SELECT period,
+        |        CAST(n AS HUGEINT) * 1000000 - (SELECT mu FROM m) AS dv
+        |      FROM d0),
+        |den AS (SELECT sum(dv * dv) AS den FROM d),
+        |pr AS (SELECT l.lag, count(*) AS n_pairs,
+        |         sum(a.dv * b2.dv) AS num
+        |       FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |       CROSS JOIN d a
+        |       JOIN d b2 ON a.period = b2.period + l.lag
+        |       GROUP BY 1)
+        |SELECT lag, n_pairs,
+        |  CASE WHEN (SELECT den FROM den) > 0 THEN
+        |    CAST(CASE WHEN (num * 1000000) % (SELECT den FROM den) <> 0
+        |           AND num < 0
+        |      THEN (num * 1000000) // (SELECT den FROM den) - 1
+        |      ELSE (num * 1000000) // (SELECT den FROM den) END
+        |      AS BIGINT) END AS acf_x1e6
+        |FROM pr ORDER BY lag""".stripMargin,
+
+    // grid-bounded pair slopes with the explicit floor adjustment,
+    // lower-median order statistics for slope AND intercept
+    "q_theilsen" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n
+        |      FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+        |        (SELECT hi FROM b))) AS period) spine
+        |      LEFT JOIN c USING (period)),
+        |pr AS (SELECT a.period AS pa, b2.period AS pb,
+        |         CASE WHEN ((b2.n - a.n) * 1000000)
+        |                % (b2.period - a.period) <> 0
+        |             AND (b2.n - a.n) < 0
+        |           THEN ((b2.n - a.n) * 1000000)
+        |                // (b2.period - a.period) - 1
+        |           ELSE ((b2.n - a.n) * 1000000)
+        |                // (b2.period - a.period) END AS slope
+        |       FROM d a JOIN d b2 ON a.period < b2.period),
+        |cnt AS (SELECT count(*) AS m FROM pr),
+        |np AS (SELECT count(*) AS np FROM d),
+        |sl AS (SELECT slope FROM (
+        |         SELECT slope, row_number()
+        |           OVER (ORDER BY slope, pa, pb) AS rn FROM pr)
+        |       WHERE rn = ((SELECT m FROM cnt) + 1) // 2),
+        |icm AS (SELECT icv FROM (
+        |          SELECT icv, row_number() OVER (ORDER BY icv) AS rn
+        |          FROM (SELECT n * 1000000
+        |            - (SELECT slope FROM sl) * period AS icv FROM d))
+        |        WHERE rn = ((SELECT np FROM np) + 1) // 2)
+        |SELECT (SELECT np FROM np) AS n_periods,
+        |  (SELECT m FROM cnt) AS n_pairs,
+        |  CAST((SELECT slope FROM sl) AS BIGINT) AS slope_x1e6,
+        |  CAST((SELECT icv FROM icm) AS BIGINT) AS intercept_x1e6""".stripMargin,
+
+    // exact S + tie-corrected variance numerator; z replays the same
+    // IEEE divide/sqrt/divide chain on exact integer inputs
+    "q_mk_trend" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n
+        |      FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+        |        (SELECT hi FROM b))) AS period) spine
+        |      LEFT JOIN c USING (period)),
+        |s AS (SELECT COALESCE(CAST(sum(sign(b2.n - a.n)) AS BIGINT), 0)
+        |        AS s_stat
+        |      FROM d a JOIN d b2 ON a.period < b2.period),
+        |np AS (SELECT count(*) AS np FROM d),
+        |ties AS (SELECT COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |           AS tie
+        |         FROM (SELECT count(*) AS t FROM d GROUP BY n)),
+        |v AS (SELECT (SELECT np FROM np) * ((SELECT np FROM np) - 1)
+        |        * (2 * (SELECT np FROM np) + 5)
+        |        - (SELECT tie FROM ties) AS var18)
+        |SELECT (SELECT np FROM np) AS n_periods, s_stat,
+        |  CAST((SELECT var18 FROM v) AS BIGINT) AS var_s_num18,
+        |  CASE WHEN (SELECT var18 FROM v) > 0 THEN
+        |    CAST(floor(
+        |      (CASE WHEN s_stat > 0 THEN s_stat - 1
+        |            WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END)
+        |      / sqrt((SELECT var18 FROM v) / 18.0) * 1000000)
+        |      AS BIGINT) END AS z_x1e6
+        |FROM s""".stripMargin,
 
     // the q_expsmooth recurrence, then one-step-ahead errors via LAG;
     // Σ|e| and Σe² in HUGEINT (Int128Sum/Int128SumProd engine-side),

@@ -114,6 +114,59 @@ object Evaluation {
             / (lit(1e6) * col("n_pos").cast("double")), 6)).as("ap")): _*)
   }
 
+  /** MRR@k + HitRate@k per group — the first-relevant-result metrics
+    * of retrieval eval (RAG chunk retrieval, search suggest): each
+    * (group, query) ranking contributes RR = 1/rank of its FIRST
+    * relevant item within the top `k` (0 when none — the standard
+    * mean-over-all-queries convention, not mean-over-hits), and the
+    * group aggregates queries. One row per group: (`n_queries`,
+    * `n_hit`, `mrr_x1e6` = ⌊ΣRR·10⁶ / n_queries⌋, `hit_rate_x1e6`).
+    * Rows with NULL score or label drop; a query with no rows left
+    * contributes nothing.
+    *
+    * Exactness: each RR enters as the exact integer ⌊10⁶/rank⌋
+    * ([[graft.ops.Fixed.ldiv]]), sums ride
+    * [[graft.functions.Int128Sum]], and both output ratios are exact
+    * floor divisions — no doubles anywhere.
+    *
+    * Determinism: score ties break on `idCol` (the family's total-order
+    * discipline), so "first relevant" is reproducible in any engine.
+    *
+    * Shape: one rank window per (group, query) — bounded by candidates
+    * per query, never global — then two map-side-combined hash
+    * aggregates (query level, then group level). The 100 TB cost is
+    * the scan plus one exchange on the query key. */
+  def mrrByGroup(df: DataFrame, groupCols: Seq[String],
+      queryCols: Seq[String], labelCol: Column, scoreCol: String,
+      idCol: String, k: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "mrrByGroup needs at least one group col")
+    require(queryCols.nonEmpty, "mrrByGroup needs at least one query col")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gc = groupCols.map(c => col(s"`$c`"))
+    val qc = queryCols.map(c => col(s"`$c`"))
+    val s = col(s"`$scoreCol`").cast("double")
+    val base = df.filter(s.isNotNull && labelCol.isNotNull)
+      .select(gc ++ qc ++ Seq(labelCol.cast("boolean").as("_y"),
+        s.as("_s"), col(s"`$idCol`").as("_id")): _*)
+    val w = Window.partitionBy((gc ++ qc): _*)
+      .orderBy(col("_s").desc, col("_id").asc)
+    val perQuery = base
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .groupBy((gc ++ qc): _*)
+      .agg(min(when(col("_y") && col("_k") <= k, col("_k")))
+        .as("_firstRel"))
+    perQuery
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("_firstRel")).as("n_hit"),
+        int128Sum(coalesce(ldiv(lit(1000000L), col("_firstRel")),
+          lit(0L))).as("_srr"))
+      .select(gc ++ Seq(col("n_queries"), col("n_hit"),
+        ldiv(col("_srr"), col("n_queries")).as("mrr_x1e6"),
+        ldiv(col("n_hit") * lit(1000000L), col("n_queries"))
+          .as("hit_rate_x1e6")): _*)
+  }
+
   /** NDCG@k per query — the graded-relevance ranking metric of retrieval
     * eval (search/RAG regression suites): DCG@k = Σᵣ (2^rel − 1)/log₂(r+1)
     * over the score-DESC ranking, normalized by the ideal (rel-DESC)

@@ -422,4 +422,194 @@ object TimeSeries {
           .as("anomaly"))
       .orderBy(col("period"))
   }
+
+  /** The dense (period, n) grid as a DATAFRAME — the distributed twin
+    * of [[denseSpine]] for the pair/lag operators whose math IS
+    * associative (unlike the driver recurrences). */
+  private def denseSpineDF(events: DataFrame, tsUsCol: String,
+      periodUs: Long): DataFrame = {
+    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val counts = events.select(period.as("period"))
+      .groupBy(col("period")).agg(count(lit(1)).as("n"))
+    counts.agg(min(col("period")).as("_lo"), max(col("period")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
+      .join(counts, Seq("period"), "left")
+      .select(col("period"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** AUTOCORRELATION FUNCTION of per-period activity, lags 1..`maxLag`
+    * — the seasonality detector that tells you WHICH `seasonLen` to
+    * hand [[seasonalDecompose]] (the lag-7 spike is the weekly cycle):
+    * over the DENSE period spine (gaps count 0), with dᵢ = xᵢ·10⁶ − μ
+    * and μ = ⌊Σxᵢ·10⁶ / N⌋,
+    *   acf(k) = ⌊Σᵢ dᵢ·dᵢ₋ₖ · 10⁶ / Σᵢ dᵢ²⌋.
+    * One row per lag that has ≥1 pair: (`lag`, `n_pairs`,
+    * `acf_x1e6`), ordered; a constant series (zero variance) yields
+    * NULL acf. acf ∈ [−10⁶, 10⁶] by Cauchy–Schwarz only at lag-full
+    * overlap — the truncated-sum estimator can exceed it slightly;
+    * values are the textbook non-normalized-per-lag form.
+    *
+    * Exactness: integers end-to-end — the mean is a single global
+    * floor, deviation products ride [[graft.functions.Int128SumProd]]
+    * (d can reach ±Σx·10⁶; products need 128 bits), and the final
+    * ratio is one exact decimal floor division ([[Fixed.ldiv]] —
+    * negative-capable). No doubles anywhere.
+    *
+    * Shape: fully DISTRIBUTED (the sums are associative — no driver
+    * chain): one period-keyed count, a spine join, an `explode` of the
+    * ≤`maxLag` shift values, one equi-join back on the shifted period,
+    * and a lag-keyed aggregate; the (μ, Σd²) scalar row broadcasts.
+    * Everything after the count runs at grid×maxLag size —
+    * calendar-bounded, never data-sized. */
+  def acf(events: DataFrame, tsUsCol: String, periodUs: Long,
+      maxLag: Int): DataFrame = {
+    import graft.functions.Int128SumProd.int128SumProd
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(maxLag >= 1 && maxLag <= 10000,
+      s"maxLag must be in [1, 10000], got $maxLag")
+    import graft.functions.Int128Sum.int128Sum
+    val spine = denseSpineDF(events, tsUsCol, periodUs)
+      .localCheckpoint(false) // feeds the scalar row AND both join sides
+    // Σn rides the int128 aggregate and n·10⁶ is guarded LOUDLY — the
+    // cusum silent-wrap class (total·10⁶ past long range) cannot recur
+    val scalars = broadcast(spine
+      .agg(count(lit(1)).as("_cnt"), int128Sum(col("n")).as("_sx"),
+        max(col("n")).as("_mx"))
+      .select(Fixed.ldiv(col("_sx") * lit(1000000L), col("_cnt"))
+          .as("_mu"),
+        when(col("_mx") > lit(9223372036854L), raise_error(concat(
+          lit("acf: a period count exceeds long micro range: "),
+          col("_mx").cast("string")))).as("_guard")))
+    val d = spine.crossJoin(scalars)
+      .select(col("period"), (col("n") * 1000000L - col("_mu"))
+        .as("_d"))
+      .localCheckpoint(false) // base side, shifted side, and the Σd² row
+    val den = broadcast(d.agg(
+      int128SumProd(col("_d"), col("_d")).as("_den")))
+    val shifted = d.select(explode(sequence(lit(1L),
+        lit(maxLag.toLong))).as("lag"),
+      (col("period")).as("_p0"), col("_d").as("_dlag"))
+      .select(col("lag"), (col("_p0") + col("lag")).as("period"),
+        col("_dlag"))
+    d.join(shifted, Seq("period"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        int128SumProd(col("_d"), col("_dlag")).as("_num"))
+      .crossJoin(den)
+      .select(col("lag"), col("n_pairs"),
+        when(col("_den") > 0,
+          Fixed.ldiv(col("_num") * lit(1000000L), col("_den")))
+          .as("acf_x1e6"))
+      .orderBy(col("lag"))
+  }
+
+  /** THEIL–SEN robust trend line of per-period activity — the
+    * outlier-proof alternative to OLS on the spine (one spiky day
+    * drags a least-squares slope; the pairwise-slope median shrugs):
+    * over the dense spine, slope = LOWER MEDIAN (rank ⌊(m+1)/2⌋ — the
+    * exact engine-portable order statistic, no interpolation) of
+    * `⌊(xⱼ−xᵢ)·10⁶ / (j−i)⌋` over all period pairs i<j, and
+    * intercept = lower median of `xᵢ·10⁶ − slope·periodᵢ`. ONE row:
+    * (`n_periods`, `n_pairs`, `slope_x1e6`, `intercept_x1e6`) — slope
+    * in micro-events per period, intercept the level at period 0. A
+    * spine with < 2 periods yields NULL slope/intercept.
+    *
+    * Exactness: integers end-to-end; both floors are [[Fixed.ldiv]]
+    * (negative-capable — declining series).
+    *
+    * Shape: the all-pairs frame is GRID-bounded (`maxSteps` caps the
+    * spine LOUDLY, so pairs ≤ maxSteps²/2 — a knob, not data; the
+    * cross join never sees event rows) and both medians ride the
+    * skew-safe [[graft.ops.Rank.globalRank]] range-exchange machinery
+    * rather than a single-task global window. */
+  def theilSen(events: DataFrame, tsUsCol: String, periodUs: Long,
+      maxSteps: Int = 2000): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val spine = denseSpineDF(events, tsUsCol, periodUs)
+      .localCheckpoint(false) // pair sides + intercept residuals
+    val nPeriods = spine.count()
+    require(nPeriods <= maxSteps,
+      s"Theil-Sen grid has $nPeriods periods > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (pairs are grid^2/2)")
+    val a = spine.select(col("period").as("_pa"), col("n").as("_na"))
+    val b = spine.select(col("period").as("_pb"), col("n").as("_nb"))
+    val pairs = a.crossJoin(b).filter(col("_pa") < col("_pb"))
+      .select(Fixed.ldiv((col("_nb") - col("_na")) * 1000000L,
+        col("_pb") - col("_pa")).as("_slope"),
+        col("_pa"), col("_pb"))
+    val ranked = Rank.globalRank(pairs,
+      Seq(col("_slope").asc, col("_pa").asc, col("_pb").asc), "_rk")
+    val m = nPeriods * (nPeriods - 1L) / 2L
+    val slopeRow = broadcast(ranked
+      .filter(col("_rk") === lit((m + 1L) / 2L))
+      .select(col("_slope").as("slope_x1e6")))
+    val resid = spine.crossJoin(slopeRow)
+      .select((col("n") * 1000000L -
+        col("slope_x1e6") * col("period")).as("_ic"))
+    val icRow = broadcast(Rank.globalRank(resid, Seq(col("_ic").asc), "_rk")
+      .filter(col("_rk") === lit((nPeriods + 1L) / 2L))
+      .select(col("_ic").as("intercept_x1e6")))
+    val empty = nPeriods < 2
+    spine.agg(count(lit(1)).as("n_periods"))
+      .select(col("n_periods"), lit(m).as("n_pairs"))
+      .join(if (empty) slopeRow else slopeRow.crossJoin(icRow),
+        lit(!empty), "left")
+      .select(col("n_periods"), col("n_pairs"),
+        col("slope_x1e6"),
+        (if (empty) lit(null).cast("long") else col("intercept_x1e6"))
+          .as("intercept_x1e6"))
+  }
+
+  /** MANN–KENDALL TREND TEST — the nonparametric significance
+    * companion to [[theilSen]] (Theil–Sen says HOW STEEP, Mann–Kendall
+    * says WHETHER the monotone trend is real): over the dense spine,
+    *   S = Σ_{i<j} sign(xⱼ − xᵢ),
+    *   Var(S) = [N(N−1)(2N+5) − Σₜ t(t−1)(2t+5)] / 18 (tie-corrected;
+    *   t = size of each tied-value group),
+    *   z = (S∓1)/√Var(S) (continuity-corrected toward 0; z = 0 at
+    *   S = 0, NULL when Var(S) = 0 — an all-tied series has no test).
+    * ONE row: (`n_periods`, `s_stat`, `var_s_num18` = 18·Var(S) as an
+    * exact integer, `z_x1e6` = ⌊z·10⁶⌋).
+    *
+    * Exactness: S and the variance numerator are exact longs; z is the
+    * one double chain — divide, √, divide, all IEEE
+    * correctly-rounded ops on exact integer inputs (the cosine/sqrt
+    * discipline), so any engine replays the identical bits; the floor
+    * to micros is the last step.
+    *
+    * Shape: the same grid-bounded pair frame as [[theilSen]] (LOUD
+    * `maxSteps` cap); ties come from one value-keyed aggregate. */
+  def mannKendall(events: DataFrame, tsUsCol: String, periodUs: Long,
+      maxSteps: Int = 2000): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val spine = denseSpineDF(events, tsUsCol, periodUs)
+      .localCheckpoint(false) // pair sides + the tie-group aggregate
+    val nPeriods = spine.count()
+    require(nPeriods <= maxSteps,
+      s"Mann-Kendall grid has $nPeriods periods > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (pairs are grid^2/2)")
+    val a = spine.select(col("period").as("_pa"), col("n").as("_na"))
+    val b = spine.select(col("period").as("_pb"), col("n").as("_nb"))
+    val sRow = a.crossJoin(b).filter(col("_pa") < col("_pb"))
+      .agg(coalesce(sum(signum(col("_nb") - col("_na")).cast("long")),
+        lit(0L)).as("s_stat"))
+    val tieRow = spine.groupBy(col("n"))
+      .agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1L) *
+        (lit(2L) * col("_t") + 5L)), lit(0L)).as("_tie"))
+    val np = lit(nPeriods)
+    val z = {
+      val varS = (col("var_s_num18").cast("double") / lit(18.0))
+      val corr = when(col("s_stat") > 0, col("s_stat") - 1L)
+        .when(col("s_stat") < 0, col("s_stat") + 1L).otherwise(lit(0L))
+      when(col("var_s_num18") > 0,
+        floor(corr.cast("double") / sqrt(varS) * lit(1e6)).cast("long"))
+    }
+    sRow.crossJoin(broadcast(tieRow))
+      .select(np.as("n_periods"), col("s_stat"),
+        (np * (np - 1L) * (lit(2L) * np + 5L) - col("_tie"))
+          .as("var_s_num18"))
+      .select(col("n_periods"), col("s_stat"), col("var_s_num18"),
+        z.as("z_x1e6"))
+  }
 }

@@ -206,4 +206,43 @@ class EvaluationSpec extends AnyFunSuite {
     assert(b9.getLong(3) == (m95 + 1000000L) / 2L)
     assert(b9.getDouble(4) == 1.0)
   }
+
+  test("mrrByGroup: hand-computed reciprocal ranks, miss counts as 0, " +
+      "k cutoff, score-tie broken by id, dirty rows drop") {
+    // group g: u1 first relevant at rank 2 (rr 500000), u2 no relevant
+    // (rr 0), u3 relevant at rank 1 (rr 1e6) ⇒ mrr = ⌊1.5e6/3⌋,
+    // hit_rate = ⌊2e6/3⌋
+    val df = Seq(
+      ("g", "u1", false, 0.9, "a"), ("g", "u1", true, 0.8, "b"),
+      ("g", "u1", true, 0.7, "c"),
+      ("g", "u2", false, 0.5, "d"), ("g", "u2", false, 0.4, "e"),
+      ("g", "u3", true, 0.9, "f"),
+      // group h: tie at 0.9 — id asc ranks p before q, so the
+      // relevant q sits at rank 2
+      ("h", "u4", false, 0.9, "p"), ("h", "u4", true, 0.9, "q"))
+      .toDF("g", "u", "y", "s", "id")
+    val r = Evaluation.mrrByGroup(df, Seq("g"), Seq("u"), col("y"),
+        "s", "id").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert((r("g").getLong(1), r("g").getLong(2), r("g").getLong(3),
+      r("g").getLong(4)) == (3L, 2L, 500000L, 666666L))
+    assert((r("h").getLong(1), r("h").getLong(2), r("h").getLong(3),
+      r("h").getLong(4)) == (1L, 1L, 500000L, 1000000L))
+    // k = 1: u1's rank-2 hit falls outside the cutoff ⇒ rr 0
+    val k1 = Evaluation.mrrByGroup(df, Seq("g"), Seq("u"), col("y"),
+        "s", "id", k = 1).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert((k1("g").getLong(2), k1("g").getLong(3)) == (1L, 333333L))
+    // NULL score/label rows drop before ranking: a NULL-scored
+    // relevant row cannot occupy a rank
+    val dirty = df.union(Seq(("g", "u2", true, Option.empty[Double],
+      "z")).toDF("g", "u", "y", "s", "id"))
+    val rd = Evaluation.mrrByGroup(dirty, Seq("g"), Seq("u"), col("y"),
+        "s", "id").collect().map(x => x.getString(0) -> x).toMap
+    assert(rd("g").toSeq == r("g").toSeq)
+    intercept[IllegalArgumentException] {
+      Evaluation.mrrByGroup(df, Seq("g"), Seq("u"), col("y"), "s",
+        "id", k = 0)
+    }
+  }
 }

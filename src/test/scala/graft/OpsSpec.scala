@@ -596,6 +596,90 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TimeSeries.acf: hand-computed lags, alternating series flips " +
+      "sign, constant series NULL, lag bounds") {
+    // counts 4, 8, 8: μ = ⌊20e6/3⌋, d = [−2666666, 1333334, 1333334],
+    // den = 10666666666668; lag1 = ⌊−1777776888888e6/den⌋ = −166667,
+    // lag2 = ⌊−3555556444444e6/den⌋ = −333334 (negative FLOOR path)
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(8)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val out = graft.ops.TimeSeries.acf(ev, "ts_us", 1L, maxLag = 4)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 2L, -166667L), (2L, 1L, -333334L)))
+    // alternating 2,8,2,8,2,8: lag1 anti-correlates (5 pairs, each
+    // −9e12 over den 54e12 → −833334), lag2 correlates (+666666) —
+    // the seasonLen-2 detector reading
+    val alt = (0 to 5).flatMap(p =>
+      Seq.fill(if (p % 2 == 0) 2 else 8)(p.toLong))
+      .map(Tuple1(_)).toDF("ts_us")
+    val a = graft.ops.TimeSeries.acf(alt, "ts_us", 1L, maxLag = 2)
+      .collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == Seq((1L, 5L, -833334L), (2L, 4L, 666666L)))
+    // constant series: zero variance ⇒ NULL acf at every lag
+    val const = (0 to 3).flatMap(p => Seq.fill(3)(p.toLong))
+      .map(Tuple1(_)).toDF("ts_us")
+    val c = graft.ops.TimeSeries.acf(const, "ts_us", 1L, maxLag = 2)
+      .collect()
+    assert(c.length == 2 && c.forall(_.isNullAt(2)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.acf(ev, "ts_us", 1L, maxLag = 0)
+    }
+  }
+
+  test("TimeSeries.theilSen: hand-traced pair-slope medians, negative " +
+      "floored slope, single-period NULLs, loud grid cap") {
+    // counts 4, 8, 8: slopes {4e6, 2e6, 0} → lower median 2e6;
+    // intercepts x·1e6 − slope·p = {4e6, 6e6, 4e6} → median 4e6
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(8)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val r = graft.ops.TimeSeries.theilSen(ev, "ts_us", 1L).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 3L, 2000000L, 4000000L))
+    // counts 7, 4, 2: slopes {−3e6, ⌊−5e6/2⌋ = −2500000, −2e6} —
+    // the negative inexact pair FLOORS (−2500000, not −2499999) and
+    // is the median; intercepts {7e6, 6.5e6, 7e6} → 7e6
+    val dn = (Seq.fill(7)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(2)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val d = graft.ops.TimeSeries.theilSen(dn, "ts_us", 1L).collect().head
+    assert((d.getLong(2), d.getLong(3)) == (-2500000L, 7000000L))
+    // a single-period spine has no pairs: NULL slope and intercept
+    val one = Seq.fill(3)(0L).map(Tuple1(_)).toDF("ts_us")
+    val o = graft.ops.TimeSeries.theilSen(one, "ts_us", 1L).collect().head
+    assert(o.getLong(0) == 1L && o.getLong(1) == 0L &&
+      o.isNullAt(2) && o.isNullAt(3))
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.theilSen(ev, "ts_us", 1L, maxSteps = 2)
+    }
+  }
+
+  test("TimeSeries.mannKendall: hand-computed S with tie correction, " +
+      "continuity-corrected z both signs, all-tied NULL z") {
+    // counts 4, 8, 8: S = 2; ties {8:2} ⇒ var18 = 3·2·11 − 2·1·9 = 48;
+    // z = 1/√(48/18) → ⌊0.6123724…e6⌋ = 612372
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(8)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val r = graft.ops.TimeSeries.mannKendall(ev, "ts_us", 1L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 2L, 48L, 612372L))
+    // strictly decreasing 7, 4, 2: S = −3, no ties ⇒ var18 = 66;
+    // z = −2/√(66/18) → ⌊−1.0444659…e6⌋ = −1044466 (negative floor)
+    val dn = (Seq.fill(7)(0L) ++ Seq.fill(4)(1L) ++ Seq.fill(2)(2L))
+      .map(Tuple1(_)).toDF("ts_us")
+    val d = graft.ops.TimeSeries.mannKendall(dn, "ts_us", 1L)
+      .collect().head
+    assert((d.getLong(1), d.getLong(2), d.getLong(3)) ==
+      (-3L, 66L, -1044466L))
+    // all-tied series: S = 0 AND Var(S) = 0 ⇒ no test (NULL z)
+    val const = (0 to 2).flatMap(p => Seq.fill(5)(p.toLong))
+      .map(Tuple1(_)).toDF("ts_us")
+    val c = graft.ops.TimeSeries.mannKendall(const, "ts_us", 1L)
+      .collect().head
+    assert(c.getLong(1) == 0L && c.getLong(2) == 0L && c.isNullAt(3))
+  }
+
   test("Robust.robustZ: hand-computed MAD z; zero-MAD stratum -> NULL; " +
       "approx path tracks exact") {
     import graft.ops.Robust
