@@ -863,6 +863,16 @@ object LlmQueries {
         .orderBy(col("source"))
     }),
 
+    // -- [EXT]: distinct-1/distinct-2 lexical diversity per source —
+    //    the mode-collapse / boilerplate detector of generated-text
+    //    and corpus-mix evals; exact unique-to-total micro ratios over
+    //    the normalized token stream
+    "q_distinct_ngrams" -> ((s, dir) => {
+      CorpusStats.distinctNgrams(t(s, dir, "documents"), "text",
+          Seq("source"))
+        .orderBy(col("source"))
+    }),
+
     // -- [EXT]: mutual information between source and lang — the
     //    feature-redundancy diagnostic; per-cell exact counts, rational
     //    probabilities, ln only at the rounded last step (Σ mi_term =
@@ -2344,6 +2354,34 @@ object LlmQueries {
          |    list_sum(list_transform($duckToks, t -> length(t)))::DOUBLE AS tok_chars
          |  FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // same normalized token stream; bigrams indexed 1-based from the
+    // filtered array; exact floored micro ratios
+    "q_distinct_ngrams" ->
+      s"""WITH t0 AS (
+         |  SELECT source,
+         |    list_filter(string_split($duckNorm, ' '),
+         |      x -> length(x) > 0) AS t
+         |  FROM documents),
+         |uni AS (SELECT source, count(*)::BIGINT AS n_tokens,
+         |          count(DISTINCT term)::BIGINT AS d1
+         |        FROM (SELECT source, unnest(t) AS term FROM t0)
+         |        GROUP BY 1),
+         |bi AS (SELECT source, count(*)::BIGINT AS n_bigrams,
+         |         count(DISTINCT term)::BIGINT AS d2
+         |       FROM (SELECT source, t[i] || ' ' || t[i + 1] AS term
+         |             FROM (SELECT source, t,
+         |                     unnest(generate_series(1, len(t) - 1))
+         |                       AS i
+         |                   FROM t0 WHERE len(t) >= 2))
+         |       GROUP BY 1)
+         |SELECT uni.source, n_tokens,
+         |  (d1 * 1000000) // n_tokens AS distinct_1_x1e6,
+         |  COALESCE(n_bigrams, 0) AS n_bigrams,
+         |  CASE WHEN n_bigrams > 0
+         |    THEN (d2 * 1000000) // n_bigrams END AS distinct_2_x1e6
+         |FROM uni LEFT JOIN bi ON uni.source = bi.source
+         |ORDER BY uni.source""".stripMargin,
 
     "q_semdedup" ->
       """WITH RECURSIVE e AS (

@@ -132,6 +132,27 @@ object RelQueries {
         "event_id", "value", replicas = 200)
     }),
 
+    // -- [EXT]: bootstrap uplift CI — percentile interval on the B−A
+    //    mean difference (user-parity variants) from the same
+    //    hash-seeded Poisson resamples; exact replicate-difference
+    //    order statistics, no normal approximation
+    "q_uplift_ci" -> ((s, dir) => {
+      graft.analytics.Experiment.bootstrapUpliftCi(events(s, dir),
+        "event_id", col("user_id") % 2 === 1, "value", replicas = 200)
+    }),
+
+    // -- [EXT]: power/MDE readout — the "how long must this test run"
+    //    sizing numbers from the observed per-user purchase conversion
+    //    (α=.05 two-sided, power=.80, 10% relative MDE); quantized-p
+    //    double chain with driver-literal z constants
+    "q_power_mde" -> ((s, dir) => {
+      graft.analytics.Experiment.powerMde(
+        t(s, dir, "events").groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", lit(1L)))
+            .as("conv")),
+        col("conv").isNotNull)
+    }),
+
     // -- [EXT]: autocorrelation function, lags 1..7 — the seasonality
     //    detector (a lag-7 spike = weekly cycle) feeding
     //    seasonalDecompose's seasonLen; exact integer deviations,
@@ -3206,6 +3227,114 @@ object RelQueries {
         |SELECT pt.n, pt.mean_x1e6, ci.n_replicas,
         |  ci.ci_lo_x1e6, ci.ci_hi_x1e6
         |FROM pt CROSS JOIN ci""".stripMargin,
+
+    // the q_bootstrap_ci machinery with seed 'uplift:', conditional
+    // per-variant sums, and replicate DIFFERENCES of floored means
+    // (floor adjustments on every possibly-negative division)
+    "q_uplift_ci" ->
+      """WITH f AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS k,
+        |    user_id % 2 = 1 AS b,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value) AND user_id IS NOT NULL),
+        |pt AS (SELECT
+        |    count(CASE WHEN NOT b THEN 1 END)::BIGINT AS n_a,
+        |    count(CASE WHEN b THEN 1 END)::BIGINT AS n_b,
+        |    SUM(CASE WHEN NOT b THEN CAST(vm AS HUGEINT)
+        |        ELSE 0 END) AS sa,
+        |    SUM(CASE WHEN b THEN CAST(vm AS HUGEINT)
+        |        ELSE 0 END) AS sb
+        |  FROM f),
+        |pm AS (SELECT n_a, n_b,
+        |    CASE WHEN n_a > 0 THEN
+        |      CASE WHEN sa % n_a <> 0 AND sa < 0
+        |        THEN CAST(sa // n_a - 1 AS BIGINT)
+        |        ELSE CAST(sa // n_a AS BIGINT) END END AS mean_a_x1e6,
+        |    CASE WHEN n_b > 0 THEN
+        |      CASE WHEN sb % n_b <> 0 AND sb < 0
+        |        THEN CAST(sb // n_b - 1 AS BIGINT)
+        |        ELSE CAST(sb // n_b AS BIGINT) END END AS mean_b_x1e6
+        |  FROM pt),
+        |x AS (SELECT g.r, f.vm, f.b,
+        |        ('0x' || substr(md5('uplift:' || g.r || ':' || f.k),
+        |          1, 12))::BIGINT % 1000000 AS u
+        |      FROM f CROSS JOIN
+        |        (SELECT unnest(generate_series(1, 200)) AS r) g),
+        |wgt AS (SELECT r, vm, b,
+        |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+        |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+        |              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
+        |              WHEN u < 999916 THEN 6 ELSE 7 END AS w
+        |        FROM x),
+        |rm AS (SELECT r,
+        |         SUM(CASE WHEN NOT b THEN CAST(w AS HUGEINT) * vm
+        |             ELSE 0 END) AS swva,
+        |         SUM(CASE WHEN NOT b THEN w ELSE 0 END)::BIGINT AS swa,
+        |         SUM(CASE WHEN b THEN CAST(w AS HUGEINT) * vm
+        |             ELSE 0 END) AS swvb,
+        |         SUM(CASE WHEN b THEN w ELSE 0 END)::BIGINT AS swb
+        |       FROM wgt GROUP BY r
+        |       HAVING SUM(CASE WHEN NOT b THEN w ELSE 0 END) > 0
+        |          AND SUM(CASE WHEN b THEN w ELSE 0 END) > 0),
+        |means AS (SELECT
+        |    (CASE WHEN swvb % swb <> 0 AND swvb < 0
+        |       THEN CAST(swvb // swb - 1 AS BIGINT)
+        |       ELSE CAST(swvb // swb AS BIGINT) END)
+        |    - (CASE WHEN swva % swa <> 0 AND swva < 0
+        |       THEN CAST(swva // swa - 1 AS BIGINT)
+        |       ELSE CAST(swva // swa AS BIGINT) END) AS m
+        |  FROM rm),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m) AS rn,
+        |         count(*) OVER () AS cnt FROM means),
+        |ci AS (SELECT
+        |         max(CASE WHEN rn = (cnt * 25 + 999) // 1000
+        |           THEN m END) AS ci_lo_x1e6,
+        |         max(CASE WHEN rn = (cnt * 975 + 999) // 1000
+        |           THEN m END) AS ci_hi_x1e6,
+        |         count(*)::BIGINT AS n_replicas
+        |       FROM rk)
+        |SELECT pm.n_a, pm.n_b, pm.mean_a_x1e6, pm.mean_b_x1e6,
+        |  pm.mean_b_x1e6 - pm.mean_a_x1e6 AS uplift_x1e6,
+        |  ci.n_replicas, ci.ci_lo_x1e6, ci.ci_hi_x1e6
+        |FROM pm CROSS JOIN ci""".stripMargin,
+
+    // quantized-p double chain with the SAME driver-literal z
+    // constants interpolated into both engines' expressions
+    "q_power_mde" -> {
+      val zsum = graft.analytics.Experiment.zAlpha(50000L) +
+        graft.analytics.Experiment.zPower(800000L)
+      val zsq = zsum * zsum
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 END) AS conv
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT count(*)::BIGINT AS n_units,
+         |        count(CASE WHEN conv IS NOT NULL THEN 1 END)::BIGINT
+         |          AS n_conv
+         |      FROM u),
+         |b AS (SELECT n_units, n_conv,
+         |        CASE WHEN n_units > 0
+         |          THEN (n_conv * 1000000) // n_units END AS p_x1e6,
+         |        n_units // 2 AS n_per_arm
+         |      FROM a),
+         |c AS (SELECT *, p_x1e6 / 1000000.0 AS p,
+         |        (100000 * p_x1e6) // 1000000 AS delta_x1e6
+         |      FROM b),
+         |d AS (SELECT *, delta_x1e6 / 1000000.0 AS dd FROM c)
+         |SELECT n_units, n_conv, p_x1e6, n_per_arm,
+         |  CASE WHEN n_per_arm > 0 THEN
+         |    CAST(floor($zsum * sqrt(2.0 * p * (1.0 - p)
+         |      / CAST(n_per_arm AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  END AS mde_abs_x1e6,
+         |  delta_x1e6,
+         |  CASE WHEN delta_x1e6 > 0 THEN
+         |    CAST(ceil(2.0 * p * (1.0 - p) * $zsq / (dd * dd))
+         |      AS BIGINT)
+         |  END AS n_required_per_arm
+         |FROM d""".stripMargin
+    },
 
     // rank-arithmetic ntile: score = q − (q·(rank−1)) // n over the
     // DESC rank with user-id tie-break — all-integer output

@@ -498,17 +498,9 @@ object Experiment {
     val point = base.agg(count(lit(1)).as("n"),
       graft.ops.Fixed.ldiv(int128Sum(col("_vm")), count(lit(1)))
         .as("mean_x1e6"))
-    // Poisson(1) inverse CDF at micro resolution (floor(CDF*1e6))
-    val u = conv(substring(
-      md5(concat(lit("boot:"), col("_r").cast("string"), lit(":"),
-        col("_k"))), 1, 12), 16, 10).cast("long") % lit(1000000L)
-    val wgt = when(u < 367879L, 0L).when(u < 735758L, 1L)
-      .when(u < 919698L, 2L).when(u < 981011L, 3L)
-      .when(u < 996340L, 4L).when(u < 999405L, 5L)
-      .when(u < 999916L, 6L).otherwise(7L)
     val reps = base
       .withColumn("_r", explode(sequence(lit(1), lit(replicas))))
-      .withColumn("_w", wgt)
+      .withColumn("_w", poissonWeight("boot:", col("_r"), col("_k")))
       .groupBy(col("_r"))
       .agg(int128SumProd(col("_w"), col("_vm")).as("_swv"),
         sum(col("_w")).as("_sw"))
@@ -532,5 +524,175 @@ object Experiment {
     point.crossJoin(ci)
       .select(col("n"), col("mean_x1e6"), col("n_replicas"),
         col("ci_lo_x1e6"), col("ci_hi_x1e6"))
+  }
+
+  /** The shared Poisson(1) multiplicity: inverse CDF at micro
+    * resolution looked up at u = md5(`seed` ‖ replica ‖ ":" ‖ key)
+    * mod 10⁶ — thresholds are ⌊CDF·10⁶⌋ literals (367879 = ⌊e⁻¹·10⁶⌋,
+    * …, capped at 7), replayable by any engine with md5. */
+  private def poissonWeight(seed: String, replica: Column,
+      key: Column): Column = {
+    val u = conv(substring(
+      md5(concat(lit(seed), replica.cast("string"), lit(":"), key)),
+      1, 12), 16, 10).cast("long") % lit(1000000L)
+    when(u < 367879L, 0L).when(u < 735758L, 1L)
+      .when(u < 919698L, 2L).when(u < 981011L, 3L)
+      .when(u < 996340L, 4L).when(u < 999405L, 5L)
+      .when(u < 999916L, 6L).otherwise(7L)
+  }
+
+  /** POISSON-BOOTSTRAP percentile CI for the DIFFERENCE of means
+    * (B − A) — the uncertainty interval on an experiment's uplift that
+    * [[welchTTest]]'s normal approximation can't give on heavy-tailed
+    * metrics: each replica draws one Poisson(1) weight per row (the
+    * [[bootstrapCi]] machinery, seed `"uplift:"`), computes BOTH
+    * variants' weighted means, and contributes their difference;
+    * replicas where either variant draws zero total weight drop (no
+    * mean to difference). ONE row: (`n_a`, `n_b`, `mean_a_x1e6`,
+    * `mean_b_x1e6`, `uplift_x1e6` = mean_b − mean_a, `n_replicas`,
+    * `ci_lo_x1e6`, `ci_hi_x1e6`). Rows with NULL/NaN/Inf metric or
+    * NULL `isB` drop; an empty variant yields NULL means/uplift/CI.
+    *
+    * Determinism/exactness: the [[bootstrapCi]] discipline end-to-end
+    * — hash-seeded weights, exact floored-micro means
+    * ([[graft.functions.Int128SumProd]]), CI bounds as exact order
+    * statistics of the replicate differences. No doubles anywhere.
+    *
+    * Shape: identical to [[bootstrapCi]] — the R-fold inflation
+    * collapses in the map-side combine of ONE replica-keyed aggregate
+    * (both variants' sums are conditional aggregates of the same
+    * pass); the R-row replicate table rides a bounded-knob rank. */
+  def bootstrapUpliftCi(df: DataFrame, keyCol: String, isB: Column,
+      metricCol: String, replicas: Int = 200): DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    require(replicas >= 40,
+      s"replicas must be >= 40 (percentile CI needs tail mass), " +
+        s"got $replicas")
+    val y = col(s"`$metricCol`").cast("double")
+    val base = df.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity) && isB.isNotNull)
+      .select(col(s"`$keyCol`").cast("string").as("_k"),
+        isB.cast("boolean").as("_b"), floor(y * lit(1e6)).as("_vm"))
+    val ldiv = graft.ops.Fixed.ldiv _
+    val point = base.agg(
+        count(when(!col("_b"), lit(1))).as("n_a"),
+        count(when(col("_b"), lit(1))).as("n_b"),
+        int128Sum(when(!col("_b"), col("_vm")).otherwise(lit(0L)))
+          .as("_sa"),
+        int128Sum(when(col("_b"), col("_vm")).otherwise(lit(0L)))
+          .as("_sb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0, ldiv(col("_sa"), col("n_a")))
+          .as("mean_a_x1e6"),
+        when(col("n_b") > 0, ldiv(col("_sb"), col("n_b")))
+          .as("mean_b_x1e6"))
+      .withColumn("uplift_x1e6",
+        col("mean_b_x1e6") - col("mean_a_x1e6"))
+    val reps = base
+      .withColumn("_r", explode(sequence(lit(1), lit(replicas))))
+      .withColumn("_w", poissonWeight("uplift:", col("_r"), col("_k")))
+      .groupBy(col("_r"))
+      .agg(
+        int128SumProd(when(!col("_b"), col("_w")).otherwise(lit(0L)),
+          col("_vm")).as("_swva"),
+        sum(when(!col("_b"), col("_w")).otherwise(lit(0L))).as("_swa"),
+        int128SumProd(when(col("_b"), col("_w")).otherwise(lit(0L)),
+          col("_vm")).as("_swvb"),
+        sum(when(col("_b"), col("_w")).otherwise(lit(0L))).as("_swb"))
+      .filter(col("_swa") > 0L && col("_swb") > 0L)
+      .select((ldiv(col("_swvb"), col("_swb")) -
+        ldiv(col("_swva"), col("_swa"))).as("_rm"))
+    // R-row table: the single-partition rank is bounded by the knob
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_rm"))
+    val ci = reps
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .agg(
+        max(when(col("_rn") === graft.ops.Fixed.ldiv(
+          col("_cnt") * 25L + 999L, lit(1000L)), col("_rm")))
+          .as("ci_lo_x1e6"),
+        max(when(col("_rn") === graft.ops.Fixed.ldiv(
+          col("_cnt") * 975L + 999L, lit(1000L)), col("_rm")))
+          .as("ci_hi_x1e6"),
+        count(lit(1)).as("n_replicas"))
+    point.crossJoin(ci)
+      .select(col("n_a"), col("n_b"), col("mean_a_x1e6"),
+        col("mean_b_x1e6"), col("uplift_x1e6"), col("n_replicas"),
+        col("ci_lo_x1e6"), col("ci_hi_x1e6"))
+  }
+
+  /** Normal quantiles for the supported α (two-sided) and power
+    * levels — shortest-round-trip double literals both engines consume
+    * verbatim (the driver-literal discipline; an engine-side inverse
+    * normal would diverge in the last ulp). Public so the declared
+    * query can embed the SAME literals in its oracle SQL. */
+  val zAlpha: Map[Long, Double] = Map(
+    10000L -> 2.5758293035489004, // α = .01
+    50000L -> 1.9599639845400545, // α = .05
+    100000L -> 1.6448536269514722) // α = .10
+  val zPower: Map[Long, Double] = Map(
+    800000L -> 0.8416212335729143, // power = .80
+    900000L -> 1.2815515655446004, // power = .90
+    950000L -> 1.6448536269514722) // power = .95
+
+  /** EXPERIMENT POWER / MDE READOUT for a conversion metric — the
+    * pre-test sizing question ("how long must this A/B run?") answered
+    * from the observed baseline: with p the quantized baseline rate,
+    * n_arm = ⌊N/2⌋ the per-arm size of an equal split, and
+    * z = z_{α/2} + z_{power},
+    *   mde_abs = z·√(2p(1−p)/n_arm) — the absolute rate lift the
+    *   CURRENT sample can detect,
+    *   n_required_per_arm = ⌈2p(1−p)·z²/δ²⌉ with δ = relMde·p — the
+    *   per-arm size needed to detect a `relMdeX1e6` relative lift.
+    * ONE row: (`n_units`, `n_conv`, `p_x1e6`, `n_per_arm`,
+    * `mde_abs_x1e6`, `delta_x1e6`, `n_required_per_arm`). NULL
+    * mde/n_required when the quantity is undefined (empty input,
+    * δ = 0).
+    *
+    * Exactness: p and δ are exact floored micros; the double chain
+    * consumes the QUANTIZED p (the [[welchTTest]] discipline — both
+    * engines share the same integer inputs) and the driver-literal z
+    * sums/squares, in a fixed left-associated operation order, so
+    * every IEEE step is correctly rounded on identical inputs.
+    *
+    * Shape: one conditional aggregate — the 100 TB cost is the scan. */
+  def powerMde(units: DataFrame, convCol: Column,
+      relMdeX1e6: Long = 100000L, alphaX1e6: Long = 50000L,
+      powerX1e6: Long = 800000L): DataFrame = {
+    require(relMdeX1e6 > 0, s"relMdeX1e6 must be > 0, got $relMdeX1e6")
+    require(zAlpha.contains(alphaX1e6),
+      s"alphaX1e6 must be one of ${zAlpha.keys.toSeq.sorted}, " +
+        s"got $alphaX1e6")
+    require(zPower.contains(powerX1e6),
+      s"powerX1e6 must be one of ${zPower.keys.toSeq.sorted}, " +
+        s"got $powerX1e6")
+    val zsum = zAlpha(alphaX1e6) + zPower(powerX1e6)
+    val zsq = zsum * zsum
+    val ldiv = graft.ops.Fixed.ldiv _
+    val agg = units.filter(convCol.isNotNull)
+      .agg(count(lit(1)).as("n_units"),
+        count(when(convCol.cast("boolean"), lit(1))).as("n_conv"))
+      .select(col("n_units"), col("n_conv"),
+        when(col("n_units") > 0,
+          ldiv(col("n_conv") * lit(1000000L), col("n_units")))
+          .as("p_x1e6"),
+        ldiv(col("n_units"), lit(2L)).as("n_per_arm"))
+    val pd = col("p_x1e6").cast("double") / lit(1e6)
+    val s2 = lit(2.0) * pd * (lit(1.0) - pd)
+    agg
+      .withColumn("mde_abs_x1e6",
+        when(col("n_per_arm") > 0,
+          floor(lit(zsum) * sqrt(s2 / col("n_per_arm").cast("double"))
+            * lit(1e6)).cast("long")))
+      .withColumn("delta_x1e6",
+        ldiv(lit(relMdeX1e6) * col("p_x1e6"), lit(1000000L)))
+      .withColumn("n_required_per_arm", {
+        val d = col("delta_x1e6").cast("double") / lit(1e6)
+        when(col("delta_x1e6") > 0,
+          ceil(s2 * lit(zsq) / (d * d)).cast("long"))
+      })
   }
 }

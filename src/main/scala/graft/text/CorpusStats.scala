@@ -518,4 +518,49 @@ object CorpusStats {
       .select(col("_qid").as(queryIdCol), col("rank"),
         col("_id").as(idCol), col("_s").cast("double").as("score"))
   }
+
+  /** DISTINCT-N DIVERSITY per group — the lexical-diversity readout of
+    * generated-text and corpus-mix evals (a mode-collapsed generator or
+    * boilerplate-heavy source scores low): per `groupCols` stratum,
+    * distinct-1 = |unique tokens|/|tokens| and distinct-2 = |unique
+    * bigrams|/|bigrams| over the NORMALIZED text, as exact floored
+    * micros. One row per group: (`groupCols…`, `n_tokens`,
+    * `distinct_1_x1e6`, `n_bigrams`, `distinct_2_x1e6`); a group whose
+    * docs are all single-token has 0 bigrams and NULL distinct-2.
+    *
+    * Shape: one token explode + one bigram explode (a higher-order
+    * `transform` over the already-split array — no self-join), each
+    * feeding a (group, term)-keyed distinct + group aggregate with
+    * map-side combine; stopword-class skew collapses in the partial
+    * phase (the [[vocabulary]] argument). */
+  def distinctNgrams(df: DataFrame, textCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "distinctNgrams needs at least one group column")
+    val gc = groupCols.map(c => col(s"`$c`"))
+    val toks = df
+      .select(gc :+ split(TextOps.normalize(col(s"`$textCol`")), " ")
+        .as("_t"): _*)
+      .withColumn("_t", expr("filter(_t, x -> length(x) > 0)"))
+    val uni = toks.select(gc :+ explode(col("_t")).as("_term"): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("_term")).as("_d1"))
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(gc :+ explode(expr(
+        "transform(sequence(0, size(_t) - 2), " +
+          "i -> concat(_t[i], ' ', _t[i + 1]))")).as("_term"): _*)
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("_term")).as("_d2"))
+    val ldiv = graft.ops.Fixed.ldiv _
+    uni.join(bi, groupCols, "left")
+      .select(gc ++ Seq(col("n_tokens"),
+        ldiv(col("_d1") * lit(1000000L), col("n_tokens"))
+          .as("distinct_1_x1e6"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          ldiv(col("_d2") * lit(1000000L), col("n_bigrams")))
+          .as("distinct_2_x1e6")): _*)
+  }
 }

@@ -349,4 +349,33 @@ class CorpusStatsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](CorpusStats.dsirLogWeights(
       df, "doc_id", "text", target = lit(true), alpha = 0.0))
   }
+
+  test("distinctNgrams: hand-counted token/bigram ratios, normalization, " +
+      "single-token group has no bigrams, empty docs contribute nothing") {
+    // g1: "a b a" + "b c" → 5 tokens {a,b,c} ⇒ 600000;
+    //     bigrams {a b, b a, b c} all distinct ⇒ 1e6
+    // g2: "x" only ⇒ distinct-1 1e6, zero bigrams ⇒ NULL distinct-2
+    val df = Seq(
+      ("g1", "a b a"), ("g1", "B, c!"), // normalization folds case/punct
+      ("g2", "x"), ("g2", ""))
+      .toDF("src", "text")
+    val out = CorpusStats.distinctNgrams(df, "text", Seq("src"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert((g1.getLong(1), g1.getLong(2), g1.getLong(3), g1.getLong(4))
+      == (5L, 600000L, 3L, 1000000L))
+    val g2 = out("g2")
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(3))
+      == (1L, 1000000L, 0L))
+    assert(g2.isNullAt(4))
+    // a repetition-collapsed group scores low on distinct-2
+    val rep = Seq(("r", "spam spam spam spam spam")).toDF("src", "text")
+    val rr = CorpusStats.distinctNgrams(rep, "text", Seq("src"))
+      .collect().head
+    // 5 tokens 1 distinct ⇒ 200000; 4 bigrams 1 distinct ⇒ 250000
+    assert((rr.getLong(1), rr.getLong(2), rr.getLong(3), rr.getLong(4))
+      == (5L, 200000L, 4L, 250000L))
+    assertThrows[IllegalArgumentException](
+      CorpusStats.distinctNgrams(df, "text", Seq.empty))
+  }
 }

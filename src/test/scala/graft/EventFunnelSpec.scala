@@ -528,6 +528,69 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrapUpliftCi: degenerate CI on per-variant constants, " +
+      "empty variant NULLs, determinism, replica floor") {
+    import graft.analytics.Experiment
+    // A constant at 2.0, B constant at 5.0: every surviving replicate
+    // difference is exactly 3e6, so the CI collapses onto the uplift
+    val df = ((1 to 40).map(i => (s"a$i", 0L, 2.0)) ++
+      (1 to 40).map(i => (s"b$i", 1L, 5.0))).toDF("id", "v", "y")
+    val r = Experiment.bootstrapUpliftCi(df, "id", col("v") === 1L, "y")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (40L, 40L, 2000000L, 5000000L, 3000000L))
+    assert(r.getLong(6) == 3000000L && r.getLong(7) == 3000000L)
+    assert(r.getLong(5) == 200L)
+    // bit-identical on a re-run (hash-seeded weights)
+    val r2 = Experiment.bootstrapUpliftCi(df, "id", col("v") === 1L, "y")
+      .collect().head
+    assert(r.toSeq == r2.toSeq)
+    // an empty B variant: NULL mean_b/uplift, every replica dropped
+    val onlyA = df.filter(col("v") === 0L)
+    val ra = Experiment.bootstrapUpliftCi(onlyA, "id",
+      col("v") === 1L, "y").collect().head
+    assert(ra.getLong(0) == 40L && ra.getLong(1) == 0L)
+    assert(ra.isNullAt(3) && ra.isNullAt(4))
+    assert(ra.getLong(5) == 0L && ra.isNullAt(6) && ra.isNullAt(7))
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapUpliftCi(df, "id", col("v") === 1L, "y",
+        replicas = 39)
+    }
+  }
+
+  test("powerMde: quantized-p double chain matches a scala replay, " +
+      "exact p/delta, zero-rate NULLs, supported-level gates") {
+    import graft.analytics.Experiment
+    // 100 units, 20 converters: p = .2 exactly
+    val units = (1 to 100).map(i => (s"u$i", i <= 20)).toDF("u", "c")
+    val r = Experiment.powerMde(units, col("c")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (100L, 20L, 200000L, 50L))
+    val zsum = Experiment.zAlpha(50000L) + Experiment.zPower(800000L)
+    val p = 200000L / 1e6
+    assert(r.getLong(4) ==
+      math.floor(zsum * math.sqrt(2.0 * p * (1.0 - p) / 50.0) * 1e6)
+        .toLong)
+    assert(r.getLong(5) == 20000L) // ⌊100000·200000/1e6⌋
+    val d = 20000L / 1e6
+    assert(r.getLong(6) ==
+      math.ceil(2.0 * p * (1.0 - p) * (zsum * zsum) / (d * d)).toLong)
+    // zero conversion: p = 0 ⇒ mde 0, delta 0 ⇒ n_required NULL
+    val none = (1 to 10).map(i => (s"u$i", false)).toDF("u", "c")
+    val r0 = Experiment.powerMde(none, col("c")).collect().head
+    assert(r0.getLong(2) == 0L && r0.getLong(4) == 0L &&
+      r0.getLong(5) == 0L && r0.isNullAt(6))
+    intercept[IllegalArgumentException] {
+      Experiment.powerMde(units, col("c"), alphaX1e6 = 70000L)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.powerMde(units, col("c"), powerX1e6 = 850000L)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.powerMde(units, col("c"), relMdeX1e6 = 0L)
+    }
+  }
+
   test("ltvCurve: exact micro revenue, cumulative across sparse offsets, " +
       "per-member floor division, null-value events cohort but don't pay") {
     val day = 86400000000L
