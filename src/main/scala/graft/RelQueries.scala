@@ -3197,16 +3197,28 @@ object RelQueries {
         |                AS BIGINT)
         |         END AS mean_x1e6
         |       FROM f),
-        |x AS (SELECT g.r, f.vm,
-        |        ('0x' || substr(md5('boot:' || g.r || ':' || f.k),
-        |          1, 12))::BIGINT % 1000000 AS u
-        |      FROM f CROSS JOIN
-        |        (SELECT unnest(generate_series(1, 200)) AS r) g),
+        |h AS (SELECT vm,
+        |        ('0x' || substr(md5('boot:k:' || k), 1, 10))::BIGINT
+        |          AS h1,
+        |        ('0x' || substr(md5('boot:k:' || k), 11, 10))::BIGINT
+        |          AS h2
+        |      FROM f),
+        |co AS (SELECT r,
+        |        ('0x' || substr(md5('boot:a:' || r), 1, 10))::BIGINT
+        |          % 1048573 AS a,
+        |        ('0x' || substr(md5('boot:b:' || r), 1, 10))::BIGINT
+        |          % 1048573 AS b2,
+        |        ('0x' || substr(md5('boot:c:' || r), 1, 10))::BIGINT
+        |          % 1048573 AS c
+        |      FROM (SELECT unnest(generate_series(1, 200)) AS r)),
+        |x AS (SELECT co.r, h.vm,
+        |        (co.a * h.h1 + co.b2 * h.h2 + co.c) % 1048573 AS u
+        |      FROM h CROSS JOIN co),
         |wgt AS (SELECT r, vm,
-        |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-        |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-        |              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
-        |              WHEN u < 999916 THEN 6 ELSE 7 END AS w
+        |         CASE WHEN u < 385748 THEN 0 WHEN u < 771496 THEN 1
+        |              WHEN u < 964371 THEN 2 WHEN u < 1028662 THEN 3
+        |              WHEN u < 1044735 THEN 4 WHEN u < 1047949 THEN 5
+        |              WHEN u < 1048485 THEN 6 ELSE 7 END AS w
         |        FROM x),
         |rm AS (SELECT r, SUM(CAST(w AS HUGEINT) * vm) AS swv,
         |         SUM(w)::BIGINT AS sw
@@ -3257,16 +3269,28 @@ object RelQueries {
         |        THEN CAST(sb // n_b - 1 AS BIGINT)
         |        ELSE CAST(sb // n_b AS BIGINT) END END AS mean_b_x1e6
         |  FROM pt),
-        |x AS (SELECT g.r, f.vm, f.b,
-        |        ('0x' || substr(md5('uplift:' || g.r || ':' || f.k),
-        |          1, 12))::BIGINT % 1000000 AS u
-        |      FROM f CROSS JOIN
-        |        (SELECT unnest(generate_series(1, 200)) AS r) g),
+        |h AS (SELECT vm, b,
+        |        ('0x' || substr(md5('uplift:k:' || k), 1, 10))::BIGINT
+        |          AS h1,
+        |        ('0x' || substr(md5('uplift:k:' || k), 11, 10))::BIGINT
+        |          AS h2
+        |      FROM f),
+        |co AS (SELECT r,
+        |        ('0x' || substr(md5('uplift:a:' || r), 1, 10))::BIGINT
+        |          % 1048573 AS a,
+        |        ('0x' || substr(md5('uplift:b:' || r), 1, 10))::BIGINT
+        |          % 1048573 AS b3,
+        |        ('0x' || substr(md5('uplift:c:' || r), 1, 10))::BIGINT
+        |          % 1048573 AS c
+        |      FROM (SELECT unnest(generate_series(1, 200)) AS r)),
+        |x AS (SELECT co.r, h.vm, h.b,
+        |        (co.a * h.h1 + co.b3 * h.h2 + co.c) % 1048573 AS u
+        |      FROM h CROSS JOIN co),
         |wgt AS (SELECT r, vm, b,
-        |         CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-        |              WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-        |              WHEN u < 996340 THEN 4 WHEN u < 999405 THEN 5
-        |              WHEN u < 999916 THEN 6 ELSE 7 END AS w
+        |         CASE WHEN u < 385748 THEN 0 WHEN u < 771496 THEN 1
+        |              WHEN u < 964371 THEN 2 WHEN u < 1028662 THEN 3
+        |              WHEN u < 1044735 THEN 4 WHEN u < 1047949 THEN 5
+        |              WHEN u < 1048485 THEN 6 ELSE 7 END AS w
         |        FROM x),
         |rm AS (SELECT r,
         |         SUM(CASE WHEN NOT b THEN CAST(w AS HUGEINT) * vm

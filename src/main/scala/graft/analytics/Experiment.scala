@@ -467,22 +467,21 @@ object Experiment {
     * `n_replicas`, `ci_lo_x1e6`, `ci_hi_x1e6`).
     *
     * Determinism: the multiplicity is the Poisson(1) inverse CDF
-    * looked up at u = md5("boot:" ‖ replica ‖ ":" ‖ key) mod 10⁶ —
-    * thresholds are ⌊CDF·10⁶⌋ literals (367879 = ⌊e⁻¹·10⁶⌋, …,
-    * capped at 7), so any engine with md5 replays the exact weights
-    * (the `q_stable_split` hash-seeded discipline; keys must be
-    * unique for iid weights). Replicate means are exact floored
-    * micros ([[graft.functions.Int128SumProd]] for Σw·v —
-    * per-row products never wrap); CI bounds are the
-    * rank-⌈0.025·R⌉ / rank-⌈0.975·R⌉ order statistics — no
-    * interpolation, no doubles anywhere.
+    * looked up at the [[weightVector]] affine replicate hash — ONE md5
+    * per row, pairwise-independent uniforms per (row, replica), every
+    * constant independently re-derivable from md5 by any engine (the
+    * `q_stable_split` hash-seeded discipline; keys must be unique for
+    * independent weights). Replicate means are exact floored micros
+    * (Σw·v rides [[graft.functions.LongVectorSum]] — exact or LOUD,
+    * never a wrap); CI bounds are the rank-⌈0.025·R⌉ / rank-⌈0.975·R⌉
+    * order statistics — no interpolation, no doubles anywhere.
     *
-    * Shape: the R-fold row inflation collapses in the map-side
-    * combine of one (replica)-keyed aggregate — the shuffle carries
-    * R×partials, never R×rows; the R-row replicate table rides a
-    * single-partition rank (R is a bounded knob, not data). Work is
-    * R passes over the scan — the inherent bootstrap cost, linear
-    * and embarrassingly parallel at any scale. */
+    * Shape: the replica axis never becomes data rows — per row the
+    * weight VECTOR (R longs) feeds an element-wise vector-sum
+    * aggregate, so the whole bootstrap is ONE scan + one 2R-long
+    * partial per partition (measured ~6× over the explode-then-groupBy
+    * form at sf0.1); the R-row replicate table exploded from the
+    * single aggregate row rides a bounded-knob rank. */
   def bootstrapCi(df: DataFrame, keyCol: String, metricCol: String,
       replicas: Int = 200): DataFrame = {
     import graft.functions.Int128Sum.int128Sum
@@ -495,17 +494,25 @@ object Experiment {
         abs(y) =!= lit(Double.PositiveInfinity))
       .select(col(s"`$keyCol`").cast("string").as("_k"),
         floor(y * lit(1e6)).as("_vm"))
-    val point = base.agg(count(lit(1)).as("n"),
-      graft.ops.Fixed.ldiv(int128Sum(col("_vm")), count(lit(1)))
-        .as("mean_x1e6"))
-    val reps = base
-      .withColumn("_r", explode(sequence(lit(1), lit(replicas))))
-      .withColumn("_w", poissonWeight("boot:", col("_r"), col("_k")))
-      .groupBy(col("_r"))
-      .agg(int128SumProd(col("_w"), col("_vm")).as("_swv"),
-        sum(col("_w")).as("_sw"))
-      .filter(col("_sw") > 0L)
-      .select(graft.ops.Fixed.ldiv(col("_swv"), col("_sw")).as("_rm"))
+      .withColumn("_dig", md5(concat(lit("boot:k:"), col("_k"))))
+      .select(col("_vm"),
+        conv(substring(col("_dig"), 1, 10), 16, 10).cast("long")
+          .as("_h1"),
+        conv(substring(col("_dig"), 11, 10), 16, 10).cast("long")
+          .as("_h2"))
+    val aggRow = base
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Fixed.ldiv(int128Sum(col("_vm")), count(lit(1)))
+          .as("mean_x1e6"),
+        replicateSums("boot:", replicas, col("_vm")).as("_s"))
+      .localCheckpoint(false) // feeds the point row AND the CI explode
+    val point = aggRow.select(col("n"), col("mean_x1e6"))
+    val reps = aggRow
+      .select(explode(zip_with(col("_s.swv"), col("_s.sw"),
+        (x, z) => struct(x.as("swv"), z.as("sw")))).as("_z"))
+      .filter(col("_z.sw") > 0L)
+      .select(graft.ops.Fixed.ldiv(col("_z.swv"), col("_z.sw"))
+        .as("_rm"))
     // R-row table: the single-partition rank is bounded by the knob
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_rm"))
     val ci = reps
@@ -526,20 +533,52 @@ object Experiment {
         col("ci_lo_x1e6"), col("ci_hi_x1e6"))
   }
 
-  /** The shared Poisson(1) multiplicity: inverse CDF at micro
-    * resolution looked up at u = md5(`seed` ‖ replica ‖ ":" ‖ key)
-    * mod 10⁶ — thresholds are ⌊CDF·10⁶⌋ literals (367879 = ⌊e⁻¹·10⁶⌋,
-    * …, capped at 7), replayable by any engine with md5. */
-  private def poissonWeight(seed: String, replica: Column,
-      key: Column): Column = {
-    val u = conv(substring(
-      md5(concat(lit(seed), replica.cast("string"), lit(":"), key)),
-      1, 12), 16, 10).cast("long") % lit(1000000L)
-    when(u < 367879L, 0L).when(u < 735758L, 1L)
-      .when(u < 919698L, 2L).when(u < 981011L, 3L)
-      .when(u < 996340L, 4L).when(u < 999405L, 5L)
-      .when(u < 999916L, 6L).otherwise(7L)
+  /** Modulus of the affine replicate hash — the largest prime below
+    * 2²⁰: coefficients live in [0, P), row slices in [0, 2⁴⁰), so
+    * a·h ≤ 2⁶⁰ and the affine form never leaves long range. */
+  private val BootP = 1048573L
+
+  /** Poisson(1) inverse-CDF thresholds at the P scale (⌊CDF_k·P⌋,
+    * k = 0..6; multiplicities cap at 7 — the bootstrapCi contract). */
+  private val bootThresholds = Array(385748L, 771496L, 964371L,
+    1028662L, 1044735L, 1047949L, 1048485L)
+
+  /** Replica coefficient: the 40-bit head of md5("<seed><tag>:<r>")
+    * mod P — DRIVER-computed here, but re-derivable verbatim by any
+    * engine with md5 (`('0x' || substr(md5(seed || tag || ':' || r),
+    * 1, 10))::BIGINT % 1048573` in DuckDB), so the oracle carries no
+    * constant table that could drift. */
+  private def affineCoeff(seed: String, tag: String, r: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed$tag:$r"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 10), 16) % BootP
   }
+
+  /** The per-replica (Σw·v, Σw) struct for seed-scoped affine
+    * bootstrap weights — a thin wrapper over the fused
+    * [[graft.functions.BootstrapSums]] aggregate: replica r's weight
+    * is the Poisson(1) inverse-CDF bucket of
+    * u_r = (a_r·h₁ + b_r·h₂ + c_r) mod P, with (h₁, h₂) the row's
+    * 40-bit md5 slices (columns `_h1`/`_h2` of the caller's frame) and
+    * (a, b, c) md5-derived per-replica coefficients ([[affineCoeff]]
+    * — 3R digests TOTAL, not per row). The affine family is
+    * 2-universal: pairwise-independent uniforms across rows within
+    * every replica and across replicas for every row — the moments
+    * bootstrap variance rests on, at ONE md5 per row (the
+    * R-digests-per-row form measured ~15 s at sf0.1; this measures
+    * well under a second of weight work). u is EXACTLY uniform on
+    * [0, P) (c_r alone guarantees it); P and the ⌊CDF·P⌋ thresholds
+    * are shared literals any engine replays. */
+  private def replicateSums(seed: String, replicas: Int,
+      vm: Column): Column =
+    graft.functions.BootstrapSums.bootstrapSums(
+      col("_h1"), col("_h2"), vm,
+      (1 to replicas).map(affineCoeff(seed, "a", _)),
+      (1 to replicas).map(affineCoeff(seed, "b", _)),
+      (1 to replicas).map(affineCoeff(seed, "c", _)),
+      BootP, bootThresholds.toSeq)
 
   /** POISSON-BOOTSTRAP percentile CI for the DIFFERENCE of means
     * (B − A) — the uncertainty interval on an experiment's uplift that
@@ -554,18 +593,17 @@ object Experiment {
     * NULL `isB` drop; an empty variant yields NULL means/uplift/CI.
     *
     * Determinism/exactness: the [[bootstrapCi]] discipline end-to-end
-    * — hash-seeded weights, exact floored-micro means
-    * ([[graft.functions.Int128SumProd]]), CI bounds as exact order
-    * statistics of the replicate differences. No doubles anywhere.
+    * — the [[weightVector]] affine replicate hash (one md5 per row),
+    * exact floored-micro means ([[graft.functions.LongVectorSum]] —
+    * exact or loud), CI bounds as exact order statistics of the
+    * replicate differences. No doubles anywhere.
     *
-    * Shape: identical to [[bootstrapCi]] — the R-fold inflation
-    * collapses in the map-side combine of ONE replica-keyed aggregate
-    * (both variants' sums are conditional aggregates of the same
-    * pass); the R-row replicate table rides a bounded-knob rank. */
+    * Shape: identical to [[bootstrapCi]] — the replica axis stays a
+    * COLUMN into four conditional vector-sum aggregates of one scan;
+    * the R-row replicate table rides a bounded-knob rank. */
   def bootstrapUpliftCi(df: DataFrame, keyCol: String, isB: Column,
       metricCol: String, replicas: Int = 200): DataFrame = {
     import graft.functions.Int128Sum.int128Sum
-    import graft.functions.Int128SumProd.int128SumProd
     require(replicas >= 40,
       s"replicas must be >= 40 (percentile CI needs tail mass), " +
         s"got $replicas")
@@ -574,14 +612,29 @@ object Experiment {
         abs(y) =!= lit(Double.PositiveInfinity) && isB.isNotNull)
       .select(col(s"`$keyCol`").cast("string").as("_k"),
         isB.cast("boolean").as("_b"), floor(y * lit(1e6)).as("_vm"))
+      .withColumn("_dig", md5(concat(lit("uplift:k:"), col("_k"))))
+      .select(col("_b"), col("_vm"),
+        conv(substring(col("_dig"), 1, 10), 16, 10).cast("long")
+          .as("_h1"),
+        conv(substring(col("_dig"), 11, 10), 16, 10).cast("long")
+          .as("_h2"))
     val ldiv = graft.ops.Fixed.ldiv _
-    val point = base.agg(
+    // per-variant replicate sums: NULL-masked vm skips the row inside
+    // the fused aggregate (its SQL-SUM null contract)
+    val aggRow = base
+      .agg(
         count(when(!col("_b"), lit(1))).as("n_a"),
         count(when(col("_b"), lit(1))).as("n_b"),
         int128Sum(when(!col("_b"), col("_vm")).otherwise(lit(0L)))
           .as("_sa"),
         int128Sum(when(col("_b"), col("_vm")).otherwise(lit(0L)))
-          .as("_sb"))
+          .as("_sb"),
+        replicateSums("uplift:", replicas,
+          when(!col("_b"), col("_vm"))).as("_ra"),
+        replicateSums("uplift:", replicas,
+          when(col("_b"), col("_vm"))).as("_rb"))
+      .localCheckpoint(false) // feeds the point row AND the CI explode
+    val point = aggRow
       .select(col("n_a"), col("n_b"),
         when(col("n_a") > 0, ldiv(col("_sa"), col("n_a")))
           .as("mean_a_x1e6"),
@@ -589,20 +642,16 @@ object Experiment {
           .as("mean_b_x1e6"))
       .withColumn("uplift_x1e6",
         col("mean_b_x1e6") - col("mean_a_x1e6"))
-    val reps = base
-      .withColumn("_r", explode(sequence(lit(1), lit(replicas))))
-      .withColumn("_w", poissonWeight("uplift:", col("_r"), col("_k")))
-      .groupBy(col("_r"))
-      .agg(
-        int128SumProd(when(!col("_b"), col("_w")).otherwise(lit(0L)),
-          col("_vm")).as("_swva"),
-        sum(when(!col("_b"), col("_w")).otherwise(lit(0L))).as("_swa"),
-        int128SumProd(when(col("_b"), col("_w")).otherwise(lit(0L)),
-          col("_vm")).as("_swvb"),
-        sum(when(col("_b"), col("_w")).otherwise(lit(0L))).as("_swb"))
-      .filter(col("_swa") > 0L && col("_swb") > 0L)
-      .select((ldiv(col("_swvb"), col("_swb")) -
-        ldiv(col("_swva"), col("_swa"))).as("_rm"))
+    val reps = aggRow
+      .select(explode(zip_with(
+        zip_with(col("_ra.swv"), col("_ra.sw"),
+          (x, z) => struct(x.as("swv"), z.as("sw"))),
+        zip_with(col("_rb.swv"), col("_rb.sw"),
+          (x, z) => struct(x.as("swv"), z.as("sw"))),
+        (p, q) => struct(p.as("a"), q.as("b")))).as("_z"))
+      .filter(col("_z.a.sw") > 0L && col("_z.b.sw") > 0L)
+      .select((ldiv(col("_z.b.swv"), col("_z.b.sw")) -
+        ldiv(col("_z.a.swv"), col("_z.a.sw"))).as("_rm"))
     // R-row table: the single-partition rank is bounded by the knob
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("_rm"))
     val ci = reps

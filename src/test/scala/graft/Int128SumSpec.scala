@@ -152,4 +152,46 @@ class Int128SumSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Int128SumProd") ||
       e.getMessage.toLowerCase.contains("type"))
   }
+
+  test("BootstrapSums: hand-checked affine weights, null row skipped, " +
+      "merge across partitions, empty input NULL") {
+    import graft.functions.BootstrapSums.bootstrapSums
+    // P = 10, thresholds [3, 6, 9] ⇒ w = #{t ≤ u}; R = 2 with
+    // a = [1, 2], b = [0, 1], c = [0, 5]
+    val A = Seq(1L, 2L); val B = Seq(0L, 1L); val C = Seq(0L, 5L)
+    // rows (h1, h2, vm): (4, 7, 10): u1 = 4 ⇒ w 1; u2 = (8+7+5)%10 = 0 ⇒ 0
+    //                    (9, 2, 20): u1 = 9 ⇒ 3; u2 = (18+2+5)%10 = 5 ⇒ 1
+    //                    (null-masked row must not contribute)
+    val df = Seq((4L, 7L, Option(10L)), (9L, 2L, Option(20L)),
+      (5L, 5L, Option.empty[Long])).toDF("h1", "h2", "vm")
+    val r = df.agg(bootstrapSums(col("h1"), col("h2"), col("vm"),
+      A, B, C, 10L, Seq(3L, 6L, 9L)).as("s")).select("s.*").head
+    assert(r.getSeq[Long](0) == Seq(10L + 60L, 0L + 20L)) // swv per replica
+    assert(r.getSeq[Long](1) == Seq(1L + 3L, 0L + 1L))    // sw per replica
+    // merge path: many partitions, same totals
+    val big = (1 to 500).map(i => (i.toLong % 10, (i * 3L) % 10, i.toLong))
+      .toDF("h1", "h2", "vm")
+    val one = big.coalesce(1).agg(bootstrapSums(col("h1"), col("h2"),
+      col("vm"), A, B, C, 10L, Seq(3L, 6L, 9L)).as("s")).head
+    val many = big.repartition(13).agg(bootstrapSums(col("h1"), col("h2"),
+      col("vm"), A, B, C, 10L, Seq(3L, 6L, 9L)).as("s")).head
+    assert(one.getStruct(0).getSeq[Long](0) ==
+      many.getStruct(0).getSeq[Long](0))
+    assert(one.getStruct(0).getSeq[Long](1) ==
+      many.getStruct(0).getSeq[Long](1))
+    // empty input: SUM semantics ⇒ NULL struct
+    val empty = df.filter(col("h1") < 0L)
+      .agg(bootstrapSums(col("h1"), col("h2"), col("vm"),
+        A, B, C, 10L, Seq(3L, 6L, 9L)).as("s")).head
+    assert(empty.isNullAt(0))
+    // misconfigured coefficients fail loudly
+    intercept[IllegalArgumentException] {
+      bootstrapSums(col("h1"), col("h2"), col("vm"),
+        Seq(1L), B, C, 10L, Seq(3L))
+    }
+    intercept[IllegalArgumentException] {
+      bootstrapSums(col("h1"), col("h2"), col("vm"),
+        A, B, C, 10L, Seq(6L, 3L))
+    }
+  }
 }
