@@ -193,6 +193,23 @@ object RelQueries {
         .orderBy(col("duration"))
     }),
 
+    // -- [EXT]: log-rank test — do the user-parity variants' survival
+    //    curves differ? Exact per-step floored E/V micros over the
+    //    duration grid, one IEEE div/sqrt/div chain for z
+    "q_logrank" -> ((s, dir) => {
+      EventFunnel.logRank(events(s, dir), "user_id",
+        col("user_id") % 2 === 1, "ts_us", periodUs = 86400000000L)
+    }),
+
+    // -- [EXT]: concurrency curve — peak simultaneous 30-minute
+    //    sessions per day (half-open intervals, ends before starts at
+    //    a tied instant, carry-in covered); the global running sum
+    //    rides the skew-safe PrefixSum machinery
+    "q_concurrency" -> ((s, dir) => {
+      EventFunnel.concurrency(events(s, dir), "ts_us",
+        durationUs = 1800000000L, periodUs = 86400000000L)
+    }),
+
     // -- [EXT]: cohort LTV curve — daily cohorts, exact micro-unit
     //    revenue, cumulative + per-member lifetime value
     "q_ltv_curve" -> ((s, dir) => {
@@ -3418,6 +3435,80 @@ object RelQueries {
         |SELECT duration, n_risk, n_event, n_censored,
         |  CAST(s AS BIGINT) AS surv_x1e6
         |FROM km ORDER BY duration""".stripMargin,
+
+    // same lifetime/censoring construction split by parity; at-risk
+    // via a 1-PRECEDING cumulative window; per-step E/V floored once
+    // in HUGEINT; z replays the same IEEE chain
+    "q_logrank" ->
+      """WITH l AS (
+        |  SELECT user_id % 2 = 1 AS b,
+        |    min(epoch_us(ts) // 86400000000) AS fp,
+        |    max(epoch_us(ts) // 86400000000) AS lp
+        |  FROM events GROUP BY user_id),
+        |mx AS (SELECT max(lp) AS endp FROM l),
+        |d0 AS (SELECT b, lp - fp AS duration,
+        |        CASE WHEN lp < (SELECT endp FROM mx)
+        |          THEN 1 ELSE 0 END AS e
+        |      FROM l),
+        |g AS (SELECT duration,
+        |        sum(CASE WHEN NOT b THEN e ELSE 0 END) AS da,
+        |        sum(CASE WHEN NOT b THEN 1 - e ELSE 0 END) AS ca,
+        |        sum(CASE WHEN b THEN e ELSE 0 END) AS db,
+        |        sum(CASE WHEN b THEN 1 - e ELSE 0 END) AS cb
+        |      FROM d0 GROUP BY 1),
+        |tot AS (SELECT COALESCE(sum(da + ca), 0) AS ta,
+        |          COALESCE(sum(db + cb), 0) AS tb,
+        |          COALESCE(sum(da), 0) AS ea,
+        |          COALESCE(sum(db), 0) AS eb
+        |        FROM g),
+        |r AS (SELECT g.*,
+        |        (SELECT ta FROM tot)
+        |          - COALESCE(sum(da + ca) OVER w, 0) AS na,
+        |        (SELECT tb FROM tot)
+        |          - COALESCE(sum(db + cb) OVER w, 0) AS nb
+        |      FROM g WINDOW w AS (ORDER BY duration
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |terms AS (SELECT
+        |    CASE WHEN da + db > 0 AND na + nb > 0 THEN
+        |      CAST(da AS HUGEINT) * 1000000
+        |      - (CAST(da + db AS HUGEINT) * na * 1000000) // (na + nb)
+        |    ELSE 0 END AS oet,
+        |    CASE WHEN da + db > 0 AND na + nb > 1 THEN
+        |      (CAST(da + db AS HUGEINT) * na * nb
+        |        * (na + nb - da - db) * 1000000)
+        |      // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+        |    ELSE 0 END AS vt
+        |  FROM r),
+        |s AS (SELECT COALESCE(CAST(sum(oet) AS BIGINT), 0) AS oe,
+        |        COALESCE(CAST(sum(vt) AS BIGINT), 0) AS vv
+        |      FROM terms)
+        |SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_a,
+        |  CAST((SELECT tb FROM tot) AS BIGINT) AS n_b,
+        |  CAST((SELECT ea FROM tot) AS BIGINT) AS events_a,
+        |  CAST((SELECT eb FROM tot) AS BIGINT) AS events_b,
+        |  oe AS o_minus_e_a_x1e6, vv AS var_x1e6,
+        |  CASE WHEN vv > 0 THEN
+        |    CAST(floor((oe / 1000000.0) / sqrt(vv / 1000000.0)
+        |      * 1000000.0) AS BIGINT) END AS z_x1e6
+        |FROM s""".stripMargin,
+
+    // boundary deltas ordered (t, delta) — ends before starts at a
+    // tied instant; per-day max includes the pre-point level
+    // (active - delta) so boundary-spanning sessions count
+    "q_concurrency" ->
+      """WITH pts AS (
+        |  SELECT epoch_us(ts) AS t, 1 AS d FROM events
+        |  UNION ALL
+        |  SELECT epoch_us(ts) + 1800000000, -1 FROM events),
+        |r AS (SELECT t, d,
+        |        sum(d) OVER (ORDER BY t, d
+        |          ROWS UNBOUNDED PRECEDING) AS active
+        |      FROM pts)
+        |SELECT t // 86400000000 AS period,
+        |  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+        |  CAST(max(greatest(active, active - d)) AS BIGINT)
+        |    AS max_concurrent
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Exact SQL reimplementation of the portable dense HLL (p=12): md5
     // hash → top-12-bit bucket, max leading-zero rank over the low 52

@@ -489,4 +489,126 @@ object EventFunnel {
     out.toSeq
       .toDF("duration", "n_risk", "n_event", "n_censored", "surv_x1e6")
   }
+
+  /** LOG-RANK TEST — the two-group survival comparison that completes
+    * [[kaplanMeier]] ("do variant B's users churn faster?"): lifetimes
+    * and right-censoring are derived exactly as in [[kaplanMeier]]
+    * (first→last active period per user; users alive at the
+    * observation horizon are censored), split into groups by `isB`
+    * (one value per user — the [[graft.analytics.Experiment.abTest]]
+    * grouping convention). At each distinct duration t with d_t total
+    * events and n_t/n_At at risk,
+    *   E_At = d_t·n_At/n_t,   V_t = d_t·(n_At/n_t)·(n_Bt/n_t)·
+    *   (n_t−d_t)/(n_t−1) (0 at n_t = 1),
+    * and z = Σ(d_At − E_At)/√(ΣV_t) — |z| ≥ 1.96 ⇒ the survival
+    * curves differ at p < .05. ONE row: (`n_a`, `n_b`, `events_a`,
+    * `events_b`, `o_minus_e_a_x1e6`, `var_x1e6`, `z_x1e6`); z NULL
+    * when the variance is 0 (one group empty, or no events).
+    *
+    * Exactness: per-step E and V floor ONCE to micros (BigInt
+    * products — no overflow at any n), the sums are exact integer
+    * micros, and z is one IEEE divide/√/divide chain on those
+    * integers (the Mann–Kendall discipline) — an external engine
+    * replays every bit.
+    *
+    * Shape: the per-user lifetime aggregate is the data-sized work;
+    * the duration grid is calendar-bounded and the accumulation is a
+    * [[kaplanMeier]]-style driver chain with the same LOUD `maxSteps`
+    * cap. */
+  def logRank(events: DataFrame, userCol: String, isB: Column,
+      tsUsCol: String, periodUs: Long, maxSteps: Int = 10000)
+      : DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val lives = events.filter(isB.isNotNull)
+      .groupBy(col(userCol).as("_u"), isB.cast("boolean").as("_b"))
+      .agg(min(period).as("_fp"), max(period).as("_lp"))
+    val mx = broadcast(lives.agg(max(col("_lp")).as("_endp")))
+    val durs = lives.crossJoin(mx)
+      .select(col("_b"), (col("_lp") - col("_fp")).as("duration"),
+        when(col("_lp") < col("_endp"), 1L).otherwise(0L).as("_e"))
+      .groupBy(col("duration"))
+      .agg(sum(when(!col("_b"), col("_e"))).as("da"),
+        sum(when(!col("_b"), lit(1L) - col("_e"))).as("ca"),
+        sum(when(col("_b"), col("_e"))).as("db"),
+        sum(when(col("_b"), lit(1L) - col("_e"))).as("cb"))
+      .orderBy(col("duration"))
+    val steps = durs.collect()
+    require(steps.length <= maxSteps,
+      s"log-rank grid has ${steps.length} steps > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (the driver chain is " +
+        "grid-sized by design)")
+    def g(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    var nA = steps.iterator.map(r => g(r, 1) + g(r, 2)).sum
+    var nB = steps.iterator.map(r => g(r, 3) + g(r, 4)).sum
+    val (totA, totB) = (nA, nB)
+    var (evA, evB) = (0L, 0L)
+    val M = BigInt(1000000L)
+    var oe = BigInt(0) // Σ(d_At·10⁶ − ⌊E_At·10⁶⌋), exact micros
+    var vv = BigInt(0) // Σ⌊V_t·10⁶⌋
+    steps.foreach { r =>
+      val (da, ca, db, cb) = (g(r, 1), g(r, 2), g(r, 3), g(r, 4))
+      val (n, d) = (nA + nB, da + db)
+      if (d > 0 && n > 0) {
+        oe += BigInt(da) * M - BigInt(d) * BigInt(nA) * M / BigInt(n)
+        if (n > 1)
+          vv += BigInt(d) * BigInt(nA) * BigInt(nB) * BigInt(n - d) * M /
+            (BigInt(n) * BigInt(n) * BigInt(n - 1))
+      }
+      evA += da; evB += db
+      nA -= da + ca; nB -= db + cb
+    }
+    val oeL = oe.bigInteger.longValueExact()
+    val vvL = vv.bigInteger.longValueExact()
+    val z: java.lang.Long =
+      if (vvL > 0L)
+        java.lang.Long.valueOf(math.floor(
+          (oeL / 1e6) / math.sqrt(vvL / 1e6) * 1e6).toLong)
+      else null
+    Seq((totA, totB, evA, evB, oeL, vvL, Option(z).map(_.longValue())))
+      .toDF("n_a", "n_b", "events_a", "events_b", "o_minus_e_a_x1e6",
+        "var_x1e6", "z_x1e6")
+  }
+
+  /** CONCURRENCY CURVE — peak simultaneous activity per period, the
+    * capacity-planning readout ("how many sessions at once?"): each
+    * event opens a half-open session [t, t+`durationUs`); the active
+    * count is the running sum of +1/−1 boundary deltas ordered by
+    * (time, delta) — ends apply BEFORE starts at the same instant, the
+    * half-open convention — and each period reports its event count
+    * and the maximum active value seen at any boundary inside it,
+    * INCLUDING the carry-in level (the running value just before each
+    * point, `active − δ`, covers the sessions spanning the period
+    * boundary). One row per period with ≥1 boundary: (`period`,
+    * `n_starts`, `max_concurrent`), ordered. Exact integers.
+    *
+    * Tie invariance: boundaries tied on (t, δ) carry identical deltas,
+    * so the SET of running values across a tie block — and therefore
+    * the per-period max — is order-independent; the cross-engine
+    * contract needs no further tie-breaker.
+    *
+    * Shape: the global running sum rides the skew-safe
+    * [[graft.ops.PrefixSum]] range-exchange machinery (never a
+    * single-task window); the per-period max is one hash aggregate. */
+  def concurrency(events: DataFrame, tsUsCol: String, durationUs: Long,
+      periodUs: Long): DataFrame = {
+    require(durationUs > 0, s"durationUs must be positive, got $durationUs")
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val t = expr(tsUsCol)
+    val pts = events.select(t.as("_t"), lit(1L).as("_d"))
+      .unionByName(events.select((t + lit(durationUs)).as("_t"),
+        lit(-1L).as("_d")))
+    val run = graft.ops.PrefixSum.runningSums(pts,
+      Seq(col("_t").asc, col("_d").asc), Seq("_d" -> "_active"))
+    run
+      .groupBy(graft.ops.Fixed.ldiv(col("_t"), lit(periodUs))
+        .as("period"))
+      .agg(sum(when(col("_d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        max(greatest(col("_active"), col("_active") - col("_d")))
+          .as("max_concurrent"))
+      .orderBy(col("period"))
+  }
 }

@@ -528,6 +528,63 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("logRank: hand-traced O-E and variance micros over the duration " +
+      "grid, IEEE z replay, one-group NULL z") {
+    // periodUs = 1; A = even users, B = odd. Lifetimes:
+    //   u2(A) dur 0 event; u4(A) dur 2 event; u1(B) dur 1 event;
+    //   u3(B) dur 3 censored (lp = horizon 3)
+    // steps: t0 (n 2/2, dA=1): E=500000, V=250000
+    //        t1 (1/2, dB=1):   E=333333, V=222222
+    //        t2 (1/1, dA=1):   E=500000, V=250000
+    // oe = 500000 - 333333 + 500000 = 666667; vv = 722222
+    val ev = Seq((2L, 0L), (4L, 0L), (4L, 2L), (1L, 0L), (1L, 1L),
+      (3L, 0L), (3L, 1L), (3L, 2L), (3L, 3L)).toDF("u", "ts")
+    val r = EventFunnel.logRank(ev, "u", col("u") % 2 === 1, "ts", 1L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (2L, 2L, 2L, 1L, 666667L, 722222L))
+    assert(r.getLong(6) ==
+      math.floor((666667L / 1e6) / math.sqrt(722222L / 1e6) * 1e6)
+        .toLong)
+    // a one-group log has zero variance: no test, NULL z
+    val onlyA = ev.filter(col("u") % 2 === 0)
+    val ra = EventFunnel.logRank(onlyA, "u", col("u") % 2 === 1,
+      "ts", 1L).collect().head
+    assert(ra.getLong(1) == 0L && ra.isNullAt(6))
+    intercept[IllegalArgumentException] {
+      EventFunnel.logRank(ev, "u", col("u") % 2 === 1, "ts", 1L,
+        maxSteps = 1)
+    }
+  }
+
+  test("concurrency: hand-traced peak per period, carry-in level, " +
+      "tied starts stack, end applies before a tied start") {
+    // sessions of 10 at t = 0, 5, 8, 120; periods of 100
+    val ev = Seq(0L, 5L, 8L, 120L).map(Tuple1(_)).toDF("ts")
+    val r = EventFunnel.concurrency(ev, "ts", durationUs = 10L,
+      periodUs = 100L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 3L, 3L), (1L, 1L, 1L)))
+    // two simultaneous starts overlap
+    val tie = Seq(0L, 0L).map(Tuple1(_)).toDF("ts")
+    val rt = EventFunnel.concurrency(tie, "ts", 10L, 100L).collect()
+    assert(rt.head.getLong(2) == 2L)
+    // half-open [t, t+d): a start at exactly the previous end does NOT
+    // overlap it
+    val halfOpen = Seq(0L, 10L).map(Tuple1(_)).toDF("ts")
+    val rh = EventFunnel.concurrency(halfOpen, "ts", 10L, 100L).collect()
+    assert(rh.head.getLong(2) == 1L)
+    // a session spanning a period boundary counts in the next period's
+    // max via the carry-in level even though it starts earlier
+    val span = Seq(95L, 101L).map(Tuple1(_)).toDF("ts")
+    val rs = EventFunnel.concurrency(span, "ts", 10L, 100L).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(rs == Seq((0L, 1L, 1L), (1L, 1L, 2L)))
+    intercept[IllegalArgumentException] {
+      EventFunnel.concurrency(ev, "ts", 0L, 100L)
+    }
+  }
+
   test("bootstrapUpliftCi: degenerate CI on per-variant constants, " +
       "empty variant NULLs, determinism, replica floor") {
     import graft.analytics.Experiment
