@@ -924,6 +924,34 @@ object RelQueries {
         threshold = 3L)
     }),
 
+    // -- [EXT]: t-closeness census — the skewness-attack companion:
+    //    worst per-class total-variation gap between the class's
+    //    balance-band distribution and the table's; exact
+    //    common-denominator micros, absent-value tail in closed form
+    "q_t_closeness" -> ((s, dir) => {
+      graft.analytics.Profiler.tCloseness(
+        t(s, dir, "customer")
+          .withColumn("balance_band",
+            floor(col("c_acctbal") / lit(1000.0)).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "balance_band",
+        thresholdX1e6 = 200000L)
+    }),
+
+    // -- [EXT]: Cliff's delta — the sample-size-free effect size for
+    //    q_mannwhitney's comparison (ties as half-wins via the same
+    //    average-rank 2U identity); exact signed micro floor + the
+    //    Romano magnitude label
+    "q_cliffs_delta" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(floor(fin * lit(1e6))).cast("double")
+            / lit(1e6)).as("y"))
+        .withColumn("_isb", col("user_id") % 2 === 1)
+      graft.analytics.Experiment.cliffsDelta(units, col("_isb"), "y")
+    }),
+
     // -- [EXT]: Benford's-law first-digit screen over order amounts —
     //    the classic fabricated-data / truncation anomaly check; digit
     //    from the decimal string form (no float log), χ² vs the
@@ -1942,6 +1970,42 @@ object RelQueries {
         |    AS classes_below_l
         |FROM pc""".stripMargin,
 
+    // exact common-denominator total variation per class; the
+    // absent-value tail folds into the closed-form nc*nn term;
+    // non-negative numerator => // is the floor
+    "q_t_closeness" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band
+        |  FROM customer),
+        |pv AS (SELECT c_nationkey, c_mktsegment, balance_band,
+        |         count(*) AS ncv FROM b GROUP BY 1, 2, 3),
+        |vt AS (SELECT balance_band, sum(ncv) AS nv FROM pv GROUP BY 1),
+        |tt AS (SELECT sum(nv) AS nn FROM vt),
+        |tm AS (SELECT pv.c_nationkey, pv.c_mktsegment, pv.ncv, vt.nv,
+        |         sum(pv.ncv) OVER (PARTITION BY pv.c_nationkey,
+        |           pv.c_mktsegment) AS nc
+        |       FROM pv JOIN vt
+        |         ON pv.balance_band IS NOT DISTINCT FROM vt.balance_band),
+        |pc AS (SELECT c_nationkey, c_mktsegment, min(nc) AS nc,
+        |         sum(abs(CAST(ncv AS HUGEINT) * (SELECT nn FROM tt)
+        |               - CAST(nv AS HUGEINT) * nc)
+        |             - CAST(nv AS HUGEINT) * nc) AS s
+        |       FROM tm GROUP BY 1, 2),
+        |d AS (SELECT nc,
+        |        (s + CAST(nc AS HUGEINT) * (SELECT nn FROM tt))
+        |          * 1000000
+        |          // (2 * CAST(nc AS HUGEINT) * (SELECT nn FROM tt))
+        |          AS dd
+        |      FROM pc)
+        |SELECT CAST(max(dd) AS BIGINT) AS t_closeness_x1e6,
+        |  count(*) AS n_classes, CAST(sum(nc) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(SUM(CASE WHEN dd > 200000 THEN nc END), 0)
+        |    AS BIGINT) AS rows_above_t,
+        |  CAST(COALESCE(SUM(CASE WHEN dd > 200000 THEN 1 END), 0)
+        |    AS BIGINT) AS classes_above_t
+        |FROM d""".stripMargin,
+
     // the expectation constants are the DRIVER-computed Math.log10
     // doubles interpolated as round-trip literals, so both engines use
     // bit-identical expected rates (libm log10 may differ in the last
@@ -2477,6 +2541,55 @@ object RelQueries {
         |      / (2.0 * sqrt(sig2)), 6)) >= 1.96
         |  END AS significant
         |FROM s""".stripMargin,
+
+    // same average-rank 2U chain; delta = (2U - n_a*n_b)*1e6 //
+    // (n_a*n_b) with the signed-floor adjustment; Romano labels
+    "q_cliffs_delta" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CAST(floor(CASE WHEN isfinite(value) THEN value END
+        |       * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0) AS y,
+        |    user_id % 2 = 1 AS b
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT CAST(floor(y * 1000000.0) AS BIGINT) AS vm, b
+        |      FROM u WHERE y IS NOT NULL AND NOT isnan(y)
+        |        AND isfinite(y)),
+        |v AS (SELECT vm,
+        |        SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS ca,
+        |        SUM(CASE WHEN b THEN 1 ELSE 0 END) AS cb,
+        |        COUNT(*) AS t
+        |      FROM f GROUP BY vm),
+        |c AS (SELECT *,
+        |        SUM(t) OVER (ORDER BY vm
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft
+        |      FROM v),
+        |a AS (SELECT
+        |        CAST(COALESCE(SUM(ca), 0) AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(cb), 0) AS BIGINT) AS n_b,
+        |        SUM(CAST(cb AS HUGEINT)
+        |          * (2 * CAST(ft AS HUGEINT) - t + 1)) AS wb2
+        |      FROM c),
+        |m AS (SELECT *,
+        |        wb2 - CAST(n_b AS HUGEINT) * (n_b + 1) AS u2,
+        |        CAST(n_a AS HUGEINT) * n_b AS nm
+        |      FROM a),
+        |dd AS (SELECT n_a, n_b,
+        |         CASE WHEN n_a > 0 AND n_b > 0
+        |           THEN CAST(u2 AS BIGINT) END AS u_x2,
+        |         CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |           CAST(CASE WHEN ((u2 - nm) * 1000000) % nm <> 0
+        |                  AND (u2 - nm) < 0
+        |             THEN ((u2 - nm) * 1000000) // nm - 1
+        |             ELSE ((u2 - nm) * 1000000) // nm END AS BIGINT)
+        |         END AS delta_x1e6
+        |       FROM m)
+        |SELECT n_a, n_b, u_x2, delta_x1e6,
+        |  CASE WHEN delta_x1e6 IS NOT NULL THEN
+        |    CASE WHEN abs(delta_x1e6) < 147000 THEN 'negligible'
+        |         WHEN abs(delta_x1e6) < 330000 THEN 'small'
+        |         WHEN abs(delta_x1e6) < 474000 THEN 'medium'
+        |         ELSE 'large' END END AS magnitude
+        |FROM dd""".stripMargin,
 
     // step-up envelope = running min over the reversed p-order; every
     // intermediate an exact floored micro integer (// = Fixed.ldiv)

@@ -294,6 +294,40 @@ object Experiment {
         when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
   }
 
+  /** CLIFF'S DELTA effect size — the magnitude companion to
+    * [[mannWhitneyU]] (the z-score says whether B's values tend
+    * higher; δ says by HOW MUCH, sample-size-free):
+    *   δ = P(x_B > x_A) − P(x_B < x_A) = 2U_B/(n_A·n_B) − 1 ∈ [−1, 1],
+    * with ties splitting as half-wins (exactly the average-rank U the
+    * rank-sum identity already yields). ONE row: (`n_a`, `n_b`,
+    * `u_x2`, `delta_x1e6`, `magnitude`) — the conventional Romano
+    * et al. labels (|δ| < .147 negligible, < .33 small, < .474
+    * medium, else large). An empty variant yields NULL δ/magnitude.
+    *
+    * Exactness: δ_x1e6 = ⌊(2U_B − n_A·n_B)·10⁶ / (n_A·n_B)⌋ — one
+    * signed decimal floor over the exact integer 2U_B; the label
+    * thresholds are exact micro compares. No doubles anywhere.
+    *
+    * Shape: [[mannWhitneyU]]'s value-table aggregate + single-row
+    * math — nothing new reaches data size. */
+  def cliffsDelta(units: DataFrame, isB: Column, metricCol: String)
+      : DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val mw = mannWhitneyU(units, isB, metricCol)
+    val nm = dec(col("n_a")) * dec(col("n_b"))
+    val delta = graft.ops.Fixed.ldiv(
+      (dec(col("u_x2")) - nm) * lit(1000000L), nm)
+    val mag = abs(col("delta_x1e6"))
+    mw.select(col("n_a"), col("n_b"), col("u_x2"),
+        when(col("u_x2").isNotNull, delta).as("delta_x1e6"))
+      .withColumn("magnitude",
+        when(col("delta_x1e6").isNotNull,
+          when(mag < 147000L, "negligible")
+            .when(mag < 330000L, "small")
+            .when(mag < 474000L, "medium")
+            .otherwise("large")))
+  }
+
   /** ONE-WAY ANOVA F statistic — the k-SAMPLE member of the test
     * family ([[welchTTest]]/[[mannWhitneyU]] compare two samples; this
     * asks whether ANY of k group means differ): F = (SSB/(k−1)) /

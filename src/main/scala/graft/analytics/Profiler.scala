@@ -397,6 +397,74 @@ object Profiler {
         .as("classes_below_l"))
   }
 
+  /** T-CLOSENESS census — the third member of the k-anonymity family:
+    * an l-diverse class is still exposed when its sensitive-value
+    * DISTRIBUTION diverges from the table's (the skewness attack —
+    * "everyone in this zip code has ulcers"), so each class's
+    * distribution must stay within t of the global one. Distance is
+    * the categorical t-closeness metric, total variation
+    *   d(C) = ½ Σ_v |P_C(v) − Q(v)|,
+    * computed EXACTLY on the common denominator: with per-class-value
+    * counts n_Cv, class sizes n_C, global value counts n_v and table
+    * size N,
+    *   d(C)·10⁶ = ⌊(Σ_{v∈C} (|n_Cv·N − n_v·n_C| − n_v·n_C) + n_C·N)
+    *              ·10⁶ / (2·n_C·N)⌋
+    * — the absent-value terms (n_Cv = 0 contribute n_v·n_C) collapse
+    * into the closed-form n_C·N tail, so only present (class, value)
+    * pairs are ever enumerated. ONE row: (`t_closeness` = the worst
+    * class's d·10⁶, `n_classes`, `n_rows`, `rows_above_t`,
+    * `classes_above_t` for the caller's `thresholdX1e6`). NULL
+    * sensitive values count as a value (the [[lDiversity]] rule).
+    *
+    * Shape: one (class, value) hash aggregate, a class-partitioned
+    * window over it (partition size ≤ the sensitive domain — bounded),
+    * a broadcast global-value join, then two stacked aggregates —
+    * everything after the first aggregate is distinct-(class,
+    * value)-sized; products ride decimal(38,0) (n_Cv·N passes long
+    * range at ~3e9 rows). */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, thresholdX1e6: Long = 200000L): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs quasi-identifier columns")
+    require(thresholdX1e6 >= 0,
+      s"thresholdX1e6 must be >= 0, got $thresholdX1e6")
+    val qc = quasiCols.map(c => col(s"`$c`"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val perValue = df
+      .groupBy((quasiCols :+ sensitiveCol).map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("_ncv"))
+    val valueTotals = perValue.groupBy(col(s"`$sensitiveCol`")
+        .as("_svt"))
+      .agg(sum(col("_ncv")).as("_nv"))
+    val totalRow = broadcast(valueTotals.agg(sum(col("_nv")).as("_nn")))
+    // class size via a window over the same quasi partition (a JOIN on
+    // the quasi key would need per-column null-safe equality; windows
+    // group NULL keys natively — the lDiversity rule)
+    val wClass = Window.partitionBy(qc: _*)
+    val terms = perValue
+      .withColumn("_nc", sum(col("_ncv")).over(wClass))
+      .join(broadcast(valueTotals),
+        col(s"`$sensitiveCol`") <=> col("_svt")) // null value = a value
+      .crossJoin(totalRow)
+      .withColumn("_term",
+        abs(dec(col("_ncv")) * dec(col("_nn")) -
+          dec(col("_nv")) * dec(col("_nc"))) -
+          dec(col("_nv")) * dec(col("_nc")))
+    val perClass = terms.groupBy(qc: _*)
+      .agg(min(col("_nc")).as("_nc"), min(col("_nn")).as("_nn"),
+        sum(col("_term")).as("_s"))
+      .select(col("_nc"), graft.ops.Fixed.ldiv(
+        (col("_s") + dec(col("_nc")) * dec(col("_nn"))) * lit(1000000L),
+        lit(2L) * dec(col("_nc")) * dec(col("_nn"))).as("_d"))
+    perClass.agg(
+      max(col("_d")).as("t_closeness_x1e6"),
+      count(lit(1)).as("n_classes"),
+      sum(col("_nc")).as("n_rows"),
+      coalesce(sum(when(col("_d") > thresholdX1e6, col("_nc"))),
+        lit(0L)).as("rows_above_t"),
+      coalesce(sum(when(col("_d") > thresholdX1e6, 1L)), lit(0L))
+        .as("classes_above_t"))
+  }
+
   /** BENFORD'S-LAW first-digit analysis — the classic anomaly/fraud
     * screen for naturally-occurring positive measures (amounts, sizes,
     * populations): organically generated magnitudes have first digit d

@@ -528,6 +528,33 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("cliffsDelta: hand-computed wins/losses with half-win ties, " +
+      "Romano labels, perfect separation both signs, empty variant") {
+    import graft.analytics.Experiment
+    // A {1,2,3} vs B {2,3,4}: wins 6, losses 1, ties 2 ⇒
+    // 2U = 14, δ = (14 − 9)/9 = 5/9 → 555555, large
+    val df = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0),
+      (1L, 2.0), (1L, 3.0), (1L, 4.0)).toDF("v", "y")
+    val r = Experiment.cliffsDelta(df, col("v") === 1L, "y").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4)) == (3L, 3L, 14L, 555555L, "large"))
+    // all-tied: δ = 0, negligible
+    val tied = Seq((0L, 5.0), (0L, 5.0), (1L, 5.0), (1L, 5.0))
+      .toDF("v", "y")
+    val rt = Experiment.cliffsDelta(tied, col("v") === 1L, "y").head
+    assert(rt.getLong(3) == 0L && rt.getString(4) == "negligible")
+    // perfect separation, both signs exact (the signed floor at ±1)
+    val sep = Seq((0L, 1.0), (1L, 2.0), (1L, 3.0)).toDF("v", "y")
+    assert(Experiment.cliffsDelta(sep, col("v") === 1L, "y")
+      .head.getLong(3) == 1000000L)
+    assert(Experiment.cliffsDelta(sep, col("v") === 0L, "y")
+      .head.getLong(3) == -1000000L)
+    // an empty variant has no comparison
+    val one = sep.filter(col("v") === 1L)
+    val ro = Experiment.cliffsDelta(one, col("v") === 1L, "y").head
+    assert(ro.isNullAt(2) && ro.isNullAt(3) && ro.isNullAt(4))
+  }
+
   test("logRank: hand-traced O-E and variance micros over the duration " +
       "grid, IEEE z replay, one-group NULL z") {
     // periodUs = 1; A = even users, B = odd. Lifetimes:

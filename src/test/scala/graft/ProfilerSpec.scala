@@ -306,6 +306,38 @@ class ProfilerSpec extends AnyFunSuite {
     assert(r.getLong(4) === 2L)
   }
 
+  test("tCloseness: hand-computed total variation per class, threshold " +
+      "census, identical distributions score 0, NULL sensitive counts") {
+    // classes A {x,x,y} and B {y,y,y}; global (x:2, y:4), N=6.
+    // P_A=(2/3,1/3) vs Q=(1/3,2/3) ⇒ TV 1/3; P_B=(0,1) ⇒ TV 1/3
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "y"), ("B", "y"), ("B", "y")).toDF("q", "s")
+    val r = graft.analytics.Profiler
+      .tCloseness(df, Seq("q"), "s", thresholdX1e6 = 200000L).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (333333L, 2L, 6L, 6L, 2L))
+    // a higher threshold clears the census
+    val r4 = graft.analytics.Profiler
+      .tCloseness(df, Seq("q"), "s", thresholdX1e6 = 400000L).head
+    assert(r4.getLong(0) == 333333L && r4.getLong(3) == 0L &&
+      r4.getLong(4) == 0L)
+    // every class mirroring the table is perfectly close
+    val same = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("q", "s")
+    assert(graft.analytics.Profiler
+      .tCloseness(same, Seq("q"), "s").head.getLong(0) == 0L)
+    // NULL sensitive is a value: all-null classes match an all-null
+    // table exactly (a dropped-null join would lose the class mass)
+    val nulls = Seq(("A", Option.empty[String]),
+      ("B", Option.empty[String])).toDF("q", "s")
+    val rn = graft.analytics.Profiler
+      .tCloseness(nulls, Seq("q"), "s").head
+    assert(rn.getLong(0) == 0L && rn.getLong(2) == 2L)
+    intercept[IllegalArgumentException] {
+      graft.analytics.Profiler.tCloseness(df, Seq.empty, "s")
+    }
+  }
+
   test("benford: a perfect Benford sample scores chi2 ~0, uniform digits " +
       "alarm; zero/null/negative/sub-1 handling") {
     // counts proportional to log10(1+1/d) out of 10000
