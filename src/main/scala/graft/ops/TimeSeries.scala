@@ -472,14 +472,16 @@ object TimeSeries {
       .localCheckpoint(false) // feeds the scalar row AND both join sides
     // Σn rides the int128 aggregate and n·10⁶ is guarded LOUDLY — the
     // cusum silent-wrap class (total·10⁶ past long range) cannot recur
+    // the overflow guard lives INSIDE the consumed column — a separate
+    // guard column would be pruned away unevaluated
     val scalars = broadcast(spine
       .agg(count(lit(1)).as("_cnt"), int128Sum(col("n")).as("_sx"),
         max(col("n")).as("_mx"))
-      .select(Fixed.ldiv(col("_sx") * lit(1000000L), col("_cnt"))
-          .as("_mu"),
-        when(col("_mx") > lit(9223372036854L), raise_error(concat(
+      .select(when(col("_mx") > lit(9223372036854L), raise_error(concat(
           lit("acf: a period count exceeds long micro range: "),
-          col("_mx").cast("string")))).as("_guard")))
+          col("_mx").cast("string"))).cast("long"))
+        .otherwise(Fixed.ldiv(col("_sx") * lit(1000000L), col("_cnt")))
+        .as("_mu")))
     val d = spine.crossJoin(scalars)
       .select(col("period"), (col("n") * 1000000L - col("_mu"))
         .as("_d"))
