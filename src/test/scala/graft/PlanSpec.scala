@@ -498,4 +498,37 @@ class PlanSpec extends AnyFunSuite {
     val cal = plan("q_calibration")
     assert(!cal.contains("CartesianProduct"))
   }
+
+  test("round-10 shapes: item-sim top-k prunes map-side, MRR windows " +
+      "key per query, concurrency keeps PrefixSum's bounded " +
+      "single-partition step") {
+    // item-sim: the rank<=k filter must stay a Partial+Final
+    // WindowGroupLimit pair around ONE item-keyed exchange — each map
+    // partition forwards at most k rows per item
+    val sim = plan("q_item_sim")
+    assert("WindowGroupLimit".r.findAllIn(sim).length == 2,
+      s"item-sim lost the partial group-limit prune:\n$sim")
+    assert(!sim.contains("CartesianProduct"))
+    // MRR: the ranking window partitions by (variant, user) — a
+    // data-sized ranking must never collapse to a global window
+    val mrr = plan("q_mrr")
+    assert("windowspecdefinition\\(variant#\\d+L?, user_id#\\d+L?,".r
+      .findAllIn(mrr).nonEmpty,
+      s"MRR window no longer keys per (variant, user):\n$mrr")
+    assert(!mrr.contains("CartesianProduct"))
+    // concurrency: PrefixSum's only single-partition step is the
+    // partition-count-sized offsets table, broadcast back — the
+    // boundary stream itself never funnels through one task
+    val conc = plan("q_concurrency")
+    assert("Exchange SinglePartition".r.findAllIn(conc).length <= 1,
+      s"concurrency grew single-partition exchanges:\n$conc")
+    assert(conc.contains("BroadcastHashJoin"),
+      s"PrefixSum offsets not broadcast in concurrency:\n$conc")
+    // t-closeness: the global value-totals join is broadcast; the only
+    // data-sized exchange is the (class, value) aggregate
+    val tc = plan("q_t_closeness")
+    assert(tc.contains("BroadcastHashJoin"),
+      s"t-closeness value join not broadcast:\n$tc")
+    assert(!tc.contains("CartesianProduct"))
+  }
 }
