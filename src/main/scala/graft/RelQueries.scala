@@ -178,6 +178,27 @@ object RelQueries {
         periodUs = 86400000000L)
     }),
 
+    // -- [EXT]: Kendall τ-b between daily activity and daily revenue —
+    //    "do busy days also earn?"; exact concordant/discordant/tie
+    //    counts over the grid pair frame, one IEEE chain for τ
+    "q_kendall" -> ((s, dir) => {
+      graft.ops.TimeSeries.kendallTau(events(s, dir), "ts_us",
+        "value", periodUs = 86400000000L)
+    }),
+
+    // -- [EXT]: difference-in-differences — B's post-vs-pre lift net
+    //    of A's (pre/post split at the observed day-range midpoint);
+    //    exact quantized cell means, welch-discipline variance chain
+    "q_did" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("_day",
+        graft.ops.Fixed.ldiv(col("ts_us"), lit(86400000000L)))
+      val bnd = broadcast(ev.agg(graft.ops.Fixed.ldiv(
+        min(col("_day")) + max(col("_day")) + lit(1L), lit(2L))
+        .as("_bnd")))
+      graft.analytics.Experiment.diffInDiff(ev.crossJoin(bnd),
+        col("user_id") % 2 === 1, col("_day") >= col("_bnd"), "value")
+    }),
+
     // -- [EXT]: RFM segmentation — per-user recency/frequency/monetary
     //    quintile codes via rank-arithmetic ntile (skew-safe ranks)
     "q_rfm" -> ((s, dir) => {
@@ -3181,6 +3202,140 @@ object RelQueries {
         |  (SELECT m FROM cnt) AS n_pairs,
         |  CAST((SELECT slope FROM sl) AS BIGINT) AS slope_x1e6,
         |  CAST((SELECT icv FROM icm) AS BIGINT) AS intercept_x1e6""".stripMargin,
+
+    // exact C/D/tie counts over the same dense spine; τ replays the
+    // doubled-tie-term identity with one IEEE mul/div/sqrt/mul chain
+    "q_kendall" ->
+      """WITH c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS x,
+        |    COALESCE(SUM(CAST(floor(CASE WHEN isfinite(value)
+        |      THEN value END * 1000000.0) AS BIGINT)), 0) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(period) lo, max(period) hi FROM c),
+        |d AS (SELECT spine.period, COALESCE(c.x, 0) AS x,
+        |        COALESCE(c.y, 0) AS y
+        |      FROM (SELECT unnest(generate_series((SELECT lo FROM b),
+        |        (SELECT hi FROM b))) AS period) spine
+        |      LEFT JOIN c USING (period)),
+        |np AS (SELECT count(*) AS np FROM d),
+        |cd AS (SELECT
+        |    COALESCE(SUM(CASE WHEN sign(p2.x - p1.x)
+        |      * sign(p2.y - p1.y) > 0 THEN 1 END), 0) AS con,
+        |    COALESCE(SUM(CASE WHEN sign(p2.x - p1.x)
+        |      * sign(p2.y - p1.y) < 0 THEN 1 END), 0) AS dis
+        |  FROM d p1 JOIN d p2 ON p1.period < p2.period),
+        |tx AS (SELECT COALESCE(sum(t * (t - 1)), 0) AS t2
+        |       FROM (SELECT count(*) AS t FROM d GROUP BY x)),
+        |ty AS (SELECT COALESCE(sum(t * (t - 1)), 0) AS t2
+        |       FROM (SELECT count(*) AS t FROM d GROUP BY y)),
+        |n2 AS (SELECT (SELECT np FROM np)
+        |         * ((SELECT np FROM np) - 1) AS n02)
+        |SELECT (SELECT np FROM np) AS n_periods,
+        |  (SELECT n02 FROM n2) // 2 AS n_pairs,
+        |  CAST(con AS BIGINT) AS concordant,
+        |  CAST(dis AS BIGINT) AS discordant,
+        |  CASE WHEN (SELECT t2 FROM tx) < (SELECT n02 FROM n2)
+        |        AND (SELECT t2 FROM ty) < (SELECT n02 FROM n2) THEN
+        |    CAST(floor(CAST(con - dis AS DOUBLE) * 2.0
+        |      / sqrt(CAST((SELECT n02 FROM n2) - (SELECT t2 FROM tx)
+        |               AS DOUBLE)
+        |             * CAST((SELECT n02 FROM n2) - (SELECT t2 FROM ty)
+        |               AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) END AS tau_b_x1e6
+        |FROM cd""".stripMargin,
+
+    // unfiltered day-range midpoint split; HUGEINT cell moments from
+    // the same quantized micros; z replays the left-associated
+    // variance chain
+    "q_did" ->
+      """WITH bd AS (
+        |  SELECT (min(epoch_us(ts) // 86400000000)
+        |    + max(epoch_us(ts) // 86400000000) + 1) // 2 AS bnd
+        |  FROM events),
+        |f AS (SELECT user_id % 2 = 1 AS b,
+        |        (epoch_us(ts) // 86400000000)
+        |          >= (SELECT bnd FROM bd) AS p,
+        |        CAST(floor(value * 1000000.0) AS BIGINT) AS vm
+        |      FROM events
+        |      WHERE value IS NOT NULL AND NOT isnan(value)
+        |        AND isfinite(value) AND user_id IS NOT NULL),
+        |a AS (SELECT
+        |    count(CASE WHEN NOT b AND NOT p THEN 1 END)::BIGINT
+        |      AS n_a_pre,
+        |    count(CASE WHEN NOT b AND p THEN 1 END)::BIGINT
+        |      AS n_a_post,
+        |    count(CASE WHEN b AND NOT p THEN 1 END)::BIGINT AS n_b_pre,
+        |    count(CASE WHEN b AND p THEN 1 END)::BIGINT AS n_b_post,
+        |    SUM(CASE WHEN NOT b AND NOT p THEN CAST(vm AS HUGEINT)
+        |        END) AS s_a_pre,
+        |    SUM(CASE WHEN NOT b AND p THEN CAST(vm AS HUGEINT)
+        |        END) AS s_a_post,
+        |    SUM(CASE WHEN b AND NOT p THEN CAST(vm AS HUGEINT)
+        |        END) AS s_b_pre,
+        |    SUM(CASE WHEN b AND p THEN CAST(vm AS HUGEINT)
+        |        END) AS s_b_post,
+        |    SUM(CASE WHEN NOT b AND NOT p
+        |        THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_a_pre,
+        |    SUM(CASE WHEN NOT b AND p
+        |        THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_a_post,
+        |    SUM(CASE WHEN b AND NOT p
+        |        THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_b_pre,
+        |    SUM(CASE WHEN b AND p
+        |        THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q_b_post
+        |  FROM f),
+        |m AS (SELECT *,
+        |    CASE WHEN n_a_pre > 0 THEN CASE WHEN s_a_pre % n_a_pre <> 0
+        |      AND s_a_pre < 0 THEN CAST(s_a_pre // n_a_pre - 1 AS BIGINT)
+        |      ELSE CAST(s_a_pre // n_a_pre AS BIGINT) END END
+        |      AS mean_a_pre_x1e6,
+        |    CASE WHEN n_a_post > 0 THEN
+        |      CASE WHEN s_a_post % n_a_post <> 0 AND s_a_post < 0
+        |      THEN CAST(s_a_post // n_a_post - 1 AS BIGINT)
+        |      ELSE CAST(s_a_post // n_a_post AS BIGINT) END END
+        |      AS mean_a_post_x1e6,
+        |    CASE WHEN n_b_pre > 0 THEN CASE WHEN s_b_pre % n_b_pre <> 0
+        |      AND s_b_pre < 0 THEN CAST(s_b_pre // n_b_pre - 1 AS BIGINT)
+        |      ELSE CAST(s_b_pre // n_b_pre AS BIGINT) END END
+        |      AS mean_b_pre_x1e6,
+        |    CASE WHEN n_b_post > 0 THEN
+        |      CASE WHEN s_b_post % n_b_post <> 0 AND s_b_post < 0
+        |      THEN CAST(s_b_post // n_b_post - 1 AS BIGINT)
+        |      ELSE CAST(s_b_post // n_b_post AS BIGINT) END END
+        |      AS mean_b_post_x1e6
+        |  FROM a),
+        |z AS (SELECT *,
+        |    (mean_b_post_x1e6 - mean_b_pre_x1e6)
+        |      - (mean_a_post_x1e6 - mean_a_pre_x1e6) AS did_x1e6,
+        |    ((CAST(n_a_pre AS DOUBLE) * CAST(q_a_pre AS DOUBLE)
+        |       - CAST(s_a_pre AS DOUBLE) * CAST(s_a_pre AS DOUBLE))
+        |      / 1000000000000.0)
+        |      / (CAST(n_a_pre AS DOUBLE) * CAST(n_a_pre AS DOUBLE)
+        |         * (CAST(n_a_pre AS DOUBLE) - 1.0))
+        |    + ((CAST(n_a_post AS DOUBLE) * CAST(q_a_post AS DOUBLE)
+        |       - CAST(s_a_post AS DOUBLE) * CAST(s_a_post AS DOUBLE))
+        |      / 1000000000000.0)
+        |      / (CAST(n_a_post AS DOUBLE) * CAST(n_a_post AS DOUBLE)
+        |         * (CAST(n_a_post AS DOUBLE) - 1.0))
+        |    + ((CAST(n_b_pre AS DOUBLE) * CAST(q_b_pre AS DOUBLE)
+        |       - CAST(s_b_pre AS DOUBLE) * CAST(s_b_pre AS DOUBLE))
+        |      / 1000000000000.0)
+        |      / (CAST(n_b_pre AS DOUBLE) * CAST(n_b_pre AS DOUBLE)
+        |         * (CAST(n_b_pre AS DOUBLE) - 1.0))
+        |    + ((CAST(n_b_post AS DOUBLE) * CAST(q_b_post AS DOUBLE)
+        |       - CAST(s_b_post AS DOUBLE) * CAST(s_b_post AS DOUBLE))
+        |      / 1000000000000.0)
+        |      / (CAST(n_b_post AS DOUBLE) * CAST(n_b_post AS DOUBLE)
+        |         * (CAST(n_b_post AS DOUBLE) - 1.0)) AS se2
+        |  FROM m)
+        |SELECT n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |  mean_a_pre_x1e6, mean_a_post_x1e6, mean_b_pre_x1e6,
+        |  mean_b_post_x1e6, did_x1e6,
+        |  CASE WHEN n_a_pre > 1 AND n_a_post > 1 AND n_b_pre > 1
+        |        AND n_b_post > 1 AND se2 > 0.0 THEN
+        |    CAST(floor(CAST(did_x1e6 AS DOUBLE) / 1000000.0 / sqrt(se2)
+        |      * 1000000.0) AS BIGINT) END AS z_x1e6
+        |FROM z""".stripMargin,
 
     // exact S + tie-corrected variance numerator; z replays the same
     // IEEE divide/sqrt/divide chain on exact integer inputs

@@ -778,4 +778,78 @@ object Experiment {
           ceil(s2 * lit(zsq) / (d * d)).cast("long"))
       })
   }
+
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    * when assignment wasn't randomized but a pre-period exists
+    * (feature launched to segment B at time T: did B's metric move
+    * MORE than A's?):
+    *   DiD = (ȳ_B,post − ȳ_B,pre) − (ȳ_A,post − ȳ_A,pre),
+    *   z = DiD / √(Σ_cells s²_cell/n_cell)
+    * (the standard two-period two-group form; parallel-trends is the
+    * caller's identifying assumption). ONE row: per-cell counts and
+    * exact floored-micro means, `did_x1e6` (exact arithmetic of the
+    * quantized cell means), and `z_x1e6` (NULL unless every cell has
+    * n ≥ 2 and positive pooled variance). Rows with NULL/NaN/Inf
+    * metric or NULL `isB`/`isPost` drop.
+    *
+    * Exactness: the [[welchTTest]] discipline — one quantization per
+    * value, second moments as [[graft.functions.Int128SumProd]] of the
+    * SAME micros (cell variance ≥ 0 by construction), doubles only in
+    * the fixed left-associated closed-form chain.
+    *
+    * Shape: ONE conditional aggregate (12 cell sums) — the 100 TB cost
+    * is the scan. */
+  def diffInDiff(df: DataFrame, isB: Column, isPost: Column,
+      metricCol: String): DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    val y = col(s"`$metricCol`").cast("double")
+    val ldiv = graft.ops.Fixed.ldiv _
+    val base = df.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity) &&
+        isB.isNotNull && isPost.isNotNull)
+      .select(isB.cast("boolean").as("_b"),
+        isPost.cast("boolean").as("_p"), floor(y * lit(1e6)).as("_vm"))
+    val cells = Seq("a_pre" -> (!col("_b") && !col("_p")),
+      "a_post" -> (!col("_b") && col("_p")),
+      "b_pre" -> (col("_b") && !col("_p")),
+      "b_post" -> (col("_b") && col("_p")))
+    val aggCols = cells.flatMap { case (nm, cond) => Seq(
+      count(when(cond, lit(1))).as(s"n_$nm"),
+      int128Sum(when(cond, col("_vm"))).as(s"_s_$nm"),
+      int128SumProd(when(cond, col("_vm")).otherwise(lit(0L)),
+        when(cond, col("_vm")).otherwise(lit(0L))).as(s"_q_$nm")) }
+    val agg = base.agg(aggCols.head, aggCols.tail: _*)
+    def mean(nm: String) = when(col(s"n_$nm") > 0,
+      ldiv(col(s"_s_$nm"), col(s"n_$nm")))
+    val withMeans = agg.select(
+      cells.map { case (nm, _) => col(s"n_$nm") } ++
+        cells.map { case (nm, _) => mean(nm).as(s"mean_${nm}_x1e6") } ++
+        cells.flatMap { case (nm, _) =>
+          Seq(col(s"_s_$nm"), col(s"_q_$nm")) }: _*)
+    // variance of each cell mean from the same quantized micros:
+    // (n·Σy² − (Σy)²) / 10¹² / (n²·(n−1))
+    def vMean(nm: String): Column = {
+      val dn = col(s"n_$nm").cast("double")
+      val ds = col(s"_s_$nm").cast("double")
+      val dq = col(s"_q_$nm").cast("double")
+      (dn * dq - ds * ds) / lit(1e12) / (dn * dn * (dn - lit(1.0)))
+    }
+    val did = (col("mean_b_post_x1e6") - col("mean_b_pre_x1e6")) -
+      (col("mean_a_post_x1e6") - col("mean_a_pre_x1e6"))
+    val allCells = cells.map { case (nm, _) => col(s"n_$nm") > 1L }
+      .reduce(_ && _)
+    val out = withMeans
+      .withColumn("did_x1e6", did)
+      .withColumn("z_x1e6", when(allCells, {
+        val se2 = vMean("a_pre") + vMean("a_post") +
+          vMean("b_pre") + vMean("b_post")
+        when(se2 > 0.0,
+          floor(col("did_x1e6").cast("double") / lit(1e6) /
+            sqrt(se2) * lit(1e6)).cast("long"))
+      }))
+    out.select(cells.map { case (nm, _) => col(s"n_$nm") } ++
+      cells.map { case (nm, _) => col(s"mean_${nm}_x1e6") } ++
+      Seq(col("did_x1e6"), col("z_x1e6")): _*)
+  }
 }

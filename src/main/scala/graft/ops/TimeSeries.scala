@@ -614,4 +614,75 @@ object TimeSeries {
       .select(col("n_periods"), col("s_stat"), col("var_s_num18"),
         z.as("z_x1e6"))
   }
+
+  /** KENDALL τ-b between per-period activity and a per-period metric
+    * (count vs revenue: "do busy days also earn?") — the rank
+    * correlation that [[graft.analytics.Regression]]'s Spearman
+    * complements: over the dense spine with xₜ = count and
+    * yₜ = Σ⌊metric·10⁶⌋ (gaps 0/0),
+    *   τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)),
+    * C/D = concordant/discordant pairs, n₀ = n(n−1)/2, n₁/n₂ = tied
+    * pairs within x/y value groups. ONE row: (`n_periods`, `n_pairs`,
+    * `concordant`, `discordant`, `tau_b_x1e6`); NULL τ when either
+    * margin is all-tied.
+    *
+    * Exactness: C, D and the tie terms are exact longs; τ is one IEEE
+    * divide/√/multiply chain on them (C−D ≤ n₀ < 2⁵³ ⇒ the double
+    * conversions are exact), floored to micros — the Mann–Kendall
+    * discipline.
+    *
+    * Shape: the same LOUD `maxSteps`-capped grid pair frame as
+    * [[theilSen]]; ties come from two value-keyed aggregates. */
+  def kendallTau(events: DataFrame, tsUsCol: String, metricCol: String,
+      periodUs: Long, maxSteps: Int = 2000): DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val m = col(s"`$metricCol`").cast("double")
+    val fin = when(!isnan(m) && abs(m) =!= lit(Double.PositiveInfinity), m)
+    val counts = events
+      .select(period.as("period"), floor(fin * lit(1e6)).as("_vm"))
+      .groupBy(col("period"))
+      .agg(count(lit(1)).as("x"),
+        // int128 sum, loudly narrowed: a period's revenue micro total
+        // past long range must fail, not wrap (the acf guard rule)
+        int128Sum(coalesce(col("_vm"), lit(0L))).cast("long").as("y"))
+    val spine = counts
+      .agg(min(col("period")).as("_lo"), max(col("period")).as("_hi"))
+      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
+      .join(counts, Seq("period"), "left")
+      .select(col("period"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint(false) // pair sides + both tie aggregates
+    val nPeriods = spine.count()
+    require(nPeriods <= maxSteps,
+      s"Kendall grid has $nPeriods periods > maxSteps=$maxSteps" +
+        " - coarsen periodUs or raise the cap (pairs are grid^2/2)")
+    val a = spine.select(col("period").as("_pa"), col("x").as("_xa"),
+      col("y").as("_ya"))
+    val b = spine.select(col("period").as("_pb"), col("x").as("_xb"),
+      col("y").as("_yb"))
+    val prod = signum(col("_xb") - col("_xa")) *
+      signum(col("_yb") - col("_ya"))
+    val cd = a.crossJoin(b).filter(col("_pa") < col("_pb"))
+      .agg(coalesce(sum(when(prod > 0, 1L)), lit(0L)).as("concordant"),
+        coalesce(sum(when(prod < 0, 1L)), lit(0L)).as("discordant"))
+    def tiePairs(c: String) = spine.groupBy(col(c))
+      .agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1L)), lit(0L))
+        .as(s"_tie2_$c")) // 2× the tied-pair count (kept integral)
+    val n02 = nPeriods * (nPeriods - 1L) // 2·n₀
+    val tau = {
+      val d1 = (lit(n02) - col("_tie2_x")).cast("double")
+      val d2 = (lit(n02) - col("_tie2_y")).cast("double")
+      when(col("_tie2_x") < n02 && col("_tie2_y") < n02,
+        floor((col("concordant") - col("discordant")).cast("double") *
+          lit(2.0) / sqrt(d1 * d2) * lit(1e6)).cast("long"))
+    }
+    cd.crossJoin(broadcast(tiePairs("x")))
+      .crossJoin(broadcast(tiePairs("y")))
+      .select(lit(nPeriods).as("n_periods"),
+        lit(n02 / 2L).as("n_pairs"),
+        col("concordant"), col("discordant"), tau.as("tau_b_x1e6"))
+  }
 }

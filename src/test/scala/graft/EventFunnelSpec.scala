@@ -528,6 +528,41 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("diffInDiff: hand-computed cell means and DiD, IEEE z replay, " +
+      "small-cell NULL z, empty-cell NULL means, dirty rows drop") {
+    import graft.analytics.Experiment
+    // A pre {1,3} post {2,4}; B pre {1,1} post {4,6}:
+    // DiD = (5e6 − 1e6) − (3e6 − 2e6) = 3e6; cell mean-variances
+    // 1.0, 1.0, 0, 1.0 ⇒ z = 3/√3
+    val df = Seq(
+      (false, false, 1.0), (false, false, 3.0),
+      (false, true, 2.0), (false, true, 4.0),
+      (true, false, 1.0), (true, false, 1.0),
+      (true, true, 4.0), (true, true, 6.0)).toDF("b", "p", "y")
+    val r = Experiment.diffInDiff(df, col("b"), col("p"), "y").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (2L, 2L, 2L, 2L))
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      (2000000L, 3000000L, 1000000L, 5000000L))
+    assert(r.getLong(8) == 3000000L)
+    assert(r.getLong(9) ==
+      math.floor(3000000L / 1e6 / math.sqrt(3.0) * 1e6).toLong)
+    // a 1-row cell: DiD still exact, z undefined
+    val small = df.filter(!(col("b") && col("p") && col("y") === 6.0))
+    val rs = Experiment.diffInDiff(small, col("b"), col("p"), "y").head
+    assert(rs.getLong(7) == 4000000L && rs.getLong(8) == 2000000L)
+    assert(rs.isNullAt(9))
+    // an empty cell: its mean and the DiD are NULL
+    val noCell = df.filter(!(col("b") && !col("p")))
+    val rn = Experiment.diffInDiff(noCell, col("b"), col("p"), "y").head
+    assert(rn.getLong(2) == 0L && rn.isNullAt(6) && rn.isNullAt(8))
+    // NULL period flag / NaN metric rows drop entirely
+    val dirty = df.union(Seq((true, Option.empty[Boolean], 9.0),
+      (false, Option(true), Double.NaN)).toDF("b", "p", "y"))
+    assert(Experiment.diffInDiff(dirty, col("b"), col("p"), "y")
+      .head.toSeq == r.toSeq)
+  }
+
   test("cliffsDelta: hand-computed wins/losses with half-win ties, " +
       "Romano labels, perfect separation both signs, empty variant") {
     import graft.analytics.Experiment

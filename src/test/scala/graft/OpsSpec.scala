@@ -680,6 +680,54 @@ class OpsSpec extends AnyFunSuite {
     assert(c.getLong(1) == 0L && c.getLong(2) == 0L && c.isNullAt(3))
   }
 
+  test("TimeSeries.kendallTau: hand-counted concordance, tie handling " +
+      "in both margins, all-tied NULL, null metric adds zero") {
+    // (x, y) per period: (2, 2e6), (3, 6e6), (1, .5e6) — all three
+    // pairs concordant ⇒ τ = +1
+    def ev(rows: Seq[(Long, Seq[Option[Double]])]) =
+      rows.flatMap { case (p, vs) => vs.map(v => (p, v)) }
+        .toDF("ts_us", "value")
+    val up = ev(Seq((0L, Seq(Some(1.0), Some(1.0))),
+      (1L, Seq(Some(2.0), Some(2.0), Some(2.0))),
+      (2L, Seq(Some(0.5)))))
+    val r = graft.ops.TimeSeries.kendallTau(up, "ts_us", "value", 1L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (3L, 3L, 3L, 0L, 1000000L))
+    // flip the last day's revenue: C=1, D=2 ⇒ τ = −1/3 (negative FLOOR)
+    val mix = ev(Seq((0L, Seq(Some(1.0), Some(1.0))),
+      (1L, Seq(Some(2.0), Some(2.0), Some(2.0))),
+      (2L, Seq(Some(10.0)))))
+    val rm = graft.ops.TimeSeries.kendallTau(mix, "ts_us", "value", 1L)
+      .collect().head
+    assert((rm.getLong(2), rm.getLong(3), rm.getLong(4)) ==
+      (1L, 2L, -333334L))
+    // an x tie zeroes its pair and shrinks the denominator:
+    // x = [2,2,1], y distinct ⇒ C=1, D=1, τ = 0
+    val tie = ev(Seq((0L, Seq(Some(1.0), Some(1.0))),
+      (1L, Seq(Some(2.0), Some(2.0))), (2L, Seq(Some(3.0)))))
+    val rt = graft.ops.TimeSeries.kendallTau(tie, "ts_us", "value", 1L)
+      .collect().head
+    assert((rt.getLong(2), rt.getLong(3), rt.getLong(4)) ==
+      (1L, 1L, 0L))
+    // every day one event: the count margin is all-tied ⇒ no τ
+    val flat = ev(Seq((0L, Seq(Some(1.0))), (1L, Seq(Some(2.0))),
+      (2L, Seq(Some(3.0)))))
+    assert(graft.ops.TimeSeries.kendallTau(flat, "ts_us", "value", 1L)
+      .collect().head.isNullAt(4))
+    // a NULL metric still counts activity but adds no revenue
+    val withNull = ev(Seq((0L, Seq(Some(1.0), None)),
+      (1L, Seq(Some(2.0), Some(2.0), Some(2.0))),
+      (2L, Seq(Some(0.5)))))
+    val rn = graft.ops.TimeSeries.kendallTau(withNull, "ts_us", "value",
+      1L).collect().head
+    assert(rn.getLong(4) == 1000000L) // x=[2,3,1], y=[1e6,6e6,.5e6]
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.kendallTau(up, "ts_us", "value", 1L,
+        maxSteps = 2)
+    }
+  }
+
   test("Robust.robustZ: hand-computed MAD z; zero-MAD stratum -> NULL; " +
       "approx path tracks exact") {
     import graft.ops.Robust
