@@ -53,6 +53,16 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- [EXT]: funnel A/B — per-step reach, conversion vs each
+    //    variant's base, and the pooled two-proportion z between
+    //    user-parity variants over the sliding-anchor funnel
+    "q_funnel_ab" -> ((s, dir) => {
+      EventFunnel.funnelAb(events(s, dir), "user_id",
+        col("user_id") % 2 === 1, "event_type", "ts_us",
+        steps = Seq("signup", "view", "purchase"),
+        windowUs = 86400000000L)
+    }),
+
     // -- [EXT]: path analysis — top 20 first-5-event user journeys by
     //    user count (the sankey/flow query that motivates which funnels
     //    to define)
@@ -104,6 +114,17 @@ object RelQueries {
       graft.ops.TimeSeries.holt(events(s, dir), "ts_us",
         periodUs = 86400000000L, alphaX1e6 = 300000L,
         betaX1e6 = 200000L)
+        .orderBy(col("period"))
+    }),
+
+    // -- [EXT]: Holt–Winters additive triple smoothing (α=.3, β=.1,
+    //    γ=.2, weekly season) — level + trend + seasonal state, exact
+    //    floored micro recurrence; the oracle carries the 7 seasonal
+    //    states through a recursive CTE as a LIST
+    "q_holt_winters" -> ((s, dir) => {
+      graft.ops.TimeSeries.holtWinters(events(s, dir), "ts_us",
+        periodUs = 86400000000L, alphaX1e6 = 300000L,
+        betaX1e6 = 100000L, gammaX1e6 = 200000L, seasonLen = 7)
         .orderBy(col("period"))
     }),
 
@@ -1300,6 +1321,26 @@ object RelQueries {
         .orderBy(col("node"))
     }),
 
+    // -- [EXT]: Newman modularity of the label-prop communities — did
+    //    propagation find real structure? Single exact decimal floor
+    //    via Q = (4m·Σe_c − Σd_c²)/(4m²); unreached nodes count as
+    //    singleton communities
+    "q_modularity" -> ((s, dir) => {
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 3 === 0)
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(concat(lit("s"), col("s_suppkey").cast("string"))
+          .as("node"), col("n_name").as("lbl"))
+      // ONE materialized edge frame for propagation AND scoring — the
+      // raw lineitem⋈orders derivation would otherwise run twice
+      val edges = shipmentEdges(s, dir).localCheckpoint(false)
+      val communities = graft.analytics.Graph.labelPropagate(
+        edges, "src", "dst", seeds, "node", "lbl", iters = 3)
+      graft.analytics.Graph.modularity(edges,
+        "src", "dst", communities, "node", "label")
+    }),
+
     // -- [EXT]: exact-rank z-order values — the multi-dimensional
     //    clustering key (Delta OPTIMIZE ZORDER BY / liquid clustering
     //    analog) in its deterministic form: equal-frequency buckets from
@@ -1647,11 +1688,55 @@ object RelQueries {
        |SELECT node, lbl AS label FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** Modularity of the [[labelPropOracle]] communities: the same
+    * propagation CTE chain, then the exact single-floor identity
+    * Q = (4m·Σe_c − Σd_c²)/(4m²) with singleton communities for
+    * unlabeled nodes (the engine's contract). */
+  private def modularityOracle(iters: Int): String = {
+    val prop = labelPropOracle(iters)
+    val chain = prop.substring(0, prop.lastIndexOf("\nSELECT node"))
+    s"""$chain,
+       |lab AS (SELECT node, lbl FROM l$iters),
+       |canon AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       |          FROM und),
+       |mm AS (SELECT count(*) AS m FROM canon),
+       |deg AS (SELECT node, count(*) AS d FROM (
+       |          SELECT a AS node FROM canon
+       |          UNION ALL SELECT b FROM canon) GROUP BY 1),
+       |nl AS (SELECT deg.node, deg.d,
+       |         COALESCE(lab.lbl, '_singleton_' || deg.node) AS comm
+       |       FROM deg LEFT JOIN lab ON deg.node = lab.node),
+       |dc AS (SELECT comm, sum(d) AS dc FROM nl GROUP BY 1),
+       |sd AS (SELECT sum(CAST(dc AS HUGEINT) * dc) AS sd2,
+       |         count(*) AS ncomm FROM dc),
+       |nn AS (SELECT count(*) AS n_nodes FROM nl),
+       |ie AS (SELECT count(*) AS intra FROM canon
+       |       JOIN nl na ON canon.a = na.node
+       |       JOIN nl nb ON canon.b = nb.node
+       |       WHERE na.comm = nb.comm),
+       |qn AS (SELECT (4 * CAST((SELECT m FROM mm) AS HUGEINT)
+       |          * (SELECT intra FROM ie)
+       |          - (SELECT sd2 FROM sd)) * 1000000 AS num,
+       |         4 * CAST((SELECT m FROM mm) AS HUGEINT)
+       |          * (SELECT m FROM mm) AS den)
+       |SELECT (SELECT n_nodes FROM nn) AS n_nodes,
+       |  CAST((SELECT ncomm FROM sd) AS BIGINT) AS n_communities,
+       |  (SELECT m FROM mm) AS m_edges,
+       |  (SELECT intra FROM ie) AS intra_edges,
+       |  CASE WHEN (SELECT m FROM mm) > 0 THEN
+       |    CAST(CASE WHEN num % den <> 0 AND num < 0
+       |      THEN num // den - 1 ELSE num // den END AS BIGINT)
+       |  END AS q_x1e6
+       |FROM qn""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_pagerank" -> pageRankOracle(3),
 
     "q_label_prop" -> labelPropOracle(3),
+
+    "q_modularity" -> modularityOracle(3),
 
     "q_ppr" -> pprOracle(3),
 
@@ -2929,6 +3014,71 @@ object RelQueries {
         |      THEN 3 ELSE 0 END))::INTEGER AS step_reached
         |FROM w4 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the q_funnel_sliding depth CTEs, variant via max over the user's
+    // rows, step-grid reach + the abTest pooled-z double sequence
+    "q_funnel_ab" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS t, epoch_us(ts) AS ts_us, event_id
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'view', 'purchase')),
+        |w1 AS (SELECT *, max(CASE WHEN t = 'signup' THEN ts_us END) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a1
+        |  FROM e),
+        |w2 AS (SELECT *, CASE WHEN t = 'view' THEN a1 END AS s2 FROM w1),
+        |w3 AS (SELECT *, max(s2) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a2
+        |  FROM w2),
+        |w4 AS (SELECT *, CASE WHEN t = 'purchase' THEN a2 END AS s3 FROM w3),
+        |f AS (SELECT user_id, greatest(
+        |    max(CASE WHEN t = 'signup' THEN 1 ELSE 0 END),
+        |    max(CASE WHEN s2 IS NOT NULL AND ts_us - s2 <= 86400000000
+        |      THEN 2 ELSE 0 END),
+        |    max(CASE WHEN s3 IS NOT NULL AND ts_us - s3 <= 86400000000
+        |      THEN 3 ELSE 0 END)) AS d2
+        |  FROM w4 GROUP BY user_id),
+        |v AS (SELECT user_id, max(user_id % 2 = 1) AS b
+        |      FROM events GROUP BY 1),
+        |c AS (SELECT v.b, f.d2, count(*) AS n
+        |      FROM f JOIN v USING (user_id) GROUP BY 1, 2),
+        |r AS (SELECT step,
+        |        COALESCE(SUM(CASE WHEN NOT b THEN n END), 0)
+        |          AS reached_a,
+        |        COALESCE(SUM(CASE WHEN b THEN n END), 0) AS reached_b
+        |      FROM (SELECT unnest(generate_series(1, 3)) AS step) s
+        |      LEFT JOIN c ON c.d2 >= s.step GROUP BY 1),
+        |wb AS (SELECT *,
+        |        first_value(reached_a) OVER (ORDER BY step) AS na,
+        |        first_value(reached_b) OVER (ORDER BY step) AS nb
+        |      FROM r),
+        |zc AS (SELECT *,
+        |        (reached_a + reached_b)::DOUBLE / (na + nb)::DOUBLE
+        |          AS pool
+        |      FROM wb),
+        |zz AS (SELECT *,
+        |        sqrt(pool * (1.0 - pool)
+        |          * (1.0 / na::DOUBLE + 1.0 / nb::DOUBLE)) AS se
+        |      FROM zc)
+        |SELECT CAST(step AS INT) AS step,
+        |  CAST(reached_a AS BIGINT) AS reached_a,
+        |  CAST(reached_b AS BIGINT) AS reached_b,
+        |  CASE WHEN na > 0
+        |    THEN round(reached_a::DOUBLE / na::DOUBLE, 6) END AS rate_a,
+        |  CASE WHEN nb > 0
+        |    THEN round(reached_b::DOUBLE / nb::DOUBLE, 6) END AS rate_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN round(
+        |    CASE WHEN se > 0.0 THEN
+        |      (reached_b::DOUBLE / nb::DOUBLE
+        |        - reached_a::DOUBLE / na::DOUBLE) / se
+        |    ELSE 0.0 END, 6) END AS z_score,
+        |  CASE WHEN na > 0 AND nb > 0 THEN abs(round(
+        |    CASE WHEN se > 0.0 THEN
+        |      (reached_b::DOUBLE / nb::DOUBLE
+        |        - reached_a::DOUBLE / na::DOUBLE) / se
+        |    ELSE 0.0 END, 6)) >= 1.96 END AS significant
+        |FROM zz ORDER BY step""".stripMargin,
+
     // ordered string_agg per user over the row-number-pruned prefix; the
     // top-k tie-break (count desc, path asc) makes the limit deterministic
     "q_event_paths" ->
@@ -3368,6 +3518,64 @@ object RelQueries {
         |      / sqrt((SELECT var18 FROM v) / 18.0) * 1000000)
         |      AS BIGINT) END AS z_x1e6
         |FROM s""".stripMargin,
+
+    // the triple recurrence replayed with the 7 seasonal states
+    // carried as a LIST through the recursive CTE: each step pops
+    // sl[1], computes l/b/s with the explicit negative-remainder
+    // floors (nested derived tables — the q_holt pattern), and
+    // appends the new seasonal
+    "q_holt_winters" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS period,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1),
+        |b0 AS (SELECT min(period) lo, max(period) hi FROM c),
+        |d AS (SELECT spine.period, COALESCE(c.n, 0) AS n,
+        |        row_number() OVER (ORDER BY spine.period) AS i
+        |      FROM (SELECT unnest(generate_series((SELECT lo FROM b0),
+        |        (SELECT hi FROM b0))) AS period) spine
+        |      LEFT JOIN c USING (period)),
+        |li AS (SELECT (sum(CAST(n AS HUGEINT)) * 1000000) // 7 AS l0
+        |       FROM d WHERE i <= 7),
+        |s0 AS (SELECT list(CAST(n AS HUGEINT) * 1000000
+        |         - (SELECT l0 FROM li) ORDER BY i) AS sl
+        |       FROM d WHERE i <= 7),
+        |r AS (
+        |  SELECT 7 AS i, CAST(NULL AS BIGINT) AS period,
+        |    CAST(NULL AS BIGINT) AS n, (SELECT l0 FROM li) AS l,
+        |    CAST(0 AS HUGEINT) AS b, (SELECT sl FROM s0) AS sl,
+        |    CAST(NULL AS HUGEINT) AS snew
+        |  UNION ALL
+        |  SELECT i, period, n, lnew,
+        |    CASE WHEN numb % 1000000 <> 0 AND numb < 0
+        |      THEN numb // 1000000 - 1 ELSE numb // 1000000 END,
+        |    list_append(slrest,
+        |      CASE WHEN nums % 1000000 <> 0 AND nums < 0
+        |        THEN nums // 1000000 - 1 ELSE nums // 1000000 END),
+        |    CASE WHEN nums % 1000000 <> 0 AND nums < 0
+        |      THEN nums // 1000000 - 1 ELSE nums // 1000000 END
+        |  FROM (
+        |    SELECT i, period, n, lnew, slrest,
+        |      100000 * (lnew - lprev) + 900000 * bprev AS numb,
+        |      200000 * (x - lnew) + 800000 * sold AS nums
+        |    FROM (
+        |      SELECT i, period, n, x, lprev, bprev, sold, slrest,
+        |        CASE WHEN numl % 1000000 <> 0 AND numl < 0
+        |          THEN numl // 1000000 - 1 ELSE numl // 1000000 END
+        |          AS lnew
+        |      FROM (
+        |        SELECT d.i, d.period, d.n,
+        |          CAST(d.n AS HUGEINT) * 1000000 AS x,
+        |          r.l AS lprev, r.b AS bprev,
+        |          r.sl[1] AS sold, r.sl[2:] AS slrest,
+        |          300000 * (CAST(d.n AS HUGEINT) * 1000000 - r.sl[1])
+        |            + 700000 * (r.l + r.b) AS numl
+        |        FROM r JOIN d ON d.i = r.i + 1) s1) s2) s3)
+        |SELECT period, n, CAST(l AS BIGINT) AS level_x1e6,
+        |  CAST(b AS BIGINT) AS trend_x1e6,
+        |  CAST(snew AS BIGINT) AS seasonal_x1e6,
+        |  CAST(l + b + sl[1] AS BIGINT) AS forecast_x1e6
+        |FROM r WHERE i > 7 ORDER BY period""".stripMargin,
 
     // the q_expsmooth recurrence, then one-step-ahead errors via LAG;
     // Σ|e| and Σe² in HUGEINT (Int128Sum/Int128SumProd engine-side),

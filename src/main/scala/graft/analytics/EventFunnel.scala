@@ -159,6 +159,74 @@ object EventFunnel {
       .select(col("_u").as(userCol), col("step_reached"))
   }
 
+  /** FUNNEL A/B COMPARISON — the per-step significance readout
+    * ("variant B converts view→purchase better — is it real?"):
+    * [[funnelSliding]] depths per user, split by `isB` (one value per
+    * user — read via max over the user's rows, the
+    * [[graft.analytics.Experiment.abTest]] convention), then per step
+    * k the reach counts (users with depth ≥ k), the conversion rates
+    * vs each variant's step-1 base, and the pooled two-proportion z on
+    * that share. One row per step: (`step`, `reached_a`, `reached_b`,
+    * `rate_a`, `rate_b`, `z_score`, `significant`); NULL rate/z where
+    * a base is empty, exactly-0 z at zero pooled variance (step 1 —
+    * both rates are 1 by construction). Users with a NULL variant
+    * drop.
+    *
+    * Exactness: counts are exact; rates/z are the abTest fixed
+    * double sequence, rounded at 6.
+    *
+    * Shape: the [[funnelSliding]] user window + one (variant, depth)
+    * aggregate; everything after is step-grid-sized (the
+    * [[funnelReport]] argument). */
+  def funnelAb(events: DataFrame, userCol: String, isB: Column,
+      typeCol: String, tsUsCol: String, steps: Seq[String],
+      windowUs: Long, orderCol: String = "event_id"): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    val depths = funnelSliding(events, userCol, typeCol, tsUsCol,
+      steps, windowUs, orderCol)
+    val variants = events.filter(isB.isNotNull)
+      .groupBy(col(userCol))
+      .agg(max(isB.cast("boolean")).as("_b"))
+    val counts = depths.join(variants, Seq(userCol))
+      .groupBy(col("_b"), col("step_reached").as("_d"))
+      .agg(count(lit(1)).as("_n"))
+    val reach = (1 to steps.size).toDF("step")
+      .join(counts, col("_d") >= col("step"), "left")
+      .groupBy(col("step"))
+      .agg(coalesce(sum(when(!col("_b"), col("_n"))), lit(0L))
+          .as("reached_a"),
+        coalesce(sum(when(col("_b"), col("_n"))), lit(0L))
+          .as("reached_b"))
+    val w = Window.orderBy(col("step").asc) // step-grid-sized
+    def d(c: Column) = c.cast("double")
+    val withBase = reach
+      .withColumn("_na", first(col("reached_a")).over(w))
+      .withColumn("_nb", first(col("reached_b")).over(w))
+    val pool = d(col("reached_a") + col("reached_b")) /
+      d(col("_na") + col("_nb"))
+    val se = sqrt(pool * (lit(1.0) - pool)
+      * (lit(1.0) / d(col("_na")) + lit(1.0) / d(col("_nb"))))
+    withBase
+      .withColumn("rate_a",
+        when(col("_na") > 0, round(d(col("reached_a")) / d(col("_na")),
+          6)))
+      .withColumn("rate_b",
+        when(col("_nb") > 0, round(d(col("reached_b")) / d(col("_nb")),
+          6)))
+      .withColumn("z_score",
+        when(col("_na") > 0 && col("_nb") > 0, round(
+          when(se > 0.0,
+            (d(col("reached_b")) / d(col("_nb"))
+              - d(col("reached_a")) / d(col("_na"))) / se)
+            .otherwise(lit(0.0)), 6)))
+      .withColumn("significant",
+        when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
+      .select("step", "reached_a", "reached_b", "rate_a", "rate_b",
+        "z_score", "significant")
+      .orderBy(col("step"))
+  }
+
   /** Path analysis (the user-journey / sankey query): each user's ordered
     * event-type sequence truncated to the first `maxEvents` events, with
     * the user count per distinct path — top paths reveal the dominant

@@ -414,4 +414,69 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** NEWMAN MODULARITY of a community assignment — the quality score
+    * that closes the community loop ([[labelPropagate]] proposes,
+    * modularity judges): over the undirected simple graph,
+    *   Q = Σ_c [e_c/m − (d_c/2m)²]
+    *     = (4m·Σe_c − Σd_c²) / (4m²)
+    * with e_c the intra-community edge count, d_c the community degree
+    * sum, m the edge count — the right-hand identity makes Q a SINGLE
+    * exact decimal floor over integers (`q_x1e6`). Unlabeled nodes
+    * (propagation didn't reach them) count as SINGLETON communities —
+    * no intra edges, their degree mass still penalizes — so Q stays
+    * comparable across assignments that label different subsets. ONE
+    * row: (`n_nodes`, `n_communities`, `m_edges`, `intra_edges`,
+    * `q_x1e6`); NULL Q on an edgeless graph. Community identity is the
+    * label's string form (any label type).
+    *
+    * Shape: canonical-edge distinct (one data-sized exchange), a
+    * degree aggregate, two label joins on the edge table, and scalar
+    * broadcasts — the [[triangles]] posture, no windows, no driver
+    * state beyond the single m count. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val dirE = edges
+      .select(col(srcCol).as("_u"), col(dstCol).as("_v"))
+      .filter(col("_u").isNotNull && col("_v").isNotNull &&
+        col("_u") =!= col("_v"))
+    val canon = dirE
+      .select(least(col("_u"), col("_v")).as("_a"),
+        greatest(col("_u"), col("_v")).as("_b"))
+      .distinct()
+      .localCheckpoint(false) // feeds degrees, intra join, and m
+    val lab = labels.select(col(s"`$nodeCol`").as("_n"),
+      col(s"`$labelCol`").as("_l"))
+    val deg = canon.select(col("_a").as("_n"))
+      .unionByName(canon.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val nodeLab = deg.join(lab, Seq("_n"), "left")
+      .select(col("_n"), col("_d"),
+        coalesce(col("_l").cast("string"),
+          concat(lit("_singleton_"), col("_n").cast("string")))
+          .as("_comm"))
+      .localCheckpoint(false) // both intra sides + the degree sums
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val scal = broadcast(nodeLab.groupBy(col("_comm"))
+      .agg(sum(col("_d")).as("_dc"))
+      .agg(sum(dec(col("_dc")) * dec(col("_dc"))).as("_sd2"),
+        count(lit(1)).as("n_communities")))
+    val nn = broadcast(nodeLab.agg(count(lit(1)).as("n_nodes")))
+    val mm = broadcast(canon.agg(count(lit(1)).as("m_edges")))
+    val intra = canon
+      .join(nodeLab.select(col("_n").as("_a"), col("_comm").as("_ca")),
+        Seq("_a"))
+      .join(nodeLab.select(col("_n").as("_b"), col("_comm").as("_cb")),
+        Seq("_b"))
+      .agg(coalesce(sum(when(col("_ca") === col("_cb"), 1L)), lit(0L))
+        .as("intra_edges"))
+    intra.crossJoin(nn).crossJoin(mm).crossJoin(scal)
+      .select(col("n_nodes"), col("n_communities"), col("m_edges"),
+        col("intra_edges"),
+        when(col("m_edges") > 0, ldiv(
+          (lit(4L) * dec(col("m_edges")) * dec(col("intra_edges")) -
+            col("_sd2")) * lit(1000000L),
+          lit(4L) * dec(col("m_edges")) * dec(col("m_edges"))))
+          .as("q_x1e6"))
+  }
 }

@@ -304,6 +304,74 @@ object TimeSeries {
       "forecast_x1e6")
   }
 
+  /** HOLT–WINTERS additive triple smoothing — the seasonal member that
+    * completes the forecasting family ([[exponentialSmooth]] flat,
+    * [[holt]] trended, this one trended + seasonal): over the dense
+    * spine x₁..x_N (micros), with season length L,
+    *   init: l_L = ⌊Σ_{i≤L} xᵢ / L⌋, b_L = 0,
+    *         sᵢ = xᵢ − l_L for i = 1..L (raw indices, not normalized —
+    *         a deterministic classical init, documented not hidden),
+    *   for i > L:
+    *     lᵢ = ⌊(α(xᵢ − sᵢ₋L) + (10⁶−α)(lᵢ₋₁ + bᵢ₋₁))/10⁶⌋
+    *     bᵢ = ⌊(β(lᵢ − lᵢ₋₁) + (10⁶−β)bᵢ₋₁)/10⁶⌋
+    *     sᵢ = ⌊(γ(xᵢ − lᵢ) + (10⁶−γ)sᵢ₋L)/10⁶⌋
+    * One ordered row per period i > L: (`period`, `n`, `level_x1e6`,
+    * `trend_x1e6`, `seasonal_x1e6`, `forecast_x1e6` = lᵢ + bᵢ +
+    * sᵢ₊₁₋L — the one-step-ahead forecast). The spine must cover more
+    * than one season (LOUD require).
+    *
+    * Exactness: every step floors (floor, not truncate — trend and
+    * seasonal go negative) in arbitrary precision; an external engine
+    * replays it bit-for-bit via a recursive CTE carrying the L
+    * seasonal states as a LIST. Output conversion fails LOUD past long
+    * range.
+    *
+    * Shape: the [[holt]] posture — distributed count + spine join,
+    * order-dependent recurrence on the DRIVER over the
+    * calendar-bounded grid with a loud `maxSteps` cap. */
+  def holtWinters(events: DataFrame, tsUsCol: String, periodUs: Long,
+      alphaX1e6: Long, betaX1e6: Long, gammaX1e6: Long, seasonLen: Int,
+      maxSteps: Int = 10000): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    for ((nm, v) <- Seq("alpha" -> alphaX1e6, "beta" -> betaX1e6,
+        "gamma" -> gammaX1e6))
+      require(v > 0 && v <= 1000000L,
+        s"${nm}X1e6 must be in (0, 1e6], got $v")
+    require(seasonLen >= 2, s"seasonLen must be >= 2, got $seasonLen")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val steps = denseSpine(events, tsUsCol, periodUs)
+    require(steps.length <= maxSteps,
+      s"Holt-Winters grid has ${steps.length} periods > " +
+        s"maxSteps=$maxSteps - coarsen periodUs or raise the cap")
+    require(steps.length > seasonLen,
+      s"Holt-Winters needs more than one season of data: " +
+        s"${steps.length} periods <= seasonLen=$seasonLen")
+    val M = BigInt(1000000L)
+    val (a, a1) = (BigInt(alphaX1e6), M - alphaX1e6)
+    val (bw, bw1) = (BigInt(betaX1e6), M - betaX1e6)
+    val (g, g1) = (BigInt(gammaX1e6), M - gammaX1e6)
+    val xs = steps.map(r => BigInt(r.getLong(1)) * 1000000L)
+    val L = seasonLen
+    var l = xs.take(L).sum / L // non-negative ⇒ floor
+    var b = BigInt(0)
+    val ring = Array.tabulate(L)(j => xs(j) - l)
+    val out = (L until steps.length).map { p =>
+      val sPrev = ring(p % L)
+      val lPrev = l
+      l = fdiv(a * (xs(p) - sPrev) + a1 * (lPrev + b), M)
+      b = fdiv(bw * (l - lPrev) + bw1 * b, M)
+      val sNew = fdiv(g * (xs(p) - l) + g1 * sPrev, M)
+      ring(p % L) = sNew
+      (steps(p).getLong(0), steps(p).getLong(1),
+        l.bigInteger.longValueExact(), b.bigInteger.longValueExact(),
+        sNew.bigInteger.longValueExact(),
+        (l + b + ring((p + 1) % L)).bigInteger.longValueExact())
+    }
+    out.toDF("period", "n", "level_x1e6", "trend_x1e6",
+      "seasonal_x1e6", "forecast_x1e6")
+  }
+
   /** The dense (period, n) grid, ordered, collected — the shared spine
     * of the driver-recurrence family. */
   private def denseSpine(events: DataFrame, tsUsCol: String,

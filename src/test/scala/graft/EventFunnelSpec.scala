@@ -528,6 +528,45 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelAb: hand-counted per-variant reach, rates vs each base, " +
+      "pooled z replay, window cutoff, one-variant NULLs") {
+    // A (even users): depths 3, 1, 2 ⇒ reach 3/2/1;
+    // B (odd): u1 depth 3; u3's purchase misses the 5µs window ⇒ 2;
+    // reach 2/2/1
+    val ev = Seq(
+      (2L, "signup", 0L, 1L), (2L, "view", 1L, 2L),
+      (2L, "purchase", 2L, 3L),
+      (4L, "signup", 0L, 4L),
+      (6L, "signup", 0L, 5L), (6L, "view", 1L, 6L),
+      (1L, "signup", 0L, 7L), (1L, "view", 1L, 8L),
+      (1L, "purchase", 2L, 9L),
+      (3L, "signup", 0L, 10L), (3L, "view", 1L, 11L),
+      (3L, "purchase", 100L, 12L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val r = EventFunnel.funnelAb(ev, "user_id",
+      col("user_id") % 2 === 1, "event_type", "ts_us",
+      Seq("signup", "view", "purchase"), windowUs = 5L).collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+      .toSeq == Seq((1, 3L, 2L), (2, 2L, 2L), (3, 1L, 1L)))
+    assert(r.map(_.getDouble(3)).toSeq ==
+      Seq(1.0, 0.666667, 0.333333))
+    assert(r.map(_.getDouble(4)).toSeq == Seq(1.0, 1.0, 0.5))
+    // step-1 bases are equal by construction ⇒ z exactly 0
+    assert(r.head.getDouble(5) == 0.0 && !r.head.getBoolean(6))
+    // step-2 z replays the pooled two-proportion chain
+    val pool = 4.0 / 5.0
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / 3.0 + 1.0 / 2.0))
+    assert(r(1).getDouble(5) ==
+      BigDecimal((2.0 / 2.0 - 2.0 / 3.0) / se)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // an absent variant: NULL rate/z on that side at every step
+    val onlyA = ev.filter(col("user_id") % 2 === 0)
+    val ra = EventFunnel.funnelAb(onlyA, "user_id",
+      col("user_id") % 2 === 1, "event_type", "ts_us",
+      Seq("signup", "view", "purchase"), windowUs = 5L).collect()
+    assert(ra.forall(x => x.isNullAt(4) && x.isNullAt(5)))
+  }
+
   test("diffInDiff: hand-computed cell means and DiD, IEEE z replay, " +
       "small-cell NULL z, empty-cell NULL means, dirty rows drop") {
     import graft.analytics.Experiment

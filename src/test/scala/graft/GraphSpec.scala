@@ -243,4 +243,41 @@ class GraphSpec extends AnyFunSuite {
     assert(rd.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
       Seq((1L, 4L)))
   }
+
+  test("modularity: hand-computed Q on the bridged-triangles graph, " +
+      "singleton penalty, one-community zero, dirty-edge dedup") {
+    // triangles a-b-c and d-e-f bridged by c-d: m = 7,
+    // degrees (2,2,3,3,2,2)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")).toDF("s", "t")
+    def lab(rows: (String, Option[String])*) = rows.toSeq.toDF("n", "l")
+    // the natural split: intra 6, d_X = d_Y = 7 ⇒
+    // Q = (4·7·6 − 98)/196 = 70/196 → 357142
+    val r = Graph.modularity(edges, "s", "t",
+      lab("a" -> Some("X"), "b" -> Some("X"), "c" -> Some("X"),
+        "d" -> Some("Y"), "e" -> Some("Y"), "f" -> Some("Y")),
+      "n", "l").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (6L, 2L, 7L, 6L, 357142L))
+    // an unlabeled node becomes a singleton: intra 4,
+    // Σd² = 49+25+4 ⇒ Q = 34/196 → 173469
+    val rs = Graph.modularity(edges, "s", "t",
+      lab("a" -> Some("X"), "b" -> Some("X"), "c" -> Some("X"),
+        "d" -> Some("Y"), "e" -> Some("Y"), "f" -> None), "n", "l").head
+    assert((rs.getLong(1), rs.getLong(3), rs.getLong(4)) ==
+      (3L, 4L, 173469L))
+    // one community holds everything: Q = 0 exactly
+    val r1 = Graph.modularity(edges, "s", "t",
+      lab(Seq("a", "b", "c", "d", "e", "f").map(_ -> Some("Z")): _*),
+      "n", "l").head
+    assert(r1.getLong(4) == 0L)
+    // duplicates / reversals / self-loops collapse before counting
+    val dirty = edges.unionAll(Seq(("b", "a"), ("a", "a"), ("a", "b"))
+      .toDF("s", "t"))
+    val rdir = Graph.modularity(dirty, "s", "t",
+      lab("a" -> Some("X"), "b" -> Some("X"), "c" -> Some("X"),
+        "d" -> Some("Y"), "e" -> Some("Y"), "f" -> Some("Y")),
+      "n", "l").head
+    assert(rdir.toSeq == r.toSeq)
+  }
 }

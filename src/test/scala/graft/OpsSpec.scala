@@ -526,6 +526,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TimeSeries.holtWinters: hand-traced level/trend/seasonal " +
+      "recurrence with the ring init, one-step forecast, loud guards") {
+    // counts [4,8,6,10], L=2, α=β=γ=.5: init l=6e6, s=[−2e6, 2e6];
+    // p2: l=7e6, b=.5e6, s=−1.5e6, fc=7e6+.5e6+2e6;
+    // p3: l=7.75e6, b=.625e6, s=2.125e6, fc=7.75e6+.625e6−1.5e6
+    val ev = (Seq.fill(4)(0L) ++ Seq.fill(8)(1L) ++ Seq.fill(6)(2L) ++
+      Seq.fill(10)(3L)).map(Tuple1(_)).toDF("ts_us")
+    val out = graft.ops.TimeSeries.holtWinters(ev, "ts_us", 1L,
+      500000L, 500000L, 500000L, seasonLen = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      (2L, 6L, 7000000L, 500000L, -1500000L, 9500000L),
+      (3L, 10L, 7750000L, 625000L, 2125000L, 6875000L)))
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holtWinters(ev, "ts_us", 1L, 500000L,
+        500000L, 500000L, seasonLen = 1)
+    }
+    intercept[IllegalArgumentException] { // needs more than one season
+      graft.ops.TimeSeries.holtWinters(ev, "ts_us", 1L, 500000L,
+        500000L, 500000L, seasonLen = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.TimeSeries.holtWinters(ev, "ts_us", 1L, 500000L,
+        500000L, 0L, seasonLen = 2)
+    }
+  }
+
   test("TimeSeries.forecastEval: hand-traced MAE/RMSE/MASE, α=1 " +
       "equals naive, constant series NULL MASE, short spine NULLs") {
     // counts 4, 8, 8 at α=.5 ⇒ s = 4e6, 6e6, 7e6 (exponentialSmooth
