@@ -2380,7 +2380,8 @@ object LlmQueries {
          |  COALESCE(n_bigrams, 0) AS n_bigrams,
          |  CASE WHEN n_bigrams > 0
          |    THEN (d2 * 1000000) // n_bigrams END AS distinct_2_x1e6
-         |FROM uni LEFT JOIN bi ON uni.source = bi.source
+         |FROM uni LEFT JOIN bi
+         |  ON uni.source IS NOT DISTINCT FROM bi.source
          |ORDER BY uni.source""".stripMargin,
 
     "q_semdedup" ->

@@ -1837,7 +1837,8 @@ object RelQueries {
     // micro-units (engine side uses decimal(38,0) — same integers)
     "q_copurchase" ->
       """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
         |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
         |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
         |p AS (SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
@@ -1859,7 +1860,8 @@ object RelQueries {
     // total (cos desc, neighbor asc) tie order
     "q_item_sim" ->
       """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
         |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
         |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
         |p AS (SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
@@ -1891,7 +1893,8 @@ object RelQueries {
     // a semantic, so the oracle needn't replay it
     "q_triangles" ->
       """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
         |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
         |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
         |und AS (SELECT x.it AS a, y.it AS b2
@@ -1920,7 +1923,8 @@ object RelQueries {
     // universe is part of the declared contract (hub exclusion)
     "q_link_predict" ->
       """WITH b AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
         |keep AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 1000),
         |bb AS (SELECT b.* FROM b JOIN keep USING (bk)),
         |und AS (SELECT x.it AS a, y.it AS b2
@@ -3610,7 +3614,7 @@ object RelQueries {
         |        SUM(abs(e)) AS sae, SUM(e * e) AS se2,
         |        SUM(abs(en)) AS saen
         |      FROM e WHERE e IS NOT NULL)
-        |SELECT k + 1 AS n_periods,
+        |SELECT (SELECT count(*) FROM d)::BIGINT AS n_periods,
         |  CASE WHEN k > 0 THEN CAST(sae // k AS BIGINT) END AS mae_x1e6,
         |  CASE WHEN k > 0 THEN
         |    CAST(floor(sqrt((se2 // k)::DOUBLE)) AS BIGINT)
@@ -3917,7 +3921,7 @@ object RelQueries {
     // in HUGEINT; z replays the same IEEE chain
     "q_logrank" ->
       """WITH l AS (
-        |  SELECT user_id % 2 = 1 AS b,
+        |  SELECT max(user_id % 2 = 1) AS b,
         |    min(epoch_us(ts) // 86400000000) AS fp,
         |    max(epoch_us(ts) // 86400000000) AS lp
         |  FROM events GROUP BY user_id),

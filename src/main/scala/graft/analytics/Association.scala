@@ -51,6 +51,11 @@ object Association {
     // same order the self-join's `<` used).
     val baskets = df
       .select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      // explicit NULL contract (the old self-join shape dropped null
+      // baskets implicitly via a null-unsafe join; a groupBy would
+      // instead FABRICATE one merged basket from them): null basket
+      // keys and null items participate in nothing
+      .filter(col("_bk").isNotNull && col("_it").isNotNull)
       .groupBy(col("_bk"))
       .agg(sort_array(collect_set(col("_it"))).as("_items"))
       .filter(size(col("_items")) <= maxBasketSize)

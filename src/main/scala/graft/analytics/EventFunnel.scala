@@ -590,9 +590,13 @@ object EventFunnel {
     val spark = events.sparkSession
     import spark.implicits._
     val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    // one variant per user via max over the user's rows (the abTest /
+    // funnelAb convention) — grouping BY the per-row isB would split a
+    // mixed-variant user into two phantom lifetimes
     val lives = events.filter(isB.isNotNull)
-      .groupBy(col(userCol).as("_u"), isB.cast("boolean").as("_b"))
-      .agg(min(period).as("_fp"), max(period).as("_lp"))
+      .groupBy(col(userCol).as("_u"))
+      .agg(max(isB.cast("boolean")).as("_b"),
+        min(period).as("_fp"), max(period).as("_lp"))
     val mx = broadcast(lives.agg(max(col("_lp")).as("_endp")))
     val durs = lives.crossJoin(mx)
       .select(col("_b"), (col("_lp") - col("_fp")).as("duration"),

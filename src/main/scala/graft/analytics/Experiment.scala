@@ -501,12 +501,12 @@ object Experiment {
     * `n_replicas`, `ci_lo_x1e6`, `ci_hi_x1e6`).
     *
     * Determinism: the multiplicity is the Poisson(1) inverse CDF
-    * looked up at the [[weightVector]] affine replicate hash — ONE md5
+    * looked up at the [[replicateSums]] affine replicate hash — ONE md5
     * per row, pairwise-independent uniforms per (row, replica), every
     * constant independently re-derivable from md5 by any engine (the
     * `q_stable_split` hash-seeded discipline; keys must be unique for
     * independent weights). Replicate means are exact floored micros
-    * (Σw·v rides [[graft.functions.LongVectorSum]] — exact or LOUD,
+    * (Σw·v rides [[graft.functions.BootstrapSums]] — exact or LOUD,
     * never a wrap); CI bounds are the rank-⌈0.025·R⌉ / rank-⌈0.975·R⌉
     * order statistics — no interpolation, no doubles anywhere.
     *
@@ -627,8 +627,8 @@ object Experiment {
     * NULL `isB` drop; an empty variant yields NULL means/uplift/CI.
     *
     * Determinism/exactness: the [[bootstrapCi]] discipline end-to-end
-    * — the [[weightVector]] affine replicate hash (one md5 per row),
-    * exact floored-micro means ([[graft.functions.LongVectorSum]] —
+    * — the [[replicateSums]] affine replicate hash (one md5 per row),
+    * exact floored-micro means ([[graft.functions.BootstrapSums]] —
     * exact or loud), CI bounds as exact order statistics of the
     * replicate differences. No doubles anywhere.
     *

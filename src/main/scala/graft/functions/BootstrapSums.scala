@@ -107,7 +107,10 @@ case class BootstrapSums(
         var k = 0
         while (k < tArr.length && u >= tArr(k)) { w += 1L; k += 1 }
         if (w > 0L) {
-          buf(i) = Math.addExact(buf(i), w * v)
+          // multiplyExact too: |v| can approach long range (any finite
+          // metric quantizes), and a silent w·v wrap would corrupt the
+          // CI while the HUGEINT oracle stays exact
+          buf(i) = Math.addExact(buf(i), Math.multiplyExact(w, v))
           buf(r + i) = Math.addExact(buf(r + i), w)
         }
         i += 1

@@ -373,21 +373,13 @@ object TimeSeries {
   }
 
   /** The dense (period, n) grid, ordered, collected — the shared spine
-    * of the driver-recurrence family. */
+    * of the driver-recurrence family (one construction: the collected
+    * form IS [[denseSpineDF]]). */
   private def denseSpine(events: DataFrame, tsUsCol: String,
-      periodUs: Long): Array[org.apache.spark.sql.Row] = {
-    val period = Fixed.ldiv(expr(tsUsCol), lit(periodUs))
-    val counts = events.select(period.as("period"))
-      .groupBy(col("period")).agg(count(lit(1)).as("n"))
-    val bounds = counts.agg(min(col("period")).as("_lo"),
-      max(col("period")).as("_hi"))
-    bounds
-      .select(explode(sequence(col("_lo"), col("_hi"))).as("period"))
-      .join(counts, Seq("period"), "left")
-      .select(col("period"), coalesce(col("n"), lit(0L)).as("n"))
+      periodUs: Long): Array[org.apache.spark.sql.Row] =
+    denseSpineDF(events, tsUsCol, periodUs)
       .orderBy(col("period"))
       .collect()
-  }
 
   /** ONE-STEP-AHEAD FORECAST EVALUATION of [[exponentialSmooth]] on its
     * own series — the backtest that closes the forecasting family: for
@@ -416,6 +408,10 @@ object TimeSeries {
     import graft.functions.Int128SumProd.int128SumProd
     val sm = exponentialSmooth(events, tsUsCol, periodUs, alphaX1e6,
       maxSteps)
+    // the true grid size (a LocalRelation — counting it is free):
+    // deriving it as error-count+1 would report 1 for EMPTY input,
+    // indistinguishable from a genuine one-period series
+    val nPeriods = sm.count()
     // grid-sized frame (≤ maxSteps rows): the partition-less window is
     // the documented calendar-bounded exception, not a scale hazard
     val w = Window.orderBy(col("period"))
@@ -426,7 +422,7 @@ object TimeSeries {
       .select((col("n") * lit(1000000L) - col("_f")).as("_e"),
         (col("n") * lit(1000000L) - col("_fn")).as("_en"))
     val agg = err.agg(
-      (count(lit(1)) + lit(1L)).as("n_periods"),
+      lit(nPeriods).as("n_periods"),
       int128Sum(abs(col("_e"))).as("_sae"),
       int128SumProd(col("_e"), col("_e")).as("_se2"),
       int128Sum(abs(col("_en"))).as("_saen"),

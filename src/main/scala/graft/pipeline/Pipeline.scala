@@ -1818,6 +1818,22 @@ final class PipelineRunner(
       txt.trim.toLongOption.getOrElse(0L)
     }
     val genDir = s"$partialsDir/g$gen"
+    // MIGRATION: a store written by the pre-generation layout keeps
+    // its batch partials directly under agg_partials/ with no _agg_gen
+    // marker. Absorb them into g0 by rename — otherwise the consumed
+    // marker still limits the next delta while the accumulated history
+    // is never read again (publishing silently truncated totals), and
+    // the first compaction sweep would delete the legacy files.
+    if (!fs.exists(genMarkerP) && fs.exists(new Path(partialsDir))) {
+      val legacy = fs.listStatus(new Path(partialsDir)).filter(_.isFile)
+      if (legacy.nonEmpty) {
+        fs.mkdirs(new Path(genDir))
+        legacy.foreach(st =>
+          fs.rename(st.getPath, new Path(genDir, st.getPath.getName)))
+        log(s"gold.$entity: migrated ${legacy.length} legacy " +
+          "aggregate-partial files into generation dir g0")
+      }
+    }
     val consumed: Option[Long] = if (!fs.exists(markerP)) None else {
       val in = fs.open(markerP)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString

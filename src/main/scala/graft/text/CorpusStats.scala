@@ -554,7 +554,13 @@ object CorpusStats {
       .agg(count(lit(1)).as("n_bigrams"),
         countDistinct(col("_term")).as("_d2"))
     val ldiv = graft.ops.Fixed.ldiv _
-    uni.join(bi, groupCols, "left")
+    // null-safe group equality: a plain key join would drop the
+    // NULL-group row's bigram stats (the tCloseness hazard)
+    val biR = groupCols.foldLeft(bi)((d, c) =>
+      d.withColumnRenamed(c, s"_bi_$c"))
+    val joinCond = groupCols.map(c =>
+      col(s"`$c`") <=> col(s"`_bi_$c`")).reduce(_ && _)
+    uni.join(biR, joinCond, "left")
       .select(gc ++ Seq(col("n_tokens"),
         ldiv(col("_d1") * lit(1000000L), col("n_tokens"))
           .as("distinct_1_x1e6"),

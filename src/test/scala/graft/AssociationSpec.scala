@@ -96,6 +96,25 @@ class AssociationSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL contract: null basket keys and null items participate in " +
+      "nothing — never a fabricated merged basket") {
+    // null-basket rows carrying real items, and a null item inside a
+    // real basket: output must equal the clean-input run (a groupBy
+    // without the guard would mine one merged basket from all
+    // null-key rows)
+    val dirty = baskets
+      .union(Seq((Option.empty[Long], Option("p")),
+        (Option.empty[Long], Option("q")),
+        (Option(1L), Option.empty[String]))
+        .toDF("bk", "it"))
+    assert(Association.coOccurrence(dirty, "bk", "it").collect().toSet
+      === Association.coOccurrence(baskets, "bk", "it").collect().toSet)
+    assert(Association.itemSimilarityTopK(dirty, "bk", "it", k = 2)
+      .collect().toSeq ===
+      Association.itemSimilarityTopK(baskets, "bk", "it", k = 2)
+        .collect().toSeq)
+  }
+
   test("plan: no cartesian product, no join on the pair path — pairs " +
       "generate in-array and collapse in the map-side combine") {
     val df = spark.range(2000).select((col("id") % 500).as("bk"),

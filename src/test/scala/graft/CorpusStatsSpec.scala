@@ -377,5 +377,12 @@ class CorpusStatsSpec extends AnyFunSuite {
       == (5L, 200000L, 4L, 250000L))
     assertThrows[IllegalArgumentException](
       CorpusStats.distinctNgrams(df, "text", Seq.empty))
+    // a NULL group key keeps its bigram stats (null-safe group join —
+    // a plain key join would report 0 bigrams for the null source)
+    val nullGrp = Seq((Option.empty[String], "a b c")).toDF("src", "text")
+    val rg = CorpusStats.distinctNgrams(nullGrp, "text", Seq("src"))
+      .collect().head
+    assert(rg.isNullAt(0) && rg.getLong(3) == 2L &&
+      rg.getLong(4) == 1000000L)
   }
 }

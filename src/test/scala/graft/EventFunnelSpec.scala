@@ -652,6 +652,14 @@ class EventFunnelSpec extends AnyFunSuite {
     val ra = EventFunnel.logRank(onlyA, "u", col("u") % 2 === 1,
       "ts", 1L).collect().head
     assert(ra.getLong(1) == 0L && ra.isNullAt(6))
+    // a user whose rows disagree on isB is ONE lifetime (max over the
+    // user's rows — the abTest convention), never two phantom users
+    val mixed = ev.withColumn("flag",
+      col("u") % 2 === 1 || (col("u") === 4L && col("ts") === 0L))
+    val rm = EventFunnel.logRank(mixed, "u", col("flag"), "ts", 1L)
+      .collect().head
+    // u4's rows disagree → max ⇒ B; totals stay 4 users (1 A + 3 B)
+    assert((rm.getLong(0), rm.getLong(1)) == (1L, 3L))
     intercept[IllegalArgumentException] {
       EventFunnel.logRank(ev, "u", col("u") % 2 === 1, "ts", 1L,
         maxSteps = 1)

@@ -582,6 +582,11 @@ class OpsSpec extends AnyFunSuite {
       500000L).collect().head
     assert(ro.getLong(0) == 1L && ro.isNullAt(1) && ro.isNullAt(2) &&
       ro.isNullAt(3) && ro.isNullAt(4))
+    // EMPTY input reports 0 periods, never 1 (the errors+1 conflation)
+    val none = one.filter(col("ts_us") < 0L)
+    val re = graft.ops.TimeSeries.forecastEval(none, "ts_us", 1L,
+      500000L).collect().head
+    assert(re.getLong(0) == 0L && re.isNullAt(1))
   }
 
   test("TimeSeries.seasonalAnomaly: lower-median MAD over the " +

@@ -1984,6 +1984,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(gens == Seq(liveGenDir().getName),
       s"superseded generations not swept: $gens")
     assert(mart("aggi") == m3, "compaction changed the published mart")
+    // LEGACY-LAYOUT MIGRATION: the pre-generation store kept partials
+    // directly under agg_partials/ with no _agg_gen marker. Simulate
+    // that layout from the live store, run another batch, and the
+    // accumulated history must survive (an unmigrated run would
+    // publish only the new delta — silent truncation)
+    val live = liveGenDir()
+    live.listFiles().foreach { f =>
+      Files.move(f.toPath, Path.of(partialsBase, f.getName))
+    }
+    live.delete()
+    Files.deleteIfExists(
+      Path.of(storeI, "gold_mart", "sales", "_agg_gen"))
+    def batch4(src: String): Unit =
+      Seq((200L, java.lang.Double.valueOf(5.5), 12L))
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+    batch4(srcI); batch4(srcF)
+    run(srcI, storeI, "aggi", "2024-06-19 00:00:00")
+    run(srcF, storeF, "aggf", "2024-06-19 00:00:00")
+    assert(mart("aggi") == mart("aggf"),
+      "legacy partial store not migrated — history truncated")
+    assert(liveGenDir().getName == "g0" &&
+      liveGenDir().listFiles().exists(_.getName.endsWith(".parquet")),
+      "migration did not absorb legacy files into g0")
   }
 
   test("incremental aggregate mart guards: bucketed silver fails loud; " +
