@@ -1592,18 +1592,6 @@ final class PipelineRunner(
     // all but one joined row and pick a nondeterministic survivor. Fail
     // loud instead: one cheap aggregate per dim per run (dims are the
     // broadcast-sized side of a star by construction).
-    g.join.foreach { j =>
-      val dimKeys = keysByDim(j.entity).map(_._2)
-      val dup = dims(j.entity)
-        .groupBy(dimKeys.map(c => col(s"`$c`")): _*)
-        .agg(count(lit(1)).as("_c")).filter(col("_c") > 1L).limit(1)
-      require(dup.isEmpty,
-        s"gold.$entity: incremental-mart dim '${j.entity}' is NOT " +
-          s"unique on its join keys (${dimKeys.mkString(", ")}) — a " +
-          "1:N fan-out cannot ride a fact-PK-keyed row store (joined " +
-          "rows would be silently dropped); deduplicate the dim's " +
-          "silver on those keys or use gold mode 'full'")
-    }
     val dir = goldMartPath(entity)
     val rowsDir = s"$dir/rows"
     val fs = new Path(dir).getFileSystem(
@@ -1611,12 +1599,36 @@ final class PipelineRunner(
     val hasRows = fs.exists(new Path(rowsDir))
     def readRows(): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(rowsDir)
-    val (factWm, nextSeq) = if (!hasRows) (None, 1L) else {
-      val r = readRows().agg(max(col("_mart_ia")), max(col("_mart_seq")))
-        .head()
-      (if (r.isNullAt(0)) None else Some(r.getTimestamp(0)),
-        (if (r.isNullAt(1)) 0L else r.getLong(1)) + 1L)
-    }
+    // row-store high-water marks from the `_rows_wm` marker ("<epoch
+    // micros>|<seq>", written after each append); fallback to the full
+    // scan for legacy stores (the readWmMarker posture — a stale-low
+    // marker after a crash re-derives a batch whose identical rows
+    // collapse under the keep-latest window)
+    val rowsWmP = new Path(s"$dir/_rows_wm")
+    def readRowsWm(): Option[(Option[java.sql.Timestamp], Long)] =
+      if (!fs.exists(rowsWmP)) None
+      else {
+        val in = fs.open(rowsWmP)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        txt.split('|') match {
+          case Array(us, seq) =>
+            seq.toLongOption.map { sq =>
+              (us.toLongOption.map(u => java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L),
+                  Math.floorMod(u, 1000000L) * 1000L))), sq)
+            }
+          case _ => None
+        }
+      }
+    val (factWm, nextSeq) = if (!hasRows) (None, 1L)
+      else readRowsWm().map { case (wm, sq) => (wm, sq + 1L) }
+        .getOrElse {
+          val r = readRows()
+            .agg(max(col("_mart_ia")), max(col("_mart_seq"))).head()
+          (if (r.isNullAt(0)) None else Some(r.getTimestamp(0)),
+            (if (r.isNullAt(1)) 0L else r.getLong(1)) + 1L)
+        }
     // dim versions the mart last consumed (absent on the first run)
     val markerP = new Path(s"$dir/_dim_versions")
     val consumed: Map[String, Long] = if (!fs.exists(markerP)) Map.empty
@@ -1635,6 +1647,27 @@ final class PipelineRunner(
           s"gold.$entity: dim '${j.entity}' has no live silver version"))
       j.entity -> v
     }.toMap
+    // fan-out guard: a dim that is not unique on its join keys cannot
+    // ride a fact-PK-keyed row store. Validated ONCE per published dim
+    // version (immutable snapshots — see dimUniqueValidated), before
+    // any store mutation below.
+    g.join.foreach { j =>
+      val memoKey = s"$storageRoot|${params.catalogName}|$entity|" +
+        s"${j.entity}|v${liveVersions(j.entity)}"
+      if (!PipelineRunner.dimUniqueValidated.contains(memoKey)) {
+        val dimKeys = keysByDim(j.entity).map(_._2)
+        val dup = dims(j.entity)
+          .groupBy(dimKeys.map(c => col(s"`$c`")): _*)
+          .agg(count(lit(1)).as("_c")).filter(col("_c") > 1L).limit(1)
+        require(dup.isEmpty,
+          s"gold.$entity: incremental-mart dim '${j.entity}' is NOT " +
+            s"unique on its join keys (${dimKeys.mkString(", ")}) — a " +
+            "1:N fan-out cannot ride a fact-PK-keyed row store (joined " +
+            "rows would be silently dropped); deduplicate the dim's " +
+            "silver on those keys or use gold mode 'full'")
+        PipelineRunner.dimUniqueValidated.add(memoKey)
+      }
+    }
     val factDelta = factWm match {
       case Some(w) => fact.filter(col(Audit.IngestedAt) > lit(w))
       case None => fact
@@ -1710,9 +1743,22 @@ final class PipelineRunner(
         pkCols.map(c => s"_mpk_$c"), "left_anti")
       .withColumn("_mart_seq", lit(nextSeq))
       .withColumn("_mart_live", lit(false))
+    val rowsObs = org.apache.spark.sql.Observation()
     derived.unionByName(tomb, allowMissingColumns = true)
+      .observe(rowsObs, max(col("_mart_ia")).as("_wm"))
       .repartition(col(s"_mpk_${pkCols.head}"))
       .write.mode("append").parquet(rowsDir)
+    // marker = (monotone fact watermark, this batch's seq). A batch of
+    // dim-driven re-derivations can carry only OLD fact stamps, so the
+    // watermark is max(previous, observed) — never backwards.
+    val newWm = (factWm ++ observedMax(rowsObs.get))
+      .reduceOption((a, b) => if (a.after(b)) a else b)
+    val wmOut = fs.create(rowsWmP, true)
+    try wmOut.write((newWm.map { t =>
+      val i = t.toInstant
+      (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
+    }.getOrElse("none") + "|" + nextSeq).getBytes("UTF-8"))
+    finally wmOut.close()
     val out = fs.create(markerP, true)
     try out.write(liveVersions.toSeq.sortBy(_._1)
       .map { case (e, v) => s"$e=$v" }.mkString("\n").getBytes("UTF-8"))
@@ -2010,6 +2056,56 @@ final class PipelineRunner(
     * (`max(_ingested_at)`), so a run that crashes between the prefix
     * append and the gold publish resumes consistently: the prefix is a
     * pure cache of row-local computation, never gated on the publish. */
+  /** Store-watermark MARKER (`<store>/_wm`): the store's max timestamp
+    * as epoch micros in one text file, written AFTER each successful
+    * append (data commits first, marker second). Crash between the two
+    * leaves the marker STALE-LOW — exactly the at-least-once posture
+    * every incremental store here already tolerates (re-appended
+    * batches collapse under keep-latest / distinct); a MISSING marker
+    * (legacy store, or a store created before this optimization) falls
+    * back to the caller's full max() scan and heals on the next append.
+    * Why: the per-run watermark read becomes a metadata op instead of a
+    * footer-listing + aggregate Spark job — at batch sizes the job
+    * itself is trivia but its driver-side plan/schedule latency is not
+    * (measured: the incremental-gold path spent more wall-clock in
+    * per-job driver gaps than in job execution). */
+  private def readWmMarker(fs: org.apache.hadoop.fs.FileSystem,
+      store: String): Option[java.sql.Timestamp] = {
+    val p = new org.apache.hadoop.fs.Path(store, "_wm")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      txt.toLongOption.map { us =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L))
+      }
+    }
+  }
+
+  /** Forward-only marker advance; `prev` guards against regressing an
+    * existing watermark (an append of old re-mined rows must not move
+    * the high-water mark backwards). */
+  private def advanceWmMarker(fs: org.apache.hadoop.fs.FileSystem,
+      store: String, ts: java.sql.Timestamp,
+      prev: Option[java.sql.Timestamp]): Unit =
+    if (prev.forall(ts.after)) {
+      val i = ts.toInstant
+      val us = i.getEpochSecond * 1000000L + i.getNano / 1000L
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(store, "_wm"), true)
+      try out.write(us.toString.getBytes("UTF-8")) finally out.close()
+    }
+
+  /** The observed `max(...)` of a just-written batch, ridden on the
+    * write job via a CollectMetrics node — zero extra Spark jobs. A
+    * null metric (empty batch) reads as None. */
+  private def observedMax(metrics: Map[String, Any])
+      : Option[java.sql.Timestamp] =
+    metrics.get("_wm").collect { case t: java.sql.Timestamp => t }
+
   def buildGoldFrameIncremental(entity: String, cfg: EntityConfig,
       g: GoldConfig, obs: Option[org.apache.spark.sql.Observation] = None)
       : DataFrame = {
@@ -2026,9 +2122,10 @@ final class PipelineRunner(
     def readPrefix(): DataFrame =
       spark.read.option("mergeSchema", "true").parquet(dir)
     val watermark = if (!hasPrefix) None
-      else readPrefix().agg(max(col(Audit.IngestedAt))).head()
-        match { case r if r.isNullAt(0) => None
-                case r => Some(r.getTimestamp(0)) }
+      else readWmMarker(fs, dir).orElse(
+        readPrefix().agg(max(col(Audit.IngestedAt))).head()
+          match { case r if r.isNullAt(0) => None
+                  case r => Some(r.getTimestamp(0)) })
     val changed = watermark match {
       case Some(w) => silver.filter(col(Audit.IngestedAt) > lit(w))
       case None    => silver
@@ -2050,8 +2147,12 @@ final class PipelineRunner(
     // empty files per run; with a column repartition (no fixed count)
     // AQE sizes the post-shuffle partition count to the batch's actual
     // bytes, so a small batch lands as one file and a huge one fans out
-    batch.repartition(col(idCol))
+    val batchObs = org.apache.spark.sql.Observation()
+    batch.observe(batchObs, max(col(Audit.IngestedAt)).as("_wm"))
+      .repartition(col(idCol))
       .write.mode("append").parquet(dir)
+    observedMax(batchObs.get)
+      .foreach(advanceWmMarker(fs, dir, _, watermark))
     log(s"gold.$entity: incremental prefix batch appended " +
       s"(watermark=${watermark.getOrElse("none")})")
     // keep-latest per doc across batches (strictly-monotone
@@ -2146,13 +2247,16 @@ final class PipelineRunner(
       val out = fs.create(layoutP, true)
       try out.write(layout.getBytes("UTF-8")) finally out.close()
     }
+    // marker first; full max() scan only for a legacy store with no
+    // marker yet (readWmMarker doc — heals on the next append)
     def storeWatermark(dir: String, tsCol: String)
         : Option[java.sql.Timestamp] =
       if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
-      else spark.read.parquet(dir).agg(max(col(tsCol))).head() match {
-        case r if r.isNullAt(0) => None
-        case r => Some(r.getTimestamp(0))
-      }
+      else readWmMarker(fs, dir).orElse(
+        spark.read.parquet(dir).agg(max(col(tsCol))).head() match {
+          case r if r.isNullAt(0) => None
+          case r => Some(r.getTimestamp(0))
+        })
     // ---- band append: prefix versions the index does not know yet.
     // Derived from the persisted prefix STORE, not this run's in-memory
     // `fresh` plan, for two reasons: the store read is a cheap columnar
@@ -2166,10 +2270,18 @@ final class PipelineRunner(
         col(Audit.IngestedAt) > lit(wm))
       case None => readPrefix().filter(col("_pfx_live"))
     }
+    val bandObs = org.apache.spark.sql.Observation()
     DedupOps.minhashBandRows(needBands, idCol, "_sh",
         ccfg.minhashBands, ccfg.minhashRows, carry = Seq(Audit.IngestedAt))
+      .observe(bandObs, max(col(Audit.IngestedAt)).as("_wm"))
       .repartition(col("id"))
       .write.mode("append").parquet(bandsDir)
+    observedMax(bandObs.get)
+      .foreach(advanceWmMarker(fs, bandsDir, _, bandWm))
+    // the index's high-water mark after this append (observed batch max
+    // or, for an empty batch, the pre-append watermark)
+    val bandsMax = (bandWm ++ observedMax(bandObs.get))
+      .reduceOption((a, b) => if (a.after(b)) a else b)
     // ---- edge mining: NEW band rows probe the whole live index
     val liveKeys = live.select(col(idCol).as("id"), col(Audit.IngestedAt))
     val liveBands = spark.read.parquet(bandsDir)
@@ -2179,10 +2291,15 @@ final class PipelineRunner(
       case Some(wm) => liveBands.filter(col(Audit.IngestedAt) > lit(wm))
       case None => liveBands
     }
-    val mineStamp = newBands.agg(max(col(Audit.IngestedAt))).head() match {
-      case r if r.isNullAt(0) => None
-      case r => Some(r.getTimestamp(0))
-    }
+    // the mining stamp = max(_ingested_at) over `newBands`, derived
+    // WITHOUT a scan: band rows are bounded above by the index
+    // watermark, and when any row is newer than edgeWm the newest live
+    // row IS the newest appended row — so the stamp is exactly
+    // `bandsMax` when it clears edgeWm, else there is nothing to mine.
+    // (A stale-low edge watermark from a crash re-mines rows it already
+    // consumed; the stamped-tuple distinct below collapses them — the
+    // documented at-least-once posture.)
+    val mineStamp = bandsMax.filter(m => edgeWm.forall(m.after))
     mineStamp.foreach { stamp =>
       val cands = newBands
         .select(col("id").as("_pid"), col("band"), col("band_hash"))
@@ -2215,6 +2332,9 @@ final class PipelineRunner(
       batchEdges.unionByName(sentinel)
         .repartition(col("id_a"))
         .write.mode("append").parquet(edgesDir)
+      // data first, marker second (the sentinel keeps the scan fallback
+      // exact for stores whose marker is missing)
+      advanceWmMarker(fs, edgesDir, stamp, edgeWm)
       log(s"gold.$entity: suffix state advanced to $stamp " +
         s"(bands + verified edges appended)")
     }
@@ -2490,6 +2610,15 @@ object RunLock {
 }
 
 object PipelineRunner {
+
+  /** Dim join-key uniqueness validations already performed this JVM,
+    * keyed by (store root, catalog, fact, dim, dim silver VERSION).
+    * Published silver versions are immutable, so a validated version
+    * never needs re-checking; any dim change publishes a NEW version
+    * and re-validates. Bounds the fan-out guard to one Spark job per
+    * dim version instead of one per mart run. */
+  private[pipeline] val dimUniqueValidated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Bootstrap exactly like the reference's conf-driven entry
     * (`00_config_loader.py`): params from spark.conf, config JSON from the
