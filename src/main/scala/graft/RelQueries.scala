@@ -1237,6 +1237,16 @@ object RelQueries {
         col("event_type") === "purchase")
     }),
 
+    // -- [EXT]: sample-ratio-mismatch check — the assignment-integrity
+    //    gate before any A/B readout, against a deliberately non-even
+    //    1/3 design (exercises the general num/(den-num) algebra); the
+    //    chi-square is exact integer micros end-to-end
+    "q_srm" -> ((s, dir) => {
+      graft.analytics.Experiment.srmCheck(t(s, dir, "events"),
+        "user_id", col("user_id") % 3 === 0,
+        ratioNumB = 1L, ratioDen = 3L)
+    }),
+
     // -- [EXT]: approximate heavy hitters (frequent-items sketch) — top
     //    users per event type from KB-sized mergeable sketch rows,
     //    declared at the exactness-forcing configuration (distinct
@@ -1339,6 +1349,38 @@ object RelQueries {
         edges, "src", "dst", seeds, "node", "lbl", iters = 3)
       graft.analytics.Graph.modularity(edges,
         "src", "dst", communities, "node", "label")
+    }),
+
+    // -- [EXT]: degree assortativity of the shipment graph — do hubs
+    //    link to hubs (positive) or to leaves (negative, the link-farm
+    //    signature)? Exact int128 power sums, one floor division
+    "q_assortativity" -> ((s, dir) => {
+      graft.analytics.Graph.assortativity(shipmentEdges(s, dir),
+        "src", "dst")
+    }),
+
+    // -- [EXT]: SALSA hub/authority scores — the degree-normalized HITS
+    //    variant (stochastic half-steps conserve mass, so the whole
+    //    recurrence stays in overflow-free Long fixed-point); oracle
+    //    replays the unrolled half-step CTE chain
+    "q_salsa" -> ((s, dir) => {
+      graft.analytics.Graph.salsa(shipmentEdges(s, dir), "src", "dst",
+          iters = 2)
+        .orderBy(col("node"))
+    }),
+
+    // -- [EXT]: multi-source BFS — shortest hop count from the trusted
+    //    seed suppliers over the undirected shipment graph, bounded
+    //    depth (crawl-frontier distance / contamination blast radius);
+    //    oracle is a genuine recursive CTE with UNION-dedup layering
+    "q_graph_hops" -> ((s, dir) => {
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 97 === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string"))
+          .as("node"))
+      graft.analytics.Graph.shortestHops(shipmentEdges(s, dir),
+          "src", "dst", seeds, "node", maxHops = 4)
+        .orderBy(col("hops"), col("node"))
     }),
 
     // -- [EXT]: exact-rank z-order values — the multi-dimensional
@@ -1549,6 +1591,39 @@ object RelQueries {
        |ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Unrolled half-step CTE replay of [[graft.analytics.Graph.salsa]]:
+    * a_i from h_{i-1} over out-degrees, h_i from a_i over in-degrees —
+    * every value a positive Long so DuckDB's truncating `//` IS the
+    * floor. Sums CAST back to BIGINT (the HUGEINT dtype gate). */
+  private def salsaOracle(iters: Int): String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |odeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        |ideg AS (SELECT dst, COUNT(*) AS idg FROM edges GROUP BY dst),
+        |edeg AS (SELECT e.src, e.dst, o.od, i.idg FROM edges e
+        |         JOIN odeg o USING (src) JOIN ideg i USING (dst)),
+        |ns AS (SELECT COUNT(DISTINCT src) AS ns FROM edges),
+        |h0 AS (SELECT src AS node, 1000000000000 // ns AS h
+        |       FROM (SELECT DISTINCT src FROM edges) CROSS JOIN ns)"""
+        .stripMargin
+    val iterations = (1 to iters).map { i =>
+      s"""a$i AS (SELECT e.dst AS node, SUM(h.h // e.od) AS a
+         |        FROM edeg e JOIN h${i - 1} h ON e.src = h.node
+         |        GROUP BY e.dst),
+         |h$i AS (SELECT e.src AS node, SUM(a.a // e.idg) AS h
+         |        FROM edeg e JOIN a$i a ON e.dst = a.node
+         |        GROUP BY e.src)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$iterations
+       |SELECT COALESCE(h.node, a.node) AS node,
+       |  CAST(h.h AS BIGINT) AS hub_fp, CAST(a.a AS BIGINT) AS auth_fp
+       |FROM h$iters h FULL JOIN a$iters a ON h.node = a.node
+       |ORDER BY node""".stripMargin
+  }
+
   /** Bit-interleave replay of [[graft.ops.ZOrder.exactZValues]]: bucket
     * b of column i lands at bit position b·ncols+i. */
   private def zorderOracle(bits: Int): String = {
@@ -1733,6 +1808,63 @@ object RelQueries {
   def oracleSql: Map[String, String] = Map(
 
     "q_pagerank" -> pageRankOracle(3),
+
+    "q_salsa" -> salsaOracle(2),
+
+    // Newman's cleared-denominator identity over exact HUGEINT power
+    // sums; the spelled-out negative floor is the `ldiv` contract
+    "q_assortativity" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |canon AS (SELECT DISTINCT least(src, dst) AS a,
+        |                 greatest(src, dst) AS b
+        |          FROM edges WHERE src <> dst),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |          SELECT a AS node FROM canon
+        |          UNION ALL SELECT b FROM canon) GROUP BY node),
+        |jk AS (SELECT da.d AS j, db.d AS k FROM canon
+        |       JOIN deg da ON canon.a = da.node
+        |       JOIN deg db ON canon.b = db.node),
+        |s AS (SELECT COUNT(*) AS m,
+        |        SUM(CAST(j AS HUGEINT) + k) AS s1,
+        |        SUM(CAST(j AS HUGEINT) * j) AS sj2,
+        |        SUM(CAST(k AS HUGEINT) * k) AS sk2,
+        |        SUM(CAST(j AS HUGEINT) * k) AS s3 FROM jk),
+        |q AS (SELECT m,
+        |        (4 * CAST(m AS HUGEINT) * s3 - s1 * s1) * 1000000 AS num,
+        |        2 * CAST(m AS HUGEINT) * (sj2 + sk2) - s1 * s1 AS den
+        |      FROM s)
+        |SELECT m AS m_edges,
+        |  CASE WHEN den > 0 THEN
+        |    CAST(CASE WHEN num % den <> 0 AND num < 0
+        |      THEN num // den - 1 ELSE num // den END AS BIGINT)
+        |  END AS r_x1e6
+        |FROM q""".stripMargin,
+
+    // genuine recursive CTE with UNION dedup: each (node, hop) pair
+    // appears once, min(hop) collapses layers — the BFS level order
+    "q_graph_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |canon AS (SELECT DISTINCT least(src, dst) AS a,
+        |                 greatest(src, dst) AS b
+        |          FROM edges WHERE src <> dst),
+        |bi AS (SELECT a AS u, b AS v FROM canon
+        |       UNION ALL SELECT b, a FROM canon),
+        |seeds AS (SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        |          FROM supplier WHERE s_suppkey % 97 = 0),
+        |reach(node, hop) AS (
+        |  SELECT n.node, 0 FROM (SELECT DISTINCT u AS node FROM bi) n
+        |  JOIN seeds USING (node)
+        |  UNION
+        |  SELECT bi.v, r.hop + 1 FROM reach r
+        |  JOIN bi ON r.node = bi.u WHERE r.hop < 4)
+        |SELECT node, CAST(MIN(hop) AS INTEGER) AS hops FROM reach
+        |GROUP BY node ORDER BY hops, node""".stripMargin,
 
     "q_label_prop" -> labelPropOracle(3),
 
@@ -2871,6 +3003,36 @@ object RelQueries {
     // always-one-row shape as the operator: an all-one-variant log
     // yields zero counts + NULL rate/z, never an empty result); the
     // CASEs mirror the empty-variant and zero-variance guards
+    // the cleared-denominator chi-square identity replayed in HUGEINT:
+    // d = n_b*den - n*num; chi2 = d^2*den / (n*num*(den-num)) — all
+    // terms non-negative, so `//` is the floor
+    "q_srm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(user_id % 3 = 0) AS b
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b
+        |      FROM u),
+        |m AS (SELECT n_a, n_b, n_a + n_b AS n,
+        |        CAST(n_b AS HUGEINT) * 3 - CAST(n_a + n_b AS HUGEINT)
+        |          AS d
+        |      FROM c)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n > 0 THEN
+        |    CAST((CAST(n AS HUGEINT) * 1000000) // 3 AS BIGINT)
+        |  END AS expected_b_x1e6,
+        |  CASE WHEN n > 0 THEN
+        |    CAST((d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2)
+        |      AS BIGINT)
+        |  END AS chi2_x1e6,
+        |  CASE WHEN n > 0 THEN
+        |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
+        |  END AS srm
+        |FROM m""".stripMargin,
+
     "q_ab_test" ->
       """WITH u AS (
         |  SELECT user_id, user_id % 2 = 1 AS b,

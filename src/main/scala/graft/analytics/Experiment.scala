@@ -71,6 +71,57 @@ object Experiment {
         "z_score", "significant")
   }
 
+  /** SAMPLE-RATIO-MISMATCH (SRM) CHECK — the assignment-integrity gate
+    * that must pass before any readout from [[abTest]]/[[cuped]] is
+    * trusted: if the observed variant split deviates from the designed
+    * ratio more than chance allows, the bucketing itself is broken
+    * (redirect loss, bot filtering skew, a crashed logger) and every
+    * downstream metric is biased (Fabijan et al. 2019's "most useful
+    * A/A alarm"). One-df chi-square goodness-of-fit of the per-USER
+    * variant counts against the designed `ratioNumB/ratioDen` B-share.
+    *
+    * EXACT integer arithmetic end-to-end: with d = n_b·den − n·num,
+    * {{{ χ² = d²·den / (n·num·(den−num)) }}}
+    * (the two GOF terms share the same |observed−expected| mass, and
+    * 1/num + 1/(den−num) = den/(num·(den−num))), floored to micros —
+    * no doubles anywhere, any engine replays it bit-for-bit. The
+    * `srm` flag fires at `critX1e6` (default 3841459 = χ²₁ critical
+    * value 3.8414588… at α=.05, floored to micros).
+    *
+    * A user's variant is max(isB) over their rows (the [[abTest]] /
+    * logRank convention — a mixed-variant user is ONE user, counted
+    * once, in B); NULL-`isB` rows don't assign. ONE row: (`n_a`,
+    * `n_b`, `expected_b_x1e6`, `chi2_x1e6`, `srm`) — NULL chi2/srm on
+    * an empty log. Shape: one user-level aggregate + one 2-row
+    * conditional aggregate + single-row decimal math. */
+  def srmCheck(events: DataFrame, userCol: String, isB: Column,
+      ratioNumB: Long = 1L, ratioDen: Long = 2L,
+      critX1e6: Long = 3841459L): DataFrame = {
+    require(ratioNumB > 0 && ratioNumB < ratioDen,
+      s"designed B share must satisfy 0 < num < den, " +
+        s"got $ratioNumB/$ratioDen")
+    val users = events.filter(isB.isNotNull)
+      .groupBy(col(userCol).as("_u"))
+      .agg(max(isB.cast("boolean")).as("_b"))
+    val counts = users.agg(
+      coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val n = col("n_a") + col("n_b")
+    val d = dec(col("n_b")) * lit(ratioDen) - dec(n) * lit(ratioNumB)
+    counts
+      .withColumn("expected_b_x1e6", when(n > 0L,
+        graft.ops.Fixed.ldiv(n * lit(ratioNumB) * lit(1000000L),
+          lit(ratioDen))))
+      .withColumn("chi2_x1e6", when(n > 0L,
+        graft.ops.Fixed.ldiv(d * d * lit(ratioDen) * lit(1000000L),
+          dec(n) * lit(ratioNumB * (ratioDen - ratioNumB)))
+          .cast("long")))
+      .withColumn("srm",
+        when(col("chi2_x1e6").isNotNull,
+          col("chi2_x1e6") >= lit(critX1e6)))
+  }
+
   /** CUPED (Controlled-experiment Using Pre-Experiment Data) — the
     * industry-standard variance-reduction adjustment for continuous
     * experiment metrics: with a pre-experiment covariate x correlated

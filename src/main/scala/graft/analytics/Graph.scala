@@ -479,4 +479,167 @@ object Graph {
           lit(4L) * dec(col("m_edges")) * dec(col("m_edges"))))
           .as("q_x1e6"))
   }
+
+  /** DEGREE ASSORTATIVITY (Newman 2002, Phys. Rev. Lett. 89) of the
+    * undirected simple graph — the Pearson correlation of endpoint
+    * degrees over edges. Positive: hubs link to hubs (social-network
+    * shape); negative: hubs link to leaves (web/biology shape; also the
+    * signature of a link farm feeding one hub). With per-edge endpoint
+    * degrees (j, k) and M edges, clearing the classical formula's 1/2M
+    * normalizations to integers:
+    * {{{
+    *   r = (4M·Σjk − (Σ(j+k))²) / (2M·Σ(j²+k²) − (Σ(j+k))²)
+    * }}}
+    * — every sum an exact int128 power sum, one floor division at the
+    * end. ONE row: (`m_edges`, `r_x1e6`); NULL r when the denominator
+    * is 0 (all degrees equal — correlation undefined).
+    *
+    * Shape: canonical-edge distinct, one degree aggregate, two degree
+    * joins back onto edges, one power-sum aggregate
+    * ([[graft.functions.Int128Sum]] — exact at any scale, none of the
+    * decimal-sum hot-loop tax). No windows, no driver state. */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+      .distinct()
+      .localCheckpoint(false) // feeds the degree agg AND the edge join
+    val deg = canon.select(col("_a").as("_n"))
+      .unionByName(canon.select(col("_b").as("_n")))
+      .groupBy(col("_n")).agg(count(lit(1)).as("_d"))
+    val jk = canon
+      .join(deg.select(col("_n").as("_a"), col("_d").as("_j")), Seq("_a"))
+      .join(deg.select(col("_n").as("_b"), col("_d").as("_k")), Seq("_b"))
+    val sums = jk.agg(
+      count(lit(1)).as("m_edges"),
+      int128Sum(col("_j") + col("_k")).as("_s1"),
+      int128SumProd(col("_j"), col("_j")).as("_sj2"),
+      int128SumProd(col("_k"), col("_k")).as("_sk2"),
+      int128SumProd(col("_j"), col("_k")).as("_s3"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    sums.select(col("m_edges"),
+      when(lit(2L) * dec(col("m_edges")) * (col("_sj2") + col("_sk2")) -
+          col("_s1") * col("_s1") > 0,
+        ldiv((lit(4L) * dec(col("m_edges")) * col("_s3") -
+            col("_s1") * col("_s1")) * lit(1000000L),
+          lit(2L) * dec(col("m_edges")) * (col("_sj2") + col("_sk2")) -
+            col("_s1") * col("_s1")).cast("long"))
+        .as("r_x1e6"))
+  }
+
+  /** SALSA hub/authority scores (Lempel & Moran 2000) — the
+    * degree-NORMALIZED variant of Kleinberg's HITS, chosen here over
+    * raw HITS deliberately: normalizing each contribution by the
+    * emitting node's degree makes both half-steps stochastic, so score
+    * mass is conserved (up to floor drift) and the recurrence runs in
+    * the same overflow-free `Long` fixed-point discipline as
+    * [[pageRank]] — raw HITS needs a per-iteration global
+    * re-normalization whose exact integer form overflows 64 bits on
+    * large graphs. A hub is a node whose outgoing links concentrate on
+    * well-cited targets; an authority is a well-cited target of good
+    * hubs (in a supplier→customer shipment graph: diversified
+    * suppliers / popular customers).
+    *
+    * The recurrence, from the uniform hub start over source nodes
+    * (`scale` = one unit of mass; all divisions floor):
+    * {{{
+    *   h0(u)     = scale div |src nodes|
+    *   a_t(v)    = Σ_{u→v} ( h_{t-1}(u) div outdeg(u) )
+    *   h_t(u)    = Σ_{u→v} ( a_t(v)     div indeg(v)  )
+    * }}}
+    * Returns one row per node: (`node`, `hub_fp`, `auth_fp`) — NULL on
+    * the side where the node does not act (a pure sink has no hub
+    * score). Bit-exact under any partitioning; an external engine
+    * replays it as an unrolled CTE chain.
+    *
+    * Shape: the [[pageRank]] posture — degrees joined onto the
+    * deduplicated edge table ONCE and `localCheckpoint`ed; each
+    * half-step is one (scores ⋈ edges) shuffle + one map-side-combined
+    * aggregate; per-iteration checkpoints truncate the unrolled
+    * lineage. */
+  def salsa(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_outdeg"))
+    val indeg = e.groupBy(col("_dst")).agg(count(lit(1)).as("_indeg"))
+    val edgesDeg = e.join(outdeg, "_src").join(indeg, "_dst")
+      .localCheckpoint(eager = false)
+    val srcs = edgesDeg.select(col("_src")).distinct()
+    val nSrc = broadcast(srcs.agg(count(lit(1)).as("_ns")))
+    var h = srcs.crossJoin(nSrc)
+      .select(col("_src").as("node"), ldiv(lit(scale), col("_ns")).as("_h"))
+      .localCheckpoint(eager = false)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = h.join(edgesDeg, h("node") === edgesDeg("_src"))
+        .groupBy(col("_dst"))
+        .agg(sum(ldiv(col("_h"), col("_outdeg"))).as("_a"))
+        .localCheckpoint(eager = false)
+      h = a.join(edgesDeg, Seq("_dst"))
+        .groupBy(col("_src"))
+        .agg(sum(ldiv(col("_a"), col("_indeg"))).as("_h"))
+        .select(col("_src").as("node"), col("_h"))
+        .localCheckpoint(eager = false)
+    }
+    h.select(col("node"), col("_h").as("hub_fp"))
+      .join(a.select(col("_dst").as("node"), col("_a").as("auth_fp")),
+        Seq("node"), "full_outer")
+  }
+
+  /** MULTI-SOURCE BFS: shortest hop count from a seed set over the
+    * undirected form of the edge table, bounded at `maxHops` — the
+    * reachability pass behind "how far is every document/host from the
+    * trusted core" (crawl-frontier depth, contamination blast radius).
+    * Layered synchronous BFS: the first layer that reaches a node IS
+    * its hop count, so no per-node min is ever recomputed. Returns
+    * (`node`, `hops`) for reached nodes only (hop 0 = seed ∩ graph;
+    * seeds absent from the graph are ignored, unreached nodes are
+    * absent — the caller left-joins if it wants NULLs).
+    *
+    * Shape: per layer one (frontier ⋈ edges) shuffle + one anti-join
+    * against the settled set + a driver emptiness probe (the [[kCore]]
+    * loop posture); settled/frontier are `localCheckpoint`ed so the
+    * unrolled lineage never replays earlier layers. Early-exits when a
+    * layer is empty. */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("_a"),
+        greatest(col(srcCol), col(dstCol)).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+      .distinct()
+    val und = canon.select(col("_a").as("_u"), col("_b").as("_v"))
+      .unionByName(canon.select(col("_b").as("_u"), col("_a").as("_v")))
+      .localCheckpoint(eager = false)
+    val sd = seeds.select(col(s"`$seedCol`").as("_seed")).distinct()
+    var dist = und.select(col("_u").as("node")).distinct()
+      .join(broadcast(sd), col("node") === col("_seed"), "left_semi")
+      .withColumn("hops", lit(0))
+      .localCheckpoint(eager = false)
+    var frontier = dist
+    var hop = 1
+    while (hop <= maxHops) {
+      val nxt = frontier
+        .join(und, frontier("node") === und("_u"))
+        .select(col("_v").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint(eager = false)
+      if (nxt.isEmpty) return dist
+      dist = dist.unionByName(nxt).localCheckpoint(eager = false)
+      frontier = nxt
+      hop += 1
+    }
+    dist
+  }
 }

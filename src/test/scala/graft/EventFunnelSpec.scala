@@ -250,6 +250,48 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
 
+  test("srmCheck: hand-computed exact chi-square micros, both flag " +
+      "directions, mixed-variant max convention, empty-log NULLs") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // 3 B users (1..3) vs 7 A users (4..10) under a 50/50 design:
+    //   d = 3*2 - 10 = -4; chi2 = 16*2/(10*1*1) = 3.2 -> 3200000, no SRM
+    val ev = (1L to 10L).map(u => (u, "view")).toDF("user_id", "t")
+    val ok = Experiment.srmCheck(ev, "user_id", col("user_id") <= 3L)
+      .head
+    assert((ok.getLong(0), ok.getLong(1)) === ((7L, 3L)))
+    assert(ok.getLong(2) === 5000000L)
+    assert(ok.getLong(3) === 3200000L && !ok.getBoolean(4))
+    // 1 B vs 9 A: d = -8; chi2 = 64*2/10 = 12.8 -> 12800000, SRM fires
+    val bad = Experiment.srmCheck(ev, "user_id", col("user_id") === 1L)
+      .head
+    assert(bad.getLong(3) === 12800000L && bad.getBoolean(4))
+    // non-even 1/4 design met exactly: 3 of 12 users are B -> chi2 = 0
+    val ev12 = (1L to 12L).map(u => (u, "view")).toDF("user_id", "t")
+    val quarter = Experiment.srmCheck(ev12, "user_id",
+      col("user_id") <= 3L, ratioNumB = 1L, ratioDen = 4L).head
+    assert(quarter.getLong(2) === 3000000L &&
+      quarter.getLong(3) === 0L && !quarter.getBoolean(4))
+    // a user whose rows disagree is ONE user, in B (max convention) —
+    // here user 4's second row flips it to B: 4 B vs 6 A, d = -2,
+    // chi2 = 4*2/10 = 0.8 -> 800000
+    val mixed = ev.union(Seq((4L, "flip")).toDF("user_id", "t"))
+    val rm = Experiment.srmCheck(mixed, "user_id",
+      col("user_id") <= 3L || col("t") === "flip").head
+    assert((rm.getLong(0), rm.getLong(1)) === ((6L, 4L)))
+    assert(rm.getLong(3) === 800000L)
+    // empty log: zero counts, NULL expectation/chi2/flag
+    val re = Experiment.srmCheck(ev.limit(0), "user_id",
+      col("user_id") <= 3L).head
+    assert(re.getLong(0) === 0L && re.getLong(1) === 0L &&
+      re.isNullAt(2) && re.isNullAt(3) && re.isNullAt(4))
+    // degenerate designs fail loud
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(ev, "user_id", col("user_id") <= 3L,
+        ratioNumB = 2L, ratioDen = 2L)
+    }
+  }
+
   test("welchTTest: hand-computed t and Welch df, zero-variance and " +
       "small-variant guards, NaN/Inf drop") {
     import graft.analytics.Experiment

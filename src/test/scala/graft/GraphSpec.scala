@@ -280,4 +280,72 @@ class GraphSpec extends AnyFunSuite {
       "n", "l").head
     assert(rdir.toSeq == r.toSeq)
   }
+
+  test("assortativity: star is exactly -1, triangle+pendant hits the " +
+      "negative floor, regular graph is NULL, direction is ignored") {
+    // star x-{a,b,c}: every edge pairs degree 1 with degree 3 — the
+    // textbook perfectly-disassortative graph
+    val star = Seq(("x", "a"), ("x", "b"), ("x", "c")).toDF("s", "d")
+    val rs = Graph.assortativity(star, "s", "d").head
+    assert(rs.getLong(0) == 3L && rs.getLong(1) == -1000000L)
+    // triangle a-b-c + pendant c-d: M=4, S1=18, S2=44, S3=19
+    //   num = (4*4*19 - 324)*1e6 = -20e6, den = 2*4*44 - 324 = 28
+    //   r_x1e6 = floor(-20e6/28) = -714286 (floor, NOT truncation)
+    val tp = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+      .toDF("s", "d")
+    val rt = Graph.assortativity(tp, "s", "d").head
+    assert(rt.getLong(0) == 4L && rt.getLong(1) == -714286L)
+    // 4-cycle: all degrees equal, zero variance, r undefined
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("s", "d")
+    assert(Graph.assortativity(cyc, "s", "d").head.isNullAt(1))
+    // reversed + duplicated edges collapse to the same undirected graph
+    val dup = tp.union(tp.select(col("d"), col("s")))
+    assert(Graph.assortativity(dup, "s", "d").head.getLong(1)
+      == -714286L)
+  }
+
+  test("salsa: hand-traced half-steps on the 2-hub bipartite graph; " +
+      "one-sided nodes carry NULL on the absent side") {
+    // a->x, a->y, b->y; outdeg a=2 b=1; indeg x=1 y=2; scale 1200
+    //   h0: a=600, b=600
+    //   a1(x) = 600//2 = 300; a1(y) = 600//2 + 600 = 900
+    //   h1(a) = 300//1 + 900//2 = 750; h1(b) = 900//2 = 450
+    val e = Seq(("a", "x"), ("a", "y"), ("b", "y")).toDF("s", "d")
+    val r = Graph.salsa(e, "s", "d", iters = 1, scale = 1200L)
+      .collect().map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)),
+         if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(r === Map(
+      "a" -> (Some(750L), None), "b" -> (Some(450L), None),
+      "x" -> (None, Some(300L)), "y" -> (None, Some(900L))))
+    // mass conservation up to floor drift: hub mass stays within
+    // (#divisions) units of scale
+    val hubSum = 750L + 450L
+    assert(hubSum <= 1200L && hubSum >= 1200L - 4L)
+  }
+
+  test("shortestHops: layered BFS from a multi-seed set — first touch " +
+      "is the hop count, absent seeds ignored, bound + early exit") {
+    // path a-b-c-d plus disconnected e-f; seeds {a, zz (absent)}
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"))
+      .toDF("s", "d")
+    val seeds = Seq("a", "zz").toDF("node")
+    val r = Graph.shortestHops(e, "s", "d", seeds, "node", maxHops = 2)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    // d is 3 hops (beyond the bound), e/f unreachable — all absent
+    assert(r === Map("a" -> 0, "b" -> 1, "c" -> 2))
+    // early exit: the star saturates at layer 1; a generous bound
+    // must not change the result (and the loop stops on the empty
+    // layer rather than running 50 rounds)
+    val star = Seq(("x", "a"), ("x", "b"), ("x", "c")).toDF("s", "d")
+    val rs = Graph.shortestHops(star, "s", "d",
+        Seq("x").toDF("node"), "node", maxHops = 50)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(rs === Map("x" -> 0, "a" -> 1, "b" -> 1, "c" -> 1))
+    // hop-0 only: maxHops = 0 returns just the seeded nodes
+    val r0 = Graph.shortestHops(e, "s", "d", seeds, "node", maxHops = 0)
+      .collect().map(x => x.getString(0) -> x.getInt(1)).toMap
+    assert(r0 === Map("a" -> 0))
+  }
 }

@@ -531,4 +531,25 @@ class PlanSpec extends AnyFunSuite {
       s"t-closeness value join not broadcast:\n$tc")
     assert(!tc.contains("CartesianProduct"))
   }
+
+  test("graph wave: assortativity is hash-joined power sums, SALSA and " +
+      "SRM keep broadcast scalars, no cartesian anywhere") {
+    // assortativity: degree joins are hash joins into ONE power-sum
+    // aggregate; the single-row math broadcasts nothing data-sized
+    val asr = plan("q_assortativity")
+    assert(!asr.contains("CartesianProduct"),
+      s"assortativity grew a cartesian product:\n$asr")
+    assert(asr.contains("Int128Sum") || asr.contains("int128"),
+      s"assortativity lost the exact int128 power sums:\n$asr")
+    // SALSA: the per-half-step aggregates are hash aggregates over a
+    // hash-joined edge table — never a nested loop
+    val sal = plan("q_salsa")
+    assert(!sal.contains("CartesianProduct"),
+      s"salsa grew a cartesian product:\n$sal")
+    // SRM: one user-level hash aggregate + single-row math
+    val srm = plan("q_srm")
+    assert(!srm.contains("CartesianProduct") &&
+      "HashAggregate".r.findAllIn(srm).nonEmpty,
+      s"srm lost the single-aggregate shape:\n$srm")
+  }
 }
