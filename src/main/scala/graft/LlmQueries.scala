@@ -231,6 +231,18 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("rank"))
     }),
 
+    // -- [EXT]: MMR diverse re-ranking — relevance-but-not-redundancy
+    //    greedy selection from each probe's cosine pool (RAG context
+    //    assembly / diverse few-shot picking); pure integer micros
+    //    after the one proven-bit-exact double cosine boundary, so the
+    //    whole selection ORDER is oracle-replayable
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.mmrRerank(emb, emb.filter(col("vec_id") < 5),
+          k = 5, poolSize = 8, lambdaX1e6 = 700000L)
+        .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
     // -- [EXT]: unit-L2 normalization (cosine = dot over unit vectors).
     //    Exploded to (vec_id, pos, u) rows so the doubles compare
     //    NUMERICALLY — double→string formatting is not engine-portable
@@ -1905,6 +1917,62 @@ object LlmQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_cosine_topk" -> cosineTopkSql,
+
+    // the greedy selection replayed through a recursive CTE carrying
+    // the selected set; cosines are the same double chain as
+    // cosineTopkSql, floored to micros, then the scoring/argmax is
+    // pure BIGINT — ties by smallest vec_id on both sides
+    "q_mmr_rerank" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM ev
+        |      WHERE vec_id < 5),
+        |sc AS (SELECT probe_id, vec_id,
+        |    list_dot_product(pv, v) / (sqrt(list_dot_product(pv, pv))
+        |      * sqrt(list_dot_product(v, v))) AS c
+        |  FROM ev CROSS JOIN p WHERE vec_id != probe_id),
+        |pool AS (SELECT probe_id, vec_id,
+        |    CAST(floor(c * 1000000.0) AS BIGINT) AS rel
+        |  FROM (SELECT probe_id, vec_id, c,
+        |          row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY c DESC, vec_id ASC) AS rn
+        |        FROM sc) WHERE rn <= 8),
+        |pv AS (SELECT pool.probe_id, pool.vec_id, pool.rel, ev.v
+        |       FROM pool JOIN ev USING (vec_id)),
+        |sims AS (SELECT x.probe_id, x.vec_id AS va, y.vec_id AS vb,
+        |    CAST(floor(list_dot_product(x.v, y.v)
+        |      / (sqrt(list_dot_product(x.v, x.v))
+        |        * sqrt(list_dot_product(y.v, y.v)))
+        |      * 1000000.0) AS BIGINT) AS s
+        |  FROM pv x JOIN pv y ON x.probe_id = y.probe_id
+        |    AND x.vec_id <> y.vec_id),
+        |sel(probe_id, step, vec_id, rel, score, sel_list) AS (
+        |  SELECT probe_id, 1, vec_id, rel, 700000 * rel, [vec_id]
+        |  FROM (SELECT probe_id, vec_id, rel,
+        |          row_number() OVER (PARTITION BY probe_id
+        |            ORDER BY rel DESC, vec_id ASC) AS rn FROM pool)
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT probe_id, step, vec_id, rel, score,
+        |    list_append(sel_list, vec_id)
+        |  FROM (
+        |    SELECT s.probe_id, s.step + 1 AS step, c.vec_id, c.rel,
+        |      700000 * c.rel - 300000 * max(m.s) AS score,
+        |      s.sel_list,
+        |      row_number() OVER (PARTITION BY s.probe_id
+        |        ORDER BY 700000 * c.rel - 300000 * max(m.s) DESC,
+        |          c.vec_id ASC) AS rn
+        |    FROM sel s
+        |    JOIN pool c ON c.probe_id = s.probe_id
+        |      AND NOT list_contains(s.sel_list, c.vec_id)
+        |    JOIN sims m ON m.probe_id = s.probe_id
+        |      AND m.va = c.vec_id AND list_contains(s.sel_list, m.vb)
+        |    WHERE s.step < 5
+        |    GROUP BY s.probe_id, s.step, c.vec_id, c.rel, s.sel_list)
+        |  WHERE rn = 1)
+        |SELECT probe_id, CAST(step AS INTEGER) AS mmr_rank, vec_id,
+        |  rel AS rel_x1e6, score AS score_x1e12
+        |FROM sel ORDER BY probe_id, mmr_rank""".stripMargin,
 
     // Unit-L2 normalization; zipped unnests align value and 0-based pos.
     "q_l2_normalize" ->

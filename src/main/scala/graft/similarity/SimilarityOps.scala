@@ -138,6 +138,114 @@ object SimilarityOps {
       .select(col("probe_id"), col("rank"), col("vec_id"), col("cos"))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
+    * SIGIR'98) — the diversity pass between retrieval and consumption:
+    * from each probe's `poolSize` cosine candidates, greedily pick `k`
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` — high relevance
+    * that is NOT redundant with what's already selected (RAG context
+    * assembly, dedup of near-identical retrieved chunks, diverse
+    * few-shot example selection).
+    *
+    * Exactness: candidate relevances and pairwise sims are the SAME
+    * double cosine chain the top-k family already replays bit-exactly
+    * in DuckDB, floored to micros at the boundary — from there the
+    * greedy is PURE INTEGER arithmetic (`score_x1e12 = λ_x1e6·rel_x1e6
+    * − (10⁶−λ_x1e6)·maxsim_x1e6`; step 1 has no redundancy term), ties
+    * by smallest id, so selection order is engine-replayable exactly
+    * (the oracle carries the selected set through a recursive CTE).
+    *
+    * Scale: the pool rides [[bruteForceTopK]] (broadcast probes,
+    * streamed corpus, WindowGroupLimit); the greedy then works on
+    * per-probe groups of ≤ `poolSize` rows — O(k·poolSize·dim) per
+    * probe, embarrassingly parallel across probes, group state bounded
+    * by config (never data-sized). The per-group loop is a typed
+    * `flatMapGroups` — the documented justified-imperative exception:
+    * greedy selection is inherently sequential in `k`, and `k·poolSize`
+    * is a constant.
+    *
+    * Returns (`probe_id`, `mmr_rank`, `vec_id`, `rel_x1e6`,
+    * `score_x1e12`), `mmr_rank` 1..k in selection order. */
+  def mmrRerank(corpus: DataFrame, probes: DataFrame, k: Int,
+      poolSize: Int, lambdaX1e6: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need 1 <= k <= poolSize, got k=$k poolSize=$poolSize")
+    require(lambdaX1e6 >= 0L && lambdaX1e6 <= 1000000L,
+      s"lambdaX1e6 must be in [0, 1000000], got $lambdaX1e6")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(corpus, probes, poolSize, idCol, vecCol)
+    val emb = corpus.select(col(s"`$idCol`").cast("long").as("vec_id"),
+      col(s"`$vecCol`").as("_v"))
+    val grouped = pool
+      .select(col("probe_id").cast("long"), col("vec_id"), col("cos"))
+      .join(emb, Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        floor(col("cos") * lit(1000000.0)).cast("long").as("_rel"),
+        col("_v"))
+      .groupBy(col("probe_id"))
+      .agg(collect_list(struct(col("vec_id"), col("_rel"), col("_v")))
+        .as("_items"))
+      .as[(Long, Seq[(Long, Long, Seq[Float])])]
+    grouped.flatMap { case (pid, itemSeq) =>
+      val items = itemSeq.toArray
+      val n = items.length
+      val ids = items.map(_._1)
+      val rels = items.map(_._2)
+      val vecs = items.map(_._3.toArray)
+      // the SAME IEEE chain as the oracle's list_dot_product form:
+      // ascending-index double accumulation, d / (sqrt(na)·sqrt(nb)),
+      // floored to micros
+      def simX1e6(i: Int, j: Int): Long = {
+        val a = vecs(i); val b = vecs(j)
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var t = 0
+        while (t < a.length) {
+          val x = a(t).toDouble; val y = b(t).toDouble
+          d += x * y; na += x * x; nb += y * y
+          t += 1
+        }
+        math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0)
+          .toLong
+      }
+      val taken = new Array[Boolean](n)
+      val maxSim = new Array[Long](n)
+      val out = Array.newBuilder[(Long, Int, Long, Long, Long)]
+      var step = 1
+      var selectedCount = 0
+      while (step <= k && selectedCount < n) {
+        var best = -1
+        var bestScore = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val redundancy =
+              if (selectedCount == 0) 0L else maxSim(i)
+            val score = lambdaX1e6 * rels(i) -
+              (1000000L - lambdaX1e6) * redundancy
+            if (score > bestScore ||
+                (score == bestScore && (best < 0 || ids(i) < ids(best))))
+              { best = i; bestScore = score }
+          }
+          i += 1
+        }
+        taken(best) = true
+        selectedCount += 1
+        out += ((pid, step, ids(best), rels(best), bestScore))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val s = simX1e6(j, best)
+            if (selectedCount == 1 || s > maxSim(j)) maxSim(j) = s
+          }
+          j += 1
+        }
+        step += 1
+      }
+      out.result().toSeq
+    }.toDF("probe_id", "mmr_rank", "vec_id", "rel_x1e6", "score_x1e12")
+  }
+
   /** Hard-negative mining for contrastive training: for each anchor, the
     * top-`k` corpus vectors whose cosine lies in `[cosLo, cosHi)` —
     * similar enough to be informative negatives, below the near-duplicate

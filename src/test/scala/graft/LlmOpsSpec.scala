@@ -1281,4 +1281,46 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(df(3L).getLong(2) == 1L) // unterminated = one sentence
     assert(df(4L).getLong(1) == 0L && df(4L).isNullAt(4))
   }
+
+  test("mmrRerank: hand-traced greedy — relevance picks first, the " +
+      "redundancy term then flips the second pick as lambda drops, " +
+      "ties break to the smaller id") {
+    // 2-D corpus around probe (1,0): id1 duplicate of the probe
+    // (rel 1e6), id2 at 45 deg (rel 707106), id3 orthogonal (rel 0)
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 1f)), (3L, Array(0f, 1f)),
+      (100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" === 100L)
+    // lambda 0.5: step1 picks id1 (5e11); step2 scores are
+    //   id2: 500000*707106 - 500000*sim(2,1)=707106 -> 0
+    //   id3: 500000*0      - 500000*0              -> 0
+    // TIE -> smaller id wins (id2)
+    val half = SimilarityOps.mmrRerank(corpus, probes, k = 2,
+        poolSize = 3, lambdaX1e6 = 500000L)
+      .orderBy($"mmr_rank")
+      .select("mmr_rank", "vec_id", "rel_x1e6", "score_x1e12")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(half == Seq((1, 1L, 1000000L, 500000000000L),
+      (2, 2L, 707106L, 0L)))
+    // lambda 0.3: id2's redundancy now dominates
+    //   (300000*707106 - 700000*707106 < 0) -> the orthogonal id3 wins
+    val diverse = SimilarityOps.mmrRerank(corpus, probes, k = 2,
+        poolSize = 3, lambdaX1e6 = 300000L)
+      .orderBy($"mmr_rank")
+      .select("mmr_rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(diverse == Seq((1, 1L), (2, 3L)))
+    // pool smaller than k: emits every candidate once, never loops
+    val tiny = SimilarityOps.mmrRerank(corpus, probes, k = 3,
+      poolSize = 3, lambdaX1e6 = 500000L)
+    assert(tiny.count() == 3L)
+    // degenerate configs fail loud
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(corpus, probes, k = 4, poolSize = 3,
+        lambdaX1e6 = 500000L)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityOps.mmrRerank(corpus, probes, k = 1, poolSize = 2,
+        lambdaX1e6 = 1000001L)
+    }
+  }
 }
