@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Tables
 import graft.dedup.{ConnectedComponents, DedupOps}
 import graft.functions.HashExpressions
-import graft.similarity.SimilarityOps
+import graft.similarity.{Clustering, SimilarityOps}
 import graft.text.{CorpusStats, TextOps}
 
 /** LLM-training-data queries (north-star [EXT] surface): text analysis,
@@ -241,6 +241,15 @@ object LlmQueries {
       SimilarityOps.mmrRerank(emb, emb.filter(col("vec_id") < 5),
           k = 5, poolSize = 8, lambdaX1e6 = 700000L)
         .orderBy(col("probe_id"), col("mmr_rank"))
+    }),
+
+    // -- [EXT]: distributed k-means (Lloyd's) — whole-corpus clustering
+    //    with micro-integer centroids (init = k smallest ids, floored
+    //    integer component means per round, the shared IEEE d² chain),
+    //    so assignments AND distances replay exactly in any engine
+    "q_kmeans" -> ((s, dir) => {
+      Clustering.kmeansAssign(t(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy(col("vec_id"))
     }),
 
     // -- [EXT]: unit-L2 normalization (cosine = dot over unit vectors).
@@ -1918,6 +1927,8 @@ object LlmQueries {
 
     "q_cosine_topk" -> cosineTopkSql,
 
+    "q_kmeans" -> kmeansOracle(4, 2),
+
     // the greedy selection replayed through a recursive CTE carrying
     // the selected set; cosines are the same double chain as
     // cosineTopkSql, floored to micros, then the scoring/argmax is
@@ -2595,6 +2606,64 @@ object LlmQueries {
     // whole corpus and the result is exactly the quantized top-k.
     "q_ivf_sq8" -> sq8TopkSql
   )
+
+  /** The k-means replay, unrolled per iteration: init = the k
+    * smallest-id vectors quantized to micros; each round assigns by the
+    * shared `⟨x,x⟩ − 2⟨x,c/10⁶⟩ + ⟨c/10⁶,c/10⁶⟩` double chain (ties →
+    * smaller cid) and recomputes centroids as exact floor-divided
+    * integer component means (the `//`-truncation-corrected negative
+    * floor, the ldiv contract); empty clusters keep their centroid. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def assignStage(n: Int, cents: String): String =
+      s"""a$n AS (
+         |  SELECT vec_id, cid, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, cid ASC) AS rn
+         |  FROM (
+         |    SELECT q.vec_id, c.cid,
+         |      list_dot_product(q.v, q.v)
+         |      - 2 * list_dot_product(q.v,
+         |          list_transform(c.c, e -> e / 1000000.0))
+         |      + list_dot_product(list_transform(c.c, e -> e / 1000000.0),
+         |          list_transform(c.c, e -> e / 1000000.0)) AS d2
+         |    FROM q CROSS JOIN $cents c))""".stripMargin
+    def updateStage(n: Int): String =
+      s"""u$n AS (
+         |  SELECT cid, list(s ORDER BY pos) AS c
+         |  FROM (
+         |    SELECT cid, pos,
+         |      CAST(CASE WHEN ssum % cnt <> 0 AND ssum < 0
+         |        THEN ssum // cnt - 1 ELSE ssum // cnt END AS BIGINT) AS s
+         |    FROM (
+         |      SELECT cid, pos, SUM(qc) AS ssum, COUNT(*) AS cnt
+         |      FROM (
+         |        SELECT a.cid, unnest(q.qv) AS qc,
+         |          unnest(range(len(q.qv))) AS pos
+         |        FROM (SELECT vec_id, cid FROM a$n WHERE rn = 1) a
+         |        JOIN q USING (vec_id))
+         |      GROUP BY cid, pos))
+         |  GROUP BY cid),
+         |c$n AS (
+         |  SELECT p.cid, COALESCE(u$n.c, p.c) AS c
+         |  FROM c${n - 1} p LEFT JOIN u$n USING (cid))""".stripMargin
+    val rounds = (1 to iters)
+      .map(n => assignStage(n, s"c${n - 1}") + ",\n" + updateStage(n))
+      .mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |    AS cid, qv AS c
+       |  FROM q ORDER BY vec_id LIMIT $k),
+       |$rounds,
+       |${assignStage(iters + 1, s"c$iters")}
+       |SELECT vec_id, cid AS cluster,
+       |  CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2_x1e6
+       |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
 
   private lazy val cosineTopkSql: String =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.DedupOps
 import graft.ops.AsOfJoin
-import graft.similarity.SimilarityOps
+import graft.similarity.{Clustering, SimilarityOps}
 import graft.text.TextOps
 
 /** Specs for the [EXT] LLM-data operators that have no DuckDB oracle
@@ -1280,6 +1280,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(df(2L).getLong(3) == 2L)
     assert(df(3L).getLong(2) == 1L) // unterminated = one sentence
     assert(df(4L).getLong(1) == 0L && df(4L).isNullAt(4))
+  }
+
+  test("kmeansAssign: hand-traced Lloyd round — floored integer " +
+      "centroid means, argmin re-assignment, exact micro distances") {
+    // 1-D: ids 1..4 at 0, 1, 10, 11; k=2 -> init c0=[0], c1=[1e6].
+    // Round 1 assigns {0}->c0, {1,10,11}->c1; update keeps c0=[0] and
+    // moves c1 to floor((1e6+10e6+11e6)/3) = 7333333. The final
+    // assignment under the moved centroid pulls x=1 BACK to c0
+    // (d2 1.0 vs ~40.1) and keeps 10, 11 on c1.
+    val vecs = Seq((1L, Array(0f)), (2L, Array(1f)), (3L, Array(10f)),
+      (4L, Array(11f))).toDF("vec_id", "embedding")
+    val out = Clustering.kmeansAssign(vecs, k = 2, iters = 1)
+      .orderBy($"vec_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out.map(r => r._1 -> r._2) ==
+      Seq(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    assert(out(0)._3 == 0L)        // x=0 sits ON c0: d2 exactly 0
+    assert(out(1)._3 == 1000000L)  // x=1 vs c0=[0]: d2 exactly 1.0
+    // equidistant duplicate centroids: ties break to the smaller cid,
+    // and the emptied cluster keeps its centroid (no crash, no NaN)
+    val dup = Seq((1L, Array(1f)), (2L, Array(1f)), (3L, Array(1f)))
+      .toDF("vec_id", "embedding")
+    val dupOut = Clustering.kmeansAssign(dup, k = 2, iters = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(dupOut.map(_._2).toSet == Set(0))
+    assert(dupOut.map(_._3).toSet == Set(0L))
+    // degenerate configs fail loud
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansAssign(dup, k = 4, iters = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Clustering.kmeansAssign(dup, k = 0, iters = 1)
+    }
   }
 
   test("mmrRerank: hand-traced greedy — relevance picks first, the " +
