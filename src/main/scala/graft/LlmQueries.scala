@@ -97,6 +97,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: Cohen's kappa between the stored lang label and the
+    //    language-ID heuristic — chance-corrected annotation agreement
+    //    (the label-QA twin of q_lang_id)
+    "q_kappa" -> ((s, dir) => {
+      graft.analytics.Evaluation.cohensKappa(
+        t(s, dir, "documents")
+          .select(col("lang"), TextOps.languageId(col("text")).as("guess")),
+        "lang", "guess")
+    }),
+
     // -- A5 [EXT]: exact dedup on md5(normalized text), min doc_id wins
     "q_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
@@ -1134,6 +1144,31 @@ object LlmQueries {
 
   private val duckToks = "regexp_split_to_array(trim(text), '\\s+')"
   private val duckToksLower = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+  /** (doc_id, lang, guess): the marker-stopword argmax language-ID
+    * replay — shared by the q_lang_id oracle and the kappa confusion
+    * matrix built on top of it. */
+  private lazy val langGuessSql: String = {
+    val markers = TextOps.LangMarkers.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    }
+    val scores = markers.map { case (lang, arr) =>
+      s"len(list_intersect(toks, $arr)) AS s_$lang"
+    }.mkString(",\n    ")
+    val best = markers.map { case (lang, _) => s"s_$lang" }
+      .mkString("greatest(", ", ", ")")
+    val cases = markers.map { case (lang, _) =>
+      s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, lang,
+       |  CASE
+       |    $cases
+       |    ELSE 'und' END AS guess
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM (SELECT doc_id, lang, list_distinct($duckToksLower) AS toks FROM documents))""".stripMargin
+  }
   private val stopList = TextOps.EnglishStopwords
     .map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -1241,28 +1276,33 @@ object LlmQueries {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
-    "q_lang_id" -> {
-      val markers = TextOps.LangMarkers.map { case (lang, ws) =>
-        lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
-      }
-      val scores = markers.map { case (lang, arr) =>
-        s"len(list_intersect(toks, $arr)) AS s_$lang"
-      }.mkString(",\n    ")
-      val best = markers.map { case (lang, _) => s"s_$lang" }
-        .mkString("greatest(", ", ", ")")
-      val cases = markers.map { case (lang, _) =>
-        s"WHEN s_$lang = $best AND s_$lang > 0 THEN '$lang'"
-      }.mkString("\n    ")
-      s"""SELECT doc_id, lang,
-         |  CASE
-         |    $cases
-         |    ELSE 'und' END AS guess
-         |FROM (
-         |  SELECT doc_id, lang,
-         |    $scores
-         |  FROM (SELECT doc_id, lang, list_distinct($duckToksLower) AS toks FROM documents))
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_lang_id" -> s"$langGuessSql\nORDER BY doc_id",
+
+    // exact integer kappa over the (lang, guess) confusion matrix the
+    // q_lang_id oracle already replays: po/pe cleared to
+    // (n·agree − Σ aᶜbᶜ)·10⁶ // (n² − Σ aᶜbᶜ), the spelled-out
+    // negative floor (kappa < 0 = below-chance agreement)
+    "q_kappa" ->
+      s"""WITH g AS ($langGuessSql),
+         |cm AS (SELECT lang AS a, guess AS b, COUNT(*) AS c
+         |       FROM g GROUP BY 1, 2),
+         |t AS (SELECT SUM(c) AS n,
+         |        SUM(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+         |      FROM cm),
+         |ma AS (SELECT a AS cat, SUM(c) AS ca FROM cm GROUP BY 1),
+         |mb AS (SELECT b AS cat, SUM(c) AS cb FROM cm GROUP BY 1),
+         |pe AS (SELECT COALESCE(SUM(CAST(ca AS HUGEINT) * cb), 0) AS p
+         |       FROM ma JOIN mb USING (cat)),
+         |f AS (SELECT CAST(n AS HUGEINT) AS n, agree,
+         |        (CAST(n AS HUGEINT) * agree - p) * 1000000 AS num,
+         |        CAST(n AS HUGEINT) * n - p AS den
+         |      FROM t CROSS JOIN pe)
+         |SELECT CAST(n AS BIGINT) AS n_items, CAST(agree AS BIGINT) AS agree,
+         |  CASE WHEN den <> 0 THEN
+         |    CAST(CASE WHEN num % den <> 0 AND num < 0
+         |      THEN num // den - 1 ELSE num // den END AS BIGINT)
+         |  END AS kappa_x1e6
+         |FROM f""".stripMargin,
 
     "q_exact_dedup" ->
       s"""SELECT doc_id, fp FROM (

@@ -258,4 +258,49 @@ object Evaluation {
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("pos_rate"))
   }
+
+  /** COHEN'S KAPPA — chance-corrected inter-rater agreement between two
+    * categorical raters (label-QA for annotation pipelines: human vs
+    * model labels, two annotators, heuristic vs stored metadata).
+    * κ = (p₀ − pₑ)/(1 − pₑ); denominators cleared to pure integers:
+    * `kappa_x1e6 = ⌊(n·agree − Σ_c aᶜ·bᶜ)·10⁶ / (n² − Σ_c aᶜ·bᶜ)⌋`
+    * with aᶜ/bᶜ the per-category marginals — exact at any scale via
+    * BigInt, floor (not truncate: κ < 0 means below-chance agreement).
+    * NULL when pₑ = 1 (both raters constant — κ undefined). Rows with a
+    * NULL rating on either side drop (no agreement evidence).
+    *
+    * Shape: ONE distributed aggregate to the (a, b) confusion matrix —
+    * category-space-sized, never data-sized — then marginal products on
+    * the driver (the calendar-grid-bounded driver-chain posture).
+    * Returns one row: (`n_items`, `agree`, `kappa_x1e6`). */
+  def cohensKappa(df: DataFrame, raterA: String, raterB: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cm = df
+      .filter(col(s"`$raterA`").isNotNull && col(s"`$raterB`").isNotNull)
+      .groupBy(col(s"`$raterA`").cast("string").as("_a"),
+        col(s"`$raterB`").cast("string").as("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .as[(String, String, Long)].collect()
+    val n = cm.iterator.map(r => BigInt(r._3)).sum
+    val agree = cm.iterator.filter(r => r._1 == r._2)
+      .map(r => BigInt(r._3)).sum
+    val ma = cm.groupBy(_._1).view
+      .mapValues(_.iterator.map(r => BigInt(r._3)).sum).toMap
+    val mb = cm.groupBy(_._2).view
+      .mapValues(_.iterator.map(r => BigInt(r._3)).sum).toMap
+    val pe = ma.keySet.intersect(mb.keySet).iterator
+      .map(c => ma(c) * mb(c)).sum
+    val den = n * n - pe
+    val kappa: Option[Long] = if (den == 0) None else {
+      val num = (n * agree - pe) * 1000000
+      // BigInt / truncates toward zero; correct to the floor
+      val q = num / den
+      Some((if (num % den != 0 && (num.signum != den.signum)) q - 1
+            else q).toLong)
+    }
+    Seq((n.toLong, agree.toLong, kappa))
+      .toDF("n_items", "agree", "kappa_x1e6")
+  }
 }

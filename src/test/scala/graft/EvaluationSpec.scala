@@ -245,4 +245,32 @@ class EvaluationSpec extends AnyFunSuite {
         "id", k = 0)
     }
   }
+
+  test("cohensKappa: textbook 2x2 matrix gives 0.4 exactly; perfect " +
+      "disagreement gives -1; constant raters are undefined; NULL " +
+      "ratings drop") {
+    // confusion matrix [[20,5],[10,15]]: po=0.7, pe=0.5, kappa=0.4
+    val rows =
+      Seq.fill(20)(("A", "A")) ++ Seq.fill(5)(("A", "B")) ++
+      Seq.fill(10)(("B", "A")) ++ Seq.fill(15)(("B", "B"))
+    val r = Evaluation.cohensKappa(rows.toDF("ra", "rb"), "ra", "rb")
+      .as[(Long, Long, Option[Long])].head()
+    assert(r == ((50L, 35L, Some(400000L))))
+    // complete disagreement on a balanced 2x2: kappa = -1 exactly
+    val dis = Seq.fill(10)(("A", "B")) ++ Seq.fill(10)(("B", "A"))
+    assert(Evaluation.cohensKappa(dis.toDF("ra", "rb"), "ra", "rb")
+      .as[(Long, Long, Option[Long])].head() ==
+      ((20L, 0L, Some(-1000000L))))
+    // both raters constant: pe = 1, kappa undefined -> NULL
+    assert(Evaluation.cohensKappa(
+      Seq.fill(5)(("X", "X")).toDF("ra", "rb"), "ra", "rb")
+      .as[(Long, Long, Option[Long])].head() == ((5L, 5L, None)))
+    // a NULL rating on either side carries no agreement evidence
+    val dirty = (rows.map { case (a, b) => (Option(a), Option(b)) } :+
+      ((Option.empty[String], Option("A"))) :+
+      ((Option("B"), Option.empty[String]))).toDF("ra", "rb")
+    assert(Evaluation.cohensKappa(dirty, "ra", "rb")
+      .as[(Long, Long, Option[Long])].head() ==
+      ((50L, 35L, Some(400000L))))
+  }
 }
