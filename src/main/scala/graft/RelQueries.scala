@@ -1105,6 +1105,17 @@ object RelQueries {
         .orderBy(col("channel"))
     }),
 
+    // -- [EXT]: Markov removal-effect attribution — data-driven channel
+    //    credit: first-order chain over journeys (reverse-count groups,
+    //    trailing suffix -> __null), channel credit = conversion-
+    //    probability drop when the channel's node is removed; integer
+    //    fixed-point absorption recurrence, engine-replayable
+    "q_markov_attrib" -> ((s, dir) => {
+      graft.analytics.EventFunnel.markovAttribution(events(s, dir),
+          "user_id", "event_type", "ts_us", "event_id", "purchase")
+        .orderBy(col("channel"))
+    }),
+
     // -- [EXT]: CUPED variance-reduced A/B readout — per-user spend
     //    adjusted by activity count (the pooled Deng et al. estimator);
     //    unit metrics in portable micro fixed point, power sums exact
@@ -1559,6 +1570,86 @@ object RelQueries {
     * ranks) CTE triple per iteration — DuckDB replays the integer
     * fixed-point recurrence of [[graft.analytics.Graph.pageRank]]
     * bit-for-bit (`//` there ≡ `div` here on the all-positive ranks). */
+  /** The Markov removal-effect replay: journeys → (from, to) counts →
+    * per-variant redirected chains ('__base' + one variant per channel,
+    * inbound → __null, outbound dropped, a __conv self-loop pinning the
+    * absorber) → `iters` unrolled rounds of the non-negative integer
+    * recurrence `p(s) = Σ cnt·p(t) // out(s)` → removal effects and
+    * shares. Everything non-negative, so `//` IS the floor. */
+  private def markovAttribOracle(iters: Int): String = {
+    // every repeatedly-referenced CTE is MATERIALIZED: the default
+    // inlining would re-expand the whole p(N−1) chain at each of its
+    // references — exponential in the iteration depth
+    def step(n: Int): String =
+      s"""p$n AS MATERIALIZED (
+         |  SELECT t.v, t.f AS s,
+         |    SUM(t.c * COALESCE(pp.p, 0)) // MAX(o.o) AS p
+         |  FROM trv t
+         |  JOIN outd o ON o.v = t.v AND o.f = t.f
+         |  LEFT JOIN p${n - 1} pp ON pp.v = t.v AND pp.s = t.tt
+         |  GROUP BY t.v, t.f)""".stripMargin
+    val steps = (1 to iters).map(step).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+       |    event_id AS eid
+       |  FROM events),
+       |g AS (SELECT *, sum(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY u ORDER BY ts, eid
+       |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS grp
+       |      FROM e),
+       |tch AS (SELECT * FROM g WHERE t <> 'purchase'),
+       |pairs AS (
+       |  SELECT COALESCE(lag(t) OVER (PARTITION BY u, grp
+       |      ORDER BY ts, eid), '__start') AS f, t AS tt
+       |  FROM tch),
+       |lastt AS (SELECT u, grp, t AS lt FROM (
+       |    SELECT u, grp, t, row_number() OVER (PARTITION BY u, grp
+       |      ORDER BY ts DESC, eid DESC) AS rn FROM tch) WHERE rn = 1),
+       |j AS (SELECT DISTINCT u, grp FROM g),
+       |term AS (
+       |  SELECT COALESCE(l.lt, '__start') AS f,
+       |    CASE WHEN j.grp >= 1 THEN '__conv' ELSE '__null' END AS tt
+       |  FROM j LEFT JOIN lastt l ON j.u = l.u AND j.grp = l.grp),
+       |tr0 AS MATERIALIZED (
+       |  SELECT f, tt, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT * FROM pairs UNION ALL SELECT * FROM term)
+       |  GROUP BY f, tt),
+       |ch AS MATERIALIZED (
+       |  SELECT DISTINCT s AS chan FROM (
+       |    SELECT f AS s FROM tr0 UNION SELECT tt FROM tr0)
+       |  WHERE s NOT IN ('__start', '__conv', '__null')),
+       |vari AS MATERIALIZED (
+       |  SELECT chan AS v FROM ch UNION ALL SELECT '__base'),
+       |trv AS MATERIALIZED (
+       |  SELECT vari.v, tr0.f,
+       |    CASE WHEN tr0.tt = vari.v THEN '__null' ELSE tr0.tt END AS tt,
+       |    CAST(SUM(tr0.c) AS HUGEINT) AS c
+       |  FROM vari JOIN tr0 ON tr0.f <> vari.v
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT v, '__conv', '__conv', 1 FROM vari),
+       |outd AS MATERIALIZED (
+       |  SELECT v, f, SUM(c) AS o FROM trv GROUP BY v, f),
+       |p0 AS MATERIALIZED (
+       |  SELECT v, '__conv' AS s, CAST(1000000 AS HUGEINT) AS p
+       |  FROM vari),
+       |$steps,
+       |res AS (
+       |  SELECT ch.chan, COALESCE(pr.p, 0) AS prem, b.p AS base
+       |  FROM ch
+       |  LEFT JOIN p$iters pr ON pr.v = ch.chan AND pr.s = '__start'
+       |  LEFT JOIN p$iters b ON b.v = '__base' AND b.s = '__start'),
+       |re AS (SELECT chan,
+       |    CASE WHEN base > 0 THEN
+       |      greatest(0, 1000000 - (prem * 1000000) // base) END AS rem
+       |  FROM res),
+       |tot AS (SELECT SUM(rem) AS sre FROM re)
+       |SELECT chan AS channel, CAST(rem AS BIGINT) AS removal_x1e6,
+       |  CASE WHEN sre > 0 THEN
+       |    CAST((rem * 1000000) // sre AS BIGINT) END AS share_x1e6
+       |FROM re CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val base =
       """WITH edges AS (
@@ -2554,6 +2645,8 @@ object RelQueries {
         |  n_a, n_b, rate_a_x1e6, rate_b_x1e6,
         |  round((ra - rb) * ln(ra / rb), 6) AS psi_term
         |FROM r CROSS JOIN mm ORDER BY bin""".stripMargin,
+
+    "q_markov_attrib" -> markovAttribOracle(12),
 
     // the reverse running conversion count forms (touches…, conversion)
     // groups; first/last via tie-broken row_numbers (the engine's

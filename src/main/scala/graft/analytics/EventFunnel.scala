@@ -683,4 +683,102 @@ object EventFunnel {
           .as("max_concurrent"))
       .orderBy(col("period"))
   }
+
+  /** MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2016's
+    * data-driven model) — the principled successor to
+    * [[attribution]]'s positional rules: build the first-order Markov
+    * chain over user journeys (`__start` → touches → `__conv` /
+    * `__null`, journeys cut at each conversion exactly like
+    * [[attribution]]'s reverse running count, the trailing
+    * non-converting suffix ending in `__null`), then credit each
+    * channel by how much the chain's conversion probability DROPS when
+    * the channel is removed (its inbound transitions redirect to
+    * `__null`, its outbound drop).
+    *
+    * Exactness: absorption probabilities come from `iters` rounds of
+    * the integer fixed-point recurrence
+    * `p(s) ← ⌊Σ_t cnt(s→t)·p(t) / out(s)⌋` with `p(__conv)` pinned at
+    * 10⁶ — transition counts are integers, so the whole trajectory,
+    * the removal effects `max(0, 10⁶ − ⌊p_removed·10⁶ / p_base⌋)`, and
+    * the normalized shares are engine-replayable (the oracle unrolls
+    * the same recurrence per variant). All quantities non-negative, so
+    * floor = truncation on both sides.
+    *
+    * Shape: one per-user window pass + one (from, to) aggregate to the
+    * ≤|event types|² transition matrix; the per-variant iteration runs
+    * on the driver over that category-space-bounded table (the kappa /
+    * calendar-grid driver-chain posture — never data-sized). Returns
+    * one row per channel: (`channel`, `removal_x1e6`, `share_x1e6`),
+    * NULLs when the base chain never converts (or no channel has any
+    * effect, for the share). */
+  def markovAttribution(events: DataFrame, userCol: String,
+      typeCol: String, tsUsCol: String, orderCol: String,
+      convType: String, iters: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val Start = "__start"; val Conv = "__conv"; val Nul = "__null"
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("_u"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+    val grouped = events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsUsCol).as("_ts"), col(orderCol).as("_eid"))
+      .withColumn("_g", sum(when(col("_t") === convType, 1L)
+          .otherwise(0L))
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val touches = grouped.filter(col("_t") =!= convType)
+    val wg = Window.partitionBy(col("_u"), col("_g"))
+      .orderBy(col("_ts").asc, col("_eid").asc)
+    val pairT = touches
+      .select(coalesce(lag(col("_t"), 1).over(wg), lit(Start)).as("_f"),
+        col("_t").as("_to"))
+    val lastTouch = touches.groupBy(col("_u"), col("_g"))
+      .agg(max_by(col("_t"), struct(col("_ts"), col("_eid")))
+        .as("_lt"))
+    val term = grouped.select(col("_u"), col("_g")).distinct()
+      .join(lastTouch, Seq("_u", "_g"), "left")
+      .select(coalesce(col("_lt"), lit(Start)).as("_f"),
+        when(col("_g") >= 1, lit(Conv)).otherwise(lit(Nul)).as("_to"))
+    val trans = pairT.unionByName(term)
+      .groupBy(col("_f"), col("_to")).agg(count(lit(1)).as("_c"))
+      .as[(String, String, Long)].collect()
+    val channels = trans.iterator
+      .flatMap(r => Iterator(r._1, r._2))
+      .filterNot(Set(Start, Conv, Nul)).toSeq.distinct.sorted
+    // p(__start) in micros after `iters` rounds, with `removed`'s
+    // inbound redirected to __null and its outbound dropped
+    def absorb(removed: Option[String]): BigInt = {
+      val eff = trans.iterator
+        .filterNot(r => removed.contains(r._1))
+        .map(r => (r._1,
+          if (removed.contains(r._2)) Nul else r._2) -> BigInt(r._3))
+        .toSeq.groupMapReduce(_._1)(_._2)(_ + _)
+      val out = eff.groupMapReduce(_._1._1)(_._2)(_ + _)
+      var p = Map[String, BigInt](Conv -> BigInt(1000000))
+      var it = 0
+      while (it < iters) {
+        p = out.keysIterator.map { s =>
+          val num = eff.iterator.collect {
+            case ((`s`, t), c) => c * p.getOrElse(t, BigInt(0))
+          }.sum
+          s -> num / out(s)
+        }.toMap.updated(Conv, BigInt(1000000))
+        it += 1
+      }
+      p.getOrElse(Start, BigInt(0))
+    }
+    val base = absorb(None)
+    val removals = channels.map { c =>
+      val re: Option[Long] = if (base == 0) None else {
+        val r = BigInt(1000000) - absorb(Some(c)) * 1000000 / base
+        Some(r.max(BigInt(0)).toLong)
+      }
+      (c, re)
+    }
+    val sre = removals.flatMap(_._2).sum
+    removals.map { case (c, re) =>
+      (c, re, re.flatMap(r =>
+        if (sre > 0) Some((BigInt(r) * 1000000 / sre).toLong) else None))
+    }.toDF("channel", "removal_x1e6", "share_x1e6")
+  }
 }

@@ -848,4 +848,40 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(d.getLong(1) == 1L && d.getLong(2) == 1L &&
       d.getLong(3) == 1000000L)
   }
+
+  test("markovAttribution: hand-solved 3-state chain — removing the " +
+      "must-pass channel zeroes conversion (removal 1.0); removing a " +
+      "half-weight feeder halves it; shares normalize") {
+    // u1: view->click->purchase; u2: view (never converts);
+    // u3: click->purchase. Chain: START->{view:2, click:1},
+    // view->{click:1, NULL:1}, click->{CONV:2}. Exact fixed point:
+    // p(click)=1, p(view)=1/2, p(START)=2/3 -> micros 666666.
+    // Remove view: START->{NULL:2, click:1} -> p=1/3 (333333);
+    //   removal = 1e6 - 333333000000//666666 = 500000 (exactly).
+    // Remove click: no path to CONV at all -> removal = 1e6.
+    // Shares over 1.5e6: click 666666, view 333333.
+    val ev = Seq(
+      (1L, "view", 1L, 1L), (1L, "click", 2L, 2L),
+      (1L, "purchase", 3L, 3L),
+      (2L, "view", 1L, 4L),
+      (3L, "click", 1L, 5L), (3L, "purchase", 2L, 6L))
+      .toDF("user_id", "event_type", "ts_us", "event_id")
+    val out = EventFunnel.markovAttribution(ev, "user_id", "event_type",
+        "ts_us", "event_id", "purchase")
+      .orderBy($"channel")
+      .as[(String, Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("click", Some(1000000L), Some(666666L)),
+      ("view", Some(500000L), Some(333333L))))
+    // a log with no conversions at all: base = 0 -> NULL credits
+    val none = EventFunnel.markovAttribution(
+      ev.filter($"event_type" =!= "purchase"), "user_id", "event_type",
+      "ts_us", "event_id", "purchase")
+      .as[(String, Option[Long], Option[Long])].collect().toSeq
+    assert(none.forall(r => r._2.isEmpty && r._3.isEmpty))
+    intercept[IllegalArgumentException] {
+      EventFunnel.markovAttribution(ev, "user_id", "event_type",
+        "ts_us", "event_id", "purchase", iters = 0)
+    }
+  }
 }
