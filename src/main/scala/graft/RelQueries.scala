@@ -1061,6 +1061,17 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: F1-optimal decision threshold per variant — sweep every
+    //    distinct quantized score as the cutoff, exact integer tp/fp/fn
+    //    prefix counts (skew-safe PrefixSum, no single-task window),
+    //    argmax f1 with smaller-threshold ties
+    "q_best_f1" -> ((s, dir) => {
+      graft.analytics.Evaluation.bestF1Threshold(
+          t(s, dir, "events").withColumn("variant", col("user_id") % 2),
+          Seq("variant"), col("event_type") === "purchase", "value")
+        .orderBy(col("variant"))
+    }),
+
     // -- [EXT]: average precision (PR-AUC) — the top-of-ranking
     //    companion to q_auc; exact per-positive micro-unit Precision@k
     //    terms, event_id tie-break
@@ -2529,6 +2540,37 @@ object RelQueries {
         |    round((2.0 * isum::DOUBLE) / (n::DOUBLE * s::DOUBLE)
         |          - (n::DOUBLE + 1.0) / n::DOUBLE, 6) END AS gini
         |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    // cumulative tp/fp down the quantized-score order per variant; the
+    // Spark side reconstructs the same prefixes via PrefixSum + compact
+    // per-group offsets
+    "q_best_f1" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(event_type = 'purchase' AS INT) AS y,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS q
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |d AS (SELECT variant, q, SUM(y) AS np, COUNT(*) - SUM(y) AS nn
+        |      FROM b GROUP BY variant, q),
+        |c AS (SELECT variant, q,
+        |        SUM(np) OVER (PARTITION BY variant
+        |          ORDER BY q DESC) AS tp,
+        |        SUM(nn) OVER (PARTITION BY variant
+        |          ORDER BY q DESC) AS fp,
+        |        SUM(np) OVER (PARTITION BY variant) AS pos
+        |      FROM d),
+        |f AS (SELECT variant, q AS thr, tp, fp, pos - tp AS fn,
+        |        CASE WHEN 2 * tp + fp + (pos - tp) > 0 THEN
+        |          (2 * tp * 1000000) // (2 * tp + fp + (pos - tp))
+        |        ELSE 0 END AS f1
+        |      FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY variant
+        |        ORDER BY f1 DESC, thr ASC) AS rn FROM f)
+        |SELECT variant, thr AS thr_x1e6, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(f1 AS BIGINT) AS f1_x1e6
+        |FROM r WHERE rn = 1 ORDER BY variant""".stripMargin,
 
     // the rank-sum identity with 2·avgrank = 2·rank + tiecount − 1
     // (integer, HUGEINT-summed ≡ Int128Sum), one double division

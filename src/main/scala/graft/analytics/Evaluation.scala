@@ -259,6 +259,68 @@ object Evaluation {
           .as("pos_rate"))
   }
 
+  /** F1-OPTIMAL DECISION THRESHOLD per group — the operating-point
+    * selector beside [[aucByGroup]]'s ranking quality: sweep every
+    * distinct (floor-micro-quantized) score as the "predict positive if
+    * score ≥ t" cutoff and return the cutoff maximizing
+    * F1 = 2·tp / (2·tp + fp + fn), with precision/recall ingredients.
+    * All integer: per-threshold tp/fp are cumulative counts down the
+    * score order, `f1_x1e6 = ⌊2·tp·10⁶ / (2·tp+fp+fn)⌋`, argmax ties
+    * break to the SMALLER threshold (and a no-positive group scans to
+    * all-zero F1 and returns its smallest cutoff, f1 = 0). Rows with
+    * NULL score or label drop.
+    *
+    * Shape: one hash aggregate to the distinct-score table (data-sized
+    * for a continuous score — the q_ks_test posture), then
+    * [[graft.ops.PrefixSum]] running sums over (group, score desc) —
+    * ONE range exchange, never a single-task global window; per-group
+    * exclusive offsets come from the compact per-group totals table.
+    * Returns one row per group: (group…, `thr_x1e6`, `tp`, `fp`, `fn`,
+    * `f1_x1e6`). */
+  def bestF1Threshold(df: DataFrame, groupCols: Seq[String],
+      labelCol: Column, scoreCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "bestF1Threshold needs at least one group column")
+    val s = col(s"`$scoreCol`").cast("double")
+    val gs = groupCols.map(c => col(s"`$c`"))
+    val d = df.filter(s.isNotNull && labelCol.isNotNull)
+      .select(gs :+ labelCol.cast("boolean").as("_y") :+
+        floor(s * lit(1e6)).cast("long").as("_q"): _*)
+      .groupBy(gs :+ col("_q"): _*)
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("_np"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("_nn"))
+    val run = graft.ops.PrefixSum.runningSums(d,
+      gs.map(_.asc) :+ col("_q").desc,
+      Seq("_np" -> "_rp", "_nn" -> "_rn"))
+    // per-group exclusive offsets from the COMPACT totals table (one
+    // row per group) — the small sort that keeps the big frame on one
+    // range exchange
+    val w = Window.orderBy(groupCols.map(c => col(s"`$c`").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.groupBy(gs: _*)
+      .agg(sum(col("_np")).as("_tp_all"), sum(col("_nn")).as("_tn_all"))
+      .select(gs ++ Seq(
+        col("_tp_all"),
+        (sum(col("_tp_all")).over(w) - col("_tp_all")).as("_op"),
+        (sum(col("_tn_all")).over(w) - col("_tn_all")).as("_on")): _*)
+    val f = run.join(broadcast(tot), groupCols)
+      .select(gs ++ Seq(col("_q"),
+        (col("_rp") - col("_op")).as("_tp"),
+        (col("_rn") - col("_on")).as("_fp"),
+        (col("_tp_all") - (col("_rp") - col("_op"))).as("_fn")): _*)
+      .withColumn("_den",
+        lit(2L) * col("_tp") + col("_fp") + col("_fn"))
+      .withColumn("_f1", when(col("_den") > 0L,
+        ldiv(lit(2000000L) * col("_tp"), col("_den"))).otherwise(0L))
+    f.groupBy(gs: _*)
+      .agg(max_by(
+        struct(col("_q"), col("_tp"), col("_fp"), col("_fn"), col("_f1")),
+        struct(col("_f1"), (-col("_q")).as("_nq"))).as("_b"))
+      .select(gs ++ Seq(col("_b._q").as("thr_x1e6"), col("_b._tp").as("tp"),
+        col("_b._fp").as("fp"), col("_b._fn").as("fn"),
+        col("_b._f1").as("f1_x1e6")): _*)
+  }
+
   /** COHEN'S KAPPA — chance-corrected inter-rater agreement between two
     * categorical raters (label-QA for annotation pipelines: human vs
     * model labels, two annotators, heuristic vs stored metadata).

@@ -246,6 +246,29 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("bestF1Threshold: hand-swept cutoffs — the 4/5 operating point " +
+      "wins, a no-positive group returns its smallest cutoff at f1 0, " +
+      "NULL rows drop") {
+    // group 0 sweep (desc): t=.9 f1=2/3; t=.8 1/2; t=.7 tp2 fp1 fn0
+    // -> 4/5 BEST; t=.6 2/3; t=.5 4/7. Micro thresholds are the exact
+    // double floors (0.7*1e6 rounds to exactly 700000.0 in IEEE).
+    val df = Seq(
+      (0L, true, Some(0.9)), (0L, false, Some(0.8)),
+      (0L, true, Some(0.7)), (0L, false, Some(0.6)),
+      (0L, false, Some(0.5)), (0L, true, Option.empty[Double]),
+      (1L, false, Some(0.3)), (1L, false, Some(0.1)))
+      .toDF("g", "y", "s")
+    val out = Evaluation.bestF1Threshold(df, Seq("g"), col("y"), "s")
+      .orderBy($"g")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 700000L, 2L, 1L, 0L, 800000L),
+      (1L, 100000L, 0L, 2L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Evaluation.bestF1Threshold(df, Seq.empty, col("y"), "s")
+    }
+  }
+
   test("cohensKappa: textbook 2x2 matrix gives 0.4 exactly; perfect " +
       "disagreement gives -1; constant raters are undefined; NULL " +
       "ratings drop") {
