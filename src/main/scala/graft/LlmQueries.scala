@@ -107,6 +107,21 @@ object LlmQueries {
         "lang", "guess")
     }),
 
+    // -- [EXT]: Krippendorff's alpha over a 3-rater panel with missing
+    //    data (stored lang, the lang-ID heuristic, and a spot-check
+    //    rater covering only even docs) — the multi-rater agreement
+    //    readout beside q_kappa
+    "q_kripp_alpha" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val r1 = docs.select(col("doc_id"), col("lang").as("v"))
+      val r2 = docs.select(col("doc_id"),
+        TextOps.languageId(col("text")).as("v"))
+      val r3 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang").as("v"))
+      graft.analytics.Evaluation.krippendorffAlpha(
+        r1.unionByName(r2).unionByName(r3), "doc_id", "v")
+    }),
+
     // -- A5 [EXT]: exact dedup on md5(normalized text), min doc_id wins
     "q_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
@@ -1282,6 +1297,46 @@ object LlmQueries {
     // q_lang_id oracle already replays: po/pe cleared to
     // (n·agree − Σ aᶜbᶜ)·10⁶ // (n² − Σ aᶜbᶜ), the spelled-out
     // negative floor (kappa < 0 = below-chance agreement)
+    // same rational clearing as the engine: group units by m, lcm of
+    // (m−1) via list_reduce, HUGEINT throughout, spelled-out negative
+    // floor on the final micro division
+    "q_kripp_alpha" ->
+      s"""WITH g AS MATERIALIZED ($langGuessSql),
+         |r AS (SELECT doc_id AS u, lang AS v FROM g
+         |      UNION ALL SELECT doc_id, guess FROM g
+         |      UNION ALL SELECT doc_id, lang FROM g WHERE doc_id % 2 = 0),
+         |uv AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) AS c FROM r GROUP BY u, v),
+         |per AS MATERIALIZED (
+         |  SELECT u, SUM(c) AS m, SUM(c * c) AS sq FROM uv GROUP BY u
+         |  HAVING SUM(c) >= 2),
+         |sm AS MATERIALIZED (
+         |  SELECT m, SUM(m * m - sq) AS s, COUNT(*) AS nu
+         |  FROM per GROUP BY m),
+         |l AS (SELECT list_reduce(list(m - 1), (a, b) -> lcm(a, b)) AS lc
+         |      FROM sm),
+         |tot AS (SELECT SUM(m * nu) AS n, SUM(nu) AS n_units FROM sm),
+         |nc AS (SELECT v, SUM(c) AS cnt
+         |       FROM uv JOIN per USING (u) GROUP BY v),
+         |de AS (SELECT SUM(CAST(cnt AS HUGEINT) * cnt) AS sq2 FROM nc),
+         |don AS (SELECT SUM(s * ((SELECT lc FROM l) // (m - 1))) AS dn
+         |        FROM sm),
+         |f AS (SELECT tot.n, tot.n_units,
+         |        (SELECT lc FROM l)
+         |          * (CAST(tot.n AS HUGEINT) * tot.n
+         |             - (SELECT sq2 FROM de)) AS den,
+         |        (CAST(tot.n AS HUGEINT) - 1) * (SELECT dn FROM don) AS num
+         |      FROM tot)
+         |SELECT CAST(n_units AS BIGINT) AS n_units,
+         |  CAST(n AS BIGINT) AS n_ratings,
+         |  CASE WHEN den > 0 THEN
+         |    CAST(CASE WHEN ((den - num) * 1000000) % den <> 0
+         |        AND (den - num) < 0
+         |      THEN ((den - num) * 1000000) // den - 1
+         |      ELSE ((den - num) * 1000000) // den END AS BIGINT)
+         |  END AS alpha_x1e6
+         |FROM f""".stripMargin,
+
     "q_kappa" ->
       s"""WITH g AS ($langGuessSql),
          |cm AS (SELECT lang AS a, guess AS b, COUNT(*) AS c

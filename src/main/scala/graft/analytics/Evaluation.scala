@@ -321,6 +321,68 @@ object Evaluation {
         col("_b._f1").as("f1_x1e6")): _*)
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) — the multi-rater,
+    * missing-data-tolerant completion of [[cohensKappa]]: agreement over
+    * long-format ratings (unit, value) where units may carry any number
+    * of ratings; units with fewer than 2 drop (unpairable).
+    * α = 1 − D_o/D_e with
+    * `D_o·n = Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)` and
+    * `D_e = (n² − Σ_c n_c²)/(n(n−1))`.
+    *
+    * Exactness: the per-unit fractions share the BOUNDED denominator set
+    * {m−1 : m = ratings per unit}, so grouping units by m turns D_o·n
+    * into a ≤max-raters-term rational sum — cleared by the lcm L of the
+    * denominators, everything is BigInt integer arithmetic and
+    * `alpha_x1e6 = ⌊(den − num)·10⁶ / den⌋` (floor, not truncate:
+    * α < 0 = systematic disagreement) replays exactly (the oracle
+    * mirrors the same clearing with HUGEINT + `lcm` `list_reduce`).
+    * NULL when D_e = 0 (all ratings one category) or nothing pairable.
+    *
+    * Shape: two hash aggregates — (unit, value) counts, then per-unit
+    * m/Σn² — reduced to a ≤max-raters-row S_m table and a
+    * category-bounded totals table; the final rational lands on the
+    * driver (the kappa posture). Returns one row:
+    * (`n_units`, `n_ratings`, `alpha_x1e6`). */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+      valueCol: String): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val uv = ratings
+      .filter(col(s"`$unitCol`").isNotNull && col(s"`$valueCol`").isNotNull)
+      .groupBy(col(s"`$unitCol`").as("_u"),
+        col(s"`$valueCol`").cast("string").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val per = uv.groupBy(col("_u"))
+      .agg(sum(col("_c")).as("_m"), sum(col("_c") * col("_c")).as("_sq"))
+      .filter(col("_m") >= 2L)
+    val sm = per.groupBy(col("_m"))
+      .agg(sum(col("_m") * col("_m") - col("_sq")).as("_s"),
+        count(lit(1)).as("_nu"))
+      .as[(Long, Long, Long)].collect()
+    val nc = uv.join(per.select(col("_u")), Seq("_u"), "left_semi")
+      .groupBy(col("_v")).agg(sum(col("_c")).as("_cnt"))
+      .as[(String, Long)].collect()
+    val nUnits = sm.iterator.map(_._3).sum
+    val n = BigInt(sm.iterator.map(r => r._1 * r._3).sum)
+    val alpha: Option[Long] =
+      if (n < 2) None
+      else {
+        val l = sm.iterator.map(r => BigInt(r._1 - 1))
+          .reduce((a, b) => a * b / a.gcd(b))
+        val doN = sm.iterator.map(r => BigInt(r._2) * (l / (r._1 - 1))).sum
+        val d2 = n * n - nc.iterator.map(r => BigInt(r._2).pow(2)).sum
+        val den = l * d2
+        if (den <= 0) None
+        else {
+          val num2 = (den - (n - 1) * doN) * 1000000
+          val q = num2 / den
+          Some((if (num2 % den != 0 && num2 < 0) q - 1 else q).toLong)
+        }
+      }
+    Seq((nUnits, n.toLong, alpha))
+      .toDF("n_units", "n_ratings", "alpha_x1e6")
+  }
+
   /** COHEN'S KAPPA — chance-corrected inter-rater agreement between two
     * categorical raters (label-QA for annotation pipelines: human vs
     * model labels, two annotators, heuristic vs stored metadata).

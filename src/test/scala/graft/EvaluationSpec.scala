@@ -269,6 +269,32 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("krippendorffAlpha: hand-solved agreement/disagreement panels, " +
+      "missing-data unit mix, unpairable units drop, degenerate NULL") {
+    def alpha(rows: Seq[(Long, String)]): (Long, Long, Option[Long]) =
+      Evaluation.krippendorffAlpha(rows.toDF("u", "v"), "u", "v")
+        .as[(Long, Long, Option[Long])].head()
+    // two agreeing pairs -> alpha 1
+    assert(alpha(Seq(1L -> "a", 1L -> "a", 2L -> "b", 2L -> "b")) ==
+      ((2L, 4L, Some(1000000L))))
+    // balanced perfect disagreement -> alpha = -1/2 (negative floor)
+    assert(alpha(Seq(1L -> "a", 1L -> "b", 2L -> "a", 2L -> "b")) ==
+      ((2L, 4L, Some(-500000L))))
+    // one agree + one disagree: Do matches De exactly -> alpha 0
+    assert(alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "b")) ==
+      ((2L, 4L, Some(0L))))
+    // mixed m (3-rater unit + pair), a singleton unit drops:
+    // S3=0, S2=2, L=2, DoN=4; n=5, sum nc^2=17 -> den=2*8=16,
+    // num=4*4=16 -> alpha 0
+    assert(alpha(Seq(1L -> "a", 1L -> "a", 1L -> "a",
+      2L -> "a", 2L -> "b", 3L -> "a")) == ((2L, 5L, Some(0L))))
+    // all ratings one category: De = 0 -> undefined
+    assert(alpha(Seq(1L -> "a", 1L -> "a", 2L -> "a", 2L -> "a")) ==
+      ((2L, 4L, None)))
+    // nothing pairable
+    assert(alpha(Seq(1L -> "a", 2L -> "b")) == ((0L, 0L, None)))
+  }
+
   test("cohensKappa: textbook 2x2 matrix gives 0.4 exactly; perfect " +
       "disagreement gives -1; constant raters are undefined; NULL " +
       "ratings drop") {
