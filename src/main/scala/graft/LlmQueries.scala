@@ -277,6 +277,15 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // -- [EXT]: simplified (centroid) silhouette of the same k-means
+    //    run — O(n·k) cluster-quality readout; b = nearest-other-
+    //    centroid distance = the second-best d² under the identical
+    //    assignment tie order
+    "q_silhouette" -> ((s, dir) => {
+      Clustering.silhouette(t(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy(col("cluster"))
+    }),
+
     // -- [EXT]: unit-L2 normalization (cosine = dot over unit vectors).
     //    Exploded to (vec_id, pos, u) rows so the doubles compare
     //    NUMERICALLY — double→string formatting is not engine-portable
@@ -2024,6 +2033,8 @@ object LlmQueries {
 
     "q_kmeans" -> kmeansOracle(4, 2),
 
+    "q_silhouette" -> silhouetteOracle(4, 2),
+
     // the greedy selection replayed through a recursive CTE carrying
     // the selected set; cosines are the same double chain as
     // cosineTopkSql, floored to micros, then the scoring/argmax is
@@ -2758,6 +2769,38 @@ object LlmQueries {
        |SELECT vec_id, cid AS cluster,
        |  CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2_x1e6
        |FROM a${iters + 1} WHERE rn = 1 ORDER BY vec_id""".stripMargin
+  }
+
+  /** The same trained trajectory as [[kmeansOracle]], read at rn ≤ 2:
+    * a² = best d², b² = second-best (the nearest OTHER centroid under
+    * the identical tie order); s = (√b² − √a²)/max — with the
+    * greatest(d², 0) clamp both engines apply before sqrt — floored to
+    * micros per vector, then an exact negative-safe floor mean per
+    * cluster. */
+  private def silhouetteOracle(k: Int, iters: Int): String = {
+    val base = kmeansOracle(k, iters)
+    val cut = base.lastIndexOf("SELECT vec_id, cid AS cluster")
+    require(cut > 0, "kmeansOracle shape changed; update silhouetteOracle")
+    base.take(cut).stripLineEnd + ",\n" +
+      s"""sel AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN rn = 1 THEN cid END) AS cluster,
+         |    sqrt(greatest(MAX(CASE WHEN rn = 1 THEN d2 END), 0)) AS a,
+         |    sqrt(greatest(MAX(CASE WHEN rn = 2 THEN d2 END), 0)) AS b
+         |  FROM a${iters + 1} WHERE rn <= 2 GROUP BY vec_id),
+         |s AS (
+         |  SELECT cluster,
+         |    CASE WHEN greatest(a, b) = 0 THEN 0
+         |      ELSE CAST(floor((b - a) / greatest(a, b) * 1000000.0)
+         |        AS BIGINT) END AS sm
+         |  FROM sel),
+         |m AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+         |        SUM(sm) AS ss FROM s GROUP BY cluster)
+         |SELECT cluster, n,
+         |  CAST(CASE WHEN ss % n <> 0 AND ss < 0
+         |    THEN ss // n - 1 ELSE ss // n END AS BIGINT)
+         |    AS mean_sil_x1e6
+         |FROM m ORDER BY cluster""".stripMargin
   }
 
   private lazy val cosineTopkSql: String =

@@ -115,12 +115,13 @@ object Clustering {
     (best, bestD)
   }
 
-  /** `iters` Lloyd rounds from the deterministic smallest-`k`-ids init,
-    * then the final assignment under the updated centroids. Returns
-    * (`idCol`, `cluster`, `d2_x1e6`): the 0-based centroid id (ranked by
-    * init vector id) and the floored-micro squared distance. */
-  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The shared Lloyd loop: `iters` assign-update rounds from the
+    * deterministic smallest-`k`-ids init. Returns (typed input dataset,
+    * final micro-integer centroids). */
+  private def train(vecs: DataFrame, k: Int, iters: Int, idCol: String,
+      vecCol: String)
+      : (org.apache.spark.sql.Dataset[(Long, Array[Float])],
+         Array[Array[Long]]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = vecs.sparkSession
@@ -152,6 +153,18 @@ object Clustering {
       bc.destroy()
       it += 1
     }
+    (data, cents)
+  }
+
+  /** `iters` Lloyd rounds from the deterministic smallest-`k`-ids init,
+    * then the final assignment under the updated centroids. Returns
+    * (`idCol`, `cluster`, `d2_x1e6`): the 0-based centroid id (ranked by
+    * init vector id) and the floored-micro squared distance. */
+  def kmeansAssign(vecs: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val (data, cents) = train(vecs, k, iters, idCol, vecCol)
     val bcF = spark.sparkContext.broadcast(cents)
     data.mapPartitions { rows =>
       val (cd, g) = centroidDoubles(bcF.value)
@@ -160,5 +173,66 @@ object Clustering {
         (id, cid, math.floor(d2 * 1000000.0).toLong)
       }
     }.toDF(idCol, "cluster", "d2_x1e6")
+  }
+
+  /** SIMPLIFIED SILHOUETTE per cluster — the O(n·k) cluster-quality
+    * readout (Hruschka et al.'s centroid form of Rousseeuw's
+    * silhouette: `a` = distance to the OWN centroid, `b` = distance to
+    * the nearest OTHER centroid; the O(n²) pairwise form cannot exist
+    * at corpus scale). `s = (b − a)/max(a, b)` in [−1, 1]; s = 0 when
+    * both distances are 0 (the duplicate-centroid convention).
+    *
+    * Exactness: runs the same [[kmeansAssign]] training trajectory;
+    * a/b are `sqrt` (correctly-rounded IEEE) of the best and
+    * SECOND-BEST d² under the assignment ordering (d² asc, cid asc) —
+    * exactly rows 1 and 2 of the oracle's ranked cross join — and the
+    * per-cluster mean is a floor division of summed floored micros.
+    *
+    * Shape: one pass (k·dim work per row against broadcast centroids) +
+    * one k-row hash aggregate. Returns one row per cluster:
+    * (`cluster`, `n`, `mean_sil_x1e6`). */
+  def silhouette(vecs: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val (data, cents) = train(vecs, k, iters, idCol, vecCol)
+    val bcF = spark.sparkContext.broadcast(cents)
+    data.mapPartitions { rows =>
+      val (cd, g) = centroidDoubles(bcF.value)
+      rows.map { case (_, x) =>
+        // best + second-best d² with the (d² asc, cid asc) tie order
+        var xx = 0.0
+        var t = 0
+        while (t < x.length) {
+          val v = x(t).toDouble; xx += v * v; t += 1
+        }
+        var best = -1; var bestD = Double.MaxValue
+        var secD = Double.MaxValue
+        var cid = 0
+        while (cid < cd.length) {
+          val c = cd(cid)
+          var b = 0.0
+          t = 0
+          while (t < c.length) { b += x(t).toDouble * c(t); t += 1 }
+          val d2 = xx - 2 * b + g(cid)
+          if (d2 < bestD) { secD = bestD; best = cid; bestD = d2 }
+          else if (d2 < secD) secD = d2
+          cid += 1
+        }
+        // d² can dip a few ulps below 0 when x ≈ centroid — clamp
+        // before sqrt (NaN otherwise), same greatest(d2, 0) as the
+        // oracle
+        val a = math.sqrt(math.max(bestD, 0.0))
+        val b = math.sqrt(math.max(secD, 0.0))
+        val den = math.max(a, b)
+        val s = if (den == 0.0) 0.0 else (b - a) / den
+        (best, math.floor(s * 1000000.0).toLong)
+      }
+    }.toDF("cluster", "_s")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("_s")).as("_ss"))
+      .select(col("cluster"), col("n"),
+        graft.ops.Fixed.ldiv(col("_ss"), col("n")).as("mean_sil_x1e6"))
   }
 }

@@ -1315,6 +1315,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("silhouette: exact power-of-two fixture — the far cluster " +
+      "scores 1/2, the tight cluster 1, duplicate centroids give the " +
+      "s=0 convention") {
+    // ids 1,2 at 0 and ids 3,4 at 8; k=2 inits BOTH centroids at [0]
+    // (the two smallest ids are equal). Round 1 assigns everything to
+    // c0 (ties -> smaller cid), so c0 moves to the global mean 4 and
+    // c1 keeps [0]. Final: the zeros sit ON c1 (a=0, b=4 -> s=1); the
+    // eights take c0 (a=4, b=8 -> s=1/2). All distances are powers of
+    // two — every double is exact.
+    val vecs = Seq((1L, Array(0f)), (2L, Array(0f)),
+      (3L, Array(8f)), (4L, Array(8f))).toDF("vec_id", "embedding")
+    val out = Clustering.silhouette(vecs, k = 2, iters = 1)
+      .orderBy($"cluster")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 2L, 500000L), (1, 2L, 1000000L)))
+    // both centroids identical and a = b = 0: the s = 0 convention
+    val dup = Seq((1L, Array(0f)), (2L, Array(0f)))
+      .toDF("vec_id", "embedding")
+    assert(Clustering.silhouette(dup, k = 2, iters = 0)
+      .as[(Int, Long, Long)].collect().toSeq == Seq((0, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Clustering.silhouette(dup, k = 1, iters = 1)
+    }
+  }
+
   test("mmrRerank: hand-traced greedy — relevance picks first, the " +
       "redundancy term then flips the second pick as lambda drops, " +
       "ties break to the smaller id") {
