@@ -373,6 +373,40 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- J6c [EXT]: FORWARD as-of join (pandas merge_asof
+    //    direction='forward') — each order's user's first event AT or
+    //    AFTER the order instant; right-row ties take the smallest id
+    "q_asof_forward" -> ((s, dir) => {
+      val left = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"))
+      val right = events(s, dir)
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("m_eid"), col("value").as("m_value"))
+      AsOfJoin(left, right, key = "user_id",
+        leftTime = "o_us", rightTime = "ts_us",
+        payload = Seq("m_eid", "m_value"), rightOrderCol = "m_eid",
+        direction = "forward")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // -- J6d [EXT]: NEAREST as-of join — odd events match their user's
+    //    closest even event in absolute time; equal distance takes the
+    //    backward match (both windows share one hash exchange)
+    "q_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val left = ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val right = ev.filter(col("event_id") % 2 === 0)
+        .select(col("user_id"), col("ts_us").as("r_us"),
+          col("event_id").as("m_eid"), col("value").as("m_value"))
+      AsOfJoin(left, right, key = "user_id",
+        leftTime = "ts_us", rightTime = "r_us",
+        payload = Seq("m_eid", "m_value"), rightOrderCol = "m_eid",
+        direction = "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     // -- W2 [EXT]: ranking family. rank/dense_rank rank over a TIED key
     //    (values deterministic even though intra-tie row order is not);
     //    ntile gets a unique order so bucket assignment is deterministic.
@@ -4953,6 +4987,73 @@ object RelQueries {
         |    THEN m_orderkey END AS asof_o_orderkey,
         |  CASE WHEN m_t IS NOT NULL AND t - m_t <= 725760000000000
         |    THEN m_totalprice END AS asof_o_totalprice
+        |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin,
+
+    // the mirror window: first right at-or-after, left sorts before
+    // tied right rows (is_left DESC), smallest right id wins ties
+    "q_asof_forward" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS t,
+        |    1 AS is_left, o_orderkey,
+        |    NULL::BIGINT AS m_eid, NULL::DOUBLE AS m_value
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, event_id, value
+        |  FROM events),
+        |w AS (SELECT *,
+        |    first_value(CASE WHEN is_left = 0 THEN m_eid END IGNORE NULLS)
+        |      OVER win AS a_eid,
+        |    first_value(CASE WHEN is_left = 0 THEN m_value END IGNORE NULLS)
+        |      OVER win AS a_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id
+        |    ORDER BY t ASC, is_left DESC, m_eid ASC NULLS LAST
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT o_orderkey, user_id, t AS o_us,
+        |  a_eid AS asof_m_eid, a_value AS asof_m_value
+        |FROM w WHERE is_left = 1 ORDER BY o_orderkey""".stripMargin,
+
+    // both directional carries (each with the matched row's own time),
+    // then the closest-in-absolute-time pick; equal distance takes the
+    // backward match
+    "q_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, ts_us AS t, 1 AS is_left, event_id,
+        |    NULL::BIGINT AS m_eid, NULL::DOUBLE AS m_value
+        |  FROM e WHERE event_id % 2 = 1
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, NULL, event_id, value
+        |  FROM e WHERE event_id % 2 = 0),
+        |w AS (SELECT *,
+        |    last_value(CASE WHEN is_left = 0 THEN m_eid END IGNORE NULLS)
+        |      OVER wb AS b_eid,
+        |    last_value(CASE WHEN is_left = 0 THEN m_value END IGNORE NULLS)
+        |      OVER wb AS b_val,
+        |    last_value(CASE WHEN is_left = 0 THEN t END IGNORE NULLS)
+        |      OVER wb AS b_t,
+        |    first_value(CASE WHEN is_left = 0 THEN m_eid END IGNORE NULLS)
+        |      OVER wf AS f_eid,
+        |    first_value(CASE WHEN is_left = 0 THEN m_value END IGNORE NULLS)
+        |      OVER wf AS f_val,
+        |    first_value(CASE WHEN is_left = 0 THEN t END IGNORE NULLS)
+        |      OVER wf AS f_t
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id
+        |      ORDER BY t ASC, is_left ASC, m_eid ASC NULLS FIRST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id
+        |      ORDER BY t ASC, is_left DESC, m_eid ASC NULLS LAST
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, t AS ts_us,
+        |  CASE WHEN b_t IS NULL THEN f_eid WHEN f_t IS NULL THEN b_eid
+        |       WHEN t - b_t <= f_t - t THEN b_eid ELSE f_eid END
+        |    AS asof_m_eid,
+        |  CASE WHEN b_t IS NULL THEN f_val WHEN f_t IS NULL THEN b_val
+        |       WHEN t - b_t <= f_t - t THEN b_val ELSE f_val END
+        |    AS asof_m_value
         |FROM w WHERE is_left = 1 ORDER BY event_id""".stripMargin
   )
 }

@@ -25,17 +25,30 @@ import org.apache.spark.sql.expressions.Window
   * resolve to the greatest `rightOrderCol`.
   */
 object AsOfJoin {
-  /** `tolerance`: when set, a match older than this (in the time columns'
-    * own unit — left − right > tolerance) is dropped and the payload
-    * comes back NULL, the pandas `merge_asof(tolerance=...)` / kdb `wj`
-    * bound. The matched right row's time rides inside the carried struct,
-    * so the whole payload nulls ATOMICALLY — no stitched half-rows. */
+  /** `tolerance`: when set, a match farther than this (in the time
+    * columns' own unit) is dropped and the payload comes back NULL, the
+    * pandas `merge_asof(tolerance=...)` / kdb `wj` bound. The matched
+    * right row's time rides inside the carried struct, so the whole
+    * payload nulls ATOMICALLY — no stitched half-rows.
+    *
+    * `direction` (the pandas `merge_asof` trio):
+    *  - `"backward"` (default): latest right row with time ≤ left time;
+    *    right-row ties resolve to the GREATEST `rightOrderCol`.
+    *  - `"forward"`: earliest right row with time ≥ left time; ties
+    *    resolve to the SMALLEST `rightOrderCol` (the mirror).
+    *  - `"nearest"`: whichever of the two is closer in absolute time;
+    *    equal distance takes the backward match. Costs a second
+    *    in-partition sort (opposite tie order), NOT a second shuffle —
+    *    both windows hash on the same key. */
   def apply(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       payload: Seq[String], rightOrderCol: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(tolerance.forall(_ > 0),
       s"tolerance must be positive when set, got $tolerance")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"as-of payload columns collide with left columns: " +
@@ -61,9 +74,17 @@ object AsOfJoin {
       .map(col).toIndexedSeq: _*)
       .unionByName(r.select((leftCols ++ payload ++ Seq(t, isLeft))
         .map(col).toIndexedSeq: _*))
-    val w = Window.partitionBy(col(key))
+    // backward: last right at-or-before (ties: right sorts BEFORE the
+    // left row, so ≤ matches are visible; right-row ties land on the
+    // greatest order col). forward: the mirror — first right at-or-after
+    // over (current row, unbounded following), with the left row sorting
+    // BEFORE tied right rows so ≥ matches are visible.
+    val wB = Window.partitionBy(col(key))
       .orderBy(col(t).asc, col(isLeft).asc, col(rightOrderCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col(t).asc, col(isLeft).desc, col(rightOrderCol).asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // carry the payload as ONE struct per right row, not per-column
     // last(ignoreNulls): independent per-column carries would resurrect a
     // stale non-null value where the current right version has a NULL
@@ -74,17 +95,36 @@ object AsOfJoin {
     // tolerance gate (and any audit) sees it atomically with the payload
     val tFld = Iterator.iterate("_t")(_ + "_")
       .dropWhile(payload.contains).next()
-    val carried = unioned.withColumn(ps,
-      last(when(col(isLeft) === 0,
-        struct(payload.map(col) :+ col(t).as(tFld): _*)),
-        ignoreNulls = true).over(w))
-    val gated = tolerance match {
-      case Some(tol) => carried.withColumn(ps,
-        when(col(s"$ps.$tFld").isNotNull &&
-          col(t) - col(s"$ps.$tFld") <= tol, col(ps)))
-      case None => carried
+    val rowStruct = when(col(isLeft) === 0,
+      struct(payload.map(col) :+ col(t).as(tFld): _*))
+    def gate(c: Column, dist: Column => Column): Column =
+      tolerance match {
+        case Some(tol) => when(c(tFld).isNotNull && dist(c(tFld)) <= tol, c)
+        case None => c
+      }
+    val psF = fresh("_asof_payload_f")
+    val withDirs = direction match {
+      case "backward" => unioned.withColumn(ps,
+        gate(last(rowStruct, ignoreNulls = true).over(wB),
+          mt => col(t) - mt))
+      case "forward" => unioned.withColumn(ps,
+        gate(first(rowStruct, ignoreNulls = true).over(wF),
+          mt => mt - col(t)))
+      case "nearest" =>
+        val b = gate(last(rowStruct, ignoreNulls = true).over(wB),
+          mt => col(t) - mt)
+        val f = gate(first(rowStruct, ignoreNulls = true).over(wF),
+          mt => mt - col(t))
+        unioned.withColumn(ps, b).withColumn(psF, f)
+          .withColumn(ps,
+            when(col(ps).isNull, col(psF))
+              .when(col(psF).isNull, col(ps))
+              // equal distance takes the backward match
+              .when(col(t) - col(s"$ps.$tFld") <=
+                col(s"$psF.$tFld") - col(t), col(ps))
+              .otherwise(col(psF)))
     }
-    gated.filter(col(isLeft) === 1)
+    withDirs.filter(col(isLeft) === 1)
       .select((leftCols.map(col) ++
         payload.map(p => col(s"$ps.$p").as(s"asof_$p"))).toIndexedSeq: _*)
   }

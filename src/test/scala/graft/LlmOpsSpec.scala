@@ -968,6 +968,38 @@ class LlmOpsSpec extends AnyFunSuite {
       "rt", Seq("price"), "price", tolerance = Some(0L)))
   }
 
+  test("AsOfJoin directions: forward takes the first at-or-after with " +
+      "smallest-id ties, nearest picks the closer side and breaks " +
+      "equal distance backward, tolerance gates per direction") {
+    val right = Seq((7L, 5L, 1L, "a"), (7L, 15L, 2L, "b"))
+      .toDF("k", "rt", "rid", "tag")
+    def run(leftT: Long, dir: String, tol: Option[Long] = None) =
+      AsOfJoin(Seq((1L, 7L, leftT)).toDF("eid", "k", "t"),
+        right, "k", "t", "rt", payload = Seq("rid", "tag"),
+        rightOrderCol = "rid", tolerance = tol, direction = dir)
+        .select($"asof_tag").as[Option[String]].head()
+    // t=12: backward a (d 7), forward b (d 3), nearest -> forward
+    assert(run(12L, "backward").contains("a"))
+    assert(run(12L, "forward").contains("b"))
+    assert(run(12L, "nearest").contains("b"))
+    // t=10: equidistant (5 both sides) -> backward wins the tie
+    assert(run(10L, "nearest").contains("a"))
+    // t=20: no forward match; nearest falls back to backward
+    assert(run(20L, "forward").isEmpty)
+    assert(run(20L, "nearest").contains("b"))
+    // forward tolerance: d 3 passes a bound of 4, d 5 does not
+    assert(run(12L, "forward", Some(4L)).contains("b"))
+    assert(run(10L, "forward", Some(4L)).isEmpty)
+    // inclusive ≥ semantics + tie among right rows: smallest rid wins
+    val tied = Seq((7L, 15L, 9L, "z")).toDF("k", "rt", "rid", "tag")
+      .unionByName(right)
+    assert(AsOfJoin(Seq((1L, 7L, 15L)).toDF("eid", "k", "t"),
+      tied, "k", "t", "rt", Seq("rid", "tag"), "rid",
+      direction = "forward")
+      .select($"asof_rid").as[Option[Long]].head().contains(2L))
+    assertThrows[IllegalArgumentException](run(10L, "sideways"))
+  }
+
   test("Dedup/exactDedup: user columns named _row_num/_fp_rn survive") {
     val df = Seq((1L, "a", 99), (1L, "b", 98)).toDF("id", "text", "_row_num")
     val kept = graft.ops.Dedup(df, Seq("id"), Seq($"text".asc)).collect()(0)

@@ -17,6 +17,18 @@ class PlanSpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_asof_nearest: both directional window carries share ONE key " +
+      "hash exchange (opposite tie orders cost a sort, never a shuffle)") {
+    val p = plan("q_asof_nearest")
+    // 1 hash exchange for the union+window; the orderBy adds range
+    // exchanges only
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one key hash exchange:\n$p")
+    assert("Window ".r.findAllIn(p).length >= 2)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"nearest as-of must not plan a join:\n$p")
+  }
+
   test("q1_agg: shipdate filter pushes to the scan; schema pruned to 6 cols") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
