@@ -277,6 +277,15 @@ object LlmQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // -- [EXT]: cluster exemplars — the 5 vectors closest to each final
+    //    centroid (centroid-proximal sampling; ranked on the FLOORED
+    //    micro distance so the order key is integer on both engines)
+    "q_cluster_sample" -> ((s, dir) => {
+      Clustering.exemplars(t(s, dir, "embeddings"), k = 4, iters = 2,
+          m = 5)
+        .orderBy(col("cluster"), col("rank"))
+    }),
+
     // -- [EXT]: simplified (centroid) silhouette of the same k-means
     //    run — O(n·k) cluster-quality readout; b = nearest-other-
     //    centroid distance = the second-best d² under the identical
@@ -2035,6 +2044,8 @@ object LlmQueries {
 
     "q_silhouette" -> silhouetteOracle(4, 2),
 
+    "q_cluster_sample" -> exemplarsOracle(4, 2, 5),
+
     // the greedy selection replayed through a recursive CTE carrying
     // the selected set; cosines are the same double chain as
     // cosineTopkSql, floored to micros, then the scoring/argmax is
@@ -2801,6 +2812,27 @@ object LlmQueries {
          |    THEN ss // n - 1 ELSE ss // n END AS BIGINT)
          |    AS mean_sil_x1e6
          |FROM m ORDER BY cluster""".stripMargin
+  }
+
+  /** The trained trajectory again, ranked per cluster on the FLOORED
+    * micro distance (integer — never a raw-double order key) with id
+    * ties, cut at `m`. */
+  private def exemplarsOracle(k: Int, iters: Int, m: Int): String = {
+    val base = kmeansOracle(k, iters)
+    val cut = base.lastIndexOf("SELECT vec_id, cid AS cluster")
+    require(cut > 0, "kmeansOracle shape changed; update exemplarsOracle")
+    base.take(cut).stripLineEnd + ",\n" +
+      s"""fin AS (
+         |  SELECT vec_id, cid,
+         |    CAST(floor(d2 * 1000000.0) AS BIGINT) AS d2m
+         |  FROM a${iters + 1} WHERE rn = 1),
+         |r AS (SELECT cid AS cluster, vec_id, d2m,
+         |        row_number() OVER (PARTITION BY cid
+         |          ORDER BY d2m ASC, vec_id ASC) AS rk
+         |      FROM fin)
+         |SELECT cluster, CAST(rk AS INTEGER) AS rank, vec_id,
+         |  d2m AS d2_x1e6
+         |FROM r WHERE rk <= $m ORDER BY cluster, rank""".stripMargin
   }
 
   private lazy val cosineTopkSql: String =

@@ -175,6 +175,29 @@ object Clustering {
     }.toDF(idCol, "cluster", "d2_x1e6")
   }
 
+  /** CLUSTER EXEMPLARS — centroid-proximal sampling: the `m` vectors
+    * closest to each final centroid (d² asc, id ties), the
+    * "most representative documents per topic" read that powers
+    * cluster inspection, balanced curation, and few-shot pool
+    * assembly. Rides [[kmeansAssign]]'s exact trajectory; the
+    * per-cluster rank is a WindowGroupLimit top-m (map-side pruned —
+    * k partitions never see more than partition-local m candidates
+    * before the merge). Returns (`cluster`, `rank`, `idCol`,
+    * `d2_x1e6`), rank 1..m. */
+  def exemplars(vecs: DataFrame, k: Int, iters: Int, m: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val assigned = kmeansAssign(vecs, k, iters, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("d2_x1e6").asc, col(s"`$idCol`").asc)
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= m)
+      .select(col("cluster"), col("rank"), col(s"`$idCol`"),
+        col("d2_x1e6"))
+  }
+
   /** SIMPLIFIED SILHOUETTE per cluster — the O(n·k) cluster-quality
     * readout (Hruschka et al.'s centroid form of Rousseeuw's
     * silhouette: `a` = distance to the OWN centroid, `b` = distance to

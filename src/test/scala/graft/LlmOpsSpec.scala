@@ -1347,6 +1347,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exemplars: rank = centroid proximity with id ties, cut at m") {
+    // the kmeansAssign fixture: final centroids 0 and 7.333333; d2 in
+    // cluster 0 is {id1: 0, id2: 1} and cluster 1 orders id3 < id4
+    val vecs = Seq((1L, Array(0f)), (2L, Array(1f)), (3L, Array(10f)),
+      (4L, Array(11f))).toDF("vec_id", "embedding")
+    val top2 = Clustering.exemplars(vecs, k = 2, iters = 1, m = 2)
+      .orderBy($"cluster", $"rank")
+      .select("cluster", "rank", "vec_id")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(top2 == Seq((0, 1, 1L), (0, 2, 2L), (1, 1, 3L), (1, 2, 4L)))
+    val top1 = Clustering.exemplars(vecs, k = 2, iters = 1, m = 1)
+      .select("cluster", "vec_id").as[(Int, Long)].collect().toSet
+    assert(top1 == Set((0, 1L), (1, 3L)))
+    intercept[IllegalArgumentException] {
+      Clustering.exemplars(vecs, k = 2, iters = 1, m = 0)
+    }
+  }
+
   test("silhouette: exact power-of-two fixture — the far cluster " +
       "scores 1/2, the tight cluster 1, duplicate centroids give the " +
       "s=0 convention") {
