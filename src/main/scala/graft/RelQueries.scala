@@ -1194,6 +1194,15 @@ object RelQueries {
         "event_type", "value")
     }),
 
+    // -- [EXT]: Brown–Forsythe (median-centered Levene) across event
+    //    types — the VARIANCE-homogeneity check q_anova's F leans on;
+    //    exact doubled-centi |x − median| deviations through the same
+    //    Int128 F decomposition
+    "q_levene" -> ((s, dir) => {
+      graft.analytics.Experiment.brownForsythe(t(s, dir, "events"),
+        "event_type", "value")
+    }),
+
     // -- [EXT]: Mann–Whitney U on per-user spend — the NONPARAMETRIC
     //    two-sample companion (rank shift, no normality assumption);
     //    exact micro-quantized ranks, tie-corrected z
@@ -2900,6 +2909,48 @@ object RelQueries {
         |         - n::DOUBLE)), 6)
         |  END AS h_stat
         |FROM a CROSS JOIN tt""".stripMargin,
+
+    // per-group median kept as the exact middle-pair sum (lo+hi), so
+    // deviations are the integers |2·vc − dm| (doubled centi units —
+    // F is scale-invariant); then q_anova's decomposition verbatim
+    "q_levene" ->
+      """WITH b AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(value * 100.0) AS BIGINT) AS vc
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value)),
+        |o AS (SELECT g, vc,
+        |        row_number() OVER (PARTITION BY g ORDER BY vc) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS ng
+        |      FROM b),
+        |m AS (SELECT g,
+        |        SUM(CASE WHEN rn = (ng + 1) // 2 THEN vc END)
+        |          + SUM(CASE WHEN rn = (ng + 2) // 2 THEN vc END) AS dm
+        |      FROM o GROUP BY 1),
+        |z AS (SELECT b.g, abs(2 * vc - dm) AS zc
+        |      FROM b JOIN m USING (g)),
+        |gr AS (SELECT g, count(*)::BIGINT AS ng,
+        |         SUM(CAST(zc AS HUGEINT)) AS sg,
+        |         SUM(CAST(zc AS HUGEINT) * zc) AS qg
+        |       FROM z GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k,
+        |        CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+        |        SUM(sg) AS s, SUM(qg) AS q,
+        |        SUM((sg * sg) // ng) AS tp
+        |      FROM gr),
+        |f AS (SELECT k, n,
+        |        CASE WHEN k >= 2 AND n > k
+        |          THEN CAST(tp - (s * s) // n AS BIGINT) END AS ssb_z2,
+        |        CASE WHEN k >= 2 AND n > k
+        |          THEN CAST(q - tp AS BIGINT) END AS ssw_z2
+        |      FROM t)
+        |SELECT k, n, ssb_z2, ssw_z2,
+        |  CASE WHEN ssw_z2 IS NOT NULL AND ssw_z2 > 0 THEN
+        |    round((ssb_z2::DOUBLE / (k - 1)::DOUBLE)
+        |      / (ssw_z2::DOUBLE / (n - k)::DOUBLE), 6)
+        |  END AS w_stat
+        |FROM f""".stripMargin,
 
     // per-user spend quantized to micros (the same unit frame as
     // q_welch_ttest), distinct-value table with tie counts, average

@@ -402,10 +402,17 @@ object Experiment {
   def anovaF(df: DataFrame, groupCol: String, valueCol: String)
       : DataFrame = {
     val v = col(s"`$valueCol`").cast("double")
-    val base = df.filter(v.isNotNull && !isnan(v) &&
+    anovaCore(df.filter(v.isNotNull && !isnan(v) &&
         abs(v) =!= lit(Double.PositiveInfinity))
       .select(col(s"`$groupCol`").as("_g"),
-        floor(v * lit(100.0)).as("_vc"))
+        floor(v * lit(100.0)).as("_vc")))
+  }
+
+  /** The exact F decomposition over an already-centi-quantized
+    * (`_g`, `_vc`) frame — shared by [[anovaF]] and [[brownForsythe]]
+    * (re-deriving centi units from a double round-trip would slip on
+    * non-representable hundredths). */
+  private def anovaCore(base: DataFrame): DataFrame = {
     import graft.functions.Int128Sum.int128Sum
     val groups = base.groupBy(col("_g"))
       .agg(count(lit(1)).as("_ng"),
@@ -429,6 +436,71 @@ object Experiment {
         when(col("ssw_c2").isNotNull && col("ssw_c2") > 0L,
           round((d(col("ssb_c2")) / d(col("k") - lit(1L)))
             / (d(col("ssw_c2")) / d(col("n") - col("k"))), 6)))
+  }
+
+  /** BROWN–FORSYTHE (median-centered Levene) test W — the
+    * VARIANCE-homogeneity member of the k-sample family ([[anovaF]]
+    * asks whether any group MEAN differs; this asks whether any group
+    * SPREAD differs — the equal-variance assumption anovaF itself
+    * leans on): W = the one-way ANOVA F computed on the absolute
+    * deviations z = |x − median_g| (median centering — Brown &
+    * Forsythe 1974's robust form; mean centering is classic Levene).
+    * ONE output row: (`k`, `n`, `ssb_z2`, `ssw_z2`, `w_stat`) — the
+    * deviation sums of squares in exact DOUBLED-CENTI² units (see
+    * below), W rounded at 6, NULL under [[anovaF]]'s degenerate
+    * conditions (k < 2, n ≤ k, or all deviations equal within groups).
+    *
+    * Exactness: values quantize to centi fixed point; the per-group
+    * median keeps the even-count middle PAIR as an exact sum (lo+hi,
+    * = 2·mid when n is odd), so each deviation enters as the integer
+    * |2·x_c − (lo+hi)| — doubled centi units, no half-unit doubles
+    * anywhere. Doubling scales SSB and SSW by the same factor 4, so W
+    * is untouched and the whole decomposition rides [[anovaCore]]'s
+    * exact Int128 path.
+    *
+    * Shape: per-(group, value) distinct table + ONE
+    * [[graft.ops.PrefixSum]] range exchange ordered (group, value) —
+    * per-group cumulative counts are the global running count minus a
+    * k-row exclusive group offset, so the median scan never funnels a
+    * data-sized column through one task (a continuous column's
+    * distinct table is ~row count — the [[graft.analytics.Profiler]]
+    * KS-test posture) — then a k-row broadcast join back and the
+    * shared F aggregate. */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String)
+      : DataFrame = {
+    val v = col(s"`$valueCol`").cast("double")
+    val base = df.filter(v.isNotNull && !isnan(v) &&
+        abs(v) =!= lit(Double.PositiveInfinity))
+      .select(col(s"`$groupCol`").as("_g"),
+        floor(v * lit(100.0)).as("_vc"))
+      .localCheckpoint(false) // feeds the value table AND the join
+    val vals = base.groupBy(col("_g"), col("_vc"))
+      .agg(count(lit(1)).as("_t"))
+    val cum = graft.ops.PrefixSum.runningSums(vals,
+      Seq(col("_g").asc, col("_vc").asc), Seq("_t" -> "_ft"))
+    // k-row exclusive offsets: rows of groups strictly before g in the
+    // SAME (g, value) total order (group-count-sized window, like the
+    // step/bucket grids elsewhere)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_g").asc)
+    val offs = vals.groupBy(col("_g")).agg(sum(col("_t")).as("_ng"))
+      .withColumn("_off",
+        coalesce(sum(col("_ng")).over(wOff) - col("_ng"), lit(0L)))
+    // rank r lives at the first value whose in-group cumulative ≥ r;
+    // lower/upper middle ranks (n+1)/2 and (n+2)/2 coincide when n odd
+    val cg = col("_ft") - col("_off")
+    val meds = cum.join(broadcast(offs), Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(min(when(cg >= graft.ops.Fixed.ldiv(
+          col("_ng") + lit(1L), lit(2L)), col("_vc"))).as("_lo"),
+        min(when(cg >= graft.ops.Fixed.ldiv(
+          col("_ng") + lit(2L), lit(2L)), col("_vc"))).as("_hi"))
+      .select(col("_g"), (col("_lo") + col("_hi")).as("_dm"))
+    anovaCore(base.join(broadcast(meds), Seq("_g"))
+      .select(col("_g"),
+        abs(lit(2L) * col("_vc") - col("_dm")).as("_vc")))
+      .withColumnsRenamed(Map("ssb_c2" -> "ssb_z2",
+        "ssw_c2" -> "ssw_z2", "f_stat" -> "w_stat"))
   }
 
   /** KRUSKAL–WALLIS H test — the NONPARAMETRIC k-sample twin of

@@ -501,6 +501,40 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(1) === 3L)
   }
 
+  test("brownForsythe: hand-computed W with even/odd median pairs, " +
+      "all-constant and single-group guards, NaN/Inf drop") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // A {1,2,3,10} (even n: middle pair 2,3 ⇒ dm = 500, the half-unit
+    // median), B {2,4,6} (odd: dm = 800), C {5,5} (dm = 1000).
+    // Doubled-centi deviations: A {300,100,100,1500}, B {400,0,400},
+    // C {0,0}. S_g = 2000/800/0, Q_g = 2360000/320000/0; T' =
+    // 1000000 + ⌊640000/3⌋ + 0 = 1213333; grand 2800²//9 = 871111 ⇒
+    // SSB 342222, SSW 1466667; W = (342222/2)/(1466667/6) = 0.699999.
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0),
+      ("c", 5.0), ("c", 5.0)).toDF("g", "v")
+    val r = Experiment.brownForsythe(df, "g", "v").head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 9L)))
+    assert(r.getLong(2) === 342222L && r.getLong(3) === 1466667L)
+    assert(r.getDouble(4) === 0.699999)
+    // every group constant: all deviations 0 ⇒ SSW = 0 ⇒ NULL W
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 9.0), ("b", 9.0))
+      .toDF("g", "v")
+    val rc = Experiment.brownForsythe(const, "g", "v").head
+    assert(rc.getLong(3) === 0L && rc.isNullAt(4))
+    // a single group has no between-group df
+    val solo = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val rs = Experiment.brownForsythe(solo, "g", "v").head
+    assert(rs.getLong(0) === 1L && rs.isNullAt(2) && rs.isNullAt(4))
+    // NaN/Inf drop before the median scan
+    val dirty = Seq(("a", 1.0), ("a", Double.NaN),
+      ("b", Double.PositiveInfinity), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    assert(Experiment.brownForsythe(dirty, "g", "v").head
+      .getLong(1) === 3L)
+  }
+
   test("bhCorrect: textbook step-up example, envelope clamp at 1, " +
       "dirty-p drop, alpha bounds") {
     import graft.analytics.Experiment
