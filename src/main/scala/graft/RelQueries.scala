@@ -1028,6 +1028,21 @@ object RelQueries {
       graft.analytics.Experiment.cliffsDelta(units, col("_isb"), "y")
     }),
 
+    // -- [EXT]: Cohen's d / Hedges' g — the PARAMETRIC effect size on
+    //    the same per-user spend frame (pooled-SD standardized mean
+    //    difference, the unit power analyses quote); exact welch-style
+    //    power sums, conventional magnitude bands on the rounded d
+    "q_cohen_d" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      val fin = when(!isnan(v) && abs(v) =!= lit(Double.PositiveInfinity), v)
+      val units = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((sum(floor(fin * lit(1e6))).cast("double")
+            / lit(1e6)).as("y"))
+        .withColumn("_isb", col("user_id") % 2 === 1)
+      graft.analytics.Experiment.cohenD(units, col("_isb"), "y")
+    }),
+
     // -- [EXT]: Benford's-law first-digit screen over order amounts —
     //    the classic fabricated-data / truncation anomaly check; digit
     //    from the decimal string form (no float log), χ² vs the
@@ -3050,6 +3065,60 @@ object RelQueries {
         |    CASE WHEN abs(delta_x1e6) < 147000 THEN 'negligible'
         |         WHEN abs(delta_x1e6) < 330000 THEN 'small'
         |         WHEN abs(delta_x1e6) < 474000 THEN 'medium'
+        |         ELSE 'large' END END AS magnitude
+        |FROM dd""".stripMargin,
+
+    // welch-style exact HUGEINT power sums from ONE micro quantization;
+    // the double chain mirrors the engine op-for-op (d12 second
+    // moments, ratio-form (n·Σy²−S²)/n, bands on the rounded d)
+    "q_cohen_d" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    (SUM(CAST(floor(CASE WHEN isfinite(value) THEN value END
+        |       * 1000000.0) AS BIGINT))::DOUBLE / 1000000.0) AS y,
+        |    user_id % 2 = 1 AS b
+        |  FROM events GROUP BY user_id),
+        |f AS (SELECT CAST(floor(y * 1000000.0) AS BIGINT) AS ym, b
+        |      FROM u WHERE y IS NOT NULL AND NOT isnan(y)
+        |        AND isfinite(y)),
+        |a AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        COALESCE(SUM(CASE WHEN NOT b
+        |          THEN CAST(ym AS HUGEINT) END), 0) AS sa,
+        |        COALESCE(SUM(CASE WHEN b
+        |          THEN CAST(ym AS HUGEINT) END), 0) AS sb,
+        |        COALESCE(SUM(CASE WHEN NOT b
+        |          THEN CAST(ym AS HUGEINT) * ym END), 0) AS qa,
+        |        COALESCE(SUM(CASE WHEN b
+        |          THEN CAST(ym AS HUGEINT) * ym END), 0) AS qb
+        |      FROM f),
+        |z AS (SELECT n_a, n_b,
+        |        (sb::DOUBLE / 1000000.0) / n_b::DOUBLE
+        |          - (sa::DOUBLE / 1000000.0) / n_a::DOUBLE AS md,
+        |        ((n_a::DOUBLE * (qa::DOUBLE / 1000000000000.0)
+        |            - (sa::DOUBLE / 1000000.0)
+        |              * (sa::DOUBLE / 1000000.0)) / n_a::DOUBLE
+        |         + (n_b::DOUBLE * (qb::DOUBLE / 1000000000000.0)
+        |            - (sb::DOUBLE / 1000000.0)
+        |              * (sb::DOUBLE / 1000000.0)) / n_b::DOUBLE)
+        |          / (n_a::DOUBLE + n_b::DOUBLE - 2.0) AS sp2
+        |      FROM a),
+        |dd AS (SELECT n_a, n_b,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0
+        |           THEN round(md / sqrt(sp2), 6) END AS d,
+        |         CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0
+        |           THEN round(md / sqrt(sp2) * (1.0 - 3.0
+        |             / (4.0 * (n_a::DOUBLE + n_b::DOUBLE) - 9.0)), 6)
+        |         END AS g
+        |       FROM z)
+        |SELECT n_a, n_b, d, g,
+        |  CASE WHEN d IS NOT NULL THEN
+        |    CASE WHEN abs(d) < 0.2 THEN 'negligible'
+        |         WHEN abs(d) < 0.5 THEN 'small'
+        |         WHEN abs(d) < 0.8 THEN 'medium'
         |         ELSE 'large' END END AS magnitude
         |FROM dd""".stripMargin,
 

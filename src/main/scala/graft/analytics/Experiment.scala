@@ -379,6 +379,68 @@ object Experiment {
             .otherwise("large")))
   }
 
+  /** COHEN'S d effect size — the PARAMETRIC twin of [[cliffsDelta]]
+    * (that one asks "how often does B beat A" on ranks; this asks "how
+    * many pooled standard deviations apart are the means" — the
+    * magnitude language power analyses and meta-analyses speak, and
+    * the number [[powerMde]]'s MDE is quoted in): d = (mean_b −
+    * mean_a) / s_p with the pooled SD s_p² = ((n_a−1)s_a² +
+    * (n_b−1)s_b²) / (n_a+n_b−2), plus Hedges' g = J·d with the
+    * small-sample bias factor J = 1 − 3/(4(n_a+n_b)−9). ONE output
+    * row: (`n_a`, `n_b`, `d`, `g`, `magnitude`) — d and g rounded at
+    * 6, the conventional |d| bands negligible < .2 ≤ small < .5 ≤
+    * medium < .8 ≤ large; NULL d/g/magnitude when either arm has < 2
+    * rows or the pooled variance is 0 (no spread to standardize by).
+    *
+    * Exactness: the [[welchTTest]] discipline verbatim — ONE 1e-6
+    * quantization, second moments as exact int128 Σ_ym·_ym per-row
+    * products (so the pooled variance is non-negative by
+    * construction), doubles only in the final closed forms, and the
+    * magnitude bands cut on the ROUNDED d so both engines band the
+    * same number.
+    *
+    * Shape: one conditional aggregate (map-side combined) — a scalar
+    * readout at any scale. */
+  def cohenD(units: DataFrame, isB: Column, metricCol: String)
+      : DataFrame = {
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    val y = col(s"`$metricCol`").cast("double")
+    val base = units.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity))
+      .select(isB.as("_b"), floor(y * lit(1e6)).as("_ym"))
+    val agg = base.agg(
+      coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+      int128Sum(when(!col("_b"), col("_ym"))).as("_sa"),
+      int128Sum(when(col("_b"), col("_ym"))).as("_sb"),
+      int128SumProd(when(!col("_b"), col("_ym")), col("_ym")).as("_qa"),
+      int128SumProd(when(col("_b"), col("_ym")), col("_ym")).as("_qb"))
+    def d(c: Column) = c.cast("double") / lit(1e6)
+    def d12(c: Column) = c.cast("double") / lit(1e12)
+    def nD(c: Column) = c.cast("double")
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val (ma, mb) = (d(col("_sa")) / nD(na), d(col("_sb")) / nD(nb))
+    // (n−1)·s² = n·Σy² − (Σy)² over n — kept as the exact-ratio form
+    def ssd(n: Column, s: Column, q: Column) =
+      (nD(n) * d12(q) - d(s) * d(s)) / nD(n)
+    val sp2 = (ssd(na, col("_sa"), col("_qa")) +
+      ssd(nb, col("_sb"), col("_qb"))) / (nD(na) + nD(nb) - 2.0)
+    val dStat = round((mb - ma) / sqrt(sp2), 6)
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (nD(na) + nD(nb)) - 9.0)
+    val ok = na > 1L && nb > 1L
+    agg.select(na, nb,
+      when(ok && sp2 > 0.0, dStat).as("d"),
+      when(ok && sp2 > 0.0, round((mb - ma) / sqrt(sp2) * j, 6))
+        .as("g"))
+      .withColumn("magnitude",
+        when(col("d").isNotNull,
+          when(abs(col("d")) < 0.2, "negligible")
+            .when(abs(col("d")) < 0.5, "small")
+            .when(abs(col("d")) < 0.8, "medium")
+            .otherwise("large")))
+  }
+
   /** ONE-WAY ANOVA F statistic — the k-SAMPLE member of the test
     * family ([[welchTTest]]/[[mannWhitneyU]] compare two samples; this
     * asks whether ANY of k group means differ): F = (SSB/(k−1)) /

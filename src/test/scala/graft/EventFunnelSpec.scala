@@ -705,6 +705,34 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(ro.isNullAt(2) && ro.isNullAt(3) && ro.isNullAt(4))
   }
 
+  test("cohenD: hand-computed pooled-SD d and Hedges g, zero-variance " +
+      "and single-row-arm guards, NaN/Inf drop") {
+    import graft.analytics.Experiment
+    // A {1,2,3} vs B {4,6}: means 2/5, Σ(y−m)² = 2/2, s_p² =
+    // (2+2)/3 = 4/3 ⇒ d = 3/√(4/3) = 2.598076, J = 1 − 3/11 ⇒
+    // g = d·8/11 = 1.889510, large
+    val df = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0),
+      (1L, 4.0), (1L, 6.0)).toDF("v", "y")
+    val r = Experiment.cohenD(df, col("v") === 1L, "y").head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 2L)))
+    assert(r.getDouble(2) === 2.598076 && r.getDouble(3) === 1.889510)
+    assert(r.getString(4) === "large")
+    // all-constant: pooled variance 0 — nothing to standardize by
+    val const = Seq((0L, 5.0), (0L, 5.0), (1L, 5.0), (1L, 5.0))
+      .toDF("v", "y")
+    val rc = Experiment.cohenD(const, col("v") === 1L, "y").head
+    assert(rc.isNullAt(2) && rc.isNullAt(4))
+    // a single-row arm has no sample variance
+    val solo = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0)).toDF("v", "y")
+    assert(Experiment.cohenD(solo, col("v") === 1L, "y").head.isNullAt(2))
+    // NaN/Inf drop before the power sums
+    val dirty = Seq((0L, 1.0), (0L, Double.NaN), (0L, 2.0),
+      (1L, Double.PositiveInfinity), (1L, 4.0), (1L, 6.0))
+      .toDF("v", "y")
+    val rd = Experiment.cohenD(dirty, col("v") === 1L, "y").head
+    assert((rd.getLong(0), rd.getLong(1)) === ((2L, 2L)))
+  }
+
   test("logRank: hand-traced O-E and variance micros over the duration " +
       "grid, IEEE z replay, one-group NULL z") {
     // periodUs = 1; A = even users, B = odd. Lifetimes:
