@@ -122,6 +122,19 @@ object LlmQueries {
         r1.unionByName(r2).unionByName(r3), "doc_id", "v")
     }),
 
+    // -- [EXT]: Fleiss' kappa over the same 2-rater panel as q_kappa —
+    //    POOLED marginals (= Scott's pi at n = 2), so it diverges from
+    //    Cohen's kappa exactly where the raters' marginals differ;
+    //    exact BigInt rational clearing
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val r1 = docs.select(col("doc_id"), col("lang").as("v"))
+      val r2 = docs.select(col("doc_id"),
+        TextOps.languageId(col("text")).as("v"))
+      graft.analytics.Evaluation.fleissKappa(
+        r1.unionByName(r2), "doc_id", "v", raters = 2)
+    }),
+
     // -- A5 [EXT]: exact dedup on md5(normalized text), min doc_id wins
     "q_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
@@ -1353,6 +1366,38 @@ object LlmQueries {
          |      THEN ((den - num) * 1000000) // den - 1
          |      ELSE ((den - num) * 1000000) // den END AS BIGINT)
          |  END AS alpha_x1e6
+         |FROM f""".stripMargin,
+
+    // pooled-marginal clearing by N²n²(n−1) with the panel n = 2 as a
+    // literal; units off the fixed panel drop (none here — both raters
+    // cover every doc)
+    "q_fleiss_kappa" ->
+      s"""WITH g AS ($langGuessSql),
+         |r AS (SELECT doc_id AS u, lang AS v FROM g
+         |      UNION ALL SELECT doc_id, guess FROM g),
+         |uv AS MATERIALIZED (
+         |  SELECT u, v, COUNT(*) AS c FROM r GROUP BY u, v),
+         |per AS MATERIALIZED (
+         |  SELECT u, SUM(c) AS m, SUM(c * c) AS sq FROM uv GROUP BY u
+         |  HAVING SUM(c) = 2),
+         |t AS (SELECT COUNT(*) AS nu, COALESCE(SUM(sq), 0) AS a FROM per),
+         |nc AS (SELECT v, SUM(c) AS cnt
+         |       FROM uv JOIN per USING (u) GROUP BY v),
+         |de AS (SELECT COALESCE(SUM(CAST(cnt AS HUGEINT) * cnt), 0)
+         |         AS sq2 FROM nc),
+         |f AS (SELECT nu, a,
+         |        ((CAST(a AS HUGEINT) - CAST(nu AS HUGEINT) * 2)
+         |           * nu * 2 - (SELECT sq2 FROM de)) * 1000000 AS num,
+         |        CAST(nu AS HUGEINT) * nu * 4
+         |          - (SELECT sq2 FROM de) AS den
+         |      FROM t)
+         |SELECT CAST(nu AS BIGINT) AS n_units,
+         |  CAST(nu * 2 AS BIGINT) AS n_ratings,
+         |  CASE WHEN den <> 0 THEN
+         |    CAST(CASE WHEN num % den <> 0
+         |        AND ((num < 0) <> (den < 0))
+         |      THEN num // den - 1 ELSE num // den END AS BIGINT)
+         |  END AS kappa_x1e6
          |FROM f""".stripMargin,
 
     "q_kappa" ->

@@ -383,6 +383,62 @@ object Evaluation {
       .toDF("n_units", "n_ratings", "alpha_x1e6")
   }
 
+  /** FLEISS' KAPPA — chance-corrected agreement for a FIXED-SIZE rater
+    * panel, completing the family: [[cohensKappa]] is two NAMED raters
+    * (per-rater marginals), [[krippendorffAlpha]] tolerates missing
+    * ratings, Fleiss is n interchangeable raters per unit with POOLED
+    * marginals (at n = 2 it is Scott's pi, not Cohen's kappa — the two
+    * disagree exactly when the raters' marginals differ). Long-format
+    * input (unit, value); units with a rating count ≠ `raters` DROP
+    * (Fleiss is undefined off the fixed panel — the
+    * [[krippendorffAlpha]] unpairable-unit posture).
+    *
+    * κ = (P̄ − P̄e)/(1 − P̄e) with P̄ = (A − Nn)/(Nn(n−1)) over
+    * A = Σ_u Σ_c n_uc², and P̄e = Σ_c (c_c/(Nn))². Cleared by
+    * N²n²(n−1): `kappa_x1e6 = ⌊((A−Nn)·Nn − (n−1)·Σc²)·10⁶ /
+    * (N²n²(n−1) − (n−1)·Σc²)⌋` — exact BigInt, floor (κ < 0 =
+    * below-chance). NULL when no unit fits the panel or P̄e = 1 (one
+    * category everywhere).
+    *
+    * Shape: two hash aggregates — (unit, value) counts, per-unit
+    * m/Σn² — to a 1-row A/N readout plus category-bounded pooled
+    * totals; the final rational lands on the driver (the kappa
+    * posture). Returns one row: (`n_units`, `n_ratings`,
+    * `kappa_x1e6`). */
+  def fleissKappa(ratings: DataFrame, unitCol: String, valueCol: String,
+      raters: Int): DataFrame = {
+    require(raters >= 2, s"fleiss needs a panel of >= 2 raters, got $raters")
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val uv = ratings
+      .filter(col(s"`$unitCol`").isNotNull && col(s"`$valueCol`").isNotNull)
+      .groupBy(col(s"`$unitCol`").as("_u"),
+        col(s"`$valueCol`").cast("string").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val per = uv.groupBy(col("_u"))
+      .agg(sum(col("_c")).as("_m"), sum(col("_c") * col("_c")).as("_sq"))
+      .filter(col("_m") === raters.toLong)
+    val (nUnits, a) = per
+      .agg(count(lit(1)), coalesce(sum(col("_sq")), lit(0L)))
+      .as[(Long, Long)].head()
+    val nc = uv.join(per.select(col("_u")), Seq("_u"), "left_semi")
+      .groupBy(col("_v")).agg(sum(col("_c")).as("_cnt"))
+      .as[(String, Long)].collect()
+    val n = BigInt(raters)
+    val bigN = BigInt(nUnits)
+    val sq2 = nc.iterator.map(r => BigInt(r._2).pow(2)).sum
+    val den = bigN * bigN * n * n * (n - 1) - (n - 1) * sq2
+    val kappa: Option[Long] = if (den == 0) None else {
+      val num = ((BigInt(a) - bigN * n) * bigN * n - (n - 1) * sq2) *
+        1000000
+      val q = num / den
+      Some((if (num % den != 0 && (num.signum != den.signum)) q - 1
+            else q).toLong)
+    }
+    Seq(((nUnits, nUnits * raters, kappa)))
+      .toDF("n_units", "n_ratings", "kappa_x1e6")
+  }
+
   /** COHEN'S KAPPA — chance-corrected inter-rater agreement between two
     * categorical raters (label-QA for annotation pipelines: human vs
     * model labels, two annotators, heuristic vs stored metadata).

@@ -295,6 +295,35 @@ class EvaluationSpec extends AnyFunSuite {
     assert(alpha(Seq(1L -> "a", 2L -> "b")) == ((0L, 0L, None)))
   }
 
+  test("fleissKappa: hand-solved 2-rater panel gives 1/3; balanced " +
+      "perfect disagreement gives -1; off-panel units drop; one " +
+      "category everywhere is undefined") {
+    def fk(rows: Seq[(Long, String)], n: Int) =
+      Evaluation.fleissKappa(rows.toDF("u", "v"), "u", "v", n)
+        .as[(Long, Long, Option[Long])].head()
+    // units XX / XY / YY: A = 10, Nn = 6, P̄ = 2/3; pooled c = (3,3),
+    // P̄e = 1/2 ⇒ κ = (2/3 − 1/2)/(1/2) = 1/3
+    val panel = Seq(1L -> "X", 1L -> "X", 2L -> "X", 2L -> "Y",
+      3L -> "Y", 3L -> "Y")
+    assert(fk(panel, 2) == ((3L, 6L, Some(333333L))))
+    // two balanced all-disagree units: Scott's pi hits exactly -1
+    val dis = Seq(1L -> "X", 1L -> "Y", 2L -> "Y", 2L -> "X")
+    assert(fk(dis, 2) == ((2L, 4L, Some(-1000000L))))
+    // a 1-rating and a 3-rating unit are off the fixed panel — both
+    // drop, leaving the hand-solved readout untouched
+    val dirty = panel ++ Seq(4L -> "X", 5L -> "X", 5L -> "X", 5L -> "Y")
+    assert(fk(dirty, 2) == ((3L, 6L, Some(333333L))))
+    // one category everywhere: P̄e = 1, kappa undefined -> NULL
+    assert(fk(Seq(1L -> "X", 1L -> "X", 2L -> "X", 2L -> "X"), 2) ==
+      ((2L, 4L, None)))
+    // Fleiss at n=2 is Scott's pi, NOT Cohen's kappa: on the skewed
+    // panel {XX, XY} Cohen gives 0 (marginal products), Scott/Fleiss
+    // goes negative (pooled marginals): A = 6, P̄ = 1/2; c = (3,1),
+    // P̄e = 10/16 ⇒ κ = (1/2 − 5/8)/(3/8) = −1/3
+    val skew = Seq(1L -> "X", 1L -> "X", 2L -> "X", 2L -> "Y")
+    assert(fk(skew, 2) == ((2L, 4L, Some(-333334L))))
+  }
+
   test("cohensKappa: textbook 2x2 matrix gives 0.4 exactly; perfect " +
       "disagreement gives -1; constant raters are undefined; NULL " +
       "ratings drop") {
