@@ -1121,6 +1121,17 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: decile lift / cumulative gain per variant — the
+    //    score-band targeting table beside q_auc/q_best_f1; exact
+    //    rank-band split (positives-first tie convention), all-integer
+    //    gain/lift micros
+    "q_decile_lift" -> ((s, dir) => {
+      graft.analytics.Evaluation.liftTable(
+          t(s, dir, "events").withColumn("variant", col("user_id") % 2),
+          Seq("variant"), col("event_type") === "purchase", "value")
+        .orderBy(col("variant"), col("decile"))
+    }),
+
     // -- [EXT]: average precision (PR-AUC) — the top-of-ranking
     //    companion to q_auc; exact per-positive micro-unit Precision@k
     //    terms, event_id tie-break
@@ -2629,6 +2640,43 @@ object RelQueries {
         |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
         |  CAST(f1 AS BIGINT) AS f1_x1e6
         |FROM r WHERE rn = 1 ORDER BY variant""".stripMargin,
+
+    // row-level replay of the engine's rank-band convention: 0-based
+    // row_number over (score desc, label desc) — positives first
+    // within tie runs — band = (r·10)//n; all-integer gain/lift
+    "q_decile_lift" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(event_type = 'purchase' AS INT) AS y,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS q
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT variant, y,
+        |        row_number() OVER (PARTITION BY variant
+        |          ORDER BY q DESC, y DESC) - 1 AS rk,
+        |        count(*) OVER (PARTITION BY variant) AS n
+        |      FROM b),
+        |a AS (SELECT variant, (rk * 10) // n AS decile,
+        |        COUNT(*) AS n_d, SUM(y) AS pos_d
+        |      FROM r GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |        SUM(n_d) OVER (PARTITION BY variant
+        |          ORDER BY decile) AS cum_n,
+        |        SUM(pos_d) OVER (PARTITION BY variant
+        |          ORDER BY decile) AS cum_pos,
+        |        SUM(n_d) OVER (PARTITION BY variant) AS nn,
+        |        SUM(pos_d) OVER (PARTITION BY variant) AS pp
+        |      FROM a)
+        |SELECT variant, decile, CAST(n_d AS BIGINT) AS n,
+        |  CAST(pos_d AS BIGINT) AS pos, CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CASE WHEN pp > 0 THEN
+        |    CAST((cum_pos * 1000000) // pp AS BIGINT) END AS gain_x1e6,
+        |  CASE WHEN pp > 0 THEN
+        |    CAST((CAST(cum_pos AS HUGEINT) * nn * 1000000)
+        |      // (CAST(cum_n AS HUGEINT) * pp) AS BIGINT)
+        |  END AS lift_x1e6
+        |FROM c ORDER BY variant, decile""".stripMargin,
 
     // the rank-sum identity with 2·avgrank = 2·rank + tiecount − 1
     // (integer, HUGEINT-summed ≡ Int128Sum), one double division

@@ -321,6 +321,94 @@ object Evaluation {
         col("_b._f1").as("f1_x1e6")): _*)
   }
 
+  /** DECILE LIFT / CUMULATIVE-GAIN table per group — the
+    * score-band readout beside [[aucByGroup]] (one number for the
+    * whole ranking) and [[bestF1Threshold]] (one operating point):
+    * "if we act on the top k/B of the ranking, how many positives do
+    * we capture (gain), and how much better than random is the slice
+    * (lift)?" — the campaign-targeting / model-triage table. Rows
+    * rank score-DESC and split into `buckets` rank bands via
+    * bucket(r) = ⌊r·B/n⌋ over 0-based ranks (band sizes differ by at
+    * most 1); per band: `n`, `pos`, `cum_n`, `cum_pos`,
+    * `gain_x1e6 = ⌊10⁶·cum_pos/P⌋`,
+    * `lift_x1e6 = ⌊10⁶·cum_pos·N/(cum_n·P)⌋` (NULL when the group has
+    * no positives). Bands with no ranks (n < B) are absent. Rows with
+    * NULL score or label drop.
+    *
+    * Ties: rows tied on the micro-quantized score are interchangeable
+    * except for their label, so the band COUNTS are fully determined
+    * by the convention "positives first within a tie run" — the
+    * ranking never needs a per-row tie-break, and an external engine
+    * replays it with a row_number ordered (score desc, label desc).
+    * Internally each (score, label) run spans the 0-based rank range
+    * [s, s+t−1]; band d covers ranks [⌈d·n/B⌉, ⌈(d+1)·n/B⌉−1]; the
+    * run explodes to ≤B overlap rows with exact integer overlap
+    * counts — never to its t rows.
+    *
+    * Shape: one hash aggregate to the (group, score, label) run table
+    * (data-sized for a continuous score — the [[bestF1Threshold]]
+    * posture), [[graft.ops.PrefixSum]] running counts over ONE range
+    * exchange with per-group offsets from the compact totals table, a
+    * ≤B-wide generator, and a B-sized per-group cumulative window.
+    * Returns one row per (group…, `decile`), decile-ascending. */
+  def liftTable(df: DataFrame, groupCols: Seq[String], labelCol: Column,
+      scoreCol: String, buckets: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty, "liftTable needs at least one group column")
+    require(buckets >= 2, s"liftTable needs >= 2 buckets, got $buckets")
+    val s = col(s"`$scoreCol`").cast("double")
+    val gs = groupCols.map(c => col(s"`$c`"))
+    val bLit = lit(buckets.toLong)
+    val d = df.filter(s.isNotNull && labelCol.isNotNull)
+      .select(gs :+ labelCol.cast("boolean").as("_y") :+
+        floor(s * lit(1e6)).cast("long").as("_q"): _*)
+      .groupBy(gs :+ col("_q") :+ col("_y"): _*)
+      .agg(count(lit(1)).as("_t"))
+    val run = graft.ops.PrefixSum.runningSums(d,
+      gs.map(_.asc) :+ col("_q").desc :+ col("_y").desc,
+      Seq("_t" -> "_ft"))
+    val w = Window.orderBy(groupCols.map(c => col(s"`$c`").asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.groupBy(gs: _*)
+      .agg(sum(col("_t")).as("_n"),
+        sum(when(col("_y"), col("_t")).otherwise(0L)).as("_p"))
+      .select(gs ++ Seq(col("_n"), col("_p"),
+        (sum(col("_n")).over(w) - col("_n")).as("_off")): _*)
+    val f = run.join(broadcast(tot), groupCols)
+      .withColumn("_s0", col("_ft") - col("_off") - col("_t"))
+      .withColumn("_b0", ldiv(col("_s0") * bLit, col("_n")))
+      .withColumn("_b1",
+        ldiv((col("_s0") + col("_t") - lit(1L)) * bLit, col("_n")))
+    val ex = f.select(gs ++ Seq(col("_y"), col("_s0"), col("_t"),
+        col("_n"), col("_p"),
+        explode(sequence(col("_b0"), col("_b1"))).as("decile")): _*)
+      .withColumn("_lo",
+        ldiv(col("decile") * col("_n") + bLit - lit(1L), bLit))
+      .withColumn("_hi",
+        ldiv((col("decile") + lit(1L)) * col("_n") + bLit - lit(1L),
+          bLit) - lit(1L))
+      .withColumn("_ov",
+        least(col("_s0") + col("_t") - lit(1L), col("_hi")) -
+          greatest(col("_s0"), col("_lo")) + lit(1L))
+    val agg = ex.groupBy(gs :+ col("decile"): _*)
+      .agg(sum(col("_ov")).as("n"),
+        sum(when(col("_y"), col("_ov")).otherwise(0L)).as("pos"),
+        max(col("_n")).as("_n"), max(col("_p")).as("_p"))
+    val wc = Window.partitionBy(gs: _*).orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    agg
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("pos")).over(wc))
+      .select(gs ++ Seq(col("decile"), col("n"), col("pos"),
+        col("cum_n"), col("cum_pos"),
+        when(col("_p") > 0L, ldiv(dec(col("cum_pos")) * lit(1000000L),
+          col("_p")).cast("long")).as("gain_x1e6"),
+        when(col("_p") > 0L, ldiv(
+          dec(col("cum_pos")) * dec(col("_n")) * lit(1000000L),
+          dec(col("cum_n")) * dec(col("_p"))).cast("long"))
+          .as("lift_x1e6")): _*)
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — the multi-rater,
     * missing-data-tolerant completion of [[cohensKappa]]: agreement over
     * long-format ratings (unit, value) where units may carry any number

@@ -269,6 +269,44 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("liftTable: hand-traced bands with tie runs split across a " +
+      "boundary, positives-first convention, sparse bands, " +
+      "no-positive NULLs, two-group offsets") {
+    def lt(rows: Seq[(String, Double, Boolean)], b: Int) =
+      Evaluation.liftTable(rows.toDF("g", "s", "y"), Seq("g"),
+          col("y"), "s", buckets = b)
+        .orderBy(col("g"), col("decile"))
+        .as[(String, Long, Long, Long, Long, Long,
+          Option[Long], Option[Long])].collect().toSeq
+    // 5 rows, halves: desc order (positives first at 0.8) is
+    // .9T .8T .8F .7F .6F; band(r) = ⌊2r/5⌋ ⇒ bands {0,0,0},{1,1};
+    // band 0 captures both positives: gain 10⁶, lift ⌊2·5·10⁶/(3·2)⌋
+    val a = Seq(("a", 0.9, true), ("a", 0.8, false), ("a", 0.8, true),
+      ("a", 0.7, false), ("a", 0.6, false))
+    assert(lt(a, 2) == Seq(
+      ("a", 0L, 3L, 2L, 3L, 2L, Some(1000000L), Some(1666666L)),
+      ("a", 1L, 2L, 0L, 5L, 2L, Some(1000000L), Some(1000000L))))
+    // one all-positive tie run of 3 splits 2/1 across the boundary —
+    // the overlap arithmetic, not row order, decides the counts
+    val split = Seq(("a", 0.5, true), ("a", 0.5, true), ("a", 0.5, true))
+    assert(lt(split, 2) == Seq(
+      ("a", 0L, 2L, 2L, 2L, 2L, Some(666666L), Some(1000000L)),
+      ("a", 1L, 1L, 1L, 3L, 3L, Some(1000000L), Some(1000000L))))
+    // n < buckets: only the occupied rank bands appear (r·10/3)
+    val sparse = Seq(("a", 0.3, false), ("a", 0.2, true), ("a", 0.1, false))
+    assert(lt(sparse, 10).map(r => (r._2, r._3, r._4)) ==
+      Seq((0L, 1L, 0L), (3L, 1L, 1L), (6L, 1L, 0L)))
+    // no positives: counts stay, gain/lift NULL; and a second group
+    // exercises the per-group prefix offsets independently
+    val two = Seq(("a", 0.9, false), ("a", 0.1, false),
+      ("b", 0.9, true), ("b", 0.1, false))
+    assert(lt(two, 2) == Seq(
+      ("a", 0L, 1L, 0L, 1L, 0L, None, None),
+      ("a", 1L, 1L, 0L, 2L, 0L, None, None),
+      ("b", 0L, 1L, 1L, 1L, 1L, Some(1000000L), Some(2000000L)),
+      ("b", 1L, 1L, 0L, 2L, 1L, Some(1000000L), Some(1000000L))))
+  }
+
   test("krippendorffAlpha: hand-solved agreement/disagreement panels, " +
       "missing-data unit mix, unpairable units drop, degenerate NULL") {
     def alpha(rows: Seq[(Long, String)]): (Long, Long, Option[Long]) =
