@@ -1132,6 +1132,16 @@ object RelQueries {
         .orderBy(col("variant"), col("decile"))
     }),
 
+    // -- [EXT]: Qini / uplift curve — the targeting-model readout on
+    //    the pooled score banding (treatment-first, positives-first tie
+    //    convention); exact integer cumulative rate differences
+    "q_qini" -> ((s, dir) => {
+      graft.analytics.Evaluation.qiniCurve(
+          t(s, dir, "events"), Seq.empty, col("user_id") % 2 === 1,
+          col("event_type") === "purchase", "value")
+        .orderBy(col("decile"))
+    }),
+
     // -- [EXT]: average precision (PR-AUC) — the top-of-ranking
     //    companion to q_auc; exact per-positive micro-unit Precision@k
     //    terms, event_id tie-break
@@ -2677,6 +2687,53 @@ object RelQueries {
         |      // (CAST(cum_n AS HUGEINT) * pp) AS BIGINT)
         |  END AS lift_x1e6
         |FROM c ORDER BY variant, decile""".stripMargin,
+
+    // pooled-rank replay of q_decile_lift's band formula with the
+    // (score desc, treatment desc, label desc) triple order; the
+    // possibly-negative uplift/qini numerators spell out the floor
+    "q_qini" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 1 AS w,
+        |    CAST(event_type = 'purchase' AS INT) AS y,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS q
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        |r AS (SELECT w, y,
+        |        row_number() OVER (ORDER BY q DESC, w DESC, y DESC)
+        |          - 1 AS rk,
+        |        count(*) OVER () AS n
+        |      FROM b),
+        |a AS (SELECT (rk * 10) // n AS decile,
+        |        SUM(CASE WHEN w THEN 1 ELSE 0 END) AS n_t,
+        |        SUM(CASE WHEN w THEN y ELSE 0 END) AS pos_t,
+        |        SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS n_c,
+        |        SUM(CASE WHEN NOT w THEN y ELSE 0 END) AS pos_c
+        |      FROM r GROUP BY 1),
+        |c AS (SELECT *,
+        |        SUM(n_t) OVER (ORDER BY decile) AS cnt,
+        |        SUM(pos_t) OVER (ORDER BY decile) AS cpt,
+        |        SUM(n_c) OVER (ORDER BY decile) AS cnc,
+        |        SUM(pos_c) OVER (ORDER BY decile) AS cpc
+        |      FROM a),
+        |f AS (SELECT decile, n_t, pos_t, n_c, pos_c, cnt, cnc,
+        |        (CAST(cpt AS HUGEINT) * cnc
+        |          - CAST(cpc AS HUGEINT) * cnt) * 1000000 AS nm,
+        |        CAST(cnt AS HUGEINT) * cnc AS d1,
+        |        CAST(cnc AS HUGEINT) AS d2
+        |      FROM c)
+        |SELECT decile, CAST(n_t AS BIGINT) AS n_t,
+        |  CAST(pos_t AS BIGINT) AS pos_t, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(pos_c AS BIGINT) AS pos_c,
+        |  CASE WHEN cnt > 0 AND cnc > 0 THEN
+        |    CAST(CASE WHEN nm % d1 <> 0 AND nm < 0
+        |      THEN nm // d1 - 1 ELSE nm // d1 END AS BIGINT)
+        |  END AS uplift_x1e6,
+        |  CASE WHEN cnc > 0 THEN
+        |    CAST(CASE WHEN nm % d2 <> 0 AND nm < 0
+        |      THEN nm // d2 - 1 ELSE nm // d2 END AS BIGINT)
+        |  END AS qini_x1e6
+        |FROM f ORDER BY decile""".stripMargin,
 
     // the rank-sum identity with 2·avgrank = 2·rank + tiecount − 1
     // (integer, HUGEINT-summed ≡ Int128Sum), one double division

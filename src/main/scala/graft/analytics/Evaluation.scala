@@ -409,6 +409,101 @@ object Evaluation {
           .as("lift_x1e6")): _*)
   }
 
+  /** QINI / UPLIFT CURVE per group — [[liftTable]] for TARGETING
+    * models: rank treatment and control units on the SAME pooled
+    * score-DESC banding (bucket(r) = ⌊r·B/n⌋, the liftTable
+    * convention) and ask, band by band, how many extra conversions
+    * the treated top slice produced over its control counterfactual:
+    * `uplift_x1e6 = ⌊10⁶·(cum⁺_T·cum_C − cum⁺_C·cum_T)/(cum_T·cum_C)⌋`
+    * (the cumulative rate difference) and the absolute-number Qini
+    * `qini_x1e6 = ⌊10⁶·(cum⁺_T − cum⁺_C·cum_T/cum_C)⌋` — the curve
+    * whose area against the random diagonal is the standard uplift
+    * model score. Both NULL while a cumulative arm is still empty.
+    * Per band also the raw (`n_t`, `pos_t`, `n_c`, `pos_c`). Rows
+    * with NULL score, label, or arm drop. `groupCols` may be EMPTY
+    * (one global curve — unlike the per-group evaluators, a single
+    * pooled ranking is the common shape here).
+    *
+    * Ties: runs key on (score, arm, label) and order (score desc,
+    * treatment first, positives first) — band counts are again fully
+    * determined with no per-row tie-break, replayed externally by a
+    * row_number over the same triple order.
+    *
+    * Shape: identical to [[liftTable]] — run table, ONE
+    * [[graft.ops.PrefixSum]] range exchange with compact per-group
+    * offsets, ≤B-row overlap generator, B-sized cumulative window.
+    * Returns one row per (group…, `decile`), decile-ascending. */
+  def qiniCurve(df: DataFrame, groupCols: Seq[String], treatCol: Column,
+      labelCol: Column, scoreCol: String, buckets: Int = 10)
+      : DataFrame = {
+    require(buckets >= 2, s"qiniCurve needs >= 2 buckets, got $buckets")
+    val s = col(s"`$scoreCol`").cast("double")
+    val grouped = groupCols.nonEmpty
+    val inner = if (grouped) groupCols else Seq("_g_all")
+    val gs = if (grouped) groupCols.map(c => col(s"`$c`"))
+             else Seq(lit(0L).as("_g_all"))
+    val gRef = inner.map(c => col(s"`$c`"))
+    val bLit = lit(buckets.toLong)
+    val d = df
+      .filter(s.isNotNull && labelCol.isNotNull && treatCol.isNotNull)
+      .select(gs ++ Seq(treatCol.cast("boolean").as("_w"),
+        labelCol.cast("boolean").as("_y"),
+        floor(s * lit(1e6)).cast("long").as("_q")): _*)
+      .groupBy(gRef ++ Seq(col("_q"), col("_w"), col("_y")): _*)
+      .agg(count(lit(1)).as("_t"))
+    val run = graft.ops.PrefixSum.runningSums(d,
+      gRef.map(_.asc) ++ Seq(col("_q").desc, col("_w").desc,
+        col("_y").desc),
+      Seq("_t" -> "_ft"))
+    val w = Window.orderBy(gRef.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = d.groupBy(gRef: _*)
+      .agg(sum(col("_t")).as("_n"))
+      .select(gRef ++ Seq(col("_n"),
+        (sum(col("_n")).over(w) - col("_n")).as("_off")): _*)
+    val f = run.join(broadcast(tot), inner)
+      .withColumn("_s0", col("_ft") - col("_off") - col("_t"))
+      .withColumn("_b0", ldiv(col("_s0") * bLit, col("_n")))
+      .withColumn("_b1",
+        ldiv((col("_s0") + col("_t") - lit(1L)) * bLit, col("_n")))
+    val ex = f.select(gRef ++ Seq(col("_w"), col("_y"), col("_s0"),
+        col("_t"), col("_n"),
+        explode(sequence(col("_b0"), col("_b1"))).as("decile")): _*)
+      .withColumn("_lo",
+        ldiv(col("decile") * col("_n") + bLit - lit(1L), bLit))
+      .withColumn("_hi",
+        ldiv((col("decile") + lit(1L)) * col("_n") + bLit - lit(1L),
+          bLit) - lit(1L))
+      .withColumn("_ov",
+        least(col("_s0") + col("_t") - lit(1L), col("_hi")) -
+          greatest(col("_s0"), col("_lo")) + lit(1L))
+    val agg = ex.groupBy(gRef :+ col("decile"): _*)
+      .agg(sum(when(col("_w"), col("_ov")).otherwise(0L)).as("n_t"),
+        sum(when(col("_w") && col("_y"), col("_ov")).otherwise(0L))
+          .as("pos_t"),
+        sum(when(!col("_w"), col("_ov")).otherwise(0L)).as("n_c"),
+        sum(when(!col("_w") && col("_y"), col("_ov")).otherwise(0L))
+          .as("pos_c"))
+    val wc = Window.partitionBy(gRef: _*).orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val cm = agg
+      .withColumn("_cnt", sum(col("n_t")).over(wc))
+      .withColumn("_cpt", sum(col("pos_t")).over(wc))
+      .withColumn("_cnc", sum(col("n_c")).over(wc))
+      .withColumn("_cpc", sum(col("pos_c")).over(wc))
+    val numer = (dec(col("_cpt")) * dec(col("_cnc")) -
+      dec(col("_cpc")) * dec(col("_cnt"))) * lit(1000000L)
+    val outGs = if (grouped) gRef else Seq.empty[Column]
+    cm.select(outGs ++ Seq(col("decile"), col("n_t"), col("pos_t"),
+      col("n_c"), col("pos_c"),
+      when(col("_cnt") > 0L && col("_cnc") > 0L,
+        ldiv(numer, dec(col("_cnt")) * dec(col("_cnc"))).cast("long"))
+        .as("uplift_x1e6"),
+      when(col("_cnc") > 0L,
+        ldiv(numer, dec(col("_cnc"))).cast("long")).as("qini_x1e6")): _*)
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — the multi-rater,
     * missing-data-tolerant completion of [[cohensKappa]]: agreement over
     * long-format ratings (unit, value) where units may carry any number

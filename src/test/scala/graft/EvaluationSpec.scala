@@ -307,6 +307,47 @@ class EvaluationSpec extends AnyFunSuite {
       ("b", 1L, 1L, 0L, 2L, 1L, Some(1000000L), Some(1000000L))))
   }
 
+  test("qiniCurve: hand-traced pooled bands, treatment-first tie " +
+      "order, negative-uplift floor, empty-arm NULLs, grouped offsets") {
+    def qc(rows: Seq[(String, Double, Boolean, Boolean)],
+        groups: Seq[String]) =
+      Evaluation.qiniCurve(rows.toDF("g", "s", "w", "y"), groups,
+          col("w"), col("y"), "s", buckets = 2)
+        .orderBy((groups.map(col) :+ col("decile")): _*)
+        .as[(String, Long, Long, Long, Long, Long,
+          Option[Long], Option[Long])].collect().toSeq
+    def qg(rows: Seq[(Double, Boolean, Boolean)]) =
+      Evaluation.qiniCurve(
+          rows.map(r => ("x", r._1, r._2, r._3)).toDF("g", "s", "w", "y"),
+          Seq.empty, col("w"), col("y"), "s", buckets = 2)
+        .orderBy(col("decile"))
+        .as[(Long, Long, Long, Long, Long,
+          Option[Long], Option[Long])].collect().toSeq
+    // alternating arms down the ranking: top band captures the
+    // treated conversion, full curve nets to zero
+    val alt = Seq((0.9, true, true), (0.8, false, false),
+      (0.7, true, false), (0.6, false, true))
+    assert(qg(alt) == Seq(
+      (0L, 1L, 1L, 1L, 0L, Some(1000000L), Some(1000000L)),
+      (1L, 1L, 0L, 1L, 1L, Some(0L), Some(0L))))
+    // one tied score: treatment-first puts all T rows in band 0 —
+    // band 0 has no control yet (NULLs); band 1's negative uplift
+    // −2/3 must FLOOR to −666667, not truncate
+    val neg = Seq((0.9, true, true), (0.9, true, false),
+      (0.9, true, false), (0.9, false, true))
+    assert(qg(neg) == Seq(
+      (0L, 2L, 1L, 0L, 0L, None, None),
+      (1L, 1L, 0L, 1L, 1L, Some(-666667L), Some(-2000000L))))
+    // two groups band independently (per-group prefix offsets)
+    val two = Seq(("a", 0.9, true, true), ("a", 0.1, false, false),
+      ("b", 0.9, false, false), ("b", 0.1, true, true))
+    assert(qc(two, Seq("g")) == Seq(
+      ("a", 0L, 1L, 1L, 0L, 0L, None, None),
+      ("a", 1L, 0L, 0L, 1L, 0L, Some(1000000L), Some(1000000L)),
+      ("b", 0L, 0L, 0L, 1L, 0L, None, Some(0L)),
+      ("b", 1L, 1L, 1L, 0L, 0L, Some(1000000L), Some(1000000L))))
+  }
+
   test("krippendorffAlpha: hand-solved agreement/disagreement panels, " +
       "missing-data unit mix, unpairable units drop, degenerate NULL") {
     def alpha(rows: Seq[(Long, String)]): (Long, Long, Option[Long]) =
