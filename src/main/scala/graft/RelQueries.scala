@@ -1532,6 +1532,16 @@ object RelQueries {
         .orderBy(col("category"), col("fold"))
     }),
 
+    // -- [EXT]: weight-of-evidence / information value of the market
+    //    segment against negative account balance — the risk-scorecard
+    //    feature screen beside q_target_encode; pinned double op order,
+    //    integer micro IV terms
+    "q_woe_iv" -> ((s, dir) => {
+      graft.ops.Encoding.woeTable(t(s, dir, "customer"),
+          "c_mktsegment", col("c_acctbal") < 0.0)
+        .orderBy(col("bin"))
+    }),
+
     // -- [EXT]: referential-integrity sweep over the star schema's FK
     //    edges (inclusion dependencies) — 0 orphans ⇔ the FK holds; the
     //    reversed customer→orders edge is included as the deliberately
@@ -2089,6 +2099,32 @@ object RelQueries {
     // md5 folds, micro-unit target sums, out-of-fold flip on the
     // aggregated table, HUGEINT smoothing division (engine side:
     // decimal(38,0) — same exact integers)
+    // one bin aggregate + class totals; the engine's double op order
+    // spelled out — single ln of the odds ratio, rate difference times
+    // the raw ln, floored micros
+    "q_woe_iv" ->
+      """WITH b AS (
+        |  SELECT c_mktsegment AS bin, count(*)::BIGINT AS n,
+        |    SUM(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END)::BIGINT
+        |      AS pos
+        |  FROM customer
+        |  WHERE c_acctbal IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT bin, n, pos, n - pos AS neg,
+        |        SUM(pos) OVER () AS np, SUM(n - pos) OVER () AS nn
+        |      FROM b)
+        |SELECT bin, n, pos, neg,
+        |  CASE WHEN pos > 0 AND neg > 0 AND np > 0 AND nn > 0 THEN
+        |    round(ln((neg::DOUBLE / nn::DOUBLE)
+        |      / (pos::DOUBLE / np::DOUBLE)), 6) END AS woe,
+        |  CASE WHEN pos > 0 AND neg > 0 AND np > 0 AND nn > 0 THEN
+        |    CAST(floor((neg::DOUBLE / nn::DOUBLE
+        |        - pos::DOUBLE / np::DOUBLE)
+        |      * ln((neg::DOUBLE / nn::DOUBLE)
+        |        / (pos::DOUBLE / np::DOUBLE)) * 1000000.0) AS BIGINT)
+        |  END AS iv_x1e6
+        |FROM w ORDER BY bin""".stripMargin,
+
     "q_target_encode" ->
       """WITH r AS (
         |  SELECT o_orderpriority AS category,

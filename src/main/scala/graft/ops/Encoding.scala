@@ -80,4 +80,54 @@ object Encoding {
             d(col("_oof_n") + lit(smoothing))).cast("long"))
           .otherwise(col("prior_x1e6")).as("enc_x1e6"))
   }
+
+  /** WEIGHT-OF-EVIDENCE / INFORMATION-VALUE table — the
+    * risk-scorecard sibling of [[targetEncodeTable]] (that one encodes
+    * a category as a shrunk conditional mean; this one encodes it as
+    * evidence strength and grades the FEATURE): one row per bin with
+    * `n`, `pos`, `neg`,
+    * `woe = round(ln((neg/N⁻)/(pos/N⁺)), 6)` (how much the bin's
+    * odds lean negative vs the base rate — the standard
+    * "distribution of goods over distribution of bads" form) and the
+    * bin's IV contribution
+    * `iv_x1e6 = ⌊10⁶·(neg/N⁻ − pos/N⁺)·ln(…)⌋`; Σ iv over bins is
+    * the feature's information value (the < .02 useless / > .3
+    * strong screening convention). One-sided bins (pos or neg = 0,
+    * where WOE is ±∞) yield NULL woe and iv — the conventional
+    * skip-or-adjust choice made explicit. Rows with NULL label drop;
+    * NULL bins form their own bin (null is a value at scoring time).
+    *
+    * Determinism: counts are exact; the doubles follow a pinned op
+    * order — (neg/N⁻)/(pos/N⁺) into one ln (the
+    * corpus-stats logprob precedent), the rate difference times the
+    * RAW ln, floored to integer micros — so an external engine
+    * replays woe and iv bit-for-bit; summing the integer `iv_x1e6`
+    * is order-free where a double Σ would not be.
+    *
+    * Shape: ONE hash aggregate to the bin table (category-bounded) +
+    * a 1-row broadcast of the class totals. */
+  def woeTable(df: DataFrame, binCol: String, labelCol: Column)
+      : DataFrame = {
+    val bins = df.filter(labelCol.isNotNull)
+      .select(col(s"`$binCol`").as("bin"),
+        labelCol.cast("boolean").as("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("neg", col("n") - col("pos"))
+    val tot = broadcast(bins.agg(
+      coalesce(sum(col("pos")), lit(0L)).as("_np"),
+      coalesce(sum(col("neg")), lit(0L)).as("_nn")))
+    def d(c: Column) = c.cast("double")
+    val lnOdds = log((d(col("neg")) / d(col("_nn"))) /
+      (d(col("pos")) / d(col("_np"))))
+    val ok = col("pos") > 0L && col("neg") > 0L &&
+      col("_np") > 0L && col("_nn") > 0L
+    bins.crossJoin(tot).select(col("bin"), col("n"), col("pos"),
+      col("neg"),
+      when(ok, round(lnOdds, 6)).as("woe"),
+      when(ok, floor((d(col("neg")) / d(col("_nn")) -
+        d(col("pos")) / d(col("_np"))) * lnOdds * lit(1e6))
+        .cast("long")).as("iv_x1e6"))
+  }
 }

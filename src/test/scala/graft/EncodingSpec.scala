@@ -107,4 +107,33 @@ class EncodingSpec extends AnyFunSuite {
     assert(solo0.getLong(2) === 0L) // no out-of-fold evidence
     assert(solo0.getLong(4) === solo0.getLong(3)) // enc == prior
   }
+
+  test("woeTable: hand-computed ln(3) bins, one-sided NULLs, NULL " +
+      "label drop, NULL bin kept as a bin") {
+    // A: 3 neg / 1 pos, B: 1 neg / 3 pos over N⁻ = N⁺ = 4:
+    // woe_A = ln((3/4)/(1/4)) = ln 3 = 1.098612, woe_B = −ln 3;
+    // both IV terms (±1/2)·(±ln 3) = 0.549306 → 549306 micros
+    val rows = Seq(("A", false), ("A", false), ("A", false), ("A", true),
+      ("B", false), ("B", true), ("B", true), ("B", true))
+    val r = Encoding.woeTable(rows.toDF("bin", "y"), "bin", col("y"))
+      .orderBy(col("bin"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Long])]
+      .collect().toSeq
+    assert(r == Seq(
+      ("A", 4L, 1L, 3L, Some(1.098612), Some(549306L)),
+      ("B", 4L, 3L, 1L, Some(-1.098612), Some(549306L))))
+    // a pos-only bin has infinite odds — NULL woe/iv, counts kept
+    val oneSided = rows ++ Seq(("C", true), ("C", true))
+    val rc = Encoding.woeTable(oneSided.toDF("bin", "y"), "bin",
+        col("y")).filter(col("bin") === "C").head
+    assert(rc.getLong(1) == 2L && rc.isNullAt(4) && rc.isNullAt(5))
+    // NULL labels drop; a NULL bin is a bin of its own
+    val dirty = (rows.map { case (b, y) => (Option(b), Option(y)) } :+
+      ((Option("A"), Option.empty[Boolean])) :+
+      ((Option.empty[String], Option(true)))).toDF("bin", "y")
+    val rd = Encoding.woeTable(dirty, "bin", col("y"))
+    assert(rd.count() == 3L)
+    assert(rd.filter(col("bin") === "A").head.getLong(1) == 4L)
+    assert(rd.filter(col("bin").isNull).head.getLong(2) == 1L)
+  }
 }
