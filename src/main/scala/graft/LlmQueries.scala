@@ -135,6 +135,22 @@ object LlmQueries {
         r1.unionByName(r2), "doc_id", "v", raters = 2)
     }),
 
+    // -- [EXT]: TextRank corpus keywords — unweighted PageRank over the
+    //    adjacent-token co-occurrence graph of the ≥4-char filtered
+    //    token stream (the Mihalcea–Tarau unweighted form: window 2
+    //    over the filtered sequence, both directions, self-loops
+    //    dropped); top-50 terms on the exact fixed-point ranks
+    "q_textrank" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(explode(
+          TextOps.adjacentTokenPairs(col("text"), minLen = 4)).as("_p"))
+        .select(col("_p.src").as("src"), col("_p.dst").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.analytics.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("rank_fp").desc, col("node")).limit(50)
+    }),
+
     // -- A5 [EXT]: exact dedup on md5(normalized text), min doc_id wins
     "q_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
@@ -1421,6 +1437,24 @@ object LlmQueries {
          |      THEN num // den - 1 ELSE num // den END AS BIGINT)
          |  END AS kappa_x1e6
          |FROM f""".stripMargin,
+
+    // the shared fixed-point PageRank replay over text-derived edges:
+    // parallel unnest of the shifted filtered-token slices, both
+    // directions, self-loops dropped
+    "q_textrank" -> RelQueries.pageRankOracle(3,
+      s"""WITH sel AS (
+         |  SELECT f FROM (
+         |    SELECT list_filter(string_split($duckNorm, ' '),
+         |      t -> len(t) >= 4) AS f
+         |    FROM documents)
+         |  WHERE len(f) >= 2),
+         |pr AS (SELECT unnest(f[1:len(f)-1]) AS a,
+         |         unnest(f[2:len(f)]) AS b
+         |       FROM sel)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT a AS src, b AS dst FROM pr WHERE a <> b
+         |  UNION ALL SELECT b, a FROM pr WHERE a <> b)""".stripMargin,
+      topK = Some(50)),
 
     "q_exact_dedup" ->
       s"""SELECT doc_id, fp FROM (

@@ -1750,12 +1750,16 @@ object RelQueries {
        |FROM re CROSS JOIN tot ORDER BY channel""".stripMargin
   }
 
-  private def pageRankOracle(iters: Int): String = {
+  private[graft] def pageRankOracle(iters: Int,
+      edgesSql: String =
+        """SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+          |                'c' || CAST(o_custkey AS VARCHAR) AS dst
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+          .stripMargin,
+      topK: Option[Int] = None): String = {
     val base =
-      """WITH edges AS (
-        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-        |                  'c' || CAST(o_custkey AS VARCHAR) AS dst
-        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      s"""WITH edges AS MATERIALIZED (
+        |$edgesSql),
         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
         |deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
         |edeg AS (SELECT e.src, e.dst, g.outdeg
@@ -1777,9 +1781,10 @@ object RelQueries {
          |        FROM nodes CROSS JOIN nn CROSS JOIN tp CROSS JOIN d$i d
          |        LEFT JOIN c$i c ON nodes.node = c.node)""".stripMargin
     }.mkString(",\n", ",\n", "")
+    val limit = topK.map(k => s"\nLIMIT $k").getOrElse("")
     s"""$base$iterations
        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters
-       |ORDER BY rank_fp DESC, node""".stripMargin
+       |ORDER BY rank_fp DESC, node$limit""".stripMargin
   }
 
   /** Unrolled half-step CTE replay of [[graft.analytics.Graph.salsa]]:

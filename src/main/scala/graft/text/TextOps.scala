@@ -28,6 +28,28 @@ object TextOps {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Adjacent-token co-occurrence pairs for keyword graphs (the
+    * TextRank window-2 edge generator): `array<struct<src,dst>>` of
+    * consecutive pairs over the [[normalize]]d token stream FILTERED to
+    * tokens of at least `minLen` chars — tokens once separated only by
+    * dropped short tokens become adjacent (the standard
+    * filter-then-window order) — with self-pairs (immediate
+    * repetitions) removed. Empty array when fewer than 2 tokens
+    * survive. Pairs stay in-array (one row per document until the
+    * caller explodes — the in-array pair-mining posture); linear in
+    * document length, never quadratic. */
+  def adjacentTokenPairs(text: Column, minLen: Int): Column = {
+    val f = filter(tokens(normalize(text)),
+      tk => length(tk) >= minLen)
+    val pairs = zip_with(
+      slice(f, lit(1), size(f) - 1),
+      slice(f, lit(2), size(f) - 1),
+      (a, b) => struct(a.as("src"), b.as("dst")))
+    when(size(f) >= 2,
+      filter(pairs, p => p("src") =!= p("dst")))
+      .otherwise(array().cast("array<struct<src:string,dst:string>>"))
+  }
+
   /** BPE-ish subword proxy: word chunks + standalone punctuation, the
     * standard pre-tokenizer regex family. Counts matches of
     * `[A-Za-z0-9]+|[^A-Za-z0-9\s]` — a deterministic stand-in for a real

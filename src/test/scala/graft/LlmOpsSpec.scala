@@ -25,6 +25,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == "hello world it s 42")
   }
 
+  test("adjacentTokenPairs: filter-then-window adjacency, self-pair " +
+      "drop, short-stream empty") {
+    def pairs(s: String) = Seq(s).toDF("text")
+      .select(TextOps.adjacentTokenPairs($"text", minLen = 4).as("p"))
+      .selectExpr("transform(p, x -> x.src || '>' || x.dst) AS q")
+      .as[Seq[String]].head()
+    // short tokens drop BEFORE windowing: "of" vanishes, making
+    // alpha–beta adjacent; punctuation normalizes away
+    assert(pairs("Alpha of BETA, then gamma!") ==
+      Seq("alpha>beta", "beta>then", "then>gamma"))
+    // an immediate repetition is a self-pair — removed, but the
+    // repeated token still links both neighbours
+    assert(pairs("alpha beta beta gamma") ==
+      Seq("alpha>beta", "beta>gamma"))
+    // fewer than 2 surviving tokens: no window, empty array
+    assert(pairs("a of x hi") == Seq.empty)
+    assert(pairs("alpha") == Seq.empty)
+    assert(pairs("") == Seq.empty)
+  }
+
   test("htmlExtract: strips script/style bodies, comments, tags; decodes " +
     "entities once; collapses whitespace") {
     val html = "<html><body><SCRIPT>if (a<b) { x(); }</script>" +
