@@ -1328,6 +1328,22 @@ object RelQueries {
         .orderBy(col("variant"))
     }),
 
+    // -- [EXT]: precision@10 / recall@10 — the set-retrieval readout on
+    //    the same deterministic md5-scored ranking as q_mrr; exact
+    //    per-query floored-micro terms, macro-averaged
+    "q_prec_recall_k" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("mrr:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.precisionRecallAtK(
+          t(s, dir, "events")
+            .withColumn("variant", col("user_id") % 2)
+            .withColumn("score", score),
+          Seq("variant"), Seq("user_id"),
+          col("event_type") === "purchase", "score", "event_id", k = 10)
+        .orderBy(col("variant"))
+    }),
+
     // -- [EXT]: A/B experiment readout — two-proportion z-test on
     //    user-level purchase conversion, variants split by user_id
     //    parity; exact integer counts, doubles only in the final fixed
@@ -3432,6 +3448,37 @@ object RelQueries {
         |SELECT variant, n_queries, n_hit,
         |  CAST(srr // n_queries AS BIGINT) AS mrr_x1e6,
         |  (n_hit * 1000000) // n_queries AS hit_rate_x1e6
+        |FROM g ORDER BY variant""".stripMargin,
+
+    // same ranking CTEs as q_mrr; per-query floored-micro terms (hits
+    // and nrel are non-negative so // is the floor), macro means
+    "q_prec_recall_k" ->
+      """WITH base AS (
+        |  SELECT user_id % 2 AS variant, user_id,
+        |    event_type = 'purchase' AS y, event_id,
+        |    (('0x' || substr(md5('mrr:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |r AS (SELECT variant, user_id, y,
+        |        row_number() OVER (PARTITION BY variant, user_id
+        |          ORDER BY s DESC, event_id ASC) AS k
+        |      FROM base),
+        |q AS (SELECT variant, user_id,
+        |        SUM(CASE WHEN y AND k <= 10 THEN 1 ELSE 0 END) AS hits,
+        |        SUM(CASE WHEN y THEN 1 ELSE 0 END) AS nrel
+        |      FROM r GROUP BY 1, 2),
+        |g AS (SELECT variant, count(*) AS n_queries,
+        |        SUM(CASE WHEN nrel > 0 THEN 1 ELSE 0 END)
+        |          AS n_rel_queries,
+        |        SUM((hits * 1000000) // 10) AS sp,
+        |        SUM(CASE WHEN nrel > 0
+        |          THEN (hits * 1000000) // nrel ELSE 0 END) AS sr
+        |      FROM q GROUP BY 1)
+        |SELECT variant, n_queries,
+        |  CAST(n_rel_queries AS BIGINT) AS n_rel_queries,
+        |  CAST(sp // n_queries AS BIGINT) AS precision_at_k_x1e6,
+        |  CASE WHEN n_rel_queries > 0 THEN
+        |    CAST(sr // n_rel_queries AS BIGINT) END AS recall_at_k_x1e6
         |FROM g ORDER BY variant""".stripMargin,
 
     // pooled two-proportion z via ONE conditional aggregation (the same

@@ -167,6 +167,67 @@ object Evaluation {
           .as("hit_rate_x1e6")): _*)
   }
 
+  /** PRECISION@k / RECALL@k per group — the set-retrieval completion of
+    * the family ([[mrrByGroup]] scores the FIRST hit, [[ndcgByQuery]]
+    * the graded order, [[averagePrecisionByGroup]] the full curve;
+    * these two ask simply: of the k retrieved, how many were relevant —
+    * and of the relevant, how many made the cut?). Per query:
+    * precision@k = hits@k / k (the fixed-slot convention — a query
+    * with < k candidates is penalized for the empty slots) and
+    * recall@k = hits@k / n_rel; the group readout macro-averages
+    * each as exact floored micros: `precision_at_k_x1e6 =
+    * ⌊Σ_q ⌊10⁶·hits/k⌋ / n_queries⌋` over ALL queries, and
+    * `recall_at_k_x1e6` over the queries WITH at least one relevant
+    * (NULL when none — no-relevant queries have no recall to average;
+    * they still count against precision). One row per group:
+    * (`n_queries`, `n_rel_queries`, `precision_at_k_x1e6`,
+    * `recall_at_k_x1e6`). Rows with NULL score or label drop.
+    *
+    * Determinism/shape: the [[mrrByGroup]] contract verbatim — score
+    * ties break on `idCol` for a reproducible total order, ONE rank
+    * window per (group, query) partition (bounded by query candidate
+    * count, never data-sized), exact integer terms summed by
+    * [[graft.functions.Int128Sum]]. */
+  def precisionRecallAtK(df: DataFrame, groupCols: Seq[String],
+      queryCols: Seq[String], labelCol: Column, scoreCol: String,
+      idCol: String, k: Int = 10): DataFrame = {
+    require(groupCols.nonEmpty,
+      "precisionRecallAtK needs at least one group col")
+    require(queryCols.nonEmpty,
+      "precisionRecallAtK needs at least one query col")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gc = groupCols.map(c => col(s"`$c`"))
+    val qc = queryCols.map(c => col(s"`$c`"))
+    val s = col(s"`$scoreCol`").cast("double")
+    val base = df.filter(s.isNotNull && labelCol.isNotNull)
+      .select(gc ++ qc ++ Seq(labelCol.cast("boolean").as("_y"),
+        s.as("_s"), col(s"`$idCol`").as("_id")): _*)
+    val w = Window.partitionBy((gc ++ qc): _*)
+      .orderBy(col("_s").desc, col("_id").asc)
+    val perQuery = base
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .groupBy((gc ++ qc): _*)
+      .agg(sum(when(col("_y") && col("_k") <= k, 1L).otherwise(0L))
+          .as("_hits"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("_nrel"))
+    perQuery
+      .groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("_nrel") > 0L, 1L).otherwise(0L))
+          .as("n_rel_queries"),
+        int128Sum(ldiv(col("_hits") * lit(1000000L), lit(k.toLong)))
+          .as("_sp"),
+        int128Sum(when(col("_nrel") > 0L,
+          ldiv(col("_hits") * lit(1000000L), col("_nrel")))
+          .otherwise(lit(0L))).as("_sr"))
+      .select(gc ++ Seq(col("n_queries"), col("n_rel_queries"),
+        ldiv(col("_sp"), col("n_queries")).cast("long")
+          .as("precision_at_k_x1e6"),
+        when(col("n_rel_queries") > 0L,
+          ldiv(col("_sr"), col("n_rel_queries")).cast("long"))
+          .as("recall_at_k_x1e6")): _*)
+  }
+
   /** NDCG@k per query — the graded-relevance ranking metric of retrieval
     * eval (search/RAG regression suites): DCG@k = Σᵣ (2^rel − 1)/log₂(r+1)
     * over the score-DESC ranking, normalized by the ideal (rel-DESC)

@@ -269,6 +269,36 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("precisionRecallAtK: hand-computed macro means, fixed-slot " +
+      "penalty, id tie-break, no-relevant recall NULL") {
+    def pr(rows: Seq[(String, Long, Long, Boolean, Double)], k: Int) =
+      Evaluation.precisionRecallAtK(
+          rows.toDF("g", "q", "id", "y", "s"), Seq("g"), Seq("q"),
+          col("y"), "s", "id", k)
+        .orderBy(col("g"))
+        .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    // q1: top-2 of (.9 rel, .5 not, .3 rel) ⇒ hits 1, nrel 2 → both
+    // terms 500000; q2: one irrelevant doc ⇒ prec 0, excluded from
+    // recall; q3: 2 rel hits ⇒ 10⁶/10⁶. Macro: prec (5+0+10)/3·10⁵,
+    // recall (5+10)/2·10⁵
+    val rows = Seq(
+      ("g", 1L, 1L, true, 0.9), ("g", 1L, 2L, false, 0.5),
+      ("g", 1L, 3L, true, 0.3),
+      ("g", 2L, 4L, false, 0.7),
+      ("g", 3L, 5L, true, 0.8), ("g", 3L, 6L, true, 0.6))
+    assert(pr(rows, 2) == Seq(("g", 3L, 2L, Some(500000L).get, Some(750000L))))
+    // fixed-slot: a 1-candidate query at k=2 still divides by k
+    val short = Seq(("g", 1L, 1L, true, 0.9))
+    assert(pr(short, 2) == Seq(("g", 1L, 1L, 500000L, Some(1000000L))))
+    // score tie at k=1 resolves by id ASC: the irrelevant id 1 wins
+    // the slot
+    val tie = Seq(("g", 1L, 1L, false, 0.9), ("g", 1L, 2L, true, 0.9))
+    assert(pr(tie, 1) == Seq(("g", 1L, 1L, 0L, Some(0L))))
+    // no query has a relevant doc: recall has nothing to average
+    val none = Seq(("g", 1L, 1L, false, 0.9), ("g", 2L, 2L, false, 0.8))
+    assert(pr(none, 1) == Seq(("g", 2L, 0L, 0L, None)))
+  }
+
   test("liftTable: hand-traced bands with tie runs split across a " +
       "boundary, positives-first convention, sparse bands, " +
       "no-positive NULLs, two-group offsets") {
