@@ -785,6 +785,16 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- [EXT]: chi-square discriminative terms per language — the
+    //    supervised term screen beside q_tfidf_topk (which terms
+    //    fingerprint a labeled slice); exact 2×2 presence cells,
+    //    pinned-order χ², rounded before ranking
+    "q_chi2_terms" -> ((s, dir) => {
+      CorpusStats.chiSquareTerms(t(s, dir, "documents"), "doc_id",
+          "lang", "text", k = 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // -- [EXT]: hashing-trick TF features — the no-global-vocabulary
     //    vectorizer (signed buckets debias collisions). All-integer
     //    output ⇒ bit-exact oracle.
@@ -2409,6 +2419,39 @@ object LlmQueries {
          |        tf.term ASC) AS rank
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // per-doc in-list distinct then one (class, term) presence count;
+    // the engine's pinned χ² op order — e = ad−bc as doubles, N·e·e
+    // over the margin product — rounded BEFORE the rank window
+    "q_chi2_terms" ->
+      s"""WITH dt AS (
+         |  SELECT lang AS c,
+         |    unnest(list_distinct(string_split($duckNorm, ' '))) AS term
+         |  FROM documents WHERE lang IS NOT NULL),
+         |a AS (SELECT c, term, count(*)::BIGINT AS a FROM dt
+         |      WHERE length(term) > 0 GROUP BY 1, 2),
+         |t AS (SELECT term, CAST(SUM(a) AS BIGINT) AS dft
+         |      FROM a GROUP BY 1),
+         |nc AS (SELECT lang AS c, count(*)::BIGINT AS ncd
+         |       FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM documents
+         |       WHERE lang IS NOT NULL),
+         |x AS (SELECT a.c, a.term, a.a, t.dft, nc.ncd, nn.n,
+         |        round(n::DOUBLE
+         |          * (a::DOUBLE * (n - ncd - (dft - a))::DOUBLE
+         |             - (dft - a)::DOUBLE * (ncd - a)::DOUBLE)
+         |          * (a::DOUBLE * (n - ncd - (dft - a))::DOUBLE
+         |             - (dft - a)::DOUBLE * (ncd - a)::DOUBLE)
+         |          / (dft::DOUBLE * (n - dft)::DOUBLE
+         |             * ncd::DOUBLE * (n - ncd)::DOUBLE), 6) AS chi2
+         |      FROM a JOIN t USING (term) JOIN nc USING (c)
+         |      CROSS JOIN nn
+         |      WHERE t.dft < nn.n AND nc.ncd < nn.n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY c
+         |        ORDER BY chi2 DESC, term ASC) AS rank FROM x)
+         |SELECT c AS lang, rank, term, a AS df_in_class,
+         |  dft AS df_total, chi2
+         |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     // tf-weighted mean over the (doc, term) count frame — same shape as
     // CorpusStats.unigramLogProb (sum tf·ln(p) / sum tf)

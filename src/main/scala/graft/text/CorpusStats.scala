@@ -99,6 +99,69 @@ object CorpusStats {
         col("tfidf"))
   }
 
+  /** CHI-SQUARE discriminative terms per class — supervised feature
+    * selection over the corpus ([[tfidfTopTerms]] ranks terms
+    * unsupervised within a doc; this asks which terms SEPARATE a
+    * labeled slice from the rest — label-leakage audits, slice
+    * fingerprints, classifier feature screens; the
+    * [[graft.analytics.Profiler]] Cramér's V machinery specialized to
+    * per-term 2×2 tables): for each (class c, term t), the 2×2
+    * document-presence contingency a = df_tc, b = df_t − a,
+    * c' = N_c − a, d = N − N_c − b scores
+    * χ² = N·(ad − bc)² / (df_t·(N−df_t)·N_c·(N−N_c)); top-`k` terms
+    * per class by (χ² desc, term asc). Returns (class, rank, term,
+    * `df_in_class`, `df_total`, `chi2` rounded at 6). Terms present
+    * in EVERY doc and classes covering every doc drop (a zero margin —
+    * nothing to discriminate); NULL-class docs drop.
+    *
+    * Determinism: every contingency cell is an exact integer; χ² is
+    * one pinned-order double expression (the [[graft.analytics]]
+    * convention), rounded BEFORE ranking so ties break on term asc
+    * identically in any engine.
+    *
+    * Scale: per-doc tokens de-duplicate IN-ARRAY (`array_distinct`
+    * before the explode — no (doc, term) distinct shuffle), one
+    * (class, term) hash aggregate, a vocab-sized term-total
+    * aggregate + hash join back, and a class-count broadcast; the
+    * top-k window partitions on class over the vocab-sized score
+    * table. */
+  def chiSquareTerms(df: DataFrame, idCol: String, classCol: String,
+      textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val labeled = df.filter(col(classCol).isNotNull)
+    val dt = labeled
+      .select(col(classCol).cast("string").as("_c"),
+        explode(array_distinct(
+          split(TextOps.normalize(col(textCol)), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+    val a = dt.groupBy(col("_c"), col("term"))
+      .agg(count(lit(1)).as("_a"))
+      .localCheckpoint(eager = false) // feeds term totals AND the join
+    val dfreq = a.groupBy(col("term")).agg(sum(col("_a")).as("_dft"))
+    val nc = labeled.groupBy(col(classCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_nc"))
+    val nn = labeled.agg(count(lit(1)).as("_n"))
+    def d(c: Column) = c.cast("double")
+    val e = d(col("_a")) * d(col("_n") - col("_nc") -
+        (col("_dft") - col("_a"))) -
+      d(col("_dft") - col("_a")) * d(col("_nc") - col("_a"))
+    val chi2 = round(d(col("_n")) * e * e /
+      (d(col("_dft")) * d(col("_n") - col("_dft")) *
+        d(col("_nc")) * d(col("_n") - col("_nc"))), 6)
+    val w = Window.partitionBy(col("_c"))
+      .orderBy(col("chi2").desc, col("term").asc)
+    a.join(dfreq, Seq("term"))
+      .join(broadcast(nc), Seq("_c"))
+      .crossJoin(broadcast(nn))
+      .filter(col("_dft") < col("_n") && col("_nc") < col("_n"))
+      .withColumn("chi2", chi2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_c").as(classCol), col("rank"), col("term"),
+        col("_a").as("df_in_class"), col("_dft").as("df_total"),
+        col("chi2"))
+  }
+
   /** Hashing-trick term-frequency features (Weinberger et al. 2009 —
     * feature hashing; the HashingTF vectorizer): each token maps to
     * `bucket = H(term) mod numFeatures` with a ±1 sign from an

@@ -385,4 +385,35 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rg.isNullAt(0) && rg.getLong(3) == 2L &&
       rg.getLong(4) == 1000000L)
   }
+
+  test("chiSquareTerms: hand-computed 2x2 chi-squares, tie break on " +
+      "term, zero-margin drops, in-doc repeats count once") {
+    def chi(rows: Seq[(Long, String, String)], k: Int = 5) =
+      CorpusStats.chiSquareTerms(rows.toDF("id", "lang", "text"),
+          "id", "lang", "text", k)
+        .orderBy(col("lang"), col("rank"))
+        .as[(String, Int, String, Long, Long, Double)].collect().toSeq
+    // en {alpha beta, alpha}, fr {beta, beta gamma}; N=4, N_c=2 each:
+    // (en,alpha) a=2,b=0,c=0,d=2 ⇒ χ² = 4·16/16 = 4; every other
+    // present pair is the a=1/a=2 margin ⇒ 16/12 = 1.333333, and the
+    // fr tie beta/gamma breaks on term asc
+    val rows = Seq((1L, "en", "alpha beta"), (2L, "en", "alpha"),
+      (3L, "fr", "beta"), (4L, "fr", "beta gamma"))
+    assert(chi(rows) == Seq(
+      ("en", 1, "alpha", 2L, 2L, 4.0),
+      ("en", 2, "beta", 1L, 3L, 1.333333),
+      ("fr", 1, "beta", 2L, 3L, 1.333333),
+      ("fr", 2, "gamma", 1L, 1L, 1.333333)))
+    // a term in EVERY doc has a zero margin — dropped, ranks close up
+    val withZeta = rows.map { case (i, l, t) => (i, l, t + " zeta") }
+    assert(chi(withZeta).map(_._3) ==
+      Seq("alpha", "beta", "beta", "gamma"))
+    // repeated tokens inside one doc count presence once
+    val rep = Seq((1L, "en", "alpha alpha"), (2L, "fr", "beta"))
+    assert(chi(rep).map(r => (r._1, r._3, r._4)) ==
+      Seq(("en", "alpha", 1L), ("fr", "beta", 1L)))
+    // a single-class corpus has nothing to discriminate
+    assert(chi(Seq((1L, "en", "alpha"), (2L, "en", "beta"))) ==
+      Seq.empty)
+  }
 }
