@@ -220,6 +220,20 @@ object RelQueries {
         col("user_id") % 2 === 1, col("_day") >= col("_bnd"), "value")
     }),
 
+    // -- [EXT]: propensity-stratified ATE — subclassification on a
+    //    deterministic md5 pseudo-propensity into quintile VALUE bands
+    //    (no tie splits), per-stratum arm means + floored-micro ATE
+    //    terms
+    "q_strat_ate" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("ate:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Experiment.stratifiedAte(
+          t(s, dir, "events").withColumn("pscore", score),
+          col("user_id") % 2 === 1, "pscore", "value", buckets = 5)
+        .orderBy(col("stratum"))
+    }),
+
     // -- [EXT]: RFM segmentation — per-user recency/frequency/monetary
     //    quintile codes via rank-arithmetic ntile (skew-safe ranks)
     "q_rfm" -> ((s, dir) => {
@@ -4042,6 +4056,49 @@ object RelQueries {
         |               AS DOUBLE))
         |      * 1000000.0) AS BIGINT) END AS tau_b_x1e6
         |FROM cd""".stripMargin,
+
+    // value-band strata: every distinct micro-score lands wholly in
+    // the stratum of its starting rank; exact HUGEINT outcome sums,
+    // the engine's pinned double chain for means and terms
+    "q_strat_ate" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(
+        |      ((('0x' || substr(md5('ate:' || CAST(event_id AS VARCHAR)),
+        |         1, 12))::BIGINT % 1000000) / 1000000.0) * 1000000.0)
+        |      AS BIGINT) AS q,
+        |    user_id % 2 = 1 AS w,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS ym
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND NOT isnan(value) AND isfinite(value)),
+        |v AS (SELECT q, count(*) AS vt FROM b GROUP BY 1),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM b),
+        |st AS (SELECT q,
+        |         ((SUM(vt) OVER (ORDER BY q) - vt) * 5)
+        |           // (SELECT n FROM nn) AS stratum
+        |       FROM v),
+        |a AS (SELECT stratum,
+        |        SUM(CASE WHEN w THEN 1 ELSE 0 END)::BIGINT AS n_t,
+        |        SUM(CASE WHEN NOT w THEN 1 ELSE 0 END)::BIGINT AS n_c,
+        |        COALESCE(SUM(CASE WHEN w
+        |          THEN CAST(ym AS HUGEINT) END), 0) AS stt,
+        |        COALESCE(SUM(CASE WHEN NOT w
+        |          THEN CAST(ym AS HUGEINT) END), 0) AS sc
+        |      FROM b JOIN st USING (q) GROUP BY 1)
+        |SELECT CAST(stratum AS BIGINT) AS stratum, n_t, n_c,
+        |  CASE WHEN n_t > 0 THEN
+        |    round(stt::DOUBLE / 1000000.0 / n_t::DOUBLE, 6)
+        |  END AS mean_t,
+        |  CASE WHEN n_c > 0 THEN
+        |    round(sc::DOUBLE / 1000000.0 / n_c::DOUBLE, 6)
+        |  END AS mean_c,
+        |  CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |    CAST(floor((n_t + n_c)::DOUBLE / (SELECT n FROM nn)::DOUBLE
+        |      * (stt::DOUBLE / 1000000.0 / n_t::DOUBLE
+        |         - sc::DOUBLE / 1000000.0 / n_c::DOUBLE)
+        |      * 1000000.0) AS BIGINT)
+        |  END AS ate_term_x1e6
+        |FROM a ORDER BY stratum""".stripMargin,
 
     // unfiltered day-range midpoint split; HUGEINT cell moments from
     // the same quantized micros; z replays the left-associated

@@ -964,6 +964,81 @@ object Experiment {
       })
   }
 
+  /** PROPENSITY-STRATIFIED ATE — the observational-causal member of
+    * the family ([[abTest]]/[[cuped]] assume randomized assignment;
+    * [[diffInDiff]] leans on parallel trends; this one adjusts for
+    * measured confounding by comparing arms only WITHIN strata of a
+    * propensity/confounder score — Rosenbaum & Rubin's
+    * subclassification): rows stratify into `buckets` score-quantile
+    * bands and each stratum contributes
+    * `ate_term_x1e6 = ⌊10⁶·(n_b/N)·(ȳ_T,b − ȳ_C,b)⌋`; Σ terms is the
+    * stratified ATE. One row per stratum: (`stratum`, `n_t`, `n_c`,
+    * `mean_t`, `mean_c` rounded at 6, `ate_term_x1e6`) — a stratum
+    * missing an arm yields NULL means for that arm and a NULL term
+    * (the positivity violation made visible instead of silently
+    * imputed). Rows with NULL score/arm or non-finite outcome drop.
+    *
+    * Strata are VALUE bands, not rank bands: every row of one
+    * (micro-quantized) score value lands in the stratum of that
+    * value's starting rank, `⌊start·B/N⌋` — bands are
+    * near-equal-sized yet never split a tied score, so outcome sums
+    * stay exact with no per-row tie convention (the
+    * [[graft.analytics.Evaluation.liftTable]] overlap machinery is
+    * unnecessary here because whole values move together).
+    *
+    * Exactness: outcomes quantize once to micros
+    * ([[graft.functions.Int128Sum]] sums); the term is one
+    * pinned-order double expression over exact integers, floored to
+    * micros so the ATE total is an order-free integer sum.
+    *
+    * Shape: one (score, arm) hash aggregate, ONE
+    * [[graft.ops.PrefixSum]] range exchange over the distinct-score
+    * table (the continuous-score q_ks_test posture), a hash join
+    * back, and a B-row final aggregate. */
+  def stratifiedAte(df: DataFrame, treatCol: Column, scoreCol: String,
+      outcomeCol: String, buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"stratifiedAte needs >= 2 buckets, got $buckets")
+    import graft.functions.Int128Sum.int128Sum
+    val ldiv = graft.ops.Fixed.ldiv _
+    val s = col(s"`$scoreCol`").cast("double")
+    val y = col(s"`$outcomeCol`").cast("double")
+    val base = df.filter(s.isNotNull && treatCol.isNotNull &&
+        y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity))
+      .select(floor(s * lit(1e6)).as("_q"),
+        treatCol.cast("boolean").as("_w"), floor(y * lit(1e6)).as("_ym"))
+    val runs = base.groupBy(col("_q"), col("_w"))
+      .agg(count(lit(1)).as("_t"), int128Sum(col("_ym")).as("_s"))
+      .localCheckpoint(eager = false) // feeds the value table AND join
+    val vals = runs.groupBy(col("_q")).agg(sum(col("_t")).as("_vt"))
+    val cum = graft.ops.PrefixSum.runningSums(vals, Seq(col("_q").asc),
+      Seq("_vt" -> "_ft"))
+    val tot = broadcast(base.agg(count(lit(1)).as("_n")))
+    val strat = cum.crossJoin(tot)
+      .select(col("_q"), col("_n"),
+        ldiv((col("_ft") - col("_vt")) * lit(buckets.toLong), col("_n"))
+          .as("stratum"))
+    val agg = runs.join(strat, Seq("_q"))
+      .groupBy(col("stratum"))
+      .agg(max(col("_n")).as("_n"),
+        sum(when(col("_w"), col("_t")).otherwise(0L)).as("n_t"),
+        sum(when(!col("_w"), col("_t")).otherwise(0L)).as("n_c"),
+        sum(when(col("_w"), col("_s").cast("decimal(38,0)"))).as("_st"),
+        sum(when(!col("_w"), col("_s").cast("decimal(38,0)"))).as("_sc"))
+    def mean(sm: Column, n: Column) =
+      sm.cast("double") / lit(1e6) / n.cast("double")
+    val both = col("n_t") > 0L && col("n_c") > 0L
+    agg.select(col("stratum"), col("n_t"), col("n_c"),
+      when(col("n_t") > 0L, round(mean(col("_st"), col("n_t")), 6))
+        .as("mean_t"),
+      when(col("n_c") > 0L, round(mean(col("_sc"), col("n_c")), 6))
+        .as("mean_c"),
+      when(both, floor((col("n_t") + col("n_c")).cast("double") /
+        col("_n").cast("double") *
+        (mean(col("_st"), col("n_t")) - mean(col("_sc"), col("n_c"))) *
+        lit(1e6)).cast("long")).as("ate_term_x1e6"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
     * when assignment wasn't randomized but a pre-period exists
     * (feature launched to segment B at time T: did B's metric move

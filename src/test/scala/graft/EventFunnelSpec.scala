@@ -501,6 +501,39 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(1) === 3L)
   }
 
+  test("stratifiedAte: hand-computed stratum terms, whole-value " +
+      "banding, missing-arm NULLs, tied scores never split") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    def ate(rows: Seq[(Double, Boolean, Double)]) =
+      Experiment.stratifiedAte(rows.toDF("s", "w", "y"), col("w"),
+          "s", "y", buckets = 2)
+        .orderBy(col("stratum"))
+        .as[(Long, Long, Long, Option[Double], Option[Double],
+          Option[Long])].collect().toSeq
+    // score .1 holds 4 rows (T 2,4 / C 1,3), score .9 holds 2 (T 10 /
+    // C 6): strata by starting rank ⌊{0,4}·2/6⌋ = {0, 1};
+    // terms (4/6)·(3−2)·10⁶ = 666666, (2/6)·(10−6)·10⁶ = 1333333
+    val rows = Seq((0.1, true, 2.0), (0.1, true, 4.0),
+      (0.1, false, 1.0), (0.1, false, 3.0),
+      (0.9, true, 10.0), (0.9, false, 6.0))
+    assert(ate(rows) == Seq(
+      (0L, 2L, 2L, Some(3.0), Some(2.0), Some(666666L)),
+      (1L, 1L, 1L, Some(10.0), Some(6.0), Some(1333333L))))
+    // a stratum with no treated rows: positivity violation → NULLs
+    val gap = Seq((0.1, true, 2.0), (0.1, false, 1.0),
+      (0.9, false, 5.0))
+    assert(ate(gap) == Seq(
+      (0L, 1L, 1L, Some(2.0), Some(1.0), Some(666666L)),
+      (1L, 0L, 1L, None, Some(5.0), None)))
+    // one tied score: every row shares the value's stratum — never
+    // split across bands
+    val tied = Seq((0.5, true, 4.0), (0.5, false, 2.0),
+      (0.5, true, 6.0), (0.5, false, 2.0))
+    assert(ate(tied) == Seq(
+      (0L, 2L, 2L, Some(5.0), Some(2.0), Some(3000000L))))
+  }
+
   test("brownForsythe: hand-computed W with even/odd median pairs, " +
       "all-constant and single-group guards, NaN/Inf drop") {
     import graft.analytics.Experiment
