@@ -249,6 +249,15 @@ object RelQueries {
         .orderBy(col("duration"))
     }),
 
+    // -- [EXT]: Nelson–Aalen cumulative hazard — the hazard-space twin
+    //    of q_kaplan_meier (integer hazard-step sums, fully declarative:
+    //    no driver recurrence)
+    "q_nelson_aalen" -> ((s, dir) => {
+      EventFunnel.nelsonAalen(events(s, dir), "user_id", "ts_us",
+          periodUs = 86400000000L)
+        .orderBy(col("duration"))
+    }),
+
     // -- [EXT]: log-rank test — do the user-parity variants' survival
     //    curves differ? Exact per-step floored E/V micros over the
     //    duration grid, one IEEE div/sqrt/div chain for z
@@ -4585,6 +4594,40 @@ object RelQueries {
     // the product-limit estimate replayed as the SAME integer micro
     // recurrence (floor at every step) via a recursive CTE; n_risk from
     // the suffix count identity tot − cum + cnt
+    // same lifetime/censoring CTEs as q_kaplan_meier; n_risk from the
+    // exclusive grid prefix, hazard steps as floored micros (all
+    // non-negative, // is the floor), cumhaz a plain integer window sum
+    "q_nelson_aalen" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS fp,
+        |    max(epoch_us(ts) // 86400000000) AS lp
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(lp) AS endp, count(*)::BIGINT AS tot FROM u),
+        |g AS (SELECT lp - fp AS duration,
+        |        CAST(SUM(CASE WHEN lp < endp THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_event,
+        |        CAST(SUM(CASE WHEN lp >= endp THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_censored
+        |      FROM u CROSS JOIN mx GROUP BY 1),
+        |c AS (SELECT *,
+        |        (SELECT tot FROM mx) - COALESCE(
+        |          SUM(n_event + n_censored) OVER (ORDER BY duration
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS n_risk
+        |      FROM g),
+        |h AS (SELECT duration, CAST(n_risk AS BIGINT) AS n_risk,
+        |        n_event, n_censored,
+        |        CAST((1000000 * n_event) // n_risk AS BIGINT)
+        |          AS hazard_step_x1e6
+        |      FROM c)
+        |SELECT duration, n_risk, n_event, n_censored,
+        |  hazard_step_x1e6,
+        |  CAST(SUM(hazard_step_x1e6) OVER (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cumhaz_x1e6
+        |FROM h ORDER BY duration""".stripMargin,
+
     "q_kaplan_meier" ->
       """WITH RECURSIVE u AS (
         |  SELECT user_id,

@@ -495,6 +495,56 @@ object EventFunnel {
         col("r") * lit(100L) + col("f") * lit(10L) + col("m"))
   }
 
+  /** NELSON–AALEN cumulative hazard over user lifetimes — the
+    * hazard-space twin of [[kaplanMeier]] (KM multiplies survival
+    * fractions; NA SUMS per-step hazards d/n — the estimator of choice
+    * when hazards are the modeling target and the building block of
+    * exp(−H) ≈ S): same lifetime/censoring construction, one row per
+    * distinct duration with (`duration`, `n_risk`, `n_event`,
+    * `n_censored`, `hazard_step_x1e6 = ⌊10⁶·n_event/n_risk⌋`,
+    * `cumhaz_x1e6` = the running integer sum).
+    *
+    * Exactness: each step's hazard is an exact floored micro integer
+    * ([[graft.ops.Fixed.ldiv]]) and the cumulative is an INTEGER sum —
+    * unlike KM's floor-product recurrence this is order-free and needs
+    * no driver chain at all: n_risk = N − (prior events + censored)
+    * comes from an exclusive running sum over the duration grid, and
+    * the whole estimator is declarative (two aggregates + grid-sized
+    * windows — the duration grid is observation-window-bounded,
+    * sf-independent, so the partition-less window is the step/bucket
+    * grid pattern, not the global-window trap). */
+  def nelsonAalen(events: DataFrame, userCol: String, tsUsCol: String,
+      periodUs: Long): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val period = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val lives = events.groupBy(col(userCol).as("_u"))
+      .agg(min(period).as("_fp"), max(period).as("_lp"))
+    val mx = broadcast(lives.agg(max(col("_lp")).as("_endp")))
+    val durs = lives.crossJoin(mx)
+      .select((col("_lp") - col("_fp")).as("duration"),
+        when(col("_lp") < col("_endp"), 1L).otherwise(0L).as("_e"))
+      .groupBy(col("duration"))
+      .agg(sum(col("_e")).as("n_event"),
+        sum(lit(1L) - col("_e")).as("n_censored"))
+    val tot = broadcast(durs.agg(
+      coalesce(sum(col("n_event") + col("n_censored")), lit(0L))
+        .as("_total")))
+    val wPrev = Window.orderBy(col("duration").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("duration").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs.crossJoin(tot)
+      .withColumn("n_risk", col("_total") - coalesce(
+        sum(col("n_event") + col("n_censored")).over(wPrev), lit(0L)))
+      .withColumn("hazard_step_x1e6",
+        graft.ops.Fixed.ldiv(lit(1000000L) * col("n_event"),
+          col("n_risk")))
+      .withColumn("cumhaz_x1e6",
+        sum(col("hazard_step_x1e6")).over(wCum))
+      .select(col("duration"), col("n_risk"), col("n_event"),
+        col("n_censored"), col("hazard_step_x1e6"), col("cumhaz_x1e6"))
+  }
+
   /** KAPLAN–MEIER survival curve over user lifetimes — the censoring-
     * aware churn companion to [[retention]]: retention answers "what
     * fraction of a cohort is active at k", KM answers "what fraction

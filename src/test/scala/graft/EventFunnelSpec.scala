@@ -407,6 +407,26 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("nelsonAalen: hand-traced hazard steps on the KM fixture, " +
+      "censored-only step adds zero hazard") {
+    import graft.analytics.EventFunnel
+    import spark.implicits._
+    // same lifetimes as the kaplanMeier fixture: durations
+    // 0 (1 event), 2 (1 event), 5 (2 events), 6 (1 censored); N = 5.
+    // hazards ⌊10⁶·e/n⌋: 1/5→200000, 1/4→250000, 2/3→666666, 0/1→0
+    val ev = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L), (2L, 2L),
+      (3L, 0L), (3L, 5L), (4L, 1L), (4L, 6L), (5L, 2L), (5L, 8L))
+      .toDF("uid", "ts")
+    val na = EventFunnel.nelsonAalen(ev, "uid", "ts", periodUs = 1L)
+      .orderBy("duration").collect()
+    assert(na.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq == Seq(
+      (0L, 5L, 1L, 0L, 200000L, 200000L),
+      (2L, 4L, 1L, 0L, 250000L, 450000L),
+      (5L, 3L, 2L, 0L, 666666L, 1116666L),
+      (6L, 1L, 0L, 1L, 0L, 1116666L)))
+  }
+
   test("kaplanMeier: hand-traced product-limit curve, right-censoring " +
       "at the log end, censored-only steps leave S unchanged") {
     import graft.analytics.EventFunnel
