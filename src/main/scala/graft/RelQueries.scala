@@ -220,6 +220,25 @@ object RelQueries {
         col("user_id") % 2 === 1, col("_day") >= col("_bnd"), "value")
     }),
 
+    // -- [EXT]: split-conformal prediction interval around a per-type
+    //    mean predictor fit on the even-event_id calibration half —
+    //    exact order-statistic threshold at 90%, achieved coverage on
+    //    the odd half; no doubles beyond the residual itself
+    "q_conformal" -> ((s, dir) => {
+      val v = col("value").cast("double")
+      val ev = t(s, dir, "events")
+        .filter(v.isNotNull && !isnan(v) &&
+          abs(v) =!= lit(Double.PositiveInfinity))
+      val isCal = col("event_id") % 2 === 0
+      val model = ev.filter(isCal).groupBy(col("event_type"))
+        .agg(graft.ops.Fixed.ldiv(sum(floor(v * lit(1e6))),
+          count(lit(1))).as("_pm"))
+      val scored = ev.join(broadcast(model), Seq("event_type"))
+        .withColumn("pred", col("_pm").cast("double") / lit(1e6))
+      graft.analytics.Evaluation.conformalInterval(scored, isCal,
+        "pred", "value", alphaX1e6 = 100000L)
+    }),
+
     // -- [EXT]: propensity-stratified ATE — subclassification on a
     //    deterministic md5 pseudo-propensity into quintile VALUE bands
     //    (no tie splits), per-stratum arm means + floored-micro ATE
@@ -4065,6 +4084,47 @@ object RelQueries {
         |               AS DOUBLE))
         |      * 1000000.0) AS BIGINT) END AS tau_b_x1e6
         |FROM cd""".stripMargin,
+
+    // per-type floored-micro mean predictor on the even half (negative
+    // floor spelled out), micro residuals, the exact ceil-rank order
+    // statistic, integer coverage on the odd half
+    "q_conformal" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value)),
+        |m AS (SELECT event_type,
+        |        CASE WHEN SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+        |            % count(*) <> 0
+        |          AND SUM(CAST(floor(value * 1000000.0) AS BIGINT)) < 0
+        |          THEN SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+        |            // count(*) - 1
+        |          ELSE SUM(CAST(floor(value * 1000000.0) AS BIGINT))
+        |            // count(*) END AS pm
+        |      FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        |rr AS (SELECT event_id % 2 = 0 AS c,
+        |         CAST(floor(abs(value - pm::DOUBLE / 1000000.0)
+        |           * 1000000.0) AS BIGINT) AS r
+        |       FROM e JOIN m USING (event_type)),
+        |nc AS (SELECT count(*)::BIGINT AS n_cal FROM rr WHERE c),
+        |k AS (SELECT ((n_cal + 1) * 900000 + 999999) // 1000000 AS k
+        |      FROM nc),
+        |cv AS (SELECT r, SUM(count(*)) OVER (ORDER BY r
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS ft
+        |       FROM rr WHERE c GROUP BY r),
+        |q AS (SELECT min(r) AS q_hat_x1e6 FROM cv
+        |      WHERE ft >= (SELECT k FROM k)),
+        |tst AS (SELECT count(*)::BIGINT AS n_test,
+        |          COALESCE(SUM(CASE WHEN r <= (SELECT q_hat_x1e6
+        |            FROM q) THEN 1 ELSE 0 END), 0) AS hits
+        |        FROM rr WHERE NOT c)
+        |SELECT nc.n_cal, tst.n_test,
+        |  CAST(q.q_hat_x1e6 AS BIGINT) AS q_hat_x1e6,
+        |  CASE WHEN q.q_hat_x1e6 IS NOT NULL AND tst.n_test > 0 THEN
+        |    CAST((hits * 1000000) // n_test AS BIGINT)
+        |  END AS coverage_x1e6
+        |FROM nc CROSS JOIN tst CROSS JOIN q""".stripMargin,
 
     // value-band strata: every distinct micro-score lands wholly in
     // the stratum of its starting rank; exact HUGEINT outcome sums,

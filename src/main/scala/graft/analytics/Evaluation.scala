@@ -565,6 +565,67 @@ object Evaluation {
         ldiv(numer, dec(col("_cnc"))).cast("long")).as("qini_x1e6")): _*)
   }
 
+  /** SPLIT-CONFORMAL PREDICTION INTERVAL — the distribution-free
+    * uncertainty layer over any point predictor ([[calibrationTable]]
+    * asks "are the probabilities honest"; this asks "how wide must a
+    * band around ŷ be to contain the truth 1−α of the time" with a
+    * finite-sample guarantee, no model assumptions — Vovk's split
+    * conformal): on the CALIBRATION rows the threshold is the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual |y − ŷ|; the TEST rows
+    * report achieved coverage |{r ≤ q̂}|/n_test. ONE output row:
+    * (`n_cal`, `n_test`, `q_hat_x1e6`, `coverage_x1e6`) — NULL q̂/
+    * coverage when the rank exceeds n_cal (too few calibration rows
+    * for the requested α: the guarantee is impossible, said loudly).
+    *
+    * Exactness: residuals quantize to micros; the rank
+    * k = ⌈(n+1)·(10⁶−α_µ)/10⁶⌉ is exact integer arithmetic; q̂ is the
+    * smallest residual whose cumulative count reaches k (an order
+    * statistic, not an interpolated quantile); coverage is
+    * ⌊10⁶·hits/n_test⌋. No doubles anywhere.
+    *
+    * Shape: one residual distinct-value aggregate +
+    * [[graft.ops.PrefixSum]] running counts (the continuous-residual
+    * table is data-sized — the ks-test posture, one range exchange),
+    * then two scalar aggregates joined by cross. Rows with NULL
+    * prediction/actual or non-finite residual drop. */
+  def conformalInterval(df: DataFrame, isCalib: Column, predCol: String,
+      actualCol: String, alphaX1e6: Long = 100000L): DataFrame = {
+    require(alphaX1e6 > 0L && alphaX1e6 < 1000000L,
+      s"alphaX1e6 must be in (0, 1e6), got $alphaX1e6")
+    val p = col(s"`$predCol`").cast("double")
+    val y = col(s"`$actualCol`").cast("double")
+    val r = abs(y - p)
+    val base = df.filter(p.isNotNull && y.isNotNull &&
+        isCalib.isNotNull && !isnan(r) &&
+        r =!= lit(Double.PositiveInfinity))
+      .select(isCalib.cast("boolean").as("_c"),
+        floor(r * lit(1e6)).as("_r"))
+      .localCheckpoint(eager = false) // feeds threshold AND coverage
+    val vals = base.filter(col("_c"))
+      .groupBy(col("_r")).agg(count(lit(1)).as("_t"))
+    val cum = graft.ops.PrefixSum.runningSums(vals,
+      Seq(col("_r").asc), Seq("_t" -> "_ft"))
+    val nCal = broadcast(base.filter(col("_c"))
+      .agg(count(lit(1)).as("n_cal")))
+    // k = ceil((n+1)(1e6 − α)/1e6), exact: ldiv with the +999999 bump
+    val k = ldiv((col("n_cal") + lit(1L)) * lit(1000000L - alphaX1e6) +
+      lit(999999L), lit(1000000L))
+    val qhat = cum.crossJoin(nCal)
+      .filter(col("_ft") >= k)
+      .agg(min(col("_r")).as("q_hat_x1e6"))
+    val test = base.filter(!col("_c"))
+    val hits = test.crossJoin(broadcast(qhat))
+      .agg(coalesce(sum(when(col("_r") <= col("q_hat_x1e6"), 1L)
+        .otherwise(0L)), lit(0L)).as("_hits"))
+    qhat.crossJoin(nCal)
+      .crossJoin(test.agg(count(lit(1)).as("n_test")))
+      .crossJoin(broadcast(hits))
+      .select(col("n_cal"), col("n_test"), col("q_hat_x1e6"),
+        when(col("q_hat_x1e6").isNotNull && col("n_test") > 0L,
+          ldiv(col("_hits") * lit(1000000L), col("n_test")))
+          .as("coverage_x1e6"))
+  }
+
   /** KRIPPENDORFF'S ALPHA (nominal) — the multi-rater,
     * missing-data-tolerant completion of [[cohensKappa]]: agreement over
     * long-format ratings (unit, value) where units may carry any number

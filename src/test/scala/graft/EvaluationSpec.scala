@@ -337,6 +337,31 @@ class EvaluationSpec extends AnyFunSuite {
       ("b", 1L, 1L, 0L, 2L, 1L, Some(1000000L), Some(1000000L))))
   }
 
+  test("conformalInterval: hand-computed ceil-rank threshold, test " +
+      "coverage, infeasible-rank NULL, tie collapse, alpha bounds") {
+    def ci(rows: Seq[(Boolean, Double, Double)], alpha: Long) =
+      Evaluation.conformalInterval(rows.toDF("c", "p", "y"), col("c"),
+          "p", "y", alphaX1e6 = alpha)
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+    // 9 calibration residuals 1..9 at α=.1: k = ⌈10·.9⌉ = 9 ⇒ q̂ = 9;
+    // test residuals {5 hit, 10 miss} ⇒ coverage 500000
+    val cal = (1 to 9).map(i => (true, 0.0, i.toDouble))
+    val test = Seq((false, 0.0, 5.0), (false, 0.0, 10.0))
+    assert(ci(cal ++ test, 100000L) ==
+      ((9L, 2L, Some(9000000L), Some(500000L))))
+    // 3 calibration rows can't guarantee 90%: k = 4 > n ⇒ NULLs
+    val few = (1 to 3).map(i => (true, 0.0, i.toDouble)) ++ test
+    assert(ci(few, 100000L) == ((3L, 2L, None, None)))
+    // tied residuals: the cumulative count crosses k inside the tie
+    val tied = Seq.fill(3)((true, 2.0, 3.0)) :+ ((false, 2.0, 2.5))
+    assert(ci(tied, 500000L) == ((3L, 1L, Some(1000000L),
+      Some(1000000L))))
+    intercept[IllegalArgumentException] {
+      Evaluation.conformalInterval(test.toDF("c", "p", "y"), col("c"),
+        "p", "y", alphaX1e6 = 0L)
+    }
+  }
+
   test("qiniCurve: hand-traced pooled bands, treatment-first tie " +
       "order, negative-uplift floor, empty-arm NULLs, grouped offsets") {
     def qc(rows: Seq[(String, Double, Boolean, Boolean)],
