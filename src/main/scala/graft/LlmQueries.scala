@@ -785,6 +785,21 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- [EXT]: Zipf power-law fit — OLS slope of ln(tf) on ln(rank)
+    //    over the top-1000 vocabulary (natural corpora slope ≈ −1; a
+    //    synthetic or templated corpus shows up as a flat or kinked
+    //    line — a cheap provenance fingerprint); rides olsByGroup's
+    //    exact micro power sums
+    "q_zipf" -> ((s, dir) => {
+      val rv = CorpusStats.rankedVocabulary(t(s, dir, "documents"),
+        "doc_id", "text", k = 1000)
+      graft.analytics.Regression.olsByGroup(
+        rv.select(lit("corpus").as("corpus"),
+          log(col("id").cast("double")).as("ln_rank"),
+          log(col("tf").cast("double")).as("ln_tf")),
+        Seq("corpus"), "ln_rank", "ln_tf")
+    }),
+
     // -- [EXT]: chi-square discriminative terms per language — the
     //    supervised term screen beside q_tfidf_topk (which terms
     //    fingerprint a labeled slice); exact 2×2 presence cells,
@@ -2419,6 +2434,47 @@ object LlmQueries {
          |        tf.term ASC) AS rank
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // top-1000 vocab head (tf desc, term asc), ln-micro quantization,
+    // then the q_ols_group closed form on the 'corpus' literal group
+    "q_zipf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split($duckNorm, ' ')) AS term
+         |  FROM documents),
+         |v AS (SELECT term, count(*)::BIGINT AS tf FROM tok
+         |      WHERE length(term) > 0 GROUP BY 1),
+         |topk AS (SELECT term, tf FROM v
+         |         ORDER BY tf DESC, term ASC LIMIT 1000),
+         |r AS (SELECT row_number() OVER (ORDER BY tf DESC, term ASC)
+         |        AS id, tf FROM topk),
+         |q AS (SELECT
+         |        CAST(floor(ln(id::DOUBLE) * 1000000.0) AS HUGEINT)
+         |          AS xm,
+         |        CAST(floor(ln(tf::DOUBLE) * 1000000.0) AS HUGEINT)
+         |          AS ym
+         |      FROM r),
+         |g AS (SELECT 'corpus' AS corpus, count(*) AS n,
+         |        SUM(xm)::DOUBLE / 1000000.0 AS sx,
+         |        SUM(ym)::DOUBLE / 1000000.0 AS sy,
+         |        SUM(xm * xm)::DOUBLE / 1000000000000.0 AS sxx,
+         |        SUM(ym * ym)::DOUBLE / 1000000000000.0 AS syy,
+         |        SUM(xm * ym)::DOUBLE / 1000000000000.0 AS sxy
+         |      FROM q)
+         |SELECT corpus, n,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
+         |    round((n::DOUBLE * sxy - sx * sy)
+         |          / (n::DOUBLE * sxx - sx * sx), 6) END AS slope,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
+         |    round((sy - ((n::DOUBLE * sxy - sx * sy)
+         |                 / (n::DOUBLE * sxx - sx * sx)) * sx)
+         |          / n::DOUBLE, 6) END AS intercept,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0
+         |        AND n::DOUBLE * syy - sy * sy > 0.0 THEN
+         |    round(((n::DOUBLE * sxy - sx * sy)
+         |           * (n::DOUBLE * sxy - sx * sy))
+         |          / ((n::DOUBLE * sxx - sx * sx)
+         |             * (n::DOUBLE * syy - sy * sy)), 6) END AS r2
+         |FROM g""".stripMargin,
 
     // per-doc in-list distinct then one (class, term) presence count;
     // the engine's pinned χ² op order — e = ad−bc as doubles, N·e·e

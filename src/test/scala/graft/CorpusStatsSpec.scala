@@ -386,6 +386,27 @@ class CorpusStatsSpec extends AnyFunSuite {
       rg.getLong(4) == 1000000L)
   }
 
+  test("zipf fit composition: an exactly-Zipfian vocabulary regresses " +
+      "to slope -1 with r2 ~ 1 on the ranked head") {
+    // tf = 24/rank exactly: {a:24, b:12, c:8, d:6} ⇒ ln tf =
+    // ln 24 − ln rank — a perfect line of slope −1
+    val text = (Seq.fill(24)("a") ++ Seq.fill(12)("b") ++
+      Seq.fill(8)("c") ++ Seq.fill(6)("d")).mkString(" ")
+    val rv = CorpusStats.rankedVocabulary(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", k = 10)
+    assert(rv.orderBy(col("id")).as[(String, Int, Long, Long)]
+      .collect().toSeq.map(r => (r._1, r._3)) ==
+      Seq(("a", 24L), ("b", 12L), ("c", 8L), ("d", 6L)))
+    val fit = graft.analytics.Regression.olsByGroup(
+        rv.select(lit("corpus").as("g"),
+          log(col("id").cast("double")).as("x"),
+          log(col("tf").cast("double")).as("y")),
+        Seq("g"), "x", "y").head
+    assert(fit.getLong(1) == 4L)
+    assert(math.abs(fit.getDouble(2) + 1.0) < 1e-5) // slope ≈ −1
+    assert(fit.getDouble(4) > 0.999999)             // r2 ≈ 1
+  }
+
   test("chiSquareTerms: hand-computed 2x2 chi-squares, tie break on " +
       "term, zero-margin drops, in-doc repeats count once") {
     def chi(rows: Seq[(Long, String, String)], k: Int = 5) =
