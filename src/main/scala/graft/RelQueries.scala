@@ -220,6 +220,30 @@ object RelQueries {
         col("user_id") % 2 === 1, col("_day") >= col("_bnd"), "value")
     }),
 
+    // -- [EXT]: Bradley–Terry preference strengths — the
+    //    reward-modeling primitive on pairwise comparisons. Preferences
+    //    derive deterministically per user (of two event types both
+    //    used, the more-used one wins; equal counts abstain); 10 exact
+    //    fixed-point MM rounds
+    "q_bradley_terry" -> ((s, dir) => {
+      val ut = t(s, dir, "events").filter(col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = ut.select(col("user_id"), col("event_type").as("ta"),
+        col("c").as("ca"))
+      val b = ut.select(col("user_id"), col("event_type").as("tb"),
+        col("c").as("cb"))
+      val prefs = a.join(b, Seq("user_id"))
+        .filter(col("ta") < col("tb") && col("ca") =!= col("cb"))
+        .select(
+          when(col("ca") > col("cb"), col("ta")).otherwise(col("tb"))
+            .as("winner"),
+          when(col("ca") > col("cb"), col("tb")).otherwise(col("ta"))
+            .as("loser"))
+      graft.analytics.Preference.bradleyTerry(prefs, "winner", "loser",
+        iters = 10)
+    }),
+
     // -- [EXT]: split-conformal prediction interval around a per-type
     //    mean predictor fit on the even-event_id calibration half —
     //    exact order-statistic threshold at 90%, achieved coverage on
@@ -1843,6 +1867,67 @@ object RelQueries {
     s"""$base$iterations
        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r$iters
        |ORDER BY rank_fp DESC, node$limit""".stripMargin
+  }
+
+  /** Unrolled-CTE replay of [[graft.analytics.Preference.bradleyTerry]]
+    * on the per-user usage-preference pairs: each MM round is one
+    * denom/praw/normalize CTE triple; every division floors on
+    * non-negative HUGEINTs so DuckDB's `//` IS the engine's BigInt
+    * floor. */
+  private def bradleyTerryOracle(iters: Int): String = {
+    val base =
+      """WITH ut AS (
+        |  SELECT user_id, event_type AS et, count(*) AS c
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |pr AS (SELECT
+        |         CASE WHEN x.c > y.c THEN x.et ELSE y.et END AS w,
+        |         CASE WHEN x.c > y.c THEN y.et ELSE x.et END AS l
+        |       FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |         AND x.et < y.et AND x.c <> y.c),
+        |cm AS MATERIALIZED (
+        |  SELECT w, l, count(*)::BIGINT AS c FROM pr GROUP BY 1, 2),
+        |it AS MATERIALIZED (
+        |  SELECT w AS item FROM cm UNION SELECT l FROM cm),
+        |kk AS (SELECT count(*)::BIGINT AS k FROM it),
+        |wn AS (SELECT it.item,
+        |         CAST(COALESCE(ws.s, 0) AS BIGINT) AS wins,
+        |         CAST(COALESCE(ls.s, 0) AS BIGINT) AS losses
+        |       FROM it
+        |       LEFT JOIN (SELECT w AS item, SUM(c) AS s FROM cm
+        |                  GROUP BY 1) ws USING (item)
+        |       LEFT JOIN (SELECT l AS item, SUM(c) AS s FROM cm
+        |                  GROUP BY 1) ls USING (item)),
+        |nm AS (SELECT a, b, CAST(SUM(c) AS BIGINT) AS c FROM (
+        |         SELECT w AS a, l AS b, c FROM cm
+        |         UNION ALL SELECT l, w, c FROM cm) GROUP BY 1, 2),
+        |p0 AS MATERIALIZED (
+        |  SELECT item, 1000000 // (SELECT k FROM kk) AS p FROM it)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""d$i AS (SELECT nm.a AS item,
+         |          SUM((CAST(nm.c AS HUGEINT) * 1000000000000)
+         |            // (pi.p + pj.p)) AS denom
+         |        FROM nm JOIN p${i - 1} pi ON nm.a = pi.item
+         |        JOIN p${i - 1} pj ON nm.b = pj.item
+         |        WHERE pi.p + pj.p > 0 GROUP BY 1),
+         |r$i AS (SELECT it.item,
+         |          CASE WHEN COALESCE(d.denom, 0) > 0
+         |            THEN (CAST(wn.wins AS HUGEINT) * 1000000000000)
+         |              // d.denom
+         |            ELSE 0 END AS praw
+         |        FROM it JOIN wn USING (item)
+         |        LEFT JOIN d$i d USING (item)),
+         |s$i AS (SELECT SUM(praw) AS s FROM r$i),
+         |p$i AS MATERIALIZED (
+         |  SELECT item, CASE WHEN (SELECT s FROM s$i) > 0
+         |    THEN (praw * 1000000) // (SELECT s FROM s$i)
+         |    ELSE 0 END AS p
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT wn.item, wn.wins, wn.losses,
+       |  CAST(p.p AS BIGINT) AS strength_x1e6
+       |FROM p$iters p JOIN wn USING (item)
+       |ORDER BY strength_x1e6 DESC, item ASC""".stripMargin
   }
 
   /** Unrolled half-step CTE replay of [[graft.analytics.Graph.salsa]]:
@@ -4084,6 +4169,8 @@ object RelQueries {
         |               AS DOUBLE))
         |      * 1000000.0) AS BIGINT) END AS tau_b_x1e6
         |FROM cd""".stripMargin,
+
+    "q_bradley_terry" -> bradleyTerryOracle(10),
 
     // per-type floored-micro mean predictor on the even half (negative
     // floor spelled out), micro residuals, the exact ceil-rank order

@@ -337,6 +337,34 @@ class EvaluationSpec extends AnyFunSuite {
       ("b", 1L, 1L, 0L, 2L, 1L, Some(1000000L), Some(1000000L))))
   }
 
+  test("bradleyTerry: exact two-item fixed point, zero-win sink, " +
+      "transitive ordering, NULL drop, empty input") {
+    import graft.analytics.Preference
+    def bt(rows: Seq[(String, String)]) =
+      Preference.bradleyTerry(rows.toDF("w", "l"), "w", "l")
+        .as[(String, Long, Long, Long)].collect().toSeq
+    // A beats B 3:1 — for two items BT strength IS the win fraction,
+    // and the micro MM recursion hits (750000, 250000) exactly in one
+    // round and stays there
+    val ab = Seq.fill(3)(("A", "B")) :+ (("B", "A"))
+    assert(bt(ab) == Seq(("A", 3L, 1L, 750000L), ("B", 1L, 3L, 250000L)))
+    // an item that never wins sinks to exactly 0
+    assert(bt(Seq(("A", "B"), ("A", "B"))) ==
+      Seq(("A", 2L, 0L, 1000000L), ("B", 0L, 2L, 0L)))
+    // a transitive tournament orders A > B > C
+    val chain = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"))
+    val r = bt(chain)
+    assert(r.map(_._1) == Seq("A", "B", "C"))
+    assert(r(0)._4 > r(1)._4 && r(1)._4 > r(2)._4)
+    // NULL sides carry no comparison; empty input → empty table
+    val dirty = Seq((Option("A"), Option("B")),
+      (Option.empty[String], Option("B")), (Option("A"), None))
+    assert(Preference.bradleyTerry(dirty.toDF("w", "l"), "w", "l")
+      .count() == 2L)
+    assert(bt(Seq.empty) == Seq.empty)
+  }
+
   test("conformalInterval: hand-computed ceil-rank threshold, test " +
       "coverage, infeasible-rank NULL, tie collapse, alpha bounds") {
     def ci(rows: Seq[(Boolean, Double, Double)], alpha: Long) =
