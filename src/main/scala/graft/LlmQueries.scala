@@ -151,6 +151,23 @@ object LlmQueries {
         .orderBy(col("rank_fp").desc, col("node")).limit(50)
     }),
 
+    // -- [EXT]: per-rater majority agreement over the q_kripp_alpha
+    //    panel — which rater drags the panel down; exact integer
+    //    majority (label-asc ties) and agreement micros
+    "q_rater_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val r1 = docs.select(col("doc_id"), lit("stored").as("rater"),
+        col("lang").as("v"))
+      val r2 = docs.select(col("doc_id"), lit("heuristic").as("rater"),
+        TextOps.languageId(col("text")).as("v"))
+      val r3 = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), lit("spot").as("rater"),
+          col("lang").as("v"))
+      graft.analytics.Evaluation.raterAgreement(
+          r1.unionByName(r2).unionByName(r3), "doc_id", "rater", "v")
+        .orderBy(col("rater"))
+    }),
+
     // -- A5 [EXT]: exact dedup on md5(normalized text), min doc_id wins
     "q_exact_dedup" -> ((s, dir) => {
       DedupOps.exactDedup(t(s, dir, "documents"), "text", "doc_id")
@@ -1408,6 +1425,29 @@ object LlmQueries {
          |      ELSE ((den - num) * 1000000) // den END AS BIGINT)
          |  END AS alpha_x1e6
          |FROM f""".stripMargin,
+
+    // unit majority via row_number over (count desc, label asc) — the
+    // engine's min_by(-count, label) tie order — then one rater
+    // aggregate; all non-negative integers, // is the floor
+    "q_rater_quality" ->
+      s"""WITH g AS MATERIALIZED ($langGuessSql),
+         |r AS (SELECT doc_id AS u, 'stored' AS rater, lang AS v FROM g
+         |      UNION ALL
+         |      SELECT doc_id, 'heuristic', guess FROM g
+         |      UNION ALL
+         |      SELECT doc_id, 'spot', lang FROM g WHERE doc_id % 2 = 0),
+         |uv AS (SELECT u, v, count(*) AS c FROM r GROUP BY 1, 2),
+         |m AS (SELECT u, v AS gold FROM (
+         |        SELECT u, v, row_number() OVER (PARTITION BY u
+         |          ORDER BY c DESC, v ASC) AS rn FROM uv)
+         |      WHERE rn = 1),
+         |a AS (SELECT rater, count(*)::BIGINT AS n_rated,
+         |        SUM(CASE WHEN r.v = m.gold THEN 1 ELSE 0 END)::BIGINT
+         |          AS n_agree
+         |      FROM r JOIN m USING (u) GROUP BY 1)
+         |SELECT rater, n_rated, n_agree,
+         |  CAST((n_agree * 1000000) // n_rated AS BIGINT) AS agree_x1e6
+         |FROM a ORDER BY rater""".stripMargin,
 
     // pooled-marginal clearing by N²n²(n−1) with the panel n = 2 as a
     // literal; units off the fixed panel drop (none here — both raters

@@ -688,6 +688,44 @@ object Evaluation {
       .toDF("n_units", "n_ratings", "alpha_x1e6")
   }
 
+  /** PER-RATER MAJORITY AGREEMENT — the rater-level diagnostic beside
+    * the panel-level kappas ([[cohensKappa]]/[[fleissKappa]]/
+    * [[krippendorffAlpha]] say whether the PANEL agrees; this says
+    * WHICH rater drags it down — the annotation-QA triage table):
+    * each unit's gold is the majority label over all its ratings
+    * (ties break label-asc — deterministic, engine-replayable), and
+    * each rater scores `agree_x1e6 = ⌊10⁶·#{matches}/#{rated}⌋`
+    * against it. Single-rating units keep their (trivially
+    * self-agreeing) vote — the caller filters if that flatters;
+    * rows with NULL unit/rater/value drop. One row per rater:
+    * (`rater`, `n_rated`, `n_agree`, `agree_x1e6`), rater asc.
+    *
+    * Shape: a (unit, value) count aggregate, a unit-keyed `min_by`
+    * majority reduction, one hash join back, and a rater aggregate —
+    * all exact integers. */
+  def raterAgreement(ratings: DataFrame, unitCol: String,
+      raterCol: String, valueCol: String): DataFrame = {
+    val base = ratings.filter(col(s"`$unitCol`").isNotNull &&
+        col(s"`$raterCol`").isNotNull && col(s"`$valueCol`").isNotNull)
+      .select(col(s"`$unitCol`").as("_u"),
+        col(s"`$raterCol`").cast("string").as("_r"),
+        col(s"`$valueCol`").cast("string").as("_v"))
+      .localCheckpoint(eager = false) // feeds majority AND the join
+    val majority = base.groupBy(col("_u"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("_u"))
+      .agg(min_by(col("_v"),
+        struct((-col("_c")).as("_nc"), col("_v"))).as("_gold"))
+    base.join(majority, Seq("_u"))
+      .groupBy(col("_r"))
+      .agg(count(lit(1)).as("n_rated"),
+        sum(when(col("_v") === col("_gold"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .select(col("_r").as("rater"), col("n_rated"), col("n_agree"),
+        ldiv(col("n_agree") * lit(1000000L), col("n_rated"))
+          .as("agree_x1e6"))
+  }
+
   /** FLEISS' KAPPA — chance-corrected agreement for a FIXED-SIZE rater
     * panel, completing the family: [[cohensKappa]] is two NAMED raters
     * (per-rater marginals), [[krippendorffAlpha]] tolerates missing

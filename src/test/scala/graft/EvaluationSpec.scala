@@ -457,6 +457,29 @@ class EvaluationSpec extends AnyFunSuite {
     assert(alpha(Seq(1L -> "a", 2L -> "b")) == ((0L, 0L, None)))
   }
 
+  test("raterAgreement: hand-traced majority with label-asc tie, " +
+      "single-rating self-agreement, NULL drop") {
+    // u1 x/x/y → gold x (C misses); u2 x vs y ties → label asc ⇒ x
+    // (B misses); u3 has only A's z (self-agrees).
+    // A 3/3, B 1/2, C 0/1
+    val rows = Seq((1L, "A", "x"), (1L, "B", "x"), (1L, "C", "y"),
+      (2L, "A", "x"), (2L, "B", "y"),
+      (3L, "A", "z"))
+    val r = Evaluation.raterAgreement(rows.toDF("u", "r", "v"),
+        "u", "r", "v")
+      .orderBy(col("rater"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("A", 3L, 3L, 1000000L), ("B", 2L, 1L, 500000L),
+      ("C", 1L, 0L, 0L)))
+    // NULL unit/rater/value rows carry no evidence
+    val dirty = rows.map { case (u, rt, v) =>
+      (Option(u), Option(rt), Option(v)) } :+
+      ((Option(1L), Option("A"), Option.empty[String]))
+    assert(Evaluation.raterAgreement(dirty.toDF("u", "r", "v"),
+      "u", "r", "v").orderBy(col("rater"))
+      .as[(String, Long, Long, Long)].collect().toSeq == r)
+  }
+
   test("fleissKappa: hand-solved 2-rater panel gives 1/3; balanced " +
       "perfect disagreement gives -1; off-panel units drop; one " +
       "category everywhere is undefined") {
