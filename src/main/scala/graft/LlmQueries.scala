@@ -802,6 +802,32 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- [EXT]: Herfindahl–Hirschman source concentration — how
+    //    dominated is the corpus by its biggest sources (Σ share²; the
+    //    reciprocal is the "effective number of sources" a mixing plan
+    //    actually draws from); exact integer squares, floored micros
+    "q_hhi" -> ((s, dir) =>
+      graft.analytics.Profiler.concentration(
+        t(s, dir, "documents"), "source")),
+
+    // -- [EXT]: tokenizer fertility per language — subword-tokens per
+    //    word (the tokenizer-efficiency number multilingual data work
+    //    budgets by: high-fertility languages pay more sequence length
+    //    per word); exact count sums, floored-micro ratio
+    "q_fertility" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents")
+        .filter(col("lang").isNotNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(txt).cast("long")).as("n_words"),
+          sum(TextOps.bpeTokenCount(txt).cast("long")).as("n_subwords"))
+        .withColumn("fertility_x1e6",
+          when(col("n_words") > 0L, graft.ops.Fixed.ldiv(
+            col("n_subwords") * lit(1000000L), col("n_words"))))
+        .orderBy(col("lang"))
+    }),
+
     // -- [EXT]: Zipf power-law fit — OLS slope of ln(tf) on ln(rank)
     //    over the top-1000 vocabulary (natural corpora slope ≈ −1; a
     //    synthetic or templated corpus shows up as a flat or kinked
@@ -2474,6 +2500,45 @@ object LlmQueries {
          |        tf.term ASC) AS rank
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // one source aggregate; Σn² in HUGEINT, both ratios floored micros
+    "q_hhi" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n
+        |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_sources,
+        |        CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+        |        COALESCE(SUM(CAST(n AS HUGEINT) * n), 0) AS sq
+        |      FROM s),
+        |h AS (SELECT n_sources, n_docs,
+        |        CASE WHEN n_docs > 0 THEN
+        |          CAST((sq * 1000000)
+        |            // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT)
+        |        END AS hhi_x1e6
+        |      FROM a)
+        |SELECT n_sources, n_docs, hhi_x1e6,
+        |  CASE WHEN hhi_x1e6 > 0 THEN
+        |    CAST(1000000000000 // hhi_x1e6 AS BIGINT)
+        |  END AS eff_sources_x1e6
+        |FROM h""".stripMargin,
+
+    // whitespace vs BPE-ish regex counts (the q_text_stats kernels)
+    // summed per language; non-negative // is the floor
+    "q_fertility" ->
+      s"""WITH d AS (
+         |  SELECT lang,
+         |    len($duckToks)::BIGINT AS w,
+         |    len(regexp_extract_all(text,
+         |      '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS b
+         |  FROM documents WHERE lang IS NOT NULL),
+         |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |        CAST(SUM(w) AS BIGINT) AS n_words,
+         |        CAST(SUM(b) AS BIGINT) AS n_subwords
+         |      FROM d GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_subwords,
+         |  CASE WHEN n_words > 0 THEN
+         |    CAST((n_subwords * 1000000) // n_words AS BIGINT)
+         |  END AS fertility_x1e6
+         |FROM g ORDER BY lang""".stripMargin,
 
     // top-1000 vocab head (tf desc, term asc), ln-micro quantization,
     // then the q_ols_group closed form on the 'corpus' literal group

@@ -807,4 +807,32 @@ object Profiler {
       .select(col("_cat").as("category"), col("n_a"), col("n_b"),
         col("rate_a_x1e6"), col("rate_b_x1e6"), col("psi_term"))
   }
+
+  /** HERFINDAHL–HIRSCHMAN concentration of a categorical column —
+    * the "how dominated is this corpus by its biggest sources" scalar
+    * a mixing plan reads before trusting per-source shares:
+    * HHI = Σ_s (n_s/N)², from 1/k (uniform over k) up to 1 (one
+    * source), with the reciprocal `eff_sources_x1e6` = the effective
+    * number of equally-sized sources. ONE row: (`n_sources`,
+    * `n_docs`, `hhi_x1e6 = ⌊10⁶·Σn²/N²⌋`,
+    * `eff_sources_x1e6 = ⌊10¹²/hhi_x1e6⌋`) — exact integers end to
+    * end; NULL categories drop; an empty input yields NULL ratios.
+    *
+    * Shape: one category aggregate + a 1-row reduction. */
+  def concentration(df: DataFrame, catCol: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    df.filter(col(s"`$catCol`").isNotNull)
+      .groupBy(col(s"`$catCol`")).agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("n_sources"),
+        coalesce(sum(col("_n")), lit(0L)).as("n_docs"),
+        coalesce(sum(dec(col("_n")) * col("_n")), dec(lit(0L)))
+          .as("_sq"))
+      .select(col("n_sources"), col("n_docs"),
+        when(col("n_docs") > 0L, ldiv(col("_sq") * lit(1000000L),
+          dec(col("n_docs")) * col("n_docs")).cast("long"))
+          .as("hhi_x1e6"))
+      .withColumn("eff_sources_x1e6",
+        when(col("hhi_x1e6") > 0L,
+          ldiv(lit(1000000000000L), col("hhi_x1e6"))))
+  }
 }

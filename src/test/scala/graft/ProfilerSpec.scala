@@ -417,4 +417,25 @@ class ProfilerSpec extends AnyFunSuite {
     val p = Profiler.profile(df, exactDistinct = true).collect()
     assert(p.map(_.getString(0)).toSet === Set("id", "weird name.dot"))
   }
+
+  test("concentration: hand-computed HHI, uniform and single-source " +
+      "poles, NULL drop, empty input") {
+    import graft.analytics.Profiler
+    def hhi(rows: Seq[Option[String]]) =
+      Profiler.concentration(rows.toDF("src"), "src")
+        .as[(Long, Long, Option[Long], Option[Long])].head()
+    // {a×3, b×1}: Σn²/N² = 10/16 ⇒ 625000; effective 1/0.625 = 1.6
+    assert(hhi(Seq("a", "a", "a", "b").map(Option(_))) ==
+      ((2L, 4L, Some(625000L), Some(1600000L))))
+    // uniform over 2 → HHI 1/2, effective exactly 2
+    assert(hhi(Seq("a", "a", "b", "b").map(Option(_))) ==
+      ((2L, 4L, Some(500000L), Some(2000000L))))
+    // a single source is maximal concentration
+    assert(hhi(Seq("a", "a").map(Option(_))) ==
+      ((1L, 2L, Some(1000000L), Some(1000000L))))
+    // NULL categories drop; all-NULL behaves as empty
+    assert(hhi(Seq(Option("a"), None)) ==
+      ((1L, 1L, Some(1000000L), Some(1000000L))))
+    assert(hhi(Seq(None)) == ((0L, 0L, None, None)))
+  }
 }
