@@ -220,6 +220,15 @@ object RelQueries {
         col("user_id") % 2 === 1, col("_day") >= col("_bnd"), "value")
     }),
 
+    // -- [EXT]: fixed-effect meta-analysis of the treatment effect
+    //    across event-type segments — inverse-variance pooled θ̂ plus
+    //    Cochran's Q / I² heterogeneity; per-segment terms floored to
+    //    micros so the cross-segment sums are order-free integers
+    "q_meta_effect" -> ((s, dir) => {
+      graft.analytics.Experiment.metaEffect(t(s, dir, "events"),
+        Seq("event_type"), col("user_id") % 2 === 1, "value")
+    }),
+
     // -- [EXT]: Bradley–Terry preference strengths — the
     //    reward-modeling primitive on pairwise comparisons. Preferences
     //    derive deterministically per user (of two event types both
@@ -4171,6 +4180,70 @@ object RelQueries {
         |FROM cd""".stripMargin,
 
     "q_bradley_terry" -> bradleyTerryOracle(10),
+
+    // per-segment Welch moments in HUGEINT, the engine's double chain
+    // for θ/se²/w, per-segment terms floored to micros (DuckDB floor()
+    // is the mathematical floor — negative θ terms need no spell-out),
+    // then order-free integer sums and the pinned Q/I² closed forms
+    "q_meta_effect" ->
+      """WITH b AS (
+        |  SELECT event_type AS seg, user_id % 2 = 1 AS w,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS ym
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND isfinite(value) AND user_id IS NOT NULL),
+        |sg AS (SELECT seg,
+        |         SUM(CASE WHEN NOT w THEN 1 ELSE 0 END)::BIGINT AS na,
+        |         SUM(CASE WHEN w THEN 1 ELSE 0 END)::BIGINT AS nb,
+        |         COALESCE(SUM(CASE WHEN NOT w
+        |           THEN CAST(ym AS HUGEINT) END), 0) AS sa,
+        |         COALESCE(SUM(CASE WHEN w
+        |           THEN CAST(ym AS HUGEINT) END), 0) AS sb,
+        |         COALESCE(SUM(CASE WHEN NOT w
+        |           THEN CAST(ym AS HUGEINT) * ym END), 0) AS qa,
+        |         COALESCE(SUM(CASE WHEN w
+        |           THEN CAST(ym AS HUGEINT) * ym END), 0) AS qb
+        |       FROM b GROUP BY 1),
+        |t AS (SELECT seg,
+        |        (sb::DOUBLE / 1000000.0) / nb::DOUBLE
+        |          - (sa::DOUBLE / 1000000.0) / na::DOUBLE AS th,
+        |        ((na::DOUBLE * (qa::DOUBLE / 1000000000000.0)
+        |            - (sa::DOUBLE / 1000000.0)
+        |              * (sa::DOUBLE / 1000000.0))
+        |          / (na::DOUBLE * (na::DOUBLE - 1.0))) / na::DOUBLE
+        |        + ((nb::DOUBLE * (qb::DOUBLE / 1000000000000.0)
+        |            - (sb::DOUBLE / 1000000.0)
+        |              * (sb::DOUBLE / 1000000.0))
+        |          / (nb::DOUBLE * (nb::DOUBLE - 1.0))) / nb::DOUBLE
+        |          AS se2
+        |      FROM sg WHERE na > 1 AND nb > 1),
+        |u AS (SELECT th, 1.0 / se2 AS wt FROM t WHERE se2 > 0.0),
+        |v AS (SELECT th, wt,
+        |        CAST(floor(wt * 1000000.0) AS HUGEINT) AS tw,
+        |        CAST(floor(wt * th * 1000000.0) AS HUGEINT) AS twt
+        |      FROM u),
+        |f AS (SELECT count(*)::BIGINT AS k,
+        |        COALESCE(SUM(tw), 0) AS swm,
+        |        COALESCE(SUM(twt), 0) AS swtm
+        |      FROM v),
+        |h AS (SELECT k, swm, swtm,
+        |        swtm::DOUBLE / swm::DOUBLE AS that FROM f),
+        |q AS (SELECT COALESCE(SUM(CAST(floor(wt
+        |          * (th - (SELECT that FROM h))
+        |          * (th - (SELECT that FROM h)) * 1000000.0)
+        |          AS HUGEINT)), 0) AS qm
+        |      FROM v)
+        |SELECT k,
+        |  CASE WHEN k > 0 THEN round(that, 6) END AS theta_fe,
+        |  CASE WHEN k > 0 THEN
+        |    round(sqrt(1000000.0 / swm::DOUBLE), 6) END AS se_fe,
+        |  CASE WHEN k > 0 THEN
+        |    round(qm::DOUBLE / 1000000.0, 6) END AS q_stat,
+        |  CASE WHEN k > 1 AND qm > 0 THEN
+        |    round(greatest((qm::DOUBLE / 1000000.0
+        |        - (k - 1)::DOUBLE) / (qm::DOUBLE / 1000000.0),
+        |      0.0), 6) END AS i2
+        |FROM h CROSS JOIN q""".stripMargin,
 
     // per-type floored-micro mean predictor on the even half (negative
     // floor spelled out), micro residuals, the exact ceil-rank order

@@ -964,6 +964,99 @@ object Experiment {
       })
   }
 
+  /** FIXED-EFFECT META-ANALYSIS across segments — the rollup layer of
+    * the test family ([[welchTTest]] reads ONE experiment;
+    * [[bhCorrect]] controls many TESTS; this POOLS many segment-level
+    * effects of the SAME metric into one estimate and asks whether
+    * the segments even agree): per segment the Welch effect
+    * θ_i = m_B − m_A with se²_i = s²_A/n_A + s²_B/n_B; the pooled
+    * effect is the inverse-variance mean θ̂ = Σw_iθ_i/Σw_i (w = 1/se²),
+    * heterogeneity is Cochran's Q = Σw_i(θ_i − θ̂)² and
+    * I² = max(0, (Q − (k−1))/Q) — the standard "is one number even
+    * meaningful" readout. ONE row: (`k`, `theta_fe`, `se_fe`,
+    * `q_stat`, `i2`, rounded at 6) over the k segments with BOTH arms
+    * ≥ 2 rows and positive se² (others carry no effect estimate);
+    * NULL readouts when k = 0, and NULL `i2` when Q = 0 or k = 1.
+    *
+    * Exactness: per-segment power sums are exact
+    * ([[welchTTest]]'s one-quantization Int128 discipline); every
+    * cross-segment sum quantizes its per-segment double term to
+    * floored micros FIRST (Σ⌊w·10⁶⌋, Σ⌊wθ·10⁶⌋, Σ⌊w(θ−θ̂)²·10⁶⌋) so
+    * the k-fold sums are order-free integers — a double Σ over
+    * segments would be partition-order-dependent. Like
+    * [[graft.analytics.Regression.olsByGroup]], floor(double)→long
+    * saturates past ±2⁶³ (a ~zero-variance segment makes w explode);
+    * the caller owns that range.
+    *
+    * Shape: one (segment, arm) conditional aggregate (k rows), then
+    * two k-row reductions (the second needs θ̂ — a 1-row broadcast).
+    * The 100 TB cost is the scan. */
+  def metaEffect(df: DataFrame, segmentCols: Seq[String], isB: Column,
+      metricCol: String): DataFrame = {
+    require(segmentCols.nonEmpty, "metaEffect needs segment columns")
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    val y = col(s"`$metricCol`").cast("double")
+    val gs = segmentCols.map(c => col(s"`$c`"))
+    val base = df.filter(y.isNotNull && !isnan(y) &&
+        abs(y) =!= lit(Double.PositiveInfinity) && isB.isNotNull)
+      .select(gs :+ isB.cast("boolean").as("_b") :+
+        floor(y * lit(1e6)).as("_ym"): _*)
+    val seg = base.groupBy(gs: _*)
+      .agg(
+        coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("_na"),
+        coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("_nb"),
+        int128Sum(when(!col("_b"), col("_ym"))).as("_sa"),
+        int128Sum(when(col("_b"), col("_ym"))).as("_sb"),
+        int128SumProd(when(!col("_b"), col("_ym")).otherwise(lit(0L)),
+          when(!col("_b"), col("_ym")).otherwise(lit(0L))).as("_qa"),
+        int128SumProd(when(col("_b"), col("_ym")).otherwise(lit(0L)),
+          when(col("_b"), col("_ym")).otherwise(lit(0L))).as("_qb"))
+    def d(c: Column) = c.cast("double") / lit(1e6)
+    def d12(c: Column) = c.cast("double") / lit(1e12)
+    def nD(c: Column) = c.cast("double")
+    def svar(n: Column, s: Column, q: Column) =
+      (nD(n) * d12(q) - d(s) * d(s)) / (nD(n) * (nD(n) - 1.0))
+    val theta = d(col("_sb")) / nD(col("_nb")) -
+      d(col("_sa")) / nD(col("_na"))
+    val se2 = svar(col("_na"), col("_sa"), col("_qa")) / nD(col("_na")) +
+      svar(col("_nb"), col("_sb"), col("_qb")) / nD(col("_nb"))
+    val ok = col("_na") > 1L && col("_nb") > 1L && se2 > 0.0
+    val terms = seg.filter(ok)
+      .select(theta.as("_th"), (lit(1.0) / se2).as("_w"))
+      .select(col("_th"), col("_w"),
+        floor(col("_w") * lit(1e6)).as("_tw"),
+        floor(col("_w") * col("_th") * lit(1e6)).as("_twt"))
+      .localCheckpoint(eager = false) // feeds both reductions
+    val first = terms.agg(count(lit(1)).as("k"),
+      coalesce(sum(col("_tw").cast("decimal(38,0)")), lit(0L)
+        .cast("decimal(38,0)")).as("_swm"),
+      coalesce(sum(col("_twt").cast("decimal(38,0)")), lit(0L)
+        .cast("decimal(38,0)")).as("_swtm"))
+    // ANSI divide raises on a zero divisor even for doubles, and this
+    // column exists before the k>0 gate — guard the empty-panel case
+    val withHat = first
+      .withColumn("_that", when(col("_swm") =!= 0,
+        col("_swtm").cast("double") / col("_swm").cast("double")))
+    val q = terms.crossJoin(broadcast(withHat.select(col("_that"))))
+      .agg(coalesce(sum(floor(col("_w") *
+          (col("_th") - col("_that")) * (col("_th") - col("_that")) *
+          lit(1e6)).cast("decimal(38,0)")),
+        lit(0L).cast("decimal(38,0)")).as("_qm"))
+    withHat.crossJoin(broadcast(q))
+      .select(col("k"),
+        when(col("k") > 0L, round(col("_that"), 6)).as("theta_fe"),
+        when(col("k") > 0L && col("_swm") =!= 0, round(
+          sqrt(lit(1e6) / col("_swm").cast("double")), 6)).as("se_fe"),
+        when(col("k") > 0L, round(
+          col("_qm").cast("double") / lit(1e6), 6)).as("q_stat"),
+        when(col("k") > 1L && col("_qm") > 0L, round(
+          greatest((col("_qm").cast("double") / lit(1e6) -
+            nD(col("k") - lit(1L))) /
+            (col("_qm").cast("double") / lit(1e6)), lit(0.0)), 6))
+          .as("i2"))
+  }
+
   /** PROPENSITY-STRATIFIED ATE — the observational-causal member of
     * the family ([[abTest]]/[[cuped]] assume randomized assignment;
     * [[diffInDiff]] leans on parallel trends; this one adjusts for

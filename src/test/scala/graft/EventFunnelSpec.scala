@@ -521,6 +521,37 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(1) === 3L)
   }
 
+  test("metaEffect: hand-computed inverse-variance pool, Cochran Q " +
+      "and I2, thin-segment exclusion, single-segment NULL I2") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    def meta(rows: Seq[(String, Long, Double)]) =
+      Experiment.metaEffect(rows.toDF("seg", "v", "y"), Seq("seg"),
+          col("v") === 1L, "y")
+        .as[(Long, Option[Double], Option[Double], Option[Double],
+          Option[Double])].head()
+    // seg1: θ=3, se²=2, w=.5; seg2: θ=7, se²=8, w=.125 ⇒
+    // θ̂ = (1.5+0.875)/(0.5+0.125) = 3.8, se = √1.6 = 1.264911,
+    // Q = .5·.8² + .125·3.2² = 1.6 — the seg1 micro term floors one
+    // ulp short (319999), so Q reads 1.599999; I² still rounds .375
+    val rows = Seq(
+      ("s1", 0L, 0.0), ("s1", 0L, 2.0), ("s1", 1L, 3.0), ("s1", 1L, 5.0),
+      ("s2", 0L, 0.0), ("s2", 0L, 4.0), ("s2", 1L, 7.0), ("s2", 1L, 11.0))
+    assert(meta(rows) == ((2L, Some(3.8), Some(1.264911),
+      Some(1.599999), Some(0.375))))
+    // a segment with a 1-row arm has no se² — excluded, k unchanged
+    val thin = rows ++ Seq(("s3", 0L, 1.0), ("s3", 1L, 2.0))
+    assert(meta(thin) == ((2L, Some(3.8), Some(1.264911),
+      Some(1.599999), Some(0.375))))
+    // one segment: pooled = itself, Q = 0, I² undefined
+    val solo = rows.filter(_._1 == "s1")
+    val rs = meta(solo)
+    assert(rs._1 == 1L && rs._2 == Some(3.0) && rs._4 == Some(0.0) &&
+      rs._5.isEmpty)
+    // no eligible segment at all
+    assert(meta(Seq(("s1", 0L, 1.0), ("s1", 1L, 2.0)))._1 == 0L)
+  }
+
   test("stratifiedAte: hand-computed stratum terms, whole-value " +
       "banding, missing-arm NULLs, tied scores never split") {
     import graft.analytics.Experiment
