@@ -1429,6 +1429,15 @@ object RelQueries {
         col("event_type") === "purchase")
     }),
 
+    // -- [EXT]: risk ratio / odds ratio with log-normal 95% CIs — the
+    //    effect-size readout beside q_ab_test's z; exact counts, one
+    //    pinned ln/exp double chain
+    "q_risk_ratio" -> ((s, dir) => {
+      graft.analytics.Experiment.riskRatio(t(s, dir, "events"),
+        "user_id", col("user_id") % 2 === 1,
+        col("event_type") === "purchase")
+    }),
+
     // -- [EXT]: sample-ratio-mismatch check — the assignment-integrity
     //    gate before any A/B readout, against a deliberately non-even
     //    1/3 design (exercises the general num/(den-num) algebra); the
@@ -3649,6 +3658,53 @@ object RelQueries {
         |  CASE WHEN n > 0 THEN
         |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
         |  END AS srm
+        |FROM m""".stripMargin,
+
+    // the q_ab_test user CTE; the engine's ln/exp delta-method chain
+    // verbatim, all guarded on non-degenerate 2×2 cells
+    "q_risk_ratio" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 = 1 AS b,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN c END), 0)
+        |          AS BIGINT) AS x_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN c END), 0)
+        |          AS BIGINT) AS x_b
+        |      FROM u),
+        |m AS (SELECT *,
+        |        x_a > 0 AND x_b > 0 AND x_a < n_a AND x_b < n_b AS ok,
+        |        ln((x_b::DOUBLE / n_b::DOUBLE)
+        |          / (x_a::DOUBLE / n_a::DOUBLE)) AS lrr,
+        |        sqrt(1.0 / x_b::DOUBLE - 1.0 / n_b::DOUBLE
+        |          + 1.0 / x_a::DOUBLE - 1.0 / n_a::DOUBLE) AS srr,
+        |        ln((x_b::DOUBLE * (n_a - x_a)::DOUBLE)
+        |          / (x_a::DOUBLE * (n_b - x_b)::DOUBLE)) AS lor,
+        |        sqrt(1.0 / x_b::DOUBLE + 1.0 / (n_b - x_b)::DOUBLE
+        |          + 1.0 / x_a::DOUBLE + 1.0 / (n_a - x_a)::DOUBLE)
+        |          AS sor
+        |      FROM w WHERE n_a > 0 AND n_b > 0 AND x_a > 0 AND x_b > 0
+        |        AND x_a < n_a AND x_b < n_b
+        |      UNION ALL
+        |      SELECT *, FALSE, NULL, NULL, NULL, NULL FROM w
+        |      WHERE NOT (n_a > 0 AND n_b > 0 AND x_a > 0 AND x_b > 0
+        |        AND x_a < n_a AND x_b < n_b))
+        |SELECT n_a, x_a, n_b, x_b,
+        |  CASE WHEN ok THEN round(exp(lrr), 6) END AS rr,
+        |  CASE WHEN ok THEN round(exp(lrr + -1.96 * srr), 6)
+        |  END AS rr_lo,
+        |  CASE WHEN ok THEN round(exp(lrr + 1.96 * srr), 6)
+        |  END AS rr_hi,
+        |  CASE WHEN ok THEN round(exp(lor), 6) END AS odds_ratio,
+        |  CASE WHEN ok THEN round(exp(lor + -1.96 * sor), 6)
+        |  END AS or_lo,
+        |  CASE WHEN ok THEN round(exp(lor + 1.96 * sor), 6)
+        |  END AS or_hi
         |FROM m""".stripMargin,
 
     "q_ab_test" ->

@@ -71,6 +71,57 @@ object Experiment {
         "z_score", "significant")
   }
 
+  /** RISK RATIO / ODDS RATIO with log-normal CIs — the effect-SIZE
+    * readout beside [[abTest]]'s significance z (a z-score says "not
+    * chance"; RR = r_B/r_A and OR = odds_B/odds_A say "how big", in
+    * the units epidemiology and growth teams quote): 95% intervals
+    * via the delta method on the log scale,
+    * ln RR ± 1.96·√(1/x_B − 1/n_B + 1/x_A − 1/n_A) and
+    * ln OR ± 1.96·√(1/x_B + 1/(n_B−x_B) + 1/x_A + 1/(n_A−x_A)).
+    * ONE row: (`n_a`, `x_a`, `n_b`, `x_b`, `rr`, `rr_lo`, `rr_hi`,
+    * `odds_ratio`, `or_lo`, `or_hi`, rounded at 6). Any zero
+    * contingency cell (no conversions, or full conversion, on either
+    * arm) makes the log-scale se undefined → NULL readouts (the
+    * standard add-0.5 correction is a modeling choice left to the
+    * caller). User-level conversion via the [[abTest]] convention
+    * (max over a user's rows; NULL-`isB` rows don't assign).
+    *
+    * Determinism: counts are exact; ratios/CIs are one pinned-order
+    * double chain (ln/exp replay across engines — the corpus-stats
+    * logprob precedent). Shape: one user aggregate + one conditional
+    * reduction — a scalar readout at any scale. */
+  def riskRatio(events: DataFrame, userCol: String, isB: Column,
+      converted: Column): DataFrame = {
+    val users = events
+      .groupBy(col(userCol).as("_u"), isB.as("_b"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("_c"))
+    val d = (c: Column) => c.cast("double")
+    val agg = users.agg(
+      coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+      coalesce(sum(when(!col("_b"), col("_c"))), lit(0L)).as("x_a"),
+      coalesce(sum(when(col("_b"), col("_c"))), lit(0L)).as("x_b"))
+    val cellsOk = col("x_a") > 0L && col("x_b") > 0L &&
+      col("x_a") < col("n_a") && col("x_b") < col("n_b")
+    def ci(logPoint: Column, se: Column, sign: Double) =
+      when(cellsOk, round(exp(logPoint + lit(sign * 1.96) * se), 6))
+    val lnRr = log((d(col("x_b")) / d(col("n_b"))) /
+      (d(col("x_a")) / d(col("n_a"))))
+    val seRr = sqrt(lit(1.0) / d(col("x_b")) - lit(1.0) / d(col("n_b"))
+      + lit(1.0) / d(col("x_a")) - lit(1.0) / d(col("n_a")))
+    val lnOr = log((d(col("x_b")) * d(col("n_a") - col("x_a"))) /
+      (d(col("x_a")) * d(col("n_b") - col("x_b"))))
+    val seOr = sqrt(lit(1.0) / d(col("x_b")) +
+      lit(1.0) / d(col("n_b") - col("x_b")) +
+      lit(1.0) / d(col("x_a")) +
+      lit(1.0) / d(col("n_a") - col("x_a")))
+    agg.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(cellsOk, round(exp(lnRr), 6)).as("rr"),
+      ci(lnRr, seRr, -1.0).as("rr_lo"), ci(lnRr, seRr, 1.0).as("rr_hi"),
+      when(cellsOk, round(exp(lnOr), 6)).as("odds_ratio"),
+      ci(lnOr, seOr, -1.0).as("or_lo"), ci(lnOr, seOr, 1.0).as("or_hi"))
+  }
+
   /** SAMPLE-RATIO-MISMATCH (SRM) CHECK — the assignment-integrity gate
     * that must pass before any readout from [[abTest]]/[[cuped]] is
     * trusted: if the observed variant split deviates from the designed

@@ -521,6 +521,33 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(1) === 3L)
   }
 
+  test("riskRatio: hand-computed 2x2 RR/OR with log-normal CIs, " +
+      "zero-cell NULLs, max-over-user conversion") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    def rr(rows: Seq[(Long, Long, Long)]) =
+      Experiment.riskRatio(rows.toDF("u", "b", "conv"), "u",
+          col("b") === 1L, col("conv") === 1L)
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+          Option[Double], Option[Double], Option[Double],
+          Option[Double])].head()
+    // A: 1/4 convert, B: 2/4 ⇒ RR = 2, OR = (2·3)/(1·2) = 3;
+    // CIs from exp(ln ± 1.96·se) on the delta-method ses
+    val rows = Seq((1L, 0L, 1L), (2L, 0L, 0L), (3L, 0L, 0L),
+      (4L, 0L, 0L), (5L, 1L, 1L), (6L, 1L, 1L), (7L, 1L, 0L),
+      (8L, 1L, 0L))
+    assert(rr(rows) == ((4L, 1L, 4L, 2L, Some(2.0), Some(0.281717),
+      Some(14.198654), Some(3.0), Some(0.150268), Some(59.893126))))
+    // a zero cell (no A conversions) has no log-scale se
+    val zero = rows.map { case (u, b, c) => (u, b, if (b == 0L) 0L else c) }
+    val rz = rr(zero)
+    assert(rz._2 == 0L && rz._5.isEmpty && rz._8.isEmpty)
+    // conversion is max over a user's rows — a repeat visit with a
+    // conversion flips the user once
+    val multi = rows ++ Seq((2L, 0L, 1L))
+    assert(rr(multi)._2 == 2L)
+  }
+
   test("metaEffect: hand-computed inverse-variance pool, Cochran Q " +
       "and I2, thin-segment exclusion, single-segment NULL I2") {
     import graft.analytics.Experiment
