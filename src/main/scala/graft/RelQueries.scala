@@ -4273,22 +4273,44 @@ object RelQueries {
         |          / (nb::DOUBLE * (nb::DOUBLE - 1.0))) / nb::DOUBLE
         |          AS se2
         |      FROM sg WHERE na > 1 AND nb > 1),
-        |u AS (SELECT th, 1.0 / se2 AS wt FROM t WHERE se2 > 0.0),
-        |v AS (SELECT th, wt,
+        |u AS (SELECT th, se2, 1.0 / se2 AS wt FROM t WHERE se2 > 0.0),
+        |v AS (SELECT th, se2, wt,
         |        CAST(floor(wt * 1000000.0) AS HUGEINT) AS tw,
-        |        CAST(floor(wt * th * 1000000.0) AS HUGEINT) AS twt
+        |        CAST(floor(wt * th * 1000000.0) AS HUGEINT) AS twt,
+        |        CAST(floor(wt * wt * 1000000.0) AS HUGEINT) AS tw2
         |      FROM u),
         |f AS (SELECT count(*)::BIGINT AS k,
         |        COALESCE(SUM(tw), 0) AS swm,
-        |        COALESCE(SUM(twt), 0) AS swtm
+        |        COALESCE(SUM(twt), 0) AS swtm,
+        |        COALESCE(SUM(tw2), 0) AS sw2m
         |      FROM v),
-        |h AS (SELECT k, swm, swtm,
+        |h AS (SELECT k, swm, swtm, sw2m,
         |        swtm::DOUBLE / swm::DOUBLE AS that FROM f),
         |q AS (SELECT COALESCE(SUM(CAST(floor(wt
         |          * (th - (SELECT that FROM h))
         |          * (th - (SELECT that FROM h)) * 1000000.0)
         |          AS HUGEINT)), 0) AS qm
-        |      FROM v)
+        |      FROM v),
+        |x AS (SELECT k, swm, swtm, sw2m, that, qm,
+        |        CASE WHEN k > 1 AND swm <> 0
+        |            AND (swm::DOUBLE / 1000000.0
+        |              - (sw2m::DOUBLE / 1000000.0)
+        |                / (swm::DOUBLE / 1000000.0)) > 0.0
+        |          THEN greatest((qm::DOUBLE / 1000000.0
+        |              - (k - 1)::DOUBLE)
+        |            / (swm::DOUBLE / 1000000.0
+        |              - (sw2m::DOUBLE / 1000000.0)
+        |                / (swm::DOUBLE / 1000000.0)), 0.0)
+        |          ELSE 0.0 END AS tau2
+        |      FROM h CROSS JOIN q),
+        |re AS (SELECT
+        |         COALESCE(SUM(CAST(floor(1.0
+        |           / (se2 + (SELECT tau2 FROM x)) * 1000000.0)
+        |           AS HUGEINT)), 0) AS srw,
+        |         COALESCE(SUM(CAST(floor(th
+        |           / (se2 + (SELECT tau2 FROM x)) * 1000000.0)
+        |           AS HUGEINT)), 0) AS srwt
+        |       FROM v)
         |SELECT k,
         |  CASE WHEN k > 0 THEN round(that, 6) END AS theta_fe,
         |  CASE WHEN k > 0 THEN
@@ -4298,8 +4320,13 @@ object RelQueries {
         |  CASE WHEN k > 1 AND qm > 0 THEN
         |    round(greatest((qm::DOUBLE / 1000000.0
         |        - (k - 1)::DOUBLE) / (qm::DOUBLE / 1000000.0),
-        |      0.0), 6) END AS i2
-        |FROM h CROSS JOIN q""".stripMargin,
+        |      0.0), 6) END AS i2,
+        |  CASE WHEN k > 0 THEN round(tau2, 6) END AS tau2,
+        |  CASE WHEN k > 0 AND srw <> 0 THEN
+        |    round(srwt::DOUBLE / srw::DOUBLE, 6) END AS theta_re,
+        |  CASE WHEN k > 0 AND srw <> 0 THEN
+        |    round(sqrt(1000000.0 / srw::DOUBLE), 6) END AS se_re
+        |FROM x CROSS JOIN re""".stripMargin,
 
     // per-type floored-micro mean predictor on the even half (negative
     // floor spelled out), micro residuals, the exact ceil-rank order

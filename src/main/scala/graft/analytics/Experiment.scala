@@ -1024,8 +1024,12 @@ object Experiment {
     * effect is the inverse-variance mean θ̂ = Σw_iθ_i/Σw_i (w = 1/se²),
     * heterogeneity is Cochran's Q = Σw_i(θ_i − θ̂)² and
     * I² = max(0, (Q − (k−1))/Q) — the standard "is one number even
-    * meaningful" readout. ONE row: (`k`, `theta_fe`, `se_fe`,
-    * `q_stat`, `i2`, rounded at 6) over the k segments with BOTH arms
+    * meaningful" readout — plus the RANDOM-EFFECTS pair: DerSimonian–
+    * Laird τ² = max(0, (Q − (k−1))/(Σw − Σw²/Σw)) and the re-weighted
+    * (w* = 1/(se² + τ²)) pooled `theta_re`/`se_re` (≡ FE when the
+    * segments agree, wider when they don't). ONE row: (`k`,
+    * `theta_fe`, `se_fe`, `q_stat`, `i2`, `tau2`, `theta_re`,
+    * `se_re`, rounded at 6) over the k segments with BOTH arms
     * ≥ 2 rows and positive se² (others carry no effect estimate);
     * NULL readouts when k = 0, and NULL `i2` when Q = 0 or k = 1.
     *
@@ -1040,8 +1044,8 @@ object Experiment {
     * the caller owns that range.
     *
     * Shape: one (segment, arm) conditional aggregate (k rows), then
-    * two k-row reductions (the second needs θ̂ — a 1-row broadcast).
-    * The 100 TB cost is the scan. */
+    * three k-row reductions (Q needs θ̂, the RE pass needs τ² — 1-row
+    * broadcasts). The 100 TB cost is the scan. */
   def metaEffect(df: DataFrame, segmentCols: Seq[String], isB: Column,
       metricCol: String): DataFrame = {
     require(segmentCols.nonEmpty, "metaEffect needs segment columns")
@@ -1074,16 +1078,19 @@ object Experiment {
       svar(col("_nb"), col("_sb"), col("_qb")) / nD(col("_nb"))
     val ok = col("_na") > 1L && col("_nb") > 1L && se2 > 0.0
     val terms = seg.filter(ok)
-      .select(theta.as("_th"), (lit(1.0) / se2).as("_w"))
-      .select(col("_th"), col("_w"),
+      .select(theta.as("_th"), se2.as("_s2"), (lit(1.0) / se2).as("_w"))
+      .select(col("_th"), col("_s2"), col("_w"),
         floor(col("_w") * lit(1e6)).as("_tw"),
-        floor(col("_w") * col("_th") * lit(1e6)).as("_twt"))
-      .localCheckpoint(eager = false) // feeds both reductions
+        floor(col("_w") * col("_th") * lit(1e6)).as("_twt"),
+        floor(col("_w") * col("_w") * lit(1e6)).as("_tw2"))
+      .localCheckpoint(eager = false) // feeds all three reductions
     val first = terms.agg(count(lit(1)).as("k"),
       coalesce(sum(col("_tw").cast("decimal(38,0)")), lit(0L)
         .cast("decimal(38,0)")).as("_swm"),
       coalesce(sum(col("_twt").cast("decimal(38,0)")), lit(0L)
-        .cast("decimal(38,0)")).as("_swtm"))
+        .cast("decimal(38,0)")).as("_swtm"),
+      coalesce(sum(col("_tw2").cast("decimal(38,0)")), lit(0L)
+        .cast("decimal(38,0)")).as("_sw2m"))
     // ANSI divide raises on a zero divisor even for doubles, and this
     // column exists before the k>0 gate — guard the empty-panel case
     val withHat = first
@@ -1094,7 +1101,28 @@ object Experiment {
           (col("_th") - col("_that")) * (col("_th") - col("_that")) *
           lit(1e6)).cast("decimal(38,0)")),
         lit(0L).cast("decimal(38,0)")).as("_qm"))
-    withHat.crossJoin(broadcast(q))
+    // DerSimonian–Laird: τ² = max(0, (Q − (k−1)) / (Σw − Σw²/Σw));
+    // a third pass re-weights by w* = 1/(se² + τ²). k ≤ 1 or a
+    // non-positive moment denominator pins τ² = 0 (RE ≡ FE there).
+    val scalars = withHat.crossJoin(broadcast(q))
+      .withColumn("_tau2", {
+        val sw = col("_swm").cast("double") / lit(1e6)
+        val sw2 = col("_sw2m").cast("double") / lit(1e6)
+        val den = sw - sw2 / sw
+        when(col("k") > 1L && col("_swm") =!= 0 && den > 0.0,
+          greatest((col("_qm").cast("double") / lit(1e6) -
+            nD(col("k") - lit(1L))) / den, lit(0.0)))
+          .otherwise(lit(0.0))
+      })
+    val re = terms.crossJoin(broadcast(scalars.select(col("_tau2"))))
+      .agg(
+        coalesce(sum(floor(lit(1.0) / (col("_s2") + col("_tau2")) *
+          lit(1e6)).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("_srw"),
+        coalesce(sum(floor(col("_th") / (col("_s2") + col("_tau2")) *
+          lit(1e6)).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)")).as("_srwt"))
+    scalars.crossJoin(broadcast(re))
       .select(col("k"),
         when(col("k") > 0L, round(col("_that"), 6)).as("theta_fe"),
         when(col("k") > 0L && col("_swm") =!= 0, round(
@@ -1105,7 +1133,13 @@ object Experiment {
           greatest((col("_qm").cast("double") / lit(1e6) -
             nD(col("k") - lit(1L))) /
             (col("_qm").cast("double") / lit(1e6)), lit(0.0)), 6))
-          .as("i2"))
+          .as("i2"),
+        when(col("k") > 0L, round(col("_tau2"), 6)).as("tau2"),
+        when(col("k") > 0L && col("_srw") =!= 0, round(
+          col("_srwt").cast("double") / col("_srw").cast("double"), 6))
+          .as("theta_re"),
+        when(col("k") > 0L && col("_srw") =!= 0, round(
+          sqrt(lit(1e6) / col("_srw").cast("double")), 6)).as("se_re"))
   }
 
   /** PROPENSITY-STRATIFIED ATE — the observational-causal member of

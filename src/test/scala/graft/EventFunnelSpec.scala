@@ -556,6 +556,7 @@ class EventFunnelSpec extends AnyFunSuite {
       Experiment.metaEffect(rows.toDF("seg", "v", "y"), Seq("seg"),
           col("v") === 1L, "y")
         .as[(Long, Option[Double], Option[Double], Option[Double],
+          Option[Double], Option[Double], Option[Double],
           Option[Double])].head()
     // seg1: θ=3, se²=2, w=.5; seg2: θ=7, se²=8, w=.125 ⇒
     // θ̂ = (1.5+0.875)/(0.5+0.125) = 3.8, se = √1.6 = 1.264911,
@@ -564,17 +565,24 @@ class EventFunnelSpec extends AnyFunSuite {
     val rows = Seq(
       ("s1", 0L, 0.0), ("s1", 0L, 2.0), ("s1", 1L, 3.0), ("s1", 1L, 5.0),
       ("s2", 0L, 0.0), ("s2", 0L, 4.0), ("s2", 1L, 7.0), ("s2", 1L, 11.0))
+    // DL: Σw = .625, Σw² = .265625 ⇒ τ² = .599999/.2 = 2.999995;
+    // w* = {1/5, 1/11} (floored micros) ⇒ θ_RE 4.249999, se 1.85405
     assert(meta(rows) == ((2L, Some(3.8), Some(1.264911),
-      Some(1.599999), Some(0.375))))
+      Some(1.599999), Some(0.375), Some(2.999995), Some(4.249999),
+      Some(1.85405))))
     // a segment with a 1-row arm has no se² — excluded, k unchanged
     val thin = rows ++ Seq(("s3", 0L, 1.0), ("s3", 1L, 2.0))
     assert(meta(thin) == ((2L, Some(3.8), Some(1.264911),
-      Some(1.599999), Some(0.375))))
+      Some(1.599999), Some(0.375), Some(2.999995), Some(4.249999),
+      Some(1.85405))))
     // one segment: pooled = itself, Q = 0, I² undefined
     val solo = rows.filter(_._1 == "s1")
     val rs = meta(solo)
     assert(rs._1 == 1L && rs._2 == Some(3.0) && rs._4 == Some(0.0) &&
       rs._5.isEmpty)
+    // k = 1 pins τ² = 0: the RE pool degenerates to FE
+    assert(rs._6 == Some(0.0) && rs._7 == Some(3.0) &&
+      rs._8 == Some(1.414214))
     // no eligible segment at all
     assert(meta(Seq(("s1", 0L, 1.0), ("s1", 1L, 2.0)))._1 == 0L)
   }
