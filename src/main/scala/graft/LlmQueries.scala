@@ -828,6 +828,15 @@ object LlmQueries {
         .orderBy(col("lang"))
     }),
 
+    // -- [EXT]: top collocations by Dunning's G² — the phrase-discovery
+    //    pass before tokenizer training (pairs co-occurring beyond their
+    //    unigram rates); exact 2×2 bigram-token cells, pinned ln chain,
+    //    rounded before ranking
+    "q_collocations" -> ((s, dir) => {
+      CorpusStats.collocations(t(s, dir, "documents"), "doc_id", "text",
+        k = 20, minCount = 5L)
+    }),
+
     // -- [EXT]: Zipf power-law fit — OLS slope of ln(tf) on ln(rank)
     //    over the top-1000 vocabulary (natural corpora slope ≈ −1; a
     //    synthetic or templated corpus shows up as a flat or kinked
@@ -2539,6 +2548,58 @@ object LlmQueries {
          |    CAST((n_subwords * 1000000) // n_words AS BIGINT)
          |  END AS fertility_x1e6
          |FROM g ORDER BY lang""".stripMargin,
+
+    // the q_bigram_logprob pairing; margins from the bigram-count
+    // frame; zero cells contribute 0 (their E is 0 by the margin
+    // identity — the CASE guards the ln); rank over the top-20 head
+    "q_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT list_filter(string_split($duckNorm, ' '),
+         |    x -> length(x) > 0) AS t
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i]))
+         |      AS w1,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i + 1]))
+         |      AS w2
+         |  FROM toks WHERE len(t) >= 2),
+         |cab AS (SELECT w1, w2, count(*)::BIGINT AS n_ab
+         |        FROM bg GROUP BY 1, 2),
+         |ca AS (SELECT w1, CAST(SUM(n_ab) AS BIGINT) AS n_a
+         |       FROM cab GROUP BY 1),
+         |cb AS (SELECT w2, CAST(SUM(n_ab) AS BIGINT) AS n_b
+         |       FROM cab GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cab),
+         |sc AS (SELECT w1, w2, n_ab, n_a, n_b,
+         |         round(2.0 * (
+         |           (CASE WHEN n_ab > 0 THEN n_ab::DOUBLE
+         |              * ln(n_ab::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE
+         |                / n::DOUBLE)) ELSE 0.0 END
+         |           + CASE WHEN n_a - n_ab > 0
+         |              THEN (n_a - n_ab)::DOUBLE
+         |              * ln((n_a - n_ab)::DOUBLE / (n_a::DOUBLE
+         |                * (n::DOUBLE - n_b::DOUBLE) / n::DOUBLE))
+         |              ELSE 0.0 END)
+         |           + CASE WHEN n_b - n_ab > 0
+         |              THEN (n_b - n_ab)::DOUBLE
+         |              * ln((n_b - n_ab)::DOUBLE
+         |                / ((n::DOUBLE - n_a::DOUBLE) * n_b::DOUBLE
+         |                  / n::DOUBLE)) ELSE 0.0 END
+         |           + CASE WHEN n - n_a - n_b + n_ab > 0
+         |              THEN (n - n_a - n_b + n_ab)::DOUBLE
+         |              * ln((n - n_a - n_b + n_ab)::DOUBLE
+         |                / ((n::DOUBLE - n_a::DOUBLE)
+         |                  * (n::DOUBLE - n_b::DOUBLE) / n::DOUBLE))
+         |              ELSE 0.0 END), 6) AS g2
+         |       FROM cab JOIN ca USING (w1) JOIN cb USING (w2)
+         |       CROSS JOIN nn
+         |       WHERE n_ab >= 5),
+         |topk AS (SELECT * FROM sc
+         |         ORDER BY g2 DESC, w1 ASC, w2 ASC LIMIT 20)
+         |SELECT row_number() OVER (ORDER BY g2 DESC, w1 ASC, w2 ASC)
+         |    AS rank,
+         |  w1, w2, n_ab, n_a, n_b, g2
+         |FROM topk ORDER BY rank""".stripMargin,
 
     // top-1000 vocab head (tf desc, term asc), ln-micro quantization,
     // then the q_ols_group closed form on the 'corpus' literal group

@@ -337,6 +337,73 @@ object CorpusStats {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))
           .as("bigram")))
 
+  /** COLLOCATIONS by Dunning's log-likelihood ratio G² — the
+    * corpus-linguistics keyphrase extractor ([[tfidfTopTerms]] ranks
+    * single terms; this finds PAIRS that co-occur far more than their
+    * unigram rates predict — "new york", "machine learning" — the
+    * phrase-vocabulary step before tokenizer training; Dunning 1993's
+    * G² is the standard because it stays calibrated at low counts
+    * where PMI explodes): per adjacent bigram (a, b) the 2×2
+    * bigram-token contingency {O₁₁ = c(ab), O₁₂ = c(a·)−O₁₁,
+    * O₂₁ = c(·b)−O₁₁, O₂₂ = n−c(a·)−c(·b)+O₁₁} scores
+    * G² = 2·Σ O·ln(O/E) (zero cells contribute 0; their E is then
+    * also 0 by the margin identity). Top-`k` bigrams with
+    * c(ab) ≥ `minCount`, ties (G² desc, w1 asc, w2 asc). Returns
+    * (`rank`, `w1`, `w2`, `n_ab`, `n_a`, `n_b`, `g2` rounded at 6).
+    *
+    * Determinism: all counts exact; G² is one pinned-order double
+    * chain (left-associated cell sum, single ln per cell), rounded
+    * BEFORE ranking.
+    *
+    * Scale: one bigram hash aggregate (data-sized input, bigram-vocab
+    * output) + two vocab-sized margin aggregates joined back by
+    * first/second word + a 1-row total broadcast; top-k plans as
+    * TakeOrderedAndProject, then the rank window runs over ≤ k
+    * rows. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val toks = filter(split(TextOps.normalize(col(textCol)), " "),
+      t => length(t) > 0)
+    val bg = df.select(toks.as("_t"))
+      .filter(size(col("_t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("_t")) - 1),
+        i => struct(element_at(col("_t"), i).as("w1"),
+          element_at(col("_t"), i + 1).as("w2")))).as("_p"))
+      .select(col("_p.w1"), col("_p.w2"))
+    val cab = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(eager = false) // feeds both margins AND the join
+    val ca = cab.groupBy(col("w1")).agg(sum(col("n_ab")).as("n_a"))
+    val cbn = cab.groupBy(col("w2")).agg(sum(col("n_ab")).as("n_b"))
+    val tot = broadcast(cab.agg(sum(col("n_ab")).as("_n")))
+    def d(c: Column) = c.cast("double")
+    def cell(o: Column, e: Column) =
+      when(o > 0L, d(o) * log(d(o) / e)).otherwise(lit(0.0))
+    val scored = cab.filter(col("n_ab") >= minCount)
+      .join(ca, Seq("w1")).join(cbn, Seq("w2")).crossJoin(tot)
+      .withColumn("g2", {
+        val (o11, nn) = (col("n_ab"), col("_n"))
+        val o12 = col("n_a") - o11
+        val o21 = col("n_b") - o11
+        val o22 = nn - col("n_a") - col("n_b") + o11
+        val (pa, pb) = (d(col("n_a")), d(col("n_b")))
+        val t11 = cell(o11, pa * pb / d(nn))
+        val t12 = cell(o12, pa * (d(nn) - pb) / d(nn))
+        val t21 = cell(o21, (d(nn) - pa) * pb / d(nn))
+        val t22 = cell(o22, (d(nn) - pa) * (d(nn) - pb) / d(nn))
+        round(lit(2.0) * (t11 + t12 + t21 + t22), 6)
+      })
+      .orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+    // rank window over the <= k head only, never the candidate table
+    val w = Window.orderBy(col("g2").desc, col("w1").asc, col("w2").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("w1"), col("w2"), col("n_ab"),
+        col("n_a"), col("n_b"), col("g2"))
+  }
+
   /** Tokenize-to-ids: encode each document as an array of integer token
     * ids under a vocabulary table — the encode step between curation and
     * packing. Ids are assigned by vocabulary rank (tf desc, term asc —

@@ -386,6 +386,28 @@ class CorpusStatsSpec extends AnyFunSuite {
       rg.getLong(4) == 1000000L)
   }
 
+  test("collocations: hand-computed Dunning G2 over a 12-bigram " +
+      "corpus, min-count filter, deterministic rank order") {
+    // bigram counts (a,b)=5 (a,c)=1 (d,b)=1 (d,e)=2 (f,c)=3, n=12:
+    // G2 = fc 8.997362 > de 6.994384 > ab 5.822063 > ac 1.551839 >
+    // db 0.451139 (each from the 2x2 margin table by hand)
+    val docs = (Seq.fill(5)("a b") ++ Seq("a c", "d b") ++
+      Seq.fill(2)("d e") ++ Seq.fill(3)("f c")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    def top(k: Int, mc: Long) =
+      CorpusStats.collocations(docs.toDF("doc_id", "text"),
+          "doc_id", "text", k, mc)
+        .as[(Int, String, String, Long, Long, Long, Double)]
+        .collect().toSeq
+    assert(top(3, 1L) == Seq(
+      (1, "f", "c", 3L, 3L, 4L, 8.997362),
+      (2, "d", "e", 2L, 3L, 2L, 6.994384),
+      (3, "a", "b", 5L, 6L, 6L, 5.822063)))
+    // min-count 3 drops the rare pairs; ranks close up
+    assert(top(5, 3L).map(r => (r._1, r._2, r._3)) ==
+      Seq((1, "f", "c"), (2, "a", "b")))
+  }
+
   test("zipf fit composition: an exactly-Zipfian vocabulary regresses " +
       "to slope -1 with r2 ~ 1 on the ranked head") {
     // tf = 24/rank exactly: {a:24, b:12, c:8, d:6} ⇒ ln tf =
