@@ -1429,6 +1429,19 @@ object RelQueries {
         col("event_type") === "purchase")
     }),
 
+    // -- [EXT]: Simpson's-paradox reversal check across hour-of-day
+    //    segments — does pooling flip the conversion-difference sign?
+    //    Exact integer cross-products, no doubles anywhere
+    "q_simpson" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("hour_seg",
+        pmod(graft.ops.Fixed.ldiv(col("ts_us"), lit(3600000000L)),
+          lit(24L)))
+      graft.analytics.Experiment.simpsonCheck(ev, "hour_seg",
+          "user_id", col("user_id") % 2 === 1,
+          col("event_type") === "purchase")
+        .orderBy(col("hour_seg"))
+    }),
+
     // -- [EXT]: risk ratio / odds ratio with log-normal 95% CIs — the
     //    effect-size readout beside q_ab_test's z; exact counts, one
     //    pinned ln/exp double chain
@@ -3659,6 +3672,55 @@ object RelQueries {
         |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
         |  END AS srm
         |FROM m""".stripMargin,
+
+    // per-(hour, user, arm) max-conversion, segment + pooled counts,
+    // HUGEINT cross-products for signs; the micro diffs spell out the
+    // negative floor (DuckDB // truncates)
+    "q_simpson" ->
+      """WITH u AS (
+        |  SELECT (epoch_us(ts) // 3600000000) % 24 AS hour_seg,
+        |    user_id, user_id % 2 = 1 AS b,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |s AS (SELECT hour_seg,
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN c END), 0)
+        |          AS BIGINT) AS x_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN c END), 0)
+        |          AS BIGINT) AS x_b
+        |      FROM u GROUP BY 1),
+        |p AS (SELECT CAST(SUM(n_a) AS BIGINT) AS pna,
+        |        CAST(SUM(n_b) AS BIGINT) AS pnb,
+        |        CAST(SUM(x_a) AS BIGINT) AS pxa,
+        |        CAST(SUM(x_b) AS BIGINT) AS pxb FROM s),
+        |d AS (SELECT s.*, p.*,
+        |        CAST(x_b AS HUGEINT) * n_a
+        |          - CAST(x_a AS HUGEINT) * n_b AS sc,
+        |        CAST(pxb AS HUGEINT) * pna
+        |          - CAST(pxa AS HUGEINT) * pnb AS pc
+        |      FROM s CROSS JOIN p)
+        |SELECT hour_seg, n_a, x_a, n_b, x_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(CASE WHEN (sc * 1000000)
+        |          % (CAST(n_a AS HUGEINT) * n_b) <> 0 AND sc < 0
+        |      THEN (sc * 1000000) // (CAST(n_a AS HUGEINT) * n_b) - 1
+        |      ELSE (sc * 1000000) // (CAST(n_a AS HUGEINT) * n_b)
+        |      END AS BIGINT)
+        |  END AS diff_x1e6,
+        |  CASE WHEN pna > 0 AND pnb > 0 THEN
+        |    CAST(CASE WHEN (pc * 1000000)
+        |          % (CAST(pna AS HUGEINT) * pnb) <> 0 AND pc < 0
+        |      THEN (pc * 1000000) // (CAST(pna AS HUGEINT) * pnb) - 1
+        |      ELSE (pc * 1000000) // (CAST(pna AS HUGEINT) * pnb)
+        |      END AS BIGINT)
+        |  END AS pooled_diff_x1e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND pna > 0 AND pnb > 0
+        |      AND sc <> 0 AND pc <> 0
+        |    THEN (sc > 0) <> (pc > 0) END AS reversed
+        |FROM d ORDER BY hour_seg""".stripMargin,
 
     // the q_ab_test user CTE; the engine's ln/exp delta-method chain
     // verbatim, all guarded on non-degenerate 2×2 cells

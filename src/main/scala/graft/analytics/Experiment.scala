@@ -71,6 +71,66 @@ object Experiment {
         "z_score", "significant")
   }
 
+  /** SIMPSON'S-PARADOX REVERSAL CHECK — the aggregation-integrity
+    * screen for any segmented readout ([[abTest]] pools; [[metaEffect]]
+    * pools with weights; this asks whether pooling FLIPS the sign —
+    * the classic admissions/kidney-stone trap where every segment
+    * favors A but the pool favors B because arms are unevenly
+    * distributed over segments): one row per segment with the arm
+    * counts, the conversion-rate difference
+    * `diff_x1e6 = ⌊10⁶·(x_B·n_A − x_A·n_B)/(n_A·n_B)⌋`, the pooled
+    * difference repeated (`pooled_diff_x1e6`), and `reversed` = this
+    * segment's STRICT sign opposes the pool's strict sign (NULL when
+    * either side of the comparison is undefined — a missing arm or a
+    * zero difference asserts nothing). Any reversed = true row means
+    * "do not quote the pooled number without a weighting argument."
+    *
+    * Exactness: signs come from the integer cross product
+    * x_B·n_A − x_A·n_B — no division, no doubles anywhere; the micro
+    * differences use [[graft.ops.Fixed.ldiv]] (decimal operands — no
+    * overflow at any count). User-level conversion via the [[abTest]]
+    * convention.
+    *
+    * Shape: one user aggregate, one (segment) conditional aggregate +
+    * a 1-row pooled broadcast. Returns rows segment-asc. */
+  def simpsonCheck(events: DataFrame, segmentCol: String,
+      userCol: String, isB: Column, converted: Column): DataFrame = {
+    val users = events
+      .groupBy(col(s"`$segmentCol`").as("_g"), col(userCol).as("_u"),
+        isB.as("_b"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("_c"))
+    val seg = users.groupBy(col("_g"))
+      .agg(
+        coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(!col("_b"), col("_c"))), lit(0L)).as("x_a"),
+        coalesce(sum(when(col("_b"), col("_c"))), lit(0L)).as("x_b"))
+    val pool = broadcast(seg.agg(
+      sum(col("n_a")).as("_pna"), sum(col("n_b")).as("_pnb"),
+      sum(col("x_a")).as("_pxa"), sum(col("x_b")).as("_pxb")))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def cross(xb: Column, na: Column, xa: Column, nb: Column) =
+      dec(xb) * dec(na) - dec(xa) * dec(nb)
+    def diff(xb: Column, na: Column, xa: Column, nb: Column) =
+      when(na > 0L && nb > 0L,
+        graft.ops.Fixed.ldiv(cross(xb, na, xa, nb) * lit(1000000L),
+          dec(na) * dec(nb)).cast("long"))
+    val segCross = cross(col("x_b"), col("n_a"), col("x_a"), col("n_b"))
+    val poolCross = cross(col("_pxb"), col("_pna"), col("_pxa"),
+      col("_pnb"))
+    seg.crossJoin(pool)
+      .select(col("_g").as(segmentCol), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        diff(col("x_b"), col("n_a"), col("x_a"), col("n_b"))
+          .as("diff_x1e6"),
+        diff(col("_pxb"), col("_pna"), col("_pxa"), col("_pnb"))
+          .as("pooled_diff_x1e6"),
+        when(col("n_a") > 0L && col("n_b") > 0L &&
+            col("_pna") > 0L && col("_pnb") > 0L &&
+            segCross =!= 0 && poolCross =!= 0,
+          (segCross > 0) =!= (poolCross > 0)).as("reversed"))
+  }
+
   /** RISK RATIO / ODDS RATIO with log-normal CIs — the effect-SIZE
     * readout beside [[abTest]]'s significance z (a z-score says "not
     * chance"; RR = r_B/r_A and OR = odds_B/odds_A say "how big", in

@@ -521,6 +521,34 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(1) === 3L)
   }
 
+  test("simpsonCheck: hand-built reversal (every segment favors B, " +
+      "the pool favors A), missing-arm and zero-diff NULLs") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    def sc(rows: Seq[(String, Long, Long, Long)]) =
+      Experiment.simpsonCheck(rows.toDF("g", "u", "b", "c"), "g", "u",
+          col("b") === 1L, col("c") === 1L)
+        .orderBy(col("g"))
+        .as[(String, Long, Long, Long, Long, Option[Long],
+          Option[Long], Option[Boolean])].collect().toSeq
+    // s1: A 0/1 vs B 1/5 (B +200000); s2: A 4/5 vs B 1/1 (B +200000);
+    // pooled: A 4/6 vs B 2/6 ⇒ −333334 (negative floor) — reversed
+    val rows = Seq(("s1", 1L, 0L, 0L)) ++
+      (2L to 6L).map(u => ("s1", u, 1L, if (u == 2L) 1L else 0L)) ++
+      (7L to 11L).map(u => ("s2", u, 0L, if (u == 11L) 0L else 1L)) ++
+      Seq(("s2", 12L, 1L, 1L))
+    assert(sc(rows) == Seq(
+      ("s1", 1L, 0L, 5L, 1L, Some(200000L), Some(-333334L), Some(true)),
+      ("s2", 5L, 4L, 1L, 1L, Some(200000L), Some(-333334L), Some(true))))
+    // a segment with no B arm asserts nothing; a zero-difference
+    // segment has no strict sign
+    val part = Seq(("s1", 1L, 0L, 1L), ("s1", 2L, 1L, 1L),
+      ("s2", 3L, 0L, 1L))
+    val r = sc(part)
+    assert(r(0)._6 == Some(0L) && r(0)._8.isEmpty) // tied s1
+    assert(r(1)._6.isEmpty && r(1)._8.isEmpty)     // armless s2
+  }
+
   test("riskRatio: hand-computed 2x2 RR/OR with log-normal CIs, " +
       "zero-cell NULLs, max-over-user conversion") {
     import graft.analytics.Experiment
