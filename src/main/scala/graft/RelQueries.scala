@@ -1429,6 +1429,21 @@ object RelQueries {
         col("event_type") === "purchase")
     }),
 
+    // -- [EXT]: covariate balance table — standardized mean differences
+    //    of value / hour-of-day / props length between the arms (the
+    //    exchangeability check shown before any causal readout); exact
+    //    Int128 power sums, the |SMD| < .1 convention
+    "q_cov_balance" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("hour_of_day",
+          pmod(graft.ops.Fixed.ldiv(col("ts_us"), lit(3600000000L)),
+            lit(24L)).cast("double"))
+        .withColumn("props_len", length(col("props")).cast("double"))
+      graft.analytics.Experiment.covariateBalance(ev,
+        col("user_id") % 2 === 1,
+        Seq("value", "hour_of_day", "props_len"))
+    }),
+
     // -- [EXT]: Simpson's-paradox reversal check across hour-of-day
     //    segments — does pooling flip the conversion-difference sign?
     //    Exact integer cross-products, no doubles anywhere
@@ -3672,6 +3687,58 @@ object RelQueries {
         |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
         |  END AS srm
         |FROM m""".stripMargin,
+
+    // UNION-ALL covariate stack, per-covariate complete cases, the
+    // welch HUGEINT power sums and the engine's pinned SMD chain
+    "q_cov_balance" ->
+      """WITH st AS (
+        |  SELECT 'value' AS covariate, user_id % 2 = 1 AS b,
+        |    value AS y FROM events
+        |  UNION ALL
+        |  SELECT 'hour_of_day', user_id % 2 = 1,
+        |    ((epoch_us(ts) // 3600000000) % 24)::DOUBLE FROM events
+        |  UNION ALL
+        |  SELECT 'props_len', user_id % 2 = 1,
+        |    length(props)::DOUBLE FROM events),
+        |f AS (SELECT covariate, b,
+        |        CAST(floor(y * 1000000.0) AS BIGINT) AS ym
+        |      FROM st WHERE b IS NOT NULL AND y IS NOT NULL
+        |        AND NOT isnan(y) AND isfinite(y)),
+        |a AS (SELECT covariate,
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        COALESCE(SUM(CASE WHEN NOT b
+        |          THEN CAST(ym AS HUGEINT) END), 0) AS sa,
+        |        COALESCE(SUM(CASE WHEN b
+        |          THEN CAST(ym AS HUGEINT) END), 0) AS sb,
+        |        COALESCE(SUM(CASE WHEN NOT b
+        |          THEN CAST(ym AS HUGEINT) * ym END), 0) AS qa,
+        |        COALESCE(SUM(CASE WHEN b
+        |          THEN CAST(ym AS HUGEINT) * ym END), 0) AS qb
+        |      FROM f GROUP BY 1),
+        |z AS (SELECT covariate, n_a, n_b,
+        |        (sa::DOUBLE / 1000000.0) / n_a::DOUBLE AS ma,
+        |        (sb::DOUBLE / 1000000.0) / n_b::DOUBLE AS mb,
+        |        ((n_a::DOUBLE * (qa::DOUBLE / 1000000000000.0)
+        |            - (sa::DOUBLE / 1000000.0)
+        |              * (sa::DOUBLE / 1000000.0))
+        |          / (n_a::DOUBLE * (n_a::DOUBLE - 1.0))
+        |         + (n_b::DOUBLE * (qb::DOUBLE / 1000000000000.0)
+        |            - (sb::DOUBLE / 1000000.0)
+        |              * (sb::DOUBLE / 1000000.0))
+        |          / (n_b::DOUBLE * (n_b::DOUBLE - 1.0))) / 2.0 AS sp2
+        |      FROM a)
+        |SELECT covariate, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0
+        |    THEN round((mb - ma) / sqrt(sp2), 6) END AS smd,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0
+        |    THEN abs(round((mb - ma) / sqrt(sp2), 6)) < 0.1
+        |  END AS balanced
+        |FROM z ORDER BY covariate""".stripMargin,
 
     // per-(hour, user, arm) max-conversion, segment + pooled counts,
     // HUGEINT cross-products for signs; the micro diffs spell out the

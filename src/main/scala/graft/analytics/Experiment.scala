@@ -71,6 +71,70 @@ object Experiment {
         "z_score", "significant")
   }
 
+  /** COVARIATE BALANCE TABLE (standardized mean differences) — the
+    * table every causal readout shows FIRST ([[stratifiedAte]] adjusts
+    * for confounding; this measures how much confounding there was to
+    * adjust: arms that differ on pre-treatment covariates beyond
+    * |SMD| ≈ 0.1 are not exchangeable without adjustment): one row per
+    * covariate with `n_a`/`n_b`, the arm means, Cohen's-d-style
+    * `smd = (m_B − m_A)/√((s²_A + s²_B)/2)` rounded at 6, and
+    * `balanced` = |rounded smd| < 0.1 (the conventional line). NULL
+    * smd/balanced when either arm has < 2 finite rows or both
+    * variances are 0. Rows with NULL arm or non-finite covariate drop
+    * PER COVARIATE (each covariate keeps its own complete cases).
+    *
+    * Exactness: covariates stack via one in-array explode (no
+    * per-covariate scan), each quantizes once to micros with
+    * [[welchTTest]]'s Int128 power-sum discipline, doubles only in
+    * the final pinned chain.
+    *
+    * Shape: one explode (×|covariates|, a literal-bounded fan-out) +
+    * one (covariate) conditional aggregate — the 100 TB cost is the
+    * scan. Rows covariate-asc. */
+  def covariateBalance(df: DataFrame, isB: Column,
+      covariateCols: Seq[String]): DataFrame = {
+    require(covariateCols.nonEmpty,
+      "covariateBalance needs at least one covariate")
+    import graft.functions.Int128Sum.int128Sum
+    import graft.functions.Int128SumProd.int128SumProd
+    val stacked = df.filter(isB.isNotNull)
+      .select(isB.cast("boolean").as("_b"),
+        explode(array(covariateCols.map(c =>
+          struct(lit(c).as("_cov"),
+            col(s"`$c`").cast("double").as("_y"))): _*)).as("_s"))
+      .select(col("_b"), col("_s._cov").as("_cov"), col("_s._y").as("_y"))
+      .filter(col("_y").isNotNull && !isnan(col("_y")) &&
+        abs(col("_y")) =!= lit(Double.PositiveInfinity))
+      .select(col("_cov"), col("_b"), floor(col("_y") * lit(1e6)).as("_ym"))
+    val agg = stacked.groupBy(col("_cov"))
+      .agg(
+        coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+        int128Sum(when(!col("_b"), col("_ym"))).as("_sa"),
+        int128Sum(when(col("_b"), col("_ym"))).as("_sb"),
+        int128SumProd(when(!col("_b"), col("_ym")).otherwise(lit(0L)),
+          when(!col("_b"), col("_ym")).otherwise(lit(0L))).as("_qa"),
+        int128SumProd(when(col("_b"), col("_ym")).otherwise(lit(0L)),
+          when(col("_b"), col("_ym")).otherwise(lit(0L))).as("_qb"))
+    def d(c: Column) = c.cast("double") / lit(1e6)
+    def d12(c: Column) = c.cast("double") / lit(1e12)
+    def nD(c: Column) = c.cast("double")
+    def svar(n: Column, s: Column, q: Column) =
+      (nD(n) * d12(q) - d(s) * d(s)) / (nD(n) * (nD(n) - 1.0))
+    val (na, nb) = (col("n_a"), col("n_b"))
+    val (ma, mb) = (d(col("_sa")) / nD(na), d(col("_sb")) / nD(nb))
+    val sp2 = (svar(na, col("_sa"), col("_qa")) +
+      svar(nb, col("_sb"), col("_qb"))) / 2.0
+    val ok = na > 1L && nb > 1L && sp2 > 0.0
+    agg.select(col("_cov").as("covariate"), na, nb,
+        when(na > 0L, round(ma, 6)).as("mean_a"),
+        when(nb > 0L, round(mb, 6)).as("mean_b"),
+        when(ok, round((mb - ma) / sqrt(sp2), 6)).as("smd"))
+      .withColumn("balanced",
+        when(col("smd").isNotNull, abs(col("smd")) < 0.1))
+      .orderBy(col("covariate"))
+  }
+
   /** SIMPSON'S-PARADOX REVERSAL CHECK — the aggregation-integrity
     * screen for any segmented readout ([[abTest]] pools; [[metaEffect]]
     * pools with weights; this asks whether pooling FLIPS the sign —

@@ -521,6 +521,34 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rd.getLong(1) === 3L)
   }
 
+  test("covariateBalance: hand-computed SMDs, per-covariate complete " +
+      "cases, zero-variance and thin-arm NULLs, balance line") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // x: A {1,2,3} vs B {4,6} ⇒ s² 1/2, sp² 1.5, smd 3/√1.5 = 2.449490
+    // (imbalanced); y: identical arms ⇒ smd 0, balanced; y also
+    // carries a NaN that drops ONLY y's row count
+    val df = Seq(
+      (0L, 1.0, 5.0), (0L, 2.0, Double.NaN), (0L, 3.0, 7.0),
+      (1L, 4.0, 5.0), (1L, 6.0, 7.0)).toDF("v", "x", "y")
+    val r = Experiment.covariateBalance(df, col("v") === 1L,
+        Seq("x", "y"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Boolean])].collect().toSeq
+    assert(r == Seq(
+      ("x", 3L, 2L, Some(2.0), Some(5.0), Some(2.44949), Some(false)),
+      ("y", 2L, 2L, Some(6.0), Some(6.0), Some(0.0), Some(true))))
+    // constant covariate: no spread to standardize by
+    val const = Seq((0L, 5.0), (0L, 5.0), (1L, 5.0), (1L, 5.0))
+      .toDF("v", "x")
+    assert(Experiment.covariateBalance(const, col("v") === 1L,
+      Seq("x")).head.isNullAt(5))
+    // a 1-row arm has no sample variance
+    val thin = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0)).toDF("v", "x")
+    assert(Experiment.covariateBalance(thin, col("v") === 1L,
+      Seq("x")).head.isNullAt(5))
+  }
+
   test("simpsonCheck: hand-built reversal (every segment favors B, " +
       "the pool favors A), missing-arm and zero-diff NULLs") {
     import graft.analytics.Experiment
