@@ -802,6 +802,17 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // -- [EXT]: Lorenz curve of token mass over documents — "the top
+    //    decile of docs holds X% of the tokens", the concentration
+    //    statement beside q_hhi/q_gini; exact tie-safe rank bands
+    "q_lorenz" -> ((s, dir) => {
+      graft.analytics.Profiler.lorenzCurve(
+          t(s, dir, "documents").withColumn("n_tokens",
+            TextOps.tokenCount(col("text")).cast("double")),
+          "n_tokens")
+        .orderBy(col("decile"))
+    }),
+
     // -- [EXT]: Herfindahl–Hirschman source concentration — how
     //    dominated is the corpus by its biggest sources (Σ share²; the
     //    reciprocal is the "effective number of sources" a mixing plan
@@ -2509,6 +2520,37 @@ object LlmQueries {
          |        tf.term ASC) AS rank
          |  FROM tf JOIN dfq USING (term) CROSS JOIN n)
          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // row-level replay of the engine's ascending rank bands (ties are
+    // interchangeable for both counts AND sums); all non-negative so
+    // // is the floor
+    "q_lorenz" ->
+      s"""WITH b AS (
+         |  SELECT CAST(floor((len($duckToks)::DOUBLE) * 1000000.0)
+         |    AS BIGINT) AS q
+         |  FROM documents),
+         |r AS (SELECT q,
+         |        row_number() OVER (ORDER BY q) - 1 AS rk,
+         |        count(*) OVER () AS n
+         |      FROM b),
+         |a AS (SELECT (rk * 10) // n AS decile, count(*)::BIGINT AS n_d,
+         |        SUM(CAST(q AS HUGEINT)) AS sm
+         |      FROM r GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n,
+         |        SUM(sm) AS tot FROM a),
+         |c AS (SELECT decile, n_d, sm,
+         |        SUM(n_d) OVER (ORDER BY decile) AS cum_n,
+         |        SUM(sm) OVER (ORDER BY decile) AS cs
+         |      FROM a)
+         |SELECT decile, n_d AS n, CAST(sm AS BIGINT) AS sum_x1e6,
+         |  CAST(cum_n AS BIGINT) AS cum_n,
+         |  CAST(cs AS BIGINT) AS cum_sum_x1e6,
+         |  CAST((CAST(cum_n AS HUGEINT) * 1000000)
+         |    // (SELECT n FROM t) AS BIGINT) AS pop_share_x1e6,
+         |  CASE WHEN (SELECT tot FROM t) > 0 THEN
+         |    CAST((cs * 1000000) // (SELECT tot FROM t) AS BIGINT)
+         |  END AS value_share_x1e6
+         |FROM c ORDER BY decile""".stripMargin,
 
     // one source aggregate; Σn² in HUGEINT, both ratios floored micros
     "q_hhi" ->

@@ -808,6 +808,78 @@ object Profiler {
         col("rate_a_x1e6"), col("rate_b_x1e6"), col("psi_term"))
   }
 
+  /** LORENZ CURVE table — the banded view behind [[gini]]'s scalar
+    * (gini says HOW unequal; the Lorenz deciles say WHERE the mass
+    * sits — "the top 10% of documents hold 60% of the tokens", the
+    * concentration statement data audits actually quote): rows band
+    * value-ASC into `buckets` rank bands (bucket(r) = ⌊r·B/n⌋ over
+    * 0-based ranks — the liftTable convention) and each band reports
+    * `n`, `sum_x1e6`, cumulative `cum_n`/`cum_sum_x1e6`, and the
+    * Lorenz point (`pop_share_x1e6 = ⌊10⁶·cum_n/N⌋`,
+    * `value_share_x1e6 = ⌊10⁶·cum_sum/total⌋` — NULL when the total
+    * is 0). Values must be NON-NEGATIVE (a Lorenz curve of signed
+    * values is undefined — negative rows drop loudly in the count);
+    * NULL/NaN/±Inf drop.
+    *
+    * Ties: rows tied on the micro-quantized value are interchangeable
+    * — a tie run split across a band boundary contributes value·count
+    * to each side, so the band SUMS are exact with no per-row
+    * convention at all (sharper than liftTable, which needed
+    * positives-first).
+    *
+    * Shape: one distinct-value aggregate + ONE [[graft.ops.PrefixSum]]
+    * range exchange + a ≤B-row overlap generator + a B-sized
+    * cumulative window. */
+  def lorenzCurve(df: DataFrame, valueCol: String, buckets: Int = 10)
+      : DataFrame = {
+    require(buckets >= 2, s"lorenzCurve needs >= 2 buckets, got $buckets")
+    val v = col(s"`$valueCol`").cast("double")
+    val bLit = lit(buckets.toLong)
+    val d = df.filter(v.isNotNull && !isnan(v) && v >= 0.0 &&
+        v =!= lit(Double.PositiveInfinity))
+      .select(floor(v * lit(1e6)).as("_q"))
+      .groupBy(col("_q")).agg(count(lit(1)).as("_t"))
+    val run = graft.ops.PrefixSum.runningSums(d, Seq(col("_q").asc),
+      Seq("_t" -> "_ft"))
+    val tot = broadcast(d.agg(
+      coalesce(sum(col("_t")), lit(0L)).as("_n"),
+      coalesce(sum(col("_q").cast("decimal(38,0)") * col("_t")),
+        lit(0L).cast("decimal(38,0)")).as("_tot")))
+    val f = run.crossJoin(tot)
+      .withColumn("_s0", col("_ft") - col("_t"))
+      .withColumn("_b0", ldiv(col("_s0") * bLit, col("_n")))
+      .withColumn("_b1",
+        ldiv((col("_s0") + col("_t") - lit(1L)) * bLit, col("_n")))
+    val ex = f.select(col("_q"), col("_s0"), col("_t"), col("_n"),
+        col("_tot"),
+        explode(sequence(col("_b0"), col("_b1"))).as("decile"))
+      .withColumn("_lo",
+        ldiv(col("decile") * col("_n") + bLit - lit(1L), bLit))
+      .withColumn("_hi",
+        ldiv((col("decile") + lit(1L)) * col("_n") + bLit - lit(1L),
+          bLit) - lit(1L))
+      .withColumn("_ov",
+        least(col("_s0") + col("_t") - lit(1L), col("_hi")) -
+          greatest(col("_s0"), col("_lo")) + lit(1L))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agg = ex.groupBy(col("decile"))
+      .agg(sum(col("_ov")).as("n"),
+        sum(dec(col("_q")) * col("_ov")).as("_sm"),
+        max(col("_n")).as("_n"), max(col("_tot")).as("_tot"))
+    val wc = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("_cs", sum(col("_sm")).over(wc))
+      .select(col("decile"), col("n"),
+        col("_sm").cast("long").as("sum_x1e6"),
+        col("cum_n"), col("_cs").cast("long").as("cum_sum_x1e6"),
+        ldiv(dec(col("cum_n")) * lit(1000000L), col("_n"))
+          .cast("long").as("pop_share_x1e6"),
+        when(col("_tot") > 0, ldiv(col("_cs") * lit(1000000L),
+          col("_tot")).cast("long")).as("value_share_x1e6"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN concentration of a categorical column —
     * the "how dominated is this corpus by its biggest sources" scalar
     * a mixing plan reads before trusting per-source shares:

@@ -418,6 +418,29 @@ class ProfilerSpec extends AnyFunSuite {
     assert(p.map(_.getString(0)).toSet === Set("id", "weird name.dot"))
   }
 
+  test("lorenzCurve: hand-traced bands and shares, tie run split " +
+      "exactly, negative drop, zero-total NULL shares") {
+    import graft.analytics.Profiler
+    def lz(vals: Seq[Double], b: Int) =
+      Profiler.lorenzCurve(vals.toDF("x"), "x", buckets = b)
+        .orderBy(col("decile"))
+        .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+        .collect().toSeq
+    // {1,1,3,5} in halves: bottom half holds 2/10 of the mass
+    assert(lz(Seq(1.0, 1.0, 3.0, 5.0), 2) == Seq(
+      (0L, 2L, 2000000L, 2L, 2000000L, 500000L, Some(200000L)),
+      (1L, 2L, 8000000L, 4L, 10000000L, 1000000L, Some(1000000L))))
+    // one all-tied run of 3 splits 2/1 — sums split as value·count
+    assert(lz(Seq(2.0, 2.0, 2.0), 2) == Seq(
+      (0L, 2L, 4000000L, 2L, 4000000L, 666666L, Some(666666L)),
+      (1L, 1L, 2000000L, 3L, 6000000L, 1000000L, Some(1000000L))))
+    // negative values drop (Lorenz undefined); zero totals have
+    // population shares but no value shares
+    assert(lz(Seq(-1.0, 0.0, 0.0), 2) == Seq(
+      (0L, 1L, 0L, 1L, 0L, 500000L, None),
+      (1L, 1L, 0L, 2L, 0L, 1000000L, None)))
+  }
+
   test("concentration: hand-computed HHI, uniform and single-source " +
       "poles, NULL drop, empty input") {
     import graft.analytics.Profiler
