@@ -564,4 +564,46 @@ class PlanSpec extends AnyFunSuite {
       "HashAggregate".r.findAllIn(srm).nonEmpty,
       s"srm lost the single-aggregate shape:\n$srm")
   }
+
+  test("eval/stat wave: rank-band queries ride ONE range exchange, " +
+      "the median scan never rides a data-sized global window, " +
+      "TextRank stays hash-joined") {
+    // decile lift / Qini / Lorenz / conformal / stratified ATE: the
+    // running counts ride PrefixSum — its signature in the executed
+    // plan is the BROADCAST pid-offsets join back onto the
+    // checkpointed prefix table (`_ps_pid`); a data-sized ranking
+    // must never appear as a partition-less row_number window, and
+    // nothing cartesians (the qini/conformal 1-row scalar cross joins
+    // are BroadcastNestedLoop over single rows, not products of data)
+    for (q <- Seq("q_decile_lift", "q_qini", "q_lorenz", "q_conformal",
+        "q_strat_ate")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin \\[_ps_pid".r.findAllIn(p).nonEmpty,
+        s"$q lost PrefixSum's broadcast pid-offsets join:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q grew a cartesian product:\n$p")
+      assert(!"row_number".r.findAllIn(p).exists(_ => true) ||
+        !p.contains("windowspecdefinition(specifiedwindowframe"),
+        s"$q ranks through a partition-less window:\n$p")
+    }
+    // Brown–Forsythe: the per-group median scan is PrefixSum + a
+    // k-row offsets window — the value table must never funnel
+    // through a data-sized partition-less sort window
+    val bf = plan("q_levene")
+    assert("BroadcastHashJoin \\[_ps_pid".r.findAllIn(bf).nonEmpty,
+      s"levene median scan lost the PrefixSum shape:\n$bf")
+    assert(bf.contains("Int128Sum") || bf.contains("int128"),
+      s"levene lost the exact int128 F sums:\n$bf")
+    // TextRank: term-graph iterations are hash joins over the
+    // checkpointed edge table; the corpus never cartesians
+    val tr = plan("q_textrank")
+    assert(!tr.contains("CartesianProduct"),
+      s"textrank grew a cartesian product:\n$tr")
+    // collocations: margins join back by hash; top-k is
+    // TakeOrderedAndProject, never a global sort
+    val cl = plan("q_collocations")
+    assert(cl.contains("TakeOrderedAndProject"),
+      s"collocations lost the top-k prune:\n$cl")
+    assert(!cl.contains("CartesianProduct"))
+  }
 }
