@@ -1429,6 +1429,14 @@ object RelQueries {
         col("event_type") === "purchase")
     }),
 
+    // -- [EXT]: DAU/MAU stickiness per 30-day window — the engagement
+    //    intensity ratio beside q_retention; exact distinct counts and
+    //    floored-micro ratios
+    "q_stickiness" -> ((s, dir) => {
+      EventFunnel.stickiness(events(s, dir), "user_id", "ts_us")
+        .orderBy(col("win"))
+    }),
+
     // -- [EXT]: covariate balance table — standardized mean differences
     //    of value / hour-of-day / props length between the arms (the
     //    exchangeability check shown before any causal readout); exact
@@ -3687,6 +3695,26 @@ object RelQueries {
         |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
         |  END AS srm
         |FROM m""".stripMargin,
+
+    // distinct (window, day, user) frame feeds both counts; 30-day
+    // epoch windows; all non-negative, // is the floor
+    "q_stickiness" ->
+      """WITH b AS (
+        |  SELECT DISTINCT (epoch_us(ts) // 86400000000) // 30 AS w,
+        |    epoch_us(ts) // 86400000000 AS d, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL),
+        |dau AS (SELECT w, d, count(*)::BIGINT AS dau
+        |        FROM b GROUP BY 1, 2),
+        |g AS (SELECT w, count(*)::BIGINT AS n_days,
+        |        CAST(SUM(dau) AS BIGINT) AS sdau
+        |      FROM dau GROUP BY 1),
+        |m AS (SELECT w, count(DISTINCT u)::BIGINT AS mau
+        |      FROM b GROUP BY 1)
+        |SELECT w AS win, mau, n_days,
+        |  CAST((sdau * 1000000) // n_days AS BIGINT) AS avg_dau_x1e6,
+        |  CAST((sdau * 1000000) // (n_days * mau) AS BIGINT)
+        |    AS stickiness_x1e6
+        |FROM g JOIN m USING (w) ORDER BY win""".stripMargin,
 
     // UNION-ALL covariate stack, per-covariate complete cases, the
     // welch HUGEINT power sums and the engine's pinned SMD chain

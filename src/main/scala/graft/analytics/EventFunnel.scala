@@ -495,6 +495,49 @@ object EventFunnel {
         col("r") * lit(100L) + col("f") * lit(10L) + col("m"))
   }
 
+  /** DAU/MAU STICKINESS — the engagement-intensity ratio beside
+    * [[retention]]'s cohort matrix (retention asks "did they come
+    * back"; stickiness asks "how much of the month are they here" —
+    * the product-analytics number boards quote): per month,
+    * `mau` (distinct users), `n_days` (distinct ACTIVE days — days
+    * with zero events carry no DAU row and are deliberately not
+    * zero-filled; use the gap-fill ops upstream to densify first if
+    * calendar days are wanted), `avg_dau_x1e6 = ⌊10⁶·Σ_day DAU/n_days⌋`
+    * and `stickiness_x1e6 = ⌊10⁶·Σ_day DAU/(n_days·mau)⌋` (= avg
+    * DAU/MAU). All exact integers. Months key as `epoch_day // 30`
+    * (fixed 30-day windows — calendar-month boundaries are a
+    * locale/timezone choice this operator deliberately avoids; the
+    * day spine is `ts_us // periodUs`).
+    *
+    * Shape: one (window, day, user) distinct aggregate, one
+    * (window, day) DAU aggregate, one (window, user) distinct for
+    * MAU, and a window-keyed reduction — all hash aggregates,
+    * map-side combined. Rows win-asc. */
+  def stickiness(events: DataFrame, userCol: String, tsUsCol: String,
+      periodUs: Long = 86400000000L, daysPerWindow: Int = 30)
+      : DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    require(daysPerWindow >= 2,
+      s"daysPerWindow must be >= 2, got $daysPerWindow")
+    val day = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val base = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("_u"), day.as("_d"))
+      .withColumn("_w",
+        graft.ops.Fixed.ldiv(col("_d"), lit(daysPerWindow.toLong)))
+    val dau = base.select(col("_w"), col("_d"), col("_u")).distinct()
+      .groupBy(col("_w"), col("_d")).agg(count(lit(1)).as("_dau"))
+      .groupBy(col("_w"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_dau")).as("_sdau"))
+    val mau = base.select(col("_w"), col("_u")).distinct()
+      .groupBy(col("_w")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, Seq("_w"))
+      .select(col("_w").as("win"), col("mau"), col("n_days"),
+        graft.ops.Fixed.ldiv(col("_sdau") * lit(1000000L),
+          col("n_days")).as("avg_dau_x1e6"),
+        graft.ops.Fixed.ldiv(col("_sdau") * lit(1000000L),
+          col("n_days") * col("mau")).as("stickiness_x1e6"))
+  }
+
   /** NELSON–AALEN cumulative hazard over user lifetimes — the
     * hazard-space twin of [[kaplanMeier]] (KM multiplies survival
     * fractions; NA SUMS per-step hazards d/n — the estimator of choice

@@ -407,6 +407,25 @@ class EventFunnelSpec extends AnyFunSuite {
     }
   }
 
+  test("stickiness: hand-traced DAU/MAU windows, same-day repeats " +
+      "count once, active-days-only denominator") {
+    import graft.analytics.EventFunnel
+    import spark.implicits._
+    // periodUs = 1, 2-day windows. w0: day0 {1,2}, day1 {1} ⇒
+    // Σdau 3, mau 2, avg 1.5, stickiness 3/(2·2) = .75;
+    // w1: day2 {1,2,3} ⇒ avg 3.0, stickiness 1.0 (day 3 is inactive
+    // and deliberately absent from the denominator)
+    val ev = Seq((1L, 0L), (1L, 0L), (2L, 0L), (1L, 1L),
+      (1L, 2L), (2L, 2L), (3L, 2L)).toDF("uid", "ts")
+    val r = EventFunnel.stickiness(ev, "uid", "ts", periodUs = 1L,
+        daysPerWindow = 2)
+      .orderBy("win")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 2L, 2L, 1500000L, 750000L),
+      (1L, 3L, 1L, 3000000L, 1000000L)))
+  }
+
   test("nelsonAalen: hand-traced hazard steps on the KM fixture, " +
       "censored-only step adds zero hazard") {
     import graft.analytics.EventFunnel
