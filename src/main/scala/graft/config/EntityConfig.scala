@@ -195,8 +195,19 @@ final case class GoldConfig(
       * any violating curated row — see [[EntityConfig.expectAllOrFail]].
       * (No gold quarantine tier: its opposite-filter side would re-run
       * the whole curation pipeline.) */
-    expectAllOrFail: Map[String, String] = Map.empty
+    expectAllOrFail: Map[String, String] = Map.empty,
+    /** Batch-file threshold past which the PERSISTED incremental-gold
+      * stores (mart row store, curation prefix, LSH band index,
+      * verified-edge store) compact back to their keep-latest survivors
+      * (generation-dir swap, [[graft.pipeline.GenStore]]). These stores
+      * are append-only with keep-latest read semantics, so without
+      * compaction they grow with TOTAL historical changes and every
+      * publish re-windows dead versions — the silver
+      * `silver_compact_after` argument, applied to gold state. */
+    compactAfter: Int = 16
 ) {
+  require(compactAfter >= 1 && compactAfter <= 65536,
+    s"gold.compact_after must be in [1, 2^16], got $compactAfter")
   require(mode != "incremental" || (curation.boilerplateMinDocFreq.isEmpty
       && curation.lineDedupSpan.isEmpty),
     "gold mode 'incremental' cannot run the corpus-global segment-cleanup " +
@@ -650,6 +661,8 @@ object ConfigLoader {
         f.get("expect_all_or_drop").map(strMap).getOrElse(Map.empty),
       expectAll = f.get("expect_all").map(strMap).getOrElse(Map.empty),
       expectAllOrFail =
-        f.get("expect_all_or_fail").map(strMap).getOrElse(Map.empty))
+        f.get("expect_all_or_fail").map(strMap).getOrElse(Map.empty),
+      compactAfter = f.get("compact_after").flatMap(num).map(_.toInt)
+        .getOrElse(GoldConfig().compactAfter))
   }
 }

@@ -1596,9 +1596,13 @@ final class PipelineRunner(
     val rowsDir = s"$dir/rows"
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val hasRows = fs.exists(new Path(rowsDir))
+    // generation-dir row store (GenStore doc): appends land in
+    // rows/g<N>; the `_rows_wm` / `_dim_versions` markers live at the
+    // mart root and compaction never touches them
+    val rowStore = new GenStore(fs, rowsDir, m => log(s"gold.$entity: $m"))
+    val hasRows = rowStore.exists
     def readRows(): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(rowsDir)
+      spark.read.option("mergeSchema", "true").parquet(rowStore.dataDir)
     // row-store high-water marks from the `_rows_wm` marker ("<epoch
     // micros>|<seq>", written after each append); fallback to the full
     // scan for legacy stores (the readWmMarker posture — a stale-low
@@ -1747,7 +1751,7 @@ final class PipelineRunner(
     derived.unionByName(tomb, allowMissingColumns = true)
       .observe(rowsObs, max(col("_mart_ia")).as("_wm"))
       .repartition(col(s"_mpk_${pkCols.head}"))
-      .write.mode("append").parquet(rowsDir)
+      .write.mode("append").parquet(rowStore.dataDir)
     // marker = (monotone fact watermark, this batch's seq). A batch of
     // dim-driven re-derivations can carry only OLD fact stamps, so the
     // watermark is max(previous, observed) — never backwards.
@@ -1765,6 +1769,25 @@ final class PipelineRunner(
     finally out.close()
     log(s"gold.$entity: mart upsert batch appended (seq=$nextSeq, " +
       s"factWm=${factWm.getOrElse("none")}, dims=${liveVersions})")
+    // compaction: keep-latest row per fact PK (live OR tombstone — a
+    // kept tombstone keeps superseding the PK's earlier live versions,
+    // and the global max-seq/max-ia rows survive so the marker-less
+    // fallback scan stays exact). Superseded versions are unreachable
+    // (later batches always carry a strictly larger `_mart_seq`), so
+    // the rewrite is invariant for the publish below; without it the
+    // store grows with TOTAL upserts and every publish re-windows the
+    // full update history.
+    rowStore.compact(g.compactAfter, "mart row store") { from =>
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(pkCols.map(c => col(s"_mpk_$c")): _*)
+        .orderBy(col("_mart_seq").desc)
+      spark.read.option("mergeSchema", "true").parquet(from)
+        .withColumn("_mart_rn", row_number().over(cw))
+        .filter(col("_mart_rn") === 1).drop("_mart_rn")
+    } { (df, to) =>
+      df.repartition(col(s"_mpk_${pkCols.head}"))
+        .write.mode("overwrite").parquet(to)
+    }
     // publish: keep-latest per PK, live rows, fact-retraction semi-join
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(c => col(s"_mpk_$c")): _*)
@@ -2116,11 +2139,16 @@ final class PipelineRunner(
     val dir = goldPrefixPath(entity)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasPrefix = fs.exists(new org.apache.hadoop.fs.Path(dir))
+    // generation-dir store: batches append to `dir/g<N>`, watermark
+    // marker stays at `dir/_wm`, compaction below rewrites to the
+    // keep-latest survivors (GenStore doc — the store is otherwise
+    // unbounded in TOTAL doc versions, not live docs)
+    val store = new GenStore(fs, dir, m => log(s"gold.$entity: $m"))
+    val hasPrefix = store.exists
     // schema evolution: later batches may carry columns earlier ones
     // lack (additive, like bronze) — merge them on read
     def readPrefix(): DataFrame =
-      spark.read.option("mergeSchema", "true").parquet(dir)
+      spark.read.option("mergeSchema", "true").parquet(store.dataDir)
     val watermark = if (!hasPrefix) None
       else readWmMarker(fs, dir).orElse(
         readPrefix().agg(max(col(Audit.IngestedAt))).head()
@@ -2150,11 +2178,30 @@ final class PipelineRunner(
     val batchObs = org.apache.spark.sql.Observation()
     batch.observe(batchObs, max(col(Audit.IngestedAt)).as("_wm"))
       .repartition(col(idCol))
-      .write.mode("append").parquet(dir)
+      .write.mode("append").parquet(store.dataDir)
     observedMax(batchObs.get)
       .foreach(advanceWmMarker(fs, dir, _, watermark))
     log(s"gold.$entity: incremental prefix batch appended " +
       s"(watermark=${watermark.getOrElse("none")})")
+    // compaction: keep-latest row per doc (live OR tombstone — the
+    // tombstone must keep superseding earlier live versions, and the
+    // max-_ingested_at row survives so the marker-less watermark
+    // fallback stays exact). Superseded versions can never be read
+    // again (strictly-monotone `_ingested_at`), so dropping them is
+    // invariant for the live view AND the band append (a superseded
+    // live version's bands would be dead on arrival). Result: the
+    // store holds O(docs) rows + at most compact_after fresh batches,
+    // not O(total updates) — over an unbounded CDC history the publish
+    // window stops re-sorting dead versions.
+    store.compact(g.compactAfter, "prefix store") { from =>
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col(Audit.IngestedAt).desc)
+      spark.read.option("mergeSchema", "true").parquet(from)
+        .withColumn("_pfx_rn", row_number().over(cw))
+        .filter(col("_pfx_rn") === 1).drop("_pfx_rn")
+    } { (df, to) =>
+      df.repartition(col(idCol)).write.mode("overwrite").parquet(to)
+    }
     // keep-latest per doc across batches (strictly-monotone
     // `_ingested_at` contract, same as incremental silver), then drop
     // tombstoned versions and docs retracted from silver itself
@@ -2171,7 +2218,7 @@ final class PipelineRunner(
       .join(silver.select(col(idCol)), Seq(idCol), "left_semi")
       .localCheckpoint(false)
     val liveEdges = maintainGoldSuffixState(entity, idCol, ccfg,
-      readPrefix _, live)
+      readPrefix _, live, g.compactAfter)
     val curated = graft.llm.Curation
       .suffixStagesFromEdges(live, idCol, cur.textCol, ccfg,
         goldProbes(entity, cur), liveEdges)
@@ -2221,13 +2268,19 @@ final class PipelineRunner(
     * with pairwise mining, so results equal full mode's exactly). */
   private def maintainGoldSuffixState(entity: String, idCol: String,
       ccfg: graft.llm.Curation.Config, readPrefix: () => DataFrame,
-      live: DataFrame): DataFrame = {
+      live: DataFrame, compactAfter: Int): DataFrame = {
     import graft.dedup.DedupOps
     val sfxDir = goldSuffixPath(entity)
     val bandsDir = s"$sfxDir/bands"
     val edgesDir = s"$sfxDir/edges"
     val fs = new org.apache.hadoop.fs.Path(sfxDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // generation-dir stores (GenStore doc): appends land in g<N>,
+    // root-level `_wm` markers are untouched by compaction
+    val bandStore = new GenStore(fs, bandsDir,
+      m => log(s"gold.$entity: $m"))
+    val edgeStore = new GenStore(fs, edgesDir,
+      m => log(s"gold.$entity: $m"))
     // layout guard: band buckets and the verified-edge set are functions
     // of (bands, rowsPerBand, threshold); a silent knob change would mix
     // incompatible generations — fail loud, remedy named
@@ -2248,12 +2301,14 @@ final class PipelineRunner(
       try out.write(layout.getBytes("UTF-8")) finally out.close()
     }
     // marker first; full max() scan only for a legacy store with no
-    // marker yet (readWmMarker doc — heals on the next append)
-    def storeWatermark(dir: String, tsCol: String)
+    // marker yet (readWmMarker doc — heals on the next append). The
+    // marker lives at the store ROOT; the fallback scan reads the live
+    // generation's data dir.
+    def storeWatermark(root: String, st: GenStore, tsCol: String)
         : Option[java.sql.Timestamp] =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
-      else readWmMarker(fs, dir).orElse(
-        spark.read.parquet(dir).agg(max(col(tsCol))).head() match {
+      if (!st.exists) None
+      else readWmMarker(fs, root).orElse(
+        spark.read.parquet(st.dataDir).agg(max(col(tsCol))).head() match {
           case r if r.isNullAt(0) => None
           case r => Some(r.getTimestamp(0))
         })
@@ -2264,7 +2319,7 @@ final class PipelineRunner(
     // text-kernel pipeline (measured: +0.7 s/run at sf0.1), and a crash
     // between the prefix append and this one self-heals because each
     // store carries its own watermark.
-    val bandWm = storeWatermark(bandsDir, Audit.IngestedAt)
+    val bandWm = storeWatermark(bandsDir, bandStore, Audit.IngestedAt)
     val needBands = bandWm match {
       case Some(wm) => readPrefix().filter(col("_pfx_live") &&
         col(Audit.IngestedAt) > lit(wm))
@@ -2275,18 +2330,32 @@ final class PipelineRunner(
         ccfg.minhashBands, ccfg.minhashRows, carry = Seq(Audit.IngestedAt))
       .observe(bandObs, max(col(Audit.IngestedAt)).as("_wm"))
       .repartition(col("id"))
-      .write.mode("append").parquet(bandsDir)
+      .write.mode("append").parquet(bandStore.dataDir)
     observedMax(bandObs.get)
       .foreach(advanceWmMarker(fs, bandsDir, _, bandWm))
+    // compaction: keep every band row of each doc's LATEST indexed
+    // version only. Superseded versions never probe again (the mining
+    // side semi-joins (id, _ingested_at) against the live view, and
+    // `_ingested_at` is strictly monotone), and the per-id max row
+    // survives, so the marker-less watermark fallback stays exact.
+    bandStore.compact(compactAfter, "band index") { from =>
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+      spark.read.parquet(from)
+        .withColumn("_mx", max(col(Audit.IngestedAt)).over(cw))
+        .filter(col(Audit.IngestedAt) === col("_mx")).drop("_mx")
+    } { (df, to) =>
+      df.repartition(col("id")).write.mode("overwrite").parquet(to)
+    }
     // the index's high-water mark after this append (observed batch max
     // or, for an empty batch, the pre-append watermark)
     val bandsMax = (bandWm ++ observedMax(bandObs.get))
       .reduceOption((a, b) => if (a.after(b)) a else b)
     // ---- edge mining: NEW band rows probe the whole live index
     val liveKeys = live.select(col(idCol).as("id"), col(Audit.IngestedAt))
-    val liveBands = spark.read.parquet(bandsDir)
+    val liveBands = spark.read.parquet(bandStore.dataDir)
       .join(liveKeys, Seq("id", Audit.IngestedAt), "left_semi")
-    val edgeWm = storeWatermark(edgesDir, "_mined_at")
+    val edgeWm = storeWatermark(edgesDir, edgeStore, "_mined_at")
     val newBands = edgeWm match {
       case Some(wm) => liveBands.filter(col(Audit.IngestedAt) > lit(wm))
       case None => liveBands
@@ -2331,19 +2400,40 @@ final class PipelineRunner(
         lit(stamp).as("_mined_at"))
       batchEdges.unionByName(sentinel)
         .repartition(col("id_a"))
-        .write.mode("append").parquet(edgesDir)
+        .write.mode("append").parquet(edgeStore.dataDir)
       // data first, marker second (the sentinel keeps the scan fallback
       // exact for stores whose marker is missing)
       advanceWmMarker(fs, edgesDir, stamp, edgeWm)
       log(s"gold.$entity: suffix state advanced to $stamp " +
         s"(bands + verified edges appended)")
     }
+    // compaction: keep edges whose BOTH endpoint versions are still
+    // current (once superseded, an (id, _ingested_at) version can never
+    // re-enter the live view — strictly-monotone `_ingested_at` — so
+    // dead edges are dead forever and the read below never surfaces
+    // them) plus the single newest sentinel row, which preserves the
+    // store's max(_mined_at) for the marker-less watermark fallback.
+    edgeStore.compact(compactAfter, "edge store") { from =>
+      val e = spark.read.parquet(from)
+      val kept = e.filter(col("id_a").isNotNull)
+        .join(live.select(col(idCol).as("id_a"),
+          col(Audit.IngestedAt).as("_ia_a")), Seq("id_a", "_ia_a"),
+          "left_semi")
+        .join(live.select(col(idCol).as("id_b"),
+          col(Audit.IngestedAt).as("_ia_b")), Seq("id_b", "_ia_b"),
+          "left_semi")
+      val newestSentinel = e.filter(col("id_a").isNull)
+        .orderBy(col("_mined_at").desc).limit(1)
+      kept.unionByName(newestSentinel)
+    } { (df, to) =>
+      df.repartition(col("id_a")).write.mode("overwrite").parquet(to)
+    }
     // ---- the live edge set: both endpoint versions still current.
     // distinct on the stamped tuple first: an at-least-once re-mine
     // (crash before the sentinel landed) may duplicate a batch
-    if (!fs.exists(new org.apache.hadoop.fs.Path(edgesDir)))
+    if (!edgeStore.exists)
       live.limit(0).select(col(idCol).as("id_a"), col(idCol).as("id_b"))
-    else spark.read.parquet(edgesDir)
+    else spark.read.parquet(edgeStore.dataDir)
       .filter(col("id_a").isNotNull)
       .select("id_a", "id_b", "_ia_a", "_ia_b").distinct()
       .join(live.select(col(idCol).as("id_a"),

@@ -23,6 +23,14 @@ class PipelineSpec extends AnyFunSuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Live generation data dir of a GenStore-layout incremental store
+    * (`<root>/g<N>` named by the `_gen` marker, 0 when absent). */
+  private def liveGen(root: String): String = {
+    val m = Path.of(root, "_gen")
+    val g = if (Files.exists(m)) Files.readString(m).trim.toLong else 0L
+    s"$root/g$g"
+  }
+
   private val configJson = """{
     "app_downloads": {
       "raw_file_format": "parquet",
@@ -1610,7 +1618,7 @@ class PipelineSpec extends AnyFunSuite {
         .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     }
     def storeFiles(sub: String): Map[String, Long] = {
-      val d = new java.io.File(s"$storeI/$sub")
+      val d = new java.io.File(liveGen(s"$storeI/$sub"))
       if (!d.isDirectory) Map.empty
       else d.listFiles().filter(_.isFile)
         .map(f => f.getName -> f.length()).toMap
@@ -1635,7 +1643,7 @@ class PipelineSpec extends AnyFunSuite {
     val b1Bands = storeFiles("gold_suffix/docs/bands")
     assert(b1Bands.nonEmpty, "no persisted band index after batch 1")
     def liveSuffixEdges(): Set[(Long, Long)] =
-      spark.read.parquet(s"$storeI/gold_suffix/docs/edges")
+      spark.read.parquet(liveGen(s"$storeI/gold_suffix/docs/edges"))
         .filter($"id_a".isNotNull)
         .select($"id_a".cast("long"), $"id_b".cast("long"))
         .as[(Long, Long)].collect().toSet
@@ -1873,7 +1881,7 @@ class PipelineSpec extends AnyFunSuite {
     // touched only the retracted fact's row + store-12's fan-out
     // (tombstones included), a fraction of the initial build
     val perSeq = spark.read.option("mergeSchema", "true")
-      .parquet(s"$storeI/gold_mart/sales/rows")
+      .parquet(liveGen(s"$storeI/gold_mart/sales/rows"))
       .groupBy($"_mart_seq").count()
       .as[(Long, Long)].collect().toMap
     assert(perSeq(1L) >= 40L, s"batch-1 build rows: $perSeq")
@@ -2122,6 +2130,192 @@ class PipelineSpec extends AnyFunSuite {
     runWith(8, fullRefresh = true) // rebuilds the suffix state cleanly
     val p = PipelineParams(sourceLocation = "", catalogName = cat)
     assert(spark.table(p.goldFqn("docs")).count() == 20)
+  }
+
+  test("gold-state compaction (gold.compact_after): prefix/band/edge " +
+      "stores rewrite to keep-latest survivors via generation swap, " +
+      "results stay twin-equal to full mode, and a flattened legacy " +
+      "store migrates into g0 and keeps working") {
+    // compact_after=1 forces a compaction on every run past the first:
+    // the spec exercises trigger, rewrite invariance, stale-generation
+    // sweep, and the legacy flat-layout migration in one CDC history
+    def cfgJson(mode: String, extra: String) = s"""{"docs": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["doc_id"],
+      |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"},
+      |  "gold": {"mode": "$mode",$extra
+      |    "curation": {"id_col": "doc_id", "text_col": "text",
+      |                 "min_quality": 0.0, "max_repetition": 1.0,
+      |                 "near_dup_jaccard": 0.8}}
+      |}}""".stripMargin
+    val vocab = (0 until 200).map(i => s"tok$i")
+    def text(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until 40).map(_ => vocab(r.nextInt(200))).mkString(" ")
+    }
+    def setup(mode: String, extra: String, tag: String): (String, String) = {
+      val src = tmpDir(s"gcmp$tag-src"); val store = tmpDir(s"gcmp$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode, extra))
+      // one planted near-dup pair so the edge store is non-trivial
+      ((0 until 30).map(i => (i.toLong, text(i))) :+
+        (101L, text(1) + " tail"))
+        .toDF("doc_id", "text").write.parquet(s"$src/docs")
+      (src, store)
+    }
+    val (srcI, storeI) = setup("incremental", """ "compact_after": 1,""", "i")
+    val (srcF, storeF) = setup("full", "", "f")
+    def run(src: String, store: String, cat: String, clock: String): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1
+        .run(ConfigLoader.load(spark, src))
+    def gold(cat: String): Seq[(Long, String)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("docs")).select($"doc_id", $"text")
+        .as[(Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val prefixRoot = s"$storeI/gold_prefix/docs"
+    val bandsRoot = s"$storeI/gold_suffix/docs/bands"
+    val edgesRoot = s"$storeI/gold_suffix/docs/edges"
+    def gen(root: String): Long = {
+      val m = Path.of(root, "_gen")
+      if (Files.exists(m)) Files.readString(m).trim.toLong else 0L
+    }
+
+    run(srcI, storeI, "gcmpi", "2024-06-01 00:00:00")
+    run(srcF, storeF, "gcmpf", "2024-06-01 00:00:00")
+    assert(gold("gcmpi") == gold("gcmpf"), "batch 1 diverged")
+    val ids1 = gold("gcmpi").map(_._1).toSet
+    assert(ids1.contains(1L) && !ids1.contains(101L),
+      "planted near-dup pair not resolved in batch 1")
+
+    // batch 2: update 10 docs (superseding versions the compaction must
+    // reap) + add one
+    ((0 until 10).map(i => (i.toLong, text(500 + i))) :+ (200L, text(600)))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$srcI/docs")
+    ((0 until 10).map(i => (i.toLong, text(500 + i))) :+ (200L, text(600)))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$srcF/docs")
+    run(srcI, storeI, "gcmpi", "2024-06-02 00:00:00")
+    run(srcF, storeF, "gcmpf", "2024-06-02 00:00:00")
+    assert(gold("gcmpi") == gold("gcmpf"), "batch 2 diverged")
+    assert(gen(prefixRoot) >= 1L, "prefix store never compacted")
+    assert(gen(bandsRoot) >= 1L, "band store never compacted")
+    assert(gen(edgesRoot) >= 1L, "edge store never compacted")
+    // keep-latest survivors only: one prefix row per doc (the 10
+    // superseded versions are gone), one band-row version per doc
+    val prefixRows = spark.read.parquet(liveGen(prefixRoot))
+    assert(prefixRows.count() == prefixRows.select("doc_id").distinct()
+      .count(), "prefix store kept superseded versions past compaction")
+    val bandVers = spark.read.parquet(liveGen(bandsRoot))
+      .select($"id", $"_ingested_at").distinct()
+      .groupBy($"id").count().filter($"count" > 1).count()
+    assert(bandVers == 0L, "band store kept superseded versions")
+    // stale generations swept: only the live gen dir remains
+    val prefixGens = new java.io.File(prefixRoot).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("g\\d+")).toSeq
+    assert(prefixGens.map(_.getName) == Seq(s"g${gen(prefixRoot)}"),
+      s"stale prefix generations not swept: $prefixGens")
+
+    // legacy-layout migration: flatten all three stores back to the
+    // pre-generation layout (part files at root, no _gen marker), then
+    // run batch 3 — migrateLegacy must absorb them into g0 and the
+    // published gold must still equal full mode
+    for (root <- Seq(prefixRoot, bandsRoot, edgesRoot)) {
+      val live = Path.of(liveGen(root))
+      Files.list(live).forEach { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("part-") && n.endsWith(".parquet"))
+          Files.move(f, Path.of(root, n))
+      }
+      new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.matches("g\\d+"))
+        .foreach(d => { d.listFiles().foreach(_.delete()); d.delete() })
+      Files.deleteIfExists(Path.of(root, "_gen"))
+    }
+    Seq((5L, text(700)), (300L, text(701)))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$srcI/docs")
+    Seq((5L, text(700)), (300L, text(701)))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$srcF/docs")
+    run(srcI, storeI, "gcmpi", "2024-06-03 00:00:00")
+    run(srcF, storeF, "gcmpf", "2024-06-03 00:00:00")
+    assert(gold("gcmpi") == gold("gcmpf"),
+      "batch 3 after legacy flatten diverged")
+    // batch 2 UPDATED doc 1's text, dissolving the planted pair: the
+    // stale edge died with its superseded version (and the compacted
+    // edge store must agree with full mode about it) — both docs are
+    // live now
+    val ids = gold("gcmpi").map(_._1).toSet
+    assert(ids.contains(1L) && ids.contains(101L),
+      "stale near-dup edge outlived its superseded version")
+  }
+
+  test("mart row-store compaction (gold.compact_after): keep-latest " +
+      "rewrite via generation swap, publish stays twin-equal to full " +
+      "recompute, store is bounded by one row per fact PK") {
+    def cfgJson(mode: String, extra: String) = s"""{"sales": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["sale_id"],
+      |  "expect_all_or_drop": {"amt_ok": "amount IS NOT NULL"},
+      |  "gold": {"mode": "$mode",$extra
+      |    "join": [
+      |      {"entity": "stores", "on": "store_id = s_id",
+      |       "broadcast": true}],
+      |    "select": ["sale_id", "amount", "store_id", "s_city AS city"]}
+      |},
+      |"stores": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["s_id"]
+      |}}""".stripMargin
+    def setup(mode: String, extra: String, tag: String): (String, String) = {
+      val src = tmpDir(s"mcmp$tag-src"); val store = tmpDir(s"mcmp$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode, extra))
+      (0 until 30).map(i => (i.toLong, 100L + i, 10L + (i % 3)))
+        .toDF("sale_id", "amount", "store_id").write.parquet(s"$src/sales")
+      Seq((10L, "lima"), (11L, "oslo"), (12L, "pune"))
+        .toDF("s_id", "s_city").write.parquet(s"$src/stores")
+      (src, store)
+    }
+    val (srcI, storeI) = setup("incremental", """ "compact_after": 1,""", "i")
+    val (srcF, storeF) = setup("full", "", "f")
+    def run(src: String, store: String, cat: String, clock: String): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1
+        .run(ConfigLoader.load(spark, src))
+    def mart(cat: String): Seq[(Long, Long, Long, String)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("sales"))
+        .select($"sale_id", $"amount", $"store_id", $"city")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    }
+    run(srcI, storeI, "mcmpi", "2024-06-01 00:00:00")
+    run(srcF, storeF, "mcmpf", "2024-06-01 00:00:00")
+    assert(mart("mcmpi") == mart("mcmpf"), "batch 1 diverged")
+    // batch 2: update 8 facts + retract one (tombstone) + dim change
+    for (src <- Seq(srcI, srcF)) {
+      ((0 until 8).map(i =>
+        (i.toLong, java.lang.Long.valueOf(900L + i), 10L + (i % 3))) :+
+        ((20L, null.asInstanceOf[java.lang.Long], 11L)))
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+      Seq((11L, "bern")).toDF("s_id", "s_city")
+        .write.mode("append").parquet(s"$src/stores")
+    }
+    run(srcI, storeI, "mcmpi", "2024-06-02 00:00:00")
+    run(srcF, storeF, "mcmpf", "2024-06-02 00:00:00")
+    val m2 = mart("mcmpi")
+    assert(m2 == mart("mcmpf"), "batch 2 diverged")
+    assert(!m2.exists(_._1 == 20L), "retracted fact survived")
+    assert(m2.filter(_._3 == 11L).forall(_._4 == "bern"),
+      "dim update not re-derived")
+    val rowsRoot = s"$storeI/gold_mart/sales/rows"
+    val genM = Path.of(rowsRoot, "_gen")
+    assert(Files.exists(genM) && Files.readString(genM).trim.toLong >= 1L,
+      "mart row store never compacted")
+    // bounded store: exactly one (keep-latest) row per fact PK ever
+    // derived — superseded versions reaped, latest tombstones retained
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(liveGen(rowsRoot))
+    assert(stored.count() == stored.select("_mpk_sale_id").distinct()
+      .count(), "row store kept superseded versions past compaction")
   }
 
   test("rebucket migration: silver_buckets 4 -> 8 preserves contents for " +
