@@ -198,7 +198,8 @@ final case class GoldConfig(
     expectAllOrFail: Map[String, String] = Map.empty,
     /** Batch-file threshold past which the PERSISTED incremental-gold
       * stores (mart row store, curation prefix, LSH band index,
-      * verified-edge store) compact back to their keep-latest survivors
+      * verified-edge store, aggregate partials) compact back to their
+      * keep-latest (or re-summed) survivors
       * (generation-dir swap, [[graft.pipeline.GenStore]]). These stores
       * are append-only with keep-latest read semantics, so without
       * compaction they grow with TOTAL historical changes and every

@@ -43,9 +43,9 @@ import org.apache.spark.sql.DataFrame
   * being read and the first compaction sweep cannot delete it.
   */
 private[pipeline] final class GenStore(fs: FileSystem, root: String,
-    log: String => Unit) {
+    log: String => Unit, marker: Option[Path] = None) {
 
-  private val genMarkerP = new Path(root, "_gen")
+  private val genMarkerP = marker.getOrElse(new Path(root, "_gen"))
 
   private def readGen(): Long =
     if (!fs.exists(genMarkerP)) 0L

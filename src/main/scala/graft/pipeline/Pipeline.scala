@@ -1873,36 +1873,15 @@ final class PipelineRunner(
     val fs = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val markerP = new Path(s"$dir/_agg_fact_version")
-    // the partial store lives in GENERATION subdirs (g0, g1, …) with a
-    // marker naming the live one: compaction writes the NEXT generation
-    // to a fresh dir, repoints the marker, THEN deletes the old — a
-    // crash at any step leaves the marker pointing at a complete store
-    // (an in-place mode("overwrite") would delete the history before
-    // the replacement commits, silently truncating the totals)
-    val genMarkerP = new Path(s"$dir/_agg_gen")
-    val gen: Long = if (!fs.exists(genMarkerP)) 0L else {
-      val in = fs.open(genMarkerP)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.trim.toLongOption.getOrElse(0L)
-    }
-    val genDir = s"$partialsDir/g$gen"
-    // MIGRATION: a store written by the pre-generation layout keeps
-    // its batch partials directly under agg_partials/ with no _agg_gen
-    // marker. Absorb them into g0 by rename — otherwise the consumed
-    // marker still limits the next delta while the accumulated history
-    // is never read again (publishing silently truncated totals), and
-    // the first compaction sweep would delete the legacy files.
-    if (!fs.exists(genMarkerP) && fs.exists(new Path(partialsDir))) {
-      val legacy = fs.listStatus(new Path(partialsDir)).filter(_.isFile)
-      if (legacy.nonEmpty) {
-        fs.mkdirs(new Path(genDir))
-        legacy.foreach(st =>
-          fs.rename(st.getPath, new Path(genDir, st.getPath.getName)))
-        log(s"gold.$entity: migrated ${legacy.length} legacy " +
-          "aggregate-partial files into generation dir g0")
-      }
-    }
+    // generation-dir partial store (GenStore doc — this store pioneered
+    // the pattern, so its marker keeps its historical name/location):
+    // compaction rewrites to a fresh generation and repoints before the
+    // old drops, and a pre-generation flat layout migrates into g0 on
+    // first touch (an unmigrated history would silently truncate the
+    // published totals)
+    val store = new GenStore(fs, partialsDir,
+      m => log(s"gold.$entity: $m"),
+      marker = Some(new Path(s"$dir/_agg_gen")))
     val consumed: Option[Long] = if (!fs.exists(markerP)) None else {
       val in = fs.open(markerP)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1946,40 +1925,24 @@ final class PipelineRunner(
     // count (group-count-sized rows, so a single file is the right
     // layout anyway)
     delta.groupBy(gcols: _*).agg(es.head, es.tail: _*)
-      .coalesce(1).write.mode("append").parquet(genDir)
+      .coalesce(1).write.mode("append").parquet(store.dataDir)
     def storeSums(from: String) = {
       val sums = (a.aggs.map(_.as) :+ "_agg_n")
         .map(c2 => sum(col(s"`$c2`")).as(c2))
       spark.read.parquet(from)
         .groupBy(gcols: _*).agg(sums.head, sums.tail: _*)
     }
-    val batchFiles = fs.listStatus(new Path(genDir))
-      .count(_.getPath.getName.endsWith(".parquet"))
-    var liveGenDir = genDir
-    if (batchFiles > 16) {
-      // compaction: re-sum to one partial per group (invariant by
-      // associativity) in a FRESH generation dir — the source is never
-      // touched until the new store is committed and the marker
-      // repointed. mode("overwrite") only clears an orphan left by a
-      // crashed prior attempt; the sweep below self-heals leftovers.
-      val nextDir = s"$partialsDir/g${gen + 1L}"
-      storeSums(genDir).coalesce(1).write.mode("overwrite").parquet(nextDir)
-      val gm = fs.create(genMarkerP, true)
-      try gm.write((gen + 1L).toString.getBytes("UTF-8"))
-      finally gm.close()
-      fs.listStatus(new Path(partialsDir)).map(_.getPath)
-        .filter(p => p.getName != s"g${gen + 1L}")
-        .foreach(p => fs.delete(p, true))
-      liveGenDir = nextDir
-      log(s"gold.$entity: aggregate store compacted " +
-        s"($batchFiles batch partials -> 1, generation ${gen + 1L})")
-    }
+    // compaction: re-sum to one partial per group — invariant by
+    // associativity, so any threshold is correct
+    store.compact(g.compactAfter, "aggregate store") { from =>
+      storeSums(from)
+    } { (df, to) => df.coalesce(1).write.mode("overwrite").parquet(to) }
     val out = fs.create(markerP, true)
     try out.write(liveVersion.toString.getBytes("UTF-8"))
     finally out.close()
     log(s"gold.$entity: aggregate partial appended " +
       s"(consumed=${consumed.getOrElse("none")} -> $liveVersion)")
-    val published = storeSums(liveGenDir)
+    val published = storeSums(store.dataDir)
       .filter(col("_agg_n") > 0L).drop("_agg_n")
     val boundsSrc =
       if (g.clusteringCols.forall(live.columns.contains)) live
