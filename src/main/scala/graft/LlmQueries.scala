@@ -863,6 +863,16 @@ object LlmQueries {
         Seq("corpus"), "ln_rank", "ln_tf")
     }),
 
+    // -- [EXT]: Heaps' law vocabulary-growth fit — V ≈ K·T^β over 10
+    //    doc-rank checkpoints (slope = β: ~0.5 natural text, ~1
+    //    templated/ID-heavy — the provenance fingerprint beside q_zipf
+    //    and the tokenizer-vocab capacity planner); skew-safe global
+    //    rank, ln-micro OLS
+    "q_heaps" -> ((s, dir) => {
+      CorpusStats.heapsLaw(t(s, dir, "documents"), "doc_id", "text",
+        checkpoints = 10)
+    }),
+
     // -- [EXT]: chi-square discriminative terms per language — the
     //    supervised term screen beside q_tfidf_topk (which terms
     //    fingerprint a labeled slice); exact 2×2 presence cells,
@@ -2661,6 +2671,61 @@ object LlmQueries {
          |        CAST(floor(ln(tf::DOUBLE) * 1000000.0) AS HUGEINT)
          |          AS ym
          |      FROM r),
+         |g AS (SELECT 'corpus' AS corpus, count(*) AS n,
+         |        SUM(xm)::DOUBLE / 1000000.0 AS sx,
+         |        SUM(ym)::DOUBLE / 1000000.0 AS sy,
+         |        SUM(xm * xm)::DOUBLE / 1000000000000.0 AS sxx,
+         |        SUM(ym * ym)::DOUBLE / 1000000000000.0 AS syy,
+         |        SUM(xm * ym)::DOUBLE / 1000000000000.0 AS sxy
+         |      FROM q)
+         |SELECT corpus, n,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
+         |    round((n::DOUBLE * sxy - sx * sy)
+         |          / (n::DOUBLE * sxx - sx * sx), 6) END AS slope,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0 THEN
+         |    round((sy - ((n::DOUBLE * sxy - sx * sy)
+         |                 / (n::DOUBLE * sxx - sx * sx)) * sx)
+         |          / n::DOUBLE, 6) END AS intercept,
+         |  CASE WHEN n > 0 AND n::DOUBLE * sxx - sx * sx > 0.0
+         |        AND n::DOUBLE * syy - sy * sy > 0.0 THEN
+         |    round(((n::DOUBLE * sxy - sx * sy)
+         |           * (n::DOUBLE * sxy - sx * sy))
+         |          / ((n::DOUBLE * sxx - sx * sx)
+         |             * (n::DOUBLE * syy - sy * sy)), 6) END AS r2
+         |FROM g""".stripMargin,
+
+    // doc ranks by row_number, ceil-bucket checkpoints ((a+b-1)//b on
+    // positive operands), first-occurrence vocab by min doc, cumulative
+    // windows, then the q_zipf ln-micro OLS closed form
+    "q_heaps" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $duckNorm = '' THEN 0
+         |         ELSE length(string_split($duckNorm, ' ')) END AS nt
+         |  FROM documents),
+         |r AS (SELECT doc_id, nt,
+         |        row_number() OVER (ORDER BY doc_id) AS rk,
+         |        count(*) OVER () AS nd
+         |      FROM d),
+         |b AS (SELECT doc_id, nt, (rk * 10 + nd - 1) // nd AS k FROM r),
+         |dc AS (SELECT k, SUM(nt) AS tk FROM b GROUP BY 1),
+         |tok AS (SELECT doc_id,
+         |          unnest(string_split($duckNorm, ' ')) AS term
+         |        FROM documents),
+         |fd AS (SELECT term, min(doc_id) AS fid FROM tok
+         |       WHERE length(term) > 0 GROUP BY 1),
+         |fb AS (SELECT b.k, count(*) AS nv FROM fd
+         |       JOIN b ON fd.fid = b.doc_id GROUP BY 1),
+         |pts AS (SELECT dc.k,
+         |          SUM(dc.tk) OVER (ORDER BY dc.k) AS tokens,
+         |          SUM(COALESCE(fb.nv, 0)) OVER (ORDER BY dc.k) AS vocab
+         |        FROM dc LEFT JOIN fb ON dc.k = fb.k),
+         |q AS (SELECT
+         |        CAST(floor(ln(tokens::DOUBLE) * 1000000.0) AS HUGEINT)
+         |          AS xm,
+         |        CAST(floor(ln(vocab::DOUBLE) * 1000000.0) AS HUGEINT)
+         |          AS ym
+         |      FROM pts WHERE tokens > 0 AND vocab > 0),
          |g AS (SELECT 'corpus' AS corpus, count(*) AS n,
          |        SUM(xm)::DOUBLE / 1000000.0 AS sx,
          |        SUM(ym)::DOUBLE / 1000000.0 AS sy,

@@ -1386,6 +1386,30 @@ object RelQueries {
         .orderBy(col("bin"))
     }),
 
+    // -- [EXT]: Brier score + Murphy decomposition — the proper-scoring
+    //    scalar beside q_calibration's bins (same md5 score fixture);
+    //    exact int128 squared-error sums, floor-micro bin rates
+    "q_brier" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("cal:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.brierDecomposition(
+        t(s, dir, "events").withColumn("score", score),
+        col("event_type") === "purchase", "score", bins = 10)
+    }),
+
+    // -- [EXT]: isotonic (PAV) recalibration over the same bins — the
+    //    monotone fit the reliability plot motivates; BigInt-exact
+    //    pooling, minimax-characterized oracle
+    "q_isotonic" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("cal:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.isotonicCalibration(
+        t(s, dir, "events").withColumn("score", score),
+        col("event_type") === "purchase", "score", bins = 10)
+    }),
+
     // -- [EXT]: MRR@10 + HitRate@10 per variant — first-relevant-rank
     //    retrieval eval over per-user rankings (query = user, relevant
     //    = purchase, deterministic md5 score, event_id tie-break);
@@ -1427,6 +1451,15 @@ object RelQueries {
       graft.analytics.Experiment.abTest(t(s, dir, "events"),
         "user_id", col("user_id") % 2 === 1,
         col("event_type") === "purchase")
+    }),
+
+    // -- [EXT]: two-sample event-rate z-test — events per active
+    //    user-day between the parity arms (intensity, where q_ab_test
+    //    reads conversion); exact counts/exposures, doubles only in the
+    //    pinned final op sequence
+    "q_rate_test" -> ((s, dir) => {
+      graft.analytics.Experiment.rateTest(events(s, dir),
+        "user_id", "ts_us", col("user_id") % 2 === 1)
     }),
 
     // -- [EXT]: DAU/MAU stickiness per 30-day window — the engagement
@@ -3605,6 +3638,80 @@ object RelQueries {
         |  round(n_pos::DOUBLE / n::DOUBLE, 6) AS pos_rate
         |FROM g ORDER BY bin""".stripMargin,
 
+    // same score CTE as q_calibration; per-row squared errors and the
+    // engine's pinned floor-micro bin-rate chain, HUGEINT throughout
+    // (all operands non-negative where // applies, except the squared
+    // differences which square away the sign first)
+    "q_brier" ->
+      """WITH b AS (
+        |  SELECT event_type = 'purchase' AS y,
+        |    (('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |q AS (SELECT y, CAST(least(floor(s * 10), 9) AS INT) AS bin,
+        |        CAST(floor(s * 1000000.0) AS HUGEINT) AS m
+        |      FROM b WHERE s >= 0.0 AND s <= 1.0),
+        |g AS (SELECT bin, count(*)::HUGEINT AS n,
+        |        CAST(count(*) FILTER (WHERE y) AS HUGEINT) AS p,
+        |        SUM(m) AS sm,
+        |        SUM((m - CASE WHEN y THEN 1000000 ELSE 0 END)
+        |          * (m - CASE WHEN y THEN 1000000 ELSE 0 END)) AS sq
+        |      FROM q GROUP BY 1),
+        |r AS (SELECT n, p, sq, sm // n AS sbm, (p * 1000000) // n AS rbm
+        |      FROM g),
+        |t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+        |        CAST(SUM(p) AS HUGEINT) AS pp FROM r),
+        |f AS (SELECT nn, pp, (pp * 1000000) // nn AS ybm,
+        |        (SELECT SUM(sq) FROM r) AS sqs,
+        |        (SELECT SUM(n * (sbm - rbm) * (sbm - rbm)) FROM r)
+        |          AS rel,
+        |        (SELECT SUM(n * (rbm - (t2.pp * 1000000) // t2.nn)
+        |                * (rbm - (t2.pp * 1000000) // t2.nn))
+        |         FROM r, t AS t2) AS res
+        |      FROM t)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(pp AS BIGINT) AS n_pos,
+        |  CAST(sqs // nn AS BIGINT) AS brier_x1e12,
+        |  CAST(rel // nn AS BIGINT) AS reliability_x1e12,
+        |  CAST(res // nn AS BIGINT) AS resolution_x1e12,
+        |  CAST(ybm * (1000000 - ybm) AS BIGINT) AS uncertainty_x1e12
+        |FROM f""".stripMargin,
+
+    // PAV == the minimax characterization max_{i<=k} min_{j>=k}
+    // avg(i..j): segment fractions stay (sp, sn) integer pairs ordered
+    // by their double ratio (distinct rationals with these denominators
+    // differ by >> double eps), and only the FINAL floor-micro division
+    // is taken — so the floor never sees a rounded double
+    "q_isotonic" ->
+      """WITH b AS (
+        |  SELECT event_type = 'purchase' AS y,
+        |    (('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+        |        count(*)::BIGINT AS n,
+        |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS p
+        |      FROM b WHERE s >= 0.0 AND s <= 1.0 GROUP BY 1),
+        |o AS (SELECT bin, n, p, row_number() OVER (ORDER BY bin) AS k,
+        |        SUM(n) OVER (ORDER BY bin) AS cn,
+        |        SUM(p) OVER (ORDER BY bin) AS cp
+        |      FROM g),
+        |seg AS (SELECT i.k AS ki, j.k AS kj,
+        |          (j.cp - i.cp + i.p) AS sp, (j.cn - i.cn + i.n) AS sn
+        |        FROM o i JOIN o j ON i.k <= j.k),
+        |mm AS (SELECT s.ki, o2.k AS kk,
+        |         arg_min(s.sp, s.sp::DOUBLE / s.sn::DOUBLE) AS msp,
+        |         arg_min(s.sn, s.sp::DOUBLE / s.sn::DOUBLE) AS msn
+        |       FROM seg s JOIN o o2 ON s.ki <= o2.k AND o2.k <= s.kj
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT kk,
+        |          arg_max(msp, msp::DOUBLE / msn::DOUBLE) AS fsp,
+        |          arg_max(msn, msp::DOUBLE / msn::DOUBLE) AS fsn
+        |        FROM mm GROUP BY 1)
+        |SELECT o.bin, o.n, o.p AS n_pos,
+        |  CAST((o.p * 1000000) // o.n AS BIGINT) AS rate_x1e6,
+        |  CAST((iso.fsp * 1000000) // iso.fsn AS BIGINT) AS iso_x1e6
+        |FROM o JOIN iso ON o.k = iso.kk ORDER BY o.bin""".stripMargin,
+
     // per-(variant,user) rankings under the same md5 score + event_id
     // tie-break; RR terms as exact 1000000 // first_rank (non-negative
     // => // is the floor), HUGEINT-safe sums, floor-divided means
@@ -3694,6 +3801,48 @@ object RelQueries {
         |  CASE WHEN n > 0 THEN
         |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
         |  END AS srm
+        |FROM m""".stripMargin,
+
+    // event counts + distinct (arm, user, day) exposures; the engine's
+    // pinned Poisson-variance z chain, floors on non-negative operands
+    "q_rate_test" ->
+      """WITH b AS (
+        |  SELECT user_id % 2 = 1 AS arm, user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT arm THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN arm THEN 1 END), 0)
+        |          AS BIGINT) AS n_b
+        |      FROM b),
+        |e AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT arm THEN 1 END), 0)
+        |          AS BIGINT) AS t_a,
+        |        CAST(COALESCE(SUM(CASE WHEN arm THEN 1 END), 0)
+        |          AS BIGINT) AS t_b
+        |      FROM (SELECT DISTINCT arm, u, d FROM b)),
+        |m AS (SELECT *,
+        |        sqrt(n_a::DOUBLE / (t_a::DOUBLE * t_a::DOUBLE)
+        |           + n_b::DOUBLE / (t_b::DOUBLE * t_b::DOUBLE)) AS se
+        |      FROM c, e)
+        |SELECT n_a, t_a, n_b, t_b,
+        |  CASE WHEN t_a > 0 THEN CAST((n_a * 1000000) // t_a AS BIGINT)
+        |  END AS rate_a_x1e6,
+        |  CASE WHEN t_b > 0 THEN CAST((n_b * 1000000) // t_b AS BIGINT)
+        |  END AS rate_b_x1e6,
+        |  CASE WHEN t_a > 0 AND t_b > 0 THEN
+        |    round(CASE WHEN se > 0.0 THEN
+        |        (n_b::DOUBLE / t_b::DOUBLE - n_a::DOUBLE / t_a::DOUBLE)
+        |          / se
+        |      ELSE 0.0 END, 6)
+        |  END AS z_score,
+        |  CASE WHEN t_a > 0 AND t_b > 0 THEN
+        |    abs(CASE WHEN se > 0.0 THEN
+        |          round((n_b::DOUBLE / t_b::DOUBLE
+        |                 - n_a::DOUBLE / t_a::DOUBLE) / se, 6)
+        |        ELSE 0.0 END) >= 1.96
+        |  END AS significant
         |FROM m""".stripMargin,
 
     // distinct (window, day, user) frame feeds both counts; 30-day

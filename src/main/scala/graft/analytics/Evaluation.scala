@@ -320,6 +320,130 @@ object Evaluation {
           .as("pos_rate"))
   }
 
+  /** BRIER SCORE with the MURPHY DECOMPOSITION — the proper-scoring
+    * summary beside [[calibrationTable]]'s per-bin view: one row with
+    * `n`, `n_pos`, `brier_x1e12` (the exact mean squared error of the
+    * micro-quantized score against the 0/1 outcome),
+    * `reliability_x1e12` (Σ_b n_b·(s̄_b − ȳ_b)² / N — how far each
+    * bin's mean score sits from its realized rate; 0 is perfectly
+    * calibrated), `resolution_x1e12` (Σ_b n_b·(ȳ_b − ȳ)² / N — how much
+    * the bins separate outcomes; bigger is better) and
+    * `uncertainty_x1e12` (ȳ·(1 − ȳ) — the no-skill floor). The Murphy
+    * identity REL − RES + UNC equals the brier of the BIN-MEAN forecast
+    * (the classical binned decomposition); `brier_x1e12` is the raw
+    * unbinned score reported beside it.
+    *
+    * Exactness: per-row squares accumulate in
+    * [[graft.functions.Int128SumProd]]; bin rates/means are floor-micro
+    * [[graft.ops.Fixed.ldiv]] integers, so the decomposition sums are
+    * a pinned integer chain any engine replays bit-for-bit ((10⁶)²·N
+    * stays inside int128 past 10²⁴ rows). Rows with NULL or
+    * out-of-[0,1] scores or NULL labels drop.
+    *
+    * Shape: one hash aggregate to ≤`bins` rows, then literal-sized
+    * reductions — the 100 TB cost is the scan. */
+  def brierDecomposition(df: DataFrame, labelCol: Column,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import graft.functions.Int128SumProd.int128SumProd
+    val s = col(s"`$scoreCol`").cast("double")
+    val base = df.filter(s.isNotNull && labelCol.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(labelCol.cast("boolean").as("_y"),
+        least(floor(s * lit(bins)), lit(bins - 1L)).as("_bin"),
+        floor(s * lit(1e6)).as("_m"))
+      .withColumn("_d",
+        col("_m") - when(col("_y"), lit(1000000L)).otherwise(lit(0L)))
+    val perBin = base.groupBy(col("_bin"))
+      .agg(count(lit(1)).as("_n"),
+        count(when(col("_y"), lit(1))).as("_p"),
+        int128Sum(col("_m")).as("_sm"),
+        int128SumProd(col("_d"), col("_d")).as("_sq"))
+      .select(col("_n"), col("_p"), col("_sq"),
+        ldiv(col("_sm"), col("_n")).as("_sbm"),
+        ldiv(col("_p") * lit(1000000L), col("_n")).as("_rbm"))
+    // session-default case-insensitive resolution: the totals' names
+    // must not collide with the per-bin `_n`/`_p`
+    val tot = perBin.agg(sum(col("_n")).as("_tn"), sum(col("_p")).as("_tp"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    perBin.crossJoin(broadcast(tot))
+      .withColumn("_ybm", ldiv(col("_tp") * lit(1000000L), col("_tn")))
+      .agg(
+        max(col("_tn")).as("n"), max(col("_tp")).as("n_pos"),
+        max(col("_ybm")).as("_ybm2"),
+        sum(col("_sq")).as("_sqs"),
+        sum(dec(col("_n")) * dec(col("_sbm") - col("_rbm"))
+          * dec(col("_sbm") - col("_rbm"))).as("_rel"),
+        sum(dec(col("_n")) * dec(col("_rbm") - col("_ybm"))
+          * dec(col("_rbm") - col("_ybm"))).as("_res"))
+      .select(col("n"), col("n_pos"),
+        ldiv(col("_sqs"), col("n")).as("brier_x1e12"),
+        ldiv(col("_rel"), col("n")).as("reliability_x1e12"),
+        ldiv(col("_res"), col("n")).as("resolution_x1e12"),
+        (col("_ybm2") * (lit(1000000L) - col("_ybm2")))
+          .as("uncertainty_x1e12"))
+  }
+
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) over the
+    * [[calibrationTable]] bins — the standard monotone recalibration
+    * map: one row per non-empty bin with `bin`, `n`, `n_pos`,
+    * `rate_x1e6` (the raw floor-micro positive rate) and `iso_x1e6`
+    * (the non-decreasing PAV fit — adjacent bins whose raw rates invert
+    * pool into one block whose rate is the block's exact pooled
+    * positives/count). Predictions recalibrate by binning a score and
+    * reading `iso_x1e6`.
+    *
+    * Exactness: PAV pooling decisions compare exact rationals by BigInt
+    * cross-multiplication (no double ever orders a merge), and the
+    * emitted fit is the floor-micro of the pooled fraction — equal to
+    * the minimax characterization max_{i≤k} min_{j≥k} avg(i..j), which
+    * is what the DuckDB oracle replays.
+    *
+    * Shape: one hash aggregate to ≤`bins` rows; PAV runs on the
+    * driver over that literal-bounded table (the
+    * [[graft.analytics.EventFunnel.kaplanMeier]] grid argument) and the
+    * result IS the output. */
+  def isotonicCalibration(df: DataFrame, labelCol: Column,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val s = col(s"`$scoreCol`").cast("double")
+    val tbl = df.filter(s.isNotNull && labelCol.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(labelCol.cast("boolean").as("_y"),
+        least(floor(s * lit(bins)), lit(bins - 1L)).as("_bin"))
+      .groupBy(col("_bin").cast("int").as("bin"))
+      .agg(count(lit(1)).as("n"), count(when(col("_y"), lit(1))).as("p"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // PAV over ≤bins rows: blocks of (Σp, Σn, member bins); a new bin
+    // pools backwards while its block's rate does not exceed the
+    // previous block's (BigInt cross-products — `>=` merges equal-rate
+    // plateaus, value-identical to keeping them separate)
+    final case class Block(var p: BigInt, var n: BigInt,
+      val members: scala.collection.mutable.ListBuffer[(Int, Long, Long)])
+    val stack = scala.collection.mutable.Stack.empty[Block]
+    tbl.foreach { case row @ (_, n, p) =>
+      stack.push(Block(BigInt(p), BigInt(n),
+        scala.collection.mutable.ListBuffer(row)))
+      while (stack.length >= 2 && {
+        val top = stack(0); val prev = stack(1)
+        prev.p * top.n >= top.p * prev.n
+      }) {
+        val top = stack.pop(); val prev = stack.top
+        prev.p += top.p; prev.n += top.n; prev.members ++= top.members
+      }
+    }
+    val out = stack.toSeq.reverse.flatMap { b =>
+      val iso = (b.p * 1000000L / b.n).toLong // both non-negative ⇒ floor
+      b.members.map { case (bin, n, p) =>
+        (bin, n, p, math.floorDiv(p * 1000000L, n), iso)
+      }
+    }
+    out.toDF("bin", "n", "n_pos", "rate_x1e6", "iso_x1e6")
+      .orderBy(col("bin"))
+  }
+
   /** F1-OPTIMAL DECISION THRESHOLD per group — the operating-point
     * selector beside [[aucByGroup]]'s ranking quality: sweep every
     * distinct (floor-micro-quantized) score as the "predict positive if

@@ -71,6 +71,55 @@ object Experiment {
         "z_score", "significant")
   }
 
+  /** TWO-SAMPLE EVENT-RATE z-TEST — [[abTest]] compares CONVERSION
+    * (did the user do it at all); this compares INTENSITY (events per
+    * active user-day between arms — the engagement metric a conversion
+    * test can't see). Exposure = distinct (user, day) active units per
+    * arm; under the Poisson model for counts, Var(n/t) = n/t², so
+    * z = (r_B − r_A) / √(n_A/t_A² + n_B/t_B²) — the standard
+    * two-sample rate comparison. One row always: `n_a`, `t_a`, `n_b`,
+    * `t_b`, exact `rate_a_x1e6`/`rate_b_x1e6`
+    * (⌊10⁶·n/t⌋), `z_score` rounded at 6 (NULL when either arm has no
+    * exposure; 0 when both arms are event-free) and `significant` at
+    * |z| ≥ 1.96. NULL users drop (no exposure attribution).
+    *
+    * Shape: one distinct (arm, user, day) aggregate + one conditional
+    * reduce to a single row — the 100 TB cost is the scan. */
+  def rateTest(events: DataFrame, userCol: String, tsUsCol: String,
+      isB: Column, periodUs: Long = 86400000000L): DataFrame = {
+    require(periodUs > 0, s"periodUs must be positive, got $periodUs")
+    val day = graft.ops.Fixed.ldiv(expr(tsUsCol), lit(periodUs))
+    val d = (c: Column) => c.cast("double")
+    val base = events.filter(col(userCol).isNotNull)
+      .select(isB.as("_b"), col(userCol).as("_u"), day.as("_d"))
+    val counts = base.agg(
+      coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+      coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"))
+    val expo = base.distinct().agg(
+      coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("t_a"),
+      coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("t_b"))
+    counts.crossJoin(expo)
+      .withColumn("rate_a_x1e6", when(col("t_a") > 0L,
+        graft.ops.Fixed.ldiv(col("n_a") * lit(1000000L), col("t_a"))))
+      .withColumn("rate_b_x1e6", when(col("t_b") > 0L,
+        graft.ops.Fixed.ldiv(col("n_b") * lit(1000000L), col("t_b"))))
+      // se lives inside the guard branch (ANSI division); both arms
+      // event-free ⇒ se = 0 ⇒ z pinned to 0
+      .withColumn("z_score", {
+        val se = sqrt(d(col("n_a")) / (d(col("t_a")) * d(col("t_a")))
+          + d(col("n_b")) / (d(col("t_b")) * d(col("t_b"))))
+        when(col("t_a") > 0L && col("t_b") > 0L, round(
+          when(se > 0.0,
+            (d(col("n_b")) / d(col("t_b"))
+              - d(col("n_a")) / d(col("t_a"))) / se)
+            .otherwise(lit(0.0)), 6))
+      })
+      .withColumn("significant",
+        when(col("z_score").isNotNull, abs(col("z_score")) >= 1.96))
+      .select("n_a", "t_a", "n_b", "t_b", "rate_a_x1e6", "rate_b_x1e6",
+        "z_score", "significant")
+  }
+
   /** COVARIATE BALANCE TABLE (standardized mean differences) — the
     * table every causal readout shows FIRST ([[stratifiedAte]] adjusts
     * for confounding; this measures how much confounding there was to

@@ -699,4 +699,60 @@ object CorpusStats {
           ldiv(col("_d2") * lit(1000000L), col("n_bigrams")))
           .as("distinct_2_x1e6")): _*)
   }
+
+  /** HEAPS' LAW vocabulary-growth fit — the corpus-scaling twin of the
+    * Zipf rank fit (Zipf reads the frequency head; Heaps asks how the
+    * DISTINCT vocabulary V grows with corpus size T — V ≈ K·T^β,
+    * β ≈ 0.4-0.6 for natural text, near 1 for templated/ID-heavy
+    * corpora, so the fitted slope is a provenance fingerprint and a
+    * tokenizer-vocab capacity planner). Docs order by `idCol`; the
+    * corpus splits into `checkpoints` equal-rank prefixes; each
+    * checkpoint contributes (ln cumulative tokens, ln cumulative
+    * distinct terms) and the output is [[Regression.olsByGroup]]'s one
+    * row — `slope` IS β, `intercept` is ln K — on the 'corpus' literal
+    * group. Checkpoints with zero tokens or vocabulary drop (ln
+    * undefined); the ln-micro quantization is the q_zipf posture.
+    *
+    * Shape: one skew-safe global rank over docs
+    * ([[graft.ops.Rank.groupedRank]] — a range exchange, never a
+    * single-task window), a term-keyed min-doc aggregate, one
+    * vocabulary-sized equi-join back to doc ranks, and ≤`checkpoints`-
+    * row cumulative windows (literal-bounded — the grid argument). */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 3,
+      s"checkpoints must be >= 3 for a meaningful fit, got $checkpoints")
+    val k = checkpoints.toLong
+    val norm = TextOps.normalize(col(textCol))
+    val docs = df.select(col(idCol).as("_id"),
+      when(norm === "", lit(0L))
+        .otherwise(size(split(norm, " ")).cast("long")).as("_nt"))
+    val ranked = graft.ops.Rank.groupedRank(
+      docs.withColumn("_g", lit(1)), Seq("_g"), Seq(col("_id").asc),
+      "_r", countCol = Some("_cd"))
+    // checkpoint bucket = ceil(k·rank/D) ∈ 1..k (positive operands:
+    // ceil(a/b) = (a + b − 1) div b)
+    val bucketed = ranked.select(col("_id"), col("_nt"),
+      graft.ops.Fixed.ldiv(
+        col("_r") * lit(k) + col("_cd") - lit(1L), col("_cd")).as("_k"))
+    val docCum = bucketed.groupBy(col("_k"))
+      .agg(sum(col("_nt")).as("_tk"))
+    val firstDoc = termRows(df, idCol, textCol)
+      .groupBy(col("term")).agg(min(col("_id")).as("_id"))
+      .join(bucketed.select(col("_id"), col("_k").as("_fk")), Seq("_id"))
+      .groupBy(col("_fk")).agg(count(lit(1)).as("_nv"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val pts = docCum
+      .join(firstDoc.withColumnRenamed("_fk", "_k"), Seq("_k"), "left")
+      .select(col("_k"), sum(col("_tk")).over(w).as("_tokens"),
+        sum(coalesce(col("_nv"), lit(0L))).over(w).as("_vocab"))
+      .filter(col("_tokens") > 0L && col("_vocab") > 0L)
+    graft.analytics.Regression.olsByGroup(
+      pts.select(lit("corpus").as("corpus"),
+        log(col("_tokens").cast("double")).as("ln_tokens"),
+        log(col("_vocab").cast("double")).as("ln_vocab")),
+      Seq("corpus"), "ln_tokens", "ln_vocab")
+  }
 }

@@ -459,4 +459,31 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(chi(Seq((1L, "en", "alpha"), (2L, "en", "beta"))) ==
       Seq.empty)
   }
+
+  test("heapsLaw: every-token-new corpus fits slope exactly 1 with " +
+      "intercept 0 and r2 1; constant vocabulary fits slope 0 with " +
+      "undefined r2") {
+    import spark.implicits._
+    import graft.text.CorpusStats
+    // 8 docs x 3 globally-unique tokens: V_k == T_k at every
+    // checkpoint, so xm == ym per point and the closed form is exact
+    val fresh = (1 to 8).map(i =>
+      (i.toLong, s"a${i}x a${i}y a${i}z")).toDF("doc_id", "text")
+    val f = CorpusStats.heapsLaw(fresh, "doc_id", "text",
+        checkpoints = 4)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(f == (("corpus", 4L, Some(1.0), Some(0.0), Some(1.0))))
+    // identical docs: vocabulary saturates at 2 after checkpoint 1 —
+    // slope exactly 0, intercept ln 2 (olsByGroup's r2 convention for
+    // variance-free y is 0.0)
+    val const = (1 to 8).map(i => (i.toLong, "alpha beta"))
+      .toDF("doc_id", "text")
+    val c = CorpusStats.heapsLaw(const, "doc_id", "text",
+        checkpoints = 4)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    assert(c == (("corpus", 4L, Some(0.0), Some(0.693147), Some(0.0))),
+      s"constant vocabulary should fit flat: $c")
+  }
 }

@@ -536,4 +536,44 @@ class EvaluationSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Long])].head() ==
       ((50L, 35L, Some(400000L))))
   }
+
+  test("brierDecomposition: hand-computed 2-bin decomposition — raw " +
+      "brier, reliability, zero resolution, uncertainty floor") {
+    import spark.implicits._
+    // bins=2. bin0: (0.1,F),(0.3,T) -> sbm 200000, rbm 500000,
+    // sq 1e10+4.9e11; bin1: (0.9,T),(0.6,F) -> sbm 750000, rbm 500000,
+    // sq 1e10+3.6e11. N=4, P=2, ybm=500000.
+    // brier = 8.7e11/4; rel = (2*9e10 + 2*6.25e10)/4; res = 0 (both
+    // bin rates equal the pooled rate); unc = 500000*500000
+    val df = Seq((0.1, false), (0.3, true), (0.9, true), (0.6, false))
+      .toDF("s", "y")
+    val r = Evaluation.brierDecomposition(df, col("y"), "s", bins = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 2L, 217500000000L, 76250000000L, 0L,
+      250000000000L)))
+  }
+
+  test("isotonicCalibration: hand-traced PAV — inversion pools " +
+      "backwards across two bins, plateau stays exact, fit " +
+      "non-decreasing") {
+    import spark.implicits._
+    // bins=4 rates: b0 1/2, b1 0/2 (inverts -> pool to 1/4),
+    // b2 1/1, b3 1/2 (inverts -> pool to 2/3; 1/4 < 2/3 stops)
+    val df = Seq((0.1, true), (0.2, false), (0.3, false), (0.4, false),
+      (0.6, true), (0.8, true), (0.9, false)).toDF("s", "y")
+    val r = Evaluation.isotonicCalibration(df, col("y"), "s", bins = 4)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0, 2L, 1L, 500000L, 250000L),
+      (1, 2L, 0L, 0L, 250000L),
+      (2, 1L, 1L, 1000000L, 666666L),
+      (3, 2L, 1L, 500000L, 666666L)))
+    // already-monotone input is the identity fit
+    val mono = Seq((0.1, false), (0.3, false), (0.6, true), (0.9, true))
+      .toDF("s", "y")
+    val m = Evaluation.isotonicCalibration(mono, col("y"), "s", bins = 4)
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(m.forall(row => row._4 == row._5),
+      s"monotone input should be its own fit: $m")
+  }
 }

@@ -250,6 +250,33 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
 
+  test("rateTest: hand-computed Poisson z on active user-days, " +
+      "same-day repeats count one exposure, one-arm log yields an " +
+      "explicit NULL-z row") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    // periodUs = 1. Arm A (uid 2): events at day 0,0,1 → n=3 over
+    // t=2 user-days (the day-0 repeat adds an event, not exposure).
+    // Arm B (uid 1): one event day 0 → n=1, t=1.
+    // z = (1/1 − 3/2)/√(3/4 + 1/1) = −0.5/√1.75
+    val ev = Seq((2L, 0L), (2L, 0L), (2L, 1L), (1L, 0L))
+      .toDF("uid", "ts")
+    val r = Experiment.rateTest(ev, "uid", "ts",
+      col("uid") % 2 === 1, periodUs = 1L).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((3L, 2L, 1L, 1L)))
+    assert((r.getLong(4), r.getLong(5)) === ((1500000L, 1000000L)))
+    val z = BigDecimal(-0.5 / math.sqrt(1.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(6) === z && !r.getBoolean(7))
+    // one-arm log: explicit row, NULL z/rate on the missing side
+    val solo = Seq((2L, 0L)).toDF("uid", "ts")
+    val rs = Experiment.rateTest(solo, "uid", "ts",
+      col("uid") % 2 === 1, periodUs = 1L).head
+    assert(rs.getLong(0) === 1L && rs.getLong(2) === 0L)
+    assert(!rs.isNullAt(4) && rs.isNullAt(5) && rs.isNullAt(6))
+  }
+
   test("srmCheck: hand-computed exact chi-square micros, both flag " +
       "directions, mixed-variant max convention, empty-log NULLs") {
     import graft.analytics.Experiment
