@@ -377,6 +377,19 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- [EXT]: semantic decontamination — vec_id < 5 stand in for the
+    //    embedded eval benchmark; every corpus vector with cosine >= 0.3
+    //    against ANY probe drops (the paraphrase-leakage twin of
+    //    q_decontaminate's n-gram containment). Probe side broadcasts.
+    "q_embed_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilarityOps.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 5), emb.filter(col("vec_id") < 5),
+          threshold = 0.3)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- [EXT]: LSH-bucketed ANN top-k. Declared at probesPerTable =
     //    2^planes: the multi-probe perturbation lattice covers EVERY
     //    bucket, so candidates = whole corpus and the result provably
@@ -2352,6 +2365,21 @@ object LlmQueries {
         |WHERE list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // anti-join against the probe-cosine hit set (same list_dot_product
+    // cosine as q_embed_neardup)
+    "q_embed_decontaminate" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id >= 5),
+        |p AS (SELECT * FROM e WHERE vec_id < 5),
+        |hit AS (SELECT DISTINCT c.vec_id FROM c JOIN p ON
+        |          list_dot_product(c.v, p.v)
+        |            / (sqrt(list_dot_product(c.v, c.v))
+        |               * sqrt(list_dot_product(p.v, p.v))) >= 0.3)
+        |SELECT vec_id FROM c
+        |WHERE vec_id NOT IN (SELECT vec_id FROM hit)
+        |ORDER BY vec_id""".stripMargin,
 
     // the tokenBudget machinery: inclusive running token sums within
     // (source, md5-shard), exclusive shard offsets in shard order, keep

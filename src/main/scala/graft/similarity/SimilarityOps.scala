@@ -736,6 +736,34 @@ object SimilarityOps {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space twin of
+    * [[graft.dedup.DedupOps.decontaminate]]'s n-gram containment: drop
+    * every corpus vector whose cosine against ANY probe (the embedded
+    * eval benchmark) reaches `threshold`. N-gram decontamination
+    * catches verbatim leakage; this catches paraphrase/translation
+    * leakage the shingle detector can't see — modern pipelines run
+    * BOTH before training.
+    *
+    * Shape: the probe side of a decontamination pass is benchmark-
+    * sized by construction, so it BROADCASTS and the corpus makes one
+    * narrow pass (per-row work bounded by |probes|) followed by an
+    * anti-join on the hit ids — no shuffle of the corpus beyond the
+    * anti-join, no all-pairs. For probe sets too big to broadcast,
+    * block through [[cosineNearDupPairsLsh]]'s bucketing instead. */
+  def semanticDecontaminate(corpus: DataFrame, probes: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val p = broadcast(probes.select(col(vecCol).as("_pv"),
+      norm(col(vecCol)).as("_pn")))
+    val hits = corpus.select(col(idCol).as("_cid"),
+        col(vecCol).as("_cv"), norm(col(vecCol)).as("_cn"))
+      .join(p)
+      .filter(dot(col("_cv"), col("_pv")) / (col("_cn") * col("_pn"))
+        >= threshold)
+      .select(col("_cid")).distinct()
+    corpus.join(hits, corpus(idCol) === hits("_cid"), "left_anti")
+  }
+
   /** Approximate near-dup pairs via multi-table sign-LSH bucketing — the
     * PRUNING path for high thresholds (cos ≳ 0.9), where bucket collision
     * probability for true pairs is high and for random pairs low. Each

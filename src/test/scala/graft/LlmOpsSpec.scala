@@ -891,6 +891,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(one == naive)
   }
 
+  test("semanticDecontaminate: hand-built probe hits drop (paraphrase " +
+      "direction included), orthogonal and anti-parallel survive, " +
+      "probe side broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val probes = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(1f, 0f)),     // cos 1 -> dropped
+      (11L, Array(0.9f, 0.1f)), // cos ~0.994 -> dropped
+      (12L, Array(0f, 1f)),     // cos 0 -> kept
+      (13L, Array(-1f, 0f)))    // cos -1 -> kept (similarity, not |cos|)
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDecontaminate(corpus, probes, 0.5)
+    assert(out.select("vec_id").as[Long].collect().sorted.toSeq ==
+      Seq(12L, 13L))
+    // the probe side must broadcast: a shuffled corpus-sized join here
+    // would be the 100 TB bug
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      s"probe side did not broadcast:\n$plan")
+    // empty probe set decontaminates nothing
+    assert(SimilarityOps.semanticDecontaminate(corpus,
+      probes.limit(0), 0.5).count() == 4L)
+  }
+
   test("cosineNearDupPairsLsh: subset of exact; high recall at high cos " +
       "on planted near-dups") {
     val lsh = SimilarityOps.cosineNearDupPairsLsh(emb001, 0.3,
