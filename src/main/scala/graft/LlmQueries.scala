@@ -509,6 +509,22 @@ object LlmQueries {
         .orderBy(col("id_lo"), col("id_hi"))
     }),
 
+    // -- [EXT]: entity resolution closed end-to-end — the q_jaro_names
+    //    match graph resolved into canonical entities (min-id per
+    //    connected component, unmatched records their own entity): the
+    //    blocking → scoring → clustering → survivorship chain of a
+    //    record-linkage pipeline, on the q_neardup_groups machinery
+    "q_entity_groups" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+      val pairs = DedupOps.jaroNeighborhoodPairs(parts, "p_partkey",
+        "p_name", window = 4, minSim = 0.88)
+      val comp = graft.dedup.ConnectedComponents(pairs, "id_lo", "id_hi")
+      parts.join(comp, parts("p_partkey") === comp("id"), "left")
+        .select(parts("p_partkey"),
+          coalesce(col("component"), parts("p_partkey")).as("entity_id"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // -- [EXT]: proportional source interleaving — the stable epoch
     //    order a data loader reads: every prefix holds each source in
     //    proportion to its size. Both passes are the skew-safe rank
@@ -1829,6 +1845,32 @@ object LlmQueries {
          |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
          |WHERE round(jaro_winkler_similarity(a.t, b.t), 4) >= 0.88
          |ORDER BY id_lo, id_hi""".stripMargin,
+
+    // the q_jaro_names pair graph closed by the recursive min-label
+    // reachability (the q_neardup_groups closure shape)
+    "q_entity_groups" ->
+      s"""WITH RECURSIVE n AS (SELECT p_partkey,
+         |  ${duckNorm.replace("text", "p_name")} AS t FROM part),
+         |r AS (SELECT p_partkey, t,
+         |        row_number() OVER (ORDER BY t, p_partkey) AS rk FROM n),
+         |pairs AS (
+         |  SELECT least(a.p_partkey, b.p_partkey) AS id_lo,
+         |    greatest(a.p_partkey, b.p_partkey) AS id_hi
+         |  FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 4
+         |  WHERE round(jaro_winkler_similarity(a.t, b.t), 4) >= 0.88),
+         |edges AS (SELECT id_lo AS a, id_hi AS b FROM pairs
+         |          UNION SELECT id_hi, id_lo FROM pairs),
+         |reach AS (
+         |  SELECT a AS node, a AS label FROM edges
+         |  UNION
+         |  SELECT e.b AS node, r2.label FROM reach r2
+         |  JOIN edges e ON e.a = r2.node),
+         |comp AS (SELECT node, min(label) AS component
+         |         FROM reach GROUP BY node)
+         |SELECT p.p_partkey,
+         |  coalesce(c.component, p.p_partkey) AS entity_id
+         |FROM part p LEFT JOIN comp c ON p.p_partkey = c.node
+         |ORDER BY p_partkey""".stripMargin,
 
     "q_snm_neardup" ->
       s"""WITH n AS (SELECT doc_id, $duckNorm AS t FROM documents),
