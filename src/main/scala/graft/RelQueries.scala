@@ -1453,6 +1453,28 @@ object RelQueries {
         col("event_type") === "purchase")
     }),
 
+    // -- [EXT]: mixture-SPRT always-valid p — the sequential monitor
+    //    beside q_ab_test's fixed-horizon z (peeking-safe by the
+    //    supermartingale construction); same user-dedup aggregate,
+    //    doubles only in the pinned closed form
+    "q_msprt" -> ((s, dir) => {
+      graft.analytics.Experiment.msprt(t(s, dir, "events"),
+        "user_id", col("user_id") % 2 === 1,
+        col("event_type") === "purchase")
+    }),
+
+    // -- [EXT]: expected calibration error — the headline scalar of the
+    //    q_calibration reliability table (+ max-bin MCE); exact
+    //    floor-micro bin gaps
+    "q_ece" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("cal:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.expectedCalibrationError(
+        t(s, dir, "events").withColumn("score", score),
+        col("event_type") === "purchase", "score", bins = 10)
+    }),
+
     // -- [EXT]: two-sample event-rate z-test — events per active
     //    user-day between the parity arms (intensity, where q_ab_test
     //    reads conversion); exact counts/exposures, doubles only in the
@@ -3802,6 +3824,66 @@ object RelQueries {
         |    (d * d * 3 * 1000000) // (CAST(n AS HUGEINT) * 2) >= 3841459
         |  END AS srm
         |FROM m""".stripMargin,
+
+    // the q_ab_test user aggregate; the engine's pinned mixture-LR op
+    // order (sqrt, exp, the 2V(V+tau2) denominator) with tau2 = 0.0001
+    "q_msprt" ->
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 = 1 AS b,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN 1 END), 0)
+        |          AS BIGINT) AS n_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN 1 END), 0)
+        |          AS BIGINT) AS n_b,
+        |        CAST(COALESCE(SUM(CASE WHEN NOT b THEN c END), 0)
+        |          AS BIGINT) AS conv_a,
+        |        CAST(COALESCE(SUM(CASE WHEN b THEN c END), 0)
+        |          AS BIGINT) AS conv_b
+        |      FROM u),
+        |m AS (SELECT *,
+        |        (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS pool,
+        |        conv_b::DOUBLE / n_b::DOUBLE
+        |          - conv_a::DOUBLE / n_a::DOUBLE AS dl
+        |      FROM w),
+        |v AS (SELECT *,
+        |        pool * (1.0 - pool)
+        |          * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE) AS vv
+        |      FROM m),
+        |l AS (SELECT *,
+        |        CASE WHEN n_a > 0 AND n_b > 0 AND vv > 0.0 THEN
+        |          round(sqrt(vv / (vv + 0.0001))
+        |            * exp(dl * dl * 0.0001
+        |                  / (2.0 * vv * (vv + 0.0001))), 6)
+        |        END AS lambda
+        |      FROM v)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(dl, 6) END AS delta,
+        |  lambda,
+        |  CASE WHEN lambda IS NOT NULL THEN
+        |    round(least(1.0, 1.0 / lambda), 6) END AS p_always_valid
+        |FROM l""".stripMargin,
+
+    // the q_calibration bin aggregate reduced to the weighted absolute
+    // gap; all floors on non-negative operands
+    "q_ece" ->
+      """WITH b AS (
+        |  SELECT event_type = 'purchase' AS y,
+        |    (('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+        |        count(*)::HUGEINT AS n,
+        |        CAST(count(*) FILTER (WHERE y) AS HUGEINT) AS p,
+        |        SUM(CAST(floor(s * 1000000.0) AS HUGEINT)) AS sm
+        |      FROM b WHERE s >= 0.0 AND s <= 1.0 GROUP BY 1),
+        |r AS (SELECT n, abs((p * 1000000) // n - sm // n) AS gap
+        |      FROM g)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |  CAST(SUM(n * gap) // SUM(n) AS BIGINT) AS ece_x1e6,
+        |  CAST(MAX(gap) AS BIGINT) AS mce_x1e6
+        |FROM r""".stripMargin,
 
     // event counts + distinct (arm, user, day) exposures; the engine's
     // pinned Poisson-variance z chain, floors on non-negative operands

@@ -384,6 +384,41 @@ object Evaluation {
           .as("uncertainty_x1e12"))
   }
 
+  /** EXPECTED CALIBRATION ERROR — the single number the reliability
+    * plot collapses to (and the one eval reports quote):
+    * ECE = Σ_b (n_b/N)·|ȳ_b − s̄_b| over the [[calibrationTable]] bins,
+    * plus MCE = max_b |ȳ_b − s̄_b| (the worst bin). One row: `n`,
+    * `ece_x1e6`, `mce_x1e6` — bin rates/means are the same floor-micro
+    * integers as the table, so both outputs are exact integers
+    * ([[brierDecomposition]] is the squared-gap sibling; ECE is the
+    * absolute-gap headline).
+    *
+    * Shape: one hash aggregate to ≤`bins` rows + a literal-sized
+    * reduce — the 100 TB cost is the scan. */
+  def expectedCalibrationError(df: DataFrame, labelCol: Column,
+      scoreCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val s = col(s"`$scoreCol`").cast("double")
+    val perBin = df.filter(s.isNotNull && labelCol.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(labelCol.cast("boolean").as("_y"),
+        least(floor(s * lit(bins)), lit(bins - 1L)).as("_bin"),
+        floor(s * lit(1e6)).as("_m"))
+      .groupBy(col("_bin"))
+      .agg(count(lit(1)).as("_n"),
+        count(when(col("_y"), lit(1))).as("_p"),
+        int128Sum(col("_m")).as("_sm"))
+      .select(col("_n"),
+        abs(ldiv(col("_p") * lit(1000000L), col("_n"))
+          - ldiv(col("_sm"), col("_n"))).as("_gap"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    perBin.agg(sum(col("_n")).as("n"),
+        sum(dec(col("_n")) * dec(col("_gap"))).as("_wg"),
+        max(col("_gap")).as("mce_x1e6"))
+      .select(col("n"), ldiv(col("_wg"), col("n")).as("ece_x1e6"),
+        col("mce_x1e6"))
+  }
+
   /** ISOTONIC CALIBRATION (pool-adjacent-violators) over the
     * [[calibrationTable]] bins — the standard monotone recalibration
     * map: one row per non-empty bin with `bin`, `n`, `n_pos`,

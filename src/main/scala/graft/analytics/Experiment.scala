@@ -71,6 +71,60 @@ object Experiment {
         "z_score", "significant")
   }
 
+  /** MIXTURE SPRT (always-valid p-value) — the SEQUENTIAL companion to
+    * [[abTest]]'s fixed-horizon z: peeking at a z-test inflates false
+    * positives, so experimentation platforms monitor the mixture
+    * likelihood ratio instead (Robbins 1970; the "always-valid
+    * inference" construction), which is a supermartingale under H₀ —
+    * `p = min(1, 1/Λ)` is valid at EVERY look, not just a planned one.
+    * For the two-proportion difference Δ̂ with estimated variance V and
+    * a N(0, τ²) mixing prior over effects:
+    * {{{
+    *   Λ = √(V/(V+τ²)) · exp(Δ̂²·τ² / (2·V·(V+τ²)))
+    * }}}
+    * One row: `n_a`, `n_b`, `conv_a`, `conv_b`, `delta` (round 6),
+    * `lambda` (round 6, NULL on an empty/degenerate arm or V = 0) and
+    * `p_always_valid` (round 6). `tauSq` is the prior effect-size
+    * variance knob (default 0.0001 = τ of one percentage point — the
+    * conventional industrial setting).
+    *
+    * Shape: the [[abTest]] user aggregate + single-row math; the
+    * 100 TB cost is the scan. Doubles only in the pinned final op
+    * sequence, so both engines replay it. */
+  def msprt(events: DataFrame, userCol: String, isB: Column,
+      converted: Column, tauSq: Double = 0.0001): DataFrame = {
+    require(tauSq > 0.0, s"tauSq must be positive, got $tauSq")
+    val users = events
+      .groupBy(col(userCol).as("_u"), isB.as("_b"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("_c"))
+    val d = (c: Column) => c.cast("double")
+    users.agg(
+        coalesce(sum(when(!col("_b"), 1L)), lit(0L)).as("n_a"),
+        coalesce(sum(when(col("_b"), 1L)), lit(0L)).as("n_b"),
+        coalesce(sum(when(!col("_b"), col("_c"))), lit(0L)).as("conv_a"),
+        coalesce(sum(when(col("_b"), col("_c"))), lit(0L)).as("conv_b"))
+      .withColumn("delta", when(col("n_a") > 0L && col("n_b") > 0L,
+        round(d(col("conv_b")) / d(col("n_b"))
+          - d(col("conv_a")) / d(col("n_a")), 6)))
+      .withColumn("lambda", {
+        val pool = d(col("conv_a") + col("conv_b")) /
+          d(col("n_a") + col("n_b"))
+        val v = pool * (lit(1.0) - pool) *
+          (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b")))
+        val dl = d(col("conv_b")) / d(col("n_b")) -
+          d(col("conv_a")) / d(col("n_a"))
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          when(v > 0.0, round(
+            sqrt(v / (v + lit(tauSq))) *
+              exp(dl * dl * lit(tauSq) /
+                (lit(2.0) * v * (v + lit(tauSq)))), 6)))
+      })
+      .withColumn("p_always_valid", when(col("lambda").isNotNull,
+        round(least(lit(1.0), lit(1.0) / col("lambda")), 6)))
+      .select("n_a", "n_b", "conv_a", "conv_b", "delta", "lambda",
+        "p_always_valid")
+  }
+
   /** TWO-SAMPLE EVENT-RATE z-TEST — [[abTest]] compares CONVERSION
     * (did the user do it at all); this compares INTENSITY (events per
     * active user-day between arms — the engagement metric a conversion

@@ -553,6 +553,18 @@ class EvaluationSpec extends AnyFunSuite {
       250000000000L)))
   }
 
+  test("expectedCalibrationError: hand-computed weighted absolute " +
+      "gaps and worst bin") {
+    import spark.implicits._
+    // the brierDecomposition fixture: bin0 gap |500000-200000|,
+    // bin1 gap |500000-750000| -> ECE (2*3e5+2*2.5e5)/4, MCE 3e5
+    val df = Seq((0.1, false), (0.3, true), (0.9, true), (0.6, false))
+      .toDF("s", "y")
+    val r = Evaluation.expectedCalibrationError(df, col("y"), "s",
+      bins = 2).as[(Long, Long, Long)].head()
+    assert(r == ((4L, 275000L, 300000L)))
+  }
+
   test("isotonicCalibration: hand-traced PAV — inversion pools " +
       "backwards across two bins, plateau stays exact, fit " +
       "non-decreasing") {

@@ -250,6 +250,40 @@ class EventFunnelSpec extends AnyFunSuite {
     assert(rs.head.isNullAt(6) && rs.head.isNullAt(7))
   }
 
+  test("msprt: hand-computed mixture likelihood ratio on the abTest " +
+      "fixture; zero-variance and one-arm degeneracies return NULL") {
+    import graft.analytics.Experiment
+    import spark.implicits._
+    val ev = Seq(
+      (2L, "purchase"), (2L, "purchase"), (4L, "view"), (6L, "view"),
+      (8L, "view"),
+      (1L, "purchase"), (3L, "purchase"), (5L, "purchase"),
+      (7L, "purchase"), (9L, "view")).toDF("user_id", "event_type")
+    val r = Experiment.msprt(ev, "user_id", col("user_id") % 2 === 1,
+      col("event_type") === "purchase").head
+    // pool 5/9, V = pool(1-pool)(1/4+1/5) = 1/9, delta 0.55, tau2 1e-4
+    val v = (5.0 / 9.0) * (4.0 / 9.0) * (1.0 / 4 + 1.0 / 5)
+    val dl = 4.0 / 5 - 1.0 / 4
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lam = r6(math.sqrt(v / (v + 1e-4)) *
+      math.exp(dl * dl * 1e-4 / (2.0 * v * (v + 1e-4))))
+    assert(r.getDouble(4) === r6(dl))
+    assert(r.getDouble(5) === lam)
+    assert(r.getDouble(6) === r6(math.min(1.0, 1.0 / lam)))
+    // all-convert both sides: V = 0 -> lambda/p undefined
+    val flat = Seq((1L, "purchase"), (2L, "purchase"))
+      .toDF("user_id", "event_type")
+    val r0 = Experiment.msprt(flat, "user_id", col("user_id") % 2 === 1,
+      col("event_type") === "purchase").head
+    assert(r0.isNullAt(5) && r0.isNullAt(6))
+    // one-arm log: explicit row, NULL delta/lambda
+    val solo = Seq((2L, "purchase")).toDF("user_id", "event_type")
+    val rs = Experiment.msprt(solo, "user_id", col("user_id") % 2 === 1,
+      col("event_type") === "purchase").head
+    assert(rs.isNullAt(4) && rs.isNullAt(5))
+  }
+
   test("rateTest: hand-computed Poisson z on active user-days, " +
       "same-day repeats count one exposure, one-arm log yields an " +
       "explicit NULL-z row") {
