@@ -167,6 +167,53 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- [EXT]: CHAINED gold mart (gold.join layer "gold") — the
+    //    snowflake denormalized in LAYERS: customer's gold joins nation
+    //    (one wide dim), then orders' gold joins customer's GOLD; the
+    //    gold phase topologically orders the chain (customer's publish
+    //    before orders' read) with the waves still concurrent. The
+    //    oracle is the same flat star join as q_gold_join — two-level
+    //    chaining must be invisible in the result.
+    "q_gold_chain" -> ((s, dir) => {
+      val run = s"gchain_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      Files.createDirectories(Paths.get(s"$root/src"))
+      for (tb <- Seq("orders", "customer", "nation"))
+        Files.createSymbolicLink(Paths.get(s"$root/src/$tb"),
+          stage(dir, tb)(analytics.Tables(s, dir, tb)))
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"orders": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["o_orderkey"],
+          |  "gold": {
+          |    "join": [
+          |      {"entity": "customer", "on": "o_custkey = c_custkey",
+          |       "broadcast": true, "layer": "gold"}],
+          |    "select": ["o_orderkey", "o_totalprice",
+          |               "customer", "nation"]}
+          |},
+          |"customer": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["c_custkey"],
+          |  "gold": {
+          |    "join": [
+          |      {"entity": "nation", "on": "c_nationkey = n_nationkey",
+          |       "broadcast": true}],
+          |    "select": ["c_custkey", "c_name AS customer",
+          |               "n_name AS nation"]}
+          |},
+          |"nation": {"raw_file_format": "parquet",
+          |           "unique_primary_key": ["n_nationkey"]}
+          |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val params = PipelineParams(sourceLocation = s"$root/src",
+        catalogName = run)
+      new PipelineRunner(s, params, s"$root/store")
+        .run(ConfigLoader.load(s, params.sourceLocation), concurrency = 3)
+      s.table(params.goldFqn("orders"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- [EXT]: CHANGE DATA FEED between published silver versions (the
     //    Delta CDF analog on the versioned-publish layout): two pipeline
     //    runs with an update/retract/insert wave between them, then
@@ -508,6 +555,14 @@ object PipelineQueries {
     // (bronze streams, PK-dedup silver, versioned gold publish) must be
     // invisible in the mart
     "q_gold_join" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  c_name AS customer, n_name AS nation
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+    // the chained (gold-over-gold) mart must equal the flat star join
+    "q_gold_chain" ->
       """SELECT o_orderkey, o_totalprice,
         |  c_name AS customer, n_name AS nation
         |FROM orders

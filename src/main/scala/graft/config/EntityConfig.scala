@@ -260,16 +260,25 @@ final case class GoldAgg(op: String, expr: String = "", as: String) {
   * carries the fact side's lineage. */
 final case class GoldJoin(
     entity: String,
-    /** SQL join condition over both silvers' columns
+    /** SQL join condition over both sides' columns
       * (`"o_custkey = c_custkey"`). */
     on: String,
     joinType: String = "inner",
-    /** Broadcast the joined entity's silver — the 100 TB posture for
+    /** Broadcast the joined entity's table — the 100 TB posture for
       * dimension tables: the fact side never shuffles. */
-    broadcast: Boolean = false) {
+    broadcast: Boolean = false,
+    /** Which layer of the joined entity to read: `"silver"` (default)
+      * or `"gold"` — the CHAINED mart (denormalize a snowflake at the
+      * dim's own gold, then every fact mart joins ONE wide dim). The
+      * gold phase topologically orders chained marts after their dim
+      * entities' gold publish (cycles fail loud); full-mode marts only
+      * (an incremental mart diffs versioned SILVER snapshots). */
+    layer: String = "silver") {
   require(Set("inner", "left", "right", "full").contains(joinType),
     s"gold.join.type must be inner/left/right/full, got '$joinType'")
   require(on.trim.nonEmpty, "gold.join.on must be a SQL join condition")
+  require(layer == "silver" || layer == "gold",
+    s"gold.join.layer must be 'silver' or 'gold', got '$layer'")
 }
 
 /** Knobs of the curation stage — mirrors [[graft.llm.Curation.Config]]
@@ -585,7 +594,8 @@ object ConfigLoader {
             broadcast = m.get("broadcast") match {
               case Some(JBool(b)) => b
               case _              => false
-            })
+            },
+            layer = s("layer").getOrElse("silver"))
         case other => throw new IllegalArgumentException(
           s"gold.join entries must be objects, got $other")
       }

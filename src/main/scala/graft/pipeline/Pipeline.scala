@@ -1481,7 +1481,13 @@ final class PipelineRunner(
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val silver = spark.read.table(params.silverFqn(entity))
     val joined = g.join.foldLeft(silver) { (acc, j) =>
-      val dim = spark.read.table(params.silverFqn(j.entity))
+      // layer "gold" = the CHAINED mart: the dim side is the entity's
+      // published gold (runLocked's gold phase topologically orders
+      // this entity after it); audit-column drops are no-ops when the
+      // gold projection already removed them
+      val dim = spark.read.table(
+          if (j.layer == "gold") params.goldFqn(j.entity)
+          else params.silverFqn(j.entity))
         .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
       acc.join(if (j.broadcast) broadcast(dim) else dim,
         expr(j.on), j.joinType)
@@ -1570,6 +1576,12 @@ final class PipelineRunner(
     import org.apache.hadoop.fs.Path
     val fact = spark.read.table(params.silverFqn(entity))
     val pkCols = cfg.uniquePrimaryKey
+    g.join.foreach { j =>
+      require(j.layer == "silver",
+        s"gold.$entity: incremental marts diff versioned SILVER " +
+          s"snapshots; dim '${j.entity}' declares layer 'gold' " +
+          "(chained marts need gold mode 'full')")
+    }
     val dims: Map[String, DataFrame] = g.join.map(j => j.entity ->
       spark.read.table(params.silverFqn(j.entity))
         .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)).toMap
@@ -2502,16 +2514,16 @@ final class PipelineRunner(
   private def runLocked(entities: Map[String, EntityConfig],
       fullRefresh: Boolean, concurrency: Int): Unit = {
     ensureSchemas(params.softDeletesEnabled)
-    def each(f: ((String, EntityConfig)) => Unit): Unit =
-      if (concurrency <= 1) entities.toSeq.sortBy(_._1).foreach(f)
+    def eachOf(es: Seq[(String, EntityConfig)])(
+        f: ((String, EntityConfig)) => Unit): Unit =
+      if (concurrency <= 1) es.sortBy(_._1).foreach(f)
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
         try {
           val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
           import scala.concurrent.{Await, Future}
           import scala.concurrent.duration.Duration
-          val fs = entities.toSeq.sortBy(_._1)
-            .map(e => Future(f(e))(ec))
+          val fs = es.sortBy(_._1).map(e => Future(f(e))(ec))
           fs.foreach(Await.result(_, Duration.Inf))
         } finally {
           // a failed flow must NOT let the run lock release while sibling
@@ -2526,6 +2538,8 @@ final class PipelineRunner(
             java.util.concurrent.TimeUnit.NANOSECONDS)
         }
       }
+    def each(f: ((String, EntityConfig)) => Unit): Unit =
+      eachOf(entities.toSeq)(f)
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
     log("phase bronze done")
     each { case (e, cfg) => runSilver(e, cfg, fullRefresh) }
@@ -2534,7 +2548,36 @@ final class PipelineRunner(
     // created lazily so gold-free configs never touch a gold catalog
     if (entities.values.exists(_.gold.nonEmpty))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `${params.goldSchema}`")
-    each { case (e, cfg) => runGold(e, cfg, fullRefresh) }
+    // gold DAG: a CHAINED mart (gold.join layer "gold") must run after
+    // its dim entities' gold publish — Kahn waves, each wave concurrent
+    // (exactly the resolved-graph ordering SDP applies to table
+    // dependencies); a layer-gold reference to an entity without a gold
+    // section, or a dependency cycle, fails loud with the remedy named
+    val goldDeps: Map[String, Set[String]] = entities.map {
+      case (e, cfg) =>
+        val deps = cfg.gold.toSeq.flatMap(_.join)
+          .filter(_.layer == "gold").map(_.entity).toSet
+        deps.foreach { d =>
+          require(entities.get(d).exists(_.gold.nonEmpty),
+            s"gold.$e: chained join dim '$d' has no gold section in " +
+              "this config — declare one or use layer 'silver'")
+        }
+        e -> deps
+    }
+    var remaining = entities.keySet
+    var published = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val wave = remaining.filter(e => goldDeps(e).subsetOf(published))
+      require(wave.nonEmpty,
+        s"gold phase has a dependency cycle among " +
+          s"${remaining.toSeq.sorted.mkString(", ")} (gold.join layer " +
+          "'gold' references) — break the cycle or use layer 'silver'")
+      eachOf(entities.filter(kv => wave.contains(kv._1)).toSeq) {
+        case (e, cfg) => runGold(e, cfg, fullRefresh)
+      }
+      published ++= wave
+      remaining --= wave
+    }
     log("phase gold done")
     if (params.softDeletesEnabled)
       entities.keys.toSeq.sorted.foreach(createActiveView)

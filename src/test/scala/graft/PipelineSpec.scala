@@ -2132,6 +2132,125 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(p.goldFqn("docs")).count() == 20)
   }
 
+  test("chained gold mart (gold.join layer 'gold'): fact mart reads the " +
+      "dim's published gold in dependency order; missing-gold dim, " +
+      "cycles, and incremental chaining fail loud") {
+    val src = tmpDir("gchain-src"); val store = tmpDir("gchain-store")
+    def write(cfg: String): Unit =
+      Files.writeString(Path.of(src, "dp_config_template.json"), cfg)
+    // fact: sales -> stores' GOLD (which itself joined regions)
+    write("""{"sales": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["sale_id"],
+      |  "gold": {"join": [
+      |      {"entity": "stores", "on": "store_id = s_id",
+      |       "broadcast": true, "layer": "gold"}],
+      |    "select": ["sale_id", "amount", "city", "region"]}
+      |},
+      |"stores": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["s_id"],
+      |  "gold": {"join": [
+      |      {"entity": "regions", "on": "s_region_id = r_id",
+      |       "broadcast": true}],
+      |    "select": ["s_id", "s_city AS city", "r_name AS region"]}
+      |},
+      |"regions": {"raw_file_format": "parquet",
+      |            "unique_primary_key": ["r_id"]}
+      |}""".stripMargin)
+    Seq((1L, 100L, 10L), (2L, 200L, 11L), (3L, 300L, 10L))
+      .toDF("sale_id", "amount", "store_id").write.parquet(s"$src/sales")
+    Seq((10L, "lima", 1L), (11L, "oslo", 2L))
+      .toDF("s_id", "s_city", "s_region_id").write.parquet(s"$src/stores")
+    Seq((1L, "south"), (2L, "north"))
+      .toDF("r_id", "r_name").write.parquet(s"$src/regions")
+    val cat = "gchain"
+    // concurrency=3: the DAG waves must still order stores' gold
+    // publish before sales' gold read
+    mkRunner(src, store, "2024-08-01 00:00:00", catalog = cat)._1
+      .run(ConfigLoader.load(spark, src), concurrency = 3)
+    val p = PipelineParams(sourceLocation = "", catalogName = cat)
+    val m = spark.table(p.goldFqn("sales"))
+      .select($"sale_id", $"amount", $"city", $"region")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(m == Seq((1L, 100L, "lima", "south"),
+      (2L, 200L, "oslo", "north"), (3L, 300L, "lima", "south")))
+
+    // layer-gold dim without a gold section fails loud at the gold phase
+    val src2 = tmpDir("gchain2-src"); val store2 = tmpDir("gchain2-store")
+    Files.writeString(Path.of(src2, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"join": [
+        |      {"entity": "stores", "on": "store_id = s_id",
+        |       "layer": "gold"}],
+        |    "select": ["sale_id"]}
+        |},
+        |"stores": {"raw_file_format": "parquet",
+        |           "unique_primary_key": ["s_id"]}
+        |}""".stripMargin)
+    Seq((1L, 10L)).toDF("sale_id", "store_id")
+      .write.parquet(s"$src2/sales")
+    Seq((10L, "lima")).toDF("s_id", "s_city")
+      .write.parquet(s"$src2/stores")
+    val noGold = intercept[IllegalArgumentException] {
+      mkRunner(src2, store2, "2024-08-01 00:00:00", catalog = "gchain2")
+        ._1.run(ConfigLoader.load(spark, src2))
+    }
+    assert(noGold.getMessage.contains("no gold section"),
+      noGold.getMessage)
+
+    // mutual layer-gold references form a cycle: fail loud, remedy named
+    val src3 = tmpDir("gchain3-src"); val store3 = tmpDir("gchain3-store")
+    Files.writeString(Path.of(src3, "dp_config_template.json"),
+      """{"a": {
+        |  "raw_file_format": "parquet", "unique_primary_key": ["x"],
+        |  "gold": {"join": [{"entity": "b", "on": "y = yy",
+        |    "layer": "gold"}], "select": ["x"]}
+        |},
+        |"b": {
+        |  "raw_file_format": "parquet", "unique_primary_key": ["yy"],
+        |  "gold": {"join": [{"entity": "a", "on": "yy = y",
+        |    "layer": "gold"}], "select": ["yy"]}
+        |}}""".stripMargin)
+    Seq((1L, 2L)).toDF("x", "y").write.parquet(s"$src3/a")
+    Seq((2L, 1L)).toDF("yy", "y2").write.parquet(s"$src3/b")
+    val cyc = intercept[IllegalArgumentException] {
+      mkRunner(src3, store3, "2024-08-01 00:00:00", catalog = "gchain3")
+        ._1.run(ConfigLoader.load(spark, src3))
+    }
+    assert(cyc.getMessage.contains("cycle"), cyc.getMessage)
+
+    // incremental mode + layer-gold dim is rejected (diffs need
+    // versioned SILVER snapshots)
+    val src4 = tmpDir("gchain4-src"); val store4 = tmpDir("gchain4-store")
+    Files.writeString(Path.of(src4, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"mode": "incremental", "join": [
+        |      {"entity": "stores", "on": "store_id = s_id",
+        |       "layer": "gold"}],
+        |    "select": ["sale_id"]}
+        |},
+        |"stores": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"],
+        |  "gold": {"join": [{"entity": "sales", "on": "s_id = store_id"}],
+        |    "select": ["s_id"]}
+        |}}""".stripMargin)
+    Seq((1L, 10L)).toDF("sale_id", "store_id")
+      .write.parquet(s"$src4/sales")
+    Seq((10L, "lima")).toDF("s_id", "s_city")
+      .write.parquet(s"$src4/stores")
+    val inc = intercept[IllegalArgumentException] {
+      mkRunner(src4, store4, "2024-08-01 00:00:00", catalog = "gchain4")
+        ._1.run(ConfigLoader.load(spark, src4))
+    }
+    assert(inc.getMessage.contains("gold mode 'full'"), inc.getMessage)
+  }
+
   test("gold-state compaction (gold.compact_after): prefix/band/edge " +
       "stores rewrite to keep-latest survivors via generation swap, " +
       "results stay twin-equal to full mode, and a flattened legacy " +
