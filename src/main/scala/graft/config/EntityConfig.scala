@@ -271,8 +271,10 @@ final case class GoldJoin(
       * or `"gold"` — the CHAINED mart (denormalize a snowflake at the
       * dim's own gold, then every fact mart joins ONE wide dim). The
       * gold phase topologically orders chained marts after their dim
-      * entities' gold publish (cycles fail loud); full-mode marts only
-      * (an incremental mart diffs versioned SILVER snapshots). */
+      * entities' gold publish (cycles fail loud). Works in BOTH mart
+      * modes: an incremental mart diffs the dim's versioned GOLD
+      * snapshots (content-based, so an unchanged republish diffs to an
+      * empty delta). */
     layer: String = "silver") {
   require(Set("inner", "left", "right", "full").contains(joinType),
     s"gold.join.type must be inner/left/right/full, got '$joinType'")

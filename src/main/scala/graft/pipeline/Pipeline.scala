@@ -1576,18 +1576,20 @@ final class PipelineRunner(
     import org.apache.hadoop.fs.Path
     val fact = spark.read.table(params.silverFqn(entity))
     val pkCols = cfg.uniquePrimaryKey
-    g.join.foreach { j =>
-      require(j.layer == "silver",
-        s"gold.$entity: incremental marts diff versioned SILVER " +
-          s"snapshots; dim '${j.entity}' declares layer 'gold' " +
-          "(chained marts need gold mode 'full')")
-    }
+    // layer-aware dim reads: a CHAINED incremental mart diffs the dim
+    // entity's versioned GOLD snapshots instead of its silver's — gold
+    // publishes through the same versioned layout, and an unchanged
+    // republished dim diffs to an EMPTY delta (content-based diff), so
+    // per-run re-publishes of the dim's gold don't re-derive facts
+    def dimFqn(j: GoldJoin): String =
+      if (j.layer == "gold") params.goldFqn(j.entity)
+      else params.silverFqn(j.entity)
     val dims: Map[String, DataFrame] = g.join.map(j => j.entity ->
-      spark.read.table(params.silverFqn(j.entity))
+      spark.read.table(dimFqn(j))
         .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)).toMap
     g.join.foreach { j =>
-      require(tableProp(spark, params.silverFqn(j.entity),
-          BucketCountProp).isEmpty,
+      require(j.layer == "gold" || tableProp(spark,
+          params.silverFqn(j.entity), BucketCountProp).isEmpty,
         s"gold.$entity: incremental-mart dim '${j.entity}' is published " +
           "by silver_mode=incremental (bucketed layout — no versioned " +
           "whole-table snapshots to diff); incremental marts need " +
@@ -1658,9 +1660,10 @@ final class PipelineRunner(
         }.toMap
       }
     val liveVersions: Map[String, Long] = g.join.map { j =>
-      val v = tableVersions(j.entity, "silver").find(_.live)
+      val v = tableVersions(j.entity, j.layer).find(_.live)
         .map(_.version).getOrElse(throw new IllegalStateException(
-          s"gold.$entity: dim '${j.entity}' has no live silver version"))
+          s"gold.$entity: dim '${j.entity}' has no live ${j.layer} " +
+            "version"))
       j.entity -> v
     }.toMap
     // fan-out guard: a dim that is not unique on its join keys cannot
@@ -1669,7 +1672,7 @@ final class PipelineRunner(
     // any store mutation below.
     g.join.foreach { j =>
       val memoKey = s"$storageRoot|${params.catalogName}|$entity|" +
-        s"${j.entity}|v${liveVersions(j.entity)}"
+        s"${j.entity}|${j.layer}|v${liveVersions(j.entity)}"
       if (!PipelineRunner.dimUniqueValidated.contains(memoKey)) {
         val dimKeys = keysByDim(j.entity).map(_._2)
         val dup = dims(j.entity)
@@ -1699,7 +1702,7 @@ final class PipelineRunner(
         val dimNow = dims(j.entity)
         val diffKeys: Option[DataFrame] =
           try {
-            val dimOld = readVersion(j.entity, cv.get)
+            val dimOld = readVersion(j.entity, cv.get, j.layer)
               .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
             // schema evolution: diff over the SHARED columns (an added
             // column makes every old row trivially "changed" otherwise

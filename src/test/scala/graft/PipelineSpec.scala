@@ -2222,33 +2222,91 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(cyc.getMessage.contains("cycle"), cyc.getMessage)
 
-    // incremental mode + layer-gold dim is rejected (diffs need
-    // versioned SILVER snapshots)
-    val src4 = tmpDir("gchain4-src"); val store4 = tmpDir("gchain4-store")
-    Files.writeString(Path.of(src4, "dp_config_template.json"),
-      """{"sales": {
-        |  "raw_file_format": "parquet",
-        |  "unique_primary_key": ["sale_id"],
-        |  "gold": {"mode": "incremental", "join": [
-        |      {"entity": "stores", "on": "store_id = s_id",
-        |       "layer": "gold"}],
-        |    "select": ["sale_id"]}
-        |},
-        |"stores": {
-        |  "raw_file_format": "parquet",
-        |  "unique_primary_key": ["s_id"],
-        |  "gold": {"join": [{"entity": "sales", "on": "s_id = store_id"}],
-        |    "select": ["s_id"]}
-        |}}""".stripMargin)
-    Seq((1L, 10L)).toDF("sale_id", "store_id")
-      .write.parquet(s"$src4/sales")
-    Seq((10L, "lima")).toDF("s_id", "s_city")
-      .write.parquet(s"$src4/stores")
-    val inc = intercept[IllegalArgumentException] {
-      mkRunner(src4, store4, "2024-08-01 00:00:00", catalog = "gchain4")
-        ._1.run(ConfigLoader.load(spark, src4))
+  }
+
+  test("chained INCREMENTAL mart (layer 'gold' dim): dim-gold diffs " +
+      "drive fact re-derivation through the chain, equals the full " +
+      "recompute over 3 CDC batches, unchanged dim republish is an " +
+      "empty delta") {
+    def cfgJson(mode: String): String = s"""{"sales": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["sale_id"],
+      |  "expect_all_or_drop": {"amt_ok": "amount IS NOT NULL"},
+      |  "gold": {"mode": "$mode", "join": [
+      |      {"entity": "stores", "on": "store_id = s_id",
+      |       "broadcast": true, "layer": "gold"}],
+      |    "select": ["sale_id", "amount", "store_id", "city", "region"]}
+      |},
+      |"stores": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["s_id"],
+      |  "gold": {"join": [
+      |      {"entity": "regions", "on": "s_region_id = r_id",
+      |       "broadcast": true}],
+      |    "select": ["s_id", "s_city AS city", "r_name AS region"]}
+      |},
+      |"regions": {"raw_file_format": "parquet",
+      |            "unique_primary_key": ["r_id"]}
+      |}""".stripMargin
+    def setup(mode: String, tag: String): (String, String) = {
+      val src = tmpDir(s"gchi$tag-src"); val store = tmpDir(s"gchi$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode))
+      (0 until 20).map(i => (i.toLong, 100L + i, 10L + (i % 2)))
+        .toDF("sale_id", "amount", "store_id").write.parquet(s"$src/sales")
+      Seq((10L, "lima", 1L), (11L, "oslo", 2L))
+        .toDF("s_id", "s_city", "s_region_id")
+        .write.parquet(s"$src/stores")
+      Seq((1L, "south"), (2L, "north"))
+        .toDF("r_id", "r_name").write.parquet(s"$src/regions")
+      (src, store)
     }
-    assert(inc.getMessage.contains("gold mode 'full'"), inc.getMessage)
+    val (srcI, storeI) = setup("incremental", "i")
+    val (srcF, storeF) = setup("full", "f")
+    def run(src: String, store: String, cat: String, clock: String): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1
+        .run(ConfigLoader.load(spark, src), concurrency = 3)
+    def mart(cat: String): Seq[(Long, Long, Long, String, String)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("sales"))
+        .select($"sale_id", $"amount", $"store_id", $"city", $"region")
+        .as[(Long, Long, Long, String, String)]
+        .collect().sortBy(_._1).toSeq
+    }
+    run(srcI, storeI, "gchii", "2024-09-01 00:00:00")
+    run(srcF, storeF, "gchif", "2024-09-01 00:00:00")
+    assert(mart("gchii") == mart("gchif"), "batch 1 diverged")
+
+    // batch 2: fact update wave + a REGION rename that flows through
+    // the dim's gold (stores' gold re-derives, its version diff is the
+    // renamed rows, and the chained mart must re-derive exactly the
+    // facts of the affected store)
+    for (src <- Seq(srcI, srcF)) {
+      Seq((0L, 900L, 10L)).toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+      Seq((2L, "boreal")).toDF("r_id", "r_name")
+        .write.mode("append").parquet(s"$src/regions")
+    }
+    run(srcI, storeI, "gchii", "2024-09-02 00:00:00")
+    run(srcF, storeF, "gchif", "2024-09-02 00:00:00")
+    val m2 = mart("gchii")
+    assert(m2 == mart("gchif"), "batch 2 diverged")
+    assert(m2.find(_._1 == 0L).exists(_._2 == 900L), "fact update lost")
+    assert(m2.filter(_._3 == 11L).forall(_._5 == "boreal"),
+      "region rename did not flow through the chained dim gold")
+
+    // batch 3: nothing changes for the chain (a fact-only retraction);
+    // the dim's gold republishes identical content, whose version diff
+    // must be EMPTY (content-based) — the mart stays twin-equal
+    for (src <- Seq(srcI, srcF))
+      Seq((5L, null.asInstanceOf[java.lang.Long], 10L))
+        .toDF("sale_id", "amount", "store_id")
+        .write.mode("append").parquet(s"$src/sales")
+    run(srcI, storeI, "gchii", "2024-09-03 00:00:00")
+    run(srcF, storeF, "gchif", "2024-09-03 00:00:00")
+    val m3 = mart("gchii")
+    assert(m3 == mart("gchif"), "batch 3 diverged")
+    assert(!m3.exists(_._1 == 5L), "fact retraction survived")
   }
 
   test("gold-state compaction (gold.compact_after): prefix/band/edge " +
