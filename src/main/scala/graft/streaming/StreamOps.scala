@@ -228,16 +228,26 @@ object StreamOps {
     * need watermarks (state eviction) and the time-bound condition (state
     * scope) — without either, join state grows forever. State per key is
     * bounded by (watermark + interval width) × arrival rate.
+    *
+    * `joinType` "left_outer" is the attribution shape ("which
+    * impressions never converted"): an unmatched left row is emitted
+    * with NULL right columns once the watermark passes the end of its
+    * join window — i.e. only when no future right row could still
+    * match, so outer results arrive with watermark latency by
+    * construction (the Structured Streaming contract, not a bug).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, lowerMs: Long, upperMs: Long,
-      delay: String): DataFrame = {
+      delay: String, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"intervalJoin supports inner/left_outer, got '$joinType'")
     val l = left.withWatermark(leftTs, delay)
     val r = right.withWatermark(rightTs, delay)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $lowerMs MILLISECONDS") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS"))
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperMs MILLISECONDS"),
+      joinType)
   }
 
   /** A completed user session emitted by [[sessionizeWithState]]. */

@@ -240,6 +240,46 @@ class StreamingSpec extends AnyFunSuite {
       us("2024-01-01 05:30:00"), 1L)), s"open session corrupted: $rows")
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched impressions " +
+      "emit with NULL right columns after the watermark closes their " +
+      "window; matched rows emit as in the inner form") {
+    import spark.implicits._
+    val clicks = MemoryStream[(Timestamp, String, String)](spark)
+    val buys = MemoryStream[(Timestamp, String, String)](spark)
+    val sink = nextSink()
+    val q = StreamOps.intervalJoin(
+      clicks.toDF.toDF("cts", "k", "click_id"),
+      buys.toDF.toDF("bts", "k", "buy_id"),
+      key = "k", leftTs = "cts", rightTs = "bts",
+      lowerMs = 0, upperMs = 10 * 60 * 1000, delay = "1 minute",
+      joinType = "left_outer")
+      .select("click_id", "buy_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    clicks.addData(
+      (ts("2024-01-01 00:00:00"), "u1", "c1"),  // converts (b1 at +5m)
+      (ts("2024-01-01 00:00:00"), "u2", "c3"))  // never converts
+    buys.addData((ts("2024-01-01 00:05:00"), "u1", "b1"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past c3's window end (00:10 + 1m
+    // delay), then run further batches: the outer row emits only once
+    // state for c3 is provably unmatched
+    clicks.addData((ts("2024-01-01 05:00:00"), "zz", "cx"))
+    buys.addData((ts("2024-01-01 05:00:00"), "zz", "bx"))
+    q.processAllAvailable()
+    clicks.addData((ts("2024-01-01 06:00:00"), "zz", "cy"))
+    buys.addData((ts("2024-01-01 06:00:00"), "zz", "by"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).as[(String, Option[String])]
+      .collect().toSet
+    assert(got.contains(("c1", Some("b1"))), s"inner match missing: $got")
+    assert(got.contains(("c3", None)),
+      s"unmatched impression never emitted as an outer row: $got")
+    // and NOT emitted eagerly as a duplicate with a later match
+    assert(got.count(_._1 == "c3") == 1, s"duplicate outer rows: $got")
+  }
+
   test("stream-stream interval join matches batch interval join") {
     import spark.implicits._
     val clicks = MemoryStream[(Timestamp, String, String)](spark)
