@@ -1475,6 +1475,18 @@ object RelQueries {
         col("event_type") === "purchase", "score", bins = 10)
     }),
 
+    // -- [EXT]: binary log loss — the training objective as an eval
+    //    scalar beside q_brier; pinned micro ε-clamp, per-row ln of the
+    //    quantized probability, exact floored mean
+    "q_logloss" -> ((s, dir) => {
+      val score = pmod(conv(substring(md5(concat(lit("cal:"),
+          col("event_id").cast("string"))), 1, 12), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") / lit(1000000.0)
+      graft.analytics.Evaluation.logLoss(
+        t(s, dir, "events").withColumn("score", score),
+        col("event_type") === "purchase", "score")
+    }),
+
     // -- [EXT]: two-sample event-rate z-test — events per active
     //    user-day between the parity arms (intensity, where q_ab_test
     //    reads conversion); exact counts/exposures, doubles only in the
@@ -3864,6 +3876,34 @@ object RelQueries {
         |  CASE WHEN lambda IS NOT NULL THEN
         |    round(least(1.0, 1.0 / lambda), 6) END AS p_always_valid
         |FROM l""".stripMargin,
+
+    // same score CTE; per-row floor(1e6*ln(p)) on the clamped micro
+    // probability (floor() is a true floor for negatives), then the
+    // NEGATIVE sum's floor-mean spelled out (DuckDB // truncates)
+    "q_logloss" ->
+      """WITH b AS (
+        |  SELECT event_type = 'purchase' AS y,
+        |    (('0x' || substr(md5('cal:' || CAST(event_id AS VARCHAR)),
+        |       1, 12))::BIGINT % 1000000) / 1000000.0 AS s
+        |  FROM events WHERE event_type IS NOT NULL),
+        |q AS (SELECT y,
+        |        greatest(least(CAST(floor(s * 1000000.0) AS BIGINT),
+        |          999999), 1) AS m
+        |      FROM b WHERE s >= 0.0 AND s <= 1.0),
+        |r AS (SELECT y,
+        |        CAST(floor(1000000.0 * ln(
+        |          (CASE WHEN y THEN m ELSE 1000000 - m END)::DOUBLE
+        |            / 1000000.0)) AS HUGEINT) AS ll
+        |      FROM q),
+        |g AS (SELECT count(*)::HUGEINT AS n,
+        |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+        |        SUM(ll) AS sll
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, n_pos,
+        |  CAST(-(CASE WHEN sll >= 0 THEN sll // n
+        |         ELSE -((-sll + n - 1) // n) END) AS BIGINT)
+        |    AS logloss_x1e6
+        |FROM g""".stripMargin,
 
     // the q_calibration bin aggregate reduced to the weighted absolute
     // gap; all floors on non-negative operands

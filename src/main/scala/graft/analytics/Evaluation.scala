@@ -384,6 +384,37 @@ object Evaluation {
           .as("uncertainty_x1e12"))
   }
 
+  /** LOG LOSS (binary cross-entropy) — the training objective itself
+    * as an eval scalar beside [[brierDecomposition]]:
+    * −(1/N)·Σ[y·ln s + (1−y)·ln(1−s)]. The probability is
+    * micro-quantized then CLAMPED to [1, 999999] micro (the pinned
+    * ε-clamp every implementation needs — ln 0 is −∞), each row's
+    * ln(s_m/10⁶) floors to micro units and int128-sums, and the output
+    * is the exact floor-divided mean `logloss_x1e6` plus `n`, `n_pos`.
+    * Per-row ln on the quantized operand is the
+    * [[graft.text.CorpusStats.heapsLaw]]/q_zipf posture: both engines
+    * take ln of the SAME rational, so the floored micro value agrees
+    * (boundary mass ~10⁻⁹ per row).
+    *
+    * Shape: one aggregate — the 100 TB cost is the scan. */
+  def logLoss(df: DataFrame, labelCol: Column, scoreCol: String)
+      : DataFrame = {
+    val s = col(s"`$scoreCol`").cast("double")
+    val base = df.filter(s.isNotNull && labelCol.isNotNull &&
+        s >= 0.0 && s <= 1.0)
+      .select(labelCol.cast("boolean").as("_y"),
+        greatest(least(floor(s * lit(1e6)), lit(999999L)), lit(1L))
+          .as("_m"))
+      .select(col("_y"), floor(lit(1e6) *
+        log(when(col("_y"), col("_m")).otherwise(lit(1000000L) - col("_m"))
+          .cast("double") / lit(1e6))).cast("long").as("_ll"))
+    base.agg(count(lit(1)).as("n"),
+        count(when(col("_y"), lit(1))).as("n_pos"),
+        int128Sum(col("_ll")).as("_s"))
+      .select(col("n"), col("n_pos"),
+        (-ldiv(col("_s"), col("n"))).as("logloss_x1e6"))
+  }
+
   /** EXPECTED CALIBRATION ERROR — the single number the reliability
     * plot collapses to (and the one eval reports quote):
     * ECE = Σ_b (n_b/N)·|ȳ_b − s̄_b| over the [[calibrationTable]] bins,

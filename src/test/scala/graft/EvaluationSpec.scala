@@ -553,6 +553,21 @@ class EvaluationSpec extends AnyFunSuite {
       250000000000L)))
   }
 
+  test("logLoss: hand-computed clamped cross-entropy — exact micro " +
+      "floors, negative-sum floor mean") {
+    import spark.implicits._
+    // (0.5,T): floor(1e6*ln(.5)) = -693148
+    // (1.0,F): clamp 999999 -> ln(1e-6) -> -13815511
+    // (0.0,T): clamp 1      -> ln(1e-6) -> -13815511
+    // (0.75,T): floor(1e6*ln(.75)) = -287683
+    // mean = floor(-28611853/4) = -7152964 -> logloss 7152964
+    val df = Seq((0.5, true), (1.0, false), (0.0, true), (0.75, true))
+      .toDF("s", "y")
+    val r = Evaluation.logLoss(df, col("y"), "s")
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 3L, 7152964L)))
+  }
+
   test("expectedCalibrationError: hand-computed weighted absolute " +
       "gaps and worst bin") {
     import spark.implicits._
