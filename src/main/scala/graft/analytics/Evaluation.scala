@@ -526,6 +526,15 @@ object Evaluation {
     * [[graft.ops.PrefixSum]] running sums over (group, score desc) —
     * ONE range exchange, never a single-task global window; per-group
     * exclusive offsets come from the compact per-group totals table.
+    *
+    * CONTRACT — bounded group cardinality: the per-group offsets use a
+    * partition-less `Window.orderBy(groupCols)` over the ONE-ROW-PER-
+    * GROUP totals table plus a `broadcast(tot)` join (the same
+    * contract as [[liftTable]]/[[qiniCurve]]). That is the right plan
+    * for evaluation group keys (model/segment/experiment-arm — tens to
+    * thousands of groups); a DATA-SIZED group key (e.g. a user id)
+    * makes the totals sort single-task and the broadcast oversized —
+    * pre-aggregate such keys into bounded segments first.
     * Returns one row per group: (group…, `thr_x1e6`, `tp`, `fp`, `fn`,
     * `f1_x1e6`). */
   def bestF1Threshold(df: DataFrame, groupCols: Seq[String],
@@ -601,6 +610,8 @@ object Evaluation {
     * posture), [[graft.ops.PrefixSum]] running counts over ONE range
     * exchange with per-group offsets from the compact totals table, a
     * ≤B-wide generator, and a B-sized per-group cumulative window.
+    * Group cardinality must be bounded (evaluation segments, not a
+    * data-sized key) — see [[bestF1Threshold]]'s contract note.
     * Returns one row per (group…, `decile`), decile-ascending. */
   def liftTable(df: DataFrame, groupCols: Seq[String], labelCol: Column,
       scoreCol: String, buckets: Int = 10): DataFrame = {
@@ -683,6 +694,8 @@ object Evaluation {
     * Shape: identical to [[liftTable]] — run table, ONE
     * [[graft.ops.PrefixSum]] range exchange with compact per-group
     * offsets, ≤B-row overlap generator, B-sized cumulative window.
+    * Group cardinality must be bounded (evaluation segments, not a
+    * data-sized key) — see [[bestF1Threshold]]'s contract note.
     * Returns one row per (group…, `decile`), decile-ascending. */
   def qiniCurve(df: DataFrame, groupCols: Seq[String], treatCol: Column,
       labelCol: Column, scoreCol: String, buckets: Int = 10)
@@ -839,7 +852,9 @@ object Evaluation {
     * driver (the kappa posture). Returns one row:
     * (`n_units`, `n_ratings`, `alpha_x1e6`). */
   def krippendorffAlpha(ratings: DataFrame, unitCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxCategories: Int = 1000000): DataFrame = {
+    require(maxCategories >= 1,
+      s"maxCategories must be >= 1, got $maxCategories")
     val spark = ratings.sparkSession
     import spark.implicits._
     val uv = ratings
@@ -850,13 +865,26 @@ object Evaluation {
     val per = uv.groupBy(col("_u"))
       .agg(sum(col("_c")).as("_m"), sum(col("_c") * col("_c")).as("_sq"))
       .filter(col("_m") >= 2L)
+    // the per-m table is bounded by distinct panel sizes (≤ max ratings
+    // per unit); the marginal table is category-sized — loud-cap the
+    // latter, where a data-sized value column is the real risk
     val sm = per.groupBy(col("_m"))
       .agg(sum(col("_m") * col("_m") - col("_sq")).as("_s"),
         count(lit(1)).as("_nu"))
+      .limit(maxCategories + 1)
       .as[(Long, Long, Long)].collect()
+    require(sm.length <= maxCategories,
+      s"krippendorffAlpha: > $maxCategories distinct per-unit rating " +
+        "counts - pathological panel-size spread; raise maxCategories")
     val nc = uv.join(per.select(col("_u")), Seq("_u"), "left_semi")
       .groupBy(col("_v")).agg(sum(col("_c")).as("_cnt"))
+      .limit(maxCategories + 1)
       .as[(String, Long)].collect()
+    require(nc.length <= maxCategories,
+      s"krippendorffAlpha: > $maxCategories distinct rating values - " +
+        "the driver marginal table is category-sized by design; bucket " +
+        "the value column into a bounded category set or raise " +
+        "maxCategories")
     val nUnits = sm.iterator.map(_._3).sum
     val n = BigInt(sm.iterator.map(r => r._1 * r._3).sum)
     val alpha: Option[Long] =
@@ -939,8 +967,10 @@ object Evaluation {
     * posture). Returns one row: (`n_units`, `n_ratings`,
     * `kappa_x1e6`). */
   def fleissKappa(ratings: DataFrame, unitCol: String, valueCol: String,
-      raters: Int): DataFrame = {
+      raters: Int, maxCategories: Int = 1000000): DataFrame = {
     require(raters >= 2, s"fleiss needs a panel of >= 2 raters, got $raters")
+    require(maxCategories >= 1,
+      s"maxCategories must be >= 1, got $maxCategories")
     val spark = ratings.sparkSession
     import spark.implicits._
     val uv = ratings
@@ -954,9 +984,16 @@ object Evaluation {
     val (nUnits, a) = per
       .agg(count(lit(1)), coalesce(sum(col("_sq")), lit(0L)))
       .as[(Long, Long)].head()
+    // loud cap: the pooled-marginal table is category-sized; a
+    // data-sized label column would make it data-sized
     val nc = uv.join(per.select(col("_u")), Seq("_u"), "left_semi")
       .groupBy(col("_v")).agg(sum(col("_c")).as("_cnt"))
+      .limit(maxCategories + 1)
       .as[(String, Long)].collect()
+    require(nc.length <= maxCategories,
+      s"fleissKappa: > $maxCategories distinct rating values - the " +
+        "driver marginal table is category-sized by design; bucket the " +
+        "value column into a bounded category set or raise maxCategories")
     val n = BigInt(raters)
     val bigN = BigInt(nUnits)
     val sq2 = nc.iterator.map(r => BigInt(r._2).pow(2)).sum
@@ -986,16 +1023,26 @@ object Evaluation {
     * category-space-sized, never data-sized — then marginal products on
     * the driver (the calendar-grid-bounded driver-chain posture).
     * Returns one row: (`n_items`, `agree`, `kappa_x1e6`). */
-  def cohensKappa(df: DataFrame, raterA: String, raterB: String)
-      : DataFrame = {
+  def cohensKappa(df: DataFrame, raterA: String, raterB: String,
+      maxCells: Int = 1000000): DataFrame = {
+    require(maxCells >= 1, s"maxCells must be >= 1, got $maxCells")
     val spark = df.sparkSession
     import spark.implicits._
+    // loud cap (explicit form of the category²-bound): a data-sized
+    // label column would make the confusion matrix data-sized — pull
+    // at most cap+1 rows, never an unbounded driver materialize
     val cm = df
       .filter(col(s"`$raterA`").isNotNull && col(s"`$raterB`").isNotNull)
       .groupBy(col(s"`$raterA`").cast("string").as("_a"),
         col(s"`$raterB`").cast("string").as("_b"))
       .agg(count(lit(1)).as("_c"))
+      .limit(maxCells + 1)
       .as[(String, String, Long)].collect()
+    require(cm.length <= maxCells,
+      s"cohensKappa: > $maxCells distinct (raterA, raterB) label pairs " +
+        "- the driver confusion matrix is category-space-sized by " +
+        "design; bucket the label columns into a bounded category set " +
+        "or raise maxCells")
     val n = cm.iterator.map(r => BigInt(r._3)).sum
     val agree = cm.iterator.filter(r => r._1 == r._2)
       .map(r => BigInt(r._3)).sum

@@ -806,8 +806,11 @@ object EventFunnel {
     * effect, for the share). */
   def markovAttribution(events: DataFrame, userCol: String,
       typeCol: String, tsUsCol: String, orderCol: String,
-      convType: String, iters: Int = 12): DataFrame = {
+      convType: String, iters: Int = 12,
+      maxTransitions: Int = 1000000): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxTransitions >= 1,
+      s"maxTransitions must be >= 1, got $maxTransitions")
     val Start = "__start"; val Conv = "__conv"; val Nul = "__null"
     val spark = events.sparkSession
     import spark.implicits._
@@ -832,9 +835,18 @@ object EventFunnel {
       .join(lastTouch, Seq("_u", "_g"), "left")
       .select(coalesce(col("_lt"), lit(Start)).as("_f"),
         when(col("_g") >= 1, lit(Conv)).otherwise(lit(Nul)).as("_to"))
+    // loud cap (explicit form of the category²-bound this chain always
+    // assumed): a data-sized typeCol would make the matrix data-sized —
+    // pull at most cap+1 rows, never an unbounded driver materialize
     val trans = pairT.unionByName(term)
       .groupBy(col("_f"), col("_to")).agg(count(lit(1)).as("_c"))
+      .limit(maxTransitions + 1)
       .as[(String, String, Long)].collect()
+    require(trans.length <= maxTransitions,
+      s"markovAttribution: > $maxTransitions distinct (from, to) " +
+        "transitions - the driver matrix is channel-vocabulary-sized " +
+        "by design; bucket the event-type column into a bounded channel " +
+        "catalog or raise maxTransitions")
     val channels = trans.iterator
       .flatMap(r => Iterator(r._1, r._2))
       .filterNot(Set(Start, Conv, Nul)).toSeq.distinct.sorted

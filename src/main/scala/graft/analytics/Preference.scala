@@ -33,14 +33,26 @@ object Preference {
     * item asc.
     *
     * Shape: ONE distributed aggregate to the (winner, loser) count
-    * matrix — item-vocabulary²-bounded, never data-sized — then the
-    * MM rounds on the driver over that matrix (the
-    * [[Evaluation.cohensKappa]] / Markov-absorption driver-chain
-    * posture); an external engine replays the rounds as unrolled
-    * CTEs. */
+    * matrix — item-vocabulary²-bounded in the intended regime (a
+    * bounded item catalog), then the MM rounds on the driver over that
+    * matrix (the [[Evaluation.cohensKappa]] / Markov-absorption
+    * driver-chain posture); an external engine replays the rounds as
+    * unrolled CTEs.
+    *
+    * LOUD CAP: distinct observed pairs ARE data-sized in the worst
+    * case (a long-tail preference log — RLHF comparison data — where
+    * most pairs are unique), so the collect is bounded by `maxPairs`:
+    * the driver pulls at most `maxPairs + 1` rows and FAILS with the
+    * remedy when the matrix exceeds the cap (the Kaplan–Meier
+    * `maxSteps` discipline — never an unbounded driver materialize,
+    * not even to count). Past the cap: bucket items into a bounded
+    * catalog first, or fit with a distributed MM (one join + aggregate
+    * per round) instead of the driver chain. */
   def bradleyTerry(pairs: DataFrame, winnerCol: String,
-      loserCol: String, iters: Int = 10): DataFrame = {
+      loserCol: String, iters: Int = 10,
+      maxPairs: Int = 2000000): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxPairs >= 1, s"maxPairs must be >= 1, got $maxPairs")
     val spark = pairs.sparkSession
     import spark.implicits._
     val cm = pairs
@@ -49,7 +61,13 @@ object Preference {
       .groupBy(col(s"`$winnerCol`").cast("string").as("_w"),
         col(s"`$loserCol`").cast("string").as("_l"))
       .agg(count(lit(1)).as("_c"))
+      .limit(maxPairs + 1)
       .as[(String, String, Long)].collect()
+    require(cm.length <= maxPairs,
+      s"bradleyTerry: > $maxPairs distinct (winner, loser) pairs - the " +
+        "driver MM matrix is pair-vocabulary-sized by design; bucket " +
+        "items into a bounded catalog or raise maxPairs (or fit a " +
+        "distributed MM) for long-tail preference logs")
     val items = (cm.iterator.map(_._1) ++ cm.iterator.map(_._2))
       .toArray.distinct.sorted
     val idx = items.zipWithIndex.toMap

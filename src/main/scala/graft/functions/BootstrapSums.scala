@@ -63,9 +63,23 @@ case class BootstrapSums(
   require(coeffA.length == coeffB.length &&
     coeffB.length == coeffC.length && coeffA.nonEmpty,
     "coefficient vectors must share one positive length")
-  require(modulus > 0, s"modulus must be positive, got $modulus")
+  // overflow contract, enforced (exact-or-LOUD): coefficients in
+  // [0, modulus) and hash slices in [0, 2^40) keep the affine form
+  // a*h1 + b*h2 + c under 2*modulus*2^40 + modulus, which stays in
+  // long range iff modulus <= 2^22 — out-of-contract inputs would
+  // otherwise wrap Long, make u negative, and silently zero every
+  // weight
+  require(modulus > 0 && modulus <= (1L << 22),
+    s"modulus must be in (0, 2^22], got $modulus (larger moduli can " +
+      "wrap the affine form in long arithmetic)")
+  require(Seq(coeffA, coeffB, coeffC).forall(
+      _.forall(v => v >= 0 && v < modulus)),
+    s"coefficients must all be in [0, modulus=$modulus)")
   require(thresholds.nonEmpty && thresholds == thresholds.sorted,
     "thresholds must be non-empty ascending")
+
+  /** Hash slices must be 40-bit (the overflow contract above). */
+  private val MaxHash = (1L << 40) - 1L
 
   private def replicas: Int = coeffA.length
 
@@ -98,6 +112,11 @@ case class BootstrapSums(
     if (h1v != null && h2v != null && vv != null) {
       val h1 = h1v.asInstanceOf[Long]
       val h2 = h2v.asInstanceOf[Long]
+      if (h1 < 0L || h1 > MaxHash || h2 < 0L || h2 > MaxHash)
+        throw new IllegalArgumentException(
+          s"BootstrapSums: hash slice out of [0, 2^40) (h1=$h1, " +
+            s"h2=$h2) - feed 40-bit digest slices, or the affine form " +
+            "wraps long arithmetic")
       val v = vv.asInstanceOf[Long]
       val r = replicas
       var i = 0

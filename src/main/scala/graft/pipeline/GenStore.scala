@@ -111,11 +111,14 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
       val gm = fs.create(genMarkerP, true)
       try gm.write((gen + 1L).toString.getBytes("UTF-8"))
       finally gm.close()
-      fs.listStatus(new Path(root)).map(_.getPath)
-        .filter(p => p.getName.startsWith("g") &&
-          p.getName != s"g${gen + 1L}" &&
-          p.getName.drop(1).forall(_.isDigit))
-        .foreach(p => fs.delete(p, true))
+      // sweep ONLY directories this class could have minted: `g`
+      // followed by one-or-more digits ("g" alone, user files like a
+      // non-directory `g1`, and anything else at root survive)
+      fs.listStatus(new Path(root))
+        .filter(st => st.isDirectory &&
+          st.getPath.getName != s"g${gen + 1L}" &&
+          st.getPath.getName.matches("g\\d+"))
+        .foreach(st => fs.delete(st.getPath, true))
       log(s"$label compacted ($files batch files -> generation " +
         s"${gen + 1L})")
     }

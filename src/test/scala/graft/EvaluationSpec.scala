@@ -365,6 +365,37 @@ class EvaluationSpec extends AnyFunSuite {
     assert(bt(Seq.empty) == Seq.empty)
   }
 
+  test("driver-matrix loud caps: bradleyTerry maxPairs, cohensKappa " +
+      "maxCells, fleissKappa/krippendorffAlpha maxCategories fail " +
+      "loudly past the cap and are invariant at it") {
+    import graft.analytics.Preference
+    // 3 distinct (winner, loser) pairs
+    val prefs = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("w", "l")
+    val e1 = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(prefs, "w", "l", maxPairs = 2)
+    }
+    assert(e1.getMessage.contains("maxPairs"))
+    // at the cap: identical to the uncapped run
+    assert(Preference.bradleyTerry(prefs, "w", "l", maxPairs = 3)
+        .collect().toSeq ==
+      Preference.bradleyTerry(prefs, "w", "l").collect().toSeq)
+    val two = Seq(("x", "x"), ("x", "y"), ("y", "y")).toDF("ra", "rb")
+    val e2 = intercept[IllegalArgumentException] {
+      Evaluation.cohensKappa(two, "ra", "rb", maxCells = 2)
+    }
+    assert(e2.getMessage.contains("maxCells"))
+    val panel = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "a"))
+      .toDF("u", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      Evaluation.fleissKappa(panel, "u", "v", 2, maxCategories = 1)
+    }
+    assert(e3.getMessage.contains("maxCategories"))
+    val e4 = intercept[IllegalArgumentException] {
+      Evaluation.krippendorffAlpha(panel, "u", "v", maxCategories = 1)
+    }
+    assert(e4.getMessage.contains("maxCategories"))
+  }
+
   test("conformalInterval: hand-computed ceil-rank threshold, test " +
       "coverage, infeasible-rank NULL, tie collapse, alpha bounds") {
     def ci(rows: Seq[(Boolean, Double, Double)], alpha: Long) =

@@ -1200,5 +1200,20 @@ class EventFunnelSpec extends AnyFunSuite {
       EventFunnel.markovAttribution(ev, "user_id", "event_type",
         "ts_us", "event_id", "purchase", iters = 0)
     }
+    // loud cap: the driver transition matrix is channel-vocabulary-
+    // sized by design — a data-sized type column must FAIL, not
+    // silently materialize on the driver
+    val capped = intercept[IllegalArgumentException] {
+      EventFunnel.markovAttribution(ev, "user_id", "event_type",
+        "ts_us", "event_id", "purchase", maxTransitions = 2)
+    }
+    assert(capped.getMessage.contains("maxTransitions"))
+    // at exactly the matrix size the cap admits the run unchanged
+    val atCap = EventFunnel.markovAttribution(ev, "user_id",
+        "event_type", "ts_us", "event_id", "purchase",
+        maxTransitions = 1000)
+      .orderBy($"channel")
+      .as[(String, Option[Long], Option[Long])].collect().toSeq
+    assert(atCap == out)
   }
 }

@@ -193,5 +193,29 @@ class Int128SumSpec extends AnyFunSuite {
       bootstrapSums(col("h1"), col("h2"), col("vm"),
         A, B, C, 10L, Seq(6L, 3L))
     }
+    // overflow contract is ENFORCED, not assumed: coefficients must sit
+    // in [0, modulus), the modulus under 2^22, and hash slices under
+    // 2^40 — each violation fails loudly instead of silently zeroing
+    // weights via a wrapped affine form
+    intercept[IllegalArgumentException] { // coeff >= modulus
+      bootstrapSums(col("h1"), col("h2"), col("vm"),
+        Seq(10L, 2L), B, C, 10L, Seq(3L))
+    }
+    intercept[IllegalArgumentException] { // negative coeff
+      bootstrapSums(col("h1"), col("h2"), col("vm"),
+        A, Seq(-1L, 1L), C, 10L, Seq(3L))
+    }
+    intercept[IllegalArgumentException] { // modulus past 2^22
+      bootstrapSums(col("h1"), col("h2"), col("vm"),
+        A, B, C, (1L << 22) + 1L, Seq(3L))
+    }
+    val oob = intercept[org.apache.spark.SparkException] {
+      Seq((1L << 40, 0L, 1L)).toDF("h1", "h2", "vm")
+        .agg(bootstrapSums(col("h1"), col("h2"), col("vm"),
+          A, B, C, 10L, Seq(3L)))
+        .collect()
+    }
+    assert(oob.getMessage.contains("2^40") ||
+      Option(oob.getCause).exists(_.getMessage.contains("2^40")))
   }
 }

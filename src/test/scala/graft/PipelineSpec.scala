@@ -1976,10 +1976,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(!m3.exists(_._1 == 13L), "emptied group survived retraction")
     // compaction: idle runs append empty partials until the 16-file
     // threshold collapses the store to one summed partial per group —
-    // and the published mart is invariant under the rewrite
+    // and the published mart is invariant under the rewrite. Plant
+    // root-level bystanders the sweep must NOT delete: a FILE named
+    // like a generation and a DIRECTORY named bare "g" (the sweep may
+    // only remove g<digits> DIRECTORIES this store minted)
+    Files.writeString(Path.of(partialsBase, "g999"), "not a generation")
+    Files.createDirectories(Path.of(partialsBase, "g"))
     (4 to 18).foreach { d =>
       run(srcI, storeI, "aggi", f"2024-06-$d%02d 00:00:00")
     }
+    assert(Files.isRegularFile(Path.of(partialsBase, "g999")) &&
+      Files.isDirectory(Path.of(partialsBase, "g")),
+      "compaction sweep deleted a non-generation bystander path")
+    Files.delete(Path.of(partialsBase, "g999"))
+    Files.delete(Path.of(partialsBase, "g"))
     val after = liveGenDir().listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(after <= 2, s"store did not compact: $after files")
