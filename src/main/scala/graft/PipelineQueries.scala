@@ -465,6 +465,56 @@ object PipelineQueries {
     //    twin-equal either way (PipelineSpec pins it) and q_silver_cow/
     //    q_silver_mor already put the bucketed merge on the bench — this
     //    row should measure the GOLD increment, not repeat theirs.
+    // -- [EXT]: TEMPORAL (SCD2) gold mart — the events stream rides the
+    //    pipeline twice: as an "activity" fact entity and as a
+    //    "user_history" change-stream dim entity (PK = change_id, so the
+    //    full history survives silver's latest-wins dedup). The declared
+    //    gold compacts the dim into validity intervals (Scd2.scd2) and
+    //    joins each fact to the version valid at its event time
+    //    (Scd2.temporalJoin) — the fact⋈dim-history mart the flat star
+    //    can't express. The oracle is the q_scd2_join shape over the raw
+    //    events table: the medallion plumbing must be invisible.
+    "q_gold_scd2" -> ((s, dir) => {
+      val run = s"gscd2_${ProcessHandle.current().pid()}_" +
+        s"${invocation.incrementAndGet()}"
+      val root = Files.createTempDirectory(s"graft_$run").toString
+      Files.createDirectories(Paths.get(s"$root/src"))
+      val ev = analytics.Tables.withEpochMicros(
+        analytics.Tables(s, dir, "events"))
+      Files.createSymbolicLink(Paths.get(s"$root/src/activity"),
+        stage(dir, "ev_activity")(
+          ev.select(col("event_id"), col("user_id"), col("ts_us"))))
+      Files.createSymbolicLink(Paths.get(s"$root/src/user_history"),
+        stage(dir, "ev_history")(
+          ev.select(col("event_id").as("change_id"),
+            col("user_id").as("huser"), col("ts_us").as("hts"),
+            col("event_type").as("htype"))))
+      Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+        """{"activity": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["event_id"],
+          |  "gold": {
+          |    "join": [
+          |      {"entity": "user_history", "on": "user_id = huser",
+          |       "broadcast": true,
+          |       "temporal": {"fact_ts": "ts_us", "dim_ts": "hts",
+          |                    "tie_break": "change_id",
+          |                    "attrs": ["htype"]}}],
+          |    "select": ["event_id", "user_id", "src_change_id",
+          |               "htype AS dim_type", "valid_from"]}
+          |},
+          |"user_history": {
+          |  "raw_file_format": "parquet",
+          |  "unique_primary_key": ["change_id"]
+          |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val params = PipelineParams(sourceLocation = s"$root/src",
+        catalogName = run)
+      new PipelineRunner(s, params, s"$root/store")
+        .run(ConfigLoader.load(s, params.sourceLocation), concurrency = 2)
+      s.table(params.goldFqn("activity"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_gold_incr" -> ((s, dir) => {
       val run = s"gincq_${ProcessHandle.current().pid()}_" +
         s"${invocation.incrementAndGet()}"
@@ -550,6 +600,36 @@ object PipelineQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 13 != 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the q_scd2_join shape over the raw events table: SCD2-compact the
+    // history projection, then the equi + range membership join — the
+    // pipeline (bronze streams, PK-dedup silver on change_id, the
+    // config-declared temporal gold) must be invisible
+    "q_gold_scd2" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |           FROM events),
+        |h AS (SELECT event_id AS change_id, user_id AS huser,
+        |        event_type AS htype, epoch_us(ts) AS hts FROM events),
+        |c AS (SELECT huser, change_id, htype, hts,
+        |        lag(htype) OVER (
+        |          PARTITION BY huser ORDER BY hts, change_id) AS prev,
+        |        row_number() OVER (
+        |          PARTITION BY huser ORDER BY hts, change_id) AS rn
+        |      FROM h),
+        |ch AS (SELECT huser, change_id, htype, hts FROM c
+        |       WHERE rn = 1 OR prev IS DISTINCT FROM htype),
+        |scd AS (SELECT huser, change_id AS src_change_id, htype,
+        |          hts AS valid_from,
+        |          lead(hts) OVER (
+        |            PARTITION BY huser ORDER BY hts, change_id)
+        |            AS valid_to
+        |        FROM ch)
+        |SELECT e.event_id, e.user_id, s.src_change_id,
+        |  s.htype AS dim_type, s.valid_from
+        |FROM e JOIN scd s ON e.user_id = s.huser
+        |  AND e.ts_us >= s.valid_from
+        |  AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
 
     // the star join over the raw tables: the medallion plumbing
     // (bronze streams, PK-dedup silver, versioned gold publish) must be

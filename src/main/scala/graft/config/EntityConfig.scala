@@ -225,6 +225,11 @@ final case class GoldConfig(
   require(aggregate.isEmpty || join.isEmpty,
     "gold.aggregate and gold.join are mutually exclusive — aggregate a " +
       "published mart by declaring the aggregate gold on its own entity")
+  require(mode != "incremental" || join.forall(_.temporal.isEmpty),
+    "gold mode 'incremental' cannot maintain temporal (SCD2) joins — a " +
+      "dim change can shift interval BOUNDARIES of neighboring " +
+      "versions, so affected facts are not identifiable from the delta " +
+      "keys alone; use mode 'full' for temporal marts")
   def anyExpectations: Boolean =
     expectAllOrDrop.nonEmpty || expectAll.nonEmpty || expectAllOrFail.nonEmpty
 }
@@ -275,12 +280,53 @@ final case class GoldJoin(
       * modes: an incremental mart diffs the dim's versioned GOLD
       * snapshots (content-based, so an unchanged republish diffs to an
       * empty delta). */
-    layer: String = "silver") {
+    layer: String = "silver",
+    /** TEMPORAL (SCD2/as-of) join: the dim side is a CHANGE STREAM
+      * (its entity's primary key includes the change timestamp so the
+      * full history survives silver's latest-wins dedup); the gold
+      * phase compacts it into validity intervals
+      * ([[graft.ops.Scd2.scd2]]) and each fact row joins the dim
+      * VERSION VALID AT ITS EVENT TIME
+      * ([[graft.ops.Scd2.temporalJoin]]) — the standard warehouse
+      * fact⋈dim-history mart the flat star cannot express. Requires
+      * `on` to be exactly ONE equi term (`fact_key = dim_key`) and
+      * joinType "inner" (facts preceding the key's first interval drop
+      * — the warehouse convention built into temporalJoin). */
+    temporal: Option[TemporalJoin] = None) {
   require(Set("inner", "left", "right", "full").contains(joinType),
     s"gold.join.type must be inner/left/right/full, got '$joinType'")
   require(on.trim.nonEmpty, "gold.join.on must be a SQL join condition")
   require(layer == "silver" || layer == "gold",
     s"gold.join.layer must be 'silver' or 'gold', got '$layer'")
+  require(temporal.isEmpty || joinType == "inner",
+    s"gold.join.temporal requires type 'inner' (facts before the key's " +
+      s"first interval drop by construction), got '$joinType'")
+}
+
+/** The temporal half of a [[GoldJoin]]: how to compact the dim's change
+  * stream into SCD2 intervals and which fact column anchors the
+  * valid-at lookup. All columns are named in the SOURCE tables' terms
+  * (`fact_ts` on the mart's own silver; the rest on the dim's). */
+final case class TemporalJoin(
+    /** NUMERIC fact-time column on the mart's own entity, comparable
+      * to the dim's change timestamps (same unit). */
+    factTs: String,
+    /** Change-timestamp column on the dim entity (becomes
+      * `valid_from`/`valid_to`). */
+    dimTs: String,
+    /** Unique dim column ordering same-timestamp changes (determinism
+      * requirement — the W1 dedup discipline); surfaces as
+      * `src_<tie_break>` in the mart. */
+    tieBreak: String,
+    /** Tracked attribute columns: a dim row opens a new interval iff
+      * any of them changed. */
+    attrs: Seq[String]) {
+  require(factTs.trim.nonEmpty, "gold.join.temporal needs a 'fact_ts'")
+  require(dimTs.trim.nonEmpty, "gold.join.temporal needs a 'dim_ts'")
+  require(tieBreak.trim.nonEmpty,
+    "gold.join.temporal needs a 'tie_break'")
+  require(attrs.nonEmpty,
+    "gold.join.temporal needs at least one tracked attribute in 'attrs'")
 }
 
 /** Knobs of the curation stage — mirrors [[graft.llm.Curation.Config]]
@@ -549,6 +595,23 @@ object ConfigLoader {
               require(all.contains(j.entity), s"$name.gold.join: entity " +
                 s"'${j.entity}' is not declared in this config (its " +
                 "silver would not exist when gold runs)")
+              // a temporal dim must keep its FULL change history through
+              // silver's latest-wins PK dedup: the dim's declared PK has
+              // to include the change timestamp or the tie-break, or the
+              // compaction sees one latest row per key and the mart
+              // silently degenerates to the flat star
+              j.temporal.foreach { t =>
+                val pk = all(j.entity).uniquePrimaryKey
+                  .map(_.toLowerCase).toSet
+                require(pk.contains(t.dimTs.toLowerCase) ||
+                    pk.contains(t.tieBreak.toLowerCase),
+                  s"$name.gold.join: temporal dim '${j.entity}' has " +
+                    s"unique_primary_key ${all(j.entity).uniquePrimaryKey
+                      .mkString("[", ", ", "]")} — it must include the " +
+                    s"change timestamp '${t.dimTs}' or tie-break " +
+                    s"'${t.tieBreak}' so silver keeps the change " +
+                    "history an SCD2 compaction needs")
+              }
             }
           }
           all
@@ -597,7 +660,23 @@ object ConfigLoader {
               case Some(JBool(b)) => b
               case _              => false
             },
-            layer = s("layer").getOrElse("silver"))
+            layer = s("layer").getOrElse("silver"),
+            temporal = m.get("temporal") match {
+              case Some(JObject(tf)) =>
+                val tm = tf.toMap
+                def ts(k: String): String = tm.get(k) match {
+                  case Some(JString(v)) => v
+                  case _ => throw new IllegalArgumentException(
+                    s"gold.join.temporal needs a string '$k'")
+                }
+                Some(TemporalJoin(
+                  factTs = ts("fact_ts"), dimTs = ts("dim_ts"),
+                  tieBreak = ts("tie_break"),
+                  attrs = tm.get("attrs").map(strSeq).getOrElse(Nil)))
+              case None => None
+              case Some(other) => throw new IllegalArgumentException(
+                s"gold.join.temporal must be an object, got $other")
+            })
         case other => throw new IllegalArgumentException(
           s"gold.join entries must be objects, got $other")
       }

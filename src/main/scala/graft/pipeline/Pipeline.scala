@@ -1489,8 +1489,12 @@ final class PipelineRunner(
           if (j.layer == "gold") params.goldFqn(j.entity)
           else params.silverFqn(j.entity))
         .drop(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
-      acc.join(if (j.broadcast) broadcast(dim) else dim,
-        expr(j.on), j.joinType)
+      j.temporal match {
+        case Some(t) => temporalMartJoin(entity, acc, dim, j, t)
+        case None =>
+          acc.join(if (j.broadcast) broadcast(dim) else dim,
+            expr(j.on), j.joinType)
+      }
     }
     val projected =
       if (g.select.nonEmpty) joined.select(g.select.map(expr): _*)
@@ -1502,6 +1506,61 @@ final class PipelineRunner(
       if (g.clusteringCols.forall(silver.columns.contains)) silver
       else projected
     goldGate(entity, g, projected, boundsSrc, obs)
+  }
+
+  /** One TEMPORAL (SCD2) join of a gold mart: compact the dim's change
+    * stream into validity intervals, then join each fact row to the
+    * version valid at its event time — config-declared
+    * [[graft.ops.Scd2.scd2]] + [[graft.ops.Scd2.temporalJoin]], the
+    * fact⋈dim-history mart every medallion deployment builds after the
+    * flat star (the reference's per-entity silver reads,
+    * `02_silver_processing.py:117`, are exactly the inputs).
+    *
+    * The dim entity's primary key must include its change timestamp
+    * (or tie-break) so the FULL history survives silver's latest-wins
+    * dedup — a latest-only dim compacts to one open interval per key
+    * and the mart silently degenerates to the flat star; fail loud
+    * when the dim's declared PK can't keep history.
+    *
+    * Scale: the SCD2 compaction is ONE shuffle on the dim key
+    * (dim-history-sized, not fact-sized); the valid-at join is
+    * equi-anchored — a plain hash/sort-merge join with a residual range
+    * filter, never a nested loop — and broadcasts when declared (dim
+    * histories are dimension-sized), so the fact table never shuffles.
+    * A second temporal join in the same mart must alias away the
+    * first's `valid_from`/`valid_to` via `gold.select` first
+    * (temporalJoin refuses the collision loudly). */
+  private def temporalMartJoin(entity: String, facts: DataFrame,
+      dim: DataFrame, j: GoldJoin, t: graft.config.TemporalJoin)
+      : DataFrame = {
+    def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+    val sides = j.on.split("=").map(bare)
+    require(sides.length == 2 && sides.forall(_.nonEmpty) &&
+        !j.on.toLowerCase.contains(" and "),
+      s"gold.$entity: temporal joins need exactly ONE equi term " +
+        s"('fact_key = dim_key'); got '${j.on}'")
+    val factColsL = facts.columns.map(_.toLowerCase).toSet
+    val dimColsL = dim.columns.map(_.toLowerCase).toSet
+    val (factKey, dimKey) =
+      if (factColsL.contains(sides(0).toLowerCase) &&
+          dimColsL.contains(sides(1).toLowerCase)) (sides(0), sides(1))
+      else if (dimColsL.contains(sides(0).toLowerCase) &&
+          factColsL.contains(sides(1).toLowerCase)) (sides(1), sides(0))
+      else throw new IllegalArgumentException(
+        s"gold.$entity: temporal join '${j.on}' must pair one column " +
+          s"of this entity with one column of dim '${j.entity}'")
+    require(facts.columns.map(_.toLowerCase)
+        .contains(t.factTs.toLowerCase),
+      s"gold.$entity: temporal fact_ts '${t.factTs}' is not a column " +
+        "of this entity's silver")
+    val hist = graft.ops.Scd2.scd2(dim, dimKey, t.dimTs, t.tieBreak,
+        t.attrs)
+      .drop("is_current") // interval metadata the mart doesn't need
+    val keyed =
+      if (factKey.equalsIgnoreCase(dimKey)) hist
+      else hist.withColumnRenamed(dimKey, factKey)
+    graft.ops.Scd2.temporalJoin(facts,
+      if (j.broadcast) broadcast(keyed) else keyed, factKey, t.factTs)
   }
 
   private def goldMartPath(entity: String): String =

@@ -1779,6 +1779,108 @@ class PipelineSpec extends AnyFunSuite {
     assert(both.getMessage.contains("mutually exclusive"))
   }
 
+  test("temporal gold mart (gold.join.temporal): facts join the SCD2 " +
+      "dim version valid at event time e2e through bronze→silver→gold; " +
+      "unchanged-attr rows merge; pre-history facts drop; broadcast " +
+      "reaches the plan; guards reject incremental mode, latest-only " +
+      "dim PKs, multi-term conditions, and non-inner types") {
+    val src = tmpDir("goldscd2-src"); val store = tmpDir("goldscd2-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {
+        |    "join": [
+        |      {"entity": "prices", "on": "item_id = p_item",
+        |       "broadcast": true,
+        |       "temporal": {"fact_ts": "sold_ts", "dim_ts": "price_ts",
+        |                    "tie_break": "change_id",
+        |                    "attrs": ["price_cents"]}}],
+        |    "select": ["sale_id", "item_id", "sold_ts", "price_cents",
+        |               "valid_from"]}
+        |},
+        |"prices": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["change_id"]
+        |}}""".stripMargin)
+    // item 1 price history: 500 @100, 600 @200, 600 @300 (UNCHANGED —
+    // must merge into the previous interval), 700 @400
+    Seq((1L, 1L, 100L, 500L), (2L, 1L, 200L, 600L),
+        (3L, 1L, 300L, 600L), (4L, 1L, 400L, 700L),
+        (5L, 2L, 450L, 900L))
+      .toDF("change_id", "p_item", "price_ts", "price_cents")
+      .write.parquet(s"$src/prices")
+    Seq((1L, 1L, 150L), (2L, 1L, 200L), (3L, 1L, 399L),
+        (4L, 1L, 400L), (5L, 1L, 50L), // before first interval — drops
+        (6L, 2L, 500L))
+      .toDF("sale_id", "item_id", "sold_ts")
+      .write.parquet(s"$src/sales")
+    val ent = ConfigLoader.load(spark, src)
+    val (runner, params) =
+      mkRunner(src, store, "2024-04-01 00:00:00", catalog = "gscd2")
+    runner.run(ent)
+    val mart = spark.table(params.goldFqn("sales"))
+    assert(mart.columns.toSeq ==
+      Seq("sale_id", "item_id", "sold_ts", "price_cents", "valid_from"))
+    assert(mart.orderBy($"sale_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq == Seq(
+        (1L, 1L, 150L, 500L, 100L),   // inside [100, 200)
+        (2L, 1L, 200L, 600L, 200L),   // valid_from boundary is inclusive
+        (3L, 1L, 399L, 600L, 200L),   // the @300 no-op change merged away
+        (4L, 1L, 400L, 700L, 400L),   // open current interval
+        (6L, 2L, 500L, 900L, 450L))) // second key's own history
+    // the declared broadcast reached the plan: equi-anchored hash join
+    // with a residual range filter, never a nested loop
+    val plan = runner.buildGoldJoinFrame("sales", ent("sales"),
+        ent("sales").gold.get)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("NestedLoop"), plan.take(800))
+    // guard: incremental mode cannot maintain temporal joins
+    val incr = intercept[IllegalArgumentException] {
+      graft.config.GoldConfig(mode = "incremental",
+        join = Seq(graft.config.GoldJoin("prices", "a = b",
+          temporal = Some(graft.config.TemporalJoin(
+            "sold_ts", "price_ts", "change_id", Seq("price_cents"))))))
+    }
+    assert(incr.getMessage.contains("temporal"))
+    // guard: non-inner temporal join type
+    val outer = intercept[IllegalArgumentException] {
+      graft.config.GoldJoin("prices", "a = b", joinType = "left",
+        temporal = Some(graft.config.TemporalJoin(
+          "sold_ts", "price_ts", "change_id", Seq("price_cents"))))
+    }
+    assert(outer.getMessage.contains("inner"))
+    // guard: a latest-only dim PK (history would not survive silver)
+    val bad = tmpDir("goldscd2-bad")
+    Files.writeString(Path.of(bad, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"join": [
+        |    {"entity": "prices", "on": "item_id = p_item",
+        |     "temporal": {"fact_ts": "sold_ts", "dim_ts": "price_ts",
+        |                  "tie_break": "change_id",
+        |                  "attrs": ["price_cents"]}}]}
+        |},
+        |"prices": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["p_item"]
+        |}}""".stripMargin)
+    val hist = intercept[IllegalArgumentException] {
+      ConfigLoader.load(spark, bad)
+    }
+    assert(hist.getMessage.contains("change history"), hist.getMessage)
+    // guard: a multi-term condition is not a temporal anchor
+    val multi = intercept[IllegalArgumentException] {
+      runner.buildGoldJoinFrame("sales", ent("sales"),
+        ent("sales").gold.get.copy(join =
+          ent("sales").gold.get.join.map(j =>
+            j.copy(on = "item_id = p_item AND sale_id = change_id"))))
+    }
+    assert(multi.getMessage.contains("ONE equi term"), multi.getMessage)
+  }
+
   test("incremental join mart (gold.mode incremental + gold.join): " +
       "fact-delta upserts + dim-delta re-derivation equal the full " +
       "recompute across three CDC batches (fact add/update/retraction, " +
