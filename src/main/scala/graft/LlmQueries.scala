@@ -89,6 +89,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: DISTRIBUTED LOGISTIC TRAINING — fixed-step GD on the
+    //    hard-sigmoid surrogate in exact integer micros (truncating
+    //    division in all three engines), one aggregate per iteration,
+    //    driver state = k+1 longs. The oracle replays all 5 iterations
+    //    as unrolled CTEs — training is engine-exact, not approximate.
+    "q_logit_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.analytics.Regression.logisticTrain(docs,
+        col("lang") === "en" || col("n_chars") > 400,
+        Seq(
+          "chars_h" -> (col("n_chars").cast("double") / lit(100.0)),
+          "is_en" -> when(col("lang") === "en", 1.0).otherwise(0.0),
+          "id_noise" ->
+            ((col("doc_id") % 10).cast("double") / lit(10.0))),
+        iters = 5, lrX1e6 = 250000L)
+    }),
+
     // -- [EXT]: language-ID heuristic (marker-stopword argmax)
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1466,6 +1483,7 @@ object LlmQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> s"$langGuessSql\nORDER BY doc_id",
+    "q_logit_train" -> logitTrainOracle(5, 250000L),
 
     // exact integer kappa over the (lang, guess) confusion matrix the
     // q_lang_id oracle already replays: po/pe cleared to
@@ -3244,6 +3262,61 @@ object LlmQueries {
     // whole corpus and the result is exactly the quantized top-k.
     "q_ivf_sq8" -> sq8TopkSql
   )
+
+  /** Unrolled-CTE replay of [[graft.analytics.Regression.logisticTrain]]
+    * on the documents quality labels: each GD iteration is one
+    * residual/gradient/weight CTE triple over a one-row weight table
+    * (CROSS JOIN — never a scalar-subquery forest). Every division
+    * TRUNCATES toward zero, where DuckDB `//`, Spark `div`, and Scala
+    * `BigInt./` all agree, so negative gradients replay with no floor
+    * gymnastics. */
+  private def logitTrainOracle(iters: Int, lr: Long): String = {
+    val base =
+      """WITH f AS MATERIALIZED (
+        |  SELECT CASE WHEN lang = 'en' OR n_chars > 400
+        |              THEN 1000000 ELSE 0 END AS y6,
+        |    CAST(floor((n_chars / 100.0) * 1000000.0) AS BIGINT) AS x1,
+        |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS x2,
+        |    CAST(floor(((doc_id % 10) / 10.0) * 1000000.0) AS BIGINT)
+        |      AS x3
+        |  FROM documents
+        |  WHERE (lang = 'en' OR n_chars > 400) IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |w0 AS (SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS w1,
+        |         CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT
+         |    LEAST(1000000, GREATEST(0, 500000 +
+         |      ((w.b * 1000000 + w.w1 * f.x1 + w.w2 * f.x2
+         |        + w.w3 * f.x3) // 1000000) // 4)) - f.y6 AS r,
+         |    f.x1, f.x2, f.x3
+         |  FROM f CROSS JOIN w${i - 1} w),
+         |g$i AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    SUM(CAST(r AS HUGEINT)) * 1000000 AS g0,
+         |    SUM(CAST(r AS HUGEINT) * x1) AS g1,
+         |    SUM(CAST(r AS HUGEINT) * x2) AS g2,
+         |    SUM(CAST(r AS HUGEINT) * x3) AS g3
+         |  FROM r$i),
+         |w$i AS (SELECT
+         |    w.b  - ($lr * (g.g0 // g.n)) // 1000000000000 AS b,
+         |    w.w1 - ($lr * (g.g1 // g.n)) // 1000000000000 AS w1,
+         |    w.w2 - ($lr * (g.g2 // g.n)) // 1000000000000 AS w2,
+         |    w.w3 - ($lr * (g.g3 // g.n)) // 1000000000000 AS w3
+         |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT idx, feature, weight_x1e6,
+       |  (SELECT CAST(n AS BIGINT) FROM g1) AS n
+       |FROM (
+       |  SELECT 0 AS idx, '__bias' AS feature, CAST(b AS BIGINT)
+       |    AS weight_x1e6 FROM w$iters
+       |  UNION ALL SELECT 1, 'chars_h', CAST(w1 AS BIGINT) FROM w$iters
+       |  UNION ALL SELECT 2, 'is_en', CAST(w2 AS BIGINT) FROM w$iters
+       |  UNION ALL SELECT 3, 'id_noise', CAST(w3 AS BIGINT) FROM w$iters)
+       |ORDER BY idx""".stripMargin
+  }
 
   /** The k-means replay, unrolled per iteration: init = the k
     * smallest-id vectors quantized to micros; each round assigns by the

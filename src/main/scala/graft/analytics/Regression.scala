@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.Int128Sum.int128Sum
 import graft.functions.Int128SumProd.int128SumProd
 
+/** One trained coefficient of [[Regression.logisticTrain]]. */
+final case class LogitWeight(idx: Int, feature: String,
+    weight_x1e6: Long, n: Long)
+
 /** Grouped ORDINARY LEAST SQUARES — the "fit a line per segment" EDA /
   * monitoring primitive (price-vs-quantity elasticity per flag, latency-
   * vs-load slope per service, drift of a metric against time per
@@ -75,5 +79,108 @@ object Regression {
           round((d("_sy") - slope * d("_sx")) / n, 6)).as("intercept"),
         when(col("n") > 0 && varx > 0.0 && vary > 0.0,
           round(cov * cov / (varx * vary), 6)).as("r2")): _*)
+  }
+
+  /** DISTRIBUTED LOGISTIC TRAINING — fixed-step gradient descent on the
+    * HARD-SIGMOID logistic surrogate σ̂(z) = clip(½ + z/4, 0, 1) (the
+    * piecewise-linear sigmoid of the efficient-DL literature), in EXACT
+    * integer micro fixed point so any engine replays every iteration
+    * bit-for-bit (the PageRank discipline applied to a training loop).
+    * This closes the quality-classifier loop: train on labeled docs
+    * over the same signal columns [[graft.text.CorpusStats
+    * .logisticQuality]] scores with, then feed the learned weights back
+    * into the smooth scorer (hard vs smooth sigmoid is a monotone
+    * change of the same linear score — rankings agree; the surrogate is
+    * what makes training ENGINE-EXACT, since no portable integer `exp`
+    * exists).
+    *
+    * Per iteration i (ALL divisions TRUNCATE toward zero — Spark `div`,
+    * Scala `BigInt./` and DuckDB `//` agree on that convention, so the
+    * oracle needs no floor gymnastics):
+    *
+    *   z_raw  = w_bias·10⁶ + Σ_j w_j·x_j          (per row, 1e-12 scale)
+    *   p      = clamp(500000 + (z_raw / 10⁶) / 4, 0, 10⁶)
+    *   r      = p − y·10⁶
+    *   G_j    = Σ_rows r·x_j ; G_bias = 10⁶·Σ r   (exact Int128 sums)
+    *   w_j   ← w_j − (lr · (G_j / n)) / 10¹²       (BigInt, driver)
+    *
+    * Weights start at 0 (so iteration 1 sees p = ½ exactly). Rows with
+    * a NULL label or NULL in any feature drop (complete-case, the
+    * [[olsByGroup]] convention).
+    *
+    * Overflow contract (enforced, exact-or-LOUD): ≤ 16 features, every
+    * quantized |x_j| < 2²⁹ micros (|x| ≲ 536 — rescale bigger signals)
+    * checked by ONE upfront aggregate, and every |w_j| < 2²⁹ micros
+    * checked after each update (a learning rate that explodes weights
+    * fails loudly, never wraps) — so |z_raw| < 17·2⁵⁸ stays far inside
+    * long range.
+    *
+    * Shape: one distributed hash aggregate per iteration (k+2
+    * accumulators), driver state = k+1 longs — iterations are
+    * associative replays, NEVER a data-sized collect; an external
+    * engine unrolls them as CTEs (the `q_logit_train` oracle).
+    *
+    * Returns one row per coefficient: (`idx` 0 = bias, `feature`,
+    * `weight_x1e6`, `n`), idx asc. */
+  def logisticTrain(df: DataFrame, labelCol: Column,
+      features: Seq[(String, Column)], iters: Int = 5,
+      lrX1e6: Long = 4000000L): DataFrame = {
+    require(features.nonEmpty && features.size <= 16,
+      s"logisticTrain takes 1..16 features, got ${features.size}")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(lrX1e6 > 0, s"lr_x1e6 must be positive, got $lrX1e6")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = features.size
+    val Bound = 1L << 29
+    val xs = features.map { case (_, c) =>
+      floor(c.cast("double") * lit(1e6)).cast("long") }
+    val base = df
+      .filter(labelCol.isNotNull && xs.map(_.isNotNull).reduce(_ && _))
+      .select((when(labelCol.cast("boolean"), 1000000L).otherwise(0L)
+          .as("_y6") +:
+        xs.zipWithIndex.map { case (x, j) => x.as(s"_x$j") }): _*)
+      .localCheckpoint(eager = false) // scanned once per iteration
+    // upfront bound check — one aggregate, loud
+    val maxAbs = xs.indices.map(j => max(abs(col(s"_x$j"))))
+    val mx = base.agg(count(lit(1)).as("_n"),
+        (if (maxAbs.size == 1) maxAbs.head
+         else greatest(maxAbs: _*)).as("_m"))
+      .as[(Long, Option[Long])].head()
+    require(mx._2.forall(_ < Bound),
+      s"logisticTrain: a feature reaches ${mx._2.get} micros >= 2^29 - " +
+        "rescale features to |x| < ~536 so the integer score can't wrap")
+    val n = mx._1
+    val w = new Array[Long](k + 1) // idx 0 = bias, then features
+    if (n > 0) {
+      for (_ <- 1 to iters) {
+        val zraw = xs.indices.map(j => lit(w(j + 1)) * col(s"_x$j"))
+          .foldLeft(lit(w(0)) * lit(1000000L): Column)(_ + _)
+        val p = greatest(lit(0L), least(lit(1000000L),
+          lit(500000L) +
+            call_function("div",
+              call_function("div", zraw, lit(1000000L)), lit(4L))))
+        val r = (p - col("_y6")).as("_r")
+        val row = base.select(r +: xs.indices.map(j => col(s"_x$j")): _*)
+          .agg(int128Sum(col("_r")).as("_g0"),
+            xs.indices.map(j =>
+              int128SumProd(col("_r"), col(s"_x$j")).as(s"_g${j + 1}")): _*)
+          .head()
+        def g(i: Int): BigInt =
+          BigInt(row.getDecimal(i).toBigInteger)
+        val lr = BigInt(lrX1e6)
+        val nB = BigInt(n)
+        val tw = BigInt(1000000000000L)
+        w(0) -= ((lr * ((g(0) * 1000000L) / nB)) / tw).toLong
+        for (j <- 1 to k) w(j) -= ((lr * (g(j) / nB)) / tw).toLong
+        require(w.forall(v => math.abs(v) < Bound),
+          s"logisticTrain: a weight left [-2^29, 2^29] micros " +
+            s"(${w.mkString(", ")}) - lower lr_x1e6=$lrX1e6 or rescale " +
+            "features; continuing would wrap the integer score")
+      }
+    }
+    ("__bias" +: features.map(_._1)).zipWithIndex
+      .map { case (name, i) => LogitWeight(i, name, w(i), n) }
+      .toDF().orderBy(col("idx"))
   }
 }

@@ -36,6 +36,85 @@ class RegressionSpec extends AnyFunSuite {
     assert(r("nully").getLong(1) == 1L) // complete cases only
   }
 
+  test("logisticTrain: hand-replayed first iteration converges exactly " +
+      "in two rounds on a separable pair; planted weights recover " +
+      "(signs + perfect training accuracy); null rows drop; " +
+      "determinism; bound guards fail loud") {
+    // two rows, x1 = ±1, y = (x1 > 0). Iteration 1 by hand: w = 0 ⇒
+    // p = 500000 both rows ⇒ G1 = −10¹² ⇒ w1 = 2·10⁶ (lr = 4.0);
+    // iteration 2: z/4 = ±500000 ⇒ p = y ⇒ zero gradient. Fixed point.
+    val pair = Seq((1.0, true), (-1.0, false)).toDF("x1", "y")
+    val r = Regression.logisticTrain(pair, col("y"),
+        Seq("x1" -> col("x1")), iters = 5, lrX1e6 = 4000000L)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(r == Seq((0, "__bias", 0L, 2L), (1, "x1", 2000000L, 2L)))
+    // planted weights: y = (2·x1 − x2 > 0) over a deterministic grid;
+    // the trained surrogate must recover the signs and classify the
+    // training grid perfectly (hard sigmoid ⇒ predict y iff z ≥ 0)
+    val grid = for {
+      a <- -3 to 3; b <- -3 to 3
+      if 2 * a - b != 0 // keep a margin: drop the decision boundary
+    } yield (a.toDouble, b.toDouble, 2 * a - b > 0)
+    val gdf = grid.toDF("x1", "x2", "y")
+    val w = Regression.logisticTrain(gdf, col("y"),
+        Seq("x1" -> col("x1"), "x2" -> col("x2")),
+        iters = 30, lrX1e6 = 1000000L)
+      .as[(Int, String, Long, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    assert(w("x1") > 0 && w("x2") < 0,
+      s"planted signs not recovered: $w")
+    val acc = grid.count { case (a, b, y) =>
+      (w("__bias") * 1000000L + w("x1") * (a * 1e6).toLong +
+        w("x2") * (b * 1e6).toLong >= 0) == y }
+    assert(acc == grid.size, s"training accuracy $acc/${grid.size}")
+    // null label/feature rows drop (complete-case)
+    val dirty = Seq((Option(1.0), Option(true)),
+      (Option.empty[Double], Option(true)), (Option(1.0), None),
+      (Option(-1.0), Option(false))).toDF("x1", "y")
+    assert(Regression.logisticTrain(dirty, col("y"),
+      Seq("x1" -> col("x1"))).head().getLong(3) == 2L)
+    // determinism: bit-identical across runs
+    assert(Regression.logisticTrain(gdf, col("y"),
+        Seq("x1" -> col("x1"), "x2" -> col("x2"))).collect().toSeq ==
+      Regression.logisticTrain(gdf, col("y"),
+        Seq("x1" -> col("x1"), "x2" -> col("x2"))).collect().toSeq)
+    // guards: oversized feature fails the upfront bound check; an
+    // exploding learning rate fails the post-update weight check
+    val big = Seq((1000.0, true), (-1000.0, false)).toDF("x1", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Regression.logisticTrain(big, col("y"), Seq("x1" -> col("x1")))
+    }
+    assert(e1.getMessage.contains("2^29"))
+    val e2 = intercept[IllegalArgumentException] {
+      Regression.logisticTrain(pair, col("y"), Seq("x1" -> col("x1")),
+        iters = 30, lrX1e6 = 400000000000L)
+    }
+    assert(e2.getMessage.contains("lower lr"))
+  }
+
+  test("logisticTrain closes the quality-classifier loop: labels from " +
+      "the default logisticQuality threshold re-train to sign-matching " +
+      "weights with perfect surrogate accuracy on the same signals") {
+    import graft.text.{CorpusStats, TextOps}
+    // 10 clean stopword-rich texts vs 10 punctuation-soup texts — the
+    // exact signal axes DefaultQualityWeights encodes
+    val texts = (1 to 10).map(i =>
+        s"the quick brown fox and the lazy dog were on a hill $i") ++
+      (1 to 10).map(i => s"%%$$##@@!!&&**((~~``||$i%%$$##@@!!")
+    val df = texts.toDF("text")
+      .withColumn("y",
+        CorpusStats.logisticQuality(col("text")) > 0.5)
+    val w = Regression.logisticTrain(df, col("y"), Seq(
+        "stopword" -> TextOps.stopwordRatio(col("text")),
+        "punct" -> TextOps.punctRatio(col("text"))),
+        iters = 40, lrX1e6 = 2000000L)
+      .as[(Int, String, Long, Long)].collect()
+      .map(t => t._2 -> t._3).toMap
+    // sign recovery against the hand-set weights (+6 stopwords,
+    // −4 punctuation)
+    assert(w("stopword") > 0 && w("punct") < 0, s"signs: $w")
+  }
+
   test("cramersV: perfect association = 1, independence = 0, " +
       "degenerate table NULL") {
     val perfect = (Seq.fill(10)(("a", 1)) ++ Seq.fill(10)(("b", 2)))
