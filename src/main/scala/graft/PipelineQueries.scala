@@ -465,6 +465,36 @@ object PipelineQueries {
     //    twin-equal either way (PipelineSpec pins it) and q_silver_cow/
     //    q_silver_mor already put the bucketed merge on the bench — this
     //    row should measure the GOLD increment, not repeat theirs.
+    // -- [EXT]: STREAMING aggregate-mart maintenance — the orders table
+    //    rides a REAL file-stream source through GoldAggOps.goldAggSink
+    //    (foreachBatch appending signed per-group partials into the
+    //    GenStore layout the batch IVM uses, batch-id replay guard,
+    //    checkpoint), then the mart reads back via readMart. The oracle
+    //    is the plain GROUP BY over raw orders — the streaming machinery
+    //    must be invisible in the totals.
+    "q_stream_gold_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.config.{GoldAgg, GoldAggregate}
+      import graft.pipeline.GoldAggOps
+      val a = GoldAggregate(Seq("o_orderstatus"), Seq(
+        GoldAgg("count", as = "n_orders"),
+        GoldAgg("sum_x1e6", expr = "o_totalprice", as = "total_x1e6")))
+      val path = s"$dir/orders.parquet"
+      val schema = s.read.parquet(path).schema
+      val tmp = java.nio.file.Files.createTempDirectory("graft-streamagg")
+      val stream =
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+      GoldAggOps.goldAggSink(stream, a,
+          tmp.resolve("store").toString, tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      GoldAggOps.readMart(s, tmp.resolve("store").toString, a)
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // -- [EXT]: TEMPORAL (SCD2) gold mart — the events stream rides the
     //    pipeline twice: as an "activity" fact entity and as a
     //    "user_history" change-stream dim entity (PK = change_id, so the
@@ -600,6 +630,16 @@ object PipelineQueries {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 13 != 0)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the plain aggregate over raw orders — the streaming partial store
+    // (foreachBatch, batch-id guard, GenStore) must be invisible
+    "q_stream_gold_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*)::BIGINT AS n_orders,
+        |  CAST(COALESCE(SUM(CAST(floor(CASE WHEN isfinite(o_totalprice)
+        |    THEN o_totalprice END * 1000000.0) AS BIGINT)), 0) AS BIGINT)
+        |    AS total_x1e6
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q_scd2_join shape over the raw events table: SCD2-compact the
     // history projection, then the equi + range membership join — the

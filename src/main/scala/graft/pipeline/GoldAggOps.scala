@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.GoldAggregate
+
+/** The additive-IVM aggregate algebra shared by the TRIGGERED-BATCH
+  * aggregate mart ([[Pipeline.buildGoldAggIncremental]]) and the
+  * STREAMING sink ([[goldAggSink]]): signed per-group partials
+  * (inserts +1, deletes −1, updates as −old+new) compose under plain
+  * summation because `gold.aggregate` admits only count and
+  * per-row-floored micro sums — associative, commutative, and
+  * retraction-exact. The stream and the batch mart therefore maintain
+  * THE SAME mart state shape, just fed at different cadences
+  * (micro-batch vs per-run snapshot diff).
+  *
+  * Replay discipline of the sink (at-least-once `foreachBatch`): each
+  * partial row is stamped with its micro-batch id; a batch id at or
+  * below the store's `_last_batch` marker is SKIPPED before any write,
+  * and the one unsafe window (crash between the append and the marker
+  * update) leaves bit-identical duplicate rows that the read side drops
+  * on (`_batch_id`, groups) — batch content at a given id is pinned by
+  * the checkpoint offset log, so duplicates are exact copies. Net
+  * effect: additive totals stay exactly-once without a transactional
+  * sink. Compaction folds the DEDUPED view to one row per group
+  * stamped with the max folded batch id (the high-water mark survives
+  * the rewrite) via the crash-safe [[GenStore]] generation swap.
+  *
+  * Scale: per micro-batch ONE map-side-combined hash aggregate down to
+  * group-count-sized partial rows and one small parquet append; the
+  * published totals re-sum a store bounded at O(groups) plus at most
+  * `compactAfter` uncompacted batches. The mart never rescans history.
+  */
+object GoldAggOps {
+
+  /** Signed aggregate expressions of a [[GoldAggregate]] (no hidden
+    * columns) — count as Σ sign, sum_x1e6 as Σ sign·⌊v·10⁶⌋ with
+    * NaN/Inf masked to NULL (dropped from the sum). */
+  def aggExprs(a: GoldAggregate, sign: Column): Seq[Column] =
+    a.aggs.map { g =>
+      g.op match {
+        case "count" => coalesce(sum(sign), lit(0L)).as(g.as)
+        case "sum_x1e6" =>
+          val v = expr(g.expr).cast("double")
+          val fin = when(!isnan(v) &&
+            abs(v) =!= lit(Double.PositiveInfinity), v)
+          coalesce(sum(sign * floor(fin * lit(1e6))), lit(0L)).as(g.as)
+      }
+    }
+
+  /** [[aggExprs]] plus the hidden `_agg_n` net row count — the
+    * liveness column (a group whose inserts were all retracted must
+    * vanish from the mart). */
+  def partialExprs(a: GoldAggregate, sign: Column): Seq[Column] =
+    aggExprs(a, sign) :+ coalesce(sum(sign), lit(0L)).as("_agg_n")
+
+  private def groupCols(a: GoldAggregate): Seq[Column] =
+    a.groupBy.map(c => col(s"`$c`"))
+
+  /** Re-sum a partial store directory to current per-group totals
+    * (keeps `_agg_n`). `dedupBatches` = the streaming store (partials
+    * carry `_batch_id`; exact-duplicate replay rows drop first). */
+  def sumPartials(spark: SparkSession, from: String, a: GoldAggregate,
+      dedupBatches: Boolean = false): DataFrame = {
+    val raw = spark.read.parquet(from)
+    val deduped =
+      if (dedupBatches) raw.dropDuplicates("_batch_id" +: a.groupBy)
+        .drop("_batch_id")
+      else raw
+    val sums = (a.aggs.map(_.as) :+ "_agg_n")
+      .map(c2 => sum(col(s"`$c2`")).as(c2))
+    deduped.groupBy(groupCols(a): _*).agg(sums.head, sums.tail: _*)
+  }
+
+  /** The LIVE mart view of a streaming-sink store: deduped re-sum,
+    * groups with net-positive row count, hidden column dropped. */
+  def readMart(spark: SparkSession, storeDir: String, a: GoldAggregate)
+      : DataFrame = {
+    val fs = new Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val store = new GenStore(fs, s"$storeDir/agg_partials", _ => ())
+    sumPartials(spark, store.dataDir, a, dedupBatches = true)
+      .filter(col("_agg_n") > 0L).drop("_agg_n")
+  }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim.toLongOption
+    }
+
+  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      v: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** STREAMING aggregate-mart maintenance — the `foreachBatch` sink
+    * that keeps a [[GoldAggregate]] mart fresh at micro-batch latency:
+    * each batch's signed rows (CDC feed via `signCol`: +1 insert, −1
+    * delete, updates as a −old/+new row pair; append-only feeds omit it
+    * — every row +1) aggregate to per-group partials appended into the
+    * same GenStore layout the batch IVM uses. Read the live mart with
+    * [[readMart]]; totals equal the triggered-batch mart over the same
+    * change feed by associativity (StreamingSpec twin-pins it).
+    *
+    * Doc-header contract: batch-id marker skip + read-side exact-dup
+    * drop make the additive totals replay-safe. */
+  def goldAggSink(stream: DataFrame, a: GoldAggregate, storeDir: String,
+      checkpoint: String, signCol: Option[String] = None,
+      compactAfter: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(compactAfter >= 1 && compactAfter <= 65536,
+      s"compactAfter must be in [1, 2^16], got $compactAfter")
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(storeDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val markerP = new Path(s"$storeDir/_last_batch")
+        if (readMarker(fs, markerP).forall(batchId > _)) {
+          val store = new GenStore(fs, s"$storeDir/agg_partials",
+            _ => ())
+          val sign = signCol.map(c => col(s"`$c`").cast("long"))
+            .getOrElse(lit(1L))
+          val es = partialExprs(a, sign)
+          batch.groupBy(groupCols(a): _*).agg(es.head, es.tail: _*)
+            .withColumn("_batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(store.dataDir)
+          writeMarker(fs, markerP, batchId)
+          store.compact(compactAfter, s"stream agg store $storeDir") {
+            from =>
+              sumPartials(spark, from, a, dedupBatches = true)
+                .withColumn("_batch_id", lit(batchId))
+          } { (df, to) =>
+            df.coalesce(1).write.mode("overwrite").parquet(to)
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+}

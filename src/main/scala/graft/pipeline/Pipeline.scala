@@ -1884,17 +1884,9 @@ final class PipelineRunner(
     * signed-delta partials: count → Σ sign, sum_x1e6 → Σ sign·⌊10⁶·v⌋
     * over FINITE v (NaN/±Inf contribute nothing, the engine-wide
     * convention; floors are per-row, so partials compose exactly). */
+  // shared with the streaming aggregate-mart sink (GoldAggOps doc)
   private def goldAggExprs(a: GoldAggregate, sign: Column): Seq[Column] =
-    a.aggs.map { g =>
-      g.op match {
-        case "count" => coalesce(sum(sign), lit(0L)).as(g.as)
-        case "sum_x1e6" =>
-          val v = expr(g.expr).cast("double")
-          val fin = when(!isnan(v) &&
-            abs(v) =!= lit(Double.PositiveInfinity), v)
-          coalesce(sum(sign * floor(fin * lit(1e6))), lit(0L)).as(g.as)
-      }
-    }
+    GoldAggOps.aggExprs(a, sign)
 
   /** AGGREGATE gold mart (`gold.aggregate`, mode "full"): one hash
     * aggregate over this entity's silver, then the shared gold gate +
