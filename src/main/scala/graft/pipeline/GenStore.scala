@@ -57,10 +57,11 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
     }
 
   /** Live data directory (`<root>/g<N>`) — resolve per use, never
-    * cache across a [[compact]] call. Absorbs a legacy flat layout on
-    * first touch. */
+    * cache across a [[compact]] call. Absorbs a legacy flat layout and
+    * rolls forward any interrupted tiered swap on first touch. */
   def dataDir: String = {
     migrateLegacy()
+    recover()
     s"$root/g${readGen()}"
   }
 
@@ -108,19 +109,138 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
       // mode semantics live in `write` (callers overwrite): an orphan
       // dir from a crashed prior attempt is replaced wholesale
       write(rewrite(dataDir), nextDir)
-      val gm = fs.create(genMarkerP, true)
-      try gm.write((gen + 1L).toString.getBytes("UTF-8"))
-      finally gm.close()
-      // sweep ONLY directories this class could have minted: `g`
-      // followed by one-or-more digits ("g" alone, user files like a
-      // non-directory `g1`, and anything else at root survive)
-      fs.listStatus(new Path(root))
-        .filter(st => st.isDirectory &&
-          st.getPath.getName != s"g${gen + 1L}" &&
-          st.getPath.getName.matches("g\\d+"))
-        .foreach(st => fs.delete(st.getPath, true))
-      log(s"$label compacted ($files batch files -> generation " +
-        s"${gen + 1L})")
+      swapTo(gen, label, s"$files batch files -> full rewrite")
     }
+  }
+
+  /** SIZE-TIERED compaction — the bounded-cost sibling of [[compact]]:
+    * when the live generation holds more than `threshold` data files,
+    * fold only the SMALLEST `count − threshold + 1` files into one run
+    * (`fold` maps those file paths to their reduced frame) and carry
+    * the remaining runs into the new generation by RENAME — a metadata
+    * operation, never a byte copy. The big base run participates in a
+    * fold only once the other runs have grown to its size class
+    * (smallest-first selection), so runs merge logarithmically and the
+    * per-compaction cost is O(batches-merged) — never [[compact]]'s
+    * every-time O(live) rewrite spike (the LSM / BigTable size-tiered
+    * policy, public knowledge). At threshold 1 the policy degrades to
+    * the full rewrite (fold width is never below 2; count 2 folds
+    * everything).
+    *
+    * SOUNDNESS PRECONDITION (caller-owned): `fold` must be correct on
+    * an ARBITRARY SUBSET of batch files. True for every gold store —
+    * additive partials (commutative sums), keep-latest row/prefix/band
+    * stores (max-stamp semilattices: folding any subset keeps each
+    * key's subset-max, and the global max still wins at read), and
+    * liveness-filtered edge sets (dead edges are dead forever; an
+    * extra stale sentinel can't move a max). A fold that needs the
+    * WHOLE store (e.g. a global top-k) must use [[compact]].
+    *
+    * Crash safety — renames REMOVE files from the live generation, so
+    * the swap carries a tiny intent WAL: (1) the fold commits into
+    * generation N+1; (2) an `_intent` file listing the KEPT file names
+    * lands atomically (temp write + rename); (3) kept files rename
+    * into N+1; (4) the marker repoints; (5) the intent drops; (6) the
+    * old generation sweeps. [[recover]] (called from [[dataDir]]) rolls
+    * an interrupted swap FORWARD from any point after (2) — the intent
+    * names exactly the files whose content is NOT in the folded output,
+    * so folded originals are never resurrected and kept files are never
+    * lost. A crash before (2) leaves the marker on the old, complete
+    * generation (the orphan N+1 is overwritten by the next attempt). */
+  def compactTiered(threshold: Int, label: String)(
+      fold: Seq[String] => DataFrame)(write: (DataFrame, String) => Unit)
+      : Unit = {
+    val d = new Path(dataDir)
+    if (!fs.exists(d)) return
+    val all = fs.listStatus(d)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (all.length > threshold) {
+      val gen = readGen()
+      val nextDir = s"$root/g${gen + 1L}"
+      // fold down to threshold/2 runs — the slack between threshold/2
+      // and threshold amortizes the fixed per-fold Spark-job cost to
+      // one fold every threshold/2 appends (folding down to exactly
+      // `threshold` would trigger a job EVERY append at steady state);
+      // never fewer than 2 files per fold (folding one is a pointless
+      // rewrite)
+      val k = math.min(all.length,
+        math.max(2, all.length - math.max(threshold / 2, 1)))
+      val (folded, kept) = all.sortBy(st => (st.getLen,
+          st.getPath.getName)).splitAt(k)
+      write(fold(folded.map(_.getPath.toString).toSeq), nextDir)
+      writeIntent(gen + 1L, kept.map(_.getPath.getName).toSeq)
+      kept.foreach(st => fs.rename(st.getPath,
+        new Path(nextDir, st.getPath.getName)))
+      swapTo(gen, label, s"${all.length} batch files -> " +
+        s"${folded.length} folded + ${kept.length} renamed")
+      fs.delete(intentP, false)
+    }
+  }
+
+  private val intentP = new Path(root, "_intent")
+
+  /** Atomic intent write: temp file + rename (a crash mid-write must
+    * never leave a PARTIAL kept-file list — roll-forward would sweep
+    * the unlisted files with the old generation). */
+  private def writeIntent(nextGen: Long, keptNames: Seq[String]): Unit = {
+    val tmp = new Path(root, "_intent.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((nextGen.toString +: keptNames).mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(intentP, false)
+    fs.rename(tmp, intentP)
+  }
+
+  /** Roll an interrupted tiered swap FORWARD: finish the kept-file
+    * renames the intent names, repoint the marker, drop the intent,
+    * sweep. Idempotent; a no-op when no intent exists. */
+  private def recover(): Unit =
+    if (fs.exists(intentP)) {
+      val in = fs.open(intentP)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines match {
+        case genLine :: keptNames if genLine.trim.toLongOption.nonEmpty =>
+          val nextGen = genLine.trim.toLong
+          val oldDir = s"$root/g${nextGen - 1L}"
+          val nextDir = s"$root/g$nextGen"
+          keptNames.map(_.trim).filter(_.nonEmpty).foreach { n =>
+            val src = new Path(oldDir, n)
+            if (fs.exists(src))
+              fs.rename(src, new Path(nextDir, n))
+          }
+          if (readGen() < nextGen) {
+            val gm = fs.create(genMarkerP, true)
+            try gm.write(nextGen.toString.getBytes("UTF-8"))
+            finally gm.close()
+          }
+          fs.delete(intentP, false)
+          fs.listStatus(new Path(root))
+            .filter(st => st.isDirectory &&
+              st.getPath.getName != s"g$nextGen" &&
+              st.getPath.getName.matches("g\\d+"))
+            .foreach(st => fs.delete(st.getPath, true))
+          log(s"recovered an interrupted tiered compaction to " +
+            s"generation $nextGen")
+        case _ => fs.delete(intentP, false) // unreadable: pre-fold crash
+      }
+    }
+
+  /** Repoint the marker to generation `gen + 1` and sweep superseded
+    * generation dirs — the shared crash-safe tail of both compactions. */
+  private def swapTo(gen: Long, label: String, what: String): Unit = {
+    val gm = fs.create(genMarkerP, true)
+    try gm.write((gen + 1L).toString.getBytes("UTF-8"))
+    finally gm.close()
+    // sweep ONLY directories this class could have minted: `g`
+    // followed by one-or-more digits ("g" alone, user files like a
+    // non-directory `g1`, and anything else at root survive)
+    fs.listStatus(new Path(root))
+      .filter(st => st.isDirectory &&
+        st.getPath.getName != s"g${gen + 1L}" &&
+        st.getPath.getName.matches("g\\d+"))
+      .foreach(st => fs.delete(st.getPath, true))
+    log(s"$label compacted ($what, generation ${gen + 1L})")
   }
 }

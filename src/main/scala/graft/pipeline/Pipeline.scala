@@ -1851,11 +1851,14 @@ final class PipelineRunner(
     // the rewrite is invariant for the publish below; without it the
     // store grows with TOTAL upserts and every publish re-windows the
     // full update history.
-    rowStore.compact(g.compactAfter, "mart row store") { from =>
+    // size-tiered: keep-latest is a max-stamp semilattice, so folding
+    // any SUBSET of batch files keeps each key's subset-max and the
+    // global winner still wins at read (compactTiered's precondition)
+    rowStore.compactTiered(g.compactAfter, "mart row store") { paths =>
       val cw = org.apache.spark.sql.expressions.Window
         .partitionBy(pkCols.map(c => col(s"_mpk_$c")): _*)
         .orderBy(col("_mart_seq").desc)
-      spark.read.option("mergeSchema", "true").parquet(from)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .withColumn("_mart_rn", row_number().over(cw))
         .filter(col("_mart_rn") === 1).drop("_mart_rn")
     } { (df, to) =>
@@ -1992,16 +1995,17 @@ final class PipelineRunner(
     // layout anyway)
     delta.groupBy(gcols: _*).agg(es.head, es.tail: _*)
       .coalesce(1).write.mode("append").parquet(store.dataDir)
-    def storeSums(from: String) = {
+    def storeSums(from: String*) = {
       val sums = (a.aggs.map(_.as) :+ "_agg_n")
         .map(c2 => sum(col(s"`$c2`")).as(c2))
-      spark.read.parquet(from)
+      spark.read.parquet(from: _*)
         .groupBy(gcols: _*).agg(sums.head, sums.tail: _*)
     }
-    // compaction: re-sum to one partial per group — invariant by
-    // associativity, so any threshold is correct
-    store.compact(g.compactAfter, "aggregate store") { from =>
-      storeSums(from)
+    // size-tiered compaction: re-sum folded batches to one partial per
+    // group — signed sums are commutative, so ANY subset folds
+    // invariantly (compactTiered's precondition)
+    store.compactTiered(g.compactAfter, "aggregate store") { paths =>
+      storeSums(paths: _*)
     } { (df, to) => df.coalesce(1).write.mode("overwrite").parquet(to) }
     val out = fs.create(markerP, true)
     try out.write(liveVersion.toString.getBytes("UTF-8"))
@@ -2222,10 +2226,10 @@ final class PipelineRunner(
     // store holds O(docs) rows + at most compact_after fresh batches,
     // not O(total updates) — over an unbounded CDC history the publish
     // window stops re-sorting dead versions.
-    store.compact(g.compactAfter, "prefix store") { from =>
+    store.compactTiered(g.compactAfter, "prefix store") { paths =>
       val cw = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol)).orderBy(col(Audit.IngestedAt).desc)
-      spark.read.option("mergeSchema", "true").parquet(from)
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)
         .withColumn("_pfx_rn", row_number().over(cw))
         .filter(col("_pfx_rn") === 1).drop("_pfx_rn")
     } { (df, to) =>
@@ -2367,10 +2371,10 @@ final class PipelineRunner(
     // side semi-joins (id, _ingested_at) against the live view, and
     // `_ingested_at` is strictly monotone), and the per-id max row
     // survives, so the marker-less watermark fallback stays exact.
-    bandStore.compact(compactAfter, "band index") { from =>
+    bandStore.compactTiered(compactAfter, "band index") { paths =>
       val cw = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id"))
-      spark.read.parquet(from)
+      spark.read.parquet(paths: _*)
         .withColumn("_mx", max(col(Audit.IngestedAt)).over(cw))
         .filter(col(Audit.IngestedAt) === col("_mx")).drop("_mx")
     } { (df, to) =>
@@ -2442,8 +2446,10 @@ final class PipelineRunner(
     // dead edges are dead forever and the read below never surfaces
     // them) plus the single newest sentinel row, which preserves the
     // store's max(_mined_at) for the marker-less watermark fallback.
-    edgeStore.compact(compactAfter, "edge store") { from =>
-      val e = spark.read.parquet(from)
+    // subset-fold safe: dead edges are dead forever (liveness filter),
+    // and an extra stale sentinel can't move the max(_mined_at) read
+    edgeStore.compactTiered(compactAfter, "edge store") { paths =>
+      val e = spark.read.parquet(paths: _*)
       val kept = e.filter(col("id_a").isNotNull)
         .join(live.select(col(idCol).as("id_a"),
           col(Audit.IngestedAt).as("_ia_a")), Seq("id_a", "_ia_a"),

@@ -61,7 +61,12 @@ object GoldCompactBench {
       }
     }
 
-    val runs = Seq(("no-compaction", 65536), ("compact-after-4", 4))
+    // threshold 4 = the aggressive setting (almost no ladder room:
+    // keep = 2, so the growing medium run refolds constantly);
+    // threshold 16 = the default, where the size-tiered ladder has
+    // capacity (keep = 8) and fresh runs merge among themselves
+    val runs = Seq(("no-compaction", 65536), ("compact-after-4", 4),
+      ("compact-after-16", 16))
     val finals = runs.map { case (label, ca) =>
       val root = Files.createTempDirectory(s"graft_gcb_$label").toString
       graft.analytics.Tables(spark, dir, "orders")
@@ -72,10 +77,13 @@ object GoldCompactBench {
         cfgJson(ca).getBytes(StandardCharsets.UTF_8))
       val cat = s"gcb_${label.replace('-', '_')}"
       def runAt(day: Int): Double = {
+        // real calendar arithmetic: batch counts beyond 31 must not
+        // mint impossible dates like 2024-01-60
+        val clock = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+          .plusDays((day - 1).toLong)
         val params = PipelineParams(sourceLocation = s"$root/src",
           catalogName = cat,
-          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(
-            f"2024-01-$day%02d 00:00:00")))
+          fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
         val t0 = System.nanoTime()
         new PipelineRunner(spark, params, s"$root/store")
           .run(ConfigLoader.load(spark, params.sourceLocation))
@@ -104,9 +112,11 @@ object GoldCompactBench {
           .orderBy(col("o_orderkey"))
           .select(col("o_orderkey"), col("o_totalprice"), col("customer")))
     }
-    val a = finals(0)._6.collect().toSeq
-    val b = finals(1)._6.collect().toSeq
-    require(a == b, "published marts diverged between compaction settings")
+    val a = finals.head._6.collect().toSeq
+    finals.tail.foreach { f =>
+      require(f._6.collect().toSeq == a,
+        s"published mart diverged under ${f._1}")
+    }
     println(s"published marts identical (${a.size} rows) — rewrite " +
       "invariance holds over the full history")
   }
