@@ -66,15 +66,17 @@ object Bench {
       // allocation-heavy query (1.5M md5 strings in q_winnow_fp) from
       // taxing the next measurement with its garbage (measured: 3x).
       // expensive queries stop repeating once cumulative measured time
-      // passes ~12 s: min-of-N is noise control and relative noise
-      // shrinks with runtime, so a 15 s pipeline query gets one
-      // measurement where a 0.3 s aggregate gets three — this caps the
-      // pipeline-run share of bench wall-clock without touching the
-      // cheap queries' min-of-3
+      // passes ~12 s — EXCEPT that every query gets at least TWO
+      // measured runs: the pipeline queries share their built workspace
+      // across invocations (PipelineQueries.steadyState), so run 1 pays
+      // the one-off history-build fixture and run 2 measures the
+      // steady-state per-publish cost the marts are designed around;
+      // a single measured run would report the fixture. The second run
+      // of a steady-state query is cheap, so the wall-clock cap holds
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var attempt = 0
       while (attempt < benchRuns &&
-          (attempt == 0 || times.isEmpty || times.sum < 12.0)) {
+          (attempt < 2 || times.isEmpty || times.sum < 12.0)) {
         System.gc()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
