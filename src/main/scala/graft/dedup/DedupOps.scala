@@ -675,6 +675,138 @@ object DedupOps {
       .filter(col("dist") <= maxDist)
   }
 
+  // ---- persisted Hamming fingerprint index ----------------------------
+
+  private def hammingLayout(maxDist: Int): (Int, Int, Long) = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    (chunks, width, mask)
+  }
+
+  private def hammingChunks(sig: Column, chunks: Int, width: Int,
+      mask: Long): Column =
+    transform(sequence(lit(0), lit(chunks - 1)),
+      c => call_function("shiftright", sig, c * width).bitwiseAND(mask))
+
+  private val HammingBuckets = 256L
+
+  private def layoutPath(path: String) = s"$path/_hamming_layout"
+
+  private def readHammingLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(layoutPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no _hamming_layout pin at $path - not a hammingIndexBuild layout")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.trim.toInt
+  }
+
+  /** BUILD a persisted 64-bit-fingerprint near-dup index — the
+    * build-once/probe-many contract the ANN family has
+    * ([[graft.similarity.SimilarityOps.lshBuildIndex]]) applied to the
+    * MEDIA fingerprint triad (DCT pHash images, spectral audio,
+    * temporal-grid video — any Manku-banded 64-bit signature):
+    * `<path>/chunks` holds ID-ONLY rows partitioned by
+    * (`chunk`, `bucket` = chunk_val mod 256) so a probe batch prunes to
+    * its target directories at FILE-LISTING time, and `<path>/sigs`
+    * holds one (id, sig) row for the exact popcount verify. The
+    * `maxDist` banding is pinned in `_hamming_layout` — probe and
+    * append read it back, so a layout mismatch is impossible rather
+    * than silently recall-losing. */
+  def hammingIndexBuild(sigs: DataFrame, path: String, maxDist: Int,
+      idCol: String = "id", sigCol: String = "sig"): Unit = {
+    require(maxDist >= 0 && maxDist <= 31,
+      s"maxDist must be in [0, 31], got $maxDist")
+    hammingIndexWrite(sigs, path, maxDist, idCol, sigCol,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val p = new org.apache.hadoop.fs.Path(layoutPath(path))
+    val fs = p.getFileSystem(
+      sigs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(maxDist.toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Incrementally ADD fingerprints to a [[hammingIndexBuild]] layout:
+    * chunk assignment is a pure function of the signature under the
+    * pinned banding, so appended rows land exactly where a rebuild
+    * would put them (append ≡ rebuild — the property that lets media
+    * dedup ride a streaming ingest with no rebuild cycle). */
+  def hammingIndexAppend(sigs: DataFrame, path: String,
+      idCol: String = "id", sigCol: String = "sig"): Unit =
+    hammingIndexWrite(sigs, path,
+      readHammingLayout(sigs.sparkSession, path), idCol, sigCol,
+      org.apache.spark.sql.SaveMode.Append)
+
+  private def hammingIndexWrite(sigs: DataFrame, path: String,
+      maxDist: Int, idCol: String, sigCol: String,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    val (chunks, width, mask) = hammingLayout(maxDist)
+    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint(false) // feeds chunks AND the sig table
+    s.select(col("id"),
+        posexplode(hammingChunks(col("sig"), chunks, width, mask))
+          .as(Seq("chunk", "chunk_val")))
+      .withColumn("bucket", pmod(col("chunk_val"), lit(HammingBuckets)))
+      .write.mode(mode).partitionBy("chunk", "bucket")
+      .parquet(s"$path/chunks")
+    s.write.mode(mode).parquet(s"$path/sigs")
+  }
+
+  /** Probe a [[hammingIndexBuild]] layout: every indexed fingerprint
+    * within the PINNED maxDist of any probe — (`probe_id`, `id`,
+    * `dist`), self-matches dropped. The probe batch's (chunk, bucket)
+    * targets collect to the driver (≤ 32 chunks × 256 buckets rows, a
+    * hard structural bound independent of probe count) and prune the
+    * chunk directories at file-listing time; candidates verify with
+    * the exact popcount, and duplicate candidate rows from an
+    * at-least-once append collapse before rescoring (the lshTopKIndexed
+    * discipline). */
+  def hammingNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, idCol: String = "id",
+      sigCol: String = "sig"): DataFrame = {
+    val maxDist = readHammingLayout(spark, path)
+    val (chunks, width, mask) = hammingLayout(maxDist)
+    val pB = probes
+      .select(col(idCol).as("probe_id"), col(sigCol).as("probe_sig"))
+      .select(col("probe_id"), col("probe_sig"),
+        posexplode(hammingChunks(col("probe_sig"), chunks, width, mask))
+          .as(Seq("chunk", "chunk_val")))
+      .withColumn("bucket", pmod(col("chunk_val"), lit(HammingBuckets)))
+      .localCheckpoint(false) // feeds the pruning collect AND the join
+    val targets = pB.select(col("chunk"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (targets.isEmpty)
+      return probes.sparkSession.emptyDataFrame
+        .select(lit(null).as("probe_id"), lit(null).as("id"),
+          lit(null).cast("int").as("dist")).limit(0)
+    // isin superset prune (IO-only; the equi-join below matches exactly)
+    val prune =
+      col("chunk").isin(targets.map(_._1).distinct.toSeq: _*) &&
+        col("bucket").isin(targets.map(_._2).distinct.toSeq: _*)
+    val cB = spark.read.parquet(s"$path/chunks").filter(prune)
+      .select(col("id"), col("chunk").cast("int").as("chunk"),
+        col("chunk_val").cast("long").as("chunk_val"))
+    val candIds = cB
+      .join(pB.select(col("probe_id"), col("chunk"), col("chunk_val")),
+        Seq("chunk", "chunk_val"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id")).distinct()
+    val sigsT = spark.read.parquet(s"$path/sigs")
+      .dropDuplicates("id") // at-least-once append replays exact copies
+    candIds.join(sigsT, Seq("id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"),
+        col(sigCol).as("probe_sig")).dropDuplicates("probe_id")),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("id"),
+        hammingDist(col("sig"), col("probe_sig")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   // ---- segment-level (line/paragraph) dedup ---------------------------
 
   /** Core of line/span dedup: given `(id, segs: array<string>)`, keep the

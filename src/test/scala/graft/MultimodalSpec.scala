@@ -554,4 +554,48 @@ class MultimodalSpec extends AnyFunSuite {
     } yield (a, b, d)).toSet
     assert(banded == brute && brute.size == 3)
   }
+
+  test("persisted hamming index: probe equals the direct banded join; " +
+      "append equals rebuild; layout pin guards probes and appends") {
+    import graft.dedup.DedupOps
+    // synthetic 64-bit signatures with planted distances: b is 3 bits
+    // from a, c is 8 bits from a, d is far from everything
+    val sigs = Seq(
+      ("a", 0x0123456789abcdefL),
+      ("b", 0x0123456789abcde0L ^ 0x0fL), // dist(a,b) small
+      ("c", 0x0123456789ab0000L),
+      ("d", 0x7edcba9876543210L),
+      ("e", 0x0123456789abcdefL)) // exact dup of a
+      .toDF("id", "sig")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .as[(String, String, Int)].collect().toSet
+    val direct = pairs(DedupOps.hammingPairs(sigs, "id", "sig", 10)
+      .select($"id_a", $"id_b", $"dist".cast("int")))
+    // full build + self-probe, oriented
+    val idx = java.nio.file.Files
+      .createTempDirectory("hamidx").toString
+    DedupOps.hammingIndexBuild(sigs, idx, maxDist = 10)
+    def probed(path: String) = pairs(
+      DedupOps.hammingNearDupIndexed(spark, path, sigs)
+        .filter($"probe_id" < $"id")
+        .select($"probe_id", $"id", $"dist".cast("int")))
+    assert(probed(idx) == direct, "indexed probe != direct banded join")
+    // append ≡ rebuild: index half, append the other half
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("hamidx2").toString
+    DedupOps.hammingIndexBuild(sigs.filter($"id" <= "c"), idx2,
+      maxDist = 10)
+    DedupOps.hammingIndexAppend(sigs.filter($"id" > "c"), idx2)
+    assert(probed(idx2) == direct, "append diverged from rebuild")
+    // the layout pin makes a mismatched or missing layout impossible
+    val noIdx = java.nio.file.Files
+      .createTempDirectory("hamidx3").toString
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.hammingNearDupIndexed(spark, noIdx, sigs)
+    }
+    assert(e.getMessage.contains("_hamming_layout"))
+    intercept[IllegalArgumentException] {
+      DedupOps.hammingIndexAppend(sigs, noIdx)
+    }
+  }
 }
