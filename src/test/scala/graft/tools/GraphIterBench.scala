@@ -59,7 +59,7 @@ object GraphIterBench {
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
             s"$d/lineitem.parquet"))) {
           println(s"[gen] building K=$k world at $d")
-          MakeScaledTestdata.main(Array(d, k.toString))
+          MakeScaledTestdata.generate(spark, d, k)
         }
         k -> d
       }

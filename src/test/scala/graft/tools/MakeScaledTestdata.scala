@@ -33,13 +33,20 @@ object MakeScaledTestdata {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val k = if (args.length > 1) args(1).toInt else 10
-    val src = "/root/testdata/sf0.1"
     val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, out, k)
+    spark.stop()
+  }
+
+  /** Session-reusing form: other tools ([[GraphIterBench]]) generate
+    * worlds on THEIR session — main's own stop() must not kill it. */
+  def generate(spark: SparkSession, out: String, k: Int): Unit = {
+    val src = "/root/testdata/sf0.1"
 
     def read(t: String): DataFrame =
       spark.read.parquet(s"$src/$t.parquet")
@@ -116,6 +123,5 @@ object MakeScaledTestdata {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       println(s"[sf1] $t: ${spark.read.parquet(s"$out/$t.parquet").count()} rows")
     }
-    spark.stop()
   }
 }
