@@ -592,6 +592,64 @@ object PipelineQueries {
         s.table(params.goldFqn("activity")).orderBy(col("event_id"))
       }),
 
+    // -- [EXT]: INCREMENTALLY-MAINTAINED temporal mart — batch 1 builds
+    //    the mart over a PARTIAL dim history (every event_id % 5 == 0
+    //    change row withheld); batch 2 ships those rows LATE, splitting
+    //    and re-anchoring existing validity intervals, so the
+    //    maintenance must re-derive every fact of the changed keys
+    //    against the re-compacted history. The oracle is q_gold_scd2's
+    //    SQL over the FULL events table: the two-batch late-arrival
+    //    path must be invisible in the final mart.
+    "q_gold_scd2_incr" -> ((s, dir) =>
+      steadyState(s, "q_gold_scd2_incr", dir) { (root, run) =>
+        Files.createDirectories(Paths.get(s"$root/src"))
+        val ev = analytics.Tables.withEpochMicros(
+          analytics.Tables(s, dir, "events"))
+        Files.createSymbolicLink(Paths.get(s"$root/src/activity"),
+          stage(dir, "ev_activity")(
+            ev.select(col("event_id"), col("user_id"), col("ts_us"))))
+        val hist = ev.select(col("event_id").as("change_id"),
+          col("user_id").as("huser"), col("ts_us").as("hts"),
+          col("event_type").as("htype"))
+        linkInto(stage(dir, "ev_history_base")(
+            hist.where(col("change_id") % 5 =!= 0)),
+          Paths.get(s"$root/src/user_history"))
+        Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+          """{"activity": {
+            |  "raw_file_format": "parquet",
+            |  "unique_primary_key": ["event_id"],
+            |  "gold": {"mode": "incremental",
+            |    "join": [
+            |      {"entity": "user_history", "on": "user_id = huser",
+            |       "broadcast": true,
+            |       "temporal": {"fact_ts": "ts_us", "dim_ts": "hts",
+            |                    "tie_break": "change_id",
+            |                    "attrs": ["htype"]}}],
+            |    "select": ["event_id", "user_id", "src_change_id",
+            |               "htype AS dim_type", "valid_from"]}
+            |},
+            |"user_history": {
+            |  "raw_file_format": "parquet",
+            |  "unique_primary_key": ["change_id"]
+            |}}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+        def runAt(clock: String): PipelineParams = {
+          val params = PipelineParams(sourceLocation = s"$root/src",
+            catalogName = run,
+            fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+          new PipelineRunner(s, params, s"$root/store")
+            .run(ConfigLoader.load(s, params.sourceLocation),
+              concurrency = 2)
+          params
+        }
+        runAt("2024-05-01 00:00:00")
+        linkInto(stage(dir, "ev_history_late")(
+            hist.where(col("change_id") % 5 === 0)),
+          Paths.get(s"$root/src/user_history"))
+        runAt("2024-05-02 00:00:00")
+      } { params =>
+        s.table(params.goldFqn("activity")).orderBy(col("event_id"))
+      }),
+
     "q_gold_incr" -> ((s, dir) =>
       steadyState(s, "q_gold_incr", dir) { (root, run) =>
         linkInto(stageDocuments(s, dir),
@@ -625,6 +683,36 @@ object PipelineQueries {
           .orderBy(col("doc_id"))
       })
   )
+
+  /** The q_scd2_join shape over the raw events table: SCD2-compact the
+    * history projection, then the equi + range membership join —
+    * shared by `q_gold_scd2` (full mode) and `q_gold_scd2_incr` (the
+    * two-batch late-arrival path must converge to the same state). */
+  private val goldScd2OracleSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |           FROM events),
+      |h AS (SELECT event_id AS change_id, user_id AS huser,
+      |        event_type AS htype, epoch_us(ts) AS hts FROM events),
+      |c AS (SELECT huser, change_id, htype, hts,
+      |        lag(htype) OVER (
+      |          PARTITION BY huser ORDER BY hts, change_id) AS prev,
+      |        row_number() OVER (
+      |          PARTITION BY huser ORDER BY hts, change_id) AS rn
+      |      FROM h),
+      |ch AS (SELECT huser, change_id, htype, hts FROM c
+      |       WHERE rn = 1 OR prev IS DISTINCT FROM htype),
+      |scd AS (SELECT huser, change_id AS src_change_id, htype,
+      |          hts AS valid_from,
+      |          lead(hts) OVER (
+      |            PARTITION BY huser ORDER BY hts, change_id)
+      |            AS valid_to
+      |        FROM ch)
+      |SELECT e.event_id, e.user_id, s.src_change_id,
+      |  s.htype AS dim_type, s.valid_from
+      |FROM e JOIN scd s ON e.user_id = s.huser
+      |  AND e.ts_us >= s.valid_from
+      |  AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
+      |ORDER BY e.event_id""".stripMargin
 
   /** Same oracle as `q_curation`: the pipeline wrapping (audit columns,
     * PK dedup over unique ids, versioned publish) must not change the
@@ -692,31 +780,11 @@ object PipelineQueries {
     // history projection, then the equi + range membership join — the
     // pipeline (bronze streams, PK-dedup silver on change_id, the
     // config-declared temporal gold) must be invisible
-    "q_gold_scd2" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        |           FROM events),
-        |h AS (SELECT event_id AS change_id, user_id AS huser,
-        |        event_type AS htype, epoch_us(ts) AS hts FROM events),
-        |c AS (SELECT huser, change_id, htype, hts,
-        |        lag(htype) OVER (
-        |          PARTITION BY huser ORDER BY hts, change_id) AS prev,
-        |        row_number() OVER (
-        |          PARTITION BY huser ORDER BY hts, change_id) AS rn
-        |      FROM h),
-        |ch AS (SELECT huser, change_id, htype, hts FROM c
-        |       WHERE rn = 1 OR prev IS DISTINCT FROM htype),
-        |scd AS (SELECT huser, change_id AS src_change_id, htype,
-        |          hts AS valid_from,
-        |          lead(hts) OVER (
-        |            PARTITION BY huser ORDER BY hts, change_id)
-        |            AS valid_to
-        |        FROM ch)
-        |SELECT e.event_id, e.user_id, s.src_change_id,
-        |  s.htype AS dim_type, s.valid_from
-        |FROM e JOIN scd s ON e.user_id = s.huser
-        |  AND e.ts_us >= s.valid_from
-        |  AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
-        |ORDER BY e.event_id""".stripMargin,
+    "q_gold_scd2" -> goldScd2OracleSql,
+    // the SAME final-state SQL: the incremental mart's two-batch
+    // late-arrival path (interval splits + key re-derivation) must
+    // converge to the full-history compaction exactly
+    "q_gold_scd2_incr" -> goldScd2OracleSql,
 
     // the star join over the raw tables: the medallion plumbing
     // (bronze streams, PK-dedup silver, versioned gold publish) must be

@@ -225,11 +225,11 @@ final case class GoldConfig(
   require(aggregate.isEmpty || join.isEmpty,
     "gold.aggregate and gold.join are mutually exclusive — aggregate a " +
       "published mart by declaring the aggregate gold on its own entity")
-  require(mode != "incremental" || join.forall(_.temporal.isEmpty),
-    "gold mode 'incremental' cannot maintain temporal (SCD2) joins — a " +
-      "dim change can shift interval BOUNDARIES of neighboring " +
-      "versions, so affected facts are not identifiable from the delta " +
-      "keys alone; use mode 'full' for temporal marts")
+  // mode "incremental" + temporal join IS supported: a dim-history
+  // change can shift interval boundaries of NEIGHBORING versions, so
+  // the maintenance re-derives every fact of a changed KEY (the change
+  // rows project to their join-key values; conservative but exact —
+  // affected facts are always a subset of the changed keys' facts)
   def anyExpectations: Boolean =
     expectAllOrDrop.nonEmpty || expectAll.nonEmpty || expectAllOrFail.nonEmpty
 }

@@ -1530,25 +1530,33 @@ final class PipelineRunner(
     * A second temporal join in the same mart must alias away the
     * first's `valid_from`/`valid_to` via `gold.select` first
     * (temporalJoin refuses the collision loudly). */
-  private def temporalMartJoin(entity: String, facts: DataFrame,
-      dim: DataFrame, j: GoldJoin, t: graft.config.TemporalJoin)
-      : DataFrame = {
+  /** The single (factKey, dimKey) equi anchor of a temporal join —
+    * shared by the full-mode mart build and the incremental mart's
+    * dim-delta key mapping (the [[starJoinKeys]] role for temporal
+    * entries). */
+  private def temporalJoinKey(entity: String, j: GoldJoin,
+      factColsL: Set[String], dimColsL: Set[String]): (String, String) = {
     def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
     val sides = j.on.split("=").map(bare)
     require(sides.length == 2 && sides.forall(_.nonEmpty) &&
         !j.on.toLowerCase.contains(" and "),
       s"gold.$entity: temporal joins need exactly ONE equi term " +
         s"('fact_key = dim_key'); got '${j.on}'")
-    val factColsL = facts.columns.map(_.toLowerCase).toSet
-    val dimColsL = dim.columns.map(_.toLowerCase).toSet
-    val (factKey, dimKey) =
-      if (factColsL.contains(sides(0).toLowerCase) &&
-          dimColsL.contains(sides(1).toLowerCase)) (sides(0), sides(1))
-      else if (dimColsL.contains(sides(0).toLowerCase) &&
-          factColsL.contains(sides(1).toLowerCase)) (sides(1), sides(0))
-      else throw new IllegalArgumentException(
-        s"gold.$entity: temporal join '${j.on}' must pair one column " +
-          s"of this entity with one column of dim '${j.entity}'")
+    if (factColsL.contains(sides(0).toLowerCase) &&
+        dimColsL.contains(sides(1).toLowerCase)) (sides(0), sides(1))
+    else if (dimColsL.contains(sides(0).toLowerCase) &&
+        factColsL.contains(sides(1).toLowerCase)) (sides(1), sides(0))
+    else throw new IllegalArgumentException(
+      s"gold.$entity: temporal join '${j.on}' must pair one column " +
+        s"of this entity with one column of dim '${j.entity}'")
+  }
+
+  private def temporalMartJoin(entity: String, facts: DataFrame,
+      dim: DataFrame, j: GoldJoin, t: graft.config.TemporalJoin)
+      : DataFrame = {
+    val (factKey, dimKey) = temporalJoinKey(entity, j,
+      facts.columns.map(_.toLowerCase).toSet,
+      dim.columns.map(_.toLowerCase).toSet)
     require(facts.columns.map(_.toLowerCase)
         .contains(t.factTs.toLowerCase),
       s"gold.$entity: temporal fact_ts '${t.factTs}' is not a column " +
@@ -1655,9 +1663,15 @@ final class PipelineRunner(
           "full-mode dims")
     }
     val factColsL = fact.columns.map(_.toLowerCase).toSet
+    // temporal entries anchor on their single equi pair — a dim-history
+    // change maps back to affected facts through the KEY (any interval
+    // shift only affects that key's facts; conservative and exact)
     val keysByDim: Map[String, Seq[(String, String)]] = g.join.map { j =>
-      j.entity -> starJoinKeys(entity, j, factColsL,
-        dims(j.entity).columns.map(_.toLowerCase).toSet)
+      val dimColsL = dims(j.entity).columns.map(_.toLowerCase).toSet
+      j.entity -> (j.temporal match {
+        case Some(_) => Seq(temporalJoinKey(entity, j, factColsL, dimColsL))
+        case None    => starJoinKeys(entity, j, factColsL, dimColsL)
+      })
     }.toMap
     // the row store is keyed by the FACT PK (keep-latest upsert), which
     // is only equivalent to the full recompute when each dim matches at
@@ -1729,7 +1743,11 @@ final class PipelineRunner(
     // ride a fact-PK-keyed row store. Validated ONCE per published dim
     // version (immutable snapshots — see dimUniqueValidated), before
     // any store mutation below.
-    g.join.foreach { j =>
+    // temporal dims are EXPECTED non-unique on the join key (a change
+    // stream holds the key's whole history); at-most-one match per fact
+    // comes from scd2's disjoint intervals instead, so the fan-out
+    // guard applies only to flat star dims
+    g.join.filter(_.temporal.isEmpty).foreach { j =>
       val memoKey = s"$storageRoot|${params.catalogName}|$entity|" +
         s"${j.entity}|${j.layer}|v${liveVersions(j.entity)}"
       if (!PipelineRunner.dimUniqueValidated.contains(memoKey)) {
@@ -1799,8 +1817,12 @@ final class PipelineRunner(
       .localCheckpoint(false)
     def joinAll(f: DataFrame): DataFrame = g.join.foldLeft(f) { (acc, j) =>
       val dim = dims(j.entity)
-      acc.join(if (j.broadcast) broadcast(dim) else dim,
-        expr(j.on), j.joinType)
+      j.temporal match {
+        case Some(t) => temporalMartJoin(entity, acc, dim, j, t)
+        case None =>
+          acc.join(if (j.broadcast) broadcast(dim) else dim,
+            expr(j.on), j.joinType)
+      }
     }
     val joined = joinAll(toDerive)
     val projCols =

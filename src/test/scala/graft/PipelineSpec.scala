@@ -1782,7 +1782,7 @@ class PipelineSpec extends AnyFunSuite {
   test("temporal gold mart (gold.join.temporal): facts join the SCD2 " +
       "dim version valid at event time e2e through bronze→silver→gold; " +
       "unchanged-attr rows merge; pre-history facts drop; broadcast " +
-      "reaches the plan; guards reject incremental mode, latest-only " +
+      "reaches the plan; guards reject latest-only " +
       "dim PKs, multi-term conditions, and non-inner types") {
     val src = tmpDir("goldscd2-src"); val store = tmpDir("goldscd2-store")
     Files.writeString(Path.of(src, "dp_config_template.json"),
@@ -1836,14 +1836,6 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("NestedLoop"), plan.take(800))
-    // guard: incremental mode cannot maintain temporal joins
-    val incr = intercept[IllegalArgumentException] {
-      graft.config.GoldConfig(mode = "incremental",
-        join = Seq(graft.config.GoldJoin("prices", "a = b",
-          temporal = Some(graft.config.TemporalJoin(
-            "sold_ts", "price_ts", "change_id", Seq("price_cents"))))))
-    }
-    assert(incr.getMessage.contains("temporal"))
     // guard: non-inner temporal join type
     val outer = intercept[IllegalArgumentException] {
       graft.config.GoldJoin("prices", "a = b", joinType = "left",
@@ -1879,6 +1871,119 @@ class PipelineSpec extends AnyFunSuite {
             j.copy(on = "item_id = p_item AND sale_id = change_id"))))
     }
     assert(multi.getMessage.contains("ONE equi term"), multi.getMessage)
+  }
+
+  test("incremental TEMPORAL mart (gold.mode incremental + " +
+      "gold.join.temporal): fact-delta upserts + history-delta key " +
+      "re-derivation equal the full recompute across three CDC batches " +
+      "(new facts, a new open interval, a LATE-ARRIVING history row " +
+      "splitting a closed interval, fact retraction); upserts are " +
+      "O(changed keys' facts)") {
+    def cfgJson(mode: String) = s"""{"sales": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["sale_id"],
+      |  "expect_all_or_drop": {"ts_ok": "sold_ts IS NOT NULL"},
+      |  "gold": {"mode": "$mode",
+      |    "join": [
+      |      {"entity": "prices", "on": "item_id = p_item",
+      |       "broadcast": true,
+      |       "temporal": {"fact_ts": "sold_ts", "dim_ts": "price_ts",
+      |                    "tie_break": "change_id",
+      |                    "attrs": ["price_cents"]}}],
+      |    "select": ["sale_id", "item_id", "sold_ts", "price_cents",
+      |               "valid_from"]}
+      |},
+      |"prices": {
+      |  "raw_file_format": "parquet",
+      |  "unique_primary_key": ["change_id"]
+      |}}""".stripMargin
+    def setup(mode: String, tag: String): (String, String) = {
+      val src = tmpDir(s"tminc$tag-src")
+      val store = tmpDir(s"tminc$tag-store")
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        cfgJson(mode))
+      // 30 facts over items 1/2/3 at times 150..730
+      (0 until 30).map(i =>
+        (i.toLong, 1L + (i % 3), 150L + i * 20L))
+        .toDF("sale_id", "item_id", "sold_ts")
+        .write.parquet(s"$src/sales")
+      Seq((1L, 1L, 100L, 500L), (2L, 1L, 400L, 700L),
+          (3L, 2L, 100L, 900L), (4L, 3L, 100L, 300L))
+        .toDF("change_id", "p_item", "price_ts", "price_cents")
+        .write.parquet(s"$src/prices")
+      (src, store)
+    }
+    def batch2(src: String): Unit = {
+      // new facts + a NEW OPEN INTERVAL for item 2 (price change at
+      // 600): item-2 facts at/after 600 must re-derive
+      Seq((100L, 2L, 650L), (101L, 1L, 90L)) // 101 precedes item-1
+        .toDF("sale_id", "item_id", "sold_ts") // history -> dropout
+        .write.mode("append").parquet(s"$src/sales")
+      Seq((5L, 2L, 600L, 950L))
+        .toDF("change_id", "p_item", "price_ts", "price_cents")
+        .write.mode("append").parquet(s"$src/prices")
+    }
+    def batch3(src: String): Unit = {
+      // a LATE-ARRIVING history row SPLITS item 1's closed first
+      // interval ([100,400) -> [100,250)+[250,400)): every item-1 fact
+      // in [250,400) must flip to the new version; plus a fact
+      // retraction via the expectation gate
+      Seq((6L, 1L, 250L, 550L))
+        .toDF("change_id", "p_item", "price_ts", "price_cents")
+        .write.mode("append").parquet(s"$src/prices")
+      Seq((7L, 1L, null.asInstanceOf[java.lang.Long]))
+        .toDF("sale_id", "item_id", "sold_ts")
+        .write.mode("append").parquet(s"$src/sales")
+    }
+    val (srcI, storeI) = setup("incremental", "i")
+    val (srcF, storeF) = setup("full", "f")
+    def run(src: String, store: String, cat: String, clock: String): Unit =
+      mkRunner(src, store, clock, catalog = cat)._1
+        .run(ConfigLoader.load(spark, src))
+    def mart(cat: String): Seq[(Long, Long, Long, Long, Long)] = {
+      val p = PipelineParams(sourceLocation = "", catalogName = cat)
+      spark.table(p.goldFqn("sales"))
+        .select($"sale_id", $"item_id", $"sold_ts", $"price_cents",
+          $"valid_from")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    run(srcI, storeI, "tminci", "2024-05-01 00:00:00")
+    run(srcF, storeF, "tmincf", "2024-05-01 00:00:00")
+    val m1 = mart("tminci")
+    assert(m1 == mart("tmincf"), "batch-1 temporal mart diverged")
+    assert(m1.size == 30)
+    batch2(srcI); batch2(srcF)
+    run(srcI, storeI, "tminci", "2024-05-02 00:00:00")
+    run(srcF, storeF, "tmincf", "2024-05-02 00:00:00")
+    val m2 = mart("tminci")
+    assert(m2 == mart("tmincf"), "batch-2 temporal mart diverged")
+    assert(m2.exists(r => r._1 == 100L && r._4 == 950L),
+      "new fact missed the new open interval")
+    assert(!m2.exists(_._1 == 101L),
+      "pre-history fact leaked into the mart")
+    // interval re-anchor: item-2 facts at/after 600 now price 950
+    assert(m2.filter(r => r._2 == 2L && r._3 >= 600L)
+      .forall(_._4 == 950L), "item-2 facts missed the price change")
+    batch3(srcI); batch3(srcF)
+    run(srcI, storeI, "tminci", "2024-05-03 00:00:00")
+    run(srcF, storeF, "tmincf", "2024-05-03 00:00:00")
+    val m3 = mart("tminci")
+    assert(m3 == mart("tmincf"), "batch-3 temporal mart diverged")
+    // the late split re-anchored [250,400) facts to the 550 version
+    assert(m3.filter(r => r._2 == 1L && r._3 >= 250L && r._3 < 400L)
+      .forall(r => r._4 == 550L && r._5 == 250L),
+      "late-arriving history split not re-derived")
+    assert(!m3.exists(_._1 == 7L), "retracted fact survived")
+    // O(changed keys' facts): batch 3 touched item 1 only — the store
+    // append is bounded by item-1 facts + the retraction tombstone
+    val rowsRoot = s"$storeI/gold_mart/sales/rows"
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(liveGen(rowsRoot))
+    val batch3Rows = stored.filter($"_mart_seq" === 3L).count()
+    val item1Facts = m3.count(_._2 == 1L)
+    assert(batch3Rows <= item1Facts + 2,
+      s"batch-3 upsert not O(changed keys' facts): $batch3Rows rows " +
+        s"for $item1Facts item-1 facts")
   }
 
   test("incremental join mart (gold.mode incremental + gold.join): " +
