@@ -106,6 +106,32 @@ object LlmQueries {
         iters = 5, lrX1e6 = 250000L)
     }),
 
+    // -- [EXT]: the TRAIN → DEPLOY quality loop as one declared
+    //    surface: fit hard-sigmoid logistic weights on the corpus
+    //    (label = stored lang 'en', features = the stopword/punctuation
+    //    signal columns logisticQuality scores with), then score EVERY
+    //    document with the TRAINED weights — both halves exact integer
+    //    micros, so the oracle replays training (unrolled GD CTEs) and
+    //    scoring (one clamp expression) with no float tolerance at all.
+    "q_trained_quality" -> ((s, dir) => {
+      import graft.analytics.Regression
+      val feats = Seq(
+        "sw" -> TextOps.stopwordRatio(col("text")),
+        "punct" -> TextOps.punctRatio(col("text")))
+      val docs = t(s, dir, "documents")
+      val w = Regression.logisticTrain(docs, col("lang") === "en",
+          feats, iters = 5, lrX1e6 = 2000000L)
+        .orderBy(col("idx"))
+        .select(col("weight_x1e6")).as[Long](s.implicits.newLongEncoder)
+        .collect().toSeq
+      docs.filter(col("lang").isNotNull) // mirror training's label rows
+        .select(col("doc_id"), col("lang"),
+          Regression.hardSigmoidScoreX1e6(w, feats.map(_._2))
+            .as("score_x1e6"))
+        .withColumn("predicted_en", col("score_x1e6") >= 500000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- [EXT]: language-ID heuristic (marker-stopword argmax)
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1484,6 +1510,7 @@ object LlmQueries {
 
     "q_lang_id" -> s"$langGuessSql\nORDER BY doc_id",
     "q_logit_train" -> logitTrainOracle(5, 250000L),
+    "q_trained_quality" -> trainedQualityOracle(5, 2000000L),
 
     // exact integer kappa over the (lang, guess) confusion matrix the
     // q_lang_id oracle already replays: po/pe cleared to
@@ -3316,6 +3343,63 @@ object LlmQueries {
        |  UNION ALL SELECT 2, 'is_en', CAST(w2 AS BIGINT) FROM w$iters
        |  UNION ALL SELECT 3, 'id_noise', CAST(w3 AS BIGINT) FROM w$iters)
        |ORDER BY idx""".stripMargin
+  }
+
+  /** Unrolled replay of the whole TRAIN → DEPLOY loop
+    * (`q_trained_quality`): the [[logitTrainOracle]] GD-iteration shape
+    * over the stopword/punctuation signal columns, then ONE scoring
+    * select applying the final weight row with the same truncating
+    * clamp the engine's `hardSigmoidScoreX1e6` runs — exact integers on
+    * both halves, no float tolerance anywhere. */
+  private def trainedQualityOracle(iters: Int, lr: Long): String = {
+    val base =
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y6,
+         |    CAST(floor((sw_hits / n_toks_d) * 1000000.0) AS BIGINT)
+         |      AS x1,
+         |    CAST(floor((punct_chars / n_chars_g) * 1000000.0) AS BIGINT)
+         |      AS x2
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      len(list_filter($duckToksLower,
+         |        t -> list_contains($stopList, t)))::DOUBLE AS sw_hits,
+         |      len($duckToks)::DOUBLE AS n_toks_d,
+         |      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+         |        ::DOUBLE AS punct_chars,
+         |      greatest(length(text), 1)::DOUBLE AS n_chars_g
+         |    FROM documents)
+         |  WHERE (lang = 'en') IS NOT NULL),
+         |w0 AS (SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS w1,
+         |         CAST(0 AS HUGEINT) AS w2)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT
+         |    LEAST(1000000, GREATEST(0, 500000 +
+         |      ((w.b * 1000000 + w.w1 * f.x1 + w.w2 * f.x2)
+         |        // 1000000) // 4)) - f.y6 AS r,
+         |    f.x1, f.x2
+         |  FROM f CROSS JOIN w${i - 1} w),
+         |g$i AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    SUM(CAST(r AS HUGEINT)) * 1000000 AS g0,
+         |    SUM(CAST(r AS HUGEINT) * x1) AS g1,
+         |    SUM(CAST(r AS HUGEINT) * x2) AS g2
+         |  FROM r$i),
+         |w$i AS (SELECT
+         |    w.b  - ($lr * (g.g0 // g.n)) // 1000000000000 AS b,
+         |    w.w1 - ($lr * (g.g1 // g.n)) // 1000000000000 AS w1,
+         |    w.w2 - ($lr * (g.g2 // g.n)) // 1000000000000 AS w2
+         |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds
+       |SELECT f.doc_id, f.lang,
+       |  CAST(LEAST(1000000, GREATEST(0, 500000 +
+       |    ((w.b * 1000000 + w.w1 * f.x1 + w.w2 * f.x2)
+       |      // 1000000) // 4)) AS BIGINT) AS score_x1e6,
+       |  LEAST(1000000, GREATEST(0, 500000 +
+       |    ((w.b * 1000000 + w.w1 * f.x1 + w.w2 * f.x2)
+       |      // 1000000) // 4)) >= 500000 AS predicted_en
+       |FROM f CROSS JOIN w$iters w
+       |ORDER BY f.doc_id""".stripMargin
   }
 
   /** The k-means replay, unrolled per iteration: init = the k

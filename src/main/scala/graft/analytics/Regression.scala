@@ -183,4 +183,29 @@ object Regression {
       .map { case (name, i) => LogitWeight(i, name, w(i), n) }
       .toDF().orderBy(col("idx"))
   }
+
+  /** DEPLOY half of [[logisticTrain]]: the hard-sigmoid score in micros
+    * for a row under trained weights — the same forward pass the
+    * training loop runs (quantize-once features, truncating divisions),
+    * so scoring is ENGINE-EXACT integers end to end: any engine replays
+    * `clamp(500000 + ((w₀·10⁶ + Σ wⱼ·xⱼ) / 10⁶) / 4, 0, 10⁶)` with its
+    * truncating integer division. `weightsX1e6(0)` is the bias, then
+    * one weight per feature in order ([[logisticTrain]]'s output rows
+    * by `idx`). Predict positive at score ≥ 500000 (z ≥ 0). Same
+    * 2²⁹-micro bounds contract as training (the trainer enforces them;
+    * a caller feeding foreign weights owns the check). */
+  def hardSigmoidScoreX1e6(weightsX1e6: Seq[Long],
+      features: Seq[Column]): Column = {
+    require(weightsX1e6.size == features.size + 1,
+      s"need 1 bias + ${features.size} feature weights, got " +
+        s"${weightsX1e6.size}")
+    val zraw = features.zipWithIndex
+      .map { case (c, j) =>
+        lit(weightsX1e6(j + 1)) *
+          floor(c.cast("double") * lit(1e6)).cast("long") }
+      .foldLeft(lit(weightsX1e6.head) * lit(1000000L): Column)(_ + _)
+    greatest(lit(0L), least(lit(1000000L),
+      lit(500000L) + call_function("div",
+        call_function("div", zraw, lit(1000000L)), lit(4L))))
+  }
 }

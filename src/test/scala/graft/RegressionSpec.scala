@@ -92,6 +92,29 @@ class RegressionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("lower lr"))
   }
 
+  test("hardSigmoidScoreX1e6: deploy forward pass matches the training " +
+      "forward pass exactly (trained weights classify the training " +
+      "grid identically to the z-sign rule); clamps; arity guard") {
+    val grid = for {
+      a <- -3 to 3; b <- -3 to 3; if 2 * a - b != 0
+    } yield (a.toDouble, b.toDouble, 2 * a - b > 0)
+    val gdf = grid.toDF("x1", "x2", "y")
+    val feats = Seq("x1" -> col("x1"), "x2" -> col("x2"))
+    val w = Regression.logisticTrain(gdf, col("y"), feats,
+        iters = 30, lrX1e6 = 1000000L)
+      .orderBy(col("idx")).as[(Int, String, Long, Long)]
+      .collect().map(_._3).toSeq
+    val scored = gdf.select(col("y"),
+        Regression.hardSigmoidScoreX1e6(w, feats.map(_._2)).as("s"))
+      .as[(Boolean, Long)].collect()
+    assert(scored.forall { case (y, s) => (s >= 500000L) == y },
+      "deploy scoring disagreed with the training decision rule")
+    assert(scored.forall { case (_, s) => s >= 0L && s <= 1000000L })
+    intercept[IllegalArgumentException] {
+      Regression.hardSigmoidScoreX1e6(Seq(0L), feats.map(_._2))
+    }
+  }
+
   test("logisticTrain closes the quality-classifier loop: labels from " +
       "the default logisticQuality threshold re-train to sign-matching " +
       "weights with perfect surrogate accuracy on the same signals") {
