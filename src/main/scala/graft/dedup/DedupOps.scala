@@ -780,10 +780,12 @@ object DedupOps {
       .localCheckpoint(false) // feeds the pruning collect AND the join
     val targets = pB.select(col("chunk"), col("bucket")).distinct()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    if (targets.isEmpty)
-      return probes.sparkSession.emptyDataFrame
-        .select(lit(null).as("probe_id"), lit(null).as("id"),
-          lit(null).cast("int").as("dist")).limit(0)
+    // loud, not a silent empty frame (the lshTopKIndexed discipline):
+    // an empty probe batch is a caller bug, and a differently-typed
+    // empty result would poison downstream unions
+    require(targets.nonEmpty,
+      "hammingNearDupIndexed: probe set produced no chunk targets " +
+        "(empty or all-null probe signatures)")
     // isin superset prune (IO-only; the equi-join below matches exactly)
     val prune =
       col("chunk").isin(targets.map(_._1).distinct.toSeq: _*) &&

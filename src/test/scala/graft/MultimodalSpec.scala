@@ -597,5 +597,17 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DedupOps.hammingIndexAppend(sigs, noIdx)
     }
+    // an empty probe batch fails loud, never a silent empty frame
+    val ep = intercept[IllegalArgumentException] {
+      DedupOps.hammingNearDupIndexed(spark, idx, sigs.limit(0))
+    }
+    assert(ep.getMessage.contains("no chunk targets"))
+    // the probe targets reach the chunk scan as PARTITION filters —
+    // the index prunes at file-listing time, never a full-index scan
+    val plan = DedupOps.hammingNearDupIndexed(spark, idx,
+        sigs.filter($"id" === "a"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("chunk"), plan.take(1200))
   }
 }
