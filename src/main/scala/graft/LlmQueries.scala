@@ -124,10 +124,13 @@ object LlmQueries {
         .orderBy(col("idx"))
         .select(col("weight_x1e6")).as[Long](s.implicits.newLongEncoder)
         .collect().toSeq
-      docs.filter(col("lang").isNotNull) // mirror training's label rows
+      // score exactly the training rows: label non-null AND finite
+      // features (a NULL score marks the complete-case drops)
+      docs.filter(col("lang").isNotNull)
         .select(col("doc_id"), col("lang"),
           Regression.hardSigmoidScoreX1e6(w, feats.map(_._2))
             .as("score_x1e6"))
+        .filter(col("score_x1e6").isNotNull)
         .withColumn("predicted_en", col("score_x1e6") >= 500000L)
         .orderBy(col("doc_id"))
     }),
@@ -3308,8 +3311,7 @@ object LlmQueries {
         |      AS x3
         |  FROM documents
         |  WHERE (lang = 'en' OR n_chars > 400) IS NOT NULL
-        |    AND n_chars IS NOT NULL AND lang IS NOT NULL
-        |    AND doc_id IS NOT NULL),
+        |    AND n_chars IS NOT NULL AND doc_id IS NOT NULL),
         |w0 AS (SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS w1,
         |         CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3)"""
         .stripMargin
@@ -3369,7 +3371,9 @@ object LlmQueries {
          |        ::DOUBLE AS punct_chars,
          |      greatest(length(text), 1)::DOUBLE AS n_chars_g
          |    FROM documents)
-         |  WHERE (lang = 'en') IS NOT NULL),
+         |  WHERE (lang = 'en') IS NOT NULL
+         |    AND isfinite(sw_hits / n_toks_d)
+         |    AND isfinite(punct_chars / n_chars_g)),
          |w0 AS (SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS w1,
          |         CAST(0 AS HUGEINT) AS w2)""".stripMargin
     val rounds = (1 to iters).map { i =>

@@ -87,8 +87,7 @@ object PipelineQueries {
     * queries whose read must see the exact version pair the build
     * produced (q_table_changes — a republish would shift the diffed
     * versions). */
-  private case class BuiltRun(root: String, params: PipelineParams,
-      rerunHour: AtomicInteger)
+  private case class BuiltRun(root: String, params: PipelineParams)
   private val builtRuns =
     new java.util.concurrent.ConcurrentHashMap[(String, String), BuiltRun]()
 
@@ -101,20 +100,29 @@ object PipelineQueries {
       val run = s"${name.stripPrefix("q_")}_" +
         s"${ProcessHandle.current().pid()}_${invocation.incrementAndGet()}"
       val root = Files.createTempDirectory(s"graft_$run").toString
-      BuiltRun(root, build(root, run), new AtomicInteger(0))
+      BuiltRun(root, build(root, run))
     })
     if (!first && rerun) {
-      // strictly-later injectable clock per re-run (ingested-at
-      // monotonicity), hours past the build's own days
-      val clock = java.time.LocalDateTime.of(2024, 12, 1, 0, 0)
-        .plusHours(b.rerunHour.incrementAndGet().toLong)
-      val params = b.params.copy(fixedIngestedAt =
-        Some(java.sql.Timestamp.valueOf(clock)))
+      // wall clock for the re-run stamp: strictly later than ANY build
+      // stamp (fixed 2024 clocks AND builds that used wall clock), so
+      // ingested-at monotonicity holds even for a query whose build set
+      // no fixedIngestedAt. The rerun ingests no rows, so determinism
+      // is untouched — the stamp only has to never run BACKWARDS.
+      val params = b.params.copy(fixedIngestedAt = None)
       new PipelineRunner(s, params, s"${b.root}/store")
         .run(ConfigLoader.load(s, params.sourceLocation))
     }
     read(b.params)
   }
+
+  /** The queries whose measured runs past the first are STEADY-STATE
+    * (workspace shared via [[steadyState]]) — the bench consults this
+    * to grant its guaranteed second run only where run 2 is the cheap
+    * per-publish pass, not a full from-scratch rebuild. */
+  val steadyStateQueries: Set[String] = Set(
+    "q_gold_curation", "q_gold_join", "q_gold_chain", "q_table_changes",
+    "q_gold_agg", "q_gold_join_incr", "q_silver_mor", "q_silver_cow",
+    "q_gold_scd2", "q_gold_scd2_incr", "q_gold_incr")
 
   // the shared 3-batch CDC wave over documents (silver_mor / silver_cow
   // / gold_incr all drive exactly this shape)

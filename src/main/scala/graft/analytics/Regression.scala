@@ -133,8 +133,11 @@ object Regression {
     import spark.implicits._
     val k = features.size
     val Bound = 1L << 29
-    val xs = features.map { case (_, c) =>
-      floor(c.cast("double") * lit(1e6)).cast("long") }
+    // NaN/Inf mask BEFORE the floor: Spark's floor(NaN) would otherwise
+    // cast to a silent 0 feature (non-ANSI) or throw (ANSI) instead of
+    // dropping the row complete-case — the goldAggExprs finiteness
+    // discipline applied to training inputs
+    val xs = features.map { case (_, c) => quantize(c) }
     val base = df
       .filter(labelCol.isNotNull && xs.map(_.isNotNull).reduce(_ && _))
       .select((when(labelCol.cast("boolean"), 1000000L).otherwise(0L)
@@ -184,6 +187,16 @@ object Regression {
       .toDF().orderBy(col("idx"))
   }
 
+  /** Quantize-once feature micros shared by training and deploy: NaN /
+    * ±Inf mask to NULL (train drops the row complete-case; a scored row
+    * gets a NULL score rather than a silently-zeroed feature). */
+  private def quantize(c: Column): Column = {
+    val v = c.cast("double")
+    val fin = when(!isnan(v) &&
+      abs(v) =!= lit(Double.PositiveInfinity), v)
+    floor(fin * lit(1e6)).cast("long")
+  }
+
   /** DEPLOY half of [[logisticTrain]]: the hard-sigmoid score in micros
     * for a row under trained weights — the same forward pass the
     * training loop runs (quantize-once features, truncating divisions),
@@ -191,18 +204,18 @@ object Regression {
     * `clamp(500000 + ((w₀·10⁶ + Σ wⱼ·xⱼ) / 10⁶) / 4, 0, 10⁶)` with its
     * truncating integer division. `weightsX1e6(0)` is the bias, then
     * one weight per feature in order ([[logisticTrain]]'s output rows
-    * by `idx`). Predict positive at score ≥ 500000 (z ≥ 0). Same
-    * 2²⁹-micro bounds contract as training (the trainer enforces them;
-    * a caller feeding foreign weights owns the check). */
+    * by `idx`). Predict positive at score ≥ 500000 (z ≥ 0). A NULL or
+    * non-finite feature yields a NULL score (the training-side
+    * complete-case drop, surfaced instead of a silently-zeroed
+    * feature). Same 2²⁹-micro bounds contract as training (the trainer
+    * enforces them; a caller feeding foreign weights owns the check). */
   def hardSigmoidScoreX1e6(weightsX1e6: Seq[Long],
       features: Seq[Column]): Column = {
     require(weightsX1e6.size == features.size + 1,
       s"need 1 bias + ${features.size} feature weights, got " +
         s"${weightsX1e6.size}")
     val zraw = features.zipWithIndex
-      .map { case (c, j) =>
-        lit(weightsX1e6(j + 1)) *
-          floor(c.cast("double") * lit(1e6)).cast("long") }
+      .map { case (c, j) => lit(weightsX1e6(j + 1)) * quantize(c) }
       .foldLeft(lit(weightsX1e6.head) * lit(1000000L): Column)(_ + _)
     greatest(lit(0L), least(lit(1000000L),
       lit(500000L) + call_function("div",

@@ -643,12 +643,11 @@ object DedupOps {
       maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31,
       s"maxDist must be in [0, 31], got $maxDist")
-    val chunks = maxDist + 1
-    val width = 64 / chunks
-    // maxDist=0 ⇒ one 64-bit chunk; (1L << 64) wraps to 1 (Java shifts
-    // are mod 64), which would mask every chunk_val to 0 and collapse the
-    // blocking join into the full n² cross product
-    val mask = if (width == 64) -1L else (1L << width) - 1L
+    // ONE owner of the chunk layout (shared with the persisted index —
+    // build/probe chunking drifting from this direct join would
+    // silently lose recall): chunks = maxDist+1, width = 64/chunks,
+    // width==64 masks to -1 because (1L << 64) wraps to 1
+    val (chunks, width, mask) = hammingLayout(maxDist)
     val withSig = materialized(
       sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
     // blocking join + candidate dedup carry ONLY ids (minhashLsh
@@ -656,9 +655,8 @@ object DedupOps {
     // ship its two 64-bit sigs once per collision through the distinct's
     // exchange; ids dedup first, sigs join back exactly once per side
     val blocked = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        c => call_function("shiftright", col("sig"), c * width)
-          .bitwiseAND(mask))).as(Seq("chunk", "chunk_val")))
+      posexplode(hammingChunks(col("sig"), chunks, width, mask))
+        .as(Seq("chunk", "chunk_val")))
     val candIds = blocked.select(col("id").as("id_a"), col("chunk"),
       col("chunk_val"))
       .join(blocked.select(col("id").as("id_b"), col("chunk"),
@@ -721,11 +719,16 @@ object DedupOps {
       idCol: String = "id", sigCol: String = "sig"): Unit = {
     require(maxDist >= 0 && maxDist <= 31,
       s"maxDist must be in [0, 31], got $maxDist")
-    hammingIndexWrite(sigs, path, maxDist, idCol, sigCol,
-      org.apache.spark.sql.SaveMode.Overwrite)
     val p = new org.apache.hadoop.fs.Path(layoutPath(path))
     val fs = p.getFileSystem(
       sigs.sparkSession.sparkContext.hadoopConfiguration)
+    // REBUILD crash window: drop the old pin BEFORE overwriting data —
+    // a crash mid-rebuild then leaves "no pin" (probes fail LOUD on the
+    // missing layout) instead of the OLD banding silently mis-slicing
+    // the NEW chunk data; the pin lands last, over complete data
+    if (fs.exists(p)) fs.delete(p, false)
+    hammingIndexWrite(sigs, path, maxDist, idCol, sigCol,
+      org.apache.spark.sql.SaveMode.Overwrite)
     val out = fs.create(p, true)
     try out.write(maxDist.toString.getBytes("UTF-8"))
     finally out.close()

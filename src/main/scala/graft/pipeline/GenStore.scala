@@ -169,8 +169,16 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
           st.getPath.getName)).splitAt(k)
       write(fold(folded.map(_.getPath.toString).toSeq), nextDir)
       writeIntent(gen + 1L, kept.map(_.getPath.getName).toSeq)
-      kept.foreach(st => fs.rename(st.getPath,
-        new Path(nextDir, st.getPath.getName)))
+      // Hadoop rename reports failure by RETURNING FALSE, not throwing
+      // (dest exists, src vanished, object-store quirks) — a silently
+      // failed carry would let swapTo delete the run's only copy
+      kept.foreach { st =>
+        require(fs.rename(st.getPath,
+            new Path(nextDir, st.getPath.getName)),
+          s"compactTiered: carrying ${st.getPath} into $nextDir failed " +
+            "- aborting before the swap (the live generation is intact; " +
+            "recovery will re-drive the intent)")
+      }
       swapTo(gen, label, s"${all.length} batch files -> " +
         s"${folded.length} folded + ${kept.length} renamed")
       fs.delete(intentP, false)
@@ -208,7 +216,10 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
           keptNames.map(_.trim).filter(_.nonEmpty).foreach { n =>
             val src = new Path(oldDir, n)
             if (fs.exists(src))
-              fs.rename(src, new Path(nextDir, n))
+              require(fs.rename(src, new Path(nextDir, n)),
+                s"GenStore recovery: rename $src -> $nextDir failed - " +
+                  "refusing to sweep a generation still holding live " +
+                  "runs")
           }
           if (readGen() < nextGen) {
             val gm = fs.create(genMarkerP, true)
