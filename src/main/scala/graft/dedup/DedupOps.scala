@@ -738,12 +738,35 @@ object DedupOps {
     * chunk assignment is a pure function of the signature under the
     * pinned banding, so appended rows land exactly where a rebuild
     * would put them (append ≡ rebuild — the property that lets media
-    * dedup ride a streaming ingest with no rebuild cycle). */
+    * dedup ride a streaming ingest with no rebuild cycle).
+    *
+    * ADD-ONLY contract (enforced LOUD): an appended id must be NEW.
+    * Appending an UPDATED signature for an existing id would leave both
+    * sigs in the sig table and both chunk sets, and the probe side's
+    * `dropDuplicates("id")` (which exists to collapse at-least-once
+    * replays of IDENTICAL rows) would pick an arbitrary survivor —
+    * nondeterministic/stale distances instead of a failure. The check
+    * is one semi-join of the (small) appended batch against the sig
+    * table with `limit(1)` early-exit; re-signing an id means rebuild
+    * ([[hammingIndexBuild]]), the same contract the LSH/IVF persisted
+    * indexes carry. */
   def hammingIndexAppend(sigs: DataFrame, path: String,
-      idCol: String = "id", sigCol: String = "sig"): Unit =
-    hammingIndexWrite(sigs, path,
-      readHammingLayout(sigs.sparkSession, path), idCol, sigCol,
+      idCol: String = "id", sigCol: String = "sig"): Unit = {
+    val spark = sigs.sparkSession
+    val maxDist = readHammingLayout(spark, path)
+    val collided = sigs.select(col(idCol).as("id"))
+      .join(spark.read.parquet(s"$path/sigs").select(col("id")),
+        Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(collided.isEmpty,
+      s"hammingIndexAppend: id '${collided.headOption.map(_.get(0))
+        .getOrElse("")}' is already indexed at $path - the index is " +
+        "ADD-ONLY (an appended duplicate id would make probe distances " +
+        "nondeterministic); to re-sign existing ids, rebuild with " +
+        "hammingIndexBuild")
+    hammingIndexWrite(sigs, path, maxDist, idCol, sigCol,
       org.apache.spark.sql.SaveMode.Append)
+  }
 
   private def hammingIndexWrite(sigs: DataFrame, path: String,
       maxDist: Int, idCol: String, sigCol: String,

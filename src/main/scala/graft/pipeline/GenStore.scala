@@ -171,10 +171,16 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
       writeIntent(gen + 1L, kept.map(_.getPath.getName).toSeq)
       // Hadoop rename reports failure by RETURNING FALSE, not throwing
       // (dest exists, src vanished, object-store quirks) — a silently
-      // failed carry would let swapTo delete the run's only copy
+      // failed carry would let swapTo delete the run's only copy.
+      // EXCEPTION: src gone AND dest present = a concurrent reader's
+      // [[recover]] already rolled THIS intent forward (dataDir
+      // resolution runs recovery); the carry is complete, not failed —
+      // aborting here would wrongly claim the live generation intact
+      // after the swap already committed.
       kept.foreach { st =>
-        require(fs.rename(st.getPath,
-            new Path(nextDir, st.getPath.getName)),
+        val dest = new Path(nextDir, st.getPath.getName)
+        require(fs.rename(st.getPath, dest) ||
+            (!fs.exists(st.getPath) && fs.exists(dest)),
           s"compactTiered: carrying ${st.getPath} into $nextDir failed " +
             "- aborting before the swap (the live generation is intact; " +
             "recovery will re-drive the intent)")
@@ -197,7 +203,15 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
       .getBytes("UTF-8"))
     finally out.close()
     fs.delete(intentP, false)
-    fs.rename(tmp, intentP)
+    // checked like the kept-file carries: a silently failed intent
+    // rename (Hadoop reports failure by returning FALSE) would let the
+    // carry renames strip kept runs out of the live generation with NO
+    // intent on disk — a crash mid-carry then loses them permanently
+    // (recover() no-ops without an intent while the marker still names
+    // the now-incomplete old generation)
+    require(fs.rename(tmp, intentP),
+      s"compactTiered: committing the intent file $intentP failed - " +
+        "aborting before any kept run leaves the live generation")
   }
 
   /** Roll an interrupted tiered swap FORWARD: finish the kept-file
@@ -215,11 +229,18 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
           val nextDir = s"$root/g$nextGen"
           keptNames.map(_.trim).filter(_.nonEmpty).foreach { n =>
             val src = new Path(oldDir, n)
-            if (fs.exists(src))
-              require(fs.rename(src, new Path(nextDir, n)),
+            // tolerate src-gone-dest-present: a CONCURRENT recover (a
+            // second GenStore over the same root resolving dataDir
+            // mid-swap) may have carried this file between our exists
+            // check and the rename — the carry is complete either way
+            if (fs.exists(src)) {
+              val dest = new Path(nextDir, n)
+              require(fs.rename(src, dest) ||
+                  (!fs.exists(src) && fs.exists(dest)),
                 s"GenStore recovery: rename $src -> $nextDir failed - " +
                   "refusing to sweep a generation still holding live " +
                   "runs")
+            }
           }
           if (readGen() < nextGen) {
             val gm = fs.create(genMarkerP, true)

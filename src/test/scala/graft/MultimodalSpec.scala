@@ -587,6 +587,16 @@ class MultimodalSpec extends AnyFunSuite {
       maxDist = 10)
     DedupOps.hammingIndexAppend(sigs.filter($"id" > "c"), idx2)
     assert(probed(idx2) == direct, "append diverged from rebuild")
+    // ADD-ONLY contract: re-appending an already-indexed id fails loud
+    // (both sigs would live in the table and probes would pick an
+    // arbitrary one) — re-signing means rebuild
+    val dup = intercept[IllegalArgumentException] {
+      DedupOps.hammingIndexAppend(sigs.filter($"id" === "a"), idx2)
+    }
+    assert(dup.getMessage.contains("ADD-ONLY") &&
+      dup.getMessage.contains("'a'"))
+    assert(probed(idx2) == direct,
+      "a refused append must leave the index untouched")
     // the layout pin makes a mismatched or missing layout impossible
     val noIdx = java.nio.file.Files
       .createTempDirectory("hamidx3").toString
