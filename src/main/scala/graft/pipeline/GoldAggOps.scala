@@ -29,11 +29,40 @@ import graft.config.GoldAggregate
   * the rewrite) via the crash-safe [[GenStore]] generation swap.
   *
   * Scale: per micro-batch ONE map-side-combined hash aggregate down to
-  * group-count-sized partial rows and one small parquet append; the
-  * published totals re-sum a store bounded at O(groups) plus at most
+  * group-count-sized partial rows and a GROUP-HASH-REBALANCED parquet
+  * append ([[writeSizeScaled]] — file count and task count scale with
+  * the partial's size, never a single-task funnel); the published
+  * totals re-sum a store bounded at O(groups) plus at most
   * `compactAfter` uncompacted batches. The mart never rescans history.
   */
 object GoldAggOps {
+
+  /** Size-scaled store write — the r11-verdict fix for the
+    * `coalesce(1)` single-task funnels: `gold.aggregate` group columns
+    * are USER-declared, so the per-group partial row set is
+    * dashboard-grain-small for `group by status` but DATA-sized for
+    * `group by user_id` over a 100 TB fact stream, and a one-task write
+    * is the same scale-killer class as an unbounded driver collect.
+    * REBALANCE by the group hash lets AQE size the exchange to the
+    * actual bytes — the coalesce target under the default
+    * `parallelismFirst` is `max(totalBytes / parallelism,
+    * minPartitionSize)`, so a sub-MB dashboard-grain partial coalesces
+    * to ONE task/file (the old behavior, and the right layout there)
+    * while a data-sized partial fans out to one task/file per
+    * parallelism share, and a skewed output partition splits (partials
+    * are one row per group per batch, so group skew cannot concentrate
+    * rows anyway; GoldAggStoreSpec pins both regimes). The store's
+    * file-count compaction trigger then over-counts "batches" for
+    * multi-file appends — harmless: compaction is timing-invariant by
+    * the fold-subset precondition, it just runs proportionally sooner
+    * on exactly the stores that grew faster. */
+  private[graft] def writeSizeScaled(df: DataFrame, groupBy: Seq[String],
+      mode: String, to: String): Unit = {
+    val balanced =
+      if (groupBy.isEmpty) df.hint("rebalance")
+      else df.hint("rebalance", groupBy.map(c => col(s"`$c`")): _*)
+    balanced.write.mode(mode).parquet(to)
+  }
 
   /** Signed aggregate expressions of a [[GoldAggregate]] (no hidden
     * columns) — count as Σ sign, sum_x1e6 as Σ sign·⌊v·10⁶⌋ with
@@ -132,16 +161,17 @@ object GoldAggOps {
           val sign = signCol.map(c => col(s"`$c`").cast("long"))
             .getOrElse(lit(1L))
           val es = partialExprs(a, sign)
-          batch.groupBy(groupCols(a): _*).agg(es.head, es.tail: _*)
+          val partial = batch.groupBy(groupCols(a): _*)
+            .agg(es.head, es.tail: _*)
             .withColumn("_batch_id", lit(batchId))
-            .coalesce(1).write.mode("append").parquet(store.dataDir)
+          writeSizeScaled(partial, a.groupBy, "append", store.dataDir)
           writeMarker(fs, markerP, batchId)
           store.compact(compactAfter, s"stream agg store $storeDir") {
             from =>
               sumPartials(spark, from, a, dedupBatches = true)
                 .withColumn("_batch_id", lit(batchId))
           } { (df, to) =>
-            df.coalesce(1).write.mode("overwrite").parquet(to)
+            writeSizeScaled(df, a.groupBy, "overwrite", to)
           }
         }
         ()

@@ -2012,11 +2012,15 @@ final class PipelineRunner(
     // whose inserts were all retracted must vanish from the mart)
     val es = goldAggExprs(a, col("_sign")) :+
       coalesce(sum(col("_sign")), lit(0L)).as("_agg_n")
-    // one partial file per batch: the store's file count IS its batch
-    // count (group-count-sized rows, so a single file is the right
-    // layout anyway)
-    delta.groupBy(gcols: _*).agg(es.head, es.tail: _*)
-      .coalesce(1).write.mode("append").parquet(store.dataDir)
+    // group-hash-REBALANCED append (GoldAggOps.writeSizeScaled): group
+    // columns are user-declared, so the partial row set is tiny at
+    // dashboard grain (AQE coalesces to one file — the file-count
+    // compaction trigger still counts batches) but DATA-sized for
+    // `group by user_id` over a 100 TB fact — a coalesce(1) here was
+    // the r11 verdict's one open single-task scale funnel
+    GoldAggOps.writeSizeScaled(
+      delta.groupBy(gcols: _*).agg(es.head, es.tail: _*),
+      a.groupBy, "append", store.dataDir)
     def storeSums(from: String*) = {
       val sums = (a.aggs.map(_.as) :+ "_agg_n")
         .map(c2 => sum(col(s"`$c2`")).as(c2))
@@ -2028,7 +2032,8 @@ final class PipelineRunner(
     // invariantly (compactTiered's precondition)
     store.compactTiered(g.compactAfter, "aggregate store") { paths =>
       storeSums(paths: _*)
-    } { (df, to) => df.coalesce(1).write.mode("overwrite").parquet(to) }
+    } { (df, to) =>
+      GoldAggOps.writeSizeScaled(df, a.groupBy, "overwrite", to) }
     val out = fs.create(markerP, true)
     try out.write(liveVersion.toString.getBytes("UTF-8"))
     finally out.close()
