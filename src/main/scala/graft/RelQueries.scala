@@ -365,6 +365,36 @@ object RelQueries {
         .orderBy(col("custkey"))
     }),
 
+    // -- [EXT] §2.7b: NATIVE recursive CTE (Spark 4.1 WITH RECURSIVE,
+    //    UNION ALL member — driver-coordinated iteration, each step a
+    //    distributed job; see RecursiveCteSpec for the expressible
+    //    class). A hierarchy ROLLUP over the 10-ary key tree derived
+    //    from customer keys (parent = custkey DIV 10, truncating — the
+    //    rolled-up-account-code shape): the closure pairs every node
+    //    with each ancestor, then aggregates descendant count, max
+    //    depth, and exact micro balance per ancestor. Depth is
+    //    O(log10 keys) ≈ 6, so recursion rows are n·log n — linear-ish
+    //    per level, one shuffle per level, no path explosion (tree, not
+    //    cyclic graph; cyclic closures stay with ConnectedComponents).
+    "q_recursive_cte" -> ((s, dir) => {
+      s.sql(
+        s"""WITH RECURSIVE up(custkey, anc, depth) AS (
+           |  SELECT c_custkey, c_custkey DIV 10, 1
+           |  FROM parquet.`$dir/customer.parquet` WHERE c_custkey >= 10
+           |  UNION ALL
+           |  SELECT custkey, anc DIV 10, depth + 1 FROM up
+           |  WHERE anc >= 10)
+           |SELECT u.anc AS anc,
+           |  count(*) AS n_desc,
+           |  CAST(max(u.depth) AS BIGINT) AS max_depth,
+           |  CAST(sum(CAST(floor(c.c_acctbal * 1000000.0) AS BIGINT))
+           |    AS BIGINT) AS bal_x1e6
+           |FROM up u JOIN parquet.`$dir/customer.parquet` c
+           |  ON c.c_custkey = u.custkey
+           |WHERE u.anc >= 1
+           |GROUP BY u.anc ORDER BY u.anc""".stripMargin)
+    }),
+
     // -- J5 [EXT]: range join with an equi-key anchor — pairs of events of
     //    the same user within a 60 s band. The user_id equi-component keeps
     //    it a hash/sort-merge join (the band is a residual filter); a pure
@@ -5984,6 +6014,24 @@ object RelQueries {
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY custkey""".stripMargin,
+
+    // the same WITH RECURSIVE text modulo dialect division (Spark DIV =
+    // DuckDB // — both truncate toward zero, the house convention)
+    "q_recursive_cte" ->
+      """WITH RECURSIVE up(custkey, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey // 10, 1
+        |  FROM customer WHERE c_custkey >= 10
+        |  UNION ALL
+        |  SELECT custkey, anc // 10, depth + 1 FROM up
+        |  WHERE anc >= 10)
+        |SELECT u.anc AS anc,
+        |  count(*)::BIGINT AS n_desc,
+        |  CAST(max(u.depth) AS BIGINT) AS max_depth,
+        |  CAST(sum(CAST(floor(c.c_acctbal * 1000000.0) AS BIGINT))
+        |    AS BIGINT) AS bal_x1e6
+        |FROM up u JOIN customer c ON c.c_custkey = u.custkey
+        |WHERE u.anc >= 1
+        |GROUP BY u.anc ORDER BY u.anc""".stripMargin,
 
     "q_rank_family" ->
       """SELECT c_mktsegment, c_custkey, bal_bucket, rnk, drnk, quartile,
