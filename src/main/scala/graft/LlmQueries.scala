@@ -135,6 +135,43 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // -- [EXT]: HELD-OUT train → eval loop — the r11-verdict composition
+    //    closing the training story: deterministic shardAssign split
+    //    (seeded md5, engine-portable), L2-regularized logisticTrain on
+    //    shards ≠ 0 (decoupled weight decay, exact integer micros),
+    //    hard-sigmoid scoring of the UNSEEN shard 0, and the
+    //    Mann–Whitney AUC rank identity over the held-out scores. The
+    //    oracle replays all four stages exactly: the md5 shard hash, the
+    //    unrolled GD+decay CTEs, the truncating-clamp score, and the
+    //    2·avgrank integer rank sum — one double division at the very
+    //    end. Scale: train = one hash aggregate per iteration over the
+    //    7/8 split, eval = one rank exchange over the 1/8 split.
+    "q_logit_eval" -> ((s, dir) => {
+      import graft.analytics.{Evaluation, Regression}
+      val feats = Seq(
+        "chars_h" -> (col("n_chars").cast("double") / lit(100.0)),
+        "is_en" -> when(col("lang") === "en", 1.0).otherwise(0.0),
+        "id_noise" ->
+          ((col("doc_id") % 10).cast("double") / lit(10.0)))
+      val label = col("lang") === "en" || col("n_chars") > 400
+      val sharded = graft.ops.Sampling.shardAssign(
+        t(s, dir, "documents"), "doc_id", 8)
+      val w = Regression.logisticTrain(
+          sharded.filter(col("shard") =!= 0), label, feats,
+          iters = 5, lrX1e6 = 250000L, l2X1e6 = 10000L)
+        .orderBy(col("idx"))
+        .select(col("weight_x1e6")).as[Long](s.implicits.newLongEncoder)
+        .collect().toSeq
+      val heldOut = sharded.filter(col("shard") === 0)
+        .select(col("shard"), label.as("y"),
+          Regression.hardSigmoidScoreX1e6(w, feats.map(_._2))
+            .as("score_x1e6"))
+        .filter(col("y").isNotNull && col("score_x1e6").isNotNull)
+      Evaluation.aucByGroup(heldOut, Seq("shard"), col("y"),
+          "score_x1e6")
+        .orderBy(col("shard"))
+    }),
+
     // -- [EXT]: language-ID heuristic (marker-stopword argmax)
     "q_lang_id" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1513,6 +1550,7 @@ object LlmQueries {
 
     "q_lang_id" -> s"$langGuessSql\nORDER BY doc_id",
     "q_logit_train" -> logitTrainOracle(5, 250000L),
+    "q_logit_eval" -> logitEvalOracle(5, 250000L, 10000L),
     "q_trained_quality" -> trainedQualityOracle(5, 2000000L),
 
     // exact integer kappa over the (lang, guess) confusion matrix the
@@ -3345,6 +3383,92 @@ object LlmQueries {
        |  UNION ALL SELECT 2, 'is_en', CAST(w2 AS BIGINT) FROM w$iters
        |  UNION ALL SELECT 3, 'id_noise', CAST(w3 AS BIGINT) FROM w$iters)
        |ORDER BY idx""".stripMargin
+  }
+
+  /** Unrolled replay of the HELD-OUT train → eval loop
+    * (`q_logit_eval`): the [[logitTrainOracle]] GD-iteration shape with
+    * (a) the seeded-md5 shard split (train = shards ≠ 0, eval = shard
+    * 0 — the q_shard_assign hash expression verbatim), (b) the
+    * DECOUPLED L2 decay term per round (computed on the
+    * iteration-start weight, bias undecayed, truncating `//` — the
+    * engine's BigInt convention), (c) one truncating-clamp scoring
+    * select over the UNSEEN shard, and (d) the q_auc Mann–Whitney
+    * 2·avgrank rank-sum identity over the held-out scores. Exact
+    * integers end to end; ONE double division in the final AUC. */
+  private def logitEvalOracle(iters: Int, lr: Long, l2: Long): String = {
+    val shardExpr =
+      """CAST(('0x' || substr(md5('shard:' ||
+        |    coalesce(CAST(doc_id AS VARCHAR), ' null')),
+        |    1, 8))::BIGINT % 8 AS INTEGER)""".stripMargin
+    val featCols =
+      """CAST(floor((n_chars / 100.0) * 1000000.0) AS BIGINT) AS x1,
+        |    CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS x2,
+        |    CAST(floor(((doc_id % 10) / 10.0) * 1000000.0) AS BIGINT)
+        |      AS x3""".stripMargin
+    val completeCase =
+      """(lang = 'en' OR n_chars > 400) IS NOT NULL
+        |    AND n_chars IS NOT NULL AND doc_id IS NOT NULL""".stripMargin
+    val base =
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT CASE WHEN lang = 'en' OR n_chars > 400
+         |              THEN 1000000 ELSE 0 END AS y6,
+         |    $featCols
+         |  FROM documents
+         |  WHERE $completeCase
+         |    AND $shardExpr <> 0),
+         |w0 AS (SELECT CAST(0 AS HUGEINT) AS b, CAST(0 AS HUGEINT) AS w1,
+         |         CAST(0 AS HUGEINT) AS w2, CAST(0 AS HUGEINT) AS w3)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT
+         |    LEAST(1000000, GREATEST(0, 500000 +
+         |      ((w.b * 1000000 + w.w1 * f.x1 + w.w2 * f.x2
+         |        + w.w3 * f.x3) // 1000000) // 4)) - f.y6 AS r,
+         |    f.x1, f.x2, f.x3
+         |  FROM f CROSS JOIN w${i - 1} w),
+         |g$i AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    SUM(CAST(r AS HUGEINT)) * 1000000 AS g0,
+         |    SUM(CAST(r AS HUGEINT) * x1) AS g1,
+         |    SUM(CAST(r AS HUGEINT) * x2) AS g2,
+         |    SUM(CAST(r AS HUGEINT) * x3) AS g3
+         |  FROM r$i),
+         |w$i AS (SELECT
+         |    w.b  - ($lr * (g.g0 // g.n)) // 1000000000000 AS b,
+         |    w.w1 - ($lr * (g.g1 // g.n)) // 1000000000000
+         |         - ($l2 * w.w1) // 1000000 AS w1,
+         |    w.w2 - ($lr * (g.g2 // g.n)) // 1000000000000
+         |         - ($l2 * w.w2) // 1000000 AS w2,
+         |    w.w3 - ($lr * (g.g3 // g.n)) // 1000000000000
+         |         - ($l2 * w.w3) // 1000000 AS w3
+         |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    s"""$base$rounds,
+       |h AS (
+       |  SELECT (lang = 'en' OR n_chars > 400) AS y,
+       |    $featCols
+       |  FROM documents
+       |  WHERE $completeCase
+       |    AND $shardExpr = 0),
+       |sc AS (
+       |  SELECT h.y,
+       |    CAST(LEAST(1000000, GREATEST(0, 500000 +
+       |      ((w.b * 1000000 + w.w1 * h.x1 + w.w2 * h.x2
+       |        + w.w3 * h.x3) // 1000000) // 4)) AS BIGINT) AS s
+       |  FROM h CROSS JOIN w$iters w),
+       |rk AS (SELECT y,
+       |         2 * rank() OVER (ORDER BY s)
+       |           + count(*) OVER (PARTITION BY s) - 1 AS r2
+       |       FROM sc),
+       |a AS (SELECT
+       |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS n_pos,
+       |        CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS n_neg,
+       |        SUM(CASE WHEN y THEN CAST(r2 AS HUGEINT) END) AS rp2
+       |      FROM rk)
+       |SELECT CAST(0 AS INTEGER) AS shard, n_pos, n_neg,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    round((rp2::DOUBLE - n_pos::DOUBLE * (n_pos::DOUBLE + 1.0))
+       |          / (2.0 * n_pos::DOUBLE * n_neg::DOUBLE), 6) END AS auc
+       |FROM a""".stripMargin
   }
 
   /** Unrolled replay of the whole TRAIN → DEPLOY loop

@@ -103,6 +103,14 @@ object Regression {
     *   r      = p − y·10⁶
     *   G_j    = Σ_rows r·x_j ; G_bias = 10⁶·Σ r   (exact Int128 sums)
     *   w_j   ← w_j − (lr · (G_j / n)) / 10¹²       (BigInt, driver)
+    *            − (λ · w_j^start) / 10⁶             (decoupled L2 decay)
+    *
+    * The optional L2 term (`l2X1e6` = λ in micros, default 0 = off) is
+    * DECOUPLED weight decay (the AdamW convention, public knowledge):
+    * computed on the iteration-START weight, applied after the gradient
+    * step, bias undecayed, truncating division — so the regularized
+    * loop stays engine-exact and an external engine replays it as one
+    * extra subtraction per unrolled CTE round.
     *
     * Weights start at 0 (so iteration 1 sees p = ½ exactly). Rows with
     * a NULL label or NULL in any feature drop (complete-case, the
@@ -124,11 +132,14 @@ object Regression {
     * `weight_x1e6`, `n`), idx asc. */
   def logisticTrain(df: DataFrame, labelCol: Column,
       features: Seq[(String, Column)], iters: Int = 5,
-      lrX1e6: Long = 4000000L): DataFrame = {
+      lrX1e6: Long = 4000000L, l2X1e6: Long = 0L): DataFrame = {
     require(features.nonEmpty && features.size <= 16,
       s"logisticTrain takes 1..16 features, got ${features.size}")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lrX1e6 > 0, s"lr_x1e6 must be positive, got $lrX1e6")
+    require(l2X1e6 >= 0 && l2X1e6 < 1000000L,
+      s"l2_x1e6 must be in [0, 1e6) - a decay factor at or above 1 " +
+        s"flips weight signs every round; got $l2X1e6")
     val spark = df.sparkSession
     import spark.implicits._
     val k = features.size
@@ -174,8 +185,14 @@ object Regression {
         val lr = BigInt(lrX1e6)
         val nB = BigInt(n)
         val tw = BigInt(1000000000000L)
+        // decay reads the iteration-START weights (w is about to mutate)
+        val wStart = w.clone()
         w(0) -= ((lr * ((g(0) * 1000000L) / nB)) / tw).toLong
         for (j <- 1 to k) w(j) -= ((lr * (g(j) / nB)) / tw).toLong
+        if (l2X1e6 > 0)
+          for (j <- 1 to k) w(j) -=
+            ((BigInt(l2X1e6) * BigInt(wStart(j))) / BigInt(1000000L))
+              .toLong
         require(w.forall(v => math.abs(v) < Bound),
           s"logisticTrain: a weight left [-2^29, 2^29] micros " +
             s"(${w.mkString(", ")}) - lower lr_x1e6=$lrX1e6 or rescale " +

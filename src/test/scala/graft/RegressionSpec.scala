@@ -92,6 +92,71 @@ class RegressionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("lower lr"))
   }
 
+  test("logisticTrain L2 (decoupled weight decay): hand-replayed decay " +
+      "on the separable pair; l2=0 identical to the unregularized " +
+      "path; decay shrinks planted weights; guard on l2 >= 1e6") {
+    // separable pair (see the hand-replay test): unregularized
+    // iteration 1 gives w1 = 2_000_000 and every later gradient is 0,
+    // so with decay λ the exact replay is pure geometric shrinkage on
+    // the iteration-start weight: w1 ← w1 − (λ·w1)/10⁶ (truncating,
+    // bias stays 0). λ = 10000 (1%): 2_000_000 → iter2 1_980_000 →
+    // iter3 1_960_200 (gradients stay 0: p still clamps to y while
+    // z/4 ≥ 500000 ⇔ w1 ≥ 2·10⁶... not quite — replay BigInt-exact
+    // instead of assuming zero gradients)
+    val pair = Seq((1.0, true), (-1.0, false)).toDF("x1", "y")
+    def replay(iters: Int, lr: Long, l2: Long): (Long, Long) = {
+      var b = BigInt(0); var w1 = BigInt(0)
+      for (_ <- 1 to iters) {
+        def p(x: Long): BigInt = {
+          val zraw = b * 1000000L + w1 * x
+          (BigInt(500000) + (zraw / 1000000L) / 4L)
+            .max(0).min(1000000)
+        }
+        // rows: (x=1e6 micros, y6=1e6), (x=-1e6, y6=0)
+        val r1 = p(1000000L) - 1000000L
+        val r2 = p(-1000000L) - 0L
+        val g0 = (r1 + r2) * 1000000L
+        val g1 = r1 * 1000000L + r2 * -1000000L
+        val n = BigInt(2); val tw = BigInt(1000000000000L)
+        val w1Start = w1
+        b -= (BigInt(lr) * (g0 / n)) / tw
+        w1 -= (BigInt(lr) * (g1 / n)) / tw
+        if (l2 > 0) w1 -= (BigInt(l2) * w1Start) / BigInt(1000000L)
+      }
+      (b.toLong, w1.toLong)
+    }
+    for (l2 <- Seq(0L, 10000L, 250000L)) {
+      val got = Regression.logisticTrain(pair, col("y"),
+          Seq("x1" -> col("x1")), iters = 5, lrX1e6 = 4000000L,
+          l2X1e6 = l2)
+        .orderBy(col("idx")).as[(Int, String, Long, Long)]
+        .collect().map(_._3).toSeq
+      val (eb, ew) = replay(5, 4000000L, l2)
+      assert(got == Seq(eb, ew),
+        s"l2=$l2: engine $got != BigInt replay ${Seq(eb, ew)}")
+    }
+    // decay shrinks the planted-grid weights in magnitude, signs intact
+    val grid = for {
+      a <- -3 to 3; b <- -3 to 3; if 2 * a - b != 0
+    } yield (a.toDouble, b.toDouble, 2 * a - b > 0)
+    val gdf = grid.toDF("x1", "x2", "y")
+    val feats = Seq("x1" -> col("x1"), "x2" -> col("x2"))
+    def weights(l2: Long) = Regression.logisticTrain(gdf, col("y"),
+        feats, iters = 30, lrX1e6 = 1000000L, l2X1e6 = l2)
+      .orderBy(col("idx")).as[(Int, String, Long, Long)]
+      .collect().map(t => t._2 -> t._3).toMap
+    val (w0, wL2) = (weights(0L), weights(50000L))
+    assert(wL2("x1") > 0 && wL2("x2") < 0, s"decay flipped signs: $wL2")
+    assert(math.abs(wL2("x1")) < math.abs(w0("x1")) &&
+      math.abs(wL2("x2")) < math.abs(w0("x2")),
+      s"decay failed to shrink: $w0 vs $wL2")
+    val e = intercept[IllegalArgumentException] {
+      Regression.logisticTrain(pair, col("y"), Seq("x1" -> col("x1")),
+        l2X1e6 = 1000000L)
+    }
+    assert(e.getMessage.contains("l2_x1e6"))
+  }
+
   test("hardSigmoidScoreX1e6: deploy forward pass matches the training " +
       "forward pass exactly (trained weights classify the training " +
       "grid identically to the z-sign rule); clamps; arity guard") {
