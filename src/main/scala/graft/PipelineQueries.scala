@@ -550,6 +550,44 @@ object PipelineQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // -- [EXT]: STREAMING join-mart maintenance — customer rides a REAL
+    //    file stream through GoldJoinOps.dimSink (upsert the dim store),
+    //    then orders rides one through GoldJoinOps.factSink (upsert the
+    //    fact store, derive against the current dim state), both with
+    //    checkpoints and batch-id replay markers; the mart reads back as
+    //    keep-latest live rows. The oracle is the plain star join over
+    //    the raw tables — the streaming store machinery must be
+    //    invisible in the mart.
+    "q_stream_gold_join" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.pipeline.GoldJoinOps
+      import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+      val star = StreamStar(
+        pkCols = Seq("o_orderkey"),
+        dims = Seq(StreamDim("customer",
+          Seq("o_custkey" -> "c_custkey"))),
+        select = Seq("o_orderkey", "o_totalprice",
+          "c_name AS customer", "c_mktsegment AS segment"))
+      val tmp = Files.createTempDirectory("graft-streamjoin")
+      val storeDir = tmp.resolve("store").toString
+      def src(table: String): DataFrame = {
+        val path = s"$dir/$table.parquet"
+        val schema = s.read.parquet(path).schema
+        if (new java.io.File(path).isDirectory)
+          s.readStream.schema(schema).parquet(path)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+      }
+      GoldJoinOps.dimSink(src("customer"), "customer", star, storeDir,
+          tmp.resolve("cp_dim").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      GoldJoinOps.factSink(src("orders"), star, storeDir,
+          tmp.resolve("cp_fact").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      GoldJoinOps.readMart(s, storeDir, star)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // -- [EXT]: TEMPORAL (SCD2) gold mart — the events stream rides the
     //    pipeline twice: as an "activity" fact entity and as a
     //    "user_history" change-stream dim entity (PK = change_id, so the
@@ -783,6 +821,15 @@ object PipelineQueries {
         |    THEN o_totalprice END * 1000000.0) AS BIGINT)), 0) AS BIGINT)
         |    AS total_x1e6
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the plain star join over the raw tables — the streaming row/dim/
+    // fact stores (foreachBatch, markers, keep-latest reads) must be
+    // invisible in the mart
+    "q_stream_gold_join" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  c_name AS customer, c_mktsegment AS segment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the q_scd2_join shape over the raw events table: SCD2-compact the
     // history projection, then the equi + range membership join — the

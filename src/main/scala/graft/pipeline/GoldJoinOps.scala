@@ -1,0 +1,334 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** STREAMING join-mart maintenance — the row-level sibling of
+  * [[GoldAggOps.goldAggSink]], closing the r11 verdict's "a dim update
+  * at micro-batch cadence cannot keep a join mart live" gap (the
+  * attribution/enrichment freshness case): the dim⋈fact star mart that
+  * [[Pipeline.buildGoldMartIncremental]] maintains at triggered-batch
+  * cadence is maintained here by `foreachBatch` sinks at micro-batch
+  * latency, self-contained in one persisted store.
+  *
+  * Store layout under `storeDir` (every substore a crash-safe
+  * [[GenStore]] generation dir; all writes group-hash-rebalanced via
+  * [[GoldAggOps.writeSizeScaled]] — no single-task funnels):
+  *
+  *   - `facts/`      latest fact row per fact PK (full fact columns +
+  *                    `_sj_seq`, `_sj_live`) — the re-derivation base.
+  *   - `dim_<name>/` latest dim row per join key (dim columns +
+  *                    `_sj_seq`, `_sj_live`) — the current dim state.
+  *   - `rows/`       derived mart rows: the projected mart columns +
+  *                    hidden upsert keys (`_mpk_<pk>`, `_sj_seq`,
+  *                    `_sj_live`) — exactly the batch mart's row-store
+  *                    shape, fed at stream cadence.
+  *
+  * [[factSink]] upserts each fact CDC batch into `facts/`, derives the
+  * batch against the CURRENT dim states, and upserts `rows/` (a fact
+  * whose inner join drops out, or a fact delete, upserts a TOMBSTONE).
+  * [[dimSink]] upserts each dim CDC batch into its `dim_<name>/`,
+  * broadcasts the batch's join keys into a semi-join against the live
+  * fact store, and re-derives exactly the affected facts — O(batch) +
+  * O(matching facts) per micro-batch, never a table re-join, the same
+  * cost shape as the triggered-batch maintenance.
+  *
+  * Replay discipline (the goldAggSink contract): each sink keeps a
+  * `<marker> = "batchId|seq"` high-water file written AFTER its
+  * appends; a batch at or below the marker skips before any write, and
+  * the one unsafe window (crash between append and marker) re-appends
+  * bit-identical rows at the SAME seq (the seq derives from the
+  * markers, not a counter advanced mid-batch), which the keep-latest
+  * read collapses. Writer concurrency contract: ONE sink processes a
+  * micro-batch at a time per store (Structured Streaming serializes
+  * batches within a query; across the fact and dim queries the caller
+  * owns scheduling, the [[Pipeline]] RunLock posture) — the seq is a
+  * total order only under that contract.
+  *
+  * Scale: per fact batch one broadcast-dim join over O(batch) rows;
+  * per dim batch one broadcast semi-join + re-join over O(affected
+  * facts); stores bounded by size-tiered compaction (keep-latest is a
+  * max-stamp semilattice — any subset folds invariantly). The mart
+  * never rescans fact history.
+  */
+object GoldJoinOps {
+
+  /** One star dim: `keys` = (factCol, dimCol) equi pairs; `joinType`
+    * "inner" or "left"; `deleteCol` names an optional boolean CDC
+    * delete flag in the DIM feed (absent = upsert-only feed). */
+  final case class StreamDim(name: String, keys: Seq[(String, String)],
+      joinType: String = "inner", deleteCol: Option[String] = None)
+
+  /** The streaming star spec: fact PK, dims, mart projection (SQL
+    * exprs over fact+dim columns; empty = all columns), and an
+    * optional boolean delete flag in the FACT feed. */
+  final case class StreamStar(pkCols: Seq[String], dims: Seq[StreamDim],
+      select: Seq[String] = Seq.empty,
+      factDeleteCol: Option[String] = None) {
+    require(pkCols.nonEmpty, "StreamStar needs at least one fact PK column")
+    require(dims.nonEmpty, "StreamStar needs at least one dim")
+    require(dims.map(_.name).distinct.size == dims.size,
+      "StreamStar dim names must be unique")
+  }
+
+  private val Seq_ = "_sj_seq"
+  private val Live = "_sj_live"
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def store(fs: FileSystem, root: String): GenStore =
+    new GenStore(fs, root, _ => ())
+
+  /** Marker = "batchId|seq", written AFTER the batch's appends. */
+  private def readMarker(fs: FileSystem, p: Path): Option[(Long, Long)] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.trim.split('|') match {
+        case Array(b, s) =>
+          for (bv <- b.toLongOption; sv <- s.toLongOption) yield (bv, sv)
+        case _ => None
+      }
+    }
+
+  private def writeMarker(fs: FileSystem, p: Path, batchId: Long,
+      seq: Long): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s"$batchId|$seq".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def markerPaths(storeDir: String, star: StreamStar)
+      : Seq[Path] =
+    new Path(s"$storeDir/_fact_marker") +:
+      star.dims.map(d => new Path(s"$storeDir/_dim_${d.name}_marker"))
+
+  /** The batch's seq: one past the max seq any sink has committed —
+    * derived from the markers (not a counter advanced mid-batch) so a
+    * crash-replay of the SAME batch mints the SAME seq and re-appends
+    * bit-identical rows. */
+  private def nextSeq(fs: FileSystem, storeDir: String,
+      star: StreamStar): Long =
+    markerPaths(storeDir, star)
+      .flatMap(p => readMarker(fs, p)).map(_._2)
+      .foldLeft(0L)(math.max) + 1L
+
+  /** Keep-latest view of a substore: max-`_sj_seq` row per key (the
+    * deterministic tie-break covers replay-duplicate rows), live rows
+    * only, hidden columns dropped unless `keepHidden`. Empty frame with
+    * the right shape when the store has no data yet. */
+  private def latest(spark: SparkSession, st: GenStore,
+      keyCols: Seq[String], keepHidden: Boolean = false)
+      : Option[DataFrame] = {
+    if (!st.exists) return None
+    val raw = spark.read.option("mergeSchema", "true").parquet(st.dataDir)
+    val w = Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+      .orderBy(col(Seq_).desc,
+        xxhash64(raw.columns.map(c => col(s"`$c`")).toSeq: _*).desc)
+    val kept = raw.withColumn("_sj_rn", row_number().over(w))
+      .filter(col("_sj_rn") === 1 && col(Live)).drop("_sj_rn")
+    Some(if (keepHidden) kept else kept.drop(Seq_, Live))
+  }
+
+  private def requireUnique(batch: DataFrame, keys: Seq[String],
+      what: String): Unit = {
+    val dup = batch.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1L).limit(1)
+    require(dup.isEmpty,
+      s"$what: a micro-batch carries more than one row per key " +
+        s"(${keys.mkString(", ")}) - the keep-latest store has no " +
+        "within-batch order to break the tie; pre-compact the feed to " +
+        "one row per key per batch (e.g. the CDC source's latest image)")
+  }
+
+  /** Derive mart rows for `facts` (full fact columns, live rows)
+    * against the CURRENT dim states, plus tombstones for fact PKs with
+    * no surviving join row; both stamped (`_mpk_*`, seq, live). A dim
+    * whose feed has not started yet makes every fact an inner-join
+    * dropout: the whole batch tombstones (and re-derives when the
+    * dim's first batch arrives) — a left join there would need the dim
+    * schema to null-fill, which only the dim feed knows, so it fails
+    * loud instead. */
+  private def derive(spark: SparkSession, storeDir: String,
+      star: StreamStar, facts: DataFrame, seq: Long): DataFrame = {
+    val fs = fsOf(spark, storeDir)
+    def tombs(of: DataFrame): DataFrame = of
+      .select(star.pkCols.map(c => col(s"`$c`").as(s"_mpk_$c")): _*)
+      .withColumn(Seq_, lit(seq)).withColumn(Live, lit(false))
+    val dimStates: Seq[(StreamDim, Option[DataFrame])] =
+      star.dims.map { d =>
+        d -> latest(spark, store(fs, s"$storeDir/dim_${d.name}"),
+          d.keys.map(_._2))
+      }
+    dimStates.collect { case (d, None) => d }.foreach { d =>
+      require(d.joinType == "inner",
+        s"streaming join mart at $storeDir: left-join dim '${d.name}' " +
+          "has no store yet - process at least one dim batch before " +
+          "fact batches, or use an inner join")
+    }
+    if (dimStates.exists(_._2.isEmpty)) return tombs(facts)
+    val joined = dimStates.foldLeft(facts) { case (acc, (d, dimLive)) =>
+      val dl = dimLive.get
+      val cond = d.keys.map { case (f, dc) =>
+        acc(s"`$f`") === dl(s"`$dc`") }.reduce(_ && _)
+      d.keys.map(_._2).foldLeft(
+        acc.join(broadcast(dl), cond, d.joinType))(
+        (j, c) => j.drop(dl(s"`$c`")))
+    }
+    val projCols =
+      if (star.select.nonEmpty) star.select.map(expr)
+      else joined.columns.map(c => col(s"`$c`")).toSeq
+    val derived = joined.select(projCols ++
+        star.pkCols.map(c => col(s"`$c`").as(s"_mpk_$c")): _*)
+      .withColumn(Seq_, lit(seq)).withColumn(Live, lit(true))
+    val tomb = tombs(facts)
+      .join(derived.select(star.pkCols.map(c => col(s"_mpk_$c")): _*),
+        star.pkCols.map(c => s"_mpk_$c"), "left_anti")
+    derived.unionByName(tomb, allowMissingColumns = true)
+  }
+
+  private def upsertRows(spark: SparkSession, storeDir: String,
+      star: StreamStar, rows: DataFrame, compactAfter: Int): Unit = {
+    val fs = fsOf(spark, storeDir)
+    val rs = store(fs, s"$storeDir/rows")
+    GoldAggOps.writeSizeScaled(rows,
+      star.pkCols.map(c => s"_mpk_$c"), "append", rs.dataDir)
+    compactKeepLatest(spark, rs, star.pkCols.map(c => s"_mpk_$c"),
+      compactAfter, s"stream mart rows $storeDir")
+  }
+
+  /** Size-tiered keep-latest compaction of a substore — sound on any
+    * file subset (max-stamp semilattice: each key's subset-max survives
+    * the fold and the global max still wins at read). */
+  private def compactKeepLatest(spark: SparkSession, st: GenStore,
+      keys: Seq[String], threshold: Int, label: String): Unit =
+    st.compactTiered(threshold, label) { paths =>
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*)
+      val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)
+        .orderBy(col(Seq_).desc,
+          xxhash64(raw.columns.map(c => col(s"`$c`")).toSeq: _*).desc)
+      raw.withColumn("_sj_rn", row_number().over(w))
+        .filter(col("_sj_rn") === 1).drop("_sj_rn")
+    } { (df, to) =>
+      GoldAggOps.writeSizeScaled(df, keys, "overwrite", to)
+    }
+
+  /** FACT-side sink: per micro-batch, upsert the fact store and derive
+    * the batch's mart rows against the current dim states. The feed
+    * must carry at most one row per fact PK per batch (fail-loud). */
+  def factSink(stream: DataFrame, star: StreamStar, storeDir: String,
+      checkpoint: String, compactAfter: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(compactAfter >= 1, s"compactAfter must be >= 1")
+    stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = fsOf(spark, storeDir)
+        val markerP = new Path(s"$storeDir/_fact_marker")
+        if (readMarker(fs, markerP).forall(batchId > _._1)) {
+          requireUnique(batch, star.pkCols,
+            s"streaming join mart factSink at $storeDir")
+          val seq = nextSeq(fs, storeDir, star)
+          val del = star.factDeleteCol
+            .map(c => coalesce(col(s"`$c`"), lit(false)))
+            .getOrElse(lit(false))
+          val stamped = batch.withColumn(Live, !del).withColumn(Seq_,
+              lit(seq)).drop(star.factDeleteCol.toSeq: _*)
+            .localCheckpoint(false) // feeds the store AND the derive
+          val fstore = store(fs, s"$storeDir/facts")
+          GoldAggOps.writeSizeScaled(stamped, star.pkCols, "append",
+            fstore.dataDir)
+          val liveRows = stamped.filter(col(Live)).drop(Seq_, Live)
+          upsertRows(spark, storeDir, star,
+            derive(spark, storeDir, star, liveRows, seq)
+              .unionByName(
+                // fact deletes tombstone directly
+                stamped.filter(!col(Live))
+                  .select(star.pkCols.map(c =>
+                    col(s"`$c`").as(s"_mpk_$c")): _*)
+                  .withColumn(Seq_, lit(seq))
+                  .withColumn(Live, lit(false)),
+                allowMissingColumns = true),
+            compactAfter)
+          writeMarker(fs, markerP, batchId, seq)
+          compactKeepLatest(spark, fstore, star.pkCols, compactAfter,
+            s"stream mart facts $storeDir")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** DIM-side sink for dim `name`: per micro-batch, upsert the dim
+    * store, then re-derive exactly the facts whose join keys the batch
+    * touched (broadcast semi-join — O(affected facts), never a table
+    * re-join). The feed must carry at most one row per join key per
+    * batch (fail-loud). */
+  def dimSink(stream: DataFrame, name: String, star: StreamStar,
+      storeDir: String, checkpoint: String, compactAfter: Int = 16)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val d = star.dims.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"dimSink: '$name' is not a dim of this star " +
+          s"(${star.dims.map(_.name).mkString(", ")})"))
+    val dimKeys = d.keys.map(_._2)
+    stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = fsOf(spark, storeDir)
+        val markerP = new Path(s"$storeDir/_dim_${name}_marker")
+        if (readMarker(fs, markerP).forall(batchId > _._1)) {
+          requireUnique(batch, dimKeys,
+            s"streaming join mart dimSink($name) at $storeDir")
+          val seq = nextSeq(fs, storeDir, star)
+          val del = d.deleteCol
+            .map(c => coalesce(col(s"`$c`"), lit(false)))
+            .getOrElse(lit(false))
+          val stamped = batch.withColumn(Live, !del)
+            .withColumn(Seq_, lit(seq)).drop(d.deleteCol.toSeq: _*)
+            .localCheckpoint(false)
+          val dstore = store(fs, s"$storeDir/dim_$name")
+          GoldAggOps.writeSizeScaled(stamped, dimKeys, "append",
+            dstore.dataDir)
+          // affected facts: broadcast the batch's keys into a semi-join
+          // against the live fact store (updates AND deletes both
+          // invalidate their keys' derived rows)
+          val touched = stamped.select(d.keys.map { case (f, dc) =>
+            col(s"`$dc`").as(f) }: _*).distinct()
+          latest(spark, store(fs, s"$storeDir/facts"), star.pkCols)
+            .foreach { factsLive =>
+              val affected = factsLive.join(broadcast(touched),
+                d.keys.map(_._1), "left_semi")
+              upsertRows(spark, storeDir, star,
+                derive(spark, storeDir, star, affected, seq),
+                compactAfter)
+            }
+          writeMarker(fs, markerP, batchId, seq)
+          compactKeepLatest(spark, dstore, dimKeys, compactAfter,
+            s"stream mart dim $name $storeDir")
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** The LIVE mart: keep-latest row per fact PK over the rows store,
+    * tombstones dropped, hidden columns dropped. */
+  def readMart(spark: SparkSession, storeDir: String, star: StreamStar)
+      : DataFrame = {
+    val fs = fsOf(spark, storeDir)
+    latest(spark, store(fs, s"$storeDir/rows"),
+        star.pkCols.map(c => s"_mpk_$c"))
+      .map(_.drop(star.pkCols.map(c => s"_mpk_$c"): _*))
+      .getOrElse(throw new IllegalStateException(
+        s"streaming join mart at $storeDir has no rows store yet - " +
+          "run a fact batch first"))
+  }
+}

@@ -719,4 +719,93 @@ class StreamingSpec extends AnyFunSuite {
     existing.limit(1).write.mode("append").parquet(dataDir.toString)
     assert(mart() == fin, "duplicate replay rows double-counted")
   }
+
+  test("streaming join-mart sinks (GoldJoinOps): fact upserts/deletes, " +
+      "dim updates and a dim RETRACTION propagate at micro-batch " +
+      "cadence; mart equals the star join over the net CDC state; " +
+      "stale-batch replay skips; within-batch duplicate PKs fail loud") {
+    import spark.implicits._
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    val star = StreamStar(
+      pkCols = Seq("o_orderkey"),
+      dims = Seq(StreamDim("customer", Seq("o_custkey" -> "c_custkey"),
+        deleteCol = Some("del"))),
+      select = Seq("o_orderkey", "price", "c_name AS customer"),
+      factDeleteCol = Some("del"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sjm")
+    val storeDir = root.resolve("store").toString
+    val dimMem = MemoryStream[(Long, String, Boolean)](spark)
+    val factMem = MemoryStream[(Long, Long, Double, Boolean)](spark)
+    val dimQ = GoldJoinOps.dimSink(
+        dimMem.toDF.toDF("c_custkey", "c_name", "del"), "customer",
+        star, storeDir, root.resolve("cp_dim").toString)
+      .start()
+    val factQ = GoldJoinOps.factSink(
+        factMem.toDF.toDF("o_orderkey", "o_custkey", "price", "del"),
+        star, storeDir, root.resolve("cp_fact").toString)
+      .start()
+    def mart(): Set[(Long, Double, String)] =
+      GoldJoinOps.readMart(spark, storeDir, star)
+        .as[(Long, Double, String)].collect().toSet
+    // batch wave 1: two dims, three facts (fact 30 has no dim yet)
+    dimMem.addData((1L, "A", false), (2L, "B", false))
+    dimQ.processAllAvailable()
+    factMem.addData((10L, 1L, 5.0, false), (20L, 2L, 6.0, false),
+      (30L, 3L, 7.0, false))
+    factQ.processAllAvailable()
+    assert(mart() == Set((10L, 5.0, "A"), (20L, 6.0, "B")),
+      "inner-join dropout (no dim row yet) must tombstone, not linger")
+    // batch wave 2: dim UPDATE (B -> B2) re-derives fact 20 without a
+    // fact-side event; new dim 3 resurrects the tombstoned fact 30
+    dimMem.addData((2L, "B2", false), (3L, "C", false))
+    dimQ.processAllAvailable()
+    assert(mart() == Set((10L, 5.0, "A"), (20L, 6.0, "B2"),
+      (30L, 7.0, "C")), "a dim update did not propagate to the mart")
+    // fact wave: price update + fact delete
+    factMem.addData((10L, 1L, 5.5, false), (20L, 2L, 6.0, true))
+    factQ.processAllAvailable()
+    assert(mart() == Set((10L, 5.5, "A"), (30L, 7.0, "C")))
+    // batch wave 3: dim RETRACTION — every fact of key 1 must drop
+    dimMem.addData((1L, "A", true))
+    dimQ.processAllAvailable()
+    val fin = mart()
+    assert(fin == Set((30L, 7.0, "C")),
+      s"dim retraction did not drop its facts: $fin")
+    // twin-equivalence: the star join over the net CDC state
+    val netFacts = Seq((10L, 1L, 5.5), (30L, 3L, 7.0))
+      .toDF("o_orderkey", "o_custkey", "price")
+    val netDims = Seq((2L, "B2"), (3L, "C")).toDF("c_custkey", "c_name")
+    val twin = netFacts.join(netDims, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"price", $"c_name".as("customer"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(fin == twin, s"stream $fin != batch twin $twin")
+    dimQ.stop(); factQ.stop()
+    // replay safety: a fresh checkpoint restarts batch ids at 0 — all
+    // at or below the markers, every write skipped, mart unchanged
+    val dimMem2 = MemoryStream[(Long, String, Boolean)](spark)
+    val dimQ2 = GoldJoinOps.dimSink(
+        dimMem2.toDF.toDF("c_custkey", "c_name", "del"), "customer",
+        star, storeDir, root.resolve("cp_dim2").toString)
+      .start()
+    dimMem2.addData((99L, "Z", false))
+    dimQ2.processAllAvailable()
+    dimQ2.stop()
+    assert(mart() == fin, "a stale-batch-id replay mutated the mart")
+    // within-batch duplicate PK fails loud with the named remedy
+    val factMem3 = MemoryStream[(Long, Long, Double, Boolean)](spark)
+    val factQ3 = GoldJoinOps.factSink(
+        factMem3.toDF.toDF("o_orderkey", "o_custkey", "price", "del"),
+        star, root.resolve("store3").toString,
+        root.resolve("cp_fact3").toString)
+      .start()
+    factMem3.addData((1L, 1L, 1.0, false), (1L, 1L, 2.0, false))
+    val e = intercept[Exception] { factQ3.processAllAvailable() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("pre-compact the feed"))),
+      s"expected the within-batch duplicate guard, got: $e")
+    factQ3.stop()
+  }
 }
