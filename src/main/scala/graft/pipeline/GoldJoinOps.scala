@@ -33,7 +33,12 @@ import org.apache.spark.sql.functions._
   * broadcasts the batch's join keys into a semi-join against the live
   * fact store, and re-derives exactly the affected facts — O(batch) +
   * O(matching facts) per micro-batch, never a table re-join, the same
-  * cost shape as the triggered-batch maintenance.
+  * cost shape as the triggered-batch maintenance. A [[StreamTemporal]]
+  * dim generalizes this to SCD2: the dim feed is a change stream, the
+  * store keeps the full history keyed by change id, derivation
+  * compacts the TOUCHED keys' intervals and temporal-joins facts to
+  * the version valid at their event time — late-arriving history
+  * (interval splits) propagates at micro-batch latency.
   *
   * Replay discipline (the goldAggSink contract): each sink keeps a
   * `<marker> = "batchId|seq"` high-water file written AFTER its
@@ -55,11 +60,45 @@ import org.apache.spark.sql.functions._
   */
 object GoldJoinOps {
 
+  /** TEMPORAL (SCD2) dim spec — the streaming cadence for the
+    * config-declared temporal marts ([[Pipeline.buildGoldMartIncremental]]'s
+    * `gold.join.temporal`): the dim FEED is an append-only change
+    * stream; each change batch re-compacts the touched keys' validity
+    * intervals ([[graft.ops.Scd2.scd2]]) and re-derives ALL facts of
+    * those keys against the new intervals — so a LATE-ARRIVING history
+    * row (an interval split) propagates at micro-batch latency, the
+    * same re-derivation the triggered-batch mart runs per RUN.
+    * `changeKey` is the unique change id (store keep-latest key and
+    * scd2 tie-break); `dimTs`/`factTs` the interval/event times (same
+    * numeric unit); `attrs` the tracked columns. */
+  final case class StreamTemporal(factTs: String, dimTs: String,
+      changeKey: String, attrs: Seq[String])
+
   /** One star dim: `keys` = (factCol, dimCol) equi pairs; `joinType`
     * "inner" or "left"; `deleteCol` names an optional boolean CDC
-    * delete flag in the DIM feed (absent = upsert-only feed). */
+    * delete flag in the DIM feed (absent = upsert-only feed).
+    * `temporal` makes this an SCD2 change-stream dim: exactly one key
+    * pair, inner join (the temporal join's warehouse convention), no
+    * delete flag (a change stream is append-only history). */
   final case class StreamDim(name: String, keys: Seq[(String, String)],
-      joinType: String = "inner", deleteCol: Option[String] = None)
+      joinType: String = "inner", deleteCol: Option[String] = None,
+      temporal: Option[StreamTemporal] = None) {
+    temporal.foreach { _ =>
+      require(keys.size == 1,
+        s"temporal dim '$name' anchors on exactly one (factKey, dimKey) " +
+          s"pair, got ${keys.size}")
+      require(joinType == "inner",
+        s"temporal dim '$name' joins inner (facts outside every " +
+          "interval drop, the warehouse convention)")
+      require(deleteCol.isEmpty,
+        s"temporal dim '$name' is an append-only change stream - " +
+          "retract history by rebuilding, not a delete flag")
+    }
+    /** The dim STORE's keep-latest key: the change id for a temporal
+      * history store, the join keys for a flat star dim. */
+    def storeKeys: Seq[String] =
+      temporal.map(t => Seq(t.changeKey)).getOrElse(keys.map(_._2))
+  }
 
   /** The streaming star spec: fact PK, dims, mart projection (SQL
     * exprs over fact+dim columns; empty = all columns), and an
@@ -162,7 +201,7 @@ object GoldJoinOps {
     val dimStates: Seq[(StreamDim, Option[DataFrame])] =
       star.dims.map { d =>
         d -> latest(spark, store(fs, s"$storeDir/dim_${d.name}"),
-          d.keys.map(_._2))
+          d.storeKeys)
       }
     dimStates.collect { case (d, None) => d }.foreach { d =>
       require(d.joinType == "inner",
@@ -173,11 +212,30 @@ object GoldJoinOps {
     if (dimStates.exists(_._2.isEmpty)) return tombs(facts)
     val joined = dimStates.foldLeft(facts) { case (acc, (d, dimLive)) =>
       val dl = dimLive.get
-      val cond = d.keys.map { case (f, dc) =>
-        acc(s"`$f`") === dl(s"`$dc`") }.reduce(_ && _)
-      d.keys.map(_._2).foldLeft(
-        acc.join(broadcast(dl), cond, d.joinType))(
-        (j, c) => j.drop(dl(s"`$c`")))
+      d.temporal match {
+        case Some(t) =>
+          val (factKey, dimKey) = d.keys.head
+          // SCD2-compact ONLY the touched keys' history (the batch's
+          // fact keys broadcast into a semi-join) — per-batch compaction
+          // cost is O(touched keys' changes), never the full history
+          val relevant = dl.join(broadcast(facts
+              .select(col(s"`$factKey`").as(dimKey)).distinct()),
+            Seq(dimKey), "left_semi")
+          val hist = graft.ops.Scd2
+            .scd2(relevant, dimKey, t.dimTs, t.changeKey, t.attrs)
+            .drop("is_current")
+          val keyed =
+            if (factKey.equalsIgnoreCase(dimKey)) hist
+            else hist.withColumnRenamed(dimKey, factKey)
+          graft.ops.Scd2.temporalJoin(acc, broadcast(keyed), factKey,
+            t.factTs)
+        case None =>
+          val cond = d.keys.map { case (f, dc) =>
+            acc(s"`$f`") === dl(s"`$dc`") }.reduce(_ && _)
+          d.keys.map(_._2).foldLeft(
+            acc.join(broadcast(dl), cond, d.joinType))(
+            (j, c) => j.drop(dl(s"`$c`")))
+      }
     }
     val projCols =
       if (star.select.nonEmpty) star.select.map(expr)
@@ -278,7 +336,7 @@ object GoldJoinOps {
       throw new IllegalArgumentException(
         s"dimSink: '$name' is not a dim of this star " +
           s"(${star.dims.map(_.name).mkString(", ")})"))
-    val dimKeys = d.keys.map(_._2)
+    val dimKeys = d.storeKeys
     stream.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession

@@ -808,4 +808,77 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the within-batch duplicate guard, got: $e")
     factQ3.stop()
   }
+
+  test("streaming TEMPORAL (SCD2) mart (GoldJoinOps.StreamTemporal): " +
+      "facts join the interval valid at their event time; a " +
+      "LATE-ARRIVING history batch splits intervals, re-derives the " +
+      "changed keys' facts, and resurrects a fact that predated every " +
+      "interval; twin-equal to the batch scd2 + temporalJoin") {
+    import spark.implicits._
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar,
+      StreamTemporal}
+    val star = StreamStar(
+      pkCols = Seq("event_id"),
+      dims = Seq(StreamDim("user_history",
+        Seq("user_id" -> "huser"),
+        temporal = Some(StreamTemporal(factTs = "ts_us", dimTs = "hts",
+          changeKey = "change_id", attrs = Seq("htype"))))),
+      select = Seq("event_id", "user_id", "src_change_id",
+        "htype AS dim_type", "valid_from"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sjt")
+    val storeDir = root.resolve("store").toString
+    val dimMem = MemoryStream[(Long, Long, Long, String)](spark)
+    val factMem = MemoryStream[(Long, Long, Long)](spark)
+    val dimQ = GoldJoinOps.dimSink(
+        dimMem.toDF.toDF("change_id", "huser", "hts", "htype"),
+        "user_history", star, storeDir,
+        root.resolve("cp_dim").toString)
+      .start()
+    val factQ = GoldJoinOps.factSink(
+        factMem.toDF.toDF("event_id", "user_id", "ts_us"), star,
+        storeDir, root.resolve("cp_fact").toString)
+      .start()
+    def mart(): Set[(Long, Long, Long, String, Long)] =
+      GoldJoinOps.readMart(spark, storeDir, star)
+        .as[(Long, Long, Long, String, Long)].collect().toSet
+    // base history: u100 = A@10, B@30; u200 = X@5
+    dimMem.addData((1L, 100L, 10L, "A"), (3L, 100L, 30L, "B"),
+      (4L, 200L, 5L, "X"))
+    dimQ.processAllAvailable()
+    // facts: f5 at t=5 precedes u100's first interval -> tombstone
+    factMem.addData((1L, 100L, 15L), (2L, 100L, 35L), (3L, 100L, 25L),
+      (4L, 200L, 7L), (5L, 100L, 5L))
+    factQ.processAllAvailable()
+    assert(mart() == Set(
+      (1L, 100L, 1L, "A", 10L), (2L, 100L, 3L, "B", 30L),
+      (3L, 100L, 1L, "A", 10L), (4L, 200L, 4L, "X", 5L)),
+      "base temporal derivation wrong")
+    // LATE history: C@20 splits u100's A-interval; Z@3 opens one before
+    // t=5 — f3 must move A->C and f5 must resurrect, u200 untouched
+    dimMem.addData((2L, 100L, 20L, "C"), (0L, 100L, 3L, "Z"))
+    dimQ.processAllAvailable()
+    val fin = mart()
+    assert(fin == Set(
+      (1L, 100L, 1L, "A", 10L), (2L, 100L, 3L, "B", 30L),
+      (3L, 100L, 2L, "C", 20L), (4L, 200L, 4L, "X", 5L),
+      (5L, 100L, 0L, "Z", 3L)),
+      s"late-arriving history did not re-derive: $fin")
+    dimQ.stop(); factQ.stop()
+    // twin-equivalence: batch scd2 over the FULL history + temporalJoin
+    val hist = Seq((0L, 100L, 3L, "Z"), (1L, 100L, 10L, "A"),
+      (2L, 100L, 20L, "C"), (3L, 100L, 30L, "B"), (4L, 200L, 5L, "X"))
+      .toDF("change_id", "huser", "hts", "htype")
+    val facts = Seq((1L, 100L, 15L), (2L, 100L, 35L), (3L, 100L, 25L),
+      (4L, 200L, 7L), (5L, 100L, 5L)).toDF("event_id", "user_id", "ts_us")
+    val twin = graft.ops.Scd2.temporalJoin(facts,
+        graft.ops.Scd2.scd2(hist, "huser", "hts", "change_id",
+          Seq("htype")).drop("is_current")
+          .withColumnRenamed("huser", "user_id"),
+        "user_id", "ts_us")
+      .select($"event_id", $"user_id", $"src_change_id",
+        $"htype".as("dim_type"), $"valid_from")
+      .as[(Long, Long, Long, String, Long)].collect().toSet
+    assert(fin == twin, s"stream $fin != batch twin $twin")
+  }
 }
