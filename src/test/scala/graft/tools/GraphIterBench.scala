@@ -23,8 +23,18 @@ import org.apache.spark.sql.functions._
   *     m(K=10)/m(K=1) IS the data-term ratio per round — ≤ ~10 means
   *     the per-round work is linear in data.
   *
-  * Usage: Test/runMain graft.tools.GraphIterBench [baseOutDir]
-  * (generates the scaled worlds under baseOutDir when absent). */
+  *  3. REPEAT-SWEEP (non-iterative ops — r11 verdict task 7):
+  *     `q_assortativity` and `q_modularity` have no rounds knob, so
+  *     their per-round analog is the marginal cost per APPLICATION:
+  *     with inputs built ONCE and checkpointed, run the op `lo` and
+  *     `hi` times back to back — the difference removes the one-time
+  *     setup (edge derivation, label-prop, JIT) exactly like the
+  *     rounds-sweep, leaving the pure data term, and m(K=10)/m(K=1)
+  *     is the data-term ratio at 10× data.
+  *
+  * Usage: Test/runMain graft.tools.GraphIterBench [baseOutDir] [section]
+  * (generates the scaled worlds under baseOutDir when absent;
+  * section ∈ {all, ksweep, rounds, repeat}, default all). */
 object GraphIterBench {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -46,6 +56,10 @@ object GraphIterBench {
 
   def main(args: Array[String]): Unit = {
     val baseOut = args.headOption.getOrElse("/tmp/graft_scaled")
+    val section = args.lift(1).getOrElse("all")
+    require(Set("all", "ksweep", "rounds", "repeat")(section),
+      s"unknown section '$section' (all|ksweep|rounds|repeat)")
+    def run(s: String): Boolean = section == "all" || section == s
     val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
       .master("local[16]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")).getOrCreate()
@@ -108,6 +122,7 @@ object GraphIterBench {
     // K=10: including the K=10 point would let its leverage drag the
     // line toward itself and under-report exactly the curvature this
     // sweep exists to detect
+    if (run("ksweep")) {
     println("== K-sweep: t(K) end-to-end, min-of-2; fit over K<=5, " +
       "t(10) held out ==")
     val fits = ops.map { case (name, run) =>
@@ -128,14 +143,16 @@ object GraphIterBench {
         f"extrapolated=$lin10%6.2f")
       (name, a, b, t10, lin10)
     }
+    }
 
     // ---- 2. rounds-sweep at fixed data: marginal per-round cost ---------
-    println("== rounds-sweep: marginal per-round cost at K=1 vs K=10 ==")
     def marginal(d: String, lo: Int, hi: Int)(run: Int => Unit): Double = {
       run(lo) // warm
       val tl = minOf(2)(run(lo)); val th = minOf(2)(run(hi))
       (th - tl) / (hi - lo)
     }
+    if (run("rounds")) {
+    println("== rounds-sweep: marginal per-round cost at K=1 vs K=10 ==")
     val iterOps: Seq[(String, (String, Int) => Unit)] = Seq(
       "salsa" -> { (d: String, it: Int) =>
         Graph.salsa(shipmentEdges(spark, d), "src", "dst", iters = it)
@@ -171,6 +188,50 @@ object GraphIterBench {
       println(f"$name%-14s per-round marginal K=1 ${m1}%6.3fs  " +
         f"K=10 ${m10}%6.3fs  data-term ratio ${m10 / m1}%5.2fx " +
         "(<= ~10x = linear per-round work)")
+    }
+    }
+
+    // ---- 3. repeat-sweep for the non-iterative flagged ops ---------------
+    // assortativity/modularity measured DIRECTLY (not via label_prop
+    // inheritance): inputs built once + checkpointed per world, the op
+    // applied lo..hi times — the marginal per application is the pure
+    // data term (setup and JIT cancel in the difference).
+    if (run("repeat")) {
+    println("== repeat-sweep: marginal per-APPLICATION cost, K=1 vs " +
+      "K=10 (non-iterative ops, inputs checkpointed) ==")
+    val repOps: Seq[(String, String => Int => Unit)] = Seq(
+      "assortativity" -> { d: String =>
+        val edges = shipmentEdges(spark, d).localCheckpoint(false)
+        edges.count() // materialize outside the timings
+        (n: Int) => (1 to n).foreach { _ =>
+          Graph.assortativity(edges, "src", "dst").count(); () }
+      },
+      "modularity" -> { d: String =>
+        val edges = shipmentEdges(spark, d).localCheckpoint(false)
+        val seeds = t(spark, d, "supplier")
+          .filter(col("s_suppkey") % 3 === 0)
+          .join(t(spark, d, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(concat(lit("s"), col("s_suppkey").cast("string"))
+            .as("node"), col("n_name").as("lbl"))
+        val communities = Graph.labelPropagate(
+            edges, "src", "dst", seeds, "node", "lbl", iters = 3)
+          .localCheckpoint(false)
+        communities.count() // the op under test is modularity ALONE
+        (n: Int) => (1 to n).foreach { _ =>
+          Graph.modularity(edges, "src", "dst", communities,
+            "node", "label").count(); () }
+      })
+    repOps.foreach { case (name, mk) =>
+      val (lo, hi) = (1, 3)
+      val r1 = mk(dirs(1))
+      val m1 = marginal(dirs(1), lo, hi)(r1)
+      val r10 = mk(dirs(10))
+      val m10 = marginal(dirs(10), lo, hi)(r10)
+      println(f"$name%-14s per-application marginal K=1 ${m1}%6.3fs  " +
+        f"K=10 ${m10}%6.3fs  data-term ratio ${m10 / m1}%5.2fx " +
+        "(<= ~10x = linear per-pass work)")
+    }
     }
     spark.stop()
   }
