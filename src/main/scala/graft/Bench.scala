@@ -45,15 +45,20 @@ object Bench {
     def calibrate(): Double = {
       import org.apache.spark.sql.functions._
       def pass(): Unit = {
+        // pmod-bounded summand: a raw xxhash64 sum overflows int64
+        // under ANSI after ~2k rows; 8M × <2^20 stays far inside
         spark.range(0L, 8L * 1000L * 1000L, 1L, 32)
           .select(pmod(xxhash64(col("id")), lit(4096L)).as("k"),
-            xxhash64(col("id"), lit(1L)).as("h"))
+            pmod(xxhash64(col("id"), lit(1L)), lit(1048576L)).as("h"))
           .groupBy(col("k"))
           .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
           .agg(sum(col("s")), sum(col("n"))).collect()
         ()
       }
-      pass()
+      // 3 warm passes: one was measurably not enough on a cold JVM (the
+      // "before" probe read ~2x the "after" probe from leftover JIT/
+      // shuffle-path warmup, which would masquerade as mid-suite drift)
+      (1 to 3).foreach(_ => pass())
       (1 to 3).map { _ =>
         System.gc()
         val t0 = System.nanoTime(); pass()

@@ -108,7 +108,12 @@ object PipelineQueries {
       // ingested-at monotonicity holds even for a query whose build set
       // no fixedIngestedAt. The rerun ingests no rows, so determinism
       // is untouched — the stamp only has to never run BACKWARDS.
-      val params = b.params.copy(fixedIngestedAt = None)
+      // republishUnchanged: the engine's no-change run skip would turn
+      // this pass into metadata-only; the bench's steady-state number
+      // must keep measuring the real per-publish machinery (the skip's
+      // own win is measured separately — SCALE.md round 12)
+      val params = b.params.copy(fixedIngestedAt = None,
+        republishUnchanged = true)
       new PipelineRunner(s, params, s"${b.root}/store")
         .run(ConfigLoader.load(s, params.sourceLocation))
     }

@@ -382,7 +382,14 @@ final case class PipelineParams(
       * when a backlog of millions of files lands at once. None = all
       * available files in one batch (Trigger.AvailableNow still splits by
       * source defaults). */
-    maxFilesPerTrigger: Option[Int] = None
+    maxFilesPerTrigger: Option[Int] = None,
+    /** true disables the NO-CHANGE RUN SKIP (a run whose bronze ingested
+      * nothing and whose config is unchanged normally skips the silver/
+      * gold republish — content is identical by construction). Force the
+      * old always-republish behavior for measurement (the bench's
+      * steady-state rerun measures the real publish machinery, not the
+      * skip) or for belt-and-braces re-derivation. */
+    republishUnchanged: Boolean = false
 ) {
   def softDeletesEnabled: Boolean = softDeletes.toUpperCase == "Y"
   private def collapse(db: String): String =

@@ -234,8 +234,12 @@ final class PipelineRunner(
     * with the pipeline's `continuous: false` trigger semantics
     * (`resources/sdp_pipeline.pipeline.yml:32`). Restart resumes from the
     * checkpoint's file offset log (T1). */
+  /** Returns the number of source rows this run actually ingested (the
+    * no-change-skip signal for the downstream phases: 0 new rows +
+    * unchanged config ⇒ silver/gold content is unchanged by
+    * construction). */
   def runBronze(entity: String, cfg: EntityConfig,
-      fullRefresh: Boolean = false): Unit = {
+      fullRefresh: Boolean = false): Long = {
     val fqn = params.bronzeFqn(entity)
     val srcPath = s"${params.sourceLocation}/$entity/"
     val tablePath = bronzePath(entity)
@@ -359,6 +363,14 @@ final class PipelineRunner(
 
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Bronze raw ingestion for $entity from $srcPath"))
+    // this run's ingested rows: the AvailableNow query is fresh per run,
+    // so its progress history covers exactly this trigger's batches.
+    // The progress ring buffer holds ~100 entries — if it overflowed,
+    // the sum may undercount, and a wrong "0" would skip a real change:
+    // report at least 1 (a spurious republish is the safe direction).
+    val prog = q.recentProgress
+    val n = prog.map(_.numInputRows).sum
+    if (prog.length >= 100) math.max(n, 1L) else n
   }
 
   // ---- phase 2: silver (batch, full recompute) ----------------------------
@@ -442,12 +454,32 @@ final class PipelineRunner(
     * still finds its files. This replaces the naive DROP + rewrite, whose
     * window leaves the table missing — the parquet-catalog stand-in for a
     * table format's atomic commit. */
+  /** Returns true when a publish happened, false when the no-change
+    * skip fired. `skipIfUnchanged` is set by [[run]] ONLY when this
+    * entity's bronze ingested zero rows this run — combined with an
+    * unchanged config fingerprint the silver content is identical by
+    * construction, so the republish (a full table rewrite in full mode)
+    * is pure waste: at scale an idle trigger must cost metadata, not a
+    * rewrite (the SDP unchanged-flow skip). Direct callers default to
+    * the old always-publish behavior. */
   def runSilver(entity: String, cfg: EntityConfig,
-      fullRefresh: Boolean = false): Unit =
-    if (cfg.silverMode == "incremental")
+      fullRefresh: Boolean = false,
+      skipIfUnchanged: Boolean = false): Boolean =
+    if (cfg.silverMode == "incremental") {
+      // the incremental path is already O(new rows) and publishes no new
+      // version on an empty batch — no gate needed
       runSilverIncremental(entity, cfg, fullRefresh)
-    else {
+      true
+    } else {
       val fqn = params.silverFqn(entity)
+      if (skipIfUnchanged && !fullRefresh &&
+          spark.catalog.tableExists(fqn) &&
+          tableProp(spark, fqn, ConfigFpProp).contains(configFp(cfg))) {
+        log(s"$fqn: zero new bronze rows and an unchanged config - " +
+          "skipping the silver republish (content identical by " +
+          "construction; delete the table or change the config to force)")
+        return false
+      }
       // mode-switch guard: a bucketed (incremental-mode) table has
       // catalog-registered partitions pointing into generation dirs; a
       // full-mode publish would repoint the TABLE location while those
@@ -479,10 +511,12 @@ final class PipelineRunner(
         preCommit = () => failOnViolations(entity, cfg.expectAllOrFail, obs))
       setTableProps(spark, fqn, refTableProps(cfg) +
         ("comment" -> s"Silver deduplicated table for $entity") +
-        ("clustering_cols" -> cfg.clusteringCols.mkString(",")) ++
+        ("clustering_cols" -> cfg.clusteringCols.mkString(",")) +
+        (ConfigFpProp -> configFp(cfg)) ++
         expectationMetrics(entity, "silver", fqn, obs))
       if (cfg.expectAllOrQuarantine.nonEmpty) publishQuarantine(entity, cfg)
       if (cfg.profileOnPublish) appendProfileLog(entity, "silver", fqn)
+      true
     }
 
   /** Incremental silver (`silver_mode: "incremental"`) — the 100 TB path:
@@ -2522,9 +2556,25 @@ final class PipelineRunner(
     * persisted history, streaming [[graft.streaming.StreamOps]] curation
     * with O(1) state) for pipelines that accept approximate-incremental
     * gold semantics. */
+  /** Returns true when a publish happened, false when the entity has no
+    * gold section or the no-change skip fired. `skipIfUnchanged` is set
+    * by [[run]] ONLY when every input this mart reads is known unchanged
+    * this run (this entity's silver skipped, and every join dim's
+    * silver — or gold, for chained marts — skipped too); an unchanged
+    * config fingerprint then makes the gold content identical by
+    * construction. */
   def runGold(entity: String, cfg: EntityConfig,
-      fullRefresh: Boolean = false): Unit = cfg.gold.foreach { g =>
+      fullRefresh: Boolean = false,
+      skipIfUnchanged: Boolean = false): Boolean = cfg.gold.exists { g =>
     val fqn = params.goldFqn(entity)
+    if (skipIfUnchanged && !fullRefresh &&
+        spark.catalog.tableExists(fqn) &&
+        tableProp(spark, fqn, ConfigFpProp).contains(configFp(cfg))) {
+      log(s"$fqn: every input unchanged this run and an unchanged " +
+        "config - skipping the gold republish (content identical by " +
+        "construction)")
+      false
+    } else {
     if (fullRefresh && g.mode == "incremental") {
       // full refresh rebuilds the prefix cache from scratch (mirrors the
       // bronze checkpoint reset): the next watermark read sees no batches
@@ -2555,9 +2605,12 @@ final class PipelineRunner(
     setTableProps(spark, fqn, refTableProps(cfg) +
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
       ("clustering_cols" -> g.clusteringCols.mkString(",")) +
-      ("gold_mode" -> g.mode) ++
+      ("gold_mode" -> g.mode) +
+      (ConfigFpProp -> configFp(cfg)) ++
       expectationMetrics(entity, "gold", fqn, obs))
     if (cfg.profileOnPublish) appendProfileLog(entity, "gold", fqn)
+    true
+    }
   }
 
   // ---- phase 3: active views (catalog-only) -------------------------------
@@ -2627,9 +2680,26 @@ final class PipelineRunner(
       }
     def each(f: ((String, EntityConfig)) => Unit): Unit =
       eachOf(entities.toSeq)(f)
-    each { case (e, cfg) => runBronze(e, cfg, fullRefresh) }
+    // NO-CHANGE RUN SKIP: a triggered run over a feed with nothing new
+    // must cost metadata, not table rewrites (at 100 TB an idle hourly
+    // trigger re-writing every full-mode silver is the waste that
+    // dominates the bill). Bronze reports its ingested rows; a
+    // zero-row entity MAY skip its silver republish (config-fingerprint
+    // guarded inside runSilver), and a gold mart MAY skip when every
+    // input it reads — its own silver plus each join dim's silver/gold —
+    // also skipped this run. Any doubt (direct phase calls, overflowed
+    // progress, changed config) errs toward republishing.
+    val bronzeRows =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    each { case (e, cfg) =>
+      bronzeRows.put(e, runBronze(e, cfg, fullRefresh)); () }
     log("phase bronze done")
-    each { case (e, cfg) => runSilver(e, cfg, fullRefresh) }
+    val silverPublished =
+      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    each { case (e, cfg) =>
+      silverPublished.put(e, runSilver(e, cfg, fullRefresh,
+        skipIfUnchanged = !params.republishUnchanged &&
+          bronzeRows.getOrDefault(e, 1L) == 0L)); () }
     log("phase silver done")
     // phase 2.5: gold tables are declared per entity; the schema is
     // created lazily so gold-free configs never touch a gold catalog
@@ -2653,6 +2723,8 @@ final class PipelineRunner(
     }
     var remaining = entities.keySet
     var published = Set.empty[String]
+    val goldPublished =
+      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     while (remaining.nonEmpty) {
       val wave = remaining.filter(e => goldDeps(e).subsetOf(published))
       require(wave.nonEmpty,
@@ -2660,7 +2732,18 @@ final class PipelineRunner(
           s"${remaining.toSeq.sorted.mkString(", ")} (gold.join layer " +
           "'gold' references) — break the cycle or use layer 'silver'")
       eachOf(entities.filter(kv => wave.contains(kv._1)).toSeq) {
-        case (e, cfg) => runGold(e, cfg, fullRefresh)
+        case (e, cfg) =>
+          // unchanged ⇔ own silver skipped AND every join dim's input
+          // table (silver, or gold for chained marts) skipped too
+          val inputsUnchanged =
+            !silverPublished.getOrDefault(e, true) &&
+              cfg.gold.toSeq.flatMap(_.join).forall { j =>
+                if (j.layer == "gold")
+                  !goldPublished.getOrDefault(j.entity, true)
+                else !silverPublished.getOrDefault(j.entity, true)
+              }
+          goldPublished.put(e, runGold(e, cfg, fullRefresh,
+            skipIfUnchanged = inputsUnchanged)); ()
       }
       published ++= wave
       remaining --= wave
@@ -2845,6 +2928,22 @@ object PipelineRunner {
     * physical layouts are incompatible, so [[mergeSilverBatch]] fails
     * loud on a config switch without a full refresh. */
   val MergeStrategyProp = "graft.silver_merge"
+
+  /** Table property fingerprinting the entity config a table was last
+    * published under — the guard of the NO-CHANGE RUN SKIP: a triggered
+    * run whose bronze ingested nothing may skip a republish ONLY while
+    * the config that derives the content is also unchanged (a new
+    * expectation, rename, or gold knob must force a recompute even with
+    * zero new rows). A fingerprint mismatch can only err toward a
+    * spurious republish — the safe direction. */
+  val ConfigFpProp = "graft.config_fp"
+
+  /** Deterministic config fingerprint (md5 of the case-class rendering:
+    * equal configs re-parsed from the same JSON render identically). */
+  def configFp(cfg: graft.config.EntityConfig): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(cfg.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   /** Merge-on-read: catalog partition column holding the delta
     * generation id (0 = the bucket's base, > 0 a delta). Lives only in

@@ -84,13 +84,19 @@ class PipelineSpec extends AnyFunSuite {
   private def writeConfig(src: String): Unit =
     Files.writeString(Path.of(src, "dp_config_template.json"), configJson)
 
+  /** `republish = true` disables the no-change run skip — for tests
+    * that exercise the republish machinery itself by re-running over an
+    * unchanged feed (version rotation, per-publish event-log rows,
+    * empty-delta partials); the skip has its own dedicated test. */
   private def mkRunner(src: String, store: String, clock: String,
-      softDeletes: String = "N", catalog: String = "t1")
+      softDeletes: String = "N", catalog: String = "t1",
+      republish: Boolean = false)
       : (PipelineRunner, PipelineParams) = {
     val params = PipelineParams(
       sourceLocation = src, catalogName = catalog,
       softDeletes = softDeletes,
-      fixedIngestedAt = Some(Timestamp.valueOf(clock)))
+      fixedIngestedAt = Some(Timestamp.valueOf(clock)),
+      republishUnchanged = republish)
     (new PipelineRunner(spark, params, store), params)
   }
 
@@ -245,6 +251,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(versions == Seq("v1"))
   }
 
+  test("no-change run skip: a second run over an unchanged feed " +
+      "publishes no new silver/gold version (metadata-only); new files " +
+      "or a changed config force a republish; content always identical") {
+    import spark.implicits._
+    val src = tmpDir("ncs-src"); val store = tmpDir("ncs-store")
+    def writeCfg(minQ: String): Unit =
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        s"""{"docs": {
+           |  "raw_file_format": "parquet",
+           |  "unique_primary_key": ["doc_id"],
+           |  "gold": {
+           |    "curation": {"id_col": "doc_id", "text_col": "text",
+           |                 "min_quality": $minQ, "max_repetition": 1.0,
+           |                 "near_dup_jaccard": 1.01}
+           |  }
+           |}}""".stripMargin)
+    writeCfg("0.0")
+    val text = "rivers wind through quiet green valleys carrying cold " +
+      "mountain water past small stone villages toward the open sea"
+    Seq((1L, text), (2L, text + " again")).toDF("doc_id", "text")
+      .write.parquet(s"$src/docs")
+    def versions(layer: String): Seq[String] =
+      new java.io.File(s"$store/$layer/docs").listFiles()
+        .filter(_.getName.startsWith("v")).map(_.getName).toSeq.sorted
+    val (r1, params) = mkRunner(src, store, "2024-06-01 00:00:00",
+      catalog = "ncs")
+    r1.run(ConfigLoader.load(spark, src))
+    assert(versions("silver") == Seq("v1") && versions("gold") == Seq("v1"))
+    val before = spark.table(params.goldFqn("docs"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // run 2: nothing new — BOTH republishes skip, versions frozen
+    val (r2, _) = mkRunner(src, store, "2024-06-02 00:00:00",
+      catalog = "ncs")
+    r2.run(ConfigLoader.load(spark, src))
+    assert(versions("silver") == Seq("v1"),
+      "an unchanged run republished silver")
+    assert(versions("gold") == Seq("v1"),
+      "an unchanged run republished gold")
+    assert(spark.table(params.goldFqn("docs"))
+      .select("doc_id").as[Long].collect().sorted.toSeq == before)
+    // run 3: a CONFIG change with zero new rows must republish (the
+    // fingerprint guard — content derivation changed)
+    writeCfg("0.99")
+    val (r3, _) = mkRunner(src, store, "2024-06-03 00:00:00",
+      catalog = "ncs")
+    r3.run(ConfigLoader.load(spark, src))
+    assert(versions("silver") == Seq("v1", "v2") &&
+      versions("gold") == Seq("v1", "v2"),
+      "a config change over an unchanged feed did not republish")
+    // run 4: new files resume publishing
+    writeCfg("0.0")
+    Seq((3L, text + " anew")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$src/docs")
+    val (r4, _) = mkRunner(src, store, "2024-06-04 00:00:00",
+      catalog = "ncs")
+    r4.run(ConfigLoader.load(spark, src))
+    assert(versions("silver") == Seq("v1", "v2", "v3"))
+    assert(spark.table(params.goldFqn("docs"))
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("gold layer: keep_best_quality picks the component's best doc " +
       "instead of the min id") {
     import spark.implicits._
@@ -345,7 +413,7 @@ class PipelineSpec extends AnyFunSuite {
     val entities = ConfigLoader.load(spark, src)
     assert(entities("docs").gold.nonEmpty)
     val (runner, params) = mkRunner(src, store, "2024-03-01 00:00:00",
-      catalog = "goldt")
+      catalog = "goldt", republish = true)
     runner.run(entities)
 
     val gold = spark.table(params.goldFqn("docs"))
@@ -425,7 +493,7 @@ class PipelineSpec extends AnyFunSuite {
     writeConfig(src); writeBatch1(src)
     val entities = ConfigLoader.load(spark, src)
     val (runner, _) = mkRunner(src, store, "2024-02-01 00:00:00",
-      catalog = "tt1")
+      catalog = "tt1", republish = true)
     runner.run(entities)
     runner.run(entities) // republish -> v2
     val vs = runner.tableVersions("app_downloads")
@@ -446,7 +514,8 @@ class PipelineSpec extends AnyFunSuite {
     // to it fails loud
     val params0 = PipelineParams(sourceLocation = src, catalogName = "tt2",
       deletedFileRetention = "interval 0 seconds",
-      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")))
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-02-01 00:00:00")),
+      republishUnchanged = true)
     val store0 = tmpDir("tt-store0")
     val runner0 = new PipelineRunner(spark, params0, store0)
     runner0.run(entities)
@@ -544,7 +613,7 @@ class PipelineSpec extends AnyFunSuite {
     writeConfig(src); writeBatch1(src)
     val entities = ConfigLoader.load(spark, src)
     val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
-      catalog = "elog")
+      catalog = "elog", republish = true)
     r1.run(entities)
     r1.run(entities) // second publish appends, never overwrites
     val log = spark.table(params.expectationLogFqn)
@@ -578,7 +647,7 @@ class PipelineSpec extends AnyFunSuite {
     writeBatch1(src)
     val entities = ConfigLoader.load(spark, src)
     val (r1, params) = mkRunner(src, store, "2024-02-01 00:00:00",
-      catalog = "plog")
+      catalog = "plog", republish = true)
     r1.run(entities)
     r1.run(entities)
     val log = spark.table(params.profileLogFqn)
@@ -1096,7 +1165,8 @@ class PipelineSpec extends AnyFunSuite {
     // zero retention: superseded versions vacuumed at the next publish
     val p3 = PipelineParams(sourceLocation = src, catalogName = "t8",
       deletedFileRetention = "interval 0 seconds",
-      fixedIngestedAt = Some(Timestamp.valueOf("2024-04-01 00:00:00")))
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-04-01 00:00:00")),
+      republishUnchanged = true)
     new PipelineRunner(spark, p3, store).run(entities)
     assert(Files.exists(silverDir.resolve("v3")))
     assert(!Files.exists(silverDir.resolve("v1")))
@@ -1938,7 +2008,7 @@ class PipelineSpec extends AnyFunSuite {
     val (srcI, storeI) = setup("incremental", "i")
     val (srcF, storeF) = setup("full", "f")
     def run(src: String, store: String, cat: String, clock: String): Unit =
-      mkRunner(src, store, clock, catalog = cat)._1
+      mkRunner(src, store, clock, catalog = cat, republish = true)._1
         .run(ConfigLoader.load(spark, src))
     def mart(cat: String): Seq[(Long, Long, Long, Long, Long)] = {
       val p = PipelineParams(sourceLocation = "", catalogName = cat)
@@ -2046,7 +2116,7 @@ class PipelineSpec extends AnyFunSuite {
     val (srcI, storeI) = setup("incremental", "i")
     val (srcF, storeF) = setup("full", "f")
     def run(src: String, store: String, cat: String, clock: String): Unit =
-      mkRunner(src, store, clock, catalog = cat)._1
+      mkRunner(src, store, clock, catalog = cat, republish = true)._1
         .run(ConfigLoader.load(spark, src))
     def mart(cat: String): Seq[(Long, Long, Long, String, String)] = {
       val p = PipelineParams(sourceLocation = "", catalogName = cat)
@@ -2129,7 +2199,7 @@ class PipelineSpec extends AnyFunSuite {
     val (srcI, storeI) = setup("incremental", "i")
     val (srcF, storeF) = setup("full", "f")
     def run(src: String, store: String, cat: String, clock: String): Unit =
-      mkRunner(src, store, clock, catalog = cat)._1
+      mkRunner(src, store, clock, catalog = cat, republish = true)._1
         .run(ConfigLoader.load(spark, src))
     def mart(cat: String): Seq[(Long, Long, Long)] = {
       val p = PipelineParams(sourceLocation = "", catalogName = cat)
@@ -2491,7 +2561,7 @@ class PipelineSpec extends AnyFunSuite {
     val (srcI, storeI) = setup("incremental", "i")
     val (srcF, storeF) = setup("full", "f")
     def run(src: String, store: String, cat: String, clock: String): Unit =
-      mkRunner(src, store, clock, catalog = cat)._1
+      mkRunner(src, store, clock, catalog = cat, republish = true)._1
         .run(ConfigLoader.load(spark, src), concurrency = 3)
     def mart(cat: String): Seq[(Long, Long, Long, String, String)] = {
       val p = PipelineParams(sourceLocation = "", catalogName = cat)
@@ -2570,7 +2640,7 @@ class PipelineSpec extends AnyFunSuite {
     val (srcI, storeI) = setup("incremental", """ "compact_after": 1,""", "i")
     val (srcF, storeF) = setup("full", "", "f")
     def run(src: String, store: String, cat: String, clock: String): Unit =
-      mkRunner(src, store, clock, catalog = cat)._1
+      mkRunner(src, store, clock, catalog = cat, republish = true)._1
         .run(ConfigLoader.load(spark, src))
     def gold(cat: String): Seq[(Long, String)] = {
       val p = PipelineParams(sourceLocation = "", catalogName = cat)
@@ -2682,7 +2752,7 @@ class PipelineSpec extends AnyFunSuite {
     val (srcI, storeI) = setup("incremental", """ "compact_after": 1,""", "i")
     val (srcF, storeF) = setup("full", "", "f")
     def run(src: String, store: String, cat: String, clock: String): Unit =
-      mkRunner(src, store, clock, catalog = cat)._1
+      mkRunner(src, store, clock, catalog = cat, republish = true)._1
         .run(ConfigLoader.load(spark, src))
     def mart(cat: String): Seq[(Long, Long, Long, String)] = {
       val p = PipelineParams(sourceLocation = "", catalogName = cat)
