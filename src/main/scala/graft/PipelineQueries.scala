@@ -593,6 +593,54 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // -- [EXT]: TEMPORAL mart at STREAMING cadence — the q_gold_scd2
+    //    shape driven through GoldJoinOps.StreamTemporal on real file
+    //    streams: the user_history change stream upserts the history
+    //    store, the activity fact stream derives against the compacted
+    //    validity intervals (touched-keys-only scd2 + temporal join per
+    //    batch). The oracle is the same SCD2 SQL as q_gold_scd2 — the
+    //    streaming store machinery must converge to the batch mart.
+    "q_stream_gold_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.pipeline.GoldJoinOps
+      import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar,
+        StreamTemporal}
+      val star = StreamStar(
+        pkCols = Seq("event_id"),
+        dims = Seq(StreamDim("user_history",
+          Seq("user_id" -> "huser"),
+          temporal = Some(StreamTemporal(factTs = "ts_us",
+            dimTs = "hts", changeKey = "change_id",
+            attrs = Seq("htype"))))),
+        select = Seq("event_id", "user_id", "src_change_id",
+          "htype AS dim_type", "valid_from"))
+      val tmp = Files.createTempDirectory("graft-streamscd2")
+      val storeDir = tmp.resolve("store").toString
+      def src(): DataFrame = {
+        val path = s"$dir/events.parquet"
+        val schema = s.read.parquet(path).schema
+        val raw =
+          if (new java.io.File(path).isDirectory)
+            s.readStream.schema(schema).parquet(path)
+          else s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir)
+        analytics.Tables.withEpochMicros(raw)
+      }
+      GoldJoinOps.dimSink(
+          src().select(col("event_id").as("change_id"),
+            col("user_id").as("huser"), col("ts_us").as("hts"),
+            col("event_type").as("htype")),
+          "user_history", star, storeDir,
+          tmp.resolve("cp_dim").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      GoldJoinOps.factSink(
+          src().select(col("event_id"), col("user_id"), col("ts_us")),
+          star, storeDir, tmp.resolve("cp_fact").toString)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      GoldJoinOps.readMart(s, storeDir, star)
+        .orderBy(col("event_id"))
+    }),
+
     // -- [EXT]: TEMPORAL (SCD2) gold mart — the events stream rides the
     //    pipeline twice: as an "activity" fact entity and as a
     //    "user_history" change-stream dim entity (PK = change_id, so the
@@ -845,6 +893,10 @@ object PipelineQueries {
     // late-arrival path (interval splits + key re-derivation) must
     // converge to the full-history compaction exactly
     "q_gold_scd2_incr" -> goldScd2OracleSql,
+    // the SAME final-state SQL a third time: the STREAMING temporal
+    // mart (change-stream dim store + touched-keys scd2 per batch)
+    // must converge to the batch compaction too
+    "q_stream_gold_scd2" -> goldScd2OracleSql,
 
     // the star join over the raw tables: the medallion plumbing
     // (bronze streams, PK-dedup silver, versioned gold publish) must be
