@@ -100,21 +100,20 @@ object Bench {
       // the standard steady-state estimator. GC between timings keeps an
       // allocation-heavy query (1.5M md5 strings in q_winnow_fp) from
       // taxing the next measurement with its garbage (measured: 3x).
-      // expensive queries stop repeating once cumulative measured time
-      // passes ~12 s — EXCEPT the steady-state pipeline queries, which
-      // are guaranteed a second measured run: their run 1 pays the
-      // one-off history-build fixture (PipelineQueries.steadyState) and
-      // run 2 measures the cheap steady-state per-publish cost the
-      // marts are designed around; a single measured run would report
-      // the fixture. Other expensive queries keep the old one-run cap —
-      // their second run would rebuild from scratch and just double the
-      // bench wall-clock
+      // EVERY query is guaranteed 2 measured runs (r12: a contaminated
+      // 14.7 s first run of q_graph_hops — steady ~4 s — hit the old
+      // one-run-past-12 s cap and became the query's recorded time; a
+      // single sample of an expensive query is exactly the sample the
+      // min-of-N protocol cannot repair). Beyond 2 runs the ~12 s
+      // cumulative cap still stops expensive queries. The steady-state
+      // pipeline queries ride the same guarantee: run 1 pays the
+      // one-off history-build fixture (PipelineQueries.steadyState),
+      // run 2 measures the steady-state per-publish cost.
       val steady = PipelineQueries.steadyStateQueries(name)
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var attempt = 0
       while (attempt < benchRuns &&
-          (attempt == 0 || times.isEmpty || times.sum < 12.0 ||
-            (steady && attempt < 2))) {
+          (times.size < 2 || times.sum < 12.0)) {
         System.gc()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }

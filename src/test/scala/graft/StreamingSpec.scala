@@ -809,6 +809,46 @@ class StreamingSpec extends AnyFunSuite {
     factQ3.stop()
   }
 
+  test("streaming join mart LEFT-join dim: unmatched facts keep a " +
+      "null-filled row; a dim retraction NULLs its facts' dim columns " +
+      "instead of dropping the rows") {
+    import spark.implicits._
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    val star = StreamStar(
+      pkCols = Seq("o_orderkey"),
+      dims = Seq(StreamDim("customer", Seq("o_custkey" -> "c_custkey"),
+        joinType = "left", deleteCol = Some("del"))),
+      select = Seq("o_orderkey", "price", "c_name AS customer"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sjl")
+    val storeDir = root.resolve("store").toString
+    val dimMem = MemoryStream[(Long, String, Boolean)](spark)
+    val factMem = MemoryStream[(Long, Long, Double)](spark)
+    val dimQ = GoldJoinOps.dimSink(
+        dimMem.toDF.toDF("c_custkey", "c_name", "del"), "customer",
+        star, storeDir, root.resolve("cp_dim").toString)
+      .start()
+    val factQ = GoldJoinOps.factSink(
+        factMem.toDF.toDF("o_orderkey", "o_custkey", "price"), star,
+        storeDir, root.resolve("cp_fact").toString)
+      .start()
+    def mart(): Set[(Long, Double, Option[String])] =
+      GoldJoinOps.readMart(spark, storeDir, star)
+        .as[(Long, Double, Option[String])].collect().toSet
+    dimMem.addData((1L, "A", false))
+    dimQ.processAllAvailable()
+    factMem.addData((10L, 1L, 5.0), (20L, 2L, 6.0))
+    factQ.processAllAvailable()
+    assert(mart() == Set((10L, 5.0, Some("A")), (20L, 6.0, None)),
+      "a LEFT-joined fact with no dim row must keep a null-filled row")
+    // dim arrives for 20; dim 1 RETRACTS — fact 10 stays, customer null
+    dimMem.addData((2L, "B", false), (1L, "A", true))
+    dimQ.processAllAvailable()
+    assert(mart() == Set((10L, 5.0, None), (20L, 6.0, Some("B"))),
+      "a left-join dim retraction must NULL, not drop")
+    dimQ.stop(); factQ.stop()
+  }
+
   test("streaming TEMPORAL (SCD2) mart (GoldJoinOps.StreamTemporal): " +
       "facts join the interval valid at their event time; a " +
       "LATE-ARRIVING history batch splits intervals, re-derives the " +
