@@ -165,6 +165,50 @@ final class PipelineRunner(
     graft.analytics.Profiler.snapshotDiff(a, b, pkCols, cmp)
   }
 
+  /** FULL-ROW CDC images between two published versions — the feed
+    * shape [[GoldJoinOps.factSink]]/[[GoldJoinOps.dimSink]] consume
+    * (the medallion→streaming-mart bridge): one row per changed PK,
+    * upserts carrying the TO-version row (`_cdc_deleted` = false),
+    * deletes carrying the FROM-version's last image (`_cdc_deleted` =
+    * true — the standard CDC delete image, so downstream projections
+    * still see the final attribute values). Replaying
+    * `changeFeed(e, v, v+1)` per published version through a sink
+    * reproduces the mart a direct stream would have maintained
+    * (spec-pinned). Shape: [[tableChanges]]' signature-compressed diff
+    * plus two PK semi-joins — never a full-row comparison shuffle. */
+  def changeFeed(entity: String, fromVersion: Long, toVersion: Long,
+      pkCols: Seq[String], layer: String = "silver"): DataFrame = {
+    val ch = tableChanges(entity, fromVersion, toVersion, pkCols, layer)
+      .localCheckpoint(false) // feeds both semi-joins
+    def img(v: Long, statuses: Seq[String], deleted: Boolean) =
+      readVersion(entity, v, layer)
+        .join(ch.filter(col("status").isin(statuses: _*))
+          .select(pkCols.map(col): _*), pkCols, "left_semi")
+        .withColumn("_cdc_deleted", lit(deleted))
+    img(toVersion, Seq("added", "changed"), deleted = false)
+      .unionByName(img(fromVersion, Seq("removed"), deleted = true))
+  }
+
+  /** SIGNED row deltas between two published versions — the feed shape
+    * [[GoldAggOps.goldAggSink]] consumes (additive IVM at stream
+    * cadence): +1 rows from the TO version for added∪changed PKs, −1
+    * rows from the FROM version for removed∪changed PKs (an update is
+    * the −old/+new pair, exactly the batch aggregate mart's delta
+    * algebra). */
+  def signedChangeFeed(entity: String, fromVersion: Long,
+      toVersion: Long, pkCols: Seq[String], layer: String = "silver")
+      : DataFrame = {
+    val ch = tableChanges(entity, fromVersion, toVersion, pkCols, layer)
+      .localCheckpoint(false)
+    def side(v: Long, statuses: Seq[String], sign: Long) =
+      readVersion(entity, v, layer)
+        .join(ch.filter(col("status").isin(statuses: _*))
+          .select(pkCols.map(col): _*), pkCols, "left_semi")
+        .withColumn("_cdc_sign", lit(sign))
+    side(toVersion, Seq("added", "changed"), 1L)
+      .unionByName(side(fromVersion, Seq("removed", "changed"), -1L))
+  }
+
   /** Table properties carried from the reference (Delta-specific knobs
     * recorded as metadata on OSS parquet — SURVEY §4.1/§7.4.1). */
   private def refTableProps(cfg: EntityConfig): Map[String, String] = {

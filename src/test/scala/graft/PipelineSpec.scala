@@ -251,6 +251,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(versions == Seq("v1"))
   }
 
+  test("changeFeed / signedChangeFeed: the medallion->streaming-mart " +
+      "bridge — full-row CDC images drive GoldJoinOps.factSink to the " +
+      "final join state, and signed deltas compose under the aggregate " +
+      "algebra to the final totals") {
+    import spark.implicits._
+    val src = tmpDir("cf-src"); val store = tmpDir("cf-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"docs": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["doc_id"],
+        |  "expect_all_or_drop": {"text_ok": "text IS NOT NULL"}
+        |}}""".stripMargin)
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("doc_id", "text", "grp").write.parquet(s"$src/docs")
+    def runAt(clock: String): PipelineRunner =
+      mkRunner(src, store, clock, catalog = "cfb")._1 match {
+        case r => r.run(ConfigLoader.load(spark, src)); r
+      }
+    runAt("2024-08-01 00:00:00")
+    // wave: update doc 2, retract doc 3 via the expectation gate
+    Seq((2L, "B2", 20L), (3L, null.asInstanceOf[String], 30L))
+      .toDF("doc_id", "text", "grp")
+      .write.mode("append").parquet(s"$src/docs")
+    val runner = runAt("2024-08-02 00:00:00")
+    val Seq(v1, v2) = runner.tableVersions("docs").map(_.version).sorted
+    // 1. full-row CDC images
+    val feed = runner.changeFeed("docs", v1, v2, Seq("doc_id"))
+      .select($"doc_id", $"text", $"grp", $"_cdc_deleted")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(feed == Set((2L, "B2", 20L, false), (3L, "c", 30L, true)),
+      s"changeFeed images wrong: $feed")
+    // 2. signed deltas compose additively: base(+1) ++ deltas == v2 agg
+    val signed = runner.signedChangeFeed("docs", v1, v2, Seq("doc_id"))
+    val base = runner.readVersion("docs", v1)
+      .withColumn("_cdc_sign", lit(1L))
+    import graft.config.{GoldAgg, GoldAggregate}
+    val a = GoldAggregate(Seq("grp"), Seq(GoldAgg("count", as = "n")))
+    val es = graft.pipeline.GoldAggOps
+      .partialExprs(a, col("_cdc_sign"))
+    val cols = Seq("doc_id", "text", "grp", "_cdc_sign")
+    val composed = base.select(cols.map(col): _*)
+      .unionByName(signed.select(cols.map(col): _*))
+      .groupBy($"grp").agg(es.head, es.tail: _*)
+      .filter($"_agg_n" > 0).select($"grp", $"n")
+      .as[(Long, Long)].collect().toSet
+    val direct = runner.readVersion("docs", v2)
+      .groupBy($"grp").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toSet
+    assert(composed == direct, s"signed deltas $composed != $direct")
+    // 3. the images drive the streaming join mart to the v2 join state
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    val star = StreamStar(pkCols = Seq("doc_id"),
+      dims = Seq(StreamDim("g", Seq("grp" -> "g_id"))),
+      select = Seq("doc_id", "text", "g_name"),
+      factDeleteCol = Some("_cdc_deleted"))
+    val mroot = Path.of(tmpDir("cf-mart"))
+    val dimMem = MemoryStream[(Long, String)](spark)
+    val dimQ = GoldJoinOps.dimSink(dimMem.toDF.toDF("g_id", "g_name"),
+        "g", star, mroot.resolve("store").toString,
+        mroot.resolve("cpd").toString).start()
+    dimMem.addData((10L, "X"), (20L, "Y"), (30L, "Z"))
+    dimQ.processAllAvailable(); dimQ.stop()
+    val factMem = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val factQ = GoldJoinOps.factSink(
+        factMem.toDF.toDF("doc_id", "text", "grp", "_cdc_deleted"),
+        star, mroot.resolve("store").toString,
+        mroot.resolve("cpf").toString).start()
+    // batch 1 = the v1 initial load; batch 2 = the v1->v2 change feed
+    factMem.addData(runner.readVersion("docs", v1)
+      .select($"doc_id", $"text", $"grp", lit(false))
+      .as[(Long, String, Long, Boolean)].collect().toIndexedSeq: _*)
+    factQ.processAllAvailable()
+    factMem.addData(runner.changeFeed("docs", v1, v2, Seq("doc_id"))
+      .select($"doc_id", $"text", $"grp", $"_cdc_deleted")
+      .as[(Long, String, Long, Boolean)].collect().toIndexedSeq: _*)
+    factQ.processAllAvailable(); factQ.stop()
+    val mart = GoldJoinOps.readMart(spark,
+        mroot.resolve("store").toString, star)
+      .as[(Long, String, String)].collect().toSet
+    assert(mart == Set((1L, "a", "X"), (2L, "B2", "Y")),
+      s"replayed change feed did not converge to the v2 join state: $mart")
+  }
+
   test("no-change run skip: a second run over an unchanged feed " +
       "publishes no new silver/gold version (metadata-only); new files " +
       "or a changed config force a republish; content always identical") {
