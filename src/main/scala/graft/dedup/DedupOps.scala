@@ -754,6 +754,15 @@ object DedupOps {
       idCol: String = "id", sigCol: String = "sig"): Unit = {
     val spark = sigs.sparkSession
     val maxDist = readHammingLayout(spark, path)
+    // within-batch duplicates corrupt exactly like cross-batch ones
+    // (two sigs for one id, arbitrary probe survivor) — same loud check
+    val dupInBatch = sigs.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1L).limit(1)
+      .collect()
+    require(dupInBatch.isEmpty,
+      s"hammingIndexAppend: id '${dupInBatch.headOption.map(_.get(0))
+        .getOrElse("")}' appears more than once in the appended batch - " +
+        "deduplicate the batch to one signature per id first")
     val collided = sigs.select(col(idCol).as("id"))
       .join(spark.read.parquet(s"$path/sigs").select(col("id")),
         Seq("id"), "left_semi")

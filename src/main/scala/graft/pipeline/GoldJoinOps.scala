@@ -47,10 +47,12 @@ import org.apache.spark.sql.functions._
   * bit-identical rows at the SAME seq (the seq derives from the
   * markers, not a counter advanced mid-batch), which the keep-latest
   * read collapses. Writer concurrency contract: ONE sink processes a
-  * micro-batch at a time per store (Structured Streaming serializes
-  * batches within a query; across the fact and dim queries the caller
-  * owns scheduling, the [[Pipeline]] RunLock posture) — the seq is a
-  * total order only under that contract.
+  * micro-batch at a time per store — enforced by a per-store JVM lock
+  * across the fact and dim queries (Structured Streaming runs each
+  * query on its own thread; both on one SparkSession is the deployment
+  * pattern). Across PROCESSES the caller owns scheduling (the
+  * [[Pipeline]] RunLock posture) — the seq is a total order only under
+  * that contract.
   *
   * Scale: per fact batch one broadcast-dim join over O(batch) rows;
   * per dim batch one broadcast semi-join + re-join over O(affected
@@ -115,6 +117,19 @@ object GoldJoinOps {
   private val Seq_ = "_sj_seq"
   private val Live = "_sj_live"
 
+  /** Per-store JVM lock serializing micro-batches ACROSS the fact and
+    * dim sinks: Structured Streaming runs each query on its own thread,
+    * so without this two overlapping batches could read the same
+    * markers, mint the SAME seq, and leave two same-seq rows for one PK
+    * whose keep-latest tie-break picks an arbitrary (possibly stale)
+    * winner forever. The lock covers the deployment pattern (both
+    * queries on one SparkSession); across PROCESSES the single-writer
+    * contract in the object doc still applies (the RunLock posture). */
+  private val storeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(storeDir: String): Object =
+    storeLocks.computeIfAbsent(storeDir, _ => new Object)
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -156,20 +171,43 @@ object GoldJoinOps {
       .flatMap(p => readMarker(fs, p)).map(_._2)
       .foldLeft(0L)(math.max) + 1L
 
-  /** Keep-latest view of a substore: max-`_sj_seq` row per key (the
-    * deterministic tie-break covers replay-duplicate rows), live rows
-    * only, hidden columns dropped unless `keepHidden`. Empty frame with
-    * the right shape when the store has no data yet. */
-  private def latest(spark: SparkSession, st: GenStore,
-      keyCols: Seq[String], keepHidden: Boolean = false)
-      : Option[DataFrame] = {
-    if (!st.exists) return None
-    val raw = spark.read.option("mergeSchema", "true").parquet(st.dataDir)
-    val w = Window.partitionBy(keyCols.map(c => col(s"`$c`")): _*)
+  /** THE keep-latest total order, written once for reads AND
+    * compaction (the two must never drift — fold-subset invariance
+    * depends on it): max `_sj_seq` per key, replay-duplicate ties
+    * broken deterministically by the full-row hash. */
+  private def keepLatestRank(raw: DataFrame, keys: Seq[String])
+      : DataFrame = {
+    val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)
       .orderBy(col(Seq_).desc,
         xxhash64(raw.columns.map(c => col(s"`$c`")).toSeq: _*).desc)
-    val kept = raw.withColumn("_sj_rn", row_number().over(w))
-      .filter(col("_sj_rn") === 1 && col(Live)).drop("_sj_rn")
+    raw.withColumn("_sj_rn", row_number().over(w))
+      .filter(col("_sj_rn") === 1).drop("_sj_rn")
+  }
+
+  /** Keep-latest view of a substore: [[keepLatestRank]] per `keyCols`,
+    * live rows only, hidden columns dropped unless `keepHidden`. None
+    * when the store has no data yet. `restrict` = (columns, keys-frame)
+    * broadcast-semi-joins the RAW store read down to the rows matching
+    * the (batch-sized) keys frame BEFORE the window — sound only when
+    * every row of a keep-latest key group shares the restricting
+    * columns' values (true for a flat dim store, whose restricting
+    * columns ARE the window keys, and for a temporal history store,
+    * where each change id carries one join-key value); a store whose
+    * restricting column can CHANGE across a key's versions (the fact
+    * store's join keys) must restrict AFTER the window instead. */
+  private def latest(spark: SparkSession, st: GenStore,
+      keyCols: Seq[String], keepHidden: Boolean = false,
+      restrict: Option[(Seq[String], DataFrame)] = None)
+      : Option[DataFrame] = {
+    if (!st.exists) return None
+    val raw0 = spark.read.option("mergeSchema", "true")
+      .parquet(st.dataDir)
+    val raw = restrict match {
+      case Some((cols, keys)) =>
+        raw0.join(broadcast(keys), cols, "left_semi")
+      case None => raw0
+    }
+    val kept = keepLatestRank(raw, keyCols).filter(col(Live))
     Some(if (keepHidden) kept else kept.drop(Seq_, Live))
   }
 
@@ -198,10 +236,19 @@ object GoldJoinOps {
     def tombs(of: DataFrame): DataFrame = of
       .select(star.pkCols.map(c => col(s"`$c`").as(s"_mpk_$c")): _*)
       .withColumn(Seq_, lit(seq)).withColumn(Live, lit(false))
+    // restrict every dim read to the BATCH's join keys before the
+    // keep-latest window and the broadcast: a data-sized dim store
+    // (user-grain enrichment over a 100 TB feed) must never window or
+    // broadcast whole — per batch the dim slice is O(batch keys). The
+    // pushdown is sound per [[latest]]'s restrict contract (flat dims
+    // restrict on their window keys; temporal history rows carry one
+    // join-key value per change id).
     val dimStates: Seq[(StreamDim, Option[DataFrame])] =
       star.dims.map { d =>
+        val keyProj = facts.select(d.keys.map { case (f, dc) =>
+          col(s"`$f`").as(dc) }: _*).distinct()
         d -> latest(spark, store(fs, s"$storeDir/dim_${d.name}"),
-          d.storeKeys)
+          d.storeKeys, restrict = Some((d.keys.map(_._2), keyProj)))
       }
     dimStates.collect { case (d, None) => d }.foreach { d =>
       require(d.joinType == "inner",
@@ -215,14 +262,10 @@ object GoldJoinOps {
       d.temporal match {
         case Some(t) =>
           val (factKey, dimKey) = d.keys.head
-          // SCD2-compact ONLY the touched keys' history (the batch's
-          // fact keys broadcast into a semi-join) — per-batch compaction
-          // cost is O(touched keys' changes), never the full history
-          val relevant = dl.join(broadcast(facts
-              .select(col(s"`$factKey`").as(dimKey)).distinct()),
-            Seq(dimKey), "left_semi")
+          // dl is already restricted to the touched keys' history (the
+          // latest() pushdown above) — scd2 compacts O(touched changes)
           val hist = graft.ops.Scd2
-            .scd2(relevant, dimKey, t.dimTs, t.changeKey, t.attrs)
+            .scd2(dl, dimKey, t.dimTs, t.changeKey, t.attrs)
             .drop("is_current")
           val keyed =
             if (factKey.equalsIgnoreCase(dimKey)) hist
@@ -265,13 +308,8 @@ object GoldJoinOps {
   private def compactKeepLatest(spark: SparkSession, st: GenStore,
       keys: Seq[String], threshold: Int, label: String): Unit =
     st.compactTiered(threshold, label) { paths =>
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(paths: _*)
-      val w = Window.partitionBy(keys.map(c => col(s"`$c`")): _*)
-        .orderBy(col(Seq_).desc,
-          xxhash64(raw.columns.map(c => col(s"`$c`")).toSeq: _*).desc)
-      raw.withColumn("_sj_rn", row_number().over(w))
-        .filter(col("_sj_rn") === 1).drop("_sj_rn")
+      keepLatestRank(spark.read.option("mergeSchema", "true")
+        .parquet(paths: _*), keys)
     } { (df, to) =>
       GoldAggOps.writeSizeScaled(df, keys, "overwrite", to)
     }
@@ -286,6 +324,7 @@ object GoldJoinOps {
     require(compactAfter >= 1, s"compactAfter must be >= 1")
     stream.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lockFor(storeDir).synchronized {
         val spark = batch.sparkSession
         val fs = fsOf(spark, storeDir)
         val markerP = new Path(s"$storeDir/_fact_marker")
@@ -318,6 +357,7 @@ object GoldJoinOps {
           compactKeepLatest(spark, fstore, star.pkCols, compactAfter,
             s"stream mart facts $storeDir")
         }
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -339,6 +379,7 @@ object GoldJoinOps {
     val dimKeys = d.storeKeys
     stream.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lockFor(storeDir).synchronized {
         val spark = batch.sparkSession
         val fs = fsOf(spark, storeDir)
         val markerP = new Path(s"$storeDir/_dim_${name}_marker")
@@ -371,6 +412,7 @@ object GoldJoinOps {
           writeMarker(fs, markerP, batchId, seq)
           compactKeepLatest(spark, dstore, dimKeys, compactAfter,
             s"stream mart dim $name $storeDir")
+        }
         }
         ()
       }

@@ -278,10 +278,12 @@ final class PipelineRunner(
     * with the pipeline's `continuous: false` trigger semantics
     * (`resources/sdp_pipeline.pipeline.yml:32`). Restart resumes from the
     * checkpoint's file offset log (T1). */
-  /** Returns the number of source rows this run actually ingested (the
-    * no-change-skip signal for the downstream phases: 0 new rows +
-    * unchanged config ⇒ silver/gold content is unchanged by
-    * construction). */
+  /** Returns the number of source rows this run actually ingested
+    * (diagnostic; the no-change skip keys on the DURABLE checkpoint
+    * provenance — [[latestBronzeBatch]] vs the silver's consumed
+    * marker — not on this run-local count, which would go permanently
+    * stale after a crash between the bronze commit and the silver
+    * publish). */
   def runBronze(entity: String, cfg: EntityConfig,
       fullRefresh: Boolean = false): Long = {
     val fqn = params.bronzeFqn(entity)
@@ -498,14 +500,30 @@ final class PipelineRunner(
     * still finds its files. This replaces the naive DROP + rewrite, whose
     * window leaves the table missing — the parquet-catalog stand-in for a
     * table format's atomic commit. */
+  /** The bronze checkpoint's latest COMPLETED batch id (−1 before any
+    * batch) — the silver skip's provenance source. Completed (the
+    * `commits` log), not merely started: an interrupted batch replays,
+    * and its data must not count as consumable until it lands. */
+  private def latestBronzeBatch(entity: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${checkpointPath(entity)}/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else fs.listStatus(p).flatMap(st =>
+      st.getPath.getName.toLongOption).foldLeft(-1L)(math.max)
+  }
+
   /** Returns true when a publish happened, false when the no-change
-    * skip fired. `skipIfUnchanged` is set by [[run]] ONLY when this
-    * entity's bronze ingested zero rows this run — combined with an
-    * unchanged config fingerprint the silver content is identical by
-    * construction, so the republish (a full table rewrite in full mode)
-    * is pure waste: at scale an idle trigger must cost metadata, not a
-    * rewrite (the SDP unchanged-flow skip). Direct callers default to
-    * the old always-publish behavior. */
+    * skip fired. `skipIfUnchanged` (set by [[run]] unless
+    * `republishUnchanged` forces the old behavior) ALLOWS the skip; the
+    * decision itself is PROVENANCE-based — the silver's stored
+    * consumed-bronze-batch marker must equal the checkpoint's latest
+    * completed batch (self-healing after a crash between the bronze
+    * commit and this publish) AND the content fingerprint must match.
+    * Then the silver content is identical by construction, so the
+    * republish (a full table rewrite in full mode) is pure waste: at
+    * scale an idle trigger must cost metadata, not a rewrite (the SDP
+    * unchanged-flow skip). Direct callers default to always-publish. */
   def runSilver(entity: String, cfg: EntityConfig,
       fullRefresh: Boolean = false,
       skipIfUnchanged: Boolean = false): Boolean =
@@ -516,12 +534,17 @@ final class PipelineRunner(
       true
     } else {
       val fqn = params.silverFqn(entity)
+      val bronzeBatch = latestBronzeBatch(entity)
       if (skipIfUnchanged && !fullRefresh &&
           spark.catalog.tableExists(fqn) &&
-          tableProp(spark, fqn, ConfigFpProp).contains(configFp(cfg))) {
-        log(s"$fqn: zero new bronze rows and an unchanged config - " +
-          "skipping the silver republish (content identical by " +
-          "construction; delete the table or change the config to force)")
+          tableProp(spark, fqn, ConfigFpProp)
+            .contains(configFp(cfg, params.softDeletesEnabled)) &&
+          tableProp(spark, fqn, ConsumedBronzeProp)
+            .contains(bronzeBatch.toString)) {
+        log(s"$fqn: bronze unchanged since the last consumed batch " +
+          s"($bronzeBatch) and an unchanged config - skipping the " +
+          "silver republish (content identical by construction; delete " +
+          "the table or change the config to force)")
         return false
       }
       // mode-switch guard: a bucketed (incremental-mode) table has
@@ -556,7 +579,8 @@ final class PipelineRunner(
       setTableProps(spark, fqn, refTableProps(cfg) +
         ("comment" -> s"Silver deduplicated table for $entity") +
         ("clustering_cols" -> cfg.clusteringCols.mkString(",")) +
-        (ConfigFpProp -> configFp(cfg)) ++
+        (ConfigFpProp -> configFp(cfg, params.softDeletesEnabled)) +
+        (ConsumedBronzeProp -> bronzeBatch.toString) ++
         expectationMetrics(entity, "silver", fqn, obs))
       if (cfg.expectAllOrQuarantine.nonEmpty) publishQuarantine(entity, cfg)
       if (cfg.profileOnPublish) appendProfileLog(entity, "silver", fqn)
@@ -2600,23 +2624,48 @@ final class PipelineRunner(
     * persisted history, streaming [[graft.streaming.StreamOps]] curation
     * with O(1) state) for pipelines that accept approximate-incremental
     * gold semantics. */
+  /** The live versions of every input table a gold mart reads — own
+    * silver plus each join dim's silver/gold — as sorted
+    * `name:layer=version` pairs; None when any input's version is not
+    * resolvable (incremental-mode silver publishes no versioned
+    * snapshots → the skip simply never fires there, the safe
+    * direction). */
+  private def goldInputVersions(entity: String, g: GoldConfig)
+      : Option[String] = {
+    val inputs = (entity, "silver") +:
+      g.join.map(j => (j.entity, j.layer))
+    val resolved = inputs.distinct.sorted.map { case (e, layer) =>
+      scala.util.Try(tableVersions(e, layer).find(_.live)
+        .map(v => s"$e:$layer=${v.version}")).toOption.flatten
+    }
+    if (resolved.forall(_.nonEmpty))
+      Some(resolved.flatten.mkString(","))
+    else None
+  }
+
   /** Returns true when a publish happened, false when the entity has no
-    * gold section or the no-change skip fired. `skipIfUnchanged` is set
-    * by [[run]] ONLY when every input this mart reads is known unchanged
-    * this run (this entity's silver skipped, and every join dim's
-    * silver — or gold, for chained marts — skipped too); an unchanged
-    * config fingerprint then makes the gold content identical by
-    * construction. */
+    * gold section or the no-change skip fired. `skipIfUnchanged` ALLOWS
+    * the skip; the decision is PROVENANCE-based — the stored
+    * consumed-inputs marker (the exact versions the last publish read)
+    * must equal the CURRENT live versions of every input table, so a
+    * crash after a silver publish but before gold self-heals (the
+    * stored marker still names the superseded version), and a dim
+    * republish anywhere in the chain forces the mart — plus the content
+    * fingerprint must match. */
   def runGold(entity: String, cfg: EntityConfig,
       fullRefresh: Boolean = false,
       skipIfUnchanged: Boolean = false): Boolean = cfg.gold.exists { g =>
     val fqn = params.goldFqn(entity)
+    val inputsNow = goldInputVersions(entity, g)
     if (skipIfUnchanged && !fullRefresh &&
         spark.catalog.tableExists(fqn) &&
-        tableProp(spark, fqn, ConfigFpProp).contains(configFp(cfg))) {
-      log(s"$fqn: every input unchanged this run and an unchanged " +
-        "config - skipping the gold republish (content identical by " +
-        "construction)")
+        tableProp(spark, fqn, ConfigFpProp)
+          .contains(configFp(cfg, params.softDeletesEnabled)) &&
+        inputsNow.exists(i =>
+          tableProp(spark, fqn, GoldInputsProp).contains(i))) {
+      log(s"$fqn: every input at its last-consumed version " +
+        s"(${inputsNow.get}) and an unchanged config - skipping the " +
+        "gold republish (content identical by construction)")
       false
     } else {
     if (fullRefresh && g.mode == "incremental") {
@@ -2650,7 +2699,8 @@ final class PipelineRunner(
       ("comment" -> s"Gold curated table for $entity (from ${params.silverFqn(entity)})") +
       ("clustering_cols" -> g.clusteringCols.mkString(",")) +
       ("gold_mode" -> g.mode) +
-      (ConfigFpProp -> configFp(cfg)) ++
+      (ConfigFpProp -> configFp(cfg, params.softDeletesEnabled)) ++
+      inputsNow.map(GoldInputsProp -> _) ++
       expectationMetrics(entity, "gold", fqn, obs))
     if (cfg.profileOnPublish) appendProfileLog(entity, "gold", fqn)
     true
@@ -2727,23 +2777,19 @@ final class PipelineRunner(
     // NO-CHANGE RUN SKIP: a triggered run over a feed with nothing new
     // must cost metadata, not table rewrites (at 100 TB an idle hourly
     // trigger re-writing every full-mode silver is the waste that
-    // dominates the bill). Bronze reports its ingested rows; a
-    // zero-row entity MAY skip its silver republish (config-fingerprint
-    // guarded inside runSilver), and a gold mart MAY skip when every
-    // input it reads — its own silver plus each join dim's silver/gold —
-    // also skipped this run. Any doubt (direct phase calls, overflowed
-    // progress, changed config) errs toward republishing.
-    val bronzeRows =
-      new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    each { case (e, cfg) =>
-      bronzeRows.put(e, runBronze(e, cfg, fullRefresh)); () }
+    // dominates the bill). The decisions are PROVENANCE-based inside
+    // each phase — silver skips when its stored consumed-bronze-batch
+    // marker equals the checkpoint's latest completed batch, gold when
+    // its stored consumed-input VERSIONS equal the current live ones —
+    // so a crash anywhere between phases self-heals on the next trigger
+    // (run-local signals alone would go permanently stale). Any doubt
+    // (direct phase calls, unresolvable versions, changed config or
+    // soft-deletes) errs toward republishing.
+    val allowSkip = !params.republishUnchanged
+    each { case (e, cfg) => runBronze(e, cfg, fullRefresh); () }
     log("phase bronze done")
-    val silverPublished =
-      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     each { case (e, cfg) =>
-      silverPublished.put(e, runSilver(e, cfg, fullRefresh,
-        skipIfUnchanged = !params.republishUnchanged &&
-          bronzeRows.getOrDefault(e, 1L) == 0L)); () }
+      runSilver(e, cfg, fullRefresh, skipIfUnchanged = allowSkip); () }
     log("phase silver done")
     // phase 2.5: gold tables are declared per entity; the schema is
     // created lazily so gold-free configs never touch a gold catalog
@@ -2767,8 +2813,6 @@ final class PipelineRunner(
     }
     var remaining = entities.keySet
     var published = Set.empty[String]
-    val goldPublished =
-      new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
     while (remaining.nonEmpty) {
       val wave = remaining.filter(e => goldDeps(e).subsetOf(published))
       require(wave.nonEmpty,
@@ -2776,18 +2820,11 @@ final class PipelineRunner(
           s"${remaining.toSeq.sorted.mkString(", ")} (gold.join layer " +
           "'gold' references) — break the cycle or use layer 'silver'")
       eachOf(entities.filter(kv => wave.contains(kv._1)).toSeq) {
+        // the wave ordering guarantees a chained dim's gold published
+        // (or provably skipped) before this mart resolves its input
+        // versions — the provenance check inside runGold sees them
         case (e, cfg) =>
-          // unchanged ⇔ own silver skipped AND every join dim's input
-          // table (silver, or gold for chained marts) skipped too
-          val inputsUnchanged =
-            !silverPublished.getOrDefault(e, true) &&
-              cfg.gold.toSeq.flatMap(_.join).forall { j =>
-                if (j.layer == "gold")
-                  !goldPublished.getOrDefault(j.entity, true)
-                else !silverPublished.getOrDefault(j.entity, true)
-              }
-          goldPublished.put(e, runGold(e, cfg, fullRefresh,
-            skipIfUnchanged = inputsUnchanged)); ()
+          runGold(e, cfg, fullRefresh, skipIfUnchanged = allowSkip); ()
       }
       published ++= wave
       remaining --= wave
@@ -2974,19 +3011,41 @@ object PipelineRunner {
   val MergeStrategyProp = "graft.silver_merge"
 
   /** Table property fingerprinting the entity config a table was last
-    * published under — the guard of the NO-CHANGE RUN SKIP: a triggered
-    * run whose bronze ingested nothing may skip a republish ONLY while
-    * the config that derives the content is also unchanged (a new
-    * expectation, rename, or gold knob must force a recompute even with
-    * zero new rows). A fingerprint mismatch can only err toward a
-    * spurious republish — the safe direction. */
+    * published under — one guard of the NO-CHANGE RUN SKIP: a triggered
+    * run may skip a republish ONLY while the config that derives the
+    * content is also unchanged (a new expectation, rename, gold knob,
+    * or a soft-deletes flip must force a recompute even with zero new
+    * rows). A fingerprint mismatch can only err toward a spurious
+    * republish — the safe direction. */
   val ConfigFpProp = "graft.config_fp"
 
-  /** Deterministic config fingerprint (md5 of the case-class rendering:
-    * equal configs re-parsed from the same JSON render identically). */
-  def configFp(cfg: graft.config.EntityConfig): String =
+  /** Table property recording the bronze checkpoint batch a SILVER
+    * publish consumed — the PROVENANCE guard of the no-change skip: a
+    * run-local "zero rows ingested this run" signal alone would leave
+    * silver permanently stale after a crash between the bronze
+    * checkpoint commit and the silver publish (the next idle trigger
+    * sees zero new rows and skips forever); comparing the LAST CONSUMED
+    * batch against the checkpoint's latest completed batch self-heals —
+    * any unconsumed bronze data forces the republish. */
+  val ConsumedBronzeProp = "graft.consumed_bronze_batch"
+
+  /** Table property recording the input table versions a GOLD publish
+    * read (own silver + each join dim's silver/gold), as
+    * `name:layer=version` pairs — the gold-side provenance guard: a
+    * crash after the silver publish but before gold leaves the stored
+    * inputs naming the superseded versions, so the next trigger
+    * republishes gold even though nothing else changed that run. */
+  val GoldInputsProp = "graft.consumed_inputs"
+
+  /** Deterministic content fingerprint: the entity config (md5 of the
+    * case-class rendering — equal configs re-parsed from the same JSON
+    * render identically) plus every [[graft.config.PipelineParams]]
+    * field that derives table CONTENT (soft-deletes flips the CDC
+    * delete filter). */
+  def configFp(cfg: graft.config.EntityConfig,
+      softDeletes: Boolean): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(cfg.toString.getBytes("UTF-8"))
+      .digest(s"$cfg|softDeletes=$softDeletes".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
   /** Merge-on-read: catalog partition column holding the delta

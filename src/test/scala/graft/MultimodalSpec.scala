@@ -595,6 +595,12 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(dup.getMessage.contains("ADD-ONLY") &&
       dup.getMessage.contains("'a'"))
+    // a WITHIN-batch duplicate id corrupts the same way — also loud
+    val dupIn = intercept[IllegalArgumentException] {
+      DedupOps.hammingIndexAppend(
+        Seq(("z", 1L), ("z", 2L)).toDF("id", "sig"), idx2)
+    }
+    assert(dupIn.getMessage.contains("more than once"))
     assert(probed(idx2) == direct,
       "a refused append must leave the index untouched")
     // the layout pin makes a mismatched or missing layout impossible

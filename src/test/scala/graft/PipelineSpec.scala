@@ -396,6 +396,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(params.goldFqn("docs"))
       .select("doc_id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L))
+    // CRASH-STALENESS self-heal: simulate a run that died after the
+    // bronze checkpoint commit but before the silver publish — bronze
+    // advances alone, then the NEXT trigger over the (now idle) feed
+    // ingests zero rows. The provenance marker (consumed bronze batch
+    // != latest completed batch) must force the republish; a run-local
+    // zero-rows signal would skip and stay stale forever.
+    Seq((4L, text + " late")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$src/docs")
+    val (r5, _) = mkRunner(src, store, "2024-06-05 00:00:00",
+      catalog = "ncs")
+    assert(r5.runBronze("docs",
+      ConfigLoader.load(spark, src)("docs")) > 0L) // "crash" here
+    val (r6, _) = mkRunner(src, store, "2024-06-06 00:00:00",
+      catalog = "ncs")
+    r6.run(ConfigLoader.load(spark, src)) // idle trigger, zero new rows
+    assert(versions("silver") == Seq("v1", "v2", "v3", "v4"),
+      "unconsumed bronze data did not force the silver republish")
+    assert(spark.table(params.goldFqn("docs"))
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L),
+      "gold did not pick up the re-published silver")
+    // a SOFT-DELETES flip is a content change even with zero new rows —
+    // the fingerprint covers content-deriving params, not just the
+    // entity config
+    val paramsSd = PipelineParams(sourceLocation = src,
+      catalogName = "ncs", softDeletes = "Y",
+      fixedIngestedAt = Some(Timestamp.valueOf("2024-06-07 00:00:00")))
+    new PipelineRunner(spark, paramsSd, store)
+      .run(ConfigLoader.load(spark, src))
+    assert(versions("silver").size == 5,
+      "a soft-deletes flip over an idle feed did not republish")
   }
 
   test("gold layer: keep_best_quality picks the component's best doc " +
