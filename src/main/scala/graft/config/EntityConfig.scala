@@ -291,16 +291,18 @@ final case class GoldJoin(
       * fact⋈dim-history mart the flat star cannot express. Requires
       * `on` to be exactly ONE equi term (`fact_key = dim_key`) and
       * joinType "inner" (facts preceding the key's first interval drop
-      * — the warehouse convention built into temporalJoin). */
+      * — the warehouse convention) or "left" (they survive,
+      * interval/attribute columns null-filled). */
     temporal: Option[TemporalJoin] = None) {
   require(Set("inner", "left", "right", "full").contains(joinType),
     s"gold.join.type must be inner/left/right/full, got '$joinType'")
   require(on.trim.nonEmpty, "gold.join.on must be a SQL join condition")
   require(layer == "silver" || layer == "gold",
     s"gold.join.layer must be 'silver' or 'gold', got '$layer'")
-  require(temporal.isEmpty || joinType == "inner",
-    s"gold.join.temporal requires type 'inner' (facts before the key's " +
-      s"first interval drop by construction), got '$joinType'")
+  require(temporal.isEmpty || joinType == "inner" || joinType == "left",
+    s"gold.join.temporal requires type 'inner' or 'left' (at most one " +
+      s"interval matches per fact; right/full have no such cardinality " +
+      s"guarantee), got '$joinType'")
 }
 
 /** The temporal half of a [[GoldJoin]]: how to compact the dim's change

@@ -749,9 +749,21 @@ object DedupOps {
     * is one semi-join of the (small) appended batch against the sig
     * table with `limit(1)` early-exit; re-signing an id means rebuild
     * ([[hammingIndexBuild]]), the same contract the LSH/IVF persisted
-    * indexes carry. */
+    * indexes carry. The check and the append run under an index-scoped
+    * [[graft.pipeline.RunLock]] (heartbeat + stale-break): without it
+    * the guard is check-then-act, and two concurrent appends of the
+    * same id would both pass the semi-join and land duplicate
+    * signatures — exactly the nondeterministic-probe corruption the
+    * guard exists to prevent. A concurrent appender fails loud
+    * (ConcurrentRunException) rather than queueing. */
   def hammingIndexAppend(sigs: DataFrame, path: String,
-      idCol: String = "id", sigCol: String = "sig"): Unit = {
+      idCol: String = "id", sigCol: String = "sig"): Unit =
+    graft.pipeline.RunLock.withLock(sigs.sparkSession, path) {
+      hammingIndexAppendLocked(sigs, path, idCol, sigCol)
+    }
+
+  private def hammingIndexAppendLocked(sigs: DataFrame, path: String,
+      idCol: String, sigCol: String): Unit = {
     val spark = sigs.sparkSession
     val maxDist = readHammingLayout(spark, path)
     // within-batch duplicates corrupt exactly like cross-batch ones

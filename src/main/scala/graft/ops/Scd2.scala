@@ -55,13 +55,19 @@ object Scd2 {
     * `valid_from <= t < valid_to` (open `valid_to` = current row). The
     * equi anchor makes this a plain hash/sort-merge join with a residual
     * range filter — never a nested loop — and each fact matches at most
-    * one interval by [[scd2]]'s construction. Facts whose time precedes
-    * the key's first interval drop out (inner join), matching the
-    * warehouse convention.
+    * one interval by [[scd2]]'s construction. `joinType` "inner" (the
+    * default warehouse convention): facts whose time precedes the key's
+    * first interval, or whose key has no history at all, drop out.
+    * "left": those facts survive with the interval and tracked-attribute
+    * columns null-filled — cardinality-preserving because at most one
+    * interval matches.
     * @param factTs NUMERIC fact-time column comparable to the dimension's
     *               `valid_from`/`valid_to` (same unit). */
   def temporalJoin(facts: DataFrame, dim: DataFrame, key: String,
-      factTs: String): DataFrame = {
+      factTs: String, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left").contains(joinType),
+      s"temporalJoin: joinType must be inner or left, got '$joinType' " +
+        "(right/full have no at-most-one-interval cardinality guarantee)")
     require(dim.columns.contains("valid_from") &&
       dim.columns.contains("valid_to"),
       "temporalJoin: dim must carry valid_from/valid_to (an scd2 output)")
@@ -81,7 +87,8 @@ object Scd2 {
     facts.join(d,
         col(key) === col(dimKey) &&
           col(factTs) >= col("valid_from") &&
-          (col("valid_to").isNull || col(factTs) < col("valid_to")))
+          (col("valid_to").isNull || col(factTs) < col("valid_to")),
+        joinType)
       .drop(dimKey)
   }
 }

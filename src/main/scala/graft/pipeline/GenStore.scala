@@ -1,7 +1,61 @@
 package graft.pipeline
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.DataFrame
+
+/** Crash-safe marker-file helpers shared by the streaming-mart sinks
+  * and [[GenStore]]. The load-bearing one is [[writeAtomic]]: the
+  * replay/seq markers are the sinks' clock, and a plain
+  * `fs.create(p, true)` truncates BEFORE writing — a crash in that
+  * window leaves an EMPTY marker, which (for a seq marker) rolls the
+  * seq clock backwards so later batches mint seqs at or below orphaned
+  * pre-crash rows and keep-latest resurrects stale rows silently (the
+  * r12-ADVICE failure). `FileContext.rename(OVERWRITE)` is the one
+  * Hadoop primitive that replaces a file atomically, so a marker on
+  * disk is ALWAYS a complete old or complete new value, never empty. */
+private[pipeline] object StoreMarkers {
+
+  def readText(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.trim)
+    }
+
+  /** Temp write + atomic rename-with-overwrite. The temp name is
+    * deterministic per marker (single-writer contract — concurrent
+    * writers are excluded by the callers' locks). */
+  def writeAtomic(fs: FileSystem, p: Path, text: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(p.toUri, fs.getConf)
+    fc.rename(tmp, p, Options.Rename.OVERWRITE)
+  }
+
+  /** The streaming query's stable identity — the `id` Structured
+    * Streaming pins in `<checkpoint>/metadata` on first start and keeps
+    * across every restart FROM THAT CHECKPOINT; a fresh checkpoint
+    * (even at the same path, after a delete) mints a new one. This is
+    * what lets the sinks tell an at-least-once REPLAY (same id —
+    * skip) from a RE-CHECKPOINTED feed whose batch ids restarted at 0
+    * (different id — silently skipping would lose its data). */
+  def queryId(spark: org.apache.spark.sql.SparkSession,
+      checkpoint: String): Option[String] = {
+    val p = new Path(s"$checkpoint/metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readText(fs, p).flatMap { txt =>
+      org.json4s.jackson.JsonMethods.parseOpt(txt).flatMap {
+        case org.json4s.JObject(fields) => fields.collectFirst {
+          case ("id", org.json4s.JString(s)) => s
+        }
+        case _ => None
+      }
+    }
+  }
+}
 
 /** GENERATION-directory parquet store — the shared layout under the
   * incrementally-maintained gold-state stores (the mart row store, the
@@ -93,23 +147,60 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
     else fs.listStatus(d).count(_.getPath.getName.endsWith(".parquet"))
   }
 
-  /** Compact when the live generation holds more than `threshold` data
-    * files: `rewrite` maps the full store read to its keep-latest
-    * survivors, the result commits to generation N+1, the marker
-    * repoints, and stale generations drop. `write` owns the physical
-    * write (partitioning + parquet) so each store keeps its own layout
+  /** Parquet bytes in the live generation (trigger input only). */
+  private def liveBytes: Long = {
+    val d = new Path(dataDir)
+    if (!fs.exists(d)) 0L
+    else fs.listStatus(d).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  private val baseBytesP = new Path(root, "_base_bytes")
+
+  /** Compact to the full keep-latest rewrite — gated on BYTES-OR-FILES,
+    * not file count alone: `rewrite` reads the WHOLE store, so its cost
+    * is O(live rows) every time it runs, and the file-count trigger
+    * over-counts "batches" for size-scaled multi-file appends
+    * ([[GoldAggOps.writeSizeScaled]] fans a data-sized partial out to
+    * one file per parallelism share). A data-sized store past the file
+    * threshold on EVERY append would full-rewrite itself per append —
+    * quadratic total work (the r12-verdict scale item). The gate: files
+    * must exceed `threshold` AND the live generation's bytes must have
+    * at least DOUBLED since the last rewrite (`_base_bytes`, recorded
+    * at each swap) — the classic size-doubling policy, amortizing total
+    * rewrite work to O(total bytes × log). Tiny dashboard-grain stores
+    * double trivially (the base is a handful of KB), so their cadence
+    * is unchanged. Backstop: 64× the file threshold forces a rewrite
+    * regardless of bytes, bounding read-side listing amplification when
+    * a big base accumulates byte-light appends (idle-run empties,
+    * tombstone trickles). A missing `_base_bytes` (legacy store, or a
+    * crash between the gen swap and the marker write) triggers eagerly —
+    * the safe direction (an extra rewrite, never a skipped one).
+    *
+    * `rewrite` maps the full store read to its keep-latest survivors,
+    * the result commits to generation N+1, the marker repoints, and
+    * stale generations drop. `write` owns the physical write
+    * (partitioning + parquet) so each store keeps its own layout
     * discipline. */
   def compact(threshold: Int, label: String)(
       rewrite: String => DataFrame)(write: (DataFrame, String) => Unit)
       : Unit = {
     val files = batchFiles
     if (files > threshold) {
-      val gen = readGen()
-      val nextDir = s"$root/g${gen + 1L}"
-      // mode semantics live in `write` (callers overwrite): an orphan
-      // dir from a crashed prior attempt is replaced wholesale
-      write(rewrite(dataDir), nextDir)
-      swapTo(gen, label, s"$files batch files -> full rewrite")
+      val base = StoreMarkers.readText(fs, baseBytesP)
+        .flatMap(_.toLongOption)
+      val bytes = liveBytes
+      val due = base.forall(b => bytes >= 2L * b) ||
+        files > 64L * threshold
+      if (due) {
+        val gen = readGen()
+        val nextDir = s"$root/g${gen + 1L}"
+        // mode semantics live in `write` (callers overwrite): an orphan
+        // dir from a crashed prior attempt is replaced wholesale
+        write(rewrite(dataDir), nextDir)
+        swapTo(gen, label, s"$files batch files, $bytes bytes " +
+          s"(base ${base.getOrElse(0L)}) -> full rewrite")
+      }
     }
   }
 
@@ -260,11 +351,22 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
     }
 
   /** Repoint the marker to generation `gen + 1` and sweep superseded
-    * generation dirs — the shared crash-safe tail of both compactions. */
+    * generation dirs — the shared crash-safe tail of both compactions.
+    * Also records the new generation's parquet bytes (`_base_bytes`,
+    * the [[compact]] size-doubling baseline); a crash between the two
+    * marker writes leaves a STALE-LOW baseline, which only makes the
+    * next rewrite fire sooner — never skip. */
   private def swapTo(gen: Long, label: String, what: String): Unit = {
     val gm = fs.create(genMarkerP, true)
     try gm.write((gen + 1L).toString.getBytes("UTF-8"))
     finally gm.close()
+    val newBytes = {
+      val d = new Path(s"$root/g${gen + 1L}")
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d)
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    }
+    StoreMarkers.writeAtomic(fs, baseBytesP, newBytes.toString)
     // sweep ONLY directories this class could have minted: `g`
     // followed by one-or-more digits ("g" alone, user files like a
     // non-directory `g1`, and anything else at root survive)

@@ -18,11 +18,15 @@ import graft.config.GoldAggregate
   *
   * Replay discipline of the sink (at-least-once `foreachBatch`): each
   * partial row is stamped with its micro-batch id; a batch id at or
-  * below the store's `_last_batch` marker is SKIPPED before any write,
-  * and the one unsafe window (crash between the append and the marker
-  * update) leaves bit-identical duplicate rows that the read side drops
-  * on (`_batch_id`, groups) — batch content at a given id is pinned by
-  * the checkpoint offset log, so duplicates are exact copies. Net
+  * below the store's `_last_batch` marker FROM THE SAME QUERY IDENTITY
+  * is SKIPPED before any write (a different identity — a
+  * re-checkpointed feed with restarted batch ids — fails loud instead
+  * of silently dropping; a store-scoped [[RunLock]] serializes writers
+  * across processes), and the one unsafe window (crash between the
+  * append and the marker update) leaves bit-identical duplicate rows
+  * that the read side drops on (`_batch_id`, groups) — batch content
+  * at a given id is pinned by the checkpoint offset log, so duplicates
+  * are exact copies. Net
   * effect: additive totals stay exactly-once without a transactional
   * sink. Compaction folds the DEDUPED view to one row per group
   * stamped with the max folded batch id (the high-water mark survives
@@ -114,21 +118,32 @@ object GoldAggOps {
       .filter(col("_agg_n") > 0L).drop("_agg_n")
   }
 
+  /** `_last_batch` marker = "batchId|queryId" (legacy pre-r13 form:
+    * bare batchId, parsed with no identity = match-any), replaced
+    * atomically — see [[StoreMarkers]] and the GoldJoinOps replay-gate
+    * rationale. Unlike the join mart there is no seq clock here (the
+    * read side dedups exact replay rows by (_batch_id, groups)), so an
+    * unreadable marker is survivable — but it still fails loud: it can
+    * only mean tampering, and "reprocess everything" is not obviously
+    * what the operator wants. */
   private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Option[Long] =
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.trim.toLongOption
+      p: Path): Option[(Long, Option[String])] =
+    StoreMarkers.readText(fs, p).map { txt =>
+      val parsed = txt.split('|') match {
+        case Array(b) => b.toLongOption.map(v => (v, None))
+        case Array(b, q) => b.toLongOption
+          .map(v => (v, Some(q): Option[String]))
+        case _ => None
+      }
+      parsed.getOrElse(throw new IllegalStateException(
+        s"stream-agg marker $p is unreadable ('$txt'); restore it or " +
+          "rebuild the store"))
     }
 
   private def writeMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-      v: Long): Unit = {
-    val out = fs.create(p, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-  }
+      batchId: Long, queryId: Option[String]): Unit =
+    StoreMarkers.writeAtomic(fs, p,
+      s"$batchId${queryId.fold("")(q => s"|$q")}")
 
   /** STREAMING aggregate-mart maintenance — the `foreachBatch` sink
     * that keeps a [[GoldAggregate]] mart fresh at micro-batch latency:
@@ -155,7 +170,32 @@ object GoldAggOps {
         val fs = new Path(storeDir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         val markerP = new Path(s"$storeDir/_last_batch")
-        if (readMarker(fs, markerP).forall(batchId > _)) {
+        val qid = StoreMarkers.queryId(spark, checkpoint)
+        // store-scoped cross-process lock + identity-checked replay
+        // gate (the GoldJoinOps contract): an at-or-below batch id from
+        // the SAME query identity is an at-least-once replay (skip);
+        // from a DIFFERENT identity it is a re-checkpointed feed whose
+        // restarted batch ids would silently drop until they climb past
+        // the marker — fail loud instead. Two concurrent feeds minting
+        // the same (_batch_id, group) with DIFFERENT content would
+        // corrupt the read-side dedup, so the lock serializes and the
+        // gate then rejects the latecomer.
+        RunLock.withLock(spark, storeDir) {
+        val proceed = readMarker(fs, markerP) match {
+          case Some((b, idOpt)) if batchId <= b =>
+            require(idOpt.isEmpty || qid.isEmpty || idOpt == qid,
+              s"goldAggSink at $storeDir: batch $batchId is at or " +
+                s"below the store's high-water batch $b, but comes " +
+                "from a different streaming query (checkpoint id " +
+                s"${qid.getOrElse("?")} vs the marker's " +
+                s"${idOpt.getOrElse("?")}). A re-checkpointed feed " +
+                "restarts batch ids at 0 and silently skipping would " +
+                "LOSE its batches - resume the original checkpoint, " +
+                "or point the new feed at a fresh store")
+            false
+          case _ => true
+        }
+        if (proceed) {
           val store = new GenStore(fs, s"$storeDir/agg_partials",
             _ => ())
           val sign = signCol.map(c => col(s"`$c`").cast("long"))
@@ -165,7 +205,7 @@ object GoldAggOps {
             .agg(es.head, es.tail: _*)
             .withColumn("_batch_id", lit(batchId))
           writeSizeScaled(partial, a.groupBy, "append", store.dataDir)
-          writeMarker(fs, markerP, batchId)
+          writeMarker(fs, markerP, batchId, qid)
           store.compact(compactAfter, s"stream agg store $storeDir") {
             from =>
               sumPartials(spark, from, a, dedupBatches = true)
@@ -173,6 +213,7 @@ object GoldAggOps {
           } { (df, to) =>
             writeSizeScaled(df, a.groupBy, "overwrite", to)
           }
+        }
         }
         ()
       }

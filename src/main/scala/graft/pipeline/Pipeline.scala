@@ -1670,7 +1670,8 @@ final class PipelineRunner(
       if (factKey.equalsIgnoreCase(dimKey)) hist
       else hist.withColumnRenamed(dimKey, factKey)
     graft.ops.Scd2.temporalJoin(facts,
-      if (j.broadcast) broadcast(keyed) else keyed, factKey, t.factTs)
+      if (j.broadcast) broadcast(keyed) else keyed, factKey, t.factTs,
+      j.joinType)
   }
 
   private def goldMartPath(entity: String): String =

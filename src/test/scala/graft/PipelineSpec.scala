@@ -2022,13 +2022,26 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
     assert(!plan.contains("NestedLoop"), plan.take(800))
-    // guard: non-inner temporal join type
+    // guard: temporal joins admit inner/left only (at-most-one-interval
+    // cardinality); right/full rejected, left accepted (r13)
     val outer = intercept[IllegalArgumentException] {
-      graft.config.GoldJoin("prices", "a = b", joinType = "left",
+      graft.config.GoldJoin("prices", "a = b", joinType = "full",
         temporal = Some(graft.config.TemporalJoin(
           "sold_ts", "price_ts", "change_id", Seq("price_cents"))))
     }
     assert(outer.getMessage.contains("inner"))
+    graft.config.GoldJoin("prices", "a = b", joinType = "left",
+      temporal = Some(graft.config.TemporalJoin(
+        "sold_ts", "price_ts", "change_id", Seq("price_cents"))))
+    // LEFT temporal end-to-end: the pre-history fact (sale 5) survives
+    // null-filled instead of dropping
+    val leftMart = runner.buildGoldJoinFrame("sales", ent("sales"),
+        ent("sales").gold.get.copy(join =
+          ent("sales").gold.get.join.map(_.copy(joinType = "left"))))
+      .select($"sale_id", $"price_cents")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(leftMart(5L).isEmpty && leftMart(1L).contains(500L),
+      s"left temporal mart wrong: $leftMart")
     // guard: a latest-only dim PK (history would not survive silver)
     val bad = tmpDir("goldscd2-bad")
     Files.writeString(Path.of(bad, "dp_config_template.json"),

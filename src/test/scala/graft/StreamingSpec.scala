@@ -697,9 +697,11 @@ class StreamingSpec extends AnyFunSuite {
     val gen = java.nio.file.Files.readString(
       java.nio.file.Path.of(store, "agg_partials", "_gen")).trim
     assert(gen.toLong >= 1L, "compaction never advanced the generation")
-    // replay safety 1: a fresh run over the same feed with a FRESH
-    // checkpoint restarts batch ids at 0 — all at or below the marker,
-    // every append skipped, totals unchanged
+    // replay safety 1: a RE-CHECKPOINTED feed restarts batch ids at 0 —
+    // at or below the marker but from a DIFFERENT query identity, so it
+    // FAILS LOUD (r12 ADVICE: the old silent skip dropped the new
+    // feed's batches until its ids climbed past the marker) and the
+    // store is untouched
     val cp2 = java.nio.file.Files
       .createTempDirectory("graft-aggsink-cp2").toString
     val mem2 = MemoryStream[(Long, Double, Long)](spark)
@@ -708,9 +710,14 @@ class StreamingSpec extends AnyFunSuite {
         signCol = Some("sign"), compactAfter = 2)
       .start()
     mem2.addData((99L, 100.0, 1L))
-    q2.processAllAvailable()
+    val e2 = intercept[Exception] { q2.processAllAvailable() }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(12)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("re-checkpointed feed restarts batch ids"))),
+      s"expected the re-checkpointed-feed guard, got: $e2")
     q2.stop()
-    assert(mart() == fin, "a stale-batch-id replay mutated the mart")
+    assert(mart() == fin, "a rejected re-checkpointed feed mutated the mart")
     // replay safety 2: simulate the crash-between-append-and-marker
     // window — a bit-identical duplicate of an existing partial row
     // (same _batch_id) must be dropped by the read-side dedup
@@ -781,17 +788,24 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Double, String)].collect().toSet
     assert(fin == twin, s"stream $fin != batch twin $twin")
     dimQ.stop(); factQ.stop()
-    // replay safety: a fresh checkpoint restarts batch ids at 0 — all
-    // at or below the markers, every write skipped, mart unchanged
+    // replay safety: a RE-CHECKPOINTED feed restarts batch ids at 0 —
+    // at or below the markers but from a DIFFERENT query identity, so
+    // it fails loud (the old silent skip dropped its batches) and the
+    // mart is untouched
     val dimMem2 = MemoryStream[(Long, String, Boolean)](spark)
     val dimQ2 = GoldJoinOps.dimSink(
         dimMem2.toDF.toDF("c_custkey", "c_name", "del"), "customer",
         star, storeDir, root.resolve("cp_dim2").toString)
       .start()
     dimMem2.addData((99L, "Z", false))
-    dimQ2.processAllAvailable()
+    val e0 = intercept[Exception] { dimQ2.processAllAvailable() }
+    assert(Iterator.iterate(e0: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(12)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("re-checkpointed feed restarts batch ids"))),
+      s"expected the re-checkpointed-feed guard, got: $e0")
     dimQ2.stop()
-    assert(mart() == fin, "a stale-batch-id replay mutated the mart")
+    assert(mart() == fin, "a rejected re-checkpointed feed mutated the mart")
     // within-batch duplicate PK fails loud with the named remedy
     val factMem3 = MemoryStream[(Long, Long, Double, Boolean)](spark)
     val factQ3 = GoldJoinOps.factSink(
@@ -920,5 +934,188 @@ class StreamingSpec extends AnyFunSuite {
         $"htype".as("dim_type"), $"valid_from")
       .as[(Long, Long, Long, String, Long)].collect().toSet
     assert(fin == twin, s"stream $fin != batch twin $twin")
+  }
+
+  test("streaming TEMPORAL LEFT join: facts outside every interval " +
+      "(or with no history at all) keep null-filled rows instead of " +
+      "dropping; a late interval split fills them in; twin-equal to " +
+      "batch scd2 + temporalJoin(left)") {
+    import spark.implicits._
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar,
+      StreamTemporal}
+    val star = StreamStar(
+      pkCols = Seq("event_id"),
+      dims = Seq(StreamDim("user_history",
+        Seq("user_id" -> "huser"), joinType = "left",
+        temporal = Some(StreamTemporal(factTs = "ts_us", dimTs = "hts",
+          changeKey = "change_id", attrs = Seq("htype"))))),
+      select = Seq("event_id", "user_id", "htype AS dim_type",
+        "valid_from"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sjtl")
+    val storeDir = root.resolve("store").toString
+    val dimMem = MemoryStream[(Long, Long, Long, String)](spark)
+    val factMem = MemoryStream[(Long, Long, Long)](spark)
+    val dimQ = GoldJoinOps.dimSink(
+        dimMem.toDF.toDF("change_id", "huser", "hts", "htype"),
+        "user_history", star, storeDir,
+        root.resolve("cp_dim").toString)
+      .start()
+    val factQ = GoldJoinOps.factSink(
+        factMem.toDF.toDF("event_id", "user_id", "ts_us"), star,
+        storeDir, root.resolve("cp_fact").toString)
+      .start()
+    def mart(): Set[(Long, Long, Option[String], Option[Long])] =
+      GoldJoinOps.readMart(spark, storeDir, star)
+        .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    // history: u100 = A@10; facts: f1 in-interval, f2 BEFORE it,
+    // f3 for u300 with NO history — left keeps f2/f3 null-filled
+    dimMem.addData((1L, 100L, 10L, "A"))
+    dimQ.processAllAvailable()
+    factMem.addData((1L, 100L, 15L), (2L, 100L, 5L), (3L, 300L, 50L))
+    factQ.processAllAvailable()
+    assert(mart() == Set(
+      (1L, 100L, Some("A"), Some(10L)),
+      (2L, 100L, None, None),
+      (3L, 300L, None, None)),
+      "left temporal must null-fill out-of-interval / no-history facts")
+    // late history: Z@3 covers f2; u300 gets history AFTER t=50 only —
+    // f3 stays null-filled (still precedes its first interval)
+    dimMem.addData((0L, 100L, 3L, "Z"), (7L, 300L, 60L, "Q"))
+    dimQ.processAllAvailable()
+    val fin = mart()
+    assert(fin == Set(
+      (1L, 100L, Some("A"), Some(10L)),
+      (2L, 100L, Some("Z"), Some(3L)),
+      (3L, 300L, None, None)),
+      s"late history did not fill / preserved nulls wrongly: $fin")
+    dimQ.stop(); factQ.stop()
+    // twin-equivalence against the batch left temporal join
+    val hist = Seq((0L, 100L, 3L, "Z"), (1L, 100L, 10L, "A"),
+      (7L, 300L, 60L, "Q")).toDF("change_id", "huser", "hts", "htype")
+    val facts = Seq((1L, 100L, 15L), (2L, 100L, 5L), (3L, 300L, 50L))
+      .toDF("event_id", "user_id", "ts_us")
+    val twin = graft.ops.Scd2.temporalJoin(facts,
+        graft.ops.Scd2.scd2(hist, "huser", "hts", "change_id",
+          Seq("htype")).drop("is_current")
+          .withColumnRenamed("huser", "user_id"),
+        "user_id", "ts_us", "left")
+      .select($"event_id", $"user_id", $"htype".as("dim_type"),
+        $"valid_from")
+      .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    assert(fin == twin, s"stream $fin != batch twin $twin")
+  }
+
+  test("dim-path two-phase restrict (GoldJoinOps.affectedFacts): " +
+      "candidates resolve through ANY version's join key, only live " +
+      "rows return, and the keep-latest window runs over a " +
+      "semi-restricted slice — never the raw full store") {
+    import spark.implicits._
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    val star = StreamStar(
+      pkCols = Seq("o_orderkey"),
+      dims = Seq(StreamDim("customer", Seq("o_custkey" -> "c_custkey"),
+        deleteCol = Some("del"))),
+      select = Seq("o_orderkey", "price", "c_name AS customer"),
+      factDeleteCol = Some("del"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sj2p")
+    val storeDir = root.resolve("store").toString
+    val dimMem = MemoryStream[(Long, String, Boolean)](spark)
+    val dimQ = GoldJoinOps.dimSink(
+        dimMem.toDF.toDF("c_custkey", "c_name", "del"), "customer",
+        star, storeDir, root.resolve("cp_dim").toString).start()
+    dimMem.addData((100L, "A", false), (200L, "B", false),
+      (900L, "C", false))
+    dimQ.processAllAvailable(); dimQ.stop()
+    val factMem = MemoryStream[(Long, Long, Double, Boolean)](spark)
+    val factQ = GoldJoinOps.factSink(
+        factMem.toDF.toDF("o_orderkey", "o_custkey", "price", "del"),
+        star, storeDir, root.resolve("cp_fact").toString).start()
+    // v1: pk 2 born under key 200, pk 4 alive
+    factMem.addData((1L, 100L, 1.0, false), (2L, 200L, 2.0, false),
+      (4L, 200L, 4.0, false))
+    factQ.processAllAvailable()
+    // v2: pk 2 MOVES to key 900, pk 4 deletes
+    factMem.addData((2L, 900L, 2.5, false), (4L, 200L, 4.0, true))
+    factQ.processAllAvailable(); factQ.stop()
+    val d = star.dims.head
+    def affected(keys: Long*): org.apache.spark.sql.DataFrame = {
+      val touched = keys.toSeq.toDF("o_custkey")
+      GoldJoinOps.affectedFacts(spark, storeDir, star, d, touched).get
+    }
+    // touched 200: pk 2 matches via its SUPERSEDED v1 version (the
+    // sound superset — its live row re-derives harmlessly under its
+    // CURRENT key 900); pk 4's live row is a tombstone -> excluded
+    val a200 = affected(200L)
+    assert(a200.select($"o_orderkey", $"o_custkey")
+        .as[(Long, Long)].collect().toSet == Set((2L, 900L)),
+      s"any-version candidates wrong: ${a200.collect().toSeq}")
+    // touched 100: pk 1 live
+    assert(affected(100L).select($"o_orderkey")
+      .as[Long].collect().toSet == Set(1L))
+    // plan pin: the window's input subtree is a LeftSemi-restricted
+    // slice of the store (two semi joins below it), NOT the raw scan —
+    // the r12-verdict scale-killer (full-store window per dim batch)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+    val plan = a200.queryExecution.optimizedPlan
+    val semis = plan.collect {
+      case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.size == 2,
+      s"expected the two-phase semi joins, got ${semis.size}:\n$plan")
+    val windows = plan.collect { case w: Window => w }
+    assert(windows.nonEmpty, s"no keep-latest window in:\n$plan")
+    assert(windows.forall(_.collectFirst {
+        case j: Join if j.joinType == LeftSemi => j }.nonEmpty),
+      s"the keep-latest window reads the UNRESTRICTED fact store:\n$plan")
+  }
+
+  test("stream-mart store concurrency: a sink in a second process " +
+      "fails loud against the store RunLock; a corrupted marker fails " +
+      "loud instead of resetting the seq clock") {
+    import spark.implicits._
+    import graft.pipeline.{GoldJoinOps, RunLock}
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    val star = StreamStar(
+      pkCols = Seq("k"),
+      dims = Seq(StreamDim("d", Seq("g" -> "g"))),
+      select = Seq("k", "v", "name"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sjlk")
+    val storeDir = root.resolve("store").toString
+    java.nio.file.Files.createDirectories(root.resolve("store"))
+    // a "second process" holds the store lock (fresh heartbeat) while
+    // a fact batch arrives -> the sink must fail loud, not interleave
+    RunLock.withLock(spark, storeDir) {
+      val factMem = MemoryStream[(Long, Long, Double)](spark)
+      val factQ = GoldJoinOps.factSink(
+          factMem.toDF.toDF("k", "g", "v"), star, storeDir,
+          root.resolve("cp_fact").toString).start()
+      factMem.addData((1L, 10L, 1.0))
+      val e = intercept[Exception] { factQ.processAllAvailable() }
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+          .takeWhile(_ != null).take(12)
+          .exists(_.isInstanceOf[graft.pipeline.ConcurrentRunException]),
+        s"expected ConcurrentRunException from the store lock, got: $e")
+      factQ.stop()
+    }
+    // corrupted seq marker: the sink refuses to guess the clock
+    val root2 = java.nio.file.Files.createTempDirectory("graft-sjmk")
+    val store2 = root2.resolve("store")
+    java.nio.file.Files.createDirectories(store2)
+    java.nio.file.Files.writeString(store2.resolve("_fact_marker"),
+      "not|a|marker")
+    val factMem2 = MemoryStream[(Long, Long, Double)](spark)
+    val factQ2 = GoldJoinOps.factSink(
+        factMem2.toDF.toDF("k", "g", "v"), star, store2.toString,
+        root2.resolve("cp2").toString).start()
+    factMem2.addData((1L, 10L, 1.0))
+    val e2 = intercept[Exception] { factQ2.processAllAvailable() }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(12)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("refusing to guess the seq clock"))),
+      s"expected the unreadable-marker guard, got: $e2")
+    factQ2.stop()
   }
 }
