@@ -127,7 +127,8 @@ object PipelineQueries {
   val steadyStateQueries: Set[String] = Set(
     "q_gold_curation", "q_gold_join", "q_gold_chain", "q_table_changes",
     "q_gold_agg", "q_gold_join_incr", "q_silver_mor", "q_silver_cow",
-    "q_gold_scd2", "q_gold_scd2_incr", "q_gold_incr")
+    "q_gold_scd2", "q_gold_scd2_incr", "q_gold_incr",
+    "q_stream_medallion")
 
   // the shared 3-batch CDC wave over documents (silver_mor / silver_cow
   // / gold_incr all drive exactly this shape)
@@ -413,6 +414,71 @@ object PipelineQueries {
         }, Paths.get(s"$root/src/customer"))
         runAt("2024-03-02 00:00:00")
         // fact retraction wave through the expectation gate
+        linkInto(stage(dir, "orders_wave11") {
+          analytics.Tables(s, dir, "orders")
+            .where(col("o_orderkey") % 11 === 0 &&
+              col("o_orderkey") % 13 =!= 0)
+            .withColumn("o_totalprice", lit(null).cast("double"))
+        }, Paths.get(s"$root/src/orders"))
+        runAt("2024-03-03 00:00:00")
+      } { params =>
+        s.table(params.goldFqn("orders")).orderBy(col("o_orderkey"))
+      }),
+
+    // -- [EXT]: the medallion -> STREAMING-mart composition on the gate
+    //    (gold.cadence: "streaming"): the SAME 3-wave CDC flow as
+    //    q_gold_join_incr, but the declared gold is maintained by the
+    //    stream-store sinks — each triggered run bridges the published
+    //    silver versions through changeFeed into GoldJoinOps.dimSink/
+    //    factSink over a REAL file stream with persistent checkpoints,
+    //    then publishes the keep-latest mart. The oracle is the SAME
+    //    final-state star SQL: keep-latest fact updates, the expectation
+    //    retraction wave, and the dim attribute wave must converge to
+    //    the batch-incremental mart exactly, with the whole stream-store
+    //    machinery invisible.
+    "q_stream_medallion" -> ((s, dir) =>
+      steadyState(s, "q_stream_medallion", dir) { (root, run) =>
+        linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
+          Paths.get(s"$root/src/orders"))
+        linkInto(
+          stage(dir, "customer")(analytics.Tables(s, dir, "customer")),
+          Paths.get(s"$root/src/customer"))
+        Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+          """{"orders": {
+            |  "raw_file_format": "parquet",
+            |  "unique_primary_key": ["o_orderkey"],
+            |  "expect_all_or_drop": {"price_ok": "o_totalprice IS NOT NULL"},
+            |  "gold": {"cadence": "streaming",
+            |    "join": [
+            |      {"entity": "customer", "on": "o_custkey = c_custkey",
+            |       "broadcast": true}],
+            |    "select": ["o_orderkey", "o_totalprice",
+            |               "c_name AS customer", "c_mktsegment AS segment"]}
+            |},
+            |"customer": {"raw_file_format": "parquet",
+            |             "unique_primary_key": ["c_custkey"]}
+            |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+        def runAt(clock: String): PipelineParams = {
+          val params = PipelineParams(sourceLocation = s"$root/src",
+            catalogName = run,
+            fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+          new PipelineRunner(s, params, s"$root/store")
+            .run(ConfigLoader.load(s, params.sourceLocation),
+              concurrency = 2)
+          params
+        }
+        runAt("2024-03-01 00:00:00")
+        linkInto(stage(dir, "orders_wave13") {
+          analytics.Tables(s, dir, "orders")
+            .where(col("o_orderkey") % 13 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        }, Paths.get(s"$root/src/orders"))
+        linkInto(stage(dir, "customer_wave7") {
+          analytics.Tables(s, dir, "customer")
+            .where(col("c_custkey") % 7 === 0)
+            .withColumn("c_name", concat(lit("upd: "), col("c_name")))
+        }, Paths.get(s"$root/src/customer"))
+        runAt("2024-03-02 00:00:00")
         linkInto(stage(dir, "orders_wave11") {
           analytics.Tables(s, dir, "orders")
             .where(col("o_orderkey") % 11 === 0 &&
@@ -855,6 +921,20 @@ object PipelineQueries {
     // applied by shadowing CASEs — the incremental upsert/tombstone/
     // dim-diff machinery must be invisible
     "q_gold_join_incr" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'upd: ' || c_name
+        |       ELSE c_name END AS customer,
+        |  c_mktsegment AS segment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 13 != 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the SAME final-state star SQL: the config-declared STREAMING mart
+    // (changeFeed bridge -> file-stream sinks -> keep-latest publish)
+    // must converge to the batch-incremental mart exactly
+    "q_stream_medallion" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END AS o_totalprice,

@@ -159,6 +159,20 @@ final case class GoldConfig(
       * off, and relies on the same strictly-monotone `_ingested_at`
       * contract as incremental silver. */
     mode: String = "full",
+    /** Maintenance cadence of the mart state. `"batch"` (default): the
+      * mart rebuilds or incrementally maintains per triggered run
+      * (`mode` picks which). `"streaming"`: the mart state lives in the
+      * stream-store layout and is maintained by the SAME `foreachBatch`
+      * sinks a live micro-batch stream would drive
+      * ([[graft.pipeline.GoldAggOps.goldAggSink]] /
+      * [[graft.pipeline.GoldJoinOps]]); each triggered run feeds the
+      * published-version delta (`changeFeed` / `signedChangeFeed`)
+      * through a REAL file stream with a persistent checkpoint, so a
+      * deployment can later point an actual stream at the same store
+      * with no migration or backfill. Requires `aggregate` or `join`
+      * (curation gold has no streaming sink) and leaves `mode` at its
+      * default — the streaming store IS the maintenance strategy. */
+    cadence: String = "batch",
     curation: GoldCuration = GoldCuration(),
     /** CROSS-ENTITY gold (the dim⋈fact mart): joins declared against
       * OTHER entities' silver tables, applied in order to this entity's
@@ -225,6 +239,14 @@ final case class GoldConfig(
   require(aggregate.isEmpty || join.isEmpty,
     "gold.aggregate and gold.join are mutually exclusive — aggregate a " +
       "published mart by declaring the aggregate gold on its own entity")
+  require(cadence == "batch" || cadence == "streaming",
+    s"gold.cadence must be 'batch' or 'streaming', got '$cadence'")
+  require(cadence == "batch" || aggregate.nonEmpty || join.nonEmpty,
+    "gold.cadence 'streaming' maintains an aggregate or join mart - " +
+      "curation gold has no streaming sink")
+  require(cadence == "batch" || mode == "full",
+    "gold.cadence 'streaming' is its own maintenance strategy - leave " +
+      "gold.mode unset (the stream store replaces the batch-IVM stores)")
   // mode "incremental" + temporal join IS supported: a dim-history
   // change can shift interval boundaries of NEIGHBORING versions, so
   // the maintenance re-derives every fact of a changed KEY (the change
@@ -651,6 +673,10 @@ object ConfigLoader {
     }
     require(mode == "full" || mode == "incremental",
       s"gold.mode must be 'full' or 'incremental', got '$mode'")
+    val cadence = f.get("cadence") match {
+      case Some(JString(c)) => c
+      case _                => "batch"
+    }
     val joins = f.get("join") match {
       case Some(org.json4s.JArray(js)) => js.map {
         case JObject(jf) =>
@@ -732,6 +758,7 @@ object ConfigLoader {
         "declare the aggregate gold on its own entity")
     GoldConfig(
       mode = mode,
+      cadence = cadence,
       join = joins,
       select = f.get("select").map(strSeq).getOrElse(Nil),
       aggregate = aggregate,

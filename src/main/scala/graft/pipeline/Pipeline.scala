@@ -2178,6 +2178,214 @@ final class PipelineRunner(
       spark.read.table(params.silverFqn(p))
     }
 
+  // ---- streaming-cadence gold (gold.cadence: "streaming") -----------------
+
+  private def goldStreamPath(entity: String): String =
+    if (params.externalLocation.nonEmpty)
+      s"${params.externalLocation}/gold_stream/$entity"
+    else s"$storageRoot/gold_stream/$entity"
+
+  private val FeedDirRe = "v(-?\\d+)_(\\d+)".r
+
+  /** Run one AvailableNow pass of a stream-mart sink to completion. */
+  private def runAvailableNow(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val q = w.trigger(
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+  }
+
+  /** Maintain one input entity's CDC feed of a streaming-cadence mart
+    * and stream it into the sink. The feed is a directory of IMMUTABLE
+    * version-pair deltas (`v<from>_<to>`, committed by tmp-dir rename —
+    * a crash-replay of the same pair lands at the same name and an
+    * existing pair is never rewritten, so a delta can never overlap an
+    * already-ingested one), consumed by a REAL file stream with a
+    * persistent checkpoint (`v*` glob — the file-source offset log
+    * makes re-draining an already-consumed pair a no-op).
+    *
+    * Ordering per run: DRAIN any pair a crashed run left unconsumed,
+    * extend the feed by one pair up to the live silver version, drain
+    * again. At most one unconsumed pair can therefore exist at a time,
+    * so no micro-batch can merge two deltas carrying the same key —
+    * the sinks' one-row-per-key-per-batch contract holds by
+    * construction (the drain-first step is what keeps it across a
+    * crash between the pair write and its stream run). The `_consumed`
+    * marker (atomic replace) only gates the drain; the next pair's
+    * `from` is max(marker, newest pair on disk), so a stale-low marker
+    * after a crash re-drains idempotently and can never mint an
+    * overlapping delta. Consumed pairs are retained as the feed's
+    * replayable history (bounded by O(changes); vacuum by deleting
+    * pairs below the marker — the marker then carries the high water). */
+  private def maintainFeed(feedDir: String,
+      delta: (Option[Long], Long) => DataFrame, liveVersion: Long,
+      runSink: DataFrame => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(feedDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val consumedP = new Path(feedDir, "_consumed")
+    def marker: Option[Long] =
+      StoreMarkers.readText(fs, consumedP).flatMap(_.toLongOption)
+    def dirsMax: Option[Long] =
+      if (!fs.exists(new Path(feedDir))) None
+      else fs.listStatus(new Path(feedDir)).filter(_.isDirectory)
+        .flatMap(_.getPath.getName match {
+          case FeedDirRe(_, to) => to.toLongOption
+          case _                => None
+        }).maxOption
+    def drain(): Unit = dirsMax.foreach { hi =>
+      if (marker.forall(_ < hi)) {
+        val schema = spark.read.option("recursiveFileLookup", "true")
+          .parquet(feedDir).schema
+        runSink(spark.readStream.schema(schema).parquet(s"$feedDir/v*"))
+        StoreMarkers.writeAtomic(fs, consumedP, hi.toString)
+      }
+    }
+    drain()
+    val from = (dirsMax.toSeq ++ marker.toSeq).maxOption
+    if (from.forall(_ < liveVersion)) {
+      val pairDir = new Path(feedDir,
+        s"v${from.getOrElse(-1L)}_$liveVersion")
+      if (!fs.exists(pairDir)) {
+        val tmp = new Path(feedDir, s".${pairDir.getName}.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        delta(from, liveVersion).write.mode("overwrite")
+          .parquet(tmp.toString)
+        require(fs.rename(tmp, pairDir),
+          s"streaming-cadence feed: committing $pairDir failed")
+      }
+    }
+    drain()
+  }
+
+  /** STREAMING-cadence mart (`gold.cadence: "streaming"`): the mart
+    * state lives in the stream-store layout and is maintained by the
+    * SAME `foreachBatch` sinks a live micro-batch stream would drive —
+    * [[GoldAggOps.goldAggSink]] for `gold.aggregate` (signed deltas,
+    * additive IVM) and [[GoldJoinOps.dimSink]]/[[GoldJoinOps.factSink]]
+    * for `gold.join` (full-row CDC images, keyed upsert stores). Each
+    * triggered run bridges the medallion into those sinks: the
+    * published-version delta of every input ([[signedChangeFeed]] /
+    * [[changeFeed]]; the whole live version as inserts on first
+    * consumption) rides a REAL file stream with a persistent
+    * checkpoint through the sink, then the publish reads the live mart
+    * back ([[GoldAggOps.readMart]] / [[GoldJoinOps.readMart]]) through
+    * the shared gold gate. Because the store, checkpoints, and replay
+    * markers are exactly the streaming deployment's, an actual stream
+    * can later take over the same store with no migration — the
+    * config knob only changes WHO drives the sinks (spec-pinned
+    * equivalence: the mart equals the batch star/aggregate over the
+    * final silver state).
+    *
+    * Scale shape per run: O(changed rows) delta extraction (the
+    * signature-compressed snapshot diff), one micro-batch per input
+    * through the sinks (fact batches broadcast-join batch-restricted
+    * dim slices; dim batches re-derive O(affected facts) via the
+    * two-phase restrict), and a keep-latest/re-sum read over stores
+    * bounded by compaction. Dims feed BEFORE facts so first-run facts
+    * derive against complete dim state. Preconditions fail loud:
+    * full-mode silver inputs (versioned snapshots to diff),
+    * silver-layer star/temporal dims. */
+  def buildGoldStreamMart(entity: String, cfg: EntityConfig,
+      g: GoldConfig,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    import GoldJoinOps.{StreamDim, StreamStar, StreamTemporal}
+    val dir = goldStreamPath(entity)
+    val storeDir = s"$dir/store"
+    val audit = Seq(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
+    def requireFullMode(e: String): Unit =
+      require(tableProp(spark, params.silverFqn(e),
+          BucketCountProp).isEmpty,
+        s"gold.$entity: streaming-cadence input '$e' is published by " +
+          "silver_mode=incremental (bucketed layout - no versioned " +
+          "snapshots to diff); streaming marts need full-mode silver")
+    def liveVersion(e: String): Long =
+      tableVersions(e).find(_.live).map(_.version).getOrElse(
+        throw new IllegalStateException(
+          s"gold.$entity: streaming-cadence input '$e' has no live " +
+            "silver version yet - publish it before this entity"))
+    requireFullMode(entity)
+    def deltaFrame(e: String, pk: Seq[String], signed: Boolean)(
+        from: Option[Long], to: Long): DataFrame = from match {
+      case None =>
+        val base = readVersion(e, to).drop(audit: _*)
+        if (signed) base.withColumn("_cdc_sign", lit(1L))
+        else base.withColumn("_cdc_deleted", lit(false))
+      case Some(f) =>
+        val d = if (signed) signedChangeFeed(e, f, to, pk)
+          else changeFeed(e, f, to, pk)
+        d.drop(audit: _*)
+    }
+    val mart = g.aggregate match {
+      case Some(a) =>
+        maintainFeed(s"$dir/feed_$entity",
+          deltaFrame(entity, cfg.uniquePrimaryKey, signed = true),
+          liveVersion(entity),
+          stream => runAvailableNow(
+            GoldAggOps.goldAggSink(stream, a, storeDir,
+              s"$dir/cp_$entity", signCol = Some("_cdc_sign"),
+              compactAfter = g.compactAfter)))
+        GoldAggOps.readMart(spark, storeDir, a)
+      case None =>
+        val factColsL = spark.read.table(params.silverFqn(entity))
+          .columns.map(_.toLowerCase).toSet
+        val dims = g.join.map { j =>
+          require(j.layer == "silver",
+            s"gold.$entity: streaming-cadence marts read silver dims " +
+              s"(dim '${j.entity}' declares layer '${j.layer}'; " +
+              "chained gold-layer dims need cadence 'batch')")
+          requireFullMode(j.entity)
+          val dimColsL = spark.read.table(params.silverFqn(j.entity))
+            .columns.map(_.toLowerCase).toSet
+          val keys = j.temporal match {
+            case Some(_) =>
+              Seq(temporalJoinKey(entity, j, factColsL, dimColsL))
+            case None => starJoinKeys(entity, j, factColsL, dimColsL)
+          }
+          StreamDim(j.entity, keys, joinType = j.joinType,
+            deleteCol =
+              if (j.temporal.isEmpty) Some("_cdc_deleted") else None,
+            temporal = j.temporal.map(t =>
+              StreamTemporal(t.factTs, t.dimTs, t.tieBreak, t.attrs)))
+        }
+        val star = StreamStar(cfg.uniquePrimaryKey, dims,
+          select = g.select, factDeleteCol = Some("_cdc_deleted"))
+        (g.join zip dims).foreach { case (j, d) =>
+          // the dim's CDC grain: its join keys for a flat star dim
+          // (required unique there), the change id for temporal history
+          val pk = j.temporal.map(t => Seq(t.tieBreak))
+            .getOrElse(d.keys.map(_._2))
+          maintainFeed(s"$dir/feed_${j.entity}",
+            (from, to) => {
+              val raw = deltaFrame(j.entity, pk, signed = false)(from, to)
+              if (j.temporal.nonEmpty) {
+                // an SCD2 change stream is append-only history: a
+                // retracted change row cannot be replayed into the
+                // interval store - rebuild instead of guessing
+                require(raw.filter(col("_cdc_deleted")).limit(1).isEmpty,
+                  s"gold.$entity: temporal dim '${j.entity}' retracted " +
+                    "change rows between consumed versions - clear " +
+                    s"$dir and rebuild (append-only history)")
+                raw.drop("_cdc_deleted")
+              } else raw
+            },
+            liveVersion(j.entity),
+            stream => runAvailableNow(
+              GoldJoinOps.dimSink(stream, j.entity, star, storeDir,
+                s"$dir/cp_${j.entity}", compactAfter = g.compactAfter)))
+        }
+        maintainFeed(s"$dir/feed_$entity",
+          deltaFrame(entity, cfg.uniquePrimaryKey, signed = false),
+          liveVersion(entity),
+          stream => runAvailableNow(
+            GoldJoinOps.factSink(stream, star, storeDir,
+              s"$dir/cp_$entity", compactAfter = g.compactAfter)))
+        GoldJoinOps.readMart(spark, storeDir, star)
+    }
+    goldGate(entity, g, mart, mart, obs)
+  }
+
   /** Cluster layout + the expectation tiers over a curated frame — the
     * publish-side tail shared by full and incremental gold. */
   private def goldGate(entity: String, g: GoldConfig, curated: DataFrame,
@@ -2669,6 +2877,15 @@ final class PipelineRunner(
         "gold republish (content identical by construction)")
       false
     } else {
+    if (fullRefresh && g.cadence == "streaming") {
+      // full refresh clears the whole stream state (stores, feed dirs,
+      // checkpoints) — the next run re-feeds the live versions as
+      // initial loads, exactly a fresh deployment
+      val p = new org.apache.hadoop.fs.Path(goldStreamPath(entity))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      log(s"gold.$entity: full refresh cleared the streaming mart state")
+    }
     if (fullRefresh && g.mode == "incremental") {
       // full refresh rebuilds the prefix cache from scratch (mirrors the
       // bronze checkpoint reset): the next watermark read sees no batches
@@ -2685,7 +2902,8 @@ final class PipelineRunner(
     val obs = Option.when(g.anyExpectations)(
       new org.apache.spark.sql.Observation(s"expectations_gold_$entity"))
     val frame =
-      if (g.aggregate.nonEmpty && g.mode == "incremental")
+      if (g.cadence == "streaming") buildGoldStreamMart(entity, cfg, g, obs)
+      else if (g.aggregate.nonEmpty && g.mode == "incremental")
         buildGoldAggIncremental(entity, cfg, g, obs)
       else if (g.aggregate.nonEmpty) buildGoldAggFrame(entity, cfg, g, obs)
       else if (g.join.nonEmpty && g.mode == "incremental")

@@ -336,6 +336,112 @@ class PipelineSpec extends AnyFunSuite {
       s"replayed change feed did not converge to the v2 join state: $mart")
   }
 
+  test("gold.cadence streaming: config-declared marts are maintained " +
+      "by the stream-store sinks across triggered CDC runs — the " +
+      "aggregate totals and the join mart equal their batch twins " +
+      "after updates, a gate-tombstone delete, and a dim change; the " +
+      "store, checkpoints and feed pairs persist across runs") {
+    import spark.implicits._
+    val src = tmpDir("gcs-src"); val store = tmpDir("gcs-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "expect_all_or_drop": {"ok": "amount IS NOT NULL"},
+        |  "gold": {"cadence": "streaming",
+        |    "join": [{"entity": "shops", "on": "shop_id = s_id"}],
+        |    "select": ["sale_id", "amount", "s_name AS shop"]}
+        |},
+        |"shops": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"]
+        |},
+        |"receipts": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"],
+        |  "expect_all_or_drop": {"ok": "amount IS NOT NULL"},
+        |  "gold": {"cadence": "streaming",
+        |    "aggregate": {"group_by": ["grp"],
+        |      "aggs": [{"op": "count", "as": "n"},
+        |               {"op": "sum_x1e6", "expr": "amount",
+        |                "as": "total_x1e6"}]}}
+        |}}""".stripMargin)
+    Seq((1L, java.lang.Double.valueOf(5.0), 10L),
+        (2L, java.lang.Double.valueOf(6.0), 20L))
+      .toDF("sale_id", "amount", "shop_id").write.parquet(s"$src/sales")
+    Seq((10L, "North"), (20L, "South"))
+      .toDF("s_id", "s_name").write.parquet(s"$src/shops")
+    Seq((1L, java.lang.Double.valueOf(1.5), "a"),
+        (2L, java.lang.Double.valueOf(2.5), "a"),
+        (3L, java.lang.Double.valueOf(4.0), "b"))
+      .toDF("r_id", "amount", "grp").write.parquet(s"$src/receipts")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "gcstream")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val p1 = run("2024-09-01 00:00:00")
+    assert(spark.table(p1.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 5.0, "North"), (2L, 6.0, "South")),
+      "initial streaming join mart wrong")
+    assert(spark.table(p1.goldFqn("receipts")).orderBy($"grp")
+        .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 4000000L), ("b", 1L, 4000000L)),
+      "initial streaming aggregate mart wrong")
+    // wave 2: sale 1 moves shop + amount, sale 2 DELETES via the gate
+    // tombstone (null amount drops at silver -> a 'removed' CDC image);
+    // a new sale 3; receipt 3 deletes, receipt 4 arrives in grp b;
+    // shop 20 renames (dim delta -> affected-fact re-derivation)
+    Seq((1L, java.lang.Double.valueOf(7.5), 20L),
+        (2L, null.asInstanceOf[java.lang.Double], 20L),
+        (3L, java.lang.Double.valueOf(9.0), 10L))
+      .toDF("sale_id", "amount", "shop_id")
+      .write.mode("append").parquet(s"$src/sales")
+    Seq((20L, "South2")).toDF("s_id", "s_name")
+      .write.mode("append").parquet(s"$src/shops")
+    Seq((3L, null.asInstanceOf[java.lang.Double], "b"),
+        (4L, java.lang.Double.valueOf(10.0), "b"))
+      .toDF("r_id", "amount", "grp")
+      .write.mode("append").parquet(s"$src/receipts")
+    val p2 = run("2024-09-02 00:00:00")
+    // twins: the published gold equals the batch star / aggregate over
+    // the FINAL silver state — the stream machinery must be invisible
+    val joinTwin = spark.table(p2.silverFqn("sales"))
+      .join(spark.table(p2.silverFqn("shops")),
+        $"shop_id" === $"s_id")
+      .select($"sale_id", $"amount", $"s_name".as("shop"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(spark.table(p2.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == joinTwin &&
+      joinTwin == Set((1L, 7.5, "South2"), (3L, 9.0, "North")),
+      "streaming join mart diverged from the batch star after wave 2")
+    val aggTwin = spark.table(p2.silverFqn("receipts"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"),
+        sum(floor($"amount" * lit(1e6))).as("total_x1e6"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(spark.table(p2.goldFqn("receipts"))
+        .as[(String, Long, Long)].collect().toSet == aggTwin,
+      "streaming aggregate mart diverged from the batch twin")
+    // the stream state persisted and advanced across runs: one feed
+    // pair per consumed version transition, live markers in the store
+    val salesFeed = new java.io.File(
+      s"$store/gold_stream/sales/feed_sales")
+    val pairs = salesFeed.listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(pairs.exists(_.startsWith("v-1_")) && pairs.size == 2,
+      s"expected the initial-load pair and one delta pair, got $pairs")
+    assert(new java.io.File(
+        s"$store/gold_stream/sales/store/_fact_marker").isFile &&
+      new java.io.File(
+        s"$store/gold_stream/receipts/store/_last_batch").isFile,
+      "stream-store replay markers missing")
+    // run 3 with NO changes: published content stays identical
+    val p3 = run("2024-09-03 00:00:00")
+    assert(spark.table(p3.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == joinTwin,
+      "an idle run changed the streaming join mart")
+  }
+
   test("no-change run skip: a second run over an unchanged feed " +
       "publishes no new silver/gold version (metadata-only); new files " +
       "or a changed config force a republish; content always identical") {
