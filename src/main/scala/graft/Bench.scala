@@ -66,6 +66,38 @@ object Bench {
       }.min
     }
     val calibBefore = calibrate()
+    // MID-SUITE probe series (r12 verdict: a per-query driver outlier —
+    // q_pagerank at 1.8× its folded record — could only be adjudicated
+    // by scoped re-runs after the fact; the end-point probes bound the
+    // run's AVERAGE load, not a transient spike mid-suite). One
+    // single-shot probe pass every ~25 queries, recorded as
+    // `calib_series` [(queries_completed, sec), ...]: a query timed
+    // inside a neighborhood whose probe reads ≳2× the idle floor is
+    // self-adjudicating as environment, not regression. Single-shot by
+    // design — the warmed-up probe is stable enough for a 2× signal and
+    // 11 extra passes cost ~5 s across the suite.
+    val calibEvery = 25
+    val calibSeries =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def probeAt(done: Int, names: Seq[String]): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      // reuse the calibrate() workload via one explicit pass
+      import org.apache.spark.sql.functions._
+      spark.range(0L, 8L * 1000L * 1000L, 1L, 32)
+        .select(pmod(xxhash64(col("id")), lit(4096L)).as("k"),
+          pmod(xxhash64(col("id"), lit(1L)), lit(1048576L)).as("h"))
+        .groupBy(col("k"))
+        .agg(sum(col("h")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("s")), sum(col("n"))).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      calibSeries += ((done, sec))
+      if (sec > 2.0 * calibBefore)
+        System.err.println(f"[bench] WARNING: mid-suite probe after " +
+          f"$done queries read $sec%.3f s (idle floor $calibBefore%.3f)" +
+          s" - timings for [${names.mkString(", ")}] ran on a LOADED " +
+          "box; prefer scoped re-runs before reading them as regressions")
+    }
     // warmup: pay JVM/JIT/codegen/session init once, outside the timings —
     // one full pass over every query at the smallest scale factor compiles
     // and JITs each query's generated code, so the measured runs below see
@@ -94,7 +126,9 @@ object Bench {
         System.err.println(s"[bench] warmup failed on $warmDir: $e")
       }
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var sinceProbe = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = selected.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), qIdx) =>
       // min of two measured runs: single-shot timings on a shared box
       // swing ±30% run-to-run (scheduler/page-cache/GC noise); the min is
       // the standard steady-state estimator. GC between timings keeps an
@@ -133,6 +167,11 @@ object Bench {
           s"got only ${times.size} measured run(s) (SPARK_GRAFT_RUNS=" +
           s"$benchRuns); the reported time includes the one-off " +
           "history-build fixture, NOT the steady-state per-publish cost")
+      sinceProbe += name
+      if ((qIdx + 1) % calibEvery == 0) {
+        probeAt(qIdx + 1, sinceProbe.toSeq)
+        sinceProbe = scala.collection.mutable.ArrayBuffer.empty[String]
+      }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -146,8 +185,11 @@ object Bench {
         failed.map(_._1).mkString(", "))
     val total = results.map(_._2).filter(_ >= 0).sum
     val calibAfter = calibrate()
+    val series = calibSeries
+      .map { case (n, s) => s"[$n,$s]" }.mkString("[", ",", "]")
     val calib =
-      s""""calib_before_s":$calibBefore,"calib_after_s":$calibAfter"""
+      s""""calib_before_s":$calibBefore,"calib_after_s":$calibAfter,""" +
+        s""""calib_series":$series"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
     // The full per-query JSON line is >4 KB at 111 queries and the driver's
