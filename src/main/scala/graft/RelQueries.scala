@@ -1633,6 +1633,70 @@ object RelQueries {
         .orderBy(col("user_id"))
     }),
 
+    // -- [EXT]: T4 watermark late-data DROP on the oracle gate — the
+    //    one §2 row whose semantics were spec-only. A REAL two-batch
+    //    stream (two staged wave files, maxFilesPerTrigger=1, mod-time
+    //    ordered): batch 1 (event_id % 3 != 0) advances the watermark
+    //    to max(ts)-delay; batch 2 (% 3 == 0) arrives "late" — rows
+    //    whose hour window closed at or before that watermark are
+    //    DROPPED by the stateful aggregation; append mode emits exactly
+    //    the windows the FINAL watermark closed. The oracle replays the
+    //    contract in SQL: Spark tracks the watermark in MILLISECONDS
+    //    (max event-time ms − delay ms), drops a late row when its
+    //    window end <= watermark, and emits a window when its end <=
+    //    the final watermark. delay = 3599999 ms (deliberately not a
+    //    round hour) so the ms-floored watermark can never collide with
+    //    an hour-aligned window boundary.
+    "q_stream_late_drop" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = graft.analytics.Tables.withEpochMicros(
+          graft.analytics.Tables(s, dir, "events"))
+        .select(col("event_id"), col("ts_us"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-latedrop")
+      val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def wave(name: String, df: DataFrame, mtime: Long): Unit = {
+        val stagedir = tmp.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(stagedir.toString)
+        val part = stagedir.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(mtime)
+        ()
+      }
+      val now = System.currentTimeMillis()
+      wave("w1", ev.filter(col("event_id") % 3 =!= 0), now - 600000L)
+      // the empty middle batch consumes Spark's one-batch LAG between
+      // the eviction watermark and the late-events watermark (since
+      // 3.4 the late filter uses the PREVIOUS batch's watermark, so a
+      // late wave arriving in the immediately-next batch would not be
+      // filtered at all — probed empirically)
+      wave("mid", ev.limit(0), now - 300000L)
+      wave("w2", ev.filter(col("event_id") % 3 === 0), now)
+      val out = tmp.resolve("out").toString
+      val stream = s.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in.toString)
+      stream
+        .withColumn("ev_time", timestamp_micros(col("ts_us")))
+        .withWatermark("ev_time", "3599999 milliseconds")
+        .groupBy(window(col("ev_time"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("win_start_us"),
+          col("n"))
+        .writeStream
+        .outputMode("append") // emit-on-close: the watermark contract
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.parquet(out).orderBy(col("win_start_us"))
+    }),
+
     // -- [EXT]: personalized PageRank (TrustRank) — teleport/dangling
     //    mass returns only to the trusted seed set (suppliers of
     //    nations 0-4); rank = proximity to trust, the seed-biased
@@ -4247,6 +4311,31 @@ object RelQueries {
         |     + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END)::INTEGER AS depth
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    // the watermark contract replayed in SQL: wm after wave 1 =
+    // ms-floored max(ts) − 3599999 ms; a wave-2 row is DROPPED when its
+    // hour window's end <= that wm; emitted windows are exactly those
+    // whose end <= the final wm over everything seen (late rows still
+    // advance it — the stats collector sits above the scan)
+    "q_stream_late_drop" ->
+      """WITH w1 AS (SELECT epoch_us(ts) AS t FROM events
+        |            WHERE event_id % 3 <> 0),
+        |w2 AS (SELECT epoch_us(ts) AS t FROM events
+        |       WHERE event_id % 3 = 0),
+        |wm1 AS (SELECT ((max(t) // 1000) - 3599999) * 1000 AS v FROM w1),
+        |wmf AS (SELECT ((max(t) // 1000) - 3599999) * 1000 AS v
+        |        FROM (SELECT t FROM w1 UNION ALL SELECT t FROM w2)),
+        |kept AS (
+        |  SELECT t FROM w1
+        |  UNION ALL
+        |  SELECT t FROM w2
+        |  WHERE ((t // 3600000000) + 1) * 3600000000 > (SELECT v FROM wm1))
+        |SELECT (t // 3600000000) * 3600000000 AS win_start_us,
+        |  count(*)::BIGINT AS n
+        |FROM kept
+        |GROUP BY 1
+        |HAVING win_start_us + 3600000000 <= (SELECT v FROM wmf)
+        |ORDER BY 1""".stripMargin,
 
     // the sliding-funnel CTEs collapsed to per-step reach counts; lag's
     // third argument defaults step 1's previous count to its own value
