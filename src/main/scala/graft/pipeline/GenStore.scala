@@ -101,13 +101,20 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
 
   private val genMarkerP = marker.getOrElse(new Path(root, "_gen"))
 
+  /** Absent marker = generation 0 (new or legacy store). An EXISTING
+    * but unreadable marker fails loud: falling back to 0 would point
+    * [[dataDir]] at a long-swept `g0` and the store would silently
+    * read as EMPTY (totals reset, history "lost") — the catastrophic
+    * form of the marker-corruption class the atomic writes close. */
   private def readGen(): Long =
-    if (!fs.exists(genMarkerP)) 0L
-    else {
-      val in = fs.open(genMarkerP)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.trim.toLongOption.getOrElse(0L)
+    StoreMarkers.readText(fs, genMarkerP) match {
+      case None => 0L
+      case Some(txt) => txt.toLongOption.getOrElse(
+        throw new IllegalStateException(
+          s"generation marker $genMarkerP is unreadable ('$txt') - " +
+            "refusing to fall back to generation 0 (a swept g0 would " +
+            "read as an empty store); restore the marker to the live " +
+            "generation number"))
     }
 
   /** Live data directory (`<root>/g<N>`) — resolve per use, never
@@ -333,11 +340,8 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
                   "runs")
             }
           }
-          if (readGen() < nextGen) {
-            val gm = fs.create(genMarkerP, true)
-            try gm.write(nextGen.toString.getBytes("UTF-8"))
-            finally gm.close()
-          }
+          if (readGen() < nextGen)
+            StoreMarkers.writeAtomic(fs, genMarkerP, nextGen.toString)
           fs.delete(intentP, false)
           fs.listStatus(new Path(root))
             .filter(st => st.isDirectory &&
@@ -357,9 +361,9 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
     * marker writes leaves a STALE-LOW baseline, which only makes the
     * next rewrite fire sooner — never skip. */
   private def swapTo(gen: Long, label: String, what: String): Unit = {
-    val gm = fs.create(genMarkerP, true)
-    try gm.write((gen + 1L).toString.getBytes("UTF-8"))
-    finally gm.close()
+    // atomic replace: a truncate-then-write crash here would leave an
+    // EMPTY marker and readGen would have no generation to trust
+    StoreMarkers.writeAtomic(fs, genMarkerP, (gen + 1L).toString)
     val newBytes = {
       val d = new Path(s"$root/g${gen + 1L}")
       if (!fs.exists(d)) 0L

@@ -185,8 +185,12 @@ final class PipelineRunner(
         .join(ch.filter(col("status").isin(statuses: _*))
           .select(pkCols.map(col): _*), pkCols, "left_semi")
         .withColumn("_cdc_deleted", lit(deleted))
+    // allowMissingColumns: under schema evolution (S7) the FROM
+    // version's delete images lack columns the TO version added —
+    // null-fill them (the image is the row's last known state)
     img(toVersion, Seq("added", "changed"), deleted = false)
-      .unionByName(img(fromVersion, Seq("removed"), deleted = true))
+      .unionByName(img(fromVersion, Seq("removed"), deleted = true),
+        allowMissingColumns = true)
   }
 
   /** SIGNED row deltas between two published versions — the feed shape
@@ -206,7 +210,8 @@ final class PipelineRunner(
           .select(pkCols.map(col): _*), pkCols, "left_semi")
         .withColumn("_cdc_sign", lit(sign))
     side(toVersion, Seq("added", "changed"), 1L)
-      .unionByName(side(fromVersion, Seq("removed", "changed"), -1L))
+      .unionByName(side(fromVersion, Seq("removed", "changed"), -1L),
+        allowMissingColumns = true)
   }
 
   /** Table properties carried from the reference (Delta-specific knobs
@@ -2227,20 +2232,30 @@ final class PipelineRunner(
     val consumedP = new Path(feedDir, "_consumed")
     def marker: Option[Long] =
       StoreMarkers.readText(fs, consumedP).flatMap(_.toLongOption)
-    def dirsMax: Option[Long] =
-      if (!fs.exists(new Path(feedDir))) None
+    def pairDirs: Seq[(Long, Path)] =
+      if (!fs.exists(new Path(feedDir))) Seq.empty
       else fs.listStatus(new Path(feedDir)).filter(_.isDirectory)
-        .flatMap(_.getPath.getName match {
-          case FeedDirRe(_, to) => to.toLongOption
+        .flatMap(st => st.getPath.getName match {
+          case FeedDirRe(_, to) => to.toLongOption.map(_ -> st.getPath)
           case _                => None
-        }).maxOption
-    def drain(): Unit = dirsMax.foreach { hi =>
-      if (marker.forall(_ < hi)) {
-        val schema = spark.read.option("recursiveFileLookup", "true")
-          .parquet(feedDir).schema
-        runSink(spark.readStream.schema(schema).parquet(s"$feedDir/v*"))
-        StoreMarkers.writeAtomic(fs, consumedP, hi.toString)
-      }
+        }).toSeq
+    def dirsMax: Option[Long] = pairDirs.map(_._1).maxOption
+    def drain(): Unit = pairDirs.maxByOption(_._1).foreach {
+      case (hi, newest) =>
+        if (marker.forall(_ < hi)) {
+          // schema from the NEWEST pair: plain directory inference
+          // takes the FIRST file's footer, and 'v-1_*' sorts before
+          // 'v<k>_*', so the initial load's schema would win forever —
+          // a column added by silver schema evolution (S7) would be
+          // silently dropped from every later delta. The at-most-one-
+          // unconsumed-pair invariant means the newest pair IS the one
+          // being drained (older pairs are already in the checkpoint's
+          // seen-files log and are re-read as no-ops).
+          val schema = spark.read.parquet(newest.toString).schema
+          runSink(spark.readStream.schema(schema)
+            .parquet(s"$feedDir/v*"))
+          StoreMarkers.writeAtomic(fs, consumedP, hi.toString)
+        }
     }
     drain()
     val from = (dirsMax.toSeq ++ marker.toSeq).maxOption
@@ -2294,6 +2309,41 @@ final class PipelineRunner(
     val dir = goldStreamPath(entity)
     val storeDir = s"$dir/store"
     val audit = Seq(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
+    // DERIVATION fingerprint: the persisted store's rows were derived
+    // under a specific (pk, select, join, aggregate) shape. Without
+    // this, a config edit would leave every already-derived row under
+    // the OLD projection — the consumed versions match the live ones,
+    // so nothing re-derives and the mart silently publishes the old
+    // (or a mixed) shape while its table props claim the new config.
+    // On mismatch the whole stream state (stores, feeds, checkpoints)
+    // clears and rebuilds from the live versions — derived state,
+    // logged loud, self-healing; the batch full path is immune
+    // (rebuilds per run) and the batch-incremental stores carry their
+    // own consumed-version discipline.
+    val derivFp = {
+      val shape = (cfg.uniquePrimaryKey, g.select,
+        g.join.map(j => (j.entity, j.on, j.joinType, j.layer,
+          j.temporal.map(t => (t.factTs, t.dimTs, t.tieBreak, t.attrs)))),
+        g.aggregate.map(a =>
+          (a.groupBy, a.aggs.map(x => (x.op, x.expr, x.as))))).toString
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(shape.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fsS = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fpP = new org.apache.hadoop.fs.Path(dir, "_deriv_fp")
+    StoreMarkers.readText(fsS, fpP).foreach { old =>
+      if (old != derivFp) {
+        log(s"gold.$entity: the streaming mart's derivation config " +
+          "changed (select/join/aggregate/pk) - clearing the stream " +
+          s"state at $dir and rebuilding from the live versions")
+        fsS.delete(dirP, true)
+      }
+    }
+    if (!fsS.exists(fpP)) {
+      fsS.mkdirs(dirP)
+      StoreMarkers.writeAtomic(fsS, fpP, derivFp)
+    }
     def requireFullMode(e: String): Unit =
       require(tableProp(spark, params.silverFqn(e),
           BucketCountProp).isEmpty,

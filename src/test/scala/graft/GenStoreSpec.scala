@@ -92,6 +92,26 @@ class GenStoreSpec extends AnyFunSuite {
       200000L + 1 + 4 + 200000L * 2 + 65)
   }
 
+  test("a corrupted generation marker fails loud instead of falling " +
+      "back to generation 0 (a swept g0 would read as an EMPTY store)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("genstore-badgen").toString + "/st"
+    val st = mkStore(root)
+    (1 to 3).foreach(i => append(st, 5, i))
+    runCompact(st, 1) // establishes g1 and sweeps g0
+    assert(gen(root) == "1")
+    // corrupt through the Hadoop fs (keeps the checksum sidecar in
+    // sync — tampering below the fs layer fails loud on the read side
+    // via ChecksumException, which is also acceptable)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(root, "_gen"), true)
+    try out.write("garbage".getBytes("UTF-8")) finally out.close()
+    val e = intercept[IllegalStateException] { mkStore(root).dataDir }
+    assert(e.getMessage.contains("refusing to fall back to generation 0"),
+      e.getMessage)
+  }
+
   test("StoreMarkers.writeAtomic replaces an existing marker in place " +
       "(no truncate-then-write window) and round-trips through readText") {
     val root = java.nio.file.Files

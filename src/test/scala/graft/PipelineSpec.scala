@@ -442,6 +442,68 @@ class PipelineSpec extends AnyFunSuite {
       "an idle run changed the streaming join mart")
   }
 
+  test("gold.cadence streaming: silver schema evolution flows into the " +
+      "mart (the feed schema tracks the NEWEST pair, not the initial " +
+      "load's), and a derivation-config edit rebuilds the stream state " +
+      "instead of publishing a stale projection") {
+    import spark.implicits._
+    val src = tmpDir("gcse-src"); val store = tmpDir("gcse-store")
+    def writeCfg(select: String): Unit =
+      Files.writeString(Path.of(src, "dp_config_template.json"),
+        s"""{"sales": {
+           |  "raw_file_format": "parquet",
+           |  "unique_primary_key": ["sale_id"],
+           |  "gold": {"cadence": "streaming",
+           |    "join": [{"entity": "shops", "on": "shop_id = s_id"}]$select}
+           |},
+           |"shops": {
+           |  "raw_file_format": "parquet",
+           |  "unique_primary_key": ["s_id"]
+           |}}""".stripMargin)
+    writeCfg("") // empty select = every column the join produces
+    Seq((1L, 5.0, 10L)).toDF("sale_id", "amount", "shop_id")
+      .write.parquet(s"$src/sales")
+    Seq((10L, "North")).toDF("s_id", "s_name")
+      .write.parquet(s"$src/shops")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "gcsevo")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val p1 = run("2024-10-01 00:00:00")
+    val cols1 = spark.table(p1.goldFqn("sales")).columns.toSet
+    assert(cols1.contains("amount") && cols1.contains("s_name") &&
+      !cols1.contains("note"), s"initial mart columns wrong: $cols1")
+    // wave 2 ADDS a column (S7 schema evolution): the new delta pair
+    // carries it and the mart must too — the old bug inferred the feed
+    // schema from the initial-load pair and silently dropped it
+    Seq((2L, 7.0, 10L, "rush")).toDF("sale_id", "amount", "shop_id", "note")
+      .write.mode("append").parquet(s"$src/sales")
+    val p2 = run("2024-10-02 00:00:00")
+    val m2 = spark.table(p2.goldFqn("sales"))
+      .select($"sale_id", $"note").as[(Long, Option[String])]
+      .collect().toMap
+    assert(m2 == Map(1L -> None, 2L -> Some("rush")),
+      s"evolved column did not flow into the streaming mart: $m2")
+    // config edit (projection change): consumed versions equal the live
+    // ones, so nothing would re-derive — the derivation fingerprint
+    // must clear and REBUILD the stream state under the new shape
+    writeCfg(""",
+      |    "select": ["sale_id", "s_name AS shop"]""".stripMargin)
+    val p3 = run("2024-10-03 00:00:00")
+    val g3 = spark.table(p3.goldFqn("sales"))
+    // every row re-derived under the NEW projection (the rebuild —
+    // without it the consumed versions equal the live ones and nothing
+    // re-derives, so 'shop' would be null for the old rows)
+    assert(g3.select($"sale_id", $"shop").as[(Long, String)]
+        .collect().toSet == Set((1L, "North"), (2L, "North")),
+      "rebuilt mart content wrong")
+    // the catalog keeps superseded columns ADDITIVELY (the shared S7
+    // publish posture, all gold modes alike) but their stale VALUES
+    // are gone — the new version's data carries only the new shape
+    assert(g3.filter($"amount".isNotNull).isEmpty,
+      "stale projection values survived the config-edit rebuild")
+  }
+
   test("no-change run skip: a second run over an unchanged feed " +
       "publishes no new silver/gold version (metadata-only); new files " +
       "or a changed config force a republish; content always identical") {
