@@ -2220,9 +2220,10 @@ final class PipelineRunner(
     * marker (atomic replace) only gates the drain; the next pair's
     * `from` is max(marker, newest pair on disk), so a stale-low marker
     * after a crash re-drains idempotently and can never mint an
-    * overlapping delta. Consumed pairs are retained as the feed's
-    * replayable history (bounded by O(changes); vacuum by deleting
-    * pairs below the marker — the marker then carries the high water). */
+    * overlapping delta. Consumed pairs VACUUM at the end of each pass
+    * (the marker carries the high water, the checkpoint owns replay,
+    * and pair names are monotone so a deleted name never recurs) — the
+    * feed holds at most the one in-flight pair, not run history. */
   private def maintainFeed(feedDir: String,
       delta: (Option[Long], Long) => DataFrame, liveVersion: Long,
       runSink: DataFrame => Unit): Unit = {
@@ -2272,6 +2273,15 @@ final class PipelineRunner(
       }
     }
     drain()
+    // vacuum consumed pairs: the `_consumed` marker carries the high
+    // water for the next `from`, the file-source checkpoint owns
+    // replay (a logged file is never re-requested), and version pairs
+    // are monotone so a deleted name can never recur as new data —
+    // without this the feed grows with O(total run history)
+    marker.foreach { m =>
+      pairDirs.filter(_._1 <= m).foreach { case (_, p) =>
+        fs.delete(p, true) }
+    }
   }
 
   /** STREAMING-cadence mart (`gold.cadence: "streaming"`): the mart

@@ -422,14 +422,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(p2.goldFqn("receipts"))
         .as[(String, Long, Long)].collect().toSet == aggTwin,
       "streaming aggregate mart diverged from the batch twin")
-    // the stream state persisted and advanced across runs: one feed
-    // pair per consumed version transition, live markers in the store
+    // the stream state persisted and advanced across runs: consumed
+    // feed pairs VACUUM (the _consumed marker carries the high water),
+    // live replay markers in the store
     val salesFeed = new java.io.File(
       s"$store/gold_stream/sales/feed_sales")
     val pairs = salesFeed.listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
-    assert(pairs.exists(_.startsWith("v-1_")) && pairs.size == 2,
-      s"expected the initial-load pair and one delta pair, got $pairs")
+    assert(pairs.isEmpty,
+      s"consumed feed pairs were not vacuumed: $pairs")
+    assert(new java.io.File(s"$salesFeed/_consumed").isFile,
+      "feed high-water marker missing after vacuum")
     assert(new java.io.File(
         s"$store/gold_stream/sales/store/_fact_marker").isFile &&
       new java.io.File(
