@@ -939,6 +939,28 @@ object RelQueries {
         .orderBy(col("event_id"))
     }),
 
+    // -- [EXT]: LEFT temporal join (the r13 capability, on the gate):
+    //    the dim history is THINNED to even event_ids, so some users
+    //    have no history at all and many facts precede their user's
+    //    first interval — under "left" those facts survive with the
+    //    interval/attribute columns null-filled instead of dropping
+    //    (inner = the q_scd2_join row above). Same hash join + residual
+    //    range filter; cardinality-preserving because at most one
+    //    interval matches per fact.
+    "q_scd2_join_left" -> ((s, dir) => {
+      val e = events(s, dir)
+      val dim = Scd2.scd2(e.filter(col("event_id") % 2 === 0),
+        "user_id", "ts_us", "event_id", Seq("event_type"))
+      val facts = e.select(col("event_id"), col("user_id"), col("ts_us"))
+      Scd2.temporalJoin(facts, dim
+            .select(col("user_id"), col("src_event_id"), col("event_type"),
+              col("valid_from"), col("valid_to")),
+          "user_id", "ts_us", "left")
+        .select(col("event_id"), col("user_id"), col("src_event_id"),
+          col("event_type").as("dim_type"), col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- [EXT]: LOCF gap fill — NULLs (synthetically punched into every
     //    5th event's value; the corpus has no natural NULLs) carry the
     //    latest preceding per-user observation forward. One key-hash
@@ -5973,6 +5995,34 @@ object RelQueries {
         |SELECT e.event_id, e.user_id, s.src_event_id,
         |  s.event_type AS dim_type, s.valid_from
         |FROM e JOIN scd s ON e.user_id = s.user_id
+        |  AND e.ts_us >= s.valid_from
+        |  AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // the LEFT form over a THINNED history (even event_ids only):
+    // facts before their user's first interval, or whose user has no
+    // history, keep a null-filled row
+    "q_scd2_join_left" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |h AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |c AS (SELECT user_id, event_id, event_type, ts_us,
+        |        lag(event_type) OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS prev,
+        |        row_number() OVER (
+        |          PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |      FROM h),
+        |ch AS (SELECT user_id, event_id, event_type, ts_us FROM c
+        |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |scd AS (SELECT user_id, event_id AS src_event_id, event_type,
+        |          ts_us AS valid_from,
+        |          lead(ts_us) OVER (
+        |            PARTITION BY user_id ORDER BY ts_us, event_id)
+        |            AS valid_to
+        |        FROM ch)
+        |SELECT e.event_id, e.user_id, s.src_event_id,
+        |  s.event_type AS dim_type, s.valid_from
+        |FROM e LEFT JOIN scd s ON e.user_id = s.user_id
         |  AND e.ts_us >= s.valid_from
         |  AND (s.valid_to IS NULL OR e.ts_us < s.valid_to)
         |ORDER BY e.event_id""".stripMargin,
