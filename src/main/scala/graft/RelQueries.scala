@@ -1675,6 +1675,7 @@ object RelQueries {
           graft.analytics.Tables(s, dir, "events"))
         .select(col("event_id"), col("ts_us"))
       val tmp = java.nio.file.Files.createTempDirectory("graft-latedrop")
+      try {
       val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
       def wave(name: String, df: DataFrame, mtime: Long): Unit = {
         val stagedir = tmp.resolve(s"stage_$name")
@@ -1701,7 +1702,7 @@ object RelQueries {
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
         .parquet(in.toString)
-      stream
+      val q = stream
         .withColumn("ev_time", timestamp_micros(col("ts_us")))
         .withWatermark("ev_time", "3599999 milliseconds")
         .groupBy(window(col("ev_time"), "1 hour"))
@@ -1715,8 +1716,48 @@ object RelQueries {
         }
         .option("checkpointLocation", tmp.resolve("cp").toString)
         .trigger(Trigger.AvailableNow())
-        .start().awaitTermination()
+        .start()
+      q.awaitTermination()
+      // PIN the probed Spark internals the oracle depends on, so a
+      // Spark upgrade that changes them fails THIS require loud with a
+      // name instead of silently hash-mismatching the gate. The
+      // oracle's replay assumes exactly: (1) one micro-batch per staged
+      // file in mod-time order plus ONE trailing no-data batch doing
+      // the final eviction (4 progresses); (2) the w2 batch runs
+      // against the ms-floored watermark of w1's data — max(w1 ts)//
+      // 1000 − delay — i.e. the empty 'mid' batch consumed Spark's
+      // one-batch late-filter lag and nothing fresher leaked in; (3)
+      // the final watermark advanced to max(all ts)//1000 − delay (the
+      // emit-on-close bound the oracle's HAVING replays). NOT pinned
+      // via numRowsDroppedByWatermark: that metric counts pre-shuffle
+      // window-PARTIALS, so its value depends on input partitioning.
+      val delayMs = 3599999L
+      def wmExpect(f: DataFrame): Long = f
+        .agg(max(floor(col("ts_us") / 1000L)).as("m"))
+        .collect()(0).getLong(0) - delayMs
+      val wm1Ms = wmExpect(ev.filter(col("event_id") % 3 =!= 0))
+      val wmfMs = wmExpect(ev)
+      val progs = q.recentProgress.toSeq.sortBy(_.batchId)
+      def wmOf(i: Int): Long = java.time.Instant
+        .parse(progs(i).eventTime.get("watermark")).toEpochMilli
+      require(progs.length == 4 && wmOf(2) == wm1Ms && wmOf(3) == wmfMs,
+        s"q_stream_late_drop: the stream ran ${progs.length} " +
+          "micro-batches with trigger watermarks " +
+          progs.map(p => p.eventTime.get("watermark")).mkString("[",
+            ", ", "]") +
+          s"; the oracle's replay needs 4 (w1, mid, w2, final-evict) " +
+          s"with the w2 batch at wm=${wm1Ms}ms and the final batch at " +
+          s"wm=${wmfMs}ms - Spark's watermark propagation changed " +
+          "(the one-batch late-filter lag / ms floor / no-data final " +
+          "batch this query pins); re-probe with tools/LateDropProbe " +
+          "and update the oracle")
       s.read.parquet(out).orderBy(col("win_start_us"))
+        // the result leaves the temp workspace before the finally
+        // deletes it
+        .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
+      }
     }),
 
     // -- [EXT]: personalized PageRank (TrustRank) — teleport/dangling

@@ -219,10 +219,23 @@ final case class GoldConfig(
       * compaction they grow with TOTAL historical changes and every
       * publish re-windows dead versions — the silver
       * `silver_compact_after` argument, applied to gold state. */
-    compactAfter: Int = 16
+    compactAfter: Int = 16,
+    /** `compact_backstop`: file-count multiplier past which a
+      * FULL-REWRITE store ([[graft.pipeline.GenStore.compact]]'s
+      * bytes-doubling gate — the streaming aggregate partials) rewrites
+      * regardless of byte growth. The doubling gate amortizes rewrite
+      * work to O(bytes·log) but lets a big base sit under up to
+      * `compact_backstop × compact_after` byte-light appends
+      * (idle-run empties, tombstone trickles), and every read pays that
+      * listing/footer amplification in the interim — this knob trades
+      * rewrite amortization against read amplification per store grain
+      * (lower = fresher reads, more rewrites of the big base). */
+    compactBackstop: Int = 64
 ) {
   require(compactAfter >= 1 && compactAfter <= 65536,
     s"gold.compact_after must be in [1, 2^16], got $compactAfter")
+  require(compactBackstop >= 1 && compactBackstop <= 65536,
+    s"gold.compact_backstop must be in [1, 2^16], got $compactBackstop")
   require(mode != "incremental" || (curation.boilerplateMinDocFreq.isEmpty
       && curation.lineDedupSpan.isEmpty),
     "gold mode 'incremental' cannot run the corpus-global segment-cleanup " +
@@ -791,6 +804,8 @@ object ConfigLoader {
       expectAllOrFail =
         f.get("expect_all_or_fail").map(strMap).getOrElse(Map.empty),
       compactAfter = f.get("compact_after").flatMap(num).map(_.toInt)
-        .getOrElse(GoldConfig().compactAfter))
+        .getOrElse(GoldConfig().compactAfter),
+      compactBackstop = f.get("compact_backstop").flatMap(num)
+        .map(_.toInt).getOrElse(GoldConfig().compactBackstop))
   }
 }

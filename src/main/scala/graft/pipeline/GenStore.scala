@@ -177,10 +177,13 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
     * at each swap) — the classic size-doubling policy, amortizing total
     * rewrite work to O(total bytes × log). Tiny dashboard-grain stores
     * double trivially (the base is a handful of KB), so their cadence
-    * is unchanged. Backstop: 64× the file threshold forces a rewrite
+    * is unchanged. Backstop: `backstopMult`× the file threshold
+    * (default 64, config `gold.compact_backstop`) forces a rewrite
     * regardless of bytes, bounding read-side listing amplification when
     * a big base accumulates byte-light appends (idle-run empties,
-    * tombstone trickles). A missing `_base_bytes` (legacy store, or a
+    * tombstone trickles) — the operator's rewrite-amortization vs
+    * read-amplification dial per store grain. A missing `_base_bytes`
+    * (legacy store, or a
     * crash between the gen swap and the marker write) triggers eagerly —
     * the safe direction (an extra rewrite, never a skipped one).
     *
@@ -189,16 +192,18 @@ private[pipeline] final class GenStore(fs: FileSystem, root: String,
     * stale generations drop. `write` owns the physical write
     * (partitioning + parquet) so each store keeps its own layout
     * discipline. */
-  def compact(threshold: Int, label: String)(
+  def compact(threshold: Int, label: String, backstopMult: Int = 64)(
       rewrite: String => DataFrame)(write: (DataFrame, String) => Unit)
       : Unit = {
+    require(backstopMult >= 1,
+      s"compact backstop multiplier must be >= 1, got $backstopMult")
     val files = batchFiles
     if (files > threshold) {
       val base = StoreMarkers.readText(fs, baseBytesP)
         .flatMap(_.toLongOption)
       val bytes = liveBytes
       val due = base.forall(b => bytes >= 2L * b) ||
-        files > 64L * threshold
+        files > backstopMult.toLong * threshold
       if (due) {
         val gen = readGen()
         val nextDir = s"$root/g${gen + 1L}"

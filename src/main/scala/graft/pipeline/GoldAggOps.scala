@@ -158,7 +158,7 @@ object GoldAggOps {
     * drop make the additive totals replay-safe. */
   def goldAggSink(stream: DataFrame, a: GoldAggregate, storeDir: String,
       checkpoint: String, signCol: Option[String] = None,
-      compactAfter: Int = 16)
+      compactAfter: Int = 16, compactBackstop: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     require(compactAfter >= 1 && compactAfter <= 65536,
@@ -192,6 +192,13 @@ object GoldAggOps {
                 "restarts batch ids at 0 and silently skipping would " +
                 "LOSE its batches - resume the original checkpoint, " +
                 "or point the new feed at a fresh store")
+            // legacy identity-less marker + a known current identity:
+            // adopt it in place (batch id unchanged — the skip stays a
+            // skip) so the gate is identity-checked from the first
+            // replay on, instead of match-any forever (r13 ADVICE; the
+            // GoldJoinOps.replayGate soundness argument)
+            if (idOpt.isEmpty && qid.nonEmpty)
+              writeMarker(fs, markerP, b, qid)
             false
           case _ => true
         }
@@ -206,7 +213,8 @@ object GoldAggOps {
             .withColumn("_batch_id", lit(batchId))
           writeSizeScaled(partial, a.groupBy, "append", store.dataDir)
           writeMarker(fs, markerP, batchId, qid)
-          store.compact(compactAfter, s"stream agg store $storeDir") {
+          store.compact(compactAfter, s"stream agg store $storeDir",
+            compactBackstop) {
             from =>
               sumPartials(spark, from, a, dedupBatches = true)
                 .withColumn("_batch_id", lit(batchId))

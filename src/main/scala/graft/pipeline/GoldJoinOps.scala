@@ -186,21 +186,38 @@ object GoldJoinOps {
     * same id range from a DIFFERENT identity means the feed was
     * re-checkpointed (batch ids restarted at 0) — silently skipping
     * would drop its data until the new clock climbs past the old
-    * marker, so fail loud instead (the r12-ADVICE data-loss window). */
-  private def replayGate(prev: Option[Marker], batchId: Long,
-      qid: Option[String], what: String): Boolean = prev match {
-    case Some(m) if batchId <= m.batchId =>
-      require(m.queryId.isEmpty || qid.isEmpty || m.queryId == qid,
-        s"$what: batch $batchId is at or below the store's high-water " +
-          s"batch ${m.batchId}, but comes from a different streaming " +
-          s"query (checkpoint id ${qid.getOrElse("?")} vs the marker's " +
-          s"${m.queryId.getOrElse("?")}). A re-checkpointed feed " +
-          "restarts batch ids at 0 and silently skipping would LOSE " +
-          "its batches - resume the original checkpoint, or point the " +
-          "new feed at a fresh store and rebuild")
-      false
-    case _ => true
-  }
+    * marker, so fail loud instead (the r12-ADVICE data-loss window).
+    *
+    * LEGACY-marker adoption (r13-ADVICE): a pre-r13 marker carries no
+    * queryId, so a replayed batch against it matches ANY feed — and
+    * because a skipped batch never rewrote the marker, such a store
+    * kept the old silent-drop behavior indefinitely. When the current
+    * identity IS known, a legacy-marker skip now rewrites the marker in
+    * place with the observed queryId (batchId/seq unchanged — the skip
+    * stays a skip), so the gate becomes identity-checked after the
+    * FIRST replay instead of never. Sound: a replayed batch at or below
+    * the marker from the feed that now presents is by definition the
+    * feed whose batches the store consumed (any OTHER feed would be the
+    * re-checkpoint case this gate exists to catch — adopting its id on
+    * first contact is exactly the takeover semantics a legacy store
+    * needs, and a SECOND identity after that fails loud). */
+  private def replayGate(fs: FileSystem, markerP: Path, batchId: Long,
+      qid: Option[String], what: String): Boolean =
+    readMarker(fs, markerP) match {
+      case Some(m) if batchId <= m.batchId =>
+        require(m.queryId.isEmpty || qid.isEmpty || m.queryId == qid,
+          s"$what: batch $batchId is at or below the store's high-water " +
+            s"batch ${m.batchId}, but comes from a different streaming " +
+            s"query (checkpoint id ${qid.getOrElse("?")} vs the marker's " +
+            s"${m.queryId.getOrElse("?")}). A re-checkpointed feed " +
+            "restarts batch ids at 0 and silently skipping would LOSE " +
+            "its batches - resume the original checkpoint, or point the " +
+            "new feed at a fresh store and rebuild")
+        if (m.queryId.isEmpty && qid.nonEmpty)
+          writeMarker(fs, markerP, m.batchId, m.seq, qid)
+        false
+      case _ => true
+    }
 
   private def markerPaths(storeDir: String, star: StreamStar)
       : Seq[Path] =
@@ -382,7 +399,7 @@ object GoldJoinOps {
         // seqs. The replay gate reads INSIDE the lock — a rival's
         // commit between gate and lock would otherwise be invisible.
         RunLock.withLock(spark, storeDir) {
-        if (replayGate(readMarker(fs, markerP), batchId, qid,
+        if (replayGate(fs, markerP, batchId, qid,
             s"streaming join mart factSink at $storeDir")) {
           requireUnique(batch, star.pkCols,
             s"streaming join mart factSink at $storeDir")
@@ -442,7 +459,7 @@ object GoldJoinOps {
         val markerP = new Path(s"$storeDir/_dim_${name}_marker")
         val qid = StoreMarkers.queryId(spark, checkpoint)
         RunLock.withLock(spark, storeDir) {
-        if (replayGate(readMarker(fs, markerP), batchId, qid,
+        if (replayGate(fs, markerP, batchId, qid,
             s"streaming join mart dimSink($name) at $storeDir")) {
           requireUnique(batch, dimKeys,
             s"streaming join mart dimSink($name) at $storeDir")

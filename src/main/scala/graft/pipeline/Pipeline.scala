@@ -2224,15 +2224,32 @@ final class PipelineRunner(
     * (the marker carries the high water, the checkpoint owns replay,
     * and pair names are monotone so a deleted name never recurs) — the
     * feed holds at most the one in-flight pair, not run history. */
-  private def maintainFeed(feedDir: String,
+  private def maintainFeed(feedDir: String, checkpointDir: String,
       delta: (Option[Long], Long) => DataFrame, liveVersion: Long,
       runSink: DataFrame => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(feedDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val consumedP = new Path(feedDir, "_consumed")
+    // fail-loud parse (the GenStore.readGen discipline): consumed pairs
+    // are VACUUMED, so a corrupt marker silently mapped to None would
+    // leave dirsMax=None too and re-mint a v-1 initial-load pair — for
+    // an aggregate mart that appends the whole live version as fresh +1
+    // partials on top of the existing totals (silent doubling)
     def marker: Option[Long] =
-      StoreMarkers.readText(fs, consumedP).flatMap(_.toLongOption)
+      StoreMarkers.readText(fs, consumedP).map(txt =>
+        txt.toLongOption.getOrElse(throw new IllegalStateException(
+          s"streaming-cadence feed marker $consumedP is unreadable " +
+            s"('$txt') - refusing to guess the consumed version (a " +
+            "reset would re-mint an initial-load pair over a live " +
+            "sink); restore the marker or rebuild the stream state")))
+    // the sink checkpoint's commits log: non-empty means at least one
+    // pair was drained through the sink — the initial-load guard below
+    def sinkHasConsumed: Boolean = {
+      val commits = new Path(checkpointDir, "commits")
+      fs.exists(commits) && fs.listStatus(commits)
+        .exists(_.getPath.getName.toLongOption.nonEmpty)
+    }
     def pairDirs: Seq[(Long, Path)] =
       if (!fs.exists(new Path(feedDir))) Seq.empty
       else fs.listStatus(new Path(feedDir)).filter(_.isDirectory)
@@ -2260,6 +2277,19 @@ final class PipelineRunner(
     }
     drain()
     val from = (dirsMax.toSeq ++ marker.toSeq).maxOption
+    // a v-1 initial-load pair is only mintable on a virgin feed: if the
+    // sink's checkpoint already consumed pairs while marker AND dirs say
+    // "never consumed", the consumed state was lost (deleted marker
+    // after vacuum) — re-minting would replay the whole live version
+    // into live totals. Require an explicit rebuild instead.
+    require(from.nonEmpty || !sinkHasConsumed,
+      s"streaming-cadence feed at $feedDir has no _consumed marker and " +
+        s"no pairs on disk, but the sink checkpoint $checkpointDir has " +
+        "committed batches - the feed's consumed state was lost and a " +
+        "fresh initial-load pair would re-append the whole live " +
+        "version over the existing mart state (silent doubling for " +
+        "aggregate marts). Restore the marker, or clear the mart's " +
+        "stream state (store + checkpoints + feeds) to rebuild")
     if (from.forall(_ < liveVersion)) {
       val pairDir = new Path(feedDir,
         s"v${from.getOrElse(-1L)}_$liveVersion")
@@ -2379,13 +2409,14 @@ final class PipelineRunner(
     }
     val mart = g.aggregate match {
       case Some(a) =>
-        maintainFeed(s"$dir/feed_$entity",
+        maintainFeed(s"$dir/feed_$entity", s"$dir/cp_$entity",
           deltaFrame(entity, cfg.uniquePrimaryKey, signed = true),
           liveVersion(entity),
           stream => runAvailableNow(
             GoldAggOps.goldAggSink(stream, a, storeDir,
               s"$dir/cp_$entity", signCol = Some("_cdc_sign"),
-              compactAfter = g.compactAfter)))
+              compactAfter = g.compactAfter,
+              compactBackstop = g.compactBackstop)))
         GoldAggOps.readMart(spark, storeDir, a)
       case None =>
         val factColsL = spark.read.table(params.silverFqn(entity))
@@ -2416,7 +2447,7 @@ final class PipelineRunner(
           // (required unique there), the change id for temporal history
           val pk = j.temporal.map(t => Seq(t.tieBreak))
             .getOrElse(d.keys.map(_._2))
-          maintainFeed(s"$dir/feed_${j.entity}",
+          maintainFeed(s"$dir/feed_${j.entity}", s"$dir/cp_${j.entity}",
             (from, to) => {
               val raw = deltaFrame(j.entity, pk, signed = false)(from, to)
               if (j.temporal.nonEmpty) {
@@ -2435,7 +2466,7 @@ final class PipelineRunner(
               GoldJoinOps.dimSink(stream, j.entity, star, storeDir,
                 s"$dir/cp_${j.entity}", compactAfter = g.compactAfter)))
         }
-        maintainFeed(s"$dir/feed_$entity",
+        maintainFeed(s"$dir/feed_$entity", s"$dir/cp_$entity",
           deltaFrame(entity, cfg.uniquePrimaryKey, signed = false),
           liveVersion(entity),
           stream => runAvailableNow(

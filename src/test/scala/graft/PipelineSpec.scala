@@ -445,6 +445,66 @@ class PipelineSpec extends AnyFunSuite {
       "an idle run changed the streaming join mart")
   }
 
+  test("gold.cadence streaming: a corrupt feed _consumed marker fails " +
+      "loud (r13 ADVICE - a silent None would re-mint a v-1 initial " +
+      "pair and DOUBLE an aggregate mart), and a DELETED marker over a " +
+      "sink that already consumed pairs refuses the re-mint") {
+    import spark.implicits._
+    val src = tmpDir("gcm-src"); val store = tmpDir("gcm-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"receipts": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"],
+        |  "gold": {"cadence": "streaming",
+        |    "aggregate": {"group_by": ["grp"],
+        |      "aggs": [{"op": "count", "as": "n"},
+        |               {"op": "sum_x1e6", "expr": "amount",
+        |                "as": "total_x1e6"}]}}
+        |}}""".stripMargin)
+    Seq((1L, 1.5, "a"), (2L, 2.5, "a"), (3L, 4.0, "b"))
+      .toDF("r_id", "amount", "grp").write.parquet(s"$src/receipts")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "gcmark")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val p1 = run("2024-09-01 00:00:00")
+    val before = spark.table(p1.goldFqn("receipts")).orderBy($"grp")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(before == Seq(("a", 2L, 4000000L), ("b", 1L, 4000000L)))
+    val consumedP = new org.apache.hadoop.fs.Path(
+      s"$store/gold_stream/receipts/feed_receipts/_consumed")
+    val fs = consumedP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(consumedP), "feed marker missing after run 1")
+    // corrupt the marker (through the Hadoop fs - checksum-consistent);
+    // a fresh wave per run so the gold no-change provenance skip does
+    // not short-circuit before the feed is read
+    val out = fs.create(consumedP, true)
+    out.write("not-a-version".getBytes("UTF-8")); out.close()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    Seq((4L, 3.0, "b")).toDF("r_id", "amount", "grp")
+      .write.mode("append").parquet(s"$src/receipts")
+    val e1 = intercept[Exception] { run("2024-09-02 00:00:00") }
+    assert(causes(e1).exists(c => Option(c.getMessage)
+        .exists(_.contains("refusing to guess the consumed version"))),
+      s"expected the unreadable-marker guard, got: $e1")
+    // delete the marker outright: pairs are vacuumed, so the feed looks
+    // virgin - but the sink checkpoint has committed batches, and a
+    // fresh v-1 initial-load pair would re-append the whole live
+    // version as +1 partials over the live totals
+    fs.delete(consumedP, false)
+    Seq((5L, 6.0, "a")).toDF("r_id", "amount", "grp")
+      .write.mode("append").parquet(s"$src/receipts")
+    val e2 = intercept[Exception] { run("2024-09-03 00:00:00") }
+    assert(causes(e2).exists(c => Option(c.getMessage)
+        .exists(_.contains("consumed state was lost"))),
+      s"expected the lost-consumed-state guard, got: $e2")
+    // the mart state is untouched by either refused run
+    assert(spark.table(p1.goldFqn("receipts")).orderBy($"grp")
+        .as[(String, Long, Long)].collect().toSeq == before,
+      "a refused run mutated the mart")
+  }
+
   test("gold.cadence streaming: silver schema evolution flows into the " +
       "mart (the feed schema tracks the NEWEST pair, not the initial " +
       "load's), and a derivation-config edit rebuilds the stream state " +

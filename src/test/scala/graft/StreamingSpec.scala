@@ -1118,4 +1118,72 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the unreadable-marker guard, got: $e2")
     factQ2.stop()
   }
+
+  test("replay-gate legacy-marker adoption (r13 ADVICE): a pre-r13 " +
+      "identity-less marker adopts the FIRST replaying feed's query id " +
+      "on skip (batch id and seq unchanged), so the gate is identity-" +
+      "checked from then on instead of match-any forever") {
+    import spark.implicits._
+    import graft.pipeline.GoldJoinOps
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    val star = StreamStar(
+      pkCols = Seq("k"),
+      dims = Seq(StreamDim("d", Seq("g" -> "g"))),
+      select = Seq("k", "v", "name"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sjleg")
+    val storeDir = root.resolve("store").toString
+    val dimMem = MemoryStream[(Long, String)](spark)
+    val dimQ = GoldJoinOps.dimSink(dimMem.toDF.toDF("g", "name"), "d",
+      star, storeDir, root.resolve("cp_dim").toString).start()
+    dimMem.addData((10L, "A")); dimQ.processAllAvailable(); dimQ.stop()
+    val factMem = MemoryStream[(Long, Long, Double)](spark)
+    val factQ = GoldJoinOps.factSink(factMem.toDF.toDF("k", "g", "v"),
+      star, storeDir, root.resolve("cp_fact").toString).start()
+    factMem.addData((1L, 10L, 1.0))
+    factQ.processAllAvailable(); factQ.stop()
+    def mart(): Set[(Long, Double, String)] =
+      GoldJoinOps.readMart(spark, storeDir, star)
+        .as[(Long, Double, String)].collect().toSet
+    val fin = mart()
+    assert(fin == Set((1L, 1.0, "A")))
+    // forge a LEGACY marker: strip the queryId field in place (through
+    // the Hadoop fs so the checksum sidecar stays consistent)
+    val markerP = new org.apache.hadoop.fs.Path(s"$storeDir/_fact_marker")
+    val fs = markerP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markerText: String = {
+      val in = fs.open(markerP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    val legacy = markerText.split('|').take(2).mkString("|")
+    val out = fs.create(markerP, true)
+    out.write(legacy.getBytes("UTF-8")); out.close()
+    // first replay from a NEW checkpoint (batch ids restart at 0): the
+    // legacy marker matches any identity, so the batch SKIPS (the old
+    // behavior, data outcome unchanged) - but the marker must adopt
+    // this feed's identity in place, batchId|seq untouched
+    val factMem2 = MemoryStream[(Long, Long, Double)](spark)
+    val factQ2 = GoldJoinOps.factSink(factMem2.toDF.toDF("k", "g", "v"),
+      star, storeDir, root.resolve("cp_fact2").toString).start()
+    factMem2.addData((2L, 10L, 9.0))
+    factQ2.processAllAvailable(); factQ2.stop()
+    assert(mart() == fin, "a legacy-marker skip must stay a skip")
+    val adopted = markerText
+    assert(adopted.startsWith(legacy + "|") &&
+        adopted.split('|').length == 3,
+      s"legacy marker '$legacy' was not upgraded in place: '$adopted'")
+    // a THIRD identity now fails loud instead of silently skipping
+    val factMem3 = MemoryStream[(Long, Long, Double)](spark)
+    val factQ3 = GoldJoinOps.factSink(factMem3.toDF.toDF("k", "g", "v"),
+      star, storeDir, root.resolve("cp_fact3").toString).start()
+    factMem3.addData((3L, 10L, 2.0))
+    val e = intercept[Exception] { factQ3.processAllAvailable() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(12)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("re-checkpointed feed restarts batch ids"))),
+      s"expected the identity gate after adoption, got: $e")
+    factQ3.stop()
+    assert(mart() == fin)
+  }
 }
