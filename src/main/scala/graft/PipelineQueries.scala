@@ -128,7 +128,7 @@ object PipelineQueries {
     "q_gold_curation", "q_gold_join", "q_gold_chain", "q_table_changes",
     "q_gold_agg", "q_gold_join_incr", "q_silver_mor", "q_silver_cow",
     "q_gold_scd2", "q_gold_scd2_incr", "q_gold_incr",
-    "q_stream_medallion")
+    "q_stream_medallion", "q_stream_medallion_incr")
 
   // the shared 3-batch CDC wave over documents (silver_mor / silver_cow
   // / gold_incr all drive exactly this shape)
@@ -457,6 +457,76 @@ object PipelineQueries {
             |},
             |"customer": {"raw_file_format": "parquet",
             |             "unique_primary_key": ["c_custkey"]}
+            |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+        def runAt(clock: String): PipelineParams = {
+          val params = PipelineParams(sourceLocation = s"$root/src",
+            catalogName = run,
+            fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+          new PipelineRunner(s, params, s"$root/store")
+            .run(ConfigLoader.load(s, params.sourceLocation),
+              concurrency = 2)
+          params
+        }
+        runAt("2024-03-01 00:00:00")
+        linkInto(stage(dir, "orders_wave13") {
+          analytics.Tables(s, dir, "orders")
+            .where(col("o_orderkey") % 13 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        }, Paths.get(s"$root/src/orders"))
+        linkInto(stage(dir, "customer_wave7") {
+          analytics.Tables(s, dir, "customer")
+            .where(col("c_custkey") % 7 === 0)
+            .withColumn("c_name", concat(lit("upd: "), col("c_name")))
+        }, Paths.get(s"$root/src/customer"))
+        runAt("2024-03-02 00:00:00")
+        linkInto(stage(dir, "orders_wave11") {
+          analytics.Tables(s, dir, "orders")
+            .where(col("o_orderkey") % 11 === 0 &&
+              col("o_orderkey") % 13 =!= 0)
+            .withColumn("o_totalprice", lit(null).cast("double"))
+        }, Paths.get(s"$root/src/orders"))
+        runAt("2024-03-03 00:00:00")
+      } { params =>
+        s.table(params.goldFqn("orders")).orderBy(col("o_orderkey"))
+      }),
+
+    // -- [EXT]: the 100 TB composition on the gate — INCREMENTAL
+    //    (bucketed) silver feeding a STREAMING-cadence mart. Same 3-wave
+    //    CDC flow as q_stream_medallion, but the silver layer is the
+    //    scale write path (merge-on-read fact + copy-on-write dim), so
+    //    there are NO versioned snapshots to diff: the stream sinks are
+    //    fed by the merge-time CDF (write-side change images, the Delta
+    //    CDF posture). The oracle is STILL the same final-state star
+    //    SQL — tombstone deletes, fact updates, and the dim attribute
+    //    wave must converge through bucket merges + CDF + stream stores
+    //    to exactly the batch mart.
+    "q_stream_medallion_incr" -> ((s, dir) =>
+      steadyState(s, "q_stream_medallion_incr", dir) { (root, run) =>
+        linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
+          Paths.get(s"$root/src/orders"))
+        linkInto(
+          stage(dir, "customer")(analytics.Tables(s, dir, "customer")),
+          Paths.get(s"$root/src/customer"))
+        Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+          """{"orders": {
+            |  "raw_file_format": "parquet",
+            |  "unique_primary_key": ["o_orderkey"],
+            |  "silver_mode": "incremental",
+            |  "silver_merge": "merge_on_read",
+            |  "silver_buckets": 8,
+            |  "silver_compact_after": 1,
+            |  "expect_all_or_drop": {"price_ok": "o_totalprice IS NOT NULL"},
+            |  "gold": {"cadence": "streaming",
+            |    "join": [
+            |      {"entity": "customer", "on": "o_custkey = c_custkey",
+            |       "broadcast": true}],
+            |    "select": ["o_orderkey", "o_totalprice",
+            |               "c_name AS customer", "c_mktsegment AS segment"]}
+            |},
+            |"customer": {"raw_file_format": "parquet",
+            |             "unique_primary_key": ["c_custkey"],
+            |             "silver_mode": "incremental",
+            |             "silver_buckets": 4}
             |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
         def runAt(clock: String): PipelineParams = {
           val params = PipelineParams(sourceLocation = s"$root/src",
@@ -935,6 +1005,20 @@ object PipelineQueries {
     // (changeFeed bridge -> file-stream sinks -> keep-latest publish)
     // must converge to the batch-incremental mart exactly
     "q_stream_medallion" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'upd: ' || c_name
+        |       ELSE c_name END AS customer,
+        |  c_mktsegment AS segment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 13 != 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the SAME star SQL once more: incremental (bucketed) silver + the
+    // merge-time CDF + the stream stores must also be invisible — the
+    // 100 TB write path composed with the streaming marts
+    "q_stream_medallion_incr" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
         |       ELSE o_totalprice END AS o_totalprice,

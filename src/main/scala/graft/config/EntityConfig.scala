@@ -116,6 +116,21 @@ final case class EntityConfig(
       * most `silverCompactAfter + 1` generations per bucket) and the
       * broadcast delta-PK set. */
     silverCompactAfter: Int = 8,
+    /** `silver_cdf`: incremental-silver CHANGE DATA FEED — each merge
+      * batch also commits its row-level change images (`insert` /
+      * `update_preimage` / `update_postimage` / `delete`, the Delta CDF
+      * vocabulary) under `<silver>/_cdf/b<batchId>`, so downstream
+      * consumers read O(changed rows) per batch instead of diffing
+      * snapshots (which a bucketed layout cannot even offer — old
+      * generations vacuum away). Streaming-cadence gold marts over an
+      * incremental input enable this implicitly (the runner derives the
+      * need from the config); set it explicitly only for EXTERNAL CDC
+      * consumers — they own retention of the `_cdf` batches they read
+      * (the pipeline auto-vacuums only what its own declared marts have
+      * consumed). Costs one preimage lookup per merge batch: a
+      * bucket-pruned read of the touched buckets' current rows
+      * semi-joined to the batch PKs. */
+    silverCdf: Boolean = false,
     /** Append a per-column data-quality profile
       * ([[graft.analytics.Profiler.profile]], approx-distinct mode) of
       * each just-published table (silver, and gold when declared) to
@@ -591,6 +606,14 @@ object ConfigLoader {
                 s"$name.silver_compact_after must be in [1, 2^16], got $c")
               c
             },
+            silverCdf = f.get("silver_cdf") match {
+              case Some(org.json4s.JBool(b)) => b
+              case Some(JString("true"))     => true
+              case Some(JString("false"))    => false
+              case None                      => false
+              case Some(other) => throw new IllegalArgumentException(
+                s"$name.silver_cdf must be a boolean, got $other")
+            },
             profileOnPublish = f.get("profile_on_publish") match {
               case Some(org.json4s.JBool(b)) => b
               case Some(JString("true"))     => true
@@ -615,6 +638,10 @@ object ConfigLoader {
             .collect { case (k, v) if v.size > 1 => k }
           require(dup.isEmpty, s"$name: expectation names used in more " +
             s"than one tier: ${dup.toSeq.sorted.mkString(", ")}")
+          require(!c.silverCdf || c.silverMode == "incremental",
+            s"$name: silver_cdf is the incremental-merge change feed " +
+              "(full-mode silver already has versioned snapshots to " +
+              "diff - use tableChanges/changeFeed there)")
           require(c.silverMode == "full" ||
             (c.expectAllOrFail.isEmpty && c.expectAllOrQuarantine.isEmpty),
             s"$name: expect_all_or_fail / expect_all_or_quarantine " +

@@ -855,6 +855,33 @@ final class PipelineRunner(
           s"expectations_${entity}_b$batchId"))
       val frame = silverTransform(merged, cfg, obs,
         s"expectations_${entity}_b$batchId", bucketCol = Some(BucketCol))
+      // CDF capture BEFORE the publish swaps partitions — the pre-image
+      // only exists now. The post-image re-runs the transform WITHOUT
+      // the Observation (its metrics must come from the publish action,
+      // not the diff) — one extra pass over the touched-bucket merge,
+      // the copy-on-write price of exact preimages.
+      // (a batch-0 first build skips image capture — dead weight, see
+      // the merge-on-read hook; the epoch latch still mints)
+      if (cdfOn(entity, cfg)) {
+        if (batchId == 0L && !spark.catalog.tableExists(fqn))
+          ensureCdfEpoch(entity)
+        else {
+          val pkNew = cfg.uniquePrimaryKey
+            .map(p => cfg.renamedColumns.getOrElse(p, p))
+          val batchPKs = Rename(withB, cfg.renamedColumns)
+            .select(pkNew.map(col): _*).distinct()
+          writeCdfBatch(entity, cfg, batchId)(
+            if (spark.catalog.tableExists(fqn))
+              spark.table(fqn)
+                .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
+                .join(batchPKs, pkNew, "left_semi")
+            else Rename(withB, cfg.renamedColumns).limit(0),
+            silverTransform(merged, cfg, None,
+                s"expectations_${entity}_b$batchId",
+                bucketCol = Some(BucketCol))
+              .join(batchPKs, pkNew, "left_semi"))
+        }
+      }
       publishBucketedGeneration(fqn, silverPath(entity), frame, touched)
       val comment = s"Silver deduplicated table for $entity (incremental, " +
         s"$n PK-hash buckets)"
@@ -913,10 +940,45 @@ final class PipelineRunner(
         val frame = silverTransform(withB, cfg, obs, obsName,
           bucketCol = Some(BucketCol))
           .withColumn(RetractedCol, lit(false))
+        // CDF: a batch-0 base build writes NO images — every consumer's
+        // first pair is an initial load of the live table and every
+        // later range is (from ≥ 0, to], so gen-0 images are dead
+        // weight (at 100 TB, a full-table copy). The epoch latch still
+        // mints so later merges keep the feed current. A base build at
+        // a HIGHER batch id (a table dropped out from under a live
+        // checkpoint) still captures, since ranges can reach it.
+        if (cdfOn(entity, cfg)) {
+          if (batchId == 0L) ensureCdfEpoch(entity)
+          else {
+            val cleanNew = silverTransform(withB, cfg, None, obsName,
+              bucketCol = Some(BucketCol))
+            writeCdfBatch(entity, cfg, batchId)(cleanNew.limit(0),
+              cleanNew)
+          }
+        }
         publishMorGeneration(rawFqn, silverPath(entity), frame, touched,
           deltaGen = 0L)
       } else {
         val frame = silverDeltaFrame(withB, cfg, obs)
+        // CDF capture BEFORE the delta partitions register — the
+        // pre-image is the CURRENT merge view (touched-bucket-pruned,
+        // semi-joined to the batch PKs: the one read-side cost CDC adds
+        // to merge-on-read's O(batch) write, the same trade Delta/Hudi
+        // CDC makes on MOR tables). The post-image is the delta's
+        // surviving winners (tombstones become 'delete' via the diff,
+        // carrying the PRE-image row — the standard CDC delete image).
+        if (cdfOn(entity, cfg)) {
+          val pkNew = cfg.uniquePrimaryKey
+            .map(p => cfg.renamedColumns.getOrElse(p, p))
+          val batchPKs = Rename(withB, cfg.renamedColumns)
+            .select(pkNew.map(col): _*).distinct()
+          writeCdfBatch(entity, cfg, batchId)(
+            spark.table(fqn)
+              .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
+              .join(batchPKs, pkNew, "left_semi"),
+            silverDeltaFrame(withB, cfg, None)
+              .filter(!col(RetractedCol)).drop(RetractedCol, DeltaCol))
+        }
         // delta generation id: unique per merge. batchId is monotone per
         // checkpoint; guard against a manually reset checkpoint by also
         // clearing the max delta gen already registered.
@@ -2183,6 +2245,268 @@ final class PipelineRunner(
       spark.read.table(params.silverFqn(p))
     }
 
+  // ---- incremental-silver change data feed (_cdf) --------------------------
+
+  /** Entities whose merges must emit CDF batches, derived from the FULL
+    * run config in [[runLocked]]: every incremental-silver entity that a
+    * streaming-cadence gold mart consumes (as the mart entity itself or
+    * as a silver-layer dim). A bucketed layout has no versioned
+    * snapshots to diff — old generations vacuum away — so the change
+    * feed must be captured AT MERGE TIME, while both the pre-image and
+    * the post-image exist (the Delta CDF posture: CDC is a write-side
+    * product, not a read-side reconstruction). */
+  @volatile private var cdfTargets: Set[String] = Set.empty
+
+  private def cdfRoot(entity: String): String =
+    s"${silverPath(entity)}/_cdf"
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** CDF is ON for an entity when the config says so (`silver_cdf`), the
+    * run config derives it (a streaming mart consumes this entity), or
+    * the `_cdf/_epoch` marker already exists on disk — the LATCH: once
+    * any consumer enabled the feed, every later merge keeps it current
+    * even when invoked outside the full-config runner, so a feed can
+    * never silently stall at a stale high-water. */
+  private def cdfOn(entity: String, cfg: EntityConfig): Boolean =
+    cfg.silverMode == "incremental" && (cfg.silverCdf ||
+      cdfTargets.contains(entity) || {
+        val p = new org.apache.hadoop.fs.Path(cdfRoot(entity), "_epoch")
+        p.getFileSystem(hconf).exists(p)
+      })
+
+  /** The feed's IDENTITY marker: a UUID minted when the `_cdf` dir is
+    * first created. A silver full refresh deletes the whole silver path
+    * (feed included), so a changed epoch tells every consumer "the
+    * upstream world was rebuilt — your derived state is stale" even
+    * when the new feed's batch ids happen to overlap the old clock.
+    * Returns the (existing or new) epoch. */
+  private def ensureCdfEpoch(entity: String): String = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(cdfRoot(entity))
+    val fs = root.getFileSystem(hconf)
+    val p = new Path(root, "_epoch")
+    StoreMarkers.readText(fs, p).getOrElse {
+      fs.mkdirs(root)
+      val id = java.util.UUID.randomUUID().toString
+      StoreMarkers.writeAtomic(fs, p, id)
+      // re-read: two concurrent creators race the atomic replace; both
+      // must agree on whichever epoch landed
+      StoreMarkers.readText(fs, p).getOrElse(id)
+    }
+  }
+
+  /** The feed clock: the highest merge batch id whose CDF commit (or
+    * replay-skip) completed. Fail-loud parse (the GenStore.readGen
+    * discipline) — consumed batches vacuum, so guessing 0 on a corrupt
+    * marker would re-mint initial loads over live mart state. */
+  private def readCdfHi(entity: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(cdfRoot(entity), "_hi")
+    val fs = p.getFileSystem(hconf)
+    StoreMarkers.readText(fs, p).map(txt =>
+      txt.toLongOption.getOrElse(throw new IllegalStateException(
+        s"silver CDF high-water marker $p is unreadable ('$txt') - " +
+          "refusing to guess the feed clock; restore the marker or " +
+          "full-refresh the entity to re-mint the feed"))).getOrElse(0L)
+  }
+
+  /** Committed CDF batch dirs (`b<gen>`), ascending by gen. */
+  private def cdfBatchDirs(entity: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(cdfRoot(entity))
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case s if s.startsWith("b") =>
+          s.stripPrefix("b").toLongOption.map(_ -> st.getPath)
+        case _ => None
+      }).sortBy(_._1).toSeq
+  }
+
+  /** Commit one merge batch's change images to the CDF. `mkOld` /
+    * `mkNew` are the PRE-image and POST-image frames RESTRICTED to the
+    * batch's PKs (touched-bucket-pruned reads — O(batch ⋈ touched
+    * buckets), never a table scan); both are materialized once
+    * (`localCheckpoint`) because the diff and the image fetches consume
+    * them repeatedly. Emitted rows carry the full final-vocabulary
+    * image plus `_change_type` ∈ insert / update_preimage /
+    * update_postimage / delete (the Delta CDF vocabulary) and
+    * `_cdf_gen` = the merge batch id.
+    *
+    * Crash discipline: the batch dir commits by tmp-rename, KEYED BY
+    * THE CHECKPOINT BATCH ID — a crashed merge replays the same batch
+    * id, finds the committed dir, and skips recomputation (the FIRST
+    * attempt's diff is the one taken against the true pre-state; the
+    * replayed merge republishes identical non-audit contents, so the
+    * kept images stay exact). The `_hi` clock bumps AFTER the dir
+    * check on every path, so a crash between dir commit and the bump
+    * heals on replay. An empty diff commits no dir but still advances
+    * the clock. */
+  private def writeCdfBatch(entity: String, cfg: EntityConfig,
+      batchId: Long)(mkOld: => DataFrame, mkNew: => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(cdfRoot(entity))
+    val fs = root.getFileSystem(hconf)
+    ensureCdfEpoch(entity)
+    val dir = new Path(root, s"b$batchId")
+    if (!fs.exists(dir)) {
+      val pkNew = cfg.uniquePrimaryKey
+        .map(p => cfg.renamedColumns.getOrElse(p, p))
+      val oldW = mkOld.drop(PipelineRunner.BucketCol).localCheckpoint(true)
+      val newW = mkNew.drop(PipelineRunner.BucketCol).localCheckpoint(true)
+      try {
+        val audit = Set(Audit.IngestedAt, Audit.SourceFile,
+          Audit.FileModTime)
+        val pkL = pkNew.map(_.toLowerCase).toSet
+        val oldCols = oldW.columns.map(_.toLowerCase).toSet
+        val cmp = newW.columns.toSeq.filter(c =>
+          oldCols.contains(c.toLowerCase) && !pkL.contains(c.toLowerCase)
+            && !audit.contains(c))
+        val ch = (if (cmp.nonEmpty)
+            graft.analytics.Profiler.snapshotDiff(oldW, newW, pkNew, cmp)
+          else {
+            // degenerate pk-only table: membership is the only signal
+            val o = oldW.select(pkNew.map(col): _*)
+              .withColumn("_in_a", lit(1))
+            val n = newW.select(pkNew.map(col): _*)
+              .withColumn("_in_b", lit(1))
+            o.join(n, pkNew, "full_outer")
+              .withColumn("status",
+                when(col("_in_b").isNull, lit("removed"))
+                  .when(col("_in_a").isNull, lit("added")))
+              .filter(col("status").isNotNull)
+              .select(pkNew.map(col) :+ col("status"): _*)
+          }).localCheckpoint(true)
+        def img(side: DataFrame, status: String, tpe: String) =
+          side.join(ch.filter(col("status") === status)
+              .select(pkNew.map(col): _*), pkNew, "left_semi")
+            .withColumn(PipelineRunner.CdfTypeCol, lit(tpe))
+        val rows = img(newW, "added", "insert")
+          .unionByName(img(newW, "changed", "update_postimage"),
+            allowMissingColumns = true)
+          .unionByName(img(oldW, "changed", "update_preimage"),
+            allowMissingColumns = true)
+          .unionByName(img(oldW, "removed", "delete"),
+            allowMissingColumns = true)
+          .withColumn(PipelineRunner.CdfGenCol, lit(batchId))
+        if (!ch.isEmpty) {
+          val tmp = new Path(root, s".b$batchId.tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          rows.write.mode("overwrite").parquet(tmp.toString)
+          require(fs.rename(tmp, dir),
+            s"silver CDF: committing $dir failed")
+        }
+      } finally { oldW.unpersist(); newW.unpersist() }
+    }
+    if (readCdfHi(entity) < batchId)
+      StoreMarkers.writeAtomic(fs, new Path(root, "_hi"),
+        batchId.toString)
+  }
+
+  /** The stream-mart feed over a CDF range — the bucketed-silver
+    * counterpart of the full-mode [[changeFeed]]/[[signedChangeFeed]]
+    * bridge. `from = None` is the initial load (the whole live silver
+    * as inserts / +1 rows, valid as of clock `to`); otherwise the union
+    * of CDF batches in (from, to].
+    *
+    * SIGNED shape (aggregate marts): every event, signed +1 for
+    * insert/update_postimage and −1 for delete/update_preimage — the
+    * sum telescopes exactly across any number of intermediate states,
+    * so no per-key netting is needed.
+    *
+    * JOIN shape: netted to ONE row per `pkCols` value — the sinks'
+    * one-row-per-key-per-batch contract. `pkCols` may be ANY unique key
+    * of the table (join keys, an SCD2 change id), not just the entity
+    * PK: each image row is an event on ITS OWN key value (a pre-image /
+    * delete says "this key's old row left", an insert / post-image says
+    * "this key now holds this row"), so a key-value change inside an
+    * update correctly yields a delete at the old key and an upsert at
+    * the new one. Per (key, gen) at most one of each evidence kind can
+    * exist (keys are unique in both the pre- and post-state of every
+    * batch), and when both do — two entities swapped key values — the
+    * upsert is the final state and wins; across gens the latest gen
+    * wins. A key inserted then deleted inside the range emits a
+    * spurious delete-of-absent-key; the upsert stores treat a delete as
+    * a tombstone write, so it is harmless. */
+  private def cdfDeltaFrame(e: String, pkCols: Seq[String],
+      signed: Boolean)(from: Option[Long], to: Long): DataFrame = {
+    val audit = Seq(Audit.IngestedAt, Audit.SourceFile, Audit.FileModTime)
+    from match {
+      case None =>
+        val base = spark.read.table(params.silverFqn(e))
+          .drop(PipelineRunner.BucketCol).drop(audit: _*)
+        if (signed) base.withColumn("_cdc_sign", lit(1L))
+        else base.withColumn("_cdc_deleted", lit(false))
+      case Some(f) =>
+        val dirs = cdfBatchDirs(e).filter { case (g, _) => g > f && g <= to }
+        val evs = dirs.map { case (_, p) => spark.read.parquet(p.toString) }
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+          .getOrElse(
+            // every batch in range diffed empty: an empty feed frame in
+            // the live schema (the sinks still need the column shape)
+            spark.read.table(params.silverFqn(e)).limit(0)
+              .withColumn(PipelineRunner.CdfTypeCol, lit("insert"))
+              .withColumn(PipelineRunner.CdfGenCol, lit(0L)))
+          .drop(PipelineRunner.BucketCol)
+        val isUp = col(PipelineRunner.CdfTypeCol)
+          .isin("insert", "update_postimage")
+        if (signed)
+          evs.withColumn("_cdc_sign", when(isUp, lit(1L)).otherwise(lit(-1L)))
+            .drop(PipelineRunner.CdfTypeCol, PipelineRunner.CdfGenCol)
+            .drop(audit: _*)
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(pkCols.map(col): _*)
+            .orderBy(col(PipelineRunner.CdfGenCol).desc,
+              isUp.cast("int").desc)
+          evs.withColumn("_cdf_rn", row_number().over(w))
+            .filter(col("_cdf_rn") === 1)
+            .withColumn("_cdc_deleted", !isUp)
+            .drop("_cdf_rn", PipelineRunner.CdfTypeCol,
+              PipelineRunner.CdfGenCol)
+            .drop(audit: _*)
+        }
+    }
+  }
+
+  /** Vacuum CDF batches every DECLARED consumer has drained: for each
+    * fed entity, delete `b<gen>` dirs at or below the MINIMUM of its
+    * consuming marts' `_consumed` markers. A consumer whose marker is
+    * missing (mart never ran yet) blocks the vacuum — its first feed is
+    * an initial load, but the marker is the only proof. Entities with
+    * `silver_cdf: true` and NO declared streaming consumer are
+    * external-consumer feeds: never auto-vacuumed (the external reader
+    * owns retention). */
+  private def vacuumCdf(entities: Map[String, EntityConfig]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val consumers: Map[String, Seq[String]] = entities.toSeq
+      .flatMap { case (ge, cfg) =>
+        cfg.gold.toSeq.filter(_.cadence == "streaming").flatMap { g =>
+          (ge +: g.join.filter(_.layer == "silver").map(_.entity))
+            .map(_ -> ge)
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    consumers.foreach { case (e, marts) =>
+      val gens = cdfBatchDirs(e)
+      if (gens.nonEmpty) {
+        val fs = gens.head._2.getFileSystem(hconf)
+        val markers = marts.map { m =>
+          StoreMarkers.readText(fs,
+            new Path(s"${goldStreamPath(m)}/feed_$e/_consumed"))
+            .flatMap(_.toLongOption)
+        }
+        if (markers.forall(_.nonEmpty)) {
+          val min = markers.flatten.min
+          gens.filter(_._1 <= min).foreach { case (_, p) =>
+            fs.delete(p, true) }
+        }
+      }
+    }
+  }
+
   // ---- streaming-cadence gold (gold.cadence: "streaming") -----------------
 
   private def goldStreamPath(entity: String): String =
@@ -2321,8 +2645,11 @@ final class PipelineRunner(
     * additive IVM) and [[GoldJoinOps.dimSink]]/[[GoldJoinOps.factSink]]
     * for `gold.join` (full-row CDC images, keyed upsert stores). Each
     * triggered run bridges the medallion into those sinks: the
-    * published-version delta of every input ([[signedChangeFeed]] /
-    * [[changeFeed]]; the whole live version as inserts on first
+    * per-input delta ([[signedChangeFeed]]/[[changeFeed]] between
+    * published versions for FULL-mode silver, the merge-time CDF
+    * images ([[cdfDeltaFrame]]) for INCREMENTAL/bucketed silver — so
+    * the 100 TB silver write path and the streaming marts compose; the
+    * whole live state as inserts on first
     * consumption) rides a REAL file stream with a persistent
     * checkpoint through the sink, then the publish reads the live mart
     * back ([[GoldAggOps.readMart]] / [[GoldJoinOps.readMart]]) through
@@ -2340,8 +2667,9 @@ final class PipelineRunner(
     * two-phase restrict), and a keep-latest/re-sum read over stores
     * bounded by compaction. Dims feed BEFORE facts so first-run facts
     * derive against complete dim state. Preconditions fail loud:
-    * full-mode silver inputs (versioned snapshots to diff),
-    * silver-layer star/temporal dims. */
+    * silver-layer star/temporal dims; incremental inputs additionally
+    * carry a CDF epoch so an upstream full refresh rebuilds the mart
+    * loud instead of replaying a restarted clock. */
   def buildGoldStreamMart(entity: String, cfg: EntityConfig,
       g: GoldConfig,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -2380,33 +2708,60 @@ final class PipelineRunner(
         fsS.delete(dirP, true)
       }
     }
+    // PER-INPUT feed clock + delta source, dispatched on the silver
+    // layout: a FULL-mode input is clocked by its published version and
+    // diffed by changeFeed/signedChangeFeed; an INCREMENTAL (bucketed)
+    // input is clocked by its CDF high-water and fed the merge-time
+    // change images (cdfDeltaFrame) — bucketed silver has no versioned
+    // snapshots to diff, so the 100 TB write path and the streaming
+    // marts compose through the write-side CDF instead.
+    def isBucketed(e: String): Boolean =
+      tableProp(spark, params.silverFqn(e), BucketCountProp).nonEmpty
+    // INPUT EPOCHS: each bucketed input's CDF identity, recorded in the
+    // mart dir. A silver full refresh deletes the feed and re-mints the
+    // epoch — the consumed-gen clock restarted, so every derived mart
+    // row is stale even though batch ids may overlap; rebuild loud
+    // (the derivation-fingerprint posture: derived state, self-healing).
+    val inputEpochs: Seq[(String, String)] =
+      (entity +: g.join.filter(_.layer == "silver").map(_.entity))
+        .distinct.filter(isBucketed).sorted.map(e => e -> ensureCdfEpoch(e))
+    val epochsTxt = inputEpochs.map { case (e, u) => s"$e=$u" }.mkString(",")
+    val epP = new org.apache.hadoop.fs.Path(dir, "_input_epochs")
+    if (fsS.exists(dirP))
+      StoreMarkers.readText(fsS, epP).foreach { old =>
+        if (old != epochsTxt) {
+          log(s"gold.$entity: an incremental-silver input was " +
+            s"full-refreshed (CDF epoch changed: '$old' -> " +
+            s"'$epochsTxt') - clearing the stream state at $dir and " +
+            "rebuilding from the live versions")
+          fsS.delete(dirP, true)
+        }
+      }
     if (!fsS.exists(fpP)) {
       fsS.mkdirs(dirP)
       StoreMarkers.writeAtomic(fsS, fpP, derivFp)
     }
-    def requireFullMode(e: String): Unit =
-      require(tableProp(spark, params.silverFqn(e),
-          BucketCountProp).isEmpty,
-        s"gold.$entity: streaming-cadence input '$e' is published by " +
-          "silver_mode=incremental (bucketed layout - no versioned " +
-          "snapshots to diff); streaming marts need full-mode silver")
+    if (inputEpochs.nonEmpty && !fsS.exists(epP))
+      StoreMarkers.writeAtomic(fsS, epP, epochsTxt)
     def liveVersion(e: String): Long =
-      tableVersions(e).find(_.live).map(_.version).getOrElse(
+      if (isBucketed(e)) readCdfHi(e)
+      else tableVersions(e).find(_.live).map(_.version).getOrElse(
         throw new IllegalStateException(
           s"gold.$entity: streaming-cadence input '$e' has no live " +
             "silver version yet - publish it before this entity"))
-    requireFullMode(entity)
     def deltaFrame(e: String, pk: Seq[String], signed: Boolean)(
-        from: Option[Long], to: Long): DataFrame = from match {
-      case None =>
-        val base = readVersion(e, to).drop(audit: _*)
-        if (signed) base.withColumn("_cdc_sign", lit(1L))
-        else base.withColumn("_cdc_deleted", lit(false))
-      case Some(f) =>
-        val d = if (signed) signedChangeFeed(e, f, to, pk)
-          else changeFeed(e, f, to, pk)
-        d.drop(audit: _*)
-    }
+        from: Option[Long], to: Long): DataFrame =
+      if (isBucketed(e)) cdfDeltaFrame(e, pk, signed)(from, to)
+      else from match {
+        case None =>
+          val base = readVersion(e, to).drop(audit: _*)
+          if (signed) base.withColumn("_cdc_sign", lit(1L))
+          else base.withColumn("_cdc_deleted", lit(false))
+        case Some(f) =>
+          val d = if (signed) signedChangeFeed(e, f, to, pk)
+            else changeFeed(e, f, to, pk)
+          d.drop(audit: _*)
+      }
     val mart = g.aggregate match {
       case Some(a) =>
         maintainFeed(s"$dir/feed_$entity", s"$dir/cp_$entity",
@@ -2426,7 +2781,6 @@ final class PipelineRunner(
             s"gold.$entity: streaming-cadence marts read silver dims " +
               s"(dim '${j.entity}' declares layer '${j.layer}'; " +
               "chained gold-layer dims need cadence 'batch')")
-          requireFullMode(j.entity)
           val dimColsL = spark.read.table(params.silverFqn(j.entity))
             .columns.map(_.toLowerCase).toSet
           val keys = j.temporal match {
@@ -2935,8 +3289,23 @@ final class PipelineRunner(
     val inputs = (entity, "silver") +:
       g.join.map(j => (j.entity, j.layer))
     val resolved = inputs.distinct.sorted.map { case (e, layer) =>
-      scala.util.Try(tableVersions(e, layer).find(_.live)
-        .map(v => s"$e:$layer=${v.version}")).toOption.flatten
+      scala.util.Try {
+        // an incremental-silver input has no live published version —
+        // its change clock is the CDF (epoch, high-water) pair, which
+        // is exactly the provenance a streaming mart consumes (the
+        // epoch distinguishes a full-refreshed feed whose batch ids
+        // overlap the old clock)
+        if (layer == "silver" &&
+            tableProp(spark, params.silverFqn(e), BucketCountProp)
+              .nonEmpty) {
+          import org.apache.hadoop.fs.Path
+          val root = new Path(cdfRoot(e))
+          val fs = root.getFileSystem(hconf)
+          StoreMarkers.readText(fs, new Path(root, "_epoch")).map(ep =>
+            s"$e:$layer=cdf:$ep:${readCdfHi(e)}")
+        } else tableVersions(e, layer).find(_.live)
+          .map(v => s"$e:$layer=${v.version}")
+      }.toOption.flatten
     }
     if (resolved.forall(_.nonEmpty))
       Some(resolved.flatten.mkString(","))
@@ -3096,6 +3465,15 @@ final class PipelineRunner(
     // (direct phase calls, unresolvable versions, changed config or
     // soft-deletes) errs toward republishing.
     val allowSkip = !params.republishUnchanged
+    // derive the CDF targets from the WHOLE config before silver runs:
+    // every incremental entity a streaming-cadence mart consumes must
+    // emit merge-time change images (see [[cdfOn]] — the epoch latch
+    // keeps an enabled feed current even outside this runner)
+    cdfTargets = entities.toSeq.flatMap { case (ge, cfg) =>
+      cfg.gold.toSeq.filter(_.cadence == "streaming").flatMap(g =>
+        ge +: g.join.filter(_.layer == "silver").map(_.entity))
+    }.filter(e => entities.get(e).exists(_.silverMode == "incremental"))
+      .toSet
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh); () }
     log("phase bronze done")
     each { case (e, cfg) =>
@@ -3139,6 +3517,7 @@ final class PipelineRunner(
       published ++= wave
       remaining --= wave
     }
+    vacuumCdf(entities)
     log("phase gold done")
     if (params.softDeletesEnabled)
       entities.keys.toSeq.sorted.foreach(createActiveView)
@@ -3370,6 +3749,16 @@ object PipelineRunner {
 
   /** Internal rank column of the merge view's keep-latest window. */
   val RowNumCol = "_rn"
+
+  /** Incremental-silver CDF: the change kind of an image row — insert /
+    * update_preimage / update_postimage / delete (the Delta CDF
+    * vocabulary; an update is the −old/+new pair, which is exactly the
+    * signed-delta algebra the aggregate marts consume). */
+  val CdfTypeCol = "_change_type"
+
+  /** Incremental-silver CDF: the merge batch id an image row belongs
+    * to — the feed's ordering clock (monotone per silver checkpoint). */
+  val CdfGenCol = "_cdf_gen"
 
   /** [[setTableProps]] for views (`ALTER VIEW ... SET TBLPROPERTIES`). */
   def setViewProps(spark: SparkSession, fqn: String,

@@ -445,6 +445,148 @@ class PipelineSpec extends AnyFunSuite {
       "an idle run changed the streaming join mart")
   }
 
+  test("gold.cadence streaming over INCREMENTAL silver: the merge-time " +
+      "CDF feeds the stream-store sinks (no versioned snapshots exist " +
+      "to diff) — join mart over merge-on-read fact + copy-on-write " +
+      "dim and an aggregate mart over copy-on-write all equal their " +
+      "batch twins across update/delete/dim-change waves; consumed CDF " +
+      "batches vacuum; an idle run skips; a re-minted CDF epoch " +
+      "(upstream full refresh) rebuilds the mart loud") {
+    import spark.implicits._
+    val src = tmpDir("gci-src"); val store = tmpDir("gci-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "silver_mode": "incremental",
+        |  "silver_merge": "merge_on_read",
+        |  "silver_buckets": 4,
+        |  "silver_compact_after": 1,
+        |  "expect_all_or_drop": {"ok": "amount IS NOT NULL"},
+        |  "gold": {"cadence": "streaming",
+        |    "join": [{"entity": "shops", "on": "shop_id = s_id"}],
+        |    "select": ["sale_id", "amount", "s_name AS shop"]}
+        |},
+        |"shops": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"],
+        |  "silver_mode": "incremental",
+        |  "silver_merge": "copy_on_write",
+        |  "silver_buckets": 2
+        |},
+        |"receipts": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"],
+        |  "silver_mode": "incremental",
+        |  "silver_buckets": 4,
+        |  "expect_all_or_drop": {"ok": "amount IS NOT NULL"},
+        |  "gold": {"cadence": "streaming",
+        |    "aggregate": {"group_by": ["grp"],
+        |      "aggs": [{"op": "count", "as": "n"},
+        |               {"op": "sum_x1e6", "expr": "amount",
+        |                "as": "total_x1e6"}]}}
+        |}}""".stripMargin)
+    Seq((1L, java.lang.Double.valueOf(5.0), 10L),
+        (2L, java.lang.Double.valueOf(6.0), 20L))
+      .toDF("sale_id", "amount", "shop_id").write.parquet(s"$src/sales")
+    Seq((10L, "North"), (20L, "South"))
+      .toDF("s_id", "s_name").write.parquet(s"$src/shops")
+    Seq((1L, java.lang.Double.valueOf(1.5), "a"),
+        (2L, java.lang.Double.valueOf(2.5), "a"),
+        (3L, java.lang.Double.valueOf(4.0), "b"))
+      .toDF("r_id", "amount", "grp").write.parquet(s"$src/receipts")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "gcicdf")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val p1 = run("2024-10-01 00:00:00")
+    assert(spark.table(p1.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 5.0, "North"), (2L, 6.0, "South")),
+      "initial streaming join mart over incremental silver wrong")
+    assert(spark.table(p1.goldFqn("receipts")).orderBy($"grp")
+        .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 4000000L), ("b", 1L, 4000000L)),
+      "initial streaming aggregate mart over incremental silver wrong")
+    // the CDF exists and carries its identity + clock markers
+    assert(Files.exists(Path.of(s"$store/silver/sales/_cdf/_epoch")) &&
+      Files.exists(Path.of(s"$store/silver/shops/_cdf/_epoch")) &&
+      Files.exists(Path.of(s"$store/silver/receipts/_cdf/_epoch")),
+      "CDF epoch markers missing after run 1")
+    // wave 2: sale 1 moves shop + amount; sale 2 DELETES via the gate
+    // (null amount -> MOR tombstone -> CDF 'delete'); new sale 3; shop
+    // 20 renames (copy-on-write dim -> CDF update pre/post -> affected-
+    // fact re-derivation); receipt 3 deletes, receipt 4 arrives
+    Seq((1L, java.lang.Double.valueOf(7.5), 20L),
+        (2L, null.asInstanceOf[java.lang.Double], 20L),
+        (3L, java.lang.Double.valueOf(9.0), 10L))
+      .toDF("sale_id", "amount", "shop_id")
+      .write.mode("append").parquet(s"$src/sales")
+    Seq((20L, "South2")).toDF("s_id", "s_name")
+      .write.mode("append").parquet(s"$src/shops")
+    Seq((3L, null.asInstanceOf[java.lang.Double], "b"),
+        (4L, java.lang.Double.valueOf(10.0), "b"))
+      .toDF("r_id", "amount", "grp")
+      .write.mode("append").parquet(s"$src/receipts")
+    val p2 = run("2024-10-02 00:00:00")
+    val joinTwin = spark.table(p2.silverFqn("sales"))
+      .join(spark.table(p2.silverFqn("shops")),
+        $"shop_id" === $"s_id")
+      .select($"sale_id", $"amount", $"s_name".as("shop"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(spark.table(p2.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == joinTwin &&
+      joinTwin == Set((1L, 7.5, "South2"), (3L, 9.0, "North")),
+      "streaming join mart diverged from the batch star after wave 2")
+    val aggTwin = spark.table(p2.silverFqn("receipts"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"),
+        sum(floor($"amount" * lit(1e6))).as("total_x1e6"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(spark.table(p2.goldFqn("receipts"))
+        .as[(String, Long, Long)].collect().toSet == aggTwin &&
+      aggTwin == Set(("a", 2L, 4000000L), ("b", 1L, 10000000L)),
+      "streaming aggregate mart diverged from the batch twin")
+    // consumed CDF batches vacuumed (the mart's _consumed marker is the
+    // high water; batches at or below it delete)
+    def cdfBatches(e: String): Set[String] = {
+      val d = new java.io.File(s"$store/silver/$e/_cdf")
+      d.listFiles().filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("b")).toSet
+    }
+    assert(cdfBatches("sales").isEmpty && cdfBatches("shops").isEmpty &&
+      cdfBatches("receipts").isEmpty,
+      s"consumed CDF batches were not vacuumed: sales=" +
+        s"${cdfBatches("sales")} shops=${cdfBatches("shops")} " +
+        s"receipts=${cdfBatches("receipts")}")
+    // idle run: CDF clock unchanged -> the gold provenance skip fires
+    // and nothing moves
+    val p3 = run("2024-10-03 00:00:00")
+    assert(spark.table(p3.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == joinTwin,
+      "an idle run changed the streaming join mart")
+    // epoch rebuild: simulate an upstream full refresh by re-minting
+    // the fact's CDF epoch — the mart must detect the restarted clock,
+    // clear its stream state, and rebuild to the same contents
+    val epochP = new org.apache.hadoop.fs.Path(
+      s"$store/silver/sales/_cdf/_epoch")
+    val fs = epochP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(epochP, true)
+    out.write("re-minted-epoch".getBytes("UTF-8")); out.close()
+    Seq((5L, java.lang.Double.valueOf(2.0), 10L))
+      .toDF("sale_id", "amount", "shop_id")
+      .write.mode("append").parquet(s"$src/sales")
+    val p4 = run("2024-10-04 00:00:00")
+    val joinTwin4 = spark.table(p4.silverFqn("sales"))
+      .join(spark.table(p4.silverFqn("shops")),
+        $"shop_id" === $"s_id")
+      .select($"sale_id", $"amount", $"s_name".as("shop"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(spark.table(p4.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == joinTwin4 &&
+      joinTwin4.contains((5L, 2.0, "North")),
+      "the epoch-change rebuild did not converge to the batch star")
+  }
+
   test("gold.cadence streaming: a corrupt feed _consumed marker fails " +
       "loud (r13 ADVICE - a silent None would re-mint a v-1 initial " +
       "pair and DOUBLE an aggregate mart), and a DELETED marker over a " +
