@@ -433,7 +433,11 @@ final case class PipelineParams(
       * `cloudFiles.maxFilesPerTrigger` analog) — bounds memory/commit size
       * when a backlog of millions of files lands at once. None = all
       * available files in one batch (Trigger.AvailableNow still splits by
-      * source defaults). */
+      * source defaults). Also applied to streaming-mart FEED drains:
+      * a first-consumption pair is the whole live table, and pairs are
+      * key-unique so splitting one across micro-batches preserves the
+      * sinks' per-key contract ([[graft.pipeline.PipelineRunner]]'s
+      * maintainFeed). */
     maxFilesPerTrigger: Option[Int] = None,
     /** true disables the NO-CHANGE RUN SKIP (a run whose bronze ingested
       * nothing and whose config is unchanged normally skips the silver/

@@ -2594,8 +2594,20 @@ final class PipelineRunner(
           // being drained (older pairs are already in the checkpoint's
           // seen-files log and are re-read as no-ops).
           val schema = spark.read.parquet(newest.toString).schema
-          runSink(spark.readStream.schema(schema)
-            .parquet(s"$feedDir/v*"))
+          // THROTTLE (the bronze ingest's maxFilesPerTrigger knob,
+          // reused): the first-consumption pair is the WHOLE live
+          // table — without a bound it is one micro-batch shuffling
+          // the full table through the sink. Splitting a pair across
+          // micro-batches is safe BY CONSTRUCTION: every pair is
+          // key-unique (netted CDC / per-PK images), so any file
+          // partition of it preserves the sinks'
+          // one-row-per-key-per-batch contract, upserts and signed
+          // partials compose across sub-batches, and AvailableNow
+          // still drains the whole pair before the marker writes.
+          val reader0 = spark.readStream.schema(schema)
+          val reader = params.maxFilesPerTrigger
+            .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+          runSink(reader.parquet(s"$feedDir/v*"))
           StoreMarkers.writeAtomic(fs, consumedP, hi.toString)
         }
     }
@@ -2620,7 +2632,12 @@ final class PipelineRunner(
       if (!fs.exists(pairDir)) {
         val tmp = new Path(feedDir, s".${pairDir.getName}.tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true)
-        delta(from, liveVersion).write.mode("overwrite")
+        // size-scaled file fan-out (the writeSizeScaled posture): AQE
+        // sizes the rebalanced write to the pair's actual bytes, so a
+        // table-sized initial load lands as MANY files the throttle
+        // above can split, while a dashboard-grain delta still
+        // coalesces to one
+        delta(from, liveVersion).hint("rebalance").write.mode("overwrite")
           .parquet(tmp.toString)
         require(fs.rename(tmp, pairDir),
           s"streaming-cadence feed: committing $pairDir failed")

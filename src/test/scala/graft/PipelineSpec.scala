@@ -587,6 +587,66 @@ class PipelineSpec extends AnyFunSuite {
       "the epoch-change rebuild did not converge to the batch star")
   }
 
+  test("gold.cadence streaming: maxFilesPerTrigger THROTTLES the feed " +
+      "drain — a multi-file first-consumption pair splits into several " +
+      "micro-batches (pairs are key-unique, so the per-key sink " +
+      "contract holds under any split) and the mart still equals the " +
+      "batch twin") {
+    import spark.implicits._
+    val src = tmpDir("gct-src"); val store = tmpDir("gct-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"cadence": "streaming",
+        |    "join": [{"entity": "shops", "on": "shop_id = s_id"}],
+        |    "select": ["sale_id", "amount", "s_name AS shop"]}
+        |},
+        |"shops": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"]
+        |}}""".stripMargin)
+    (1L to 400L).map(i => (i, i * 1.5, (i % 3) * 10L))
+      .toDF("sale_id", "amount", "shop_id").write.parquet(s"$src/sales")
+    Seq((0L, "Zero"), (10L, "North"), (20L, "South"))
+      .toDF("s_id", "s_name").write.parquet(s"$src/shops")
+    def run(clock: String): PipelineParams = {
+      val params = PipelineParams(sourceLocation = src,
+        catalogName = "gcthrottle",
+        fixedIngestedAt = Some(Timestamp.valueOf(clock)),
+        maxFilesPerTrigger = Some(1))
+      new PipelineRunner(spark, params, store)
+        .run(ConfigLoader.load(spark, src))
+      params
+    }
+    // shrink the AQE coalesce floor so the rebalanced pair write fans
+    // out at test scale the way a table-sized pair would at 100 TB
+    val conf = spark.conf
+    val advK = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val minK = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    val adv0 = conf.get(advK); val min0 = conf.get(minK)
+    conf.set(advK, "2KB"); conf.set(minK, "1KB")
+    val p1 = try run("2024-11-01 00:00:00")
+    finally { conf.set(advK, adv0); conf.set(minK, min0) }
+    val twin = spark.table(p1.silverFqn("sales"))
+      .join(spark.table(p1.silverFqn("shops")), $"shop_id" === $"s_id")
+      .select($"sale_id", $"amount", $"s_name".as("shop"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(spark.table(p1.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == twin &&
+      twin.size == 400,
+      "throttled streaming mart diverged from the batch star")
+    // the pair really fanned out and the drain really split: >1 commit
+    // in the fact feed's checkpoint = >1 micro-batch for one pair
+    val commits = new java.io.File(
+      s"$store/gold_stream/sales/cp_sales/commits")
+      .listFiles().map(_.getName).filter(_.forall(_.isDigit))
+    assert(commits.length > 1,
+      s"expected a split drain (several micro-batches), got " +
+        s"${commits.length} commit(s) - the pair write did not fan " +
+        "out or the throttle was ignored")
+  }
+
   test("gold.cadence streaming: a corrupt feed _consumed marker fails " +
       "loud (r13 ADVICE - a silent None would re-mint a v-1 initial " +
       "pair and DOUBLE an aggregate mart), and a DELETED marker over a " +
