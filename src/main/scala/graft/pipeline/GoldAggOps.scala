@@ -145,6 +145,38 @@ object GoldAggOps {
     StoreMarkers.writeAtomic(fs, p,
       s"$batchId${queryId.fold("")(q => s"|$q")}")
 
+  /** SANCTIONED TAKEOVER MIGRATION (see
+    * [[Pipeline.PipelineRunner.takeoverStreamMart]] for the operator
+    * contract): compact the partial store to ONE row per group at
+    * sentinel `_batch_id = −1`, then reset the `_last_batch` marker to
+    * −1 with its query identity stripped. The compaction is REQUIRED,
+    * not hygiene: the read side drops at-least-once replays by
+    * dropDuplicates(_batch_id, groups), so a fresh stream restarting
+    * batch ids at 0 would collide its new batch-k partial with an
+    * orphaned old batch-k partial for the same group and one of the two
+    * DIFFERENT contributions would silently drop. After the compaction
+    * the only stored id is −1, below any real batch. Totals are
+    * invariant (associative re-sum — the regular compaction's own
+    * argument). A virgin store (no marker) is a no-op. */
+  def migrateStoreIdentity(spark: SparkSession, storeDir: String,
+      a: GoldAggregate): Unit = {
+    val fs = new Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val markerP = new Path(s"$storeDir/_last_batch")
+    RunLock.withLock(spark, storeDir) {
+      readMarker(fs, markerP).foreach { _ =>
+        val store = new GenStore(fs, s"$storeDir/agg_partials", _ => ())
+        // threshold 0 + backstop 1: "files > 1·0" — force the rewrite
+        // regardless of the byte-doubling gate
+        store.compact(0, s"takeover migration of $storeDir", 1) { from =>
+          sumPartials(spark, from, a, dedupBatches = true)
+            .withColumn("_batch_id", lit(-1L))
+        } { (df, to) => writeSizeScaled(df, a.groupBy, "overwrite", to) }
+        writeMarker(fs, markerP, -1L, None)
+      }
+    }
+  }
+
   /** STREAMING aggregate-mart maintenance — the `foreachBatch` sink
     * that keeps a [[GoldAggregate]] mart fresh at micro-batch latency:
     * each batch's signed rows (CDC feed via `signCol`: +1 insert, −1

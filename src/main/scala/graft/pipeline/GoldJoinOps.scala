@@ -224,6 +224,27 @@ object GoldJoinOps {
     new Path(s"$storeDir/_fact_marker") +:
       star.dims.map(d => new Path(s"$storeDir/_dim_${d.name}_marker"))
 
+  /** SANCTIONED TAKEOVER MIGRATION (see
+    * [[Pipeline.PipelineRunner.takeoverStreamMart]] for the operator
+    * contract): reset the fact and per-dim markers' batch clocks to −1
+    * and strip their query identities, KEEPING each seq — the next
+    * stream's batch 0 processes (nothing is at-or-below −1) and stamps
+    * its own identity on first write, while keep-latest stays monotone
+    * because new seqs still mint above every committed one. Runs under
+    * the store lock; a store with no markers (virgin) is a no-op. */
+  def migrateStoreIdentity(spark: SparkSession, storeDir: String,
+      star: StreamStar): Unit = {
+    val fs = fsOf(spark, storeDir)
+    lockFor(storeDir).synchronized {
+      RunLock.withLock(spark, storeDir) {
+        markerPaths(storeDir, star).foreach { p =>
+          readMarker(fs, p).foreach(m =>
+            writeMarker(fs, p, -1L, m.seq, None))
+        }
+      }
+    }
+  }
+
   /** The batch's seq: one past the max seq any sink has committed —
     * derived from the markers (not a counter advanced mid-batch) so a
     * crash-replay of the SAME batch mints the SAME seq and re-appends

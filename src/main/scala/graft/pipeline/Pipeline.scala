@@ -2672,10 +2672,14 @@ final class PipelineRunner(
     * back ([[GoldAggOps.readMart]] / [[GoldJoinOps.readMart]]) through
     * the shared gold gate. Because the store, checkpoints, and replay
     * markers are exactly the streaming deployment's, an actual stream
-    * can later take over the same store with no migration — the
-    * config knob only changes WHO drives the sinks (spec-pinned
-    * equivalence: the mart equals the batch star/aggregate over the
-    * final silver state).
+    * can later take over the same store through ONE explicit marker
+    * migration ([[takeoverStreamMart]] — the replay gates otherwise
+    * fail loud on a fresh checkpoint's restarted batch ids, by
+    * design); the config knob only changes WHO drives the sinks
+    * (spec-pinned equivalence: the mart equals the batch
+    * star/aggregate over the final silver state, and a live
+    * `foreachBatch` stream continues a config-built store to the same
+    * oracle — StreamingSpec).
     *
     * Scale shape per run: O(changed rows) delta extraction (the
     * signature-compressed snapshot diff), one micro-batch per input
@@ -2687,6 +2691,82 @@ final class PipelineRunner(
     * silver-layer star/temporal dims; incremental inputs additionally
     * carry a CDF epoch so an upstream full refresh rebuilds the mart
     * loud instead of replaying a restarted clock. */
+  /** The [[GoldJoinOps.StreamStar]] spec a config-declared streaming
+    * JOIN mart runs under — shared by [[buildGoldStreamMart]] and
+    * [[takeoverStreamMart]] so the triggered bridge and a live takeover
+    * stream derive under the IDENTICAL star. */
+  private def streamStarFor(entity: String, cfg: EntityConfig,
+      g: GoldConfig): GoldJoinOps.StreamStar = {
+    import GoldJoinOps.{StreamDim, StreamStar, StreamTemporal}
+    val factColsL = spark.read.table(params.silverFqn(entity))
+      .columns.map(_.toLowerCase).toSet
+    val dims = g.join.map { j =>
+      require(j.layer == "silver",
+        s"gold.$entity: streaming-cadence marts read silver dims " +
+          s"(dim '${j.entity}' declares layer '${j.layer}'; " +
+          "chained gold-layer dims need cadence 'batch')")
+      val dimColsL = spark.read.table(params.silverFqn(j.entity))
+        .columns.map(_.toLowerCase).toSet
+      val keys = j.temporal match {
+        case Some(_) =>
+          Seq(temporalJoinKey(entity, j, factColsL, dimColsL))
+        case None => starJoinKeys(entity, j, factColsL, dimColsL)
+      }
+      StreamDim(j.entity, keys, joinType = j.joinType,
+        deleteCol =
+          if (j.temporal.isEmpty) Some("_cdc_deleted") else None,
+        temporal = j.temporal.map(t =>
+          StreamTemporal(t.factTs, t.dimTs, t.tieBreak, t.attrs)))
+    }
+    StreamStar(cfg.uniquePrimaryKey, dims,
+      select = g.select, factDeleteCol = Some("_cdc_deleted"))
+  }
+
+  /** SANCTIONED STREAM TAKEOVER: hand a config-built streaming mart's
+    * store to a LIVE stream (or hand it back). The replay gates
+    * correctly fail loud when a NEW checkpoint presents batch ids at or
+    * below the store's high water — which is exactly what a takeover
+    * does — so this op is the explicit migration: every store marker's
+    * batch clock resets to −1 and its query identity is stripped
+    * (seq clocks KEEP — the keep-latest order must stay monotone), so
+    * the next stream's batch 0 processes and stamps its own identity on
+    * first write. For aggregate stores the partials ALSO compact to one
+    * row per group at sentinel `_batch_id = −1` first — the read-side
+    * replay dedup keys on (_batch_id, group), and a restarted clock
+    * would otherwise collide new batch-k partials with orphaned old
+    * ones ([[GoldAggOps.migrateStoreIdentity]]).
+    *
+    * OPERATOR CONTRACT (why this is a deliberate op, not automatic):
+    * call only at a QUIESCED handoff — the previous driver drained its
+    * input and stopped, and the new stream's source starts strictly
+    * after the old one's consumed position (for the config bridge this
+    * holds by construction: each triggered run drains AvailableNow and
+    * vacuums consumed pairs, so the feed is empty after a run). Running
+    * two drivers concurrently, or a source that replays already-applied
+    * changes, double-applies them — the same contract as any offset
+    * handoff. Taking BACK to the config bridge needs no migration while
+    * the bridge's batch clock is above the live stream's marker; when
+    * it is not, the gate fails loud and this op migrates again. */
+  def takeoverStreamMart(entity: String, cfg: EntityConfig): Unit = {
+    val g = cfg.gold.getOrElse(throw new IllegalArgumentException(
+      s"takeoverStreamMart($entity): entity declares no gold section"))
+    require(g.cadence == "streaming",
+      s"takeoverStreamMart($entity): gold cadence is '${g.cadence}' - " +
+        "only streaming-cadence marts keep a stream store to migrate")
+    val storeDir = s"${goldStreamPath(entity)}/store"
+    g.aggregate match {
+      case Some(a) =>
+        GoldAggOps.migrateStoreIdentity(spark, storeDir, a)
+      case None =>
+        GoldJoinOps.migrateStoreIdentity(spark, storeDir,
+          streamStarFor(entity, cfg, g))
+    }
+    log(s"gold.$entity: stream-mart store identity migrated - the " +
+      "next stream (fresh checkpoint, batch ids from 0) takes over " +
+      s"$storeDir; ensure the handoff is quiesced (previous driver " +
+      "drained and stopped)")
+  }
+
   def buildGoldStreamMart(entity: String, cfg: EntityConfig,
       g: GoldConfig,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -2791,28 +2871,8 @@ final class PipelineRunner(
               compactBackstop = g.compactBackstop)))
         GoldAggOps.readMart(spark, storeDir, a)
       case None =>
-        val factColsL = spark.read.table(params.silverFqn(entity))
-          .columns.map(_.toLowerCase).toSet
-        val dims = g.join.map { j =>
-          require(j.layer == "silver",
-            s"gold.$entity: streaming-cadence marts read silver dims " +
-              s"(dim '${j.entity}' declares layer '${j.layer}'; " +
-              "chained gold-layer dims need cadence 'batch')")
-          val dimColsL = spark.read.table(params.silverFqn(j.entity))
-            .columns.map(_.toLowerCase).toSet
-          val keys = j.temporal match {
-            case Some(_) =>
-              Seq(temporalJoinKey(entity, j, factColsL, dimColsL))
-            case None => starJoinKeys(entity, j, factColsL, dimColsL)
-          }
-          StreamDim(j.entity, keys, joinType = j.joinType,
-            deleteCol =
-              if (j.temporal.isEmpty) Some("_cdc_deleted") else None,
-            temporal = j.temporal.map(t =>
-              StreamTemporal(t.factTs, t.dimTs, t.tieBreak, t.attrs)))
-        }
-        val star = StreamStar(cfg.uniquePrimaryKey, dims,
-          select = g.select, factDeleteCol = Some("_cdc_deleted"))
+        val star = streamStarFor(entity, cfg, g)
+        val dims = star.dims
         (g.join zip dims).foreach { case (j, d) =>
           // the dim's CDC grain: its join keys for a flat star dim
           // (required unique there), the change id for temporal history

@@ -1186,4 +1186,120 @@ class StreamingSpec extends AnyFunSuite {
     factQ3.stop()
     assert(mart() == fin)
   }
+
+  test("sanctioned stream takeover: a LIVE foreachBatch stream " +
+      "continues a config-built streaming mart store — without " +
+      "migration the identity gate fails loud (by design); after " +
+      "takeoverStreamMart, live fact/dim CDC batches and signed " +
+      "aggregate batches converge to the batch oracle") {
+    import spark.implicits._
+    import graft.pipeline.{GoldAggOps, GoldJoinOps, PipelineRunner}
+    import graft.pipeline.GoldJoinOps.{StreamDim, StreamStar}
+    import graft.config.{ConfigLoader, GoldAgg, GoldAggregate,
+      PipelineParams}
+    import java.nio.file.{Files, Path => JPath}
+    val src = Files.createTempDirectory("tko-src").toString
+    val store = Files.createTempDirectory("tko-store").toString
+    Files.writeString(JPath.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"cadence": "streaming",
+        |    "join": [{"entity": "shops", "on": "shop_id = s_id"}],
+        |    "select": ["sale_id", "amount", "s_name AS shop"]}
+        |},
+        |"shops": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"]
+        |},
+        |"receipts": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"],
+        |  "gold": {"cadence": "streaming",
+        |    "aggregate": {"group_by": ["grp"],
+        |      "aggs": [{"op": "count", "as": "n"},
+        |               {"op": "sum_x1e6", "expr": "amount",
+        |                "as": "total_x1e6"}]}}
+        |}}""".stripMargin)
+    Seq((1L, 5.0, 10L), (2L, 6.0, 20L))
+      .toDF("sale_id", "amount", "shop_id").write.parquet(s"$src/sales")
+    Seq((10L, "North"), (20L, "South"))
+      .toDF("s_id", "s_name").write.parquet(s"$src/shops")
+    Seq((1L, 1.5, "a"), (2L, 2.5, "a"), (3L, 4.0, "b"))
+      .toDF("r_id", "amount", "grp").write.parquet(s"$src/receipts")
+    val params = PipelineParams(sourceLocation = src,
+      catalogName = "takeover",
+      fixedIngestedAt = Some(ts("2024-12-01 00:00:00")))
+    val runner = new PipelineRunner(spark, params, store)
+    val cfgs = ConfigLoader.load(spark, src)
+    runner.run(cfgs)
+    val joinStore = s"$store/gold_stream/sales/store"
+    val aggStore = s"$store/gold_stream/receipts/store"
+    val star = StreamStar(
+      pkCols = Seq("sale_id"),
+      dims = Seq(StreamDim("shops", Seq("shop_id" -> "s_id"),
+        deleteCol = Some("_cdc_deleted"))),
+      select = Seq("sale_id", "amount", "s_name AS shop"),
+      factDeleteCol = Some("_cdc_deleted"))
+    def mart(): Set[(Long, Double, String)] =
+      GoldJoinOps.readMart(spark, joinStore, star)
+        .as[(Long, Double, String)].collect().toSet
+    assert(mart() == Set((1L, 5.0, "North"), (2L, 6.0, "South")))
+    val root = Files.createTempDirectory("tko-cp")
+    // WITHOUT migration: a fresh checkpoint's batch 0 is at-or-below
+    // the config bridge's marker from a different identity — the gate
+    // fails loud, which is the r13 behavior this op sanctions a path
+    // around
+    val denyMem = MemoryStream[(Long, Double, Long, Boolean)](spark)
+    val denyQ = GoldJoinOps.factSink(
+      denyMem.toDF.toDF("sale_id", "amount", "shop_id", "_cdc_deleted"),
+      star, joinStore, root.resolve("cp_deny").toString).start()
+    denyMem.addData((9L, 1.0, 10L, false))
+    val e = intercept[Exception] { denyQ.processAllAvailable() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(12)
+        .exists(c => Option(c.getMessage)
+          .exists(_.contains("restarts batch ids"))),
+      s"expected the identity gate before migration, got: $e")
+    denyQ.stop()
+    assert(mart() == Set((1L, 5.0, "North"), (2L, 6.0, "South")),
+      "the refused stream mutated the store")
+    // the sanctioned migration (config runs drained AvailableNow and
+    // vacuumed their pairs — the handoff is quiesced by construction)
+    runner.takeoverStreamMart("sales", cfgs("sales"))
+    runner.takeoverStreamMart("receipts", cfgs("receipts"))
+    // live takeover: dim rename, fact update + delete image + insert
+    val dimMem = MemoryStream[(Long, String, Boolean)](spark)
+    val dimQ = GoldJoinOps.dimSink(
+      dimMem.toDF.toDF("s_id", "s_name", "_cdc_deleted"), "shops",
+      star, joinStore, root.resolve("cp_dim").toString).start()
+    dimMem.addData((10L, "North2", false))
+    dimQ.processAllAvailable(); dimQ.stop()
+    val factMem = MemoryStream[(Long, Double, Long, Boolean)](spark)
+    val factQ = GoldJoinOps.factSink(
+      factMem.toDF.toDF("sale_id", "amount", "shop_id", "_cdc_deleted"),
+      star, joinStore, root.resolve("cp_fact").toString).start()
+    factMem.addData((1L, 7.5, 20L, false), (2L, 6.0, 20L, true),
+      (100L, 1.0, 10L, false))
+    factQ.processAllAvailable(); factQ.stop()
+    assert(mart() == Set((1L, 7.5, "South"), (100L, 1.0, "North2")),
+      "the taken-over join mart did not converge to the batch oracle")
+    // aggregate store: signed batches continue the config-built totals
+    val a = GoldAggregate(Seq("grp"), Seq(GoldAgg("count", as = "n"),
+      GoldAgg("sum_x1e6", "amount", "total_x1e6")))
+    def aggMart(): Set[(String, Long, Long)] =
+      GoldAggOps.readMart(spark, aggStore, a)
+        .as[(String, Long, Long)].collect().toSet
+    assert(aggMart() == Set(("a", 2L, 4000000L), ("b", 1L, 4000000L)))
+    val aggMem = MemoryStream[(Long, Double, String, Long)](spark)
+    val aggQ = GoldAggOps.goldAggSink(
+      aggMem.toDF.toDF("r_id", "amount", "grp", "_cdc_sign"), a,
+      aggStore, root.resolve("cp_agg").toString,
+      signCol = Some("_cdc_sign")).start()
+    aggMem.addData((3L, 4.0, "b", -1L), (4L, 10.0, "b", 1L))
+    aggQ.processAllAvailable(); aggQ.stop()
+    assert(aggMart() == Set(("a", 2L, 4000000L), ("b", 1L, 10000000L)),
+      "the taken-over aggregate mart did not converge (a restarted " +
+        "batch clock colliding with stored partials would show here)")
+  }
 }
