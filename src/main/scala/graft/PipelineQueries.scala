@@ -128,7 +128,8 @@ object PipelineQueries {
     "q_gold_curation", "q_gold_join", "q_gold_chain", "q_table_changes",
     "q_gold_agg", "q_gold_join_incr", "q_silver_mor", "q_silver_cow",
     "q_gold_scd2", "q_gold_scd2_incr", "q_gold_incr",
-    "q_stream_medallion", "q_stream_medallion_incr")
+    "q_stream_medallion", "q_stream_medallion_incr",
+    "q_stream_gold_chain")
 
   // the shared 3-batch CDC wave over documents (silver_mor / silver_cow
   // / gold_incr all drive exactly this shape)
@@ -486,6 +487,73 @@ object PipelineQueries {
             .withColumn("o_totalprice", lit(null).cast("double"))
         }, Paths.get(s"$root/src/orders"))
         runAt("2024-03-03 00:00:00")
+      } { params =>
+        s.table(params.goldFqn("orders")).orderBy(col("o_orderkey"))
+      }),
+
+    // -- [EXT]: CHAINED STREAMING marts on the gate — the q_gold_chain
+    //    topology (orders ⋈ gold.customer, customer ⋈ nation) with BOTH
+    //    marts at streaming cadence: the customer mart is maintained by
+    //    the stream sinks and PUBLISHED, and the orders mart consumes
+    //    its published-version changeFeed as a dim (Kahn waves order
+    //    the publishes). A nation rename must propagate through TWO
+    //    streaming mart stores; the oracle is the flat 3-table star
+    //    with the wave arithmetic shadowed in.
+    "q_stream_gold_chain" -> ((s, dir) =>
+      steadyState(s, "q_stream_gold_chain", dir) { (root, run) =>
+        linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
+          Paths.get(s"$root/src/orders"))
+        linkInto(
+          stage(dir, "customer")(analytics.Tables(s, dir, "customer")),
+          Paths.get(s"$root/src/customer"))
+        linkInto(stage(dir, "nation")(analytics.Tables(s, dir, "nation")),
+          Paths.get(s"$root/src/nation"))
+        Files.write(Paths.get(s"$root/src/dp_config_template.json"),
+          """{"orders": {
+            |  "raw_file_format": "parquet",
+            |  "unique_primary_key": ["o_orderkey"],
+            |  "gold": {"cadence": "streaming",
+            |    "join": [
+            |      {"entity": "customer", "on": "o_custkey = c_custkey",
+            |       "layer": "gold"}],
+            |    "select": ["o_orderkey", "o_totalprice",
+            |               "customer", "nation"]}
+            |},
+            |"customer": {
+            |  "raw_file_format": "parquet",
+            |  "unique_primary_key": ["c_custkey"],
+            |  "gold": {"cadence": "streaming",
+            |    "join": [
+            |      {"entity": "nation", "on": "c_nationkey = n_nationkey"}],
+            |    "select": ["c_custkey", "c_name AS customer",
+            |               "n_name AS nation"]}
+            |},
+            |"nation": {"raw_file_format": "parquet",
+            |           "unique_primary_key": ["n_nationkey"]}
+            |}""".stripMargin.getBytes(StandardCharsets.UTF_8))
+        def runAt(clock: String): PipelineParams = {
+          val params = PipelineParams(sourceLocation = s"$root/src",
+            catalogName = run,
+            fixedIngestedAt = Some(java.sql.Timestamp.valueOf(clock)))
+          new PipelineRunner(s, params, s"$root/store")
+            .run(ConfigLoader.load(s, params.sourceLocation),
+              concurrency = 3)
+          params
+        }
+        runAt("2024-03-01 00:00:00")
+        // nation rename (propagates through BOTH mart stores) + fact
+        // price wave
+        linkInto(stage(dir, "nation_wave5") {
+          analytics.Tables(s, dir, "nation")
+            .where(col("n_nationkey") % 5 === 0)
+            .withColumn("n_name", concat(lit("upd: "), col("n_name")))
+        }, Paths.get(s"$root/src/nation"))
+        linkInto(stage(dir, "orders_wave13") {
+          analytics.Tables(s, dir, "orders")
+            .where(col("o_orderkey") % 13 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        }, Paths.get(s"$root/src/orders"))
+        runAt("2024-03-02 00:00:00")
       } { params =>
         s.table(params.goldFqn("orders")).orderBy(col("o_orderkey"))
       }),
@@ -1013,6 +1081,22 @@ object PipelineQueries {
         |  c_mktsegment AS segment
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 13 != 0)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the chained (streaming-gold-over-streaming-gold) mart must equal
+    // the flat 3-table star with the waves shadowed in — two stream
+    // stores, published-version chaining, and the dim changeFeed over a
+    // GOLD table all invisible
+    "q_stream_gold_chain" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  c_name AS customer,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'upd: ' || n_name
+        |       ELSE n_name END AS nation
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY o_orderkey""".stripMargin,
 
     // the SAME star SQL once more: incremental (bucketed) silver + the

@@ -2701,11 +2701,12 @@ final class PipelineRunner(
     val factColsL = spark.read.table(params.silverFqn(entity))
       .columns.map(_.toLowerCase).toSet
     val dims = g.join.map { j =>
-      require(j.layer == "silver",
-        s"gold.$entity: streaming-cadence marts read silver dims " +
-          s"(dim '${j.entity}' declares layer '${j.layer}'; " +
-          "chained gold-layer dims need cadence 'batch')")
-      val dimColsL = spark.read.table(params.silverFqn(j.entity))
+      // layer "gold" = a CHAINED streaming mart: the dim is another
+      // entity's PUBLISHED gold (the Kahn waves in runLocked order its
+      // publish before this mart), fed by the same versioned changeFeed
+      val dimFqn = if (j.layer == "gold") params.goldFqn(j.entity)
+        else params.silverFqn(j.entity)
+      val dimColsL = spark.read.table(dimFqn)
         .columns.map(_.toLowerCase).toSet
       val keys = j.temporal match {
         case Some(_) =>
@@ -2812,8 +2813,9 @@ final class PipelineRunner(
     // change images (cdfDeltaFrame) — bucketed silver has no versioned
     // snapshots to diff, so the 100 TB write path and the streaming
     // marts compose through the write-side CDF instead.
-    def isBucketed(e: String): Boolean =
-      tableProp(spark, params.silverFqn(e), BucketCountProp).nonEmpty
+    def isBucketed(e: String, layer: String = "silver"): Boolean =
+      layer == "silver" &&
+        tableProp(spark, params.silverFqn(e), BucketCountProp).nonEmpty
     // INPUT EPOCHS: each bucketed input's CDF identity, recorded in the
     // mart dir. A silver full refresh deletes the feed and re-mints the
     // epoch — the consumed-gen clock restarted, so every derived mart
@@ -2821,7 +2823,8 @@ final class PipelineRunner(
     // (the derivation-fingerprint posture: derived state, self-healing).
     val inputEpochs: Seq[(String, String)] =
       (entity +: g.join.filter(_.layer == "silver").map(_.entity))
-        .distinct.filter(isBucketed).sorted.map(e => e -> ensureCdfEpoch(e))
+        .distinct.filter(e => isBucketed(e)).sorted
+        .map(e => e -> ensureCdfEpoch(e))
     val epochsTxt = inputEpochs.map { case (e, u) => s"$e=$u" }.mkString(",")
     val epP = new org.apache.hadoop.fs.Path(dir, "_input_epochs")
     if (fsS.exists(dirP))
@@ -2840,23 +2843,24 @@ final class PipelineRunner(
     }
     if (inputEpochs.nonEmpty && !fsS.exists(epP))
       StoreMarkers.writeAtomic(fsS, epP, epochsTxt)
-    def liveVersion(e: String): Long =
-      if (isBucketed(e)) readCdfHi(e)
-      else tableVersions(e).find(_.live).map(_.version).getOrElse(
+    def liveVersion(e: String, layer: String = "silver"): Long =
+      if (isBucketed(e, layer)) readCdfHi(e)
+      else tableVersions(e, layer).find(_.live).map(_.version).getOrElse(
         throw new IllegalStateException(
           s"gold.$entity: streaming-cadence input '$e' has no live " +
-            "silver version yet - publish it before this entity"))
-    def deltaFrame(e: String, pk: Seq[String], signed: Boolean)(
+            s"$layer version yet - publish it before this entity"))
+    def deltaFrame(e: String, pk: Seq[String], signed: Boolean,
+        layer: String = "silver")(
         from: Option[Long], to: Long): DataFrame =
-      if (isBucketed(e)) cdfDeltaFrame(e, pk, signed)(from, to)
+      if (isBucketed(e, layer)) cdfDeltaFrame(e, pk, signed)(from, to)
       else from match {
         case None =>
-          val base = readVersion(e, to).drop(audit: _*)
+          val base = readVersion(e, to, layer).drop(audit: _*)
           if (signed) base.withColumn("_cdc_sign", lit(1L))
           else base.withColumn("_cdc_deleted", lit(false))
         case Some(f) =>
-          val d = if (signed) signedChangeFeed(e, f, to, pk)
-            else changeFeed(e, f, to, pk)
+          val d = if (signed) signedChangeFeed(e, f, to, pk, layer)
+            else changeFeed(e, f, to, pk, layer)
           d.drop(audit: _*)
       }
     val mart = g.aggregate match {
@@ -2880,7 +2884,8 @@ final class PipelineRunner(
             .getOrElse(d.keys.map(_._2))
           maintainFeed(s"$dir/feed_${j.entity}", s"$dir/cp_${j.entity}",
             (from, to) => {
-              val raw = deltaFrame(j.entity, pk, signed = false)(from, to)
+              val raw =
+                deltaFrame(j.entity, pk, signed = false, j.layer)(from, to)
               if (j.temporal.nonEmpty) {
                 // an SCD2 change stream is append-only history: a
                 // retracted change row cannot be replayed into the
@@ -2892,7 +2897,7 @@ final class PipelineRunner(
                 raw.drop("_cdc_deleted")
               } else raw
             },
-            liveVersion(j.entity),
+            liveVersion(j.entity, j.layer),
             stream => runAvailableNow(
               GoldJoinOps.dimSink(stream, j.entity, star, storeDir,
                 s"$dir/cp_${j.entity}", compactAfter = g.compactAfter)))

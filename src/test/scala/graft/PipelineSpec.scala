@@ -587,6 +587,77 @@ class PipelineSpec extends AnyFunSuite {
       "the epoch-change rebuild did not converge to the batch star")
   }
 
+  test("gold.cadence streaming: CHAINED streaming marts — a " +
+      "streaming-cadence mart reads another entity's PUBLISHED gold as " +
+      "a dim (layer 'gold', Kahn-wave ordered); a region rename and a " +
+      "gate-retracted shop propagate through BOTH streaming marts to " +
+      "the batch-twin star") {
+    import spark.implicits._
+    val src = tmpDir("gchain-src"); val store = tmpDir("gchain-store")
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"sales": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["sale_id"],
+        |  "gold": {"cadence": "streaming",
+        |    "join": [{"entity": "shops", "on": "shop_id = s_id",
+        |              "layer": "gold"}],
+        |    "select": ["sale_id", "amount", "region"]}
+        |},
+        |"shops": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["s_id"],
+        |  "expect_all_or_drop": {"named": "s_name IS NOT NULL"},
+        |  "gold": {"cadence": "streaming",
+        |    "join": [{"entity": "regions", "on": "s_region = r_id"}],
+        |    "select": ["s_id", "s_name", "r_name AS region"]}
+        |},
+        |"regions": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"]
+        |}}""".stripMargin)
+    Seq((1L, 5.0, 10L), (2L, 6.0, 20L), (3L, 7.0, 10L))
+      .toDF("sale_id", "amount", "shop_id").write.parquet(s"$src/sales")
+    Seq((10L, "North shop", 1L), (20L, "South shop", 2L))
+      .toDF("s_id", "s_name", "s_region").write.parquet(s"$src/shops")
+    Seq((1L, "EMEA"), (2L, "APAC"))
+      .toDF("r_id", "r_name").write.parquet(s"$src/regions")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "gchain")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val p1 = run("2024-12-01 00:00:00")
+    assert(spark.table(p1.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet ==
+      Set((1L, 5.0, "EMEA"), (2L, 6.0, "APAC"), (3L, 7.0, "EMEA")),
+      "initial chained streaming mart wrong")
+    // wave 2: region 1 renames (propagates through the shops GOLD mart
+    // into the sales mart), shop 20 retracts via the gate (its gold row
+    // REMOVES -> inner-join drops sale 2), new sale 4 in shop 20 (no
+    // dim row left -> also absent)
+    Seq((1L, "EMEA2")).toDF("r_id", "r_name")
+      .write.mode("append").parquet(s"$src/regions")
+    Seq((20L, null.asInstanceOf[String], 2L))
+      .toDF("s_id", "s_name", "s_region")
+      .write.mode("append").parquet(s"$src/shops")
+    Seq((4L, 8.0, 20L)).toDF("sale_id", "amount", "shop_id")
+      .write.mode("append").parquet(s"$src/sales")
+    val p2 = run("2024-12-02 00:00:00")
+    val twin = spark.table(p2.silverFqn("sales"))
+      .join(spark.table(p2.silverFqn("shops")), $"shop_id" === $"s_id")
+      .join(spark.table(p2.silverFqn("regions")), $"s_region" === $"r_id")
+      .select($"sale_id", $"amount", $"r_name".as("region"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(spark.table(p2.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == twin &&
+      twin == Set((1L, 5.0, "EMEA2"), (3L, 7.0, "EMEA2")),
+      "chained streaming mart diverged from the batch star after wave 2")
+    // idle run: both marts' provenance skips fire, nothing moves
+    val p3 = run("2024-12-03 00:00:00")
+    assert(spark.table(p3.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == twin,
+      "an idle run changed the chained streaming mart")
+  }
+
   test("gold.cadence streaming: maxFilesPerTrigger THROTTLES the feed " +
       "drain — a multi-file first-consumption pair splits into several " +
       "micro-batches (pairs are key-unique, so the per-key sink " +
