@@ -1760,6 +1760,103 @@ object RelQueries {
       }
     }),
 
+    // -- [EXT]: T6 stateful streaming dedup ON THE GATE — a REAL
+    //    two-wave `dropDuplicatesWithinWatermark` stream (the
+    //    q_stream_late_drop staging pattern: maxFilesPerTrigger=1,
+    //    mod-time order, an empty middle batch consuming the one-batch
+    //    late-filter lag). Wave 1 registers one row per key (keys
+    //    unique per wave, so the within-batch first-wins arbitrariness
+    //    never applies); wave 2 replays every key three ways (m = key
+    //    % 3): m=0 at +2h (emitted iff the key's state EXPIRED — probed
+    //    eviction: expiresAt = ts+delay, evicted iff expiresAt <= wm,
+    //    µs-exact — AND the +2h replay is not itself late, which it is
+    //    for keys more than 3h older than wave 1's maximum),
+    //    m=1 at the same time (late-dropped or state-dropped,
+    //    never emitted), m=2 at +30m (provably in the gap where it is
+    //    either late or its state is alive — never emitted). The oracle
+    //    replays the pinned arithmetic: wm = ms-floored max(w1 ts) −
+    //    delay (µs-scaled), late drop iff ts <= wm (µs-exact, probed),
+    //    so the result is wave 1 plus the expired-state re-emits.
+    //    Probes: tools/DedupWmProbe (eviction strictness, µs vs ms
+    //    comparisons, the lag).
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val delayMs = 3600000L
+      val delayUs = delayMs * 1000L
+      val base = graft.analytics.Tables.withEpochMicros(
+          graft.analytics.Tables(s, dir, "events"))
+        .groupBy(pmod(col("event_id"), lit(499L)).as("k"))
+        .agg(max(col("ts_us")).as("ts_us"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dedupwm")
+      try {
+      val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+      def wave(name: String, df: DataFrame, mtime: Long): Unit = {
+        val stagedir = tmp.resolve(s"stage_$name")
+        df.coalesce(1).write.parquet(stagedir.toString)
+        val part = stagedir.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dest)
+        dest.toFile.setLastModified(mtime)
+        ()
+      }
+      val now = System.currentTimeMillis()
+      val w2 = base.withColumn("ts_us",
+        when(pmod(col("k"), lit(3L)) === 0L, col("ts_us") + 2L * delayUs)
+          .when(pmod(col("k"), lit(3L)) === 1L, col("ts_us"))
+          .otherwise(col("ts_us") + delayUs / 2L))
+      wave("w1", base, now - 600000L)
+      wave("mid", base.limit(0), now - 300000L)
+      wave("w2", w2, now)
+      val out = tmp.resolve("out").toString
+      val stream = s.readStream
+        .schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in.toString)
+      val q = stream
+        .withColumn("ev_time", timestamp_micros(col("ts_us")))
+        .withWatermark("ev_time", s"$delayMs milliseconds")
+        .dropDuplicatesWithinWatermark("k")
+        .select(col("k"), col("ts_us"))
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .option("checkpointLocation", tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // pin the probed internals (the q_stream_late_drop posture): 4
+      // micro-batches, the w2 batch filtering and evicting against the
+      // ms-floored watermark of wave 1's data, the final batch at the
+      // +2h wave's watermark
+      def wmExpect(f: DataFrame): Long = f
+        .agg(max(floor(col("ts_us") / 1000L)).as("m"))
+        .collect()(0).getLong(0) - delayMs
+      val wm1Ms = wmExpect(base)
+      val wmfMs = wmExpect(w2)
+      val progs = q.recentProgress.toSeq.sortBy(_.batchId)
+      def wmOf(i: Int): Long = java.time.Instant
+        .parse(progs(i).eventTime.get("watermark")).toEpochMilli
+      require(progs.length == 4 && wmOf(2) == wm1Ms && wmOf(3) == wmfMs,
+        s"q_stream_dedup_wm: the stream ran ${progs.length} " +
+          "micro-batches with trigger watermarks " +
+          progs.map(p => p.eventTime.get("watermark")).mkString("[",
+            ", ", "]") +
+          s"; the oracle's replay needs 4 (w1, mid, w2, final) with " +
+          s"the w2 batch at wm=${wm1Ms}ms and the final at " +
+          s"wm=${wmfMs}ms - Spark's watermark/dedup-state mechanics " +
+          "changed; re-probe with tools/DedupWmProbe and update the " +
+          "oracle")
+      s.read.parquet(out).orderBy(col("k"), col("ts_us"))
+        .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
+      }
+    }),
+
     // -- [EXT]: personalized PageRank (TrustRank) — teleport/dangling
     //    mass returns only to the trusted seed set (suppliers of
     //    nations 0-4); rank = proximity to trust, the seed-biased
@@ -4399,6 +4496,27 @@ object RelQueries {
         |GROUP BY 1
         |HAVING win_start_us + 3600000000 <= (SELECT v FROM wmf)
         |ORDER BY 1""".stripMargin,
+
+    // the dropDuplicatesWithinWatermark contract replayed in SQL (all
+    // comparisons µs-exact, probed by tools/DedupWmProbe): wave 1 (one
+    // row per key) always emits; a wave-2 m=0 replay at +2h emits iff
+    // the key's state EXPIRED before the w2 batch (expiresAt = ts +
+    // delay <= wm, where wm = (ms-floored max wave-1 ts − delay)·1000)
+    // AND the replay is not itself late (ts + 2·delay > wm); m=1/m=2
+    // replays are provably late-dropped or state-dropped
+    "q_stream_dedup_wm" ->
+      """WITH base AS (
+        |  SELECT event_id % 499 AS k, max(epoch_us(ts)) AS ts_us
+        |  FROM events GROUP BY 1),
+        |wm AS (SELECT ((max(ts_us) // 1000) - 3600000) * 1000 AS v
+        |       FROM base)
+        |SELECT k, ts_us FROM base
+        |UNION ALL
+        |SELECT k, ts_us + 7200000000 AS ts_us FROM base
+        |WHERE k % 3 = 0
+        |  AND ts_us + 3600000000 <= (SELECT v FROM wm)
+        |  AND ts_us + 7200000000 > (SELECT v FROM wm)
+        |ORDER BY k, ts_us""".stripMargin,
 
     // the sliding-funnel CTEs collapsed to per-step reach counts; lag's
     // third argument defaults step 1's previous count to its own value
