@@ -1857,6 +1857,65 @@ object RelQueries {
       }
     }),
 
+    // -- [EXT]: T5 AT MART CADENCE — a REAL watermarked session_window
+    //    stream maintaining a session-grain mart store
+    //    ([[graft.pipeline.GoldAggOps.sessionMartSink]]): append mode
+    //    emits each session exactly once when the watermark passes its
+    //    end (last event + gap), and the sink appends the closed
+    //    sessions to the mart. The oracle is the q_session_gap
+    //    gap-island SQL (same boundary convention — an event exactly at
+    //    last+gap merges, probed by tools/SessionGapProbe) restricted
+    //    to CLOSED sessions: end <= final watermark (ms-floored max ts
+    //    − delay, µs-scaled — the emit-on-close bound
+    //    q_stream_late_drop pins).
+    "q_stream_session_mart" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val delayMs = 3599999L
+      val ev = graft.analytics.Tables.withEpochMicros(
+          graft.analytics.Tables(s, dir, "events"))
+        .select(col("user_id"), col("ts_us"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sessmart")
+      try {
+      val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+      val stagedir = tmp.resolve("stage_w1")
+      ev.coalesce(1).write.parquet(stagedir.toString)
+      val part = stagedir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve("w1.parquet"))
+      val store = tmp.resolve("store").toString
+      val q = graft.pipeline.GoldAggOps.sessionMartSink(
+          s.readStream.schema(ev.schema).parquet(in.toString)
+            .withColumn("ev_time", timestamp_micros(col("ts_us"))),
+          "ev_time", "30 minutes", s"$delayMs milliseconds",
+          Seq("user_id"), Seq(count(lit(1)).as("n_events")),
+          store, tmp.resolve("cp").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // pin: one data batch + the trailing no-data eviction batch, the
+      // final watermark at ms-floored max ts − delay
+      val wmfMs = ev.agg(max(floor(col("ts_us") / 1000L)).as("m"))
+        .collect()(0).getLong(0) - delayMs
+      val progs = q.recentProgress.toSeq.sortBy(_.batchId)
+      def wmOf(i: Int): Long = java.time.Instant
+        .parse(progs(i).eventTime.get("watermark")).toEpochMilli
+      require(progs.length == 2 && wmOf(1) == wmfMs,
+        s"q_stream_session_mart: the stream ran ${progs.length} " +
+          "micro-batches with trigger watermarks " +
+          progs.map(p => p.eventTime.get("watermark")).mkString("[",
+            ", ", "]") +
+          s"; the oracle's replay needs 2 (w1, final-evict) with the " +
+          s"final at wm=${wmfMs}ms - Spark's watermark/session " +
+          "mechanics changed; re-probe with tools/SessionGapProbe " +
+          "and update the oracle")
+      graft.pipeline.GoldAggOps.readSessionMart(s, store, Seq("user_id"))
+        .orderBy(col("user_id"), col("sess_start_us"))
+        .localCheckpoint(true)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile); ()
+      }
+    }),
+
     // -- [EXT]: personalized PageRank (TrustRank) — teleport/dangling
     //    mass returns only to the trusted seed set (suppliers of
     //    nations 0-4); rank = proximity to trust, the seed-biased
@@ -4517,6 +4576,35 @@ object RelQueries {
         |  AND ts_us + 3600000000 <= (SELECT v FROM wm)
         |  AND ts_us + 7200000000 > (SELECT v FROM wm)
         |ORDER BY k, ts_us""".stripMargin,
+
+    // the session-mart contract replayed in SQL: gap islands (same
+    // boundary rule — diff > gap starts a new island), session end =
+    // last event + gap, kept iff CLOSED under the final watermark
+    // (end <= (ms-floored max ts − delay)·1000 — emit-on-close)
+    "q_stream_session_mart" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+        |      > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, MIN(ts_us) AS sess_start_us,
+        |    MAX(ts_us) + 1800000000 AS sess_end_us,
+        |    COUNT(*) AS n_events
+        |  FROM sess GROUP BY user_id, session_id),
+        |wmf AS (SELECT ((max(epoch_us(ts)) // 1000) - 3599999) * 1000
+        |          AS v FROM events)
+        |SELECT user_id, sess_start_us, sess_end_us, n_events
+        |FROM agg WHERE sess_end_us <= (SELECT v FROM wmf)
+        |ORDER BY user_id, sess_start_us""".stripMargin,
 
     // the sliding-funnel CTEs collapsed to per-step reach counts; lag's
     // third argument defaults step 1's previous count to its own value

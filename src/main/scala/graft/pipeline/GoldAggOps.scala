@@ -145,6 +145,31 @@ object GoldAggOps {
     StoreMarkers.writeAtomic(fs, p,
       s"$batchId${queryId.fold("")(q => s"|$q")}")
 
+  /** The identity-checked replay gate (the GoldJoinOps.replayGate
+    * contract on the agg markers): true = process the batch. A batch
+    * at or below the marker from the SAME query identity skips; from a
+    * DIFFERENT identity it fails loud (a re-checkpointed feed would
+    * silently lose batches); a legacy identity-less marker adopts the
+    * first replaying feed's id in place. */
+  private def replayGate(fs: org.apache.hadoop.fs.FileSystem, markerP: Path,
+      batchId: Long, qid: Option[String], what: String): Boolean =
+    readMarker(fs, markerP) match {
+      case Some((b, idOpt)) if batchId <= b =>
+        require(idOpt.isEmpty || qid.isEmpty || idOpt == qid,
+          s"$what: batch $batchId is at or " +
+            s"below the store's high-water batch $b, but comes " +
+            "from a different streaming query (checkpoint id " +
+            s"${qid.getOrElse("?")} vs the marker's " +
+            s"${idOpt.getOrElse("?")}). A re-checkpointed feed " +
+            "restarts batch ids at 0 and silently skipping would " +
+            "LOSE its batches - resume the original checkpoint, " +
+            "or point the new feed at a fresh store")
+        if (idOpt.isEmpty && qid.nonEmpty)
+          writeMarker(fs, markerP, b, qid)
+        false
+      case _ => true
+    }
+
   /** SANCTIONED TAKEOVER MIGRATION (see
     * [[Pipeline.PipelineRunner.takeoverStreamMart]] for the operator
     * contract): compact the partial store to ONE row per group at
@@ -213,27 +238,8 @@ object GoldAggOps {
         // corrupt the read-side dedup, so the lock serializes and the
         // gate then rejects the latecomer.
         RunLock.withLock(spark, storeDir) {
-        val proceed = readMarker(fs, markerP) match {
-          case Some((b, idOpt)) if batchId <= b =>
-            require(idOpt.isEmpty || qid.isEmpty || idOpt == qid,
-              s"goldAggSink at $storeDir: batch $batchId is at or " +
-                s"below the store's high-water batch $b, but comes " +
-                "from a different streaming query (checkpoint id " +
-                s"${qid.getOrElse("?")} vs the marker's " +
-                s"${idOpt.getOrElse("?")}). A re-checkpointed feed " +
-                "restarts batch ids at 0 and silently skipping would " +
-                "LOSE its batches - resume the original checkpoint, " +
-                "or point the new feed at a fresh store")
-            // legacy identity-less marker + a known current identity:
-            // adopt it in place (batch id unchanged — the skip stays a
-            // skip) so the gate is identity-checked from the first
-            // replay on, instead of match-any forever (r13 ADVICE; the
-            // GoldJoinOps.replayGate soundness argument)
-            if (idOpt.isEmpty && qid.nonEmpty)
-              writeMarker(fs, markerP, b, qid)
-            false
-          case _ => true
-        }
+        val proceed = replayGate(fs, markerP, batchId, qid,
+          s"goldAggSink at $storeDir")
         if (proceed) {
           val store = new GenStore(fs, s"$storeDir/agg_partials",
             _ => ())
@@ -258,5 +264,89 @@ object GoldAggOps {
         ()
       }
       .option("checkpointLocation", checkpoint)
+  }
+
+  /** SESSION-GRAIN streaming mart (T5 at mart cadence) — the
+    * `foreachBatch` sink that keeps an event-grain mart at SESSION
+    * granularity: a watermarked `session_window` aggregation in APPEND
+    * mode emits each session exactly once, when the watermark passes
+    * its end (last event + gap — emit-on-close, the same eviction
+    * contract as the tumbling windows q_stream_late_drop pins), and the
+    * sink appends those CLOSED sessions to the store. Closed sessions
+    * are immutable by the watermark contract, so the store is
+    * append-only — no upsert machinery, no signed deltas; replay safety
+    * is the batch-id marker skip plus the read-side key dedup
+    * (crash-between-append-and-marker re-appends bit-identical rows).
+    *
+    * Gap-boundary semantics (probed, tools/SessionGapProbe): an event
+    * at EXACTLY last + gap still merges (the session extends while
+    * diff <= gap), matching the batch gap-island convention
+    * (q_session_gap's `> gap` starts a new island).
+    *
+    * Scale: per micro-batch one session-state update over O(batch)
+    * events (state per OPEN session inside the watermark horizon) and
+    * one append of the batch's closed sessions. Caveat: Spark disables
+    * AQE for stateful streams, so the rebalance hint in the append is
+    * a no-op here and per-batch file sizing follows the shuffle
+    * partitioning — the store compaction below is what re-sizes the
+    * files (and collapses crash-replay duplicates). The mart grows
+    * with the data (it IS the session history); rewrite work amortizes
+    * to O(bytes·log) via the bytes-doubling gate. */
+  def sessionMartSink(stream: DataFrame, tsCol: String, gap: String,
+      delay: String, keys: Seq[String], aggs: Seq[Column],
+      storeDir: String, checkpoint: String, compactAfter: Int = 16,
+      compactBackstop: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val kcols = keys.map(c => col(s"`$c`"))
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(s"`$tsCol`"), gap) +: kcols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("sess_start_us",
+        unix_micros(col("session_window.start")))
+      .withColumn("sess_end_us", unix_micros(col("session_window.end")))
+      .drop("session_window")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new Path(storeDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val markerP = new Path(s"$storeDir/_last_batch")
+        val qid = StoreMarkers.queryId(spark, checkpoint)
+        RunLock.withLock(spark, storeDir) {
+          if (replayGate(fs, markerP, batchId, qid,
+              s"sessionMartSink at $storeDir")) {
+            val store = new GenStore(fs, s"$storeDir/sessions", _ => ())
+            writeSizeScaled(batch, keys, "append", store.dataDir)
+            writeMarker(fs, markerP, batchId, qid)
+            // bytes-doubling compaction (the agg-store discipline):
+            // the session table grows with the DATA (it is history),
+            // so the rewrite must amortize — collapse crash-replay
+            // duplicates while folding the small batch files
+            store.compact(compactAfter,
+              s"session mart store $storeDir", compactBackstop) { from =>
+              spark.read.parquet(from)
+                .dropDuplicates(keys :+ "sess_start_us")
+            } { (df, to) => writeSizeScaled(df, keys, "overwrite", to) }
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+  }
+
+  /** The live session mart: the stored closed sessions, with the
+    * crash-replay duplicates collapsed on the session identity
+    * (keys + start — unique by the exactly-once emission contract). */
+  def readSessionMart(spark: SparkSession, storeDir: String,
+      keys: Seq[String]): DataFrame = {
+    val store = new GenStore(
+      new Path(storeDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      s"$storeDir/sessions", _ => ())
+    spark.read.parquet(store.dataDir)
+      .dropDuplicates(keys :+ "sess_start_us")
   }
 }

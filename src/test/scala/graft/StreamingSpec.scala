@@ -1187,6 +1187,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(mart() == fin)
   }
 
+  test("session-grain streaming mart (T5 at mart cadence): closed " +
+      "sessions append to the store exactly once — a session spanning " +
+      "two micro-batches merges in state before it closes, an open " +
+      "session is absent, and the mart equals the batch session " +
+      "aggregation restricted to closed sessions; a restart from the " +
+      "checkpoint appends nothing") {
+    import spark.implicits._
+    import graft.pipeline.GoldAggOps
+    def us(hhmm: String): Long =
+      java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00").getTime * 1000L
+    val tmp = java.nio.file.Files.createTempDirectory("sessmart")
+    val in = tmp.resolve("in"); java.nio.file.Files.createDirectories(in)
+    def wave(name: String, rows: Seq[(String, Long)], mtime: Long): Unit = {
+      val df = rows.toDF("u", "ts_us")
+      val stagedir = tmp.resolve(s"stage_$name")
+      df.coalesce(1).write.parquet(stagedir.toString)
+      val part = stagedir.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = in.resolve(s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime); ()
+    }
+    val now = System.currentTimeMillis()
+    // wm after w1 = 12:00 (max 13:00 − 1h): u2 closed; u1's session
+    // (end 12:20) still OPEN and must MERGE with w2's 12:10 row
+    val w1 = Seq(("u1", us("11:50")), ("u2", us("09:00")),
+      ("u9", us("13:00")))
+    // w2 row at 12:10 > 12:00 (not late); driver 14:37 → final wm
+    // 13:37 closes u1 (12:40), u3 (13:00), u9's first (13:30); the
+    // 14:37 session itself stays open → absent
+    val w2 = Seq(("u1", us("12:10")), ("u3", us("12:30")),
+      ("u9", us("14:37")))
+    wave("w1", w1, now - 600000L)
+    wave("w2", w2, now)
+    val store = tmp.resolve("store").toString
+    val schema = Seq(("x", 0L)).toDF("u", "ts_us").schema
+    def runOnce(): Unit = {
+      val q = GoldAggOps.sessionMartSink(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false").parquet(in.toString)
+            .withColumn("ev", timestamp_micros(col("ts_us"))),
+          "ev", "30 minutes", "1 hour", Seq("u"),
+          Seq(count(lit(1)).as("n")), store,
+          tmp.resolve("cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    def mart(): Set[(String, Long, Long, Long)] =
+      GoldAggOps.readSessionMart(spark, store, Seq("u"))
+        .select(col("u"), col("sess_start_us"), col("sess_end_us"),
+          col("n"))
+        .as[(String, Long, Long, Long)].collect().toSet
+    val got = mart()
+    val gapUs = 1800000000L
+    assert(got == Set(
+      ("u2", us("09:00"), us("09:00") + gapUs, 1L),
+      ("u1", us("11:50"), us("12:10") + gapUs, 2L),
+      ("u3", us("12:30"), us("12:30") + gapUs, 1L),
+      ("u9", us("13:00"), us("13:00") + gapUs, 1L)),
+      s"session mart wrong: $got")
+    // batch twin: session_window over ALL rows, closed subset only
+    val wmfUs = ((w1 ++ w2).map(_._2).max / 1000L - 3600000L) * 1000L
+    val twin = graft.streaming.StreamOps.sessionAgg(
+        (w1 ++ w2).toDF("u", "ts_us")
+          .withColumn("ev", timestamp_micros(col("ts_us"))),
+        "ev", "30 minutes", Seq("u"), Seq(count(lit(1)).as("n")))
+      .withColumn("sess_start_us", unix_micros(col("sess_start")))
+      .withColumn("sess_end_us", unix_micros(col("sess_end")))
+      .filter(col("sess_end_us") <= wmfUs)
+      .select(col("u"), col("sess_start_us"), col("sess_end_us"),
+        col("n"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == twin,
+      "the streaming session mart diverged from the batch twin")
+    // restart from the same checkpoint: nothing new, store unchanged
+    runOnce()
+    assert(mart() == got, "a checkpoint restart changed the mart")
+  }
+
   test("sanctioned stream takeover: a LIVE foreachBatch stream " +
       "continues a config-built streaming mart store — without " +
       "migration the identity gate fails loud (by design); after " +
