@@ -2607,7 +2607,10 @@ final class PipelineRunner(
           val reader0 = spark.readStream.schema(schema)
           val reader = params.maxFilesPerTrigger
             .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+          val t0 = System.nanoTime()
           runSink(reader.parquet(s"$feedDir/v*"))
+          log(f"feed drain ${new Path(feedDir).getName}/" +
+            f"${newest.getName}: ${(System.nanoTime() - t0) / 1e9}%.2fs")
           StoreMarkers.writeAtomic(fs, consumedP, hi.toString)
         }
     }
@@ -2637,10 +2640,13 @@ final class PipelineRunner(
         // table-sized initial load lands as MANY files the throttle
         // above can split, while a dashboard-grain delta still
         // coalesces to one
+        val t0 = System.nanoTime()
         delta(from, liveVersion).hint("rebalance").write.mode("overwrite")
           .parquet(tmp.toString)
         require(fs.rename(tmp, pairDir),
           s"streaming-cadence feed: committing $pairDir failed")
+        log(f"feed extract ${new Path(feedDir).getName}/" +
+          f"${pairDir.getName}: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }
     drain()
