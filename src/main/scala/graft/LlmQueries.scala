@@ -1144,13 +1144,46 @@ object LlmQueries {
     // -- [EXT]: BPE tokenizer training + encoding — distributed
     //    word-count shuffle, driver greedy merge loop over the word
     //    table (the sentencepiece/HF shape), broadcast-ranks encode.
-    //    No oracle (iterative trainer has no SQL form); BpeSpec asserts
-    //    the hand-checkable merge sequence, segmentation reproduction,
-    //    round-trip, and partitioning invariance.
+    //    FULL oracle since r14: the trained merge table for the
+    //    driver-verified corpus sizes is COMMITTED as a fixture
+    //    (fixtures/bpe_merges.csv, keyed by the documents row count);
+    //    training must reproduce it exactly (the require below — the
+    //    trainer is deterministic by construction: count-desc/lexi
+    //    tie-breaks, ordered truncation), and the DuckDB oracle
+    //    replays ENCODING from the same fixture in recursive SQL
+    //    (min-rank leftmost-occurrence merge steps to fixpoint — one
+    //    occurrence per step is equivalent to the all-occurrences pass
+    //    because newly created adjacencies always involve the merged
+    //    symbol, whose merges rank strictly later). Corpus sizes
+    //    without a fixture entry (not a driver gate point) train and
+    //    encode exactly as before. BpeSpec keeps the hand-checkable
+    //    merge sequence, round-trip, and partitioning invariance.
     "q_bpe_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = bpeModelCache.computeIfAbsent(dir,
         _ => text.Bpe.train(docs, "text", numMerges = 200))
+      val fixtureFile = {
+        val local = new java.io.File("fixtures/bpe_merges.csv")
+        if (local.isFile) local
+        else new java.io.File("/root/repo/fixtures/bpe_merges.csv")
+      }
+      if (fixtureFile.isFile) {
+        val docsN = docs.count()
+        val fixture = scala.io.Source.fromFile(fixtureFile, "UTF-8")
+        val expected = try {
+          fixture.getLines().drop(1).map(_.split(",", 4)).collect {
+            case Array(n, r, p1, p2) if n.toLong == docsN =>
+              (r.toInt, (p1, p2))
+          }.toVector.sortBy(_._1).map(_._2)
+        } finally fixture.close()
+        if (expected.nonEmpty)
+          require(model.merges == expected,
+            s"q_bpe_encode: training on $docsN documents did not " +
+              s"reproduce the committed merge fixture (got " +
+              s"${model.merges.take(5)}... vs ${expected.take(5)}...) - " +
+              "the trainer or the normalization changed; re-run " +
+              "tools/MakeBpeFixture and re-verify")
+      }
       text.Bpe.encode(docs, "text", model)
         .select(col("doc_id"), col("pieces_n"),
           array_join(slice(col("pieces"), 1, 12), " ").as("pieces_head"))
@@ -3136,6 +3169,57 @@ object LlmQueries {
          |  coalesce(enc.n_unk, 0)::BIGINT AS n_unk
          |FROM documents d LEFT JOIN enc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // BPE ENCODING replayed from the committed merge fixture in
+    // recursive SQL (training itself is pinned by the in-query
+    // fixture-equality require on the Spark side): per distinct word,
+    // start from characters + '</w>' and repeatedly apply the
+    // LOWEST-RANK merge at its LEFTMOST occurrence until none applies —
+    // one occurrence per recursive step is equivalent to the encoder's
+    // all-occurrences pass because newly created adjacencies always
+    // involve the merged symbol, whose merges rank strictly later
+    "q_bpe_encode" ->
+      """WITH RECURSIVE merges AS (
+        |  SELECT rank, p1, p2
+        |  FROM read_csv('/root/repo/fixtures/bpe_merges.csv',
+        |    header=true, columns={'docs_n':'BIGINT','rank':'INTEGER',
+        |      'p1':'VARCHAR','p2':'VARCHAR'})
+        |  WHERE docs_n = (SELECT count(*) FROM documents)),
+        |d AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |wpos AS (
+        |  SELECT doc_id, i, ws[i] AS w
+        |  FROM (SELECT doc_id, string_split(norm, ' ') AS ws FROM d
+        |        WHERE norm IS NOT NULL AND norm <> ''),
+        |       unnest(range(1, len(ws) + 1)) t(i)),
+        |uw AS (SELECT DISTINCT w FROM wpos),
+        |enc AS (
+        |  SELECT w, list_append(string_split(w, ''), '</w>') AS p FROM uw
+        |  UNION ALL
+        |  SELECT w, p[1:best_i-1] || [p[best_i] || p[best_i+1]]
+        |           || p[best_i+2:]
+        |  FROM (
+        |    SELECT w, p,
+        |      (SELECT i FROM unnest(range(1, len(p))) t(i)
+        |       JOIN merges m ON p[i] = m.p1 AND p[i+1] = m.p2
+        |       ORDER BY m.rank, i LIMIT 1) AS best_i
+        |    FROM enc) s
+        |  WHERE best_i IS NOT NULL),
+        |done AS (
+        |  SELECT w, p FROM enc e
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM unnest(range(1, len(e.p))) t(i)
+        |    JOIN merges m ON e.p[i] = m.p1 AND e.p[i+1] = m.p2)),
+        |docpieces AS (
+        |  SELECT doc_id, flatten(list(p ORDER BY i)) AS pieces
+        |  FROM wpos JOIN done USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(len(pieces), 0)::INTEGER AS pieces_n,
+        |  COALESCE(array_to_string(pieces[1:12], ' '), '') AS pieces_head
+        |FROM d LEFT JOIN docpieces USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_corpus_profile" ->
       s"""SELECT source, count(*)::BIGINT AS n_docs,
