@@ -622,7 +622,7 @@ class PipelineSpec extends AnyFunSuite {
     Seq((1L, "EMEA"), (2L, "APAC"))
       .toDF("r_id", "r_name").write.parquet(s"$src/regions")
     def run(clock: String): PipelineParams = {
-      val (r, p) = mkRunner(src, store, clock, catalog = "gchain")
+      val (r, p) = mkRunner(src, store, clock, catalog = "gstrchain")
       r.run(ConfigLoader.load(spark, src)); p
     }
     val p1 = run("2024-12-01 00:00:00")
