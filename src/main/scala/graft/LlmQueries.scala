@@ -1168,11 +1168,16 @@ object LlmQueries {
         else new java.io.File("/root/repo/fixtures/bpe_merges.csv")
       }
       if (fixtureFile.isFile) {
-        val docsN = docs.count()
+        // corpus key = (rows, total chars) — rows alone collide across
+        // the driver's scale factors (sf0.001 and sf0.01 are both 500)
+        val Seq(docsN, charsN) = docs
+          .agg(count(lit(1)), sum(length(col("text"))))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toSeq
         val fixture = scala.io.Source.fromFile(fixtureFile, "UTF-8")
         val expected = try {
-          fixture.getLines().drop(1).map(_.split(",", 4)).collect {
-            case Array(n, r, p1, p2) if n.toLong == docsN =>
+          fixture.getLines().drop(1).map(_.split(",", 5)).collect {
+            case Array(n, ch, r, p1, p2)
+                if n.toLong == docsN && ch.toLong == charsN =>
               (r.toInt, (p1, p2))
           }.toVector.sortBy(_._1).map(_._2)
         } finally fixture.close()
@@ -3182,9 +3187,10 @@ object LlmQueries {
       """WITH RECURSIVE merges AS (
         |  SELECT rank, p1, p2
         |  FROM read_csv('/root/repo/fixtures/bpe_merges.csv',
-        |    header=true, columns={'docs_n':'BIGINT','rank':'INTEGER',
-        |      'p1':'VARCHAR','p2':'VARCHAR'})
-        |  WHERE docs_n = (SELECT count(*) FROM documents)),
+        |    header=true, columns={'docs_n':'BIGINT','chars_n':'BIGINT',
+        |      'rank':'INTEGER','p1':'VARCHAR','p2':'VARCHAR'})
+        |  WHERE docs_n = (SELECT count(*) FROM documents)
+        |    AND chars_n = (SELECT sum(length(text)) FROM documents)),
         |d AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm

@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
 object MakeBpeFixture {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
-      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
     val out = "fixtures/bpe_merges.csv"
     val spark = graft.analytics.GraftSession.configure(
       SparkSession.builder().master("local[32]")
@@ -23,15 +24,24 @@ object MakeBpeFixture {
         .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val w = new java.io.PrintWriter(out, "UTF-8")
-    w.println("docs_n,rank,p1,p2")
+    // corpus key = (row count, total chars): row count alone is NOT
+    // unique across the driver's scale factors (sf0.001 and sf0.01
+    // both hold 500 documents)
+    w.println("docs_n,chars_n,rank,p1,p2")
     dirs.foreach { dir =>
       val docs = graft.analytics.Tables(spark, dir, "documents")
       val n = docs.count()
+      val chars = docs.agg(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text"))))
+        .collect()(0).getLong(0)
       val model = graft.text.Bpe.train(docs, "text", numMerges = 200)
       model.merges.zipWithIndex.foreach { case ((p1, p2), r) =>
-        w.println(s"$n,$r,$p1,$p2")
+        w.println(s"$n,$chars,$r,$p1,$p2")
       }
-      println(s"[fixture] $dir: docs_n=$n merges=${model.merges.size}")
+      println(s"[fixture] $dir: docs_n=$n chars_n=$chars " +
+        s"merges=${model.merges.size}")
     }
     w.close()
     spark.stop()
