@@ -3191,6 +3191,11 @@ object LlmQueries {
         |      'rank':'INTEGER','p1':'VARCHAR','p2':'VARCHAR'})
         |  WHERE docs_n = (SELECT count(*) FROM documents)
         |    AND chars_n = (SELECT sum(length(text)) FROM documents)),
+        |chk AS (
+        |  SELECT CASE WHEN (SELECT count(*) FROM merges) = 0
+        |    THEN error('bpe_merges.csv has no entry for this corpus ' ||
+        |      '(docs_n, chars_n) - run graft.tools.MakeBpeFixture for ' ||
+        |      'this scale factor') END AS ok),
         |d AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
@@ -3224,7 +3229,7 @@ object LlmQueries {
         |SELECT d.doc_id,
         |  COALESCE(len(pieces), 0)::INTEGER AS pieces_n,
         |  COALESCE(array_to_string(pieces[1:12], ' '), '') AS pieces_head
-        |FROM d LEFT JOIN docpieces USING (doc_id)
+        |FROM d LEFT JOIN docpieces USING (doc_id) CROSS JOIN chk
         |ORDER BY d.doc_id""".stripMargin,
 
     "q_corpus_profile" ->

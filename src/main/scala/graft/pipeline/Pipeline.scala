@@ -964,19 +964,31 @@ final class PipelineRunner(
         // pre-image is the CURRENT merge view (touched-bucket-pruned,
         // semi-joined to the batch PKs: the one read-side cost CDC adds
         // to merge-on-read's O(batch) write, the same trade Delta/Hudi
-        // CDC makes on MOR tables). The post-image is the delta's
-        // surviving winners (tombstones become 'delete' via the diff,
-        // carrying the PRE-image row — the standard CDC delete image).
+        // CDC makes on MOR tables). The post-image is NOT the raw
+        // delta: a batch row can LOSE the view's keep-latest ordering
+        // to the existing winner (a replay under the same injected
+        // clock, an out-of-order file), and emitting its image would
+        // be a change silver never made — so the post state re-runs
+        // the SAME keep-latest over current-winners ∪ delta winners
+        // (tombstone winners retract their PK, surfacing as 'delete'
+        // via the diff with the PRE-image row — the standard CDC
+        // delete image; a losing batch row leaves post == pre and
+        // diffs to nothing).
         if (cdfOn(entity, cfg)) {
           val pkNew = cfg.uniquePrimaryKey
             .map(p => cfg.renamedColumns.getOrElse(p, p))
           val batchPKs = Rename(withB, cfg.renamedColumns)
             .select(pkNew.map(col): _*).distinct()
+          val pre = spark.table(fqn)
+            .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
+            .join(batchPKs, pkNew, "left_semi")
           writeCdfBatch(entity, cfg, batchId)(
-            spark.table(fqn)
-              .where(col(BucketCol).isin(touched.toSeq.map(Int.box): _*))
-              .join(batchPKs, pkNew, "left_semi"),
-            silverDeltaFrame(withB, cfg, None)
+            pre,
+            Dedup.latestByIngestion(
+                pre.withColumn(RetractedCol, lit(false))
+                  .unionByName(silverDeltaFrame(withB, cfg, None),
+                    allowMissingColumns = true),
+                pkNew)
               .filter(!col(RetractedCol)).drop(RetractedCol, DeltaCol))
         }
         // delta generation id: unique per merge. batchId is monotone per
@@ -2267,13 +2279,22 @@ final class PipelineRunner(
     * the `_cdf/_epoch` marker already exists on disk — the LATCH: once
     * any consumer enabled the feed, every later merge keeps it current
     * even when invoked outside the full-config runner, so a feed can
-    * never silently stall at a stale high-water. */
+    * never silently stall at a stale high-water. ([[vacuumCdf]] drops
+    * the feed — and so the latch — once no declared consumer remains.)
+    * The epoch probe is one fs metadata call; NEGATIVE results are
+    * cached per run (cleared in runLocked) so the common
+    * CDF-off-incremental merge path does not pay a namenode round-trip
+    * per trigger; positives latch for the runner's lifetime. */
+  private val cdfProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   private def cdfOn(entity: String, cfg: EntityConfig): Boolean =
     cfg.silverMode == "incremental" && (cfg.silverCdf ||
-      cdfTargets.contains(entity) || {
+      cdfTargets.contains(entity) ||
+      cdfProbeCache.computeIfAbsent(entity, _ => {
         val p = new org.apache.hadoop.fs.Path(cdfRoot(entity), "_epoch")
         p.getFileSystem(hconf).exists(p)
-      })
+      }).booleanValue())
 
   /** The feed's IDENTITY marker: a UUID minted when the `_cdf` dir is
     * first created. A silver full refresh deletes the whole silver path
@@ -2351,6 +2372,24 @@ final class PipelineRunner(
     val root = new Path(cdfRoot(entity))
     val fs = root.getFileSystem(hconf)
     ensureCdfEpoch(entity)
+    // RESTARTED-CLOCK GUARD (the replay-gate discipline): a benign
+    // at-least-once replay can only present the HIGH-WATER batch id
+    // itself (the checkpoint commits per batch, and gold never consumes
+    // a batch whose silver checkpoint did not commit, so lower gens are
+    // either committed-and-consumed or never existed). A batch BELOW
+    // the high water means the silver checkpoint was reset/replaced
+    // while the feed kept its clock — its dirs may be vacuumed and _hi
+    // would never advance, so consuming marts would silently miss every
+    // replayed merge. Fail loud with the remedy instead (the adjacent
+    // MOR delta-gen guard handles the same reset for the table itself).
+    val hi0 = readCdfHi(entity)
+    require(batchId >= hi0,
+      s"silver CDF at $root: merge batch $batchId is below the feed's " +
+        s"high-water gen $hi0 - the silver checkpoint was reset " +
+        "(batch ids restarted) while the change feed kept its clock, " +
+        "and consuming marts would silently miss the replayed merges. " +
+        "Full-refresh the entity (rebuilds the feed and its marts get " +
+        "a fresh epoch) or restore the original checkpoint")
     val dir = new Path(root, s"b$batchId")
     if (!fs.exists(dir)) {
       val pkNew = cfg.uniquePrimaryKey
@@ -2490,18 +2529,43 @@ final class PipelineRunner(
         }
       }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
     consumers.foreach { case (e, marts) =>
-      val gens = cdfBatchDirs(e)
-      if (gens.nonEmpty) {
-        val fs = gens.head._2.getFileSystem(hconf)
-        val markers = marts.map { m =>
-          StoreMarkers.readText(fs,
-            new Path(s"${goldStreamPath(m)}/feed_$e/_consumed"))
-            .flatMap(_.toLongOption)
+      // `silver_cdf: true` = an EXTERNAL reader also consumes this
+      // feed; the pipeline must never vacuum at its own marts' pace
+      // (the external reader owns retention — config doc)
+      if (!entities.get(e).exists(_.silverCdf)) {
+        val gens = cdfBatchDirs(e)
+        if (gens.nonEmpty) {
+          val fs = gens.head._2.getFileSystem(hconf)
+          val markers = marts.map { m =>
+            StoreMarkers.readText(fs,
+              new Path(s"${goldStreamPath(m)}/feed_$e/_consumed"))
+              .flatMap(_.toLongOption)
+          }
+          if (markers.forall(_.nonEmpty)) {
+            val min = markers.flatten.min
+            gens.filter(_._1 <= min).foreach { case (_, p) =>
+              fs.delete(p, true) }
+          }
         }
-        if (markers.forall(_.nonEmpty)) {
-          val min = markers.flatten.min
-          gens.filter(_._1 <= min).foreach { case (_, p) =>
-            fs.delete(p, true) }
+      }
+    }
+    // ORPHANED feeds: the epoch latch keeps an enabled feed current
+    // across runners, so when the LAST declared consumer leaves the
+    // config (and silver_cdf is off) the entity would otherwise pay
+    // the per-merge capture and accumulate batches forever. Dropping
+    // the whole feed is safe: a mart added back later initial-loads
+    // the live table and the fresh epoch makes it rebuild loud.
+    entities.foreach { case (e, cfg) =>
+      if (cfg.silverMode == "incremental" && !cfg.silverCdf &&
+          !consumers.contains(e)) {
+        val root = new Path(cdfRoot(e))
+        val fs = root.getFileSystem(hconf)
+        if (fs.exists(root)) {
+          log(s"silver CDF at $root has no declared consumer left " +
+            "(no streaming mart reads this entity and silver_cdf is " +
+            "off) - dropping the orphaned feed; a future mart " +
+            "initial-loads and re-mints the epoch")
+          fs.delete(root, true)
         }
       }
     }
@@ -2804,6 +2868,10 @@ final class PipelineRunner(
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val fsS = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fpP = new org.apache.hadoop.fs.Path(dir, "_deriv_fp")
+    // captured BEFORE any marker surgery: a mart that already has a
+    // derivation fingerprint predates this run (the full→incremental
+    // migration guard below needs to know)
+    val hadState = fsS.exists(fpP)
     StoreMarkers.readText(fsS, fpP).foreach { old =>
       if (old != derivFp) {
         log(s"gold.$entity: the streaming mart's derivation config " +
@@ -2843,11 +2911,29 @@ final class PipelineRunner(
           fsS.delete(dirP, true)
         }
       }
+    // FULL→INCREMENTAL migration under an existing mart: the mart was
+    // built when this input had no CDF (no _input_epochs recorded), so
+    // its _consumed markers live in PUBLISHED-VERSION space — silently
+    // reinterpreting them as CDF gens would stall the feed and then
+    // apply a partial gen range over pre-migration state. The clock
+    // domain changed: rebuild loud (the epoch-mismatch posture).
+    if (hadState && inputEpochs.nonEmpty && fsS.exists(dirP) &&
+        !fsS.exists(epP)) {
+      log(s"gold.$entity: input(s) ${inputEpochs.map(_._1).mkString(",")}" +
+        " moved to incremental silver under an existing streaming " +
+        s"mart (no recorded input epochs) - the feed clock domain " +
+        s"changed from published versions to CDF gens; clearing the " +
+        s"stream state at $dir and rebuilding from the live versions")
+      fsS.delete(dirP, true)
+    }
     if (!fsS.exists(fpP)) {
       fsS.mkdirs(dirP)
       StoreMarkers.writeAtomic(fsS, fpP, derivFp)
     }
-    if (inputEpochs.nonEmpty && !fsS.exists(epP))
+    // ALWAYS record the epoch set (empty string when no bucketed
+    // inputs) so the next bucketed-input appearance is a detectable
+    // transition, not a silent reinterpretation
+    if (!fsS.exists(epP))
       StoreMarkers.writeAtomic(fsS, epP, epochsTxt)
     def liveVersion(e: String, layer: String = "silver"): Long =
       if (isBucketed(e, layer)) readCdfHi(e)
@@ -3562,6 +3648,7 @@ final class PipelineRunner(
         ge +: g.join.filter(_.layer == "silver").map(_.entity))
     }.filter(e => entities.get(e).exists(_.silverMode == "incremental"))
       .toSet
+    cdfProbeCache.clear()
     each { case (e, cfg) => runBronze(e, cfg, fullRefresh); () }
     log("phase bronze done")
     each { case (e, cfg) =>

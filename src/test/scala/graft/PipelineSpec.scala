@@ -587,6 +587,149 @@ class PipelineSpec extends AnyFunSuite {
       "the epoch-change rebuild did not converge to the batch star")
   }
 
+  test("silver CDF self-review fixes: a batch row that LOSES the " +
+      "keep-latest tie-break emits no change (post-image re-runs the " +
+      "merge ordering, the mart stays on the batch twin); a RESET " +
+      "silver checkpoint fails the CDF clock guard loud; and a " +
+      "full->incremental input migration rebuilds the mart instead of " +
+      "reinterpreting its consumed versions as CDF gens") {
+    import spark.implicits._
+    val src = tmpDir("cdfrev-src"); val store = tmpDir("cdfrev-store")
+    def writeWave(rows: Seq[(Long, java.lang.Double, String)],
+        name: String): Unit = {
+      val stage = java.nio.file.Files
+        .createTempDirectory("cdfrev-stage").resolve("out")
+      rows.toDF("r_id", "amount", "grp").coalesce(1)
+        .write.parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(Path.of(s"$src/receipts"))
+      java.nio.file.Files.move(part.toPath,
+        Path.of(s"$src/receipts/$name"))
+      ()
+    }
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      """{"receipts": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"],
+        |  "silver_mode": "incremental",
+        |  "silver_merge": "merge_on_read",
+        |  "silver_buckets": 4,
+        |  "gold": {"cadence": "streaming",
+        |    "aggregate": {"group_by": ["grp"],
+        |      "aggs": [{"op": "count", "as": "n"},
+        |               {"op": "sum_x1e6", "expr": "amount",
+        |                "as": "total_x1e6"}]}}
+        |}}""".stripMargin)
+    // wave file names control the keep-latest tie-break: under the SAME
+    // injected clock, _source_file DESC wins — "zzz" (wave 1) beats
+    // "aaa" (wave 2), so wave 2's conflicting row LOSES the merge
+    writeWave(Seq((1L, java.lang.Double.valueOf(10.0), "a"),
+      (2L, java.lang.Double.valueOf(4.0), "b")), "zzz.parquet")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "cdfrev")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val clock = "2024-10-01 00:00:00"
+    val p1 = run(clock)
+    assert(spark.table(p1.goldFqn("receipts")).orderBy($"grp")
+        .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 1L, 10000000L), ("b", 1L, 4000000L)))
+    // finding 3: the losing batch row must not emit CDC — post == pre
+    writeWave(Seq((1L, java.lang.Double.valueOf(99.0), "a")),
+      "aaa.parquet")
+    val p2 = run(clock) // SAME clock -> tie -> source-file DESC -> loses
+    val silverTwin = spark.table(p2.silverFqn("receipts"))
+      .groupBy($"grp").agg(count(lit(1)).as("n"),
+        sum(floor($"amount" * lit(1e6))).as("total_x1e6"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(silverTwin == Set(("a", 1L, 10000000L), ("b", 1L, 4000000L)),
+      s"tie-break fixture broke: $silverTwin")
+    assert(spark.table(p2.goldFqn("receipts"))
+        .as[(String, Long, Long)].collect().toSet == silverTwin,
+      "a keep-latest-losing batch row leaked into the CDF mart")
+    // finding 1: reset the silver checkpoint -> replayed batch ids are
+    // below the CDF high-water -> loud, never a silent stall
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$store/_checkpoints/silver_receipts"))
+    writeWave(Seq((3L, java.lang.Double.valueOf(1.0), "b")),
+      "mmm.parquet")
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    val e1 = intercept[Exception] { run("2024-10-02 00:00:00") }
+    assert(causes(e1).exists(c => Option(c.getMessage)
+        .exists(_.contains("below the feed's high-water"))),
+      s"expected the CDF restarted-clock guard, got: $e1")
+  }
+
+  test("gold.cadence streaming: a full->incremental INPUT MIGRATION " +
+      "under an existing mart rebuilds it loud (the consumed markers' " +
+      "clock domain changed from published versions to CDF gens), for " +
+      "both the recorded-empty-epochs and the legacy-no-epochs forms") {
+    import spark.implicits._
+    val src = tmpDir("mig-src"); val store = tmpDir("mig-store")
+    def cfgJson(incremental: Boolean): String = {
+      val mode = if (incremental)
+        """"silver_mode": "incremental", "silver_buckets": 4,
+          |  """.stripMargin
+      else ""
+      s"""{"receipts": {
+        |  "raw_file_format": "parquet",
+        |  "unique_primary_key": ["r_id"],
+        |  $mode"gold": {"cadence": "streaming",
+        |    "aggregate": {"group_by": ["grp"],
+        |      "aggs": [{"op": "count", "as": "n"},
+        |               {"op": "sum_x1e6", "expr": "amount",
+        |                "as": "total_x1e6"}]}}
+        |}}""".stripMargin
+    }
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      cfgJson(incremental = false))
+    Seq((1L, 1.5, "a"), (2L, 2.5, "a"), (3L, 4.0, "b"))
+      .toDF("r_id", "amount", "grp").write.parquet(s"$src/receipts")
+    def run(clock: String): PipelineParams = {
+      val (r, p) = mkRunner(src, store, clock, catalog = "cdfmig")
+      r.run(ConfigLoader.load(spark, src)); p
+    }
+    val p1 = run("2024-11-01 00:00:00")
+    val before = Set(("a", 2L, 4000000L), ("b", 1L, 4000000L))
+    assert(spark.table(p1.goldFqn("receipts"))
+        .as[(String, Long, Long)].collect().toSet == before)
+    val epP = new org.apache.hadoop.fs.Path(
+      s"$store/gold_stream/receipts/_input_epochs")
+    val fs = epP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(epP),
+      "_input_epochs must be recorded even with no bucketed inputs")
+    // out-of-band migration: the operator full-refreshes silver to the
+    // bucketed layout under a new config, WITHOUT refreshing gold
+    Files.writeString(Path.of(src, "dp_config_template.json"),
+      cfgJson(incremental = true))
+    val (r2, _) = mkRunner(src, store, "2024-11-02 00:00:00",
+      catalog = "cdfmig")
+    val cfg2 = ConfigLoader.load(spark, src)("receipts")
+    r2.runSilver("receipts", cfg2, fullRefresh = true)
+    // next regular run: the epoch set changed ("" -> "receipts=...");
+    // the mart must rebuild and converge, not stall on a version-space
+    // consumed marker
+    Seq((4L, 6.0, "b")).toDF("r_id", "amount", "grp")
+      .write.mode("append").parquet(s"$src/receipts")
+    val p3 = run("2024-11-03 00:00:00")
+    val after = Set(("a", 2L, 4000000L), ("b", 2L, 10000000L))
+    assert(spark.table(p3.goldFqn("receipts"))
+        .as[(String, Long, Long)].collect().toSet == after,
+      "the full->incremental migration did not rebuild the mart")
+    // legacy form: a pre-r14 mart never recorded _input_epochs at all —
+    // delete the marker and migrate again; the hadState guard rebuilds
+    fs.delete(epP, false)
+    Seq((5L, 3.0, "a")).toDF("r_id", "amount", "grp")
+      .write.mode("append").parquet(s"$src/receipts")
+    val p4 = run("2024-11-04 00:00:00")
+    val after4 = Set(("a", 3L, 7000000L), ("b", 2L, 10000000L))
+    assert(spark.table(p4.goldFqn("receipts"))
+        .as[(String, Long, Long)].collect().toSet == after4,
+      "the legacy no-epochs migration did not rebuild the mart")
+  }
+
   test("gold.cadence streaming: CHAINED streaming marts — a " +
       "streaming-cadence mart reads another entity's PUBLISHED gold as " +
       "a dim (layer 'gold', Kahn-wave ordered); a region rename and a " +
