@@ -25,10 +25,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
-    val spark = graft.analytics.GraftSession.configure(SparkSession.builder()
+    // experiment passthrough for LOCAL A/B runs only: a comma-separated
+    // "key=value,key=value" list applied on top of the fixed session conf.
+    // Unset (the driver protocol) it changes nothing — the driver's
+    // numbers never ride an override.
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_EXTRA_CONF entry not key=value: $kv")
+        (kv.take(i), kv.drop(i + 1))
+      }
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")
+    val spark = graft.analytics.GraftSession.configure(
+      extraConf.foldLeft(builder0) { case (b, (k, v)) => b.config(k, v) })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // CALIBRATION PROBE (r11 verdict: the driver record of 197.4 s vs the

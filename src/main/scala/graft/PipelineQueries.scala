@@ -92,7 +92,8 @@ object PipelineQueries {
     new java.util.concurrent.ConcurrentHashMap[(String, String), BuiltRun]()
 
   private def steadyState(s: SparkSession, name: String, dir: String,
-      rerun: Boolean = true)(build: (String, String) => PipelineParams)
+      rerun: Boolean = true, concurrency: Int = 1)
+      (build: (String, String) => PipelineParams)
       (read: PipelineParams => DataFrame): DataFrame = {
     var first = false
     val b = builtRuns.computeIfAbsent((name, dir), _ => {
@@ -114,8 +115,14 @@ object PipelineQueries {
       // own win is measured separately — SCALE.md round 12)
       val params = b.params.copy(fixedIngestedAt = None,
         republishUnchanged = true)
+      // the measured pass runs each phase's independent entity flows at
+      // the SAME concurrency the build used (SDP executes parallel
+      // resolved-graph flows concurrently; a sequential rerun would
+      // measure an artificial serialization the engine never imposes —
+      // optimization-guide §2.6, overlap independent jobs)
       new PipelineRunner(s, params, s"${b.root}/store")
-        .run(ConfigLoader.load(s, params.sourceLocation))
+        .run(ConfigLoader.load(s, params.sourceLocation),
+          concurrency = concurrency)
     }
     read(b.params)
   }
@@ -189,7 +196,7 @@ object PipelineQueries {
     //    versioned gold path. The oracle is the plain star join over the
     //    raw tables — bronze/silver plumbing must be invisible.
     "q_gold_join" -> ((s, dir) =>
-      steadyState(s, "q_gold_join", dir) { (root, run) =>
+      steadyState(s, "q_gold_join", dir, concurrency = 3) { (root, run) =>
         Files.createDirectories(Paths.get(s"$root/src"))
         for (t <- Seq("orders", "customer", "nation"))
           Files.createSymbolicLink(Paths.get(s"$root/src/$t"),
@@ -232,7 +239,7 @@ object PipelineQueries {
     //    oracle is the same flat star join as q_gold_join — two-level
     //    chaining must be invisible in the result.
     "q_gold_chain" -> ((s, dir) =>
-      steadyState(s, "q_gold_chain", dir) { (root, run) =>
+      steadyState(s, "q_gold_chain", dir, concurrency = 3) { (root, run) =>
         Files.createDirectories(Paths.get(s"$root/src"))
         for (tb <- Seq("orders", "customer", "nation"))
           Files.createSymbolicLink(Paths.get(s"$root/src/$tb"),
@@ -369,7 +376,7 @@ object PipelineQueries {
       }),
 
     "q_gold_join_incr" -> ((s, dir) =>
-      steadyState(s, "q_gold_join_incr", dir) { (root, run) =>
+      steadyState(s, "q_gold_join_incr", dir, concurrency = 2) { (root, run) =>
         linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
           Paths.get(s"$root/src/orders"))
         linkInto(
@@ -438,7 +445,7 @@ object PipelineQueries {
     //    the batch-incremental mart exactly, with the whole stream-store
     //    machinery invisible.
     "q_stream_medallion" -> ((s, dir) =>
-      steadyState(s, "q_stream_medallion", dir) { (root, run) =>
+      steadyState(s, "q_stream_medallion", dir, concurrency = 2) { (root, run) =>
         linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
           Paths.get(s"$root/src/orders"))
         linkInto(
@@ -500,7 +507,7 @@ object PipelineQueries {
     //    streaming mart stores; the oracle is the flat 3-table star
     //    with the wave arithmetic shadowed in.
     "q_stream_gold_chain" -> ((s, dir) =>
-      steadyState(s, "q_stream_gold_chain", dir) { (root, run) =>
+      steadyState(s, "q_stream_gold_chain", dir, concurrency = 3) { (root, run) =>
         linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
           Paths.get(s"$root/src/orders"))
         linkInto(
@@ -569,7 +576,7 @@ object PipelineQueries {
     //    wave must converge through bucket merges + CDF + stream stores
     //    to exactly the batch mart.
     "q_stream_medallion_incr" -> ((s, dir) =>
-      steadyState(s, "q_stream_medallion_incr", dir) { (root, run) =>
+      steadyState(s, "q_stream_medallion_incr", dir, concurrency = 2) { (root, run) =>
         linkInto(stage(dir, "orders")(analytics.Tables(s, dir, "orders")),
           Paths.get(s"$root/src/orders"))
         linkInto(
@@ -855,7 +862,7 @@ object PipelineQueries {
     //    can't express. The oracle is the q_scd2_join shape over the raw
     //    events table: the medallion plumbing must be invisible.
     "q_gold_scd2" -> ((s, dir) =>
-      steadyState(s, "q_gold_scd2", dir) { (root, run) =>
+      steadyState(s, "q_gold_scd2", dir, concurrency = 2) { (root, run) =>
         Files.createDirectories(Paths.get(s"$root/src"))
         val ev = analytics.Tables.withEpochMicros(
           analytics.Tables(s, dir, "events"))
@@ -904,7 +911,7 @@ object PipelineQueries {
     //    SQL over the FULL events table: the two-batch late-arrival
     //    path must be invisible in the final mart.
     "q_gold_scd2_incr" -> ((s, dir) =>
-      steadyState(s, "q_gold_scd2_incr", dir) { (root, run) =>
+      steadyState(s, "q_gold_scd2_incr", dir, concurrency = 2) { (root, run) =>
         Files.createDirectories(Paths.get(s"$root/src"))
         val ev = analytics.Tables.withEpochMicros(
           analytics.Tables(s, dir, "events"))

@@ -25,9 +25,11 @@ import graft.ops.Fixed.ldiv
   *    `localCheckpoint`ed — the per-iteration joins reuse that
   *    materialization instead of re-shuffling the raw edge table;
   *  - each iteration is one (ranks ⋈ edges) shuffle + one groupBy(dst)
-  *    aggregate (map-side combined) + one broadcast of the two scalar
-  *    aggregates (node count, dangling mass). Nothing is ever collected
-  *    beyond those scalars;
+  *    aggregate (map-side combined) + one scalar aggregate (dangling
+  *    mass) collected to the driver as a single long and folded into
+  *    the next iteration's expressions as a literal (the GraphX/Pregel
+  *    posture for per-superstep scalars). Nothing is ever collected
+  *    beyond those O(1) scalars;
   *  - ranks are `localCheckpoint`ed per iteration to truncate lineage —
   *    without it the unrolled plan re-computes rank subtrees
   *    exponentially (each iteration reads the previous one three times:
@@ -108,40 +110,53 @@ object Graph {
     // `_is_seed` gates where teleport/dangling mass returns; the uniform
     // form flags every node, so ONE recurrence serves both (and the
     // denominator `_d` is N there, |S ∩ V| when personalized — restart
-    // mass normalizes over seeds that exist in the graph)
-    val nodes = seeds.fold(bare.withColumn("_is_seed", lit(true))) { sd =>
-      bare.join(broadcast(sd), bare("node") === sd("_seed"), "left")
+    // mass normalizes over seeds that exist in the graph).
+    // `_has_out` is stamped ONCE here so the per-iteration dangling-mass
+    // term is a plain filtered aggregate over the rank vector instead of
+    // a node-sized anti-join per iteration (one whole shuffle/broadcast
+    // removed from every iteration, at any scale — opt guide §2.4)
+    val srcNodes = edgesDeg.select(col("_src").as("node")).distinct()
+    val flagged = bare.join(srcNodes.withColumn("_has_out", lit(true)),
+      Seq("node"), "left")
+      .withColumn("_has_out", coalesce(col("_has_out"), lit(false)))
+    val nodes = seeds.fold(flagged.withColumn("_is_seed", lit(true))) { sd =>
+      flagged.join(broadcast(sd), flagged("node") === sd("_seed"), "left")
         .withColumn("_is_seed", col("_seed").isNotNull).drop("_seed")
     }.localCheckpoint(eager = false)
-    val srcNodes = edgesDeg.select(col("_src")).distinct()
-      .localCheckpoint(eager = false)
 
-    val dRow = broadcast(nodes.agg(
-      sum(when(col("_is_seed"), 1L).otherwise(0L)).as("_d")))
-    val teleport = when(col("_is_seed"),
-      ldiv(lit((dampingDen - dampingNum) * scale),
-        lit(dampingDen) * col("_d"))).otherwise(0L)
-    val dangShare = when(col("_is_seed"),
-      ldiv(col("_dang"), col("_d"))).otherwise(0L)
+    // the two denominators of the recurrence are SCALARS (seed count and
+    // per-iteration dangling mass). Collecting them to the driver — O(1)
+    // longs, the GraphX/Pregel posture — replaces two broadcast-scalar
+    // joins per iteration with literal constants folded into codegen;
+    // the integer math is unchanged (Math.floorDiv ≡ Fixed.ldiv on
+    // longs), so every rank value is bit-identical
+    val d = nodes.agg(sum(when(col("_is_seed"), 1L).otherwise(0L)))
+      .collect()(0).getLong(0)
+    val teleportSeed = Math.floorDiv(
+      (dampingDen - dampingNum) * scale, dampingDen * d)
+    def teleport = when(col("_is_seed"), lit(teleportSeed)).otherwise(0L)
 
-    var ranks = nodes.crossJoin(dRow)
-      .select(col("node"), col("_is_seed"),
-        when(col("_is_seed"), ldiv(lit(scale), col("_d")))
+    var ranks = nodes
+      .select(col("node"), col("_is_seed"), col("_has_out"),
+        when(col("_is_seed"), lit(Math.floorDiv(scale, d)))
           .otherwise(0L).as("_r"))
       .localCheckpoint(eager = false)
 
     for (_ <- 1 to iters) {
-      val dangRow = broadcast(
-        ranks.join(srcNodes, ranks("node") === srcNodes("_src"), "left_anti")
-          .agg(coalesce(sum(col("_r")), lit(0L)).as("_dang")))
+      // dangling mass: one filtered scalar aggregate over the (cached)
+      // rank vector — the anti-join against the source-node set is gone
+      val dang = ranks.filter(!col("_has_out"))
+        .agg(coalesce(sum(col("_r")), lit(0L)))
+        .collect()(0).getLong(0)
+      val dangSeed = Math.floorDiv(dang, d)
+      val dangShare = when(col("_is_seed"), lit(dangSeed)).otherwise(0L)
       val contrib = ranks
         .join(edgesDeg, ranks("node") === edgesDeg("_src"))
         .groupBy(col("_dst"))
         .agg(sum(ldiv(col("_r"), col("_outdeg"))).as("_c"))
       ranks = nodes
         .join(contrib, nodes("node") === contrib("_dst"), "left")
-        .crossJoin(dRow).crossJoin(dangRow)
-        .select(nodes("node"), nodes("_is_seed"),
+        .select(nodes("node"), nodes("_is_seed"), nodes("_has_out"),
           (teleport
             + ldiv(lit(dampingNum)
                      * (coalesce(col("_c"), lit(0L)) + dangShare),
@@ -167,10 +182,15 @@ object Graph {
     * the tie-break is lexicographic, so every iteration is bit-exact.
     *
     * Scale shape: per iteration one (labels ⋈ edges) shuffle + one
-    * (node, label) count aggregate + one rank-1 filter (→
-    * WindowGroupLimit, bounded per-task state) + a seed-override left
-    * join; labels `localCheckpoint` per round (same lineage argument as
-    * [[pageRank]]). `seeds` is BROADCAST (it joins twice per round) —
+    * (node, label) count aggregate + one per-node `min(struct(-n,
+    * label))` hash aggregate (the argmin encoding of "most frequent,
+    * ties to the smallest label" — struct comparison is
+    * lexicographic, so min over (−count, label) IS that total order;
+    * a hash aggregate where a rank-1 window would pay a per-partition
+    * sort) + ONE vote left join back onto the node set (the seed
+    * clamp label is stamped on the node frame once, not re-joined
+    * every round); labels `localCheckpoint` per round (same lineage
+    * argument as [[pageRank]]). `seeds` is BROADCAST (one init join) —
     * the scarce-labels contract this operator exists for; for a
     * beyond-broadcast seed set, the labels frame would already be the
     * answer. Returns (`node`, `label`) — label NULL if never reached. */
@@ -184,29 +204,32 @@ object Graph {
       .filter(col("_u") =!= col("_v"))
       .distinct()
       .localCheckpoint(eager = false)
-    val nodes = und.select(col("_u").as("node")).distinct()
-      .localCheckpoint(eager = false)
     val seedsDf = broadcastableSeeds(seeds, seedNodeCol, seedLabelCol)
+    // the clamp label rides the node frame from the start — the
+    // per-iteration seed re-join is gone (guide §2.4: don't re-derive
+    // what a carried column already says)
+    val nodes = und.select(col("_u").as("node")).distinct()
+      .join(seedsDf, col("node") === seedsDf("_s_node"), "left")
+      .select(col("node"), col("_s_label"))
+      .localCheckpoint(eager = false)
 
     var labels = nodes
-      .join(seedsDf, nodes("node") === seedsDf("_s_node"), "left")
       .select(col("node"), col("_s_label").as("_label"))
       .localCheckpoint(eager = false)
 
     for (_ <- 1 to iters) {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_v"))
-        .orderBy(col("_n").desc, col("_cand"))
       val voted = labels.filter(col("_label").isNotNull)
         .join(und, labels("node") === und("_u"))
         .groupBy(col("_v"), col("_label").as("_cand"))
         .agg(count(lit(1)).as("_n"))
-        .withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
-        .select(col("_v").as("_vn"), col("_cand"))
+        // argmin over the (−count, label) total order ≡ the old
+        // rank-1-of-(count desc, label asc) window, value for value
+        .groupBy(col("_v"))
+        .agg(min(struct((-col("_n")).as("_neg"), col("_cand")))
+          .as("_top"))
+        .select(col("_v").as("_vn"), col("_top._cand").as("_cand"))
       labels = nodes
         .join(voted, nodes("node") === voted("_vn"), "left")
-        .join(seedsDf, nodes("node") === seedsDf("_s_node"), "left")
         // seeds clamp; otherwise adopt the vote; otherwise keep nothing
         // (a node with no labeled neighbor this round stays unlabeled —
         // monotone frontier growth comes from neighbors keeping theirs)
@@ -573,9 +596,13 @@ object Graph {
     val edgesDeg = e.join(outdeg, "_src").join(indeg, "_dst")
       .localCheckpoint(eager = false)
     val srcs = edgesDeg.select(col("_src")).distinct()
-    val nSrc = broadcast(srcs.agg(count(lit(1)).as("_ns")))
-    var h = srcs.crossJoin(nSrc)
-      .select(col("_src").as("node"), ldiv(lit(scale), col("_ns")).as("_h"))
+      .localCheckpoint(eager = false)
+    // |src nodes| is an O(1) scalar — a driver literal, not a
+    // broadcast-join (the [[pageRank]] discipline); floorDiv ≡ ldiv
+    val nSrc = srcs.count()
+    var h = srcs
+      .select(col("_src").as("node"),
+        lit(Math.floorDiv(scale, nSrc)).as("_h"))
       .localCheckpoint(eager = false)
     var a: DataFrame = null
     for (_ <- 1 to iters) {

@@ -2705,12 +2705,33 @@ final class PipelineRunner(
         // above can split, while a dashboard-grain delta still
         // coalesces to one
         val t0 = System.nanoTime()
-        delta(from, liveVersion).hint("rebalance").write.mode("overwrite")
+        // row count observed ON the write action (zero extra passes) —
+        // an EMPTY delta (a republish that changed nothing) advances
+        // the consumed marker directly instead of paying a full
+        // stream-drain pass on a no-op pair: draining zero rows
+        // through the sink is a store no-op by definition, and the
+        // marker advance is exactly what draining it would record.
+        // Never taken for the initial-load pair (from=None): a virgin
+        // feed keeps its byte-identical first-consumption path.
+        val obs = new org.apache.spark.sql.Observation()
+        delta(from, liveVersion)
+          .observe(obs, count(lit(1)).as("_rows"))
+          .hint("rebalance").write.mode("overwrite")
           .parquet(tmp.toString)
-        require(fs.rename(tmp, pairDir),
-          s"streaming-cadence feed: committing $pairDir failed")
-        log(f"feed extract ${new Path(feedDir).getName}/" +
-          f"${pairDir.getName}: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        val rows = obs.get("_rows").asInstanceOf[Long]
+        if (rows == 0L && from.nonEmpty) {
+          fs.delete(tmp, true)
+          StoreMarkers.writeAtomic(fs, consumedP, liveVersion.toString)
+          log(f"feed extract ${new Path(feedDir).getName}/" +
+            f"${pairDir.getName}: empty delta " +
+            f"(${(System.nanoTime() - t0) / 1e9}%.2fs) - marker " +
+            s"advanced to $liveVersion, stream drain skipped")
+        } else {
+          require(fs.rename(tmp, pairDir),
+            s"streaming-cadence feed: committing $pairDir failed")
+          log(f"feed extract ${new Path(feedDir).getName}/" +
+            f"${pairDir.getName}: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
       }
     }
     drain()

@@ -443,6 +443,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table(p3.goldFqn("sales"))
         .as[(Long, Double, String)].collect().toSet == joinTwin,
       "an idle run changed the streaming join mart")
+    // run 4 with NO source changes but FORCED republish (the bench's
+    // steady-state posture): the silver republish mints a new version
+    // whose CDC delta is EMPTY — the feed must advance its _consumed
+    // marker WITHOUT committing a pair or paying a stream drain (the
+    // empty-delta fast path), and the mart content must stay identical
+    val consumedOf = (e: String) => Files.readString(
+      Path.of(s"$store/gold_stream/$e/feed_$e/_consumed")).trim.toLong
+    val cBefore = consumedOf("sales")
+    val (r4, p4) = mkRunner(src, store, "2024-09-04 00:00:00",
+      catalog = "gcstream", republish = true)
+    r4.run(ConfigLoader.load(spark, src))
+    val cAfter = consumedOf("sales")
+    assert(cAfter == cBefore + 1,
+      s"empty-delta republish did not advance the feed marker " +
+        s"($cBefore -> $cAfter, expected ${cBefore + 1})")
+    val pairs4 = new java.io.File(s"$store/gold_stream/sales/feed_sales")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(pairs4.isEmpty,
+      s"empty delta committed a feed pair instead of skipping: $pairs4")
+    assert(spark.table(p4.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet == joinTwin,
+      "the empty-delta fast path changed the streaming join mart")
+    // and a LATER real change still flows: the marker-advanced feed
+    // extracts (new-marker -> live) and converges to the batch star
+    Seq((5L, java.lang.Double.valueOf(3.25), 10L))
+      .toDF("sale_id", "amount", "shop_id")
+      .write.mode("append").parquet(s"$src/sales")
+    val p5 = run("2024-09-05 00:00:00")
+    assert(spark.table(p5.goldFqn("sales"))
+        .as[(Long, Double, String)].collect().toSet ==
+      joinTwin + ((5L, 3.25, "North")),
+      "a change after the empty-delta fast path did not flow through")
   }
 
   test("gold.cadence streaming over INCREMENTAL silver: the merge-time " +
