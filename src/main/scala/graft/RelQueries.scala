@@ -47,6 +47,34 @@ object RelQueries {
     ()
   }
 
+  /** Session clone with the stateful-stream shuffle partition count
+    * sized to the stream's INPUT BYTES instead of inherited from the
+    * batch default. A stateful streaming operator fixes its state-store
+    * partition count forever at the first checkpointed batch — the one
+    * partitioning decision AQE can never coalesce — and every
+    * micro-batch then pays one state-store open/commit per partition
+    * PER OPERATOR, so an input holding a few hundred keys spread over
+    * `cpus` stores is pure per-batch overhead at ANY scale (measured
+    * locally: 32 -> sized stores halves the stateful gate streams).
+    * Sizing: one state partition per ~32 MB of input, floored at 1,
+    * capped at the session's default parallelism (the same
+    * bytes-per-partition posture as AQE's advisory size; grows with
+    * the data, not with the local core count). The clone shares the
+    * SparkContext (and its SparkConf defaults — nanosAsLong, UTC TZ);
+    * only the cloned SQLConf's shuffle partitions differ, so batch
+    * queries on the base session are untouched. Results are
+    * partitioning-independent by construction (integer aggregates,
+    * per-key state) and oracle-checked. */
+  private def statefulStreamSession(s: SparkSession, inputBytes: Long)
+      : SparkSession = {
+    val parts = Math.max(1L, Math.min(
+      s.sparkContext.defaultParallelism.toLong,
+      inputBytes / (32L * 1024 * 1024) + 1))
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ns
+  }
+
   // memo for the data-derived watermark-pin scalars of the same gate
   // queries: pure functions of the testdata, recomputed per run only to
   // be compared against the stream's progress — cache per (dir, key)
@@ -1666,10 +1694,16 @@ object RelQueries {
       val path = s"$dir/events.parquet"
       val schema = s.read.parquet(path).schema
       val tmp = java.nio.file.Files.createTempDirectory("graft-streamfun")
+      // state partitions sized to the input (see statefulStreamSession)
+      // — the flatMapGroupsWithState per-user funnel state stores
+      val f = new java.io.File(path)
+      val bytes =
+        if (f.isDirectory) f.listFiles().map(_.length()).sum else f.length()
+      val ss = statefulStreamSession(s, bytes)
       val stream =
-        if (new java.io.File(path).isDirectory)
-          s.readStream.schema(schema).parquet(path)
-        else s.readStream.schema(schema)
+        if (f.isDirectory)
+          ss.readStream.schema(schema).parquet(path)
+        else ss.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
       val out = tmp.resolve("out").toString
       graft.streaming.StreamOps.funnelWithState(
@@ -1727,7 +1761,11 @@ object RelQueries {
       wave("mid", ev.limit(0), now - 300000L)
       wave("w2", ev.filter(col("event_id") % 3 === 0), now)
       val out = tmp.resolve("out").toString
-      val stream = s.readStream
+      // state partitions sized to the staged input (see
+      // statefulStreamSession) — the windowed aggregate's state stores
+      val ss = statefulStreamSession(s,
+        in.toFile.listFiles().map(_.length()).sum)
+      val stream = ss.readStream
         .schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
@@ -1833,7 +1871,11 @@ object RelQueries {
       wave("mid", base.limit(0), now - 300000L)
       wave("w2", w2, now)
       val out = tmp.resolve("out").toString
-      val stream = s.readStream
+      // state partitions sized to the staged input (see
+      // statefulStreamSession) — the dedup-state stores
+      val ss = statefulStreamSession(s,
+        in.toFile.listFiles().map(_.length()).sum)
+      val stream = ss.readStream
         .schema(base.schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
@@ -1905,8 +1947,12 @@ object RelQueries {
       placeWave(stagedWaveFile(dir, "sessmart_w1")(ev),
         in.resolve("w1.parquet"), System.currentTimeMillis())
       val store = tmp.resolve("store").toString
+      // state partitions sized to the staged input (see
+      // statefulStreamSession) — the session-window state stores
+      val ss = statefulStreamSession(s,
+        in.toFile.listFiles().map(_.length()).sum)
       val q = graft.pipeline.GoldAggOps.sessionMartSink(
-          s.readStream.schema(ev.schema).parquet(in.toString)
+          ss.readStream.schema(ev.schema).parquet(in.toString)
             .withColumn("ev_time", timestamp_micros(col("ts_us"))),
           "ev_time", "30 minutes", s"$delayMs milliseconds",
           Seq("user_id"), Seq(count(lit(1)).as("n_events")),
