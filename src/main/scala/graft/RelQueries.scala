@@ -1126,6 +1126,7 @@ object RelQueries {
     "q_pagerank" -> ((s, dir) => {
       graft.analytics.Graph.pageRank(
           shipmentEdges(s, dir), "src", "dst", iters = 3)
+        .select(decodeNode(col("node")).as("node"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
     }),
 
@@ -1133,6 +1134,8 @@ object RelQueries {
     //    link-farm / hub diagnosis pass)
     "q_graph_degrees" -> ((s, dir) => {
       graft.analytics.Graph.degrees(shipmentEdges(s, dir), "src", "dst")
+        .select(decodeNode(col("node")).as("node"), col("out_deg"),
+          col("in_deg"))
         .orderBy(col("node"))
     }),
 
@@ -1143,6 +1146,7 @@ object RelQueries {
     "q_kcore" -> ((s, dir) => {
       graft.analytics.Graph.kCore(shipmentEdges(s, dir), "src", "dst",
           k = 25)
+        .select(decodeNode(col("node")).as("node"), col("core_degree"))
         .orderBy(col("node"))
     }),
 
@@ -1992,10 +1996,10 @@ object RelQueries {
     "q_ppr" -> ((s, dir) => {
       val seeds = t(s, dir, "supplier")
         .filter(col("s_nationkey") < 5)
-        .select(concat(lit("s"), col("s_suppkey").cast("string"))
-          .as("node"))
+        .select((col("s_suppkey").cast("long") * 2L).as("node"))
       graft.analytics.Graph.personalizedPageRank(
           shipmentEdges(s, dir), "src", "dst", seeds, "node", iters = 3)
+        .select(decodeNode(col("node")).as("node"), col("rank_fp"))
         .orderBy(col("rank_fp").desc, col("node"))
     }),
 
@@ -2009,11 +2013,12 @@ object RelQueries {
         .filter(col("s_suppkey") % 3 === 0)
         .join(t(s, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
-        .select(concat(lit("s"), col("s_suppkey").cast("string"))
-          .as("node"), col("n_name").as("lbl"))
+        .select((col("s_suppkey").cast("long") * 2L).as("node"),
+          col("n_name").as("lbl"))
       graft.analytics.Graph.labelPropagate(
           shipmentEdges(s, dir), "src", "dst",
           seeds, "node", "lbl", iters = 3)
+        .select(decodeNode(col("node")).as("node"), col("label"))
         .orderBy(col("node"))
     }),
 
@@ -2026,8 +2031,8 @@ object RelQueries {
         .filter(col("s_suppkey") % 3 === 0)
         .join(t(s, dir, "nation"),
           col("s_nationkey") === col("n_nationkey"))
-        .select(concat(lit("s"), col("s_suppkey").cast("string"))
-          .as("node"), col("n_name").as("lbl"))
+        .select((col("s_suppkey").cast("long") * 2L).as("node"),
+          col("n_name").as("lbl"))
       // ONE materialized edge frame for propagation AND scoring — the
       // raw lineitem⋈orders derivation would otherwise run twice
       val edges = shipmentEdges(s, dir).localCheckpoint(false)
@@ -2052,6 +2057,8 @@ object RelQueries {
     "q_salsa" -> ((s, dir) => {
       graft.analytics.Graph.salsa(shipmentEdges(s, dir), "src", "dst",
           iters = 2)
+        .select(decodeNode(col("node")).as("node"), col("hub_fp"),
+          col("auth_fp"))
         .orderBy(col("node"))
     }),
 
@@ -2062,10 +2069,10 @@ object RelQueries {
     "q_graph_hops" -> ((s, dir) => {
       val seeds = t(s, dir, "supplier")
         .filter(col("s_suppkey") % 97 === 0)
-        .select(concat(lit("s"), col("s_suppkey").cast("string"))
-          .as("node"))
+        .select((col("s_suppkey").cast("long") * 2L).as("node"))
       graft.analytics.Graph.shortestHops(shipmentEdges(s, dir),
           "src", "dst", seeds, "node", maxHops = 4)
+        .select(decodeNode(col("node")).as("node"), col("hops"))
         .orderBy(col("hops"), col("node"))
     }),
 
@@ -2206,14 +2213,31 @@ object RelQueries {
   )
 
   /** supplier→customer edge list: one edge per (supplier, customer) pair
-    * connected by at least one lineitem; node ids are type-tagged strings
-    * because supplier and customer key spaces overlap numerically. */
+    * connected by at least one lineitem. The DECLARED node ids are
+    * type-tagged strings ("s<k>"/"c<k>") because supplier and customer
+    * key spaces overlap numerically — but every byte of those strings
+    * rides every per-iteration shuffle, join, and aggregate of the
+    * graph family. Internally the tag is ONE PARITY BIT (supplier →
+    * 2k, customer → 2k+1, bijective), so the hot path hashes and
+    * compares 8-byte longs (opt guide §2.3, narrower types), and
+    * [[decodeNode]] reconstructs the exact declared strings on the
+    * node-sized OUTPUT only. Safe because every consumer's result is
+    * independent of the internal node ORDER (rank/degree/peel/vote
+    * arithmetic; tie-breaks are on labels or counting-invariant) —
+    * order-SENSITIVE pair outputs (linkPrediction's id_a < id_b) ride
+    * their own numeric co-purchase graph, not this encoding. */
   private def shipmentEdges(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .join(t(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-        concat(lit("c"), col("o_custkey").cast("string")).as("dst"))
+      .select((col("l_suppkey").cast("long") * 2L).as("src"),
+        (col("o_custkey").cast("long") * 2L + 1L).as("dst"))
+
+  /** Inverse of the [[shipmentEdges]] parity encoding: 2k → "s<k>",
+    * 2k+1 → "c<k>" — the declared string node ids, bit-exact. */
+  private def decodeNode(c: Column): Column =
+    concat(when(c % 2L === 0L, lit("s")).otherwise(lit("c")),
+      shiftright(c, 1).cast("string"))
 
   /** The unrolled-CTE k-core oracle: one (degrees, peel set, surviving
     * edges) CTE triple per SYNCHRONOUS peel round — the peel fixpoint is
